@@ -1,0 +1,41 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver test tables (`TESTDATA.md`, schemas in
+  * `FIXTURES.md` §2). Reads use the parquet footer schema (never inferred
+  * beyond it), mirroring the reference's explicit-schema discipline
+  * (reference: IntegrationTest.java:59-64 declares schemas up front).
+  *
+  * `events.ts` is physically `timestamp[ns]`; Spark has no nanosecond
+  * timestamp type, so [[events]] normalizes whatever the reader produced
+  * (LongType nanos under `nanosAsLong`, or TimestampNTZ) to a microsecond
+  * `TimestampType` so window/date functions and the DuckDB oracle agree.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanosAsLong: integer nanos since epoch
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case _: TimestampNTZType => // wall time == instant under UTC session TZ
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
+}
