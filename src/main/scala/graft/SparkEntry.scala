@@ -7,9 +7,15 @@ object SparkEntry {
     graft.queries.CoreQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++
+      graft.queries.AggWindowQueries.queries ++
+      graft.queries.FunctionQueries.queries ++
+      graft.queries.EventQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracles
+    graft.queries.CoreQueries.oracles ++
+      graft.queries.AggWindowQueries.oracles ++
+      graft.queries.FunctionQueries.oracles ++
+      graft.queries.EventQueries.oracles
 }

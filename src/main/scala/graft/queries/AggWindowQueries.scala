@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation variants (rollup/cube/distinct/approx/collect/percentile),
+  * set operations, and window-function coverage (SURVEY.md §2.C).
+  *
+  * Cross-engine pinning rules used throughout: DuckDB integer `sum`
+  * returns HUGEINT and ranking fns return BIGINT, so Spark outputs are
+  * cast to long and DuckDB sums to BIGINT; rollup/cube NULL group keys
+  * are coalesced to a sentinel so null-vs-null compare never matters.
+  */
+object AggWindowQueries {
+  import Tables._
+
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("lstatus"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  def qCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .cube(col("yr"), col("o_orderstatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("sum_total"))
+      .select(coalesce(col("yr"), lit(-1L)).as("yr"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("gid"), col("n"), col("sum_total"))
+      .orderBy(col("yr"), col("status"))
+
+  def qDistinctAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL sketch — estimator differs from DuckDB's, so rows-only check. */
+  def qApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** collect_set → sorted CSV so the set-valued agg is order-stable. */
+  def qCollectSet(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  def qPercentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_total"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_total"),
+        min(col("o_totalprice")).as("min_total"),
+        max(col("o_totalprice")).as("max_total"),
+        round(avg(col("o_totalprice")), 4).as("avg_total"),
+        round(stddev(col("o_totalprice")), 4).as("sd_total"))
+      .orderBy(col("o_orderstatus"))
+
+  private def custsOfYear(s: SparkSession, d: String, y: Int): DataFrame =
+    orders(s, d).filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+
+  def qUnionDistinct(s: SparkSession, d: String): DataFrame =
+    custsOfYear(s, d, 1995).union(custsOfYear(s, d, 1996))
+      .distinct().orderBy(col("o_custkey"))
+
+  def qIntersect(s: SparkSession, d: String): DataFrame =
+    custsOfYear(s, d, 1995).intersect(custsOfYear(s, d, 1996))
+      .orderBy(col("o_custkey"))
+
+  def qExcept(s: SparkSession, d: String): DataFrame =
+    custsOfYear(s, d, 1995).except(custsOfYear(s, d, 1996))
+      .orderBy(col("o_custkey"))
+
+  /** Frame-based analytics: running sum, 3-row moving avg, lag/lead. */
+  def qRunningFrames(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(s, d).select(
+      col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+      sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running_qty"),
+      round(avg(col("l_quantity")).over(w.rowsBetween(-2, 0)), 4).as("mov_avg_qty"),
+      lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+      lead(col("l_quantity"), 1).over(w).as("next_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Ranking battery: rank / dense_rank / ntile / percent_rank / cume_dist. */
+  def qRankFunctions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d).select(
+      col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      ntile(10).over(w).cast("long").as("decile"),
+      round(percent_rank().over(w), 6).as("prank"),
+      round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy(col("o_orderstatus"), col("rnk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_distinct_agg" -> qDistinctAgg,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_collect_set" -> qCollectSet,
+    "q_percentiles" -> qPercentiles,
+    "q_union_distinct" -> qUnionDistinct,
+    "q_intersect" -> qIntersect,
+    "q_except" -> qExcept,
+    "q_running_frames" -> qRunningFrames,
+    "q_rank_functions" -> qRankFunctions,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rflag,
+        |  coalesce(l_linestatus, '(all)') AS lstatus,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(yr, -1) AS yr, coalesce(o_orderstatus, '(all)') AS status,
+        |  GROUPING(yr, o_orderstatus) AS gid, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_total
+        |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus, o_totalprice FROM orders)
+        |GROUP BY CUBE(yr, o_orderstatus)
+        |ORDER BY yr, status""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_collect_set" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_total,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90_total,
+        |  min(o_totalprice) AS min_total,
+        |  max(o_totalprice) AS max_total,
+        |  round(avg(o_totalprice), 4) AS avg_total,
+        |  round(stddev(o_totalprice), 4) AS sd_total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_union_distinct" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |UNION
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "q_running_frames" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+        |  round(avg(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg_qty,
+        |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+        |  lead(l_quantity, 1) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+    "q_rank_functions" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(10) OVER w AS decile,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderstatus, rnk""".stripMargin,
+  )
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over the `events` table (SURVEY.md §2.C) — the
+  * batch analogs of the streaming surface: tumbling/sliding windows,
+  * sessionization, late-data cutoff, and an as-of join.
+  *
+  * The as-of join deliberately avoids an inequality join: events and
+  * orders are unioned into one time-ordered stream per key and the
+  * latest order is carried forward with `last(_, ignoreNulls)` — one
+  * shuffle + sort per key, which is the shape that survives 100 TB
+  * (an orderdate<=ts theta join would be a broadcast-nested-loop blowup).
+  */
+object EventQueries {
+  import Tables._
+
+  def qEvTumbling(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  def qEvSliding(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Sessionization via gap detection: a >30 min silence starts a new
+    * session; pure window functions, no stateful shuffle beyond one
+    * partition-by-user sort. */
+  def qEvSessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"))
+      .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join: each event picks the latest order of the same user with
+    * o_orderdate <= ts (ties broken by max o_orderkey). */
+  def qEvAsofOrder(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("ts"),
+      lit(1).as("kind"), col("event_id"),
+      lit(null).cast("long").as("ok"), lit(null).cast("timestamp").as("od"))
+    val o = orders(s, d).select(col("o_custkey").as("user_id"),
+      col("o_orderdate").as("ts"), lit(0).as("kind"),
+      lit(null).cast("long").as("event_id"),
+      col("o_orderkey").as("ok"), col("o_orderdate").as("od"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("ok"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.unionByName(o)
+      .select(col("event_id"), col("user_id"), col("ts"), col("kind"),
+        last(col("ok"), ignoreNulls = true).over(w).as("o_orderkey"),
+        last(col("od"), ignoreNulls = true).over(w).as("o_orderdate"))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Watermark analog: keep only events inside the late-data horizon
+    * (max ts - 1 day), horizon computed as a broadcast scalar — no
+    * driver-side collect. */
+  def qEvLateData(s: SparkSession, d: String): DataFrame = {
+    val wm = events(s, d).agg(max(col("ts")).as("max_ts"))
+    events(s, d).crossJoin(broadcast(wm))
+      .filter(col("ts") > col("max_ts") - expr("INTERVAL 1 DAY"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ev_tumbling" -> qEvTumbling,
+    "q_ev_sliding" -> qEvSliding,
+    "q_ev_sessionize" -> qEvSessionize,
+    "q_ev_asof_order" -> qEvAsofOrder,
+    "q_ev_late_data" -> qEvLateData,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ev_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2, 3 ORDER BY window_start, event_type""".stripMargin,
+    "q_ev_sliding" ->
+      """SELECT ws AS window_start, event_type, count(*) AS n
+        |FROM (SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |             - i.i * INTERVAL '15 minutes' AS ws, event_type
+        |      FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS i) i)
+        |GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin,
+    "q_ev_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_ev_asof_order" ->
+      """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_ev_late_data" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events
+        |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL '1 day'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -29,10 +29,16 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   def events(s: SparkSession, d: String): DataFrame = {
+    // Spark has no nanosecond TimestampType and by default refuses
+    // TIMESTAMP(NANOS) parquet columns outright (PARQUET_TYPE_ILLEGAL);
+    // read them as raw long nanos and convert below.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
-      case LongType => // nanosAsLong: integer nanos since epoch
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case LongType => // nanosAsLong: integer nanos since epoch; `div`
+        // (integer division) truncates like DuckDB's ns→µs cast — `/`
+        // would round through double and drift by 1µs
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _: TimestampNTZType => // wall time == instant under UTC session TZ
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
