@@ -10,12 +10,14 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.AggWindowQueries.queries ++
       graft.queries.FunctionQueries.queries ++
-      graft.queries.EventQueries.queries
+      graft.queries.EventQueries.queries ++
+      graft.queries.LakeQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
       graft.queries.AggWindowQueries.oracles ++
       graft.queries.FunctionQueries.oracles ++
-      graft.queries.EventQueries.oracles
+      graft.queries.EventQueries.oracles ++
+      graft.queries.LakeQueries.oracles
 }

@@ -1,0 +1,153 @@
+package graft.lake
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
+
+/** Scan-filter expression surface, the analog of the reference's Iceberg
+  * `Expressions` (reference: Expressions.alwaysTrue() as ScanReport
+  * filter, MicrometerMetricsReporterTest.java:33). Lives ABOVE Catalyst:
+  * `mayMatch` prunes whole files against manifest min/max/null stats
+  * before a DataFrame exists, then `toColumn` hands the exact same
+  * predicate to Spark for row-level filtering and parquet row-group
+  * pushdown (SURVEY.md §4).
+  *
+  * Pruning is conservative: anything not provably false keeps the file.
+  */
+sealed trait LakePredicate {
+  def toColumn: Column
+  def render: String
+
+  /** False only if NO row in the file can match. */
+  def mayMatch(f: DataFileEntry, schema: StructType): Boolean
+}
+
+object LakePredicate {
+  import Stats.{cmp, toStat}
+
+  case object AlwaysTrue extends LakePredicate {
+    def toColumn: Column = lit(true)
+    def render = "true"
+    def mayMatch(f: DataFileEntry, s: StructType) = true
+  }
+
+  sealed abstract class Comparison(name: String, value: Any) extends LakePredicate {
+    protected def statBounds(f: DataFileEntry, schema: StructType): Option[(String, String, DataType)] =
+      for {
+        mn <- f.minValues.get(name)
+        mx <- f.maxValues.get(name)
+        field <- schema.fields.find(_.name == name)
+      } yield (mn, mx, field.dataType)
+  }
+
+  final case class Eq(name: String, value: Any) extends Comparison(name, value) {
+    def toColumn: Column = col(name) === lit(value)
+    def render = s"$name = $value"
+    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
+      statBounds(f, s).forall { case (mn, mx, t) =>
+        cmp(t, toStat(t, value), mn) >= 0 && cmp(t, toStat(t, value), mx) <= 0
+      }
+  }
+
+  final case class Gt(name: String, value: Any) extends Comparison(name, value) {
+    def toColumn: Column = col(name) > lit(value)
+    def render = s"$name > $value"
+    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
+      statBounds(f, s).forall { case (_, mx, t) => cmp(t, mx, toStat(t, value)) > 0 }
+  }
+
+  final case class Ge(name: String, value: Any) extends Comparison(name, value) {
+    def toColumn: Column = col(name) >= lit(value)
+    def render = s"$name >= $value"
+    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
+      statBounds(f, s).forall { case (_, mx, t) => cmp(t, mx, toStat(t, value)) >= 0 }
+  }
+
+  final case class Lt(name: String, value: Any) extends Comparison(name, value) {
+    def toColumn: Column = col(name) < lit(value)
+    def render = s"$name < $value"
+    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
+      statBounds(f, s).forall { case (mn, _, t) => cmp(t, mn, toStat(t, value)) < 0 }
+  }
+
+  final case class Le(name: String, value: Any) extends Comparison(name, value) {
+    def toColumn: Column = col(name) <= lit(value)
+    def render = s"$name <= $value"
+    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
+      statBounds(f, s).forall { case (mn, _, t) => cmp(t, mn, toStat(t, value)) <= 0 }
+  }
+
+  final case class In(name: String, values: Seq[Any]) extends LakePredicate {
+    def toColumn: Column = col(name).isin(values: _*)
+    def render = s"$name IN (${values.mkString(",")})"
+    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
+      values.exists(v => Eq(name, v).mayMatch(f, s))
+  }
+
+  final case class IsNull(name: String) extends LakePredicate {
+    def toColumn: Column = col(name).isNull
+    def render = s"$name IS NULL"
+    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
+      f.nullCounts.get(name).forall(_ > 0)
+  }
+
+  final case class NotNull(name: String) extends LakePredicate {
+    def toColumn: Column = col(name).isNotNull
+    def render = s"$name IS NOT NULL"
+    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
+      f.nullCounts.get(name).forall(_ < f.recordCount)
+  }
+
+  final case class And(left: LakePredicate, right: LakePredicate) extends LakePredicate {
+    def toColumn: Column = left.toColumn && right.toColumn
+    def render = s"(${left.render} AND ${right.render})"
+    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
+      left.mayMatch(f, s) && right.mayMatch(f, s)
+  }
+
+  final case class Or(left: LakePredicate, right: LakePredicate) extends LakePredicate {
+    def toColumn: Column = left.toColumn || right.toColumn
+    def render = s"(${left.render} OR ${right.render})"
+    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
+      left.mayMatch(f, s) || right.mayMatch(f, s)
+  }
+
+  /** Negation cannot reuse the child's bound proof, so it never prunes —
+    * conservative but always correct; row filter does the exact work. */
+  final case class Not(child: LakePredicate) extends LakePredicate {
+    def toColumn: Column = !child.toColumn
+    def render = s"NOT (${child.render})"
+    def mayMatch(f: DataFileEntry, s: StructType): Boolean = true
+  }
+}
+
+/** Canonical stat-string encoding + comparison, shared by the stats
+  * harvester and the pruner. Timestamps are micros-since-epoch longs,
+  * dates are days-since-epoch ints, numerics decimal strings, strings
+  * verbatim. */
+object Stats {
+  def toStat(t: DataType, v: Any): String = v match {
+    // java.sql.Timestamp wall time == UTC instant under the pinned UTC
+    // session TZ, so one encoding serves both LTZ and NTZ columns
+    case ts: java.sql.Timestamp =>
+      (ts.getTime * 1000L + (ts.getNanos / 1000) % 1000).toString
+    case i: java.time.Instant =>
+      (i.getEpochSecond * 1000000L + i.getNano / 1000).toString
+    case ldt: java.time.LocalDateTime =>
+      (ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000).toString
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
+    case other => other.toString
+  }
+
+  /** Three-way compare of two canonical stat strings under a type. */
+  def cmp(t: DataType, a: String, b: String): Int = t match {
+    case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType
+         | _: TimestampNTZType =>
+      java.lang.Long.compare(a.toLong, b.toLong)
+    case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _: DecimalType => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case BooleanType => java.lang.Boolean.compare(a.toBoolean, b.toBoolean)
+    case _ => a.compareTo(b)
+  }
+}

@@ -1,0 +1,231 @@
+package graft.lake
+
+import java.util.UUID
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
+
+/** Table handle: snapshot log + append/scan/time-travel/compact/delete.
+  * The Spark-native analog of the reference's Iceberg `Table` surface
+  * (reference: newAppend/commit/refresh IntegrationTest.java:92-99,
+  * newScan().planFiles() :121, IcebergGenerics full read
+  * LocalIcebergCatalogTest.java:146-153).
+  *
+  * All data movement is Spark DataFrame I/O; this class only manages
+  * manifests and fires metrics — same layering as the reference, where
+  * Iceberg-lib did the I/O and the project code did catalog + metrics.
+  */
+final class LakeTable private[lake] (
+    val catalog: LakeCatalog,
+    val namespace: String,
+    val shortName: String,
+    @volatile private var meta: TableMetadata,
+    @volatile private var version: Int) {
+
+  def name: String = meta.name
+  def location: String = meta.location
+  def schema: StructType = meta.schema
+  def spec: Seq[PartitionField] = meta.spec
+  def metadata: TableMetadata = meta
+  def currentSnapshotId: Long = meta.currentSnapshotId
+  def snapshots: Seq[Snapshot] = meta.snapshots
+
+  /** A9 tail: re-read current metadata (reference: table.refresh()). */
+  def refresh(): LakeTable = {
+    val t = catalog.loadTable(namespace, shortName)
+    meta = t.metadata
+    version = t.version0
+    this
+  }
+  private[lake] def version0: Int = version
+
+  /** Spark Column computing a partition field's transform value — used
+    * to cluster writes so files align with partition boundaries. */
+  private def transformColumn(p: PartitionField, df: DataFrame): Column = {
+    import org.apache.spark.sql.{functions => F}
+    val c = df.col(p.source)
+    p.transform match {
+      case "identity" => c
+      case "year" => F.year(c)
+      case "month" => F.date_format(c, "yyyy-MM")
+      case "day" => F.to_date(c)
+      case "hour" => F.date_format(c, "yyyy-MM-dd'T'HH")
+      case t if t.startsWith("truncate[") =>
+        F.substring(c, 1, t.stripPrefix("truncate[").stripSuffix("]").toInt)
+      case t if t.startsWith("bucket[") =>
+        F.pmod(F.hash(c), F.lit(t.stripPrefix("bucket[").stripSuffix("]").toInt))
+      case _ => c
+    }
+  }
+
+  /** Write df as parquet data files under this table, harvesting footer
+    * stats into manifest entries (A7: the MetricsConfig analog). When a
+    * partition spec exists the data is range-clustered on the transform
+    * values (then raw sources), so files align with partition boundaries
+    * and min/max pruning does the work of partition pruning at scale.
+    * `numFiles` > 0 pins the output file count (an explicit repartition
+    * count also stops AQE from coalescing everything into one file at
+    * small scale). */
+  def writeDataFiles(df: DataFrame, numFiles: Int = 0): Seq[DataFileEntry] = {
+    require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      schema.fields.map(f => (f.name, f.dataType))),
+      s"schema mismatch: ${df.schema.simpleString} vs ${schema.simpleString}")
+    val spark = df.sparkSession
+    val dir = s"$location/data/${UUID.randomUUID}"
+    val exprs = spec.map(transformColumn(_, df)) ++ spec.map(p => df.col(p.source))
+    val clustered = (spec.nonEmpty, numFiles > 0) match {
+      case (false, false) => df
+      case (false, true) => df.repartition(numFiles)
+      case (true, false) => df.repartitionByRange(exprs: _*)
+      case (true, true) => df.repartitionByRange(numFiles, exprs: _*)
+    }
+    // micros timestamps: INT96 would write no footer stats to prune on.
+    // Scoped save/restore — leaking this conf session-wide changes how
+    // OTHER writes annotate computed timestamp columns (isAdjustedToUTC)
+    // and breaks oracle schema parity.
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try clustered.write.parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    StatsHarvester.harvest(spark, dir, schema, spec)
+  }
+
+  /** A9: append commit — newAppend().appendData(df).commit(). */
+  def newAppend(): AppendOp = new AppendOp(this)
+
+  def appendData(df: DataFrame, numFiles: Int = 0): CommitReport =
+    newAppend().appendData(df, numFiles).commit()
+
+  /** A10/A12: scan with optional filter; planFiles prunes on stats. */
+  def newScan(pred: LakePredicate = LakePredicate.AlwaysTrue): LakeScan =
+    new LakeScan(this, meta.currentSnapshot, pred)
+
+  /** Time travel: scan the manifest of an historical snapshot. */
+  def asOf(snapshotId: Long): LakeScan =
+    new LakeScan(this, Some(meta.snapshot(snapshotId).getOrElse(
+      throw new NoSuchElementException(s"no snapshot $snapshotId in $name"))),
+      LakePredicate.AlwaysTrue)
+
+  /** Small-file compaction: rewrite all live files into `targetFiles`
+    * (reference motivation: 1-row files from IntegrationTest.java:97;
+    * BASELINE.json spark_approach "DataFrame read/write + compaction"). */
+  def compact(spark: SparkSession, targetFiles: Int): CommitReport = {
+    val live = meta.currentFiles
+    if (live.isEmpty) return commitSnapshot("replace", Nil, Nil)
+    val df = spark.read.schema(schema).parquet(live.map(_.path): _*)
+    val added = writeDataFiles(df.repartition(targetFiles))
+    commitSnapshot("replace", added, live)
+  }
+
+  /** Copy-on-write row delete: only files that MAY contain matches are
+    * rewritten; untouched files survive as-is. Delete-file counters stay
+    * 0 exactly as in the reference, which never writes delete files but
+    * surfaces the meters (IntegrationTest.java:109,112,115). */
+  def deleteWhere(spark: SparkSession, pred: LakePredicate): CommitReport = {
+    val live = meta.currentFiles
+    val touched = live.filter(pred.mayMatch(_, schema))
+    if (touched.isEmpty) return commitSnapshot("delete", Nil, Nil)
+    val kept = spark.read.schema(schema).parquet(touched.map(_.path): _*)
+      .filter(!pred.toColumn)
+    val added = writeDataFiles(kept)
+    commitSnapshot("delete", added, touched)
+  }
+
+  /** Copy-on-write update: rewrite matching rows with the assignments. */
+  def updateWhere(spark: SparkSession, pred: LakePredicate,
+      assignments: Map[String, Column]): CommitReport = {
+    val live = meta.currentFiles
+    val touched = live.filter(pred.mayMatch(_, schema))
+    if (touched.isEmpty) return commitSnapshot("overwrite", Nil, Nil)
+    val df = spark.read.schema(schema).parquet(touched.map(_.path): _*)
+    val rewritten = assignments.foldLeft(df) { case (acc, (c, v)) =>
+      acc.withColumn(c, org.apache.spark.sql.functions.when(pred.toColumn, v)
+        .otherwise(org.apache.spark.sql.functions.col(c)))
+    }.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    val added = writeDataFiles(rewritten)
+    commitSnapshot("overwrite", added, touched)
+  }
+
+  private[lake] def commitSnapshot(op: String, added: Seq[DataFileEntry],
+      removed: Seq[DataFileEntry]): CommitReport = {
+    val t0 = System.nanoTime()
+    val removedPaths = removed.map(_.path).toSet
+    val (next, v, attempts) = catalog.commit(namespace, shortName) { latest =>
+      val newId = latest.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+      val files = latest.currentFiles.filterNot(f => removedPaths(f.path)) ++ added
+      val snap = Snapshot(newId, Option(latest.currentSnapshotId).filter(_ >= 0),
+        System.currentTimeMillis(), op, files,
+        Map("added-data-files" -> added.size.toString,
+          "removed-data-files" -> removed.size.toString,
+          "added-records" -> added.map(_.recordCount).sum.toString))
+      latest.copy(snapshots = latest.snapshots :+ snap, currentSnapshotId = newId)
+    }
+    meta = next
+    version = v
+    val snap = next.currentSnapshot.get
+    val report = CommitReport(
+      tableName = name,
+      snapshotId = snap.id,
+      attempts = attempts,
+      addedDataFiles = added.size,
+      addedRecords = added.map(_.recordCount).sum,
+      addedFilesSizeInBytes = added.map(_.sizeBytes).sum,
+      totalDataFiles = snap.files.size,
+      totalDeleteFiles = 0L,
+      totalRecords = snap.totalRecords,
+      totalFilesSizeInBytes = snap.totalSizeBytes,
+      totalPositionalDeletes = 0L,
+      totalEqualityDeletes = 0L,
+      totalDurationMs = (System.nanoTime() - t0) / 1000000L)
+    catalog.reporter.report(report)
+    report
+  }
+}
+
+/** Builder mirroring the reference's append API shape
+  * (newAppend().appendFile(df).commit(), IntegrationTest.java:92-98). */
+final class AppendOp private[lake] (table: LakeTable) {
+  private val buf = scala.collection.mutable.Buffer.empty[DataFileEntry]
+  def appendFile(f: DataFileEntry): this.type = { buf += f; this }
+  def appendData(df: DataFrame, numFiles: Int = 0): this.type = {
+    buf ++= table.writeDataFiles(df, numFiles); this
+  }
+  def commit(): CommitReport = table.commitSnapshot("append", buf.toSeq, Nil)
+}
+
+/** Scan: manifest-level file pruning (above Catalyst, SURVEY.md §4) then
+  * a schema-enforced vectorized parquet read with the same predicate
+  * re-applied for exact row filtering + row-group pushdown. */
+final class LakeScan private[lake] (
+    table: LakeTable, snapshot: Option[Snapshot], pred: LakePredicate) {
+
+  /** A10: enumerate surviving files; fires the ScanReport (A14). */
+  lazy val planFiles: Seq[DataFileEntry] = {
+    val t0 = System.nanoTime()
+    val files = snapshot.map(_.files).getOrElse(Nil)
+    val survivors = files.filter(pred.mayMatch(_, table.schema))
+    table.catalog.reporter.report(ScanReport(
+      tableName = table.name,
+      snapshotId = snapshot.map(_.id).getOrElse(-1L),
+      filter = pred.render,
+      resultDataFiles = survivors.size,
+      resultDeleteFiles = 0L,
+      totalFileSizeInBytes = survivors.map(_.sizeBytes).sum,
+      planningDurationMs = (System.nanoTime() - t0) / 1000000L))
+    survivors
+  }
+
+  /** A11: full scan to DataFrame (the IcebergGenerics.read analog). */
+  def toDF(spark: SparkSession): DataFrame = {
+    val files = planFiles
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), table.schema)
+    else
+      spark.read.schema(table.schema).parquet(files.map(_.path): _*)
+        .filter(pred.toColumn)
+  }
+}

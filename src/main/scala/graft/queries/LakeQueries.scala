@@ -1,0 +1,116 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake._
+
+/** End-to-end lake-layer operators exposed as oracled queries: each one
+  * builds a real catalog+table in a temp warehouse, runs commits against
+  * it, and scans back — so the correctness gate covers the table format
+  * itself (create/append/scan A5-A11, time travel, stats pruning,
+  * compaction, copy-on-write delete/update from SURVEY.md §2.B), not
+  * just Catalyst.
+  */
+object LakeQueries {
+  import Tables._
+
+  private def freshCatalog(): LakeCatalog =
+    LakeCatalog.open(Files.createTempDirectory("graft_lake_").toString, new SimpleMetrics)
+
+  /** Round trip: two append commits (even/odd orderkeys), full scan.
+    * Mirrors the reference's 2-commit write-then-read-back-count oracle
+    * (LocalIcebergCatalogTest.java:86-156) at table scale. */
+  def lakeRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_rt", src.schema)
+    t.appendData(src.filter(col("o_orderkey") % 2 === 0))
+    t.appendData(src.filter(col("o_orderkey") % 2 === 1))
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
+  /** Time travel: scan the first snapshot after a second commit landed. */
+  def lakeTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_tt", src.schema)
+    val first = t.appendData(src.filter(col("o_orderkey") % 2 === 0))
+    t.appendData(src.filter(col("o_orderkey") % 2 === 1))
+    t.asOf(first.snapshotId).toDF(s).orderBy(col("o_orderkey"))
+  }
+
+  /** Stats-based file skipping: lineitem clustered on l_shipdate, then a
+    * date-range scan — planFiles drops non-overlapping files, the same
+    * predicate re-filters rows exactly. */
+  def lakePrune(s: SparkSession, d: String): DataFrame = {
+    val src = lineitem(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "lineitem_pr", src.schema,
+      spec = Seq(PartitionField("l_shipdate", "month")))
+    t.appendData(src, numFiles = 8)
+    val pred = LakePredicate.And(
+      LakePredicate.Ge("l_shipdate", java.sql.Timestamp.valueOf("1997-01-01 00:00:00")),
+      LakePredicate.Lt("l_shipdate", java.sql.Timestamp.valueOf("1997-07-01 00:00:00")))
+    t.refresh().newScan(pred).toDF(s)
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Compaction: 6 small commits rewritten into 2 files; data identical. */
+  def lakeCompact(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_cp", src.schema)
+    (0 until 6).foreach(i => t.appendData(src.filter(col("o_orderkey") % 6 === i)))
+    t.refresh().compact(s, targetFiles = 2)
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
+  /** Copy-on-write delete: rows vanish, untouched files survive. */
+  def lakeDeleteCow(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_del", src.schema)
+    t.appendData(src)
+    t.refresh().deleteWhere(s, LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
+  /** Copy-on-write update: targeted rewrite of matching rows. */
+  def lakeUpdateCow(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_up", src.schema)
+    t.appendData(src)
+    t.refresh().updateWhere(s, LakePredicate.Eq("o_orderstatus", "F"),
+      Map("o_orderpriority" -> lit("0-REWRITTEN")))
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_roundtrip" -> lakeRoundtrip,
+    "lake_time_travel" -> lakeTimeTravel,
+    "lake_prune" -> lakePrune,
+    "lake_compact" -> lakeCompact,
+    "lake_delete_cow" -> lakeDeleteCow,
+    "lake_update_cow" -> lakeUpdateCow,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "lake_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "lake_time_travel" ->
+      "SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey",
+    "lake_prune" ->
+      """SELECT * FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_compact" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "lake_delete_cow" ->
+      "SELECT * FROM orders WHERE NOT (o_totalprice >= 400000.0) ORDER BY o_orderkey",
+    "lake_update_cow" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderstatus = 'F' THEN '0-REWRITTEN' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
+}

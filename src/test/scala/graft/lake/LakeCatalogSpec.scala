@@ -1,0 +1,103 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+/** Mirrors the reference's LocalIcebergCatalogTest life-cycle oracles:
+  * create/load/schema-identity (:74-84), two append commits (:86-108),
+  * restart + reopen-from-dir durability (:114-156), location invariant
+  * (:126), read-back count == rows written (:145-153). */
+class LakeCatalogSpec extends LakeSuite {
+
+  test("create + load round-trips the schema identically") {
+    val wh = freshWarehouse()
+    val cat = LakeCatalog.open(wh)
+    cat.createTable("mynamespace", "mytable", canonicalSchema)
+    val loaded = cat.loadTable("mynamespace", "mytable")
+    assert(loaded.schema === canonicalSchema)
+    assert(loaded.name === "mynamespace.mytable")
+    assert(loaded.location.startsWith(wh))
+    assert(loaded.location.endsWith("mynamespace/mytable"))
+  }
+
+  test("two append commits accumulate snapshots; read-back count == rows written") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("mynamespace", "mytable", canonicalSchema)
+    // one file per row, one commit per file — the reference's exact
+    // pathological pattern (IntegrationTest.java:78-100)
+    canonicalRows.foreach { row =>
+      val df = spark.createDataFrame(Seq(row).asJava0, canonicalSchema)
+      t.refresh().appendData(df.coalesce(1))
+    }
+    val reloaded = cat.loadTable("mynamespace", "mytable")
+    assert(reloaded.snapshots.size === 2)
+    assert(reloaded.newScan().toDF(spark).count() === 2L)
+    assert(reloaded.metadata.currentSnapshot.get.totalRecords === 2L)
+  }
+
+  test("restart durability: reopening the warehouse dir sees identical state") {
+    val wh = freshWarehouse()
+    val cat1 = LakeCatalog.open(wh)
+    val t1 = cat1.createTable("ns", "t", ordersDF.schema)
+    t1.appendData(ordersDF)
+    val before = t1.refresh().metadata
+
+    val cat2 = LakeCatalog.open(wh) // "restart"
+    val t2 = cat2.loadTable("ns", "t")
+    assert(t2.metadata === before)
+    assert(t2.newScan().toDF(spark).count() === ordersDF.count())
+
+    t2.appendData(ordersDF.limit(10))
+    val cat3 = LakeCatalog.open(wh)
+    assert(cat3.loadTable("ns", "t").snapshots.size === 2)
+  }
+
+  test("namespaces and table listing") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    cat.createNamespace("a")
+    cat.createTable("a", "t1", canonicalSchema)
+    cat.createTable("a", "t2", canonicalSchema)
+    cat.createTable("b", "t3", canonicalSchema)
+    assert(cat.listNamespaces() === Seq("a", "b"))
+    assert(cat.listTables("a") === Seq("t1", "t2"))
+    assert(cat.tableExists("b", "t3"))
+    assert(!cat.tableExists("b", "nope"))
+    cat.dropTable("a", "t2")
+    assert(cat.listTables("a") === Seq("t1"))
+  }
+
+  test("duplicate create fails; loading a missing table fails") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    cat.createTable("ns", "t", canonicalSchema)
+    assertThrows[IllegalArgumentException](cat.createTable("ns", "t", canonicalSchema))
+    assertThrows[NoSuchElementException](cat.loadTable("ns", "missing"))
+  }
+
+  test("commit CAS: a concurrent writer racing the commit forces a retry, attempts = 2") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "t", ordersDF.schema)
+    val md = java.nio.file.Paths.get(t.location, "metadata")
+    // simulate a concurrent winner landing BETWEEN the version read and
+    // the rename: the first transform invocation plants v2.json
+    var calls = 0
+    val (_, version, attempts) = cat.commit("ns", "t") { latest =>
+      calls += 1
+      if (calls == 1)
+        java.nio.file.Files.writeString(md.resolve("v2.json"),
+          MetadataJson.write(latest))
+      latest
+    }
+    assert(attempts === 2)
+    assert(version === 3) // v2 was the interloper; our commit landed as v3
+    assert(cat.loadTable("ns", "t").version0 === 3)
+  }
+
+  test("time travel: asOf(first snapshot) ignores later commits") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "t", ordersDF.schema)
+    val first = t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+    val expected = ordersDF.filter(col("o_orderkey") % 2 === 0).count()
+    assert(t.refresh().asOf(first.snapshotId).toDF(spark).count() === expected)
+    assert(t.newScan().toDF(spark).count() === ordersDF.count())
+  }
+}

@@ -1,0 +1,86 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property: pruned scan ≡ full scan + filter, for arbitrary predicates —
+  * pruning may only skip files that provably contain no matching row
+  * (SURVEY.md §5 test-oracle plan). Plus a determinism check that
+  * pruning actually skips files when the data is clustered.
+  * (No scalatest↔scalacheck bridge in the offline cache, so predicates
+  * are drawn with a fixed seed and asserted in a plain loop.) */
+class PruningSpec extends LakeSuite {
+  import LakePredicate._
+
+  private lazy val (table, metrics) = {
+    val m = new SimpleMetrics
+    val cat = LakeCatalog.open(freshWarehouse(), m)
+    val t = cat.createTable("prune", "orders", ordersDF.schema,
+      spec = Seq(PartitionField("o_orderdate", "year")))
+    // 24 range-clustered files over ~7 years: several files per year, so
+    // most sit inside one year (partition value derivable) and date
+    // predicates can skip files
+    t.appendData(ordersDF, numFiles = 24)
+    (t.refresh(), m)
+  }
+
+  private val genPred: Gen[LakePredicate] = {
+    val price = Gen.choose(0.0, 600000.0)
+    val key = Gen.choose(0L, 15000L)
+    val status = Gen.oneOf("F", "O", "P")
+    val date = Gen.choose(0L, 2400L).map(d =>
+      java.sql.Timestamp.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(d).atStartOfDay()))
+    val leaf: Gen[LakePredicate] = Gen.oneOf(
+      price.map(v => Gt("o_totalprice", Double.box(v))),
+      price.map(v => Le("o_totalprice", Double.box(v))),
+      key.map(v => Lt("o_orderkey", Long.box(v))),
+      key.map(v => Ge("o_orderkey", Long.box(v))),
+      status.map(v => Eq("o_orderstatus", v)),
+      date.map(v => Ge("o_orderdate", v)),
+      date.map(v => Lt("o_orderdate", v)),
+      Gen.listOfN(3, status).map(vs => In("o_orderstatus", vs)),
+      Gen.const(NotNull("o_custkey")),
+      Gen.const(IsNull("o_custkey")))
+    def node(depth: Int): Gen[LakePredicate] =
+      if (depth == 0) leaf
+      else Gen.frequency(
+        3 -> leaf,
+        1 -> Gen.zip(node(depth - 1), node(depth - 1)).map { case (a, b) => And(a, b) },
+        1 -> Gen.zip(node(depth - 1), node(depth - 1)).map { case (a, b) => Or(a, b) },
+        1 -> node(depth - 1).map(Not(_)))
+    node(2)
+  }
+
+  test("∀ predicate: pruned scan returns exactly full-scan + filter") {
+    val full = table.newScan().toDF(spark).cache()
+    val preds = Gen.listOfN(40, genPred)
+      .apply(Gen.Parameters.default, Seed(42L))
+      .getOrElse(fail("generator exhausted"))
+    preds.foreach { pred =>
+      val pruned = table.newScan(pred).toDF(spark).count()
+      val expected = full.filter(pred.toColumn).count()
+      assert(pruned === expected, s"for predicate ${pred.render}")
+    }
+  }
+
+  test("a narrow range predicate on the clustered column skips files") {
+    val total = table.metadata.currentFiles.size
+    assume(total > 1, "needs multiple data files to show pruning")
+    val pred = And(
+      Ge("o_orderdate", java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+      Lt("o_orderdate", java.sql.Timestamp.valueOf("1996-02-01 00:00:00")))
+    val survivors = table.newScan(pred).planFiles.size
+    assert(survivors < total,
+      s"expected pruning: $survivors of $total files survive")
+  }
+
+  test("partition values derived for clustered files use the year transform") {
+    val withPv = table.metadata.currentFiles.filter(_.partitionValues.nonEmpty)
+    assert(withPv.nonEmpty, "at least some files should sit inside one year")
+    withPv.foreach { f =>
+      assert(f.partitionValues.keySet === Set("year(o_orderdate)"))
+      assert(f.partitionValues.values.head.matches("\\d{4}"))
+    }
+  }
+}
