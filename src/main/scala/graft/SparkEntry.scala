@@ -11,7 +11,9 @@ object SparkEntry {
       graft.queries.AggWindowQueries.queries ++
       graft.queries.FunctionQueries.queries ++
       graft.queries.EventQueries.queries ++
-      graft.queries.LakeQueries.queries
+      graft.queries.LakeQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.SimilarityQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -19,5 +21,7 @@ object SparkEntry {
       graft.queries.AggWindowQueries.oracles ++
       graft.queries.FunctionQueries.oracles ++
       graft.queries.EventQueries.oracles ++
-      graft.queries.LakeQueries.oracles
+      graft.queries.LakeQueries.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.SimilarityQueries.oracles
 }

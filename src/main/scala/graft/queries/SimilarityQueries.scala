@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (64-dim float vectors).
+  *
+  * Two paths, per the north-star contract:
+  *  - [[qCosineTopkBrute]]: exact brute-force cosine top-k — the
+  *    baseline/verifier. Query set is broadcast against the corpus, so
+  *    at 100 TB this is one scan, no shuffle of the big side.
+  *  - [[qAnnLsh]]: random-hyperplane LSH (16 planes → 16-bit signature
+  *    buckets): candidates only where signatures collide on a band,
+  *    then exact cosine re-rank — the sublinear scale path.
+  *
+  * Float-sum ordering differs across engines (FIXTURES.md), so these are
+  * rows-only queries (no DuckDB oracle); [[qEmbeddingStats]] keeps to
+  * exact-representable outputs and is oracled.
+  */
+object SimilarityQueries {
+  import Tables._
+
+  /** dot(a,b) with double accumulation in index order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private val nQueries = 5
+
+  /** Exact cosine top-10 for the first 5 vec_ids against the corpus. */
+  def qCosineTopkBrute(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_vec")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rn").cast("long").as("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Deterministic random hyperplanes (seed 42), 16 × 64. */
+  private lazy val planes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  private def signature(v: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN via signature-bucket join + exact cosine re-rank (top-5). */
+  def qAnnLsh(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
+    // 4 bands × 4 bits: for weakly-similar neighbors (cosine ~0.2 on
+    // random vectors) a 4-bit band collides with ~0.56^4 ≈ 10% per band —
+    // 8-bit bands would collide almost never. Band width is THE
+    // recall/cost knob; at scale it is tuned to the target similarity.
+    val banded = emb.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 4).bitwiseAND(0xF)): _*))
+        .as(Seq("band", "bucket")))
+    val queries = banded.filter(col("vec_id") < nQueries)
+      .select(col("band"), col("bucket"),
+        col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    banded.join(broadcast(queries), Seq("band", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_vec")), 6).as("sim"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rn").cast("long").as("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Oracled embedding stats: exact-representable outputs only (counts,
+    * single-element casts — no cross-engine float summation). */
+  def qEmbeddingStats(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("vec_id")).as("n_ids"),
+        min(element_at(col("embedding"), 1).cast("double")).as("min_e1"),
+        max(element_at(col("embedding"), 1).cast("double")).as("max_e1"),
+        min(size(col("embedding"))).cast("long").as("min_dim"),
+        max(size(col("embedding"))).cast("long").as("max_dim"))
+      .orderBy(col("label"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cosine_topk_brute" -> qCosineTopkBrute,
+    "ann_lsh" -> qAnnLsh,
+    "embedding_stats" -> qEmbeddingStats,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "embedding_stats" ->
+      """SELECT label, count(*) AS n_vecs,
+        |  count(DISTINCT vec_id) AS n_ids,
+        |  min(CAST(embedding[1] AS DOUBLE)) AS min_e1,
+        |  max(CAST(embedding[1] AS DOUBLE)) AS max_e1,
+        |  CAST(min(len(embedding)) AS BIGINT) AS min_dim,
+        |  CAST(max(len(embedding)) AS BIGINT) AS max_dim
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+  )
+}

@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline text operators over `documents` (BASELINE.json
+  * north_star; SURVEY.md §2.C): exact + near dedup, text analysis,
+  * fingerprinting, multimodal-column plumbing.
+  *
+  * Scale notes (the 100 TB shapes):
+  *  - exact dedup = hash groupBy, one shuffle on the dedup key;
+  *  - n-gram Jaccard generates candidates by shingle join — exact but
+  *    quadratic in bucket size, so it is the *verifier*; MinHash-LSH
+  *    ([[qMinhashDedup]]) is the candidate *generator* at scale: k=16
+  *    hashes, 4 bands × 4 rows, pairs only within equal band buckets;
+  *  - SimHash gives hamming-ball near-dup for short docs with one
+  *    shuffle on 16-bit bands.
+  * Engine-specific hash functions (xxhash64/murmur3) make MinHash and
+  * SimHash non-oracle-able in DuckDB — those queries get the driver's
+  * rows-only check; everything else is oracled.
+  */
+object TextQueries {
+  import Tables._
+
+  /** Exact dedup via group-by on the full text: keeper = min doc_id. */
+  def qDedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(col("keeper"), col("n_copies"))
+      .orderBy(col("keeper"))
+
+  private def wordsCol: Column = split(col("text"), " ")
+
+  /** Distinct 3-gram word shingles per doc (the dedup unit). */
+  private def shingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), wordsCol.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(0), size(col("ws")) - 3),
+        i => concat_ws(" ", element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))).as("sh"))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5): shingle-join
+    * candidate generation + exact intersection/union arithmetic. */
+  def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(documents(s, d))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("doc_id").as("da"), col("s"))
+    val b = sh.select(col("doc_id").as("db"), col("s"))
+    val inter = a.join(b, a("s") === b("s") && col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
+      .filter(col("n") / (col("sa") + col("sb") - col("n")) >= 0.5)
+      .select(col("da"), col("db"),
+        round(col("n") / (col("sa") + col("sb") - col("n")), 4).as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** MinHash + LSH banding (k=16 hashes, 4 bands of 4): near-dup
+    * candidates with estimated similarity ≥ 0.5. xxhash64-based, so
+    * rows-only driver check (no DuckDB oracle). */
+  def qMinhashDedup(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val exploded = shingles(documents(s, d))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val sigs = exploded.groupBy(col("doc_id"))
+      .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("s")))): _*).as("sig"))
+    val bands = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        hash(slice(col("sig"), b * 4 + 1, 4))): _*)).as(Seq("band", "bucket")))
+    val l = bands.select(col("band"), col("bucket"),
+      col("doc_id").as("da"), col("sig").as("siga"))
+    val r = bands.select(col("band"), col("bucket"),
+      col("doc_id").as("db"), col("sig").as("sigb"))
+    l.join(r, Seq("band", "bucket")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
+          b => b)) / lit(k.toDouble)).as("est_sim"))
+      .distinct()
+      .filter(col("est_sim") >= 0.5)
+      .select(col("da"), col("db"), round(col("est_sim"), 4).as("est_sim"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** SimHash (32-bit) near-dup: hamming distance ≤ 4 via 2×16-bit band
+    * candidate generation + exact bit_count check. Rows-only. */
+  def qSimhashDedup(s: SparkSession, d: String): DataFrame = {
+    val bits = 32
+    val wordHash = documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      // functions.shiftright only takes a literal shift, so the per-bit
+      // expansion uses the SQL form (column shift amounts are fine there)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, ${bits - 1}), b -> IF((shiftright(h, b) & 1) = 1, 1, -1))"))
+        .as(Seq("bit", "sign")))
+    val sim = wordHash.groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("sign")).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr(
+        "IF(v > 0, shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)), CAST(0 AS BIGINT))"))
+        .as("simhash"))
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      posexplode(array(
+        col("simhash").bitwiseAND(0xFFFFL),
+        shiftright(col("simhash"), 16).bitwiseAND(0xFFFFL))).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("doc_id").as("da"), col("simhash").as("ha"))
+    val r = banded.select(col("band"), col("bucket"), col("doc_id").as("db"), col("simhash").as("hb"))
+    l.join(r, Seq("band", "bucket")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 4)
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** Per-language corpus stats (docs, chars, whitespace tokens). */
+  def qTextStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        round(avg(size(wordsCol)), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  /** Token counting: whitespace split + a BPE-ish regex tokenizer. */
+  def qTokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("re_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val langMarkers = Seq("en" -> "table", "de" -> "scan", "fr" -> "join")
+
+  private def occurrences(marker: String): Column =
+    ((length(col("text")) - length(regexp_replace(col("text"), marker, "")))
+      / marker.length).cast("long")
+
+  /** Language-ID heuristic: marker-word occurrence argmax (deterministic
+    * when-chain tie-break). The markers are corpus-specific by design —
+    * the operator shape (score → argmax) is what scales. */
+  def qLangId(s: SparkSession, d: String): DataFrame = {
+    val Seq(en, de, fr) = langMarkers.map { case (_, m) => occurrences(m) }
+    documents(s, d).select(
+      col("doc_id"), col("lang"),
+      en.as("s_en"), de.as("s_de"), fr.as("s_fr"),
+      when(en >= de && en >= fr, "en")
+        .when(de >= fr, "de").otherwise("fr").as("predicted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length/punctuation/stopword/word-length signals
+    * combined into one deterministic score. */
+  def qQualityScore(s: SparkSession, d: String): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val punct = length(regexp_replace(col("text"), "[^.!?,;]", "")).cast("double")
+    val spaces = length(regexp_replace(col("text"), "[^ ]", "")).cast("double")
+    val stop = occurrences("a").cast("double")
+    documents(s, d).select(
+      col("doc_id"),
+      round(punct / len, 6).as("punct_ratio"),
+      round(spaces / len, 6).as("space_ratio"),
+      round(stop / (spaces + 1), 6).as("stopword_ratio"),
+      round((len - spaces) / (spaces + 1), 6).as("avg_word_len"),
+      round(least(lit(1.0), len / 500) * (lit(1.0) - punct / len), 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprinting: full SHA-256 + a 16-hex prefix bucket. */
+  def qDocFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      sha2(col("text"), 256).as("fp"),
+      substring(sha2(col("text"), 256), 1, 8).as("fp_bucket"))
+      .orderBy(col("doc_id"))
+
+  /** Multimodal column plumbing: text treated as an opaque binary blob
+    * with typed metadata — length, header bytes, content hash, and a
+    * deterministic fake "decode" (real decode would be a codec UDF over
+    * the same binary column; the container has no image/audio libs). */
+  def qMultimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val blob = col("text").cast("binary")
+    documents(s, d).select(
+      col("doc_id"),
+      length(blob).cast("long").as("blob_len"),
+      hex(substring(blob, 1, 8)).as("header_hex"),
+      sha2(col("text"), 256).as("content_sha"),
+      (col("n_chars") % 64 * 16 + 32).cast("long").as("fake_width"),
+      (col("n_chars") % 48 * 16 + 32).cast("long").as("fake_height"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> qDedupExact,
+    "dedup_ngram_jaccard" -> qNgramJaccard,
+    "dedup_minhash" -> qMinhashDedup,
+    "dedup_simhash" -> qSimhashDedup,
+    "text_stats" -> qTextStats,
+    "token_count" -> qTokenCount,
+    "lang_id" -> qLangId,
+    "quality_score" -> qQualityScore,
+    "doc_fingerprint" -> qDocFingerprint,
+    "multimodal_meta" -> qMultimodalMeta,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keeper""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+        |  FROM w, (SELECT unnest(range(len(ws) - 2)) AS i) t
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT da, db, round(n / (sa.sz + sb.sz - n), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON da = sa.doc_id
+        |JOIN sizes sb ON db = sb.doc_id
+        |WHERE n / (sa.sz + sb.sz - n) >= 0.5
+        |ORDER BY da, db""".stripMargin,
+    "text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars,
+        |  round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id, lang,
+        |  CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS BIGINT) AS s_en,
+        |  CAST((length(text) - length(replace(text, 'scan', ''))) / 4 AS BIGINT) AS s_de,
+        |  CAST((length(text) - length(replace(text, 'join', ''))) / 4 AS BIGINT) AS s_fr,
+        |  CASE WHEN (length(text) - length(replace(text, 'table', ''))) / 5 >= (length(text) - length(replace(text, 'scan', ''))) / 4
+        |        AND (length(text) - length(replace(text, 'table', ''))) / 5 >= (length(text) - length(replace(text, 'join', ''))) / 4
+        |       THEN 'en'
+        |       WHEN (length(text) - length(replace(text, 'scan', ''))) / 4 >= (length(text) - length(replace(text, 'join', ''))) / 4
+        |       THEN 'de' ELSE 'fr' END AS predicted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      """SELECT doc_id,
+        |  round(length(regexp_replace(text, '[^.!?,;]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
+        |  round(length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0 / length(text), 6) AS space_ratio,
+        |  round(((length(text) - length(replace(text, 'a', ''))) * 1.0)
+        |        / (length(regexp_replace(text, '[^ ]', '', 'g')) + 1), 6) AS stopword_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[^ ]', '', 'g')) * 1.0)
+        |        / (length(regexp_replace(text, '[^ ]', '', 'g')) + 1), 6) AS avg_word_len,
+        |  round(least(1.0, length(text) / 500.0)
+        |        * (1.0 - length(regexp_replace(text, '[^.!?,;]', '', 'g')) * 1.0 / length(text)), 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, sha256(text) AS fp, substring(sha256(text), 1, 8) AS fp_bucket
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS blob_len,
+        |  hex(encode(substring(text, 1, 8))) AS header_hex,
+        |  sha256(text) AS content_sha,
+        |  n_chars % 64 * 16 + 32 AS fake_width,
+        |  n_chars % 48 * 16 + 32 AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
