@@ -32,20 +32,26 @@ object TextQueries {
 
   private def wordsCol: Column = split(col("text"), " ")
 
-  /** Distinct 3-gram word shingles per doc (the dedup unit). */
-  private def shingles(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), wordsCol.as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(0), size(col("ws")) - 3),
-        i => concat_ws(" ", element_at(col("ws"), i + 1),
-          element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))).as("sh"))
+  /** Distinct 3-gram word shingles per doc, one row per (doc_id, s).
+    * Built with posexplode + window lead instead of
+    * transform/element_at/array_distinct: Catalyst's higher-order
+    * functions are interpreted (no codegen) and array_distinct is
+    * quadratic — the HOF version was ~10× slower at bench scale. */
+  private def shingleRows(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    df.select(col("doc_id"), posexplode(wordsCol).as(Seq("i", "w")))
+      .select(col("doc_id"), col("w"),
+        lead(col("w"), 1).over(w).as("w1"), lead(col("w"), 2).over(w).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
+      .distinct()
+  }
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5): shingle-join
     * candidate generation + exact intersection/union arithmetic. */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(documents(s, d))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val sh = shingleRows(documents(s, d)).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val a = sh.select(col("doc_id").as("da"), col("s"))
     val b = sh.select(col("doc_id").as("db"), col("s"))
@@ -65,8 +71,7 @@ object TextQueries {
     * rows-only driver check (no DuckDB oracle). */
   def qMinhashDedup(s: SparkSession, d: String): DataFrame = {
     val k = 16
-    val exploded = shingles(documents(s, d))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val exploded = shingleRows(documents(s, d))
     val sigs = exploded.groupBy(col("doc_id"))
       .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("s")))): _*).as("sig"))
     val bands = sigs.select(col("doc_id"), col("sig"),
@@ -86,10 +91,12 @@ object TextQueries {
       .orderBy(col("da"), col("db"))
   }
 
-  /** SimHash (32-bit) near-dup: hamming distance ≤ 4 via 2×16-bit band
-    * candidate generation + exact bit_count check. Rows-only. */
+  /** SimHash (64-bit) near-dup: hamming distance ≤ 3 via 4×16-bit band
+    * candidate generation + exact bit_count check. Rows-only.
+    * (32 bits at hamming ≤ 4 produced ~600k pairs on the shared-vocab
+    * corpus — the wider hash restores discrimination.) */
   def qSimhashDedup(s: SparkSession, d: String): DataFrame = {
-    val bits = 32
+    val bits = 64
     val wordHash = documents(s, d)
       .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
@@ -105,16 +112,16 @@ object TextQueries {
         "IF(v > 0, shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)), CAST(0 AS BIGINT))"))
         .as("simhash"))
     val banded = sim.select(col("doc_id"), col("simhash"),
-      posexplode(array(
-        col("simhash").bitwiseAND(0xFFFFL),
-        shiftright(col("simhash"), 16).bitwiseAND(0xFFFFL))).as(Seq("band", "bucket")))
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("da"), col("simhash").as("ha"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("db"), col("simhash").as("hb"))
     l.join(r, Seq("band", "bucket")).filter(col("da") < col("db"))
       .select(col("da"), col("db"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 4)
+      .filter(col("hamming") <= 3)
       .orderBy(col("da"), col("db"))
   }
 
