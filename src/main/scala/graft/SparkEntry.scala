@@ -13,7 +13,8 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.queries.LakeQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.SimilarityQueries.queries
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.JoinExtraQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +24,6 @@ object SparkEntry {
       graft.queries.EventQueries.oracles ++
       graft.queries.LakeQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.SimilarityQueries.oracles
+      graft.queries.SimilarityQueries.oracles ++
+      graft.queries.JoinExtraQueries.oracles
 }

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Remaining join shapes + the UDF/UDAF surface (SURVEY.md §2.C).
+  *
+  * The range join keeps an equi component (customer key) so Catalyst
+  * plans a sort-merge join with the range as a post-condition — the
+  * shape that survives 100 TB. The pure theta join is deliberately on
+  * two tiny dims: broadcast-nested-loop is only ever acceptable when one
+  * side is broadcastable.
+  */
+object JoinExtraQueries {
+  import Tables._
+
+  /** Range join: per order, how many other orders the same customer
+    * placed in the preceding 30 days. */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val o1 = orders(s, d)
+    val o2 = orders(s, d).select(col("o_orderkey").as("k2"),
+      col("o_custkey").as("c2"), col("o_orderdate").as("d2"))
+    o1.join(o2,
+      col("c2") === col("o_custkey") &&
+        col("d2") >= col("o_orderdate") - expr("INTERVAL 30 DAYS") &&
+        col("d2") < col("o_orderdate"), "left_outer")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("k2")).as("n_prior"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Pure theta join (no equi key) on two broadcastable dims. */
+  def qThetaJoin(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .join(broadcast(region(s, d)), col("r_regionkey") < col("n_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_smaller_regions"))
+      .orderBy(col("n_name"))
+
+  /** Scalar Scala UDF (the API surface demo — built-ins are preferred
+    * in every hot path, see SURVEY.md §7.3). */
+  def qUdfScalar(s: SparkSession, d: String): DataFrame = {
+    val vowels = udf((str: String) => str.count(c => "aeiou".contains(c)))
+    part(s, d).select(
+      col("p_partkey"),
+      vowels(col("p_name")).cast("long").as("n_vowels"),
+      (length(col("p_name")) - vowels(col("p_name"))).cast("long").as("n_other"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Typed Aggregator UDAF: geometric mean via (Σ ln, n) buffer. */
+  object GeoMean extends Aggregator[Double, (Double, Long), Double] {
+    def zero: (Double, Long) = (0.0, 0L)
+    def reduce(b: (Double, Long), x: Double): (Double, Long) =
+      (b._1 + math.log(x), b._2 + 1)
+    def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    def finish(b: (Double, Long)): Double =
+      if (b._2 == 0) 0.0 else math.exp(b._1 / b._2)
+    def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong)
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  def qUdafGeomean(s: SparkSession, d: String): DataFrame = {
+    val geomean = udaf(GeoMean)
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(geomean(col("o_totalprice")), 4).as("geomean_total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> qRangeJoin,
+    "q_theta_join" -> qThetaJoin,
+    "q_udf_scalar" -> qUdfScalar,
+    "q_udaf_geomean" -> qUdafGeomean,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_range_join" ->
+      """SELECT o1.o_orderkey, count(o2.o_orderkey) AS n_prior
+        |FROM orders o1
+        |LEFT JOIN orders o2
+        |  ON o2.o_custkey = o1.o_custkey
+        | AND o2.o_orderdate >= o1.o_orderdate - INTERVAL 30 DAY
+        | AND o2.o_orderdate < o1.o_orderdate
+        |GROUP BY o1.o_orderkey
+        |ORDER BY o1.o_orderkey""".stripMargin,
+    "q_theta_join" ->
+      """SELECT n_name, count(*) AS n_smaller_regions
+        |FROM nation JOIN region ON r_regionkey < n_regionkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_udf_scalar" ->
+      """SELECT p_partkey,
+        |  length(regexp_replace(p_name, '[^aeiou]', '', 'g')) AS n_vowels,
+        |  length(p_name) - length(regexp_replace(p_name, '[^aeiou]', '', 'g')) AS n_other
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_udaf_geomean" ->
+      """SELECT o_orderstatus,
+        |  round(exp(avg(ln(o_totalprice))), 4) AS geomean_total,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+  )
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface: the streaming twins of the batch
+  * event-time operators in queries.EventQueries — `readStream` sources,
+  * watermarked windowed aggregation, and arbitrary stateful processing
+  * via mapGroupsWithState (SURVEY.md §2.C streaming analog; driver
+  * events table is batch, so these are exercised by StreamingSpec with
+  * a file source + memory sink).
+  */
+object EventStream {
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Watermarked tumbling-window counts — same semantics as the batch
+    * q_ev_tumbling on a bounded input. */
+  def windowedCounts(spark: SparkSession, schema: StructType, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Arbitrary stateful op: running per-user event count + value sum via
+    * mapGroupsWithState (the KeyValueGroupedDataset custom-state path). */
+  def runningUserTotals(spark: SparkSession, schema: StructType, dir: String): Dataset[UserRunning] = {
+    import spark.implicits._
+    spark.readStream.schema(schema).parquet(dir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          val (n, sv) = rows.foldLeft((prev.n_events, prev.sum_value)) {
+            case ((c, s), r) => (c + 1, s + r.value)
+          }
+          val next = UserRunning(user, n, sv)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drive a streaming DF synchronously into a memory sink and return
+    * the collected table (dev/test harness for bounded inputs). */
+  def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+}
