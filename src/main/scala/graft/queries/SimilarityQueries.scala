@@ -20,14 +20,26 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   import Tables._
 
-  /** dot(a,b) with double accumulation in index order. */
-  private def dot(a: Column, b: Column): Column =
+  /** dot(a,b) with double accumulation in index order — HOF reference
+    * formulation, kept for the native-vs-HOF equivalence test. */
+  private[queries] def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  private[queries] def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
-  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Production path: native codegen expressions (one-pass loop inside
+    * whole-stage codegen; HOFs are interpreted per element). */
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot_f(a, b)
+
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_f(a, b)
+
+  // test access to the HOF reference formulation
+  def dotHofPublic(a: Column, b: Column): Column = dotHof(a, b)
+  def cosineHofPublic(a: Column, b: Column): Column = cosineHof(a, b)
 
   private val nQueries = 5
 
