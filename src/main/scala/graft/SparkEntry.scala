@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.LakeQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.JoinExtraQueries.queries
+      graft.queries.JoinExtraQueries.queries ++
+      graft.queries.SqlSourceQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,5 +26,6 @@ object SparkEntry {
       graft.queries.LakeQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
-      graft.queries.JoinExtraQueries.oracles
+      graft.queries.JoinExtraQueries.oracles ++
+      graft.queries.SqlSourceQueries.oracles
 }

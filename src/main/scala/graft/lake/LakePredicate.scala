@@ -119,6 +119,17 @@ object LakePredicate {
     def render = s"NOT (${child.render})"
     def mayMatch(f: DataFileEntry, s: StructType): Boolean = true
   }
+
+  /** Equality on a partition-transform value (e.g. month(ts) = 1996-03):
+    * prunes on the manifest's derived partitionValues, with the exact
+    * transform re-applied as the row filter. Files spanning partitions
+    * carry no value and are conservatively kept. */
+  final case class PartitionEq(field: PartitionField, value: String) extends LakePredicate {
+    def toColumn: Column = field.toColumn === lit(value)
+    def render = s"${field.render} = $value"
+    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
+      f.partitionValues.get(field.render).forall(_ == value)
+  }
 }
 
 /** Canonical stat-string encoding + comparison, shared by the stats

@@ -39,25 +39,6 @@ final class LakeTable private[lake] (
   }
   private[lake] def version0: Int = version
 
-  /** Spark Column computing a partition field's transform value — used
-    * to cluster writes so files align with partition boundaries. */
-  private def transformColumn(p: PartitionField, df: DataFrame): Column = {
-    import org.apache.spark.sql.{functions => F}
-    val c = df.col(p.source)
-    p.transform match {
-      case "identity" => c
-      case "year" => F.year(c)
-      case "month" => F.date_format(c, "yyyy-MM")
-      case "day" => F.to_date(c)
-      case "hour" => F.date_format(c, "yyyy-MM-dd'T'HH")
-      case t if t.startsWith("truncate[") =>
-        F.substring(c, 1, t.stripPrefix("truncate[").stripSuffix("]").toInt)
-      case t if t.startsWith("bucket[") =>
-        F.pmod(F.hash(c), F.lit(t.stripPrefix("bucket[").stripSuffix("]").toInt))
-      case _ => c
-    }
-  }
-
   /** Write df as parquet data files under this table, harvesting footer
     * stats into manifest entries (A7: the MetricsConfig analog). When a
     * partition spec exists the data is range-clustered on the transform
@@ -72,7 +53,7 @@ final class LakeTable private[lake] (
       s"schema mismatch: ${df.schema.simpleString} vs ${schema.simpleString}")
     val spark = df.sparkSession
     val dir = s"$location/data/${UUID.randomUUID}"
-    val exprs = spec.map(transformColumn(_, df)) ++ spec.map(p => df.col(p.source))
+    val exprs = spec.map(_.toColumn) ++ spec.map(p => df.col(p.source))
     val clustered = (spec.nonEmpty, numFiles > 0) match {
       case (false, false) => df
       case (false, true) => df.repartition(numFiles)
@@ -109,6 +90,34 @@ final class LakeTable private[lake] (
     new LakeScan(this, Some(meta.snapshot(snapshotId).getOrElse(
       throw new NoSuchElementException(s"no snapshot $snapshotId in $name"))),
       LakePredicate.AlwaysTrue)
+
+  /** Schema evolution: add a nullable column. Metadata-only commit (no
+    * snapshot); existing files read back null for it (name-based
+    * projection — the manifest keeps schemas versioned, so field-ID
+    * mapping can be layered on later without rewrites). */
+  def addColumn(colName: String, dt: org.apache.spark.sql.types.DataType): LakeTable = {
+    require(!schema.fieldNames.contains(colName), s"column $colName already exists")
+    schemaChange(s => org.apache.spark.sql.types.StructType(
+      s.fields :+ org.apache.spark.sql.types.StructField(colName, dt, nullable = true)))
+  }
+
+  /** Schema evolution: drop a column (files keep the bytes; projection
+    * ignores them). Partition sources cannot be dropped. */
+  def dropColumn(colName: String): LakeTable = {
+    require(schema.fieldNames.contains(colName), s"no such column $colName")
+    require(!spec.exists(_.source == colName), s"$colName is a partition source")
+    schemaChange(s => org.apache.spark.sql.types.StructType(
+      s.fields.filterNot(_.name == colName)))
+  }
+
+  private def schemaChange(f: StructType => StructType): LakeTable = {
+    val (next, v, _) = catalog.commit(namespace, shortName) { latest =>
+      latest.copy(schema = f(latest.schema))
+    }
+    meta = next
+    version = v
+    this
+  }
 
   /** Small-file compaction: rewrite all live files into `targetFiles`
     * (reference motivation: 1-row files from IntegrationTest.java:97;

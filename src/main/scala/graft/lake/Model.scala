@@ -18,6 +18,27 @@ import scala.jdk.CollectionConverters._
   */
 final case class PartitionField(source: String, transform: String) {
   def render: String = if (transform == "identity") source else s"$transform($source)"
+
+  /** Spark Column computing this field's transform value for a row —
+    * string-typed to match the canonical partition-value encoding of
+    * [[StatsHarvester.applyTransform]]. */
+  def toColumn: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.{functions => F}
+    val c = F.col(source)
+    val t = transform match {
+      case "identity" => c
+      case "year" => F.year(c)
+      case "month" => F.date_format(c, "yyyy-MM")
+      case "day" => F.to_date(c)
+      case "hour" => F.date_format(c, "yyyy-MM-dd'T'HH")
+      case tr if tr.startsWith("truncate[") =>
+        F.substring(c, 1, tr.stripPrefix("truncate[").stripSuffix("]").toInt)
+      case tr if tr.startsWith("bucket[") =>
+        F.pmod(F.hash(c), F.lit(tr.stripPrefix("bucket[").stripSuffix("]").toInt))
+      case _ => c
+    }
+    t.cast("string")
+  }
 }
 
 /** Per-file manifest entry with footer-harvested column stats.

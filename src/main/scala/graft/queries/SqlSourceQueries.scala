@@ -1,0 +1,128 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The SQL-text surface (spark.sql through the full Catalyst parser /
+  * analyzer over registered views) and non-parquet source round-trips
+  * (CSV/JSON sinks + schema-enforced reads). The reference exposes no
+  * SQL parser of its own — exactly like it, we delegate the whole SQL
+  * stack to the engine underneath (SURVEY.md §0).
+  */
+object SqlSourceQueries {
+  import Tables._
+
+  private def view(s: SparkSession, d: String, name: String): String = {
+    val vname = s"graft_${name}_v"
+    table(s, d, name).createOrReplaceTempView(vname)
+    vname
+  }
+
+  /** TPC-H Q6 analog through spark.sql. */
+  def qSqlRevenueFilter(s: SparkSession, d: String): DataFrame = {
+    val li = view(s, d, "lineitem")
+    s.sql(
+      s"""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+         |       count(*) AS n
+         |FROM $li
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |  AND l_discount BETWEEN 0.02 AND 0.04
+         |  AND l_quantity < 24""".stripMargin)
+  }
+
+  /** GROUP BY + HAVING + join through spark.sql. */
+  def qSqlHaving(s: SparkSession, d: String): DataFrame = {
+    val (o, c) = (view(s, d, "orders"), view(s, d, "customer"))
+    s.sql(
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |       round(sum(o_totalprice), 2) AS total
+         |FROM $o JOIN $c ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |HAVING count(*) > 100
+         |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  /** Correlated EXISTS subquery through spark.sql. */
+  def qSqlExistsSubquery(s: SparkSession, d: String): DataFrame = {
+    val (su, li) = (view(s, d, "supplier"), view(s, d, "lineitem"))
+    s.sql(
+      s"""SELECT s_nationkey, count(*) AS n_supp
+         |FROM $su s
+         |WHERE EXISTS (SELECT 1 FROM $li l
+         |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+         |GROUP BY s_nationkey
+         |ORDER BY s_nationkey""".stripMargin)
+  }
+
+  /** CSV sink + schema-enforced CSV source round-trip. */
+  def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+    val dir = Files.createTempDirectory("graft_csv_").toString + "/orders"
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    s.read.schema(src.schema).option("header", "true").csv(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** JSON-lines sink + schema-enforced JSON source round-trip. */
+  def qJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = customer(s, d)
+    val dir = Files.createTempDirectory("graft_json_").toString + "/customer"
+    src.write.mode("overwrite").json(dir)
+    s.read.schema(src.schema).json(dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_revenue_filter" -> qSqlRevenueFilter,
+    "q_sql_having" -> qSqlHaving,
+    "q_sql_exists_subquery" -> qSqlExistsSubquery,
+    "q_csv_roundtrip" -> qCsvRoundtrip,
+    "q_json_roundtrip" -> qJsonRoundtrip,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_sql_revenue_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
+    "q_sql_having" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |HAVING count(*) > 100
+        |ORDER BY c_mktsegment""".stripMargin,
+    "q_sql_exists_subquery" ->
+      """SELECT s_nationkey, count(*) AS n_supp
+        |FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
+    "q_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_json_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+  )
+}

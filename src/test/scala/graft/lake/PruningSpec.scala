@@ -75,6 +75,18 @@ class PruningSpec extends LakeSuite {
       s"expected pruning: $survivors of $total files survive")
   }
 
+  test("PartitionEq prunes on derived partition values and matches row filter") {
+    val pf = PartitionField("o_orderdate", "year")
+    val pred = PartitionEq(pf, "1996")
+    val total = table.metadata.currentFiles.size
+    val survivors = table.newScan(pred).planFiles.size
+    assert(survivors < total, s"$survivors of $total files survive")
+    val got = table.newScan(pred).toDF(spark).count()
+    val expected = table.newScan().toDF(spark)
+      .filter(year(col("o_orderdate")) === 1996).count()
+    assert(got === expected)
+  }
+
   test("partition values derived for clustered files use the year transform") {
     val withPv = table.metadata.currentFiles.filter(_.partitionValues.nonEmpty)
     assert(withPv.nonEmpty, "at least some files should sit inside one year")
