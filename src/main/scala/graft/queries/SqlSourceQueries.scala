@@ -56,6 +56,33 @@ object SqlSourceQueries {
          |ORDER BY s_nationkey""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (beyond rollup/cube) through spark.sql. */
+  def qSqlGroupingSets(s: SparkSession, d: String): DataFrame = {
+    val li = view(s, d, "lineitem")
+    s.sql(
+      s"""SELECT coalesce(l_returnflag, '(all)') AS rflag,
+         |       coalesce(l_linestatus, '(all)') AS lstatus,
+         |       sum(l_quantity) AS sum_qty, count(*) AS n
+         |FROM $li
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY rflag, lstatus""".stripMargin)
+  }
+
+  /** Null-safe equality (<=> / IS NOT DISTINCT FROM) over an outer join
+    * product, where plain '=' and null-safe '=' genuinely differ. */
+  def qNullSafeEq(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_orderdate") < ts9596),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("eq_f"),
+        sum(when(col("o_orderstatus") <=> lit(null), 1L).otherwise(0L)).as("nullsafe_null"),
+        sum(when(col("o_orderstatus") <=> "F", 1L).otherwise(0L)).as("nullsafe_f"))
+      .orderBy(col("c_mktsegment"))
+
+  private val ts9596 = lit("1995-07-01 00:00:00").cast("timestamp")
+
   /** CSV sink + schema-enforced CSV source round-trip. */
   def qCsvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val src = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
@@ -87,6 +114,8 @@ object SqlSourceQueries {
     "q_sql_revenue_filter" -> qSqlRevenueFilter,
     "q_sql_having" -> qSqlHaving,
     "q_sql_exists_subquery" -> qSqlExistsSubquery,
+    "q_sql_grouping_sets" -> qSqlGroupingSets,
+    "q_null_safe_eq" -> qNullSafeEq,
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_json_roundtrip" -> qJsonRoundtrip,
   )
@@ -114,6 +143,23 @@ object SqlSourceQueries {
         |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
         |GROUP BY s_nationkey
         |ORDER BY s_nationkey""".stripMargin,
+    "q_sql_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rflag,
+        |       coalesce(l_linestatus, '(all)') AS lstatus,
+        |       sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "q_null_safe_eq" ->
+      """SELECT c_mktsegment,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS eq_f,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS nullsafe_null,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NOT DISTINCT FROM 'F' THEN 1 ELSE 0 END) AS BIGINT) AS nullsafe_f
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders
+        |           WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00') o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_csv_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total,
