@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.JoinExtraQueries.queries ++
-      graft.queries.SqlSourceQueries.queries
+      graft.queries.SqlSourceQueries.queries ++
+      graft.queries.OperatorQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.JoinExtraQueries.oracles ++
-      graft.queries.SqlSourceQueries.oracles
+      graft.queries.SqlSourceQueries.oracles ++
+      graft.queries.OperatorQueries.oracles
 }

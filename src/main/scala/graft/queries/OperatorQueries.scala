@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{MultimodalDecode, Salting}
+
+/** Corpus entries for the standalone operators in graft.operators. */
+object OperatorQueries {
+  import Tables._
+
+  /** Salted two-phase aggregation, oracle-equal to a direct groupBy. */
+  def qSaltedAgg(s: SparkSession, d: String): DataFrame =
+    Salting.saltedStats(lineitem(s, d), Seq("l_returnflag"), "l_quantity")
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_salted_agg" -> qSaltedAgg,
+    "multimodal_decode" -> ((s, d) => MultimodalDecode.decodeDocuments(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_salted_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS sum_v, count(*) AS n,
+        |  min(l_quantity) AS min_v, max(l_quantity) AS max_v
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // replicates the deterministic decode stub's arithmetic exactly —
+    // verifies the mapPartitions plumbing end-to-end
+    "multimodal_decode" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  CASE (octet_length(CAST(text AS BLOB)) + ascii(substring(text, 1, 1))) % 3
+        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+        |  32 + (octet_length(CAST(text AS BLOB)) * 7) % 640 AS width,
+        |  32 + (octet_length(CAST(text AS BLOB)) * 5) % 480 AS height,
+        |  CAST(1 + ascii(substring(text, 1, 1)) % 4 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
