@@ -159,6 +159,48 @@ final class LakeTable private[lake] (
     commitSnapshot("overwrite", added, touched)
   }
 
+  /** Maintenance: drop all but the last `keepLast` snapshots from the
+    * log (metadata-only; the current snapshot always survives). Returns
+    * the ids expired. Expired snapshots are no longer time-travelable. */
+  def expireSnapshots(keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    var expired: Seq[Long] = Nil
+    val (next, v, _) = catalog.commit(namespace, shortName) { latest =>
+      val keep = latest.snapshots.sortBy(_.id).takeRight(keepLast)
+      expired = latest.snapshots.map(_.id).diff(keep.map(_.id))
+      latest.copy(snapshots = keep)
+    }
+    meta = next
+    version = v
+    expired
+  }
+
+  /** Maintenance: delete data files under this table's location that no
+    * surviving snapshot references (orphans from expired snapshots or
+    * failed writes). Returns the paths removed. Run AFTER
+    * [[expireSnapshots]]; never touches referenced files. */
+  def removeOrphanFiles(): Seq[String] = {
+    // manifest paths carry a scheme (file:/...) from Hadoop FileStatus;
+    // the walker yields scheme-less local paths — compare URI paths or
+    // EVERYTHING looks orphaned (MaintenanceSpec caught exactly that)
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val referenced = meta.snapshots.flatMap(_.files.map(f => norm(f.path))).toSet
+    val dataDir = java.nio.file.Paths.get(location, "data")
+    if (!java.nio.file.Files.isDirectory(dataDir)) return Nil
+    val removed = scala.collection.mutable.Buffer.empty[String]
+    val stream = java.nio.file.Files.walk(dataDir)
+    try {
+      stream.iterator().asScala.foreach { p =>
+        if (java.nio.file.Files.isRegularFile(p) &&
+            p.toString.endsWith(".parquet") && !referenced(norm(p.toString))) {
+          java.nio.file.Files.delete(p)
+          removed += p.toString
+        }
+      }
+    } finally stream.close()
+    removed.toSeq
+  }
+
   private[lake] def commitSnapshot(op: String, added: Seq[DataFileEntry],
       removed: Seq[DataFileEntry]): CommitReport = {
     val t0 = System.nanoTime()

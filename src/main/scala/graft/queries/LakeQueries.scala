@@ -87,7 +87,21 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Maintenance: compact, expire history, drop orphans — the surviving
+    * table must still read back exactly. */
+  def lakeMaintenance(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_mt", src.schema)
+    (0 until 4).foreach(i => t.refresh().appendData(src.filter(col("o_orderkey") % 4 === i)))
+    t.refresh().compact(s, targetFiles = 2)
+    t.expireSnapshots(keepLast = 1)
+    t.removeOrphanFiles()
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_maintenance" -> lakeMaintenance,
     "lake_roundtrip" -> lakeRoundtrip,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_prune" -> lakePrune,
@@ -97,6 +111,7 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_maintenance" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_time_travel" ->
       "SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey",

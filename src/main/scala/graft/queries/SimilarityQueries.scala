@@ -101,6 +101,49 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** IVF (inverted-file) ANN: seeded KMeans coarse quantizer (k=16),
+    * nprobe=2 — each query searches only the 2 nearest centroid cells,
+    * then exact cosine re-ranks (top-5). The other classic sublinear
+    * path next to [[qAnnLsh]]; at scale the centroid set stays tiny and
+    * broadcast while the corpus is scanned once to assign cells. */
+  def qIvfAnn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    import s.implicits._
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = embeddings(s, d)
+      .withColumn("features", toVec(col("embedding"))).persist()
+    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // 16 centroids are model metadata (driver-side by construction)
+    val cells = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c: Vector, i: Int) => (i, c.toArray.toSeq) }
+      .toDF("cell", "centroid")
+    val qs = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val wCell = Window.partitionBy(col("q_id"))
+      .orderBy(col("cdist").desc, col("cell"))
+    val probed = qs.crossJoin(broadcast(cells))
+      .withColumn("cdist", cosine(col("q_vec"), col("centroid")))
+      .withColumn("crn", row_number().over(wCell))
+      .filter(col("crn") <= 2) // nprobe = 2
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    probed.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(col("embedding"), col("q_vec")), 6).as("sim"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("sim"), col("rn").cast("long").as("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Oracled embedding stats: exact-representable outputs only (counts,
     * single-element casts — no cross-engine float summation). */
   def qEmbeddingStats(s: SparkSession, d: String): DataFrame =
@@ -117,6 +160,7 @@ object SimilarityQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_topk_brute" -> qCosineTopkBrute,
     "ann_lsh" -> qAnnLsh,
+    "ivf_ann" -> qIvfAnn,
     "embedding_stats" -> qEmbeddingStats,
   )
 
