@@ -72,6 +72,21 @@ object EventQueries {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join with tolerance: like [[qEvAsofOrder]] but the matched
+    * order must lie within 9000 days before the event — outside the
+    * window the join result is null (the carried latest order is
+    * post-filtered, which is equivalent because the latest order is in
+    * the window iff any order is). */
+  def qEvAsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val base = qEvAsofOrder(s, d)
+    base.select(col("event_id"), col("user_id"), col("ts"),
+      when(datediff(col("ts"), col("o_orderdate")) <= 9000, col("o_orderkey"))
+        .as("o_orderkey_tol"),
+      when(datediff(col("ts"), col("o_orderdate")) <= 9000, col("o_orderdate"))
+        .as("o_orderdate_tol"))
+      .orderBy(col("event_id"))
+  }
+
   /** Watermark analog: keep only events inside the late-data horizon
     * (max ts - 1 day), horizon computed as a broadcast scalar — no
     * driver-side collect. */
@@ -89,6 +104,7 @@ object EventQueries {
     "q_ev_sliding" -> qEvSliding,
     "q_ev_sessionize" -> qEvSessionize,
     "q_ev_asof_order" -> qEvAsofOrder,
+    "q_ev_asof_tolerance" -> qEvAsofTolerance,
     "q_ev_late_data" -> qEvLateData,
   )
 
@@ -122,6 +138,20 @@ object EventQueries {
         |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_ev_asof_order" ->
       """SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_ev_asof_tolerance" ->
+      """SELECT event_id, user_id, ts,
+        |  CASE WHEN date_diff('day', o_orderdate, ts) <= 9000
+        |       THEN o_orderkey END AS o_orderkey_tol,
+        |  CASE WHEN date_diff('day', o_orderdate, ts) <= 9000
+        |       THEN o_orderdate END AS o_orderdate_tol
+        |FROM (
         |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
         |    row_number() OVER (PARTITION BY e.event_id
         |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) AS rn

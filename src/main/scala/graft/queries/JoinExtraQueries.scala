@@ -38,6 +38,29 @@ object JoinExtraQueries {
       .agg(count(lit(1)).as("n_smaller_regions"))
       .orderBy(col("n_name"))
 
+  /** Bucketed co-located join: both fact tables bucketed+sorted on the
+    * join key into the same bucket count, so the join needs NO shuffle
+    * of either side (BucketedJoinSpec asserts the plan is
+    * exchange-free). At 100 TB this is the difference between a join
+    * that moves both tables and one that moves nothing. */
+  def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
+    orders(s, d).write.format("parquet").option("path", s"$wh/orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_bkt_orders")
+    lineitem(s, d).write.format("parquet").option("path", s"$wh/lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_bkt_lineitem")
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Scalar Scala UDF (the API surface demo — built-ins are preferred
     * in every hot path, see SURVEY.md §7.3). */
   def qUdfScalar(s: SparkSession, d: String): DataFrame = {
@@ -75,6 +98,7 @@ object JoinExtraQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> qRangeJoin,
     "q_theta_join" -> qThetaJoin,
+    "q_bucketed_join" -> qBucketedJoin,
     "q_udf_scalar" -> qUdfScalar,
     "q_udaf_geomean" -> qUdafGeomean,
   )
@@ -89,6 +113,11 @@ object JoinExtraQueries {
         | AND o2.o_orderdate < o1.o_orderdate
         |GROUP BY o1.o_orderkey
         |ORDER BY o1.o_orderkey""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_theta_join" ->
       """SELECT n_name, count(*) AS n_smaller_regions
         |FROM nation JOIN region ON r_regionkey < n_regionkey
