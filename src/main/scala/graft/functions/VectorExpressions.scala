@@ -19,7 +19,16 @@ import org.apache.spark.sql.types._
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+
+  // result is null when either ARRAY is null OR any ELEMENT is null —
+  // nullable must reflect the latter or codegen drops the isNull write
+  override def nullable: Boolean = {
+    def elemNullable(e: Expression) = e.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
+    left.nullable || right.nullable || elemNullable(left) || elemNullable(right)
+  }
 
   protected def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -46,7 +55,9 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   }
 }
 
-/** Σ aᵢ·bᵢ over the common prefix of two vectors. */
+/** Σ aᵢ·bᵢ over the common prefix of two vectors. A null ELEMENT makes
+  * the result null (matching the HOF formulation, which propagates null
+  * through zip_with/aggregate). */
 case class DotProductF(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -55,7 +66,10 @@ case class DotProductF(left: Expression, right: Expression) extends VectorBinary
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += get(x, lt, i) * get(y, rt, i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += get(x, lt, i) * get(y, rt, i); i += 1
+    }
     s
   }
 
@@ -68,6 +82,7 @@ case class DotProductF(left: Expression, right: Expression) extends VectorBinary
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += ${genGet(a, elemType(left), i)} * ${genGet(b, elemType(right), i)};
          |}
          |${ev.value} = $acc;
@@ -89,6 +104,7 @@ case class CosineSimilarityF(left: Expression, right: Expression) extends Vector
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = get(x, lt, i); val yv = get(y, rt, i)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
@@ -109,6 +125,7 @@ case class CosineSimilarityF(left: Expression, right: Expression) extends Vector
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xv = ${genGet(a, elemType(left), i)};
          |  double $yv = ${genGet(b, elemType(right), i)};
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;

@@ -23,15 +23,15 @@ final class LakeCatalog private (val warehouse: Path, val reporter: MetricsRepor
 
   def listNamespaces(): Seq[String] =
     if (!Files.isDirectory(warehouse)) Nil
-    else Files.list(warehouse).iterator.asScala
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+    else LakeCatalog.listDir(warehouse)
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).sorted
 
   def listTables(ns: String): Seq[String] = {
     val d = warehouse.resolve(ns)
     if (!Files.isDirectory(d)) Nil
-    else Files.list(d).iterator.asScala
+    else LakeCatalog.listDir(d)
       .filter(p => Files.isDirectory(p.resolve("metadata")))
-      .map(_.getFileName.toString).toSeq.sorted
+      .map(_.getFileName.toString).sorted
   }
 
   def tableExists(ns: String, name: String): Boolean =
@@ -52,7 +52,13 @@ final class LakeCatalog private (val warehouse: Path, val reporter: MetricsRepor
     val v1 = md.resolve("v1.json")
     val tmp = Files.createTempFile(md, ".tmp-", ".json")
     Files.writeString(tmp, MetadataJson.write(meta))
-    Files.move(tmp, v1, StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(v1, tmp) // CAS like commit(): racing creators
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalArgumentException(s"table $ns.$name already exists")
+    }
+    Files.deleteIfExists(tmp)
     writeHint(md, 1)
     new LakeTable(this, ns, name, meta, 1)
   }
@@ -68,7 +74,9 @@ final class LakeCatalog private (val warehouse: Path, val reporter: MetricsRepor
   def dropTable(ns: String, name: String): Unit = {
     val d = tableDir(ns, name)
     if (Files.isDirectory(d)) {
-      Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      val stream = Files.walk(d)
+      val all = try stream.iterator.asScala.toSeq finally stream.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
   }
 
@@ -118,6 +126,13 @@ final class LakeCatalog private (val warehouse: Path, val reporter: MetricsRepor
 }
 
 object LakeCatalog {
+  /** Files.list with the stream closed (leaked DirectoryStreams exhaust
+    * fds on the hot commit path — currentVersion runs every attempt). */
+  private[lake] def listDir(p: Path): Seq[Path] = {
+    val stream = Files.list(p)
+    try stream.iterator.asScala.toSeq finally stream.close()
+  }
+
   /** A1-A3: idempotent open; an existing warehouse dir reopens with all
     * state intact (the restart-durability contract). */
   def open(dir: String, reporter: MetricsReporter = MetricsReporter.noop): LakeCatalog = {
@@ -137,7 +152,7 @@ object LakeCatalog {
         scala.util.Try(Files.readString(hint).trim.toInt)
           .toOption.filter(v => Files.exists(md.resolve(s"v$v.json")))
       else None
-    val listed = Files.list(md).iterator.asScala
+    val listed = listDir(md)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         scala.util.Try(s.stripPrefix("v").stripSuffix(".json").toInt).toOption }

@@ -126,7 +126,11 @@ final class LakeTable private[lake] (
     val live = meta.currentFiles
     if (live.isEmpty) return commitSnapshot("replace", Nil, Nil)
     val df = spark.read.schema(schema).parquet(live.map(_.path): _*)
-    val added = writeDataFiles(df.repartition(targetFiles))
+    // numFiles goes through writeDataFiles so the partitioned path uses
+    // repartitionByRange(targetFiles, spec) — a bare repartition here
+    // would be re-shuffled to the default partition count by the spec
+    // clustering and the target would be ignored
+    val added = writeDataFiles(df, numFiles = targetFiles)
     commitSnapshot("replace", added, live)
   }
 
@@ -138,8 +142,11 @@ final class LakeTable private[lake] (
     val live = meta.currentFiles
     val touched = live.filter(pred.mayMatch(_, schema))
     if (touched.isEmpty) return commitSnapshot("delete", Nil, Nil)
+    // NULL predicate rows must be KEPT (SQL delete semantics: only
+    // TRUE deletes) — a bare !pred would drop them
     val kept = spark.read.schema(schema).parquet(touched.map(_.path): _*)
-      .filter(!pred.toColumn)
+      .filter(!org.apache.spark.sql.functions.coalesce(pred.toColumn,
+        org.apache.spark.sql.functions.lit(false)))
     val added = writeDataFiles(kept)
     commitSnapshot("delete", added, touched)
   }
@@ -178,13 +185,21 @@ final class LakeTable private[lake] (
   /** Maintenance: delete data files under this table's location that no
     * surviving snapshot references (orphans from expired snapshots or
     * failed writes). Returns the paths removed. Run AFTER
-    * [[expireSnapshots]]; never touches referenced files. */
-  def removeOrphanFiles(): Seq[String] = {
+    * [[expireSnapshots]]; never touches referenced files.
+    *
+    * Re-reads the LATEST metadata first (a stale handle must not treat
+    * a concurrent writer's committed files as orphans), and skips files
+    * newer than `olderThanMillis` so in-flight, not-yet-committed
+    * writes survive — Iceberg's olderThan cutoff; 0 (the default) only
+    * makes sense single-writer. */
+  def removeOrphanFiles(olderThanMillis: Long = 0L): Seq[String] = {
+    refresh()
     // manifest paths carry a scheme (file:/...) from Hadoop FileStatus;
     // the walker yields scheme-less local paths — compare URI paths or
     // EVERYTHING looks orphaned (MaintenanceSpec caught exactly that)
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
     val referenced = meta.snapshots.flatMap(_.files.map(f => norm(f.path))).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
     val dataDir = java.nio.file.Paths.get(location, "data")
     if (!java.nio.file.Files.isDirectory(dataDir)) return Nil
     val removed = scala.collection.mutable.Buffer.empty[String]
@@ -192,7 +207,8 @@ final class LakeTable private[lake] (
     try {
       stream.iterator().asScala.foreach { p =>
         if (java.nio.file.Files.isRegularFile(p) &&
-            p.toString.endsWith(".parquet") && !referenced(norm(p.toString))) {
+            p.toString.endsWith(".parquet") && !referenced(norm(p.toString)) &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff) {
           java.nio.file.Files.delete(p)
           removed += p.toString
         }

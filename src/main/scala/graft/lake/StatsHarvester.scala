@@ -83,6 +83,10 @@ object StatsHarvester {
     * decimals-as-binary). */
   private def statString(t: DataType, v: Any, tsScale: Long): Option[String] = {
     val comparable = t match {
+      // decimals are stored UNSCALED (int or binary) in parquet stats;
+      // comparing them against scaled predicate values would mis-prune,
+      // so decimals get no stats (conservative: never pruned)
+      case _: DecimalType => false
       case _: NumericType => true
       case DateType => true // INT32 days
       case other => isTimestamp(other) // INT64, unit per annotation

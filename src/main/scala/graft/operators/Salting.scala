@@ -15,16 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Deterministic salt from the non-key columns, so identical keys
-    * spread across buckets without an RNG. */
-  private def salt(cols: Seq[Column], buckets: Int): Column =
-    pmod(hash(cols: _*), lit(buckets))
+  /** Partition-derived salt: rows of a hot key are spread over however
+    * many input partitions hold them, regardless of row content —
+    * value-derived hashes collapse when the hot key's rows are
+    * duplicates (the common dedup-corpus case), and RNG salts break
+    * exactly-once guarantees under task retry. Deterministic given the
+    * input partitioning, which the final re-aggregation makes
+    * irrelevant to the result anyway. */
+  private def salt(buckets: Int): Column =
+    pmod(spark_partition_id(), lit(buckets))
 
   /** groupBy(keys).agg(sum, count, min, max of valueCol), salted. */
   def saltedStats(df: DataFrame, keys: Seq[String], valueCol: String,
       saltBuckets: Int = 16): DataFrame = {
-    val saltCol = salt(df.columns.filterNot(keys.contains).map(col).toSeq, saltBuckets)
-    df.withColumn("__salt", saltCol)
+    df.withColumn("__salt", salt(saltBuckets))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(
         sum(col(valueCol)).as("__sum"),

@@ -25,6 +25,19 @@ class VectorExprSpec extends LakeSuite {
     assert(cmp.count() > 0)
   }
 
+  test("a null ELEMENT yields null (matching HOF null propagation)") {
+    val df = spark.sql(
+      "SELECT array(CAST(1.0 AS DOUBLE), NULL) AS a, array(CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE)) AS b")
+    val out = df.select(
+      VectorFunctions.dot_f(col("a"), col("b")).as("d"),
+      VectorFunctions.cosine_f(col("a"), col("b")).as("c"),
+      graft.queries.SimilarityQueries.dotHofPublic(col("a"), col("b")).as("dhof"))
+    val row = out.collect().head
+    assert(row.isNullAt(0), "native dot must be null on null element")
+    assert(row.isNullAt(1), "native cosine must be null on null element")
+    assert(row.isNullAt(2), "HOF reference is null too")
+  }
+
   test("null inputs yield null, not a crash") {
     val df = emb.limit(5).select(col("embedding"),
       when(lit(false), col("embedding")).as("nullvec"))

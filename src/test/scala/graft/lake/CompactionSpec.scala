@@ -26,6 +26,18 @@ class CompactionSpec extends LakeSuite {
     assert(t.asOf(before.currentSnapshotId).toDF(spark).count() === rows)
   }
 
+  test("compact honors targetFiles on a PARTITIONED table") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "pcompact", ordersDF.schema,
+      spec = Seq(PartitionField("o_orderdate", "year")))
+    t.appendData(ordersDF, numFiles = 12)
+    assert(t.refresh().metadata.currentFiles.size === 12)
+    t.compact(spark, targetFiles = 2)
+    // the spec clustering must not re-shuffle past the target count
+    assert(t.refresh().metadata.currentFiles.size === 2)
+    assert(t.newScan().toDF(spark).count() === ordersDF.count())
+  }
+
   test("copy-on-write delete removes rows and leaves disjoint files untouched") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "deleted", ordersDF.schema,
