@@ -92,14 +92,15 @@ object AggWindowQueries {
   /** Frame-based analytics: running sum, 3-row moving avg, lag/lead. */
   def qRunningFrames(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     lineitem(s, d).select(
       col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
       sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("running_qty"),
       round(avg(col("l_quantity")).over(w.rowsBetween(-2, 0)), 4).as("mov_avg_qty"),
       lag(col("l_quantity"), 1).over(w).as("prev_qty"),
       lead(col("l_quantity"), 1).over(w).as("next_qty"))
-      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"))
   }
 
   /** Ranking battery: rank / dense_rank / ntile / percent_rank / cume_dist. */
@@ -184,17 +185,17 @@ object AggWindowQueries {
     "q_running_frames" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
         |  sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
         |  round(avg(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg_qty,
         |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty,
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty,
         |  lead(l_quantity, 1) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS next_qty
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS next_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "q_rank_functions" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  rank() OVER w AS rnk,
