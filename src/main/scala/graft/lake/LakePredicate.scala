@@ -125,7 +125,10 @@ object LakePredicate {
     * transform re-applied as the row filter. Files spanning partitions
     * carry no value and are conservatively kept. */
   final case class PartitionEq(field: PartitionField, value: String) extends LakePredicate {
-    def toColumn: Column = field.toColumn === lit(value)
+    // string-compare both sides: the canonical partition-value encoding
+    // is stringly (works for identity-on-numerics and calendar
+    // transforms; timestamp identity should use Ge/Le instead)
+    def toColumn: Column = field.toColumn.cast("string") === lit(value)
     def render = s"${field.render} = $value"
     def mayMatch(f: DataFileEntry, s: StructType): Boolean =
       f.partitionValues.get(field.render).forall(_ == value)

@@ -151,6 +151,34 @@ final class LakeTable private[lake] (
     commitSnapshot("delete", added, touched)
   }
 
+  /** Keyed MERGE (upsert): source rows replace same-key rows, unmatched
+    * source rows are inserted. Copy-on-write: only files whose key
+    * bounds overlap the source's key range are rewritten — the one
+    * driver-side value is the source's per-key min/max (a 1-row agg).
+    * Source must carry the table schema and distinct keys. */
+  def mergeInto(spark: SparkSession, source: DataFrame, keys: Seq[String]): CommitReport = {
+    import org.apache.spark.sql.{functions => F}
+    require(keys.nonEmpty && keys.forall(schema.fieldNames.contains), s"bad merge keys $keys")
+    require(source.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      schema.fields.map(f => (f.name, f.dataType))),
+      s"merge source schema mismatch: ${source.schema.simpleString}")
+    val live = meta.currentFiles
+    val boundsRow = source.agg(
+      F.min(F.col(keys.head)), (keys.flatMap(k => Seq(F.min(F.col(k)), F.max(F.col(k)))).drop(1)): _*).head()
+    val pred = keys.zipWithIndex.map { case (k, i) =>
+      LakePredicate.And(
+        LakePredicate.Ge(k, boundsRow.get(2 * i)),
+        LakePredicate.Le(k, boundsRow.get(2 * i + 1)))
+    }.reduceLeft[LakePredicate]((a, b) => LakePredicate.And(a, b))
+    val touched = live.filter(pred.mayMatch(_, schema))
+    val kept =
+      if (touched.isEmpty) source.limit(0)
+      else spark.read.schema(schema).parquet(touched.map(_.path): _*)
+        .join(source.select(keys.map(F.col): _*), keys, "left_anti")
+    val added = writeDataFiles(kept.unionByName(source))
+    commitSnapshot("overwrite", added, touched)
+  }
+
   /** Copy-on-write update: rewrite matching rows with the assignments. */
   def updateWhere(spark: SparkSession, pred: LakePredicate,
       assignments: Map[String, Column]): CommitReport = {

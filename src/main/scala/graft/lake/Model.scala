@@ -19,13 +19,15 @@ import scala.jdk.CollectionConverters._
 final case class PartitionField(source: String, transform: String) {
   def render: String = if (transform == "identity") source else s"$transform($source)"
 
-  /** Spark Column computing this field's transform value for a row —
-    * string-typed to match the canonical partition-value encoding of
-    * [[StatsHarvester.applyTransform]]. */
+  /** Spark Column computing this field's transform value for a row, in
+    * the transform's NATIVE type — cast-to-string here would make range
+    * clustering of numeric identity partitions lexicographic ("10000" <
+    * "2"), destroying file locality (caught by MergeSpec). Callers that
+    * compare against canonical string values cast at the use site. */
   def toColumn: org.apache.spark.sql.Column = {
     import org.apache.spark.sql.{functions => F}
     val c = F.col(source)
-    val t = transform match {
+    transform match {
       case "identity" => c
       case "year" => F.year(c)
       case "month" => F.date_format(c, "yyyy-MM")
@@ -37,7 +39,6 @@ final case class PartitionField(source: String, transform: String) {
         F.pmod(F.hash(c), F.lit(tr.stripPrefix("bucket[").stripSuffix("]").toInt))
       case _ => c
     }
-    t.cast("string")
   }
 }
 

@@ -76,6 +76,21 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Keyed MERGE: update every 10th order (doubled price) + insert
+    * clones under shifted keys, then scan. */
+  def lakeMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_mg", src.schema)
+    t.appendData(src)
+    val tenth = src.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val updates = tenth
+    val inserts = tenth.withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+    t.refresh().mergeInto(s, updates.unionByName(inserts), Seq("o_orderkey"))
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Copy-on-write update: targeted rewrite of matching rows. */
   def lakeUpdateCow(s: SparkSession, d: String): DataFrame = {
     val src = orders(s, d)
@@ -108,6 +123,7 @@ object LakeQueries {
     "lake_compact" -> lakeCompact,
     "lake_delete_cow" -> lakeDeleteCow,
     "lake_update_cow" -> lakeUpdateCow,
+    "lake_merge_upsert" -> lakeMergeUpsert,
   )
 
   val oracles: Map[String, String] = Map(
@@ -123,6 +139,17 @@ object LakeQueries {
     "lake_compact" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_delete_cow" ->
       "SELECT * FROM orders WHERE NOT (o_totalprice >= 400000.0) ORDER BY o_orderkey",
+    "lake_merge_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |  o_totalprice * 2, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_update_cow" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         |  CASE WHEN o_orderstatus = 'F' THEN '0-REWRITTEN' ELSE o_orderpriority END AS o_orderpriority

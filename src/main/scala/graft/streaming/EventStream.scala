@@ -49,6 +49,32 @@ object EventStream {
       }
   }
 
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Sessionization via flatMapGroupsWithState: per user, a >gap silence
+    * starts a new session. Bounded-input formulation sorts the group's
+    * events in memory (a production unbounded stream would use
+    * event-time timeout and incremental state instead of a sort — the
+    * state-machine body is the same). */
+  def sessionize(spark: SparkSession, schema: StructType, dir: String,
+      gapMs: Long = 1800000L): Dataset[UserSessions] = {
+    import spark.implicits._
+    spark.readStream.schema(schema).parquet(dir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[UserSessions]) =>
+          val ts = rows.map(_.ts.getTime).toArray.sorted
+          val sessions = if (ts.isEmpty) 0L
+            else 1L + ts.sliding(2).count(w => w.length == 2 && w(1) - w(0) > gapMs)
+          val prev = state.getOption.getOrElse(UserSessions(user, 0L, 0L))
+          val next = UserSessions(user, prev.n_sessions + sessions, prev.n_events + ts.length)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
   /** Drive a streaming DF synchronously into a memory sink and return
     * the collected table (dev/test harness for bounded inputs). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {

@@ -34,6 +34,17 @@ class StreamingSpec extends LakeSuite {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("flatMapGroupsWithState sessionization == batch gap-detection counts") {
+    val streamed = EventStream.runToMemory(
+      EventStream.sessionize(spark, staticEvents.schema, stagedDir).toDF(),
+      "sessions", OutputMode.Append())
+    val finals = streamed.groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+    val batch = graft.queries.EventQueries.qEvSessionize(spark, "/root/testdata/sf0.001")
+    assert(finals.except(batch).count() === 0)
+    assert(batch.except(finals).count() === 0)
+  }
+
   test("stateful mapGroupsWithState totals == batch groupBy totals") {
     val streamed = EventStream.runToMemory(
       EventStream.runningUserTotals(spark, staticEvents.schema, stagedDir).toDF(),
