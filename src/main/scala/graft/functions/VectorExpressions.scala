@@ -78,11 +78,18 @@ case class DotProductF(left: Expression, right: Expression) extends VectorBinary
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // when nullable is false, elements provably cannot be null AND
+      // ev.isNull renders as the literal `false` (assigning to it is
+      // invalid Java) — emit the guard only when it can fire
+      val nullGuard =
+        if (nullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullGuard
          |  $acc += ${genGet(a, elemType(left), i)} * ${genGet(b, elemType(right), i)};
          |}
          |${ev.value} = $acc;
@@ -121,11 +128,15 @@ case class CosineSimilarityF(left: Expression, right: Expression) extends Vector
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val nullGuard =
+        if (nullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullGuard
          |  double $xv = ${genGet(a, elemType(left), i)};
          |  double $yv = ${genGet(b, elemType(right), i)};
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;

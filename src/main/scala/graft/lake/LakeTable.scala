@@ -163,8 +163,17 @@ final class LakeTable private[lake] (
       schema.fields.map(f => (f.name, f.dataType))),
       s"merge source schema mismatch: ${source.schema.simpleString}")
     val live = meta.currentFiles
-    val boundsRow = source.agg(
+    // persist: the source plan is consumed three times (bounds agg,
+    // anti-join, written union) and MUST be one consistent snapshot —
+    // a recomputed non-deterministic source could write keys outside
+    // the pruning bounds and leave duplicate live keys
+    val src = source.persist()
+    val boundsRow = src.agg(
       F.min(F.col(keys.head)), (keys.flatMap(k => Seq(F.min(F.col(k)), F.max(F.col(k)))).drop(1)): _*).head()
+    if (boundsRow.isNullAt(0)) { // empty source (or all-null keys): no-op
+      src.unpersist()
+      return commitSnapshot("overwrite", Nil, Nil)
+    }
     val pred = keys.zipWithIndex.map { case (k, i) =>
       LakePredicate.And(
         LakePredicate.Ge(k, boundsRow.get(2 * i)),
@@ -172,10 +181,11 @@ final class LakeTable private[lake] (
     }.reduceLeft[LakePredicate]((a, b) => LakePredicate.And(a, b))
     val touched = live.filter(pred.mayMatch(_, schema))
     val kept =
-      if (touched.isEmpty) source.limit(0)
+      if (touched.isEmpty) src.limit(0)
       else spark.read.schema(schema).parquet(touched.map(_.path): _*)
-        .join(source.select(keys.map(F.col): _*), keys, "left_anti")
-    val added = writeDataFiles(kept.unionByName(source))
+        .join(src.select(keys.map(F.col): _*), keys, "left_anti")
+    val added = writeDataFiles(kept.unionByName(src))
+    src.unpersist()
     commitSnapshot("overwrite", added, touched)
   }
 

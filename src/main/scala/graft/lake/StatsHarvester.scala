@@ -129,6 +129,11 @@ object StatsHarvester {
       case _ => throw new IllegalArgumentException(s"$transform on $t")
     }
     transform match {
+      // DATE identity: canonical stat is epoch-day, but PartitionEq's
+      // row filter compares cast-to-string ISO dates — encode the
+      // partition value as the ISO date so the two sides agree
+      case "identity" if t == DateType =>
+        Some(java.time.LocalDate.ofEpochDay(stat.toLong).toString)
       case "identity" => Some(stat)
       case "year" => Some(instant.getYear.toString)
       case "month" => Some(f"${instant.getYear}%04d-${instant.getMonthValue}%02d")

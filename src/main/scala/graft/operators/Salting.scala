@@ -15,20 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Partition-derived salt: rows of a hot key are spread over however
-    * many input partitions hold them, regardless of row content —
-    * value-derived hashes collapse when the hot key's rows are
-    * duplicates (the common dedup-corpus case), and RNG salts break
-    * exactly-once guarantees under task retry. Deterministic given the
-    * input partitioning, which the final re-aggregation makes
-    * irrelevant to the result anyway. */
-  private def salt(buckets: Int): Column =
-    pmod(spark_partition_id(), lit(buckets))
+  /** Hybrid salt: content hash of all columns combined with the input
+    * partition id. The content hash spreads distinct-valued hot-key
+    * rows wherever they sit; the partition id additionally spreads
+    * FULL-duplicate rows that arrive in different partitions. (The
+    * irreducible residual — identical rows co-located in one partition
+    * — would need a nondeterministic per-row id, which breaks
+    * exactly-once under task retry; accepted and documented.) */
+  private def salt(df: DataFrame, buckets: Int): Column =
+    pmod(hash((df.columns.map(col) :+ spark_partition_id()): _*), lit(buckets))
 
   /** groupBy(keys).agg(sum, count, min, max of valueCol), salted. */
   def saltedStats(df: DataFrame, keys: Seq[String], valueCol: String,
       saltBuckets: Int = 16): DataFrame = {
-    df.withColumn("__salt", salt(saltBuckets))
+    df.withColumn("__salt", salt(df, saltBuckets))
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(
         sum(col(valueCol)).as("__sum"),

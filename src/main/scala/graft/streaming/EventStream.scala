@@ -51,11 +51,18 @@ object EventStream {
 
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+  /** Cross-batch session state: counts + the last seen event time, so a
+    * session spanning two micro-batches is not double-counted. */
+  final case class SessionState(user_id: Long, n_sessions: Long,
+      n_events: Long, last_ms: Long)
+
   /** Sessionization via flatMapGroupsWithState: per user, a >gap silence
-    * starts a new session. Bounded-input formulation sorts the group's
-    * events in memory (a production unbounded stream would use
-    * event-time timeout and incremental state instead of a sort — the
-    * state-machine body is the same). */
+    * starts a new session. The previous batch's last event time is
+    * carried in state and prepended to the gap scan, so a batch whose
+    * first event continues the prior batch's session adds no session.
+    * Bounded-input formulation sorts the group's events in memory (a
+    * production unbounded stream would use event-time timeout; the
+    * state machine is the same). */
   def sessionize(spark: SparkSession, schema: StructType, dir: String,
       gapMs: Long = 1800000L): Dataset[UserSessions] = {
     import spark.implicits._
@@ -64,14 +71,21 @@ object EventStream {
       .as[EventRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[EventRow], state: GroupState[UserSessions]) =>
+        (user: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
           val ts = rows.map(_.ts.getTime).toArray.sorted
-          val sessions = if (ts.isEmpty) 0L
-            else 1L + ts.sliding(2).count(w => w.length == 2 && w(1) - w(0) > gapMs)
-          val prev = state.getOption.getOrElse(UserSessions(user, 0L, 0L))
-          val next = UserSessions(user, prev.n_sessions + sessions, prev.n_events + ts.length)
-          state.update(next)
-          Iterator.single(next)
+          if (ts.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption
+            val scan = prev.map(_.last_ms).toArray ++ ts
+            val newSessions = (if (prev.isEmpty) 1L else 0L) +
+              scan.sliding(2).count(w => w.length == 2 && w(1) - w(0) > gapMs)
+            val next = SessionState(user,
+              prev.map(_.n_sessions).getOrElse(0L) + newSessions,
+              prev.map(_.n_events).getOrElse(0L) + ts.length,
+              math.max(prev.map(_.last_ms).getOrElse(Long.MinValue), ts.last))
+            state.update(next)
+            Iterator.single(UserSessions(user, next.n_sessions, next.n_events))
+          }
       }
   }
 

@@ -38,6 +38,16 @@ class VectorExprSpec extends LakeSuite {
     assert(row.isNullAt(2), "HOF reference is null too")
   }
 
+  test("non-nullable literal arrays compile through codegen (no `false = true`)") {
+    // containsNull=false + non-null children => nullable=false branch
+    val out = spark.range(3).select(
+      VectorFunctions.dot_f(array(lit(1.0), lit(2.0)), array(lit(3.0), lit(4.0))).as("d"),
+      VectorFunctions.cosine_f(array(lit(1.0), lit(0.0)), array(lit(1.0), lit(0.0))).as("c"))
+    val r = out.collect().head
+    assert(r.getDouble(0) === 11.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("null inputs yield null, not a crash") {
     val df = emb.limit(5).select(col("embedding"),
       when(lit(false), col("embedding")).as("nullvec"))

@@ -44,6 +44,17 @@ class MergeSpec extends LakeSuite {
       === source.count())
   }
 
+  test("merge with an empty source is a no-op commit, not an NPE") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "merge_empty", ordersDF.schema)
+    t.appendData(ordersDF.limit(20))
+    val before = t.refresh().metadata.currentFiles.map(_.path).toSet
+    val r = t.mergeInto(spark, ordersDF.filter(lit(false)), Seq("o_orderkey"))
+    assert(r.addedDataFiles === 0)
+    assert(t.refresh().metadata.currentFiles.map(_.path).toSet === before)
+    assert(t.newScan().toDF(spark).count() === 20)
+  }
+
   test("merge guards: bad key and schema mismatch fail fast") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "merge_guard", ordersDF.schema)

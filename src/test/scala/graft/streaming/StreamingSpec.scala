@@ -45,6 +45,32 @@ class StreamingSpec extends LakeSuite {
     assert(batch.except(finals).count() === 0)
   }
 
+  test("sessionization does NOT double-count sessions spanning two micro-batches") {
+    import org.apache.spark.sql.functions.col
+    // split events at the median ts into two files delivered as two
+    // separate micro-batches against one running query
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream2_").toString
+    val all = staticEvents.orderBy(col("ts"))
+    val n = all.count()
+    val firstHalf = all.limit((n / 2).toInt)
+    val cut = firstHalf.agg(org.apache.spark.sql.functions.max(col("ts"))).head.getTimestamp(0)
+    firstHalf.write.mode("overwrite").parquet(s"$dir/batch")
+    val q = EventStream.sessionize(spark, staticEvents.schema, s"$dir/batch").toDF()
+      .writeStream.format("memory").queryName("sess2")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      q.processAllAvailable() // batch 1
+      all.filter(col("ts") > cut).write.mode("append").parquet(s"$dir/batch")
+      q.processAllAvailable() // batch 2
+    } finally q.stop()
+    val finals = spark.table("sess2").groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.functions.max(col("n_sessions")).as("n_sessions"),
+        org.apache.spark.sql.functions.max(col("n_events")).as("n_events"))
+    val batch = graft.queries.EventQueries.qEvSessionize(spark, "/root/testdata/sf0.001")
+    assert(finals.except(batch).count() === 0)
+    assert(batch.except(finals).count() === 0)
+  }
+
   test("stateful mapGroupsWithState totals == batch groupBy totals") {
     val streamed = EventStream.runToMemory(
       EventStream.runningUserTotals(spark, staticEvents.schema, stagedDir).toDF(),
