@@ -98,6 +98,20 @@ object SqlSourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** ORC sink + schema-enforced ORC source round-trip (the second
+    * columnar format next to parquet). */
+  def qOrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity"), col("l_returnflag"))
+    val dir = Files.createTempDirectory("graft_orc_").toString + "/lineitem"
+    src.write.mode("overwrite").orc(dir)
+    s.read.schema(src.schema).orc(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** JSON-lines sink + schema-enforced JSON source round-trip. */
   def qJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     val src = customer(s, d)
@@ -118,6 +132,7 @@ object SqlSourceQueries {
     "q_null_safe_eq" -> qNullSafeEq,
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_json_roundtrip" -> qJsonRoundtrip,
+    "q_orc_roundtrip" -> qOrcRoundtrip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -166,6 +181,10 @@ object SqlSourceQueries {
         |  min(o_orderkey) AS min_key,
         |  max(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_json_roundtrip" ->
       """SELECT c_mktsegment, count(*) AS n,
         |  round(sum(c_acctbal), 2) AS sum_bal

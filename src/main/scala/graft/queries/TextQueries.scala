@@ -189,6 +189,25 @@ object TextQueries {
       substring(sha2(col("text"), 256), 1, 8).as("fp_bucket"))
       .orderBy(col("doc_id"))
 
+  /** Corpus vocabulary statistics: top-25 tokens by frequency (the
+    * unigram table a tokenizer-training pipeline starts from). */
+  def qTokenFrequency(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(wordsCol).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(25)
+
+  /** Document-length histogram over fixed 50-char buckets. */
+  def qDocLengthHistogram(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(floor(col("n_chars") / 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("bucket"))
+
   /** Multimodal column plumbing: text treated as an opaque binary blob
     * with typed metadata — length, header bytes, content hash, and a
     * deterministic fake "decode" (real decode would be a codec UDF over
@@ -215,6 +234,8 @@ object TextQueries {
     "lang_id" -> qLangId,
     "quality_score" -> qQualityScore,
     "doc_fingerprint" -> qDocFingerprint,
+    "token_frequency" -> qTokenFrequency,
+    "doc_length_histogram" -> qDocLengthHistogram,
     "multimodal_meta" -> qMultimodalMeta,
   )
 
@@ -278,6 +299,14 @@ object TextQueries {
     "doc_fingerprint" ->
       """SELECT doc_id, sha256(text) AS fp, substring(sha256(text), 1, 8) AS fp_bucket
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_frequency" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin,
+    "doc_length_histogram" ->
+      """SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+        |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id,
         |  octet_length(CAST(text AS BLOB)) AS blob_len,
