@@ -1,0 +1,118 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Durable-metadata I/O with one atomic primitive: `putIfAbsent`, a
+  * conditional create that fails when the key exists. This is the whole
+  * serialization point of the optimistic commit protocol — the role H2's
+  * JDBC transaction plays for the reference's catalog
+  * (LocalIcebergCatalog.java:197-199: embedded H2 as the commit CAS).
+  * Everything else (reads, listings, the best-effort version hint) needs
+  * no atomicity.
+  *
+  * Data files are NOT behind this trait: Spark reads/writes parquet
+  * through real filesystem paths regardless; only the metadata documents
+  * (v{N}.json, version-hint) route here. An object-store deployment
+  * implements putIfAbsent with a conditional PUT (If-None-Match) —
+  * [[InMemoryCommitBackend]] proves the protocol against exactly those
+  * semantics, with no hard links or atomic renames available.
+  */
+trait CommitBackend {
+  /** Atomically create `path` with `content` iff absent: the CAS. */
+  def putIfAbsent(path: Path, content: String): Boolean
+
+  /** Last-writer-wins overwrite (the best-effort version hint). */
+  def putOverwrite(path: Path, content: String): Unit
+
+  def get(path: Path): Option[String]
+
+  /** Immediate child names of a directory/prefix (empty if none). */
+  def listChildren(dir: Path): Seq[String]
+
+  def ensureDir(dir: Path): Unit
+
+  /** Recursively remove everything under `dir`. */
+  def deleteTree(dir: Path): Unit
+}
+
+/** POSIX-filesystem backend. The CAS is `Files.createLink` — a true
+  * atomic create-if-absent (rename(2) via ATOMIC_MOVE silently REPLACES
+  * an existing target on POSIX, so it is NOT a CAS; caught by
+  * LakeCatalogSpec in round 1). Also correct on HDFS-style stores via
+  * their create-exclusive flag. */
+final class LocalFsCommitBackend extends CommitBackend {
+  def putIfAbsent(path: Path, content: String): Boolean = {
+    val tmp = Files.createTempFile(path.getParent, ".tmp-", ".json")
+    Files.writeString(tmp, content)
+    try { Files.createLink(path, tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  def putOverwrite(path: Path, content: String): Unit = {
+    val tmp = Files.createTempFile(path.getParent, ".hint-", ".txt")
+    Files.writeString(tmp, content)
+    Files.move(tmp, path,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def get(path: Path): Option[String] =
+    if (Files.exists(path)) Some(Files.readString(path)) else None
+
+  def listChildren(dir: Path): Seq[String] =
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator.asScala.map(_.getFileName.toString).toSeq
+      finally stream.close()
+    }
+
+  def ensureDir(dir: Path): Unit = Files.createDirectories(dir)
+
+  def deleteTree(dir: Path): Unit =
+    if (Files.isDirectory(dir)) {
+      val stream = Files.walk(dir)
+      val all = try stream.iterator.asScala.toSeq finally stream.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+}
+
+/** Conditional-put backend over an in-process map: proves the commit
+  * protocol works where hard links and atomic renames do not exist —
+  * `putIfAbsent` is the only atomic operation, exactly the contract of
+  * an object store's If-None-Match PUT (or the reference's H2 row
+  * insert). Durability scope = process lifetime, like the reference's
+  * embedded H2 for a test catalog. */
+final class InMemoryCommitBackend extends CommitBackend {
+  private val docs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def key(p: Path): String = p.toAbsolutePath.normalize.toString
+
+  def putIfAbsent(path: Path, content: String): Boolean =
+    docs.putIfAbsent(key(path), content) == null
+
+  def putOverwrite(path: Path, content: String): Unit = { docs.put(key(path), content); () }
+
+  def get(path: Path): Option[String] = Option(docs.get(key(path)))
+
+  def listChildren(dir: Path): Seq[String] = {
+    val prefix = key(dir) + "/"
+    (docs.keySet.asScala ++ dirs.asScala)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).takeWhile(_ != '/'))
+      .toSeq.distinct
+  }
+
+  def ensureDir(dir: Path): Unit = {
+    var p = dir.toAbsolutePath.normalize
+    while (p != null && dirs.add(p.toString)) p = p.getParent
+  }
+
+  def deleteTree(dir: Path): Unit = {
+    val prefix = key(dir) + "/"
+    docs.keySet.asScala.filter(_.startsWith(prefix)).foreach(docs.remove)
+    dirs.asScala.filter(d => d == key(dir) || d.startsWith(prefix)).foreach(dirs.remove)
+  }
+}

@@ -16,26 +16,26 @@ import org.apache.spark.sql.types.StructType
   * or HDFS filesystem; an object store would need a conditional-put
   * backend exactly as the reference needed H2 (SURVEY.md §7.4).
   */
-final class LakeCatalog private (val warehouse: Path, val reporter: MetricsReporter) {
+final class LakeCatalog private (
+    val warehouse: Path,
+    val reporter: MetricsReporter,
+    val backend: CommitBackend) {
 
   def createNamespace(ns: String): Unit =
-    Files.createDirectories(warehouse.resolve(ns))
+    backend.ensureDir(warehouse.resolve(ns))
 
   def listNamespaces(): Seq[String] =
-    if (!Files.isDirectory(warehouse)) Nil
-    else LakeCatalog.listDir(warehouse)
-      .filter(Files.isDirectory(_)).map(_.getFileName.toString).sorted
+    backend.listChildren(warehouse).sorted
 
   def listTables(ns: String): Seq[String] = {
     val d = warehouse.resolve(ns)
-    if (!Files.isDirectory(d)) Nil
-    else LakeCatalog.listDir(d)
-      .filter(p => Files.isDirectory(p.resolve("metadata")))
-      .map(_.getFileName.toString).sorted
+    backend.listChildren(d)
+      .filter(t => backend.listChildren(d.resolve(t).resolve("metadata")).nonEmpty)
+      .sorted
   }
 
   def tableExists(ns: String, name: String): Boolean =
-    LakeCatalog.currentVersion(metadataDir(ns, name)).isDefined
+    currentVersion(metadataDir(ns, name)).isDefined
 
   private def tableDir(ns: String, name: String): Path = warehouse.resolve(ns).resolve(name)
   private def metadataDir(ns: String, name: String): Path = tableDir(ns, name).resolve("metadata")
@@ -46,19 +46,18 @@ final class LakeCatalog private (val warehouse: Path, val reporter: MetricsRepor
     val md = metadataDir(ns, name)
     if (tableExists(ns, name))
       throw new IllegalArgumentException(s"table $ns.$name already exists")
-    Files.createDirectories(md)
+    backend.ensureDir(md)
+    // data files are always real filesystem paths (Spark parquet I/O),
+    // whatever backend holds the metadata documents
+    Files.createDirectories(tableDir(ns, name))
+    // positional field IDs 1..n at creation (reference schemas carry
+    // explicit IDs, IntegrationTest.java:59-64); stable under rename,
+    // never reused after drop
     val meta = TableMetadata(s"$ns.$name", tableDir(ns, name).toString, schema, spec,
-      snapshots = Nil, currentSnapshotId = -1L)
-    val v1 = md.resolve("v1.json")
-    val tmp = Files.createTempFile(md, ".tmp-", ".json")
-    Files.writeString(tmp, MetadataJson.write(meta))
-    try Files.createLink(v1, tmp) // CAS like commit(): racing creators
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        throw new IllegalArgumentException(s"table $ns.$name already exists")
-    }
-    Files.deleteIfExists(tmp)
+      snapshots = Nil, currentSnapshotId = -1L).withFieldIdDefaults
+    // same CAS as commit(): racing creators — exactly one wins
+    if (!backend.putIfAbsent(md.resolve("v1.json"), MetadataJson.write(meta)))
+      throw new IllegalArgumentException(s"table $ns.$name already exists")
     writeHint(md, 1)
     new LakeTable(this, ns, name, meta, 1)
   }
@@ -66,13 +65,14 @@ final class LakeCatalog private (val warehouse: Path, val reporter: MetricsRepor
   /** A6: load table; schema round-trips identically (StructType equality). */
   def loadTable(ns: String, name: String): LakeTable = {
     val md = metadataDir(ns, name)
-    val v = LakeCatalog.currentVersion(md).getOrElse(
+    val v = currentVersion(md).getOrElse(
       throw new NoSuchElementException(s"no such table $ns.$name under $warehouse"))
     new LakeTable(this, ns, name, readMeta(md, v), v)
   }
 
   def dropTable(ns: String, name: String): Unit = {
-    val d = tableDir(ns, name)
+    backend.deleteTree(metadataDir(ns, name))
+    val d = tableDir(ns, name) // data files live on the FS regardless
     if (Files.isDirectory(d)) {
       val stream = Files.walk(d)
       val all = try stream.iterator.asScala.toSeq finally stream.close()
@@ -81,79 +81,20 @@ final class LakeCatalog private (val warehouse: Path, val reporter: MetricsRepor
   }
 
   private[lake] def readMeta(md: Path, version: Int): TableMetadata =
-    MetadataJson.read(Files.readString(md.resolve(s"v$version.json")))
+    MetadataJson.read(backend.get(md.resolve(s"v$version.json")).getOrElse(
+      throw new IllegalStateException(s"missing metadata v$version.json under $md")))
 
-  private def writeHint(md: Path, v: Int): Unit = {
-    val tmp = Files.createTempFile(md, ".hint-", ".txt")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, md.resolve("version-hint.text"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-  }
-
-  /** Optimistic CAS commit: re-read latest, re-apply, attempt
-    * create-if-absent of the next version file; on collision retry.
-    * `attempts` counts the first try as 1 (Iceberg semantics,
-    * reference: IntegrationTest.java:107). Returns (newMeta, version,
-    * attempts). */
-  private[lake] def commit(ns: String, name: String, maxRetries: Int = 10)(
-      transform: TableMetadata => TableMetadata): (TableMetadata, Int, Int) = {
-    val md = metadataDir(ns, name)
-    var attempts = 0
-    while (attempts < maxRetries) {
-      attempts += 1
-      val base = LakeCatalog.currentVersion(md).getOrElse(
-        throw new IllegalStateException(s"table $ns.$name has no metadata"))
-      val next = transform(readMeta(md, base))
-      val target = md.resolve(s"v${base + 1}.json")
-      val tmp = Files.createTempFile(md, ".tmp-", ".json")
-      Files.writeString(tmp, MetadataJson.write(next))
-      try {
-        // createLink is the real CAS: atomically fails if v{N+1} exists.
-        // (Files.move+ATOMIC_MOVE is a plain rename(2) on POSIX and
-        // silently REPLACES an existing target — caught by LakeCatalogSpec.)
-        Files.createLink(target, tmp)
-        Files.deleteIfExists(tmp)
-        writeHint(md, base + 1)
-        return (next, base + 1, attempts)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // lost the race; go around
-      }
-    }
-    throw new IllegalStateException(
-      s"commit to $ns.$name failed after $maxRetries attempts")
-  }
-}
-
-object LakeCatalog {
-  /** Files.list with the stream closed (leaked DirectoryStreams exhaust
-    * fds on the hot commit path — currentVersion runs every attempt). */
-  private[lake] def listDir(p: Path): Seq[Path] = {
-    val stream = Files.list(p)
-    try stream.iterator.asScala.toSeq finally stream.close()
-  }
-
-  /** A1-A3: idempotent open; an existing warehouse dir reopens with all
-    * state intact (the restart-durability contract). */
-  def open(dir: String, reporter: MetricsReporter = MetricsReporter.noop): LakeCatalog = {
-    val p = Paths.get(dir)
-    Files.createDirectories(p) // A4: "bucket" bootstrap
-    new LakeCatalog(p, reporter)
-  }
+  private def writeHint(md: Path, v: Int): Unit =
+    backend.putOverwrite(md.resolve("version-hint.text"), v.toString)
 
   /** Current metadata version: trust version-hint if present and valid,
     * else fall back to listing v*.json (hint is best-effort, like the
     * reference's version-hint file convention). */
   private[lake] def currentVersion(md: Path): Option[Int] = {
-    if (!Files.isDirectory(md)) return None
-    val hint = md.resolve("version-hint.text")
-    val hinted =
-      if (Files.exists(hint))
-        scala.util.Try(Files.readString(hint).trim.toInt)
-          .toOption.filter(v => Files.exists(md.resolve(s"v$v.json")))
-      else None
-    val listed = listDir(md)
-      .map(_.getFileName.toString)
+    val hinted = backend.get(md.resolve("version-hint.text"))
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(v => backend.get(md.resolve(s"v$v.json")).isDefined)
+    val listed = backend.listChildren(md)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         scala.util.Try(s.stripPrefix("v").stripSuffix(".json").toInt).toOption }
       .flatten.maxOption
@@ -161,5 +102,46 @@ object LakeCatalog {
       case (Some(h), Some(l)) => Some(math.max(h, l))
       case (h, l) => h.orElse(l)
     }
+  }
+
+  /** Optimistic CAS commit: re-read latest, re-apply, attempt a
+    * conditional put of the next version document; on collision retry.
+    * The backend's putIfAbsent is the ONLY atomic primitive the
+    * protocol needs (the reference outsourced the same role to H2,
+    * LocalIcebergCatalog.java:197-199). `attempts` counts the first try
+    * as 1 (Iceberg semantics, reference: IntegrationTest.java:107).
+    * Returns (newMeta, version, attempts). */
+  private[lake] def commit(ns: String, name: String, maxRetries: Int = 10)(
+      transform: TableMetadata => TableMetadata): (TableMetadata, Int, Int) = {
+    val md = metadataDir(ns, name)
+    var attempts = 0
+    while (attempts < maxRetries) {
+      attempts += 1
+      val base = currentVersion(md).getOrElse(
+        throw new IllegalStateException(s"table $ns.$name has no metadata"))
+      val next = transform(readMeta(md, base))
+      if (backend.putIfAbsent(md.resolve(s"v${base + 1}.json"), MetadataJson.write(next))) {
+        writeHint(md, base + 1)
+        return (next, base + 1, attempts)
+      }
+      // lost the race; go around with fresh metadata
+    }
+    throw new IllegalStateException(
+      s"commit to $ns.$name failed after $maxRetries attempts")
+  }
+}
+
+object LakeCatalog {
+  /** A1-A3: idempotent open; an existing warehouse dir reopens with all
+    * state intact (the restart-durability contract). The backend decides
+    * where metadata documents live and what provides the commit CAS
+    * (default: local filesystem + hard-link create-if-absent). */
+  def open(dir: String,
+      reporter: MetricsReporter = MetricsReporter.noop,
+      backend: CommitBackend = new LocalFsCommitBackend): LakeCatalog = {
+    val p = Paths.get(dir)
+    Files.createDirectories(p) // A4: "bucket" bootstrap
+    backend.ensureDir(p)
+    new LakeCatalog(p, reporter, backend)
   }
 }

@@ -60,19 +60,40 @@ final class LakeTable private[lake] (
       case (true, false) => df.repartitionByRange(exprs: _*)
       case (true, true) => df.repartitionByRange(numFiles, exprs: _*)
     }
+    // Every physical column gets its stable parquet field ID (the table
+    // schema stays ID-free for API identity; IDs live in the manifest),
+    // so later renames resolve old files by ID, not name.
+    val idSchema = meta.schemaWithFieldIds
+    val withIds = clustered.select(idSchema.fields.map(f =>
+      clustered.col(f.name).as(f.name, f.metadata)): _*)
     // micros timestamps: INT96 would write no footer stats to prune on.
-    // The conf is pinned on a CLONED session (shared context, private
+    // The confs are pinned on a CLONED session (shared context, private
     // SQLConf), never on the caller's: a save/restore on the shared
     // session could interleave across concurrent writers and leak
     // TIMESTAMP_MICROS session-wide, changing how other writes annotate
     // computed timestamp columns (isAdjustedToUTC) and breaking oracle
     // schema parity.
     org.apache.spark.sql.graftbridge.SessionBridge
-      .withConfs(clustered, Map(
-        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS"))
+      .withConfs(withIds, Map(
+        "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+        "spark.sql.parquet.fieldId.write.enabled" -> "true"))
       .write.parquet(dir)
     StatsHarvester.harvest(spark, dir, schema, spec)
   }
+
+  /** All lake file reads go through here: the requested schema carries
+    * the manifest's parquet field IDs and the read happens on a cloned
+    * session with ID-based matching on, so files written before a
+    * column rename still resolve that column by ID (name matching would
+    * silently project null). Fields whose ID is absent fall back to
+    * name matching, so ad-hoc schemas keep working. */
+  private[lake] def readFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
+    org.apache.spark.sql.graftbridge.SessionBridge
+      .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
+      .read.schema(meta.schemaWithFieldIds).parquet(paths: _*)
+      // strip the injected metadata so scan outputs carry the user's schema
+      .select(schema.fields.map(f => org.apache.spark.sql.functions.col(f.name)
+        .as(f.name, f.metadata)): _*)
 
   /** A9: append commit — newAppend().appendData(df).commit(). */
   def newAppend(): AppendOp = new AppendOp(this)
@@ -91,28 +112,74 @@ final class LakeTable private[lake] (
       LakePredicate.AlwaysTrue)
 
   /** Schema evolution: add a nullable column. Metadata-only commit (no
-    * snapshot); existing files read back null for it (name-based
-    * projection — the manifest keeps schemas versioned, so field-ID
-    * mapping can be layered on later without rewrites). */
+    * snapshot); existing files read back null for it. The new column
+    * gets the next field ID (never a reused one — a recycled ID would
+    * resurrect a dropped column's bytes from old files). */
   def addColumn(colName: String, dt: org.apache.spark.sql.types.DataType): LakeTable = {
     require(!schema.fieldNames.contains(colName), s"column $colName already exists")
-    schemaChange(s => org.apache.spark.sql.types.StructType(
-      s.fields :+ org.apache.spark.sql.types.StructField(colName, dt, nullable = true)))
+    metadataChange { latest =>
+      val id = latest.lastAssignedFieldId + 1
+      latest.copy(
+        schema = org.apache.spark.sql.types.StructType(latest.schema.fields :+
+          org.apache.spark.sql.types.StructField(colName, dt, nullable = true)),
+        fieldIds = latest.fieldIds + (colName -> id),
+        lastAssignedFieldId = id)
+    }
   }
 
   /** Schema evolution: drop a column (files keep the bytes; projection
-    * ignores them). Partition sources cannot be dropped. */
+    * ignores them). Its field ID retires with it. Partition sources
+    * cannot be dropped. */
   def dropColumn(colName: String): LakeTable = {
     require(schema.fieldNames.contains(colName), s"no such column $colName")
     require(!spec.exists(_.source == colName), s"$colName is a partition source")
-    schemaChange(s => org.apache.spark.sql.types.StructType(
-      s.fields.filterNot(_.name == colName)))
+    metadataChange { latest =>
+      latest.copy(
+        schema = org.apache.spark.sql.types.StructType(
+          latest.schema.fields.filterNot(_.name == colName)),
+        fieldIds = latest.fieldIds - colName)
+    }
   }
 
-  private def schemaChange(f: StructType => StructType): LakeTable = {
-    val (next, v, _) = catalog.commit(namespace, shortName) { latest =>
-      latest.copy(schema = f(latest.schema))
+  /** Schema evolution: rename a column WITHOUT rewriting data — the
+    * field keeps its ID, so old files resolve it by parquet field ID
+    * (reference schemas are ID-addressed, IntegrationTest.java:59-64;
+    * name-based projection would read null from every pre-rename file).
+    * Manifest column stats and partition-value keys are name-keyed, so
+    * the commit remaps them in every snapshot — the ID-keyed storage
+    * equivalent, keeping stats-based pruning exact and time travel
+    * consistent under the current schema. Partition specs follow the
+    * rename too. */
+  def renameColumn(from: String, to: String): LakeTable = {
+    require(schema.fieldNames.contains(from), s"no such column $from")
+    require(!schema.fieldNames.contains(to), s"column $to already exists")
+    def remapS(m: Map[String, String]): Map[String, String] =
+      m.map { case (k, v) => (if (k == from) to else k) -> v }
+    def remapL(m: Map[String, Long]): Map[String, Long] =
+      m.map { case (k, v) => (if (k == from) to else k) -> v }
+    metadataChange { latest =>
+      val oldSpec = latest.spec
+      val newSpec = oldSpec.map(p => if (p.source == from) p.copy(source = to) else p)
+      val renames: Map[String, String] = // partitionValues are keyed by render
+        oldSpec.zip(newSpec).filter(p => p._1 != p._2)
+          .map(p => p._1.render -> p._2.render).toMap
+      latest.copy(
+        schema = org.apache.spark.sql.types.StructType(latest.schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)),
+        fieldIds = (latest.fieldIds - from) + (to -> latest.fieldIds(from)),
+        spec = newSpec,
+        snapshots = latest.snapshots.map(s => s.copy(files = s.files.map(f =>
+          f.copy(
+            minValues = remapS(f.minValues),
+            maxValues = remapS(f.maxValues),
+            nullCounts = remapL(f.nullCounts),
+            partitionValues = f.partitionValues.map { case (k, v) =>
+              renames.getOrElse(k, k) -> v })))))
     }
+  }
+
+  private def metadataChange(f: TableMetadata => TableMetadata): LakeTable = {
+    val (next, v, _) = catalog.commit(namespace, shortName)(f)
     meta = next
     version = v
     this
@@ -124,7 +191,7 @@ final class LakeTable private[lake] (
   def compact(spark: SparkSession, targetFiles: Int): CommitReport = {
     val live = meta.currentFiles
     if (live.isEmpty) return commitSnapshot("replace", Nil, Nil)
-    val df = spark.read.schema(schema).parquet(live.map(_.path): _*)
+    val df = readFiles(spark, live.map(_.path))
     // numFiles goes through writeDataFiles so the partitioned path uses
     // repartitionByRange(targetFiles, spec) — a bare repartition here
     // would be re-shuffled to the default partition count by the spec
@@ -143,7 +210,7 @@ final class LakeTable private[lake] (
     if (touched.isEmpty) return commitSnapshot("delete", Nil, Nil)
     // NULL predicate rows must be KEPT (SQL delete semantics: only
     // TRUE deletes) — a bare !pred would drop them
-    val kept = spark.read.schema(schema).parquet(touched.map(_.path): _*)
+    val kept = readFiles(spark, touched.map(_.path))
       .filter(!org.apache.spark.sql.functions.coalesce(pred.toColumn,
         org.apache.spark.sql.functions.lit(false)))
     val added = writeDataFiles(kept)
@@ -195,7 +262,7 @@ final class LakeTable private[lake] (
     val touched = live.filter(pred.mayMatch(_, schema))
     val kept =
       if (touched.isEmpty) src.limit(0)
-      else spark.read.schema(schema).parquet(touched.map(_.path): _*)
+      else readFiles(spark, touched.map(_.path))
         .join(src.select(keys.map(F.col): _*), keys, "left_anti")
     val added = writeDataFiles(kept.unionByName(src))
     src.unpersist()
@@ -208,7 +275,7 @@ final class LakeTable private[lake] (
     val live = meta.currentFiles
     val touched = live.filter(pred.mayMatch(_, schema))
     if (touched.isEmpty) return commitSnapshot("overwrite", Nil, Nil)
-    val df = spark.read.schema(schema).parquet(touched.map(_.path): _*)
+    val df = readFiles(spark, touched.map(_.path))
     val rewritten = assignments.foldLeft(df) { case (acc, (c, v)) =>
       acc.withColumn(c, org.apache.spark.sql.functions.when(pred.toColumn, v)
         .otherwise(org.apache.spark.sql.functions.col(c)))
@@ -273,6 +340,21 @@ final class LakeTable private[lake] (
     val t0 = System.nanoTime()
     val removedPaths = removed.map(_.path).toSet
     val (next, v, attempts) = catalog.commit(namespace, shortName) { latest =>
+      // Conflict validation (Iceberg's validateNoConflictingData analog):
+      // every file this op rewrites must still be live in the metadata
+      // the commit lands on. Without it, two concurrent copy-on-write ops
+      // (delete/update/compact/merge) that rewrote the same file would
+      // BOTH succeed — the loser's filterNot is a no-op on files the
+      // winner already removed, so its rewritten copies append anyway,
+      // duplicating rows or resurrecting deleted ones. Appends
+      // (removed = ∅) are always safe and never hit this.
+      val latestPaths = latest.currentFiles.map(_.path).toSet
+      val conflicting = removedPaths.filterNot(latestPaths)
+      if (conflicting.nonEmpty)
+        throw new CommitConflictException(
+          s"$op on $name conflicts with a concurrent commit: " +
+            s"${conflicting.size} file(s) this op rewrites are no longer live " +
+            s"(e.g. ${conflicting.head}); re-read the table and retry the operation")
       val newId = latest.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
       val files = latest.currentFiles.filterNot(f => removedPaths(f.path)) ++ added
       val snap = Snapshot(newId, Option(latest.currentSnapshotId).filter(_ >= 0),
@@ -343,7 +425,7 @@ final class LakeScan private[lake] (
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), table.schema)
     else
-      spark.read.schema(table.schema).parquet(files.map(_.path): _*)
+      table.readFiles(spark, files.map(_.path))
         .filter(pred.toColumn)
   }
 }

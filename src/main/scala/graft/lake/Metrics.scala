@@ -42,8 +42,13 @@ final case class CommitReport(
     "totalRecords" -> totalRecords,
     "totalFilesSizeInBytes" -> totalFilesSizeInBytes,
     "totalPositionalDeletes" -> totalPositionalDeletes,
-    "totalEqualityDeletes" -> totalEqualityDeletes,
-    "totalDuration" -> totalDurationMs)
+    "totalEqualityDeletes" -> totalEqualityDeletes)
+
+  /** Durations are TIMERS (count + accumulated time), not counters —
+    * the reference records Iceberg TimerResults via timer.record()
+    * (MicrometerMetricsReporter.java:78-92), so one commit bumps the
+    * timer count by 1 and its total by the duration. */
+  def timers: Map[String, Long] = Map("totalDuration" -> totalDurationMs)
 }
 
 /** One per scan planning — 3 metrics (MicrometerMetricsReporterTest.java:43-47). */
@@ -59,6 +64,12 @@ final case class ScanReport(
     "resultDataFiles" -> resultDataFiles,
     "resultDeleteFiles" -> resultDeleteFiles,
     "totalFileSizeInBytes" -> totalFileSizeInBytes)
+
+  /** Planning time as a timer, named after Iceberg's ScanMetricsResult
+    * TimerResult field (totalPlanningDuration) that the reference's
+    * reflective extraction would surface (MicrometerMetricsReporter
+    * .java:94-113 collects TimerResult fields; :78-92 records them). */
+  def timers: Map[String, Long] = Map("totalPlanningDuration" -> planningDurationMs)
 }
 
 trait MetricsReporter {
@@ -70,25 +81,49 @@ object MetricsReporter {
   val noop: MetricsReporter = (_: MetricsReport) => ()
 }
 
-/** In-memory registry of named counters tagged by table name — the
-  * SimpleMeterRegistry analog. Counters accumulate across reports. */
+/** In-memory registry of named counters AND timers tagged by table name
+  * — the SimpleMeterRegistry analog. Counters accumulate a sum; timers
+  * accumulate (invocation count, total duration), Micrometer Timer
+  * semantics (reference: timer.record(count, unit),
+  * MicrometerMetricsReporter.java:89-92). */
 final class SimpleMetrics extends MetricsReporter {
   private val counters = new ConcurrentHashMap[(String, String), AtomicLong]()
+  private val timers = new ConcurrentHashMap[(String, String), (AtomicLong, AtomicLong)]()
 
   private def add(name: String, table: String, v: Long): Unit =
     counters.computeIfAbsent((name, table), _ => new AtomicLong()).addAndGet(v)
 
+  private def record(name: String, table: String, durMs: Long): Unit = {
+    val (n, total) = timers.computeIfAbsent((name, table),
+      _ => (new AtomicLong(), new AtomicLong()))
+    n.incrementAndGet()
+    total.addAndGet(durMs)
+  }
+
   override def report(r: MetricsReport): Unit = r match {
     case c: CommitReport =>
       c.counters.foreach { case (k, v) => add(s"lake.commitReport.$k", c.tableName, v) }
+      c.timers.foreach { case (k, v) => record(s"lake.commitReport.$k", c.tableName, v) }
     case s: ScanReport =>
       s.counters.foreach { case (k, v) => add(s"lake.scanReport.$k", s.tableName, v) }
+      s.timers.foreach { case (k, v) => record(s"lake.scanReport.$k", s.tableName, v) }
   }
 
-  /** All meter names emitted for a table (the metric-set-equality oracle). */
+  /** All meter names emitted for a table (the metric-set-equality
+    * oracle): counters and timers in one namespace, like a Micrometer
+    * registry. */
   def meterNames(table: String): Set[String] =
-    counters.keySet.asScala.collect { case (n, t) if t == table => n }.toSet
+    (counters.keySet.asScala ++ timers.keySet.asScala)
+      .collect { case (n, t) if t == table => n }.toSet
 
   def counterValue(name: String, table: String): Long =
     Option(counters.get((name, table))).map(_.get()).getOrElse(0L)
+
+  /** Timer invocation count (Micrometer Timer.count). */
+  def timerCount(name: String, table: String): Long =
+    Option(timers.get((name, table))).map(_._1.get()).getOrElse(0L)
+
+  /** Timer accumulated duration in ms (Micrometer Timer.totalTime). */
+  def timerTotalMs(name: String, table: String): Long =
+    Option(timers.get((name, table))).map(_._2.get()).getOrElse(0L)
 }

@@ -16,6 +16,13 @@ import scala.jdk.CollectionConverters._
   * lookup. JSON is hand-serialized (deterministic, no reflection) and
   * parsed with Jackson's tree API.
   */
+/** A copy-on-write commit lost its race: the files it rewrote were
+  * removed by a concurrent commit between read and CAS. Retrying the
+  * metadata transform would duplicate/resurrect rows, so the operation
+  * itself must be re-run against fresh metadata (Iceberg's
+  * validateNoConflictingData behavior). */
+final class CommitConflictException(msg: String) extends IllegalStateException(msg)
+
 final case class PartitionField(source: String, transform: String) {
   def render: String = if (transform == "identity") source else s"$transform($source)"
 
@@ -71,10 +78,37 @@ final case class TableMetadata(
     schema: StructType,
     spec: Seq[PartitionField],
     snapshots: Seq[Snapshot],
-    currentSnapshotId: Long) {
+    currentSnapshotId: Long,
+    // Field-ID addressing (reference: schemas declare explicit field IDs,
+    // IntegrationTest.java:59-64). IDs are stable across renames and
+    // never reused after drops; they live here — NOT in StructField
+    // metadata — so table.schema round-trips the user's StructType
+    // identically (the reference's schema-identity contract). Write and
+    // read paths inject them as parquet field IDs ("parquet.field.id"),
+    // which is what makes renamed columns resolve in old files.
+    fieldIds: Map[String, Int] = Map.empty,
+    lastAssignedFieldId: Int = 0) {
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   def currentFiles: Seq[DataFileEntry] = currentSnapshot.map(_.files).getOrElse(Nil)
+
+  /** Metadata written before field IDs existed (or built ad hoc) gets
+    * positional IDs 1..n — the same assignment createTable performs. */
+  def withFieldIdDefaults: TableMetadata =
+    if (fieldIds.nonEmpty) this
+    else copy(
+      fieldIds = schema.fieldNames.zipWithIndex.map { case (n, i) => (n, i + 1) }.toMap,
+      lastAssignedFieldId = schema.size)
+
+  /** The schema with parquet field-ID metadata injected per field — the
+    * form handed to Spark's parquet reader/writer, never to users. */
+  def schemaWithFieldIds: StructType = StructType(schema.fields.map { f =>
+    fieldIds.get(f.name) match {
+      case Some(id) => f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
+      case None => f
+    }
+  })
 }
 
 object MetadataJson {
@@ -114,6 +148,8 @@ object MetadataJson {
   def write(m: TableMetadata): String =
     s"""{"formatVersion":1,"name":${q(m.name)},"location":${q(m.location)},""" +
       s""""schema":${m.schema.json},""" +
+      s""""fieldIds":${m.fieldIds.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")},""" +
+      s""""lastAssignedFieldId":${m.lastAssignedFieldId},""" +
       s""""spec":${m.spec.map(p => s"""{"source":${q(p.source)},"transform":${q(p.transform)}}""").mkString("[", ",", "]")},""" +
       s""""snapshots":${m.snapshots.map(snapshotJson).mkString("[", ",", "]")},""" +
       s""""currentSnapshotId":${m.currentSnapshotId}}"""
@@ -150,6 +186,11 @@ object MetadataJson {
       spec = n.get("spec").elements().asScala
         .map(p => PartitionField(p.get("source").asText(), p.get("transform").asText())).toSeq,
       snapshots = n.get("snapshots").elements().asScala.map(parseSnapshot).toSeq,
-      currentSnapshotId = n.get("currentSnapshotId").asLong())
+      currentSnapshotId = n.get("currentSnapshotId").asLong(),
+      fieldIds = Option(n.get("fieldIds"))
+        .map(m => m.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap)
+        .getOrElse(Map.empty),
+      lastAssignedFieldId = Option(n.get("lastAssignedFieldId")).map(_.asInt()).getOrElse(0)
+    ).withFieldIdDefaults // pre-field-ID documents get positional IDs
   }
 }

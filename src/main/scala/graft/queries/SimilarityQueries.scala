@@ -61,10 +61,11 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** Deterministic random hyperplanes (seed 42), 16 × 64. */
+  /** Deterministic random hyperplanes (seed 42), 64 × 64 — one 64-bit
+    * signature per vector. */
   private lazy val planes: Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
-    Seq.fill(16)(Seq.fill(64)(rnd.nextGaussian()))
+    Seq.fill(64)(Seq.fill(64)(rnd.nextGaussian()))
   }
 
   private def signature(v: Column): Column =
@@ -77,12 +78,15 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     val emb = embeddings(s, d)
       .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
-    // 4 bands × 4 bits: for weakly-similar neighbors (cosine ~0.2 on
-    // random vectors) a 4-bit band collides with ~0.56^4 ≈ 10% per band —
-    // 8-bit bands would collide almost never. Band width is THE
-    // recall/cost knob; at scale it is tuned to the target similarity.
+    // 16 bands × 4 bits: for a top neighbor on RANDOM embeddings
+    // (cosine ~0.35, the adversarial case — no cluster structure) a
+    // 4-bit band collides with ~0.61^4 ≈ 14%; 16 bands lift that to
+    // 1-(1-0.14)^16 ≈ 0.9 recall, which is what AnnRecallSpec pins
+    // (the round-1 4-band config measured 0.32). Band count/width is
+    // THE recall/cost knob: each band is one shuffle-key worth of
+    // candidates, tuned at scale to the target similarity. */
     val banded = emb.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until 4).map(b =>
+      posexplode(array((0 until 16).map(b =>
         shiftright(col("sig"), b * 4).bitwiseAND(0xF)): _*))
         .as(Seq("band", "bucket")))
     val queries = banded.filter(col("vec_id") < nQueries)
@@ -150,7 +154,13 @@ object SimilarityQueries {
     val probed = qs.crossJoin(broadcast(cells))
       .withColumn("cdist", cosine(col("q_vec"), col("centroid")))
       .withColumn("crn", row_number().over(wCell))
-      .filter(col("crn") <= 2) // nprobe = 2
+      // nprobe = 6 of 16 cells: on random embeddings the true top-5
+      // spread across cells (no cluster structure to exploit), so few
+      // probes miss them — nprobe=4 measured 0.52 recall@5 at sf0.01;
+      // 6 clears the AnnRecallSpec 0.6 floor while still scanning
+      // under 40% of the inverted file. On real (clustered) embeddings
+      // the same recall needs far fewer probes.
+      .filter(col("crn") <= 6)
       .select(col("q_id"), col("q_vec"), col("cell"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))

@@ -20,13 +20,23 @@ object ColumnBridge {
   * concurrent writers interleaving set/restore would leak the conf
   * session-wide — the bug class this replaces). */
 object SessionBridge {
-  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
 
-  /** Rebind `df`'s logical plan to a cloned session carrying `confs`. */
-  def withConfs(df: DataFrame, confs: Map[String, String]): DataFrame = {
-    val clone = df.sparkSession.asInstanceOf[CSparkSession].cloneSession()
+  /** Rebind `df`'s logical plan to a cloned session carrying `confs`.
+    * Right for WRITES (the write command runs under the new session);
+    * for reads use [[sessionWithConfs]] — a file relation captures its
+    * session when `.parquet()` resolves it, so the read must be BUILT
+    * on the configured session, not rebound after. */
+  def withConfs(df: DataFrame, confs: Map[String, String]): DataFrame =
+    CDataset.ofRows(sessionWithConfs(df.sparkSession, confs)
+      .asInstanceOf[CSparkSession], df.queryExecution.logical)
+
+  /** A cloned session (shared context + cache, copied conf) with the
+    * given confs applied. */
+  def sessionWithConfs(s: SparkSession, confs: Map[String, String]): SparkSession = {
+    val clone = s.asInstanceOf[CSparkSession].cloneSession()
     confs.foreach { case (k, v) => clone.conf.set(k, v) }
-    CDataset.ofRows(clone, df.queryExecution.logical)
+    clone
   }
 }

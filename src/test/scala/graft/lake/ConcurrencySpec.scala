@@ -9,31 +9,62 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * attempt counters must reflect the retries the losers performed. */
 class ConcurrencySpec extends LakeSuite {
 
-  test("8 concurrent append commits all land; no lost updates") {
-    val metrics = new SimpleMetrics
-    val cat = LakeCatalog.open(freshWarehouse(), metrics)
-    val t = cat.createTable("ns", "contended", ordersDF.schema)
-    // stage data files sequentially (Spark jobs), then race ONLY the
-    // metadata commits — that is where the CAS lives
-    val batches = (0 until 8).map { i =>
-      t.writeDataFiles(ordersDF.filter(
-        org.apache.spark.sql.functions.col("o_orderkey") % 8 === i).coalesce(1))
-    }
-    val reports = Await.result(
-      Future.sequence(batches.map { b =>
-        Future(cat.loadTable("ns", "contended").newAppend()
-          .appendFile(b.head).commit())
-      }), 120.seconds)
+  // Same contention protocol against BOTH commit backends: the
+  // hard-link CAS (local FS) and the conditional-put map (the object-
+  // store/H2 semantics — no links or renames, only putIfAbsent). The
+  // commit protocol must not care which provides the atomicity.
+  for ((backendName, mkBackend) <- Seq(
+      "local-fs hard-link CAS" -> (() => new LocalFsCommitBackend),
+      "in-memory conditional put" -> (() => new InMemoryCommitBackend))) {
+    test(s"8 concurrent append commits all land; no lost updates [$backendName]") {
+      val metrics = new SimpleMetrics
+      val cat = LakeCatalog.open(freshWarehouse(), metrics, mkBackend())
+      val t = cat.createTable("ns", "contended", ordersDF.schema)
+      // stage data files sequentially (Spark jobs), then race ONLY the
+      // metadata commits — that is where the CAS lives
+      val batches = (0 until 8).map { i =>
+        t.writeDataFiles(ordersDF.filter(
+          org.apache.spark.sql.functions.col("o_orderkey") % 8 === i).coalesce(1))
+      }
+      val reports = Await.result(
+        Future.sequence(batches.map { b =>
+          Future(cat.loadTable("ns", "contended").newAppend()
+            .appendFile(b.head).commit())
+        }), 120.seconds)
 
-    val re = cat.loadTable("ns", "contended")
-    assert(re.snapshots.size === 8)
-    assert(re.metadata.currentFiles.size === 8)
-    assert(re.metadata.currentSnapshot.get.totalRecords === ordersDF.count())
-    assert(re.newScan().toDF(spark).count() === ordersDF.count())
-    // every commit succeeded exactly once; contention shows up as
-    // attempts > 1 somewhere (not guaranteed per-thread, but the SUM of
-    // attempts must be >= number of commits)
-    assert(reports.map(_.attempts).sum >= 8)
-    assert(reports.map(_.snapshotId).distinct.size === 8)
+      val re = cat.loadTable("ns", "contended")
+      assert(re.snapshots.size === 8)
+      assert(re.metadata.currentFiles.size === 8)
+      assert(re.metadata.currentSnapshot.get.totalRecords === ordersDF.count())
+      assert(re.newScan().toDF(spark).count() === ordersDF.count())
+      // every commit succeeded exactly once; contention shows up as
+      // attempts > 1 somewhere (not guaranteed per-thread, but the SUM of
+      // attempts must be >= number of commits)
+      assert(reports.map(_.attempts).sum >= 8)
+      assert(reports.map(_.snapshotId).distinct.size === 8)
+    }
+  }
+
+  test("conflicting copy-on-write ops: the loser aborts instead of resurrecting rows") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "cow", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 2)
+    val n = ordersDF.count()
+    // two handles, both seeing the same live files
+    val a = cat.loadTable("ns", "cow")
+    val b = cat.loadTable("ns", "cow")
+    a.compact(spark, 1) // rewrites every live file
+    // b's delete targets files a already removed: committing its rewrite
+    // would re-append copies of data a compacted away
+    assertThrows[CommitConflictException](
+      b.deleteWhere(spark, LakePredicate.NotNull("o_orderkey")))
+    val re = cat.loadTable("ns", "cow")
+    assert(re.newScan().toDF(spark).count() === n) // winner's state intact
+    // a concurrent APPEND between read and commit is NOT a conflict:
+    // the CoW op's removed files are still live, so it lands on retry
+    val c = cat.loadTable("ns", "cow")
+    re.appendData(ordersDF.limit(10))
+    c.compact(spark, 1) // stale handle, but its target files survive
+    assert(cat.loadTable("ns", "cow").newScan().toDF(spark).count() === n + 10)
   }
 }

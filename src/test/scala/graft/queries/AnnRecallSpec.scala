@@ -1,0 +1,25 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.lake.LakeSuite
+
+/** ANN quality gate: the approximate paths must actually FIND neighbors,
+  * not just have the right plan shape — mean recall@5 vs the brute-force
+  * ground truth is asserted, not narrated in a comment. The floor is 0.6
+  * on random embeddings (weak similarity structure, the hard case for
+  * both LSH banding and IVF cell probing). */
+class AnnRecallSpec extends LakeSuite {
+
+  test("LSH and IVF mean recall@5 vs brute force is at least 0.6") {
+    val d = "/root/testdata/sf0.01"
+    val recall = SimilarityQueries.qAnnRecall(spark, d)
+      .groupBy(col("method"))
+      .agg((sum(col("hits_at_5")) / sum(col("k"))).as("recall"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    graft.queries.QueryCaches.clear()
+    assert(recall.keySet === Set("lsh", "ivf"))
+    assert(recall("lsh") >= 0.6, s"LSH recall@5 ${recall("lsh")} < 0.6")
+    assert(recall("ivf") >= 0.6, s"IVF recall@5 ${recall("ivf")} < 0.6")
+  }
+}
