@@ -115,8 +115,45 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Column rename WITHOUT data rewrite: files written under the old
+    * name must come back fully populated under the new one (field-ID
+    * projection; name-based matching would return all nulls and the
+    * oracle would catch it). */
+  def lakeRename(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_rn", src.schema)
+    t.appendData(src)
+    t.refresh().renameColumn("o_totalprice", "amount")
+    t.newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
+  /** The SQL surface end-to-end: DDL through the V2 catalog plugin,
+    * a transactional append through the Scala API, and an aggregation
+    * read back with spark.sql over `<catalog>.<ns>.<table>`. */
+  def lakeSqlSelect(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val wh = Files.createTempDirectory("graft_lake_sql_").toString
+    // unique catalog name per invocation: catalog plugins are cached by
+    // name per session, and each run builds a fresh warehouse
+    val catName = s"lakesql_${java.lang.Long.toHexString(System.nanoTime())}"
+    s.conf.set(s"spark.sql.catalog.$catName", classOf[graft.lake.sql.LakeSqlCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $catName.q")
+    s.sql(s"CREATE TABLE $catName.q.orders (${src.schema.toDDL})")
+    LakeCatalog.open(wh).loadTable("q", "orders").appendData(src)
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS sum_price,
+         |  min(o_orderdate) AS first_date
+         |FROM $catName.q.orders
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_maintenance" -> lakeMaintenance,
+    "lake_rename" -> lakeRename,
+    "lake_sql_select" -> lakeSqlSelect,
     "lake_roundtrip" -> lakeRoundtrip,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_prune" -> lakePrune,
@@ -128,6 +165,15 @@ object LakeQueries {
 
   val oracles: Map[String, String] = Map(
     "lake_maintenance" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "lake_rename" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS amount,
+        |  o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_sql_select" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  min(o_orderdate) AS first_date
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "lake_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_time_travel" ->
       "SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey",
