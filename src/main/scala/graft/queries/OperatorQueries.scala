@@ -16,6 +16,7 @@ object OperatorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> qSaltedAgg,
     "multimodal_decode" -> ((s, d) => MultimodalDecode.decodeDocuments(s, d)),
+    "multimodal_frames" -> ((s, d) => MultimodalDecode.frameDocuments(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -34,5 +35,30 @@ object OperatorQueries {
         |  32 + (octet_length(CAST(text AS BLOB)) * 5) % 480 AS height,
         |  CAST(1 + ascii(substring(text, 1, 1)) % 4 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // replays the frame-sample/resize/feature stub arithmetic: lateral
+    // range over the per-doc frame count = the flatMap generator shape
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n,
+        |    CAST(ascii(substring(text, 1, 1)) AS BIGINT) AS first
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, n,
+        |    greatest(1, least(1 + first % 4, n)) AS nf,
+        |    greatest(1, n // greatest(1, least(1 + first % 4, n))) AS flen
+        |  FROM m
+        |), fr AS (
+        |  -- "offset" is reserved in DuckDB, hence frame_offset
+        |  SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, i * flen AS frame_offset,
+        |    CASE WHEN i = nf - 1 THEN n - i * flen ELSE flen END AS frame_bytes
+        |  FROM f, (SELECT unnest(range(nf)) AS i) t
+        |)
+        |SELECT doc_id, frame_idx, frame_offset, frame_bytes,
+        |  CAST(64 AS BIGINT) AS resized_w, CAST(64 AS BIGINT) AS resized_h,
+        |  (frame_bytes * 31 + frame_idx * 7) % 1000 AS checksum,
+        |  CAST(list_sum(list_transform(range(8),
+        |    k -> (frame_bytes * (k + 3)) % 97)) AS BIGINT) AS feat_sum
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

