@@ -127,23 +127,41 @@ object TextQueries {
   /** SimHash (64-bit) near-dup: hamming distance ≤ 3 via 4×16-bit band
     * candidate generation + exact bit_count check. Rows-only.
     * (32 bits at hamming ≤ 4 produced ~600k pairs on the shared-vocab
-    * corpus — the wider hash restores discrimination.) */
+    * corpus — the wider hash restores discrimination.)
+    *
+    * The per-doc simhash is ONE narrow map stage: hash each distinct
+    * word with XXH64 (the exact algorithm+seed behind SQL xxhash64, so
+    * values match the round-1 formulation bit for bit), fold ±1 into
+    * 64 local counters, emit the sign bits — zero shuffles and zero
+    * intermediate rows. The round-1 formulation exploded 64 rows per
+    * (doc, word) — ~16M rows through two shuffles at sf0.1 — to
+    * express exactly this local arithmetic. (A doubled-murmur32 hash
+    * was tried first and produced 300× more hamming-≤3 pairs — its
+    * halves are too correlated for sign-vote bits; hash quality IS the
+    * operator here.) */
   def qSimhashDedup(s: SparkSession, d: String): DataFrame = {
-    val bits = 64
-    val wordHash = documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(wordsCol)).as("w"))
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
-      // functions.shiftright only takes a literal shift, so the per-bit
-      // expansion uses the SQL form (column shift amounts are fine there)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, ${bits - 1}), b -> IF((shiftright(h, b) & 1) = 1, 1, -1))"))
-        .as(Seq("bit", "sign")))
-    val sim = wordHash.groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("sign")).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(sum(expr(
-        "IF(v > 0, shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)), CAST(0 AS BIGINT))"))
-        .as("simhash"))
+    val spark0 = s
+    import spark0.implicits._
+    val sim = documents(s, d).select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val counts = new Array[Int](64)
+        text.split(" ", -1).distinct.foreach { w =>
+          val wb = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            wb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, wb.length, 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        var sh = 0L
+        var b = 0
+        while (b < 64) { if (counts(b) > 0) sh |= (1L << b); b += 1 }
+        (id, sh)
+      }
+      .toDF("doc_id", "simhash")
     val banded = sim.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))

@@ -89,6 +89,17 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the unbounded twin of the batch
+    * dedup_exact operator, for at-least-once sources that re-deliver.
+    * dropDuplicatesWithinWatermark keeps a key's dedup state only
+    * inside the watermark horizon, so state is bounded by event-time
+    * skew instead of growing with the corpus (a batch groupBy holds
+    * every key; an unbounded stream cannot). */
+  def dedupedEvents(spark: SparkSession, schema: StructType, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drive a streaming DF synchronously into a memory sink and return
     * the collected table (dev/test harness for bounded inputs). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {

@@ -41,6 +41,7 @@ trait LakeSuite extends AnyFunSuite {
     Files.createTempDirectory("graft_test_wh_").toString
 
   def ordersDF = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+  def lineitemDF = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
 }
 
 object LakeSuite {

@@ -87,6 +87,65 @@ class PruningSpec extends LakeSuite {
     assert(got === expected)
   }
 
+  // Second corpus: lineitem clustered by a STRING identity partition,
+  // exercising lexicographic stat bounds (Stats.cmp string path) and
+  // the wider column mix — the round-1 generator only drew from orders.
+  private lazy val liTable = {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("prune", "lineitem", lineitemDF.schema,
+      spec = Seq(PartitionField("l_returnflag", "identity")))
+    t.appendData(lineitemDF, numFiles = 12)
+    t.refresh()
+  }
+
+  private val genLiPred: Gen[LakePredicate] = {
+    val flag = Gen.oneOf("A", "N", "R")
+    val status = Gen.oneOf("F", "O")
+    val qty = Gen.choose(1.0, 50.0)
+    val disc = Gen.choose(0.0, 0.1)
+    val date = Gen.choose(0L, 2500L).map(d =>
+      java.sql.Timestamp.valueOf(java.time.LocalDate.of(1992, 6, 1).plusDays(d).atStartOfDay()))
+    val leaf: Gen[LakePredicate] = Gen.oneOf(
+      flag.map(v => Eq("l_returnflag", v)),
+      flag.map(v => Gt("l_returnflag", v)), // string range: lexicographic bounds
+      flag.map(v => Le("l_returnflag", v)),
+      status.map(v => Eq("l_linestatus", v)),
+      qty.map(v => Ge("l_quantity", Double.box(v))),
+      qty.map(v => Lt("l_quantity", Double.box(v))),
+      disc.map(v => Gt("l_discount", Double.box(v))),
+      date.map(v => Ge("l_shipdate", v)),
+      date.map(v => Lt("l_shipdate", v)),
+      Gen.listOfN(2, status).map(vs => In("l_linestatus", vs)),
+      Gen.const(NotNull("l_returnflag")))
+    def node(depth: Int): Gen[LakePredicate] =
+      if (depth == 0) leaf
+      else Gen.frequency(
+        3 -> leaf,
+        1 -> Gen.zip(node(depth - 1), node(depth - 1)).map { case (a, b) => And(a, b) },
+        1 -> Gen.zip(node(depth - 1), node(depth - 1)).map { case (a, b) => Or(a, b) },
+        1 -> node(depth - 1).map(Not(_)))
+    node(2)
+  }
+
+  test("∀ predicate over string-clustered lineitem: pruned ≡ full + filter") {
+    val full = liTable.newScan().toDF(spark).cache()
+    val preds = Gen.listOfN(30, genLiPred)
+      .apply(Gen.Parameters.default, Seed(7L))
+      .getOrElse(fail("generator exhausted"))
+    preds.foreach { pred =>
+      val pruned = liTable.newScan(pred).toDF(spark).count()
+      val expected = full.filter(pred.toColumn).count()
+      assert(pruned === expected, s"for predicate ${pred.render}")
+    }
+  }
+
+  test("string equality on the clustered flag column skips files") {
+    val total = liTable.metadata.currentFiles.size
+    assume(total > 1)
+    val survivors = liTable.newScan(Eq("l_returnflag", "A")).planFiles.size
+    assert(survivors < total, s"$survivors of $total files survive")
+  }
+
   test("partition values derived for clustered files use the year transform") {
     val withPv = table.metadata.currentFiles.filter(_.partitionValues.nonEmpty)
     assert(withPv.nonEmpty, "at least some files should sit inside one year")

@@ -71,6 +71,18 @@ class StreamingSpec extends LakeSuite {
     assert(batch.except(finals).count() === 0)
   }
 
+  test("streaming dedup drops re-delivered events; clean stream passes through") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream3_").toString
+    // duplicate delivery: every event arrives twice (at-least-once source)
+    staticEvents.write.mode("overwrite").parquet(s"$dir/in")
+    staticEvents.write.mode("append").parquet(s"$dir/in")
+    val deduped = EventStream.runToMemory(
+      EventStream.dedupedEvents(spark, staticEvents.schema, s"$dir/in"),
+      "deduped", OutputMode.Append())
+    assert(deduped.count() === staticEvents.count())
+    assert(deduped.select(col("event_id")).distinct().count() === staticEvents.count())
+  }
+
   test("stateful mapGroupsWithState totals == batch groupBy totals") {
     val streamed = EventStream.runToMemory(
       EventStream.runningUserTotals(spark, staticEvents.schema, stagedDir).toDF(),
