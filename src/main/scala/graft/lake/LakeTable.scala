@@ -105,11 +105,14 @@ final class LakeTable private[lake] (
   def newScan(pred: LakePredicate = LakePredicate.AlwaysTrue): LakeScan =
     new LakeScan(this, meta.currentSnapshot, pred)
 
-  /** Time travel: scan the manifest of an historical snapshot. */
-  def asOf(snapshotId: Long): LakeScan =
+  /** Time travel: scan the manifest of an historical snapshot, with
+    * optional stats pruning — the SQL VERSION AS OF path passes pushed
+    * filters through here. */
+  def asOf(snapshotId: Long,
+      pred: LakePredicate = LakePredicate.AlwaysTrue): LakeScan =
     new LakeScan(this, Some(meta.snapshot(snapshotId).getOrElse(
       throw new NoSuchElementException(s"no snapshot $snapshotId in $name"))),
-      LakePredicate.AlwaysTrue)
+      pred)
 
   /** Schema evolution: add a nullable column. Metadata-only commit (no
     * snapshot); existing files read back null for it. The new column

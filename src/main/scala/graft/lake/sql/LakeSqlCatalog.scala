@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.lake.{LakeCatalog, LakeTable, PartitionField}
+import graft.lake.{LakeCatalog, LakePredicate, LakeTable, PartitionField}
 
 /** DataSource V2 catalog plugin: makes the lake SQL-visible —
   * `spark.sql("SELECT * FROM <cat>.<ns>.<table>")` — the one surface the
@@ -43,7 +43,9 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
     val wh = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name requires option 'warehouse' (spark.sql.catalog.$name.warehouse)"))
-    lake = LakeCatalog.open(wh)
+    // SQL scans report through the same observability surface as API
+    // scans (planFiles fires ScanReport on every SELECT)
+    lake = LakeCatalog.open(wh, LakeSqlCatalog.metrics)
   }
 
   override def name(): String = catalogName
@@ -65,6 +67,31 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
     val ns = ns1(ident.namespace)
     if (!lake.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
     new LakeSqlTable(lake.loadTable(ns, ident.name))
+  }
+
+  /** SQL time travel, VERSION AS OF <snapshotId>. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val ns = ns1(ident.namespace)
+    if (!lake.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
+    val lt = lake.loadTable(ns, ident.name)
+    val id = scala.util.Try(version.toLong).getOrElse(
+      throw new IllegalArgumentException(s"snapshot version must be numeric: $version"))
+    require(lt.metadata.snapshot(id).isDefined, s"no snapshot $id in ${lt.name}")
+    new LakeSqlTable(lt, Some(id))
+  }
+
+  /** SQL time travel, TIMESTAMP AS OF — `timestampMicros` per the V2
+    * contract; resolves to the latest snapshot committed at or before
+    * that instant. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val ns = ns1(ident.namespace)
+    if (!lake.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
+    val lt = lake.loadTable(ns, ident.name)
+    val cutoffMs = timestampMicros / 1000L
+    val snap = lt.snapshots.filter(_.timestampMs <= cutoffMs)
+      .sortBy(_.id).lastOption.getOrElse(
+        throw new NoSuchTableException(ident))
+    new LakeSqlTable(lt, Some(snap.id))
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -129,6 +156,11 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object LakeSqlCatalog {
+  /** Process-wide meter registry for SQL-path scan/commit reports —
+    * the SimpleMeterRegistry role for catalogs Spark instantiates
+    * reflectively (no constructor injection point). */
+  val metrics = new graft.lake.SimpleMetrics
+
   /** SQL partition transforms → lake spec fields (the same transform
     * vocabulary the manifest uses; Model.PartitionField.toColumn). */
   private[sql] def toPartitionField(t: Transform): PartitionField = {
@@ -153,15 +185,18 @@ object LakeSqlCatalog {
   }
 }
 
-/** Read-only SQL handle on a lake table: the current snapshot's live
-  * files served through Spark's native vectorized parquet source
-  * (ParquetTable → ScanBuilder gives column pruning + filter pushdown
-  * to row groups with zero custom reader code). Capabilities exclude
-  * writes so INSERT fails at analysis instead of corrupting the
-  * manifest. */
-final class LakeSqlTable(lt: LakeTable) extends Table with SupportsRead {
-  private lazy val delegate = {
-    val files = lt.newScan().planFiles.map(_.path)
+/** Read-only SQL handle on a lake table (optionally at an historical
+  * snapshot). Pushed SQL predicates prune at TWO levels: manifest
+  * min/max stats skip whole files BEFORE Spark lists them (the
+  * LakeScan.planFiles path — fires the usual ScanReport, so SQL scans
+  * are observable like API scans), then Spark's native vectorized
+  * parquet source applies row-group/page pushdown and column pruning
+  * over the surviving files. Capabilities exclude writes so INSERT
+  * fails at analysis instead of corrupting the manifest. */
+final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
+    extends Table with SupportsRead {
+
+  private def mkParquetTable(files: Seq[String]) =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
       lt.name,
       SparkSession.active,
@@ -169,6 +204,27 @@ final class LakeSqlTable(lt: LakeTable) extends Table with SupportsRead {
       files,
       Some(lt.metadata.schemaWithFieldIds),
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
+  /** sources.Filter → manifest predicate; anything not expressible
+    * prunes nothing (conservative — all filters are re-applied as
+    * residuals anyway). */
+  private def toLakePredicate(fs: Array[org.apache.spark.sql.sources.Filter]): LakePredicate = {
+    import org.apache.spark.sql.{sources => S}
+    import graft.lake.{LakePredicate => P}
+    def convert(f: S.Filter): P = f match {
+      case S.EqualTo(a, v) => P.Eq(a, v)
+      case S.GreaterThan(a, v) => P.Gt(a, v)
+      case S.GreaterThanOrEqual(a, v) => P.Ge(a, v)
+      case S.LessThan(a, v) => P.Lt(a, v)
+      case S.LessThanOrEqual(a, v) => P.Le(a, v)
+      case S.In(a, vs) => P.In(a, vs.toSeq)
+      case S.IsNull(a) => P.IsNull(a)
+      case S.IsNotNull(a) => P.NotNull(a)
+      case S.And(l, r) => P.And(convert(l), convert(r))
+      case S.Or(l, r) => P.Or(convert(l), convert(r))
+      case _ => P.AlwaysTrue
+    }
+    fs.map(convert).reduceOption(P.And(_, _)).getOrElse(P.AlwaysTrue)
   }
 
   override def name(): String = lt.name
@@ -190,12 +246,21 @@ final class LakeSqlTable(lt: LakeTable) extends Table with SupportsRead {
   override def properties(): util.Map[String, String] =
     Map(
       TableCatalog.PROP_LOCATION -> lt.location,
-      "current-snapshot-id" -> lt.currentSnapshotId.toString,
+      "current-snapshot-id" -> snapshotId.getOrElse(lt.currentSnapshotId).toString,
       "format" -> "graft-lake/parquet").asJava
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    org.apache.spark.sql.graftbridge.ScanBridge.delegating { pushed =>
+      val pred = toLakePredicate(pushed)
+      val scan = snapshotId match {
+        case Some(id) => lt.asOf(id, pred)
+        case None => lt.newScan(pred)
+      }
+      mkParquetTable(scan.planFiles.map(_.path))
+        .newScanBuilder(options)
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
+    }
 }

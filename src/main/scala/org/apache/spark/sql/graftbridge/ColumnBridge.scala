@@ -40,3 +40,55 @@ object SessionBridge {
     clone
   }
 }
+
+/** Filter-pushdown glue for V2 tables that pick their FILE LIST from
+  * pushed predicates (manifest-level pruning) and then delegate the
+  * actual scan to a Spark file source. Lives in the sql package tree
+  * because the catalyst-filter pushdown trait
+  * (SupportsPushDownCatalystFilters) and FileScanBuilder are
+  * private[sql]: Spark's V2 pushdown prefers the catalyst variant, and
+  * only it lets us hand the delegate the expressions it needs for
+  * row-group pushdown. */
+object ScanBridge {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+  import org.apache.spark.sql.execution.datasources.DataSourceStrategy
+  import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+  import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  import org.apache.spark.sql.sources.Filter
+  import org.apache.spark.sql.types.StructType
+
+  /** `mkDelegate(pushedSourceFilters)` builds the file-source scan
+    * builder over the (already pruned) file list; the returned builder
+    * then receives the same filters for row-group pushdown and the
+    * pruned column set. All filters are reported as residual
+    * (pushedFilters = empty), so Spark re-applies them post-scan —
+    * manifest pruning must only ever SKIP files, never stand in for
+    * row filtering. */
+  def delegating(mkDelegate: Array[Filter] => FileScanBuilder): ScanBuilder =
+    new ScanBuilder with SupportsPushDownCatalystFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var exprs: Seq[Expression] = Nil
+      private var required: Option[StructType] = None
+
+      override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+        exprs = filters
+        filters // everything stays a residual; see scaladoc
+      }
+
+      override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+        Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
+
+      override def build(): Scan = {
+        val translated = exprs.flatMap(e =>
+          DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)).toArray
+        val delegate = mkDelegate(translated)
+        delegate.pushFilters(exprs) // parquet row-group/page pushdown
+        required.foreach(delegate.pruneColumns)
+        delegate.build()
+      }
+    }
+}

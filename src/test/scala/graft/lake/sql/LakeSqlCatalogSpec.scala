@@ -57,6 +57,50 @@ class LakeSqlCatalogSpec extends LakeSuite {
     spark.sql("DROP NAMESPACE sqllake.ns1")
   }
 
+  test("SQL WHERE prunes manifest files; VERSION/TIMESTAMP AS OF time-travel") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.sqllake3", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqllake3.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sqllake3.ns")
+    spark.sql(
+      """CREATE TABLE sqllake3.ns.orders_pruned (
+        |  o_orderkey BIGINT, o_totalprice DOUBLE)
+        |PARTITIONED BY (o_orderkey)""".stripMargin)
+    val t = LakeCatalog.open(wh).loadTable("ns", "orders_pruned")
+    val df = ordersDF.select(col("o_orderkey"), col("o_totalprice"))
+    val r1 = t.appendData(df, numFiles = 8) // range-clustered on o_orderkey
+    val nFiles = t.refresh().metadata.currentFiles.size
+    assert(nFiles >= 4)
+
+    // a selective SQL WHERE must skip manifest files, observable via
+    // the ScanReport the SQL path fires
+    val tbl = "ns.orders_pruned"
+    val before = LakeSqlCatalog.metrics.counterValue("lake.scanReport.resultDataFiles", tbl)
+    val maxKey = df.agg(max(col("o_orderkey"))).head.getLong(0)
+    val narrow = spark.sql(
+      s"SELECT count(*) FROM sqllake3.ns.orders_pruned WHERE o_orderkey > ${maxKey - 5}")
+      .head.getLong(0)
+    assert(narrow === df.filter(col("o_orderkey") > maxKey - 5).count())
+    val scanned = LakeSqlCatalog.metrics
+      .counterValue("lake.scanReport.resultDataFiles", tbl) - before
+    assert(scanned > 0 && scanned < nFiles,
+      s"expected manifest pruning for SQL WHERE: scanned $scanned of $nFiles files")
+
+    // second snapshot, then travel back to the first
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    t.refresh().appendData(df.limit(10))
+    assert(spark.sql("SELECT count(*) FROM sqllake3.ns.orders_pruned")
+      .head.getLong(0) === df.count() + 10)
+    assert(spark.sql(
+      s"SELECT count(*) FROM sqllake3.ns.orders_pruned VERSION AS OF ${r1.snapshotId}")
+      .head.getLong(0) === df.count())
+    val tsLit = java.time.Instant.ofEpochMilli(betweenMs).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM sqllake3.ns.orders_pruned TIMESTAMP AS OF '$tsLit'")
+      .head.getLong(0) === df.count())
+  }
+
   test("unsupported surfaces fail loudly, missing tables raise analysis errors") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.sqllake2", classOf[LakeSqlCatalog].getName)
