@@ -117,7 +117,34 @@ object AggWindowQueries {
       .orderBy(col("o_orderstatus"), col("rnk"))
   }
 
+  /** Relational PIVOT: order counts per year spread across status
+    * columns. The value list is explicit (F/O/P), so Catalyst plans a
+    * single pass with no value-discovery job. Empty cells are
+    * coalesced to 0 to match SQL conditional counts. */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("yr"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("yr"))
+
+  /** UNPIVOT/melt: wide part attributes to (key, attr, val) rows. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice"))
+      .unpivot(Array(col("p_partkey")), Array(col("p_size"), col("p_retailprice")),
+        "attr", "val")
+      .orderBy(col("p_partkey"), col("attr"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
     "q_distinct_agg" -> qDistinctAgg,
@@ -132,6 +159,17 @@ object AggWindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+        |ORDER BY p_partkey, attr""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, '(all)') AS rflag,
         |  coalesce(l_linestatus, '(all)') AS lstatus,
