@@ -191,33 +191,83 @@ final class LakeTable private[lake] (
   /** Small-file compaction: rewrite all live files into `targetFiles`
     * (reference motivation: 1-row files from IntegrationTest.java:97;
     * BASELINE.json spark_approach "DataFrame read/write + compaction"). */
-  def compact(spark: SparkSession, targetFiles: Int): CommitReport = {
+  def compact(spark: SparkSession, targetFiles: Int,
+      conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
     val live = meta.currentFiles
-    if (live.isEmpty) return commitSnapshot("replace", Nil, Nil)
-    val df = readFiles(spark, live.map(_.path))
-    // numFiles goes through writeDataFiles so the partitioned path uses
-    // repartitionByRange(targetFiles, spec) — a bare repartition here
-    // would be re-shuffled to the default partition count by the spec
-    // clustering and the target would be ignored
-    val added = writeDataFiles(df, numFiles = targetFiles)
-    commitSnapshot("replace", added, live)
+    if (live.isEmpty) commitSnapshot("replace", Nil, Nil)
+    else {
+      val df = readFiles(spark, live.map(_.path))
+      // numFiles goes through writeDataFiles so the partitioned path uses
+      // repartitionByRange(targetFiles, spec) — a bare repartition here
+      // would be re-shuffled to the default partition count by the spec
+      // clustering and the target would be ignored
+      val added = writeDataFiles(df, numFiles = targetFiles)
+      commitSnapshot("replace", added, live)
+    }
+  }
+
+  /** Copy-on-write ops re-run against FRESH metadata when they lose a
+    * commit race (CommitConflictException): re-reading, re-rewriting,
+    * re-validating — Iceberg's retry-with-revalidation loop. The files
+    * a failed attempt wrote become orphans; removeOrphanFiles reclaims
+    * them. `retries` = 0 surfaces the conflict to the caller. */
+  private def withConflictRetry[T](retries: Int)(op: => T): T = {
+    var left = retries
+    while (true) {
+      try return op
+      catch {
+        case e: CommitConflictException =>
+          if (left <= 0) throw e
+          left -= 1
+          refresh()
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Copy-on-write row delete: only files that MAY contain matches are
     * rewritten; untouched files survive as-is. Delete-file counters stay
     * 0 exactly as in the reference, which never writes delete files but
     * surfaces the meters (IntegrationTest.java:109,112,115). */
-  def deleteWhere(spark: SparkSession, pred: LakePredicate): CommitReport = {
+  def deleteWhere(spark: SparkSession, pred: LakePredicate,
+      conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
     val live = meta.currentFiles
     val touched = live.filter(pred.mayMatch(_, schema))
-    if (touched.isEmpty) return commitSnapshot("delete", Nil, Nil)
-    // NULL predicate rows must be KEPT (SQL delete semantics: only
-    // TRUE deletes) — a bare !pred would drop them
-    val kept = readFiles(spark, touched.map(_.path))
-      .filter(!org.apache.spark.sql.functions.coalesce(pred.toColumn,
-        org.apache.spark.sql.functions.lit(false)))
-    val added = writeDataFiles(kept)
-    commitSnapshot("delete", added, touched)
+    if (touched.isEmpty) commitSnapshot("delete", Nil, Nil)
+    else {
+      // NULL predicate rows must be KEPT (SQL delete semantics: only
+      // TRUE deletes) — a bare !pred would drop them
+      val kept = readFiles(spark, touched.map(_.path))
+        .filter(!org.apache.spark.sql.functions.coalesce(pred.toColumn,
+          org.apache.spark.sql.functions.lit(false)))
+      val added = writeDataFiles(kept)
+      commitSnapshot("delete", added, touched)
+    }
+  }
+
+  /** Full-table replace: write df as the new table contents in ONE
+    * atomic commit (the SQL INSERT OVERWRITE path). */
+  def overwriteAll(df: DataFrame, conflictRetries: Int = 3): CommitReport =
+    withConflictRetry(conflictRetries) {
+      val live = meta.currentFiles
+      val added = writeDataFiles(df)
+      commitSnapshot("overwrite", added, live)
+    }
+
+  /** Incremental scan: rows in files added AFTER `fromSnapshotId`, up
+    * to the current snapshot — the Iceberg incremental-append-scan
+    * analog, the feed a downstream pipeline tails. On an append-only
+    * table this is exactly the new rows; after a copy-on-write rewrite
+    * the added files also carry surviving rows (file-level, not
+    * row-level, change capture — same as Iceberg's append scan). */
+  def changesSince(spark: SparkSession, fromSnapshotId: Long): DataFrame = {
+    val from = meta.snapshot(fromSnapshotId).getOrElse(
+      throw new NoSuchElementException(s"no snapshot $fromSnapshotId in $name"))
+    val before = from.files.map(_.path).toSet
+    val added = meta.currentFiles.filterNot(f => before(f.path))
+    if (added.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+    else readFiles(spark, added.map(_.path))
   }
 
   /** Keyed MERGE (upsert): source rows replace same-key rows, unmatched
@@ -225,7 +275,8 @@ final class LakeTable private[lake] (
     * bounds overlap the source's key range are rewritten — the one
     * driver-side value is the source's per-key min/max (a 1-row agg).
     * Source must carry the table schema and distinct keys. */
-  def mergeInto(spark: SparkSession, source: DataFrame, keys: Seq[String]): CommitReport = {
+  def mergeInto(spark: SparkSession, source: DataFrame, keys: Seq[String],
+      conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
     import org.apache.spark.sql.{functions => F}
     require(keys.nonEmpty && keys.forall(schema.fieldNames.contains), s"bad merge keys $keys")
     require(source.schema.fields.map(f => (f.name, f.dataType)).sameElements(
@@ -274,17 +325,20 @@ final class LakeTable private[lake] (
 
   /** Copy-on-write update: rewrite matching rows with the assignments. */
   def updateWhere(spark: SparkSession, pred: LakePredicate,
-      assignments: Map[String, Column]): CommitReport = {
+      assignments: Map[String, Column],
+      conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
     val live = meta.currentFiles
     val touched = live.filter(pred.mayMatch(_, schema))
-    if (touched.isEmpty) return commitSnapshot("overwrite", Nil, Nil)
-    val df = readFiles(spark, touched.map(_.path))
-    val rewritten = assignments.foldLeft(df) { case (acc, (c, v)) =>
-      acc.withColumn(c, org.apache.spark.sql.functions.when(pred.toColumn, v)
-        .otherwise(org.apache.spark.sql.functions.col(c)))
-    }.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-    val added = writeDataFiles(rewritten)
-    commitSnapshot("overwrite", added, touched)
+    if (touched.isEmpty) commitSnapshot("overwrite", Nil, Nil)
+    else {
+      val df = readFiles(spark, touched.map(_.path))
+      val rewritten = assignments.foldLeft(df) { case (acc, (c, v)) =>
+        acc.withColumn(c, org.apache.spark.sql.functions.when(pred.toColumn, v)
+          .otherwise(org.apache.spark.sql.functions.col(c)))
+      }.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      val added = writeDataFiles(rewritten)
+      commitSnapshot("overwrite", added, touched)
+    }
   }
 
   /** Maintenance: drop all but the last `keepLast` snapshots from the

@@ -185,16 +185,19 @@ object LakeSqlCatalog {
   }
 }
 
-/** Read-only SQL handle on a lake table (optionally at an historical
-  * snapshot). Pushed SQL predicates prune at TWO levels: manifest
-  * min/max stats skip whole files BEFORE Spark lists them (the
-  * LakeScan.planFiles path — fires the usual ScanReport, so SQL scans
-  * are observable like API scans), then Spark's native vectorized
-  * parquet source applies row-group/page pushdown and column pruning
-  * over the surviving files. Capabilities exclude writes so INSERT
-  * fails at analysis instead of corrupting the manifest. */
+/** SQL handle on a lake table (optionally at an historical snapshot).
+  * Pushed SQL predicates prune at TWO levels: manifest min/max stats
+  * skip whole files BEFORE Spark lists them (the LakeScan.planFiles
+  * path — fires the usual ScanReport, so SQL scans are observable like
+  * API scans), then Spark's native vectorized parquet source applies
+  * row-group/page pushdown and column pruning over the surviving
+  * files. Writes go through the V1 bridge into the MANIFEST COMMIT
+  * PROTOCOL — INSERT INTO is an append commit, INSERT OVERWRITE an
+  * atomic full replace — never a bare parquet write that would bypass
+  * snapshots/stats/metrics. Historical handles (AS OF) stay read-only. */
 final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   private def mkParquetTable(files: Seq[String]) =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
@@ -250,7 +253,36 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       "format" -> "graft-lake/parquet").asJava
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (snapshotId.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    import org.apache.spark.sql.connector.write.{V1Write, WriteBuilder}
+    import org.apache.spark.sql.connector.write.SupportsTruncate
+    require(snapshotId.isEmpty, s"cannot write to a historical snapshot of ${lt.name}")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              val t = lt.refresh()
+              // Spark resolves/casts the INSERT projection to the table
+              // schema; align nullability-only differences
+              val aligned = data.select(t.schema.fields.map(f =>
+                org.apache.spark.sql.functions.col(f.name)
+                  .cast(f.dataType).as(f.name)): _*)
+              if (replace || overwrite) t.overwriteAll(aligned)
+              else t.appendData(aligned)
+              ()
+            }
+        }
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     org.apache.spark.sql.graftbridge.ScanBridge.delegating { pushed =>

@@ -128,6 +128,17 @@ object LakeQueries {
     t.newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Incremental scan: the rows added AFTER a snapshot — the feed a
+    * downstream pipeline tails (Iceberg incremental-append analog). */
+  def lakeChanges(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_ch", src.schema)
+    val first = t.appendData(src.filter(col("o_orderkey") % 2 === 0))
+    t.refresh().appendData(src.filter(col("o_orderkey") % 2 === 1))
+    t.refresh().changesSince(s, first.snapshotId).orderBy(col("o_orderkey"))
+  }
+
   /** The SQL surface end-to-end: DDL through the V2 catalog plugin,
     * a transactional append through the Scala API, and an aggregation
     * read back with spark.sql over `<catalog>.<ns>.<table>`. */
@@ -153,6 +164,7 @@ object LakeQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_maintenance" -> lakeMaintenance,
     "lake_rename" -> lakeRename,
+    "lake_changes" -> lakeChanges,
     "lake_sql_select" -> lakeSqlSelect,
     "lake_roundtrip" -> lakeRoundtrip,
     "lake_time_travel" -> lakeTimeTravel,
@@ -169,6 +181,8 @@ object LakeQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS amount,
         |  o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_changes" ->
+      "SELECT * FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey",
     "lake_sql_select" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price,

@@ -54,10 +54,11 @@ class ConcurrencySpec extends LakeSuite {
     val a = cat.loadTable("ns", "cow")
     val b = cat.loadTable("ns", "cow")
     a.compact(spark, 1) // rewrites every live file
-    // b's delete targets files a already removed: committing its rewrite
-    // would re-append copies of data a compacted away
+    // b's delete targets files a already removed: with retries disabled
+    // the conflict surfaces — committing the stale rewrite would
+    // re-append copies of data a compacted away
     assertThrows[CommitConflictException](
-      b.deleteWhere(spark, LakePredicate.NotNull("o_orderkey")))
+      b.deleteWhere(spark, LakePredicate.NotNull("o_orderkey"), conflictRetries = 0))
     val re = cat.loadTable("ns", "cow")
     assert(re.newScan().toDF(spark).count() === n) // winner's state intact
     // a concurrent APPEND between read and commit is NOT a conflict:
@@ -66,5 +67,14 @@ class ConcurrencySpec extends LakeSuite {
     re.appendData(ordersDF.limit(10))
     c.compact(spark, 1) // stale handle, but its target files survive
     assert(cat.loadTable("ns", "cow").newScan().toDF(spark).count() === n + 10)
+    // with retries left (the default), a conflicted CoW op re-runs
+    // against FRESH metadata and lands: b is stale since before a's
+    // compact, but its delete now applies to the current state
+    import org.apache.spark.sql.functions.col
+    b.deleteWhere(spark, LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+    val expected =
+      ordersDF.filter(col("o_totalprice") < 400000.0).count() +
+        ordersDF.limit(10).filter(col("o_totalprice") < 400000.0).count()
+    assert(cat.loadTable("ns", "cow").newScan().toDF(spark).count() === expected)
   }
 }

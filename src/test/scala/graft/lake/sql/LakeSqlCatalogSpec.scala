@@ -42,19 +42,45 @@ class LakeSqlCatalogSpec extends LakeSuite {
     assert(spark.sql("SHOW NAMESPACES IN sqllake")
       .collect().map(_.getString(0)).contains("ns1"))
 
-    // read-only: INSERT must fail (a bare parquet append would bypass
-    // the manifest/commit protocol)
-    intercept[Exception](
-      spark.sql("INSERT INTO sqllake.ns1.orders_lake VALUES (1, 1, 1.0)"))
+    // SQL INSERT goes through the MANIFEST COMMIT PROTOCOL: a snapshot
+    // lands, not a bare parquet write
+    val snapsBefore = t.refresh().snapshots.size
+    spark.sql("INSERT INTO sqllake.ns1.orders_lake VALUES (900000001, 7, 42.5)")
+    assert(t.refresh().snapshots.size === snapsBefore + 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM sqllake.ns1.orders_lake WHERE o_orderkey = 900000001")
+      .head.getLong(0) === 1L)
 
     // each SQL query resolves the CURRENT snapshot
     t.refresh().appendData(df.limit(5))
     assert(spark.sql("SELECT count(*) FROM sqllake.ns1.orders_lake")
-      .head.getLong(0) === df.count() + 5)
+      .head.getLong(0) === df.count() + 6)
+
+    // INSERT OVERWRITE = one atomic full replace
+    spark.sql("INSERT OVERWRITE sqllake.ns1.orders_lake VALUES (1, 1, 1.0), (2, 1, 2.0)")
+    assert(spark.sql("SELECT count(*) FROM sqllake.ns1.orders_lake")
+      .head.getLong(0) === 2L)
+    assert(t.refresh().metadata.currentSnapshot.get.operation === "overwrite")
 
     spark.sql("DROP TABLE sqllake.ns1.orders_lake")
     assert(!cat.tableExists("ns1", "orders_lake"))
     spark.sql("DROP NAMESPACE sqllake.ns1")
+  }
+
+  test("historical snapshots are read-only for SQL writes") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.sqllake4", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqllake4.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sqllake4.ns")
+    spark.sql("CREATE TABLE sqllake4.ns.t (id BIGINT)")
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    spark.sql("INSERT INTO sqllake4.ns.t VALUES (1)")
+    val v1 = t.refresh().currentSnapshotId
+    spark.sql("INSERT INTO sqllake4.ns.t VALUES (2)")
+    assert(spark.sql(s"SELECT count(*) FROM sqllake4.ns.t VERSION AS OF $v1")
+      .head.getLong(0) === 1L)
+    intercept[Exception](new LakeSqlTable(t.refresh(), Some(v1))
+      .newWriteBuilder(null))
   }
 
   test("SQL WHERE prunes manifest files; VERSION/TIMESTAMP AS OF time-travel") {
