@@ -32,7 +32,12 @@ trait CommitBackend {
 
   def ensureDir(dir: Path): Unit
 
-  /** Recursively remove everything under `dir`. */
+  /** Is `p` a directory/prefix (not a document)? Namespace listings
+    * filter on this so stray files in the warehouse root are never
+    * reported as namespaces. */
+  def isDir(p: Path): Boolean
+
+  /** Recursively remove everything under `dir`, including `dir`. */
   def deleteTree(dir: Path): Unit
 }
 
@@ -69,6 +74,8 @@ final class LocalFsCommitBackend extends CommitBackend {
     }
 
   def ensureDir(dir: Path): Unit = Files.createDirectories(dir)
+
+  def isDir(p: Path): Boolean = Files.isDirectory(p)
 
   def deleteTree(dir: Path): Unit =
     if (Files.isDirectory(dir)) {
@@ -108,6 +115,11 @@ final class InMemoryCommitBackend extends CommitBackend {
   def ensureDir(dir: Path): Unit = {
     var p = dir.toAbsolutePath.normalize
     while (p != null && dirs.add(p.toString)) p = p.getParent
+  }
+
+  def isDir(p: Path): Boolean = {
+    val k = key(p)
+    dirs.contains(k) || docs.keySet.asScala.exists(_.startsWith(k + "/"))
   }
 
   def deleteTree(dir: Path): Unit = {

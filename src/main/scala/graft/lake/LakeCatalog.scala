@@ -25,7 +25,24 @@ final class LakeCatalog private (
     backend.ensureDir(warehouse.resolve(ns))
 
   def listNamespaces(): Seq[String] =
-    backend.listChildren(warehouse).sorted
+    backend.listChildren(warehouse)
+      .filter(n => backend.isDir(warehouse.resolve(n))) // stray files ≠ namespaces
+      .sorted
+
+  /** Drop a namespace and everything under it (caller decides whether
+    * non-empty is allowed). Returns true if it existed. */
+  def dropNamespace(ns: String): Boolean = {
+    val existed = listNamespaces().contains(ns)
+    listTables(ns).foreach(dropTable(ns, _))
+    backend.deleteTree(warehouse.resolve(ns))
+    val d = warehouse.resolve(ns) // the FS dir exists whatever the backend
+    if (Files.isDirectory(d)) {
+      val stream = Files.walk(d)
+      val all = try stream.iterator.asScala.toSeq finally stream.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+    existed
+  }
 
   def listTables(ns: String): Seq[String] = {
     val d = warehouse.resolve(ns)

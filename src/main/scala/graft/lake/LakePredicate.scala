@@ -31,6 +31,11 @@ object LakePredicate {
     def mayMatch(f: DataFileEntry, s: StructType) = true
   }
 
+  /** A comparison against a NULL literal is never TRUE in SQL, so such
+    * predicates match NO rows: mayMatch = false (prune everything —
+    * exact, not just conservative), and toStat is never reached with a
+    * null (it would NPE). Surfaces via pushed `IN ('F', NULL)` filters
+    * from the SQL path and via the Scala API. */
   sealed abstract class Comparison(name: String, value: Any) extends LakePredicate {
     protected def statBounds(f: DataFileEntry, schema: StructType): Option[(String, String, DataType)] =
       for {
@@ -44,7 +49,7 @@ object LakePredicate {
     def toColumn: Column = col(name) === lit(value)
     def render = s"$name = $value"
     def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      statBounds(f, s).forall { case (mn, mx, t) =>
+      value != null && statBounds(f, s).forall { case (mn, mx, t) =>
         cmp(t, toStat(t, value), mn) >= 0 && cmp(t, toStat(t, value), mx) <= 0
       }
   }
@@ -53,28 +58,28 @@ object LakePredicate {
     def toColumn: Column = col(name) > lit(value)
     def render = s"$name > $value"
     def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      statBounds(f, s).forall { case (_, mx, t) => cmp(t, mx, toStat(t, value)) > 0 }
+      value != null && statBounds(f, s).forall { case (_, mx, t) => cmp(t, mx, toStat(t, value)) > 0 }
   }
 
   final case class Ge(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) >= lit(value)
     def render = s"$name >= $value"
     def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      statBounds(f, s).forall { case (_, mx, t) => cmp(t, mx, toStat(t, value)) >= 0 }
+      value != null && statBounds(f, s).forall { case (_, mx, t) => cmp(t, mx, toStat(t, value)) >= 0 }
   }
 
   final case class Lt(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) < lit(value)
     def render = s"$name < $value"
     def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      statBounds(f, s).forall { case (mn, _, t) => cmp(t, mn, toStat(t, value)) < 0 }
+      value != null && statBounds(f, s).forall { case (mn, _, t) => cmp(t, mn, toStat(t, value)) < 0 }
   }
 
   final case class Le(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) <= lit(value)
     def render = s"$name <= $value"
     def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      statBounds(f, s).forall { case (mn, _, t) => cmp(t, mn, toStat(t, value)) <= 0 }
+      value != null && statBounds(f, s).forall { case (mn, _, t) => cmp(t, mn, toStat(t, value)) <= 0 }
   }
 
   final case class In(name: String, values: Seq[Any]) extends LakePredicate {

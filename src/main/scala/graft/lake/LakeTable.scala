@@ -246,13 +246,14 @@ final class LakeTable private[lake] (
   }
 
   /** Full-table replace: write df as the new table contents in ONE
-    * atomic commit (the SQL INSERT OVERWRITE path). */
-  def overwriteAll(df: DataFrame, conflictRetries: Int = 3): CommitReport =
-    withConflictRetry(conflictRetries) {
-      val live = meta.currentFiles
-      val added = writeDataFiles(df)
-      commitSnapshot("overwrite", added, live)
-    }
+    * atomic commit (the SQL INSERT OVERWRITE path). The removed set is
+    * whatever is live AT COMMIT TIME (replaceAll), not a pre-read
+    * snapshot — otherwise a concurrent append racing the CAS would
+    * survive inside a snapshot claiming to be a full replace. */
+  def overwriteAll(df: DataFrame): CommitReport = {
+    val added = writeDataFiles(df)
+    commitSnapshot("overwrite", added, Nil, replaceAll = true)
+  }
 
   /** Incremental scan: rows in files added AFTER `fromSnapshotId`, up
     * to the current snapshot — the Iceberg incremental-append-scan
@@ -288,39 +289,41 @@ final class LakeTable private[lake] (
     // a recomputed non-deterministic source could write keys outside
     // the pruning bounds and leave duplicate live keys
     val src = source.persist()
-    // one driver-side row: per-key min/max bounds + row count + null-key
-    // count. NULL merge keys violate the distinct-keys contract silently
-    // (anti-join never matches NULL, so null-key rows would just append)
-    // — fail loudly instead of producing duplicates.
-    val aggs = keys.flatMap(k => Seq(F.min(F.col(k)), F.max(F.col(k)))) ++
-      Seq(F.count(F.lit(1)),
-        F.sum(keys.map(k => F.when(F.col(k).isNull, 1L).otherwise(0L)).reduce(_ + _)))
-    val boundsRow = src.agg(aggs.head, aggs.tail: _*).head()
-    val nRows = boundsRow.getLong(2 * keys.size)
-    if (nRows == 0L) { // empty source: no-op
-      src.unpersist()
-      return commitSnapshot("overwrite", Nil, Nil)
-    }
-    val nullKeys = boundsRow.getLong(2 * keys.size + 1)
-    if (nullKeys > 0L) {
-      src.unpersist()
-      throw new IllegalArgumentException(
-        s"merge source has $nullKeys NULL merge-key value(s) in $keys — " +
-          "NULL keys cannot match and would duplicate rows")
-    }
-    val pred = keys.zipWithIndex.map { case (k, i) =>
-      LakePredicate.And(
-        LakePredicate.Ge(k, boundsRow.get(2 * i)),
-        LakePredicate.Le(k, boundsRow.get(2 * i + 1)))
-    }.reduceLeft[LakePredicate]((a, b) => LakePredicate.And(a, b))
-    val touched = live.filter(pred.mayMatch(_, schema))
-    val kept =
-      if (touched.isEmpty) src.limit(0)
-      else readFiles(spark, touched.map(_.path))
-        .join(src.select(keys.map(F.col): _*), keys, "left_anti")
-    val added = writeDataFiles(kept.unionByName(src))
-    src.unpersist()
-    commitSnapshot("overwrite", added, touched)
+    // try/finally: every exit — empty-source no-op, null-key abort,
+    // exhausted conflict retries — must release the cached source, or
+    // the blocks outlive the op for the session's lifetime
+    try {
+      // one driver-side row: per-key min/max bounds + row count + null-key
+      // count. NULL merge keys violate the distinct-keys contract silently
+      // (anti-join never matches NULL, so null-key rows would just append)
+      // — fail loudly instead of producing duplicates.
+      val aggs = keys.flatMap(k => Seq(F.min(F.col(k)), F.max(F.col(k)))) ++
+        Seq(F.count(F.lit(1)),
+          F.sum(keys.map(k => F.when(F.col(k).isNull, 1L).otherwise(0L)).reduce(_ + _)))
+      val boundsRow = src.agg(aggs.head, aggs.tail: _*).head()
+      val nRows = boundsRow.getLong(2 * keys.size)
+      if (nRows == 0L) { // empty source: no-op
+        commitSnapshot("overwrite", Nil, Nil)
+      } else {
+        val nullKeys = boundsRow.getLong(2 * keys.size + 1)
+        if (nullKeys > 0L)
+          throw new IllegalArgumentException(
+            s"merge source has $nullKeys NULL merge-key value(s) in $keys — " +
+              "NULL keys cannot match and would duplicate rows")
+        val pred = keys.zipWithIndex.map { case (k, i) =>
+          LakePredicate.And(
+            LakePredicate.Ge(k, boundsRow.get(2 * i)),
+            LakePredicate.Le(k, boundsRow.get(2 * i + 1)))
+        }.reduceLeft[LakePredicate]((a, b) => LakePredicate.And(a, b))
+        val touched = live.filter(pred.mayMatch(_, schema))
+        val kept =
+          if (touched.isEmpty) src.limit(0)
+          else readFiles(spark, touched.map(_.path))
+            .join(src.select(keys.map(F.col): _*), keys, "left_anti")
+        val added = writeDataFiles(kept.unionByName(src))
+        commitSnapshot("overwrite", added, touched)
+      }
+    } finally src.unpersist(blocking = false)
   }
 
   /** Copy-on-write update: rewrite matching rows with the assignments. */
@@ -393,9 +396,10 @@ final class LakeTable private[lake] (
   }
 
   private[lake] def commitSnapshot(op: String, added: Seq[DataFileEntry],
-      removed: Seq[DataFileEntry]): CommitReport = {
+      removed: Seq[DataFileEntry], replaceAll: Boolean = false): CommitReport = {
     val t0 = System.nanoTime()
     val removedPaths = removed.map(_.path).toSet
+    var removedCount = removed.size // replaceAll: resolved inside the transform
     val (next, v, attempts) = catalog.commit(namespace, shortName) { latest =>
       // Conflict validation (Iceberg's validateNoConflictingData analog):
       // every file this op rewrites must still be live in the metadata
@@ -404,7 +408,9 @@ final class LakeTable private[lake] (
       // BOTH succeed — the loser's filterNot is a no-op on files the
       // winner already removed, so its rewritten copies append anyway,
       // duplicating rows or resurrecting deleted ones. Appends
-      // (removed = ∅) are always safe and never hit this.
+      // (removed = ∅) are always safe and never hit this. replaceAll
+      // removes whatever is live at commit time by definition, so it
+      // cannot conflict.
       val latestPaths = latest.currentFiles.map(_.path).toSet
       val conflicting = removedPaths.filterNot(latestPaths)
       if (conflicting.nonEmpty)
@@ -413,11 +419,13 @@ final class LakeTable private[lake] (
             s"${conflicting.size} file(s) this op rewrites are no longer live " +
             s"(e.g. ${conflicting.head}); re-read the table and retry the operation")
       val newId = latest.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
-      val files = latest.currentFiles.filterNot(f => removedPaths(f.path)) ++ added
+      val files =
+        if (replaceAll) { removedCount = latest.currentFiles.size; added }
+        else latest.currentFiles.filterNot(f => removedPaths(f.path)) ++ added
       val snap = Snapshot(newId, Option(latest.currentSnapshotId).filter(_ >= 0),
         System.currentTimeMillis(), op, files,
         Map("added-data-files" -> added.size.toString,
-          "removed-data-files" -> removed.size.toString,
+          "removed-data-files" -> removedCount.toString,
           "added-records" -> added.map(_.recordCount).sum.toString))
       latest.copy(snapshots = latest.snapshots :+ snap, currentSnapshotId = newId)
     }

@@ -93,9 +93,13 @@ final case class TableMetadata(
   def currentFiles: Seq[DataFileEntry] = currentSnapshot.map(_.files).getOrElse(Nil)
 
   /** Metadata written before field IDs existed (or built ad hoc) gets
-    * positional IDs 1..n — the same assignment createTable performs. */
+    * positional IDs 1..n — the same assignment createTable performs.
+    * Guarded on lastAssignedFieldId too: a table whose columns were ALL
+    * dropped has empty fieldIds but a real high-water mark, and
+    * resetting it would let addColumn reuse a retired ID — resurrecting
+    * the dropped column's bytes from old files. */
   def withFieldIdDefaults: TableMetadata =
-    if (fieldIds.nonEmpty) this
+    if (fieldIds.nonEmpty || lastAssignedFieldId > 0) this
     else copy(
       fieldIds = schema.fieldNames.zipWithIndex.map { case (n, i) => (n, i + 1) }.toMap,
       lastAssignedFieldId = schema.size)

@@ -150,8 +150,7 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
     val tables = lake.listTables(ns)
     if (tables.nonEmpty && !cascade)
       throw new IllegalStateException(s"namespace $ns is not empty: $tables")
-    tables.foreach(lake.dropTable(ns, _))
-    namespaceExists(namespace)
+    lake.dropNamespace(ns) // returns true iff it existed (V2 contract)
   }
 }
 
@@ -202,7 +201,13 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
   private def mkParquetTable(files: Seq[String]) =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
       lt.name,
-      SparkSession.active,
+      // cloned session with ID-based parquet matching: files written
+      // before a renameColumn must resolve the renamed column by field
+      // ID — on the user's session (fieldId.read.enabled=false default)
+      // name matching would silently project NULL for every pre-rename
+      // file. Same mechanism as LakeTable.readFiles on the API path.
+      org.apache.spark.sql.graftbridge.SessionBridge.sessionWithConfs(
+        SparkSession.active, Map("spark.sql.parquet.fieldId.read.enabled" -> "true")),
       CaseInsensitiveStringMap.empty(),
       files,
       Some(lt.metadata.schemaWithFieldIds),
@@ -231,7 +236,13 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
   }
 
   override def name(): String = lt.name
-  override def schema(): StructType = lt.schema
+
+  /** The ID-carrying schema: Spark derives the scan's requested schema
+    * from these columns, and parquet field-ID matching keys off the
+    * REQUESTED schema's metadata — an ID-free schema here would silently
+    * fall back to name matching and project NULL from pre-rename files
+    * (caught by LakeSqlCatalogSpec). The metadata is inert otherwise. */
+  override def schema(): StructType = lt.metadata.schemaWithFieldIds
 
   override def partitioning(): Array[Transform] = lt.spec.map { p =>
     p.transform match {

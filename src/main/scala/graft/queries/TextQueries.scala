@@ -46,7 +46,9 @@ object TextQueries {
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val ws = text.split(" ", -1)
+        // null text ≡ no shingles (the SQL split() formulation this
+        // replaced propagated null and dropped the row at explode)
+        val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
         if (ws.length < 3) Iterator.empty
         else {
           val seen = new scala.collection.mutable.HashSet[String]
@@ -146,7 +148,10 @@ object TextQueries {
       .as[(Long, String)]
       .map { case (id, text) =>
         val counts = new Array[Int](64)
-        text.split(" ", -1).distinct.foreach { w =>
+        // null text hashes as zero words → simhash 0 (null-safe like
+        // the SQL formulation this replaced)
+        val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
+        ws.distinct.foreach { w =>
           val wb = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
             wb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, wb.length, 42L)

@@ -65,6 +65,27 @@ class LakeSqlCatalogSpec extends LakeSuite {
     spark.sql("DROP TABLE sqllake.ns1.orders_lake")
     assert(!cat.tableExists("ns1", "orders_lake"))
     spark.sql("DROP NAMESPACE sqllake.ns1")
+    // the namespace is actually GONE, not just emptied
+    assert(!spark.sql("SHOW NAMESPACES IN sqllake")
+      .collect().map(_.getString(0)).contains("ns1"))
+  }
+
+  test("SQL reads resolve renamed columns by field ID in pre-rename files") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.sqllake5", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqllake5.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sqllake5.ns")
+    spark.sql("CREATE TABLE sqllake5.ns.t (o_orderkey BIGINT, o_custkey BIGINT)")
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    val df = ordersDF.select(col("o_orderkey"), col("o_custkey"))
+    t.appendData(df) // files carry the OLD physical column name
+    t.refresh().renameColumn("o_custkey", "buyer_id")
+    // name matching would return NULL for every pre-rename row here
+    assert(spark.sql(
+      "SELECT count(*) FROM sqllake5.ns.t WHERE buyer_id IS NOT NULL")
+      .head.getLong(0) === df.count())
+    assert(spark.sql("SELECT sum(buyer_id) FROM sqllake5.ns.t").head.getLong(0)
+      === df.agg(sum(col("o_custkey"))).head.getLong(0))
   }
 
   test("historical snapshots are read-only for SQL writes") {
