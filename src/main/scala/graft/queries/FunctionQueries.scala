@@ -72,6 +72,24 @@ object FunctionQueries {
         max(col("k_path")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Map functions over the parsed JSON payload: keys/values/lookup/
+    * membership — the MapType surface next to the JSON-path one in
+    * [[qJsonFuncs]]. */
+  def qMapFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).as("m"))
+      .select(col("event_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        element_at(map_keys(col("m")), 1).as("first_key"),
+        element_at(col("m"), "k").as("k_val"),
+        element_at(map_values(col("m")), 1).as("v_first"),
+        map_contains_key(col("m"), "k").as("has_k"))
+      .orderBy(col("event_id"))
+
   /** Array / higher-order functions over the 64-dim float embeddings. */
   def qArrayFuncs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(
@@ -93,6 +111,7 @@ object FunctionQueries {
     "q_date_funcs" -> qDateFuncs,
     "q_math_funcs" -> qMathFuncs,
     "q_json_funcs" -> qJsonFuncs,
+    "q_map_funcs" -> qMapFuncs,
     "q_array_funcs" -> qArrayFuncs,
   )
 
@@ -142,6 +161,14 @@ object FunctionQueries {
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_id,
+        |  CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        |  json_keys(props)[1] AS first_key,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS v_first,
+        |  list_contains(json_keys(props), 'k') AS has_k
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
