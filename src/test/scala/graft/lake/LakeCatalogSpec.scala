@@ -65,6 +65,31 @@ class LakeCatalogSpec extends LakeSuite {
     assert(cat.listTables("a") === Seq("t1"))
   }
 
+  test("stray files in the warehouse root are not namespaces") {
+    val wh = freshWarehouse()
+    val cat = LakeCatalog.open(wh)
+    cat.createTable("real_ns", "t", canonicalSchema)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(wh, ".DS_Store"), "junk")
+    assert(cat.listNamespaces() === Seq("real_ns"))
+    assert(cat.dropNamespace("real_ns"))
+    assert(cat.listNamespaces().isEmpty)
+    assert(!cat.dropNamespace("real_ns")) // already gone
+  }
+
+  test("comparisons against NULL literals prune exactly and never crash") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "nullpred", ordersDF.schema)
+    t.appendData(ordersDF.coalesce(1))
+    // NULL = x is never TRUE: zero files scanned, zero rows, no NPE
+    val scan = t.refresh().newScan(
+      LakePredicate.In("o_orderstatus", Seq("F", null)))
+    assert(scan.toDF(spark).count() === ordersDF
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F").count())
+    assert(t.newScan(LakePredicate.Eq("o_orderstatus", null)).planFiles.isEmpty)
+    assert(t.newScan(LakePredicate.Eq("o_orderstatus", null)).toDF(spark).count() === 0L)
+  }
+
   test("duplicate create fails; loading a missing table fails") {
     val cat = LakeCatalog.open(freshWarehouse())
     cat.createTable("ns", "t", canonicalSchema)
