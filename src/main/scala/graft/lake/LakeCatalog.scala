@@ -32,15 +32,11 @@ final class LakeCatalog private (
   /** Drop a namespace and everything under it (caller decides whether
     * non-empty is allowed). Returns true if it existed. */
   def dropNamespace(ns: String): Boolean = {
-    val existed = listNamespaces().contains(ns)
+    val d = warehouse.resolve(ns)
+    val existed = backend.isDir(d)
     listTables(ns).foreach(dropTable(ns, _))
-    backend.deleteTree(warehouse.resolve(ns))
-    val d = warehouse.resolve(ns) // the FS dir exists whatever the backend
-    if (Files.isDirectory(d)) {
-      val stream = Files.walk(d)
-      val all = try stream.iterator.asScala.toSeq finally stream.close()
-      all.reverse.foreach(Files.deleteIfExists(_))
-    }
+    backend.deleteTree(d)
+    LakeCatalog.deleteFsTree(d) // the FS dir exists whatever the backend
     existed
   }
 
@@ -89,12 +85,7 @@ final class LakeCatalog private (
 
   def dropTable(ns: String, name: String): Unit = {
     backend.deleteTree(metadataDir(ns, name))
-    val d = tableDir(ns, name) // data files live on the FS regardless
-    if (Files.isDirectory(d)) {
-      val stream = Files.walk(d)
-      val all = try stream.iterator.asScala.toSeq finally stream.close()
-      all.reverse.foreach(Files.deleteIfExists(_))
-    }
+    LakeCatalog.deleteFsTree(tableDir(ns, name)) // data files live on the FS regardless
   }
 
   private[lake] def readMeta(md: Path, version: Int): TableMetadata =
@@ -149,6 +140,16 @@ final class LakeCatalog private (
 }
 
 object LakeCatalog {
+  /** Recursive local-FS tree delete (deepest-first). Shared by
+    * dropTable/dropNamespace for the DATA side, which lives on the
+    * filesystem no matter which CommitBackend holds the metadata. */
+  private[lake] def deleteFsTree(d: Path): Unit =
+    if (Files.isDirectory(d)) {
+      val stream = Files.walk(d)
+      val all = try stream.iterator.asScala.toSeq finally stream.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
+    }
+
   /** A1-A3: idempotent open; an existing warehouse dir reopens with all
     * state intact (the restart-durability contract). The backend decides
     * where metadata documents live and what provides the commit CAS

@@ -26,13 +26,16 @@ import graft.lake.{LakeCatalog, LakePredicate, LakeTable, PartitionField}
   *
   * DDL supported: CREATE/DROP NAMESPACE, CREATE TABLE (identity /
   * years / months / days / hours / bucket partition transforms), DROP
-  * TABLE, SHOW TABLES/NAMESPACES. Reads resolve the CURRENT snapshot's
-  * live files at analysis time and scan them through Spark's native
-  * vectorized parquet source, so column pruning and row-group pushdown
-  * come for free. Writes are deliberately NOT exposed: a bare parquet
-  * append would bypass the manifest/commit protocol — mutations go
-  * through the transactional Scala API (LakeTable append/delete/merge),
-  * exactly as the reference routes all writes through its API.
+  * TABLE, SHOW TABLES/NAMESPACES, INSERT INTO / INSERT OVERWRITE,
+  * VERSION AS OF / TIMESTAMP AS OF. Reads resolve a snapshot's live
+  * files at analysis time (manifest stats pruning on pushed filters)
+  * and scan them through Spark's native vectorized parquet source, so
+  * column pruning and row-group pushdown come for free. Writes route
+  * through the V1 bridge into the MANIFEST COMMIT PROTOCOL — an
+  * append or atomic-replace snapshot, never a bare parquet write —
+  * and historical (AS OF) handles are read-only. Row-level SQL
+  * mutations (UPDATE/DELETE/MERGE) stay on the transactional Scala
+  * API (LakeTable deleteWhere/updateWhere/mergeInto).
   */
 class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -90,7 +93,11 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
     val cutoffMs = timestampMicros / 1000L
     val snap = lt.snapshots.filter(_.timestampMs <= cutoffMs)
       .sortBy(_.id).lastOption.getOrElse(
-        throw new NoSuchTableException(ident))
+        // the table EXISTS — claiming NoSuchTable would send the user
+        // debugging the wrong problem (VERSION AS OF errors the same way)
+        throw new IllegalArgumentException(
+          s"no snapshot of ${lt.name} at or before timestamp ${cutoffMs}ms " +
+            s"(first commit: ${lt.snapshots.map(_.timestampMs).minOption.getOrElse(-1L)}ms)"))
     new LakeSqlTable(lt, Some(snap.id))
   }
 

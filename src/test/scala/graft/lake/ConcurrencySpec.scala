@@ -64,17 +64,20 @@ class ConcurrencySpec extends LakeSuite {
     // a concurrent APPEND between read and commit is NOT a conflict:
     // the CoW op's removed files are still live, so it lands on retry
     val c = cat.loadTable("ns", "cow")
-    re.appendData(ordersDF.limit(10))
+    import org.apache.spark.sql.functions.col
+    // a DETERMINISTIC 10-row set: a bare limit(10) could pick different
+    // rows when re-evaluated for the expectation below
+    val firstTen = ordersDF.orderBy(col("o_orderkey")).limit(10)
+    re.appendData(firstTen)
     c.compact(spark, 1) // stale handle, but its target files survive
     assert(cat.loadTable("ns", "cow").newScan().toDF(spark).count() === n + 10)
     // with retries left (the default), a conflicted CoW op re-runs
     // against FRESH metadata and lands: b is stale since before a's
     // compact, but its delete now applies to the current state
-    import org.apache.spark.sql.functions.col
     b.deleteWhere(spark, LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
     val expected =
       ordersDF.filter(col("o_totalprice") < 400000.0).count() +
-        ordersDF.limit(10).filter(col("o_totalprice") < 400000.0).count()
+        firstTen.filter(col("o_totalprice") < 400000.0).count()
     assert(cat.loadTable("ns", "cow").newScan().toDF(spark).count() === expected)
   }
 }

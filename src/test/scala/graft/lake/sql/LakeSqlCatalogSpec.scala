@@ -5,9 +5,10 @@ import graft.lake.{LakeCatalog, LakeSuite, PartitionField}
 
 /** The SQL surface over the lake: DDL (namespace/table with partition
   * transforms), SELECT through the V2 catalog with correct results,
-  * read-only enforcement (INSERT fails at analysis), fresh-snapshot
-  * resolution on re-query, and interop — tables created via SQL are the
-  * same tables the Scala API commits to. */
+  * INSERT INTO / INSERT OVERWRITE landing as manifest commits,
+  * read-only historical (AS OF) handles, fresh-snapshot resolution on
+  * re-query, and interop — tables created via SQL are the same tables
+  * the Scala API commits to. */
 class LakeSqlCatalogSpec extends LakeSuite {
 
   test("SQL DDL + SELECT round-trip against the lake catalog") {
