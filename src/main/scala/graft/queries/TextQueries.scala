@@ -75,25 +75,31 @@ object TextQueries {
     * Exact Jaccard is then computed only on candidate pairs with
     * array_intersect over the full per-doc shingle sets. */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = 0.5
-    val sh = QueryCaches.track(shingleRows(documents(s, d)).persist())
+    val sh = shingleRows(documents(s, d))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val wDoc = Window.partitionBy(col("doc_id"))
-    val prefix = sh.join(dfreq, "s")
-      .withColumn("rk", row_number().over(wOrd))
-      .withColumn("sz", count(lit(1)).over(wDoc))
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * t) + 1)
+    // ONE per-doc aggregation yields everything downstream needs: the
+    // DF-ordered shingle array (sort_array on struct<df,s> = the global
+    // rarest-first order), the set size, and the prefix slice — the
+    // round-2 draft spent two window passes plus a separate collect_set
+    // shuffle on the same information
+    val docs = QueryCaches.track(sh.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
+      .select(col("doc_id"),
+        col("ordered.s").as("ss"),
+        size(col("ordered")).cast("long").as("sz"),
+        expr(s"slice(ordered.s, 1, " +
+          s"size(ordered) - CAST(ceil(size(ordered) * $t) AS INT) + 1)").as("prefix"))
+      .persist())
+    val prefix = docs.select(col("doc_id"), explode(col("prefix")).as("s"))
     val cand = prefix.select(col("doc_id").as("da"), col("s"))
       .join(prefix.select(col("doc_id").as("db"), col("s")), "s")
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("ss"), count(lit(1)).as("sz"))
     cand
-      .join(sets.select(col("doc_id").as("da"), col("ss").as("sa"), col("sz").as("za")), "da")
-      .join(sets.select(col("doc_id").as("db"), col("ss").as("sb"), col("sz").as("zb")), "db")
+      .join(docs.select(col("doc_id").as("da"), col("ss").as("sa"), col("sz").as("za")), "da")
+      .join(docs.select(col("doc_id").as("db"), col("ss").as("sb"), col("sz").as("zb")), "db")
       .withColumn("n", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .filter(col("n") / (col("za") + col("zb") - col("n")) >= t)
       .select(col("da"), col("db"),
