@@ -27,6 +27,9 @@ trait CommitBackend {
 
   def get(path: Path): Option[String]
 
+  /** Remove a single document if present (manifest cleanup). */
+  def delete(path: Path): Unit
+
   /** Immediate child names of a directory/prefix (empty if none). */
   def listChildren(dir: Path): Seq[String]
 
@@ -64,6 +67,8 @@ final class LocalFsCommitBackend extends CommitBackend {
 
   def get(path: Path): Option[String] =
     if (Files.exists(path)) Some(Files.readString(path)) else None
+
+  def delete(path: Path): Unit = { Files.deleteIfExists(path); () }
 
   def listChildren(dir: Path): Seq[String] =
     if (!Files.isDirectory(dir)) Nil
@@ -103,6 +108,8 @@ final class InMemoryCommitBackend extends CommitBackend {
   def putOverwrite(path: Path, content: String): Unit = { docs.put(key(path), content); () }
 
   def get(path: Path): Option[String] = Option(docs.get(key(path)))
+
+  def delete(path: Path): Unit = { docs.remove(key(path)); () }
 
   def listChildren(dir: Path): Seq[String] = {
     val prefix = key(dir) + "/"

@@ -51,7 +51,69 @@ final class LakeCatalog private (
     currentVersion(metadataDir(ns, name)).isDefined
 
   private def tableDir(ns: String, name: String): Path = warehouse.resolve(ns).resolve(name)
-  private def metadataDir(ns: String, name: String): Path = tableDir(ns, name).resolve("metadata")
+  private[lake] def metadataDir(ns: String, name: String): Path = tableDir(ns, name).resolve("metadata")
+
+  // ---- manifest-layer documents (immutable, uniquely named → cacheable) ----
+
+  /** Parsed caches for manifest and manifest-list documents. Both are
+    * write-once (a commit never mutates one, it writes a new name), so
+    * entries never invalidate; dropped/expired documents are evicted by
+    * the delete path. Bounded crudely: a full clear past 16k entries
+    * (re-reads repopulate) — the driver-side working set is the LIVE
+    * layer of open tables, which stays far below that. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[DataFileEntry]]()
+  private val listCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestRef]]()
+
+  private def cached[T](cache: java.util.concurrent.ConcurrentHashMap[String, T],
+      md: Path, name: String)(parse: String => T): T = {
+    val key = md.resolve(name).toString
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      if (cache.size > 16384) cache.clear()
+      val parsed = parse(backend.get(md.resolve(name)).getOrElse(
+        throw new IllegalStateException(s"missing metadata document $name under $md")))
+      cache.put(key, parsed)
+      parsed
+    }
+  }
+
+  private[lake] def manifestIO(md: Path): ManifestIO = new ManifestIO {
+    def readList(name: String): Seq[ManifestRef] =
+      cached(listCache, md, name)(MetadataJson.readManifestList)
+    def readManifest(name: String): Seq[DataFileEntry] =
+      cached(manifestCache, md, name)(MetadataJson.readManifest)
+  }
+
+  /** Write one immutable manifest document for `files`; returns the ref
+    * a manifest list embeds. The name is unique per write, so a lost CAS
+    * race merely orphans the document (removeOrphanFiles reclaims it) —
+    * no atomicity needed beyond the metadata CAS itself. */
+  private[lake] def writeManifest(md: Path, files: Seq[DataFileEntry]): ManifestRef = {
+    val name = s"manifest-${java.util.UUID.randomUUID}.json"
+    backend.putOverwrite(md.resolve(name), MetadataJson.writeManifest(files))
+    manifestCache.put(md.resolve(name).toString, files)
+    ManifestRef(name, files.size.toLong, files.map(_.recordCount).sum,
+      files.map(_.sizeBytes).sum)
+  }
+
+  /** Write one immutable manifest-list document; returns its name. */
+  private[lake] def writeManifestList(md: Path, refs: Seq[ManifestRef]): String = {
+    val name = s"snaplist-${java.util.UUID.randomUUID}.json"
+    backend.putOverwrite(md.resolve(name), MetadataJson.writeManifestList(refs))
+    listCache.put(md.resolve(name).toString, refs)
+    name
+  }
+
+  /** Delete a manifest-layer document no surviving snapshot references. */
+  private[lake] def deleteMetaDoc(md: Path, name: String): Unit = {
+    backend.delete(md.resolve(name))
+    manifestCache.remove(md.resolve(name).toString)
+    listCache.remove(md.resolve(name).toString)
+    ()
+  }
 
   /** A5: create table with schema + spec, no snapshot yet (empty log). */
   def createTable(ns: String, name: String, schema: StructType,
@@ -90,7 +152,8 @@ final class LakeCatalog private (
 
   private[lake] def readMeta(md: Path, version: Int): TableMetadata =
     MetadataJson.read(backend.get(md.resolve(s"v$version.json")).getOrElse(
-      throw new IllegalStateException(s"missing metadata v$version.json under $md")))
+      throw new IllegalStateException(s"missing metadata v$version.json under $md")),
+      manifestIO(md))
 
   private def writeHint(md: Path, v: Int): Unit =
     backend.putOverwrite(md.resolve("version-hint.text"), v.toString)

@@ -18,8 +18,12 @@ sealed trait LakePredicate {
   def toColumn: Column
   def render: String
 
-  /** False only if NO row in the file can match. */
-  def mayMatch(f: DataFileEntry, schema: StructType): Boolean
+  /** False only if NO row in the file can match. Stats are keyed by
+    * field ID / spec position, so resolution goes through the table
+    * metadata: the CURRENT schema's name→ID map finds the stats old
+    * files were written under, which is what keeps pruning exact across
+    * column renames without touching a manifest. */
+  def mayMatch(f: DataFileEntry, meta: TableMetadata): Boolean
 }
 
 object LakePredicate {
@@ -28,7 +32,7 @@ object LakePredicate {
   case object AlwaysTrue extends LakePredicate {
     def toColumn: Column = lit(true)
     def render = "true"
-    def mayMatch(f: DataFileEntry, s: StructType) = true
+    def mayMatch(f: DataFileEntry, m: TableMetadata) = true
   }
 
   /** A comparison against a NULL literal is never TRUE in SQL, so such
@@ -37,19 +41,20 @@ object LakePredicate {
     * null (it would NPE). Surfaces via pushed `IN ('F', NULL)` filters
     * from the SQL path and via the Scala API. */
   sealed abstract class Comparison(name: String, value: Any) extends LakePredicate {
-    protected def statBounds(f: DataFileEntry, schema: StructType): Option[(String, String, DataType)] =
+    protected def statBounds(f: DataFileEntry, meta: TableMetadata): Option[(String, String, DataType)] =
       for {
-        mn <- f.minValues.get(name)
-        mx <- f.maxValues.get(name)
-        field <- schema.fields.find(_.name == name)
+        key <- meta.statKey(name)
+        mn <- f.minValues.get(key)
+        mx <- f.maxValues.get(key)
+        field <- meta.schema.fields.find(_.name == name)
       } yield (mn, mx, field.dataType)
   }
 
   final case class Eq(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) === lit(value)
     def render = s"$name = $value"
-    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      value != null && statBounds(f, s).forall { case (mn, mx, t) =>
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
+      value != null && statBounds(f, m).forall { case (mn, mx, t) =>
         cmp(t, toStat(t, value), mn) >= 0 && cmp(t, toStat(t, value), mx) <= 0
       }
   }
@@ -57,64 +62,64 @@ object LakePredicate {
   final case class Gt(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) > lit(value)
     def render = s"$name > $value"
-    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      value != null && statBounds(f, s).forall { case (_, mx, t) => cmp(t, mx, toStat(t, value)) > 0 }
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
+      value != null && statBounds(f, m).forall { case (_, mx, t) => cmp(t, mx, toStat(t, value)) > 0 }
   }
 
   final case class Ge(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) >= lit(value)
     def render = s"$name >= $value"
-    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      value != null && statBounds(f, s).forall { case (_, mx, t) => cmp(t, mx, toStat(t, value)) >= 0 }
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
+      value != null && statBounds(f, m).forall { case (_, mx, t) => cmp(t, mx, toStat(t, value)) >= 0 }
   }
 
   final case class Lt(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) < lit(value)
     def render = s"$name < $value"
-    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      value != null && statBounds(f, s).forall { case (mn, _, t) => cmp(t, mn, toStat(t, value)) < 0 }
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
+      value != null && statBounds(f, m).forall { case (mn, _, t) => cmp(t, mn, toStat(t, value)) < 0 }
   }
 
   final case class Le(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) <= lit(value)
     def render = s"$name <= $value"
-    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      value != null && statBounds(f, s).forall { case (mn, _, t) => cmp(t, mn, toStat(t, value)) <= 0 }
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
+      value != null && statBounds(f, m).forall { case (mn, _, t) => cmp(t, mn, toStat(t, value)) <= 0 }
   }
 
   final case class In(name: String, values: Seq[Any]) extends LakePredicate {
     def toColumn: Column = col(name).isin(values: _*)
     def render = s"$name IN (${values.mkString(",")})"
-    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      values.exists(v => Eq(name, v).mayMatch(f, s))
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
+      values.exists(v => Eq(name, v).mayMatch(f, m))
   }
 
   final case class IsNull(name: String) extends LakePredicate {
     def toColumn: Column = col(name).isNull
     def render = s"$name IS NULL"
-    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      f.nullCounts.get(name).forall(_ > 0)
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
+      m.statKey(name).flatMap(f.nullCounts.get).forall(_ > 0)
   }
 
   final case class NotNull(name: String) extends LakePredicate {
     def toColumn: Column = col(name).isNotNull
     def render = s"$name IS NOT NULL"
-    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      f.nullCounts.get(name).forall(_ < f.recordCount)
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
+      m.statKey(name).flatMap(f.nullCounts.get).forall(_ < f.recordCount)
   }
 
   final case class And(left: LakePredicate, right: LakePredicate) extends LakePredicate {
     def toColumn: Column = left.toColumn && right.toColumn
     def render = s"(${left.render} AND ${right.render})"
-    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      left.mayMatch(f, s) && right.mayMatch(f, s)
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
+      left.mayMatch(f, m) && right.mayMatch(f, m)
   }
 
   final case class Or(left: LakePredicate, right: LakePredicate) extends LakePredicate {
     def toColumn: Column = left.toColumn || right.toColumn
     def render = s"(${left.render} OR ${right.render})"
-    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      left.mayMatch(f, s) || right.mayMatch(f, s)
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
+      left.mayMatch(f, m) || right.mayMatch(f, m)
   }
 
   /** Negation cannot reuse the child's bound proof, so it never prunes —
@@ -122,7 +127,7 @@ object LakePredicate {
   final case class Not(child: LakePredicate) extends LakePredicate {
     def toColumn: Column = !child.toColumn
     def render = s"NOT (${child.render})"
-    def mayMatch(f: DataFileEntry, s: StructType): Boolean = true
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean = true
   }
 
   /** Equality on a partition-transform value (e.g. month(ts) = 1996-03):
@@ -135,8 +140,12 @@ object LakePredicate {
     // transforms; timestamp identity should use Ge/Le instead)
     def toColumn: Column = field.toColumn.cast("string") === lit(value)
     def render = s"${field.render} = $value"
-    def mayMatch(f: DataFileEntry, s: StructType): Boolean =
-      f.partitionValues.get(field.render).forall(_ == value)
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean = {
+      // partition values are keyed by spec POSITION (rename-proof);
+      // a field not in the current spec prunes nothing
+      val i = m.spec.indexOf(field)
+      i < 0 || f.partitionValues.get(s"p$i").forall(_ == value)
+    }
   }
 }
 

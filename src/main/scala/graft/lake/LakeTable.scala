@@ -78,7 +78,7 @@ final class LakeTable private[lake] (
         "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
         "spark.sql.parquet.fieldId.write.enabled" -> "true"))
       .write.parquet(dir)
-    StatsHarvester.harvest(spark, dir, schema, spec)
+    StatsHarvester.harvest(spark, dir, schema, spec, meta.fieldIds)
   }
 
   /** All lake file reads go through here: the requested schema carries
@@ -148,36 +148,20 @@ final class LakeTable private[lake] (
     * field keeps its ID, so old files resolve it by parquet field ID
     * (reference schemas are ID-addressed, IntegrationTest.java:59-64;
     * name-based projection would read null from every pre-rename file).
-    * Manifest column stats and partition-value keys are name-keyed, so
-    * the commit remaps them in every snapshot — the ID-keyed storage
-    * equivalent, keeping stats-based pruning exact and time travel
-    * consistent under the current schema. Partition specs follow the
-    * rename too. */
+    * Manifest column stats are keyed by the same field IDs and partition
+    * values by spec position, so NO manifest document is touched: the
+    * rename is a pure metadata-document commit — O(1), not O(history) —
+    * and stats pruning stays exact because the renamed column resolves
+    * to the ID the old files' stats were written under. */
   def renameColumn(from: String, to: String): LakeTable = {
     require(schema.fieldNames.contains(from), s"no such column $from")
     require(!schema.fieldNames.contains(to), s"column $to already exists")
-    def remapS(m: Map[String, String]): Map[String, String] =
-      m.map { case (k, v) => (if (k == from) to else k) -> v }
-    def remapL(m: Map[String, Long]): Map[String, Long] =
-      m.map { case (k, v) => (if (k == from) to else k) -> v }
     metadataChange { latest =>
-      val oldSpec = latest.spec
-      val newSpec = oldSpec.map(p => if (p.source == from) p.copy(source = to) else p)
-      val renames: Map[String, String] = // partitionValues are keyed by render
-        oldSpec.zip(newSpec).filter(p => p._1 != p._2)
-          .map(p => p._1.render -> p._2.render).toMap
       latest.copy(
         schema = org.apache.spark.sql.types.StructType(latest.schema.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f)),
         fieldIds = (latest.fieldIds - from) + (to -> latest.fieldIds(from)),
-        spec = newSpec,
-        snapshots = latest.snapshots.map(s => s.copy(files = s.files.map(f =>
-          f.copy(
-            minValues = remapS(f.minValues),
-            maxValues = remapS(f.maxValues),
-            nullCounts = remapL(f.nullCounts),
-            partitionValues = f.partitionValues.map { case (k, v) =>
-              renames.getOrElse(k, k) -> v })))))
+        spec = latest.spec.map(p => if (p.source == from) p.copy(source = to) else p))
     }
   }
 
@@ -231,9 +215,14 @@ final class LakeTable private[lake] (
     * surfaces the meters (IntegrationTest.java:109,112,115). */
   def deleteWhere(spark: SparkSession, pred: LakePredicate,
       conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
+    val base = meta.currentSnapshotId
     val live = meta.currentFiles
-    val touched = live.filter(pred.mayMatch(_, schema))
-    if (touched.isEmpty) commitSnapshot("delete", Nil, Nil)
+    val touched = live.filter(pred.mayMatch(_, meta))
+    // serializable, not just snapshot-isolated: a racing append adding
+    // rows that match the predicate fails this commit and the retry
+    // re-runs the delete over them (validateAddedSince in commitSnapshot)
+    if (touched.isEmpty)
+      commitSnapshot("delete", Nil, Nil, validateAddedSince = Some((base, pred)))
     else {
       // NULL predicate rows must be KEPT (SQL delete semantics: only
       // TRUE deletes) — a bare !pred would drop them
@@ -241,7 +230,7 @@ final class LakeTable private[lake] (
         .filter(!org.apache.spark.sql.functions.coalesce(pred.toColumn,
           org.apache.spark.sql.functions.lit(false)))
       val added = writeDataFiles(kept)
-      commitSnapshot("delete", added, touched)
+      commitSnapshot("delete", added, touched, validateAddedSince = Some((base, pred)))
     }
   }
 
@@ -283,6 +272,7 @@ final class LakeTable private[lake] (
     require(source.schema.fields.map(f => (f.name, f.dataType)).sameElements(
       schema.fields.map(f => (f.name, f.dataType))),
       s"merge source schema mismatch: ${source.schema.simpleString}")
+    val base = meta.currentSnapshotId
     val live = meta.currentFiles
     // persist: the source plan is consumed three times (bounds agg,
     // anti-join, written union) and MUST be one consistent snapshot —
@@ -315,13 +305,16 @@ final class LakeTable private[lake] (
             LakePredicate.Ge(k, boundsRow.get(2 * i)),
             LakePredicate.Le(k, boundsRow.get(2 * i + 1)))
         }.reduceLeft[LakePredicate]((a, b) => LakePredicate.And(a, b))
-        val touched = live.filter(pred.mayMatch(_, schema))
+        val touched = live.filter(pred.mayMatch(_, meta))
         val kept =
           if (touched.isEmpty) src.limit(0)
           else readFiles(spark, touched.map(_.path))
             .join(src.select(keys.map(F.col): _*), keys, "left_anti")
         val added = writeDataFiles(kept.unionByName(src))
-        commitSnapshot("overwrite", added, touched)
+        // serializable: a racing append inside the key bounds would leave
+        // duplicate live keys after this upsert — fail and retry instead
+        commitSnapshot("overwrite", added, touched,
+          validateAddedSince = Some((base, pred)))
       }
     } finally src.unpersist(blocking = false)
   }
@@ -330,9 +323,11 @@ final class LakeTable private[lake] (
   def updateWhere(spark: SparkSession, pred: LakePredicate,
       assignments: Map[String, Column],
       conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
+    val base = meta.currentSnapshotId
     val live = meta.currentFiles
-    val touched = live.filter(pred.mayMatch(_, schema))
-    if (touched.isEmpty) commitSnapshot("overwrite", Nil, Nil)
+    val touched = live.filter(pred.mayMatch(_, meta))
+    if (touched.isEmpty)
+      commitSnapshot("overwrite", Nil, Nil, validateAddedSince = Some((base, pred)))
     else {
       val df = readFiles(spark, touched.map(_.path))
       val rewritten = assignments.foldLeft(df) { case (acc, (c, v)) =>
@@ -340,7 +335,8 @@ final class LakeTable private[lake] (
           .otherwise(org.apache.spark.sql.functions.col(c)))
       }.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       val added = writeDataFiles(rewritten)
-      commitSnapshot("overwrite", added, touched)
+      commitSnapshot("overwrite", added, touched,
+        validateAddedSince = Some((base, pred)))
     }
   }
 
@@ -378,55 +374,140 @@ final class LakeTable private[lake] (
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
     val referenced = meta.snapshots.flatMap(_.files.map(f => norm(f.path))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
-    val dataDir = java.nio.file.Paths.get(location, "data")
-    if (!java.nio.file.Files.isDirectory(dataDir)) return Nil
     val removed = scala.collection.mutable.Buffer.empty[String]
-    val stream = java.nio.file.Files.walk(dataDir)
-    try {
-      stream.iterator().asScala.foreach { p =>
-        if (java.nio.file.Files.isRegularFile(p) &&
-            p.toString.endsWith(".parquet") && !referenced(norm(p.toString)) &&
-            java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff) {
-          java.nio.file.Files.delete(p)
-          removed += p.toString
+    val dataDir = java.nio.file.Paths.get(location, "data")
+    if (java.nio.file.Files.isDirectory(dataDir)) {
+      val stream = java.nio.file.Files.walk(dataDir)
+      try {
+        stream.iterator().asScala.foreach { p =>
+          if (java.nio.file.Files.isRegularFile(p) &&
+              p.toString.endsWith(".parquet") && !referenced(norm(p.toString)) &&
+              java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff) {
+            java.nio.file.Files.delete(p)
+            removed += p.toString
+          }
         }
+      } finally stream.close()
+    }
+    // manifest documents no surviving snapshot references (left behind by
+    // expireSnapshots, lost CAS races, failed CoW attempts). No cutoff
+    // filter is needed for CONCURRENT writers' in-flight manifests: a
+    // not-yet-committed manifest only becomes referenced by the CAS, and
+    // refresh() above pinned a log that either includes that commit or
+    // predates it — but an in-flight one written between refresh and this
+    // sweep WOULD look orphaned, so the age cutoff applies here too.
+    // Manifest docs carry no FS mtime under non-FS backends: there a
+    // cutoff-guarded (concurrent-writer) sweep skips them entirely —
+    // conservative, never deletes a possibly-in-flight manifest.
+    val md = catalog.metadataDir(namespace, shortName)
+    val liveDocs = meta.snapshots.flatMap(s =>
+      s.manifestList +: s.manifests.map(_.name)).toSet
+    catalog.backend.listChildren(md)
+      .filter(n => (n.startsWith("manifest-") || n.startsWith("snaplist-")) &&
+        n.endsWith(".json") && !liveDocs(n))
+      .filter { n =>
+        val p = md.resolve(n)
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff
+        else olderThanMillis == 0L // no mtime: only the single-writer sweep
       }
-    } finally stream.close()
+      .foreach { n =>
+        catalog.deleteMetaDoc(md, n)
+        removed += md.resolve(n).toString
+      }
     removed.toSeq
   }
 
+  /** Commit a snapshot under the LAYERED metadata protocol: the added
+    * files are written ONCE as an immutable manifest document (outside
+    * the CAS loop — identical across retries), untouched manifests are
+    * carried by reference, and only manifests that lose files to this
+    * op are rewritten. The metadata document therefore grows with the
+    * SNAPSHOT LOG, never with the file count — a pure append writes
+    * O(new files) manifest bytes + O(log) metadata bytes regardless of
+    * how many files or commits the table has (asserted by
+    * ManifestLayoutSpec).
+    *
+    * `validateAddedSince` upgrades the op from snapshot isolation to
+    * serializable (Iceberg's validateNoConflictingData): `(baseId,
+    * pred)` fails the commit if any file ADDED after the op's base
+    * snapshot might contain rows matching `pred` — a racing append can
+    * otherwise slip rows past a delete's predicate or duplicate a
+    * merge's keys. The manifest layering makes the check cheap: files
+    * added since base = entries of manifests not referenced by base. */
   private[lake] def commitSnapshot(op: String, added: Seq[DataFileEntry],
-      removed: Seq[DataFileEntry], replaceAll: Boolean = false): CommitReport = {
+      removed: Seq[DataFileEntry], replaceAll: Boolean = false,
+      validateAddedSince: Option[(Long, LakePredicate)] = None): CommitReport = {
     val t0 = System.nanoTime()
     val removedPaths = removed.map(_.path).toSet
-    var removedCount = removed.size // replaceAll: resolved inside the transform
+    var removedCount = removed.size.toLong // replaceAll: resolved in the transform
+    val md = catalog.metadataDir(namespace, shortName)
+    val io = catalog.manifestIO(md)
+    val addedRef = if (added.nonEmpty) Some(catalog.writeManifest(md, added)) else None
     val (next, v, attempts) = catalog.commit(namespace, shortName) { latest =>
-      // Conflict validation (Iceberg's validateNoConflictingData analog):
-      // every file this op rewrites must still be live in the metadata
-      // the commit lands on. Without it, two concurrent copy-on-write ops
-      // (delete/update/compact/merge) that rewrote the same file would
-      // BOTH succeed — the loser's filterNot is a no-op on files the
-      // winner already removed, so its rewritten copies append anyway,
-      // duplicating rows or resurrecting deleted ones. Appends
-      // (removed = ∅) are always safe and never hit this. replaceAll
-      // removes whatever is live at commit time by definition, so it
-      // cannot conflict.
-      val latestPaths = latest.currentFiles.map(_.path).toSet
-      val conflicting = removedPaths.filterNot(latestPaths)
-      if (conflicting.nonEmpty)
-        throw new CommitConflictException(
-          s"$op on $name conflicts with a concurrent commit: " +
-            s"${conflicting.size} file(s) this op rewrites are no longer live " +
-            s"(e.g. ${conflicting.head}); re-read the table and retry the operation")
+      val prev = latest.currentSnapshot.map(_.manifests).getOrElse(Nil)
+      // Serializable validation: any file added since the base snapshot
+      // whose stats overlap the op's predicate conflicts (conservative —
+      // mayMatch can only over-approximate, so no conflict is missed).
+      // A base snapshot already expired from the log validates against
+      // EVERYTHING live — conservative again.
+      validateAddedSince.foreach { case (baseId, pred) =>
+        if (latest.currentSnapshotId != baseId) {
+          val baseNames = latest.snapshot(baseId)
+            .map(_.manifests.map(_.name).toSet).getOrElse(Set.empty[String])
+          val overlap = prev.iterator.filterNot(m => baseNames(m.name))
+            .flatMap(m => io.readManifest(m.name))
+            .filter(pred.mayMatch(_, latest))
+          if (overlap.nonEmpty)
+            throw new CommitConflictException(
+              s"$op on $name conflicts with a concurrent commit: files added " +
+                s"after base snapshot $baseId may match ${pred.render}; " +
+                "re-read the table and retry the operation")
+        }
+      }
+      val manifests: Seq[ManifestRef] =
+        if (replaceAll) {
+          removedCount = latest.currentSnapshot.map(_.fileCount).getOrElse(0L)
+          addedRef.toSeq
+        } else if (removedPaths.isEmpty) prev ++ addedRef
+        else {
+          // Conflict validation (snapshot isolation floor): every file
+          // this op rewrites must still be live in the metadata the
+          // commit lands on. Without it, two concurrent copy-on-write
+          // ops that rewrote the same file would BOTH succeed — the
+          // loser's filterNot is a no-op on files the winner already
+          // removed, so its rewritten copies append anyway, duplicating
+          // rows or resurrecting deleted ones.
+          val livePaths = prev.iterator.flatMap(m => io.readManifest(m.name)).map(_.path).toSet
+          val conflicting = removedPaths.filterNot(livePaths)
+          if (conflicting.nonEmpty)
+            throw new CommitConflictException(
+              s"$op on $name conflicts with a concurrent commit: " +
+                s"${conflicting.size} file(s) this op rewrites are no longer live " +
+                s"(e.g. ${conflicting.head}); re-read the table and retry the operation")
+          // rewrite ONLY manifests that lose files; the rest carry over
+          val (touched, untouched) = prev.partition(m =>
+            io.readManifest(m.name).exists(f => removedPaths(f.path)))
+          val survivors = touched.flatMap(m => io.readManifest(m.name))
+            .filterNot(f => removedPaths(f.path))
+          val survivorRef =
+            if (survivors.nonEmpty) Some(catalog.writeManifest(md, survivors)) else None
+          untouched ++ survivorRef ++ addedRef
+        }
       val newId = latest.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
-      val files =
-        if (replaceAll) { removedCount = latest.currentFiles.size; added }
-        else latest.currentFiles.filterNot(f => removedPaths(f.path)) ++ added
+      // ONE pointer per snapshot in the metadata document: the manifest
+      // list (Iceberg's manifest-list layer). Without it each snapshot
+      // entry would embed refs to every live manifest, and the log would
+      // grow O(commits x manifests) — quadratic over history.
+      val listName = catalog.writeManifestList(md, manifests)
       val snap = Snapshot(newId, Option(latest.currentSnapshotId).filter(_ >= 0),
-        System.currentTimeMillis(), op, files,
-        Map("added-data-files" -> added.size.toString,
+        System.currentTimeMillis(), op, listName,
+        fileCount = manifests.map(_.fileCount).sum,
+        totalRecords = manifests.map(_.recordCount).sum,
+        totalSizeBytes = manifests.map(_.sizeBytes).sum,
+        summary = Map("added-data-files" -> added.size.toString,
           "removed-data-files" -> removedCount.toString,
-          "added-records" -> added.map(_.recordCount).sum.toString))
+          "added-records" -> added.map(_.recordCount).sum.toString))(io)
       latest.copy(snapshots = latest.snapshots :+ snap, currentSnapshotId = newId)
     }
     meta = next
@@ -439,7 +520,7 @@ final class LakeTable private[lake] (
       addedDataFiles = added.size,
       addedRecords = added.map(_.recordCount).sum,
       addedFilesSizeInBytes = added.map(_.sizeBytes).sum,
-      totalDataFiles = snap.files.size,
+      totalDataFiles = snap.fileCount,
       totalDeleteFiles = 0L,
       totalRecords = snap.totalRecords,
       totalFilesSizeInBytes = snap.totalSizeBytes,
@@ -472,7 +553,7 @@ final class LakeScan private[lake] (
   lazy val planFiles: Seq[DataFileEntry] = {
     val t0 = System.nanoTime()
     val files = snapshot.map(_.files).getOrElse(Nil)
-    val survivors = files.filter(pred.mayMatch(_, table.schema))
+    val survivors = files.filter(pred.mayMatch(_, table.metadata))
     table.catalog.reporter.report(ScanReport(
       tableName = table.name,
       snapshotId = snapshot.map(_.id).getOrElse(-1L),

@@ -10,16 +10,36 @@ import scala.jdk.CollectionConverters._
   * (reference: DataFiles.builder usage IntegrationTest.java:97, snapshot
   * accumulation :92-99, spec plumbing :66,84).
   *
-  * Metadata is one JSON document per version (`metadata/v{N}.json`),
-  * holding schema + spec + the full snapshot log, each snapshot carrying
-  * its complete live-file manifest — which makes time travel a pure
-  * lookup. JSON is hand-serialized (deterministic, no reflection) and
-  * parsed with Jackson's tree API.
+  * Metadata is LAYERED the way the reference's Iceberg tables are
+  * (manifest-list + manifest files, written by newAppend().commit(),
+  * IntegrationTest.java:92-98): the versioned document
+  * (`metadata/v{N}.json`) holds schema + spec + the snapshot LOG, where
+  * each snapshot carries only POINTERS (`ManifestRef`) to immutable
+  * per-commit manifest documents (`metadata/manifest-{uuid}.json`) that
+  * hold the actual file entries. A commit therefore writes O(new files)
+  * bytes — one manifest for the files it adds, rewrites only for
+  * manifests it removes files from — never the whole history; and
+  * loading a table parses only the log, with manifests fetched lazily
+  * (and cached: they are immutable) when a scan actually plans files.
+  *
+  * File column stats are keyed by FIELD ID (and partition values by
+  * spec position), not by column name — the same choice Iceberg makes —
+  * so a column rename is a pure metadata-document change: no manifest
+  * is ever rewritten, and historical snapshots prune correctly under
+  * the current schema because the current name resolves to the same ID
+  * the old files' stats were written under.
+  *
+  * JSON is hand-serialized (deterministic, no reflection) and parsed
+  * with Jackson's tree API. formatVersion 2 (v1 embedded full file
+  * lists in every snapshot; no v1 warehouses exist to migrate — every
+  * file ever written by this engine carries parquet field IDs, which is
+  * what licenses the unconditional ID-based read path in LakeTable).
   */
 /** A copy-on-write commit lost its race: the files it rewrote were
-  * removed by a concurrent commit between read and CAS. Retrying the
-  * metadata transform would duplicate/resurrect rows, so the operation
-  * itself must be re-run against fresh metadata (Iceberg's
+  * removed by a concurrent commit between read and CAS — or rows
+  * matching its predicate were added since its base snapshot. Retrying
+  * the metadata transform would duplicate/resurrect/miss rows, so the
+  * operation itself must be re-run against fresh metadata (Iceberg's
   * validateNoConflictingData behavior). */
 final class CommitConflictException(msg: String) extends IllegalStateException(msg)
 
@@ -50,8 +70,11 @@ final case class PartitionField(source: String, transform: String) {
 }
 
 /** Per-file manifest entry with footer-harvested column stats.
-  * Stat values are canonical strings keyed by column name: numerics in
-  * decimal, timestamps as micros-since-epoch longs, strings verbatim. */
+  * Stat maps are keyed by FIELD ID rendered as a decimal string
+  * (rename-proof; see [[TableMetadata.fieldIds]]), partition values by
+  * spec position (`"p0"`, `"p1"`, …). Stat values are canonical
+  * strings: numerics in decimal, timestamps as micros-since-epoch
+  * longs, strings verbatim. */
 final case class DataFileEntry(
     path: String,
     recordCount: Long,
@@ -61,15 +84,43 @@ final case class DataFileEntry(
     nullCounts: Map[String, Long],
     partitionValues: Map[String, String])
 
+/** Pointer to one immutable manifest document plus the rollup counts
+  * file planning needs WITHOUT loading it (totals, live-file count). */
+final case class ManifestRef(
+    name: String, // document name under metadata/, e.g. manifest-<uuid>.json
+    fileCount: Long,
+    recordCount: Long,
+    sizeBytes: Long)
+
+/** Resolves the immutable manifest-layer documents (manifest lists and
+  * manifests) behind a snapshot — implemented by the catalog with a
+  * never-invalidating cache (the documents are write-once). */
+trait ManifestIO {
+  def readList(name: String): Seq[ManifestRef]
+  def readManifest(name: String): Seq[DataFileEntry]
+}
+
+/** One commit. The snapshot embeds ONE pointer — its manifest-list
+  * document (Iceberg's manifest-list layer) — plus rollup counts, so a
+  * snapshot entry in the metadata document is O(1) however many
+  * manifests or files it covers; `manifests` and `files` resolve lazily
+  * through the catalog's cache (the IO handle sits in the second
+  * parameter list, out of case-class equality). */
 final case class Snapshot(
     id: Long,
     parentId: Option[Long],
     timestampMs: Long,
     operation: String, // append | replace | delete | overwrite
-    files: Seq[DataFileEntry], // complete live manifest at this snapshot
-    summary: Map[String, String]) {
-  def totalRecords: Long = files.map(_.recordCount).sum
-  def totalSizeBytes: Long = files.map(_.sizeBytes).sum
+    manifestList: String, // snaplist-<uuid>.json under metadata/
+    fileCount: Long,
+    totalRecords: Long,
+    totalSizeBytes: Long,
+    summary: Map[String, String])(
+    io: ManifestIO) {
+  lazy val manifests: Seq[ManifestRef] = io.readList(manifestList)
+  /** Complete live manifest at this snapshot (lazy: union of the
+    * referenced manifest documents; each loads once per process). */
+  lazy val files: Seq[DataFileEntry] = manifests.flatMap(m => io.readManifest(m.name))
 }
 
 final case class TableMetadata(
@@ -85,19 +136,25 @@ final case class TableMetadata(
     // metadata — so table.schema round-trips the user's StructType
     // identically (the reference's schema-identity contract). Write and
     // read paths inject them as parquet field IDs ("parquet.field.id"),
-    // which is what makes renamed columns resolve in old files.
+    // which is what makes renamed columns resolve in old files; manifest
+    // stats are keyed by the same IDs, which is what makes a rename a
+    // metadata-only commit.
     fieldIds: Map[String, Int] = Map.empty,
     lastAssignedFieldId: Int = 0) {
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   def currentFiles: Seq[DataFileEntry] = currentSnapshot.map(_.files).getOrElse(Nil)
 
-  /** Metadata written before field IDs existed (or built ad hoc) gets
-    * positional IDs 1..n — the same assignment createTable performs.
-    * Guarded on lastAssignedFieldId too: a table whose columns were ALL
-    * dropped has empty fieldIds but a real high-water mark, and
-    * resetting it would let addColumn reuse a retired ID — resurrecting
-    * the dropped column's bytes from old files. */
+  /** Manifest stat-map key for a column under the CURRENT schema —
+    * None for unknown columns (prune conservatively). */
+  def statKey(colName: String): Option[String] = fieldIds.get(colName).map(_.toString)
+
+  /** Metadata built ad hoc (tests, external tools) gets positional IDs
+    * 1..n — the same assignment createTable performs. Guarded on
+    * lastAssignedFieldId too: a table whose columns were ALL dropped has
+    * empty fieldIds but a real high-water mark, and resetting it would
+    * let addColumn reuse a retired ID — resurrecting the dropped
+    * column's bytes from old files. */
   def withFieldIdDefaults: TableMetadata =
     if (fieldIds.nonEmpty || lastAssignedFieldId > 0) this
     else copy(
@@ -146,17 +203,40 @@ object MetadataJson {
   private def snapshotJson(s: Snapshot): String =
     s"""{"id":${s.id},"parentId":${s.parentId.map(_.toString).getOrElse("null")},""" +
       s""""timestampMs":${s.timestampMs},"operation":${q(s.operation)},""" +
-      s""""files":${s.files.map(fileJson).mkString("[", ",", "]")},""" +
+      s""""manifestList":${q(s.manifestList)},"fileCount":${s.fileCount},""" +
+      s""""totalRecords":${s.totalRecords},"totalSizeBytes":${s.totalSizeBytes},""" +
       s""""summary":${strMap(s.summary)}}"""
 
   def write(m: TableMetadata): String =
-    s"""{"formatVersion":1,"name":${q(m.name)},"location":${q(m.location)},""" +
+    s"""{"formatVersion":2,"name":${q(m.name)},"location":${q(m.location)},""" +
       s""""schema":${m.schema.json},""" +
       s""""fieldIds":${m.fieldIds.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")},""" +
       s""""lastAssignedFieldId":${m.lastAssignedFieldId},""" +
       s""""spec":${m.spec.map(p => s"""{"source":${q(p.source)},"transform":${q(p.transform)}}""").mkString("[", ",", "]")},""" +
       s""""snapshots":${m.snapshots.map(snapshotJson).mkString("[", ",", "]")},""" +
       s""""currentSnapshotId":${m.currentSnapshotId}}"""
+
+  /** One manifest document: the file entries a commit wrote it with. */
+  def writeManifest(files: Seq[DataFileEntry]): String =
+    files.map(fileJson).mkString("""{"files":[""", ",", "]}")
+
+  def readManifest(json: String): Seq[DataFileEntry] =
+    mapper.readTree(json).get("files").elements().asScala.map(parseFile).toSeq
+
+  /** One manifest-list document: the refs whose union is a snapshot's
+    * live file set. */
+  def writeManifestList(refs: Seq[ManifestRef]): String =
+    refs.map(m =>
+      s"""{"name":${q(m.name)},"fileCount":${m.fileCount},""" +
+        s""""recordCount":${m.recordCount},"sizeBytes":${m.sizeBytes}}""")
+      .mkString("""{"manifests":[""", ",", "]}")
+
+  def readManifestList(json: String): Seq[ManifestRef] =
+    mapper.readTree(json).get("manifests").elements().asScala.map(m => ManifestRef(
+      name = m.get("name").asText(),
+      fileCount = m.get("fileCount").asLong(),
+      recordCount = m.get("recordCount").asLong(),
+      sizeBytes = m.get("sizeBytes").asLong())).toSeq
 
   private def asStrMap(n: JsonNode): Map[String, String] =
     n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
@@ -173,15 +253,23 @@ object MetadataJson {
     nullCounts = asLongMap(n.get("nullCounts")),
     partitionValues = asStrMap(n.get("partitionValues")))
 
-  private def parseSnapshot(n: JsonNode): Snapshot = Snapshot(
-    id = n.get("id").asLong(),
-    parentId = if (n.get("parentId").isNull) None else Some(n.get("parentId").asLong()),
-    timestampMs = n.get("timestampMs").asLong(),
-    operation = n.get("operation").asText(),
-    files = n.get("files").elements().asScala.map(parseFile).toSeq,
-    summary = asStrMap(n.get("summary")))
+  private def parseSnapshot(n: JsonNode, io: ManifestIO): Snapshot =
+    Snapshot(
+      id = n.get("id").asLong(),
+      parentId = if (n.get("parentId").isNull) None else Some(n.get("parentId").asLong()),
+      timestampMs = n.get("timestampMs").asLong(),
+      operation = n.get("operation").asText(),
+      manifestList = n.get("manifestList").asText(),
+      fileCount = n.get("fileCount").asLong(),
+      totalRecords = n.get("totalRecords").asLong(),
+      totalSizeBytes = n.get("totalSizeBytes").asLong(),
+      summary = asStrMap(n.get("summary")))(io)
 
-  def read(json: String): TableMetadata = {
+  /** Parse a metadata document. `io` resolves manifest-layer document
+    * names to their parsed contents — the catalog passes its cached
+    * backend reader; the documents are immutable so the cache never
+    * invalidates. */
+  def read(json: String, io: ManifestIO): TableMetadata = {
     val n = mapper.readTree(json)
     TableMetadata(
       name = n.get("name").asText(),
@@ -189,12 +277,12 @@ object MetadataJson {
       schema = DataType.fromJson(mapper.writeValueAsString(n.get("schema"))).asInstanceOf[StructType],
       spec = n.get("spec").elements().asScala
         .map(p => PartitionField(p.get("source").asText(), p.get("transform").asText())).toSeq,
-      snapshots = n.get("snapshots").elements().asScala.map(parseSnapshot).toSeq,
+      snapshots = n.get("snapshots").elements().asScala.map(parseSnapshot(_, io)).toSeq,
       currentSnapshotId = n.get("currentSnapshotId").asLong(),
       fieldIds = Option(n.get("fieldIds"))
         .map(m => m.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap)
         .getOrElse(Map.empty),
       lastAssignedFieldId = Option(n.get("lastAssignedFieldId")).map(_.asInt()).getOrElse(0)
-    ).withFieldIdDefaults // pre-field-ID documents get positional IDs
+    ).withFieldIdDefaults // ad-hoc documents get positional IDs
   }
 }

@@ -17,9 +17,11 @@ import scala.jdk.CollectionConverters._
   */
 object StatsHarvester {
 
-  /** All data files under dir → manifest entries. */
+  /** All data files under dir → manifest entries. Stat maps come back
+    * keyed by FIELD ID (`fieldIds(name).toString`) and partition values
+    * by spec position — the rename-proof manifest encoding. */
   def harvest(spark: SparkSession, dir: String, schema: StructType,
-      spec: Seq[PartitionField]): Seq[DataFileEntry] = {
+      spec: Seq[PartitionField], fieldIds: Map[String, Int]): Seq[DataFileEntry] = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
@@ -35,6 +37,7 @@ object StatsHarvester {
           var maxs = Map.empty[String, String]
           var nulls = Map.empty[String, Long]
           schema.fields.foreach { field =>
+            val key = fieldIds.get(field.name).map(_.toString).getOrElse(field.name)
             val chunks = blocks.flatMap(_.getColumns.asScala
               .find(_.getPath.toDotString == field.name))
             val unitScale = chunks.headOption.map(tsNanosPerUnit).getOrElse(1L)
@@ -44,19 +47,19 @@ object StatsHarvester {
               val ms = stats.flatMap(s => statString(field.dataType, s.genericGetMin(), unitScale))
               val xs = stats.flatMap(s => statString(field.dataType, s.genericGetMax(), unitScale))
               if (ms.size == stats.size && xs.size == stats.size) {
-                mins += field.name -> ms.reduce((a, b) =>
+                mins += key -> ms.reduce((a, b) =>
                   if (Stats.cmp(field.dataType, a, b) <= 0) a else b)
-                maxs += field.name -> xs.reduce((a, b) =>
+                maxs += key -> xs.reduce((a, b) =>
                   if (Stats.cmp(field.dataType, a, b) >= 0) a else b)
               }
             }
             val nullCounts = chunks.map(_.getStatistics)
               .filter(s => s != null && !s.isEmpty)
             if (nullCounts.nonEmpty && nullCounts.size == chunks.size)
-              nulls += field.name -> nullCounts.map(_.getNumNulls).sum
+              nulls += key -> nullCounts.map(_.getNumNulls).sum
           }
           DataFileEntry(st.getPath.toString, rows, st.getLen, mins, maxs, nulls,
-            partitionValues(spec, schema, mins, maxs))
+            partitionValues(spec, schema, fieldIds, mins, maxs))
         } finally reader.close()
       }
       .filter(_.recordCount > 0)
@@ -104,17 +107,21 @@ object StatsHarvester {
 
   /** Derive identity-style partition values where a file is fully inside
     * one partition (transform(min) == transform(max)); files spanning
-    * partitions simply get no value and are never partition-pruned. */
+    * partitions simply get no value and are never partition-pruned.
+    * Keys are spec positions (`"p0"`, …): stable across source-column
+    * renames, which never touch a written manifest. */
   private def partitionValues(spec: Seq[PartitionField], schema: StructType,
+      fieldIds: Map[String, Int],
       mins: Map[String, String], maxs: Map[String, String]): Map[String, String] =
-    spec.flatMap { pf =>
+    spec.zipWithIndex.flatMap { case (pf, i) =>
+      val statKey = fieldIds.get(pf.source).map(_.toString).getOrElse(pf.source)
       val t = schema.fields.find(_.name == pf.source).map(_.dataType)
       for {
         dt <- t
-        mn <- mins.get(pf.source).flatMap(applyTransform(pf.transform, dt, _))
-        mx <- maxs.get(pf.source).flatMap(applyTransform(pf.transform, dt, _))
+        mn <- mins.get(statKey).flatMap(applyTransform(pf.transform, dt, _))
+        mx <- maxs.get(statKey).flatMap(applyTransform(pf.transform, dt, _))
         if mn == mx
-      } yield pf.render -> mn
+      } yield s"p$i" -> mn
     }.toMap
 
   /** Transform a canonical stat string: identity, year/month/day/hour

@@ -61,41 +61,67 @@ object TextQueries {
       .toDF("doc_id", "s")
   }
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via PREFIX
-    * FILTERING (AllPairs/PPJoin): order every doc's shingles by global
-    * document frequency (rarest first), keep only the first
-    * |S| - ceil(t·|S|) + 1 per doc, and self-join on that prefix.
-    * If J(A,B) ≥ t the two prefixes provably share a shingle, so the
-    * candidate set is a lossless superset — the result is identical to
-    * the naive all-pairs shingle join (the DuckDB oracle stays the
-    * naive formulation), but hot shingles land in suffixes and never
-    * generate candidates: no quadratic blowup on common 3-grams, which
-    * is what makes this survive 100 TB (the naive join was 88 s at
-    * sf0.1; one common shingle across k docs → k² candidate rows).
-    * Exact Jaccard is then computed only on candidate pairs with
-    * array_intersect over the full per-doc shingle sets. */
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via the full
+    * AllPairs/PPJoin filter stack, all provably LOSSLESS for J ≥ t so
+    * the result is identical to the naive all-pairs shingle join (the
+    * DuckDB oracle stays the naive formulation):
+    *
+    *  1. DICTIONARY-ENCODE shingles to dense int ids ordered by global
+    *     document frequency (rarest first) — every later stage moves
+    *     and intersects int arrays, not ~18-char strings (the string
+    *     formulation hauled ~100 strings per candidate row through the
+    *     verify join; under heap pressure that GC-thrashed a full-corpus
+    *     bench run to 65 s for this one query).
+    *  2. PREFIX FILTER: per doc keep the first |S| - ceil(t·|S|) + 1
+    *     ids; J(A,B) ≥ t forces the two prefixes to share an id, and
+    *     hot shingles land in suffixes — no quadratic blowup on common
+    *     3-grams (the naive join was 88 s at sf0.1; one shared shingle
+    *     across k docs → k² candidate rows).
+    *  3. SIZE FILTER (AllPairs): J ≥ 1/2 forces max(|A|,|B|) ≤ 2·min —
+    *     integer-exact (a float t·|B| bound could round the wrong way
+    *     and silently drop true pairs).
+    *  4. POSITIONAL FILTER (PPJoin): a match at prefix positions
+    *     (pa, pb) bounds the overlap by 1 + min(za-pa-1, zb-pb-1),
+    *     which must reach the minimal intersection n ≥ (za+zb)/3
+    *     (n/(za+zb-n) ≥ 1/2 ⇔ 3n ≥ za+zb) — again integer-exact.
+    *     Lossless because a true pair's FIRST shared prefix id always
+    *     satisfies the bound.
+    *
+    * Exact Jaccard is then computed only on surviving candidates with
+    * array_intersect over the full per-doc id arrays. */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val t = 0.5
     val sh = shingleRows(documents(s, d))
-    val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // ONE per-doc aggregation yields everything downstream needs: the
-    // DF-ordered shingle array (sort_array on struct<df,s> = the global
-    // rarest-first order), the set size, and the prefix slice — the
-    // round-2 draft spent two window passes plus a separate collect_set
-    // shuffle on the same information
-    val docs = QueryCaches.track(sh.join(dfreq, "s")
+    // The dictionary window sorts the VOCABULARY (distinct shingles —
+    // 27k at sf0.1), not the corpus, so the single-partition row_number
+    // is over data ≪ input; at 100 TB this is the standard token-table
+    // sort every AllPairs implementation performs once per corpus.
+    val dict = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .withColumn("sid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("s"))))
+    // ONE per-doc aggregation yields everything downstream needs:
+    // sort_array on the rarest-first ids = the global prefix order,
+    // the set size, and the prefix slice
+    val docs = QueryCaches.track(sh.join(dict, "s")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ordered"))
-      .select(col("doc_id"),
-        col("ordered.s").as("ss"),
-        size(col("ordered")).cast("long").as("sz"),
-        expr(s"slice(ordered.s, 1, " +
-          s"size(ordered) - CAST(ceil(size(ordered) * $t) AS INT) + 1)").as("prefix"))
+      .agg(sort_array(collect_list(col("sid"))).as("ss"))
+      .select(col("doc_id"), col("ss"),
+        size(col("ss")).cast("long").as("sz"),
+        expr(s"slice(ss, 1, size(ss) - CAST(ceil(size(ss) * $t) AS INT) + 1)").as("prefix"))
       .persist())
-    val prefix = docs.select(col("doc_id"), explode(col("prefix")).as("s"))
-    val cand = prefix.select(col("doc_id").as("da"), col("s"))
-      .join(prefix.select(col("doc_id").as("db"), col("s")), "s")
+    val prefix = docs.select(col("doc_id"), col("sz"),
+      posexplode(col("prefix")).as(Seq("pos", "sid")))
+    val cand = prefix
+      .select(col("doc_id").as("da"), col("sz").as("za"), col("pos").as("pa"), col("sid"))
+      .join(prefix
+        .select(col("doc_id").as("db"), col("sz").as("zb"), col("pos").as("pb"), col("sid")), "sid")
       .filter(col("da") < col("db"))
+      // size filter: J ≥ 1/2 ⇒ greatest ≤ 2·least (t = 0.5 kept exact
+      // in integers; a parameterized float bound needs an epsilon guard)
+      .filter(greatest(col("za"), col("zb")) <= lit(2) * least(col("za"), col("zb")))
+      // positional filter: 3·(1 + min(za-pa-1, zb-pb-1)) ≥ za+zb
+      .filter(lit(3) * (lit(1) + least(col("za") - col("pa") - 1, col("zb") - col("pb") - 1))
+        >= col("za") + col("zb"))
       .select(col("da"), col("db")).distinct()
     cand
       .join(docs.select(col("doc_id").as("da"), col("ss").as("sa"), col("sz").as("za")), "da")

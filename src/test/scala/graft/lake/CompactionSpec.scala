@@ -48,7 +48,7 @@ class CompactionSpec extends LakeSuite {
     // delete only 1995 rows: files fully outside 1995 must survive as-is
     val pred = LakePredicate.Lt("o_orderdate",
       java.sql.Timestamp.valueOf("1996-01-01 00:00:00"))
-    val untouched = files.filterNot(pred.mayMatch(_, t.schema)).map(_.path).toSet
+    val untouched = files.filterNot(pred.mayMatch(_, t.metadata)).map(_.path).toSet
     t.deleteWhere(spark, pred)
     val after = t.refresh().metadata.currentFiles.map(_.path).toSet
     assert(untouched.subsetOf(after), "disjoint files must not be rewritten")

@@ -19,9 +19,11 @@ class MaintenanceSpec extends LakeSuite {
     val expired = t.expireSnapshots(keepLast = 1)
     assert(expired.size === 4)
     assert(t.snapshots.size === 1)
-    // pre-compaction files are now unreferenced -> orphans
+    // pre-compaction files are now unreferenced -> orphans; so are the
+    // manifest documents only the expired snapshots referenced
     val removed = t.removeOrphanFiles()
-    assert(removed.size === 4)
+    assert(removed.count(_.endsWith(".parquet")) === 4)
+    assert(removed.count(_.contains("manifest-")) === 4)
     // current data unharmed
     assert(t.newScan().toDF(spark).count() === rows)
     // time travel to an expired snapshot now fails

@@ -37,7 +37,7 @@ class MergeSpec extends LakeSuite {
     val after = t.refresh().metadata.currentFiles.map(_.path).toSet
     val untouched = before.filter(f =>
       Stats.cmp(org.apache.spark.sql.types.LongType,
-        f.minValues("o_orderkey"), "50") > 0).map(_.path)
+        f.minValues(t.metadata.statKey("o_orderkey").get), "50") > 0).map(_.path)
     assert(untouched.nonEmpty, "need files beyond the source range")
     assert(untouched.forall(after.contains), "out-of-range files must survive")
     assert(t.newScan(LakePredicate.Eq("o_orderstatus", "M")).toDF(spark).count()

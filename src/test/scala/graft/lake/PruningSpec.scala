@@ -150,7 +150,7 @@ class PruningSpec extends LakeSuite {
     val withPv = table.metadata.currentFiles.filter(_.partitionValues.nonEmpty)
     assert(withPv.nonEmpty, "at least some files should sit inside one year")
     withPv.foreach { f =>
-      assert(f.partitionValues.keySet === Set("year(o_orderdate)"))
+      assert(f.partitionValues.keySet === Set("p0")) // spec position 0 = year(o_orderdate)
       assert(f.partitionValues.values.head.matches("\\d{4}"))
     }
   }
