@@ -90,6 +90,107 @@ final class LocalFsCommitBackend extends CommitBackend {
     }
 }
 
+/** Metadata documents behind the Hadoop FileSystem API — the surface an
+  * `s3a://`/`hdfs://`/`abfs://` warehouse actually exposes, mirroring
+  * the reference's S3FileIO-first design (LocalIcebergCatalog.java:121-127:
+  * MinIO + S3FileIO is its ONLY storage path).
+  *
+  * The conditional put is WRITE-THEN-PUBLISH: the complete document goes
+  * to a uniquely named temp key first, then an atomic `rename` onto the
+  * target — a reader can never observe a half-written document (a
+  * create(target, overwrite=false) + write draft published the NAME
+  * before the BYTES on stream-visible filesystems, and a racing
+  * `readMeta` parsed the partial JSON; caught by ConcurrencySpec).
+  * Rename refuses an existing destination on HDFS, making it the CAS
+  * there; `RawLocalFileSystem` rename overwrites, so a JVM-local guard
+  * serializes the exists-check + rename for file:// tests — a
+  * cross-process local-FS deployment should use [[LocalFsCommitBackend]]
+  * whose hard-link CAS is kernel-atomic. A true object store implements
+  * this trait's contract with a conditional PUT (If-None-Match), where
+  * the object appears atomically at close and no rename is needed.
+  *
+  * The scheme comes from the warehouse path itself; everything else
+  * (listing, reads, recursive delete) is plain FileSystem API. */
+final class HadoopFsCommitBackend(
+    hadoopConf: org.apache.hadoop.conf.Configuration =
+      new org.apache.hadoop.conf.Configuration())
+    extends CommitBackend {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private def hp(p: Path): HPath = new HPath(p.toString)
+  private def fsOf(p: HPath): FileSystem = p.getFileSystem(hadoopConf)
+  // JVM-local serialization for FS implementations whose rename does not
+  // refuse an existing destination (RawLocalFileSystem)
+  private val localGuard = new Object
+
+  private def writeTemp(fs: FileSystem, dir: HPath, content: String): HPath = {
+    val tmp = new HPath(dir, s".tmp-${java.util.UUID.randomUUID}.json")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    tmp
+  }
+
+  def putIfAbsent(path: Path, content: String): Boolean = localGuard.synchronized {
+    val target = hp(path)
+    val fs = fsOf(target)
+    if (fs.exists(target)) false
+    else {
+      val tmp = writeTemp(fs, target.getParent, content)
+      val won = try fs.rename(tmp, target) catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+      if (!won) fs.delete(tmp, false)
+      won
+    }
+  }
+
+  /** Write-then-publish as well: manifest documents route through here
+    * (their names are unique so nothing overwrites in practice, but a
+    * reader must still never see partial bytes). An existing destination
+    * (the version hint) is deleted first — HDFS rename refuses to
+    * replace — leaving a benign not-found window for a best-effort doc. */
+  def putOverwrite(path: Path, content: String): Unit = localGuard.synchronized {
+    val target = hp(path)
+    val fs = fsOf(target)
+    val tmp = writeTemp(fs, target.getParent, content)
+    if (fs.exists(target)) fs.delete(target, false)
+    fs.rename(tmp, target)
+    ()
+  }
+
+  def get(path: Path): Option[String] = {
+    val target = hp(path)
+    val fs = fsOf(target)
+    if (!fs.exists(target)) None
+    else {
+      val in = fs.open(target)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  def delete(path: Path): Unit = { fsOf(hp(path)).delete(hp(path), false); () }
+
+  def listChildren(dir: Path): Seq[String] = {
+    val d = hp(dir)
+    val fs = fsOf(d)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+  }
+
+  def ensureDir(dir: Path): Unit = { fsOf(hp(dir)).mkdirs(hp(dir)); () }
+
+  def isDir(p: Path): Boolean = {
+    val h = hp(p)
+    val fs = fsOf(h)
+    fs.exists(h) && fs.getFileStatus(h).isDirectory
+  }
+
+  def deleteTree(dir: Path): Unit = { fsOf(hp(dir)).delete(hp(dir), true); () }
+}
+
 /** Conditional-put backend over an in-process map: proves the commit
   * protocol works where hard links and atomic renames do not exist —
   * `putIfAbsent` is the only atomic operation, exactly the contract of

@@ -86,7 +86,14 @@ final class LakeTable private[lake] (
     * session with ID-based matching on, so files written before a
     * column rename still resolve that column by ID (name matching would
     * silently project null). Fields whose ID is absent fall back to
-    * name matching, so ad-hoc schemas keep working. */
+    * name matching, so ad-hoc schemas keep working.
+    *
+    * The unconditional ID-based read is licensed by a format invariant:
+    * every data file reachable through formatVersion-2 metadata was
+    * written by [[writeDataFiles]] with fieldId.write.enabled, so
+    * footers always carry IDs (Spark throws on ID-expecting reads over
+    * ID-less footers; ignoreMissing would silently project NULL — both
+    * wrong for foreign files, which this format never references). */
   private[lake] def readFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
     org.apache.spark.sql.graftbridge.SessionBridge
       .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))

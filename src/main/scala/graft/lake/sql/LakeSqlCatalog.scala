@@ -111,10 +111,43 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE via SQL is not supported; use the LakeTable API " +
-        "(addColumn/dropColumn/renameColumn) for transactional schema evolution")
+  /** SQL ALTER TABLE — mapped onto the SAME transactional evolution
+    * commits the Scala API uses (addColumn/dropColumn/renameColumn):
+    * each change is a metadata-document CAS commit, renames keep the
+    * field ID so pre-rename files resolve by ID, and no data file or
+    * manifest is ever rewritten. Top-level columns only (the lake
+    * schema model is flat-relational); type changes / repositioning
+    * are unsupported and fail loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val ns = ns1(ident.namespace)
+    if (!lake.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
+    val t = lake.loadTable(ns, ident.name)
+    def one(fieldNames: Array[String]): String = fieldNames match {
+      case Array(n) => n
+      case other => throw new UnsupportedOperationException(
+        s"nested column ${other.mkString(".")} is not supported")
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (!add.isNullable)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN ... NOT NULL is not supported: existing files read " +
+              "the new column as NULL")
+        if (add.position() != null)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN with FIRST/AFTER is not supported (columns append)")
+        t.refresh().addColumn(one(add.fieldNames), add.dataType())
+      case ren: TableChange.RenameColumn =>
+        t.refresh().renameColumn(one(ren.fieldNames), ren.newName())
+      case del: TableChange.DeleteColumn =>
+        val colName = one(del.fieldNames)
+        if (!del.ifExists() || t.refresh().schema.fieldNames.contains(colName))
+          t.refresh().dropColumn(colName)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val ns = ns1(ident.namespace)

@@ -43,14 +43,13 @@ object JoinExtraQueries {
     * must not be charged to — or race inside — every join invocation.
     * Unique suffixes keep concurrent sessions off each other's catalog
     * entries; computeIfAbsent makes create-once atomic per JVM. */
-  private val bucketedTables =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val bucketedTables = new SessionMemo[(String, String)]()
 
   /** Public setup hook for [[Corpus.prepare]]. */
   def prepareBucketed(s: SparkSession, d: String): Unit = { ensureBucketed(s, d); () }
 
   private def ensureBucketed(s: SparkSession, d: String): (String, String) =
-    bucketedTables.computeIfAbsent(d, _ => {
+    bucketedTables.getOrBuild(s, d) {
       val id = java.lang.Long.toHexString(System.nanoTime())
       val (to, tl) = (s"graft_bkt_orders_$id", s"graft_bkt_lineitem_$id")
       val wh = java.nio.file.Files.createTempDirectory("graft_bucket_").toString
@@ -61,7 +60,7 @@ object JoinExtraQueries {
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(tl)
       (to, tl)
-    })
+    }
 
   /** Bucketed co-located join: both fact tables bucketed+sorted on the
     * join key into the same bucket count, so the join needs NO shuffle

@@ -142,17 +142,23 @@ object LakeQueries {
   /** The SQL surface end-to-end: DDL through the V2 catalog plugin,
     * a transactional append through the Scala API, and an aggregation
     * read back with spark.sql over `<catalog>.<ns>.<table>`. */
+  private val sqlCatalogs = new SessionMemo[String]()
+
   def lakeSqlSelect(s: SparkSession, d: String): DataFrame = {
-    val src = orders(s, d)
-    val wh = Files.createTempDirectory("graft_lake_sql_").toString
-    // unique catalog name per invocation: catalog plugins are cached by
-    // name per session, and each run builds a fresh warehouse
-    val catName = s"lakesql_${java.lang.Long.toHexString(System.nanoTime())}"
-    s.conf.set(s"spark.sql.catalog.$catName", classOf[graft.lake.sql.LakeSqlCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
-    s.sql(s"CREATE NAMESPACE $catName.q")
-    s.sql(s"CREATE TABLE $catName.q.orders (${src.schema.toDDL})")
-    LakeCatalog.open(wh).loadTable("q", "orders").appendData(src)
+    // ONE catalog registration + warehouse per (session, corpus dir) —
+    // a per-invocation registration accumulated catalog instances,
+    // session confs, and undeleted temp warehouses across a corpus run
+    val catName = sqlCatalogs.getOrBuild(s, d) {
+      val src = orders(s, d)
+      val wh = Files.createTempDirectory("graft_lake_sql_").toString
+      val name = s"lakesql_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
+      LakeCatalog.open(wh).loadTable("q", "orders").appendData(src)
+      name
+    }
     s.sql(
       s"""SELECT o_orderstatus, count(*) AS n,
          |  round(sum(o_totalprice), 2) AS sum_price,

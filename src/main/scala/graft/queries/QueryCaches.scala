@@ -27,3 +27,20 @@ object QueryCaches {
     }
   }
 }
+
+/** Memo for cross-invocation index artifacts (bucketed tables, the IVF
+  * inverted file, SQL catalog registrations) keyed by (SparkSession,
+  * corpus dir) — NOT by dir alone: the artifacts hold session-bound
+  * state (persisted blocks, session-catalog table names, catalog-plugin
+  * confs), so a second SparkSession in the same JVM must rebuild rather
+  * than inherit a dead session's handles. Entries for stopped sessions
+  * are dropped lazily on the next lookup. */
+final class SessionMemo[T] {
+  private val map = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), T]()
+
+  def getOrBuild(s: org.apache.spark.sql.SparkSession, d: String)(build: => T): T = {
+    map.keySet.removeIf(_._1.sparkContext.isStopped) // GC dead sessions' entries
+    map.computeIfAbsent((s, d), _ => build)
+  }
+}

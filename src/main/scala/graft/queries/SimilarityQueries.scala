@@ -112,14 +112,13 @@ object SimilarityQueries {
     * round 1: 2.8 s/invocation of pure retraining). The assignment
     * stays persisted across invocations by design: it is the inverted
     * file, not a per-query temp. */
-  private val ivfIndexes =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+  private val ivfIndexes = new SessionMemo[(DataFrame, DataFrame)]()
 
   /** Public setup hook for [[Corpus.prepare]]. */
   def prepareIvfIndex(s: SparkSession, d: String): Unit = { ensureIvfIndex(s, d); () }
 
   private def ensureIvfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    ivfIndexes.computeIfAbsent(d, _ => {
+    ivfIndexes.getOrBuild(s, d) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.linalg.{Vector, Vectors}
       import s.implicits._
@@ -137,7 +136,7 @@ object SimilarityQueries {
         .map { case (c: Vector, i: Int) => (i, c.toArray.toSeq) }
         .toDF("cell", "centroid")
       (assigned, cells)
-    })
+    }
 
   /** IVF (inverted-file) ANN: seeded KMeans coarse quantizer (k=16),
     * nprobe=2 — each query searches only the 2 nearest centroid cells,
@@ -176,30 +175,71 @@ object SimilarityQueries {
   }
 
   /** Embedding-cosine near-dup pairs (threshold 0.5): the dedup-family
-    * member over vectors, EXACT — which the DuckDB all-pairs oracle
-    * demands. Exact threshold-join on cosine has no lossless candidate
-    * filter on uniform random vectors: an LSH-band draft (21×3-bit,
-    * ~99.6% recall at t=0.5) turned out to pass ~94% of RANDOM pairs
-    * too (3-bit collision ½³ per band × 21 bands), i.e. brute force
-    * plus an array-carrying shuffle — strictly worse than brute force.
-    * So the exact path is the honest one: one corpus scan against a
-    * broadcast copy, codegen cosine, no shuffle (9 s → ~1 s at sf0.1).
-    * At 100 TB exact all-pairs is quadratic BY DEFINITION; production
-    * near-dup accepts approximate recall and reuses the ANN machinery
-    * ([[qAnnLsh]] banding / IVF cells, recall measured by
-    * [[qAnnRecall]]), or prunes cell pairs via centroid angular bounds
-    * when the corpus is clustered — on this corpus (uniform random,
-    * cell angular radii ≈ 90°) no cell pair is excludable, so the
-    * exact semantics cost n² wherever they run. */
+    * member over vectors. TWO code paths behind an explicit size gate:
+    *
+    * EXACT (corpus fits one executor's broadcast budget — which the
+    * DuckDB all-pairs oracle demands, and what sf0.01/sf0.1 run): one
+    * corpus scan against a broadcast copy, codegen cosine, no shuffle.
+    * Exact threshold-join on cosine has no lossless candidate filter on
+    * uniform random vectors: an LSH-band draft (21×3-bit, ~99.6% recall
+    * at t=0.5) turned out to pass ~94% of RANDOM pairs too (3-bit
+    * collision ½³ per band × 21 bands), i.e. brute force plus an
+    * array-carrying shuffle — strictly worse than brute force.
+    *
+    * BANDED (corpus above the broadcast budget, where `broadcast(b)`
+    * itself dies before the n² does): the [[qAnnLsh]] signature bands
+    * generate candidates through one shuffle per band, exact cosine
+    * verifies each candidate — approximate recall by construction
+    * (measured by [[qAnnRecall]]'s methodology, ~0.9 per-pair at this
+    * band config), which is the trade every production near-dup at
+    * 100 TB makes on unclustered vectors. */
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val t = 0.5
-    val a = embeddings(s, d).select(col("vec_id").as("va"), col("embedding").as("ea"))
-    val b = embeddings(s, d).select(col("vec_id").as("vb"), col("embedding").as("eb"))
-    a.join(broadcast(b), col("va") < col("vb"))
-      .select(col("va"), col("vb"), cosine(col("ea"), col("eb")).as("sim"))
-      .filter(col("sim") >= t)
-      .select(col("va"), col("vb"), round(col("sim"), 3).as("sim"))
-      .orderBy(col("va"), col("vb"))
+    if (corpusFitsBroadcast(s, d)) {
+      val a = embeddings(s, d).select(col("vec_id").as("va"), col("embedding").as("ea"))
+      val b = embeddings(s, d).select(col("vec_id").as("vb"), col("embedding").as("eb"))
+      a.join(broadcast(b), col("va") < col("vb"))
+        .select(col("va"), col("vb"), cosine(col("ea"), col("eb")).as("sim"))
+        .filter(col("sim") >= t)
+        .select(col("va"), col("vb"), round(col("sim"), 3).as("sim"))
+        .orderBy(col("va"), col("vb"))
+    } else {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
+      val banded = emb.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until 16).map(b =>
+          shiftright(col("sig"), b * 4).bitwiseAND(0xF)): _*))
+          .as(Seq("band", "bucket")))
+      val l = banded.select(col("band"), col("bucket"),
+        col("vec_id").as("va"), col("embedding").as("ea"))
+      val r = banded.select(col("band"), col("bucket"),
+        col("vec_id").as("vb"), col("embedding").as("eb"))
+      l.join(r, Seq("band", "bucket"))
+        .filter(col("va") < col("vb"))
+        .select(col("va"), col("vb"), cosine(col("ea"), col("eb")).as("sim"))
+        .filter(col("sim") >= t)
+        .distinct()
+        .select(col("va"), col("vb"), round(col("sim"), 3).as("sim"))
+        .orderBy(col("va"), col("vb"))
+    }
+  }
+
+  /** Size gate for [[qDedupEmbedding]]: does the embeddings corpus fit
+    * the session's broadcast budget? Decided from parquet bytes on disk
+    * (free — no Spark job) times a 4x deserialization factor (float
+    * arrays roughly quadruple from encoded parquet to JVM rows). */
+  private def corpusFitsBroadcast(s: SparkSession, d: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = path.getFileSystem(s.sessionState.newHadoopConf())
+    val onDisk = fs.getContentSummary(path).getLength
+    val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .stripSuffix("b").stripSuffix("B") match {
+      case t if t.endsWith("k") || t.endsWith("K") => t.dropRight(1).toLong << 10
+      case t if t.endsWith("m") || t.endsWith("M") => t.dropRight(1).toLong << 20
+      case t if t.endsWith("g") || t.endsWith("G") => t.dropRight(1).toLong << 30
+      case t => t.toLong
+    }
+    threshold > 0 && onDisk * 4 <= threshold
   }
 
   /** Recall@5 of each ANN path against the brute-force ground truth,

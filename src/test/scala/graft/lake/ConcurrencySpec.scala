@@ -9,13 +9,15 @@ import scala.concurrent.ExecutionContext.Implicits.global
   * attempt counters must reflect the retries the losers performed. */
 class ConcurrencySpec extends LakeSuite {
 
-  // Same contention protocol against BOTH commit backends: the
-  // hard-link CAS (local FS) and the conditional-put map (the object-
-  // store/H2 semantics — no links or renames, only putIfAbsent). The
+  // Same contention protocol against ALL commit backends: the hard-link
+  // CAS (local FS), the conditional-put map (object-store/H2 semantics —
+  // no links or renames, only putIfAbsent), and the Hadoop FileSystem
+  // API (the s3a://-shaped path, create-exclusive as the CAS). The
   // commit protocol must not care which provides the atomicity.
   for ((backendName, mkBackend) <- Seq(
-      "local-fs hard-link CAS" -> (() => new LocalFsCommitBackend),
-      "in-memory conditional put" -> (() => new InMemoryCommitBackend))) {
+      "local-fs hard-link CAS" -> (() => new LocalFsCommitBackend: CommitBackend),
+      "in-memory conditional put" -> (() => new InMemoryCommitBackend: CommitBackend),
+      "hadoop-fs create-exclusive" -> (() => new HadoopFsCommitBackend: CommitBackend))) {
     test(s"8 concurrent append commits all land; no lost updates [$backendName]") {
       val metrics = new SimpleMetrics
       val cat = LakeCatalog.open(freshWarehouse(), metrics, mkBackend())

@@ -51,6 +51,27 @@ class LakeCatalogSpec extends LakeSuite {
     assert(cat3.loadTable("ns", "t").snapshots.size === 2)
   }
 
+  test("hadoop-fs backend: full lifecycle through the FileSystem API, local-fs interop") {
+    val wh = freshWarehouse()
+    val cat = LakeCatalog.open(wh, backend = new HadoopFsCommitBackend)
+    val t = cat.createTable("ns", "hfs", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 4)
+    t.refresh().deleteWhere(spark, LakePredicate.Le("o_orderkey", 100L))
+    t.refresh().compact(spark, targetFiles = 1)
+    val expected = ordersDF.filter(
+      org.apache.spark.sql.functions.col("o_orderkey") > 100).count()
+    assert(t.refresh().newScan().toDF(spark).count() === expected)
+    // a restart through the SAME backend sees identical state...
+    val re = LakeCatalog.open(wh, backend = new HadoopFsCommitBackend)
+      .loadTable("ns", "hfs")
+    assert(re.snapshots.size === 3)
+    assert(re.newScan().toDF(spark).count() === expected)
+    // ...and so does one through the POSIX backend: the document layout
+    // is backend-agnostic (file:// warehouses can switch CAS providers)
+    assert(LakeCatalog.open(wh).loadTable("ns", "hfs")
+      .newScan().toDF(spark).count() === expected)
+  }
+
   test("namespaces and table listing") {
     val cat = LakeCatalog.open(freshWarehouse())
     cat.createNamespace("a")

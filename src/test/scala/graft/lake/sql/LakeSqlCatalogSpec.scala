@@ -149,6 +149,40 @@ class LakeSqlCatalogSpec extends LakeSuite {
       .head.getLong(0) === df.count())
   }
 
+  test("SQL ALTER TABLE: add, rename (old files readable), drop") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.sqllake6", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqllake6.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sqllake6.ns")
+    spark.sql("CREATE TABLE sqllake6.ns.t (o_orderkey BIGINT, o_custkey BIGINT)")
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    val df = ordersDF.select(col("o_orderkey"), col("o_custkey"))
+    t.appendData(df) // files predate every ALTER below
+
+    // ADD: existing rows read the new column as NULL
+    spark.sql("ALTER TABLE sqllake6.ns.t ADD COLUMN note STRING")
+    assert(spark.sql("SELECT count(*) FROM sqllake6.ns.t WHERE note IS NULL")
+      .head.getLong(0) === df.count())
+
+    // RENAME: pre-rename files resolve the column by field ID — name
+    // matching would read NULL for every pre-rename row
+    spark.sql("ALTER TABLE sqllake6.ns.t RENAME COLUMN o_custkey TO buyer_id")
+    assert(spark.sql("SELECT sum(buyer_id) FROM sqllake6.ns.t").head.getLong(0)
+      === df.agg(sum(col("o_custkey"))).head.getLong(0))
+
+    // DROP: the column disappears from SQL reads; data files are untouched
+    spark.sql("ALTER TABLE sqllake6.ns.t DROP COLUMN note")
+    assert(!spark.table("sqllake6.ns.t").columns.contains("note"))
+    // all three ALTERs were transactional metadata commits on ONE table
+    assert(t.refresh().schema.fieldNames === Array("o_orderkey", "buyer_id"))
+
+    // unsupported changes fail loudly rather than corrupting the schema
+    intercept[Exception](
+      spark.sql("ALTER TABLE sqllake6.ns.t ALTER COLUMN o_orderkey TYPE INT"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE sqllake6.ns.t ADD COLUMN pos BIGINT FIRST"))
+  }
+
   test("unsupported surfaces fail loudly, missing tables raise analysis errors") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.sqllake2", classOf[LakeSqlCatalog].getName)
@@ -156,7 +190,8 @@ class LakeSqlCatalogSpec extends LakeSuite {
     spark.sql("CREATE NAMESPACE sqllake2.ns")
     spark.sql("CREATE TABLE sqllake2.ns.t (id BIGINT)")
     intercept[Exception](spark.sql("SELECT * FROM sqllake2.ns.missing").collect())
-    intercept[Exception](spark.sql("ALTER TABLE sqllake2.ns.t ADD COLUMN x BIGINT"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE sqllake2.ns.t RENAME TO sqllake2.ns.t2"))
     // empty table (no snapshot yet) still answers SQL
     assert(spark.sql("SELECT count(*) FROM sqllake2.ns.t").head.getLong(0) === 0L)
   }

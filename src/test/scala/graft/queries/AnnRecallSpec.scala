@@ -22,4 +22,21 @@ class AnnRecallSpec extends LakeSuite {
     assert(recall("lsh") >= 0.6, s"LSH recall@5 ${recall("lsh")} < 0.6")
     assert(recall("ivf") >= 0.6, s"IVF recall@5 ${recall("ivf")} < 0.6")
   }
+
+  test("dedup_embedding size gate: banded fallback finds most exact pairs, no extras") {
+    val d = "/root/testdata/sf0.01"
+    val exact = SimilarityQueries.qDedupEmbedding(spark, d)
+      .select(col("va"), col("vb")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a 1-byte broadcast budget forces the over-threshold code path
+    val small = org.apache.spark.sql.graftbridge.SessionBridge
+      .sessionWithConfs(spark, Map("spark.sql.autoBroadcastJoinThreshold" -> "1"))
+    val banded = SimilarityQueries.qDedupEmbedding(small, d)
+      .select(col("va"), col("vb")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // banded = candidates ∩ exact verify → never a false pair...
+    assert(banded.subsetOf(exact), "banded path must verify exactly")
+    // ...and the band config must actually recall the bulk of true pairs
+    assert(banded.size >= (exact.size * 0.8).toInt,
+      s"banded recalled ${banded.size} of ${exact.size} exact pairs")
+  }
 }
