@@ -133,6 +133,105 @@ object TextQueries {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Near-dup CLUSTERS from the Jaccard pair graph: connected
+    * components via min-label propagation, keeper = smallest doc_id in
+    * the component — the step a real dedup pipeline runs AFTER pair
+    * generation (pairs alone don't say which copies to drop when dups
+    * chain A~B~C). The loop is driver-coordinated Pregel shape: each
+    * round one join + one aggregation, terminating when no label moves;
+    * rounds needed = component diameter (dup chains are short), and
+    * each round's shuffle is proportional to the EDGE set, not the
+    * corpus — the scalable component algorithm on a 1000-executor
+    * cluster. The driver only ever sees one convergence count per
+    * round, never data. */
+  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = qNgramJaccard(s, d).select(col("da"), col("db"))
+    // both edge directions via ONE explode — a self-union would duplicate
+    // the entire Jaccard plan into two branches racing on its internal
+    // cache (measured 2x the pipeline cost)
+    val edges = QueryCaches.track(pairs
+      .select(explode(array(
+        struct(col("da").as("a"), col("db").as("b")),
+        struct(col("db").as("a"), col("da").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .persist())
+    var labels = QueryCaches.track(
+      edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")).persist())
+    // materialize BOTH persists before the loop: a round's job references
+    // edges and labels from several branches, and branches of one job
+    // race to compute an unmaterialized cache — each re-running the whole
+    // Jaccard pipeline in parallel (measured 11 s for round 0 without
+    // this; the count itself costs one tiny job)
+    labels.count()
+    var moved = 1L
+    var rounds = 0
+    // Each round folds in BOTH the neighbor minimum and the label's own
+    // label (pointer doubling): rounds to fixpoint drop from the
+    // component diameter to its log. The convergence count rides the
+    // same action that materializes the round's persist — each round is
+    // exactly one job, so the driver-synchronized loop costs rounds, not
+    // rounds x passes.
+    while (moved > 0 && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min(col("nl")).as("nbr"))
+      val next = QueryCaches.track(labels
+        .join(nbrMin, Seq("node"), "left")
+        .join(labels.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("node"), col("label").as("old"),
+          least(col("label"),
+            coalesce(col("nbr"), col("label")),
+            coalesce(col("ll"), col("label"))).as("label"))
+        .persist())
+      val rt0 = System.nanoTime()
+      moved = next.filter(col("label") < col("old")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CCROUND $rounds%d moved=$moved%d sec=${(System.nanoTime() - rt0) / 1e9}%.2f")
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic train/validation/test split: a multiplicative hash
+    * on doc_id (Knuth constant), NOT engine hash functions — the split
+    * must be reproducible across engines and runs (the oracle computes
+    * the identical arithmetic), and must not shuffle: one narrow
+    * projection + one small aggregation. */
+  def qTrainTestSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        when(bucket < 800, "train").when(bucket < 900, "valid")
+          .otherwise("test").as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+  }
+
+  /** Top-25 word bigrams with occurrence counts (not per-doc distinct):
+    * the n-gram count table tokenizer/LM training starts from. One
+    * narrow flatMap then one count shuffle. */
+  def qBigramCounts(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    documents(s, d).select(col("text")).as[String]
+      .flatMap { text =>
+        val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
+        (0 until ws.length - 1).iterator.map(i => s"${ws(i)} ${ws(i + 1)}")
+      }
+      .toDF("bigram")
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(25)
+  }
+
   /** MinHash + LSH banding (k=16 hashes, 4 bands of 4): near-dup
     * candidates with estimated similarity ≥ 0.5. xxhash64-based, so
     * rows-only driver check (no DuckDB oracle). */
@@ -315,6 +414,9 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> qDedupExact,
     "dedup_ngram_jaccard" -> qNgramJaccard,
+    "dedup_clusters" -> qDedupClusters,
+    "train_test_split" -> qTrainTestSplit,
+    "bigram_counts" -> qBigramCounts,
     "dedup_minhash" -> qMinhashDedup,
     "dedup_simhash" -> qSimhashDedup,
     "text_stats" -> qTextStats,
@@ -350,6 +452,52 @@ object TextQueries {
         |JOIN sizes sb ON db = sb.doc_id
         |WHERE n / (sa.sz + sb.sz - n) >= 0.5
         |ORDER BY da, db""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+        |  FROM w, (SELECT unnest(range(len(ws) - 2)) AS i) t
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT da, db FROM inter
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE n / (sa.sz + sb.sz - n) >= 0.5
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs
+        |), reach AS (
+        |  SELECT DISTINCT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+        |)
+        |SELECT node AS doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "train_test_split" ->
+      """SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+        |            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  min(doc_id) AS min_doc,
+        |  max(doc_id) AS max_doc
+        |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+    "bigram_counts" ->
+      """WITH w AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents
+        |), bg AS (
+        |  SELECT ws[i+1] || ' ' || ws[i+2] AS bigram
+        |  FROM w, (SELECT unnest(range(len(ws) - 1)) AS i) t
+        |)
+        |SELECT bigram, count(*) AS n
+        |FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
     "text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  round(avg(n_chars), 4) AS avg_chars,
