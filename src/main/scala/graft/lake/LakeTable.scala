@@ -108,6 +108,34 @@ final class LakeTable private[lake] (
   def appendData(df: DataFrame, numFiles: Int = 0): CommitReport =
     newAppend().appendData(df, numFiles).commit()
 
+  /** Exactly-once append for streaming micro-batches: `sinkId` scopes
+    * the ledger to one logical stream (a NEW checkpoint = a new sink
+    * id), `batchId` must be monotonic within it. Returns None — and
+    * writes nothing durable — when `batchId` is not newer than the last
+    * committed batch for this sink. The decisive check runs inside the
+    * commit CAS (see commitSnapshot); the pre-check here just avoids
+    * staging data files for the common replay. A lost race orphans the
+    * staged files; removeOrphanFiles reclaims them. */
+  def appendDataExactlyOnce(df: DataFrame, sinkId: String,
+      batchId: Long): Option[CommitReport] = {
+    refresh()
+    if (lastCommittedBatchId(sinkId).exists(_ >= batchId)) None
+    else {
+      val added = writeDataFiles(df)
+      try Some(commitSnapshot("append", added, Nil,
+        extraSummary = Map(
+          "streaming-sink-id" -> sinkId,
+          "streaming-batch-id" -> batchId.toString),
+        exactlyOnce = Some((sinkId, batchId))))
+      catch { case _: BatchAlreadyCommitted => None }
+    }
+  }
+
+  /** The exactly-once ledger: last committed streaming batch for a
+    * sink id, from table properties (expiry-proof, O(1)). */
+  def lastCommittedBatchId(sinkId: String): Option[Long] =
+    meta.properties.get(s"streaming.last-batch-id.$sinkId").map(_.toLong)
+
   /** A10/A12: scan with optional filter; planFiles prunes on stats. */
   def newScan(pred: LakePredicate = LakePredicate.AlwaysTrue): LakeScan =
     new LakeScan(this, meta.currentSnapshot, pred)
@@ -194,6 +222,26 @@ final class LakeTable private[lake] (
       // clustering and the target would be ignored
       val added = writeDataFiles(df, numFiles = targetFiles)
       commitSnapshot("replace", added, live)
+    }
+  }
+
+  /** Binpack small-file compaction (Iceberg's rewrite-data-files
+    * strategy): rewrite ONLY files below `smallBytes`, packed into
+    * floor(total/smallBytes) outputs — floor, not ceil, so every output
+    * lands AT OR ABOVE the threshold and graduates out of the small
+    * set: a scheduled maintenance loop converges instead of rewriting
+    * the same bytes forever. Files already at a healthy size survive by
+    * reference; a quiet table returns None WITHOUT committing (a no-op
+    * snapshot per scheduled run would grow the log unboundedly). */
+  def compactSmallFiles(spark: SparkSession, smallBytes: Long,
+      conflictRetries: Int = 3): Option[CommitReport] = withConflictRetry(conflictRetries) {
+    val small = meta.currentFiles.filter(_.sizeBytes < smallBytes)
+    if (small.size < 2) None // nothing to gain; change nothing
+    else {
+      val target = math.max(1,
+        (small.map(_.sizeBytes).sum / smallBytes).toInt)
+      val added = writeDataFiles(readFiles(spark, small.map(_.path)), numFiles = target)
+      Some(commitSnapshot("replace", added, small))
     }
   }
 
@@ -352,16 +400,30 @@ final class LakeTable private[lake] (
     * the ids expired. Expired snapshots are no longer time-travelable. */
   def expireSnapshots(keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
+    expireWhere((latest, snap) =>
+      latest.snapshots.sortBy(_.id).takeRight(keepLast).exists(_.id == snap.id))
+  }
+
+  /** Shared expiry commit: drop snapshots failing `keep`; the current
+    * snapshot always survives. Returns the expired ids. */
+  private def expireWhere(keep: (TableMetadata, Snapshot) => Boolean): Seq[Long] = {
     var expired: Seq[Long] = Nil
     val (next, v, _) = catalog.commit(namespace, shortName) { latest =>
-      val keep = latest.snapshots.sortBy(_.id).takeRight(keepLast)
-      expired = latest.snapshots.map(_.id).diff(keep.map(_.id))
-      latest.copy(snapshots = keep)
+      val kept = latest.snapshots.filter(snap =>
+        snap.id == latest.currentSnapshotId || keep(latest, snap))
+      expired = latest.snapshots.map(_.id).diff(kept.map(_.id))
+      latest.copy(snapshots = kept)
     }
     meta = next
     version = v
     expired
   }
+
+  /** Maintenance: drop snapshots committed before `cutoffMs` (the
+    * Iceberg expireSnapshots(olderThan) form). The current snapshot
+    * always survives whatever its age. Returns the ids expired. */
+  def expireSnapshotsOlderThan(cutoffMs: Long): Seq[Long] =
+    expireWhere((_, snap) => snap.timestampMs >= cutoffMs)
 
   /** Maintenance: delete data files under this table's location that no
     * surviving snapshot references (orphans from expired snapshots or
@@ -442,9 +504,16 @@ final class LakeTable private[lake] (
     * otherwise slip rows past a delete's predicate or duplicate a
     * merge's keys. The manifest layering makes the check cheap: files
     * added since base = entries of manifests not referenced by base. */
+  /** Thrown inside the commit transform when an exactly-once commit
+    * discovers its batch already landed; callers translate it to a
+    * no-op. Never escapes [[commitSnapshot]]'s public callers. */
+  private[lake] final class BatchAlreadyCommitted extends RuntimeException
+
   private[lake] def commitSnapshot(op: String, added: Seq[DataFileEntry],
       removed: Seq[DataFileEntry], replaceAll: Boolean = false,
-      validateAddedSince: Option[(Long, LakePredicate)] = None): CommitReport = {
+      validateAddedSince: Option[(Long, LakePredicate)] = None,
+      extraSummary: Map[String, String] = Map.empty,
+      exactlyOnce: Option[(String, Long)] = None): CommitReport = {
     val t0 = System.nanoTime()
     val removedPaths = removed.map(_.path).toSet
     var removedCount = removed.size.toLong // replaceAll: resolved in the transform
@@ -452,6 +521,16 @@ final class LakeTable private[lake] (
     val io = catalog.manifestIO(md)
     val addedRef = if (added.nonEmpty) Some(catalog.writeManifest(md, added)) else None
     val (next, v, attempts) = catalog.commit(namespace, shortName) { latest =>
+      // Exactly-once ledger check INSIDE the CAS transform: a zombie
+      // driver racing a replacement both pass any pre-check, but the
+      // loser's CAS retry re-runs this transform against the winner's
+      // metadata and aborts here. The ledger lives in table PROPERTIES,
+      // not snapshot summaries, so snapshot expiry cannot erase it.
+      exactlyOnce.foreach { case (sinkId, batchId) =>
+        val k = s"streaming.last-batch-id.$sinkId"
+        if (latest.properties.get(k).exists(_.toLong >= batchId))
+          throw new BatchAlreadyCommitted
+      }
       val prev = latest.currentSnapshot.map(_.manifests).getOrElse(Nil)
       // Serializable validation: any file added since the base snapshot
       // whose stats overlap the op's predicate conflicts (conservative —
@@ -512,10 +591,16 @@ final class LakeTable private[lake] (
         fileCount = manifests.map(_.fileCount).sum,
         totalRecords = manifests.map(_.recordCount).sum,
         totalSizeBytes = manifests.map(_.sizeBytes).sum,
-        summary = Map("added-data-files" -> added.size.toString,
-          "removed-data-files" -> removedCount.toString,
-          "added-records" -> added.map(_.recordCount).sum.toString))(io)
-      latest.copy(snapshots = latest.snapshots :+ snap, currentSnapshotId = newId)
+        // extraSummary first: the computed builtins are reserved and
+        // must win over caller-supplied keys
+        summary = extraSummary
+          ++ Map("added-data-files" -> added.size.toString,
+            "removed-data-files" -> removedCount.toString,
+            "added-records" -> added.map(_.recordCount).sum.toString))(io)
+      latest.copy(snapshots = latest.snapshots :+ snap, currentSnapshotId = newId,
+        properties = exactlyOnce.fold(latest.properties) { case (sinkId, batchId) =>
+          latest.properties + (s"streaming.last-batch-id.$sinkId" -> batchId.toString)
+        })
     }
     meta = next
     version = v
@@ -543,11 +628,18 @@ final class LakeTable private[lake] (
   * (newAppend().appendFile(df).commit(), IntegrationTest.java:92-98). */
 final class AppendOp private[lake] (table: LakeTable) {
   private val buf = scala.collection.mutable.Buffer.empty[DataFileEntry]
+  private val props = scala.collection.mutable.Map.empty[String, String]
   def appendFile(f: DataFileEntry): this.type = { buf += f; this }
   def appendData(df: DataFrame, numFiles: Int = 0): this.type = {
     buf ++= table.writeDataFiles(df, numFiles); this
   }
-  def commit(): CommitReport = table.commitSnapshot("append", buf.toSeq, Nil)
+  /** Stamp a key into the snapshot summary (e.g. a streaming batch id —
+    * the commit log then doubles as an idempotence ledger). */
+  def withProperty(key: String, value: String): this.type = {
+    props += key -> value; this
+  }
+  def commit(): CommitReport =
+    table.commitSnapshot("append", buf.toSeq, Nil, extraSummary = props.toMap)
 }
 
 /** Scan: manifest-level file pruning (above Catalyst, SURVEY.md §4) then

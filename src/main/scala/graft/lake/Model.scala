@@ -140,7 +140,13 @@ final case class TableMetadata(
     // stats are keyed by the same IDs, which is what makes a rename a
     // metadata-only commit.
     fieldIds: Map[String, Int] = Map.empty,
-    lastAssignedFieldId: Int = 0) {
+    lastAssignedFieldId: Int = 0,
+    // table-level key/value properties. Unlike snapshot summaries these
+    // SURVIVE snapshot expiry, which is what makes them the right home
+    // for the streaming exactly-once ledger (last committed batch id
+    // per sink) — an expired ledger would let a checkpoint-recovery
+    // replay double-append.
+    properties: Map[String, String] = Map.empty) {
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   def currentFiles: Seq[DataFileEntry] = currentSnapshot.map(_.files).getOrElse(Nil)
@@ -212,6 +218,7 @@ object MetadataJson {
       s""""schema":${m.schema.json},""" +
       s""""fieldIds":${m.fieldIds.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")},""" +
       s""""lastAssignedFieldId":${m.lastAssignedFieldId},""" +
+      s""""properties":${strMap(m.properties)},""" +
       s""""spec":${m.spec.map(p => s"""{"source":${q(p.source)},"transform":${q(p.transform)}}""").mkString("[", ",", "]")},""" +
       s""""snapshots":${m.snapshots.map(snapshotJson).mkString("[", ",", "]")},""" +
       s""""currentSnapshotId":${m.currentSnapshotId}}"""
@@ -282,7 +289,8 @@ object MetadataJson {
       fieldIds = Option(n.get("fieldIds"))
         .map(m => m.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap)
         .getOrElse(Map.empty),
-      lastAssignedFieldId = Option(n.get("lastAssignedFieldId")).map(_.asInt()).getOrElse(0)
+      lastAssignedFieldId = Option(n.get("lastAssignedFieldId")).map(_.asInt()).getOrElse(0),
+      properties = Option(n.get("properties")).map(asStrMap).getOrElse(Map.empty)
     ).withFieldIdDefaults // ad-hoc documents get positional IDs
   }
 }

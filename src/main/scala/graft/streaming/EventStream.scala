@@ -100,6 +100,57 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Idempotent micro-batch append: delegates to the table's
+    * exactly-once commit path — the (sinkId, batchId) ledger lives in
+    * TABLE PROPERTIES (snapshot expiry cannot erase it) and the
+    * decisive newer-than check runs inside the commit CAS (two racing
+    * drivers on the same batch cannot both land). Returns whether a
+    * commit happened. */
+  def appendBatchIdempotent(table: graft.lake.LakeTable, batch: DataFrame,
+      sinkId: String, batchId: Long): Boolean =
+    table.appendDataExactlyOnce(batch, sinkId, batchId).isDefined
+
+  /** Stable sink identity tied to the CHECKPOINT's lifetime: a uuid doc
+    * created once next to the checkpoint state. Batch ids only mean
+    * anything relative to one checkpoint — wiping the checkpoint resets
+    * them to 0, and a ledger keyed by a surviving sink id would then
+    * silently drop the first N batches as replays. Recovering the SAME
+    * checkpoint reuses the id, which is exactly when skip-on-replay is
+    * correct. */
+  private[streaming] def sinkIdFor(spark: SparkSession, checkpointDir: String): String = {
+    val marker = new org.apache.hadoop.fs.Path(checkpointDir, "graft-sink-id")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(marker)) {
+      fs.mkdirs(marker.getParent)
+      val out = fs.create(marker, false)
+      try out.write(java.util.UUID.randomUUID.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: java.io.IOException => () } // racing creator won; fall through to read
+      finally out.close()
+    }
+    val in = fs.open(marker)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).trim
+    finally in.close()
+  }
+
+  /** Structured-Streaming sink into a lake table: every micro-batch is
+    * ONE exactly-once append commit (never a bare parquet write),
+    * observable through the usual CommitReport metrics and incrementally
+    * consumable downstream via `changesSince`. */
+  def lakeAppendSink(df: DataFrame, table: graft.lake.LakeTable,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sinkId = sinkIdFor(df.sparkSession, checkpointDir)
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], batchId: Long) => {
+        appendBatchIdempotent(table, batch.toDF(), sinkId, batchId)
+        ()
+      })
+      .start()
+  }
+
   /** Drive a streaming DF synchronously into a memory sink and return
     * the collected table (dev/test harness for bounded inputs). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {

@@ -42,6 +42,51 @@ class MaintenanceSpec extends LakeSuite {
     assert(t.newScan().toDF(spark).count() === ordersDF.count())
   }
 
+  test("expireSnapshotsOlderThan drops old history, never the current snapshot") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "aged", ordersDF.schema)
+    t.appendData(ordersDF.limit(10).coalesce(1))
+    t.refresh().appendData(ordersDF.limit(10).coalesce(1))
+    Thread.sleep(15)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(15)
+    t.refresh().appendData(ordersDF.limit(10).coalesce(1))
+    val expired = t.refresh().expireSnapshotsOlderThan(cutoff)
+    assert(expired.size === 2) // the two pre-cutoff snapshots
+    assert(t.snapshots.size === 1)
+    assert(t.newScan().toDF(spark).count() === 30)
+    // cutoff in the future: everything but the current snapshot goes
+    val t2 = cat.createTable("ns", "aged2", ordersDF.schema)
+    t2.appendData(ordersDF.limit(5).coalesce(1))
+    t2.refresh().appendData(ordersDF.limit(5).coalesce(1))
+    assert(t2.refresh().expireSnapshotsOlderThan(Long.MaxValue).size === 1)
+    assert(t2.snapshots.map(_.id) === Seq(t2.currentSnapshotId))
+  }
+
+  test("binpack compaction rewrites only small files; healthy files survive by reference") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "binpack", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 1) // one healthy file
+    (0 until 4).foreach(_ =>
+      t.refresh().appendData(ordersDF.limit(20).coalesce(1))) // four tiny files
+    val files = t.refresh().metadata.currentFiles
+    val healthy = files.maxBy(_.sizeBytes)
+    val smallBytes = healthy.sizeBytes // everything below the big file
+    val expected = t.newScan().toDF(spark).count()
+    assert(t.compactSmallFiles(spark, smallBytes).isDefined)
+    val after = t.refresh().metadata.currentFiles
+    assert(after.map(_.path).contains(healthy.path),
+      "the healthy file must survive as-is")
+    assert(after.size < files.size)
+    assert(t.newScan().toDF(spark).count() === expected)
+    // CONVERGENCE: floor-sizing graduates outputs past the threshold,
+    // so a second scheduled pass finds nothing and COMMITS nothing
+    // (no snapshot-log growth from quiet maintenance runs)
+    val snapsBefore = t.refresh().snapshots.size
+    assert(t.compactSmallFiles(spark, smallBytes).isEmpty)
+    assert(t.refresh().snapshots.size === snapsBefore)
+  }
+
   test("expireSnapshots refuses keepLast < 1") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "guard", ordersDF.schema)

@@ -96,4 +96,46 @@ class StreamingSpec extends LakeSuite {
     assert(finalState.except(batch).count() === 0)
     assert(batch.except(finalState).count() === 0)
   }
+
+  test("streaming lake sink: one append commit per micro-batch, replay-idempotent") {
+    import graft.lake.{LakeCatalog, LakePredicate}
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "stream_sink", staticEvents.schema)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt_").toString
+    val q = EventStream.lakeAppendSink(
+      spark.readStream.schema(staticEvents.schema).parquet(stagedDir),
+      t, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val total = staticEvents.count()
+    assert(t.refresh().newScan().toDF(spark).count() === total)
+    // every commit is a real snapshot stamped with its sink + batch id
+    val snaps = t.snapshots
+    assert(snaps.nonEmpty)
+    assert(snaps.forall(_.summary.contains("streaming-batch-id")))
+    val sinkId = EventStream.sinkIdFor(spark, ckpt)
+    assert(snaps.forall(_.summary.get("streaming-sink-id").contains(sinkId)))
+    // recovering the SAME checkpoint reuses the sink id
+    assert(EventStream.sinkIdFor(spark, ckpt) === sinkId)
+    // a checkpoint-recovery REPLAY of an already-committed batch is a
+    // no-op: the ledger lives in table properties
+    val lastBatch = t.lastCommittedBatchId(sinkId).get
+    assert(!EventStream.appendBatchIdempotent(t, staticEvents.limit(50), sinkId, lastBatch))
+    assert(t.refresh().newScan().toDF(spark).count() === total)
+    assert(t.snapshots.size === snaps.size)
+    // the ledger SURVIVES snapshot expiry: replay still a no-op after
+    // all append snapshots are expired (summaries are gone; properties
+    // are not) — the double-append hole a summary-scan ledger leaves
+    t.expireSnapshots(keepLast = 1)
+    assert(!EventStream.appendBatchIdempotent(t, staticEvents.limit(50), sinkId, lastBatch))
+    assert(t.refresh().newScan().toDF(spark).count() === total)
+    // a NEW batch id on the same sink commits normally
+    assert(EventStream.appendBatchIdempotent(t, staticEvents.limit(5), sinkId, lastBatch + 1))
+    assert(t.refresh().newScan().toDF(spark).count() === total + 5)
+    // a DIFFERENT sink (fresh checkpoint) starts its own ledger at 0
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_sink_ckpt2_").toString
+    val sink2 = EventStream.sinkIdFor(spark, ckpt2)
+    assert(sink2 !== sinkId)
+    assert(EventStream.appendBatchIdempotent(t, staticEvents.limit(3), sink2, 0L))
+    assert(t.refresh().newScan().toDF(spark).count() === total + 8)
+  }
 }
