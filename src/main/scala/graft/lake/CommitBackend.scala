@@ -90,10 +90,16 @@ final class LocalFsCommitBackend extends CommitBackend {
     }
 }
 
-/** Metadata documents behind the Hadoop FileSystem API — the surface an
-  * `s3a://`/`hdfs://`/`abfs://` warehouse actually exposes, mirroring
+/** Metadata documents behind the Hadoop FileSystem API — the API
+  * surface an `s3a://`/`hdfs://`/`abfs://` store exposes, mirroring
   * the reference's S3FileIO-first design (LocalIcebergCatalog.java:121-127:
-  * MinIO + S3FileIO is its ONLY storage path).
+  * MinIO + S3FileIO is its ONLY storage path). SCOPE: what this proves
+  * end-to-end is the commit protocol over FileSystem-API semantics
+  * (create/rename/list/delete, no hard links); the catalog's warehouse
+  * plumbing is java.nio-path based, so URI-scheme warehouses
+  * additionally need a URI-addressed catalog layer (out of scope in
+  * this sandbox — no object store to run against; the reference leans
+  * on testcontainers+MinIO for the same reason).
   *
   * The conditional put is WRITE-THEN-PUBLISH: the complete document goes
   * to a uniquely named temp key first, then an atomic `rename` onto the
@@ -155,7 +161,10 @@ final class HadoopFsCommitBackend(
     val fs = fsOf(target)
     val tmp = writeTemp(fs, target.getParent, content)
     if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(tmp, target)
+    val ok = try fs.rename(tmp, target) catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
+    if (!ok) fs.delete(tmp, false) // racing recreate won; don't leak the temp
     ()
   }
 

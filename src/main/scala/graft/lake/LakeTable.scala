@@ -136,6 +136,17 @@ final class LakeTable private[lake] (
   def lastCommittedBatchId(sinkId: String): Option[Long] =
     meta.properties.get(s"streaming.last-batch-id.$sinkId").map(_.toLong)
 
+  /** Maintenance: drop a retired sink's exactly-once ledger entry.
+    * Every checkpoint wipe mints a new sink id and its key would
+    * otherwise be re-serialized into every metadata version forever —
+    * the property's expiry-proofness is deliberate, so reclaiming it is
+    * an EXPLICIT operator action (only safe once that checkpoint is
+    * known dead: a live stream whose ledger vanishes would replay its
+    * earliest uncommitted batches as fresh appends). */
+  def removeSinkLedger(sinkId: String): LakeTable = metadataChange { latest =>
+    latest.copy(properties = latest.properties - s"streaming.last-batch-id.$sinkId")
+  }
+
   /** A10/A12: scan with optional filter; planFiles prunes on stats. */
   def newScan(pred: LakePredicate = LakePredicate.AlwaysTrue): LakeScan =
     new LakeScan(this, meta.currentSnapshot, pred)
@@ -153,31 +164,14 @@ final class LakeTable private[lake] (
     * snapshot); existing files read back null for it. The new column
     * gets the next field ID (never a reused one — a recycled ID would
     * resurrect a dropped column's bytes from old files). */
-  def addColumn(colName: String, dt: org.apache.spark.sql.types.DataType): LakeTable = {
-    require(!schema.fieldNames.contains(colName), s"column $colName already exists")
-    metadataChange { latest =>
-      val id = latest.lastAssignedFieldId + 1
-      latest.copy(
-        schema = org.apache.spark.sql.types.StructType(latest.schema.fields :+
-          org.apache.spark.sql.types.StructField(colName, dt, nullable = true)),
-        fieldIds = latest.fieldIds + (colName -> id),
-        lastAssignedFieldId = id)
-    }
-  }
+  def addColumn(colName: String, dt: org.apache.spark.sql.types.DataType): LakeTable =
+    alterSchema(Seq(SchemaChange.Add(colName, dt)))
 
   /** Schema evolution: drop a column (files keep the bytes; projection
     * ignores them). Its field ID retires with it. Partition sources
     * cannot be dropped. */
-  def dropColumn(colName: String): LakeTable = {
-    require(schema.fieldNames.contains(colName), s"no such column $colName")
-    require(!spec.exists(_.source == colName), s"$colName is a partition source")
-    metadataChange { latest =>
-      latest.copy(
-        schema = org.apache.spark.sql.types.StructType(
-          latest.schema.fields.filterNot(_.name == colName)),
-        fieldIds = latest.fieldIds - colName)
-    }
-  }
+  def dropColumn(colName: String): LakeTable =
+    alterSchema(Seq(SchemaChange.Drop(colName)))
 
   /** Schema evolution: rename a column WITHOUT rewriting data — the
     * field keeps its ID, so old files resolve it by parquet field ID
@@ -188,17 +182,46 @@ final class LakeTable private[lake] (
     * rename is a pure metadata-document commit — O(1), not O(history) —
     * and stats pruning stays exact because the renamed column resolves
     * to the ID the old files' stats were written under. */
-  def renameColumn(from: String, to: String): LakeTable = {
-    require(schema.fieldNames.contains(from), s"no such column $from")
-    require(!schema.fieldNames.contains(to), s"column $to already exists")
+  def renameColumn(from: String, to: String): LakeTable =
+    alterSchema(Seq(SchemaChange.Rename(from, to)))
+
+  /** Apply a SEQUENCE of schema changes as ONE metadata commit — all or
+    * nothing (the V2 TableCatalog.alterTable contract: a failing change
+    * must not leave earlier changes from the same statement applied).
+    * Validations run against the metadata as already transformed by the
+    * preceding changes in the same batch. */
+  def alterSchema(changes: Seq[SchemaChange]): LakeTable =
     metadataChange { latest =>
-      latest.copy(
-        schema = org.apache.spark.sql.types.StructType(latest.schema.fields.map(f =>
-          if (f.name == from) f.copy(name = to) else f)),
-        fieldIds = (latest.fieldIds - from) + (to -> latest.fieldIds(from)),
-        spec = latest.spec.map(p => if (p.source == from) p.copy(source = to) else p))
+      changes.foldLeft(latest) { (m, c) =>
+        c match {
+          case SchemaChange.Add(colName, dt) =>
+            require(!m.schema.fieldNames.contains(colName),
+              s"column $colName already exists")
+            val id = m.lastAssignedFieldId + 1
+            m.copy(
+              schema = org.apache.spark.sql.types.StructType(m.schema.fields :+
+                org.apache.spark.sql.types.StructField(colName, dt, nullable = true)),
+              fieldIds = m.fieldIds + (colName -> id),
+              lastAssignedFieldId = id)
+          case SchemaChange.Drop(colName) =>
+            require(m.schema.fieldNames.contains(colName), s"no such column $colName")
+            require(!m.spec.exists(_.source == colName),
+              s"$colName is a partition source")
+            m.copy(
+              schema = org.apache.spark.sql.types.StructType(
+                m.schema.fields.filterNot(_.name == colName)),
+              fieldIds = m.fieldIds - colName)
+          case SchemaChange.Rename(from, to) =>
+            require(m.schema.fieldNames.contains(from), s"no such column $from")
+            require(!m.schema.fieldNames.contains(to), s"column $to already exists")
+            m.copy(
+              schema = org.apache.spark.sql.types.StructType(m.schema.fields.map(f =>
+                if (f.name == from) f.copy(name = to) else f)),
+              fieldIds = (m.fieldIds - from) + (to -> m.fieldIds(from)),
+              spec = m.spec.map(p => if (p.source == from) p.copy(source = to) else p))
+        }
+      }
     }
-  }
 
   private def metadataChange(f: TableMetadata => TableMetadata): LakeTable = {
     val (next, v, _) = catalog.commit(namespace, shortName)(f)
@@ -472,7 +495,8 @@ final class LakeTable private[lake] (
     val liveDocs = meta.snapshots.flatMap(s =>
       s.manifestList +: s.manifests.map(_.name)).toSet
     catalog.backend.listChildren(md)
-      .filter(n => (n.startsWith("manifest-") || n.startsWith("snaplist-")) &&
+      .filter(n => (n.startsWith("manifest-") || n.startsWith("snaplist-") ||
+        n.startsWith(".tmp-")) && // crash-stranded write-then-publish temps
         n.endsWith(".json") && !liveDocs(n))
       .filter { n =>
         val p = md.resolve(n)
@@ -535,15 +559,23 @@ final class LakeTable private[lake] (
       // Serializable validation: any file added since the base snapshot
       // whose stats overlap the op's predicate conflicts (conservative —
       // mayMatch can only over-approximate, so no conflict is missed).
-      // A base snapshot already expired from the log validates against
-      // EVERYTHING live — conservative again.
+      // The unit of comparison is the file PATH, not the manifest name:
+      // a concurrent CoW rewrite carries untouched base files into a
+      // NEW survivor manifest, and a name-level diff would misread
+      // those unchanged files as added-since-base — a spurious conflict
+      // for any two disjoint CoW ops sharing a manifest. Manifests
+      // fully contained in the base snapshot are skipped wholesale
+      // (they can only hold base files). A base snapshot already
+      // expired from the log validates against EVERYTHING live —
+      // conservative again.
       validateAddedSince.foreach { case (baseId, pred) =>
         if (latest.currentSnapshotId != baseId) {
-          val baseNames = latest.snapshot(baseId)
-            .map(_.manifests.map(_.name).toSet).getOrElse(Set.empty[String])
+          val base = latest.snapshot(baseId)
+          val baseNames = base.map(_.manifests.map(_.name).toSet).getOrElse(Set.empty[String])
+          val basePaths = base.map(_.files.map(_.path).toSet).getOrElse(Set.empty[String])
           val overlap = prev.iterator.filterNot(m => baseNames(m.name))
             .flatMap(m => io.readManifest(m.name))
-            .filter(pred.mayMatch(_, latest))
+            .filter(f => !basePaths(f.path) && pred.mayMatch(f, latest))
           if (overlap.nonEmpty)
             throw new CommitConflictException(
               s"$op on $name conflicts with a concurrent commit: files added " +

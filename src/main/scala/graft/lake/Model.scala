@@ -43,6 +43,16 @@ import scala.jdk.CollectionConverters._
   * validateNoConflictingData behavior). */
 final class CommitConflictException(msg: String) extends IllegalStateException(msg)
 
+/** One schema-evolution step; a Seq of these applies as ONE atomic
+  * metadata commit ([[LakeTable.alterSchema]]). */
+sealed trait SchemaChange
+object SchemaChange {
+  final case class Add(name: String, dataType: org.apache.spark.sql.types.DataType)
+      extends SchemaChange
+  final case class Drop(name: String) extends SchemaChange
+  final case class Rename(from: String, to: String) extends SchemaChange
+}
+
 final case class PartitionField(source: String, transform: String) {
   def render: String = if (transform == "identity") source else s"$transform($source)"
 

@@ -111,14 +111,17 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  /** SQL ALTER TABLE — mapped onto the SAME transactional evolution
-    * commits the Scala API uses (addColumn/dropColumn/renameColumn):
-    * each change is a metadata-document CAS commit, renames keep the
-    * field ID so pre-rename files resolve by ID, and no data file or
-    * manifest is ever rewritten. Top-level columns only (the lake
-    * schema model is flat-relational); type changes / repositioning
-    * are unsupported and fail loudly. */
+  /** SQL ALTER TABLE — translated to ONE atomic [[graft.lake.SchemaChange]]
+    * batch through the same transactional evolution commit the Scala
+    * API uses: all changes in a statement land in a single metadata CAS
+    * or none do (the V2 contract — a failing change must not leave the
+    * statement half-applied). Renames keep the field ID so pre-rename
+    * files resolve by ID; no data file or manifest is ever rewritten.
+    * Top-level columns only (the lake schema model is flat-relational);
+    * type changes / repositioning are unsupported and fail loudly
+    * BEFORE anything commits. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import graft.lake.SchemaChange
     val ns = ns1(ident.namespace)
     if (!lake.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
     val t = lake.loadTable(ns, ident.name)
@@ -127,7 +130,7 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
       case other => throw new UnsupportedOperationException(
         s"nested column ${other.mkString(".")} is not supported")
     }
-    changes.foreach {
+    val batch: Seq[SchemaChange] = changes.map {
       case add: TableChange.AddColumn =>
         if (!add.isNullable)
           throw new UnsupportedOperationException(
@@ -136,16 +139,19 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
         if (add.position() != null)
           throw new UnsupportedOperationException(
             "ADD COLUMN with FIRST/AFTER is not supported (columns append)")
-        t.refresh().addColumn(one(add.fieldNames), add.dataType())
+        SchemaChange.Add(one(add.fieldNames), add.dataType())
       case ren: TableChange.RenameColumn =>
-        t.refresh().renameColumn(one(ren.fieldNames), ren.newName())
+        SchemaChange.Rename(one(ren.fieldNames), ren.newName())
       case del: TableChange.DeleteColumn =>
-        val colName = one(del.fieldNames)
-        if (!del.ifExists() || t.refresh().schema.fieldNames.contains(colName))
-          t.refresh().dropColumn(colName)
+        // ifExists is resolved inside the atomic transform via the Drop
+        // validation; a missing optional column simply contributes no
+        // change (checked here against the loaded schema)
+        if (del.ifExists() && !t.schema.fieldNames.contains(one(del.fieldNames))) null
+        else SchemaChange.Drop(one(del.fieldNames))
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
-    }
+    }.filter(_ != null)
+    if (batch.nonEmpty) t.alterSchema(batch)
     loadTable(ident)
   }
 

@@ -91,14 +91,28 @@ object TextQueries {
     * array_intersect over the full per-doc id arrays. */
   def qNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val t = 0.5
+    val spark0 = s
+    import spark0.implicits._
     val sh = shingleRows(documents(s, d))
-    // The dictionary window sorts the VOCABULARY (distinct shingles —
-    // 27k at sf0.1), not the corpus, so the single-partition row_number
-    // is over data ≪ input; at 100 TB this is the standard token-table
-    // sort every AllPairs implementation performs once per corpus.
-    val dict = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .withColumn("sid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("s"))))
+    // Dense rarest-first ids for the vocabulary WITHOUT a global window
+    // (row_number over an unpartitioned Window pulls every distinct
+    // shingle through ONE task — fine at 27k, a single-core bottleneck
+    // on a billion-term 100 TB vocabulary): range-partition + local sort
+    // gives a globally sorted partition sequence, and zipWithIndex
+    // assigns contiguous ids across partitions with one extra size-count
+    // job — the standard distributed dense-rank.
+    // persisted: zipWithIndex already ran one eager partition-size job
+    // over the vocabulary pipeline; without the persist the dict's whole
+    // lineage (shingle + groupBy + range sort) re-runs when docs
+    // materializes
+    val dict = QueryCaches.track(sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .repartitionByRange(col("df"), col("s"))
+      .sortWithinPartitions(col("df"), col("s"))
+      .select(col("s"), col("df")).as[(String, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((shingle, _), i) => (shingle, i + 1) }
+      .toDF("s", "sid")
+      .persist())
     // ONE per-doc aggregation yields everything downstream needs:
     // sort_array on the rarest-first ids = the global prefix order,
     // the set size, and the prefix slice

@@ -116,22 +116,20 @@ object EventStream {
     * them to 0, and a ledger keyed by a surviving sink id would then
     * silently drop the first N batches as replays. Recovering the SAME
     * checkpoint reuses the id, which is exactly when skip-on-replay is
-    * correct. */
+    * correct.
+    *
+    * The marker is written through [[graft.lake.HadoopFsCommitBackend]]'s
+    * conditional put — write-temp-then-publish, so a racing reader can
+    * never observe a torn/empty marker and two racing creators resolve
+    * to ONE surviving uuid (a hand-rolled create(false)+write here had
+    * exactly those two races). */
   private[streaming] def sinkIdFor(spark: SparkSession, checkpointDir: String): String = {
-    val marker = new org.apache.hadoop.fs.Path(checkpointDir, "graft-sink-id")
-    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(marker)) {
-      fs.mkdirs(marker.getParent)
-      val out = fs.create(marker, false)
-      try out.write(java.util.UUID.randomUUID.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      catch { case _: java.io.IOException => () } // racing creator won; fall through to read
-      finally out.close()
-    }
-    val in = fs.open(marker)
-    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
-      java.nio.charset.StandardCharsets.UTF_8).trim
-    finally in.close()
+    val backend = new graft.lake.HadoopFsCommitBackend(spark.sessionState.newHadoopConf())
+    val marker = java.nio.file.Paths.get(checkpointDir, "graft-sink-id")
+    backend.ensureDir(marker.getParent)
+    backend.putIfAbsent(marker, java.util.UUID.randomUUID.toString) // loser = no-op
+    backend.get(marker).getOrElse(
+      throw new IllegalStateException(s"sink-id marker vanished under $checkpointDir")).trim
   }
 
   /** Structured-Streaming sink into a lake table: every micro-batch is

@@ -159,6 +159,28 @@ class ManifestLayoutSpec extends LakeSuite {
     assert(handle.refresh().newScan(pred).toDF(spark).count() === 0)
   }
 
+  test("disjoint CoW ops sharing a manifest do not conflict (file-path-level validation)") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "disjoint", ordersDF.schema,
+      spec = Seq(PartitionField("o_orderkey", "identity")))
+    // ONE manifest holding range-clustered files across the key space
+    t.appendData(ordersDF, numFiles = 4)
+    val handle = cat.loadTable("ns", "disjoint") // base = snapshot 1
+    // writer W rewrites the HIGH end of the shared manifest: untouched
+    // low-range files are carried into a NEW survivor manifest
+    cat.loadTable("ns", "disjoint")
+      .deleteWhere(spark, LakePredicate.Gt("o_orderkey", 4000L))
+    // handle H deletes the LOW end from its stale base. The survivor
+    // manifest is new BY NAME, but its low-range files existed at H's
+    // base — a manifest-name-level diff misread them as added-since-base
+    // and failed H even though serial execution succeeds.
+    val report = handle.deleteWhere(spark,
+      LakePredicate.Le("o_orderkey", 10L), conflictRetries = 0)
+    assert(report.attempts === 1)
+    assert(cat.loadTable("ns", "disjoint").newScan().toDF(spark).count()
+      === ordersDF.filter(col("o_orderkey") > 10 && col("o_orderkey") <= 4000).count())
+  }
+
   test("serializable validation: a racing append OUTSIDE the predicate commits clean") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "ser2", ordersDF.schema)

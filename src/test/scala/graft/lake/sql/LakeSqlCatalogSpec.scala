@@ -181,6 +181,15 @@ class LakeSqlCatalogSpec extends LakeSuite {
       spark.sql("ALTER TABLE sqllake6.ns.t ALTER COLUMN o_orderkey TYPE INT"))
     intercept[Exception](
       spark.sql("ALTER TABLE sqllake6.ns.t ADD COLUMN pos BIGINT FIRST"))
+
+    // multi-change statements are ATOMIC: both columns in one commit...
+    spark.sql("ALTER TABLE sqllake6.ns.t ADD COLUMNS (c1 STRING, c2 BIGINT)")
+    assert(t.refresh().schema.fieldNames.takeRight(2) === Array("c1", "c2"))
+    // ...and a statement whose SECOND change is invalid applies NOTHING
+    // (a per-change loop would leave ok1 durably added)
+    intercept[Exception](
+      spark.sql("ALTER TABLE sqllake6.ns.t ADD COLUMNS (ok1 STRING, c1 STRING)"))
+    assert(!t.refresh().schema.fieldNames.contains("ok1"))
   }
 
   test("unsupported surfaces fail loudly, missing tables raise analysis errors") {
