@@ -17,9 +17,24 @@ object OperatorQueries {
     "q_salted_agg" -> qSaltedAgg,
     "multimodal_decode" -> ((s, d) => MultimodalDecode.decodeDocuments(s, d)),
     "multimodal_frames" -> ((s, d) => MultimodalDecode.frameDocuments(s, d)),
+    "multimodal_png_codec" -> ((s, d) => MultimodalDecode.pngDocuments(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
+    // the REAL-codec check: a lossless PNG round-trip must return
+    // exactly the source bytes as pixels, so the decoded raster's
+    // statistics equal byte statistics computed straight off the text
+    // (ASCII corpus: byte i == char i; positions beyond the 16x16
+    // canvas are zero-padded)
+    "multimodal_png_codec" ->
+      """WITH px AS (
+        |  SELECT doc_id, ascii(substring(text, i + 1, 1)) AS v
+        |  FROM documents, (SELECT unnest(range(least(length(text), 256))) AS i) t
+        |)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(sum(v) AS BIGINT) AS pixel_sum,
+        |  CAST(max(v) AS BIGINT) AS pixel_max
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_v, count(*) AS n,
         |  min(l_quantity) AS min_v, max(l_quantity) AS max_v
