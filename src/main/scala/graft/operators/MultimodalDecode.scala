@@ -152,4 +152,52 @@ object MultimodalDecode {
       .select(col("doc_id"), col("width"), col("height"),
         col("pixel_sum"), col("pixel_max"))
       .orderBy(col("doc_id"))
+
+  final case class WavMeta(doc_id: Long, sample_rate: Long, channels: Long,
+      n_samples: Long, sample_sum: Long, sample_max: Long)
+
+  /** Genuine audio encode → decode through javax.sound.sampled (also
+    * JDK-shipped): each blob's bytes become unsigned 8-bit mono 8 kHz
+    * PCM samples wrapped as a WAV by AudioSystem.write, and the WAV
+    * BYTES are decoded back by the real codec — format fields read from
+    * the parsed header, sample statistics from the decoded PCM stream.
+    * Losslessness again makes it oracle-checkable: decoded samples must
+    * equal the source bytes. */
+  def wavRoundTrip(df: DataFrame): Dataset[WavMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        import javax.sound.sampled._
+        val fmt = new AudioFormat(8000f, 8, 1, false, false) // u8 mono 8kHz
+        val src = new AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(src, AudioFileFormat.Type.WAVE, out)
+        val wav = out.toByteArray // the opaque binary a pipeline stores
+        // decode the wav BYTES with the real codec and measure the PCM
+        val dec = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val f = dec.getFormat
+        val samples = dec.readAllBytes()
+        var sum = 0L
+        var mx = 0L
+        var i = 0
+        while (i < samples.length) {
+          val v = (samples(i) & 0xFF).toLong
+          sum += v
+          if (v > mx) mx = v
+          i += 1
+        }
+        WavMeta(id, f.getSampleRate.toLong, f.getChannels.toLong,
+          samples.length.toLong, sum, mx)
+      })
+  }
+
+  /** Corpus entry: WAV-codec round-trip over every document blob. */
+  def wavDocuments(s: SparkSession, d: String): DataFrame =
+    wavRoundTrip(graft.queries.Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob")))
+      .toDF()
+      .orderBy(col("doc_id"))
 }

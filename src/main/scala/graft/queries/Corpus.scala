@@ -14,5 +14,6 @@ object Corpus {
   def prepare(s: SparkSession, d: String): Unit = {
     JoinExtraQueries.prepareBucketed(s, d)
     SimilarityQueries.prepareIvfIndex(s, d)
+    SimilarityQueries.prepareLshIndex(s, d)
   }
 }

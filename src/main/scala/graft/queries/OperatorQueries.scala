@@ -18,6 +18,7 @@ object OperatorQueries {
     "multimodal_decode" -> ((s, d) => MultimodalDecode.decodeDocuments(s, d)),
     "multimodal_frames" -> ((s, d) => MultimodalDecode.frameDocuments(s, d)),
     "multimodal_png_codec" -> ((s, d) => MultimodalDecode.pngDocuments(s, d)),
+    "multimodal_wav_codec" -> ((s, d) => MultimodalDecode.wavDocuments(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -35,6 +36,19 @@ object OperatorQueries {
         |  CAST(sum(v) AS BIGINT) AS pixel_sum,
         |  CAST(max(v) AS BIGINT) AS pixel_max
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same losslessness argument for audio: decoded u8 PCM samples must
+    // equal the source bytes, format fields come from the parsed header
+    "multimodal_wav_codec" ->
+      """WITH sm AS (
+        |  SELECT doc_id, ascii(substring(text, i + 1, 1)) AS v
+        |  FROM documents, (SELECT unnest(range(length(text))) AS i) t
+        |)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sample_sum,
+        |  CAST(max(v) AS BIGINT) AS sample_max
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_v, count(*) AS n,
         |  min(l_quantity) AS min_v, max(l_quantity) AS max_v

