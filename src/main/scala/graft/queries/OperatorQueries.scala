@@ -31,24 +31,34 @@ object OperatorQueries {
       """WITH px AS (
         |  SELECT doc_id, ascii(substring(text, i + 1, 1)) AS v
         |  FROM documents, (SELECT unnest(range(least(length(text), 256))) AS i) t
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS s, CAST(max(v) AS BIGINT) AS m
+        |  FROM px GROUP BY doc_id
         |)
-        |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
-        |  CAST(sum(v) AS BIGINT) AS pixel_sum,
-        |  CAST(max(v) AS BIGINT) AS pixel_max
-        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |-- LEFT JOIN keeps zero-length documents (range(0) unnests to no
+        |-- rows; the Spark side still emits an all-zero canvas for them)
+        |SELECT d.doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  coalesce(agg.s, 0) AS pixel_sum,
+        |  coalesce(agg.m, 0) AS pixel_max
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // same losslessness argument for audio: decoded u8 PCM samples must
     // equal the source bytes, format fields come from the parsed header
     "multimodal_wav_codec" ->
       """WITH sm AS (
         |  SELECT doc_id, ascii(substring(text, i + 1, 1)) AS v
         |  FROM documents, (SELECT unnest(range(length(text))) AS i) t
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s, CAST(max(v) AS BIGINT) AS m
+        |  FROM sm GROUP BY doc_id
         |)
-        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |-- LEFT JOIN keeps zero-length documents (empty PCM stream)
+        |SELECT d.doc_id, CAST(8000 AS BIGINT) AS sample_rate,
         |  CAST(1 AS BIGINT) AS channels,
-        |  CAST(count(*) AS BIGINT) AS n_samples,
-        |  CAST(sum(v) AS BIGINT) AS sample_sum,
-        |  CAST(max(v) AS BIGINT) AS sample_max
-        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  coalesce(agg.n, 0) AS n_samples,
+        |  coalesce(agg.s, 0) AS sample_sum,
+        |  coalesce(agg.m, 0) AS sample_max
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_salted_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS sum_v, count(*) AS n,
         |  min(l_quantity) AS min_v, max(l_quantity) AS max_v

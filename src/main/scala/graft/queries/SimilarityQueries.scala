@@ -222,8 +222,10 @@ object SimilarityQueries {
         .select(col("va"), col("vb"), round(col("sim"), 3).as("sim"))
         .orderBy(col("va"), col("vb"))
     } else {
-      val emb = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
+      // the same ingest-time signature index qAnnLsh uses — the banded
+      // branch only runs on the LARGEST corpora, exactly where per-query
+      // signature recompute hurts most
+      val emb = ensureLshIndex(s, d)
       val banded = emb.select(col("vec_id"), col("embedding"),
         posexplode(array((0 until 16).map(b =>
           shiftright(col("sig"), b * 4).bitwiseAND(0xF)): _*))
