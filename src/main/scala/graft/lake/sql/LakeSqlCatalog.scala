@@ -33,9 +33,11 @@ import graft.lake.{LakeCatalog, LakePredicate, LakeTable, PartitionField}
   * column pruning and row-group pushdown come for free. Writes route
   * through the V1 bridge into the MANIFEST COMMIT PROTOCOL — an
   * append or atomic-replace snapshot, never a bare parquet write —
-  * and historical (AS OF) handles are read-only. Row-level SQL
-  * mutations (UPDATE/DELETE/MERGE) stay on the transactional Scala
-  * API (LakeTable deleteWhere/updateWhere/mergeInto).
+  * and historical (AS OF) handles are read-only. `DELETE FROM …
+  * WHERE` routes through the transactional copy-on-write delete when
+  * the whole condition is expressible as manifest predicates (refused
+  * loudly otherwise — never partially applied); UPDATE/MERGE stay on
+  * the transactional Scala API (LakeTable updateWhere/mergeInto).
   */
 class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -242,7 +244,28 @@ object LakeSqlCatalog {
   * snapshots/stats/metrics. Historical handles (AS OF) stay read-only. */
 final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM t WHERE …` → the transactional copy-on-write
+    * delete (pruned rewrites, serializable validation, conflict retry —
+    * never a bare file operation). Spark only routes here when
+    * [[canDeleteWhere]] accepted the WHOLE condition, i.e. every filter
+    * has an exact LakePredicate form: the scan path's lenient conversion
+    * (unknown → AlwaysTrue) would make DELETE remove rows the condition
+    * never matched, so unsupported conditions refuse instead (Spark
+    * surfaces the standard cannot-delete analysis error). */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    snapshotId.isEmpty && filters.forall(f => toLakePredicateStrict(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(snapshotId.isEmpty, s"cannot delete from a historical snapshot of ${lt.name}")
+    import graft.lake.{LakePredicate => P}
+    val pred = filters.flatMap(toLakePredicateStrict(_))
+      .reduceOption(P.And(_, _)).getOrElse(P.AlwaysTrue)
+    lt.refresh().deleteWhere(SparkSession.active, pred)
+    ()
+  }
 
   private def mkParquetTable(files: Seq[String]) =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
@@ -259,26 +282,44 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       Some(lt.metadata.schemaWithFieldIds),
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
-  /** sources.Filter → manifest predicate; anything not expressible
-    * prunes nothing (conservative — all filters are re-applied as
-    * residuals anyway). */
-  private def toLakePredicate(fs: Array[org.apache.spark.sql.sources.Filter]): LakePredicate = {
+  /** sources.Filter → manifest predicate, STRICT form: None when the
+    * filter has no exact LakePredicate equivalent. Scans can degrade an
+    * inexpressible filter to AlwaysTrue (pruning is an optimization;
+    * the residual re-applies it) — a DELETE cannot (AlwaysTrue would
+    * delete rows the filter never matched), so it consults this form
+    * and REFUSES instead. */
+  private def toLakePredicateStrict(
+      f: org.apache.spark.sql.sources.Filter): Option[LakePredicate] = {
     import org.apache.spark.sql.{sources => S}
     import graft.lake.{LakePredicate => P}
-    def convert(f: S.Filter): P = f match {
-      case S.EqualTo(a, v) => P.Eq(a, v)
-      case S.GreaterThan(a, v) => P.Gt(a, v)
-      case S.GreaterThanOrEqual(a, v) => P.Ge(a, v)
-      case S.LessThan(a, v) => P.Lt(a, v)
-      case S.LessThanOrEqual(a, v) => P.Le(a, v)
-      case S.In(a, vs) => P.In(a, vs.toSeq)
-      case S.IsNull(a) => P.IsNull(a)
-      case S.IsNotNull(a) => P.NotNull(a)
-      case S.And(l, r) => P.And(convert(l), convert(r))
-      case S.Or(l, r) => P.Or(convert(l), convert(r))
-      case _ => P.AlwaysTrue
+    f match {
+      case S.EqualTo(a, v) => Some(P.Eq(a, v))
+      case S.GreaterThan(a, v) => Some(P.Gt(a, v))
+      case S.GreaterThanOrEqual(a, v) => Some(P.Ge(a, v))
+      case S.LessThan(a, v) => Some(P.Lt(a, v))
+      case S.LessThanOrEqual(a, v) => Some(P.Le(a, v))
+      case S.In(a, vs) => Some(P.In(a, vs.toSeq))
+      case S.IsNull(a) => Some(P.IsNull(a))
+      case S.IsNotNull(a) => Some(P.NotNull(a))
+      case S.Not(c) => toLakePredicateStrict(c).map(P.Not(_))
+      case S.And(l, r) => for {
+        lc <- toLakePredicateStrict(l)
+        rc <- toLakePredicateStrict(r)
+      } yield P.And(lc, rc)
+      case S.Or(l, r) => for {
+        lc <- toLakePredicateStrict(l)
+        rc <- toLakePredicateStrict(r)
+      } yield P.Or(lc, rc)
+      case _ => None
     }
-    fs.map(convert).reduceOption(P.And(_, _)).getOrElse(P.AlwaysTrue)
+  }
+
+  /** Lenient form for scans: anything not expressible prunes nothing
+    * (conservative — all filters are re-applied as residuals anyway). */
+  private def toLakePredicate(fs: Array[org.apache.spark.sql.sources.Filter]): LakePredicate = {
+    import graft.lake.{LakePredicate => P}
+    fs.map(f => toLakePredicateStrict(f).getOrElse(P.AlwaysTrue))
+      .reduceOption(P.And(_, _)).getOrElse(P.AlwaysTrue)
   }
 
   override def name(): String = lt.name

@@ -204,4 +204,37 @@ class LakeSqlCatalogSpec extends LakeSuite {
     // empty table (no snapshot yet) still answers SQL
     assert(spark.sql("SELECT count(*) FROM sqllake2.ns.t").head.getLong(0) === 0L)
   }
+
+  test("SQL DELETE FROM routes through the copy-on-write commit protocol") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.sqllake7", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqllake7.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sqllake7.ns")
+    spark.sql("CREATE TABLE sqllake7.ns.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    val df = ordersDF.select(col("o_orderkey"), col("o_totalprice"))
+    t.appendData(df, numFiles = 4)
+    val snapsBefore = t.refresh().snapshots.size
+
+    spark.sql("DELETE FROM sqllake7.ns.t WHERE o_orderkey <= 100")
+    // a delete SNAPSHOT landed (not a bare file rewrite)...
+    assert(t.refresh().snapshots.size === snapsBefore + 1)
+    assert(t.metadata.currentSnapshot.get.operation === "delete")
+    // ...with exact row-level semantics
+    assert(spark.sql("SELECT count(*) FROM sqllake7.ns.t").head.getLong(0)
+      === df.filter(col("o_orderkey") > 100).count())
+
+    // compound conditions work when fully expressible
+    spark.sql("DELETE FROM sqllake7.ns.t WHERE o_orderkey > 5000 AND o_totalprice < 50000")
+    assert(spark.sql("SELECT count(*) FROM sqllake7.ns.t").head.getLong(0)
+      === df.filter(col("o_orderkey") > 100)
+        .filter(!(col("o_orderkey") > 5000 && col("o_totalprice") < 50000)).count())
+
+    // a condition with no exact manifest-predicate form is REFUSED, not
+    // partially applied (the lenient scan conversion would over-delete)
+    val before = spark.sql("SELECT count(*) FROM sqllake7.ns.t").head.getLong(0)
+    intercept[Exception](
+      spark.sql("DELETE FROM sqllake7.ns.t WHERE o_orderkey % 2 = 0"))
+    assert(spark.sql("SELECT count(*) FROM sqllake7.ns.t").head.getLong(0) === before)
+  }
 }
