@@ -131,6 +131,23 @@ final class LakeTable private[lake] (
     }
   }
 
+  /** Exactly-once MERGE for streaming micro-batches — the upsert twin
+    * of [[appendDataExactlyOnce]]: same (sinkId, batchId) ledger, same
+    * inside-the-CAS decisive check, on top of mergeInto's own
+    * serializable validation and conflict retry. Returns None when the
+    * batch already committed. Source contract as for mergeInto (table
+    * schema, distinct non-NULL keys). */
+  def mergeIntoExactlyOnce(spark: SparkSession, source: DataFrame,
+      keys: Seq[String], sinkId: String, batchId: Long,
+      conflictRetries: Int = 3): Option[CommitReport] = {
+    refresh()
+    if (lastCommittedBatchId(sinkId).exists(_ >= batchId)) None
+    else
+      try Some(mergeInto(spark, source, keys, conflictRetries,
+        exactlyOnce = Some((sinkId, batchId))))
+      catch { case _: BatchAlreadyCommitted => None }
+  }
+
   /** The exactly-once ledger: last committed streaming batch for a
     * sink id, from table properties (expiry-proof, O(1)). */
   def lastCommittedBatchId(sinkId: String): Option[Long] =
@@ -344,7 +361,9 @@ final class LakeTable private[lake] (
     * driver-side value is the source's per-key min/max (a 1-row agg).
     * Source must carry the table schema and distinct keys. */
   def mergeInto(spark: SparkSession, source: DataFrame, keys: Seq[String],
-      conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
+      conflictRetries: Int = 3,
+      exactlyOnce: Option[(String, Long)] = None): CommitReport =
+      withConflictRetry(conflictRetries) {
     import org.apache.spark.sql.{functions => F}
     require(keys.nonEmpty && keys.forall(schema.fieldNames.contains), s"bad merge keys $keys")
     require(source.schema.fields.map(f => (f.name, f.dataType)).sameElements(
@@ -370,8 +389,8 @@ final class LakeTable private[lake] (
           F.sum(keys.map(k => F.when(F.col(k).isNull, 1L).otherwise(0L)).reduce(_ + _)))
       val boundsRow = src.agg(aggs.head, aggs.tail: _*).head()
       val nRows = boundsRow.getLong(2 * keys.size)
-      if (nRows == 0L) { // empty source: no-op
-        commitSnapshot("overwrite", Nil, Nil)
+      if (nRows == 0L) { // empty source: no-op (still records the ledger)
+        commitSnapshot("overwrite", Nil, Nil, exactlyOnce = exactlyOnce)
       } else {
         val nullKeys = boundsRow.getLong(2 * keys.size + 1)
         if (nullKeys > 0L)
@@ -392,7 +411,7 @@ final class LakeTable private[lake] (
         // serializable: a racing append inside the key bounds would leave
         // duplicate live keys after this upsert — fail and retry instead
         commitSnapshot("overwrite", added, touched,
-          validateAddedSince = Some((base, pred)))
+          validateAddedSince = Some((base, pred)), exactlyOnce = exactlyOnce)
       }
     } finally src.unpersist(blocking = false)
   }

@@ -149,6 +149,28 @@ object EventStream {
       .start()
   }
 
+  /** Structured-Streaming UPSERT sink: each micro-batch MERGEs into the
+    * lake table on `keys` (same-key rows replaced, new keys inserted) as
+    * one exactly-once commit — the streaming shape of a CDC/upsert feed.
+    * The batch must carry the table schema with distinct non-NULL keys
+    * (pre-aggregate per key upstream if the source can emit several
+    * updates for one key in a batch — which "latest" wins is otherwise
+    * undefined in a distributed batch). */
+  def lakeUpsertSink(df: DataFrame, table: graft.lake.LakeTable,
+      keys: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sinkId = sinkIdFor(df.sparkSession, checkpointDir)
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], batchId: Long) => {
+        table.mergeIntoExactlyOnce(
+          batch.sparkSession, batch.toDF(), keys, sinkId, batchId)
+        ()
+      })
+      .start()
+  }
+
   /** Drive a streaming DF synchronously into a memory sink and return
     * the collected table (dev/test harness for bounded inputs). */
   def runToMemory(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {

@@ -138,4 +138,33 @@ class StreamingSpec extends LakeSuite {
     assert(EventStream.appendBatchIdempotent(t, staticEvents.limit(3), sink2, 0L))
     assert(t.refresh().newScan().toDF(spark).count() === total + 8)
   }
+
+  test("streaming upsert sink: per-batch MERGE, replay-idempotent, updates win") {
+    import graft.lake.LakeCatalog
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "upsert_sink", staticEvents.schema)
+    // seed: every event with value zeroed — the stream must OVERWRITE these
+    t.appendData(staticEvents.withColumn("value", lit(0.0)))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt_").toString
+    val q = EventStream.lakeUpsertSink(
+      spark.readStream.schema(staticEvents.schema).parquet(stagedDir),
+      t, Seq("event_id"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // same cardinality (every key existed), real values restored
+    assert(t.refresh().newScan().toDF(spark).count() === staticEvents.count())
+    val sumBefore = staticEvents.agg(round(sum(col("value")), 2)).head.getDouble(0)
+    assert(t.newScan().toDF(spark).agg(round(sum(col("value")), 2)).head.getDouble(0)
+      === sumBefore)
+    // replaying a committed batch through the merge path is a no-op
+    val sinkId = EventStream.sinkIdFor(spark, ckpt)
+    val last = t.lastCommittedBatchId(sinkId).get
+    assert(t.mergeIntoExactlyOnce(spark, staticEvents.limit(5)
+      .withColumn("value", lit(9.9)), Seq("event_id"), sinkId, last).isEmpty)
+    assert(t.refresh().newScan().toDF(spark).agg(round(sum(col("value")), 2))
+      .head.getDouble(0) === sumBefore)
+    // a NEW batch merges: 5 updated + no inserts
+    assert(t.mergeIntoExactlyOnce(spark, staticEvents.limit(5)
+      .withColumn("value", lit(0.0)), Seq("event_id"), sinkId, last + 1).isDefined)
+    assert(t.refresh().newScan().toDF(spark).count() === staticEvents.count())
+  }
 }
