@@ -167,7 +167,37 @@ object LakeQueries {
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** SQL row-level mutation end-to-end: DDL + append, then DELETE FROM
+    * through the DSv2 SupportsDelete path (strict predicate conversion →
+    * the transactional copy-on-write delete), read back with spark.sql.
+    * Memoized like [[lakeSqlSelect]]; the mutation sequence is
+    * deterministic, so re-invocations just re-run the SELECT. */
+  private val sqlDeleteCatalogs = new SessionMemo[String]()
+
+  def lakeSqlDelete(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlDeleteCatalogs.getOrBuild(s, d) {
+      val src = orders(s, d)
+      val wh = Files.createTempDirectory("graft_lake_sqldel_").toString
+      val name = s"lakesqldel_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
+      LakeCatalog.open(wh).loadTable("q", "orders").appendData(src, numFiles = 4)
+      s.sql(s"DELETE FROM $name.q.orders " +
+        "WHERE o_totalprice < 50000.0 OR o_orderstatus = 'F'")
+      name
+    }
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS sum_price,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM $catName.q.orders
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_sql_delete" -> lakeSqlDelete,
     "lake_maintenance" -> lakeMaintenance,
     "lake_rename" -> lakeRename,
     "lake_changes" -> lakeChanges,
@@ -182,6 +212,15 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // DELETE removes rows where the condition is TRUE; the corpus has no
+    // NULLs in these columns, so NOT(...) is the exact survivor set
+    "lake_sql_delete" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE NOT (o_totalprice < 50000.0 OR o_orderstatus = 'F')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "lake_maintenance" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_rename" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS amount,
