@@ -123,10 +123,7 @@ final class LakeTable private[lake] (
     else {
       val added = writeDataFiles(df)
       try Some(commitSnapshot("append", added, Nil,
-        extraSummary = Map(
-          "streaming-sink-id" -> sinkId,
-          "streaming-batch-id" -> batchId.toString),
-        exactlyOnce = Some((sinkId, batchId))))
+        exactlyOnce = Some((sinkId, batchId)))) // summary stamps derive from the ledger
       catch { case _: BatchAlreadyCommitted => None }
     }
   }
@@ -642,9 +639,14 @@ final class LakeTable private[lake] (
         fileCount = manifests.map(_.fileCount).sum,
         totalRecords = manifests.map(_.recordCount).sum,
         totalSizeBytes = manifests.map(_.sizeBytes).sum,
-        // extraSummary first: the computed builtins are reserved and
-        // must win over caller-supplied keys
+        // extraSummary first: the computed builtins (and the ledger
+        // stamps, auto-derived from exactlyOnce so EVERY exactly-once
+        // commit — append or merge — is attributable to its stream and
+        // batch) are reserved and win over caller-supplied keys
         summary = extraSummary
+          ++ exactlyOnce.map { case (sinkId, batchId) => Map(
+            "streaming-sink-id" -> sinkId,
+            "streaming-batch-id" -> batchId.toString) }.getOrElse(Map.empty)
           ++ Map("added-data-files" -> added.size.toString,
             "removed-data-files" -> removedCount.toString,
             "added-records" -> added.map(_.recordCount).sum.toString))(io)

@@ -261,7 +261,13 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(snapshotId.isEmpty, s"cannot delete from a historical snapshot of ${lt.name}")
     import graft.lake.{LakePredicate => P}
-    val pred = filters.flatMap(toLakePredicateStrict(_))
+    // throw, never drop: silently discarding an inconvertible filter
+    // WIDENS the predicate and over-deletes. Spark gates on
+    // canDeleteWhere first, but a destructive op must not rest its
+    // safety on a caller-side invariant.
+    val pred = filters.map(f => toLakePredicateStrict(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE condition $f has no exact manifest-predicate form")))
       .reduceOption(P.And(_, _)).getOrElse(P.AlwaysTrue)
     lt.refresh().deleteWhere(SparkSession.active, pred)
     ()
@@ -293,6 +299,9 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     import org.apache.spark.sql.{sources => S}
     import graft.lake.{LakePredicate => P}
     f match {
+      // an unconditional DELETE FROM t arrives as one AlwaysTrue filter
+      case S.AlwaysTrue() => Some(P.AlwaysTrue)
+      case S.AlwaysFalse() => Some(P.Not(P.AlwaysTrue)) // matches no row
       case S.EqualTo(a, v) => Some(P.Eq(a, v))
       case S.GreaterThan(a, v) => Some(P.Gt(a, v))
       case S.GreaterThanOrEqual(a, v) => Some(P.Ge(a, v))
@@ -314,12 +323,24 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     }
   }
 
-  /** Lenient form for scans: anything not expressible prunes nothing
-    * (conservative — all filters are re-applied as residuals anyway). */
+  /** Lenient form for scans: an inexpressible LEAF degrades to
+    * AlwaysTrue (conservative — residuals re-apply every filter), but
+    * And/Or recurse so a compound filter keeps pruning on its
+    * expressible legs (And(unknown, a=5) still skips files on a=5). */
+  private def toLakePredicateLenient(
+      f: org.apache.spark.sql.sources.Filter): LakePredicate = {
+    import org.apache.spark.sql.{sources => S}
+    import graft.lake.{LakePredicate => P}
+    f match {
+      case S.And(l, r) => P.And(toLakePredicateLenient(l), toLakePredicateLenient(r))
+      case S.Or(l, r) => P.Or(toLakePredicateLenient(l), toLakePredicateLenient(r))
+      case other => toLakePredicateStrict(other).getOrElse(P.AlwaysTrue)
+    }
+  }
+
   private def toLakePredicate(fs: Array[org.apache.spark.sql.sources.Filter]): LakePredicate = {
     import graft.lake.{LakePredicate => P}
-    fs.map(f => toLakePredicateStrict(f).getOrElse(P.AlwaysTrue))
-      .reduceOption(P.And(_, _)).getOrElse(P.AlwaysTrue)
+    fs.map(toLakePredicateLenient).reduceOption(P.And(_, _)).getOrElse(P.AlwaysTrue)
   }
 
   override def name(): String = lt.name

@@ -139,26 +139,34 @@ object LakeQueries {
     t.refresh().changesSince(s, first.snapshotId).orderBy(col("o_orderkey"))
   }
 
+  /** ONE catalog registration + temp warehouse + populated orders table
+    * per (session, corpus dir, prefix) — a per-invocation registration
+    * accumulated catalog instances, session confs, and undeleted temp
+    * warehouses across a corpus run. `afterLoad` runs once at build
+    * (e.g. the SQL DELETE a mutation query exercises). */
+  private def sqlOrdersCatalog(memo: SessionMemo[String], s: SparkSession,
+      d: String, prefix: String, numFiles: Int = 0)(
+      afterLoad: String => Unit): String =
+    memo.getOrBuild(s, d) {
+      val src = orders(s, d)
+      val wh = Files.createTempDirectory(s"graft_${prefix}_").toString
+      val name = s"${prefix}_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
+      LakeCatalog.open(wh).loadTable("q", "orders").appendData(src, numFiles)
+      afterLoad(name)
+      name
+    }
+
   /** The SQL surface end-to-end: DDL through the V2 catalog plugin,
     * a transactional append through the Scala API, and an aggregation
     * read back with spark.sql over `<catalog>.<ns>.<table>`. */
   private val sqlCatalogs = new SessionMemo[String]()
 
   def lakeSqlSelect(s: SparkSession, d: String): DataFrame = {
-    // ONE catalog registration + warehouse per (session, corpus dir) —
-    // a per-invocation registration accumulated catalog instances,
-    // session confs, and undeleted temp warehouses across a corpus run
-    val catName = sqlCatalogs.getOrBuild(s, d) {
-      val src = orders(s, d)
-      val wh = Files.createTempDirectory("graft_lake_sql_").toString
-      val name = s"lakesql_${java.lang.Long.toHexString(System.nanoTime())}"
-      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.lake.sql.LakeSqlCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      s.sql(s"CREATE NAMESPACE $name.q")
-      s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
-      LakeCatalog.open(wh).loadTable("q", "orders").appendData(src)
-      name
-    }
+    val catName = sqlOrdersCatalog(sqlCatalogs, s, d, "lakesql")(_ => ())
     s.sql(
       s"""SELECT o_orderstatus, count(*) AS n,
          |  round(sum(o_totalprice), 2) AS sum_price,
@@ -175,18 +183,11 @@ object LakeQueries {
   private val sqlDeleteCatalogs = new SessionMemo[String]()
 
   def lakeSqlDelete(s: SparkSession, d: String): DataFrame = {
-    val catName = sqlDeleteCatalogs.getOrBuild(s, d) {
-      val src = orders(s, d)
-      val wh = Files.createTempDirectory("graft_lake_sqldel_").toString
-      val name = s"lakesqldel_${java.lang.Long.toHexString(System.nanoTime())}"
-      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.lake.sql.LakeSqlCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
-      s.sql(s"CREATE NAMESPACE $name.q")
-      s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
-      LakeCatalog.open(wh).loadTable("q", "orders").appendData(src, numFiles = 4)
+    val catName = sqlOrdersCatalog(sqlDeleteCatalogs, s, d, "lakesqldel",
+      numFiles = 4) { name =>
       s.sql(s"DELETE FROM $name.q.orders " +
         "WHERE o_totalprice < 50000.0 OR o_orderstatus = 'F'")
-      name
+      ()
     }
     s.sql(
       s"""SELECT o_orderstatus, count(*) AS n,

@@ -236,5 +236,10 @@ class LakeSqlCatalogSpec extends LakeSuite {
     intercept[Exception](
       spark.sql("DELETE FROM sqllake7.ns.t WHERE o_orderkey % 2 = 0"))
     assert(spark.sql("SELECT count(*) FROM sqllake7.ns.t").head.getLong(0) === before)
+
+    // unconditional DELETE arrives as one AlwaysTrue filter and empties
+    // the table through the same commit protocol
+    spark.sql("DELETE FROM sqllake7.ns.t")
+    assert(spark.sql("SELECT count(*) FROM sqllake7.ns.t").head.getLong(0) === 0L)
   }
 }
