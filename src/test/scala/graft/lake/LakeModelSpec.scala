@@ -1,0 +1,84 @@
+package graft.lake
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-based check of the whole commit protocol: a seeded random
+  * sequence of table operations runs against BOTH the real lake table
+  * and a trivial in-memory model; after every commit the scanned table
+  * must equal the model exactly. One divergence anywhere in the
+  * manifest layering (survivor rewrites, replaceAll, validation,
+  * expiry, orphan cleanup) shows up as a concrete failing seed+step —
+  * coverage no hand-written example test enumerates. */
+class LakeModelSpec extends LakeSuite {
+
+  private val modelSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = false)))
+
+  private def df(rows: Seq[(Long, Double)]) =
+    spark.createDataFrame(
+      rows.map { case (i, v) => Row(i, v) }.asJava0, modelSchema)
+      .coalesce(1)
+
+  test("random op sequences keep table == model at every step") {
+    for (seed <- Seq(7, 23)) {
+      val rng = new scala.util.Random(seed)
+      val cat = LakeCatalog.open(freshWarehouse())
+      val t = cat.createTable("ns", s"model_$seed", modelSchema)
+      var model = Map.empty[Long, Double]
+      var nextId = 0L
+
+      def freshRows(n: Int): Seq[(Long, Double)] = (0 until n).map { _ =>
+        nextId += 1
+        (nextId, rng.nextInt(1000).toDouble)
+      }
+
+      def check(step: Int, op: String): Unit = {
+        val actual = t.refresh().newScan().toDF(spark)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+        assert(actual === model, s"seed=$seed step=$step after $op")
+      }
+
+      for (step <- 0 until 12) {
+        rng.nextInt(6) match {
+          case 0 => // append
+            val rows = freshRows(1 + rng.nextInt(40))
+            t.refresh().appendData(df(rows))
+            model ++= rows
+          case 1 => // delete by id range
+            val cut = if (model.isEmpty) 0L else nextId - rng.nextInt(20)
+            t.refresh().deleteWhere(spark, LakePredicate.Ge("id", cut))
+            model = model.filter { case (id, _) => id < cut }
+          case 2 => // update a band
+            val lo = math.max(1L, nextId - rng.nextInt(30))
+            t.refresh().updateWhere(spark,
+              LakePredicate.Ge("id", lo), Map("v" -> lit(-1.0)))
+            model = model.map { case (id, v) => id -> (if (id >= lo) -1.0 else v) }
+          case 3 => // merge: update low band + insert fresh
+            val updates = model.keys.toSeq.sorted.take(5).map(id => (id, 777.0))
+            val inserts = freshRows(1 + rng.nextInt(10))
+            val src = updates ++ inserts
+            if (src.nonEmpty) {
+              t.refresh().mergeInto(spark, df(src), Seq("id"))
+              model ++= src
+            }
+          case 4 => // compact (full or binpack)
+            if (rng.nextBoolean()) t.refresh().compact(spark, targetFiles = 2)
+            else t.refresh().compactSmallFiles(spark, smallBytes = 1L << 20)
+          case 5 => // maintenance: expire + orphan sweep
+            t.refresh().expireSnapshots(keepLast = 1)
+            t.removeOrphanFiles()
+        }
+        check(step, s"op")
+      }
+      // end-state read through a FRESH catalog (durability of the layout)
+      val re = LakeCatalog.open(t.location.stripSuffix(s"/ns/model_$seed"))
+        .loadTable("ns", s"model_$seed")
+      val reread = re.newScan().toDF(spark)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(reread === model, s"seed=$seed reopened-catalog state")
+    }
+  }
+}
