@@ -181,6 +181,34 @@ class ManifestLayoutSpec extends LakeSuite {
       === ordersDF.filter(col("o_orderkey") > 10 && col("o_orderkey") <= 4000).count())
   }
 
+  test("serializable validation: merge vs racing append with overlapping keys") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "mergeser", ordersDF.schema)
+    t.appendData(ordersDF.filter(col("o_orderkey") > 100).coalesce(1))
+    val handle = cat.loadTable("ns", "mergeser")
+    // the merge source upserts keys 1..50 (insert-path: none live yet)
+    val source = ordersDF.filter(col("o_orderkey") <= 50).coalesce(1)
+    // a racer appends rows INSIDE the merge's key bounds between the
+    // handle's read and its commit — without validation both commits
+    // land and keys 1..50 exist twice (the upsert's distinct-key
+    // invariant breaks silently)
+    cat.loadTable("ns", "mergeser")
+      .appendData(ordersDF.filter(col("o_orderkey") <= 50).coalesce(1))
+    val ex = intercept[CommitConflictException](
+      handle.mergeInto(spark, source, Seq("o_orderkey"), conflictRetries = 0))
+    assert(ex.getMessage.contains("conflicts"))
+    // with retries the merge re-runs on fresh metadata: the racer's rows
+    // are now the match targets, so every key stays single
+    handle.refresh().mergeInto(spark, source, Seq("o_orderkey"))
+    val dupKeys = handle.refresh().newScan().toDF(spark)
+      .groupBy(col("o_orderkey")).count().filter(col("count") > 1).count()
+    assert(dupKeys === 0L, "upsert must leave every key single")
+    // survivors: the initial >100 set, plus the ≤50 keys (racer's copies
+    // replaced by the merge) — keys in (50, 100] were never written
+    assert(handle.newScan().toDF(spark).count()
+      === ordersDF.filter(col("o_orderkey") > 100 || col("o_orderkey") <= 50).count())
+  }
+
   test("serializable validation: a racing append OUTSIDE the predicate commits clean") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "ser2", ordersDF.schema)
