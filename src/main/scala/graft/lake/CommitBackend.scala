@@ -125,9 +125,16 @@ final class HadoopFsCommitBackend(
 
   private def hp(p: Path): HPath = new HPath(p.toString)
   private def fsOf(p: HPath): FileSystem = p.getFileSystem(hadoopConf)
-  // JVM-local serialization for FS implementations whose rename does not
-  // refuse an existing destination (RawLocalFileSystem)
-  private val localGuard = new Object
+  // JVM-GLOBAL serialization for FS implementations whose rename does not
+  // refuse an existing destination (RawLocalFileSystem). A per-instance
+  // lock failed to serialize two backends opened on the same file://
+  // warehouse (two LakeCatalog.open calls, or the per-call backend in
+  // the streaming sink-id mint) — both racers passed the exists-check
+  // and renamed, losing a commit. Striped by target path so unrelated
+  // commits (different tables/warehouses) never serialize on each other.
+  private def guardFor(target: HPath): Object =
+    HadoopFsCommitBackend.guards(
+      math.floorMod(target.toString.hashCode, HadoopFsCommitBackend.guards.length))
 
   private def writeTemp(fs: FileSystem, dir: HPath, content: String): HPath = {
     val tmp = new HPath(dir, s".tmp-${java.util.UUID.randomUUID}.json")
@@ -137,8 +144,9 @@ final class HadoopFsCommitBackend(
     tmp
   }
 
-  def putIfAbsent(path: Path, content: String): Boolean = localGuard.synchronized {
+  def putIfAbsent(path: Path, content: String): Boolean = {
     val target = hp(path)
+    guardFor(target).synchronized {
     val fs = fsOf(target)
     if (fs.exists(target)) false
     else {
@@ -149,6 +157,7 @@ final class HadoopFsCommitBackend(
       if (!won) fs.delete(tmp, false)
       won
     }
+    }
   }
 
   /** Write-then-publish as well: manifest documents route through here
@@ -156,8 +165,9 @@ final class HadoopFsCommitBackend(
     * reader must still never see partial bytes). An existing destination
     * (the version hint) is deleted first — HDFS rename refuses to
     * replace — leaving a benign not-found window for a best-effort doc. */
-  def putOverwrite(path: Path, content: String): Unit = localGuard.synchronized {
+  def putOverwrite(path: Path, content: String): Unit = {
     val target = hp(path)
+    guardFor(target).synchronized {
     val fs = fsOf(target)
     val tmp = writeTemp(fs, target.getParent, content)
     if (fs.exists(target)) fs.delete(target, false)
@@ -166,6 +176,7 @@ final class HadoopFsCommitBackend(
     }
     if (!ok) fs.delete(tmp, false) // racing recreate won; don't leak the temp
     ()
+    }
   }
 
   def get(path: Path): Option[String] = {
@@ -198,6 +209,13 @@ final class HadoopFsCommitBackend(
   }
 
   def deleteTree(dir: Path): Unit = { fsOf(hp(dir)).delete(hp(dir), true); () }
+}
+
+object HadoopFsCommitBackend {
+  /** 64 JVM-wide lock stripes keyed by target-path hash: every backend
+    * instance targeting the same document synchronizes on the same
+    * monitor, whichever catalog or streaming sink constructed it. */
+  private[lake] val guards: Array[Object] = Array.fill(64)(new Object)
 }
 
 /** Conditional-put backend over an in-process map: proves the commit

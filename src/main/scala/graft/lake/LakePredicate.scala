@@ -35,6 +35,16 @@ object LakePredicate {
     def mayMatch(f: DataFileEntry, m: TableMetadata) = true
   }
 
+  /** Matches no row — exact pruning of every file. Encoding this as
+    * Not(AlwaysTrue) lost the exactness (Not never prunes), which made
+    * `DELETE FROM t WHERE false` rewrite the entire table as a no-op
+    * copy-on-write snapshot. */
+  case object AlwaysFalse extends LakePredicate {
+    def toColumn: Column = lit(false)
+    def render = "false"
+    def mayMatch(f: DataFileEntry, m: TableMetadata) = false
+  }
+
   /** A comparison against a NULL literal is never TRUE in SQL, so such
     * predicates match NO rows: mayMatch = false (prune everything —
     * exact, not just conservative), and toStat is never reached with a

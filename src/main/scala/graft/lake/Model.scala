@@ -288,6 +288,14 @@ object MetadataJson {
     * invalidates. */
   def read(json: String, io: ManifestIO): TableMetadata = {
     val n = mapper.readTree(json)
+    // refuse pre-manifest-list documents loudly: a v1 snapshot embeds
+    // its file list and has no "manifestList" key, which would otherwise
+    // surface as an opaque NPE deep in parseSnapshot
+    val fv = Option(n.get("formatVersion")).map(_.asInt()).getOrElse(1)
+    if (fv != 2)
+      throw new IllegalStateException(
+        s"unsupported table formatVersion $fv (this engine reads/writes " +
+          "formatVersion 2; recreate the table or migrate its metadata)")
     TableMetadata(
       name = n.get("name").asText(),
       location = n.get("location").asText(),

@@ -301,7 +301,7 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     f match {
       // an unconditional DELETE FROM t arrives as one AlwaysTrue filter
       case S.AlwaysTrue() => Some(P.AlwaysTrue)
-      case S.AlwaysFalse() => Some(P.Not(P.AlwaysTrue)) // matches no row
+      case S.AlwaysFalse() => Some(P.AlwaysFalse) // exact: prunes every file
       case S.EqualTo(a, v) => Some(P.Eq(a, v))
       case S.GreaterThan(a, v) => Some(P.Gt(a, v))
       case S.GreaterThanOrEqual(a, v) => Some(P.Ge(a, v))

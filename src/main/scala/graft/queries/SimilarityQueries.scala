@@ -245,21 +245,22 @@ object SimilarityQueries {
   }
 
   /** Size gate for [[qDedupEmbedding]]: does the embeddings corpus fit
-    * the session's broadcast budget? Decided from parquet bytes on disk
+    * an executor-broadcast budget? Decided from parquet bytes on disk
     * (free — no Spark job) times a 4x deserialization factor (float
-    * arrays roughly quadruple from encoded parquet to JVM rows). */
+    * arrays roughly quadruple from encoded parquet to JVM rows).
+    *
+    * Deliberately NOT `spark.sql.autoBroadcastJoinThreshold`: this gate
+    * selects between the exact and the approximate ALGORITHM, i.e. it
+    * changes query RESULTS, while that conf is a plan knob users set to
+    * -1 just to disable automatic broadcast planning. The dedicated key
+    * below (bytes) tunes the gate; the exact path's explicit
+    * `broadcast()` hint works regardless of the auto threshold. */
   private def corpusFitsBroadcast(s: SparkSession, d: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     val fs = path.getFileSystem(s.sessionState.newHadoopConf())
     val onDisk = fs.getContentSummary(path).getLength
-    val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      .stripSuffix("b").stripSuffix("B") match {
-      case t if t.endsWith("k") || t.endsWith("K") => t.dropRight(1).toLong << 10
-      case t if t.endsWith("m") || t.endsWith("M") => t.dropRight(1).toLong << 20
-      case t if t.endsWith("g") || t.endsWith("G") => t.dropRight(1).toLong << 30
-      case t => t.toLong
-    }
-    threshold > 0 && onDisk * 4 <= threshold
+    val budget = s.conf.get("graft.embeddingDedup.broadcastBudget", (64L << 20).toString).toLong
+    budget > 0 && onDisk * 4 <= budget
   }
 
   /** Recall@5 of each ANN path against the brute-force ground truth,

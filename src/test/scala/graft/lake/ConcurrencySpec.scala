@@ -47,6 +47,21 @@ class ConcurrencySpec extends LakeSuite {
     }
   }
 
+  test("two hadoop-fs backend INSTANCES racing one path: exactly one putIfAbsent wins") {
+    // the guard must be JVM-global: a per-instance lock let two backends
+    // opened on the same file:// warehouse (two catalog opens, or the
+    // streaming sink-id mint) both pass the exists-check + rename
+    val dir = java.nio.file.Paths.get(freshWarehouse())
+    for (i <- 0 until 50) {
+      val target = dir.resolve(s"doc-$i.json")
+      val racers = (0 until 4).map(r => Future {
+        new HadoopFsCommitBackend().putIfAbsent(target, s"winner-$r")
+      })
+      val wins = Await.result(Future.sequence(racers), 60.seconds).count(identity)
+      assert(wins === 1, s"iteration $i: $wins racers claimed the CAS")
+    }
+  }
+
   test("conflicting copy-on-write ops: the loser aborts instead of resurrecting rows") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "cow", ordersDF.schema)

@@ -22,6 +22,22 @@ class LakeModelSpec extends LakeSuite {
       rows.map { case (i, v) => Row(i, v) }.asJava0, modelSchema)
       .coalesce(1)
 
+  test("pre-manifest-list (formatVersion 1) documents are refused loudly") {
+    val noIo = new ManifestIO {
+      def readList(name: String) = Nil
+      def readManifest(name: String) = Nil
+    }
+    // a v1 document embeds files in the snapshot and has no manifestList
+    // key — without the version check this NPE'd deep in parseSnapshot
+    val v1 = """{"formatVersion":1,"name":"t","location":"/x","schema":
+      {"type":"struct","fields":[]},"spec":[],"snapshots":[
+      {"id":1,"parentId":null,"timestampMs":0,"operation":"append",
+      "files":[],"fileCount":0,"totalRecords":0,"totalSizeBytes":0,
+      "summary":{}}],"currentSnapshotId":1}""".replaceAll("\n\\s*", "")
+    val e = intercept[IllegalStateException](MetadataJson.read(v1, noIo))
+    assert(e.getMessage.contains("formatVersion 1"))
+  }
+
   test("random op sequences keep table == model at every step") {
     for (seed <- Seq(7, 23)) {
       val rng = new scala.util.Random(seed)

@@ -29,7 +29,7 @@ class AnnRecallSpec extends LakeSuite {
       .select(col("va"), col("vb")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // a 1-byte broadcast budget forces the over-threshold code path
     val small = org.apache.spark.sql.graftbridge.SessionBridge
-      .sessionWithConfs(spark, Map("spark.sql.autoBroadcastJoinThreshold" -> "1"))
+      .sessionWithConfs(spark, Map("graft.embeddingDedup.broadcastBudget" -> "1"))
     val banded = SimilarityQueries.qDedupEmbedding(small, d)
       .select(col("va"), col("vb")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
