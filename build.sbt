@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the 84-query corpus run at sf0.1 GC-thrashed under 8g
+  // (persisted index artifacts + per-query lake builds + local[32] task
+  // memory), spiking individual queries 2-8x their isolated cost. The
+  // target box has 128 GiB; a real cluster sizes executor memory the
+  // same way — to the working set, not the minimum that avoids OOM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

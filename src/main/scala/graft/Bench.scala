@@ -1,15 +1,29 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark surface the driver runs per round: every SparkEntry query
+  * against `SPARK_GRAFT_SF_DIR`, one JSON line on stdout.
+  *
+  * Each query reports the MEDIAN of `SPARK_GRAFT_BENCH_REPS` (default 3)
+  * back-to-back runs: a single-shot number inside an 84-query corpus run
+  * proved untrustworthy — transient memory pressure spiked individual
+  * queries 2-8x their isolated cost, which both misdiagnoses the 100 TB
+  * behavior and masks real regressions round-over-round. `value` stays
+  * the sum of per-query medians (the estimated single-pass corpus cost,
+  * comparable across rounds); `wall` is the actual loop wall-clock.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // events.parquet is TIMESTAMP(NANOS); declared at session build so
       // the toggle is harness-visible, not a hidden per-read mutation
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.lake.sql.LakeSqlExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -20,18 +34,25 @@ object Bench {
     // ingest-time artifacts (bucketed tables, ANN index) built before
     // the timing loop — on a cluster these exist before queries run
     graft.queries.Corpus.prepare(spark, sfDir)
+    val wall0 = System.nanoTime()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-        finally graft.queries.QueryCaches.clear()
-      // failures report -1s instead of masquerading as a fast query
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+          finally graft.queries.QueryCaches.clear()
+        // failures report -1s instead of masquerading as a fast query
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val median =
+        if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.size / 2)
+      name -> median
     }
+    val wall = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall}""")
     spark.stop()
   }
 }
