@@ -15,5 +15,6 @@ object Corpus {
     JoinExtraQueries.prepareBucketed(s, d)
     SimilarityQueries.prepareIvfIndex(s, d)
     SimilarityQueries.prepareLshIndex(s, d)
+    TextQueries.prepareJaccardPairs(s, d)
   }
 }
