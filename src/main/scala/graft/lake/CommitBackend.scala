@@ -1,7 +1,77 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+
+/** Storage-location currency for the catalog and commit backends: a
+  * plain string URI (`/wh`, `file:///wh`, `s3a://bucket/wh`, …), NOT a
+  * `java.nio.file.Path` — nio paths cannot carry a scheme, which forced
+  * the round-3 catalog to be local-only while the reference is
+  * object-store-first by construction (LocalIcebergCatalog.java:121-127:
+  * MinIO + S3FileIO is its ONLY storage path). Child resolution is pure
+  * string composition, identical across schemes. */
+final case class LakePath(uri: String) extends AnyVal {
+  def resolve(child: String): LakePath =
+    LakePath(uri.stripSuffix("/") + "/" + child)
+  def fileName: String = uri.stripSuffix("/").split('/').last
+  override def toString: String = uri
+}
+
+object LakePath {
+  /** Does the location name a URI scheme (`file://`, `s3a://`, …)? */
+  def hasScheme(uri: String): Boolean = uri.contains("://")
+}
+
+/** Hadoop-FileSystem operations for the DATA side of a table (parquet
+  * directories), which lives wherever the warehouse URI points — the
+  * same API Spark's own parquet I/O resolves, so a plain `/wh`, a
+  * `file:///wh`, and an `s3a://bucket/wh` warehouse all route through
+  * one code path. Metadata documents do NOT come here; they go through
+  * a [[CommitBackend]], whose implementation provides the commit CAS. */
+private[lake] object DataFs {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private def fsOf(h: HPath): FileSystem = h.getFileSystem(conf)
+
+  def mkdirs(p: LakePath): Unit = { val h = new HPath(p.uri); fsOf(h).mkdirs(h); () }
+
+  def deleteTree(p: LakePath): Unit = {
+    val h = new HPath(p.uri)
+    val fs = fsOf(h)
+    if (fs.exists(h)) fs.delete(h, true)
+    ()
+  }
+
+  /** (path, mtimeMs) for every file under `dir`, recursively. */
+  def listFilesRecursive(dir: LakePath): Seq[(String, Long)] = {
+    val h = new HPath(dir.uri)
+    val fs = fsOf(h)
+    if (!fs.exists(h)) Nil
+    else {
+      val it = fs.listFiles(h, true)
+      val buf = scala.collection.mutable.Buffer.empty[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        buf += ((st.getPath.toString, st.getModificationTime))
+      }
+      buf.toSeq
+    }
+  }
+
+  def delete(p: String): Unit = {
+    val h = new HPath(p)
+    fsOf(h).delete(h, false)
+    ()
+  }
+
+  /** Modification time if the path exists ON A FILESYSTEM (metadata
+    * documents held by a non-FS backend return None). */
+  def mtime(p: LakePath): Option[Long] = {
+    val h = new HPath(p.uri)
+    val fs = fsOf(h)
+    if (fs.exists(h)) Some(fs.getFileStatus(h).getModificationTime) else None
+  }
+}
 
 /** Durable-metadata I/O with one atomic primitive: `putIfAbsent`, a
   * conditional create that fails when the key exists. This is the whole
@@ -12,94 +82,102 @@ import scala.jdk.CollectionConverters._
   * no atomicity.
   *
   * Data files are NOT behind this trait: Spark reads/writes parquet
-  * through real filesystem paths regardless; only the metadata documents
-  * (v{N}.json, version-hint) route here. An object-store deployment
-  * implements putIfAbsent with a conditional PUT (If-None-Match) —
-  * [[InMemoryCommitBackend]] proves the protocol against exactly those
-  * semantics, with no hard links or atomic renames available.
+  * through real filesystem/object-store paths regardless; only the
+  * metadata documents (v{N}.json, version-hint) route here. An
+  * object-store deployment implements putIfAbsent with a conditional
+  * PUT (If-None-Match) — [[InMemoryCommitBackend]] proves the protocol
+  * against exactly those semantics, with no hard links or atomic
+  * renames available.
   */
 trait CommitBackend {
   /** Atomically create `path` with `content` iff absent: the CAS. */
-  def putIfAbsent(path: Path, content: String): Boolean
+  def putIfAbsent(path: LakePath, content: String): Boolean
 
   /** Last-writer-wins overwrite (the best-effort version hint). */
-  def putOverwrite(path: Path, content: String): Unit
+  def putOverwrite(path: LakePath, content: String): Unit
 
-  def get(path: Path): Option[String]
+  def get(path: LakePath): Option[String]
 
   /** Remove a single document if present (manifest cleanup). */
-  def delete(path: Path): Unit
+  def delete(path: LakePath): Unit
 
   /** Immediate child names of a directory/prefix (empty if none). */
-  def listChildren(dir: Path): Seq[String]
+  def listChildren(dir: LakePath): Seq[String]
 
-  def ensureDir(dir: Path): Unit
+  def ensureDir(dir: LakePath): Unit
 
   /** Is `p` a directory/prefix (not a document)? Namespace listings
     * filter on this so stray files in the warehouse root are never
     * reported as namespaces. */
-  def isDir(p: Path): Boolean
+  def isDir(p: LakePath): Boolean
 
   /** Recursively remove everything under `dir`, including `dir`. */
-  def deleteTree(dir: Path): Unit
+  def deleteTree(dir: LakePath): Unit
 }
 
 /** POSIX-filesystem backend. The CAS is `Files.createLink` — a true
   * atomic create-if-absent (rename(2) via ATOMIC_MOVE silently REPLACES
   * an existing target on POSIX, so it is NOT a CAS; caught by
   * LakeCatalogSpec in round 1). Also correct on HDFS-style stores via
-  * their create-exclusive flag. */
+  * their create-exclusive flag. Plain (scheme-less) paths only: URI
+  * warehouses route to [[HadoopFsCommitBackend]]. */
 final class LocalFsCommitBackend extends CommitBackend {
-  def putIfAbsent(path: Path, content: String): Boolean = {
-    val tmp = Files.createTempFile(path.getParent, ".tmp-", ".json")
+  private def nio(p: LakePath): Path = Paths.get(p.uri)
+
+  def putIfAbsent(path: LakePath, content: String): Boolean = {
+    val target = nio(path)
+    val tmp = Files.createTempFile(target.getParent, ".tmp-", ".json")
     Files.writeString(tmp, content)
-    try { Files.createLink(path, tmp); true }
+    try { Files.createLink(target, tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
   }
 
-  def putOverwrite(path: Path, content: String): Unit = {
-    val tmp = Files.createTempFile(path.getParent, ".hint-", ".txt")
+  def putOverwrite(path: LakePath, content: String): Unit = {
+    val target = nio(path)
+    val tmp = Files.createTempFile(target.getParent, ".hint-", ".txt")
     Files.writeString(tmp, content)
-    Files.move(tmp, path,
+    Files.move(tmp, target,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def get(path: Path): Option[String] =
-    if (Files.exists(path)) Some(Files.readString(path)) else None
+  def get(path: LakePath): Option[String] = {
+    val p = nio(path)
+    if (Files.exists(p)) Some(Files.readString(p)) else None
+  }
 
-  def delete(path: Path): Unit = { Files.deleteIfExists(path); () }
+  def delete(path: LakePath): Unit = { Files.deleteIfExists(nio(path)); () }
 
-  def listChildren(dir: Path): Seq[String] =
-    if (!Files.isDirectory(dir)) Nil
+  def listChildren(dir: LakePath): Seq[String] = {
+    val d = nio(dir)
+    if (!Files.isDirectory(d)) Nil
     else {
-      val stream = Files.list(dir)
+      val stream = Files.list(d)
       try stream.iterator.asScala.map(_.getFileName.toString).toSeq
       finally stream.close()
     }
+  }
 
-  def ensureDir(dir: Path): Unit = Files.createDirectories(dir)
+  def ensureDir(dir: LakePath): Unit = Files.createDirectories(nio(dir))
 
-  def isDir(p: Path): Boolean = Files.isDirectory(p)
+  def isDir(p: LakePath): Boolean = Files.isDirectory(nio(p))
 
-  def deleteTree(dir: Path): Unit =
-    if (Files.isDirectory(dir)) {
-      val stream = Files.walk(dir)
+  def deleteTree(dir: LakePath): Unit = {
+    val d = nio(dir)
+    if (Files.isDirectory(d)) {
+      val stream = Files.walk(d)
       val all = try stream.iterator.asScala.toSeq finally stream.close()
       all.reverse.foreach(Files.deleteIfExists(_))
     }
+  }
 }
 
 /** Metadata documents behind the Hadoop FileSystem API — the API
   * surface an `s3a://`/`hdfs://`/`abfs://` store exposes, mirroring
   * the reference's S3FileIO-first design (LocalIcebergCatalog.java:121-127:
-  * MinIO + S3FileIO is its ONLY storage path). SCOPE: what this proves
-  * end-to-end is the commit protocol over FileSystem-API semantics
-  * (create/rename/list/delete, no hard links); the catalog's warehouse
-  * plumbing is java.nio-path based, so URI-scheme warehouses
-  * additionally need a URI-addressed catalog layer (out of scope in
-  * this sandbox — no object store to run against; the reference leans
-  * on testcontainers+MinIO for the same reason).
+  * MinIO + S3FileIO is its ONLY storage path). The catalog routes any
+  * URI-scheme warehouse here by default, so `file:///wh` end-to-end
+  * exercises the same code path an `s3a://bucket/wh` deployment runs.
   *
   * The conditional put is WRITE-THEN-PUBLISH: the complete document goes
   * to a uniquely named temp key first, then an atomic `rename` onto the
@@ -108,7 +186,7 @@ final class LocalFsCommitBackend extends CommitBackend {
   * before the BYTES on stream-visible filesystems, and a racing
   * `readMeta` parsed the partial JSON; caught by ConcurrencySpec).
   * Rename refuses an existing destination on HDFS, making it the CAS
-  * there; `RawLocalFileSystem` rename overwrites, so a JVM-local guard
+  * there; `RawLocalFileSystem` rename overwrites, so a JVM-global guard
   * serializes the exists-check + rename for file:// tests — a
   * cross-process local-FS deployment should use [[LocalFsCommitBackend]]
   * whose hard-link CAS is kernel-atomic. A true object store implements
@@ -123,7 +201,7 @@ final class HadoopFsCommitBackend(
     extends CommitBackend {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
-  private def hp(p: Path): HPath = new HPath(p.toString)
+  private def hp(p: LakePath): HPath = new HPath(p.uri)
   private def fsOf(p: HPath): FileSystem = p.getFileSystem(hadoopConf)
   // JVM-GLOBAL serialization for FS implementations whose rename does not
   // refuse an existing destination (RawLocalFileSystem). A per-instance
@@ -144,7 +222,7 @@ final class HadoopFsCommitBackend(
     tmp
   }
 
-  def putIfAbsent(path: Path, content: String): Boolean = {
+  def putIfAbsent(path: LakePath, content: String): Boolean = {
     val target = hp(path)
     guardFor(target).synchronized {
     val fs = fsOf(target)
@@ -165,7 +243,7 @@ final class HadoopFsCommitBackend(
     * reader must still never see partial bytes). An existing destination
     * (the version hint) is deleted first — HDFS rename refuses to
     * replace — leaving a benign not-found window for a best-effort doc. */
-  def putOverwrite(path: Path, content: String): Unit = {
+  def putOverwrite(path: LakePath, content: String): Unit = {
     val target = hp(path)
     guardFor(target).synchronized {
     val fs = fsOf(target)
@@ -179,7 +257,7 @@ final class HadoopFsCommitBackend(
     }
   }
 
-  def get(path: Path): Option[String] = {
+  def get(path: LakePath): Option[String] = {
     val target = hp(path)
     val fs = fsOf(target)
     if (!fs.exists(target)) None
@@ -191,24 +269,24 @@ final class HadoopFsCommitBackend(
     }
   }
 
-  def delete(path: Path): Unit = { fsOf(hp(path)).delete(hp(path), false); () }
+  def delete(path: LakePath): Unit = { fsOf(hp(path)).delete(hp(path), false); () }
 
-  def listChildren(dir: Path): Seq[String] = {
+  def listChildren(dir: LakePath): Seq[String] = {
     val d = hp(dir)
     val fs = fsOf(d)
     if (!fs.exists(d)) Nil
     else fs.listStatus(d).toSeq.map(_.getPath.getName)
   }
 
-  def ensureDir(dir: Path): Unit = { fsOf(hp(dir)).mkdirs(hp(dir)); () }
+  def ensureDir(dir: LakePath): Unit = { fsOf(hp(dir)).mkdirs(hp(dir)); () }
 
-  def isDir(p: Path): Boolean = {
+  def isDir(p: LakePath): Boolean = {
     val h = hp(p)
     val fs = fsOf(h)
     fs.exists(h) && fs.getFileStatus(h).isDirectory
   }
 
-  def deleteTree(dir: Path): Unit = { fsOf(hp(dir)).delete(hp(dir), true); () }
+  def deleteTree(dir: LakePath): Unit = { fsOf(hp(dir)).delete(hp(dir), true); () }
 }
 
 object HadoopFsCommitBackend {
@@ -228,18 +306,22 @@ final class InMemoryCommitBackend extends CommitBackend {
   private val docs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val dirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def key(p: Path): String = p.toAbsolutePath.normalize.toString
+  private def key(p: LakePath): String = p.uri.stripSuffix("/")
+  private def parent(u: String): String = {
+    val i = u.lastIndexOf('/')
+    if (i <= 0 || u.substring(0, i).endsWith(":/")) "" else u.substring(0, i)
+  }
 
-  def putIfAbsent(path: Path, content: String): Boolean =
+  def putIfAbsent(path: LakePath, content: String): Boolean =
     docs.putIfAbsent(key(path), content) == null
 
-  def putOverwrite(path: Path, content: String): Unit = { docs.put(key(path), content); () }
+  def putOverwrite(path: LakePath, content: String): Unit = { docs.put(key(path), content); () }
 
-  def get(path: Path): Option[String] = Option(docs.get(key(path)))
+  def get(path: LakePath): Option[String] = Option(docs.get(key(path)))
 
-  def delete(path: Path): Unit = { docs.remove(key(path)); () }
+  def delete(path: LakePath): Unit = { docs.remove(key(path)); () }
 
-  def listChildren(dir: Path): Seq[String] = {
+  def listChildren(dir: LakePath): Seq[String] = {
     val prefix = key(dir) + "/"
     (docs.keySet.asScala ++ dirs.asScala)
       .filter(_.startsWith(prefix))
@@ -247,17 +329,17 @@ final class InMemoryCommitBackend extends CommitBackend {
       .toSeq.distinct
   }
 
-  def ensureDir(dir: Path): Unit = {
-    var p = dir.toAbsolutePath.normalize
-    while (p != null && dirs.add(p.toString)) p = p.getParent
+  def ensureDir(dir: LakePath): Unit = {
+    var u = key(dir)
+    while (u.nonEmpty && dirs.add(u)) u = parent(u)
   }
 
-  def isDir(p: Path): Boolean = {
+  def isDir(p: LakePath): Boolean = {
     val k = key(p)
     dirs.contains(k) || docs.keySet.asScala.exists(_.startsWith(k + "/"))
   }
 
-  def deleteTree(dir: Path): Unit = {
+  def deleteTree(dir: LakePath): Unit = {
     val prefix = key(dir) + "/"
     docs.keySet.asScala.filter(_.startsWith(prefix)).foreach(docs.remove)
     dirs.asScala.filter(d => d == key(dir) || d.startsWith(prefix)).foreach(dirs.remove)

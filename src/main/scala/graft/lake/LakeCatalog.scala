@@ -1,6 +1,5 @@
 package graft.lake
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.types.StructType
 
@@ -17,7 +16,7 @@ import org.apache.spark.sql.types.StructType
   * backend exactly as the reference needed H2 (SURVEY.md §7.4).
   */
 final class LakeCatalog private (
-    val warehouse: Path,
+    val warehouse: LakePath,
     val reporter: MetricsReporter,
     val backend: CommitBackend) {
 
@@ -36,7 +35,7 @@ final class LakeCatalog private (
     val existed = backend.isDir(d)
     listTables(ns).foreach(dropTable(ns, _))
     backend.deleteTree(d)
-    LakeCatalog.deleteFsTree(d) // the FS dir exists whatever the backend
+    DataFs.deleteTree(d) // the FS dir exists whatever the backend
     existed
   }
 
@@ -50,8 +49,8 @@ final class LakeCatalog private (
   def tableExists(ns: String, name: String): Boolean =
     currentVersion(metadataDir(ns, name)).isDefined
 
-  private def tableDir(ns: String, name: String): Path = warehouse.resolve(ns).resolve(name)
-  private[lake] def metadataDir(ns: String, name: String): Path = tableDir(ns, name).resolve("metadata")
+  private def tableDir(ns: String, name: String): LakePath = warehouse.resolve(ns).resolve(name)
+  private[lake] def metadataDir(ns: String, name: String): LakePath = tableDir(ns, name).resolve("metadata")
 
   // ---- manifest-layer documents (immutable, uniquely named → cacheable) ----
 
@@ -67,7 +66,7 @@ final class LakeCatalog private (
     new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestRef]]()
 
   private def cached[T](cache: java.util.concurrent.ConcurrentHashMap[String, T],
-      md: Path, name: String)(parse: String => T): T = {
+      md: LakePath, name: String)(parse: String => T): T = {
     val key = md.resolve(name).toString
     val hit = cache.get(key)
     if (hit != null) hit
@@ -80,7 +79,7 @@ final class LakeCatalog private (
     }
   }
 
-  private[lake] def manifestIO(md: Path): ManifestIO = new ManifestIO {
+  private[lake] def manifestIO(md: LakePath): ManifestIO = new ManifestIO {
     def readList(name: String): Seq[ManifestRef] =
       cached(listCache, md, name)(MetadataJson.readManifestList)
     def readManifest(name: String): Seq[DataFileEntry] =
@@ -91,7 +90,7 @@ final class LakeCatalog private (
     * a manifest list embeds. The name is unique per write, so a lost CAS
     * race merely orphans the document (removeOrphanFiles reclaims it) —
     * no atomicity needed beyond the metadata CAS itself. */
-  private[lake] def writeManifest(md: Path, files: Seq[DataFileEntry]): ManifestRef = {
+  private[lake] def writeManifest(md: LakePath, files: Seq[DataFileEntry]): ManifestRef = {
     val name = s"manifest-${java.util.UUID.randomUUID}.json"
     backend.putOverwrite(md.resolve(name), MetadataJson.writeManifest(files))
     manifestCache.put(md.resolve(name).toString, files)
@@ -100,7 +99,7 @@ final class LakeCatalog private (
   }
 
   /** Write one immutable manifest-list document; returns its name. */
-  private[lake] def writeManifestList(md: Path, refs: Seq[ManifestRef]): String = {
+  private[lake] def writeManifestList(md: LakePath, refs: Seq[ManifestRef]): String = {
     val name = s"snaplist-${java.util.UUID.randomUUID}.json"
     backend.putOverwrite(md.resolve(name), MetadataJson.writeManifestList(refs))
     listCache.put(md.resolve(name).toString, refs)
@@ -108,7 +107,7 @@ final class LakeCatalog private (
   }
 
   /** Delete a manifest-layer document no surviving snapshot references. */
-  private[lake] def deleteMetaDoc(md: Path, name: String): Unit = {
+  private[lake] def deleteMetaDoc(md: LakePath, name: String): Unit = {
     backend.delete(md.resolve(name))
     manifestCache.remove(md.resolve(name).toString)
     listCache.remove(md.resolve(name).toString)
@@ -122,13 +121,14 @@ final class LakeCatalog private (
     if (tableExists(ns, name))
       throw new IllegalArgumentException(s"table $ns.$name already exists")
     backend.ensureDir(md)
-    // data files are always real filesystem paths (Spark parquet I/O),
-    // whatever backend holds the metadata documents
-    Files.createDirectories(tableDir(ns, name))
+    // data directories live wherever the warehouse URI points (Spark
+    // parquet I/O resolves the same Hadoop FileSystem), whatever backend
+    // holds the metadata documents
+    DataFs.mkdirs(tableDir(ns, name))
     // positional field IDs 1..n at creation (reference schemas carry
     // explicit IDs, IntegrationTest.java:59-64); stable under rename,
     // never reused after drop
-    val meta = TableMetadata(s"$ns.$name", tableDir(ns, name).toString, schema, spec,
+    val meta = TableMetadata(s"$ns.$name", tableDir(ns, name).uri, schema, spec,
       snapshots = Nil, currentSnapshotId = -1L).withFieldIdDefaults
     // same CAS as commit(): racing creators — exactly one wins
     if (!backend.putIfAbsent(md.resolve("v1.json"), MetadataJson.write(meta)))
@@ -147,21 +147,21 @@ final class LakeCatalog private (
 
   def dropTable(ns: String, name: String): Unit = {
     backend.deleteTree(metadataDir(ns, name))
-    LakeCatalog.deleteFsTree(tableDir(ns, name)) // data files live on the FS regardless
+    DataFs.deleteTree(tableDir(ns, name)) // data files live on the FS/store regardless
   }
 
-  private[lake] def readMeta(md: Path, version: Int): TableMetadata =
+  private[lake] def readMeta(md: LakePath, version: Int): TableMetadata =
     MetadataJson.read(backend.get(md.resolve(s"v$version.json")).getOrElse(
       throw new IllegalStateException(s"missing metadata v$version.json under $md")),
       manifestIO(md))
 
-  private def writeHint(md: Path, v: Int): Unit =
+  private def writeHint(md: LakePath, v: Int): Unit =
     backend.putOverwrite(md.resolve("version-hint.text"), v.toString)
 
   /** Current metadata version: trust version-hint if present and valid,
     * else fall back to listing v*.json (hint is best-effort, like the
     * reference's version-hint file convention). */
-  private[lake] def currentVersion(md: Path): Option[Int] = {
+  private[lake] def currentVersion(md: LakePath): Option[Int] = {
     val hinted = backend.get(md.resolve("version-hint.text"))
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       .filter(v => backend.get(md.resolve(s"v$v.json")).isDefined)
@@ -203,26 +203,24 @@ final class LakeCatalog private (
 }
 
 object LakeCatalog {
-  /** Recursive local-FS tree delete (deepest-first). Shared by
-    * dropTable/dropNamespace for the DATA side, which lives on the
-    * filesystem no matter which CommitBackend holds the metadata. */
-  private[lake] def deleteFsTree(d: Path): Unit =
-    if (Files.isDirectory(d)) {
-      val stream = Files.walk(d)
-      val all = try stream.iterator.asScala.toSeq finally stream.close()
-      all.reverse.foreach(Files.deleteIfExists(_))
-    }
-
-  /** A1-A3: idempotent open; an existing warehouse dir reopens with all
-    * state intact (the restart-durability contract). The backend decides
-    * where metadata documents live and what provides the commit CAS
-    * (default: local filesystem + hard-link create-if-absent). */
+  /** A1-A3: idempotent open; an existing warehouse reopens with all
+    * state intact (the restart-durability contract). `dir` may be a
+    * plain path or any Hadoop-resolvable URI (`file:///wh`,
+    * `s3a://bucket/wh`, `hdfs://nn/wh`) — the reference's
+    * S3FileIO-first shape (LocalIcebergCatalog.java:121-127). The
+    * backend decides where metadata documents live and what provides
+    * the commit CAS; by default, plain paths get the kernel-atomic
+    * hard-link CAS and URI warehouses the Hadoop FileSystem API
+    * (create-exclusive rename), pass one explicitly to override. */
   def open(dir: String,
       reporter: MetricsReporter = MetricsReporter.noop,
-      backend: CommitBackend = new LocalFsCommitBackend): LakeCatalog = {
-    val p = Paths.get(dir)
-    Files.createDirectories(p) // A4: "bucket" bootstrap
-    backend.ensureDir(p)
-    new LakeCatalog(p, reporter, backend)
+      backend: CommitBackend = null): LakeCatalog = {
+    val p = LakePath(dir)
+    val be = Option(backend).getOrElse(
+      if (LakePath.hasScheme(dir)) new HadoopFsCommitBackend
+      else new LocalFsCommitBackend)
+    DataFs.mkdirs(p) // A4: "bucket" bootstrap
+    be.ensureDir(p)
+    new LakeCatalog(p, reporter, be)
   }
 }

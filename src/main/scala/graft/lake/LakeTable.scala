@@ -483,19 +483,14 @@ final class LakeTable private[lake] (
     val referenced = meta.snapshots.flatMap(_.files.map(f => norm(f.path))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val removed = scala.collection.mutable.Buffer.empty[String]
-    val dataDir = java.nio.file.Paths.get(location, "data")
-    if (java.nio.file.Files.isDirectory(dataDir)) {
-      val stream = java.nio.file.Files.walk(dataDir)
-      try {
-        stream.iterator().asScala.foreach { p =>
-          if (java.nio.file.Files.isRegularFile(p) &&
-              p.toString.endsWith(".parquet") && !referenced(norm(p.toString)) &&
-              java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff) {
-            java.nio.file.Files.delete(p)
-            removed += p.toString
-          }
+    // Hadoop FileSystem walk: one code path for plain, file:// and
+    // object-store warehouses (mtime comes from the store's own listing)
+    DataFs.listFilesRecursive(LakePath(location).resolve("data")).foreach {
+      case (p, mtimeMs) =>
+        if (p.endsWith(".parquet") && !referenced(norm(p)) && mtimeMs <= cutoff) {
+          DataFs.delete(p)
+          removed += p
         }
-      } finally stream.close()
     }
     // manifest documents no surviving snapshot references (left behind by
     // expireSnapshots, lost CAS races, failed CoW attempts). No cutoff
@@ -515,10 +510,10 @@ final class LakeTable private[lake] (
         n.startsWith(".tmp-")) && // crash-stranded write-then-publish temps
         n.endsWith(".json") && !liveDocs(n))
       .filter { n =>
-        val p = md.resolve(n)
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.getLastModifiedTime(p).toMillis <= cutoff
-        else olderThanMillis == 0L // no mtime: only the single-writer sweep
+        DataFs.mtime(md.resolve(n)) match {
+          case Some(m) => m <= cutoff
+          case None => olderThanMillis == 0L // no mtime: only the single-writer sweep
+        }
       }
       .foreach { n =>
         catalog.deleteMetaDoc(md, n)

@@ -30,6 +30,21 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** URI-addressed warehouse: the same two-commit round trip, but the
+    * catalog opens a `file://` URI — which routes the warehouse through
+    * the scheme-addressed plumbing + Hadoop FS commit backend, the
+    * exact code path an `s3a://bucket/wh` deployment runs (the
+    * reference is S3FileIO-first, LocalIcebergCatalog.java:121-127). */
+  def lakeUriRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = LakeCatalog.open(
+      s"file://${Files.createTempDirectory("graft_lake_uri_")}", new SimpleMetrics)
+    val t = cat.createTable("lakeq", "orders_uri", src.schema)
+    t.appendData(src.filter(col("o_orderkey") % 2 === 0))
+    t.appendData(src.filter(col("o_orderkey") % 2 === 1))
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Time travel: scan the first snapshot after a second commit landed. */
   def lakeTimeTravel(s: SparkSession, d: String): DataFrame = {
     val src = orders(s, d)
@@ -197,13 +212,64 @@ object LakeQueries {
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** SQL UPDATE through the [[graft.lake.sql.LakeSqlExtensions]] rule:
+    * a copy-on-write rewrite of only the stats-overlapping files, then
+    * an aggregation read-back whose oracle applies the same CASE. */
+  private val sqlUpdateCatalogs = new SessionMemo[String]()
+
+  def lakeSqlUpdate(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlOrdersCatalog(sqlUpdateCatalogs, s, d, "lakesqlupd",
+      numFiles = 4) { name =>
+      s.sql(s"UPDATE $name.q.orders SET o_totalprice = o_totalprice * 2, " +
+        "o_orderpriority = '1-BUMPED' WHERE o_orderstatus = 'F'")
+      ()
+    }
+    s.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS sum_price
+         |FROM $catName.q.orders
+         |GROUP BY o_orderstatus, o_orderpriority
+         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  /** SQL MERGE INTO (canonical upsert) through the extensions rule:
+    * keyed copy-on-write merge — updated prices for every 10th order +
+    * inserted clones under shifted keys, mirroring [[lakeMergeUpsert]]
+    * so the same oracle shape verifies the SQL path. */
+  private val sqlMergeCatalogs = new SessionMemo[String]()
+
+  def lakeSqlMerge(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlOrdersCatalog(sqlMergeCatalogs, s, d, "lakesqlmrg",
+      numFiles = 4) { name =>
+      orders(s, d).filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .createOrReplaceTempView("lake_sql_merge_src_upd")
+      s.sql(
+        s"""MERGE INTO $name.q.orders AS t USING (
+           |  SELECT * FROM lake_sql_merge_src_upd
+           |  UNION ALL
+           |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+           |    o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+           |  FROM lake_sql_merge_src_upd
+           |) AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      ()
+    }
+    s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_sql_update" -> lakeSqlUpdate,
+    "lake_sql_merge" -> lakeSqlMerge,
     "lake_sql_delete" -> lakeSqlDelete,
     "lake_maintenance" -> lakeMaintenance,
     "lake_rename" -> lakeRename,
     "lake_changes" -> lakeChanges,
     "lake_sql_select" -> lakeSqlSelect,
     "lake_roundtrip" -> lakeRoundtrip,
+    "lake_uri_roundtrip" -> lakeUriRoundtrip,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_prune" -> lakePrune,
     "lake_compact" -> lakeCompact,
@@ -213,6 +279,26 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_sql_update" ->
+      """SELECT o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'F' THEN '1-BUMPED'
+        |       ELSE o_orderpriority END AS o_orderpriority,
+        |  count(*) AS n,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+        |                 ELSE o_totalprice END), 2) AS sum_price
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "lake_sql_merge" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |  o_totalprice * 2, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     // DELETE removes rows where the condition is TRUE; the corpus has no
     // NULLs in these columns, so NOT(...) is the exact survivor set
     "lake_sql_delete" ->
@@ -235,6 +321,7 @@ object LakeQueries {
         |  min(o_orderdate) AS first_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "lake_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "lake_uri_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_time_travel" ->
       "SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey",
     "lake_prune" ->

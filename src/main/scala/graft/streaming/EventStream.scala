@@ -125,8 +125,9 @@ object EventStream {
     * exactly those two races). */
   private[streaming] def sinkIdFor(spark: SparkSession, checkpointDir: String): String = {
     val backend = new graft.lake.HadoopFsCommitBackend(spark.sessionState.newHadoopConf())
-    val marker = java.nio.file.Paths.get(checkpointDir, "graft-sink-id")
-    backend.ensureDir(marker.getParent)
+    val ckpt = graft.lake.LakePath(checkpointDir)
+    val marker = ckpt.resolve("graft-sink-id")
+    backend.ensureDir(ckpt)
     backend.putIfAbsent(marker, java.util.UUID.randomUUID.toString) // loser = no-op
     backend.get(marker).getOrElse(
       throw new IllegalStateException(s"sink-id marker vanished under $checkpointDir")).trim

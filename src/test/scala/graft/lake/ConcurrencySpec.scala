@@ -51,7 +51,7 @@ class ConcurrencySpec extends LakeSuite {
     // the guard must be JVM-global: a per-instance lock let two backends
     // opened on the same file:// warehouse (two catalog opens, or the
     // streaming sink-id mint) both pass the exists-check + rename
-    val dir = java.nio.file.Paths.get(freshWarehouse())
+    val dir = LakePath(freshWarehouse())
     for (i <- 0 until 50) {
       val target = dir.resolve(s"doc-$i.json")
       val racers = (0 until 4).map(r => Future {

@@ -72,6 +72,35 @@ class LakeCatalogSpec extends LakeSuite {
       .newScan().toDF(spark).count() === expected)
   }
 
+  test("file:// URI warehouse end-to-end: the object-store-shaped path") {
+    // the URI form exercises the SAME code an s3a://bucket/wh warehouse
+    // runs: scheme-addressed catalog plumbing + the Hadoop FS backend
+    // (selected by default for URI warehouses), Spark parquet I/O
+    // against URI data paths, orphan cleanup through FileSystem listing
+    val wh = s"file://${freshWarehouse()}"
+    val cat = LakeCatalog.open(wh)
+    assert(cat.backend.isInstanceOf[HadoopFsCommitBackend])
+    val t = cat.createTable("ns", "uri", ordersDF.schema)
+    assert(t.location.startsWith("file://"))
+    val first = t.appendData(ordersDF, numFiles = 2)
+    t.refresh().deleteWhere(spark, LakePredicate.Le("o_orderkey", 100L))
+    val expected = ordersDF.filter(
+      org.apache.spark.sql.functions.col("o_orderkey") > 100).count()
+    assert(t.refresh().newScan().toDF(spark).count() === expected)
+    // time travel + restart durability through the URI
+    assert(t.asOf(first.snapshotId).toDF(spark).count() === ordersDF.count())
+    val re = LakeCatalog.open(wh).loadTable("ns", "uri")
+    assert(re.snapshots.size === 2)
+    assert(re.newScan().toDF(spark).count() === expected)
+    // maintenance: expiry + orphan sweep walk the store through the
+    // FileSystem API, not java.nio
+    re.expireSnapshots(keepLast = 1)
+    val removed = re.removeOrphanFiles()
+    assert(removed.nonEmpty) // the pre-delete files are now orphans
+    assert(LakeCatalog.open(wh).loadTable("ns", "uri")
+      .newScan().toDF(spark).count() === expected)
+  }
+
   test("namespaces and table listing") {
     val cat = LakeCatalog.open(freshWarehouse())
     cat.createNamespace("a")
