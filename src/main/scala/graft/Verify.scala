@@ -14,6 +14,7 @@ object Verify {
       // events.parquet is TIMESTAMP(NANOS); declared at session build so
       // the toggle is harness-visible, not a hidden per-read mutation
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.lake.sql.LakeSqlExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

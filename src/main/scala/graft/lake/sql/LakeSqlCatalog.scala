@@ -247,6 +247,11 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
+  /** For the row-level command rule ([[LakeSqlExtensions]]): the
+    * transactional Scala-API table UPDATE/MERGE plan onto. */
+  private[sql] def lakeTable: LakeTable = lt
+  private[sql] def isHistorical: Boolean = snapshotId.isDefined
+
   /** SQL `DELETE FROM t WHERE …` → the transactional copy-on-write
     * delete (pruned rewrites, serializable validation, conflict retry —
     * never a bare file operation). Spark only routes here when
@@ -288,40 +293,9 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       Some(lt.metadata.schemaWithFieldIds),
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
-  /** sources.Filter → manifest predicate, STRICT form: None when the
-    * filter has no exact LakePredicate equivalent. Scans can degrade an
-    * inexpressible filter to AlwaysTrue (pruning is an optimization;
-    * the residual re-applies it) — a DELETE cannot (AlwaysTrue would
-    * delete rows the filter never matched), so it consults this form
-    * and REFUSES instead. */
   private def toLakePredicateStrict(
-      f: org.apache.spark.sql.sources.Filter): Option[LakePredicate] = {
-    import org.apache.spark.sql.{sources => S}
-    import graft.lake.{LakePredicate => P}
-    f match {
-      // an unconditional DELETE FROM t arrives as one AlwaysTrue filter
-      case S.AlwaysTrue() => Some(P.AlwaysTrue)
-      case S.AlwaysFalse() => Some(P.AlwaysFalse) // exact: prunes every file
-      case S.EqualTo(a, v) => Some(P.Eq(a, v))
-      case S.GreaterThan(a, v) => Some(P.Gt(a, v))
-      case S.GreaterThanOrEqual(a, v) => Some(P.Ge(a, v))
-      case S.LessThan(a, v) => Some(P.Lt(a, v))
-      case S.LessThanOrEqual(a, v) => Some(P.Le(a, v))
-      case S.In(a, vs) => Some(P.In(a, vs.toSeq))
-      case S.IsNull(a) => Some(P.IsNull(a))
-      case S.IsNotNull(a) => Some(P.NotNull(a))
-      case S.Not(c) => toLakePredicateStrict(c).map(P.Not(_))
-      case S.And(l, r) => for {
-        lc <- toLakePredicateStrict(l)
-        rc <- toLakePredicateStrict(r)
-      } yield P.And(lc, rc)
-      case S.Or(l, r) => for {
-        lc <- toLakePredicateStrict(l)
-        rc <- toLakePredicateStrict(r)
-      } yield P.Or(lc, rc)
-      case _ => None
-    }
-  }
+      f: org.apache.spark.sql.sources.Filter): Option[LakePredicate] =
+    LakeSqlTable.toLakePredicateStrict(f)
 
   /** Lenient form for scans: an inexpressible LEAF degrades to
     * AlwaysTrue (conservative — residuals re-apply every filter), but
@@ -414,4 +388,41 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
         .newScanBuilder(options)
         .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
     }
+}
+
+object LakeSqlTable {
+  /** sources.Filter → manifest predicate, STRICT form: None when the
+    * filter has no exact LakePredicate equivalent. Scans can degrade an
+    * inexpressible filter to AlwaysTrue (pruning is an optimization;
+    * the residual re-applies it) — a DELETE/UPDATE cannot (AlwaysTrue
+    * would touch rows the filter never matched), so those paths consult
+    * this form and REFUSE instead. */
+  private[sql] def toLakePredicateStrict(
+      f: org.apache.spark.sql.sources.Filter): Option[LakePredicate] = {
+    import org.apache.spark.sql.{sources => S}
+    import graft.lake.{LakePredicate => P}
+    f match {
+      // an unconditional DELETE FROM t arrives as one AlwaysTrue filter
+      case S.AlwaysTrue() => Some(P.AlwaysTrue)
+      case S.AlwaysFalse() => Some(P.AlwaysFalse) // exact: prunes every file
+      case S.EqualTo(a, v) => Some(P.Eq(a, v))
+      case S.GreaterThan(a, v) => Some(P.Gt(a, v))
+      case S.GreaterThanOrEqual(a, v) => Some(P.Ge(a, v))
+      case S.LessThan(a, v) => Some(P.Lt(a, v))
+      case S.LessThanOrEqual(a, v) => Some(P.Le(a, v))
+      case S.In(a, vs) => Some(P.In(a, vs.toSeq))
+      case S.IsNull(a) => Some(P.IsNull(a))
+      case S.IsNotNull(a) => Some(P.NotNull(a))
+      case S.Not(c) => toLakePredicateStrict(c).map(P.Not(_))
+      case S.And(l, r) => for {
+        lc <- toLakePredicateStrict(l)
+        rc <- toLakePredicateStrict(r)
+      } yield P.And(lc, rc)
+      case S.Or(l, r) => for {
+        lc <- toLakePredicateStrict(l)
+        rc <- toLakePredicateStrict(r)
+      } yield P.Or(lc, rc)
+      case _ => None
+    }
+  }
 }

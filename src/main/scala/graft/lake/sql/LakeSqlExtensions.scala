@@ -1,0 +1,219 @@
+package graft.lake.sql
+
+import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+
+import graft.lake.{LakePredicate, LakeTable}
+
+/** Session extensions that give the lake SQL `UPDATE` and `MERGE INTO`:
+  *
+  * {{{
+  *   spark.sql.extensions = graft.lake.sql.LakeSqlExtensions
+  * }}}
+  *
+  * One resolution rule intercepts the analyzed [[UpdateTable]] /
+  * [[MergeIntoTable]] plans over a [[LakeSqlTable]] and re-plans them
+  * onto the TRANSACTIONAL Scala-API operations
+  * ([[LakeTable.updateWhere]] / [[LakeTable.mergeInto]]) — copy-on-write
+  * rewrites of only the overlapping files, serializable validation
+  * against concurrent commits, conflict retry. This is the analyzer-rule
+  * command shape (the approach Delta Lake shipped for years) rather than
+  * DSv2 `SupportsRowLevelOperations`: Spark's group-based rewrite plan
+  * (`ReplaceData`) has no V1 write fallback, so that route demands a
+  * full DSv2 `BatchWrite` parquet writer — machinery this engine's
+  * commit protocol does not otherwise need. The semantics a user
+  * observes (atomic snapshot, pruned rewrite, conflict behavior) are
+  * identical; inexpressible predicates are REFUSED, exactly like the
+  * `SupportsDelete` path.
+  */
+class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectResolutionRule(_ => LakeRowLevelCommands)
+}
+
+/** Analyzer rule: resolved UPDATE/MERGE over a lake table → runnable
+  * command on the transactional API. Non-lake tables pass through
+  * untouched (Spark then raises its usual unsupported-operation error). */
+object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def lakeTableOf(plan: LogicalPlan): Option[LakeSqlTable] = plan match {
+    case SubqueryAlias(_, child) => lakeTableOf(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: LakeSqlTable => Some(t)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case u @ UpdateTable(rel, assignments, condition) if u.resolved =>
+      lakeTableOf(rel) match {
+        case Some(t) =>
+          require(!t.isHistorical, s"cannot UPDATE a historical snapshot of ${t.name()}")
+          LakeUpdateCommand(t.lakeTable, toPredicate(condition, "UPDATE"),
+            assignments.map(assignmentEntry))
+        case None => u
+      }
+
+    case m @ MergeIntoTable(target, source, cond, matched, notMatched,
+        notMatchedBySource, withSchemaEvolution) if m.resolved =>
+      lakeTableOf(target) match {
+        case Some(t) =>
+          require(!t.isHistorical, s"cannot MERGE into a historical snapshot of ${t.name()}")
+          if (withSchemaEvolution) unsupported(
+            "MERGE WITH SCHEMA EVOLUTION is not supported")
+          if (notMatchedBySource.nonEmpty) unsupported(
+            "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported")
+          val sourceOut = source.outputSet
+          requireUpsertShape(matched, notMatched, sourceOut)
+          val keys = mergeKeys(cond, target.outputSet, sourceOut)
+          LakeMergeCommand(t.lakeTable, source, keys)
+        case None => m
+      }
+  }
+
+  private def unsupported(msg: String): Nothing =
+    throw new UnsupportedOperationException(msg)
+
+  /** Catalyst condition → exact manifest predicate, or refuse. The
+    * predicate is used both to prune the copy-on-write rewrite AND as
+    * the row-level rewrite condition, so (like DELETE) it must express
+    * the WHOLE condition exactly — a lenient AlwaysTrue degrade would
+    * update rows the condition never matched. */
+  private def toPredicate(condition: Option[Expression], verb: String): LakePredicate =
+    condition match {
+      case None => LakePredicate.AlwaysTrue
+      case Some(c) =>
+        splitConjunctivePredicates(foldConstants(c)).map { e =>
+          PlanBridge.translateFilter(e)
+            .flatMap(LakeSqlTable.toLakePredicateStrict)
+            .getOrElse(unsupported(
+              s"$verb condition ${e.sql} has no exact manifest-predicate form"))
+        }.reduceLeft[LakePredicate](LakePredicate.And(_, _))
+    }
+
+  /** This rule runs at ANALYSIS, before the optimizer's constant
+    * folding, so a literal the analyzer wrapped in a type-widening cast
+    * (`o_orderkey <= CAST(100 AS BIGINT)`) must fold here or the filter
+    * translator refuses a perfectly expressible condition. */
+  private def foldConstants(e: Expression): Expression = e.transformUp {
+    case f if f.foldable && !f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        f.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow), f.dataType)
+  }
+
+  /** SET clause entry → (column name, value expression). The value is
+    * kept as a Catalyst expression; the command un-resolves attribute
+    * references by name at run time because the rewrite re-reads the
+    * files under fresh attribute ids. */
+  private def assignmentEntry(a: Assignment): (String, Expression) = a.key match {
+    case attr: AttributeReference => attr.name -> a.value
+    case other => unsupported(s"UPDATE of nested field ${other.sql} is not supported")
+  }
+
+  /** The canonical upsert: WHEN MATCHED THEN UPDATE SET * / WHEN NOT
+    * MATCHED THEN INSERT * (raw or analyzer-expanded into full
+    * column-aligned assignments from the source). Anything else —
+    * conditional actions, partial column updates, DELETE actions — is
+    * refused loudly. */
+  private def requireUpsertShape(matched: Seq[MergeAction],
+      notMatched: Seq[MergeAction],
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): Unit = {
+    def identityFromSource(assigns: Seq[Assignment]): Boolean =
+      assigns.forall { a =>
+        val k = a.key match {
+          case attr: AttributeReference => attr.name
+          case _ => return false
+        }
+        stripTrivial(a.value) match {
+          case v: AttributeReference => v.name == k && sourceOut.contains(v)
+          case _ => false
+        }
+      }
+    val okMatched = matched match {
+      case Seq(UpdateStarAction(None)) => true
+      case Seq(UpdateAction(None, assigns, _)) => identityFromSource(assigns)
+      case _ => false
+    }
+    val okNotMatched = notMatched match {
+      case Seq(InsertStarAction(None)) => true
+      case Seq(InsertAction(None, assigns)) => identityFromSource(assigns)
+      case _ => false
+    }
+    if (!okMatched || !okNotMatched) unsupported(
+      "only the canonical upsert MERGE is supported: WHEN MATCHED THEN " +
+        "UPDATE SET * / WHEN NOT MATCHED THEN INSERT * (no action conditions)")
+  }
+
+  private def stripTrivial(e: Expression): Expression = e match {
+    case Alias(child, _) => stripTrivial(child)
+    case c: Cast if c.child.dataType == c.dataType => stripTrivial(c.child)
+    case other => other
+  }
+
+  /** ON clause → merge keys: a conjunction of target.k = source.k
+    * equalities over same-named columns (the equi-join shape the keyed
+    * copy-on-write merge prunes and validates on). */
+  private def mergeKeys(cond: Expression,
+      targetOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): Seq[String] =
+    splitConjunctivePredicates(cond).map {
+      case EqualTo(l: AttributeReference, r: AttributeReference)
+          if l.name == r.name &&
+            ((targetOut.contains(l) && sourceOut.contains(r)) ||
+              (targetOut.contains(r) && sourceOut.contains(l))) => l.name
+      case other => unsupported(
+        s"MERGE condition ${other.sql} is not a target.k = source.k equality " +
+          "on a shared column name")
+    }.distinct
+}
+
+/** `UPDATE t SET ... WHERE ...` as a driver command on the transactional
+  * copy-on-write update: only files whose stats may match are rewritten,
+  * racing commits that add matching rows fail validation and retry. */
+final case class LakeUpdateCommand(
+    table: LakeTable,
+    pred: LakePredicate,
+    assignments: Seq[(String, Expression)]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // re-resolve attribute references by NAME: the rewrite re-reads the
+    // touched files as a fresh DataFrame whose attribute ids differ from
+    // the analyzed UPDATE plan's
+    val cols = assignments.map { case (name, value) =>
+      name -> ColumnBridge.column(value.transform {
+        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      })
+    }.toMap
+    table.refresh().updateWhere(spark, pred, cols)
+    Nil
+  }
+}
+
+/** `MERGE INTO t USING s ON ... ` (canonical upsert) as a driver command
+  * on the transactional keyed merge: source rows replace same-key rows,
+  * unmatched source rows insert, only key-range-overlapping files are
+  * rewritten, and a racing append inside the key bounds fails validation
+  * and retries. */
+final case class LakeMergeCommand(
+    table: LakeTable,
+    source: LogicalPlan,
+    keys: Seq[String]) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = table.refresh()
+    // align the source to the table schema (same cast rule as INSERT)
+    val src = PlanBridge.ofRows(spark, source).select(t.schema.fields.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    t.mergeInto(spark, src, keys)
+    Nil
+  }
+}

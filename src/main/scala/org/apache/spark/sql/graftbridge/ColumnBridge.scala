@@ -13,6 +13,25 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Logical-plan glue for the row-level SQL command rule: Dataset.ofRows
+  * and DataSourceStrategy.translateFilter are private[sql], and the
+  * UPDATE/MERGE analyzer rule needs both — a resolved source subplan
+  * becomes a DataFrame for the transactional merge, and a Catalyst
+  * condition becomes the sources.Filter the manifest-predicate
+  * converter understands. */
+object PlanBridge {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+  import org.apache.spark.sql.execution.datasources.DataSourceStrategy
+
+  def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(s.asInstanceOf[CSparkSession], plan)
+
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = false)
+}
+
 /** Session-scoped conf without global mutation: cloneSession() (shared
   * SparkContext + cache, copied SQLConf) is private[sql], so the lake
   * writer reaches it through this shim to pin parquet writer confs per

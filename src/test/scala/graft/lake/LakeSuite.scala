@@ -49,6 +49,7 @@ object LakeSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.lake.sql.LakeSqlExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

@@ -243,6 +243,78 @@ class LakeSqlCatalogSpec extends LakeSuite {
     assert(spark.sql("SELECT count(*) FROM sqllake7.ns.t").head.getLong(0) === 0L)
   }
 
+  test("SQL UPDATE routes through the transactional copy-on-write update") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.sqllake9", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqllake9.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sqllake9.ns")
+    spark.sql("CREATE TABLE sqllake9.ns.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    val df = ordersDF.select(col("o_orderkey"), col("o_totalprice"))
+    t.appendData(df, numFiles = 4)
+    val snapsBefore = t.refresh().snapshots.size
+
+    spark.sql("UPDATE sqllake9.ns.t SET o_totalprice = o_totalprice * 2 " +
+      "WHERE o_orderkey <= 100")
+    assert(t.refresh().snapshots.size === snapsBefore + 1)
+    val expected = df.withColumn("o_totalprice",
+      org.apache.spark.sql.functions.when(col("o_orderkey") <= 100,
+        col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+    assert(spark.sql(
+      "SELECT round(sum(o_totalprice), 2) FROM sqllake9.ns.t").head.getDouble(0)
+      === math.round(expected.agg(sum("o_totalprice")).head.getDouble(0) * 100) / 100.0)
+
+    // only stats-overlapping files are rewritten (copy-on-write pruning)
+    val filesBefore = t.refresh().metadata.currentFiles.map(_.path).toSet
+    spark.sql("UPDATE sqllake9.ns.t SET o_totalprice = 0.0 WHERE o_orderkey < 0")
+    val filesAfter = t.refresh().metadata.currentFiles.map(_.path).toSet
+    assert(filesAfter === filesBefore) // predicate matches nothing: no rewrite
+
+    // a condition with no exact manifest-predicate form is REFUSED
+    intercept[Exception](
+      spark.sql("UPDATE sqllake9.ns.t SET o_totalprice = 0.0 WHERE o_orderkey % 2 = 0"))
+  }
+
+  test("SQL MERGE INTO routes through the transactional keyed merge") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.sqllake10", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqllake10.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sqllake10.ns")
+    spark.sql("CREATE TABLE sqllake10.ns.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    val df = ordersDF.select(col("o_orderkey"), col("o_totalprice"))
+    t.appendData(df.filter(col("o_orderkey") <= 3000), numFiles = 2)
+
+    df.filter(col("o_orderkey") > 2000)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .createOrReplaceTempView("merge_src")
+    spark.sql("""MERGE INTO sqllake10.ns.t AS tg USING merge_src AS s
+      ON tg.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    val expected = df.filter(col("o_orderkey") <= 2000).count() +
+      df.filter(col("o_orderkey") > 2000).count()
+    assert(spark.sql("SELECT count(*) FROM sqllake10.ns.t").head.getLong(0) === expected)
+    // matched rows took the source value (+1), unmatched kept the original
+    val bumped = spark.sql(
+      "SELECT count(*) FROM sqllake10.ns.t WHERE o_totalprice <> round(o_totalprice, 1)")
+    assert(spark.sql(
+      """SELECT round(sum(o_totalprice), 2) FROM sqllake10.ns.t""").head.getDouble(0)
+      === {
+        val base = df.filter(col("o_orderkey") <= 2000)
+          .unionByName(df.filter(col("o_orderkey") > 2000)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+        math.round(base.agg(sum("o_totalprice")).head.getDouble(0) * 100) / 100.0
+      })
+    assert(bumped.head.getLong(0) >= 0) // smoke: query planable post-merge
+
+    // non-canonical merges are refused loudly
+    intercept[Exception](spark.sql(
+      """MERGE INTO sqllake10.ns.t AS tg USING merge_src AS s
+        ON tg.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN DELETE"""))
+  }
+
   test("DELETE WHERE false never rewrites a data file") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.sqllake8", classOf[LakeSqlCatalog].getName)
