@@ -42,15 +42,44 @@ final class LakeCatalog private (
   def listTables(ns: String): Seq[String] = {
     val d = warehouse.resolve(ns)
     backend.listChildren(d)
-      .filter(t => backend.listChildren(d.resolve(t).resolve("metadata")).nonEmpty)
+      .filter { t =>
+        val root = d.resolve(t)
+        backend.get(root.resolve(LakeCatalog.MovedDoc)).isEmpty &&
+          (backend.get(root.resolve(LakeCatalog.PointerDoc)).isDefined ||
+            backend.listChildren(root.resolve("metadata")).nonEmpty)
+      }
       .sorted
   }
 
   def tableExists(ns: String, name: String): Boolean =
-    currentVersion(metadataDir(ns, name)).isDefined
+    resolveTableRoot(ns, name)
+      .exists(r => currentVersion(r.resolve("metadata")).isDefined)
 
   private def tableDir(ns: String, name: String): LakePath = warehouse.resolve(ns).resolve(name)
-  private[lake] def metadataDir(ns: String, name: String): LakePath = tableDir(ns, name).resolve("metadata")
+
+  /** Resolve a table NAME to its physical root. Names decouple from
+    * paths through two small documents in the name's directory:
+    * `pointer.text` (this name is bound to a table stored elsewhere —
+    * the role the reference's H2 name→location row plays) and
+    * `moved.text` (this name was renamed away; the directory stays
+    * because it physically hosts the renamed table's files). None =
+    * the name does not currently resolve. */
+  private[lake] def resolveTableRoot(ns: String, name: String): Option[LakePath] = {
+    val root = tableDir(ns, name)
+    if (backend.get(root.resolve(LakeCatalog.MovedDoc)).isDefined) None
+    else backend.get(root.resolve(LakeCatalog.PointerDoc)) match {
+      case Some(loc) => Some(LakePath(loc.trim))
+      case None => Some(root)
+    }
+  }
+
+  /** Metadata dir for commits/reads. Falls back to the name's own
+    * directory when the name no longer resolves — a STALE LakeTable
+    * handle held across a rename keeps committing to the same physical
+    * metadata the new name's pointer targets, so both views stay
+    * consistent. */
+  private[lake] def metadataDir(ns: String, name: String): LakePath =
+    resolveTableRoot(ns, name).getOrElse(tableDir(ns, name)).resolve("metadata")
 
   // ---- manifest-layer documents (immutable, uniquely named → cacheable) ----
 
@@ -117,7 +146,14 @@ final class LakeCatalog private (
   /** A5: create table with schema + spec, no snapshot yet (empty log). */
   def createTable(ns: String, name: String, schema: StructType,
       spec: Seq[PartitionField] = Nil): LakeTable = {
-    val md = metadataDir(ns, name)
+    val root = tableDir(ns, name)
+    // a renamed-away name's directory physically hosts the renamed
+    // table's files — reusing the name would collide with them
+    if (backend.get(root.resolve(LakeCatalog.MovedDoc)).isDefined)
+      throw new IllegalArgumentException(
+        s"name $ns.$name was retired by RENAME TABLE; its directory still " +
+          "hosts the renamed table's storage")
+    val md = root.resolve("metadata")
     if (tableExists(ns, name))
       throw new IllegalArgumentException(s"table $ns.$name already exists")
     backend.ensureDir(md)

@@ -153,7 +153,7 @@ object LakePredicate {
     def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean = {
       // partition values are keyed by spec POSITION (rename-proof);
       // a field not in the current spec prunes nothing
-      val i = m.spec.indexOf(field)
+      val i = m.specFor(f).indexOf(field)
       i < 0 || f.partitionValues.get(s"p$i").forall(_ == value)
     }
   }

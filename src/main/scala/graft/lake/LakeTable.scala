@@ -78,7 +78,10 @@ final class LakeTable private[lake] (
         "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
         "spark.sql.parquet.fieldId.write.enabled" -> "true"))
       .write.parquet(dir)
+    // stamp which spec derived these partitionValues: after a spec
+    // evolution, pruning resolves each file's values under ITS spec
     StatsHarvester.harvest(spark, dir, schema, spec, meta.fieldIds)
+      .map(_.copy(specId = meta.currentSpecId))
   }
 
   /** All lake file reads go through here: the requested schema carries
@@ -228,13 +231,35 @@ final class LakeTable private[lake] (
           case SchemaChange.Rename(from, to) =>
             require(m.schema.fieldNames.contains(from), s"no such column $from")
             require(!m.schema.fieldNames.contains(to), s"column $to already exists")
+            // the WHOLE spec log renames with the column: historical
+            // specs store source NAMES, and old files must keep pruning
+            // under their spec after the rename (values are positional,
+            // so no manifest is touched)
+            def ren(s: Seq[PartitionField]) =
+              s.map(p => if (p.source == from) p.copy(source = to) else p)
             m.copy(
               schema = org.apache.spark.sql.types.StructType(m.schema.fields.map(f =>
                 if (f.name == from) f.copy(name = to) else f)),
               fieldIds = (m.fieldIds - from) + (to -> m.fieldIds(from)),
-              spec = m.spec.map(p => if (p.source == from) p.copy(source = to) else p))
+              spec = ren(m.spec),
+              specLog = m.specLog.map(ren))
         }
       }
+    }
+
+  /** Partition-spec evolution: a METADATA-ONLY commit that makes
+    * `newSpec` the spec for future writes. No data file or manifest is
+    * rewritten — files written under earlier specs carry their spec id
+    * and keep pruning under the spec that derived their partition
+    * values (predicates on retired spec fields simply stop pruning
+    * files written after the evolution, and vice versa — conservative,
+    * never wrong). The Iceberg updateSpec analog. */
+  def evolveSpec(newSpec: Seq[PartitionField]): LakeTable =
+    metadataChange { latest =>
+      newSpec.foreach(p => require(latest.schema.fieldNames.contains(p.source),
+        s"partition source ${p.source} is not a column"))
+      require(newSpec != latest.spec, "new spec is identical to the current spec")
+      latest.copy(spec = newSpec, specLog = latest.allSpecs :+ newSpec)
     }
 
   private def metadataChange(f: TableMetadata => TableMetadata): LakeTable = {

@@ -92,7 +92,12 @@ final case class DataFileEntry(
     minValues: Map[String, String],
     maxValues: Map[String, String],
     nullCounts: Map[String, Long],
-    partitionValues: Map[String, String])
+    partitionValues: Map[String, String],
+    // which spec in TableMetadata.specLog this file's partitionValues
+    // were derived under — files written before a spec evolution keep
+    // pruning under THEIR OWN spec (Iceberg's spec-id-per-manifest-entry
+    // design), and a spec evolution is a pure metadata commit
+    specId: Int = 0)
 
 /** Pointer to one immutable manifest document plus the rollup counts
   * file planning needs WITHOUT loading it (totals, live-file count). */
@@ -151,6 +156,13 @@ final case class TableMetadata(
     // metadata-only commit.
     fieldIds: Map[String, Int] = Map.empty,
     lastAssignedFieldId: Int = 0,
+    // Spec log: every partition spec this table has ever had, in
+    // evolution order (index = spec id); `spec` is always the LAST
+    // entry (the default for new writes). Empty means "never evolved"
+    // (pre-evolution documents and ad-hoc metadata) — accessor
+    // `allSpecs` folds that back to Seq(spec). Old files keep pruning
+    // under the spec they were written with via DataFileEntry.specId.
+    specLog: Seq[Seq[PartitionField]] = Nil,
     // table-level key/value properties. Unlike snapshot summaries these
     // SURVIVE snapshot expiry, which is what makes them the right home
     // for the streaming exactly-once ledger (last committed batch id
@@ -160,6 +172,16 @@ final case class TableMetadata(
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   def currentFiles: Seq[DataFileEntry] = currentSnapshot.map(_.files).getOrElse(Nil)
+
+  /** Every spec this table has had (index = spec id); never empty. */
+  def allSpecs: Seq[Seq[PartitionField]] = if (specLog.nonEmpty) specLog else Seq(spec)
+  /** Spec id new data files are written under (the last in the log). */
+  def currentSpecId: Int = allSpecs.size - 1
+  /** The spec a given file's partitionValues were derived under —
+    * falls back to the current spec for out-of-range ids (prunes
+    * conservatively: indexOf misses → no pruning). */
+  def specFor(f: DataFileEntry): Seq[PartitionField] =
+    allSpecs.lift(f.specId).getOrElse(spec)
 
   /** Manifest stat-map key for a column under the CURRENT schema —
     * None for unknown columns (prune conservatively). */
@@ -214,7 +236,8 @@ object MetadataJson {
   private def fileJson(f: DataFileEntry): String =
     s"""{"path":${q(f.path)},"recordCount":${f.recordCount},"sizeBytes":${f.sizeBytes},""" +
       s""""minValues":${strMap(f.minValues)},"maxValues":${strMap(f.maxValues)},""" +
-      s""""nullCounts":${longMap(f.nullCounts)},"partitionValues":${strMap(f.partitionValues)}}"""
+      s""""nullCounts":${longMap(f.nullCounts)},"partitionValues":${strMap(f.partitionValues)},""" +
+      s""""specId":${f.specId}}"""
 
   private def snapshotJson(s: Snapshot): String =
     s"""{"id":${s.id},"parentId":${s.parentId.map(_.toString).getOrElse("null")},""" +
@@ -229,9 +252,14 @@ object MetadataJson {
       s""""fieldIds":${m.fieldIds.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")},""" +
       s""""lastAssignedFieldId":${m.lastAssignedFieldId},""" +
       s""""properties":${strMap(m.properties)},""" +
-      s""""spec":${m.spec.map(p => s"""{"source":${q(p.source)},"transform":${q(p.transform)}}""").mkString("[", ",", "]")},""" +
+      s""""spec":${specJson(m.spec)},""" +
+      s""""specLog":${m.allSpecs.map(specJson).mkString("[", ",", "]")},""" +
       s""""snapshots":${m.snapshots.map(snapshotJson).mkString("[", ",", "]")},""" +
       s""""currentSnapshotId":${m.currentSnapshotId}}"""
+
+  private def specJson(spec: Seq[PartitionField]): String =
+    spec.map(p => s"""{"source":${q(p.source)},"transform":${q(p.transform)}}""")
+      .mkString("[", ",", "]")
 
   /** One manifest document: the file entries a commit wrote it with. */
   def writeManifest(files: Seq[DataFileEntry]): String =
@@ -268,7 +296,12 @@ object MetadataJson {
     minValues = asStrMap(n.get("minValues")),
     maxValues = asStrMap(n.get("maxValues")),
     nullCounts = asLongMap(n.get("nullCounts")),
-    partitionValues = asStrMap(n.get("partitionValues")))
+    partitionValues = asStrMap(n.get("partitionValues")),
+    specId = Option(n.get("specId")).map(_.asInt()).getOrElse(0))
+
+  private def parseSpec(n: JsonNode): Seq[PartitionField] =
+    n.elements().asScala
+      .map(p => PartitionField(p.get("source").asText(), p.get("transform").asText())).toSeq
 
   private def parseSnapshot(n: JsonNode, io: ManifestIO): Snapshot =
     Snapshot(
@@ -300,8 +333,9 @@ object MetadataJson {
       name = n.get("name").asText(),
       location = n.get("location").asText(),
       schema = DataType.fromJson(mapper.writeValueAsString(n.get("schema"))).asInstanceOf[StructType],
-      spec = n.get("spec").elements().asScala
-        .map(p => PartitionField(p.get("source").asText(), p.get("transform").asText())).toSeq,
+      spec = parseSpec(n.get("spec")),
+      specLog = Option(n.get("specLog"))
+        .map(_.elements().asScala.map(parseSpec).toSeq).getOrElse(Nil),
       snapshots = n.get("snapshots").elements().asScala.map(parseSnapshot(_, io)).toSeq,
       currentSnapshotId = n.get("currentSnapshotId").asLong(),
       fieldIds = Option(n.get("fieldIds"))

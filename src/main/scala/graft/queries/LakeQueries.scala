@@ -45,6 +45,26 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Partition-spec evolution: half the table written under a
+    * month(o_orderdate) spec, the spec evolved (metadata-only) to
+    * identity(o_orderstatus), the other half written under it, then one
+    * date-range scan over the mixed-spec table — pre-evolution files
+    * prune under THEIR spec, post-evolution files under theirs, and the
+    * row filter keeps the result exact either way. */
+  def lakeSpecEvolution(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_ev", src.schema,
+      spec = Seq(PartitionField("o_orderdate", "month")))
+    t.appendData(src.filter(col("o_orderkey") % 2 === 0), numFiles = 4)
+    t.evolveSpec(Seq(PartitionField("o_orderstatus", "identity")))
+    t.appendData(src.filter(col("o_orderkey") % 2 === 1), numFiles = 4)
+    val pred = LakePredicate.And(
+      LakePredicate.Ge("o_orderdate", java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+      LakePredicate.Lt("o_orderdate", java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    t.refresh().newScan(pred).toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Time travel: scan the first snapshot after a second commit landed. */
   def lakeTimeTravel(s: SparkSession, d: String): DataFrame = {
     val src = orders(s, d)
@@ -270,6 +290,7 @@ object LakeQueries {
     "lake_sql_select" -> lakeSqlSelect,
     "lake_roundtrip" -> lakeRoundtrip,
     "lake_uri_roundtrip" -> lakeUriRoundtrip,
+    "lake_spec_evolution" -> lakeSpecEvolution,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_prune" -> lakePrune,
     "lake_compact" -> lakeCompact,
@@ -322,6 +343,11 @@ object LakeQueries {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "lake_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_uri_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    "lake_spec_evolution" ->
+      """SELECT * FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_time_travel" ->
       "SELECT * FROM orders WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey",
     "lake_prune" ->

@@ -64,6 +64,56 @@ class PruningSpec extends LakeSuite {
     }
   }
 
+  test("∀ predicate: pruning stays exact across a partition-spec evolution") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("prune", "orders_ev", ordersDF.schema,
+      spec = Seq(PartitionField("o_orderdate", "year")))
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0), numFiles = 8)
+    // metadata-only evolution: nothing rewritten, future writes cluster
+    // (and derive partition values) under the NEW spec
+    val filesBefore = t.refresh().metadata.currentFiles.map(_.path).toSet
+    t.evolveSpec(Seq(PartitionField("o_orderstatus", "identity")))
+    assert(t.refresh().metadata.currentFiles.map(_.path).toSet === filesBefore)
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 1), numFiles = 8)
+    val evolved = t.refresh()
+    assert(evolved.metadata.allSpecs.size === 2)
+    assert(evolved.metadata.currentFiles.map(_.specId).toSet === Set(0, 1))
+
+    // the same ∀-predicate exactness property over the mixed-spec table
+    val full = evolved.newScan().toDF(spark).cache()
+    val preds = Gen.listOfN(25, genPred)
+      .apply(Gen.Parameters.default, Seed(7L))
+      .getOrElse(fail("generator exhausted"))
+    preds.foreach { pred =>
+      val pruned = evolved.newScan(pred).toDF(spark).count()
+      val expected = full.filter(pred.toColumn).count()
+      assert(pruned === expected, s"for predicate ${pred.render}")
+    }
+    full.unpersist(blocking = false)
+
+    // PartitionEq on each spec's field prunes ONLY that spec's files,
+    // exactly (old files prune under their own spec after evolution)
+    val oldField = PartitionField("o_orderdate", "year")
+    val newField = PartitionField("o_orderstatus", "identity")
+    for ((pe, expect) <- Seq(
+        PartitionEq(oldField, "1996") -> evolved.newScan().toDF(spark)
+          .filter(year(col("o_orderdate")) === 1996).count(),
+        PartitionEq(newField, "F") -> evolved.newScan().toDF(spark)
+          .filter(col("o_orderstatus") === "F").count())) {
+      assert(evolved.newScan(pe).toDF(spark).filter(pe.toColumn).count() === expect)
+      assert(evolved.newScan(pe).planFiles.size
+        < evolved.metadata.currentFiles.size, s"${pe.render} pruned nothing")
+    }
+
+    // a rename of a HISTORICAL spec's source column keeps old files
+    // pruning (spec log renames; positional values untouched)
+    t.alterSchema(Seq(SchemaChange.Rename("o_orderdate", "odate")))
+    val renamed = t.refresh()
+    val peRenamed = PartitionEq(PartitionField("odate", "year"), "1996")
+    assert(renamed.newScan(peRenamed).planFiles.size
+      < renamed.metadata.currentFiles.size)
+  }
+
   test("a narrow range predicate on the clustered column skips files") {
     val total = table.metadata.currentFiles.size
     assume(total > 1, "needs multiple data files to show pruning")
