@@ -182,8 +182,62 @@ final class LakeCatalog private (
   }
 
   def dropTable(ns: String, name: String): Unit = {
-    backend.deleteTree(metadataDir(ns, name))
-    DataFs.deleteTree(tableDir(ns, name)) // data files live on the FS/store regardless
+    val root = tableDir(ns, name)
+    val physical = resolveTableRoot(ns, name).getOrElse(root)
+    backend.deleteTree(physical.resolve("metadata"))
+    DataFs.deleteTree(physical) // data files live on the FS/store regardless
+    if (physical != root) { // name was a pointer: retire the pointer dir too
+      backend.deleteTree(root)
+      DataFs.deleteTree(root)
+    }
+  }
+
+  /** RENAME TABLE: bind `toNs.toName` to the table currently named
+    * `ns.name`, then retire the old name — a pure metadata operation
+    * (zero data files, manifests, or metadata documents move). The
+    * name→location indirection the reference gets from its H2 catalog
+    * row (LocalIcebergCatalog.java:99-142) lives here in two documents:
+    * the new name's directory gets `pointer.text` with the physical
+    * root, written with the same putIfAbsent CAS as commits so exactly
+    * one racing renamer (or creator) wins the name; the old name's
+    * directory gets `moved.text` because it still physically hosts the
+    * table's storage. Renaming back onto the physical host just clears
+    * `moved.text`; renaming a pointer-name re-points and deletes the
+    * now-empty pointer directory. Open LakeTable handles keep working:
+    * metadataDir() falls back to the name's own directory, which is the
+    * physical metadata the new name's pointer targets. */
+  def renameTable(ns: String, name: String, toNs: String, toName: String): Unit = {
+    val oldRoot = tableDir(ns, name)
+    val physical = resolveTableRoot(ns, name).getOrElse(
+      throw new NoSuchElementException(s"no such table $ns.$name under $warehouse"))
+    if (currentVersion(physical.resolve("metadata")).isEmpty)
+      throw new NoSuchElementException(s"no such table $ns.$name under $warehouse")
+    val newDir = tableDir(toNs, toName)
+    if (newDir == physical) {
+      // renaming back onto the directory that hosts the files: the name
+      // becomes live again simply by clearing its tombstone, and the
+      // old pointer-name's (storage-free) directory retires
+      backend.delete(newDir.resolve(LakeCatalog.MovedDoc))
+      if (oldRoot != newDir) {
+        backend.deleteTree(oldRoot)
+        DataFs.deleteTree(oldRoot)
+      }
+    } else {
+      if (tableExists(toNs, toName))
+        throw new IllegalArgumentException(s"table $toNs.$toName already exists")
+      if (backend.get(newDir.resolve(LakeCatalog.MovedDoc)).isDefined)
+        throw new IllegalArgumentException(
+          s"name $toNs.$toName was retired by RENAME TABLE; its directory " +
+            "still hosts the renamed table's storage")
+      backend.ensureDir(newDir)
+      if (!backend.putIfAbsent(newDir.resolve(LakeCatalog.PointerDoc), physical.uri))
+        throw new IllegalArgumentException(s"table $toNs.$toName already exists")
+      if (backend.get(oldRoot.resolve(LakeCatalog.PointerDoc)).isDefined) {
+        // old name was itself an indirection: its directory holds nothing
+        backend.deleteTree(oldRoot)
+        DataFs.deleteTree(oldRoot)
+      } else backend.putOverwrite(oldRoot.resolve(LakeCatalog.MovedDoc), s"$toNs.$toName")
+    }
   }
 
   private[lake] def readMeta(md: LakePath, version: Int): TableMetadata =
@@ -239,6 +293,13 @@ final class LakeCatalog private (
 }
 
 object LakeCatalog {
+  /** Name→location indirection: this name is bound to a table whose
+    * physical root is the document's contents (see resolveTableRoot). */
+  private[lake] val PointerDoc = "pointer.text"
+  /** Tombstone: this name was renamed away; the directory remains only
+    * because it physically hosts the renamed table's files. */
+  private[lake] val MovedDoc = "moved.text"
+
   /** A1-A3: idempotent open; an existing warehouse reopens with all
     * state intact (the restart-durability contract). `dir` may be a
     * plain path or any Hadoop-resolvable URI (`file:///wh`,

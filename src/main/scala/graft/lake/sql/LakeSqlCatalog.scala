@@ -164,8 +164,20 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
     existed
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** ALTER TABLE … RENAME TO …: pure metadata — a CAS-protected
+    * name→location pointer document (LakeCatalog.renameTable); no data
+    * file, manifest, or snapshot moves, and time travel survives. */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val ns = ns1(oldIdent.namespace)
+    val ns2 = ns1(newIdent.namespace)
+    if (!lake.tableExists(ns, oldIdent.name)) throw new NoSuchTableException(oldIdent)
+    try lake.renameTable(ns, oldIdent.name, ns2, newIdent.name)
+    catch {
+      case _: IllegalArgumentException =>
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+          newIdent.namespace :+ newIdent.name)
+    }
+  }
 
   // ---- SupportsNamespaces ----
 

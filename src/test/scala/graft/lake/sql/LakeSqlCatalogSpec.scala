@@ -200,9 +200,67 @@ class LakeSqlCatalogSpec extends LakeSuite {
     spark.sql("CREATE TABLE sqllake2.ns.t (id BIGINT)")
     intercept[Exception](spark.sql("SELECT * FROM sqllake2.ns.missing").collect())
     intercept[Exception](
-      spark.sql("ALTER TABLE sqllake2.ns.t RENAME TO sqllake2.ns.t2"))
+      spark.sql("ALTER TABLE sqllake2.ns.missing RENAME TO sqllake2.ns.t2"))
     // empty table (no snapshot yet) still answers SQL
     assert(spark.sql("SELECT count(*) FROM sqllake2.ns.t").head.getLong(0) === 0L)
+  }
+
+  test("RENAME TABLE is a pure metadata pointer swap; time travel survives") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.sqllake8", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqllake8.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sqllake8.ns")
+    spark.sql("CREATE TABLE sqllake8.ns.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+    val cat = LakeCatalog.open(wh)
+    val t = cat.loadTable("ns", "t")
+    val df = ordersDF.select(col("o_orderkey"), col("o_totalprice"))
+    t.appendData(df.limit(50))
+    val snap1 = t.refresh().metadata.currentSnapshot.get.id
+    t.refresh().appendData(df.limit(80)) // second snapshot for time travel
+
+    spark.sql("ALTER TABLE sqllake8.ns.t RENAME TO sqllake8.ns.t_renamed")
+
+    // the old name is gone from every surface...
+    assert(!cat.tableExists("ns", "t"))
+    assert(cat.listTables("ns") === Seq("t_renamed"))
+    intercept[Exception](spark.sql("SELECT * FROM sqllake8.ns.t").collect())
+    // ...and the old name cannot be re-created while its directory hosts
+    // the renamed table's files, nor rebound by a second rename
+    intercept[Exception](spark.sql("CREATE TABLE sqllake8.ns.t (id BIGINT)"))
+    intercept[Exception](spark.sql(
+      "ALTER TABLE sqllake8.ns.t_renamed RENAME TO sqllake8.ns.t_renamed"))
+
+    // the new name reads the same data — current AND historical
+    assert(spark.sql("SELECT count(*) FROM sqllake8.ns.t_renamed")
+      .head.getLong(0) === 130L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM sqllake8.ns.t_renamed VERSION AS OF $snap1")
+      .head.getLong(0) === 50L)
+
+    // still a transactional lake table after the rename: commits land
+    val t2 = cat.loadTable("ns", "t_renamed")
+    t2.appendData(df.limit(3))
+    assert(spark.sql("SELECT count(*) FROM sqllake8.ns.t_renamed")
+      .head.getLong(0) === 133L)
+    // a STALE handle opened under the old name keeps committing to the
+    // same physical metadata the new name resolves (both views agree)
+    t.refresh().appendData(df.limit(2))
+    assert(spark.sql("SELECT count(*) FROM sqllake8.ns.t_renamed")
+      .head.getLong(0) === 135L)
+
+    // rename CHAIN: t_renamed -> t3 re-points without moving storage,
+    // and renaming back onto the hosting directory revives the name
+    spark.sql("ALTER TABLE sqllake8.ns.t_renamed RENAME TO sqllake8.ns.t3")
+    assert(cat.listTables("ns") === Seq("t3"))
+    assert(spark.sql("SELECT count(*) FROM sqllake8.ns.t3").head.getLong(0) === 135L)
+    spark.sql("ALTER TABLE sqllake8.ns.t3 RENAME TO sqllake8.ns.t")
+    assert(cat.listTables("ns") === Seq("t"))
+    assert(spark.sql(s"SELECT count(*) FROM sqllake8.ns.t VERSION AS OF $snap1")
+      .head.getLong(0) === 50L)
+
+    // drop through the (revived) name removes the physical table
+    spark.sql("DROP TABLE sqllake8.ns.t")
+    assert(cat.listTables("ns").isEmpty)
   }
 
   test("SQL DELETE FROM routes through the copy-on-write commit protocol") {
