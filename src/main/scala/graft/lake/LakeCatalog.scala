@@ -33,6 +33,19 @@ final class LakeCatalog private (
   def dropNamespace(ns: String): Boolean = {
     val d = warehouse.resolve(ns)
     val existed = backend.isDir(d)
+    // a tombstoned (renamed-away) directory still physically hosts the
+    // renamed table's storage; listTables hides it, so without this
+    // check a non-cascade DROP NAMESPACE would pass the emptiness test
+    // and silently destroy a live table registered under ANOTHER name
+    backend.listChildren(d).foreach { t =>
+      val root = d.resolve(t)
+      backend.get(root.resolve(LakeCatalog.MovedDoc)).foreach { target =>
+        if (currentVersion(root.resolve("metadata")).isDefined)
+          throw new IllegalStateException(
+            s"namespace $ns still hosts storage for a table renamed to " +
+              s"'${target.trim}'; drop or rename that table first")
+      }
+    }
     listTables(ns).foreach(dropTable(ns, _))
     backend.deleteTree(d)
     DataFs.deleteTree(d) // the FS dir exists whatever the backend
@@ -183,7 +196,13 @@ final class LakeCatalog private (
 
   def dropTable(ns: String, name: String): Unit = {
     val root = tableDir(ns, name)
-    val physical = resolveTableRoot(ns, name).getOrElse(root)
+    // a tombstoned name does not resolve — but its directory physically
+    // hosts the RENAMED table's live storage, so the old getOrElse(root)
+    // fallback would delete that table's data through a name that no
+    // longer exists. Treat the name as nonexistent instead.
+    val physical = resolveTableRoot(ns, name).getOrElse(
+      throw new NoSuchElementException(
+        s"no such table $ns.$name under $warehouse (renamed away)"))
     backend.deleteTree(physical.resolve("metadata"))
     DataFs.deleteTree(physical) // data files live on the FS/store regardless
     if (physical != root) { // name was a pointer: retire the pointer dir too

@@ -169,7 +169,16 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
     * file, manifest, or snapshot moves, and time travel survives. */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val ns = ns1(oldIdent.namespace)
-    val ns2 = ns1(newIdent.namespace)
+    // Spark's RenameTableExec passes the user's RENAME TO identifier
+    // verbatim, catalog segment included (`cat.ns.t` arrives as
+    // namespace ["cat","ns"]) — tolerate it the way Iceberg's
+    // SparkCatalog does, but only when the segment names THIS catalog
+    // (a genuinely cross-catalog rename must still fail loudly).
+    val newNsRaw = newIdent.namespace match {
+      case arr if arr.length == 2 && arr.head == catalogName => arr.tail
+      case arr => arr
+    }
+    val ns2 = ns1(newNsRaw)
     if (!lake.tableExists(ns, oldIdent.name)) throw new NoSuchTableException(oldIdent)
     try lake.renameTable(ns, oldIdent.name, ns2, newIdent.name)
     catch {

@@ -375,19 +375,19 @@ class LakeSqlCatalogSpec extends LakeSuite {
 
   test("DELETE WHERE false never rewrites a data file") {
     val wh = freshWarehouse()
-    spark.conf.set("spark.sql.catalog.sqllake8", classOf[LakeSqlCatalog].getName)
-    spark.conf.set("spark.sql.catalog.sqllake8.warehouse", wh)
-    spark.sql("CREATE NAMESPACE sqllake8.ns")
-    spark.sql("CREATE TABLE sqllake8.ns.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+    spark.conf.set("spark.sql.catalog.sqllake11", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqllake11.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sqllake11.ns")
+    spark.sql("CREATE TABLE sqllake11.ns.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
     val t = LakeCatalog.open(wh).loadTable("ns", "t")
     t.appendData(ordersDF.select(col("o_orderkey"), col("o_totalprice")), numFiles = 4)
     val filesBefore = t.refresh().metadata.currentFiles.map(_.path).sorted
     // AlwaysFalse encoded as Not(AlwaysTrue) pruned nothing, so this
     // statement copy-on-wrote the ENTIRE table to delete zero rows
-    spark.sql("DELETE FROM sqllake8.ns.t WHERE 1 = 2")
+    spark.sql("DELETE FROM sqllake11.ns.t WHERE 1 = 2")
     val after = t.refresh()
     assert(after.metadata.currentFiles.map(_.path).sorted === filesBefore)
-    assert(spark.sql("SELECT count(*) FROM sqllake8.ns.t").head.getLong(0)
+    assert(spark.sql("SELECT count(*) FROM sqllake11.ns.t").head.getLong(0)
       === ordersDF.count())
   }
 }
