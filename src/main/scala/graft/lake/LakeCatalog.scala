@@ -34,19 +34,26 @@ final class LakeCatalog private (
     val d = warehouse.resolve(ns)
     val existed = backend.isDir(d)
     // a tombstoned (renamed-away) directory still physically hosts the
-    // renamed table's storage; listTables hides it, so without this
-    // check a non-cascade DROP NAMESPACE would pass the emptiness test
-    // and silently destroy a live table registered under ANOTHER name
+    // renamed table's storage. If the table's LIVE name is in THIS
+    // namespace (in-namespace rename ns.a -> ns.b), the cascade drop of
+    // b below deletes that storage legitimately; but a directory whose
+    // hosted table now lives in ANOTHER namespace must fail loudly —
+    // BEFORE anything is dropped — rather than be silently destroyed
+    val tables = listTables(ns)
+    val hostedHere: Set[String] =
+      tables.flatMap(t => resolveTableRoot(ns, t)).map(_.toString).toSet
     backend.listChildren(d).foreach { t =>
       val root = d.resolve(t)
       backend.get(root.resolve(LakeCatalog.MovedDoc)).foreach { target =>
-        if (currentVersion(root.resolve("metadata")).isDefined)
+        if (currentVersion(root.resolve("metadata")).isDefined &&
+            !hostedHere.contains(root.toString))
           throw new IllegalStateException(
-            s"namespace $ns still hosts storage for a table renamed to " +
-              s"'${target.trim}'; drop or rename that table first")
+            s"namespace $ns still hosts storage for a table renamed away " +
+              s"(last known target '${target.trim}'); drop or rename that " +
+              "table first")
       }
     }
-    listTables(ns).foreach(dropTable(ns, _))
+    tables.foreach(dropTable(ns, _))
     backend.deleteTree(d)
     DataFs.deleteTree(d) // the FS dir exists whatever the backend
     existed
@@ -107,19 +114,32 @@ final class LakeCatalog private (
   private val listCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[ManifestRef]]()
 
+  /** Insert under the crude bound: a full clear past 16k entries before
+    * every put (re-reads repopulate) — applied on BOTH the read-miss and
+    * the write paths, so a long-lived driver that commits frequently but
+    * rarely reads still stays bounded. */
+  private[lake] def cachePut[T](cache: java.util.concurrent.ConcurrentHashMap[String, T],
+      key: String, value: T): Unit = {
+    if (cache.size > LakeCatalog.CacheBound) cache.clear()
+    cache.put(key, value)
+    ()
+  }
+
   private def cached[T](cache: java.util.concurrent.ConcurrentHashMap[String, T],
       md: LakePath, name: String)(parse: String => T): T = {
     val key = md.resolve(name).toString
     val hit = cache.get(key)
     if (hit != null) hit
     else {
-      if (cache.size > 16384) cache.clear()
       val parsed = parse(backend.get(md.resolve(name)).getOrElse(
         throw new IllegalStateException(s"missing metadata document $name under $md")))
-      cache.put(key, parsed)
+      cachePut(cache, key, parsed)
       parsed
     }
   }
+
+  /** Test visibility: (manifestCache size, listCache size). */
+  private[lake] def metaCacheSizes: (Int, Int) = (manifestCache.size, listCache.size)
 
   private[lake] def manifestIO(md: LakePath): ManifestIO = new ManifestIO {
     def readList(name: String): Seq[ManifestRef] =
@@ -135,7 +155,7 @@ final class LakeCatalog private (
   private[lake] def writeManifest(md: LakePath, files: Seq[DataFileEntry]): ManifestRef = {
     val name = s"manifest-${java.util.UUID.randomUUID}.json"
     backend.putOverwrite(md.resolve(name), MetadataJson.writeManifest(files))
-    manifestCache.put(md.resolve(name).toString, files)
+    cachePut(manifestCache, md.resolve(name).toString, files)
     ManifestRef(name, files.size.toLong, files.map(_.recordCount).sum,
       files.map(_.sizeBytes).sum)
   }
@@ -144,7 +164,7 @@ final class LakeCatalog private (
   private[lake] def writeManifestList(md: LakePath, refs: Seq[ManifestRef]): String = {
     val name = s"snaplist-${java.util.UUID.randomUUID}.json"
     backend.putOverwrite(md.resolve(name), MetadataJson.writeManifestList(refs))
-    listCache.put(md.resolve(name).toString, refs)
+    cachePut(listCache, md.resolve(name).toString, refs)
     name
   }
 
@@ -203,6 +223,11 @@ final class LakeCatalog private (
     val physical = resolveTableRoot(ns, name).getOrElse(
       throw new NoSuchElementException(
         s"no such table $ns.$name under $warehouse (renamed away)"))
+    // consistent nonexistence semantics: a name that never existed
+    // throws like a renamed-away one does; the SQL path's tableExists
+    // pre-check (LakeSqlCatalog.dropTable) is the idempotent layer
+    if (currentVersion(physical.resolve("metadata")).isEmpty)
+      throw new NoSuchElementException(s"no such table $ns.$name under $warehouse")
     backend.deleteTree(physical.resolve("metadata"))
     DataFs.deleteTree(physical) // data files live on the FS/store regardless
     if (physical != root) { // name was a pointer: retire the pointer dir too
@@ -312,6 +337,8 @@ final class LakeCatalog private (
 }
 
 object LakeCatalog {
+  /** Crude cap on the manifest/list caches (see cachePut). */
+  private[lake] val CacheBound = 16384
   /** Name→location indirection: this name is bound to a table whose
     * physical root is the document's contents (see resolveTableRoot). */
   private[lake] val PointerDoc = "pointer.text"

@@ -175,7 +175,14 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
     // SparkCatalog does, but only when the segment names THIS catalog
     // (a genuinely cross-catalog rename must still fail loudly).
     val newNsRaw = newIdent.namespace match {
-      case arr if arr.length == 2 && arr.head == catalogName => arr.tail
+      case arr if arr.length == 2 && arr.head.equalsIgnoreCase(catalogName) => arr.tail
+      case arr if arr.length == 2 =>
+        // naming a DIFFERENT catalog is an unsupported cross-catalog
+        // rename — say so, instead of surfacing a misleading
+        // NoSuchNamespaceException for the foreign catalog's name
+        throw new UnsupportedOperationException(
+          s"cross-catalog rename is not supported: RENAME TO targets " +
+            s"catalog '${arr.head}' but this table lives in '$catalogName'")
       case arr => arr
     }
     val ns2 = ns1(newNsRaw)

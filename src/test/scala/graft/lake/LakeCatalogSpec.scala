@@ -145,6 +145,38 @@ class LakeCatalogSpec extends LakeSuite {
     cat.createTable("ns", "t", canonicalSchema)
     assertThrows[IllegalArgumentException](cat.createTable("ns", "t", canonicalSchema))
     assertThrows[NoSuchElementException](cat.loadTable("ns", "missing"))
+    // dropTable nonexistence is consistent across both flavors: a name
+    // that never existed throws exactly like a renamed-away one
+    assertThrows[NoSuchElementException](cat.dropTable("ns", "missing"))
+  }
+
+  test("DROP NAMESPACE cascade succeeds after an in-namespace rename") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "a", ordersDF.schema)
+    t.appendData(ordersDF.limit(10))
+    cat.renameTable("ns", "a", "ns", "b")
+    // a's tombstoned directory still hosts b's storage — but b is IN
+    // this namespace, so the cascade legitimately drops it
+    assert(cat.listTables("ns") === Seq("b"))
+    assert(cat.dropNamespace("ns"))
+    assert(cat.listNamespaces().isEmpty)
+  }
+
+  test("DROP NAMESPACE refuses while hosting a table renamed into ANOTHER namespace") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "a", ordersDF.schema)
+    t.appendData(ordersDF.limit(10))
+    cat.createNamespace("other")
+    cat.renameTable("ns", "a", "other", "b")
+    // ns.a's directory physically hosts other.b's live storage: dropping
+    // ns must fail loudly BEFORE destroying anything...
+    val e = intercept[IllegalStateException](cat.dropNamespace("ns"))
+    assert(e.getMessage.contains("renamed away"))
+    // ...and other.b is untouched and still readable
+    assert(cat.loadTable("other", "b").newScan().toDF(spark).count() === 10L)
+    // dropping the hosted table first unblocks the namespace drop
+    cat.dropTable("other", "b")
+    assert(cat.dropNamespace("ns"))
   }
 
   test("commit CAS: a concurrent writer racing the commit forces a retry, attempts = 2") {
@@ -164,6 +196,24 @@ class LakeCatalogSpec extends LakeSuite {
     assert(attempts === 2)
     assert(version === 3) // v2 was the interloper; our commit landed as v3
     assert(cat.loadTable("ns", "t").version0 === 3)
+  }
+
+  test("metadata caches stay bounded on a write-only workload") {
+    // a long-lived driver that commits frequently but rarely reads used
+    // to grow manifestCache/listCache without bound: the 16k clear only
+    // ran on the read-miss path. The write path now goes through the
+    // same bound. Exercised directly against writeManifest (16k real
+    // commits would dominate the suite) on a cheap in-memory backend.
+    val cat = LakeCatalog.open(freshWarehouse(), backend = new InMemoryCommitBackend)
+    val md = LakePath("/wh/ns/t/metadata")
+    val file = DataFileEntry("f.parquet", 1L, 1L, Map.empty, Map.empty, Map.empty, Map.empty)
+    (1 to LakeCatalog.CacheBound + 100).foreach { _ =>
+      cat.writeManifest(md, Seq(file))
+      cat.writeManifestList(md, Nil)
+    }
+    val (mSize, lSize) = cat.metaCacheSizes
+    assert(mSize <= LakeCatalog.CacheBound + 1, s"manifestCache grew to $mSize")
+    assert(lSize <= LakeCatalog.CacheBound + 1, s"listCache grew to $lSize")
   }
 
   test("time travel: asOf(first snapshot) ignores later commits") {

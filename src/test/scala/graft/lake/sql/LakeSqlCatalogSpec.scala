@@ -390,4 +390,24 @@ class LakeSqlCatalogSpec extends LakeSuite {
     assert(spark.sql("SELECT count(*) FROM sqllake11.ns.t").head.getLong(0)
       === ordersDF.count())
   }
+
+  test("DROP NAMESPACE CASCADE works after an in-namespace rename; cross-catalog rename fails loudly") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.sqllake12", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqllake12.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sqllake12.ns")
+    spark.sql("CREATE TABLE sqllake12.ns.a (o_orderkey BIGINT, o_totalprice DOUBLE)")
+    LakeCatalog.open(wh).loadTable("ns", "a")
+      .appendData(ordersDF.select(col("o_orderkey"), col("o_totalprice")).limit(10))
+    spark.sql("ALTER TABLE sqllake12.ns.a RENAME TO sqllake12.ns.b")
+    // a genuinely cross-catalog rename names the foreign catalog in the
+    // error instead of a misleading missing-namespace message
+    val e = intercept[UnsupportedOperationException](
+      spark.sql("ALTER TABLE sqllake12.ns.b RENAME TO othercat.ns.c"))
+    assert(e.getMessage.contains("cross-catalog"))
+    // a's tombstoned dir hosts b's storage, but b is in this namespace:
+    // the cascade legitimately drops both
+    spark.sql("DROP NAMESPACE sqllake12.ns CASCADE")
+    assert(LakeCatalog.open(wh).listNamespaces().isEmpty)
+  }
 }
