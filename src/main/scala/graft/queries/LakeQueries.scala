@@ -280,7 +280,40 @@ object LakeQueries {
     s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
   }
 
+  /** SQL RENAME TABLE under the oracle gate: two append commits, then
+    * `ALTER TABLE … RENAME TO`, then ONE result that reads the renamed
+    * name twice — the current table AND `VERSION AS OF` the first
+    * snapshot — so the gate verifies both that the rename is a pure
+    * metadata pointer swap (full data under the new name) and that
+    * time travel survives it (reference: a JDBC-catalog rename moves
+    * the name→location row, never the data, LocalIcebergCatalog.java:99-142). */
+  private val sqlRenameCatalogs = new SessionMemo[String]()
+
+  def lakeRenameTable(s: SparkSession, d: String): DataFrame = {
+    val memo = sqlRenameCatalogs.getOrBuild(s, d) {
+      val src = orders(s, d)
+      val wh = Files.createTempDirectory("graft_lakesqlrnt_").toString
+      val name = s"lakesqlrnt_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
+      val t = LakeCatalog.open(wh).loadTable("q", "orders")
+      val first = t.appendData(src.filter(col("o_orderkey") % 2 === 0))
+      t.refresh().appendData(src.filter(col("o_orderkey") % 2 === 1))
+      s.sql(s"ALTER TABLE $name.q.orders RENAME TO $name.q.orders_renamed")
+      s"$name ${first.snapshotId}"
+    }
+    val Array(catName, snap) = memo.split(' ')
+    s.sql(
+      s"""SELECT 'current' AS view, * FROM $catName.q.orders_renamed
+         |UNION ALL
+         |SELECT 'v1' AS view, * FROM $catName.q.orders_renamed VERSION AS OF $snap
+         |ORDER BY view, o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake_rename_table" -> lakeRenameTable,
     "lake_sql_update" -> lakeSqlUpdate,
     "lake_sql_merge" -> lakeSqlMerge,
     "lake_sql_delete" -> lakeSqlDelete,
@@ -300,6 +333,11 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "lake_rename_table" ->
+      """SELECT 'current' AS view, * FROM orders
+        |UNION ALL
+        |SELECT 'v1' AS view, * FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY view, o_orderkey""".stripMargin,
     "lake_sql_update" ->
       """SELECT o_orderstatus,
         |  CASE WHEN o_orderstatus = 'F' THEN '1-BUMPED'
