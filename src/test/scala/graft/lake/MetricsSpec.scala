@@ -56,6 +56,71 @@ class MetricsSpec extends LakeSuite {
     assert(metrics.timerCount("lake.commitReport.totalDuration", "ns.t") === 2L)
   }
 
+  /** The external-registry bridge: a tiny tag-aware registry (what a
+    * deployment wires to Micrometer/OTel in ~3 lines) fed through a
+    * REAL commit + scan, checked with the reference's own oracles —
+    * meter-name-set equality (IntegrationTest.java:106-117), the
+    * tableName tag (MicrometerMetricsReporterTest.java:84-97), and
+    * Timer record semantics (MicrometerMetricsReporter.java:89-92). */
+  test("registry bridge publishes the exact meter set into a tag-aware registry") {
+    import java.util.concurrent.TimeUnit
+    val counters = scala.collection.concurrent.TrieMap
+      .empty[(String, Map[String, String]), Double]
+    val timers = scala.collection.concurrent.TrieMap
+      .empty[(String, Map[String, String]), (Long, Long)]
+    val registry = new MeterRegistry {
+      def counter(name: String, tags: Map[String, String]) = (amount: Double) => {
+        counters.updateWith((name, tags)) {
+          case Some(v) => Some(v + amount); case None => Some(amount)
+        }
+        ()
+      }
+      def timer(name: String, tags: Map[String, String]) =
+        (amount: Long, unit: TimeUnit) => {
+          timers.updateWith((name, tags)) {
+            case Some((n, tot)) => Some((n + 1, tot + unit.toMillis(amount)))
+            case None => Some((1L, unit.toMillis(amount)))
+          }
+          ()
+        }
+    }
+    val cat = LakeCatalog.open(freshWarehouse(), new RegistryMetricsReporter(registry))
+    val t = cat.createTable("ns", "bridged", ordersDF.schema)
+    t.appendData(ordersDF.coalesce(1))
+    t.refresh().newScan().planFiles
+
+    val tag = Map("tableName" -> "ns.bridged")
+    val names = (counters.keySet ++ timers.keySet)
+      .collect { case (n, tags) if tags == tag => n }
+    assert(names === commitMeters ++ scanMeters)
+    // counters increment (attempts = 1 first-try commit), timers record
+    // one invocation per report — and durations never leak into the
+    // counter namespace
+    assert(counters((s"lake.commitReport.attempts", tag)) === 1.0)
+    assert(counters((s"lake.commitReport.addedRecords", tag)) === ordersDF.count().toDouble)
+    assert(timers((s"lake.commitReport.totalDuration", tag))._1 === 1L)
+    assert(timers((s"lake.scanReport.totalPlanningDuration", tag))._1 === 1L)
+    assert(!counters.keySet.exists(_._1.endsWith("Duration")))
+    // a custom prefix reroutes every meter name, reference :28-31
+    val counters2 = scala.collection.concurrent.TrieMap
+      .empty[(String, Map[String, String]), Double]
+    val registry2 = new MeterRegistry {
+      def counter(name: String, tags: Map[String, String]) = (amount: Double) => {
+        counters2.put((name, tags), amount); ()
+      }
+      def timer(name: String, tags: Map[String, String]) =
+        (_: Long, _: TimeUnit) => ()
+    }
+    new RegistryMetricsReporter(registry2, "custom.").report(ScanReport(
+      "ns.bridged", 1L, "true", 1L, 0L, 10L, 5L))
+    assert(counters2.keySet.map(_._1) ===
+      Set("custom.scanReport.resultDataFiles", "custom.scanReport.resultDeleteFiles",
+        "custom.scanReport.totalFileSizeInBytes"))
+    // null registry / null report no-op (reference :44-50)
+    new RegistryMetricsReporter(null).report(ScanReport("t", 1L, "true", 0L, 0L, 0L, 0L))
+    new RegistryMetricsReporter(registry).report(null)
+  }
+
   test("scan planning emits the 3 scan counters plus the planning timer") {
     val metrics = new SimpleMetrics
     val cat = LakeCatalog.open(freshWarehouse(), metrics)
