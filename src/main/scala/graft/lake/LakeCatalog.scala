@@ -178,7 +178,9 @@ final class LakeCatalog private (
 
   /** A5: create table with schema + spec, no snapshot yet (empty log). */
   def createTable(ns: String, name: String, schema: StructType,
-      spec: Seq[PartitionField] = Nil): LakeTable = {
+      spec: Seq[PartitionField] = Nil, sortOrder: Seq[String] = Nil): LakeTable = {
+    sortOrder.foreach(c => require(schema.fieldNames.contains(c),
+      s"sort column $c is not a column"))
     val root = tableDir(ns, name)
     // a renamed-away name's directory physically hosts the renamed
     // table's files — reusing the name would collide with them
@@ -198,7 +200,8 @@ final class LakeCatalog private (
     // explicit IDs, IntegrationTest.java:59-64); stable under rename,
     // never reused after drop
     val meta = TableMetadata(s"$ns.$name", tableDir(ns, name).uri, schema, spec,
-      snapshots = Nil, currentSnapshotId = -1L).withFieldIdDefaults
+      snapshots = Nil, currentSnapshotId = -1L,
+      sortOrder = sortOrder).withFieldIdDefaults
     // same CAS as commit(): racing creators — exactly one wins
     if (!backend.putIfAbsent(md.resolve("v1.json"), MetadataJson.write(meta)))
       throw new IllegalArgumentException(s"table $ns.$name already exists")

@@ -53,13 +53,26 @@ final class LakeTable private[lake] (
       s"schema mismatch: ${df.schema.simpleString} vs ${schema.simpleString}")
     val spark = df.sparkSession
     val dir = s"$location/data/${UUID.randomUUID}"
-    val exprs = spec.map(_.toColumn) ++ spec.map(p => df.col(p.source))
-    val clustered = (spec.nonEmpty, numFiles > 0) match {
+    // clustering-on-write: partition-transform values first (files align
+    // with partition boundaries), then the table's write order — so
+    // within a partition, files carry DISJOINT ranges of the sort
+    // columns and CoW ops on them rewrite only the overlapping files —
+    // then raw sources as the tiebreak. An unpartitioned table with a
+    // write order range-clusters on the order alone (Iceberg's
+    // write.sort-order applied at write time).
+    val sortCols = meta.sortOrder.map(df.col)
+    val exprs = spec.map(_.toColumn) ++ sortCols ++ spec.map(p => df.col(p.source))
+    val clusteredRaw = (exprs.nonEmpty, numFiles > 0) match {
       case (false, false) => df
       case (false, true) => df.repartition(numFiles)
       case (true, false) => df.repartitionByRange(exprs: _*)
       case (true, true) => df.repartitionByRange(numFiles, exprs: _*)
     }
+    // rows sorted within each file too: parquet row-group stats get the
+    // same disjointness, so row-group skipping compounds file skipping
+    val clustered =
+      if (sortCols.nonEmpty) clusteredRaw.sortWithinPartitions(sortCols: _*)
+      else clusteredRaw
     // Every physical column gets its stable parquet field ID (the table
     // schema stays ID-free for API identity; IDs live in the manifest),
     // so later renames resolve old files by ID, not name.
@@ -224,6 +237,8 @@ final class LakeTable private[lake] (
             require(m.schema.fieldNames.contains(colName), s"no such column $colName")
             require(!m.spec.exists(_.source == colName),
               s"$colName is a partition source")
+            require(!m.sortOrder.contains(colName),
+              s"$colName is a write-order column; clear it with setWriteOrder first")
             m.copy(
               schema = org.apache.spark.sql.types.StructType(
                 m.schema.fields.filterNot(_.name == colName)),
@@ -242,9 +257,24 @@ final class LakeTable private[lake] (
                 if (f.name == from) f.copy(name = to) else f)),
               fieldIds = (m.fieldIds - from) + (to -> m.fieldIds(from)),
               spec = ren(m.spec),
-              specLog = m.specLog.map(ren))
+              specLog = m.specLog.map(ren),
+              sortOrder = m.sortOrder.map(c => if (c == from) to else c))
         }
       }
+    }
+
+  /** Set (or clear, with no args) the table's write order — Iceberg's
+    * replaceSortOrder: a METADATA-ONLY commit; no existing file is
+    * rewritten. Future writes (appends, compaction, copy-on-write
+    * rewrites) range-cluster and sort on these columns, so their file
+    * and row-group min/max stats become disjoint and stats pruning
+    * shrinks both scans and CoW rewrite spans. Run [[compact]] after
+    * setting an order to re-cluster existing data. */
+  def setWriteOrder(cols: String*): LakeTable =
+    metadataChange { latest =>
+      cols.foreach(c => require(latest.schema.fieldNames.contains(c),
+        s"sort column $c is not a column"))
+      latest.copy(sortOrder = cols)
     }
 
   /** Partition-spec evolution: a METADATA-ONLY commit that makes

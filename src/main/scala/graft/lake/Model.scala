@@ -168,7 +168,15 @@ final case class TableMetadata(
     // for the streaming exactly-once ledger (last committed batch id
     // per sink) — an expired ledger would let a checkpoint-recovery
     // replay double-append.
-    properties: Map[String, String] = Map.empty) {
+    properties: Map[String, String] = Map.empty,
+    // Write order (Iceberg's SortOrder): every data-file write —
+    // append, compaction, copy-on-write rewrite — range-clusters and
+    // sorts rows on these columns, so file min/max stats become
+    // disjoint on them and stats pruning turns a selective CoW
+    // update/delete/merge from "rewrite half the table" into "rewrite
+    // the overlapping files". Purely advisory for reads; changing it
+    // is a metadata-only commit that never rewrites existing files.
+    sortOrder: Seq[String] = Nil) {
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   def currentFiles: Seq[DataFileEntry] = currentSnapshot.map(_.files).getOrElse(Nil)
@@ -252,6 +260,7 @@ object MetadataJson {
       s""""fieldIds":${m.fieldIds.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")},""" +
       s""""lastAssignedFieldId":${m.lastAssignedFieldId},""" +
       s""""properties":${strMap(m.properties)},""" +
+      s""""sortOrder":${m.sortOrder.map(q).mkString("[", ",", "]")},""" +
       s""""spec":${specJson(m.spec)},""" +
       s""""specLog":${m.allSpecs.map(specJson).mkString("[", ",", "]")},""" +
       s""""snapshots":${m.snapshots.map(snapshotJson).mkString("[", ",", "]")},""" +
@@ -342,7 +351,9 @@ object MetadataJson {
         .map(m => m.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap)
         .getOrElse(Map.empty),
       lastAssignedFieldId = Option(n.get("lastAssignedFieldId")).map(_.asInt()).getOrElse(0),
-      properties = Option(n.get("properties")).map(asStrMap).getOrElse(Map.empty)
+      properties = Option(n.get("properties")).map(asStrMap).getOrElse(Map.empty),
+      sortOrder = Option(n.get("sortOrder"))
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     ).withFieldIdDefaults // ad-hoc documents get positional IDs
   }
 }

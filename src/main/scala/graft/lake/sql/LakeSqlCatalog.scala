@@ -109,7 +109,11 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val spec = partitions.toSeq.map(LakeSqlCatalog.toPartitionField)
-    lake.createTable(ns1(ident.namespace), ident.name, schema, spec)
+    // TBLPROPERTIES ('write.sort-order'='c1,c2') = the Scala API's
+    // createTable(sortOrder) — clustering-on-write from SQL DDL
+    val sortOrder = Option(properties.get("write.sort-order"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    lake.createTable(ns1(ident.namespace), ident.name, schema, spec, sortOrder)
     loadTable(ident)
   }
 
