@@ -5,12 +5,19 @@ import org.apache.spark.sql.SparkSession
   * against `SPARK_GRAFT_SF_DIR`, one JSON line on stdout.
   *
   * Each query reports the MEDIAN of `SPARK_GRAFT_BENCH_REPS` (default 3)
-  * back-to-back runs: a single-shot number inside an 84-query corpus run
-  * proved untrustworthy — transient memory pressure spiked individual
-  * queries 2-8x their isolated cost, which both misdiagnoses the 100 TB
-  * behavior and masks real regressions round-over-round. `value` stays
-  * the sum of per-query medians (the estimated single-pass corpus cost,
-  * comparable across rounds); `wall` is the actual loop wall-clock.
+  * runs: a single-shot number inside an 84-query corpus run proved
+  * untrustworthy — transient memory pressure spiked individual queries
+  * 2-8x their isolated cost, which both misdiagnoses the 100 TB behavior
+  * and masks real regressions round-over-round. The reps are INTERLEAVED
+  * round-robin across the corpus (pass 1 over every query, then pass 2,
+  * then pass 3), not back-to-back per query: back-to-back reps sit
+  * inside the same noisy minute, so run-level contention inflated all
+  * three of one query's reps at once and the median defended nothing —
+  * rounds 5/6 swung 2-3x on lake queries with zero code change.
+  * Spreading a query's reps ~minutes apart decorrelates them from any
+  * single contention window. `value` stays the sum of per-query medians
+  * (the estimated single-pass corpus cost, comparable across rounds);
+  * `wall` is the actual loop wall-clock.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -35,19 +42,22 @@ object Bench {
     // the timing loop — on a cluster these exist before queries run
     graft.queries.Corpus.prepare(spark, sfDir)
     val wall0 = System.nanoTime()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-          finally graft.queries.QueryCaches.clear()
-        // failures report -1s instead of masquerading as a fast query
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val median =
-        if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.size / 2)
-      name -> median
+    val names = SparkEntry.queries.keys.toSeq.sorted // stable pass order
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 0 until reps; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        finally graft.queries.QueryCaches.clear()
+      // failures report -1s instead of masquerading as a fast query
+      times(name) = times(name) :+ (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val results = names.map { name =>
+      val ts = times(name)
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
+    }.toMap
     val wall = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
