@@ -433,12 +433,17 @@ final class LakeTable private[lake] (
     // the blocks outlive the op for the session's lifetime
     try {
       // one driver-side row: per-key min/max bounds + row count + null-key
-      // count. NULL merge keys violate the distinct-keys contract silently
-      // (anti-join never matches NULL, so null-key rows would just append)
-      // — fail loudly instead of producing duplicates.
+      // count + distinct-key count. NULL merge keys violate the
+      // distinct-keys contract silently (anti-join never matches NULL, so
+      // null-key rows would just append) and duplicate keys would BOTH
+      // survive the anti-join+union and land as duplicate live rows with
+      // an arbitrary "winner" — fail loudly on either instead. Callers
+      // with a versioned feed reduce first (streaming upsert sink's
+      // orderBy = last-write-wins).
       val aggs = keys.flatMap(k => Seq(F.min(F.col(k)), F.max(F.col(k)))) ++
         Seq(F.count(F.lit(1)),
-          F.sum(keys.map(k => F.when(F.col(k).isNull, 1L).otherwise(0L)).reduce(_ + _)))
+          F.sum(keys.map(k => F.when(F.col(k).isNull, 1L).otherwise(0L)).reduce(_ + _)),
+          F.count_distinct(F.struct(keys.map(F.col): _*)))
       val boundsRow = src.agg(aggs.head, aggs.tail: _*).head()
       val nRows = boundsRow.getLong(2 * keys.size)
       if (nRows == 0L) { // empty source: no-op (still records the ledger)
@@ -449,6 +454,12 @@ final class LakeTable private[lake] (
           throw new IllegalArgumentException(
             s"merge source has $nullKeys NULL merge-key value(s) in $keys — " +
               "NULL keys cannot match and would duplicate rows")
+        val distinctKeys = boundsRow.getLong(2 * keys.size + 2)
+        if (distinctKeys < nRows)
+          throw new IllegalArgumentException(
+            s"merge source has ${nRows - distinctKeys} duplicate merge-key row(s) " +
+              s"in $keys — which row wins is undefined; reduce the source to one " +
+              "row per key first (e.g. last-write-wins on a version column)")
         val pred = keys.zipWithIndex.map { case (k, i) =>
           LakePredicate.And(
             LakePredicate.Ge(k, boundsRow.get(2 * i)),

@@ -153,23 +153,52 @@ object EventStream {
   /** Structured-Streaming UPSERT sink: each micro-batch MERGEs into the
     * lake table on `keys` (same-key rows replaced, new keys inserted) as
     * one exactly-once commit — the streaming shape of a CDC/upsert feed.
-    * The batch must carry the table schema with distinct non-NULL keys
-    * (pre-aggregate per key upstream if the source can emit several
-    * updates for one key in a batch — which "latest" wins is otherwise
-    * undefined in a distributed batch). */
+    *
+    * Per-key ordering: with `orderBy` set to an event-time/version
+    * column, a batch carrying several updates for one key reduces to
+    * the row with the LARGEST `orderBy` value before the merge —
+    * last-write-wins, deterministic even when the distributed batch
+    * delivers a key's rows out of order (ties break on the remaining
+    * columns, so equal-version duplicates still reduce reproducibly).
+    * The reduction shuffles on the same keys the merge itself hashes
+    * on, so it adds no extra exchange at scale. Without `orderBy` the
+    * batch must carry distinct non-NULL keys (pre-aggregate upstream)
+    * — the merge REFUSES duplicate keys rather than landing an
+    * arbitrary winner (mergeInto's null-key/distinct-key contract). */
   def lakeUpsertSink(df: DataFrame, table: graft.lake.LakeTable,
       keys: Seq[String],
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String,
+      orderBy: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     val sinkId = sinkIdFor(df.sparkSession, checkpointDir)
     df.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .foreachBatch((batch: Dataset[org.apache.spark.sql.Row], batchId: Long) => {
-        table.mergeIntoExactlyOnce(
-          batch.sparkSession, batch.toDF(), keys, sinkId, batchId)
+        val b = batch.toDF()
+        val reduced = orderBy match {
+          case Some(versionCol) => latestPerKey(b, keys, versionCol)
+          case None => b
+        }
+        table.mergeIntoExactlyOnce(batch.sparkSession, reduced, keys, sinkId, batchId)
         ()
       })
       .start()
+  }
+
+  /** Reduce a batch to one row per key: the row with the largest
+    * `versionCol`, ties broken by the remaining columns descending —
+    * a total order, so the winner is engine- and arrival-order-
+    * independent. One hash shuffle on `keys` (the window partition),
+    * the same keys the downstream merge co-locates on. */
+  private[streaming] def latestPerKey(df: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    require(df.columns.contains(versionCol), s"no such order column $versionCol")
+    val others = df.columns.filterNot(c => keys.contains(c) || c == versionCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy((desc(versionCol) +: others.map(desc)): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   /** Drive a streaming DF synchronously into a memory sink and return

@@ -167,4 +167,35 @@ class StreamingSpec extends LakeSuite {
       .withColumn("value", lit(0.0)), Seq("event_id"), sinkId, last + 1).isDefined)
     assert(t.refresh().newScan().toDF(spark).count() === staticEvents.count())
   }
+
+  test("upsert sink per-key ordering: orderBy column makes last-write-wins deterministic") {
+    import graft.lake.LakeCatalog
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "upsert_lww", staticEvents.schema)
+    // a CDC-shaped batch: every event arrives THREE times with versions
+    // v=1,2,3 encoded as ts+v hours and value=v, shuffled so arrival
+    // order never matches version order
+    val versioned = staticEvents.crossJoin(
+        spark.range(1, 4).toDF("v"))
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts")) + col("v") * 3600000L))
+      .withColumn("value", col("v").cast("double"))
+      .drop("v")
+      .repartition(7) // scatter versions across tasks: arrival order is arbitrary
+    val dir = java.nio.file.Files.createTempDirectory("graft_lww_").toString + "/in"
+    versioned.write.parquet(dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lww_ckpt_").toString
+    val q = EventStream.lakeUpsertSink(
+      spark.readStream.schema(staticEvents.schema).parquet(dir),
+      t, Seq("event_id"), ckpt, orderBy = Some("ts"))
+    try q.processAllAvailable() finally q.stop()
+    // one row per key survived, and for EVERY key it is the v=3 row
+    val out = t.refresh().newScan().toDF(spark)
+    assert(out.count() === staticEvents.count())
+    assert(out.filter(col("value") =!= 3.0).count() === 0L)
+    // without orderBy, the same duplicate-key batch is REFUSED (the
+    // documented contract), not landed with an arbitrary winner
+    val e = intercept[Exception](t.mergeInto(spark,
+      spark.read.parquet(dir), Seq("event_id")))
+    assert(e.getMessage.contains("duplicate") || e.getMessage.contains("distinct"))
+  }
 }
