@@ -58,11 +58,21 @@ object Bench {
       val ts = times(name)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
     }.toMap
+    // min across reps spread minutes apart = the least-contended
+    // execution: discards noise a median can't (a real regression slows
+    // every rep, so it still shows), the stable round-over-round stat
+    val mins = names.map { name =>
+      val ts = times(name)
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }.toMap
     val wall = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qmins = mins.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall}""")
+    val totalMin = if (mins.nonEmpty) mins.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"queries_min":$qmins}""")
     spark.stop()
   }
 }
