@@ -152,12 +152,13 @@ final class LakeCatalog private (
     * a manifest list embeds. The name is unique per write, so a lost CAS
     * race merely orphans the document (removeOrphanFiles reclaims it) —
     * no atomicity needed beyond the metadata CAS itself. */
-  private[lake] def writeManifest(md: LakePath, files: Seq[DataFileEntry]): ManifestRef = {
+  private[lake] def writeManifest(md: LakePath, files: Seq[DataFileEntry],
+      content: String = ManifestRef.Data): ManifestRef = {
     val name = s"manifest-${java.util.UUID.randomUUID}.json"
     backend.putOverwrite(md.resolve(name), MetadataJson.writeManifest(files))
     cachePut(manifestCache, md.resolve(name).toString, files)
     ManifestRef(name, files.size.toLong, files.map(_.recordCount).sum,
-      files.map(_.sizeBytes).sum)
+      files.map(_.sizeBytes).sum, content)
   }
 
   /** Write one immutable manifest-list document; returns its name. */

@@ -118,6 +118,55 @@ final class LakeTable private[lake] (
       .select(schema.fields.map(f => org.apache.spark.sql.functions.col(f.name)
         .as(f.name, f.metadata)): _*)
 
+  /** [[readFiles]] plus each row's physical coordinates — the parquet
+    * reader's `_metadata.file_path`/`row_index` columns, the identity a
+    * positional delete file tombstones. Both sides of the merge-on-read
+    * anti-join come from the SAME metadata columns, so the path form
+    * matches exactly. */
+  private def readFilesWithPos(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    org.apache.spark.sql.graftbridge.SessionBridge
+      .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
+      .read.schema(meta.schemaWithFieldIds).parquet(paths: _*)
+      .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)) ++ Seq(
+        col("_metadata.file_path").as(LakeTable.PosFileCol),
+        col("_metadata.row_index").as(LakeTable.PosIdxCol)): _*)
+  }
+
+  /** MoR-filtered read that KEEPS the position columns (the delete op
+    * needs surviving rows' coordinates). The delete side is tiny
+    * relative to the data (it holds only deleted coordinates), so Spark
+    * broadcasts the anti-join — no shuffle of the data side at any
+    * scale. */
+  private def readLivePos(spark: SparkSession, paths: Seq[String],
+      deletes: Seq[DataFileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val withPos = readFilesWithPos(spark, paths)
+    if (deletes.isEmpty) withPos
+    else {
+      val tombstones = spark.read.schema(LakeTable.DeleteFileSchema)
+        .parquet(deletes.map(_.path): _*)
+      withPos.join(broadcast(tombstones),
+        col(LakeTable.PosFileCol) === col("file_path") &&
+          col(LakeTable.PosIdxCol) === col("pos"),
+        "left_anti")
+    }
+  }
+
+  /** Merge-on-read: rows of `paths` minus the positions `deletes`
+    * tombstones. No live deletes = the plain vectorized read, zero
+    * overhead. Every read of committed table data — scans, CoW
+    * rewrites, compaction, CDC — goes through here; a raw readFiles of
+    * live files would resurrect deleted rows. */
+  private[lake] def readLive(spark: SparkSession, paths: Seq[String],
+      deletes: Seq[DataFileEntry]): DataFrame =
+    if (deletes.isEmpty) readFiles(spark, paths)
+    else {
+      import org.apache.spark.sql.functions.col
+      readLivePos(spark, paths, deletes)
+        .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)): _*)
+    }
+
   /** A9: append commit — newAppend().appendData(df).commit(). */
   def newAppend(): AppendOp = new AppendOp(this)
 
@@ -305,15 +354,19 @@ final class LakeTable private[lake] (
   def compact(spark: SparkSession, targetFiles: Int,
       conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
     val live = meta.currentFiles
-    if (live.isEmpty) commitSnapshot("replace", Nil, Nil)
+    val deletes = meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
+    if (live.isEmpty) commitSnapshot("replace", Nil, Nil, dropDeletes = true)
     else {
-      val df = readFiles(spark, live.map(_.path))
+      // MoR deletes MATERIALIZE here: the rewrite reads tombstone-
+      // filtered rows and the delete manifests retire with the files
+      // they referenced (dropDeletes) — delete meters return to 0
+      val df = readLive(spark, live.map(_.path), deletes)
       // numFiles goes through writeDataFiles so the partitioned path uses
       // repartitionByRange(targetFiles, spec) — a bare repartition here
       // would be re-shuffled to the default partition count by the spec
       // clustering and the target would be ignored
       val added = writeDataFiles(df, numFiles = targetFiles)
-      commitSnapshot("replace", added, live)
+      commitSnapshot("replace", added, live, dropDeletes = true)
     }
   }
 
@@ -332,7 +385,10 @@ final class LakeTable private[lake] (
     else {
       val target = math.max(1,
         (small.map(_.sizeBytes).sum / smallBytes).toInt)
-      val added = writeDataFiles(readFiles(spark, small.map(_.path)), numFiles = target)
+      // tombstones applied to the rewritten subset; delete manifests
+      // survive (they may still reference files this pass keeps)
+      val added = writeDataFiles(readLive(spark, small.map(_.path),
+        meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)), numFiles = target)
       Some(commitSnapshot("replace", added, small))
     }
   }
@@ -373,11 +429,54 @@ final class LakeTable private[lake] (
     else {
       // NULL predicate rows must be KEPT (SQL delete semantics: only
       // TRUE deletes) — a bare !pred would drop them
-      val kept = readFiles(spark, touched.map(_.path))
+      val kept = readLive(spark, touched.map(_.path),
+          meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil))
         .filter(!org.apache.spark.sql.functions.coalesce(pred.toColumn,
           org.apache.spark.sql.functions.lit(false)))
       val added = writeDataFiles(kept)
       commitSnapshot("delete", added, touched, validateAddedSince = Some((base, pred)))
+    }
+  }
+
+  /** MERGE-ON-READ row delete (Iceberg's positional delete files): the
+    * matching rows' physical coordinates (file_path, row_index) are
+    * written as a small parquet TOMBSTONE file and committed as a
+    * delete manifest — NO data file is rewritten. Scans subtract the
+    * tombstoned positions with a broadcast anti-join. The write-time
+    * cost of a selective delete drops from O(touched data bytes) to
+    * O(deleted rows); the read-time cost is the tiny broadcast until
+    * [[compact]] materializes the deletes and retires the tombstones.
+    * Same serializable validation as the copy-on-write [[deleteWhere]].
+    * This is what moves the reference's delete-file meters
+    * (totalDeleteFiles/totalPositionalDeletes,
+    * IntegrationTest.java:109,112,115) off zero. */
+  def deleteWhereMoR(spark: SparkSession, pred: LakePredicate,
+      conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
+    import org.apache.spark.sql.{functions => F}
+    val base = meta.currentSnapshotId
+    val live = meta.currentFiles
+    val priorDeletes = meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
+    val touched = live.filter(pred.mayMatch(_, meta))
+    if (touched.isEmpty)
+      commitSnapshot("delete", Nil, Nil, validateAddedSince = Some((base, pred)))
+    else {
+      // coordinates of rows matching pred — read MoR-filtered, so rows
+      // already tombstoned by an earlier delete are not re-recorded
+      val matched = readLivePos(spark, touched.map(_.path), priorDeletes)
+        .filter(F.coalesce(pred.toColumn, F.lit(false)))
+        .select(F.col(LakeTable.PosFileCol).as("file_path"),
+          F.col(LakeTable.PosIdxCol).as("pos"))
+      val dir = s"$location/data/${UUID.randomUUID}"
+      // tombstones clustered by data-file path: a wide delete still
+      // writes few, well-packed files, and per-file coordinates stay
+      // contiguous for the read-side join
+      matched
+        .repartitionByRange(math.max(1, touched.size / 16), F.col("file_path"))
+        .write.parquet(dir)
+      val added = StatsHarvester.harvest(spark, dir, LakeTable.DeleteFileSchema,
+        Nil, LakeTable.DeleteFieldIds).filter(_.recordCount > 0L)
+      commitSnapshot("delete", Nil, Nil, addedDeletes = added,
+        validateAddedSince = Some((base, pred)))
     }
   }
 
@@ -404,7 +503,10 @@ final class LakeTable private[lake] (
     val added = meta.currentFiles.filterNot(f => before(f.path))
     if (added.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-    else readFiles(spark, added.map(_.path))
+    // current tombstones apply to the changed files too: the feed must
+    // not deliver rows a later MoR delete already removed
+    else readLive(spark, added.map(_.path),
+      meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil))
   }
 
   /** Keyed MERGE (upsert): source rows replace same-key rows, unmatched
@@ -468,7 +570,8 @@ final class LakeTable private[lake] (
         val touched = live.filter(pred.mayMatch(_, meta))
         val kept =
           if (touched.isEmpty) src.limit(0)
-          else readFiles(spark, touched.map(_.path))
+          else readLive(spark, touched.map(_.path),
+              meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil))
             .join(src.select(keys.map(F.col): _*), keys, "left_anti")
         val added = writeDataFiles(kept.unionByName(src))
         // serializable: a racing append inside the key bounds would leave
@@ -489,7 +592,8 @@ final class LakeTable private[lake] (
     if (touched.isEmpty)
       commitSnapshot("overwrite", Nil, Nil, validateAddedSince = Some((base, pred)))
     else {
-      val df = readFiles(spark, touched.map(_.path))
+      val df = readLive(spark, touched.map(_.path),
+        meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil))
       val rewritten = assignments.foldLeft(df) { case (acc, (c, v)) =>
         acc.withColumn(c, org.apache.spark.sql.functions.when(pred.toColumn, v)
           .otherwise(org.apache.spark.sql.functions.col(c)))
@@ -546,7 +650,10 @@ final class LakeTable private[lake] (
     // the walker yields scheme-less local paths — compare URI paths or
     // EVERYTHING looks orphaned (MaintenanceSpec caught exactly that)
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
-    val referenced = meta.snapshots.flatMap(_.files.map(f => norm(f.path))).toSet
+    // delete files live under data/ as parquet too — a surviving
+    // snapshot's tombstones are as referenced as its data
+    val referenced = meta.snapshots
+      .flatMap(s => (s.files ++ s.deleteFiles).map(f => norm(f.path))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val removed = scala.collection.mutable.Buffer.empty[String]
     // Hadoop FileSystem walk: one code path for plain, file:// and
@@ -614,13 +721,17 @@ final class LakeTable private[lake] (
       removed: Seq[DataFileEntry], replaceAll: Boolean = false,
       validateAddedSince: Option[(Long, LakePredicate)] = None,
       extraSummary: Map[String, String] = Map.empty,
-      exactlyOnce: Option[(String, Long)] = None): CommitReport = {
+      exactlyOnce: Option[(String, Long)] = None,
+      addedDeletes: Seq[DataFileEntry] = Nil,
+      dropDeletes: Boolean = false): CommitReport = {
     val t0 = System.nanoTime()
     val removedPaths = removed.map(_.path).toSet
     var removedCount = removed.size.toLong // replaceAll: resolved in the transform
     val md = catalog.metadataDir(namespace, shortName)
     val io = catalog.manifestIO(md)
     val addedRef = if (added.nonEmpty) Some(catalog.writeManifest(md, added)) else None
+    val addedDeleteRef = if (addedDeletes.nonEmpty)
+      Some(catalog.writeManifest(md, addedDeletes, ManifestRef.Deletes)) else None
     val (next, v, attempts) = catalog.commit(namespace, shortName) { latest =>
       // Exactly-once ledger check INSIDE the CAS transform: a zombie
       // driver racing a replacement both pass any pre-check, but the
@@ -632,7 +743,14 @@ final class LakeTable private[lake] (
         if (latest.properties.get(k).exists(_.toLong >= batchId))
           throw new BatchAlreadyCommitted
       }
-      val prev = latest.currentSnapshot.map(_.manifests).getOrElse(Nil)
+      val prevAll = latest.currentSnapshot.map(_.manifests).getOrElse(Nil)
+      // DATA manifests flow through the assembly/validation below;
+      // positional-delete manifests ride alongside: carried unless this
+      // op materialized them (compact) or replaced the table
+      val prev = prevAll.filter(_.content == ManifestRef.Data)
+      val prevDeletes =
+        if (dropDeletes || replaceAll) Nil
+        else prevAll.filter(_.content == ManifestRef.Deletes)
       // Serializable validation: any file added since the base snapshot
       // whose stats overlap the op's predicate conflicts (conservative —
       // mayMatch can only over-approximate, so no conflict is missed).
@@ -660,7 +778,7 @@ final class LakeTable private[lake] (
                 "re-read the table and retry the operation")
         }
       }
-      val manifests: Seq[ManifestRef] =
+      val dataManifests: Seq[ManifestRef] =
         if (replaceAll) {
           removedCount = latest.currentSnapshot.map(_.fileCount).getOrElse(0L)
           addedRef.toSeq
@@ -689,6 +807,7 @@ final class LakeTable private[lake] (
             if (survivors.nonEmpty) Some(catalog.writeManifest(md, survivors)) else None
           untouched ++ survivorRef ++ addedRef
         }
+      val manifests: Seq[ManifestRef] = dataManifests ++ prevDeletes ++ addedDeleteRef
       val newId = latest.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
       // ONE pointer per snapshot in the metadata document: the manifest
       // list (Iceberg's manifest-list layer). Without it each snapshot
@@ -697,9 +816,11 @@ final class LakeTable private[lake] (
       val listName = catalog.writeManifestList(md, manifests)
       val snap = Snapshot(newId, Option(latest.currentSnapshotId).filter(_ >= 0),
         System.currentTimeMillis(), op, listName,
-        fileCount = manifests.map(_.fileCount).sum,
-        totalRecords = manifests.map(_.recordCount).sum,
-        totalSizeBytes = manifests.map(_.sizeBytes).sum,
+        // rollups count DATA only — delete manifests report through the
+        // delete meters (totalDeleteFiles/totalPositionalDeletes)
+        fileCount = dataManifests.map(_.fileCount).sum,
+        totalRecords = dataManifests.map(_.recordCount).sum,
+        totalSizeBytes = dataManifests.map(_.sizeBytes).sum,
         // extraSummary first: the computed builtins (and the ledger
         // stamps, auto-derived from exactlyOnce so EVERY exactly-once
         // commit — append or merge — is attributable to its stream and
@@ -710,7 +831,10 @@ final class LakeTable private[lake] (
             "streaming-batch-id" -> batchId.toString) }.getOrElse(Map.empty)
           ++ Map("added-data-files" -> added.size.toString,
             "removed-data-files" -> removedCount.toString,
-            "added-records" -> added.map(_.recordCount).sum.toString))(io)
+            "added-records" -> added.map(_.recordCount).sum.toString,
+            "added-delete-files" -> addedDeletes.size.toString,
+            "added-position-deletes" ->
+              addedDeletes.map(_.recordCount).sum.toString))(io)
       latest.copy(snapshots = latest.snapshots :+ snap, currentSnapshotId = newId,
         properties = exactlyOnce.fold(latest.properties) { case (sinkId, batchId) =>
           latest.properties + (s"streaming.last-batch-id.$sinkId" -> batchId.toString)
@@ -719,6 +843,10 @@ final class LakeTable private[lake] (
     meta = next
     version = v
     val snap = next.currentSnapshot.get
+    // delete meters from the landed snapshot's delete manifests — real
+    // numbers once deleteWhereMoR has committed tombstones (the
+    // reference surfaces the same meters; its tables keep them at 0)
+    val deleteRefs = snap.manifests.filter(_.content == ManifestRef.Deletes)
     val report = CommitReport(
       tableName = name,
       snapshotId = snap.id,
@@ -727,15 +855,32 @@ final class LakeTable private[lake] (
       addedRecords = added.map(_.recordCount).sum,
       addedFilesSizeInBytes = added.map(_.sizeBytes).sum,
       totalDataFiles = snap.fileCount,
-      totalDeleteFiles = 0L,
+      totalDeleteFiles = deleteRefs.map(_.fileCount).sum,
       totalRecords = snap.totalRecords,
       totalFilesSizeInBytes = snap.totalSizeBytes,
-      totalPositionalDeletes = 0L,
+      totalPositionalDeletes = deleteRefs.map(_.recordCount).sum,
       totalEqualityDeletes = 0L,
       totalDurationMs = (System.nanoTime() - t0) / 1000000L)
     catalog.reporter.report(report)
     report
   }
+}
+
+object LakeTable {
+  /** Positional-delete file schema (Iceberg's position-delete layout):
+    * the coordinates of tombstoned rows — fully-qualified file path as
+    * the parquet reader reports it, and the row's physical index. */
+  private[lake] val DeleteFileSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  /** Temp column names for the MoR anti-join (stripped before return). */
+  private val PosFileCol = "__graft_file_path"
+  private val PosIdxCol = "__graft_row_pos"
+  /** Field-ID keys for delete-file manifest stats — their own namespace
+    * (delete manifests never enter data-predicate pruning). */
+  private val DeleteFieldIds = Map("file_path" -> 1, "pos" -> 2)
 }
 
 /** Builder mirroring the reference's append API shape
@@ -772,19 +917,30 @@ final class LakeScan private[lake] (
       snapshotId = snapshot.map(_.id).getOrElse(-1L),
       filter = pred.render,
       resultDataFiles = survivors.size,
-      resultDeleteFiles = 0L,
+      resultDeleteFiles = deleteFiles.size,
       totalFileSizeInBytes = survivors.map(_.sizeBytes).sum,
       planningDurationMs = (System.nanoTime() - t0) / 1000000L))
     survivors
   }
 
-  /** A11: full scan to DataFrame (the IcebergGenerics.read analog). */
+  /** Positional-delete files this scan must subtract (snapshot-scoped,
+    * so time travel sees exactly the tombstones its snapshot had). */
+  private def deleteFiles: Seq[DataFileEntry] =
+    snapshot.map(_.deleteFiles).getOrElse(Nil)
+
+  /** A11: full scan to DataFrame (the IcebergGenerics.read analog).
+    * Merge-on-read: live tombstones subtract via a broadcast anti-join;
+    * a table with no delete files reads the plain vectorized path. */
   def toDF(spark: SparkSession): DataFrame = {
     val files = planFiles
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), table.schema)
     else
-      table.readFiles(spark, files.map(_.path))
+      table.readLive(spark, files.map(_.path), deleteFiles)
         .filter(pred.toColumn)
   }
+
+  /** Does this scan's snapshot carry live positional deletes? (The SQL
+    * read path cannot subtract them and must refuse loudly.) */
+  private[lake] def hasLiveDeletes: Boolean = deleteFiles.nonEmpty
 }

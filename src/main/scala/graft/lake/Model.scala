@@ -100,12 +100,23 @@ final case class DataFileEntry(
     specId: Int = 0)
 
 /** Pointer to one immutable manifest document plus the rollup counts
-  * file planning needs WITHOUT loading it (totals, live-file count). */
+  * file planning needs WITHOUT loading it (totals, live-file count).
+  * `content` separates DATA manifests from positional-DELETE manifests
+  * (Iceberg's manifest content type): delete manifests list parquet
+  * files of (file_path, pos) tombstones that merge-on-read scans
+  * subtract, and they are excluded from data-file planning, rollups,
+  * and conflict validation. */
 final case class ManifestRef(
     name: String, // document name under metadata/, e.g. manifest-<uuid>.json
     fileCount: Long,
     recordCount: Long,
-    sizeBytes: Long)
+    sizeBytes: Long,
+    content: String = ManifestRef.Data)
+
+object ManifestRef {
+  val Data = "data"
+  val Deletes = "deletes"
+}
 
 /** Resolves the immutable manifest-layer documents (manifest lists and
   * manifests) behind a snapshot — implemented by the catalog with a
@@ -133,9 +144,19 @@ final case class Snapshot(
     summary: Map[String, String])(
     io: ManifestIO) {
   lazy val manifests: Seq[ManifestRef] = io.readList(manifestList)
-  /** Complete live manifest at this snapshot (lazy: union of the
-    * referenced manifest documents; each loads once per process). */
-  lazy val files: Seq[DataFileEntry] = manifests.flatMap(m => io.readManifest(m.name))
+  /** Complete live DATA manifest at this snapshot (lazy: union of the
+    * referenced data manifest documents; each loads once per process).
+    * Positional-delete manifests are deliberately excluded — every
+    * existing caller (scans, CoW planning, CDC, orphan data sweep)
+    * means "data files" by this. */
+  lazy val files: Seq[DataFileEntry] =
+    manifests.filter(_.content == ManifestRef.Data)
+      .flatMap(m => io.readManifest(m.name))
+  /** Live positional-delete files at this snapshot: parquet files of
+    * (file_path, pos) tombstones a merge-on-read scan subtracts. */
+  lazy val deleteFiles: Seq[DataFileEntry] =
+    manifests.filter(_.content == ManifestRef.Deletes)
+      .flatMap(m => io.readManifest(m.name))
 }
 
 final case class TableMetadata(
@@ -282,7 +303,8 @@ object MetadataJson {
   def writeManifestList(refs: Seq[ManifestRef]): String =
     refs.map(m =>
       s"""{"name":${q(m.name)},"fileCount":${m.fileCount},""" +
-        s""""recordCount":${m.recordCount},"sizeBytes":${m.sizeBytes}}""")
+        s""""recordCount":${m.recordCount},"sizeBytes":${m.sizeBytes},""" +
+        s""""content":${q(m.content)}}""")
       .mkString("""{"manifests":[""", ",", "]}")
 
   def readManifestList(json: String): Seq[ManifestRef] =
@@ -290,7 +312,9 @@ object MetadataJson {
       name = m.get("name").asText(),
       fileCount = m.get("fileCount").asLong(),
       recordCount = m.get("recordCount").asLong(),
-      sizeBytes = m.get("sizeBytes").asLong())).toSeq
+      sizeBytes = m.get("sizeBytes").asLong(),
+      content = Option(m.get("content")).map(_.asText())
+        .getOrElse(ManifestRef.Data))).toSeq
 
   private def asStrMap(n: JsonNode): Map[String, String] =
     n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap

@@ -416,6 +416,16 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
         case Some(id) => lt.asOf(id, pred)
         case None => lt.newScan(pred)
       }
+      // the SQL path hands surviving file paths straight to Spark's
+      // parquet source, which cannot subtract positional tombstones —
+      // refuse loudly rather than resurrect MoR-deleted rows (the Scala
+      // API reads them correctly; compact() materializes the deletes
+      // and unblocks SQL)
+      if (scan.hasLiveDeletes)
+        throw new UnsupportedOperationException(
+          s"${lt.name} carries live positional delete files; SQL scans do " +
+            "not apply merge-on-read tombstones — run compact() to " +
+            "materialize them, or read through the Scala API")
       mkParquetTable(scan.planFiles.map(_.path))
         .newScanBuilder(options)
         .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]

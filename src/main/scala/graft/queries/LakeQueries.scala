@@ -101,6 +101,20 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Merge-on-read delete: positional tombstones instead of rewrites —
+    * the data files survive byte-identical; the scan subtracts the
+    * (file_path, pos) coordinates with a broadcast anti-join. Same
+    * oracle shape as the CoW delete, so the gate proves both write
+    * strategies produce identical answers. */
+  def lakeDeleteMor(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_mor", src.schema)
+    t.appendData(src, numFiles = 4)
+    t.refresh().deleteWhereMoR(s, LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Copy-on-write delete: rows vanish, untouched files survive. */
   def lakeDeleteCow(s: SparkSession, d: String): DataFrame = {
     val src = orders(s, d)
@@ -328,6 +342,7 @@ object LakeQueries {
     "lake_prune" -> lakePrune,
     "lake_compact" -> lakeCompact,
     "lake_delete_cow" -> lakeDeleteCow,
+    "lake_delete_mor" -> lakeDeleteMor,
     "lake_update_cow" -> lakeUpdateCow,
     "lake_merge_upsert" -> lakeMergeUpsert,
   )
@@ -395,6 +410,8 @@ object LakeQueries {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "lake_compact" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_delete_cow" ->
+      "SELECT * FROM orders WHERE NOT (o_totalprice >= 400000.0) ORDER BY o_orderkey",
+    "lake_delete_mor" ->
       "SELECT * FROM orders WHERE NOT (o_totalprice >= 400000.0) ORDER BY o_orderkey",
     "lake_merge_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
