@@ -133,39 +133,93 @@ final class LakeTable private[lake] (
         col("_metadata.row_index").as(LakeTable.PosIdxCol)): _*)
   }
 
-  /** MoR-filtered read that KEEPS the position columns (the delete op
-    * needs surviving rows' coordinates). The delete side is tiny
-    * relative to the data (it holds only deleted coordinates), so Spark
-    * broadcasts the anti-join — no shuffle of the data side at any
-    * scale. */
-  private def readLivePos(spark: SparkSession, paths: Seq[String],
-      deletes: Seq[DataFileEntry]): DataFrame = {
+  /** MoR-filtered read that KEEPS the position columns (the positional
+    * delete op needs surviving rows' coordinates). Both tombstone kinds
+    * subtract here; each delete side is tiny relative to the data (it
+    * holds only deleted coordinates / key values), so Spark broadcasts
+    * the anti-joins — no shuffle of the data side at any scale. */
+  private def readLivePos(spark: SparkSession, files: Seq[DataFileEntry],
+      posDeletes: Seq[DataFileEntry], eqDeletes: Seq[DataFileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
-    val withPos = readFilesWithPos(spark, paths)
-    if (deletes.isEmpty) withPos
-    else {
+    var df = readFilesWithPos(spark, files.map(_.path))
+    if (posDeletes.nonEmpty) {
       val tombstones = spark.read.schema(LakeTable.DeleteFileSchema)
-        .parquet(deletes.map(_.path): _*)
-      withPos.join(broadcast(tombstones),
+        .parquet(posDeletes.map(_.path): _*)
+      df = df.join(broadcast(tombstones),
         col(LakeTable.PosFileCol) === col("file_path") &&
           col(LakeTable.PosIdxCol) === col("pos"),
         "left_anti")
     }
+    if (eqDeletes.nonEmpty) df = applyEqDeletes(spark, df, files, eqDeletes)
+    df
   }
 
-  /** Merge-on-read: rows of `paths` minus the positions `deletes`
-    * tombstones. No live deletes = the plain vectorized read, zero
-    * overhead. Every read of committed table data — scans, CoW
-    * rewrites, compaction, CDC — goes through here; a raw readFiles of
-    * live files would resurrect deleted rows. */
-  private[lake] def readLive(spark: SparkSession, paths: Seq[String],
-      deletes: Seq[DataFileEntry]): DataFrame =
-    if (deletes.isEmpty) readFiles(spark, paths)
+  /** Equality tombstones (Iceberg v2 semantics): a key VALUE written at
+    * sequence number S deletes every same-key row in data files with
+    * seq STRICTLY BELOW S — rows committed with or after the tombstone
+    * are untouched, which is what lets a MoR upsert ship replacements
+    * and tombstones in one commit. Keys are FIELD-ID addressed: the
+    * tombstone parquet carries field IDs and is read through the same
+    * ID-matching path as data, so column renames never detach live
+    * tombstones. Applied per distinct key set as a broadcast anti-join
+    * with the seq comparison in the join condition. */
+  private def applyEqDeletes(spark: SparkSession, withPos: DataFrame,
+      files: Seq[DataFileEntry], eqDeletes: Seq[DataFileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    // per-row data sequence number: file path -> seq, a tiny broadcast
+    val seqRows = files.map(f => Row(f.path, f.seq))
+    val seqDf = spark.createDataFrame(
+      new java.util.ArrayList[Row](seqRows.asJava),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField("__graft_seq_path",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField(LakeTable.DataSeqCol,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val idToName = meta.fieldIds.map(_.swap)
+    val idSchema = meta.schemaWithFieldIds
+    var df = withPos.join(broadcast(seqDf),
+      col(LakeTable.PosFileCol) === col("__graft_seq_path"), "left")
+      .drop("__graft_seq_path")
+    eqDeletes.groupBy(_.eqFieldIds).foreach { case (ids, entries) =>
+      val names = ids.map(id => idToName.getOrElse(id,
+        throw new IllegalStateException(
+          s"equality-delete key field id $id resolves to no current column of " +
+            s"$name — the keyed column was dropped while tombstones were live")))
+      // ID-carrying requested schema: pre-rename tombstone files resolve
+      // their key columns exactly like pre-rename data files do
+      val reqSchema = StructType(names.map(n => idSchema(idSchema.fieldIndex(n))))
+      val session = org.apache.spark.sql.graftbridge.SessionBridge
+        .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
+      val tomb = entries.map { e =>
+        session.read.schema(reqSchema).parquet(e.path)
+          .select(names.map(n => col(n).as(s"__eq_$n")): _*)
+          .withColumn(LakeTable.EqSeqCol, lit(e.seq))
+      }.reduce(_.unionByName(_))
+      val dataSide = df
+      val cond = names.map(n => dataSide(n) === tomb(s"__eq_$n"))
+        .reduce(_ && _) && tomb(LakeTable.EqSeqCol) > dataSide(LakeTable.DataSeqCol)
+      df = dataSide.join(broadcast(tomb), cond, "left_anti")
+    }
+    df.drop(LakeTable.DataSeqCol)
+  }
+
+  /** Merge-on-read: rows of `files` minus what the snapshot's
+    * positional and equality tombstones delete. No live deletes = the
+    * plain vectorized read, zero overhead. Every read of committed
+    * table data — scans, CoW rewrites, compaction, CDC — goes through
+    * here; a raw readFiles of live files would resurrect deleted
+    * rows. */
+  private[lake] def readLive(spark: SparkSession, files: Seq[DataFileEntry],
+      snap: Option[Snapshot]): DataFrame = {
+    val pos = snap.map(_.deleteFiles).getOrElse(Nil)
+    val eqs = snap.map(_.eqDeleteFiles).getOrElse(Nil)
+    if (pos.isEmpty && eqs.isEmpty) readFiles(spark, files.map(_.path))
     else {
       import org.apache.spark.sql.functions.col
-      readLivePos(spark, paths, deletes)
+      readLivePos(spark, files, pos, eqs)
         .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)): _*)
     }
+  }
 
   /** A9: append commit — newAppend().appendData(df).commit(). */
   def newAppend(): AppendOp = new AppendOp(this)
@@ -288,6 +342,11 @@ final class LakeTable private[lake] (
               s"$colName is a partition source")
             require(!m.sortOrder.contains(colName),
               s"$colName is a write-order column; clear it with setWriteOrder first")
+            // live equality tombstones key on this column's field ID;
+            // dropping it would detach them and resurrect deleted rows
+            require(!m.fieldIds.get(colName).exists(id =>
+              m.currentSnapshot.exists(_.eqDeleteFiles.exists(_.eqFieldIds.contains(id)))),
+              s"$colName keys live equality-delete files; compact() first")
             m.copy(
               schema = org.apache.spark.sql.types.StructType(
                 m.schema.fields.filterNot(_.name == colName)),
@@ -354,13 +413,12 @@ final class LakeTable private[lake] (
   def compact(spark: SparkSession, targetFiles: Int,
       conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
     val live = meta.currentFiles
-    val deletes = meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
     if (live.isEmpty) commitSnapshot("replace", Nil, Nil, dropDeletes = true)
     else {
       // MoR deletes MATERIALIZE here: the rewrite reads tombstone-
       // filtered rows and the delete manifests retire with the files
       // they referenced (dropDeletes) — delete meters return to 0
-      val df = readLive(spark, live.map(_.path), deletes)
+      val df = readLive(spark, live, meta.currentSnapshot)
       // numFiles goes through writeDataFiles so the partitioned path uses
       // repartitionByRange(targetFiles, spec) — a bare repartition here
       // would be re-shuffled to the default partition count by the spec
@@ -387,8 +445,8 @@ final class LakeTable private[lake] (
         (small.map(_.sizeBytes).sum / smallBytes).toInt)
       // tombstones applied to the rewritten subset; delete manifests
       // survive (they may still reference files this pass keeps)
-      val added = writeDataFiles(readLive(spark, small.map(_.path),
-        meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)), numFiles = target)
+      val added = writeDataFiles(readLive(spark, small, meta.currentSnapshot),
+        numFiles = target)
       Some(commitSnapshot("replace", added, small))
     }
   }
@@ -429,8 +487,7 @@ final class LakeTable private[lake] (
     else {
       // NULL predicate rows must be KEPT (SQL delete semantics: only
       // TRUE deletes) — a bare !pred would drop them
-      val kept = readLive(spark, touched.map(_.path),
-          meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil))
+      val kept = readLive(spark, touched, meta.currentSnapshot)
         .filter(!org.apache.spark.sql.functions.coalesce(pred.toColumn,
           org.apache.spark.sql.functions.lit(false)))
       val added = writeDataFiles(kept)
@@ -455,14 +512,16 @@ final class LakeTable private[lake] (
     import org.apache.spark.sql.{functions => F}
     val base = meta.currentSnapshotId
     val live = meta.currentFiles
-    val priorDeletes = meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil)
+    val snap = meta.currentSnapshot
     val touched = live.filter(pred.mayMatch(_, meta))
     if (touched.isEmpty)
       commitSnapshot("delete", Nil, Nil, validateAddedSince = Some((base, pred)))
     else {
       // coordinates of rows matching pred — read MoR-filtered, so rows
       // already tombstoned by an earlier delete are not re-recorded
-      val matched = readLivePos(spark, touched.map(_.path), priorDeletes)
+      val matched = readLivePos(spark, touched,
+          snap.map(_.deleteFiles).getOrElse(Nil),
+          snap.map(_.eqDeleteFiles).getOrElse(Nil))
         .filter(F.coalesce(pred.toColumn, F.lit(false)))
         .select(F.col(LakeTable.PosFileCol).as("file_path"),
           F.col(LakeTable.PosIdxCol).as("pos"))
@@ -505,8 +564,7 @@ final class LakeTable private[lake] (
       spark.createDataFrame(new java.util.ArrayList[Row](), schema)
     // current tombstones apply to the changed files too: the feed must
     // not deliver rows a later MoR delete already removed
-    else readLive(spark, added.map(_.path),
-      meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil))
+    else readLive(spark, added, meta.currentSnapshot)
   }
 
   /** Keyed MERGE (upsert): source rows replace same-key rows, unmatched
@@ -570,8 +628,7 @@ final class LakeTable private[lake] (
         val touched = live.filter(pred.mayMatch(_, meta))
         val kept =
           if (touched.isEmpty) src.limit(0)
-          else readLive(spark, touched.map(_.path),
-              meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil))
+          else readLive(spark, touched, meta.currentSnapshot)
             .join(src.select(keys.map(F.col): _*), keys, "left_anti")
         val added = writeDataFiles(kept.unionByName(src))
         // serializable: a racing append inside the key bounds would leave
@@ -580,6 +637,82 @@ final class LakeTable private[lake] (
           validateAddedSince = Some((base, pred)), exactlyOnce = exactlyOnce)
       }
     } finally src.unpersist(blocking = false)
+  }
+
+  /** MERGE-ON-READ keyed upsert (the Flink-into-Iceberg CDC shape):
+    * ONE commit ships the source rows as new data files AND an
+    * equality-delete file of their keys — the table is never read, so
+    * the write cost is O(source) regardless of table size, where the
+    * copy-on-write [[mergeInto]] rewrites every key-overlapping file.
+    * Old same-key rows die by seq comparison at read time (tombstones
+    * apply only to data files with strictly smaller seq, so this
+    * commit's own rows survive its own tombstones); [[compact]]
+    * materializes the state back into clean files.
+    *
+    * Needs NO conflict validation: two racing MoR upserts both land,
+    * and whichever commits later holds the larger seq — its tombstones
+    * beat the earlier rows, exactly the serial order the CAS decided.
+    * Source contract as for [[mergeInto]] (table schema, distinct
+    * non-NULL keys — reduce a versioned feed upstream). */
+  def mergeIntoMoR(spark: SparkSession, source: DataFrame, keys: Seq[String],
+      exactlyOnce: Option[(String, Long)] = None): CommitReport = {
+    import org.apache.spark.sql.{functions => F}
+    require(keys.nonEmpty && keys.forall(schema.fieldNames.contains), s"bad merge keys $keys")
+    require(source.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+      schema.fields.map(f => (f.name, f.dataType))),
+      s"merge source schema mismatch: ${source.schema.simpleString}")
+    val src = source.persist()
+    try {
+      val aggs = Seq(F.count(F.lit(1)),
+        F.sum(keys.map(k => F.when(F.col(k).isNull, 1L).otherwise(0L)).reduce(_ + _)),
+        F.count_distinct(F.struct(keys.map(F.col): _*)))
+      val row = src.agg(aggs.head, aggs.tail: _*).head()
+      val nRows = row.getLong(0)
+      if (nRows == 0L) commitSnapshot("overwrite", Nil, Nil, exactlyOnce = exactlyOnce)
+      else {
+        if (row.getLong(1) > 0L)
+          throw new IllegalArgumentException(
+            s"merge source has ${row.getLong(1)} NULL merge-key value(s) in $keys — " +
+              "NULL keys cannot match and would duplicate rows")
+        if (row.getLong(2) < nRows)
+          throw new IllegalArgumentException(
+            s"merge source has ${nRows - row.getLong(2)} duplicate merge-key row(s) " +
+              s"in $keys — which row wins is undefined; reduce the source to one " +
+              "row per key first (e.g. last-write-wins on a version column)")
+        val added = writeDataFiles(src)
+        // the tombstone parquet carries the keys' FIELD IDS, read back
+        // through the same ID-matching path as data — renames never
+        // detach live tombstones
+        val idSchema = meta.schemaWithFieldIds
+        val dir = s"$location/data/${UUID.randomUUID}"
+        org.apache.spark.sql.graftbridge.SessionBridge
+          .withConfs(
+            src.select(keys.map(k =>
+              src.col(k).as(k, idSchema(idSchema.fieldIndex(k)).metadata)): _*),
+            Map(
+              "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+              "spark.sql.parquet.fieldId.write.enabled" -> "true"))
+          .write.parquet(dir)
+        val keySchema = StructType(keys.map(k => schema(schema.fieldIndex(k))).toArray)
+        val eqEntries = StatsHarvester
+          .harvest(spark, dir, keySchema, Nil, meta.fieldIds.view.filterKeys(keys.contains).toMap)
+          .filter(_.recordCount > 0L)
+          .map(_.copy(eqFieldIds = keys.map(meta.fieldIds)))
+        commitSnapshot("overwrite", added, Nil,
+          addedEqDeletes = eqEntries, exactlyOnce = exactlyOnce)
+      }
+    } finally src.unpersist(blocking = false)
+  }
+
+  /** Exactly-once streaming twin of [[mergeIntoMoR]] — same (sinkId,
+    * batchId) ledger and in-CAS decisive check as the other sinks. */
+  def mergeIntoMoRExactlyOnce(spark: SparkSession, source: DataFrame,
+      keys: Seq[String], sinkId: String, batchId: Long): Option[CommitReport] = {
+    refresh()
+    if (lastCommittedBatchId(sinkId).exists(_ >= batchId)) None
+    else
+      try Some(mergeIntoMoR(spark, source, keys, exactlyOnce = Some((sinkId, batchId))))
+      catch { case _: BatchAlreadyCommitted => None }
   }
 
   /** Copy-on-write update: rewrite matching rows with the assignments. */
@@ -592,8 +725,7 @@ final class LakeTable private[lake] (
     if (touched.isEmpty)
       commitSnapshot("overwrite", Nil, Nil, validateAddedSince = Some((base, pred)))
     else {
-      val df = readLive(spark, touched.map(_.path),
-        meta.currentSnapshot.map(_.deleteFiles).getOrElse(Nil))
+      val df = readLive(spark, touched, meta.currentSnapshot)
       val rewritten = assignments.foldLeft(df) { case (acc, (c, v)) =>
         acc.withColumn(c, org.apache.spark.sql.functions.when(pred.toColumn, v)
           .otherwise(org.apache.spark.sql.functions.col(c)))
@@ -653,7 +785,8 @@ final class LakeTable private[lake] (
     // delete files live under data/ as parquet too — a surviving
     // snapshot's tombstones are as referenced as its data
     val referenced = meta.snapshots
-      .flatMap(s => (s.files ++ s.deleteFiles).map(f => norm(f.path))).toSet
+      .flatMap(s => (s.files ++ s.deleteFiles ++ s.eqDeleteFiles)
+        .map(f => norm(f.path))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val removed = scala.collection.mutable.Buffer.empty[String]
     // Hadoop FileSystem walk: one code path for plain, file:// and
@@ -696,8 +829,10 @@ final class LakeTable private[lake] (
   }
 
   /** Commit a snapshot under the LAYERED metadata protocol: the added
-    * files are written ONCE as an immutable manifest document (outside
-    * the CAS loop — identical across retries), untouched manifests are
+    * files are written as ONE immutable manifest document per attempt
+    * (inside the transform, so entries carry the winning snapshot id as
+    * their data sequence number; a rare lost race orphans a document
+    * that removeOrphanFiles reclaims), untouched manifests are
     * carried by reference, and only manifests that lose files to this
     * op are rewritten. The metadata document therefore grows with the
     * SNAPSHOT LOG, never with the file count — a pure append writes
@@ -723,16 +858,30 @@ final class LakeTable private[lake] (
       extraSummary: Map[String, String] = Map.empty,
       exactlyOnce: Option[(String, Long)] = None,
       addedDeletes: Seq[DataFileEntry] = Nil,
+      addedEqDeletes: Seq[DataFileEntry] = Nil,
       dropDeletes: Boolean = false): CommitReport = {
     val t0 = System.nanoTime()
     val removedPaths = removed.map(_.path).toSet
     var removedCount = removed.size.toLong // replaceAll: resolved in the transform
     val md = catalog.metadataDir(namespace, shortName)
     val io = catalog.manifestIO(md)
-    val addedRef = if (added.nonEmpty) Some(catalog.writeManifest(md, added)) else None
-    val addedDeleteRef = if (addedDeletes.nonEmpty)
-      Some(catalog.writeManifest(md, addedDeletes, ManifestRef.Deletes)) else None
     val (next, v, attempts) = catalog.commit(namespace, shortName) { latest =>
+      // The new snapshot's id doubles as the DATA SEQUENCE NUMBER
+      // stamped on every entry this commit adds — which is why the
+      // added manifests are written inside the transform (a lost CAS
+      // race re-stamps under the retry's id; the loser's documents are
+      // orphans removeOrphanFiles reclaims, same as rewritten data
+      // files). Equality deletes apply to seq strictly below their own,
+      // so a MoR upsert's own data files escape its own tombstones.
+      val newId = latest.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+      val addedRef = if (added.nonEmpty)
+        Some(catalog.writeManifest(md, added.map(_.copy(seq = newId)))) else None
+      val addedDeleteRef = if (addedDeletes.nonEmpty)
+        Some(catalog.writeManifest(md, addedDeletes.map(_.copy(seq = newId)),
+          ManifestRef.Deletes)) else None
+      val addedEqDeleteRef = if (addedEqDeletes.nonEmpty)
+        Some(catalog.writeManifest(md, addedEqDeletes.map(_.copy(seq = newId)),
+          ManifestRef.EqDeletes)) else None
       // Exactly-once ledger check INSIDE the CAS transform: a zombie
       // driver racing a replacement both pass any pre-check, but the
       // loser's CAS retry re-runs this transform against the winner's
@@ -750,7 +899,7 @@ final class LakeTable private[lake] (
       val prev = prevAll.filter(_.content == ManifestRef.Data)
       val prevDeletes =
         if (dropDeletes || replaceAll) Nil
-        else prevAll.filter(_.content == ManifestRef.Deletes)
+        else prevAll.filter(_.content != ManifestRef.Data)
       // Serializable validation: any file added since the base snapshot
       // whose stats overlap the op's predicate conflicts (conservative —
       // mayMatch can only over-approximate, so no conflict is missed).
@@ -807,8 +956,8 @@ final class LakeTable private[lake] (
             if (survivors.nonEmpty) Some(catalog.writeManifest(md, survivors)) else None
           untouched ++ survivorRef ++ addedRef
         }
-      val manifests: Seq[ManifestRef] = dataManifests ++ prevDeletes ++ addedDeleteRef
-      val newId = latest.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+      val manifests: Seq[ManifestRef] =
+        dataManifests ++ prevDeletes ++ addedDeleteRef ++ addedEqDeleteRef
       // ONE pointer per snapshot in the metadata document: the manifest
       // list (Iceberg's manifest-list layer). Without it each snapshot
       // entry would embed refs to every live manifest, and the log would
@@ -832,9 +981,11 @@ final class LakeTable private[lake] (
           ++ Map("added-data-files" -> added.size.toString,
             "removed-data-files" -> removedCount.toString,
             "added-records" -> added.map(_.recordCount).sum.toString,
-            "added-delete-files" -> addedDeletes.size.toString,
+            "added-delete-files" -> (addedDeletes.size + addedEqDeletes.size).toString,
             "added-position-deletes" ->
-              addedDeletes.map(_.recordCount).sum.toString))(io)
+              addedDeletes.map(_.recordCount).sum.toString,
+            "added-equality-deletes" ->
+              addedEqDeletes.map(_.recordCount).sum.toString))(io)
       latest.copy(snapshots = latest.snapshots :+ snap, currentSnapshotId = newId,
         properties = exactlyOnce.fold(latest.properties) { case (sinkId, batchId) =>
           latest.properties + (s"streaming.last-batch-id.$sinkId" -> batchId.toString)
@@ -846,7 +997,8 @@ final class LakeTable private[lake] (
     // delete meters from the landed snapshot's delete manifests — real
     // numbers once deleteWhereMoR has committed tombstones (the
     // reference surfaces the same meters; its tables keep them at 0)
-    val deleteRefs = snap.manifests.filter(_.content == ManifestRef.Deletes)
+    val deleteRefs = snap.manifests.filter(_.content != ManifestRef.Data)
+    val eqRefs = snap.manifests.filter(_.content == ManifestRef.EqDeletes)
     val report = CommitReport(
       tableName = name,
       snapshotId = snap.id,
@@ -858,8 +1010,9 @@ final class LakeTable private[lake] (
       totalDeleteFiles = deleteRefs.map(_.fileCount).sum,
       totalRecords = snap.totalRecords,
       totalFilesSizeInBytes = snap.totalSizeBytes,
-      totalPositionalDeletes = deleteRefs.map(_.recordCount).sum,
-      totalEqualityDeletes = 0L,
+      totalPositionalDeletes = deleteRefs.filter(_.content == ManifestRef.Deletes)
+        .map(_.recordCount).sum,
+      totalEqualityDeletes = eqRefs.map(_.recordCount).sum,
       totalDurationMs = (System.nanoTime() - t0) / 1000000L)
     catalog.reporter.report(report)
     report
@@ -875,9 +1028,11 @@ object LakeTable {
       org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType, nullable = false)))
-  /** Temp column names for the MoR anti-join (stripped before return). */
+  /** Temp column names for the MoR anti-joins (stripped before return). */
   private val PosFileCol = "__graft_file_path"
   private val PosIdxCol = "__graft_row_pos"
+  private val DataSeqCol = "__graft_data_seq"
+  private val EqSeqCol = "__eq_seq"
   /** Field-ID keys for delete-file manifest stats — their own namespace
     * (delete manifests never enter data-predicate pruning). */
   private val DeleteFieldIds = Map("file_path" -> 1, "pos" -> 2)
@@ -923,24 +1078,25 @@ final class LakeScan private[lake] (
     survivors
   }
 
-  /** Positional-delete files this scan must subtract (snapshot-scoped,
-    * so time travel sees exactly the tombstones its snapshot had). */
+  /** Tombstone files this scan must subtract — positional + equality
+    * (snapshot-scoped, so time travel sees exactly the tombstones its
+    * snapshot had). */
   private def deleteFiles: Seq[DataFileEntry] =
-    snapshot.map(_.deleteFiles).getOrElse(Nil)
+    snapshot.map(s => s.deleteFiles ++ s.eqDeleteFiles).getOrElse(Nil)
 
   /** A11: full scan to DataFrame (the IcebergGenerics.read analog).
-    * Merge-on-read: live tombstones subtract via a broadcast anti-join;
+    * Merge-on-read: live tombstones subtract via broadcast anti-joins;
     * a table with no delete files reads the plain vectorized path. */
   def toDF(spark: SparkSession): DataFrame = {
     val files = planFiles
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[Row](), table.schema)
     else
-      table.readLive(spark, files.map(_.path), deleteFiles)
+      table.readLive(spark, files, snapshot)
         .filter(pred.toColumn)
   }
 
-  /** Does this scan's snapshot carry live positional deletes? (The SQL
-    * read path cannot subtract them and must refuse loudly.) */
+  /** Does this scan's snapshot carry live tombstones? (The SQL read
+    * path cannot subtract them and must refuse loudly.) */
   private[lake] def hasLiveDeletes: Boolean = deleteFiles.nonEmpty
 }

@@ -97,7 +97,18 @@ final case class DataFileEntry(
     // were derived under — files written before a spec evolution keep
     // pruning under THEIR OWN spec (Iceberg's spec-id-per-manifest-entry
     // design), and a spec evolution is a pure metadata commit
-    specId: Int = 0)
+    specId: Int = 0,
+    // data sequence number (Iceberg v2): the snapshot id of the commit
+    // that ADDED this file. An equality-delete file tombstones rows of
+    // data files with STRICTLY SMALLER seq — data landing in the same
+    // or a later commit is untouched, which is what lets a MoR upsert
+    // write its replacement rows and its tombstones in one commit.
+    // Pre-seq entries read back 0 = "older than every delete" (safe).
+    seq: Long = 0L,
+    // for equality-delete entries only: the FIELD IDS of the key
+    // columns this file tombstones on (rename-proof, like everything
+    // else in the manifest); empty for data and positional entries
+    eqFieldIds: Seq[Int] = Nil)
 
 /** Pointer to one immutable manifest document plus the rollup counts
   * file planning needs WITHOUT loading it (totals, live-file count).
@@ -115,7 +126,8 @@ final case class ManifestRef(
 
 object ManifestRef {
   val Data = "data"
-  val Deletes = "deletes"
+  val Deletes = "deletes" // positional (file_path, pos) tombstones
+  val EqDeletes = "eq-deletes" // key-value tombstones, seq-scoped
 }
 
 /** Resolves the immutable manifest-layer documents (manifest lists and
@@ -156,6 +168,11 @@ final case class Snapshot(
     * (file_path, pos) tombstones a merge-on-read scan subtracts. */
   lazy val deleteFiles: Seq[DataFileEntry] =
     manifests.filter(_.content == ManifestRef.Deletes)
+      .flatMap(m => io.readManifest(m.name))
+  /** Live equality-delete files: parquet files of key VALUES that
+    * tombstone every same-key row in data files with smaller seq. */
+  lazy val eqDeleteFiles: Seq[DataFileEntry] =
+    manifests.filter(_.content == ManifestRef.EqDeletes)
       .flatMap(m => io.readManifest(m.name))
 }
 
@@ -266,7 +283,8 @@ object MetadataJson {
     s"""{"path":${q(f.path)},"recordCount":${f.recordCount},"sizeBytes":${f.sizeBytes},""" +
       s""""minValues":${strMap(f.minValues)},"maxValues":${strMap(f.maxValues)},""" +
       s""""nullCounts":${longMap(f.nullCounts)},"partitionValues":${strMap(f.partitionValues)},""" +
-      s""""specId":${f.specId}}"""
+      s""""specId":${f.specId},"seq":${f.seq},""" +
+      s""""eqFieldIds":${f.eqFieldIds.mkString("[", ",", "]")}}"""
 
   private def snapshotJson(s: Snapshot): String =
     s"""{"id":${s.id},"parentId":${s.parentId.map(_.toString).getOrElse("null")},""" +
@@ -330,7 +348,10 @@ object MetadataJson {
     maxValues = asStrMap(n.get("maxValues")),
     nullCounts = asLongMap(n.get("nullCounts")),
     partitionValues = asStrMap(n.get("partitionValues")),
-    specId = Option(n.get("specId")).map(_.asInt()).getOrElse(0))
+    specId = Option(n.get("specId")).map(_.asInt()).getOrElse(0),
+    seq = Option(n.get("seq")).map(_.asLong()).getOrElse(0L),
+    eqFieldIds = Option(n.get("eqFieldIds"))
+      .map(_.elements().asScala.map(_.asInt()).toSeq).getOrElse(Nil))
 
   private def parseSpec(n: JsonNode): Seq[PartitionField] =
     n.elements().asScala

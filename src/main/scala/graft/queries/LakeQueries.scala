@@ -140,6 +140,23 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Merge-on-read keyed upsert: ONE commit of the source rows + an
+    * equality tombstone of their keys — the table itself is never read
+    * (O(source) at any table size, the CDC-at-100TB shape). Mirrors
+    * [[lakeMergeUpsert]] exactly so the same oracle proves the MoR and
+    * CoW strategies produce identical answers. */
+  def lakeMergeMor(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_mgmor", src.schema)
+    t.appendData(src, numFiles = 4)
+    val tenth = src.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = tenth.withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+    t.refresh().mergeIntoMoR(s, tenth.unionByName(inserts), Seq("o_orderkey"))
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Copy-on-write update: targeted rewrite of matching rows. */
   def lakeUpdateCow(s: SparkSession, d: String): DataFrame = {
     val src = orders(s, d)
@@ -345,6 +362,7 @@ object LakeQueries {
     "lake_delete_mor" -> lakeDeleteMor,
     "lake_update_cow" -> lakeUpdateCow,
     "lake_merge_upsert" -> lakeMergeUpsert,
+    "lake_merge_mor" -> lakeMergeMor,
   )
 
   val oracles: Map[String, String] = Map(
@@ -428,5 +446,16 @@ object LakeQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         |  CASE WHEN o_orderstatus = 'F' THEN '0-REWRITTEN' ELSE o_orderpriority END AS o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_merge_mor" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+        |  o_totalprice * 2, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

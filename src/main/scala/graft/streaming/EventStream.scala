@@ -168,7 +168,9 @@ object EventStream {
   def lakeUpsertSink(df: DataFrame, table: graft.lake.LakeTable,
       keys: Seq[String],
       checkpointDir: String,
-      orderBy: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      orderBy: Option[String] = None,
+      strategy: String = "cow"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(strategy == "cow" || strategy == "mor", s"unknown upsert strategy $strategy")
     val sinkId = sinkIdFor(df.sparkSession, checkpointDir)
     df.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -179,7 +181,15 @@ object EventStream {
           case Some(versionCol) => latestPerKey(b, keys, versionCol)
           case None => b
         }
-        table.mergeIntoExactlyOnce(batch.sparkSession, reduced, keys, sinkId, batchId)
+        // "mor" = merge-on-read upsert: each batch writes O(batch) —
+        // data + equality tombstones, never reading the table — the
+        // sustainable shape for a high-rate CDC stream into a huge
+        // table; schedule compact() to fold tombstones down. "cow"
+        // rewrites key-overlapping files: zero read overhead after.
+        if (strategy == "mor")
+          table.mergeIntoMoRExactlyOnce(batch.sparkSession, reduced, keys, sinkId, batchId)
+        else
+          table.mergeIntoExactlyOnce(batch.sparkSession, reduced, keys, sinkId, batchId)
         ()
       })
       .start()

@@ -168,6 +168,30 @@ class StreamingSpec extends LakeSuite {
     assert(t.refresh().newScan().toDF(spark).count() === staticEvents.count())
   }
 
+  test("streaming upsert sink, merge-on-read strategy: O(batch) commits, same answers") {
+    import graft.lake.LakeCatalog
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "upsert_mor", staticEvents.schema)
+    t.appendData(staticEvents.withColumn("value", lit(0.0))) // seed to overwrite
+    val seeded = t.refresh().metadata.currentFiles.map(_.path).toSet
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mor_ckpt_").toString
+    val q = EventStream.lakeUpsertSink(
+      spark.readStream.schema(staticEvents.schema).parquet(stagedDir),
+      t, Seq("event_id"), ckpt, strategy = "mor")
+    try q.processAllAvailable() finally q.stop()
+    // merge-on-read: the seed files were never rewritten...
+    assert(seeded.subsetOf(t.refresh().metadata.currentFiles.map(_.path).toSet))
+    // ...yet every key reads back its streamed (non-zero) value
+    assert(t.newScan().toDF(spark).count() === staticEvents.count())
+    val sumBefore = staticEvents.agg(round(sum(col("value")), 2)).head.getDouble(0)
+    assert(t.newScan().toDF(spark).agg(round(sum(col("value")), 2)).head.getDouble(0)
+      === sumBefore)
+    // compaction folds the tombstones down; answers unchanged
+    t.refresh().compact(spark, targetFiles = 2)
+    assert(t.refresh().newScan().toDF(spark)
+      .agg(round(sum(col("value")), 2)).head.getDouble(0) === sumBefore)
+  }
+
   test("upsert sink per-key ordering: orderBy column makes last-write-wins deterministic") {
     import graft.lake.LakeCatalog
     val cat = LakeCatalog.open(freshWarehouse())
