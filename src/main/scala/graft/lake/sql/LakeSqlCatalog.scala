@@ -284,6 +284,14 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
   private[sql] def lakeTable: LakeTable = lt
   private[sql] def isHistorical: Boolean = snapshotId.isDefined
 
+  /** For the merge-on-read substitution rule ([[LakeMoRScanSubstitution]]):
+    * the full scan of exactly the snapshot this SQL handle addresses
+    * (current or `AS OF`), over the SAME already-loaded metadata the
+    * direct scan-builder path would read — the substitution must not
+    * see a newer snapshot than the relation it replaces. */
+  private[sql] def fullScan(): graft.lake.LakeScan =
+    snapshotId.map(lt.asOf(_)).getOrElse(lt.newScan())
+
   /** SQL `DELETE FROM t WHERE …` → the transactional copy-on-write
     * delete (pruned rewrites, serializable validation, conflict retry —
     * never a bare file operation). Spark only routes here when
@@ -416,16 +424,21 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
         case Some(id) => lt.asOf(id, pred)
         case None => lt.newScan(pred)
       }
-      // the SQL path hands surviving file paths straight to Spark's
-      // parquet source, which cannot subtract positional tombstones —
-      // refuse loudly rather than resurrect MoR-deleted rows (the Scala
-      // API reads them correctly; compact() materializes the deletes
-      // and unblocks SQL)
+      // the direct SQL path hands surviving file paths straight to
+      // Spark's parquet source, which cannot subtract tombstones. With
+      // [[LakeSqlExtensions]] installed this builder is never reached
+      // for a live-tombstone snapshot ([[LakeMoRScanSubstitution]]
+      // re-planned the relation onto the MoR-aware readLive path); this
+      // refusal is the safety net for a session running the catalog
+      // WITHOUT the extensions — resurrecting MoR-deleted rows is never
+      // an acceptable degradation.
       if (scan.hasLiveDeletes)
         throw new UnsupportedOperationException(
-          s"${lt.name} carries live positional delete files; SQL scans do " +
-            "not apply merge-on-read tombstones — run compact() to " +
-            "materialize them, or read through the Scala API")
+          s"${lt.name} carries live merge-on-read delete files and this " +
+            "session does not have graft.lake.sql.LakeSqlExtensions " +
+            "installed; install the extensions (spark.sql.extensions), " +
+            "run compact() to materialize the tombstones, or read " +
+            "through the Scala API")
       mkParquetTable(scan.planFiles.map(_.path))
         .newScanBuilder(options)
         .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]

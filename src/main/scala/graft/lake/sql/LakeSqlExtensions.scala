@@ -33,8 +33,79 @@ import graft.lake.{LakePredicate, LakeTable}
   * `SupportsDelete` path.
   */
 class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => LakeRowLevelCommands)
+    ext.injectResolutionRule(_ => LakeMoRScanSubstitution)
+  }
+}
+
+/** Analyzer rule: a SQL READ of a lake relation whose snapshot carries
+  * LIVE merge-on-read tombstones (positional or equality delete files)
+  * is substituted with the Scala-API `readLive` plan — the same
+  * broadcast anti-join subtraction every API scan performs — projected
+  * back onto the relation's attribute ids so parent operators resolve
+  * untouched. A snapshot with no live tombstones keeps the direct
+  * parquet-source scan (manifest pruning + vectorized read, zero
+  * overhead), so the substitution costs nothing on the common path.
+  *
+  * Scale shape: the data side stays a plain distributed parquet scan;
+  * each tombstone side holds only deleted coordinates/keys and joins as
+  * a broadcast anti-join, so no shuffle of the data at any table size.
+  * Catalyst pushes parent filters and column pruning through the
+  * anti-joins into the parquet relations (left-side pushdown through
+  * LeftAnti is semantics-preserving); what a live-tombstone read gives
+  * up is MANIFEST-level file skipping — the documented cost of reading
+  * between a MoR mutation and the next compact(), exactly Iceberg's
+  * trade.
+  *
+  * Row-level command targets are deliberately left alone: UPDATE/MERGE
+  * are re-planned onto the transactional API by [[LakeRowLevelCommands]],
+  * DELETE runs through SupportsDelete, INSERT through the V1 write
+  * bridge — all of which read committed data via the MoR-aware Scala
+  * path already. (A MERGE source is re-analyzed inside
+  * [[LakeMergeCommand.run]], so a tombstoned lake table used as a
+  * SOURCE still substitutes there.)
+  */
+object LakeMoRScanSubstitution extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = substitute(plan)
+
+  private def substitute(p: LogicalPlan): LogicalPlan = p match {
+    // command targets MUST remain catalog relations (see scaladoc);
+    // V2 write commands (AppendData et al) keep their target out of
+    // `children`, so only the pre-resolution INSERT statement and the
+    // row-level commands need explicit guards
+    case u: UpdateTable => u
+    case m: MergeIntoTable => m
+    case d: DeleteFromTable => d
+    case i: InsertIntoStatement => i.copy(query = substitute(i.query))
+    case r: DataSourceV2Relation => r.table match {
+      case t: LakeSqlTable => morPlan(r, t).getOrElse(r)
+      case _ => r
+    }
+    case other =>
+      other.mapChildren(substitute).transformExpressionsUp {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          se.withNewPlan(substitute(se.plan))
+      }
+  }
+
+  private def morPlan(r: DataSourceV2Relation, t: LakeSqlTable): Option[LogicalPlan] = {
+    val scan = t.fullScan()
+    if (!scan.hasLiveDeletes) None
+    else {
+      val inner = PlanBridge.analyzedPlan(scan.toDF(SparkSession.active))
+      // rebind to the relation's attribute ids: schema order and names
+      // are identical by construction (both derive from the table
+      // metadata's schema), so a positional zip is exact
+      require(r.output.map(_.name) == inner.output.map(_.name),
+        s"MoR substitution column mismatch for ${t.name()}: " +
+          s"${r.output.map(_.name)} vs ${inner.output.map(_.name)}")
+      Some(Project(r.output.zip(inner.output).map { case (tgt, src) =>
+        Alias(src, tgt.name)(exprId = tgt.exprId, qualifier = tgt.qualifier)
+      }, inner))
+    }
+  }
 }
 
 /** Analyzer rule: resolved UPDATE/MERGE over a lake table → runnable

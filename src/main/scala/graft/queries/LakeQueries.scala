@@ -311,6 +311,31 @@ object LakeQueries {
     s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
   }
 
+  /** SQL read over LIVE merge-on-read tombstones: a positional delete
+    * (deleteWhereMoR) and an equality-delete upsert (mergeIntoMoR) are
+    * both live — never compacted — when spark.sql reads the table, so
+    * the gate proves the analyzer substitution
+    * ([[graft.lake.sql.LakeMoRScanSubstitution]]) subtracts both
+    * tombstone kinds through SQL exactly as the Scala API does. The
+    * merge source is restricted to delete survivors so the oracle is a
+    * single WHERE + CASE over the input. */
+  private val sqlMorCatalogs = new SessionMemo[String]()
+
+  def lakeSqlMor(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlOrdersCatalog(sqlMorCatalogs, s, d, "lakesqlmor",
+      numFiles = 4) { name =>
+      val t = LakeCatalog.open(s.conf.get(s"spark.sql.catalog.$name.warehouse"))
+        .loadTable("q", "orders")
+      t.deleteWhereMoR(s, LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+      val upd = orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0 && col("o_totalprice") < 400000.0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      t.refresh().mergeIntoMoR(s, upd, Seq("o_orderkey"))
+      ()
+    }
+    s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
+  }
+
   /** SQL RENAME TABLE under the oracle gate: two append commits, then
     * `ALTER TABLE … RENAME TO`, then ONE result that reads the renamed
     * name twice — the current table AND `VERSION AS OF` the first
@@ -345,6 +370,7 @@ object LakeQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake_rename_table" -> lakeRenameTable,
+    "lake_sql_mor" -> lakeSqlMor,
     "lake_sql_update" -> lakeSqlUpdate,
     "lake_sql_merge" -> lakeSqlMerge,
     "lake_sql_delete" -> lakeSqlDelete,
@@ -371,6 +397,15 @@ object LakeQueries {
         |UNION ALL
         |SELECT 'v1' AS view, * FROM orders WHERE o_orderkey % 2 = 0
         |ORDER BY view, o_orderkey""".stripMargin,
+    // MoR delete removes price >= 400000; the live-tombstone upsert
+    // doubles every surviving 10th key's price
+    "lake_sql_mor" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders WHERE o_totalprice < 400000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_sql_update" ->
       """SELECT o_orderstatus,
         |  CASE WHEN o_orderstatus = 'F' THEN '1-BUMPED'

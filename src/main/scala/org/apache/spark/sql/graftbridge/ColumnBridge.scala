@@ -28,6 +28,11 @@ object PlanBridge {
   def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(s.asInstanceOf[CSparkSession], plan)
 
+  /** A DataFrame's analyzed logical plan — the inverse of [[ofRows]],
+    * for rules that splice an API-built read into a SQL plan. */
+  def analyzedPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[CDataset[_]].queryExecution.analyzed
+
   def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
     DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = false)
 }

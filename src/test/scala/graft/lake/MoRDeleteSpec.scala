@@ -108,21 +108,60 @@ class MoRDeleteSpec extends LakeSuite {
     assert(out.filter(col("o_orderkey") % 10 === 0).count() === upd.count())
   }
 
-  test("SQL scans refuse live tombstones loudly; compact unblocks them") {
+  test("SQL scans subtract live tombstones: positional, equality, time travel") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.sqlmor", classOf[sql.LakeSqlCatalog].getName)
     spark.conf.set("spark.sql.catalog.sqlmor.warehouse", wh)
     spark.sql("CREATE NAMESPACE sqlmor.ns")
-    spark.sql("CREATE TABLE sqlmor.ns.t (o_orderkey BIGINT, o_orderstatus STRING)")
+    spark.sql(s"CREATE TABLE sqlmor.ns.t (${ordersDF.schema.toDDL})")
     val t = LakeCatalog.open(wh).loadTable("ns", "t")
-    t.appendData(ordersDF.select(col("o_orderkey"), col("o_orderstatus")), numFiles = 2)
+    t.appendData(ordersDF, numFiles = 2)
     t.refresh().deleteWhereMoR(spark, LakePredicate.Eq("o_orderstatus", "F"))
-    val e = intercept[Exception](
-      spark.sql("SELECT count(*) FROM sqlmor.ns.t").collect())
-    assert(e.getMessage.contains("positional delete") ||
-      Option(e.getCause).exists(_.getMessage.contains("positional delete")))
+    val survivors = ordersDF.filter(col("o_orderstatus") =!= "F").count()
+
+    // the substitution rule re-plans the relation onto readLive: SQL
+    // reads are correct WHILE the tombstones are live — no compact
+    assert(spark.sql("SELECT count(*) FROM sqlmor.ns.t").head.getLong(0) === survivors)
+    assert(spark.sql(
+      "SELECT count(*) FROM sqlmor.ns.t WHERE o_orderstatus = 'F'").head.getLong(0) === 0L)
+    // filters + projection resolve and push through the substituted plan
+    assert(spark.sql(
+      """SELECT o_orderstatus, count(*) AS n FROM sqlmor.ns.t
+        |WHERE o_totalprice >= 0 GROUP BY o_orderstatus""".stripMargin)
+      .collect().map(_.getString(0)).sorted === Array("O", "P"))
+
+    // equality tombstones: a MoR upsert's replacements win in SQL too
+    val upd = ordersDF.filter(col("o_orderkey") % 10 === 0 && col("o_orderstatus") =!= "F")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.refresh().mergeIntoMoR(spark, upd, Seq("o_orderkey"))
+    val viaSql = spark.sql("SELECT sum(o_totalprice) FROM sqlmor.ns.t").head.getDouble(0)
+    val viaApi = t.refresh().newScan().toDF(spark)
+      .agg(org.apache.spark.sql.functions.sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(viaSql - viaApi) <= 1e-9 * math.abs(viaApi))
+    assert(spark.sql("SELECT count(*) FROM sqlmor.ns.t").head.getLong(0) === survivors)
+
+    // VERSION AS OF a tombstoned snapshot stays MoR-aware even after
+    // compact() has materialized the current snapshot clean
+    val tombstoned = t.refresh().currentSnapshotId
     t.refresh().compact(spark, targetFiles = 1)
-    assert(spark.sql("SELECT count(*) FROM sqlmor.ns.t").head.getLong(0)
-      === ordersDF.filter(col("o_orderstatus") =!= "F").count())
+    assert(spark.sql("SELECT count(*) FROM sqlmor.ns.t").head.getLong(0) === survivors)
+    assert(spark.sql(
+      s"SELECT count(*) FROM sqlmor.ns.t VERSION AS OF $tombstoned").head.getLong(0)
+      === survivors)
+  }
+
+  test("without the extensions the scan builder still refuses live tombstones") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "mor5", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 2)
+    t.refresh().deleteWhereMoR(spark, LakePredicate.Eq("o_orderstatus", "F"))
+    // the raw DSv2 builder path (what a session WITHOUT
+    // LakeSqlExtensions would run) must keep the loud refusal — handing
+    // file paths to the parquet source would resurrect deleted rows
+    val e = intercept[UnsupportedOperationException](
+      new sql.LakeSqlTable(t.refresh())
+        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+        .build())
+    assert(e.getMessage.contains("LakeSqlExtensions"))
   }
 }
