@@ -179,9 +179,18 @@ final class LakeCatalog private (
 
   /** A5: create table with schema + spec, no snapshot yet (empty log). */
   def createTable(ns: String, name: String, schema: StructType,
-      spec: Seq[PartitionField] = Nil, sortOrder: Seq[String] = Nil): LakeTable = {
+      spec: Seq[PartitionField] = Nil, sortOrder: Seq[String] = Nil,
+      sortOrderKind: String = "linear"): LakeTable = {
     sortOrder.foreach(c => require(schema.fieldNames.contains(c),
       s"sort column $c is not a column"))
+    require(sortOrderKind == "linear" || sortOrderKind == "zorder",
+      s"unknown sort-order kind '$sortOrderKind'")
+    if (sortOrderKind == "zorder") {
+      require(sortOrder.size >= 2, "z-order needs at least 2 columns")
+      sortOrder.foreach(c => require(
+        graft.functions.ZOrder.supported(schema(c).dataType),
+        s"column $c: type ${schema(c).dataType.simpleString} has no z-order encoding"))
+    }
     val root = tableDir(ns, name)
     // a renamed-away name's directory physically hosts the renamed
     // table's files — reusing the name would collide with them
@@ -202,7 +211,7 @@ final class LakeCatalog private (
     // never reused after drop
     val meta = TableMetadata(s"$ns.$name", tableDir(ns, name).uri, schema, spec,
       snapshots = Nil, currentSnapshotId = -1L,
-      sortOrder = sortOrder).withFieldIdDefaults
+      sortOrder = sortOrder, sortOrderKind = sortOrderKind).withFieldIdDefaults
     // same CAS as commit(): racing creators — exactly one wins
     if (!backend.putIfAbsent(md.resolve("v1.json"), MetadataJson.write(meta)))
       throw new IllegalArgumentException(s"table $ns.$name already exists")

@@ -60,7 +60,14 @@ final class LakeTable private[lake] (
     // then raw sources as the tiebreak. An unpartitioned table with a
     // write order range-clusters on the order alone (Iceberg's
     // write.sort-order applied at write time).
-    val sortCols = meta.sortOrder.map(df.col)
+    // z-order: ONE synthetic cluster key (the Morton code of the order
+    // columns) instead of the lexicographic column list — file AND
+    // row-group stats go tight in every ordered dimension, so
+    // predicates on any of them prune (graft.functions.ZOrder).
+    val sortCols =
+      if (meta.sortOrderKind == "zorder" && meta.sortOrder.size >= 2)
+        Seq(graft.functions.ZOrderFunctions.zorder_key(meta.sortOrder.map(df.col): _*))
+      else meta.sortOrder.map(df.col)
     val exprs = spec.map(_.toColumn) ++ sortCols ++ spec.map(p => df.col(p.source))
     val clusteredRaw = (exprs.nonEmpty, numFiles > 0) match {
       case (false, false) => df
@@ -382,7 +389,28 @@ final class LakeTable private[lake] (
     metadataChange { latest =>
       cols.foreach(c => require(latest.schema.fieldNames.contains(c),
         s"sort column $c is not a column"))
-      latest.copy(sortOrder = cols)
+      latest.copy(sortOrder = cols, sortOrderKind = "linear")
+    }
+
+  /** Z-ORDER write order (Iceberg's `zorder(...)` sort order): future
+    * writes cluster + sort on the interleaved Morton code of `cols`,
+    * so every file covers a small hyper-rectangle of the key space and
+    * min/max stats prune on ANY of the ordered columns — the right
+    * order when selective predicates hit more than one dimension
+    * (linear order only serves its leading column). Metadata-only, like
+    * [[setWriteOrder]]; run [[compact]] to re-cluster existing data.
+    * Column types must be z-encodable (graft.functions.ZOrder). */
+  def setZOrder(cols: String*): LakeTable =
+    metadataChange { latest =>
+      require(cols.size >= 2, "z-order needs at least 2 columns " +
+        "(use setWriteOrder for a single-column order)")
+      cols.foreach { c =>
+        require(latest.schema.fieldNames.contains(c), s"sort column $c is not a column")
+        val t = latest.schema(c).dataType
+        require(graft.functions.ZOrder.supported(t),
+          s"column $c: type ${t.simpleString} has no z-order encoding")
+      }
+      latest.copy(sortOrder = cols, sortOrderKind = "zorder")
     }
 
   /** Partition-spec evolution: a METADATA-ONLY commit that makes

@@ -214,7 +214,13 @@ final case class TableMetadata(
     // update/delete/merge from "rewrite half the table" into "rewrite
     // the overlapping files". Purely advisory for reads; changing it
     // is a metadata-only commit that never rewrites existing files.
-    sortOrder: Seq[String] = Nil) {
+    sortOrder: Seq[String] = Nil,
+    // "linear" (lexicographic on sortOrder, Iceberg's default sort
+    // order) or "zorder" (sort on the interleaved Morton code of the
+    // sortOrder columns — file stats go tight in EVERY dimension, so
+    // predicates on any ordered column prune; see
+    // graft.functions.ZOrder). Absent in pre-zorder metadata → linear.
+    sortOrderKind: String = "linear") {
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   def currentFiles: Seq[DataFileEntry] = currentSnapshot.map(_.files).getOrElse(Nil)
@@ -300,6 +306,7 @@ object MetadataJson {
       s""""lastAssignedFieldId":${m.lastAssignedFieldId},""" +
       s""""properties":${strMap(m.properties)},""" +
       s""""sortOrder":${m.sortOrder.map(q).mkString("[", ",", "]")},""" +
+      s""""sortOrderKind":${q(m.sortOrderKind)},""" +
       s""""spec":${specJson(m.spec)},""" +
       s""""specLog":${m.allSpecs.map(specJson).mkString("[", ",", "]")},""" +
       s""""snapshots":${m.snapshots.map(snapshotJson).mkString("[", ",", "]")},""" +
@@ -398,7 +405,8 @@ object MetadataJson {
       lastAssignedFieldId = Option(n.get("lastAssignedFieldId")).map(_.asInt()).getOrElse(0),
       properties = Option(n.get("properties")).map(asStrMap).getOrElse(Map.empty),
       sortOrder = Option(n.get("sortOrder"))
-        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+        .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
+      sortOrderKind = Option(n.get("sortOrderKind")).map(_.asText()).getOrElse("linear")
     ).withFieldIdDefaults // ad-hoc documents get positional IDs
   }
 }

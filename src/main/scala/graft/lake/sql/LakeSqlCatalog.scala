@@ -110,10 +110,16 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val spec = partitions.toSeq.map(LakeSqlCatalog.toPartitionField)
     // TBLPROPERTIES ('write.sort-order'='c1,c2') = the Scala API's
-    // createTable(sortOrder) — clustering-on-write from SQL DDL
-    val sortOrder = Option(properties.get("write.sort-order"))
+    // createTable(sortOrder); 'zorder(c1,c2)' = setZOrder — both
+    // clustering-on-write forms from SQL DDL
+    val rawOrder = Option(properties.get("write.sort-order")).map(_.trim)
+    val zorder = rawOrder.exists(v =>
+      v.toLowerCase.startsWith("zorder(") && v.endsWith(")"))
+    val sortOrder = rawOrder
+      .map(v => if (zorder) v.substring(v.indexOf('(') + 1, v.length - 1) else v)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    lake.createTable(ns1(ident.namespace), ident.name, schema, spec, sortOrder)
+    lake.createTable(ns1(ident.namespace), ident.name, schema, spec, sortOrder,
+      sortOrderKind = if (zorder) "zorder" else "linear")
     loadTable(ident)
   }
 

@@ -91,6 +91,24 @@ object LakeQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Z-order clustering-on-write: the table is written sorted on the
+    * Morton code of (o_custkey, o_totalprice), then scanned with a
+    * range predicate on the SECOND dimension — the case a linear order
+    * cannot prune (its files all span the full o_totalprice domain) and
+    * z-order can (ZOrderSpec asserts the pruning; this gate asserts the
+    * z-clustered scan stays exact). */
+  def lakeZorder(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_z", src.schema)
+    t.setZOrder("o_custkey", "o_totalprice")
+    t.refresh().appendData(src, numFiles = 8)
+    val pred = LakePredicate.And(
+      LakePredicate.Ge("o_totalprice", Double.box(100000.0)),
+      LakePredicate.Lt("o_totalprice", Double.box(200000.0)))
+    t.refresh().newScan(pred).toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Compaction: 6 small commits rewritten into 2 files; data identical. */
   def lakeCompact(s: SparkSession, d: String): DataFrame = {
     val src = orders(s, d)
@@ -383,6 +401,7 @@ object LakeQueries {
     "lake_spec_evolution" -> lakeSpecEvolution,
     "lake_time_travel" -> lakeTimeTravel,
     "lake_prune" -> lakePrune,
+    "lake_zorder" -> lakeZorder,
     "lake_compact" -> lakeCompact,
     "lake_delete_cow" -> lakeDeleteCow,
     "lake_delete_mor" -> lakeDeleteMor,
@@ -461,6 +480,10 @@ object LakeQueries {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "lake_zorder" ->
+      """SELECT * FROM orders
+        |WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_compact" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_delete_cow" ->
       "SELECT * FROM orders WHERE NOT (o_totalprice >= 400000.0) ORDER BY o_orderkey",
