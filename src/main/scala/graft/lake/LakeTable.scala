@@ -764,6 +764,24 @@ final class LakeTable private[lake] (
     }
   }
 
+  /** Recovery: make an EXISTING snapshot current again — Iceberg's
+    * `rollback_to_snapshot` procedure / `manageSnapshots()
+    * .setCurrentSnapshot`. A metadata-only CAS commit: nothing is
+    * deleted and no file moves. The rolled-past snapshots stay in the
+    * log (still time-travelable, their files still referenced) until
+    * [[expireSnapshots]] retires them and [[removeOrphanFiles]]
+    * reclaims their unique files; commits after the rollback parent
+    * from the restored snapshot, so the abandoned lineage simply never
+    * becomes current again. Fresh snapshot ids keep increasing past the
+    * abandoned ones (ids are allocated max+1 over the whole log), so
+    * data sequence numbers stay monotonic for equality-delete scoping. */
+  def rollbackTo(snapshotId: Long): LakeTable = metadataChange { latest =>
+    require(latest.snapshot(snapshotId).isDefined,
+      s"no snapshot $snapshotId in $name (cannot roll back to an expired " +
+        "or never-committed snapshot)")
+    latest.copy(currentSnapshotId = snapshotId)
+  }
+
   /** Maintenance: drop all but the last `keepLast` snapshots from the
     * log (metadata-only; the current snapshot always survives). Returns
     * the ids expired. Expired snapshots are no longer time-travelable. */

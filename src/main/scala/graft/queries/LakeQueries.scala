@@ -75,6 +75,25 @@ object LakeQueries {
     t.asOf(first.snapshotId).toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Snapshot rollback (Iceberg rollback_to_snapshot): a bad second
+    * commit is abandoned by restoring the first snapshot as current,
+    * then the corrected data is re-committed — the gate verifies the
+    * post-rollback lineage end-to-end (restored rows + redo rows,
+    * none of the abandoned write's). */
+  def lakeRollback(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_rb", src.schema)
+    val first = t.appendData(src.filter(col("o_orderkey") % 2 === 0))
+    // the bad write: odd keys with a corrupted (negated) price
+    t.refresh().appendData(src.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("o_totalprice", -col("o_totalprice")))
+    t.refresh().rollbackTo(first.snapshotId)
+    // the redo: odd keys, correct prices
+    t.refresh().appendData(src.filter(col("o_orderkey") % 2 === 1))
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Stats-based file skipping: lineitem clustered on l_shipdate, then a
     * date-range scan — planFiles drops non-overlapping files, the same
     * predicate re-filters rows exactly. */
@@ -402,6 +421,7 @@ object LakeQueries {
     "lake_time_travel" -> lakeTimeTravel,
     "lake_prune" -> lakePrune,
     "lake_zorder" -> lakeZorder,
+    "lake_rollback" -> lakeRollback,
     "lake_compact" -> lakeCompact,
     "lake_delete_cow" -> lakeDeleteCow,
     "lake_delete_mor" -> lakeDeleteMor,
@@ -480,6 +500,9 @@ object LakeQueries {
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // rollback abandons the corrupted odd-key write; the redo restores
+    // the original rows, so the oracle is simply the full table
+    "lake_rollback" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_zorder" ->
       """SELECT * FROM orders
         |WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0
