@@ -394,6 +394,7 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
   override def capabilities(): util.Set[TableCapability] =
     if (snapshotId.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newWriteBuilder(
@@ -424,7 +425,7 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    org.apache.spark.sql.graftbridge.ScanBridge.delegating { pushed =>
+    org.apache.spark.sql.graftbridge.ScanBridge.delegating({ pushed =>
       val pred = toLakePredicate(pushed)
       val scan = snapshotId match {
         case Some(id) => lt.asOf(id, pred)
@@ -448,7 +449,12 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       mkParquetTable(scan.planFiles.map(_.path))
         .newScanBuilder(options)
         .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
-    }
+    },
+    // streaming reads tail append commits (current handles only; a
+    // historical AS OF handle has no future to stream)
+    mkStream =
+      if (snapshotId.isEmpty) Some(_ => new LakeMicroBatchStream(lt, options))
+      else None)
 }
 
 object LakeSqlTable {

@@ -242,6 +242,45 @@ object LakeQueries {
     t.refresh().changesSince(s, first.snapshotId).orderBy(col("o_orderkey"))
   }
 
+  /** Streaming SOURCE under the oracle gate: readStream tails a lake
+    * table's append commits (offset = snapshot id, Trigger.AvailableNow)
+    * and an exactly-once lake sink lands each micro-batch — the
+    * lake→lake pipeline end-to-end. Oracle = the full input, which only
+    * holds if every appended row flows through exactly once. */
+  private val streamReadCatalogs = new SessionMemo[String]()
+
+  def lakeStreamRead(s: SparkSession, d: String): DataFrame = {
+    val memo = streamReadCatalogs.getOrBuild(s, d) {
+      val src = orders(s, d)
+      val wh = Files.createTempDirectory("graft_lakestream_").toString
+      val name = s"lakestream_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
+      val t = LakeCatalog.open(wh).loadTable("q", "orders")
+      t.appendData(src.filter(col("o_orderkey") % 2 === 0))
+      t.refresh().appendData(src.filter(col("o_orderkey") % 2 === 1))
+      val dstWh = Files.createTempDirectory("graft_lakestream_dst_").toString
+      val dst = LakeCatalog.open(dstWh).createTable("q", "orders_dst", src.schema)
+      val q = s.readStream.option("stream-from", "beginning")
+        .table(s"$name.q.orders")
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_lakestream_ck_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          dst.refresh().appendDataExactlyOnce(df, "gate", batchId)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      dstWh
+    }
+    LakeCatalog.open(memo).loadTable("q", "orders_dst")
+      .refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** ONE catalog registration + temp warehouse + populated orders table
     * per (session, corpus dir, prefix) — a per-invocation registration
     * accumulated catalog instances, session confs, and undeleted temp
@@ -422,6 +461,7 @@ object LakeQueries {
     "lake_prune" -> lakePrune,
     "lake_zorder" -> lakeZorder,
     "lake_rollback" -> lakeRollback,
+    "lake_stream_read" -> lakeStreamRead,
     "lake_compact" -> lakeCompact,
     "lake_delete_cow" -> lakeDeleteCow,
     "lake_delete_mor" -> lakeDeleteMor,
@@ -503,6 +543,8 @@ object LakeQueries {
     // rollback abandons the corrupted odd-key write; the redo restores
     // the original rows, so the oracle is simply the full table
     "lake_rollback" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    // every appended row flows through the stream + exactly-once sink once
+    "lake_stream_read" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_zorder" ->
       """SELECT * FROM orders
         |WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0

@@ -88,8 +88,16 @@ object ScanBridge {
     * pruned column set. All filters are reported as residual
     * (pushedFilters = empty), so Spark re-applies them post-scan —
     * manifest pruning must only ever SKIP files, never stand in for
-    * row filtering. */
-  def delegating(mkDelegate: Array[Filter] => FileScanBuilder): ScanBuilder =
+    * row filtering.
+    *
+    * `mkStream` (optional): a micro-batch stream factory keyed by the
+    * checkpoint location. When provided, the built Scan answers
+    * `toMicroBatchStream` with it — batch reads keep delegating to the
+    * file source untouched; the per-batch file planning lives inside
+    * the stream, which ignores the batch delegate's file list. */
+  def delegating(mkDelegate: Array[Filter] => FileScanBuilder,
+      mkStream: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
+        = None): ScanBuilder =
     new ScanBuilder with SupportsPushDownCatalystFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       private var exprs: Seq[Expression] = Nil
@@ -112,7 +120,18 @@ object ScanBridge {
         val delegate = mkDelegate(translated)
         delegate.pushFilters(exprs) // parquet row-group/page pushdown
         required.foreach(delegate.pruneColumns)
-        delegate.build()
+        val inner = delegate.build()
+        mkStream match {
+          case None => inner
+          case Some(f) => new Scan {
+            override def readSchema(): StructType = inner.readSchema()
+            override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+            override def toMicroBatchStream(checkpointLocation: String)
+                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+              f(checkpointLocation)
+            override def description(): String = inner.description()
+          }
+        }
       }
     }
 }

@@ -1,0 +1,146 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming SOURCE over a lake table: readStream tails
+  * append commits (offset = snapshot id), skips compactions, refuses
+  * mutation snapshots, and — paired with the exactly-once lake sinks —
+  * closes the lake→lake exactly-once loop. */
+class LakeStreamSourceSpec extends LakeSuite {
+
+  private var n = 0
+  private def sqlTable(): (String, LakeTable) = {
+    n += 1
+    val wh = freshWarehouse()
+    val cat = s"strsrc$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (${ordersDF.schema.toDDL})")
+    (s"$cat.ns.t", LakeCatalog.open(wh).loadTable("ns", "t"))
+  }
+
+  private def runAvailable(name: String, checkpoint: String,
+      opts: Map[String, String] = Map.empty)(
+      onBatch: (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
+    var reader = spark.readStream.option("stream-from", "beginning")
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.table(name).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(onBatch)
+      .start()
+    q.awaitTermination()
+  }
+
+  test("beginning mode replays appends once; checkpoint restart reads only new commits") {
+    val (name, t) = sqlTable()
+    val even = ordersDF.filter(col("o_orderkey") % 2 === 0)
+    val odd = ordersDF.filter(col("o_orderkey") % 2 === 1)
+    t.appendData(even)
+    t.refresh().appendData(odd)
+
+    val ckpt = Files.createTempDirectory("graft_src_ck_").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    runAvailable(name, ckpt) { (df, _) => seen += df.count() }
+    assert(seen.sum === ordersDF.count()) // both appends, exactly once
+
+    // a third append: the SAME checkpoint resumes past what it read
+    val extra = ordersDF.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 500000000L)
+    t.refresh().appendData(extra)
+    seen.clear()
+    runAvailable(name, ckpt) { (df, _) => seen += df.count() }
+    assert(seen.sum === extra.count())
+
+    // and a re-run with nothing new emits nothing
+    seen.clear()
+    runAvailable(name, ckpt) { (df, _) => seen += df.count() }
+    assert(seen.sum === 0L)
+  }
+
+  test("compaction snapshots stream no rows; mutation snapshots refuse unless skipped") {
+    val (name, t) = sqlTable()
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0), numFiles = 3)
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1), numFiles = 3)
+    t.refresh().compact(spark, targetFiles = 1)
+
+    // replace (compact) skipped: full history streams each row ONCE
+    val ckpt = Files.createTempDirectory("graft_src_ck2_").toString
+    var total = 0L
+    runAvailable(name, ckpt) { (df, _) => total += df.count() }
+    assert(total === ordersDF.count())
+
+    // a CoW delete is a mutation: the stream must refuse...
+    t.refresh().deleteWhere(spark, LakePredicate.Eq("o_orderstatus", "F"))
+    t.refresh().appendData(ordersDF.limit(7).withColumn("o_orderkey",
+      col("o_orderkey") + 900000000L))
+    val e = intercept[Exception] {
+      runAvailable(name, ckpt) { (_, _) => () }
+    }
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: causes(x.getCause)
+    assert(causes(e).exists(_.getMessage.contains("skip-mutation-snapshots")))
+
+    // ...and with the option set it streams past, delivering the append
+    total = 0L
+    runAvailable(name, ckpt, Map("skip-mutation-snapshots" -> "true")) {
+      (df, _) => total += df.count()
+    }
+    assert(total === 7L)
+  }
+
+  test("lake-to-lake pipeline is exactly-once end to end") {
+    val (srcName, src) = sqlTable()
+    val cat = LakeCatalog.open(freshWarehouse())
+    val dst = cat.createTable("ns", "dst", ordersDF.schema)
+    src.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    src.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+
+    val ckpt = Files.createTempDirectory("graft_src_ck3_").toString
+    def pump(): Unit = runAvailable(srcName, ckpt) { (df, batchId) =>
+      dst.refresh().appendDataExactlyOnce(df, "pipe", batchId)
+      ()
+    }
+    pump()
+    assert(dst.refresh().newScan().toDF(spark).count() === ordersDF.count())
+    // pumping again with nothing new adds nothing; a new source commit
+    // flows through exactly once
+    pump()
+    assert(dst.refresh().newScan().toDF(spark).count() === ordersDF.count())
+    val extra = ordersDF.limit(11).withColumn("o_orderkey", col("o_orderkey") + 700000000L)
+    src.refresh().appendData(extra)
+    pump()
+    assert(dst.refresh().newScan().toDF(spark).count() === ordersDF.count() + 11L)
+    assert(dst.newScan().toDF(spark).select("o_orderkey").distinct().count()
+      === ordersDF.count() + 11L)
+  }
+
+  test("historical AS OF handles do not stream; offsets survive rollback monotonically") {
+    val (name, t) = sqlTable()
+    val first = t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+
+    // VERSION AS OF handles advertise no MICRO_BATCH_READ capability
+    val historical = new sql.LakeSqlTable(t.refresh(), Some(first.snapshotId))
+    assert(!historical.capabilities().contains(
+      org.apache.spark.sql.connector.catalog.TableCapability.MICRO_BATCH_READ))
+
+    // stream, roll back the second append, then redo: the checkpoint
+    // keeps working because ids stay monotonic and the abandoned
+    // lineage is not an ancestor of later offsets
+    val ckpt = Files.createTempDirectory("graft_src_ck4_").toString
+    var total = 0L
+    runAvailable(name, ckpt) { (df, _) => total += df.count() }
+    assert(total === ordersDF.count())
+    t.refresh().rollbackTo(first.snapshotId)
+    val redo = ordersDF.filter(col("o_orderkey") % 2 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.refresh().appendData(redo)
+    total = 0L
+    runAvailable(name, ckpt) { (df, _) => total += df.count() }
+    assert(total === redo.count())
+  }
+}
