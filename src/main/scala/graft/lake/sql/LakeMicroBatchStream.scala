@@ -2,10 +2,10 @@ package graft.lake.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import graft.lake.{DataFileEntry, LakeTable}
+import graft.lake.{DataFileEntry, LakeTable, Snapshot}
 
 /** Offset = a committed snapshot id. Snapshot ids are allocated max+1
   * over the whole log, so offsets are monotonic even across a
@@ -42,7 +42,17 @@ private[sql] final case class LakeOffset(snapshotId: Long) extends Offset {
   * `skip-mutation-snapshots` = true|false.
   */
 private[sql] final class LakeMicroBatchStream(
-    lt: LakeTable, options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    lt: LakeTable, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow pins its end target HERE (Spark's wrapper
+  // would otherwise discard the read limit for sources that cannot
+  // promise a stable target); batches then drain up to this snapshot
+  // under admission control and the query stops
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(math.max(lt.refresh().currentSnapshotId, 0L))
 
   private val skipMutations = options.getBoolean("skip-mutation-snapshots", false)
 
@@ -75,22 +85,61 @@ private[sql] final class LakeMicroBatchStream(
   override def latestOffset(): Offset =
     LakeOffset(math.max(lt.refresh().currentSnapshotId, 0L))
 
+  /** Admission control: `max-files-per-trigger` caps a micro-batch by
+    * choosing an INTERMEDIATE snapshot as its end offset (offsets are
+    * snapshot ids, so a batch is always a whole number of snapshots,
+    * and always at least one — the stream cannot stall on a single
+    * over-sized commit). The per-snapshot cost comes from the commit
+    * summary (`added-data-files`), so capping reads no manifests. A
+    * backlogged stream then drains as bounded batches instead of one
+    * giant catch-up read — the 100 TB restart story. */
+  override def getDefaultReadLimit: ReadLimit =
+    Option(options.get("max-files-per-trigger"))
+      .map(v => ReadLimit.maxFiles(v.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startId = start.asInstanceOf[LakeOffset].snapshotId
+    val latest = availableNowTarget.getOrElse(
+      math.max(lt.refresh().currentSnapshotId, 0L))
+    limit match {
+      case mf: ReadMaxFiles =>
+        // farthest contiguous prefix of the ancestor chain within the
+        // cap; the first snapshot always admits (no stalling)
+        var acc = 0L
+        var end = startId
+        val it = ancestorsAfter(startId, latest).iterator
+        var full = false
+        while (it.hasNext && !full) {
+          val s = it.next()
+          val added =
+            if (s.operation == "append")
+              s.summary.get("added-data-files").map(_.toLong).getOrElse(0L)
+            else 0L
+          if (end != startId && acc + added > mf.maxFiles().toLong) full = true
+          else { acc += added; end = s.id }
+        }
+        LakeOffset(end)
+      case _ => LakeOffset(latest)
+    }
+  }
+
   override def deserializeOffset(json: String): Offset = LakeOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  /** Files appended in `(startId, endId]`, oldest snapshot first —
-    * walks the parent chain from the end offset, so a rolled-back
-    * lineage is never replayed (its snapshots are not ancestors). */
-  private def filesBetween(startId: Long, endId: Long): Seq[DataFileEntry] = {
+  /** The ancestor chain of `endId` with ids in `(startId, endId]`,
+    * OLDEST FIRST — a rolled-back lineage is never walked (its
+    * snapshots are not ancestors). Expired history refuses: the stream
+    * cannot know what it already read. */
+  private def ancestorsAfter(startId: Long, endId: Long): Seq[Snapshot] = {
     val m = lt.refresh().metadata
-    val out = List.newBuilder[DataFileEntry]
     var cur = m.snapshot(endId)
-    if (cur.isEmpty && endId > 0L)
+    if (cur.isEmpty && endId > 0L && endId > startId)
       throw new IllegalStateException(
         s"offset snapshot $endId of ${lt.name} was expired; the stream " +
           "cannot determine what it already read — restart from a fresh checkpoint")
-    val acc = scala.collection.mutable.ListBuffer.empty[Seq[DataFileEntry]]
+    val acc = scala.collection.mutable.ListBuffer.empty[Snapshot]
     while (cur.exists(_.id > startId)) {
       val s = cur.get
       val parent = s.parentId.flatMap(m.snapshot)
@@ -98,21 +147,30 @@ private[sql] final class LakeMicroBatchStream(
         throw new IllegalStateException(
           s"snapshot history of ${lt.name} between offsets $startId and $endId " +
             "was expired; restart from a fresh checkpoint")
-      val parentPaths = parent.map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+      s +=: acc
+      cur = parent
+    }
+    acc.toSeq
+  }
+
+  /** Files appended in `(startId, endId]`, oldest snapshot first. */
+  private def filesBetween(startId: Long, endId: Long): Seq[DataFileEntry] = {
+    val m = lt.metadata // refreshed by ancestorsAfter
+    ancestorsAfter(startId, endId).flatMap { s =>
+      val parentPaths = s.parentId.flatMap(m.snapshot)
+        .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
       s.operation match {
-        case "append" => acc += s.files.filterNot(f => parentPaths(f.path))
-        case "replace" => () // compaction: same rows in new files — not new data
+        case "append" => s.files.filterNot(f => parentPaths(f.path))
+        case "replace" => Nil // compaction: same rows in new files — not new data
         case op =>
           if (!skipMutations) throw new UnsupportedOperationException(
             s"streaming read of ${lt.name} hit a '$op' snapshot (id ${s.id}): " +
               "an append feed cannot represent row deletion/mutation — set " +
               "option skip-mutation-snapshots=true to stream past it, or " +
               "use changesSince for a reconciling batch read")
+          Nil
       }
-      cur = parent
     }
-    acc.reverse.foreach(out ++= _)
-    out.result()
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -1,0 +1,133 @@
+package graft.lake.sql
+
+import java.util.{Collections, Iterator => JIterator}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.{LakeCatalog, LakeTable}
+
+/** Maintenance/recovery operations as SQL stored procedures — the DSv2
+  * `CALL` surface Iceberg ships its table maintenance through
+  * (`CALL cat.system.rollback_to_snapshot('ns.t', 3)`). Each procedure
+  * is a thin driver-side shim onto the corresponding transactional
+  * Scala-API operation; the returned single summary row comes back as a
+  * `LocalScan` (these are metadata commits — there is no distributed
+  * result to plan).
+  *
+  *  - `rollback_to_snapshot(table, snapshot_id)`
+  *  - `expire_snapshots(table, keep_last)`
+  *  - `rewrite_data_files(table, target_files)`   (compaction — also
+  *     materializes live MoR tombstones, and re-clusters under the
+  *     table's write order)
+  *  - `remove_orphan_files(table, older_than_ms)`
+  *  - `set_write_order(table, order)`   (order = 'c1,c2' linear or
+  *     'zorder(c1,c2)')
+  */
+private[sql] object LakeProcedures {
+
+  private abstract class LakeProcedure(
+      lake: LakeCatalog,
+      override val name: String,
+      params: Seq[(String, DataType)],
+      resultSchema: StructType) extends UnboundProcedure with BoundProcedure {
+
+    protected def run(args: InternalRow): InternalRow
+
+    override def description: String = s"graft-lake $name"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+    override def parameters: Array[ProcedureParameter] =
+      params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val row = run(input)
+      Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = resultSchema
+      }).iterator()
+    }
+
+    /** `'ns.t'` (or `'ns.a.b.t'` — last segment is the table) → a fresh
+      * handle on current metadata. */
+    protected def table(args: InternalRow): LakeTable = {
+      val parts = args.getUTF8String(0).toString.split('.')
+      require(parts.length >= 2, s"table must be 'namespace.table', got " +
+        s"'${args.getUTF8String(0)}'")
+      lake.loadTable(parts.dropRight(1).mkString("."), parts.last)
+    }
+  }
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  def all(lake: LakeCatalog): Map[String, UnboundProcedure] = Map(
+    "rollback_to_snapshot" -> new LakeProcedure(lake, "rollback_to_snapshot",
+      Seq("table" -> StringType, "snapshot_id" -> LongType),
+      StructType(Seq(
+        StructField("previous_snapshot_id", LongType, nullable = false),
+        StructField("current_snapshot_id", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        val prev = t.currentSnapshotId
+        t.rollbackTo(args.getLong(1))
+        new GenericInternalRow(Array[Any](prev, t.currentSnapshotId))
+      }
+    },
+
+    "expire_snapshots" -> new LakeProcedure(lake, "expire_snapshots",
+      Seq("table" -> StringType, "keep_last" -> IntegerType),
+      StructType(Seq(
+        StructField("expired_snapshots_count", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow =
+        new GenericInternalRow(Array[Any](
+          table(args).expireSnapshots(args.getInt(1)).size.toLong))
+    },
+
+    "rewrite_data_files" -> new LakeProcedure(lake, "rewrite_data_files",
+      Seq("table" -> StringType, "target_files" -> IntegerType),
+      StructType(Seq(
+        StructField("rewritten_data_files_count", LongType, nullable = false),
+        StructField("added_data_files_count", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val report = table(args).compact(SparkSession.active, args.getInt(1))
+        val snap = report // CommitReport carries the added count; removed
+        // comes from the landed snapshot summary
+        val t = table(args)
+        val removed = t.metadata.currentSnapshot
+          .flatMap(_.summary.get("removed-data-files")).map(_.toLong).getOrElse(0L)
+        new GenericInternalRow(Array[Any](removed, snap.addedDataFiles))
+      }
+    },
+
+    "remove_orphan_files" -> new LakeProcedure(lake, "remove_orphan_files",
+      Seq("table" -> StringType, "older_than_ms" -> LongType),
+      StructType(Seq(
+        StructField("orphan_file_count", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow =
+        new GenericInternalRow(Array[Any](
+          table(args).removeOrphanFiles(args.getLong(1)).size.toLong))
+    },
+
+    "set_write_order" -> new LakeProcedure(lake, "set_write_order",
+      Seq("table" -> StringType, "order" -> StringType),
+      StructType(Seq(
+        StructField("sort_order", StringType, nullable = false),
+        StructField("kind", StringType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        val raw = args.getUTF8String(1).toString.trim
+        val zorder = raw.toLowerCase.startsWith("zorder(") && raw.endsWith(")")
+        val cols = (if (zorder) raw.substring(raw.indexOf('(') + 1, raw.length - 1)
+          else raw).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        if (zorder) t.setZOrder(cols: _*) else t.setWriteOrder(cols: _*)
+        val m = t.refresh().metadata
+        new GenericInternalRow(Array[Any](
+          utf8(m.sortOrder.mkString(",")), utf8(m.sortOrderKind)))
+      }
+    })
+}

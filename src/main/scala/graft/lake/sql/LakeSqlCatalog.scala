@@ -39,7 +39,8 @@ import graft.lake.{LakeCatalog, LakePredicate, LakeTable, PartitionField}
   * loudly otherwise — never partially applied); UPDATE/MERGE stay on
   * the transactional Scala API (LakeTable updateWhere/mergeInto).
   */
-class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
+class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
   private var catalogName: String = _
   private var lake: LakeCatalog = _
 
@@ -57,6 +58,26 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces {
 
   /** The underlying Scala-API catalog (the reference's getCatalog). */
   def lakeCatalog: LakeCatalog = lake
+
+  // ---- ProcedureCatalog: CALL <cat>.system.<proc>(...) — the Iceberg
+  // maintenance-procedure surface (rollback, expiry, compaction, orphan
+  // sweep, write order) over the transactional Scala API ----
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(Array("system")))
+      throw new NoSuchNamespaceException(ident.namespace)
+    LakeProcedures.all(lake).getOrElse(ident.name,
+      throw new NoSuchElementException(
+        s"no procedure $catalogName.system.${ident.name}; available: " +
+          LakeProcedures.all(lake).keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      LakeProcedures.all(lake).keys.toSeq.sorted
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   private def ns1(namespace: Array[String]): String = namespace match {
     case Array(ns) => ns

@@ -118,6 +118,22 @@ class LakeStreamSourceSpec extends LakeSuite {
       === ordersDF.count() + 11L)
   }
 
+  test("max-files-per-trigger drains a backlog as bounded micro-batches") {
+    val (name, t) = sqlTable()
+    // 4 append commits x 2 files: an 8-file backlog
+    (0 until 4).foreach { i =>
+      t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 4 === i), numFiles = 2)
+    }
+    val ckpt = Files.createTempDirectory("graft_src_ck5_").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    runAvailable(name, ckpt, Map("max-files-per-trigger" -> "4")) {
+      (df, _) => batches += df.count()
+    }
+    // bounded batches (2 commits = 4 files each), nothing lost, nothing twice
+    assert(batches.count(_ > 0L) === 2)
+    assert(batches.sum === ordersDF.count())
+  }
+
   test("historical AS OF handles do not stream; offsets survive rollback monotonically") {
     val (name, t) = sqlTable()
     val first = t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))

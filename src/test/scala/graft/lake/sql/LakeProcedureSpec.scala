@@ -1,0 +1,83 @@
+package graft.lake.sql
+
+import org.apache.spark.sql.functions._
+import graft.lake.{LakeCatalog, LakeSuite}
+
+/** SQL stored procedures (`CALL cat.system.<proc>(...)`): the Iceberg
+  * maintenance-procedure surface over the transactional Scala API. */
+class LakeProcedureSpec extends LakeSuite {
+
+  private var n = 0
+  private def sqlCat(): (String, String) = {
+    n += 1
+    val wh = freshWarehouse()
+    val cat = s"proc$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (${ordersDF.schema.toDDL})")
+    (cat, wh)
+  }
+
+  test("rollback_to_snapshot restores state and reports both snapshot ids") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    val first = t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+    val row = spark.sql(
+      s"CALL $cat.system.rollback_to_snapshot('ns.t', ${first.snapshotId})").head
+    assert(row.getLong(0) === first.snapshotId + 1)
+    assert(row.getLong(1) === first.snapshotId)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0)
+      === ordersDF.filter(col("o_orderkey") % 2 === 0).count())
+  }
+
+  test("rewrite_data_files compacts (and re-clusters under the write order)") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    (0 until 4).foreach(i =>
+      t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 4 === i)))
+    spark.sql(s"CALL $cat.system.set_write_order('ns.t', 'o_orderkey')")
+    val row = spark.sql(s"CALL $cat.system.rewrite_data_files('ns.t', 2)").head
+    assert(row.getLong(0) === 4L) // all four input files rewritten
+    assert(row.getLong(1) === 2L)
+    // re-clustered: disjoint key ranges across the compacted files
+    val m = t.refresh().metadata
+    val key = m.statKey("o_orderkey").get
+    val ranges = m.currentFiles.map(f =>
+      (f.minValues(key).toLong, f.maxValues(key).toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, max1), (min2, _)) => assert(max1 <= min2)
+      case _ =>
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0)
+      === ordersDF.count())
+  }
+
+  test("expire_snapshots + remove_orphan_files reclaim history") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    t.appendData(ordersDF, numFiles = 4)
+    t.refresh().compact(spark, targetFiles = 1)
+    val expired = spark.sql(s"CALL $cat.system.expire_snapshots('ns.t', 1)").head.getLong(0)
+    assert(expired === 1L)
+    val orphans = spark.sql(s"CALL $cat.system.remove_orphan_files('ns.t', 0)").head.getLong(0)
+    assert(orphans >= 4L) // the pre-compaction files
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0)
+      === ordersDF.count())
+  }
+
+  test("set_write_order parses linear and zorder forms; unknown procedures refuse") {
+    val (cat, wh) = sqlCat()
+    val linear = spark.sql(
+      s"CALL $cat.system.set_write_order('ns.t', 'o_custkey')").head
+    assert(linear.getString(0) === "o_custkey" && linear.getString(1) === "linear")
+    val z = spark.sql(
+      s"CALL $cat.system.set_write_order('ns.t', 'zorder(o_custkey, o_totalprice)')").head
+    assert(z.getString(0) === "o_custkey,o_totalprice" && z.getString(1) === "zorder")
+    assert(LakeCatalog.open(wh).loadTable("ns", "t").metadata.sortOrderKind === "zorder")
+    val e = intercept[Exception](spark.sql(s"CALL $cat.system.no_such_proc()"))
+    assert(e.getMessage.contains("no procedure") ||
+      Option(e.getCause).exists(_.getMessage.contains("no procedure")))
+  }
+}
