@@ -1,0 +1,168 @@
+package graft.lake.sql
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.lake.{DataFileEntry, LakeTable, ManifestRef}
+
+/** Iceberg-style METADATA TABLES: `SELECT * FROM cat.ns.t.snapshots`
+  * (also `history`, `files`, `delete_files`, `manifests`,
+  * `properties`) — the table's own commit log, live file inventory, and
+  * configuration as queryable relations, resolved through the normal
+  * multipart-identifier path (namespace `[ns, t]`, table name = the
+  * metadata table kind).
+  *
+  * Results come back as a [[LocalScan]]: in this engine the manifest
+  * layer is driver-resident by design (snapshots load through the
+  * catalog's document cache), so a distributed scan would only shuffle
+  * rows the driver already holds. Stats maps are keyed by COLUMN NAME
+  * (resolved from the manifest's field ids against the current schema),
+  * so they stay readable across renames.
+  */
+private[sql] object LakeMetadataTables {
+
+  val kinds: Set[String] =
+    Set("snapshots", "history", "files", "delete_files", "manifests", "properties")
+
+  def table(lt: LakeTable, kind: String): Table = new LakeMetadataTable(lt, kind)
+
+  private def utf8(s: String) = UTF8String.fromString(s)
+
+  private def strMap(m: Map[String, String]): MapData = {
+    val entries = m.toSeq.sortBy(_._1)
+    new ArrayBasedMapData(
+      new GenericArrayData(entries.map(e => utf8(e._1)).toArray[Any]),
+      new GenericArrayData(entries.map(e => utf8(e._2)).toArray[Any]))
+  }
+
+  private def longMap(m: Map[String, Long]): MapData = {
+    val entries = m.toSeq.sortBy(_._1)
+    new ArrayBasedMapData(
+      new GenericArrayData(entries.map(e => utf8(e._1)).toArray[Any]),
+      new GenericArrayData(entries.map(_._2).toArray[Any]))
+  }
+
+  private val statsMapType = MapType(StringType, StringType, valueContainsNull = false)
+  private val nullsMapType = MapType(StringType, LongType, valueContainsNull = false)
+
+  private[sql] val schemas: Map[String, StructType] = Map(
+    "snapshots" -> StructType(Seq(
+      StructField("committed_at", TimestampType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType, nullable = true),
+      StructField("operation", StringType, nullable = false),
+      StructField("manifest_list", StringType, nullable = false),
+      StructField("file_count", LongType, nullable = false),
+      StructField("total_records", LongType, nullable = false),
+      StructField("total_size_bytes", LongType, nullable = false),
+      StructField("summary", statsMapType, nullable = false))),
+    "history" -> StructType(Seq(
+      StructField("made_current_at", TimestampType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("parent_id", LongType, nullable = true),
+      StructField("is_current_ancestor", BooleanType, nullable = false))),
+    "files" -> StructType(Seq(
+      StructField("content", StringType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("sequence_number", LongType, nullable = false),
+      StructField("partition", statsMapType, nullable = false),
+      StructField("lower_bounds", statsMapType, nullable = false),
+      StructField("upper_bounds", statsMapType, nullable = false),
+      StructField("null_counts", nullsMapType, nullable = false))),
+    "manifests" -> StructType(Seq(
+      StructField("content", StringType, nullable = false),
+      StructField("path", StringType, nullable = false),
+      StructField("file_count", LongType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false))),
+    "properties" -> StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false))))
+  // delete_files shares the files schema
+  private[sql] def schemaOf(kind: String): StructType =
+    schemas.getOrElse(kind, schemas("files"))
+
+  private final class LakeMetadataTable(lt: LakeTable, kind: String)
+      extends Table with SupportsRead {
+
+    override def name(): String = s"${lt.name}.$kind"
+    override def schema(): StructType = schemaOf(kind)
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      () => new LocalScan {
+        override def readSchema(): StructType = schemaOf(kind)
+        override def rows(): Array[InternalRow] = computeRows()
+      }
+
+    private def computeRows(): Array[InternalRow] = {
+      val t = lt.refresh()
+      val m = t.metadata
+      // manifest stat maps are field-ID keyed; surface them by the
+      // CURRENT column names (dropped columns' ids resolve to "<id>")
+      val idToName = m.fieldIds.map { case (n, id) => id.toString -> n }
+      def named(sm: Map[String, String]): Map[String, String] =
+        sm.map { case (k, v) => idToName.getOrElse(k, k) -> v }
+      def namedL(sm: Map[String, Long]): Map[String, Long] =
+        sm.map { case (k, v) => idToName.getOrElse(k, k) -> v }
+
+      def fileRow(content: String, f: DataFileEntry): InternalRow =
+        new GenericInternalRow(Array[Any](
+          utf8(content), utf8(f.path), f.recordCount, f.sizeBytes, f.specId,
+          f.seq, strMap(f.partitionValues), strMap(named(f.minValues)),
+          strMap(named(f.maxValues)), longMap(namedL(f.nullCounts))))
+
+      kind match {
+        case "snapshots" => m.snapshots.sortBy(_.id).map { s =>
+          new GenericInternalRow(Array[Any](
+            s.timestampMs * 1000L, s.id, s.parentId.map(Long.box).orNull,
+            utf8(s.operation), utf8(s.manifestList), s.fileCount,
+            s.totalRecords, s.totalSizeBytes, strMap(s.summary)))
+        }.toArray
+
+        case "history" =>
+          val ancestors = Iterator.iterate(m.currentSnapshot)(
+            _.flatMap(_.parentId).flatMap(m.snapshot))
+            .takeWhile(_.isDefined).flatten.map(_.id).toSet
+          m.snapshots.sortBy(_.id).map { s =>
+            new GenericInternalRow(Array[Any](
+              s.timestampMs * 1000L, s.id, s.parentId.map(Long.box).orNull,
+              ancestors.contains(s.id)))
+          }.toArray
+
+        case "files" =>
+          m.currentSnapshot.map(_.files).getOrElse(Nil)
+            .map(fileRow("data", _)).toArray
+
+        case "delete_files" =>
+          val s = m.currentSnapshot
+          (s.map(_.deleteFiles).getOrElse(Nil).map(fileRow("positional", _)) ++
+            s.map(_.eqDeleteFiles).getOrElse(Nil).map(fileRow("equality", _))).toArray
+
+        case "manifests" =>
+          m.currentSnapshot.map(_.manifests).getOrElse(Nil).map { r: ManifestRef =>
+            new GenericInternalRow(Array[Any](
+              utf8(r.content), utf8(r.name), r.fileCount, r.recordCount, r.sizeBytes))
+          }.toArray
+
+        case "properties" => m.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+          new GenericInternalRow(Array[Any](utf8(k), utf8(v)))
+        }.toArray
+
+        case other => throw new IllegalStateException(s"unknown metadata table $other")
+      }
+    }
+  }
+}

@@ -89,10 +89,16 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
   override def listTables(namespace: Array[String]): Array[Identifier] =
     lake.listTables(ns1(namespace)).map(Identifier.of(namespace, _)).toArray
 
-  override def loadTable(ident: Identifier): Table = {
-    val ns = ns1(ident.namespace)
-    if (!lake.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
-    new LakeSqlTable(lake.loadTable(ns, ident.name))
+  override def loadTable(ident: Identifier): Table = ident.namespace match {
+    case Array(ns) =>
+      if (!lake.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
+      new LakeSqlTable(lake.loadTable(ns, ident.name))
+    // metadata tables, Iceberg-style: `cat.ns.t.snapshots` arrives as
+    // namespace [ns, t] + name "snapshots"
+    case Array(ns, tbl) if LakeMetadataTables.kinds(ident.name)
+        && lake.tableExists(ns, tbl) =>
+      LakeMetadataTables.table(lake.loadTable(ns, tbl), ident.name)
+    case _ => throw new NoSuchTableException(ident)
   }
 
   /** SQL time travel, VERSION AS OF <snapshotId>. */

@@ -189,7 +189,18 @@ object TextQueries {
   def qDedupClusters(s: SparkSession, d: String): DataFrame = {
     // reads the memoized ingest artifact — the pair pipeline no longer
     // re-runs inside every invocation of this query
-    val pairs = jaccardPairs(s, d).select(col("da"), col("db"))
+    val pairsRaw = jaccardPairs(s, d).select(col("da"), col("db"))
+    // Size the LOOP's shuffle width to the EDGE set, on a cloned
+    // session so the choice never leaks: near-dup pair tables are tiny
+    // relative to the corpus (here hundreds of rows; at 100 TB maybe
+    // 10⁸), and each round is several shuffles — at the session-wide
+    // width the rounds are pure scheduling overhead (persisted plans
+    // are exempt from AQE coalescing), while ~2M edges per partition
+    // keeps a big corpus's rounds parallel.
+    val nEdges = pairsRaw.count() // one cheap job against the cached artifact
+    val loopPartitions = math.max(4L, math.min(2048L, nEdges / 2000000L + 4L))
+    val pairs = org.apache.spark.sql.graftbridge.SessionBridge.withConfs(
+      pairsRaw, Map("spark.sql.shuffle.partitions" -> loopPartitions.toString))
     // both edge directions via ONE explode rather than a self-union
     val edges = QueryCaches.track(pairs
       .select(explode(array(
