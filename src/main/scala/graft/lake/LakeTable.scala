@@ -764,6 +764,84 @@ final class LakeTable private[lake] (
     }
   }
 
+  // ---- Named refs (Iceberg branch/tag): tags pin history immutably,
+  // branches take append commits off the main lineage, fastForward
+  // publishes an audited branch — the write-audit-publish pattern ----
+
+  def refs: Map[String, TableRef] = meta.refs
+
+  /** Create an immutable TAG at a snapshot (Iceberg create_tag).
+    * Metadata-only; expiry always keeps tagged snapshots. */
+  def createTag(refName: String, snapshotId: Long): LakeTable =
+    createRef(refName, TableRef.Tag, snapshotId)
+
+  /** Create a BRANCH whose head starts at `fromSnapshotId` (default:
+    * the current snapshot). [[appendDataToBranch]] advances it; main
+    * never sees branch commits until [[fastForward]]. */
+  def createBranch(refName: String, fromSnapshotId: Long = -1L): LakeTable = {
+    val from = if (fromSnapshotId >= 0) fromSnapshotId else currentSnapshotId
+    createRef(refName, TableRef.Branch, from)
+  }
+
+  private def createRef(refName: String, kind: String, snapshotId: Long): LakeTable =
+    metadataChange { latest =>
+      require(refName.nonEmpty && refName != "main",
+        s"'$refName' is not a legal ref name")
+      require(!latest.refs.contains(refName),
+        s"ref '$refName' already exists on $name")
+      require(latest.snapshot(snapshotId).isDefined,
+        s"no snapshot $snapshotId in $name")
+      latest.copy(refs = latest.refs + (refName -> TableRef(kind, snapshotId)))
+    }
+
+  /** Drop a tag or branch. The snapshots it protected become ordinary
+    * history (expirable). Branch-only snapshots that main never
+    * fast-forwarded to are left for expiry + the orphan sweep. */
+  def dropRef(refName: String): LakeTable = metadataChange { latest =>
+    require(latest.refs.contains(refName), s"no ref '$refName' on $name")
+    latest.copy(refs = latest.refs - refName)
+  }
+
+  /** Append onto a BRANCH: same data-file write + CAS commit as a main
+    * append, but the new snapshot parents from (and advances) the
+    * branch head — main's lineage is untouched. Racing branch appends
+    * serialize through the same CAS retry as everything else. */
+  def appendDataToBranch(branch: String, df: DataFrame,
+      numFiles: Int = 0): CommitReport = {
+    val added = writeDataFiles(df, numFiles)
+    commitSnapshot("append", added, Nil, toBranch = Some(branch))
+  }
+
+  /** Scan a ref by name: a tag or branch head, or "main" for the
+    * current snapshot — the `VERSION AS OF 'name'` resolution. */
+  def scanRef(refName: String,
+      pred: LakePredicate = LakePredicate.AlwaysTrue): LakeScan =
+    if (refName == "main") newScan(pred)
+    else {
+      val ref = meta.refs.getOrElse(refName,
+        throw new NoSuchElementException(s"no ref '$refName' on $name"))
+      asOf(ref.snapshotId, pred)
+    }
+
+  /** Publish a branch: make main's current snapshot the branch head —
+    * ONLY when main is an ancestor of that head (nothing committed to
+    * main since the branch forked), so publishing never discards main
+    * commits; otherwise refuse and let the caller reconcile (Iceberg's
+    * fast_forward contract). The branch ref survives, pointing at the
+    * same head; drop it or keep staging onto it. */
+  def fastForward(branch: String): LakeTable = metadataChange { latest =>
+    val ref = latest.refs.getOrElse(branch,
+      throw new NoSuchElementException(s"no branch '$branch' on $name"))
+    require(ref.kind == TableRef.Branch, s"ref '$branch' is a ${ref.kind}")
+    val ancestors = Iterator.iterate(latest.snapshot(ref.snapshotId))(
+      _.flatMap(_.parentId).flatMap(latest.snapshot))
+      .takeWhile(_.isDefined).flatten.map(_.id).toSet
+    require(latest.currentSnapshotId < 0L || ancestors(latest.currentSnapshotId),
+      s"cannot fast-forward $name to branch '$branch': main has commits " +
+        "the branch does not contain")
+    latest.copy(currentSnapshotId = ref.snapshotId)
+  }
+
   /** Recovery: make an EXISTING snapshot current again — Iceberg's
     * `rollback_to_snapshot` procedure / `manageSnapshots()
     * .setCurrentSnapshot`. A metadata-only CAS commit: nothing is
@@ -792,12 +870,16 @@ final class LakeTable private[lake] (
   }
 
   /** Shared expiry commit: drop snapshots failing `keep`; the current
-    * snapshot always survives. Returns the expired ids. */
+    * snapshot AND every ref target (tag pins, branch heads) always
+    * survive — an expired tag would silently break its readers, an
+    * expired branch head its next commit. Returns the expired ids. */
   private def expireWhere(keep: (TableMetadata, Snapshot) => Boolean): Seq[Long] = {
     var expired: Seq[Long] = Nil
     val (next, v, _) = catalog.commit(namespace, shortName) { latest =>
+      val pinned = latest.refs.values.map(_.snapshotId).toSet
       val kept = latest.snapshots.filter(snap =>
-        snap.id == latest.currentSnapshotId || keep(latest, snap))
+        snap.id == latest.currentSnapshotId || pinned(snap.id) ||
+          keep(latest, snap))
       expired = latest.snapshots.map(_.id).diff(kept.map(_.id))
       latest.copy(snapshots = kept)
     }
@@ -905,8 +987,17 @@ final class LakeTable private[lake] (
       exactlyOnce: Option[(String, Long)] = None,
       addedDeletes: Seq[DataFileEntry] = Nil,
       addedEqDeletes: Seq[DataFileEntry] = Nil,
-      dropDeletes: Boolean = false): CommitReport = {
+      dropDeletes: Boolean = false,
+      toBranch: Option[String] = None): CommitReport = {
     val t0 = System.nanoTime()
+    // branch commits are APPENDS onto the branch head: row-level ops,
+    // compaction and replace stay main-only (their validation reasons
+    // about the main lineage) — the WAP surface is append + audit +
+    // fastForward
+    require(toBranch.isEmpty || (removed.isEmpty && !replaceAll &&
+      validateAddedSince.isEmpty && addedDeletes.isEmpty &&
+      addedEqDeletes.isEmpty && !dropDeletes),
+      s"only append commits may target a branch")
     val removedPaths = removed.map(_.path).toSet
     var removedCount = removed.size.toLong // replaceAll: resolved in the transform
     val md = catalog.metadataDir(namespace, shortName)
@@ -938,7 +1029,20 @@ final class LakeTable private[lake] (
         if (latest.properties.get(k).exists(_.toLong >= batchId))
           throw new BatchAlreadyCommitted
       }
-      val prevAll = latest.currentSnapshot.map(_.manifests).getOrElse(Nil)
+      // base lineage: main's current snapshot, or — for a branch
+      // commit — the branch head (resolved INSIDE the CAS transform, so
+      // a racing branch commit re-resolves the winner's head on retry)
+      val baseSnapshot = toBranch match {
+        case None => latest.currentSnapshot
+        case Some(b) =>
+          val ref = latest.refs.getOrElse(b, throw new NoSuchElementException(
+            s"no branch '$b' on $name"))
+          require(ref.kind == TableRef.Branch, s"ref '$b' of $name is a " +
+            s"${ref.kind}; only branches accept commits")
+          Some(latest.snapshot(ref.snapshotId).getOrElse(throw new IllegalStateException(
+            s"branch '$b' of $name points at expired snapshot ${ref.snapshotId}")))
+      }
+      val prevAll = baseSnapshot.map(_.manifests).getOrElse(Nil)
       // DATA manifests flow through the assembly/validation below;
       // positional-delete manifests ride alongside: carried unless this
       // op materialized them (compact) or replaced the table
@@ -1009,7 +1113,7 @@ final class LakeTable private[lake] (
       // entry would embed refs to every live manifest, and the log would
       // grow O(commits x manifests) — quadratic over history.
       val listName = catalog.writeManifestList(md, manifests)
-      val snap = Snapshot(newId, Option(latest.currentSnapshotId).filter(_ >= 0),
+      val snap = Snapshot(newId, baseSnapshot.map(_.id),
         System.currentTimeMillis(), op, listName,
         // rollups count DATA only — delete manifests report through the
         // delete meters (totalDeleteFiles/totalPositionalDeletes)
@@ -1032,14 +1136,22 @@ final class LakeTable private[lake] (
               addedDeletes.map(_.recordCount).sum.toString,
             "added-equality-deletes" ->
               addedEqDeletes.map(_.recordCount).sum.toString))(io)
-      latest.copy(snapshots = latest.snapshots :+ snap, currentSnapshotId = newId,
-        properties = exactlyOnce.fold(latest.properties) { case (sinkId, batchId) =>
-          latest.properties + (s"streaming.last-batch-id.$sinkId" -> batchId.toString)
-        })
+      val withProps = exactlyOnce.fold(latest.properties) { case (sinkId, batchId) =>
+        latest.properties + (s"streaming.last-batch-id.$sinkId" -> batchId.toString)
+      }
+      toBranch match {
+        // a branch commit advances the BRANCH head; main is untouched
+        case Some(b) => latest.copy(snapshots = latest.snapshots :+ snap,
+          refs = latest.refs + (b -> TableRef(TableRef.Branch, newId)),
+          properties = withProps)
+        case None => latest.copy(snapshots = latest.snapshots :+ snap,
+          currentSnapshotId = newId, properties = withProps)
+      }
     }
     meta = next
     version = v
-    val snap = next.currentSnapshot.get
+    val snap = toBranch.fold(next.currentSnapshot.get)(b =>
+      next.snapshot(next.refs(b).snapshotId).get)
     // delete meters from the landed snapshot's delete manifests — real
     // numbers once deleteWhereMoR has committed tombstones (the
     // reference surfaces the same meters; its tables keep them at 0)

@@ -117,6 +117,15 @@ final case class DataFileEntry(
   * files of (file_path, pos) tombstones that merge-on-read scans
   * subtract, and they are excluded from data-file planning, rollups,
   * and conflict validation. */
+/** A named ref: `kind` is "tag" (immutable) or "branch" (advanced by
+  * branch commits / retargeted by fastForward). */
+final case class TableRef(kind: String, snapshotId: Long)
+
+object TableRef {
+  val Tag = "tag"
+  val Branch = "branch"
+}
+
 final case class ManifestRef(
     name: String, // document name under metadata/, e.g. manifest-<uuid>.json
     fileCount: Long,
@@ -220,7 +229,12 @@ final case class TableMetadata(
     // sortOrder columns — file stats go tight in EVERY dimension, so
     // predicates on any ordered column prune; see
     // graft.functions.ZOrder). Absent in pre-zorder metadata → linear.
-    sortOrderKind: String = "linear") {
+    sortOrderKind: String = "linear",
+    // Named refs (Iceberg's branch/tag refs): name → (kind, snapshot).
+    // A TAG pins a snapshot immutably; a BRANCH is an advanceable head
+    // that branch commits move. "main" is implicit (currentSnapshotId)
+    // and never appears here. Snapshot expiry always keeps ref targets.
+    refs: Map[String, TableRef] = Map.empty) {
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   def currentFiles: Seq[DataFileEntry] = currentSnapshot.map(_.files).getOrElse(Nil)
@@ -307,6 +321,9 @@ object MetadataJson {
       s""""properties":${strMap(m.properties)},""" +
       s""""sortOrder":${m.sortOrder.map(q).mkString("[", ",", "]")},""" +
       s""""sortOrderKind":${q(m.sortOrderKind)},""" +
+      s""""refs":${m.refs.toSeq.sortBy(_._1).map { case (n, r) =>
+        s"${q(n)}:{\"kind\":${q(r.kind)},\"snapshotId\":${r.snapshotId}}"
+      }.mkString("{", ",", "}")},""" +
       s""""spec":${specJson(m.spec)},""" +
       s""""specLog":${m.allSpecs.map(specJson).mkString("[", ",", "]")},""" +
       s""""snapshots":${m.snapshots.map(snapshotJson).mkString("[", ",", "]")},""" +
@@ -406,7 +423,12 @@ object MetadataJson {
       properties = Option(n.get("properties")).map(asStrMap).getOrElse(Map.empty),
       sortOrder = Option(n.get("sortOrder"))
         .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil),
-      sortOrderKind = Option(n.get("sortOrderKind")).map(_.asText()).getOrElse("linear")
+      sortOrderKind = Option(n.get("sortOrderKind")).map(_.asText()).getOrElse("linear"),
+      refs = Option(n.get("refs")).map(r =>
+        r.properties().asScala.map { e =>
+          e.getKey -> TableRef(e.getValue.get("kind").asText(),
+            e.getValue.get("snapshotId").asLong())
+        }.toMap).getOrElse(Map.empty)
     ).withFieldIdDefaults // ad-hoc documents get positional IDs
   }
 }

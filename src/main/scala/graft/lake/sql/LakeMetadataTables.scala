@@ -30,7 +30,8 @@ import graft.lake.{DataFileEntry, LakeTable, ManifestRef}
 private[sql] object LakeMetadataTables {
 
   val kinds: Set[String] =
-    Set("snapshots", "history", "files", "delete_files", "manifests", "properties")
+    Set("snapshots", "history", "files", "delete_files", "manifests",
+      "properties", "refs")
 
   def table(lt: LakeTable, kind: String): Table = new LakeMetadataTable(lt, kind)
 
@@ -88,7 +89,11 @@ private[sql] object LakeMetadataTables {
       StructField("size_bytes", LongType, nullable = false))),
     "properties" -> StructType(Seq(
       StructField("key", StringType, nullable = false),
-      StructField("value", StringType, nullable = false))))
+      StructField("value", StringType, nullable = false))),
+    "refs" -> StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("type", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false))))
   // delete_files shares the files schema
   private[sql] def schemaOf(kind: String): StructType =
     schemas.getOrElse(kind, schemas("files"))
@@ -160,6 +165,14 @@ private[sql] object LakeMetadataTables {
         case "properties" => m.properties.toSeq.sortBy(_._1).map { case (k, v) =>
           new GenericInternalRow(Array[Any](utf8(k), utf8(v)))
         }.toArray
+
+        case "refs" =>
+          // "main" rides along like Iceberg's refs table does
+          (Seq(("main", "branch", m.currentSnapshotId)) ++
+            m.refs.toSeq.sortBy(_._1).map(r => (r._1, r._2.kind, r._2.snapshotId)))
+            .map { case (n, k, id) =>
+              new GenericInternalRow(Array[Any](utf8(n), utf8(k), id))
+            }.toArray
 
         case other => throw new IllegalStateException(s"unknown metadata table $other")
       }

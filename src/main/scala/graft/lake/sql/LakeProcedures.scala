@@ -113,6 +113,52 @@ private[sql] object LakeProcedures {
           table(args).removeOrphanFiles(args.getLong(1)).size.toLong))
     },
 
+    "create_tag" -> new LakeProcedure(lake, "create_tag",
+      Seq("table" -> StringType, "name" -> StringType, "snapshot_id" -> LongType),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        table(args).createTag(args.getUTF8String(1).toString, args.getLong(2))
+        new GenericInternalRow(Array[Any](args.getUTF8String(1), args.getLong(2)))
+      }
+    },
+
+    "create_branch" -> new LakeProcedure(lake, "create_branch",
+      Seq("table" -> StringType, "name" -> StringType),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("snapshot_id", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        t.createBranch(args.getUTF8String(1).toString)
+        new GenericInternalRow(Array[Any](args.getUTF8String(1),
+          t.refs(args.getUTF8String(1).toString).snapshotId))
+      }
+    },
+
+    "fast_forward" -> new LakeProcedure(lake, "fast_forward",
+      Seq("table" -> StringType, "branch" -> StringType),
+      StructType(Seq(
+        StructField("previous_snapshot_id", LongType, nullable = false),
+        StructField("current_snapshot_id", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        val prev = t.currentSnapshotId
+        t.fastForward(args.getUTF8String(1).toString)
+        new GenericInternalRow(Array[Any](prev, t.currentSnapshotId))
+      }
+    },
+
+    "drop_ref" -> new LakeProcedure(lake, "drop_ref",
+      Seq("table" -> StringType, "name" -> StringType),
+      StructType(Seq(StructField("dropped", StringType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        table(args).dropRef(args.getUTF8String(1).toString)
+        new GenericInternalRow(Array[Any](args.getUTF8String(1)))
+      }
+    },
+
     "set_write_order" -> new LakeProcedure(lake, "set_write_order",
       Seq("table" -> StringType, "order" -> StringType),
       StructType(Seq(

@@ -101,13 +101,17 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
     case _ => throw new NoSuchTableException(ident)
   }
 
-  /** SQL time travel, VERSION AS OF <snapshotId>. */
+  /** SQL time travel, VERSION AS OF <snapshotId> — or a REF NAME
+    * (`VERSION AS OF 'audit'`): tags and branch heads resolve to their
+    * pinned snapshot. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val ns = ns1(ident.namespace)
     if (!lake.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
     val lt = lake.loadTable(ns, ident.name)
-    val id = scala.util.Try(version.toLong).getOrElse(
-      throw new IllegalArgumentException(s"snapshot version must be numeric: $version"))
+    val id = scala.util.Try(version.toLong).toOption.orElse(
+      lt.metadata.refs.get(version).map(_.snapshotId)).getOrElse(
+        throw new IllegalArgumentException(
+          s"version '$version' is neither a snapshot id nor a ref of ${lt.name}"))
     require(lt.metadata.snapshot(id).isDefined, s"no snapshot $id in ${lt.name}")
     new LakeSqlTable(lt, Some(id))
   }

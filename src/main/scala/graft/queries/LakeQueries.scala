@@ -94,6 +94,24 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Write-audit-publish: the odd keys are staged onto a BRANCH (main
+    * keeps serving the even half), audited by a branch read, then
+    * published with fastForward — the gate verifies the post-publish
+    * lineage is exactly base + staged. */
+  def lakeWap(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_wap", src.schema)
+    t.appendData(src.filter(col("o_orderkey") % 2 === 0))
+    t.createBranch("audit")
+    t.refresh().appendDataToBranch("audit", src.filter(col("o_orderkey") % 2 === 1))
+    // the audit: the staged branch must carry the full set before publish
+    require(t.refresh().scanRef("audit").toDF(s).count() == src.count(),
+      "audit failed: staged branch incomplete")
+    t.fastForward("audit")
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Stats-based file skipping: lineitem clustered on l_shipdate, then a
     * date-range scan — planFiles drops non-overlapping files, the same
     * predicate re-filters rows exactly. */
@@ -462,6 +480,7 @@ object LakeQueries {
     "lake_zorder" -> lakeZorder,
     "lake_rollback" -> lakeRollback,
     "lake_stream_read" -> lakeStreamRead,
+    "lake_wap" -> lakeWap,
     "lake_compact" -> lakeCompact,
     "lake_delete_cow" -> lakeDeleteCow,
     "lake_delete_mor" -> lakeDeleteMor,
@@ -545,6 +564,8 @@ object LakeQueries {
     "lake_rollback" -> "SELECT * FROM orders ORDER BY o_orderkey",
     // every appended row flows through the stream + exactly-once sink once
     "lake_stream_read" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    // staged branch published via fastForward = the full input
+    "lake_wap" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_zorder" ->
       """SELECT * FROM orders
         |WHERE o_totalprice >= 100000.0 AND o_totalprice < 200000.0

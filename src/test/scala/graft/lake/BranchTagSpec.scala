@@ -1,0 +1,112 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+
+/** Named refs: tags pin history immutably, branches take append
+  * commits off the main lineage, fastForward publishes an audited
+  * branch — write-audit-publish over the same CAS commit protocol. */
+class BranchTagSpec extends LakeSuite {
+
+  test("tags pin snapshots: readable by name, expiry-proof, droppable") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "tags", ordersDF.schema)
+    val even = ordersDF.filter(col("o_orderkey") % 2 === 0)
+    val first = t.appendData(even)
+    t.createTag("v1", first.snapshotId)
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+
+    // the tag reads the pinned snapshot by name
+    assert(t.refresh().scanRef("v1").toDF(spark).count() === even.count())
+    assert(t.scanRef("main").toDF(spark).count() === ordersDF.count())
+    // expiry keeps the tagged snapshot even when keepLast would drop it
+    assert(t.expireSnapshots(keepLast = 1).isEmpty)
+    assert(t.refresh().scanRef("v1").toDF(spark).count() === even.count())
+    // dropping the tag releases it: now expiry reclaims
+    t.dropRef("v1")
+    assert(t.expireSnapshots(keepLast = 1) === Seq(first.snapshotId))
+    intercept[NoSuchElementException](t.scanRef("v1"))
+    // guards
+    intercept[IllegalArgumentException](t.createTag("main", t.currentSnapshotId))
+    intercept[IllegalArgumentException](t.createTag("x", 9999L))
+  }
+
+  test("branch commits advance the branch only; fastForward publishes; main stays isolated") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "wap", ordersDF.schema)
+    val base = ordersDF.filter(col("o_orderkey") % 2 === 0)
+    val staged = ordersDF.filter(col("o_orderkey") % 2 === 1)
+    t.appendData(base)
+    t.createBranch("audit")
+    // two staged commits onto the branch
+    t.refresh().appendDataToBranch("audit", staged.filter(col("o_orderkey") % 4 === 1))
+    t.refresh().appendDataToBranch("audit", staged.filter(col("o_orderkey") % 4 === 3))
+
+    // main is untouched; the branch sees base + staged
+    assert(t.refresh().newScan().toDF(spark).count() === base.count())
+    assert(t.scanRef("audit").toDF(spark).count() === ordersDF.count())
+    // ...the audit read is what WAP validates, then publishes:
+    t.fastForward("audit")
+    assert(t.refresh().newScan().toDF(spark).count() === ordersDF.count())
+    // lineage: current parents back through the branch commits to base
+    val cur = t.metadata.currentSnapshot.get
+    assert(t.metadata.refs("audit").snapshotId === cur.id)
+    // post-publish appends continue on main normally
+    t.appendData(ordersDF.limit(5).withColumn("o_orderkey", col("o_orderkey") + 600000000L))
+    assert(t.refresh().newScan().toDF(spark).count() === ordersDF.count() + 5)
+  }
+
+  test("fastForward refuses when main diverged; branch append refuses on tags/unknown refs") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "div", ordersDF.schema)
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    t.createBranch("b")
+    t.refresh().appendDataToBranch("b", ordersDF.limit(3))
+    // main moves independently → publishing would discard that commit
+    t.refresh().appendData(ordersDF.limit(7)
+      .withColumn("o_orderkey", col("o_orderkey") + 400000000L))
+    val e = intercept[IllegalArgumentException](t.refresh().fastForward("b"))
+    assert(e.getMessage.contains("fast-forward"))
+    // tag targets refuse commits; unknown branches refuse
+    t.createTag("pin", t.currentSnapshotId)
+    intercept[IllegalArgumentException](
+      t.refresh().appendDataToBranch("pin", ordersDF.limit(1)))
+    intercept[NoSuchElementException](
+      t.refresh().appendDataToBranch("nope", ordersDF.limit(1)))
+    // refs survive restart (metadata round trip)
+    val reopened = LakeCatalog.open(t.catalog.warehouse.toString).loadTable("ns", "div")
+    assert(reopened.refs.keySet === Set("b", "pin"))
+  }
+
+  test("SQL surface: VERSION AS OF ref names, refs metadata table, WAP procedures") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.wap", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wap.warehouse", wh)
+    spark.sql("CREATE NAMESPACE wap.ns")
+    spark.sql(s"CREATE TABLE wap.ns.t (${ordersDF.schema.toDDL})")
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    val base = ordersDF.filter(col("o_orderkey") % 2 === 0)
+    t.appendData(base)
+    spark.sql(s"CALL wap.system.create_tag('ns.t', 'v1', ${t.currentSnapshotId})")
+    spark.sql("CALL wap.system.create_branch('ns.t', 'stage')")
+    t.refresh().appendDataToBranch("stage", ordersDF.filter(col("o_orderkey") % 2 === 1))
+
+    // ref-name time travel: the branch head and the tag, by name
+    assert(spark.sql("SELECT count(*) FROM wap.ns.t VERSION AS OF 'stage'")
+      .head.getLong(0) === ordersDF.count())
+    assert(spark.sql("SELECT count(*) FROM wap.ns.t VERSION AS OF 'v1'")
+      .head.getLong(0) === base.count())
+    // main still at base until the audit passes...
+    assert(spark.sql("SELECT count(*) FROM wap.ns.t").head.getLong(0) === base.count())
+    val ff = spark.sql("CALL wap.system.fast_forward('ns.t', 'stage')").head
+    assert(ff.getLong(1) > ff.getLong(0))
+    assert(spark.sql("SELECT count(*) FROM wap.ns.t").head.getLong(0)
+      === ordersDF.count())
+    // refs metadata table: main + tag + branch
+    val refs = spark.sql(
+      "SELECT name, type FROM wap.ns.t.refs ORDER BY name").collect()
+    assert(refs.map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("main", "branch"), ("stage", "branch"), ("v1", "tag")))
+    spark.sql("CALL wap.system.drop_ref('ns.t', 'stage')")
+    assert(spark.sql("SELECT count(*) FROM wap.ns.t.refs").head.getLong(0) === 2L)
+  }
+}
