@@ -39,7 +39,9 @@ private[sql] final case class LakeOffset(snapshotId: Long) extends Offset {
   *
   * Options: `stream-from` = `latest` (default: only commits after the
   * stream starts) | `beginning`; `stream-from-snapshot` = explicit id;
-  * `skip-mutation-snapshots` = true|false.
+  * `skip-mutation-snapshots` = true|false; `branch` = tail a branch
+  * head instead of main (consume a staged WAP pipeline pre-publish);
+  * `max-files-per-trigger` = admission-control cap.
   */
 private[sql] final class LakeMicroBatchStream(
     lt: LakeTable, options: CaseInsensitiveStringMap)
@@ -52,13 +54,29 @@ private[sql] final class LakeMicroBatchStream(
   @volatile private var availableNowTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(math.max(lt.refresh().currentSnapshotId, 0L))
+    availableNowTarget = Some(headId())
 
   private val skipMutations = options.getBoolean("skip-mutation-snapshots", false)
 
   // captured at planning time (driver): the stream execution thread may
   // not carry an active-session thread-local
   private val session = SparkSession.active
+
+  /** The lineage this stream tails: main, or — with `.option("branch",
+    * name)` — a branch head, so a staged (write-audit-publish) pipeline
+    * can be consumed before it publishes. */
+  private def headId(): Long = {
+    val t = lt.refresh()
+    Option(options.get("branch")) match {
+      case None => math.max(t.currentSnapshotId, 0L)
+      case Some(b) =>
+        val ref = t.metadata.refs.getOrElse(b,
+          throw new NoSuchElementException(s"no branch '$b' on ${lt.name}"))
+        require(ref.kind == graft.lake.TableRef.Branch,
+          s"ref '$b' of ${lt.name} is a ${ref.kind}; streams tail branches")
+        ref.snapshotId
+    }
+  }
 
   // planInputPartitions/createReaderFactory run back-to-back on the
   // stream execution thread; the factory is partition-agnostic
@@ -75,7 +93,7 @@ private[sql] final class LakeMicroBatchStream(
     LakeOffset(explicit.getOrElse {
       options.getOrDefault("stream-from", "latest") match {
         case "beginning" => 0L
-        case "latest" => math.max(lt.refresh().currentSnapshotId, 0L)
+        case "latest" => headId()
         case other => throw new IllegalArgumentException(
           s"stream-from must be 'latest' or 'beginning', got '$other'")
       }
@@ -83,7 +101,7 @@ private[sql] final class LakeMicroBatchStream(
   }
 
   override def latestOffset(): Offset =
-    LakeOffset(math.max(lt.refresh().currentSnapshotId, 0L))
+    LakeOffset(headId())
 
   /** Admission control: `max-files-per-trigger` caps a micro-batch by
     * choosing an INTERMEDIATE snapshot as its end offset (offsets are
@@ -100,8 +118,7 @@ private[sql] final class LakeMicroBatchStream(
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startId = start.asInstanceOf[LakeOffset].snapshotId
-    val latest = availableNowTarget.getOrElse(
-      math.max(lt.refresh().currentSnapshotId, 0L))
+    val latest = availableNowTarget.getOrElse(headId())
     limit match {
       case mf: ReadMaxFiles =>
         // farthest contiguous prefix of the ancestor chain within the

@@ -134,6 +134,33 @@ class LakeStreamSourceSpec extends LakeSuite {
     assert(batches.sum === ordersDF.count())
   }
 
+  test("the branch option tails a staged branch; main commits stay invisible to it") {
+    val (name, t) = sqlTable()
+    val base = ordersDF.filter(col("o_orderkey") % 2 === 0)
+    t.appendData(base)
+    t.createBranch("stage")
+    t.refresh().appendDataToBranch("stage", ordersDF.filter(col("o_orderkey") % 4 === 1))
+    // an unrelated main commit: the branch stream must not deliver it
+    t.refresh().appendData(ordersDF.limit(9)
+      .withColumn("o_orderkey", col("o_orderkey") + 300000000L))
+    t.refresh().appendDataToBranch("stage", ordersDF.filter(col("o_orderkey") % 4 === 3))
+
+    val ckpt = Files.createTempDirectory("graft_src_ck6_").toString
+    var total = 0L
+    var reader = spark.readStream.option("stream-from", "beginning")
+      .option("branch", "stage")
+    val q = reader.table(name).writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        total += df.count(); ()
+      }.start()
+    q.awaitTermination()
+    // base + both staged halves — and NOT the main-only commit (the
+    // branch lineage never contains it)
+    assert(total === ordersDF.count())
+  }
+
   test("historical AS OF handles do not stream; offsets survive rollback monotonically") {
     val (name, t) = sqlTable()
     val first = t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
