@@ -567,6 +567,74 @@ final class LakeTable private[lake] (
     }
   }
 
+  /** MERGE-ON-READ update: ONE commit ships positional tombstones for
+    * the matched rows' old coordinates PLUS data files carrying their
+    * updated values — write cost O(matched rows), not the copy-on-write
+    * rewrite of every byte of every touched FILE. The appended rows
+    * land at the new snapshot's sequence number and are untouched by
+    * the tombstones (which address old files only); reads subtract the
+    * old positions and see the updates; [[compact]] materializes.
+    * Same serializable validation as [[updateWhere]]. */
+  def updateWhereMoR(spark: SparkSession, pred: LakePredicate,
+      assignments: Map[String, Column],
+      conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
+    import org.apache.spark.sql.{functions => F}
+    val base = meta.currentSnapshotId
+    val live = meta.currentFiles
+    val snap = meta.currentSnapshot
+    val touched = live.filter(pred.mayMatch(_, meta))
+    if (touched.isEmpty)
+      commitSnapshot("overwrite", Nil, Nil, validateAddedSince = Some((base, pred)))
+    else {
+      // matched rows with their coordinates, MoR-filtered (already-
+      // tombstoned rows are neither re-deleted nor resurrected);
+      // persisted because BOTH outputs (tombstones, updated rows) must
+      // see one consistent snapshot of a possibly-non-deterministic plan
+      val matched = readLivePos(spark, touched,
+          snap.map(_.deleteFiles).getOrElse(Nil),
+          snap.map(_.eqDeleteFiles).getOrElse(Nil))
+        .filter(F.coalesce(pred.toColumn, F.lit(false)))
+        .persist()
+      try {
+        val tombDir = s"$location/data/${UUID.randomUUID}"
+        matched.select(F.col(LakeTable.PosFileCol).as("file_path"),
+            F.col(LakeTable.PosIdxCol).as("pos"))
+          .repartitionByRange(math.max(1, touched.size / 16), F.col("file_path"))
+          .write.parquet(tombDir)
+        val tombs = StatsHarvester.harvest(spark, tombDir, LakeTable.DeleteFileSchema,
+          Nil, LakeTable.DeleteFieldIds).filter(_.recordCount > 0L)
+        // rows are already filtered to the predicate: assignments apply
+        // unconditionally (updateWhere's when(pred) guard is for whole-
+        // file rewrites)
+        val updated = assignments.foldLeft(matched: DataFrame) {
+          case (acc, (c, v)) => acc.withColumn(c, v)
+        }.select(schema.fieldNames.map(F.col): _*)
+        val added = writeDataFiles(updated)
+        commitSnapshot("overwrite", added, Nil, addedDeletes = tombs,
+          validateAddedSince = Some((base, pred)))
+      } finally matched.unpersist(blocking = false)
+    }
+  }
+
+  /** Set / remove a table property (metadata-only commits). Properties
+    * survive snapshot expiry; the write-mode family
+    * (`write.{delete,update,merge}.mode` = copy-on-write |
+    * merge-on-read) routes the SQL row-level commands. */
+  def setProperty(key: String, value: String): LakeTable =
+    metadataChange(l => l.copy(properties = l.properties + (key -> value)))
+
+  def removeProperty(key: String): LakeTable =
+    metadataChange(l => l.copy(properties = l.properties - key))
+
+  /** Row-level write mode for `op` ∈ {delete, update, merge}: Iceberg's
+    * `write.<op>.mode` property; copy-on-write when unset. */
+  def writeMode(op: String): String = {
+    val m = meta.properties.getOrElse(s"write.$op.mode", "copy-on-write")
+    require(m == "copy-on-write" || m == "merge-on-read",
+      s"write.$op.mode of $name must be copy-on-write or merge-on-read, got '$m'")
+    m
+  }
+
   /** Full-table replace: write df as the new table contents in ONE
     * atomic commit (the SQL INSERT OVERWRITE path). The removed set is
     * whatever is live AT COMMIT TIME (replaceAll), not a pre-read

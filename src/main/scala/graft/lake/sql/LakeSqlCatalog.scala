@@ -149,8 +149,15 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
     val sortOrder = rawOrder
       .map(v => if (zorder) v.substring(v.indexOf('(') + 1, v.length - 1) else v)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    lake.createTable(ns1(ident.namespace), ident.name, schema, spec, sortOrder,
+    val t = lake.createTable(ns1(ident.namespace), ident.name, schema, spec, sortOrder,
       sortOrderKind = if (zorder) "zorder" else "linear")
+    // persist the user's write-config properties (the write-mode family
+    // etc.); Spark-reserved keys (provider/location/owner/...) and the
+    // sort order (already in metadata proper) stay out
+    properties.asScala.foreach { case (k, v) =>
+      if (k.startsWith("write.") && k != "write.sort-order")
+        t.refresh().setProperty(k, v)
+    }
     loadTable(ident)
   }
 
@@ -173,7 +180,20 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"nested column ${other.mkString(".")} is not supported")
     }
-    val batch: Seq[SchemaChange] = changes.map {
+    // SET/UNSET TBLPROPERTIES: each is its own metadata CAS commit
+    // (properties don't interact with the schema batch's atomicity)
+    val (propChanges, schemaChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    propChanges.foreach {
+      case set: TableChange.SetProperty =>
+        t.refresh().setProperty(set.property(), set.value())
+      case rm: TableChange.RemoveProperty =>
+        t.refresh().removeProperty(rm.property())
+      case _ => ()
+    }
+    val batch: Seq[SchemaChange] = schemaChanges.map {
       case add: TableChange.AddColumn =>
         if (!add.isNullable)
           throw new UnsupportedOperationException(
@@ -351,7 +371,12 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       throw new UnsupportedOperationException(
         s"DELETE condition $f has no exact manifest-predicate form")))
       .reduceOption(P.And(_, _)).getOrElse(P.AlwaysTrue)
-    lt.refresh().deleteWhere(SparkSession.active, pred)
+    // write.delete.mode routes the same transactional semantics through
+    // positional tombstones (O(deleted rows)) instead of file rewrites
+    val t = lt.refresh()
+    if (t.writeMode("delete") == "merge-on-read")
+      t.deleteWhereMoR(SparkSession.active, pred)
+    else t.deleteWhere(SparkSession.active, pred)
     ()
   }
 

@@ -262,7 +262,9 @@ final case class LakeUpdateCommand(
         case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
       })
     }.toMap
-    table.refresh().updateWhere(spark, pred, cols)
+    val t = table.refresh()
+    if (t.writeMode("update") == "merge-on-read") t.updateWhereMoR(spark, pred, cols)
+    else t.updateWhere(spark, pred, cols)
     Nil
   }
 }
@@ -284,7 +286,8 @@ final case class LakeMergeCommand(
     // align the source to the table schema (same cast rule as INSERT)
     val src = PlanBridge.ofRows(spark, source).select(t.schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    t.mergeInto(spark, src, keys)
+    if (t.writeMode("merge") == "merge-on-read") t.mergeIntoMoR(spark, src, keys)
+    else t.mergeInto(spark, src, keys)
     Nil
   }
 }

@@ -223,6 +223,20 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Merge-on-read update: ONE commit of positional tombstones + new
+    * files carrying the updated rows — O(matched rows), no data-file
+    * rewrite. Same oracle as the CoW update, so the gate proves both
+    * update strategies produce identical answers. */
+  def lakeUpdateMor(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_upmor", src.schema)
+    t.appendData(src, numFiles = 4)
+    t.refresh().updateWhereMoR(s, LakePredicate.Eq("o_orderstatus", "F"),
+      Map("o_orderpriority" -> lit("0-REWRITTEN")))
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Maintenance: compact, expire history, drop orphans — the surviving
     * table must still read back exactly. */
   def lakeMaintenance(s: SparkSession, d: String): DataFrame = {
@@ -485,6 +499,7 @@ object LakeQueries {
     "lake_delete_cow" -> lakeDeleteCow,
     "lake_delete_mor" -> lakeDeleteMor,
     "lake_update_cow" -> lakeUpdateCow,
+    "lake_update_mor" -> lakeUpdateMor,
     "lake_merge_upsert" -> lakeMergeUpsert,
     "lake_merge_mor" -> lakeMergeMor,
   )
@@ -587,6 +602,10 @@ object LakeQueries {
         |FROM orders WHERE o_orderkey % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
     "lake_update_cow" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderstatus = 'F' THEN '0-REWRITTEN' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "lake_update_mor" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         |  CASE WHEN o_orderstatus = 'F' THEN '0-REWRITTEN' ELSE o_orderpriority END AS o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
