@@ -190,14 +190,44 @@ object TextQueries {
     // reads the memoized ingest artifact — the pair pipeline no longer
     // re-runs inside every invocation of this query
     val pairsRaw = jaccardPairs(s, d).select(col("da"), col("db"))
-    // Size the LOOP's shuffle width to the EDGE set, on a cloned
-    // session so the choice never leaks: near-dup pair tables are tiny
-    // relative to the corpus (here hundreds of rows; at 100 TB maybe
-    // 10⁸), and each round is several shuffles — at the session-wide
-    // width the rounds are pure scheduling overhead (persisted plans
-    // are exempt from AQE coalescing), while ~2M edges per partition
-    // keeps a big corpus's rounds parallel.
     val nEdges = pairsRaw.count() // one cheap job against the cached artifact
+
+    // SIZE-GATED, like the embedding near-dup: the pair table is the
+    // ALREADY-REDUCED artifact (near-dup edges, not the corpus), so
+    // when it fits the driver budget, union-find there beats 6+ shuffle
+    // stages per propagation round by an order of magnitude — and
+    // produces the IDENTICAL min-representative labeling. The driver
+    // sees only the edge list it already paid to compute at ingest;
+    // above the budget, the distributed loop below is the scale path.
+    val budget = s.conf.getOption("spark.graft.cc.broadcastEdges")
+      .map(_.toLong).getOrElse(2000000L)
+    if (nEdges <= budget) {
+      val edgeRows = pairsRaw.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeRows.foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min id becomes the representative
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        } else parent.getOrElseUpdate(ra, ra)
+      }
+      val nodes = edgeRows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+      import s.implicits._
+      return nodes.map(n => (n, find(n))).toSeq
+        .toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
+    }
+
+    // Distributed path: min-label propagation with pointer doubling.
+    // The loop's shuffle width is sized to the EDGE set on a cloned
+    // session (persisted plans are exempt from AQE coalescing; ~2M
+    // edges per partition keeps a big corpus's rounds parallel).
     val loopPartitions = math.max(4L, math.min(2048L, nEdges / 2000000L + 4L))
     val pairs = org.apache.spark.sql.graftbridge.SessionBridge.withConfs(
       pairsRaw, Map("spark.sql.shuffle.partitions" -> loopPartitions.toString))
