@@ -48,8 +48,13 @@ final class LakeTable private[lake] (
     * count also stops AQE from coalescing everything into one file at
     * small scale). */
   def writeDataFiles(df: DataFrame, numFiles: Int = 0): Seq[DataFileEntry] = {
-    require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
-      schema.fields.map(f => (f.name, f.dataType))),
+    // nullability-erased comparison (simpleString renders names + types
+    // but not nullable flags): a source whose (possibly nested) fields
+    // are merely non-nullable where the table allows null is the same
+    // data contract — exact equality made every Dataset-built struct
+    // source fail against DDL-created nested schemas
+    require(df.schema.fields.map(f => (f.name, f.dataType.simpleString)).sameElements(
+      schema.fields.map(f => (f.name, f.dataType.simpleString))),
       s"schema mismatch: ${df.schema.simpleString} vs ${schema.simpleString}")
     val spark = df.sparkSession
     val dir = s"$location/data/${UUID.randomUUID}"
