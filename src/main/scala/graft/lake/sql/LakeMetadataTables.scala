@@ -31,7 +31,7 @@ private[sql] object LakeMetadataTables {
 
   val kinds: Set[String] =
     Set("snapshots", "history", "files", "delete_files", "manifests",
-      "properties", "refs")
+      "properties", "refs", "partitions")
 
   def table(lt: LakeTable, kind: String): Table = new LakeMetadataTable(lt, kind)
 
@@ -93,7 +93,13 @@ private[sql] object LakeMetadataTables {
     "refs" -> StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("type", StringType, nullable = false),
-      StructField("snapshot_id", LongType, nullable = false))))
+      StructField("snapshot_id", LongType, nullable = false))),
+    "partitions" -> StructType(Seq(
+      StructField("partition", statsMapType, nullable = false),
+      StructField("spec_id", IntegerType, nullable = false),
+      StructField("file_count", LongType, nullable = false),
+      StructField("record_count", LongType, nullable = false),
+      StructField("total_size_bytes", LongType, nullable = false))))
   // delete_files shares the files schema
   private[sql] def schemaOf(kind: String): StructType =
     schemas.getOrElse(kind, schemas("files"))
@@ -123,10 +129,25 @@ private[sql] object LakeMetadataTables {
       def namedL(sm: Map[String, Long]): Map[String, Long] =
         sm.map { case (k, v) => idToName.getOrElse(k, k) -> v }
 
+      // manifest partition values are keyed by SPEC POSITION ("p0"…,
+      // rename-stable); surface them by the deriving field's readable
+      // name — `o_orderstatus` or `month(o_orderdate)` — under the
+      // spec id the file was written with
+      def partMap(f: DataFileEntry): Map[String, String] = {
+        val spec = m.specFor(f)
+        f.partitionValues.map { case (k, v) =>
+          val readable = (if (k.startsWith("p")) k.drop(1).toIntOption else None)
+            .flatMap(spec.lift).map(pf =>
+              if (pf.transform == "identity") pf.source
+              else s"${pf.transform}(${pf.source})")
+          readable.getOrElse(k) -> v
+        }
+      }
+
       def fileRow(content: String, f: DataFileEntry): InternalRow =
         new GenericInternalRow(Array[Any](
           utf8(content), utf8(f.path), f.recordCount, f.sizeBytes, f.specId,
-          f.seq, strMap(f.partitionValues), strMap(named(f.minValues)),
+          f.seq, strMap(partMap(f)), strMap(named(f.minValues)),
           strMap(named(f.maxValues)), longMap(namedL(f.nullCounts))))
 
       kind match {
@@ -165,6 +186,16 @@ private[sql] object LakeMetadataTables {
         case "properties" => m.properties.toSeq.sortBy(_._1).map { case (k, v) =>
           new GenericInternalRow(Array[Any](utf8(k), utf8(v)))
         }.toArray
+
+        case "partitions" =>
+          m.currentSnapshot.map(_.files).getOrElse(Nil)
+            .groupBy(f => (partMap(f), f.specId)).toSeq
+            .sortBy(_._1._1.toSeq.sortBy(_._1).mkString(","))
+            .map { case ((pv, specId), fs) =>
+              new GenericInternalRow(Array[Any](
+                strMap(pv), specId, fs.size.toLong,
+                fs.map(_.recordCount).sum, fs.map(_.sizeBytes).sum))
+            }.toArray
 
         case "refs" =>
           // "main" rides along like Iceberg's refs table does

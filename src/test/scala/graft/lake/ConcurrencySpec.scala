@@ -47,6 +47,42 @@ class ConcurrencySpec extends LakeSuite {
     }
   }
 
+  test("racing branch and main commits serialize; both lineages stay complete") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "brace", ordersDF.schema)
+    val base = ordersDF.filter(org.apache.spark.sql.functions.col("o_orderkey") % 2 === 0)
+    t.appendData(base)
+    t.createBranch("b")
+    // stage 6 single-file batches sequentially, then race the commits:
+    // 3 onto the branch, 3 onto main, all against one CAS
+    val staged = (0 until 6).map { i =>
+      t.writeDataFiles(ordersDF.filter(
+        org.apache.spark.sql.functions.col("o_orderkey") % 12 === (2 * i + 1))
+        .coalesce(1))
+    }
+    val reports = Await.result(Future.sequence(staged.zipWithIndex.map {
+      case (files, i) => Future {
+        val handle = cat.loadTable("ns", "brace")
+        if (i % 2 == 0) handle.commitSnapshot("append", files, Nil,
+          toBranch = Some("b"))
+        else handle.commitSnapshot("append", files, Nil)
+      }
+    }), 120.seconds)
+
+    val re = cat.loadTable("ns", "brace")
+    // every commit landed exactly once, on its own snapshot
+    assert(reports.map(_.snapshotId).distinct.size === 6)
+    assert(re.snapshots.size === 7) // base + 6
+    // main carries base + its 3 commits (%12 residues 3,7,11 ⇔ %4=3);
+    // the branch carries base + its 3 (%12 residues 1,5,9 ⇔ %4=1)
+    assert(re.newScan().toDF(spark).count() ===
+      base.count() + ordersDF.filter(
+        org.apache.spark.sql.functions.col("o_orderkey") % 4 === 3).count())
+    assert(re.scanRef("b").toDF(spark).count() ===
+      base.count() + ordersDF.filter(
+        org.apache.spark.sql.functions.col("o_orderkey") % 4 === 1).count())
+  }
+
   test("two hadoop-fs backend INSTANCES racing one path: exactly one putIfAbsent wins") {
     // the guard must be JVM-global: a per-instance lock let two backends
     // opened on the same file:// warehouse (two catalog opens, or the

@@ -81,4 +81,23 @@ class LakeMetadataTableSpec extends LakeSuite {
     assert(spark.sql("SELECT lower_bounds['okey'] FROM meta.ns.t.files").collect()
       .forall(!_.isNullAt(0)))
   }
+
+  test("partitions table aggregates per partition tuple") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.metap", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.metap.warehouse", wh)
+    spark.sql("CREATE NAMESPACE metap.ns")
+    val cat = LakeCatalog.open(wh)
+    val t = cat.createTable("ns", "p", ordersDF.schema,
+      spec = Seq(graft.lake.PartitionField("o_orderstatus", "identity")))
+    t.appendData(ordersDF, numFiles = 6)
+    val parts = spark.sql(
+      "SELECT partition['o_orderstatus'] AS st, file_count, record_count " +
+        "FROM metap.ns.p.partitions ORDER BY st").collect()
+    val expected = ordersDF.groupBy(org.apache.spark.sql.functions.col("o_orderstatus"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts.map(_.getString(0)).toSeq === expected.keys.toSeq.sorted)
+    parts.foreach(r => assert(r.getLong(2) === expected(r.getString(0))))
+    assert(parts.map(_.getLong(1)).sum === t.refresh().metadata.currentFiles.size.toLong)
+  }
 }
