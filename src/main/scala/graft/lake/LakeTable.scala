@@ -1012,12 +1012,20 @@ final class LakeTable private[lake] (
     val md = catalog.metadataDir(namespace, shortName)
     val liveDocs = meta.snapshots.flatMap(s =>
       s.manifestList +: s.manifests.map(_.name)).toSet
+    // ONE recursive listing supplies every candidate's mtime (same
+    // batching as the data-side walk above) — a per-candidate mtime
+    // call was the last O(files) round-trip pattern in the sweep, and
+    // round trips are what hurt against an object store
+    val mdMtimes: Map[String, Long] =
+      scala.util.Try(DataFs.listFilesRecursive(md).map { case (p, t) =>
+        new org.apache.hadoop.fs.Path(p).getName -> t
+      }.toMap).getOrElse(Map.empty)
     catalog.backend.listChildren(md)
       .filter(n => (n.startsWith("manifest-") || n.startsWith("snaplist-") ||
         n.startsWith(".tmp-")) && // crash-stranded write-then-publish temps
         n.endsWith(".json") && !liveDocs(n))
       .filter { n =>
-        DataFs.mtime(md.resolve(n)) match {
+        mdMtimes.get(n) match {
           case Some(m) => m <= cutoff
           case None => olderThanMillis == 0L // no mtime: only the single-writer sweep
         }
