@@ -58,6 +58,26 @@ object ZOrder {
     w
   }
 
+  /** Range-normalize an encoded word into `[lo, hi]` (all unsigned):
+    * the word's POSITION in its dimension's observed range, scaled to
+    * the top 32 bits. Without this, dimensions with small domains are
+    * buried — a key in 1..150 varies only in its lowest 8 bits while a
+    * float's exponent varies in its highest, so raw interleaving
+    * degenerates to a linear sort on the wide dimension. Normalized,
+    * every dimension's variation starts at the top bit, which is what
+    * makes the curve actually interleave (the same reason Iceberg's
+    * z-order rewrite computes per-job bounds). Monotone in `w`, so
+    * per-dimension order is preserved; out-of-range words clamp. */
+  def normalize(w: Long, lo: Long, hi: Long): Long = {
+    if (java.lang.Long.compareUnsigned(w, lo) <= 0) return 0L
+    if (java.lang.Long.compareUnsigned(w, hi) >= 0 ||
+      java.lang.Long.compareUnsigned(hi, lo) <= 0) return 0xFFFFFFFF00000000L
+    def ud(x: Long): Double =
+      if (x >= 0) x.toDouble else x.toDouble + 1.8446744073709552E19
+    val frac = ud(w - lo) / ud(hi - lo) // mod-2^64 diffs are the unsigned diffs
+    (frac * 4294967295.0).toLong << 32
+  }
+
   /** Bit-interleave k unsigned words, most-significant bit first:
     * output bit `b*k + c` = bit `b` of word `c`. The result compares
     * unsigned-lexicographically as the Morton code of the k dims. */
@@ -102,11 +122,49 @@ object ZOrder {
     }
 }
 
+/** The SIGNED-comparable encoded word of one value (`encodeXxx ^
+  * Long.MinValue`): `min`/`max` aggregates over it give a dimension's
+  * unsigned encoded bounds (re-flip to unsigged) in one tiny agg —
+  * how the write path learns the ranges [[ZOrderKey]] normalizes to. */
+case class ZOrderEncode(child: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = child.foldable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ZOrder.supported(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"zorder encoding does not support ${child.dataType.simpleString}")
+
+  override def eval(input: InternalRow): Any =
+    ZOrder.encodeValue(child.eval(input), child.dataType) ^ java.lang.Long.MIN_VALUE
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val e = child.genCode(ctx)
+    val enc = ZOrderKey.genEncode(child.dataType, e.value.toString)
+    ev.copy(
+      code = e.code +
+        code"""
+          |long ${ev.value} = (${e.isNull} ? 0L : $enc) ^ java.lang.Long.MIN_VALUE;
+        """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
+}
+
 /** `zorder_key(c1, …, ck)`: the 8k-byte Morton code of the row — the
   * expression the lake write path range-partitions and sorts on when a
   * table's write order is z-order. Never null; whole-stage codegen with
-  * one static call per row. */
-case class ZOrderKey(children: Seq[Expression]) extends Expression {
+  * one static call per row. `bounds` (one unsigned encoded (lo, hi) per
+  * child, computed per write batch via [[ZOrderEncode]] aggregates)
+  * range-normalizes each dimension so heterogeneous domains interleave
+  * instead of the widest one dominating; without bounds, raw words
+  * interleave (right when the domains already match). */
+case class ZOrderKey(children: Seq[Expression],
+    bounds: Seq[(Long, Long)] = Nil) extends Expression {
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def foldable: Boolean = children.forall(_.foldable)
@@ -114,6 +172,9 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.size < 2)
       TypeCheckResult.TypeCheckFailure("zorder_key needs at least 2 columns")
+    else if (bounds.nonEmpty && bounds.size != children.size)
+      TypeCheckResult.TypeCheckFailure(
+        s"zorder_key got ${bounds.size} bounds for ${children.size} columns")
     else children.find(c => !ZOrder.supported(c.dataType)) match {
       case Some(bad) => TypeCheckResult.TypeCheckFailure(
         s"zorder_key does not support type ${bad.dataType.simpleString}")
@@ -124,7 +185,9 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
     val words = new Array[Long](children.length)
     var i = 0
     while (i < children.length) {
-      words(i) = ZOrder.encodeValue(children(i).eval(input), children(i).dataType)
+      var w = ZOrder.encodeValue(children(i).eval(input), children(i).dataType)
+      if (bounds.nonEmpty) w = ZOrder.normalize(w, bounds(i)._1, bounds(i)._2)
+      words(i) = w
       i += 1
     }
     ZOrder.interleave(words)
@@ -133,19 +196,12 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val evals = children.map(_.genCode(ctx))
     val words = ctx.freshName("zwords")
-    def enc(t: DataType, v: String): String = t match {
-      case ByteType | ShortType | IntegerType | DateType =>
-        s"graft.functions.ZOrder.encodeLong((long) $v)"
-      case LongType | TimestampType | TimestampNTZType =>
-        s"graft.functions.ZOrder.encodeLong($v)"
-      case FloatType => s"graft.functions.ZOrder.encodeDouble((double) $v)"
-      case DoubleType => s"graft.functions.ZOrder.encodeDouble($v)"
-      case StringType => s"graft.functions.ZOrder.encodeUtf8($v)"
-      case BooleanType => s"graft.functions.ZOrder.encodeLong($v ? 1L : 0L)"
-      case other => throw new IllegalStateException(s"unsupported z-order type $other")
-    }
     val assigns = children.zip(evals).zipWithIndex.map { case ((c, e), i) =>
-      s"$words[$i] = ${e.isNull} ? 0L : ${enc(c.dataType, e.value.toString)};"
+      val enc = s"${e.isNull} ? 0L : ${ZOrderKey.genEncode(c.dataType, e.value.toString)}"
+      val normed =
+        if (bounds.isEmpty) enc
+        else s"graft.functions.ZOrder.normalize($enc, ${bounds(i)._1}L, ${bounds(i)._2}L)"
+      s"$words[$i] = $normed;"
     }.mkString("\n")
     val childCode = evals.map(_.code).reduceLeft(_ + _)
     ev.copy(
@@ -160,6 +216,20 @@ case class ZOrderKey(children: Seq[Expression]) extends Expression {
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+object ZOrderKey {
+  private[functions] def genEncode(t: DataType, v: String): String = t match {
+    case ByteType | ShortType | IntegerType | DateType =>
+      s"graft.functions.ZOrder.encodeLong((long) $v)"
+    case LongType | TimestampType | TimestampNTZType =>
+      s"graft.functions.ZOrder.encodeLong($v)"
+    case FloatType => s"graft.functions.ZOrder.encodeDouble((double) $v)"
+    case DoubleType => s"graft.functions.ZOrder.encodeDouble($v)"
+    case StringType => s"graft.functions.ZOrder.encodeUtf8($v)"
+    case BooleanType => s"graft.functions.ZOrder.encodeLong($v ? 1L : 0L)"
+    case other => throw new IllegalStateException(s"unsupported z-order type $other")
+  }
 }
 
 object ZOrderFunctions {

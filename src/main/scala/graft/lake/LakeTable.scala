@@ -71,7 +71,7 @@ final class LakeTable private[lake] (
     // predicates on any of them prune (graft.functions.ZOrder).
     val sortCols =
       if (meta.sortOrderKind == "zorder" && meta.sortOrder.size >= 2)
-        Seq(graft.functions.ZOrderFunctions.zorder_key(meta.sortOrder.map(df.col): _*))
+        Seq(zorderKey(df))
       else meta.sortOrder.map(df.col)
     val exprs = spec.map(_.toColumn) ++ sortCols ++ spec.map(p => df.col(p.source))
     val clusteredRaw = (exprs.nonEmpty, numFiles > 0) match {
@@ -107,6 +107,32 @@ final class LakeTable private[lake] (
     // evolution, pruning resolves each file's values under ITS spec
     StatsHarvester.harvest(spark, dir, schema, spec, meta.fieldIds)
       .map(_.copy(specId = meta.currentSpecId))
+  }
+
+  /** The write batch's z-order cluster key: each dimension is
+    * RANGE-NORMALIZED to the batch's own encoded min/max (one tiny agg
+    * job — monotone encodings make min/max of the encoded word the
+    * encoded bounds) before bit-interleaving, so heterogeneous domains
+    * (a 150-value key against a float's full exponent range) actually
+    * interleave instead of the widest dimension degenerating the curve
+    * to a linear sort. Per-batch bounds are fine: clustering is a
+    * per-write property and pruning uses each file's REAL stats. */
+  private def zorderKey(df: DataFrame): Column = {
+    import graft.functions.{ZOrderEncode, ZOrderKey}
+    import org.apache.spark.sql.functions.{max, min, when}
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val aggs = meta.sortOrder.flatMap { c =>
+      val enc = column(ZOrderEncode(expression(df.col(c))))
+      val nonNull = when(df.col(c).isNotNull, enc) // nulls must not drag lo
+      Seq(min(nonNull), max(nonNull))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bounds = meta.sortOrder.indices.map { i =>
+      if (row.isNullAt(2 * i)) (0L, 0L) // all-null dim: constant word
+      else (row.getLong(2 * i) ^ java.lang.Long.MIN_VALUE,
+        row.getLong(2 * i + 1) ^ java.lang.Long.MIN_VALUE)
+    }
+    column(ZOrderKey(meta.sortOrder.map(c => expression(df.col(c))), bounds))
   }
 
   /** All lake file reads go through here: the requested schema carries

@@ -64,6 +64,31 @@ class PruningSpec extends LakeSuite {
     }
   }
 
+  test("∀ predicate: pruning stays exact over a Z-ORDERED table, and both z-dims skip") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val zt = cat.createTable("prune", "orders_z", ordersDF.schema)
+    zt.setZOrder("o_custkey", "o_totalprice")
+    zt.refresh().appendData(ordersDF, numFiles = 16)
+    val t = zt.refresh()
+    val full = t.newScan().toDF(spark).cache()
+    val preds = Gen.listOfN(40, genPred)
+      .apply(Gen.Parameters.default, Seed(99L))
+      .getOrElse(fail("generator exhausted"))
+    preds.foreach { pred =>
+      assert(t.newScan(pred).toDF(spark).count() === full.filter(pred.toColumn).count(),
+        s"for predicate ${pred.render}")
+    }
+    // and the clustering is real: narrow ranges on EITHER z-dimension
+    // skip files
+    val total = t.metadata.currentFiles.size
+    val byKey = t.newScan(And(Ge("o_custkey", Long.box(100L)),
+      Lt("o_custkey", Long.box(140L)))).planFiles.size
+    val byPrice = t.newScan(And(Ge("o_totalprice", Double.box(100000.0)),
+      Lt("o_totalprice", Double.box(110000.0)))).planFiles.size
+    assert(byKey < total, s"custkey range scanned $byKey/$total files")
+    assert(byPrice < total, s"totalprice range scanned $byPrice/$total files")
+  }
+
   test("∀ predicate: pruning stays exact across a partition-spec evolution") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("prune", "orders_ev", ordersDF.schema,

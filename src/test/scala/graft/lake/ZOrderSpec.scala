@@ -30,6 +30,20 @@ class ZOrderSpec extends LakeSuite {
     }
   }
 
+  test("range normalization is monotone, clamps, and rescues buried domains") {
+    val lo = ZOrder.encodeLong(0L)
+    val hi = ZOrder.encodeLong(100L)
+    def n(v: Long) = ZOrder.normalize(ZOrder.encodeLong(v), lo, hi)
+    assert(cmpU(n(10L), n(50L)) < 0 && cmpU(n(50L), n(90L)) < 0)
+    assert(n(0L) === 0L)
+    assert(cmpU(n(-5L), n(0L)) <= 0) // below-range clamps to the floor
+    assert(n(200L) === n(100L)) // above-range clamps to the ceiling
+    assert(ZOrder.normalize(lo, lo, lo) === 0L) // degenerate dim: constant word
+    // the buried-domain case: a 0..100 key's variation reaches the TOP
+    // bits once normalized (raw encoding leaves the top 50+ bits equal)
+    assert(((n(80L) >>> 56) & 0xffL) > 0L)
+  }
+
   test("interleave produces the Morton order") {
     // bit 63 of word 0 lands in output bit 0; bit 63 of word 1 in bit 1
     assert(ZOrder.interleave(Array(Long.MinValue, 0L))(0) === 0x80.toByte)
