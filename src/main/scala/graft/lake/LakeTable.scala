@@ -356,6 +356,13 @@ final class LakeTable private[lake] (
   def renameColumn(from: String, to: String): LakeTable =
     alterSchema(Seq(SchemaChange.Rename(from, to)))
 
+  /** Schema evolution: widen a column's type losslessly (int → bigint,
+    * float → double, …). Metadata-only — the field keeps its ID and the
+    * parquet reader widens old files' narrower values at read. */
+  def widenColumn(colName: String,
+      to: org.apache.spark.sql.types.DataType): LakeTable =
+    alterSchema(Seq(SchemaChange.Widen(colName, to)))
+
   /** Apply a SEQUENCE of schema changes as ONE metadata commit — all or
     * nothing (the V2 TableCatalog.alterTable contract: a failing change
     * must not leave earlier changes from the same statement applied).
@@ -389,6 +396,26 @@ final class LakeTable private[lake] (
               schema = org.apache.spark.sql.types.StructType(
                 m.schema.fields.filterNot(_.name == colName)),
               fieldIds = m.fieldIds - colName)
+          case SchemaChange.Widen(colName, to) =>
+            require(m.schema.fieldNames.contains(colName), s"no such column $colName")
+            val from = m.schema(colName).dataType
+            require(LakeTable.losslessWidening(from, to),
+              s"cannot change $colName: ${from.simpleString} → ${to.simpleString} " +
+                "is not a lossless widening (allowed: tinyint/smallint/int → a " +
+                "wider integral, float → double)")
+            // metadata-only: the field keeps its ID; Spark's parquet
+            // reader widens old files' narrower physical values at read
+            // (int32→int64, float→double), manifest stat STRINGS parse
+            // under the new type unchanged, and equality tombstones keep
+            // applying (their key files widen through the same
+            // ID-matched read). Bucket-transform hashes are
+            // type-dependent, but bucket partition values are never
+            // derived into manifests — only future write clustering
+            // changes, which is a layout choice, not correctness.
+            m.copy(schema = org.apache.spark.sql.types.StructType(
+              m.schema.fields.map(f =>
+                if (f.name == colName) f.copy(dataType = to) else f)))
+
           case SchemaChange.Rename(from, to) =>
             require(m.schema.fieldNames.contains(from), s"no such column $from")
             require(!m.schema.fieldNames.contains(to), s"column $to already exists")
@@ -1285,6 +1312,26 @@ final class LakeTable private[lake] (
 }
 
 object LakeTable {
+  /** The lossless type promotions (Iceberg's schema-evolution set,
+    * restricted to what Spark's parquet reader widens natively):
+    * integral → strictly wider integral, float → double. */
+  private[lake] def losslessWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    (from, to) match {
+      case (FloatType, DoubleType) => true
+      case (a, b) if rank(a) > 0 && rank(b) > 0 => rank(a) < rank(b)
+      case _ => false
+    }
+  }
+
   /** Positional-delete file schema (Iceberg's position-delete layout):
     * the coordinates of tombstoned rows — fully-qualified file path as
     * the parquet reader reports it, and the row's physical index. */

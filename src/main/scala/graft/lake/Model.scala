@@ -51,6 +51,10 @@ object SchemaChange {
       extends SchemaChange
   final case class Drop(name: String) extends SchemaChange
   final case class Rename(from: String, to: String) extends SchemaChange
+  /** Lossless type promotion (Iceberg's allowed set): the column keeps
+    * its field ID; old files' narrower physical values widen at read. */
+  final case class Widen(name: String, dataType: org.apache.spark.sql.types.DataType)
+      extends SchemaChange
 }
 
 final case class PartitionField(source: String, transform: String) {

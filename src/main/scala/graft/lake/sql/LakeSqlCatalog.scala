@@ -205,6 +205,10 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
         SchemaChange.Add(one(add.fieldNames), add.dataType())
       case ren: TableChange.RenameColumn =>
         SchemaChange.Rename(one(ren.fieldNames), ren.newName())
+      case up: TableChange.UpdateColumnType =>
+        // lossless widening only; anything else refuses inside the
+        // atomic transform BEFORE any change commits
+        SchemaChange.Widen(one(up.fieldNames), up.newDataType())
       case del: TableChange.DeleteColumn =>
         // ifExists is resolved inside the atomic transform via the Drop
         // validation; a missing optional column simply contributes no

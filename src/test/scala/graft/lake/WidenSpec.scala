@@ -1,0 +1,82 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lossless type widening (Iceberg's promotion set): metadata-only —
+  * the field keeps its ID, Spark's parquet reader widens old files'
+  * narrower physical values at read, manifest stat strings parse under
+  * the new type, and equality tombstones keep applying through the
+  * same ID-matched read. */
+class WidenSpec extends LakeSuite {
+
+  private def df100 = {
+    import spark.implicits._
+    (1 to 100).map(i => (i, i * 1.5f, s"r$i")).toDF("i", "f", "s")
+  }
+
+  test("int→bigint and float→double widen across old and new files; pruning stays exact") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "w", df100.schema, sortOrder = Seq("i"))
+    t.appendData(df100, numFiles = 4)
+    val filesBefore = t.refresh().metadata.currentFiles.map(_.path).toSet
+
+    t.refresh().alterSchema(Seq(
+      SchemaChange.Widen("i", LongType), SchemaChange.Widen("f", DoubleType)))
+    // metadata-only: no file was touched
+    assert(t.refresh().metadata.currentFiles.map(_.path).toSet === filesBefore)
+    assert(t.schema("i").dataType === LongType)
+
+    // old files read back widened, values intact
+    val back = t.newScan().toDF(spark)
+    assert(back.schema("i").dataType === LongType)
+    assert(back.schema("f").dataType === DoubleType)
+    assert(back.agg(sum("i")).head.getLong(0) === (1 to 100).map(_.toLong).sum)
+
+    // a post-widen append mixes wide files with narrow ones
+    import spark.implicits._
+    val more = (101L to 200L).map(i => (i, i * 1.5d, s"r$i")).toDF("i", "f", "s")
+    t.refresh().appendData(more, numFiles = 4)
+    val all = t.refresh().newScan().toDF(spark)
+    assert(all.count() === 200L)
+
+    // stats pruning stays exact over the MIXED files (old stats strings
+    // parse under the widened type)
+    val pred = LakePredicate.Le("i", Long.box(50L))
+    assert(t.newScan(pred).planFiles.size < t.metadata.currentFiles.size)
+    assert(t.newScan(pred).toDF(spark).count() === 50L)
+    assert(t.newScan(LakePredicate.Ge("i", Long.box(150L))).toDF(spark).count() === 51L)
+
+    // refusals: narrowing, non-numeric, unknown column
+    intercept[IllegalArgumentException](t.refresh().widenColumn("i", IntegerType))
+    intercept[IllegalArgumentException](t.refresh().widenColumn("s", LongType))
+    intercept[IllegalArgumentException](t.refresh().widenColumn("nope", LongType))
+  }
+
+  test("SQL ALTER COLUMN TYPE widens; equality tombstones survive a key widening") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.wd", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE wd.ns")
+    spark.sql("CREATE TABLE wd.ns.t (i INT, f FLOAT, s STRING)")
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    t.appendData(df100)
+
+    // MoR upsert keyed on the INT column, tombstones live...
+    import spark.implicits._
+    val upd = (1 to 10).map(i => (i, i * 100.0f, s"u$i")).toDF("i", "f", "s")
+    t.refresh().mergeIntoMoR(spark, upd, Seq("i"))
+    // ...then widen the KEY column while the tombstones are live
+    spark.sql("ALTER TABLE wd.ns.t ALTER COLUMN i TYPE BIGINT")
+    val out = t.refresh().newScan().toDF(spark)
+    assert(out.count() === 100L)
+    // the upserted rows won (old-key rows stay tombstoned through the
+    // widened, ID-matched key read)
+    assert(out.filter(col("i") <= 10L && !col("s").startsWith("u")).count() === 0L)
+    // SQL agrees
+    assert(spark.sql("SELECT count(*) FROM wd.ns.t WHERE s LIKE 'u%'").head.getLong(0)
+      === 10L)
+    // narrowing refuses through SQL too
+    intercept[Exception](spark.sql("ALTER TABLE wd.ns.t ALTER COLUMN i TYPE INT"))
+  }
+}
