@@ -446,10 +446,16 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
   }.toArray
 
   override def properties(): util.Map[String, String] =
-    Map(
+    // table metadata properties (write modes, the streaming ledger, …)
+    // surface through SHOW TBLPROPERTIES / DESCRIBE EXTENDED; the
+    // engine-reserved keys win on collision
+    (lt.metadata.properties ++ Map(
       TableCatalog.PROP_LOCATION -> lt.location,
       "current-snapshot-id" -> snapshotId.getOrElse(lt.currentSnapshotId).toString,
-      "format" -> "graft-lake/parquet").asJava
+      "write.sort-order" -> (if (lt.metadata.sortOrderKind == "zorder")
+        s"zorder(${lt.metadata.sortOrder.mkString(",")})"
+      else lt.metadata.sortOrder.mkString(",")),
+      "format" -> "graft-lake/parquet")).asJava
 
   override def capabilities(): util.Set[TableCapability] =
     if (snapshotId.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)

@@ -84,6 +84,12 @@ class WriteModeSpec extends LakeSuite {
         |WHERE o_orderkey % 10 = 0 AND o_orderpriority = '8-WM'""".stripMargin)
       .head.getLong(0) === 0L) // replaced rows carry the SOURCE priority, not 8-WM
 
+    // the modes are visible to SHOW TBLPROPERTIES
+    val shown = spark.sql("SHOW TBLPROPERTIES wm.ns.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("write.delete.mode") === Some("merge-on-read"))
+    assert(shown.get("write.merge.mode") === Some("merge-on-read"))
+
     // UNSET returns to copy-on-write
     spark.sql("ALTER TABLE wm.ns.t UNSET TBLPROPERTIES ('write.delete.mode')")
     assert(LakeCatalog.open(wh).loadTable("ns", "t").writeMode("delete")
