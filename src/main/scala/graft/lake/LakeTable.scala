@@ -171,25 +171,63 @@ final class LakeTable private[lake] (
         col("_metadata.row_index").as(LakeTable.PosIdxCol)): _*)
   }
 
+  /** Byte budget for broadcasting MoR tombstone sets in the read path
+    * (`read.delete.broadcast-bytes` table property, default 64 MiB):
+    * at or under it the anti-join broadcasts — no shuffle of the data
+    * side; above it the hint is withheld and Spark plans a shuffle
+    * anti-join, so a heavy-churn table whose compaction lags degrades
+    * to a shuffle instead of OOMing driver/executors on a forced
+    * multi-GB broadcast. The delete manifests record exact sizes, so
+    * the gate costs no IO. */
+  private def deleteBroadcastBudget: Long =
+    meta.properties.get("read.delete.broadcast-bytes").map(_.toLong)
+      .getOrElse(64L << 20)
+
+  /** Broadcast `df` only when the tombstone files' recorded bytes fit
+    * [[deleteBroadcastBudget]]. */
+  private def gateBroadcast(df: DataFrame, entries: Seq[DataFileEntry]): DataFrame =
+    if (entries.map(_.sizeBytes).sum <= deleteBroadcastBudget)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+
   /** MoR-filtered read that KEEPS the position columns (the positional
     * delete op needs surviving rows' coordinates). Both tombstone kinds
-    * subtract here; each delete side is tiny relative to the data (it
-    * holds only deleted coordinates / key values), so Spark broadcasts
-    * the anti-joins — no shuffle of the data side at any scale. */
+    * subtract here as anti-joins: broadcast while the tombstone set
+    * fits [[deleteBroadcastBudget]] (no shuffle of the data side),
+    * shuffle above it. Positional tombstone FILES are first narrowed to
+    * the scanned file set via their file_path min/max stats — a pruned
+    * scan does not pay for tombstones of files it never reads
+    * (Iceberg's delete-file-to-data-file indexing). */
   private def readLivePos(spark: SparkSession, files: Seq[DataFileEntry],
       posDeletes: Seq[DataFileEntry], eqDeletes: Seq[DataFileEntry]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.functions.col
     var df = readFilesWithPos(spark, files.map(_.path))
-    if (posDeletes.nonEmpty) {
+    val pos = LakeTable.narrowPosDeletes(posDeletes, files.map(_.path))
+    if (pos.nonEmpty) {
       val tombstones = spark.read.schema(LakeTable.DeleteFileSchema)
-        .parquet(posDeletes.map(_.path): _*)
-      df = df.join(broadcast(tombstones),
+        .parquet(pos.map(_.path): _*)
+      df = df.join(gateBroadcast(tombstones, pos),
         col(LakeTable.PosFileCol) === col("file_path") &&
           col(LakeTable.PosIdxCol) === col("pos"),
         "left_anti")
     }
     if (eqDeletes.nonEmpty) df = applyEqDeletes(spark, df, files, eqDeletes)
     df
+  }
+
+  /** Tiny (path → sequence number) lookup frame, broadcast-joined onto
+    * rows by their `_metadata.file_path` — how per-file seq becomes a
+    * per-row column without a literal map in codegen. */
+  private def pathSeqLookup(spark: SparkSession, files: Seq[DataFileEntry],
+      pathCol: String, seqCol: String): DataFrame = {
+    val rows = files.map(f => Row(f.path, f.seq))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
+      StructType(Seq(
+        org.apache.spark.sql.types.StructField(pathCol,
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField(seqCol,
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Equality tombstones (Iceberg v2 semantics): a key VALUE written at
@@ -199,20 +237,13 @@ final class LakeTable private[lake] (
     * and tombstones in one commit. Keys are FIELD-ID addressed: the
     * tombstone parquet carries field IDs and is read through the same
     * ID-matching path as data, so column renames never detach live
-    * tombstones. Applied per distinct key set as a broadcast anti-join
+    * tombstones. Applied per distinct key set as a size-gated anti-join
     * with the seq comparison in the join condition. */
   private def applyEqDeletes(spark: SparkSession, withPos: DataFrame,
       files: Seq[DataFileEntry], eqDeletes: Seq[DataFileEntry]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col}
     // per-row data sequence number: file path -> seq, a tiny broadcast
-    val seqRows = files.map(f => Row(f.path, f.seq))
-    val seqDf = spark.createDataFrame(
-      new java.util.ArrayList[Row](seqRows.asJava),
-      StructType(Seq(
-        org.apache.spark.sql.types.StructField("__graft_seq_path",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField(LakeTable.DataSeqCol,
-          org.apache.spark.sql.types.LongType, nullable = false))))
+    val seqDf = pathSeqLookup(spark, files, "__graft_seq_path", LakeTable.DataSeqCol)
     val idToName = meta.fieldIds.map(_.swap)
     val idSchema = meta.schemaWithFieldIds
     var df = withPos.join(broadcast(seqDf),
@@ -228,15 +259,21 @@ final class LakeTable private[lake] (
       val reqSchema = StructType(names.map(n => idSchema(idSchema.fieldIndex(n))))
       val session = org.apache.spark.sql.graftbridge.SessionBridge
         .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
-      val tomb = entries.map { e =>
-        session.read.schema(reqSchema).parquet(e.path)
-          .select(names.map(n => col(n).as(s"__eq_$n")): _*)
-          .withColumn(LakeTable.EqSeqCol, lit(e.seq))
-      }.reduce(_.unionByName(_))
+      // ONE read of the whole key-set group: a per-file union chain
+      // grows the logical plan linearly with MoR-upsert commit count
+      // (thousands of small CDC commits = thousands-node plans). Each
+      // tombstone's own sequence number joins back in from a tiny
+      // path→seq broadcast keyed on the reader's file_path metadata.
+      val tombSeq = pathSeqLookup(spark, entries, "__eq_seq_path", LakeTable.EqSeqCol)
+      val tomb = session.read.schema(reqSchema).parquet(entries.map(_.path): _*)
+        .select(names.map(n => col(n).as(s"__eq_$n")) :+
+          col("_metadata.file_path").as("__eq_path"): _*)
+        .join(broadcast(tombSeq), col("__eq_path") === col("__eq_seq_path"))
+        .drop("__eq_path", "__eq_seq_path")
       val dataSide = df
       val cond = names.map(n => dataSide(n) === tomb(s"__eq_$n"))
         .reduce(_ && _) && tomb(LakeTable.EqSeqCol) > dataSide(LakeTable.DataSeqCol)
-      df = dataSide.join(broadcast(tomb), cond, "left_anti")
+      df = dataSide.join(gateBroadcast(tomb, entries), cond, "left_anti")
     }
     df.drop(LakeTable.DataSeqCol)
   }
@@ -1209,6 +1246,31 @@ final class LakeTable private[lake] (
               s"$op on $name conflicts with a concurrent commit: files added " +
                 s"after base snapshot $baseId may match ${pred.render}; " +
                 "re-read the table and retry the operation")
+          // A concurrent MoR commit adds only DELETE manifests and
+          // removes nothing — invisible to both the added-data check
+          // above and the removed-file liveness check below, yet its
+          // tombstones retroactively delete rows this op read at base
+          // and is about to re-append: committing would RESURRECT them,
+          // a non-serializable outcome (Iceberg's serializable mode
+          // validates no new delete files apply to the overwritten data
+          // for exactly this reason). Equality tombstones narrow by
+          // their key-column stats (harvested under table field IDs, so
+          // mayMatch applies); positional tombstones carry no
+          // data-column stats and always conflict — conservative, never
+          // misses a resurrection.
+          val baseDeletePaths = base.map(s =>
+            (s.deleteFiles ++ s.eqDeleteFiles).map(_.path).toSet)
+            .getOrElse(Set.empty[String])
+          val deleteOverlap = prevAll.iterator
+            .filter(m => m.content != ManifestRef.Data && !baseNames(m.name))
+            .flatMap(m => io.readManifest(m.name).map(f => (m.content, f)))
+            .filter { case (content, f) => !baseDeletePaths(f.path) &&
+              (content == ManifestRef.Deletes || pred.mayMatch(f, latest)) }
+          if (deleteOverlap.nonEmpty)
+            throw new CommitConflictException(
+              s"$op on $name conflicts with a concurrent commit: delete files " +
+                s"added after base snapshot $baseId may tombstone rows matching " +
+                s"${pred.render}; re-read the table and retry the operation")
         }
       }
       val dataManifests: Seq[ManifestRef] =
@@ -1348,6 +1410,40 @@ object LakeTable {
   /** Field-ID keys for delete-file manifest stats — their own namespace
     * (delete manifests never enter data-predicate pruning). */
   private val DeleteFieldIds = Map("file_path" -> 1, "pos" -> 2)
+
+  /** Driver-side targeting of positional-tombstone FILES to a scan's
+    * file set (Iceberg indexes delete files to the data files they can
+    * affect): a tombstone file whose harvested [min, max] file_path
+    * range contains no scanned path cannot delete any scanned row and
+    * is dropped before the anti-join. Tombstones are written
+    * range-clustered on file_path (deleteWhereMoR/updateWhereMoR), so
+    * the ranges are tight and a stats-pruned scan skips most of a large
+    * tombstone set. Entries lacking the stats are kept — conservative,
+    * never loses a tombstone. */
+  private[lake] def narrowPosDeletes(posDeletes: Seq[DataFileEntry],
+      scannedPaths: Seq[String]): Seq[DataFileEntry] = {
+    if (posDeletes.isEmpty) return posDeletes
+    val sorted = scannedPaths.sorted.toIndexedSeq
+    val pathKey = DeleteFieldIds("file_path").toString
+    posDeletes.filter { e =>
+      (e.minValues.get(pathKey), e.maxValues.get(pathKey)) match {
+        case (Some(lo), Some(hi)) =>
+          val i = lowerBound(sorted, lo) // first scanned path >= lo
+          i < sorted.length && sorted(i) <= hi
+        case _ => true
+      }
+    }
+  }
+
+  private def lowerBound(xs: IndexedSeq[String], key: String): Int = {
+    var lo = 0
+    var hi = xs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (xs(mid) < key) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
 }
 
 /** Builder mirroring the reference's append API shape

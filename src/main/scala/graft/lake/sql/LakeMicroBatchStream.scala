@@ -160,10 +160,18 @@ private[sql] final class LakeMicroBatchStream(
     while (cur.exists(_.id > startId)) {
       val s = cur.get
       val parent = s.parentId.flatMap(m.snapshot)
-      if (parent.isEmpty && s.parentId.exists(_ > startId))
+      // ANY unresolvable non-root parent in range refuses — including the
+      // checkpointed offset snapshot itself (parentId == startId) or a
+      // pre-fork ancestor (parentId < startId): without the parent's live
+      // file set the added-files delta of `s` is unknowable, and resolving
+      // it to "empty parent" would stream the ENTIRE live set as appended
+      // (duplicating the table into an exactly-once sink)
+      if (parent.isEmpty && s.parentId.nonEmpty)
         throw new IllegalStateException(
           s"snapshot history of ${lt.name} between offsets $startId and $endId " +
-            "was expired; restart from a fresh checkpoint")
+            s"was expired (snapshot ${s.id}'s parent ${s.parentId.get} no longer " +
+            "resolves); the stream cannot determine what it already read — " +
+            "restart from a fresh checkpoint")
       s +=: acc
       cur = parent
     }

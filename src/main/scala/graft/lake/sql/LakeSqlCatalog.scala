@@ -143,14 +143,10 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
     // TBLPROPERTIES ('write.sort-order'='c1,c2') = the Scala API's
     // createTable(sortOrder); 'zorder(c1,c2)' = setZOrder — both
     // clustering-on-write forms from SQL DDL
-    val rawOrder = Option(properties.get("write.sort-order")).map(_.trim)
-    val zorder = rawOrder.exists(v =>
-      v.toLowerCase.startsWith("zorder(") && v.endsWith(")"))
-    val sortOrder = rawOrder
-      .map(v => if (zorder) v.substring(v.indexOf('(') + 1, v.length - 1) else v)
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val (sortOrder, orderKind) = Option(properties.get("write.sort-order"))
+      .map(LakeSqlCatalog.parseSortOrder).getOrElse((Nil, "linear"))
     val t = lake.createTable(ns1(ident.namespace), ident.name, schema, spec, sortOrder,
-      sortOrderKind = if (zorder) "zorder" else "linear")
+      sortOrderKind = orderKind)
     // persist the user's write-config properties (the write-mode family
     // etc.); Spark-reserved keys (provider/location/owner/...) and the
     // sort order (already in metadata proper) stay out
@@ -187,6 +183,16 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
       case _ => false
     }
     propChanges.foreach {
+      // write.sort-order routes through the REAL sort-order metadata,
+      // exactly like the CREATE TABLE path — a plain property write
+      // would be a silent no-op that properties() then masks with the
+      // engine-derived value, reading back as if it took effect
+      case set: TableChange.SetProperty if set.property() == "write.sort-order" =>
+        val (cols, kind) = LakeSqlCatalog.parseSortOrder(set.value())
+        if (kind == "zorder") t.refresh().setZOrder(cols: _*)
+        else t.refresh().setWriteOrder(cols: _*)
+      case rm: TableChange.RemoveProperty if rm.property() == "write.sort-order" =>
+        t.refresh().setWriteOrder() // clear: future writes unordered
       case set: TableChange.SetProperty =>
         t.refresh().setProperty(set.property(), set.value())
       case rm: TableChange.RemoveProperty =>
@@ -296,6 +302,18 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object LakeSqlCatalog {
+  /** Parse a `write.sort-order` property value — `c1,c2` (linear) or
+    * `zorder(c1,c2)` — into (columns, kind). Shared by CREATE TABLE
+    * and ALTER TABLE SET TBLPROPERTIES so both apply the order for
+    * real. */
+  private[sql] def parseSortOrder(raw: String): (Seq[String], String) = {
+    val v = raw.trim
+    val zorder = v.toLowerCase.startsWith("zorder(") && v.endsWith(")")
+    val body = if (zorder) v.substring(v.indexOf('(') + 1, v.length - 1) else v
+    (body.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+      if (zorder) "zorder" else "linear")
+  }
+
   /** Process-wide meter registry for SQL-path scan/commit reports —
     * the SimpleMeterRegistry role for catalogs Spark instantiates
     * reflectively (no constructor injection point). */
@@ -517,10 +535,15 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
         .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
     },
     // streaming reads tail append commits (current handles only; a
-    // historical AS OF handle has no future to stream)
+    // historical AS OF handle has no future to stream). The stream
+    // schema lets the wrapper skip materializing the batch delegate —
+    // a streaming start must not pay batch file planning or hit the
+    // live-tombstone batch refusal (it tails appends only)
     mkStream =
       if (snapshotId.isEmpty) Some(_ => new LakeMicroBatchStream(lt, options))
-      else None)
+      else None,
+    streamReadSchema =
+      if (snapshotId.isEmpty) Some(lt.metadata.schemaWithFieldIds) else None)
 }
 
 object LakeSqlTable {

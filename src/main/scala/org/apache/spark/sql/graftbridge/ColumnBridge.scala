@@ -92,12 +92,19 @@ object ScanBridge {
     *
     * `mkStream` (optional): a micro-batch stream factory keyed by the
     * checkpoint location. When provided, the built Scan answers
-    * `toMicroBatchStream` with it — batch reads keep delegating to the
-    * file source untouched; the per-batch file planning lives inside
-    * the stream, which ignores the batch delegate's file list. */
+    * `toMicroBatchStream` with it — and the batch delegate materializes
+    * LAZILY, only when the scan is actually consumed as a batch. A
+    * streaming read never touches the batch path, so it must not pay
+    * the delegate's full file planning per stream start, nor hit
+    * batch-only refusals (a table carrying live MoR tombstones refuses
+    * batch scans without the extensions — its append tail streams
+    * fine). `streamReadSchema` stands in for the delegate's readSchema
+    * on that lazy path (pruned schema when Spark pruned, else the full
+    * data schema — exactly what the file delegate would report). */
   def delegating(mkDelegate: Array[Filter] => FileScanBuilder,
       mkStream: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
-        = None): ScanBuilder =
+        = None,
+      streamReadSchema: Option[StructType] = None): ScanBuilder =
     new ScanBuilder with SupportsPushDownCatalystFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       private var exprs: Seq[Expression] = Nil
@@ -115,21 +122,27 @@ object ScanBridge {
         required = Some(requiredSchema)
 
       override def build(): Scan = {
-        val translated = exprs.flatMap(e =>
-          DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)).toArray
-        val delegate = mkDelegate(translated)
-        delegate.pushFilters(exprs) // parquet row-group/page pushdown
-        required.foreach(delegate.pruneColumns)
-        val inner = delegate.build()
+        def buildInner(): Scan = {
+          val translated = exprs.flatMap(e =>
+            DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)).toArray
+          val delegate = mkDelegate(translated)
+          delegate.pushFilters(exprs) // parquet row-group/page pushdown
+          required.foreach(delegate.pruneColumns)
+          delegate.build()
+        }
         mkStream match {
-          case None => inner
+          case None => buildInner()
           case Some(f) => new Scan {
-            override def readSchema(): StructType = inner.readSchema()
+            private lazy val inner: Scan = buildInner()
+            override def readSchema(): StructType =
+              streamReadSchema.map(s => required.getOrElse(s))
+                .getOrElse(inner.readSchema())
             override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
             override def toMicroBatchStream(checkpointLocation: String)
                 : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
               f(checkpointLocation)
-            override def description(): String = inner.description()
+            override def description(): String =
+              streamReadSchema.fold(inner.description())(_ => "graft-lake scan")
           }
         }
       }

@@ -161,6 +161,96 @@ class LakeStreamSourceSpec extends LakeSuite {
     assert(total === ordersDF.count())
   }
 
+  test("expired checkpoint offset refuses — never re-streams the live set as appends") {
+    val (name, t) = sqlTable()
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+    val ckpt = Files.createTempDirectory("graft_src_ck7_").toString
+    var total = 0L
+    runAvailable(name, ckpt) { (df, _) => total += df.count() }
+    assert(total === ordersDF.count()) // checkpointed offset = snapshot 2
+
+    // two more commits, then routine expiry that removes the OFFSET
+    // snapshot itself: snapshot 3's parent (the offset, id 2) no longer
+    // resolves — its added-files delta is unknowable, and resolving it
+    // to "empty parent" would re-stream snapshot 3's ENTIRE live file
+    // set into the exactly-once sink
+    t.refresh().appendData(ordersDF.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 800000000L))
+    t.refresh().appendData(ordersDF.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 810000000L))
+    t.refresh().expireSnapshots(keepLast = 2)
+    assert(t.refresh().metadata.snapshot(2L).isEmpty) // the offset is gone
+
+    val e = intercept[Exception] {
+      runAvailable(name, ckpt) { (_, _) => () }
+    }
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: causes(x.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("restart from a fresh checkpoint"))))
+  }
+
+  test("streaming tails appends over a table carrying live MoR tombstones") {
+    val (name, t) = sqlTable()
+    t.appendData(ordersDF, numFiles = 2)
+    t.refresh().deleteWhereMoR(spark, LakePredicate.Eq("o_orderstatus", "F"))
+    assert(t.refresh().metadata.currentSnapshot.exists(_.deleteFiles.nonEmpty))
+    // start AFTER the tombstone commit: the stream tails appends only
+    // and never reads tombstoned files — building the BATCH delegate
+    // here (which refuses live tombstones without the extensions, and
+    // plans the full file list) would fail the stream start for nothing
+    val fromId = t.refresh().currentSnapshotId
+    val extra = ordersDF.limit(7)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+    t.refresh().appendData(extra)
+    val ckpt = Files.createTempDirectory("graft_src_ck8_").toString
+    var total = 0L
+    runAvailable(name, ckpt, Map("stream-from-snapshot" -> fromId.toString)) {
+      (df, _) => total += df.count()
+    }
+    assert(total === 7L)
+  }
+
+  test("a MoR upsert mid-stream refuses by default — CDC consumers cannot double-read keys") {
+    val (name, t) = sqlTable()
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    val ckpt = Files.createTempDirectory("graft_src_ck9_").toString
+    var total = 0L
+    runAvailable(name, ckpt) { (df, _) => total += df.count() }
+
+    // an MoR upsert is snapshot-typed 'overwrite' (it retroactively
+    // replaces same-key rows via equality tombstones), NOT an append —
+    // an append-only feed streaming its data files would deliver
+    // replacement rows for keys it already emitted (a silent double
+    // read). The mutation refusal covers it; skip-mutation-snapshots
+    // documents the opt-out (new-data-only pipelines, replaced keys
+    // intentionally dropped).
+    val upd = ordersDF.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.refresh().mergeIntoMoR(spark, upd, Seq("o_orderkey"))
+    val after = ordersDF.limit(3)
+      .withColumn("o_orderkey", col("o_orderkey") + 910000000L)
+    t.refresh().appendData(after)
+
+    val e = intercept[Exception] {
+      runAvailable(name, ckpt) { (_, _) => () }
+    }
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: causes(x.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("skip-mutation-snapshots"))))
+
+    // with the opt-out, the upsert commit is skipped wholesale (its
+    // replacement rows are dropped, not double-delivered) and the
+    // later plain append flows through
+    var skipped = 0L
+    runAvailable(name, ckpt, Map("skip-mutation-snapshots" -> "true")) {
+      (df, _) => skipped += df.count()
+    }
+    assert(skipped === 3L)
+  }
+
   test("historical AS OF handles do not stream; offsets survive rollback monotonically") {
     val (name, t) = sqlTable()
     val first = t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))

@@ -157,11 +157,15 @@ class MoRDeleteSpec extends LakeSuite {
     t.refresh().deleteWhereMoR(spark, LakePredicate.Eq("o_orderstatus", "F"))
     // the raw DSv2 builder path (what a session WITHOUT
     // LakeSqlExtensions would run) must keep the loud refusal — handing
-    // file paths to the parquet source would resurrect deleted rows
-    val e = intercept[UnsupportedOperationException](
-      new sql.LakeSqlTable(t.refresh())
-        .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
-        .build())
+    // file paths to the parquet source would resurrect deleted rows.
+    // The refusal fires when the scan is consumed AS A BATCH (toBatch):
+    // build() itself stays lazy so a STREAMING read over the same
+    // table — which tails appends and never reads tombstoned files —
+    // starts without paying batch planning or hitting this refusal.
+    val scan = new sql.LakeSqlTable(t.refresh())
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build()
+    val e = intercept[UnsupportedOperationException](scan.toBatch)
     assert(e.getMessage.contains("LakeSqlExtensions"))
   }
 }

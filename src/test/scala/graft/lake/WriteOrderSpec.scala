@@ -102,4 +102,34 @@ class WriteOrderSpec extends LakeSuite {
     assert(LakeCatalog.open(wh).loadTable("ns", "t").metadata.sortOrder
       === Seq("o_orderstatus", "o_orderkey"))
   }
+
+  test("SQL DDL: ALTER TABLE SET TBLPROPERTIES routes write.sort-order for real") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.sqlwo2", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqlwo2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sqlwo2.ns")
+    spark.sql("CREATE TABLE sqlwo2.ns.t (o_orderkey BIGINT, o_orderstatus STRING)")
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    assert(t.metadata.sortOrder === Nil)
+
+    // linear order: applied to the REAL sort-order metadata, not a
+    // shadowed plain property (a silent no-op that read back as set)
+    spark.sql("ALTER TABLE sqlwo2.ns.t SET TBLPROPERTIES " +
+      "('write.sort-order'='o_orderstatus')")
+    assert(t.refresh().metadata.sortOrder === Seq("o_orderstatus"))
+    assert(t.metadata.sortOrderKind === "linear")
+
+    // zorder form routes to setZOrder (with its validation)
+    spark.sql("ALTER TABLE sqlwo2.ns.t SET TBLPROPERTIES " +
+      "('write.sort-order'='zorder(o_orderkey, o_orderstatus)')")
+    assert(t.refresh().metadata.sortOrder === Seq("o_orderkey", "o_orderstatus"))
+    assert(t.metadata.sortOrderKind === "zorder")
+    // a bad column fails loudly instead of persisting junk
+    assertThrows[Exception](spark.sql(
+      "ALTER TABLE sqlwo2.ns.t SET TBLPROPERTIES ('write.sort-order'='nope')"))
+
+    // UNSET clears the order
+    spark.sql("ALTER TABLE sqlwo2.ns.t UNSET TBLPROPERTIES ('write.sort-order')")
+    assert(t.refresh().metadata.sortOrder === Nil)
+  }
 }
