@@ -574,6 +574,61 @@ final class LakeTable private[lake] (
     }
   }
 
+  /** Materialize live tombstones WITHOUT a full-table rewrite (the
+    * intent of Iceberg's rewrite_position_delete_files procedure):
+    * rewrite ONLY the data files the tombstones can affect — positional
+    * targets come exactly from the tombstones' recorded file_paths (a
+    * tiny driver-side read), equality targets from seq ordering plus
+    * key-stats overlap — and retire every delete manifest in the same
+    * commit. Untouched data files survive by reference, so a table with
+    * few small files but heavy MoR churn on hot files self-heals at
+    * O(affected bytes), not O(table bytes) — [[compactSmallFiles]]
+    * alone would never retire its tombstones. Returns None (no commit)
+    * when no tombstones are live. */
+  def rewritePositionDeletes(spark: SparkSession,
+      conflictRetries: Int = 3): Option[CommitReport] =
+      withConflictRetry(conflictRetries) {
+    val snap = meta.currentSnapshot
+    val pos = snap.map(_.deleteFiles).getOrElse(Nil)
+    val eqs = snap.map(_.eqDeleteFiles).getOrElse(Nil)
+    if (pos.isEmpty && eqs.isEmpty) None
+    else {
+      val live = meta.currentFiles
+      val posTargets: Set[String] =
+        if (pos.isEmpty) Set.empty
+        else spark.read.schema(LakeTable.DeleteFileSchema)
+          .parquet(pos.map(_.path): _*)
+          .select("file_path").distinct()
+          .collect().map(_.getString(0)).toSet
+      // an equality tombstone affects files STRICTLY older (seq) whose
+      // key-column stats overlap the tombstone file's (both keyed by
+      // table field IDs); missing stats keep the file — conservative,
+      // the affected set only ever over-approximates
+      val idToName = meta.fieldIds.map(_.swap)
+      def eqAffects(e: DataFileEntry, f: DataFileEntry): Boolean =
+        f.seq < e.seq && e.eqFieldIds.forall { id =>
+          val key = id.toString
+          (for {
+            n <- idToName.get(id)
+            dt = schema(schema.fieldIndex(n)).dataType
+            fmn <- f.minValues.get(key); fmx <- f.maxValues.get(key)
+            emn <- e.minValues.get(key); emx <- e.maxValues.get(key)
+          } yield Stats.cmp(dt, fmn, emx) <= 0 && Stats.cmp(dt, fmx, emn) >= 0)
+            .getOrElse(true)
+        }
+      val affected = live.filter(f =>
+        posTargets(f.path) || eqs.exists(e => eqAffects(e, f)))
+      if (affected.isEmpty)
+        // only DANGLING tombstones remain (their data files were already
+        // rewritten away): retire the delete manifests metadata-only
+        Some(commitSnapshot("replace", Nil, Nil, dropDeletes = true))
+      else {
+        val added = writeDataFiles(readLive(spark, affected, snap))
+        Some(commitSnapshot("replace", added, affected, dropDeletes = true))
+      }
+    }
+  }
+
   /** Copy-on-write ops re-run against FRESH metadata when they lose a
     * commit race (CommitConflictException): re-reading, re-rewriting,
     * re-validating — Iceberg's retry-with-revalidation loop. The files

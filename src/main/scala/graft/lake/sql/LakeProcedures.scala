@@ -25,6 +25,9 @@ import graft.lake.{LakeCatalog, LakeTable}
   *  - `rewrite_data_files(table, target_files)`   (compaction — also
   *     materializes live MoR tombstones, and re-clusters under the
   *     table's write order)
+  *  - `rewrite_position_deletes(table)`   (materialize live MoR
+  *     tombstones into ONLY the affected data files, retire the
+  *     delete manifests)
   *  - `remove_orphan_files(table, older_than_ms)`
   *  - `set_write_order(table, order)`   (order = 'c1,c2' linear or
   *     'zorder(c1,c2)')
@@ -101,6 +104,28 @@ private[sql] object LakeProcedures {
         val removed = t.metadata.currentSnapshot
           .flatMap(_.summary.get("removed-data-files")).map(_.toLong).getOrElse(0L)
         new GenericInternalRow(Array[Any](removed, snap.addedDataFiles))
+      }
+    },
+
+    "rewrite_position_deletes" -> new LakeProcedure(lake, "rewrite_position_deletes",
+      Seq("table" -> StringType),
+      StructType(Seq(
+        StructField("rewritten_data_files_count", LongType, nullable = false),
+        StructField("added_data_files_count", LongType, nullable = false),
+        StructField("removed_delete_files_count", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        val before = t.metadata.currentSnapshot
+          .map(s => s.deleteFiles.size + s.eqDeleteFiles.size).getOrElse(0)
+        t.rewritePositionDeletes(SparkSession.active) match {
+          case None => new GenericInternalRow(Array[Any](0L, 0L, 0L))
+          case Some(r) =>
+            val removed = t.refresh().metadata.currentSnapshot
+              .flatMap(_.summary.get("removed-data-files"))
+              .map(_.toLong).getOrElse(0L)
+            new GenericInternalRow(Array[Any](
+              removed, r.addedDataFiles.toLong, before.toLong))
+        }
       }
     },
 

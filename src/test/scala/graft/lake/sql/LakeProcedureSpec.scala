@@ -67,6 +67,64 @@ class LakeProcedureSpec extends LakeSuite {
       === ordersDF.count())
   }
 
+  test("rewrite_position_deletes retires tombstones touching only affected files") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    // clustered files = disjoint key ranges: the MoR delete's tombstones
+    // reference few files, so materialization must leave the rest alone
+    t.setWriteOrder("o_orderkey")
+    t.refresh().appendData(ordersDF, numFiles = 4)
+    val cutoff = ordersDF.selectExpr("percentile(o_orderkey, 0.2)").head.getDouble(0).toLong
+    t.refresh().deleteWhereMoR(spark,
+      graft.lake.LakePredicate.Lt("o_orderkey", Long.box(cutoff)))
+    val before = t.refresh().metadata.currentFiles.map(_.path).toSet
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t.delete_files").head.getLong(0) >= 1L)
+
+    val row = spark.sql(s"CALL $cat.system.rewrite_position_deletes('ns.t')").head
+    assert(row.getLong(2) >= 1L) // delete files retired
+    // 0 live tombstones after the call; data rows unchanged
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t.delete_files").head.getLong(0) === 0L)
+    val survivors = ordersDF.filter(col("o_orderkey") >= cutoff).count()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0) === survivors)
+    // only the tombstone-affected file(s) were rewritten: most of the
+    // clustered files survive by reference (identical paths)
+    val after = t.refresh().metadata.currentFiles.map(_.path).toSet
+    val untouched = (before intersect after).size
+    assert(row.getLong(0) < before.size) // strict subset rewritten
+    assert(untouched >= before.size - row.getLong(0).toInt - 1)
+    assert(untouched >= 2)
+
+    // a second call with no live tombstones is a no-op (no commit)
+    val snapBefore = t.refresh().currentSnapshotId
+    val zero = spark.sql(s"CALL $cat.system.rewrite_position_deletes('ns.t')").head
+    assert(zero.getLong(0) === 0L && zero.getLong(2) === 0L)
+    assert(t.refresh().currentSnapshotId === snapBefore)
+  }
+
+  test("rewrite_position_deletes materializes equality tombstones by key overlap") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    t.setWriteOrder("o_orderkey")
+    t.refresh().appendData(ordersDF, numFiles = 4)
+    // MoR upsert over a narrow key band: eq tombstones' key stats
+    // overlap only the low-range clustered file(s)
+    val loKeys = ordersDF.orderBy("o_orderkey").limit(40)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.refresh().mergeIntoMoR(spark, loKeys, Seq("o_orderkey"))
+    val expect = t.refresh().newScan().toDF(spark)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+
+    val row = spark.sql(s"CALL $cat.system.rewrite_position_deletes('ns.t')").head
+    assert(row.getLong(2) >= 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t.delete_files").head.getLong(0) === 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0) === ordersDF.count())
+    val got = spark.sql(s"SELECT sum(o_totalprice) FROM $cat.ns.t").head.getDouble(0)
+    assert(math.abs(got - expect) <= 1e-6 * math.abs(expect))
+    // the upsert's own data files and the untouched high-range files
+    // survive; only key-overlapping older files were rewritten
+    assert(row.getLong(0) >= 1L && row.getLong(0) < 5L)
+  }
+
   test("set_write_order parses linear and zorder forms; unknown procedures refuse") {
     val (cat, wh) = sqlCat()
     val linear = spark.sql(
