@@ -87,10 +87,19 @@ final class LakeTable private[lake] (
       else clusteredRaw
     // Every physical column gets its stable parquet field ID (the table
     // schema stays ID-free for API identity; IDs live in the manifest),
-    // so later renames resolve old files by ID, not name.
+    // so later renames resolve old files by ID, not name. Tables with
+    // struct columns carry NESTED field IDs too — those live in nested
+    // StructField metadata, which no select alias can set, so the ID
+    // schema attaches verbatim over the same rows (nullability comes
+    // from the data: the attach must not claim non-null for a source
+    // that is merely compatible).
     val idSchema = meta.schemaWithFieldIds
-    val withIds = clustered.select(idSchema.fields.map(f =>
-      clustered.col(f.name).as(f.name, f.metadata)): _*)
+    val withIds =
+      if (meta.fieldIds.keysIterator.exists(_.contains('.')))
+        org.apache.spark.sql.graftbridge.SessionBridge.withSchema(
+          clustered, LakeTable.writeSchema(clustered.schema, idSchema))
+      else clustered.select(idSchema.fields.map(f =>
+        clustered.col(f.name).as(f.name, f.metadata)): _*)
     // micros timestamps: INT96 would write no footer stats to prune on.
     // The confs are pinned on a CLONED session (shared context, private
     // SQLConf), never on the caller's: a save/restore on the shared
@@ -404,20 +413,60 @@ final class LakeTable private[lake] (
     * nothing (the V2 TableCatalog.alterTable contract: a failing change
     * must not leave earlier changes from the same statement applied).
     * Validations run against the metadata as already transformed by the
-    * preceding changes in the same batch. */
+    * preceding changes in the same batch.
+    *
+    * Names may be DOTTED PATHS into struct columns (`s.f`, `s.inner.g`):
+    * nested fields are field-ID addressed exactly like top-level ones
+    * (IDs live under the dotted path; writes stamp them as nested
+    * parquet field IDs), so nested add/rename/drop are metadata-only
+    * and old files resolve renamed nested fields by ID. Fields inside
+    * array/map element types stay out of the evolution model. */
   def alterSchema(changes: Seq[SchemaChange]): LakeTable =
     metadataChange { latest =>
       changes.foldLeft(latest) { (m, c) =>
         c match {
+          case SchemaChange.Add(colName, dt) if colName.contains('.') =>
+            val segs = colName.split('.').toSeq
+            val (parent, leaf) = (segs.init, segs.last)
+            val pst = LakeTable.structAt(m.schema, parent).getOrElse(
+              throw new IllegalArgumentException(
+                s"${parent.mkString(".")} is not a struct column of $name"))
+            require(!pst.fieldNames.contains(leaf), s"field $colName already exists")
+            val newPaths = LakeTable.pathsOf(colName, dt)
+            m.copy(
+              schema = LakeTable.mapStructAt(m.schema, parent)(st =>
+                org.apache.spark.sql.types.StructType(st.fields :+
+                  org.apache.spark.sql.types.StructField(leaf, dt, nullable = true))),
+              fieldIds = m.fieldIds ++ newPaths.zipWithIndex.map {
+                case (p, i) => (p, m.lastAssignedFieldId + 1 + i) },
+              lastAssignedFieldId = m.lastAssignedFieldId + newPaths.size)
           case SchemaChange.Add(colName, dt) =>
             require(!m.schema.fieldNames.contains(colName),
               s"column $colName already exists")
-            val id = m.lastAssignedFieldId + 1
+            // a struct-typed column claims IDs for its nested paths too
+            val newPaths = LakeTable.pathsOf(colName, dt)
             m.copy(
               schema = org.apache.spark.sql.types.StructType(m.schema.fields :+
                 org.apache.spark.sql.types.StructField(colName, dt, nullable = true)),
-              fieldIds = m.fieldIds + (colName -> id),
-              lastAssignedFieldId = id)
+              fieldIds = m.fieldIds ++ newPaths.zipWithIndex.map {
+                case (p, i) => (p, m.lastAssignedFieldId + 1 + i) },
+              lastAssignedFieldId = m.lastAssignedFieldId + newPaths.size)
+          case SchemaChange.Drop(colName) if colName.contains('.') =>
+            val segs = colName.split('.').toSeq
+            val (parent, leaf) = (segs.init, segs.last)
+            val pst = LakeTable.structAt(m.schema, parent).getOrElse(
+              throw new IllegalArgumentException(
+                s"${parent.mkString(".")} is not a struct column of $name"))
+            require(pst.fieldNames.contains(leaf), s"no such field $colName")
+            require(pst.size > 1,
+              s"cannot drop the last field of struct ${parent.mkString(".")}; " +
+                "drop the struct column itself")
+            m.copy(
+              schema = LakeTable.mapStructAt(m.schema, parent)(st =>
+                org.apache.spark.sql.types.StructType(
+                  st.fields.filterNot(_.name == leaf))),
+              fieldIds = m.fieldIds.view.filterKeys(k =>
+                k != colName && !k.startsWith(colName + ".")).toMap)
           case SchemaChange.Drop(colName) =>
             require(m.schema.fieldNames.contains(colName), s"no such column $colName")
             require(!m.spec.exists(_.source == colName),
@@ -432,7 +481,13 @@ final class LakeTable private[lake] (
             m.copy(
               schema = org.apache.spark.sql.types.StructType(
                 m.schema.fields.filterNot(_.name == colName)),
-              fieldIds = m.fieldIds - colName)
+              // a struct column retires its nested-path IDs with it
+              fieldIds = m.fieldIds.view.filterKeys(k =>
+                k != colName && !k.startsWith(colName + ".")).toMap)
+          case SchemaChange.Widen(colName, _) if colName.contains('.') =>
+            throw new UnsupportedOperationException(
+              s"cannot widen nested field $colName: type changes apply to " +
+                "top-level columns only")
           case SchemaChange.Widen(colName, to) =>
             require(m.schema.fieldNames.contains(colName), s"no such column $colName")
             val from = m.schema(colName).dataType
@@ -453,6 +508,29 @@ final class LakeTable private[lake] (
               m.schema.fields.map(f =>
                 if (f.name == colName) f.copy(dataType = to) else f)))
 
+          case SchemaChange.Rename(from, to) if from.contains('.') =>
+            require(!to.contains('.'),
+              s"rename target must be a bare field name, got '$to'")
+            val segs = from.split('.').toSeq
+            val (parent, leaf) = (segs.init, segs.last)
+            val pst = LakeTable.structAt(m.schema, parent).getOrElse(
+              throw new IllegalArgumentException(
+                s"${parent.mkString(".")} is not a struct column of $name"))
+            require(pst.fieldNames.contains(leaf), s"no such field $from")
+            val toPath = (parent :+ to).mkString(".")
+            require(!pst.fieldNames.contains(to), s"field $toPath already exists")
+            // ID-addressed or refuse: a table created before nested
+            // field IDs has old files that would resolve the renamed
+            // field by NAME and silently read null
+            require(m.fieldIds.contains(from),
+              s"$from has no field ID (table predates nested field IDs); " +
+                "rewrite the table (overwrite + compact) before renaming " +
+                "nested fields")
+            m.copy(
+              schema = LakeTable.mapStructAt(m.schema, parent)(st =>
+                org.apache.spark.sql.types.StructType(st.fields.map(f =>
+                  if (f.name == leaf) f.copy(name = to) else f))),
+              fieldIds = LakeTable.renamePaths(m.fieldIds, from, toPath))
           case SchemaChange.Rename(from, to) =>
             require(m.schema.fieldNames.contains(from), s"no such column $from")
             require(!m.schema.fieldNames.contains(to), s"column $to already exists")
@@ -465,7 +543,8 @@ final class LakeTable private[lake] (
             m.copy(
               schema = org.apache.spark.sql.types.StructType(m.schema.fields.map(f =>
                 if (f.name == from) f.copy(name = to) else f)),
-              fieldIds = (m.fieldIds - from) + (to -> m.fieldIds(from)),
+              // nested paths under a renamed struct column move with it
+              fieldIds = LakeTable.renamePaths(m.fieldIds, from, to),
               spec = ren(m.spec),
               specLog = m.specLog.map(ren),
               sortOrder = m.sortOrder.map(c => if (c == from) to else c))
@@ -1448,6 +1527,63 @@ object LakeTable {
       case _ => false
     }
   }
+
+  /** The write-time schema for a struct-carrying table: field-ID
+    * metadata from `ids` (recursively), nullability from the actual
+    * `data` — attached verbatim by SessionBridge.withSchema, so the
+    * claimed schema must not be stricter than the rows it describes. */
+  private[lake] def writeSchema(data: StructType, ids: StructType): StructType =
+    StructType(ids.fields.zip(data.fields).map { case (idF, dF) =>
+      val dt = (idF.dataType, dF.dataType) match {
+        case (i: StructType, d: StructType) => writeSchema(d, i)
+        case _ => idF.dataType
+      }
+      idF.copy(dataType = dt, nullable = dF.nullable)
+    })
+
+  /** The ID-claiming paths of a field added at `path`: the path itself
+    * plus, for a struct type, every nested path inside it. */
+  private[lake] def pathsOf(path: String,
+      dt: org.apache.spark.sql.types.DataType): Seq[String] = dt match {
+    case s: StructType => path +: TableMetadata.fieldPaths(s).map(p => s"$path.$p")
+    case _ => Seq(path)
+  }
+
+  /** The struct type at a dotted path's parent segments — None when any
+    * segment is missing or not a struct. Empty path = the schema root. */
+  private[lake] def structAt(st: StructType,
+      path: Seq[String]): Option[StructType] =
+    path.foldLeft(Option(st)) { (acc, seg) =>
+      acc.flatMap(_.fields.find(_.name == seg)).map(_.dataType) match {
+        case Some(inner: StructType) => Some(inner)
+        case _ => None
+      }
+    }
+
+  /** Rewrite the struct at `path` (root when empty) through `f`,
+    * preserving everything else. */
+  private[lake] def mapStructAt(st: StructType, path: Seq[String])(
+      f: StructType => StructType): StructType =
+    if (path.isEmpty) f(st)
+    else StructType(st.fields.map { fld =>
+      if (fld.name != path.head) fld
+      else fld.dataType match {
+        case inner: StructType =>
+          fld.copy(dataType = mapStructAt(inner, path.tail)(f))
+        case other => throw new IllegalArgumentException(
+          s"${path.head} is ${other.simpleString}, not a struct")
+      }
+    })
+
+  /** Move a path's field-ID entry — and every descendant path's — from
+    * `from` to `to`, keeping the IDs (rename is metadata-only). */
+  private[lake] def renamePaths(fieldIds: Map[String, Int], from: String,
+      to: String): Map[String, Int] =
+    fieldIds.map { case (k, v) =>
+      if (k == from) to -> v
+      else if (k.startsWith(from + ".")) (to + k.stripPrefix(from)) -> v
+      else k -> v
+    }
 
   /** Positional-delete file schema (Iceberg's position-delete layout):
     * the coordinates of tombstoned rows — fully-qualified file path as

@@ -265,19 +265,58 @@ final case class TableMetadata(
     * column's bytes from old files. */
   def withFieldIdDefaults: TableMetadata =
     if (fieldIds.nonEmpty || lastAssignedFieldId > 0) this
-    else copy(
-      fieldIds = schema.fieldNames.zipWithIndex.map { case (n, i) => (n, i + 1) }.toMap,
-      lastAssignedFieldId = schema.size)
+    else {
+      // preorder paths: for a flat schema this is exactly the old
+      // top-level 1..n numbering; struct columns additionally get IDs
+      // for their nested fields (dotted paths), which is what makes
+      // nested-field rename a metadata-only, ID-addressed commit
+      val paths = TableMetadata.fieldPaths(schema)
+      copy(
+        fieldIds = paths.zipWithIndex.map { case (p, i) => (p, i + 1) }.toMap,
+        lastAssignedFieldId = paths.size)
+    }
 
   /** The schema with parquet field-ID metadata injected per field — the
-    * form handed to Spark's parquet reader/writer, never to users. */
-  def schemaWithFieldIds: StructType = StructType(schema.fields.map { f =>
-    fieldIds.get(f.name) match {
-      case Some(id) => f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata).putLong("parquet.field.id", id.toLong).build())
-      case None => f
-    }
-  })
+    * form handed to Spark's parquet reader/writer, never to users.
+    * Struct columns inject RECURSIVELY under their dotted paths, so
+    * writes stamp nested parquet field IDs and reads resolve renamed
+    * nested fields in old files by ID. */
+  def schemaWithFieldIds: StructType = {
+    def inject(st: StructType, prefix: String): StructType =
+      StructType(st.fields.map { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val typed = f.dataType match {
+          case s: StructType => f.copy(dataType = inject(s, path))
+          case _ => f
+        }
+        fieldIds.get(path) match {
+          case Some(id) => typed.copy(
+            metadata = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(typed.metadata)
+              .putLong("parquet.field.id", id.toLong).build())
+          case None => typed
+        }
+      })
+    inject(schema, "")
+  }
+}
+
+object TableMetadata {
+  /** Every ID-addressable field path of a schema, preorder: top-level
+    * fields and, recursively, fields of struct columns as dotted paths.
+    * Fields inside array/map element types are not addressed (no
+    * evolution inside collection elements). */
+  def fieldPaths(schema: StructType): Seq[String] = {
+    def walk(st: StructType, prefix: String): Seq[String] =
+      st.fields.toSeq.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        p +: (f.dataType match {
+          case s: StructType => walk(s, p)
+          case _ => Nil
+        })
+      }
+    walk(schema, "")
+  }
 }
 
 object MetadataJson {

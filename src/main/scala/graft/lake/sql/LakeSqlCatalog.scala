@@ -163,8 +163,10 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
     * or none do (the V2 contract — a failing change must not leave the
     * statement half-applied). Renames keep the field ID so pre-rename
     * files resolve by ID; no data file or manifest is ever rewritten.
-    * Top-level columns only (the lake schema model is flat-relational);
-    * type changes / repositioning are unsupported and fail loudly
+    * Add/rename/drop accept NESTED struct fields as dotted paths
+    * (`ALTER TABLE t RENAME COLUMN s.f TO g`) — nested fields are
+    * field-ID addressed like top-level columns; type changes stay
+    * top-level-only and repositioning is unsupported — both fail loudly
     * BEFORE anything commits. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import graft.lake.SchemaChange
@@ -176,6 +178,9 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"nested column ${other.mkString(".")} is not supported")
     }
+    def path(fieldNames: Array[String]): String = fieldNames.mkString(".")
+    def pathExists(p: Array[String]): Boolean =
+      graft.lake.TableMetadata.fieldPaths(t.schema).contains(path(p))
     // SET/UNSET TBLPROPERTIES: each is its own metadata CAS commit
     // (properties don't interact with the schema batch's atomicity)
     val (propChanges, schemaChanges) = changes.partition {
@@ -208,9 +213,9 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
         if (add.position() != null)
           throw new UnsupportedOperationException(
             "ADD COLUMN with FIRST/AFTER is not supported (columns append)")
-        SchemaChange.Add(one(add.fieldNames), add.dataType())
+        SchemaChange.Add(path(add.fieldNames), add.dataType())
       case ren: TableChange.RenameColumn =>
-        SchemaChange.Rename(one(ren.fieldNames), ren.newName())
+        SchemaChange.Rename(path(ren.fieldNames), ren.newName())
       case up: TableChange.UpdateColumnType =>
         // lossless widening only; anything else refuses inside the
         // atomic transform BEFORE any change commits
@@ -219,8 +224,8 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
         // ifExists is resolved inside the atomic transform via the Drop
         // validation; a missing optional column simply contributes no
         // change (checked here against the loaded schema)
-        if (del.ifExists() && !t.schema.fieldNames.contains(one(del.fieldNames))) null
-        else SchemaChange.Drop(one(del.fieldNames))
+        if (del.ifExists() && !pathExists(del.fieldNames)) null
+        else SchemaChange.Drop(path(del.fieldNames))
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
     }.filter(_ != null)

@@ -263,6 +263,37 @@ object LakeQueries {
     t.newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Nested-FIELD evolution: rename + add inside a struct column are
+    * metadata-only, ID-addressed commits — files written under the old
+    * nested name must come back fully populated under the new one
+    * (nested parquet field IDs; name matching would project null and
+    * the oracle would catch it), and pre-add files read null for the
+    * added field. */
+  def lakeNestedEvolution(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("info", StructType(Seq(
+        StructField("status", StringType),
+        StructField("price", DoubleType))))))
+    val t = cat.createTable("lakeq", "orders_ne", schema)
+    t.appendData(src.select(col("o_orderkey"),
+      struct(col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price")).as("info")))
+    t.refresh().renameColumn("info.status", "state")
+    t.refresh().addColumn("info.flag", IntegerType)
+    t.refresh().appendData(src.select(
+      (col("o_orderkey") + 100000000L).as("o_orderkey"),
+      struct(col("o_orderstatus").as("state"), col("o_totalprice").as("price"),
+        lit(1).as("flag")).as("info")))
+    t.refresh().newScan().toDF(s)
+      .select(col("o_orderkey"), col("info.state").as("state"),
+        col("info.price").as("price"), col("info.flag").as("flag"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Incremental scan: the rows added AFTER a snapshot — the feed a
     * downstream pipeline tails (Iceberg incremental-append analog). */
   def lakeChanges(s: SparkSession, d: String): DataFrame = {
@@ -484,6 +515,7 @@ object LakeQueries {
     "lake_sql_delete" -> lakeSqlDelete,
     "lake_maintenance" -> lakeMaintenance,
     "lake_rename" -> lakeRename,
+    "lake_nested_evolution" -> lakeNestedEvolution,
     "lake_changes" -> lakeChanges,
     "lake_sql_select" -> lakeSqlSelect,
     "lake_roundtrip" -> lakeRoundtrip,
@@ -553,6 +585,17 @@ object LakeQueries {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice AS amount,
         |  o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // batch 1 predates info.flag (reads NULL) and wrote the renamed
+    // field under its old name (ID-resolved); batch 2 wrote the new
+    // shape with flag = 1
+    "lake_nested_evolution" ->
+      """SELECT o_orderkey, o_orderstatus AS state, o_totalprice AS price,
+        |  CAST(NULL AS INTEGER) AS flag
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice, 1
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_changes" ->
       "SELECT * FROM orders WHERE o_orderkey % 2 = 1 ORDER BY o_orderkey",
     "lake_sql_select" ->

@@ -63,6 +63,19 @@ object SessionBridge {
     confs.foreach { case (k, v) => clone.conf.set(k, v) }
     clone
   }
+
+  /** Attach `schema` to `df` VERBATIM over the same physical rows
+    * (caller guarantees identical layout — names/types/order equal,
+    * only metadata/nullability may differ). This is the only way to
+    * carry NESTED field metadata (e.g. nested parquet field IDs) into
+    * a write: select aliases set top-level metadata only, and casts
+    * drop metadata. */
+  def withSchema(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cds = df.asInstanceOf[CDataset[_]]
+    cds.sparkSession.internalCreateDataFrame(
+      cds.queryExecution.toRdd, schema)
+  }
 }
 
 /** Filter-pushdown glue for V2 tables that pick their FILE LIST from

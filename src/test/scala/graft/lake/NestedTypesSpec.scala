@@ -8,8 +8,11 @@ import org.apache.spark.sql.types._
   * stats harvester simply records no bounds for non-atomic columns
   * (pruning on them is conservatively off; top-level atomic columns
   * keep pruning), and every row-level strategy carries them through.
-  * What stays refused — loudly, at ALTER time — is nested-FIELD
-  * evolution: the schema-evolution model is top-level-column only. */
+  * Nested-FIELD evolution (add/rename/drop of `s.f`) is field-ID
+  * addressed like top-level columns: IDs live under dotted paths,
+  * writes stamp them as nested parquet field IDs, and old files resolve
+  * renamed nested fields by ID. Type changes inside structs stay
+  * refused — loudly, at ALTER time. */
 class NestedTypesSpec extends LakeSuite {
 
   private def nestedDF = {
@@ -58,7 +61,7 @@ class NestedTypesSpec extends LakeSuite {
     assert(ren.select(col("person._1")).count() === 89L)
   }
 
-  test("SQL surface reads nested columns; nested-field ALTER refuses loudly") {
+  test("SQL surface reads nested columns; nested type changes refuse loudly") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.nest", classOf[sql.LakeSqlCatalog].getName)
     spark.conf.set("spark.sql.catalog.nest.warehouse", wh)
@@ -73,10 +76,101 @@ class NestedTypesSpec extends LakeSuite {
       === nestedDF.filter(col("s._2") > 500).count())
     assert(spark.sql("SELECT sum(arr[0]) FROM nest.ns.t").head.getDouble(0)
       === nestedDF.select(sum(element_at(col("arr"), 1))).head.getDouble(0))
-    // nested-FIELD evolution is out of the schema model: refuse, never
+    // TYPE changes inside a struct stay out of the model: refuse, never
     // half-apply
     val e = intercept[Exception](
-      spark.sql("ALTER TABLE nest.ns.t RENAME COLUMN s.name TO label"))
+      spark.sql("ALTER TABLE nest.ns.t ALTER COLUMN s.x TYPE DOUBLE"))
     assert(e.getMessage.contains("nested"))
+  }
+
+  test("nested-field add/rename/drop: ID-addressed, metadata-only, old files resolve") {
+    val wh = freshWarehouse()
+    val cat = LakeCatalog.open(wh)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("x", LongType, nullable = false))), nullable = false)))
+    val t = cat.createTable("ns", "evo", schema, sortOrder = Seq("id"))
+    import spark.implicits._
+    val batch1 = (1L to 50L).map(i => (i, s"name$i", i * 10)).toDF("id", "n", "x")
+      .select(col("id"), struct(col("n").as("name"), col("x").as("x")).as("s"))
+    t.appendData(batch1, numFiles = 2)
+
+    // rename a nested field, add another: metadata-only commits
+    val filesBefore = t.refresh().metadata.currentFiles.map(_.path).toSet
+    t.refresh().renameColumn("s.name", "label")
+    t.refresh().addColumn("s.flag", IntegerType)
+    assert(t.refresh().metadata.currentFiles.map(_.path).toSet === filesBefore)
+    assert(t.schema("s").dataType.asInstanceOf[StructType].fieldNames.toSeq
+      === Seq("label", "x", "flag"))
+
+    // OLD files resolve the renamed field BY ID (name matching would
+    // read null) and project null for the added one
+    val afterEvo = t.newScan().toDF(spark)
+    assert(afterEvo.count() === 50L)
+    assert(afterEvo.filter(col("s.label").isNull).count() === 0L)
+    assert(afterEvo.filter(col("id") === 7L).select("s.label").head.getString(0)
+      === "name7")
+    assert(afterEvo.filter(col("s.flag").isNotNull).count() === 0L)
+
+    // a second batch under the NEW schema: both generations coexist
+    val batch2 = (51L to 80L).map(i => (i, s"name$i", i * 10, i.toInt))
+      .toDF("id", "n", "x", "f")
+      .select(col("id"), struct(col("n").as("label"), col("x").as("x"),
+        col("f").as("flag")).as("s"))
+    t.refresh().appendData(batch2, numFiles = 1)
+    val mixed = t.refresh().newScan().toDF(spark)
+    assert(mixed.count() === 80L)
+    assert(mixed.filter(col("s.label").isNull).count() === 0L)
+    assert(mixed.filter(col("s.flag").isNotNull).count() === 30L)
+    assert(mixed.filter(col("id") === 60L).select("s.flag").head.getInt(0) === 60)
+
+    // pruning on sibling TOP-LEVEL columns stays exact through the
+    // nested evolution
+    assert(t.newScan(LakePredicate.Le("id", Long.box(25L))).planFiles.size
+      < t.refresh().metadata.currentFiles.size)
+    assert(t.newScan(LakePredicate.Le("id", Long.box(25L))).toDF(spark).count() === 25L)
+
+    // drop the nested field: projection omits it everywhere; its ID
+    // retires (never reused)
+    t.refresh().alterSchema(Seq(SchemaChange.Drop("s.flag")))
+    val dropped = t.refresh().newScan().toDF(spark)
+    assert(dropped.select("s.*").columns.toSeq === Seq("label", "x"))
+    assert(dropped.count() === 80L)
+    assert(!t.metadata.fieldIds.contains("s.flag"))
+
+    // restart durability: dotted field IDs round-trip the metadata JSON
+    val re = LakeCatalog.open(wh).loadTable("ns", "evo")
+    assert(re.metadata.fieldIds("s.label") === t.metadata.fieldIds("s.label"))
+    assert(re.newScan().toDF(spark).filter(col("id") === 7L)
+      .select("s.label").head.getString(0) === "name7")
+  }
+
+  test("SQL nested-field evolution: ADD/RENAME/DROP COLUMN s.f") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.nevo", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.nevo.warehouse", wh)
+    spark.sql("CREATE NAMESPACE nevo.ns")
+    spark.sql("CREATE TABLE nevo.ns.t (id BIGINT, s STRUCT<name:STRING, x:BIGINT>)")
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    import spark.implicits._
+    t.appendData((1L to 20L).map(i => (i, s"n$i", i)).toDF("id", "n", "x")
+      .select(col("id"), struct(col("n").as("name"), col("x").as("x")).as("s")))
+
+    spark.sql("ALTER TABLE nevo.ns.t RENAME COLUMN s.name TO label")
+    spark.sql("ALTER TABLE nevo.ns.t ADD COLUMN s.note STRING")
+    assert(spark.sql("SELECT s.label FROM nevo.ns.t WHERE id = 3").head.getString(0)
+      === "n3")
+    assert(spark.sql("SELECT count(*) FROM nevo.ns.t WHERE s.note IS NULL")
+      .head.getLong(0) === 20L)
+    spark.sql("ALTER TABLE nevo.ns.t DROP COLUMN s.note")
+    assert(!spark.table("nevo.ns.t").schema("s").dataType
+      .asInstanceOf[StructType].fieldNames.contains("note"))
+    // guards: duplicate target, missing field, last-field drop
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE nevo.ns.t RENAME COLUMN s.label TO x"))
+    assertThrows[Exception](
+      spark.sql("ALTER TABLE nevo.ns.t DROP COLUMN s.nope"))
   }
 }
