@@ -11,16 +11,28 @@ class ConcurrencySpec extends LakeSuite {
 
   // Same contention protocol against ALL commit backends: the hard-link
   // CAS (local FS), the conditional-put map (object-store/H2 semantics —
-  // no links or renames, only putIfAbsent), and the Hadoop FileSystem
-  // API (the s3a://-shaped path, create-exclusive as the CAS). The
-  // commit protocol must not care which provides the atomicity.
-  for ((backendName, mkBackend) <- Seq(
-      "local-fs hard-link CAS" -> (() => new LocalFsCommitBackend: CommitBackend),
-      "in-memory conditional put" -> (() => new InMemoryCommitBackend: CommitBackend),
-      "hadoop-fs create-exclusive" -> (() => new HadoopFsCommitBackend: CommitBackend))) {
+  // no links or renames, only putIfAbsent), the Hadoop FileSystem
+  // API (the s3a://-shaped path, create-exclusive as the CAS), and the
+  // hadoop-fs path again over mem:// — an in-process FileSystem with
+  // REAL object-store semantics (flat keys, PUT-at-close visibility,
+  // copy+delete rename that replaces silently; MemFileSystem), proving
+  // the write-then-publish CAS against what MinIO would give the
+  // reference. The commit protocol must not care which provides the
+  // atomicity.
+  private var memN = 0
+  for ((backendName, mkBackend, mkWh) <- Seq(
+      ("local-fs hard-link CAS",
+        () => new LocalFsCommitBackend: CommitBackend, () => freshWarehouse()),
+      ("in-memory conditional put",
+        () => new InMemoryCommitBackend: CommitBackend, () => freshWarehouse()),
+      ("hadoop-fs create-exclusive",
+        () => new HadoopFsCommitBackend: CommitBackend, () => freshWarehouse()),
+      ("hadoop-fs over mem:// object store",
+        () => null: CommitBackend, // open() routes the scheme itself
+        () => { memN += 1; s"mem://conc$memN/wh" }))) {
     test(s"8 concurrent append commits all land; no lost updates [$backendName]") {
       val metrics = new SimpleMetrics
-      val cat = LakeCatalog.open(freshWarehouse(), metrics, mkBackend())
+      val cat = LakeCatalog.open(mkWh(), metrics, mkBackend())
       val t = cat.createTable("ns", "contended", ordersDF.schema)
       // stage data files sequentially (Spark jobs), then race ONLY the
       // metadata commits — that is where the CAS lives

@@ -101,6 +101,35 @@ class LakeCatalogSpec extends LakeSuite {
       .newScan().toDF(spark).count() === expected)
   }
 
+  test("mem:// object-store warehouse end-to-end: no atomic rename, PUT-at-close") {
+    // the same lifecycle over an in-process FileSystem with REAL
+    // object-store semantics (MemFileSystem: flat keys, visibility at
+    // close, copy+delete rename that silently replaces) — what MinIO
+    // gives the reference (LocalIcebergCatalog.java:104-131), without
+    // containers. The write-then-publish CAS and Spark parquet I/O must
+    // both survive it.
+    val wh = "mem://lifecycle/wh"
+    val cat = LakeCatalog.open(wh)
+    assert(cat.backend.isInstanceOf[HadoopFsCommitBackend])
+    val t = cat.createTable("ns", "obj", ordersDF.schema)
+    assert(t.location.startsWith("mem://"))
+    val first = t.appendData(ordersDF, numFiles = 2)
+    t.refresh().deleteWhere(spark, LakePredicate.Le("o_orderkey", 100L))
+    val expected = ordersDF.filter(
+      org.apache.spark.sql.functions.col("o_orderkey") > 100).count()
+    assert(t.refresh().newScan().toDF(spark).count() === expected)
+    // time travel + reopen-from-store durability
+    assert(t.asOf(first.snapshotId).toDF(spark).count() === ordersDF.count())
+    val re = LakeCatalog.open(wh).loadTable("ns", "obj")
+    assert(re.snapshots.size === 2)
+    assert(re.newScan().toDF(spark).count() === expected)
+    // maintenance walks the store through the FileSystem API
+    re.expireSnapshots(keepLast = 1)
+    assert(re.removeOrphanFiles().nonEmpty)
+    assert(LakeCatalog.open(wh).loadTable("ns", "obj")
+      .newScan().toDF(spark).count() === expected)
+  }
+
   test("namespaces and table listing") {
     val cat = LakeCatalog.open(freshWarehouse())
     cat.createNamespace("a")
