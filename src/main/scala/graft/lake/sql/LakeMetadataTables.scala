@@ -118,6 +118,22 @@ private[sql] object LakeMetadataTables {
         override def rows(): Array[InternalRow] = computeRows()
       }
 
+    /** Driver-memory guard for row-per-file metadata tables: the cap
+      * (`metadata-tables.max-rows` table property, default 1M) checks
+      * the snapshot ROLLUPS — no manifest loads — and refuses loudly.
+      * At 100 TB, inventory questions answer through `manifests`
+      * (O(manifests) rows) or a raised cap on a big driver; silently
+      * materializing millions of driver rows is never the right
+      * degradation. */
+    private def guardRows(n: Long): Unit = {
+      val cap = lt.metadata.properties.get("metadata-tables.max-rows")
+        .map(_.toLong).getOrElse(1000000L)
+      if (n > cap) throw new IllegalStateException(
+        s"metadata table ${lt.name}.$kind would materialize $n driver-resident " +
+          s"rows (cap $cap); aggregate via the `manifests` metadata table, or " +
+          "raise table property metadata-tables.max-rows")
+    }
+
     private def computeRows(): Array[InternalRow] = {
       val t = lt.refresh()
       val m = t.metadata
@@ -169,11 +185,17 @@ private[sql] object LakeMetadataTables {
           }.toArray
 
         case "files" =>
+          // row-per-file tables are driver-resident: gate on the
+          // snapshot's ROLLUP count (known without loading a manifest)
+          // so a million-file table fails loudly instead of OOMing
+          guardRows(m.currentSnapshot.map(_.fileCount).getOrElse(0L))
           m.currentSnapshot.map(_.files).getOrElse(Nil)
             .map(fileRow("data", _)).toArray
 
         case "delete_files" =>
           val s = m.currentSnapshot
+          guardRows(s.map(_.manifests).getOrElse(Nil)
+            .filter(_.content != ManifestRef.Data).map(_.fileCount).sum)
           (s.map(_.deleteFiles).getOrElse(Nil).map(fileRow("positional", _)) ++
             s.map(_.eqDeleteFiles).getOrElse(Nil).map(fileRow("equality", _))).toArray
 
@@ -188,6 +210,7 @@ private[sql] object LakeMetadataTables {
         }.toArray
 
         case "partitions" =>
+          guardRows(m.currentSnapshot.map(_.fileCount).getOrElse(0L))
           m.currentSnapshot.map(_.files).getOrElse(Nil)
             .groupBy(f => (partMap(f), f.specId)).toSeq
             .sortBy(_._1._1.toSeq.sortBy(_._1).mkString(","))

@@ -100,4 +100,30 @@ class LakeMetadataTableSpec extends LakeSuite {
     parts.foreach(r => assert(r.getLong(2) === expected(r.getString(0))))
     assert(parts.map(_.getLong(1)).sum === t.refresh().metadata.currentFiles.size.toLong)
   }
+
+  test("row-per-file metadata tables guard driver memory via the rollup cap") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.metag", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.metag.warehouse", wh)
+    spark.sql("CREATE NAMESPACE metag.ns")
+    val cat = LakeCatalog.open(wh)
+    val t = cat.createTable("ns", "g", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 6)
+    // a tiny cap models the million-file table: files/partitions refuse
+    // LOUDLY (before loading any manifest) instead of materializing
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: causes(x.getCause)
+    t.refresh().setProperty("metadata-tables.max-rows", "5")
+    for (kind <- Seq("files", "partitions")) {
+      val e = intercept[Exception](spark.sql(s"SELECT * FROM metag.ns.g.$kind").collect())
+      assert(causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("metadata-tables.max-rows"))), s"$kind did not guard")
+    }
+    // O(manifests) inventory still answers (the documented alternative),
+    // and raising the cap restores the full listing
+    assert(spark.sql("SELECT sum(file_count) FROM metag.ns.g.manifests")
+      .head.getLong(0) === 6L)
+    t.refresh().setProperty("metadata-tables.max-rows", "1000")
+    assert(spark.sql("SELECT count(*) FROM metag.ns.g.files").head.getLong(0) === 6L)
+  }
 }
