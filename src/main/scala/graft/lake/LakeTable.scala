@@ -727,28 +727,52 @@ final class LakeTable private[lake] (
     throw new IllegalStateException("unreachable")
   }
 
+  /** (base id, live files, snapshot) of an op's lineage: main, or — for
+    * a branch-scoped row-level op — the branch head. The commit then
+    * targets the same lineage (toBranch), whose head the CAS transform
+    * re-resolves, so racing branch commits revalidate exactly like
+    * racing main commits. */
+  private def lineageBase(branch: Option[String])
+      : (Long, Seq[DataFileEntry], Option[Snapshot]) = branch match {
+    case None => (meta.currentSnapshotId, meta.currentFiles, meta.currentSnapshot)
+    case Some(b) =>
+      val ref = meta.refs.getOrElse(b,
+        throw new NoSuchElementException(s"no branch '$b' on $name"))
+      require(ref.kind == TableRef.Branch,
+        s"ref '$b' of $name is a ${ref.kind}; only branches accept commits")
+      val snap = meta.snapshot(ref.snapshotId).getOrElse(
+        throw new IllegalStateException(
+          s"branch '$b' of $name points at expired snapshot ${ref.snapshotId}"))
+      (snap.id, snap.files, Some(snap))
+  }
+
   /** Copy-on-write row delete: only files that MAY contain matches are
     * rewritten; untouched files survive as-is. Delete-file counters stay
     * 0 exactly as in the reference, which never writes delete files but
-    * surfaces the meters (IntegrationTest.java:109,112,115). */
+    * surfaces the meters (IntegrationTest.java:109,112,115).
+    * `branch` scopes the delete to a branch head (stage → audit →
+    * fastForward publishes — the WAP pattern for mutations). */
   def deleteWhere(spark: SparkSession, pred: LakePredicate,
-      conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
-    val base = meta.currentSnapshotId
-    val live = meta.currentFiles
+      conflictRetries: Int = 3,
+      branch: Option[String] = None): CommitReport =
+      withConflictRetry(conflictRetries) {
+    val (base, live, snap) = lineageBase(branch)
     val touched = live.filter(pred.mayMatch(_, meta))
     // serializable, not just snapshot-isolated: a racing append adding
     // rows that match the predicate fails this commit and the retry
     // re-runs the delete over them (validateAddedSince in commitSnapshot)
     if (touched.isEmpty)
-      commitSnapshot("delete", Nil, Nil, validateAddedSince = Some((base, pred)))
+      commitSnapshot("delete", Nil, Nil, validateAddedSince = Some((base, pred)),
+        toBranch = branch)
     else {
       // NULL predicate rows must be KEPT (SQL delete semantics: only
       // TRUE deletes) — a bare !pred would drop them
-      val kept = readLive(spark, touched, meta.currentSnapshot)
+      val kept = readLive(spark, touched, snap)
         .filter(!org.apache.spark.sql.functions.coalesce(pred.toColumn,
           org.apache.spark.sql.functions.lit(false)))
       val added = writeDataFiles(kept)
-      commitSnapshot("delete", added, touched, validateAddedSince = Some((base, pred)))
+      commitSnapshot("delete", added, touched,
+        validateAddedSince = Some((base, pred)), toBranch = branch)
     }
   }
 
@@ -899,15 +923,15 @@ final class LakeTable private[lake] (
     * Source must carry the table schema and distinct keys. */
   def mergeInto(spark: SparkSession, source: DataFrame, keys: Seq[String],
       conflictRetries: Int = 3,
-      exactlyOnce: Option[(String, Long)] = None): CommitReport =
+      exactlyOnce: Option[(String, Long)] = None,
+      branch: Option[String] = None): CommitReport =
       withConflictRetry(conflictRetries) {
     import org.apache.spark.sql.{functions => F}
     require(keys.nonEmpty && keys.forall(schema.fieldNames.contains), s"bad merge keys $keys")
     require(source.schema.fields.map(f => (f.name, f.dataType)).sameElements(
       schema.fields.map(f => (f.name, f.dataType))),
       s"merge source schema mismatch: ${source.schema.simpleString}")
-    val base = meta.currentSnapshotId
-    val live = meta.currentFiles
+    val (base, live, baseSnap) = lineageBase(branch)
     // persist: the source plan is consumed three times (bounds agg,
     // anti-join, written union) and MUST be one consistent snapshot —
     // a recomputed non-deterministic source could write keys outside
@@ -932,7 +956,8 @@ final class LakeTable private[lake] (
       val boundsRow = src.agg(aggs.head, aggs.tail: _*).head()
       val nRows = boundsRow.getLong(2 * keys.size)
       if (nRows == 0L) { // empty source: no-op (still records the ledger)
-        commitSnapshot("overwrite", Nil, Nil, exactlyOnce = exactlyOnce)
+        commitSnapshot("overwrite", Nil, Nil, exactlyOnce = exactlyOnce,
+          toBranch = branch)
       } else {
         val nullKeys = boundsRow.getLong(2 * keys.size + 1)
         if (nullKeys > 0L)
@@ -953,13 +978,14 @@ final class LakeTable private[lake] (
         val touched = live.filter(pred.mayMatch(_, meta))
         val kept =
           if (touched.isEmpty) src.limit(0)
-          else readLive(spark, touched, meta.currentSnapshot)
+          else readLive(spark, touched, baseSnap)
             .join(src.select(keys.map(F.col): _*), keys, "left_anti")
         val added = writeDataFiles(kept.unionByName(src))
         // serializable: a racing append inside the key bounds would leave
         // duplicate live keys after this upsert — fail and retry instead
         commitSnapshot("overwrite", added, touched,
-          validateAddedSince = Some((base, pred)), exactlyOnce = exactlyOnce)
+          validateAddedSince = Some((base, pred)), exactlyOnce = exactlyOnce,
+          toBranch = branch)
       }
     } finally src.unpersist(blocking = false)
   }
@@ -1040,24 +1066,27 @@ final class LakeTable private[lake] (
       catch { case _: BatchAlreadyCommitted => None }
   }
 
-  /** Copy-on-write update: rewrite matching rows with the assignments. */
+  /** Copy-on-write update: rewrite matching rows with the assignments.
+    * `branch` stages the update on a branch head (WAP for mutations). */
   def updateWhere(spark: SparkSession, pred: LakePredicate,
       assignments: Map[String, Column],
-      conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
-    val base = meta.currentSnapshotId
-    val live = meta.currentFiles
+      conflictRetries: Int = 3,
+      branch: Option[String] = None): CommitReport =
+      withConflictRetry(conflictRetries) {
+    val (base, live, snap) = lineageBase(branch)
     val touched = live.filter(pred.mayMatch(_, meta))
     if (touched.isEmpty)
-      commitSnapshot("overwrite", Nil, Nil, validateAddedSince = Some((base, pred)))
+      commitSnapshot("overwrite", Nil, Nil, validateAddedSince = Some((base, pred)),
+        toBranch = branch)
     else {
-      val df = readLive(spark, touched, meta.currentSnapshot)
+      val df = readLive(spark, touched, snap)
       val rewritten = assignments.foldLeft(df) { case (acc, (c, v)) =>
         acc.withColumn(c, org.apache.spark.sql.functions.when(pred.toColumn, v)
           .otherwise(org.apache.spark.sql.functions.col(c)))
       }.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       val added = writeDataFiles(rewritten)
       commitSnapshot("overwrite", added, touched,
-        validateAddedSince = Some((base, pred)))
+        validateAddedSince = Some((base, pred)), toBranch = branch)
     }
   }
 
@@ -1295,14 +1324,14 @@ final class LakeTable private[lake] (
       dropDeletes: Boolean = false,
       toBranch: Option[String] = None): CommitReport = {
     val t0 = System.nanoTime()
-    // branch commits are APPENDS onto the branch head: row-level ops,
-    // compaction and replace stay main-only (their validation reasons
-    // about the main lineage) — the WAP surface is append + audit +
-    // fastForward
-    require(toBranch.isEmpty || (removed.isEmpty && !replaceAll &&
-      validateAddedSince.isEmpty && addedDeletes.isEmpty &&
-      addedEqDeletes.isEmpty && !dropDeletes),
-      s"only append commits may target a branch")
+    // branch commits: appends AND row-level ops (CoW rewrites, MoR
+    // tombstones) land on the branch head — the full WAP story for
+    // pipelines that stage mutations, not just inserts. Everything
+    // below resolves against baseSnapshot (the branch head inside the
+    // CAS transform), so liveness and serializable validation reason
+    // about the BRANCH lineage. Replace/compaction stay main-only.
+    require(toBranch.isEmpty || (!replaceAll && !dropDeletes),
+      s"replace/compaction commits may not target a branch")
     val removedPaths = removed.map(_.path).toSet
     var removedCount = removed.size.toLong // replaceAll: resolved in the transform
     val md = catalog.metadataDir(namespace, shortName)
@@ -1368,7 +1397,9 @@ final class LakeTable private[lake] (
       // expired from the log validates against EVERYTHING live —
       // conservative again.
       validateAddedSince.foreach { case (baseId, pred) =>
-        if (latest.currentSnapshotId != baseId) {
+        // the effective current is the op's LINEAGE head: main's
+        // current snapshot, or the branch head for a branch op
+        if (baseSnapshot.map(_.id).getOrElse(-1L) != baseId) {
           val base = latest.snapshot(baseId)
           val baseNames = base.map(_.manifests.map(_.name).toSet).getOrElse(Set.empty[String])
           val basePaths = base.map(_.files.map(_.path).toSet).getOrElse(Set.empty[String])

@@ -77,6 +77,70 @@ class BranchTagSpec extends LakeSuite {
     assert(reopened.refs.keySet === Set("b", "pin"))
   }
 
+  test("branch-scoped DELETE/UPDATE/MERGE: mutations stage on the branch, main untouched") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "bmut", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 4)
+    val mainCount = ordersDF.count()
+    t.createBranch("stage")
+
+    // CoW delete on the branch
+    t.refresh().deleteWhere(spark, LakePredicate.Eq("o_orderstatus", "F"),
+      branch = Some("stage"))
+    val afterDelete = ordersDF.filter(col("o_orderstatus") =!= "F").count()
+    assert(t.refresh().scanRef("stage").toDF(spark).count() === afterDelete)
+    assert(t.newScan().toDF(spark).count() === mainCount) // main untouched
+
+    // CoW update on the branch (over the branch's post-delete state)
+    t.refresh().updateWhere(spark, LakePredicate.Eq("o_orderstatus", "O"),
+      Map("o_orderpriority" -> lit("9-STAGED")), branch = Some("stage"))
+    val staged = t.refresh().scanRef("stage").toDF(spark)
+    assert(staged.filter(col("o_orderstatus") === "O")
+      .filter(col("o_orderpriority") =!= "9-STAGED").count() === 0L)
+    assert(t.newScan().toDF(spark)
+      .filter(col("o_orderpriority") === "9-STAGED").count() === 0L)
+
+    // keyed MERGE on the branch: replacements + new keys
+    val upd = ordersDF.filter(col("o_orderkey") % 10 === 0 && col("o_orderstatus") =!= "F")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.refresh().mergeInto(spark, upd, Seq("o_orderkey"), branch = Some("stage"))
+    val merged = t.refresh().scanRef("stage").toDF(spark)
+    assert(merged.count() === afterDelete) // same keys, replaced in place
+    assert(merged.filter(col("o_orderkey") % 10 === 0).count() === upd.count())
+
+    // audit passed: publish via fastForward — main becomes the staged state
+    t.refresh().fastForward("stage")
+    val published = t.refresh().newScan().toDF(spark)
+    assert(published.count() === afterDelete)
+    assert(published.filter(col("o_orderstatus") === "F").count() === 0L)
+    // merged keys (%10 == 0) were REPLACED by source rows carrying the
+    // original priority; every other O row keeps the staged update
+    assert(published.filter(col("o_orderstatus") === "O" &&
+        col("o_orderkey") % 10 =!= 0)
+      .filter(col("o_orderpriority") =!= "9-STAGED").count() === 0L)
+  }
+
+  test("racing branch mutations serialize: the loser revalidates against the new head") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "brace2", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 4)
+    t.createBranch("stage")
+    val pred = LakePredicate.Eq("o_orderstatus", "F")
+    val staleBase = t.refresh().metadata.refs("stage").snapshotId
+    // a branch append lands between a branch delete's read and commit:
+    // the delete validating against the stale branch head must conflict
+    t.refresh().appendDataToBranch("stage",
+      ordersDF.limit(9).withColumn("o_orderkey", col("o_orderkey") + 700000000L))
+    intercept[CommitConflictException] {
+      t.refresh().commitSnapshot("delete", Nil, Nil,
+        validateAddedSince = Some((staleBase, pred)), toBranch = Some("stage"))
+    }
+    // the public op (with retries) converges on the post-append head
+    t.refresh().deleteWhere(spark, pred, branch = Some("stage"))
+    assert(t.refresh().scanRef("stage").toDF(spark)
+      .filter(col("o_orderstatus") === "F").count() === 0L)
+  }
+
   test("SQL surface: VERSION AS OF ref names, refs metadata table, WAP procedures") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.wap", classOf[sql.LakeSqlCatalog].getName)
