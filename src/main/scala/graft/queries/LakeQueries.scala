@@ -170,6 +170,42 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Tombstone-materializing maintenance: a clustered table takes a MoR
+    * delete (tombstones land on the price-sorted tail files only), then
+    * rewrite_position_deletes materializes ONLY the affected files and
+    * retires every delete manifest — the self-heal for heavy-churn
+    * tables. The scan after must be tombstone-free and exact. */
+  def lakeRewriteDeletes(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_rpd", src.schema,
+      sortOrder = Seq("o_totalprice"))
+    t.refresh().appendData(src, numFiles = 4)
+    t.refresh().deleteWhereMoR(s, LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+    t.refresh().rewritePositionDeletes(s)
+    val snap = t.refresh().metadata.currentSnapshot
+    require(snap.exists(sn => sn.deleteFiles.isEmpty && sn.eqDeleteFiles.isEmpty),
+      "rewrite_position_deletes left live tombstones")
+    t.newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
+  /** Branch-scoped mutations (WAP for row-level ops): a CoW delete and
+    * update stage on a branch — main untouched until fastForward
+    * publishes the audited state. */
+  def lakeBranchMutations(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_bm", src.schema)
+    t.appendData(src, numFiles = 4)
+    t.createBranch("stage")
+    t.refresh().deleteWhere(s, LakePredicate.Eq("o_orderstatus", "F"),
+      branch = Some("stage"))
+    t.refresh().updateWhere(s, LakePredicate.Eq("o_orderstatus", "O"),
+      Map("o_orderpriority" -> lit("9-STAGED")), branch = Some("stage"))
+    t.refresh().fastForward("stage")
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Copy-on-write delete: rows vanish, untouched files survive. */
   def lakeDeleteCow(s: SparkSession, d: String): DataFrame = {
     val src = orders(s, d)
@@ -530,6 +566,8 @@ object LakeQueries {
     "lake_compact" -> lakeCompact,
     "lake_delete_cow" -> lakeDeleteCow,
     "lake_delete_mor" -> lakeDeleteMor,
+    "lake_rewrite_deletes" -> lakeRewriteDeletes,
+    "lake_branch_mutations" -> lakeBranchMutations,
     "lake_update_cow" -> lakeUpdateCow,
     "lake_update_mor" -> lakeUpdateMor,
     "lake_merge_upsert" -> lakeMergeUpsert,
@@ -633,6 +671,18 @@ object LakeQueries {
       "SELECT * FROM orders WHERE NOT (o_totalprice >= 400000.0) ORDER BY o_orderkey",
     "lake_delete_mor" ->
       "SELECT * FROM orders WHERE NOT (o_totalprice >= 400000.0) ORDER BY o_orderkey",
+    // identical survivors to lake_delete_mor — but read AFTER
+    // rewrite_position_deletes retired every tombstone
+    "lake_rewrite_deletes" ->
+      "SELECT * FROM orders WHERE NOT (o_totalprice >= 400000.0) ORDER BY o_orderkey",
+    // staged delete (F rows) + staged update (O rows get 9-STAGED),
+    // published via fastForward
+    "lake_branch_mutations" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderstatus = 'O' THEN '9-STAGED'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE NOT (o_orderstatus = 'F')
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_merge_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
