@@ -369,12 +369,16 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
   private[sql] def isHistorical: Boolean = snapshotId.isDefined
 
   /** For the merge-on-read substitution rule ([[LakeMoRScanSubstitution]]):
-    * the full scan of exactly the snapshot this SQL handle addresses
-    * (current or `AS OF`), over the SAME already-loaded metadata the
-    * direct scan-builder path would read — the substitution must not
-    * see a newer snapshot than the relation it replaces. */
-  private[sql] def fullScan(): graft.lake.LakeScan =
-    snapshotId.map(lt.asOf(_)).getOrElse(lt.newScan())
+    * a scan of exactly the snapshot this SQL handle addresses (current
+    * or `AS OF`), over the SAME already-loaded metadata the direct
+    * scan-builder path would read — the substitution must not see a
+    * newer snapshot than the relation it replaces. `pred` is the
+    * enclosing filter in lenient manifest form: stats pruning only (the
+    * residual SQL filter re-applies above), so a live-tombstone read
+    * keeps manifest-level file skipping. */
+  private[sql] def fullScan(pred: LakePredicate = LakePredicate.AlwaysTrue)
+      : graft.lake.LakeScan =
+    snapshotId.map(lt.asOf(_, pred)).getOrElse(lt.newScan(pred))
 
   /** SQL `DELETE FROM t WHERE …` → the transactional copy-on-write
     * delete (pruned rewrites, serializable validation, conflict retry —
@@ -426,20 +430,9 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       f: org.apache.spark.sql.sources.Filter): Option[LakePredicate] =
     LakeSqlTable.toLakePredicateStrict(f)
 
-  /** Lenient form for scans: an inexpressible LEAF degrades to
-    * AlwaysTrue (conservative — residuals re-apply every filter), but
-    * And/Or recurse so a compound filter keeps pruning on its
-    * expressible legs (And(unknown, a=5) still skips files on a=5). */
   private def toLakePredicateLenient(
-      f: org.apache.spark.sql.sources.Filter): LakePredicate = {
-    import org.apache.spark.sql.{sources => S}
-    import graft.lake.{LakePredicate => P}
-    f match {
-      case S.And(l, r) => P.And(toLakePredicateLenient(l), toLakePredicateLenient(r))
-      case S.Or(l, r) => P.Or(toLakePredicateLenient(l), toLakePredicateLenient(r))
-      case other => toLakePredicateStrict(other).getOrElse(P.AlwaysTrue)
-    }
-  }
+      f: org.apache.spark.sql.sources.Filter): LakePredicate =
+    LakeSqlTable.toLakePredicateLenient(f)
 
   private def toLakePredicate(fs: Array[org.apache.spark.sql.sources.Filter]): LakePredicate = {
     import graft.lake.{LakePredicate => P}
@@ -558,6 +551,21 @@ object LakeSqlTable {
     * the residual re-applies it) — a DELETE/UPDATE cannot (AlwaysTrue
     * would touch rows the filter never matched), so those paths consult
     * this form and REFUSE instead. */
+  /** Lenient form for scans: an inexpressible LEAF degrades to
+    * AlwaysTrue (conservative — residuals re-apply every filter), but
+    * And/Or recurse so a compound filter keeps pruning on its
+    * expressible legs (And(unknown, a=5) still skips files on a=5). */
+  private[sql] def toLakePredicateLenient(
+      f: org.apache.spark.sql.sources.Filter): graft.lake.LakePredicate = {
+    import org.apache.spark.sql.{sources => S}
+    import graft.lake.{LakePredicate => P}
+    f match {
+      case S.And(l, r) => P.And(toLakePredicateLenient(l), toLakePredicateLenient(r))
+      case S.Or(l, r) => P.Or(toLakePredicateLenient(l), toLakePredicateLenient(r))
+      case other => toLakePredicateStrict(other).getOrElse(P.AlwaysTrue)
+    }
+  }
+
   private[sql] def toLakePredicateStrict(
       f: org.apache.spark.sql.sources.Filter): Option[LakePredicate] = {
     import org.apache.spark.sql.{sources => S}

@@ -66,7 +66,7 @@ class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
   * [[LakeMergeCommand.run]], so a tombstoned lake table used as a
   * SOURCE still substitutes there.)
   */
-object LakeMoRScanSubstitution extends Rule[LogicalPlan] {
+object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = substitute(plan)
 
@@ -79,8 +79,30 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] {
     case m: MergeIntoTable => m
     case d: DeleteFromTable => d
     case i: InsertIntoStatement => i.copy(query = substitute(i.query))
+    // a Filter directly over the relation (modulo SubqueryAlias — the
+    // `SELECT ... WHERE p` shape) hands its condition to the scan in
+    // lenient manifest form, so a live-tombstone SQL read keeps
+    // MANIFEST-level file skipping; the full condition stays on top as
+    // the exact residual. An unresolved filter waits for a later
+    // analyzer iteration (the bare-relation fallback still fires if no
+    // filter ever materializes).
+    case f @ Filter(cond, child) =>
+      val cond2 = cond.transformUp {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          se.withNewPlan(substitute(se.plan))
+      }
+      relationUnder(child) match {
+        case Some((r, t)) if f.resolved =>
+          morPlan(r, t, pruningPred(cond2)) match {
+            case Some(sub) => Filter(cond2, sub)
+            case None => // no live tombstones: direct scan + pushdown
+              if (cond2 eq cond) f else Filter(cond2, child)
+          }
+        case Some(_) => f
+        case None => Filter(cond2, substitute(child))
+      }
     case r: DataSourceV2Relation => r.table match {
-      case t: LakeSqlTable => morPlan(r, t).getOrElse(r)
+      case t: LakeSqlTable => morPlan(r, t, LakePredicate.AlwaysTrue).getOrElse(r)
       case _ => r
     }
     case other =>
@@ -90,8 +112,31 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] {
       }
   }
 
-  private def morPlan(r: DataSourceV2Relation, t: LakeSqlTable): Option[LogicalPlan] = {
-    val scan = t.fullScan()
+  private def relationUnder(p: LogicalPlan)
+      : Option[(DataSourceV2Relation, LakeSqlTable)] = p match {
+    case SubqueryAlias(_, child) => relationUnder(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: LakeSqlTable => Some((r, t))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Catalyst condition → lenient manifest predicate: expressible
+    * conjuncts prune, the rest fall away (the residual above re-applies
+    * everything exactly). Constants fold first — this runs at analysis,
+    * before the optimizer, so literals sit under type-widening casts
+    * the filter translator refuses. */
+  private def pruningPred(cond: Expression): LakePredicate =
+    splitConjunctivePredicates(LakeRowLevelCommands.foldConstants(cond))
+      .flatMap(PlanBridge.translateFilter)
+      .map(LakeSqlTable.toLakePredicateLenient)
+      .reduceOption[LakePredicate](LakePredicate.And(_, _))
+      .getOrElse(LakePredicate.AlwaysTrue)
+
+  private def morPlan(r: DataSourceV2Relation, t: LakeSqlTable,
+      pred: LakePredicate): Option[LogicalPlan] = {
+    val scan = t.fullScan(pred)
     if (!scan.hasLiveDeletes) None
     else {
       val inner = PlanBridge.analyzedPlan(scan.toDF(SparkSession.active))
@@ -173,7 +218,7 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
     * folding, so a literal the analyzer wrapped in a type-widening cast
     * (`o_orderkey <= CAST(100 AS BIGINT)`) must fold here or the filter
     * translator refuses a perfectly expressible condition. */
-  private def foldConstants(e: Expression): Expression = e.transformUp {
+  private[sql] def foldConstants(e: Expression): Expression = e.transformUp {
     case f if f.foldable && !f.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         f.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow), f.dataType)

@@ -90,6 +90,38 @@ class MoRGateSpec extends LakeSuite {
     assert(LakeTable.narrowPosDeletes(Seq(statless), Seq("/q")).size === 1)
   }
 
+  test("SQL reads over live tombstones keep manifest pruning via the enclosing filter") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.morprune", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.morprune.warehouse", wh)
+    spark.sql("CREATE NAMESPACE morprune.ns")
+    spark.sql(s"CREATE TABLE morprune.ns.t (${ordersDF.schema.toDDL}) " +
+      "TBLPROPERTIES ('write.sort-order'='o_orderkey')")
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    t.appendData(ordersDF, numFiles = 4) // disjoint o_orderkey ranges
+    t.refresh().deleteWhereMoR(spark, LakePredicate.Eq("o_orderstatus", "F"))
+    val cutoff = ordersDF.selectExpr("percentile(o_orderkey, 0.2)").head.getDouble(0).toLong
+
+    // the substituted MoR plan's DATA scan must carry a PRUNED file
+    // list (the filter's lenient manifest form reached planFiles) —
+    // before round 8 a live-tombstone SQL read always scanned all files
+    val q = spark.sql(
+      s"SELECT count(*) AS n FROM morprune.ns.t WHERE o_orderkey <= $cutoff")
+    val scanFiles = q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.count(_.endsWith(".parquet"))
+          case _ => 0
+        }
+    }.filter(_ > 0)
+    assert(scanFiles.nonEmpty && scanFiles.max < 4,
+      s"data scan read $scanFiles files — the filter did not prune the manifest")
+    // and the answer stays exact (residual filter + tombstones applied)
+    assert(q.head.getLong(0) ===
+      ordersDF.filter(col("o_orderkey") <= cutoff && col("o_orderstatus") =!= "F").count())
+  }
+
   test("serializable validation conflicts with a concurrent MoR delete (no resurrection)") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "gate3", ordersDF.schema)
