@@ -331,6 +331,21 @@ final class LakeTable private[lake] (
     }
   }
 
+  /** Exactly-once append of PRE-WRITTEN data files — the DSv2 streaming
+    * sink path: executor tasks streamed the parquet, the driver commits
+    * the harvested entries under the same (sinkId, batchId) ledger as
+    * [[appendDataExactlyOnce]]. Returns None when the batch already
+    * landed (files become orphans; removeOrphanFiles reclaims). */
+  private[lake] def appendFilesExactlyOnce(files: Seq[DataFileEntry],
+      sinkId: String, batchId: Long): Option[CommitReport] = {
+    refresh()
+    if (lastCommittedBatchId(sinkId).exists(_ >= batchId)) None
+    else
+      try Some(commitSnapshot("append", files, Nil,
+        exactlyOnce = Some((sinkId, batchId))))
+      catch { case _: BatchAlreadyCommitted => None }
+  }
+
   /** Exactly-once MERGE for streaming micro-batches — the upsert twin
     * of [[appendDataExactlyOnce]]: same (sinkId, batchId) ledger, same
     * inside-the-CAS decisive check, on top of mergeInto's own

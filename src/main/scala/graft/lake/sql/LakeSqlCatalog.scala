@@ -477,7 +477,8 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     if (snapshotId.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -502,6 +503,24 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
               else t.appendData(aligned)
               ()
             }
+
+          /** `df.writeStream.toTable("cat.ns.t")` — the native DSv2
+            * streaming sink (exactly-once epoch appends; see
+            * [[LakeStreamingWrite]]). Append mode only: complete-mode
+            * truncation per epoch contradicts an append-only snapshot
+            * log (use foreachBatch + overwriteAll for that shape). */
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            require(!replace, s"streaming writes to ${lt.name} support " +
+              "append output mode only (complete/truncate refused)")
+            val t = lt.refresh()
+            val in = info.schema()
+            require(in.fields.map(f => (f.name, f.dataType.simpleString)).sameElements(
+              t.schema.fields.map(f => (f.name, f.dataType.simpleString))),
+              s"streaming write schema mismatch for ${lt.name}: " +
+                s"${in.simpleString} vs ${t.schema.simpleString}")
+            new LakeStreamingWrite(t, info.queryId())
+          }
         }
     }
   }

@@ -251,6 +251,45 @@ class LakeStreamSourceSpec extends LakeSuite {
     assert(skipped === 3L)
   }
 
+  test("native DSv2 streaming sink: writeStream.toTable is exactly-once, no foreachBatch") {
+    val (srcName, src) = sqlTable()
+    val (dstName, dst) = sqlTable()
+    src.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    src.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+
+    val ckpt = Files.createTempDirectory("graft_sink_ck_").toString
+    def pump(): Unit = {
+      val q = spark.readStream.option("stream-from", "beginning").table(srcName)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable(dstName)
+      q.awaitTermination()
+    }
+    pump()
+    val out = dst.refresh().newScan().toDF(spark)
+    assert(out.count() === ordersDF.count())
+    assert(out.select("o_orderkey").distinct().count() === ordersDF.count())
+    // values survive the executor-side parquet write (float-sum order
+    // differs across partitionings; compare within ulp-scale tolerance)
+    val sum0 = ordersDF.agg(sum("o_totalprice")).head.getDouble(0)
+    val sum1 = out.agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(sum1 - sum0) <= 1e-9 * math.abs(sum0))
+
+    // replay with nothing new: the (queryId, epoch) ledger no-ops
+    pump()
+    assert(dst.refresh().newScan().toDF(spark).count() === ordersDF.count())
+    // a new source commit flows through exactly once
+    val extra = ordersDF.limit(13)
+      .withColumn("o_orderkey", col("o_orderkey") + 600000000L)
+    src.refresh().appendData(extra)
+    pump()
+    assert(dst.refresh().newScan().toDF(spark).count() === ordersDF.count() + 13L)
+    // timestamps wrote as micros with footer stats: pruning still works
+    assert(dst.newScan(LakePredicate.Ge("o_orderkey", Long.box(600000000L)))
+      .toDF(spark).count() === 13L)
+  }
+
   test("historical AS OF handles do not stream; offsets survive rollback monotonically") {
     val (name, t) = sqlTable()
     val first = t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
