@@ -380,6 +380,40 @@ object LakeQueries {
       .refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Native DSv2 streaming SINK under the oracle gate: readStream over
+    * the source lake table → `writeStream.toTable` into the destination
+    * lake table — NO foreachBatch anywhere; executors stream parquet,
+    * the driver lands exactly-once epoch commits. Oracle = the full
+    * input, which only holds if every row flows through exactly once. */
+  private val streamSinkCatalogs = new SessionMemo[String]()
+
+  def lakeStreamSink(s: SparkSession, d: String): DataFrame = {
+    val memo = streamSinkCatalogs.getOrBuild(s, d) {
+      val src = orders(s, d)
+      val wh = Files.createTempDirectory("graft_lakesink_").toString
+      val name = s"lakesink_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
+      s.sql(s"CREATE TABLE $name.q.orders_dst (${src.schema.toDDL})")
+      val t = LakeCatalog.open(wh).loadTable("q", "orders")
+      t.appendData(src.filter(col("o_orderkey") % 2 === 0))
+      t.refresh().appendData(src.filter(col("o_orderkey") % 2 === 1))
+      val q = s.readStream.option("stream-from", "beginning")
+        .table(s"$name.q.orders")
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_lakesink_ck_").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$name.q.orders_dst")
+      q.awaitTermination()
+      wh
+    }
+    LakeCatalog.open(memo).loadTable("q", "orders_dst")
+      .refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** ONE catalog registration + temp warehouse + populated orders table
     * per (session, corpus dir, prefix) — a per-invocation registration
     * accumulated catalog instances, session confs, and undeleted temp
@@ -562,6 +596,7 @@ object LakeQueries {
     "lake_zorder" -> lakeZorder,
     "lake_rollback" -> lakeRollback,
     "lake_stream_read" -> lakeStreamRead,
+    "lake_stream_sink" -> lakeStreamSink,
     "lake_wap" -> lakeWap,
     "lake_compact" -> lakeCompact,
     "lake_delete_cow" -> lakeDeleteCow,
@@ -660,6 +695,8 @@ object LakeQueries {
     "lake_rollback" -> "SELECT * FROM orders ORDER BY o_orderkey",
     // every appended row flows through the stream + exactly-once sink once
     "lake_stream_read" -> "SELECT * FROM orders ORDER BY o_orderkey",
+    // the NATIVE DSv2 sink (writeStream.toTable): same exactly-once claim
+    "lake_stream_sink" -> "SELECT * FROM orders ORDER BY o_orderkey",
     // staged branch published via fastForward = the full input
     "lake_wap" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_zorder" ->
