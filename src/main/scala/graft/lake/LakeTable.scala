@@ -804,14 +804,15 @@ final class LakeTable private[lake] (
     * (totalDeleteFiles/totalPositionalDeletes,
     * IntegrationTest.java:109,112,115) off zero. */
   def deleteWhereMoR(spark: SparkSession, pred: LakePredicate,
-      conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
+      conflictRetries: Int = 3,
+      branch: Option[String] = None): CommitReport =
+      withConflictRetry(conflictRetries) {
     import org.apache.spark.sql.{functions => F}
-    val base = meta.currentSnapshotId
-    val live = meta.currentFiles
-    val snap = meta.currentSnapshot
+    val (base, live, snap) = lineageBase(branch)
     val touched = live.filter(pred.mayMatch(_, meta))
     if (touched.isEmpty)
-      commitSnapshot("delete", Nil, Nil, validateAddedSince = Some((base, pred)))
+      commitSnapshot("delete", Nil, Nil, validateAddedSince = Some((base, pred)),
+        toBranch = branch)
     else {
       // coordinates of rows matching pred — read MoR-filtered, so rows
       // already tombstoned by an earlier delete are not re-recorded
@@ -831,7 +832,7 @@ final class LakeTable private[lake] (
       val added = StatsHarvester.harvest(spark, dir, LakeTable.DeleteFileSchema,
         Nil, LakeTable.DeleteFieldIds).filter(_.recordCount > 0L)
       commitSnapshot("delete", Nil, Nil, addedDeletes = added,
-        validateAddedSince = Some((base, pred)))
+        validateAddedSince = Some((base, pred)), toBranch = branch)
     }
   }
 

@@ -120,6 +120,28 @@ class BranchTagSpec extends LakeSuite {
       .filter(col("o_orderpriority") =!= "9-STAGED").count() === 0L)
   }
 
+  test("MoR delete stages on a branch: tombstones scoped to the branch head") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "bmor", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 4)
+    t.createBranch("stage")
+    t.refresh().deleteWhereMoR(spark, LakePredicate.Eq("o_orderstatus", "F"),
+      branch = Some("stage"))
+    val survivors = ordersDF.filter(col("o_orderstatus") =!= "F").count()
+    // the branch head carries the tombstones; its scan subtracts them
+    assert(t.refresh().scanRef("stage").toDF(spark).count() === survivors)
+    // main: untouched — no tombstones, full row set, zero delete files
+    assert(t.newScan().toDF(spark).count() === ordersDF.count())
+    assert(t.metadata.currentSnapshot.exists(_.deleteFiles.isEmpty))
+    // publish: main now sees the staged MoR state
+    t.refresh().fastForward("stage")
+    assert(t.refresh().newScan().toDF(spark).count() === survivors)
+    // and rewrite_position_deletes self-heals the published table
+    t.refresh().rewritePositionDeletes(spark)
+    assert(t.refresh().metadata.currentSnapshot.exists(_.deleteFiles.isEmpty))
+    assert(t.newScan().toDF(spark).count() === survivors)
+  }
+
   test("racing branch mutations serialize: the loser revalidates against the new head") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "brace2", ordersDF.schema)
