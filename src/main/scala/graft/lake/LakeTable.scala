@@ -846,14 +846,15 @@ final class LakeTable private[lake] (
     * Same serializable validation as [[updateWhere]]. */
   def updateWhereMoR(spark: SparkSession, pred: LakePredicate,
       assignments: Map[String, Column],
-      conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
+      conflictRetries: Int = 3,
+      branch: Option[String] = None): CommitReport =
+      withConflictRetry(conflictRetries) {
     import org.apache.spark.sql.{functions => F}
-    val base = meta.currentSnapshotId
-    val live = meta.currentFiles
-    val snap = meta.currentSnapshot
+    val (base, live, snap) = lineageBase(branch)
     val touched = live.filter(pred.mayMatch(_, meta))
     if (touched.isEmpty)
-      commitSnapshot("overwrite", Nil, Nil, validateAddedSince = Some((base, pred)))
+      commitSnapshot("overwrite", Nil, Nil, validateAddedSince = Some((base, pred)),
+        toBranch = branch)
     else {
       // matched rows with their coordinates, MoR-filtered (already-
       // tombstoned rows are neither re-deleted nor resurrected);
@@ -880,7 +881,7 @@ final class LakeTable private[lake] (
         }.select(schema.fieldNames.map(F.col): _*)
         val added = writeDataFiles(updated)
         commitSnapshot("overwrite", added, Nil, addedDeletes = tombs,
-          validateAddedSince = Some((base, pred)))
+          validateAddedSince = Some((base, pred)), toBranch = branch)
       } finally matched.unpersist(blocking = false)
     }
   }
@@ -1022,12 +1023,17 @@ final class LakeTable private[lake] (
     * Source contract as for [[mergeInto]] (table schema, distinct
     * non-NULL keys — reduce a versioned feed upstream). */
   def mergeIntoMoR(spark: SparkSession, source: DataFrame, keys: Seq[String],
-      exactlyOnce: Option[(String, Long)] = None): CommitReport = {
+      exactlyOnce: Option[(String, Long)] = None,
+      branch: Option[String] = None): CommitReport = {
     import org.apache.spark.sql.{functions => F}
     require(keys.nonEmpty && keys.forall(schema.fieldNames.contains), s"bad merge keys $keys")
     require(source.schema.fields.map(f => (f.name, f.dataType)).sameElements(
       schema.fields.map(f => (f.name, f.dataType))),
       s"merge source schema mismatch: ${source.schema.simpleString}")
+    // branch validity check up-front (the commit transform re-checks
+    // inside the CAS; this turns a typo into a fast failure instead of
+    // a full source write whose files become orphans)
+    lineageBase(branch)
     val src = source.persist()
     try {
       val aggs = Seq(F.count(F.lit(1)),
@@ -1035,7 +1041,8 @@ final class LakeTable private[lake] (
         F.count_distinct(F.struct(keys.map(F.col): _*)))
       val row = src.agg(aggs.head, aggs.tail: _*).head()
       val nRows = row.getLong(0)
-      if (nRows == 0L) commitSnapshot("overwrite", Nil, Nil, exactlyOnce = exactlyOnce)
+      if (nRows == 0L) commitSnapshot("overwrite", Nil, Nil, exactlyOnce = exactlyOnce,
+        toBranch = branch)
       else {
         if (row.getLong(1) > 0L)
           throw new IllegalArgumentException(
@@ -1066,7 +1073,7 @@ final class LakeTable private[lake] (
           .filter(_.recordCount > 0L)
           .map(_.copy(eqFieldIds = keys.map(meta.fieldIds)))
         commitSnapshot("overwrite", added, Nil,
-          addedEqDeletes = eqEntries, exactlyOnce = exactlyOnce)
+          addedEqDeletes = eqEntries, exactlyOnce = exactlyOnce, toBranch = branch)
       }
     } finally src.unpersist(blocking = false)
   }

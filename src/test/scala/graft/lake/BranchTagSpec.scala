@@ -142,6 +142,57 @@ class BranchTagSpec extends LakeSuite {
     assert(t.newScan().toDF(spark).count() === survivors)
   }
 
+  test("MoR update + MoR merge stage on a branch; compact-after-publish materializes") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "bmor2", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 4)
+    val mainCount = ordersDF.count()
+    t.createBranch("stage")
+
+    // MoR update on the branch: tombstones + updated rows on the head
+    t.refresh().updateWhereMoR(spark, LakePredicate.Eq("o_orderstatus", "O"),
+      Map("o_orderpriority" -> lit("9-STAGED")), branch = Some("stage"))
+    val staged = t.refresh().scanRef("stage").toDF(spark)
+    assert(staged.count() === mainCount) // update preserves row count
+    assert(staged.filter(col("o_orderstatus") === "O")
+      .filter(col("o_orderpriority") =!= "9-STAGED").count() === 0L)
+    assert(t.newScan().toDF(spark)
+      .filter(col("o_orderpriority") === "9-STAGED").count() === 0L)
+    assert(t.metadata.currentSnapshot.exists(_.deleteFiles.isEmpty))
+
+    // MoR merge (eq-delete upsert) on the branch: replaced + new keys
+    val upd = ordersDF.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val ins = ordersDF.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 700000000L)
+    t.refresh().mergeIntoMoR(spark, upd.unionByName(ins), Seq("o_orderkey"),
+      branch = Some("stage"))
+    val merged = t.refresh().scanRef("stage").toDF(spark)
+    assert(merged.count() === mainCount + 5)
+    // replaced keys carry the doubled price exactly once each
+    assert(merged.filter(col("o_orderkey") % 10 === 0 &&
+      col("o_orderkey") < 700000000L).count() === upd.count())
+    assert(t.refresh().newScan().toDF(spark).count() === mainCount) // main untouched
+
+    // publish, then compact materializes the MoR state into clean files
+    t.refresh().fastForward("stage")
+    assert(t.refresh().newScan().toDF(spark).count() === mainCount + 5)
+    t.refresh().compact(spark, targetFiles = 2)
+    val cur = t.refresh().metadata.currentSnapshot.get
+    assert(cur.deleteFiles.isEmpty && cur.eqDeleteFiles.isEmpty)
+    val healed = t.newScan().toDF(spark)
+    assert(healed.count() === mainCount + 5)
+    // merged (%10) and inserted (+7e8) keys carry source priorities;
+    // every other O row keeps the staged MoR update
+    assert(healed.filter(col("o_orderstatus") === "O")
+      .filter(col("o_orderkey") % 10 =!= 0 && col("o_orderkey") < 700000000L)
+      .filter(col("o_orderpriority") =!= "9-STAGED").count() === 0L)
+
+    // a typo'd branch fails fast, before any source write
+    intercept[NoSuchElementException](
+      t.refresh().mergeIntoMoR(spark, upd, Seq("o_orderkey"), branch = Some("nope")))
+  }
+
   test("racing branch mutations serialize: the loser revalidates against the new head") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "brace2", ordersDF.schema)
