@@ -108,8 +108,12 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
     val ns = ns1(ident.namespace)
     if (!lake.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
     val lt = lake.loadTable(ns, ident.name)
-    val id = scala.util.Try(version.toLong).toOption.orElse(
-      lt.metadata.refs.get(version).map(_.snapshotId)).getOrElse(
+    val id = scala.util.Try(version.toLong).toOption
+      // 'main' = the current head by name (same resolution as scanRef;
+      // under spark.wap.branch it is the escape hatch that reads the
+      // UNstaged state from an auditing session)
+      .orElse(if (version == "main") Some(lt.currentSnapshotId) else None)
+      .orElse(lt.metadata.refs.get(version).map(_.snapshotId)).getOrElse(
         throw new IllegalArgumentException(
           s"version '$version' is neither a snapshot id nor a ref of ${lt.name}"))
     require(lt.metadata.snapshot(id).isDefined, s"no snapshot $id in ${lt.name}")
@@ -348,6 +352,64 @@ object LakeSqlCatalog {
   }
 }
 
+/** `spark.wap.branch` — the session conf that turns every SQL statement
+  * into a write-audit-publish participant (Iceberg's SQL WAP surface,
+  * same conf name). While set: INSERT / DELETE / UPDATE / MERGE commit
+  * onto the named branch (auto-created at the current head on first
+  * write), and reads resolve the branch head when it exists — so the
+  * audit queries in the same session see the staged state — falling
+  * back to main before the first staged write. `CALL
+  * cat.system.fast_forward(t, branch)` publishes. Guards: a tag of the
+  * same name refuses (tags are immutable); INSERT OVERWRITE and
+  * streaming writes refuse under WAP (a full replace / continuous sink
+  * is not a stageable audit unit); explicit AS OF wins over the conf. */
+private[sql] object Wap {
+  val Conf = "spark.wap.branch"
+
+  /** The raw conf value, if set — for paths that refuse under WAP and
+    * must not auto-create the branch as a side effect. */
+  def set(spark: SparkSession): Option[String] =
+    Option(spark.conf.get(Conf, null)).map(_.trim).filter(_.nonEmpty)
+
+  private def conf(spark: SparkSession): Option[String] = set(spark)
+
+  private def refKind(t: LakeTable, b: String): Option[String] =
+    t.refresh().refs.get(b).map(_.kind)
+
+  /** Branch READS resolve to: the head when the branch exists, main
+    * before the first staged write (the ref does not exist yet). */
+  def readBranch(spark: SparkSession, t: LakeTable): Option[String] =
+    conf(spark).flatMap { b =>
+      refKind(t, b) match {
+        case Some(graft.lake.TableRef.Branch) => Some(b)
+        case Some(kind) => throw new IllegalArgumentException(
+          s"$Conf '$b' is a $kind of ${t.name}; WAP requires a branch")
+        case None => None
+      }
+    }
+
+  /** Branch WRITES commit onto: auto-creates the branch at the current
+    * head on first use (racing creators: the CAS loser re-checks). */
+  def writeBranch(spark: SparkSession, t: LakeTable): Option[String] =
+    conf(spark).map { b =>
+      refKind(t, b) match {
+        case Some(graft.lake.TableRef.Branch) => b
+        case Some(kind) => throw new IllegalArgumentException(
+          s"$Conf '$b' is a $kind of ${t.name}; WAP requires a branch")
+        case None =>
+          require(t.currentSnapshotId >= 0L,
+            s"$Conf '$b': ${t.name} has no snapshot to branch from yet — " +
+              "commit once to main (or unset the conf for the first write)")
+          try t.createBranch(b)
+          catch { // racing session created it first: proceed onto it
+            case _: IllegalArgumentException
+              if refKind(t, b).contains(graft.lake.TableRef.Branch) => ()
+          }
+          b
+      }
+    }
+}
+
 /** SQL handle on a lake table (optionally at an historical snapshot).
   * Pushed SQL predicates prune at TWO levels: manifest min/max stats
   * skip whole files BEFORE Spark lists them (the LakeScan.planFiles
@@ -378,7 +440,13 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     * keeps manifest-level file skipping. */
   private[sql] def fullScan(pred: LakePredicate = LakePredicate.AlwaysTrue)
       : graft.lake.LakeScan =
-    snapshotId.map(lt.asOf(_, pred)).getOrElse(lt.newScan(pred))
+    snapshotId.map(lt.asOf(_, pred)).getOrElse {
+      // spark.wap.branch: same-session audit reads see the staged head
+      Wap.readBranch(SparkSession.active, lt) match {
+        case Some(b) => lt.refresh().scanRef(b, pred)
+        case None => lt.newScan(pred)
+      }
+    }
 
   /** SQL `DELETE FROM t WHERE …` → the transactional copy-on-write
     * delete (pruned rewrites, serializable validation, conflict retry —
@@ -405,9 +473,10 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     // write.delete.mode routes the same transactional semantics through
     // positional tombstones (O(deleted rows)) instead of file rewrites
     val t = lt.refresh()
+    val wap = Wap.writeBranch(SparkSession.active, t)
     if (t.writeMode("delete") == "merge-on-read")
-      t.deleteWhereMoR(SparkSession.active, pred)
-    else t.deleteWhere(SparkSession.active, pred)
+      t.deleteWhereMoR(SparkSession.active, pred, branch = wap)
+    else t.deleteWhere(SparkSession.active, pred, branch = wap)
     ()
   }
 
@@ -499,8 +568,18 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
               val aligned = data.select(t.schema.fields.map(f =>
                 org.apache.spark.sql.functions.col(f.name)
                   .cast(f.dataType).as(f.name)): _*)
-              if (replace || overwrite) t.overwriteAll(aligned)
-              else t.appendData(aligned)
+              if (replace || overwrite) {
+                // raw-conf check: must not auto-create the branch on a
+                // path that refuses
+                require(Wap.set(SparkSession.active).isEmpty,
+                  s"INSERT OVERWRITE of ${t.name} cannot target a WAP " +
+                    "branch: a full replace is not a stageable audit unit " +
+                    "(unset spark.wap.branch)")
+                t.overwriteAll(aligned)
+              } else Wap.writeBranch(SparkSession.active, t) match {
+                case Some(b) => t.appendDataToBranch(b, aligned)
+                case None => t.appendData(aligned)
+              }
               ()
             }
 
@@ -513,6 +592,10 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
             require(!replace, s"streaming writes to ${lt.name} support " +
               "append output mode only (complete/truncate refused)")
+            require(Wap.set(SparkSession.active).isEmpty,
+              s"streaming writes to ${lt.name} cannot target a WAP branch: " +
+                "a continuous sink is not a stageable audit unit " +
+                "(unset spark.wap.branch)")
             val t = lt.refresh()
             val in = info.schema()
             require(in.fields.map(f => (f.name, f.dataType.simpleString)).sameElements(
@@ -530,7 +613,11 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       val pred = toLakePredicate(pushed)
       val scan = snapshotId match {
         case Some(id) => lt.asOf(id, pred)
-        case None => lt.newScan(pred)
+        // spark.wap.branch: audit reads resolve the staged head
+        case None => Wap.readBranch(SparkSession.active, lt) match {
+          case Some(b) => lt.refresh().scanRef(b, pred)
+          case None => lt.newScan(pred)
+        }
       }
       // the direct SQL path hands surviving file paths straight to
       // Spark's parquet source, which cannot subtract tombstones. With

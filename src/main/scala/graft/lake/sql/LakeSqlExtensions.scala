@@ -308,8 +308,10 @@ final case class LakeUpdateCommand(
       })
     }.toMap
     val t = table.refresh()
-    if (t.writeMode("update") == "merge-on-read") t.updateWhereMoR(spark, pred, cols)
-    else t.updateWhere(spark, pred, cols)
+    val wap = Wap.writeBranch(spark, t)
+    if (t.writeMode("update") == "merge-on-read")
+      t.updateWhereMoR(spark, pred, cols, branch = wap)
+    else t.updateWhere(spark, pred, cols, branch = wap)
     Nil
   }
 }
@@ -331,8 +333,10 @@ final case class LakeMergeCommand(
     // align the source to the table schema (same cast rule as INSERT)
     val src = PlanBridge.ofRows(spark, source).select(t.schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
-    if (t.writeMode("merge") == "merge-on-read") t.mergeIntoMoR(spark, src, keys)
-    else t.mergeInto(spark, src, keys)
+    val wap = Wap.writeBranch(spark, t)
+    if (t.writeMode("merge") == "merge-on-read")
+      t.mergeIntoMoR(spark, src, keys, branch = wap)
+    else t.mergeInto(spark, src, keys, branch = wap)
     Nil
   }
 }

@@ -206,6 +206,36 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** SQL write-audit-publish via `spark.wap.branch` (Iceberg's session
+    * conf, same name): while set, SQL DELETE + UPDATE stage on an
+    * auto-created branch and same-session reads audit the staged head —
+    * main provably untouched (`VERSION AS OF 'main'` is the unstaged
+    * escape hatch) — then `CALL system.fast_forward` publishes. Same
+    * oracle as [[lakeBranchMutations]]: the SQL conf surface and the
+    * explicit Scala branch API stage identical states. */
+  private val sqlWapCatalogs = new SessionMemo[String]()
+
+  def lakeSqlWap(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlOrdersCatalog(sqlWapCatalogs, s, d, "lakesqlwap",
+      numFiles = 4) { name =>
+      val mainCount = s.sql(s"SELECT count(*) FROM $name.q.orders").head.getLong(0)
+      s.conf.set("spark.wap.branch", "audit")
+      try {
+        s.sql(s"DELETE FROM $name.q.orders WHERE o_orderstatus = 'F'")
+        s.sql(s"UPDATE $name.q.orders SET o_orderpriority = '9-STAGED' " +
+          "WHERE o_orderstatus = 'O'")
+        val staged = s.sql(s"SELECT count(*) FROM $name.q.orders").head.getLong(0)
+        val main = s.sql(
+          s"SELECT count(*) FROM $name.q.orders VERSION AS OF 'main'").head.getLong(0)
+        require(main == mainCount && staged < main,
+          s"WAP isolation broken: main $main (was $mainCount), staged $staged")
+      } finally s.conf.unset("spark.wap.branch")
+      s.sql(s"CALL $name.system.fast_forward('q.orders', 'audit')")
+      ()
+    }
+    s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
+  }
+
   /** Copy-on-write delete: rows vanish, untouched files survive. */
   def lakeDeleteCow(s: SparkSession, d: String): DataFrame = {
     val src = orders(s, d)
@@ -603,6 +633,7 @@ object LakeQueries {
     "lake_delete_mor" -> lakeDeleteMor,
     "lake_rewrite_deletes" -> lakeRewriteDeletes,
     "lake_branch_mutations" -> lakeBranchMutations,
+    "lake_sql_wap" -> lakeSqlWap,
     "lake_update_cow" -> lakeUpdateCow,
     "lake_update_mor" -> lakeUpdateMor,
     "lake_merge_upsert" -> lakeMergeUpsert,
@@ -715,6 +746,13 @@ object LakeQueries {
     // staged delete (F rows) + staged update (O rows get 9-STAGED),
     // published via fastForward
     "lake_branch_mutations" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderstatus = 'O' THEN '9-STAGED'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE NOT (o_orderstatus = 'F')
+        |ORDER BY o_orderkey""".stripMargin,
+    // the SQL spark.wap.branch surface stages the IDENTICAL state
+    "lake_sql_wap" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
         |  CASE WHEN o_orderstatus = 'O' THEN '9-STAGED'
         |       ELSE o_orderpriority END AS o_orderpriority
