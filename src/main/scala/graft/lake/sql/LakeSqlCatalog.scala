@@ -647,7 +647,25 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       if (snapshotId.isEmpty) Some(_ => new LakeMicroBatchStream(lt, options))
       else None,
     streamReadSchema =
-      if (snapshotId.isEmpty) Some(lt.metadata.schemaWithFieldIds) else None)
+      if (snapshotId.isEmpty) Some(lt.metadata.schemaWithFieldIds) else None,
+    // size/row estimates from manifest sums (no IO) over the SAME
+    // pruned file set the scan reads: join planning sees a small lake
+    // dim as small and auto-broadcasts it. MoR tombstones may make the
+    // row count an overestimate — conservative in the right direction
+    // for planning. Must never throw: estimation is best-effort.
+    stats = Some { pushed =>
+      try {
+        val pred = toLakePredicate(pushed)
+        val files = (snapshotId match {
+          case Some(id) => lt.asOf(id, pred)
+          case None => Wap.readBranch(SparkSession.active, lt) match {
+            case Some(b) => lt.refresh().scanRef(b, pred)
+            case None => lt.newScan(pred)
+          }
+        }).planFiles
+        (files.map(_.sizeBytes).sum, files.map(_.recordCount).sum)
+      } catch { case scala.util.control.NonFatal(_) => (Long.MaxValue, Long.MaxValue) }
+    })
 }
 
 object LakeSqlTable {

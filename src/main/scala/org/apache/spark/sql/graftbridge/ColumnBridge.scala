@@ -113,11 +113,21 @@ object ScanBridge {
     * batch scans without the extensions — its append tail streams
     * fine). `streamReadSchema` stands in for the delegate's readSchema
     * on that lazy path (pruned schema when Spark pruned, else the full
-    * data schema — exactly what the file delegate would report). */
+    * data schema — exactly what the file delegate would report).
+    *
+    * `stats` (optional): `(pushedSourceFilters) => (sizeBytes, rows)`
+    * from the caller's own metadata (manifest sums — no IO). The lazy
+    * wrapper must still report statistics — the inner FileScan's
+    * estimate is hidden behind the lazy delegate, and materializing it
+    * just for stats would re-pay full file planning (and hit batch-only
+    * refusals) on streaming relations. Without size estimates Spark
+    * never auto-broadcasts a small lake dim in a join — a silent 100 TB
+    * shuffle regression, not a cosmetic gap. */
   def delegating(mkDelegate: Array[Filter] => FileScanBuilder,
       mkStream: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
         = None,
-      streamReadSchema: Option[StructType] = None): ScanBuilder =
+      streamReadSchema: Option[StructType] = None,
+      stats: Option[Array[Filter] => (Long, Long)] = None): ScanBuilder =
     new ScanBuilder with SupportsPushDownCatalystFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       private var exprs: Seq[Expression] = Nil
@@ -135,9 +145,9 @@ object ScanBridge {
         required = Some(requiredSchema)
 
       override def build(): Scan = {
+        lazy val translated = exprs.flatMap(e =>
+          DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)).toArray
         def buildInner(): Scan = {
-          val translated = exprs.flatMap(e =>
-            DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)).toArray
           val delegate = mkDelegate(translated)
           delegate.pushFilters(exprs) // parquet row-group/page pushdown
           required.foreach(delegate.pruneColumns)
@@ -145,7 +155,8 @@ object ScanBridge {
         }
         mkStream match {
           case None => buildInner()
-          case Some(f) => new Scan {
+          case Some(f) => new Scan
+              with org.apache.spark.sql.connector.read.SupportsReportStatistics {
             private lazy val inner: Scan = buildInner()
             override def readSchema(): StructType =
               streamReadSchema.map(s => required.getOrElse(s))
@@ -156,6 +167,20 @@ object ScanBridge {
               f(checkpointLocation)
             override def description(): String =
               streamReadSchema.fold(inner.description())(_ => "graft-lake scan")
+            override def estimateStatistics()
+                : org.apache.spark.sql.connector.read.Statistics = {
+              import java.util.OptionalLong
+              stats.map(_(translated)) match {
+                case Some((bytes, rows)) => new org.apache.spark.sql.connector.read.Statistics {
+                  override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+                  override def numRows(): OptionalLong = OptionalLong.of(rows)
+                }
+                case None => new org.apache.spark.sql.connector.read.Statistics {
+                  override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+                  override def numRows(): OptionalLong = OptionalLong.empty()
+                }
+              }
+            }
           }
         }
       }
