@@ -1120,19 +1120,24 @@ final class LakeTable private[lake] (
   def refs: Map[String, TableRef] = meta.refs
 
   /** Create an immutable TAG at a snapshot (Iceberg create_tag).
-    * Metadata-only; expiry always keeps tagged snapshots. */
-  def createTag(refName: String, snapshotId: Long): LakeTable =
-    createRef(refName, TableRef.Tag, snapshotId)
+    * Metadata-only; expiry keeps tagged snapshots while the tag lives —
+    * `maxRefAgeMs` (or the `history.expire.max-ref-age-ms` property)
+    * bounds that lifetime so stale tags stop pinning history. */
+  def createTag(refName: String, snapshotId: Long,
+      maxRefAgeMs: Option[Long] = None): LakeTable =
+    createRef(refName, TableRef.Tag, snapshotId, maxRefAgeMs)
 
   /** Create a BRANCH whose head starts at `fromSnapshotId` (default:
     * the current snapshot). [[appendDataToBranch]] advances it; main
     * never sees branch commits until [[fastForward]]. */
-  def createBranch(refName: String, fromSnapshotId: Long = -1L): LakeTable = {
+  def createBranch(refName: String, fromSnapshotId: Long = -1L,
+      maxRefAgeMs: Option[Long] = None): LakeTable = {
     val from = if (fromSnapshotId >= 0) fromSnapshotId else currentSnapshotId
-    createRef(refName, TableRef.Branch, from)
+    createRef(refName, TableRef.Branch, from, maxRefAgeMs)
   }
 
-  private def createRef(refName: String, kind: String, snapshotId: Long): LakeTable =
+  private def createRef(refName: String, kind: String, snapshotId: Long,
+      maxRefAgeMs: Option[Long] = None): LakeTable =
     metadataChange { latest =>
       require(refName.nonEmpty && refName != "main",
         s"'$refName' is not a legal ref name")
@@ -1140,7 +1145,9 @@ final class LakeTable private[lake] (
         s"ref '$refName' already exists on $name")
       require(latest.snapshot(snapshotId).isDefined,
         s"no snapshot $snapshotId in $name")
-      latest.copy(refs = latest.refs + (refName -> TableRef(kind, snapshotId)))
+      require(maxRefAgeMs.forall(_ > 0L), "maxRefAgeMs must be positive")
+      latest.copy(refs = latest.refs + (refName -> TableRef(kind, snapshotId,
+        createdAtMs = System.currentTimeMillis(), maxRefAgeMs = maxRefAgeMs)))
     }
 
   /** Drop a tag or branch. The snapshots it protected become ordinary
@@ -1219,18 +1226,31 @@ final class LakeTable private[lake] (
   }
 
   /** Shared expiry commit: drop snapshots failing `keep`; the current
-    * snapshot AND every ref target (tag pins, branch heads) always
+    * snapshot AND every LIVE ref target (tag pins, branch heads) always
     * survive — an expired tag would silently break its readers, an
-    * expired branch head its next commit. Returns the expired ids. */
+    * expired branch head its next commit. Ref RETENTION runs first,
+    * in the same CAS transform (Iceberg's max-ref-age): a ref older
+    * than its `maxRefAgeMs` — or the table's
+    * `history.expire.max-ref-age-ms` default when it has none — is
+    * dropped, and the snapshots only it pinned expire in this same
+    * pass. Pre-retention refs (createdAtMs 0) never age out. Returns
+    * the expired snapshot ids. */
   private def expireWhere(keep: (TableMetadata, Snapshot) => Boolean): Seq[Long] = {
     var expired: Seq[Long] = Nil
     val (next, v, _) = catalog.commit(namespace, shortName) { latest =>
-      val pinned = latest.refs.values.map(_.snapshotId).toSet
+      val now = System.currentTimeMillis()
+      val defaultAge = latest.properties.get("history.expire.max-ref-age-ms")
+        .map(_.toLong)
+      val liveRefs = latest.refs.filterNot { case (_, r) =>
+        r.createdAtMs > 0L &&
+          r.maxRefAgeMs.orElse(defaultAge).exists(age => now - r.createdAtMs > age)
+      }
+      val pinned = liveRefs.values.map(_.snapshotId).toSet
       val kept = latest.snapshots.filter(snap =>
         snap.id == latest.currentSnapshotId || pinned(snap.id) ||
           keep(latest, snap))
       expired = latest.snapshots.map(_.id).diff(kept.map(_.id))
-      latest.copy(snapshots = kept)
+      latest.copy(snapshots = kept, refs = liveRefs)
     }
     meta = next
     version = v
@@ -1526,7 +1546,11 @@ final class LakeTable private[lake] (
       toBranch match {
         // a branch commit advances the BRANCH head; main is untouched
         case Some(b) => latest.copy(snapshots = latest.snapshots :+ snap,
-          refs = latest.refs + (b -> TableRef(TableRef.Branch, newId)),
+          // advance the head IN PLACE: retention fields survive commits
+          refs = latest.refs + (b -> latest.refs.get(b)
+            .map(_.copy(snapshotId = newId))
+            .getOrElse(TableRef(TableRef.Branch, newId,
+              createdAtMs = System.currentTimeMillis()))),
           properties = withProps)
         case None => latest.copy(snapshots = latest.snapshots :+ snap,
           currentSnapshotId = newId, properties = withProps)

@@ -122,8 +122,17 @@ final case class DataFileEntry(
   * subtract, and they are excluded from data-file planning, rollups,
   * and conflict validation. */
 /** A named ref: `kind` is "tag" (immutable) or "branch" (advanced by
-  * branch commits / retargeted by fastForward). */
-final case class TableRef(kind: String, snapshotId: Long)
+  * branch commits / retargeted by fastForward). `createdAtMs` +
+  * `maxRefAgeMs` give Iceberg's ref retention: [[LakeTable
+  * .expireSnapshots]] drops a ref older than its max age (explicit, or
+  * the `history.expire.max-ref-age-ms` table property when unset) and
+  * then its pinned snapshots expire normally — without this a stale
+  * audit branch pins history FOREVER on a heavy-churn table (a storage
+  * leak, not a safety feature). createdAtMs 0 = pre-retention metadata:
+  * such refs never age out (ageing them against epoch 0 would expire
+  * them instantly the moment a default is set). */
+final case class TableRef(kind: String, snapshotId: Long,
+    createdAtMs: Long = 0L, maxRefAgeMs: Option[Long] = None)
 
 object TableRef {
   val Tag = "tag"
@@ -365,7 +374,9 @@ object MetadataJson {
       s""""sortOrder":${m.sortOrder.map(q).mkString("[", ",", "]")},""" +
       s""""sortOrderKind":${q(m.sortOrderKind)},""" +
       s""""refs":${m.refs.toSeq.sortBy(_._1).map { case (n, r) =>
-        s"${q(n)}:{\"kind\":${q(r.kind)},\"snapshotId\":${r.snapshotId}}"
+        s"${q(n)}:{\"kind\":${q(r.kind)},\"snapshotId\":${r.snapshotId}" +
+          s",\"createdAtMs\":${r.createdAtMs}" +
+          r.maxRefAgeMs.fold("")(a => s",\"maxRefAgeMs\":$a") + "}"
       }.mkString("{", ",", "}")},""" +
       s""""spec":${specJson(m.spec)},""" +
       s""""specLog":${m.allSpecs.map(specJson).mkString("[", ",", "]")},""" +
@@ -470,7 +481,10 @@ object MetadataJson {
       refs = Option(n.get("refs")).map(r =>
         r.properties().asScala.map { e =>
           e.getKey -> TableRef(e.getValue.get("kind").asText(),
-            e.getValue.get("snapshotId").asLong())
+            e.getValue.get("snapshotId").asLong(),
+            createdAtMs = Option(e.getValue.get("createdAtMs"))
+              .map(_.asLong()).getOrElse(0L),
+            maxRefAgeMs = Option(e.getValue.get("maxRefAgeMs")).map(_.asLong()))
         }.toMap).getOrElse(Map.empty)
     ).withFieldIdDefaults // ad-hoc documents get positional IDs
   }

@@ -93,7 +93,9 @@ private[sql] object LakeMetadataTables {
     "refs" -> StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("type", StringType, nullable = false),
-      StructField("snapshot_id", LongType, nullable = false))),
+      StructField("snapshot_id", LongType, nullable = false),
+      // Iceberg's column name; NULL = no per-ref retention
+      StructField("max_reference_age_in_ms", LongType, nullable = true))),
     "partitions" -> StructType(Seq(
       StructField("partition", statsMapType, nullable = false),
       StructField("spec_id", IntegerType, nullable = false),
@@ -222,10 +224,12 @@ private[sql] object LakeMetadataTables {
 
         case "refs" =>
           // "main" rides along like Iceberg's refs table does
-          (Seq(("main", "branch", m.currentSnapshotId)) ++
-            m.refs.toSeq.sortBy(_._1).map(r => (r._1, r._2.kind, r._2.snapshotId)))
-            .map { case (n, k, id) =>
-              new GenericInternalRow(Array[Any](utf8(n), utf8(k), id))
+          (Seq(("main", "branch", m.currentSnapshotId, None: Option[Long])) ++
+            m.refs.toSeq.sortBy(_._1).map(r =>
+              (r._1, r._2.kind, r._2.snapshotId, r._2.maxRefAgeMs)))
+            .map { case (n, k, id, age) =>
+              new GenericInternalRow(Array[Any](utf8(n), utf8(k), id,
+                age.map(Long.box).orNull))
             }.toArray
 
         case other => throw new IllegalStateException(s"unknown metadata table $other")

@@ -193,6 +193,52 @@ class BranchTagSpec extends LakeSuite {
       t.refresh().mergeIntoMoR(spark, upd, Seq("o_orderkey"), branch = Some("nope")))
   }
 
+  test("ref retention: aged-out refs stop pinning history; ageless and pre-retention refs never expire") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "bret", ordersDF.schema)
+    val first = t.appendData(ordersDF.limit(10))
+    t.refresh().appendData(ordersDF.limit(5))
+
+    // a short-lived tag and an ageless tag pin the same old snapshot
+    t.refresh().createTag("ephemeral", first.snapshotId, maxRefAgeMs = Some(1L))
+    t.refresh().createTag("forever", first.snapshotId)
+    Thread.sleep(10)
+    // the aged tag drops in the expiry pass; the ageless one still pins
+    assert(t.refresh().expireSnapshots(keepLast = 1).isEmpty)
+    assert(!t.refresh().refs.contains("ephemeral"))
+    assert(t.refs.contains("forever"))
+    assert(t.metadata.snapshot(first.snapshotId).isDefined)
+
+    // drop the survivor: now nothing pins and the snapshot expires
+    t.dropRef("forever")
+    assert(t.refresh().expireSnapshots(keepLast = 1) === Seq(first.snapshotId))
+
+    // table-property DEFAULT ages refs that carry no explicit max age —
+    // but branch commits must not reset the clock (advance-in-place)
+    val head2 = t.refresh().currentSnapshotId
+    t.refresh().createBranch("stale")
+    t.refresh().appendDataToBranch("stale", ordersDF.limit(3))
+    val staleCreated = t.refresh().refs("stale").createdAtMs
+    assert(staleCreated > 0L) // stamped at creation...
+    assert(t.refs("stale").maxRefAgeMs.isEmpty)
+    t.refresh().setProperty("history.expire.max-ref-age-ms", "1")
+    Thread.sleep(10)
+    t.refresh().appendData(ordersDF.limit(2)) // move main past the fork
+    assert(t.refresh().expireSnapshots(keepLast = 1).nonEmpty)
+    assert(!t.refresh().refs.contains("stale"))
+    assert(t.metadata.snapshot(head2).isEmpty) // branch-pinned history freed
+
+    // retention survives the metadata round trip (restart durability)
+    t.removeProperty("history.expire.max-ref-age-ms")
+    t.refresh().createTag("pinned", t.currentSnapshotId, maxRefAgeMs = Some(3600000L))
+    val reopened = LakeCatalog.open(t.catalog.warehouse.toString).loadTable("ns", "bret")
+    assert(reopened.refs("pinned").maxRefAgeMs === Some(3600000L))
+    assert(reopened.refs("pinned").createdAtMs > 0L)
+
+    intercept[IllegalArgumentException](
+      t.refresh().createTag("bad", t.currentSnapshotId, maxRefAgeMs = Some(0L)))
+  }
+
   test("racing branch mutations serialize: the loser revalidates against the new head") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "brace2", ordersDF.schema)
