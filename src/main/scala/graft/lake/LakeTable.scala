@@ -723,6 +723,82 @@ final class LakeTable private[lake] (
     }
   }
 
+  /** Metadata-only manifest consolidation (Iceberg's rewrite_manifests
+    * procedure): merge the current snapshot's DATA manifests into
+    * ceil(entries / targetEntries) documents WITHOUT touching a single
+    * data file. Every commit appends one manifest, so a streaming
+    * ingest or CDC table accretes one small manifest PER EPOCH — after
+    * 10k commits every scan's planning reads 10k tiny documents; this
+    * restores O(files / targetEntries). Entries are copied VERBATIM —
+    * each keeps its own data sequence number, so equality-tombstone
+    * scoping (seq strictly below the tombstone's) survives unchanged;
+    * delete manifests carry over untouched. Runs entirely inside the
+    * commit CAS transform: a racing writer's new manifest either lands
+    * before (and is consolidated) or after (and is appended to the new
+    * list) — never lost. No-op (None) below `minManifests`, so a
+    * scheduled maintenance loop converges instead of committing
+    * no-change snapshots forever. */
+  def rewriteManifests(targetEntries: Int = 100000,
+      minManifests: Int = 8): Option[CommitReport] = {
+    require(targetEntries > 0, "targetEntries must be positive")
+    require(minManifests >= 2, "minManifests must be at least 2")
+    val t0 = System.nanoTime()
+    var landed: Option[Long] = None
+    val md = catalog.metadataDir(namespace, shortName)
+    val io = catalog.manifestIO(md)
+    val (next, v, attempts) = catalog.commit(namespace, shortName) { latest =>
+      landed = None
+      latest.currentSnapshot match {
+        case None => latest
+        case Some(cur) =>
+          val dataMfs = cur.manifests.filter(_.content == ManifestRef.Data)
+          if (dataMfs.size < minManifests) latest
+          else {
+            val entries = dataMfs.flatMap(m => io.readManifest(m.name))
+            val newRefs = entries.grouped(targetEntries).toSeq
+              .map(g => catalog.writeManifest(md, g))
+            val manifests = newRefs ++
+              cur.manifests.filterNot(_.content == ManifestRef.Data)
+            val listName = catalog.writeManifestList(md, manifests)
+            val newId = latest.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+            val snap = Snapshot(newId, Some(cur.id), System.currentTimeMillis(),
+              "replace", listName,
+              fileCount = newRefs.map(_.fileCount).sum,
+              totalRecords = newRefs.map(_.recordCount).sum,
+              totalSizeBytes = newRefs.map(_.sizeBytes).sum,
+              summary = Map(
+                "manifests-replaced" -> dataMfs.size.toString,
+                "manifests-added" -> newRefs.size.toString,
+                "added-data-files" -> "0", "removed-data-files" -> "0",
+                "added-records" -> "0"))(io)
+            landed = Some(newId)
+            latest.copy(snapshots = latest.snapshots :+ snap,
+              currentSnapshotId = newId)
+          }
+      }
+    }
+    meta = next
+    version = v
+    landed.map { id =>
+      val snap = next.snapshot(id).get
+      val deleteRefs = snap.manifests.filter(_.content != ManifestRef.Data)
+      val report = CommitReport(
+        tableName = name, snapshotId = id, attempts = attempts,
+        addedDataFiles = 0L, addedRecords = 0L, addedFilesSizeInBytes = 0L,
+        totalDataFiles = snap.fileCount,
+        totalDeleteFiles = deleteRefs.map(_.fileCount).sum,
+        totalRecords = snap.totalRecords,
+        totalFilesSizeInBytes = snap.totalSizeBytes,
+        totalPositionalDeletes = deleteRefs
+          .filter(_.content == ManifestRef.Deletes).map(_.recordCount).sum,
+        totalEqualityDeletes = deleteRefs
+          .filter(_.content == ManifestRef.EqDeletes).map(_.recordCount).sum,
+        totalDurationMs = (System.nanoTime() - t0) / 1000000L)
+      catalog.reporter.report(report)
+      report
+    }
+  }
+
   /** Copy-on-write ops re-run against FRESH metadata when they lose a
     * commit race (CommitConflictException): re-reading, re-rewriting,
     * re-validating — Iceberg's retry-with-revalidation loop. The files

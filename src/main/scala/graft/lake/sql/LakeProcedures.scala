@@ -162,6 +162,27 @@ private[sql] object LakeProcedures {
       }
     },
 
+    "rewrite_manifests" -> new LakeProcedure(lake, "rewrite_manifests",
+      Seq("table" -> StringType, "target_entries" -> IntegerType),
+      StructType(Seq(
+        StructField("rewritten_manifests_count", LongType, nullable = false),
+        StructField("added_manifests_count", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        val before = t.metadata.currentSnapshot
+          .map(_.manifests.count(_.content == graft.lake.ManifestRef.Data))
+          .getOrElse(0)
+        t.rewriteManifests(targetEntries = args.getInt(1), minManifests = 2) match {
+          case Some(_) =>
+            val after = t.metadata.currentSnapshot
+              .map(_.manifests.count(_.content == graft.lake.ManifestRef.Data))
+              .getOrElse(0)
+            new GenericInternalRow(Array[Any](before.toLong, after.toLong))
+          case None => new GenericInternalRow(Array[Any](0L, 0L))
+        }
+      }
+    },
+
     "fast_forward" -> new LakeProcedure(lake, "fast_forward",
       Seq("table" -> StringType, "branch" -> StringType),
       StructType(Seq(

@@ -225,4 +225,41 @@ class ManifestLayoutSpec extends LakeSuite {
       === ordersDF.filter(col("o_orderkey") > 10 && col("o_orderkey") <= 1000).count()
         + ordersDF.filter(col("o_orderkey") > 5000).count())
   }
+
+  test("rewriteManifests consolidates metadata only: files untouched, seq scoping and history survive") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "rwm", ordersDF.schema)
+    (0 until 6).foreach(i =>
+      t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 6 === i)))
+    // an eq-tombstone upsert BEFORE consolidation: its scoping (applies
+    // to entries with strictly smaller seq) must survive the rewrite
+    val upd = ordersDF.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    t.refresh().mergeIntoMoR(spark, upd, Seq("o_orderkey"))
+    val expect = t.refresh().newScan().toDF(spark)
+      .orderBy("o_orderkey").collect().toSeq
+    val pathsBefore = t.metadata.currentFiles.map(_.path).toSet
+    val cur = t.metadata.currentSnapshot.get
+    assert(cur.manifests.count(_.content == ManifestRef.Data) === 7)
+    val preId = t.currentSnapshotId
+
+    val rep = t.rewriteManifests(minManifests = 2)
+    assert(rep.nonEmpty && rep.get.addedDataFiles === 0L)
+    val after = t.refresh().metadata.currentSnapshot.get
+    assert(after.manifests.count(_.content == ManifestRef.Data) === 1)
+    // no data file was touched — same paths, same per-entry seqs
+    assert(t.metadata.currentFiles.map(_.path).toSet === pathsBefore)
+    assert(t.metadata.currentFiles.map(f => f.path -> f.seq).toMap
+      === cur.files.map(f => f.path -> f.seq).toMap)
+    // eq tombstones still live, still subtracting exactly as before
+    assert(after.eqDeleteFiles.nonEmpty)
+    assert(t.newScan().toDF(spark).orderBy("o_orderkey").collect().toSeq === expect)
+    // rollups carried exactly
+    assert(after.fileCount === cur.fileCount &&
+      after.totalRecords === cur.totalRecords)
+    // history: the pre-consolidation snapshot still time-travels
+    assert(t.asOf(preId).toDF(spark).count() === expect.size)
+    // converges: a second run refuses to churn
+    assert(t.rewriteManifests(minManifests = 2).isEmpty)
+  }
 }

@@ -125,6 +125,22 @@ class LakeProcedureSpec extends LakeSuite {
     assert(row.getLong(0) >= 1L && row.getLong(0) < 5L)
   }
 
+  test("rewrite_manifests consolidates planning metadata through SQL") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    (0 until 5).foreach(i =>
+      t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 5 === i)))
+    val row = spark.sql(
+      s"CALL $cat.system.rewrite_manifests('ns.t', 100000)").head
+    assert(row.getLong(0) === 5L && row.getLong(1) === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0)
+      === ordersDF.count())
+    // converged: nothing left to consolidate
+    val again = spark.sql(
+      s"CALL $cat.system.rewrite_manifests('ns.t', 100000)").head
+    assert(again.getLong(0) === 0L && again.getLong(1) === 0L)
+  }
+
   test("set_write_order parses linear and zorder forms; unknown procedures refuse") {
     val (cat, wh) = sqlCat()
     val linear = spark.sql(
