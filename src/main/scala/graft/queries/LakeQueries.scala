@@ -310,6 +310,10 @@ object LakeQueries {
     val cat = freshCatalog()
     val t = cat.createTable("lakeq", "orders_mt", src.schema)
     (0 until 4).foreach(i => t.refresh().appendData(src.filter(col("o_orderkey") % 4 === i)))
+    // the full maintenance cycle a scheduled job runs: manifest
+    // consolidation (metadata-only) → data compaction → history expiry
+    // → orphan reclaim
+    t.refresh().rewriteManifests(minManifests = 2)
     t.refresh().compact(s, targetFiles = 2)
     t.expireSnapshots(keepLast = 1)
     t.removeOrphanFiles()
