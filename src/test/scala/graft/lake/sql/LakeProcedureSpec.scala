@@ -141,6 +141,35 @@ class LakeProcedureSpec extends LakeSuite {
     assert(again.getLong(0) === 0L && again.getLong(1) === 0L)
   }
 
+  test("evolve_spec changes future writes' partitioning; old files keep their spec") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    val row = spark.sql(
+      s"CALL $cat.system.evolve_spec('ns.t', 'bucket(4, o_custkey), o_orderstatus')").head
+    assert(row.getInt(0) === 1)
+    assert(row.getString(1) === "bucket[4](o_custkey), o_orderstatus")
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+    // both generations read whole; new files carry the new spec id
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0)
+      === ordersDF.count())
+    assert(t.refresh().metadata.currentFiles.map(_.specId).toSet === Set(0, 1))
+    // date transform + identity parse; empty spec unpartitions
+    spark.sql(s"CALL $cat.system.evolve_spec('ns.t', 'day(o_orderdate)')")
+    assert(t.refresh().spec.map(_.render) === Seq("day(o_orderdate)"))
+    spark.sql(s"CALL $cat.system.evolve_spec('ns.t', '')")
+    assert(t.refresh().spec.isEmpty)
+    // guards: unknown transform and unknown column refuse
+    val bad = intercept[Exception](spark.sql(
+      s"CALL $cat.system.evolve_spec('ns.t', 'mod(4, o_custkey)')"))
+    assert(bad.getMessage.contains("unknown partition transform") ||
+      Option(bad.getCause).exists(_.getMessage.contains("unknown partition transform")))
+    val nocol = intercept[Exception](spark.sql(
+      s"CALL $cat.system.evolve_spec('ns.t', 'nope')"))
+    assert(nocol.getMessage.contains("not a column") ||
+      Option(nocol.getCause).exists(_.getMessage.contains("not a column")))
+  }
+
   test("set_write_order parses linear and zorder forms; unknown procedures refuse") {
     val (cat, wh) = sqlCat()
     val linear = spark.sql(
