@@ -91,6 +91,18 @@ private[sql] object LakeProcedures {
           table(args).expireSnapshots(args.getInt(1)).size.toLong))
     },
 
+    // Iceberg's canonical age-based form (expire_snapshots(older_than)):
+    // epoch millis, so callers pass unix_millis(timestamp '...')
+    "expire_snapshots_older_than" -> new LakeProcedure(lake,
+      "expire_snapshots_older_than",
+      Seq("table" -> StringType, "older_than_ms" -> LongType),
+      StructType(Seq(
+        StructField("expired_snapshots_count", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow =
+        new GenericInternalRow(Array[Any](
+          table(args).expireSnapshotsOlderThan(args.getLong(1)).size.toLong))
+    },
+
     "rewrite_data_files" -> new LakeProcedure(lake, "rewrite_data_files",
       Seq("table" -> StringType, "target_files" -> IntegerType),
       StructType(Seq(

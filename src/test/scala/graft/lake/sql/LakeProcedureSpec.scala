@@ -125,6 +125,24 @@ class LakeProcedureSpec extends LakeSuite {
     assert(row.getLong(0) >= 1L && row.getLong(0) < 5L)
   }
 
+  test("expire_snapshots_older_than retires aged history; current always survives") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+    Thread.sleep(5)
+    // cutoff after both commits: the older snapshot expires, current survives
+    val row = spark.sql(s"CALL $cat.system.expire_snapshots_older_than(" +
+      s"'ns.t', ${System.currentTimeMillis()})").head
+    assert(row.getLong(0) === 1L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0)
+      === ordersDF.count())
+    // nothing older remains: converged
+    val again = spark.sql(s"CALL $cat.system.expire_snapshots_older_than(" +
+      s"'ns.t', ${System.currentTimeMillis()})").head
+    assert(again.getLong(0) === 0L)
+  }
+
   test("rewrite_manifests consolidates planning metadata through SQL") {
     val (cat, wh) = sqlCat()
     val t = LakeCatalog.open(wh).loadTable("ns", "t")
