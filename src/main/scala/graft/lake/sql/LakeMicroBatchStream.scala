@@ -2,7 +2,7 @@ package graft.lake.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.lake.{DataFileEntry, LakeTable, Snapshot}
@@ -41,7 +41,8 @@ private[sql] final case class LakeOffset(snapshotId: Long) extends Offset {
   * stream starts) | `beginning`; `stream-from-snapshot` = explicit id;
   * `skip-mutation-snapshots` = true|false; `branch` = tail a branch
   * head instead of main (consume a staged WAP pipeline pre-publish);
-  * `max-files-per-trigger` = admission-control cap.
+  * `max-files-per-trigger` / `max-bytes-per-trigger` =
+  * admission-control caps (composable).
   */
 private[sql] final class LakeMicroBatchStream(
     lt: LakeTable, options: CaseInsensitiveStringMap)
@@ -103,41 +104,66 @@ private[sql] final class LakeMicroBatchStream(
   override def latestOffset(): Offset =
     LakeOffset(headId())
 
-  /** Admission control: `max-files-per-trigger` caps a micro-batch by
-    * choosing an INTERMEDIATE snapshot as its end offset (offsets are
-    * snapshot ids, so a batch is always a whole number of snapshots,
-    * and always at least one — the stream cannot stall on a single
-    * over-sized commit). The per-snapshot cost comes from the commit
-    * summary (`added-data-files`), so capping reads no manifests. A
-    * backlogged stream then drains as bounded batches instead of one
-    * giant catch-up read — the 100 TB restart story. */
-  override def getDefaultReadLimit: ReadLimit =
-    Option(options.get("max-files-per-trigger"))
-      .map(v => ReadLimit.maxFiles(v.toInt))
-      .getOrElse(ReadLimit.allAvailable())
+  /** Admission control: `max-files-per-trigger` and/or
+    * `max-bytes-per-trigger` cap a micro-batch by choosing an
+    * INTERMEDIATE snapshot as its end offset (offsets are snapshot ids,
+    * so a batch is always a whole number of snapshots, and always at
+    * least one — the stream cannot stall on a single over-sized
+    * commit). Per-snapshot costs read NO manifests: file counts come
+    * from the commit summary (`added-data-files`), byte counts from the
+    * snapshot ROLLUP delta against the parent (appends remove nothing,
+    * so the delta IS the added bytes). Bytes are the robust cap at
+    * scale — file counts treat a 1 KB and a 1 GB file alike, so a
+    * restart backlog "bounded" by files can still assemble an unbounded
+    * batch; both caps compose (Spark's composite limit). */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      Option(options.get("max-files-per-trigger"))
+        .map(v => ReadLimit.maxFiles(v.toInt)),
+      Option(options.get("max-bytes-per-trigger"))
+        .map(v => ReadLimit.maxBytes(v.toLong))).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startId = start.asInstanceOf[LakeOffset].snapshotId
     val latest = availableNowTarget.getOrElse(headId())
-    limit match {
-      case mf: ReadMaxFiles =>
-        // farthest contiguous prefix of the ancestor chain within the
-        // cap; the first snapshot always admits (no stalling)
-        var acc = 0L
-        var end = startId
-        val it = ancestorsAfter(startId, latest).iterator
-        var full = false
-        while (it.hasNext && !full) {
-          val s = it.next()
-          val added =
-            if (s.operation == "append")
-              s.summary.get("added-data-files").map(_.toLong).getOrElse(0L)
-            else 0L
-          if (end != startId && acc + added > mf.maxFiles().toLong) full = true
-          else { acc += added; end = s.id }
-        }
-        LakeOffset(end)
-      case _ => LakeOffset(latest)
+    def flatten(l: ReadLimit): Seq[ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flatten)
+      case other => Seq(other)
+    }
+    val caps = flatten(limit)
+    val maxFiles = caps.collectFirst { case mf: ReadMaxFiles => mf.maxFiles().toLong }
+    val maxBytes = caps.collectFirst { case mb: ReadMaxBytes => mb.maxBytes() }
+    if (maxFiles.isEmpty && maxBytes.isEmpty) LakeOffset(latest)
+    else {
+      // farthest contiguous prefix of the ancestor chain within every
+      // cap; the first snapshot always admits (no stalling)
+      val chain = ancestorsAfter(startId, latest)
+      val m = lt.metadata // ancestorsAfter refreshed; reuse its view
+      var files = 0L
+      var bytes = 0L
+      var end = startId
+      val it = chain.iterator
+      var full = false
+      while (it.hasNext && !full) {
+        val s = it.next()
+        val (af, ab) =
+          if (s.operation == "append") {
+            val parentBytes = s.parentId.flatMap(m.snapshot)
+              .map(_.totalSizeBytes).getOrElse(0L)
+            (s.summary.get("added-data-files").map(_.toLong).getOrElse(0L),
+              math.max(0L, s.totalSizeBytes - parentBytes))
+          } else (0L, 0L)
+        if (end != startId && (maxFiles.exists(files + af > _) ||
+            maxBytes.exists(bytes + ab > _))) full = true
+        else { files += af; bytes += ab; end = s.id }
+      }
+      LakeOffset(end)
     }
   }
 

@@ -134,6 +134,38 @@ class LakeStreamSourceSpec extends LakeSuite {
     assert(batches.sum === ordersDF.count())
   }
 
+  test("max-bytes-per-trigger bounds batches by rollup deltas; composes with the file cap") {
+    val (name, t) = sqlTable()
+    (0 until 4).foreach { i =>
+      t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 4 === i), numFiles = 2)
+    }
+    // per-commit added bytes from the rollup ladder
+    val m = t.refresh().metadata
+    val perCommit = m.snapshots.sortBy(_.id).map(_.totalSizeBytes)
+      .sliding(2).map(p => p(1) - p(0)).toSeq
+    val oneCommit = perCommit.max
+    val ckpt = Files.createTempDirectory("graft_src_ck7_").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // cap below two commits' bytes: the backlog drains one commit per batch
+    runAvailable(name, ckpt, Map("max-bytes-per-trigger" -> oneCommit.toString)) {
+      (df, _) => batches += df.count()
+    }
+    assert(batches.count(_ > 0L) === 4)
+    assert(batches.sum === ordersDF.count())
+
+    // composed caps: a generous byte cap with a 4-file cap → file cap rules
+    t.refresh().appendData(ordersDF.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 800000000L), numFiles = 2)
+    t.refresh().appendData(ordersDF.limit(6)
+      .withColumn("o_orderkey", col("o_orderkey") + 810000000L), numFiles = 2)
+    val batches2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    runAvailable(name, ckpt, Map(
+      "max-bytes-per-trigger" -> (oneCommit * 100).toString,
+      "max-files-per-trigger" -> "4")) { (df, _) => batches2 += df.count() }
+    assert(batches2.count(_ > 0L) === 1) // 2 commits x 2 files fit one batch
+    assert(batches2.sum === 11L)
+  }
+
   test("the branch option tails a staged branch; main commits stay invisible to it") {
     val (name, t) = sqlTable()
     val base = ordersDF.filter(col("o_orderkey") % 2 === 0)
