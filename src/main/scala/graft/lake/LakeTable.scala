@@ -1244,6 +1244,42 @@ final class LakeTable private[lake] (
     commitSnapshot("append", added, Nil, toBranch = Some(branch))
   }
 
+  /** Stage an append WITHOUT moving any pointer (Iceberg's `wap.id`
+    * flow, the other half of write-audit-publish): the snapshot lands
+    * in the log — parented on the current head, summary stamped
+    * `wap.id` — but stays invisible to every reader until
+    * [[cherrypick]] publishes it. The auditor finds it through the
+    * `snapshots` metadata table (summary) or the returned report and
+    * reads it with `VERSION AS OF <id>`. A duplicate wap.id refuses
+    * inside the CAS (an orchestrator retry must not stage twice).
+    * Unpublished staged snapshots are ordinary history for expiry —
+    * abandon one by simply never cherry-picking it. */
+  def stageAppend(df: DataFrame, wapId: String, numFiles: Int = 0): CommitReport = {
+    require(wapId.trim.nonEmpty, "wap.id must be non-empty")
+    val added = writeDataFiles(df, numFiles)
+    commitSnapshot("append", added, Nil,
+      extraSummary = Map("wap.id" -> wapId.trim), stageOnly = true)
+  }
+
+  /** Publish a staged snapshot: make it current — fast-forward-only
+    * (its parent must BE the current head, so publishing never
+    * discards or reorders commits; Iceberg's cherrypick replays the
+    * general case, this implements the WAP-pipeline shape where audits
+    * publish in commit order). Metadata-only CAS commit. */
+  def cherrypick(snapshotId: Long): LakeTable = metadataChange { latest =>
+    val s = latest.snapshot(snapshotId).getOrElse(throw new NoSuchElementException(
+      s"no snapshot $snapshotId in $name (expired or never committed)"))
+    require(latest.currentSnapshotId != snapshotId,
+      s"snapshot $snapshotId of $name is already current")
+    require(s.parentId.forall(_ == latest.currentSnapshotId) &&
+      (s.parentId.nonEmpty || latest.currentSnapshotId < 0L),
+      s"cannot cherry-pick snapshot $snapshotId of $name: its parent is " +
+        s"${s.parentId.getOrElse(-1L)} but the current head is " +
+        s"${latest.currentSnapshotId} — only a snapshot staged on the " +
+        "current head publishes (fast-forward-only)")
+    latest.copy(currentSnapshotId = snapshotId)
+  }
+
   /** Scan a ref by name: a tag or branch head, or "main" for the
     * current snapshot — the `VERSION AS OF 'name'` resolution. */
   def scanRef(refName: String,
@@ -1441,7 +1477,8 @@ final class LakeTable private[lake] (
       addedDeletes: Seq[DataFileEntry] = Nil,
       addedEqDeletes: Seq[DataFileEntry] = Nil,
       dropDeletes: Boolean = false,
-      toBranch: Option[String] = None): CommitReport = {
+      toBranch: Option[String] = None,
+      stageOnly: Boolean = false): CommitReport = {
     val t0 = System.nanoTime()
     // branch commits: appends AND row-level ops (CoW rewrites, MoR
     // tombstones) land on the branch head — the full WAP story for
@@ -1451,6 +1488,13 @@ final class LakeTable private[lake] (
     // about the BRANCH lineage. Replace/compaction stay main-only.
     require(toBranch.isEmpty || (!replaceAll && !dropDeletes),
       s"replace/compaction commits may not target a branch")
+    // stageOnly (the wap.id flow): the snapshot lands in the log with
+    // the current head as parent but NO pointer moves — invisible to
+    // every reader until [[cherrypick]] publishes it. Append-shaped
+    // commits only.
+    require(!stageOnly || (toBranch.isEmpty && !replaceAll && !dropDeletes
+      && removed.isEmpty),
+      "staged (wap.id) commits must be pure appends to main")
     val removedPaths = removed.map(_.path).toSet
     var removedCount = removed.size.toLong // replaceAll: resolved in the transform
     val md = catalog.metadataDir(namespace, shortName)
@@ -1619,6 +1663,13 @@ final class LakeTable private[lake] (
       val withProps = exactlyOnce.fold(latest.properties) { case (sinkId, batchId) =>
         latest.properties + (s"streaming.last-batch-id.$sinkId" -> batchId.toString)
       }
+      // a staged wap.id must be unique across the log: double-submitting
+      // an orchestrator retry would stage the same data twice
+      extraSummary.get("wap.id").foreach { id =>
+        if (latest.snapshots.exists(_.summary.get("wap.id").contains(id)))
+          throw new IllegalArgumentException(
+            s"wap.id '$id' was already staged or published on $name")
+      }
       toBranch match {
         // a branch commit advances the BRANCH head; main is untouched
         case Some(b) => latest.copy(snapshots = latest.snapshots :+ snap,
@@ -1628,14 +1679,20 @@ final class LakeTable private[lake] (
             .getOrElse(TableRef(TableRef.Branch, newId,
               createdAtMs = System.currentTimeMillis()))),
           properties = withProps)
+        case None if stageOnly =>
+          // log only: every pointer (main + refs) stays put
+          latest.copy(snapshots = latest.snapshots :+ snap,
+            properties = withProps)
         case None => latest.copy(snapshots = latest.snapshots :+ snap,
           currentSnapshotId = newId, properties = withProps)
       }
     }
     meta = next
     version = v
-    val snap = toBranch.fold(next.currentSnapshot.get)(b =>
-      next.snapshot(next.refs(b).snapshotId).get)
+    val snap =
+      if (stageOnly) next.snapshots.maxBy(_.id) // our CAS result's last
+      else toBranch.fold(next.currentSnapshot.get)(b =>
+        next.snapshot(next.refs(b).snapshotId).get)
     // delete meters from the landed snapshot's delete manifests — real
     // numbers once deleteWhereMoR has committed tombstones (the
     // reference surfaces the same meters; its tables keep them at 0)

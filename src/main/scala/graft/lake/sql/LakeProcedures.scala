@@ -228,6 +228,20 @@ private[sql] object LakeProcedures {
       }
     },
 
+    // publish a wap.id-staged snapshot (fast-forward-only: its parent
+    // must be the current head — the WAP-pipeline shape)
+    "cherrypick_snapshot" -> new LakeProcedure(lake, "cherrypick_snapshot",
+      Seq("table" -> StringType, "snapshot_id" -> LongType),
+      StructType(Seq(
+        StructField("source_snapshot_id", LongType, nullable = false),
+        StructField("current_snapshot_id", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        t.cherrypick(args.getLong(1))
+        new GenericInternalRow(Array[Any](args.getLong(1), t.currentSnapshotId))
+      }
+    },
+
     "rewrite_manifests" -> new LakeProcedure(lake, "rewrite_manifests",
       Seq("table" -> StringType, "target_entries" -> IntegerType),
       StructType(Seq(

@@ -366,12 +366,41 @@ object LakeSqlCatalog {
 private[sql] object Wap {
   val Conf = "spark.wap.branch"
 
+  val IdConf = "spark.wap.id"
+
   /** The raw conf value, if set — for paths that refuse under WAP and
     * must not auto-create the branch as a side effect. */
   def set(spark: SparkSession): Option[String] =
     Option(spark.conf.get(Conf, null)).map(_.trim).filter(_.nonEmpty)
 
-  private def conf(spark: SparkSession): Option[String] = set(spark)
+  /** `spark.wap.id` — the STAGED-SNAPSHOT WAP flow (Iceberg's other
+    * half): INSERTs under this conf land as invisible staged snapshots
+    * published by `CALL system.cherrypick_snapshot`. Mutually exclusive
+    * with the branch conf: one audit unit, one publish mechanism. */
+  def stagedId(spark: SparkSession): Option[String] = {
+    val id = Option(spark.conf.get(IdConf, null)).map(_.trim).filter(_.nonEmpty)
+    if (id.nonEmpty && set(spark).nonEmpty)
+      throw new IllegalArgumentException(
+        s"$Conf and $IdConf are both set — stage on a branch OR as a " +
+          "wap.id snapshot, not both")
+    id
+  }
+
+  private def conf(spark: SparkSession): Option[String] = {
+    stagedId(spark) // fires the mutual-exclusion check on every WAP read
+    set(spark)
+  }
+
+  /** Row-level SQL ops stage on BRANCHES, not as wap.id snapshots
+    * (stageAppend is append-shaped); silently landing them on main
+    * while the user thinks they are staging would be worse than either
+    * behavior — refuse with the alternative spelled out. */
+  def refuseRowLevelStaging(spark: SparkSession, verb: String,
+      tableName: String): Unit =
+    stagedId(spark).foreach(id => throw new UnsupportedOperationException(
+      s"$verb on $tableName cannot stage as wap.id snapshot '$id': only " +
+        "INSERT stages under spark.wap.id — stage row-level mutations on " +
+        "a branch instead (spark.wap.branch)"))
 
   private def refKind(t: LakeTable, b: String): Option[String] =
     t.refresh().refs.get(b).map(_.kind)
@@ -473,6 +502,7 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     // write.delete.mode routes the same transactional semantics through
     // positional tombstones (O(deleted rows)) instead of file rewrites
     val t = lt.refresh()
+    Wap.refuseRowLevelStaging(SparkSession.active, "DELETE", t.name)
     val wap = Wap.writeBranch(SparkSession.active, t)
     if (t.writeMode("delete") == "merge-on-read")
       t.deleteWhereMoR(SparkSession.active, pred, branch = wap)
@@ -571,14 +601,18 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
               if (replace || overwrite) {
                 // raw-conf check: must not auto-create the branch on a
                 // path that refuses
-                require(Wap.set(SparkSession.active).isEmpty,
-                  s"INSERT OVERWRITE of ${t.name} cannot target a WAP " +
-                    "branch: a full replace is not a stageable audit unit " +
-                    "(unset spark.wap.branch)")
+                require(Wap.set(SparkSession.active).isEmpty &&
+                  Wap.stagedId(SparkSession.active).isEmpty,
+                  s"INSERT OVERWRITE of ${t.name} cannot stage: a full " +
+                    "replace is not a stageable audit unit (unset " +
+                    "spark.wap.branch / spark.wap.id)")
                 t.overwriteAll(aligned)
-              } else Wap.writeBranch(SparkSession.active, t) match {
-                case Some(b) => t.appendDataToBranch(b, aligned)
-                case None => t.appendData(aligned)
+              } else Wap.stagedId(SparkSession.active) match {
+                case Some(id) => t.stageAppend(aligned, id)
+                case None => Wap.writeBranch(SparkSession.active, t) match {
+                  case Some(b) => t.appendDataToBranch(b, aligned)
+                  case None => t.appendData(aligned)
+                }
               }
               ()
             }

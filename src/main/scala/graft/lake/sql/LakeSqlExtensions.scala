@@ -308,6 +308,7 @@ final case class LakeUpdateCommand(
       })
     }.toMap
     val t = table.refresh()
+    Wap.refuseRowLevelStaging(spark, "UPDATE", t.name)
     val wap = Wap.writeBranch(spark, t)
     if (t.writeMode("update") == "merge-on-read")
       t.updateWhereMoR(spark, pred, cols, branch = wap)
@@ -333,6 +334,7 @@ final case class LakeMergeCommand(
     // align the source to the table schema (same cast rule as INSERT)
     val src = PlanBridge.ofRows(spark, source).select(t.schema.fields.map(f =>
       org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+    Wap.refuseRowLevelStaging(spark, "MERGE", t.name)
     val wap = Wap.writeBranch(spark, t)
     if (t.writeMode("merge") == "merge-on-read")
       t.mergeIntoMoR(spark, src, keys, branch = wap)

@@ -77,6 +77,67 @@ class WapSqlSpec extends LakeSuite {
       .head.getLong(0) === 0L)
   }
 
+  test("spark.wap.id stages invisible snapshots; cherrypick_snapshot publishes in order") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.wapcat3", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wapcat3.warehouse", wh)
+    spark.sql("CREATE NAMESPACE wapcat3.ns")
+    spark.sql("CREATE TABLE wapcat3.ns.t (k BIGINT, v STRING)")
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    spark.sql("INSERT INTO wapcat3.ns.t VALUES (1, 'a'), (2, 'b')")
+    val headBefore = t.refresh().currentSnapshotId
+
+    spark.conf.set(Wap.IdConf, "etl-2026-08-13")
+    try {
+      spark.sql("INSERT INTO wapcat3.ns.t VALUES (3, 'c')")
+      // invisible: reads (this session included) still see the old head
+      assert(spark.sql("SELECT count(*) FROM wapcat3.ns.t").head.getLong(0) === 2L)
+      assert(t.refresh().currentSnapshotId === headBefore)
+      // the auditor finds the staged snapshot via the summary...
+      val staged = t.metadata.snapshots
+        .find(_.summary.get("wap.id").contains("etl-2026-08-13")).get
+      // ...audits it by id...
+      assert(spark.sql(
+        s"SELECT count(*) FROM wapcat3.ns.t VERSION AS OF ${staged.id}")
+        .head.getLong(0) === 3L)
+      // a duplicate wap.id refuses (orchestrator retry)
+      val dup = intercept[Exception](
+        spark.sql("INSERT INTO wapcat3.ns.t VALUES (9, 'x')"))
+      assert(dup.getMessage.contains("already staged") ||
+        Option(dup.getCause).exists(_.getMessage.contains("already staged")))
+      // row-level ops refuse instead of silently landing on main
+      val del = intercept[Exception](
+        spark.sql("DELETE FROM wapcat3.ns.t WHERE k = 1"))
+      assert(del.getMessage.contains("spark.wap.branch") ||
+        Option(del.getCause).exists(_.getMessage.contains("spark.wap.branch")))
+      // ...and publishes
+      spark.sql(s"CALL wapcat3.system.cherrypick_snapshot('ns.t', ${staged.id})")
+      assert(spark.sql("SELECT count(*) FROM wapcat3.ns.t").head.getLong(0) === 3L)
+    } finally spark.conf.unset(Wap.IdConf)
+
+    // fast-forward-only: a snapshot staged on a SUPERSEDED head refuses
+    spark.conf.set(Wap.IdConf, "stale-etl")
+    try spark.sql("INSERT INTO wapcat3.ns.t VALUES (4, 'd')")
+    finally spark.conf.unset(Wap.IdConf)
+    val stale = t.refresh().metadata.snapshots
+      .find(_.summary.get("wap.id").contains("stale-etl")).get
+    spark.sql("INSERT INTO wapcat3.ns.t VALUES (5, 'e')") // head moves on
+    val e = intercept[Exception](spark.sql(
+      s"CALL wapcat3.system.cherrypick_snapshot('ns.t', ${stale.id})"))
+    assert(e.getMessage.contains("fast-forward") ||
+      Option(e.getCause).exists(_.getMessage.contains("fast-forward")))
+
+    // both confs set refuses before anything writes
+    spark.conf.set(Wap.Conf, "b")
+    spark.conf.set(Wap.IdConf, "i")
+    try {
+      val both = intercept[Exception](
+        spark.sql("INSERT INTO wapcat3.ns.t VALUES (6, 'f')"))
+      assert(both.getMessage.contains("both set") ||
+        Option(both.getCause).exists(_.getMessage.contains("both set")))
+    } finally { spark.conf.unset(Wap.Conf); spark.conf.unset(Wap.IdConf) }
+  }
+
   test("SQL WAP guards: tag refuses, INSERT OVERWRITE refuses, empty table refuses, MoR modes stage") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.wapcat2", classOf[LakeSqlCatalog].getName)
