@@ -166,6 +166,25 @@ class LakeStreamSourceSpec extends LakeSuite {
     assert(batches2.sum === 11L)
   }
 
+  test("a cherry-picked wap.id snapshot streams as a normal append, exactly once") {
+    val (name, t) = sqlTable()
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    val ckpt = Files.createTempDirectory("graft_src_ck8_").toString
+    var total = 0L
+    runAvailable(name, ckpt) { (df, _) => total += df.count() }
+    assert(total === ordersDF.filter(col("o_orderkey") % 2 === 0).count())
+
+    // stage invisibly, pump (nothing flows), publish, pump (flows once)
+    val staged = t.refresh().stageAppend(
+      ordersDF.filter(col("o_orderkey") % 2 === 1), "etl-1")
+    total = 0L
+    runAvailable(name, ckpt) { (df, _) => total += df.count() }
+    assert(total === 0L) // unpublished = invisible to the stream
+    t.refresh().cherrypick(staged.snapshotId)
+    runAvailable(name, ckpt) { (df, _) => total += df.count() }
+    assert(total === ordersDF.filter(col("o_orderkey") % 2 === 1).count())
+  }
+
   test("the branch option tails a staged branch; main commits stay invisible to it") {
     val (name, t) = sqlTable()
     val base = ordersDF.filter(col("o_orderkey") % 2 === 0)

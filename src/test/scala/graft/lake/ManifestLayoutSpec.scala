@@ -262,4 +262,31 @@ class ManifestLayoutSpec extends LakeSuite {
     // converges: a second run refuses to churn
     assert(t.rewriteManifests(minManifests = 2).isEmpty)
   }
+
+  test("rewriteManifests racing appends loses no commit: the CAS transform re-consolidates") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "rwrace", ordersDF.schema)
+    (0 until 4).foreach(i =>
+      t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 4 === i)))
+    val extra = ordersDF.limit(9)
+      .withColumn("o_orderkey", col("o_orderkey") + 850000000L)
+    // interleave: consolidation and appends race through the same CAS
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val consolidate = pool.submit(new java.util.concurrent.Callable[AnyRef] {
+        def call(): AnyRef = {
+          cat.loadTable("ns", "rwrace").rewriteManifests(minManifests = 2); null
+        }
+      })
+      val append = pool.submit(new java.util.concurrent.Callable[AnyRef] {
+        def call(): AnyRef = {
+          cat.loadTable("ns", "rwrace").appendData(extra); null
+        }
+      })
+      consolidate.get(); append.get()
+    } finally pool.shutdown()
+    // every row of every commit survives, whoever won the race
+    assert(t.refresh().newScan().toDF(spark).count()
+      === ordersDF.count() + 9L)
+  }
 }
