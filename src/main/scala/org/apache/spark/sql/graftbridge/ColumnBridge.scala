@@ -138,7 +138,7 @@ object ScanBridge {
         filters // everything stays a residual; see scaladoc
       }
 
-      override def pushedFilters(): Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+      override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
         Array.empty
 
       override def pruneColumns(requiredSchema: StructType): Unit =
