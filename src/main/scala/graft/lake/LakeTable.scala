@@ -157,27 +157,69 @@ final class LakeTable private[lake] (
     * footers always carry IDs (Spark throws on ID-expecting reads over
     * ID-less footers; ignoreMissing would silently project NULL — both
     * wrong for foreign files, which this format never references). */
-  private[lake] def readFiles(spark: SparkSession, paths: Seq[String]): DataFrame =
-    org.apache.spark.sql.graftbridge.SessionBridge
-      .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
-      .read.schema(meta.schemaWithFieldIds).parquet(paths: _*)
-      // strip the injected metadata so scan outputs carry the user's schema
-      .select(schema.fields.map(f => org.apache.spark.sql.functions.col(f.name)
-        .as(f.name, f.metadata)): _*)
+  private[lake] def readFiles(spark: SparkSession, files: Seq[DataFileEntry]): DataFrame =
+    splitRead(spark, files, withPos = false)
 
   /** [[readFiles]] plus each row's physical coordinates — the parquet
     * reader's `_metadata.file_path`/`row_index` columns, the identity a
     * positional delete file tombstones. Both sides of the merge-on-read
     * anti-join come from the SAME metadata columns, so the path form
     * matches exactly. */
-  private def readFilesWithPos(spark: SparkSession, paths: Seq[String]): DataFrame = {
+  private def readFilesWithPos(spark: SparkSession, files: Seq[DataFileEntry]): DataFrame =
+    splitRead(spark, files, withPos = true)
+
+  /** Route each file group through its resolution mode: engine-written
+    * files read by parquet field ID, [[addFiles]]-imported (foreign,
+    * ID-less) files through the frozen name mapping. The two frames
+    * carry identical schemas by construction, so the union is by name
+    * and position alike. */
+  private def splitRead(spark: SparkSession, files: Seq[DataFileEntry],
+      withPos: Boolean): DataFrame = {
+    val (mapped, native) = files.partition(_.nameMapped)
+    val parts =
+      (if (native.nonEmpty) Seq(readIdFiles(spark, native.map(_.path), withPos)) else Nil) ++
+        (if (mapped.nonEmpty) Seq(readMappedFiles(spark, mapped.map(_.path), withPos)) else Nil)
+    parts.reduce(_.unionByName(_))
+  }
+
+  private def readIdFiles(spark: SparkSession, paths: Seq[String],
+      withPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val posCols = if (withPos) Seq(
+      col("_metadata.file_path").as(LakeTable.PosFileCol),
+      col("_metadata.row_index").as(LakeTable.PosIdxCol)) else Nil
     org.apache.spark.sql.graftbridge.SessionBridge
       .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
       .read.schema(meta.schemaWithFieldIds).parquet(paths: _*)
-      .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)) ++ Seq(
-        col("_metadata.file_path").as(LakeTable.PosFileCol),
-        col("_metadata.row_index").as(LakeTable.PosIdxCol)): _*)
+      // strip the injected metadata so scan outputs carry the user's schema
+      .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)) ++ posCols: _*)
+  }
+
+  /** Read [[addFiles]]-imported files: footers carry NO field IDs, so
+    * each current column resolves by the NAME the mapping froze at
+    * import time — a column renamed after import keeps resolving, and a
+    * column added after import (no mapping entry) projects null instead
+    * of accidentally name-matching unrelated file bytes. Requested
+    * types are the CURRENT schema's, so post-import type widening rides
+    * parquet's native by-name widening. */
+  private def readMappedFiles(spark: SparkSession, paths: Seq[String],
+      withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val idToImported = meta.nameMapping.map(_.swap)
+    val resolution = schema.fields.map(f =>
+      (f, meta.fieldIds.get(f.name).flatMap(idToImported.get)))
+    val reqSchema = StructType(resolution.collect { case (f, Some(imp)) =>
+      org.apache.spark.sql.types.StructField(imp, f.dataType, nullable = true) })
+    val posCols = if (withPos) Seq(
+      col("_metadata.file_path").as(LakeTable.PosFileCol),
+      col("_metadata.row_index").as(LakeTable.PosIdxCol)) else Nil
+    org.apache.spark.sql.graftbridge.SessionBridge
+      .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "false"))
+      .read.schema(reqSchema).parquet(paths: _*)
+      .select(resolution.map {
+        case (f, Some(imp)) => col(imp).as(f.name, f.metadata)
+        case (f, None) => lit(null).cast(f.dataType).as(f.name, f.metadata)
+      } ++ posCols: _*)
   }
 
   /** Byte budget for broadcasting MoR tombstone sets in the read path
@@ -210,7 +252,7 @@ final class LakeTable private[lake] (
   private def readLivePos(spark: SparkSession, files: Seq[DataFileEntry],
       posDeletes: Seq[DataFileEntry], eqDeletes: Seq[DataFileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.col
-    var df = readFilesWithPos(spark, files.map(_.path))
+    var df = readFilesWithPos(spark, files)
     val pos = LakeTable.narrowPosDeletes(posDeletes, files.map(_.path))
     if (pos.nonEmpty) {
       val tombstones = spark.read.schema(LakeTable.DeleteFileSchema)
@@ -297,7 +339,7 @@ final class LakeTable private[lake] (
       snap: Option[Snapshot]): DataFrame = {
     val pos = snap.map(_.deleteFiles).getOrElse(Nil)
     val eqs = snap.map(_.eqDeleteFiles).getOrElse(Nil)
-    if (pos.isEmpty && eqs.isEmpty) readFiles(spark, files.map(_.path))
+    if (pos.isEmpty && eqs.isEmpty) readFiles(spark, files)
     else {
       import org.apache.spark.sql.functions.col
       readLivePos(spark, files, pos, eqs)
@@ -310,6 +352,87 @@ final class LakeTable private[lake] (
 
   def appendData(df: DataFrame, numFiles: Int = 0): CommitReport =
     newAppend().appendData(df, numFiles).commit()
+
+  /** Register EXISTING foreign parquet files as table data IN PLACE —
+    * Iceberg's add_files/migrate story: onboarding 100 TB of parquet is
+    * ONE metadata commit plus a footer-stats pass, never a rewrite. The
+    * files stay where they are (outside the table location, so expiry
+    * and the orphan sweep — which only walk the table directory — can
+    * never delete user data); their columns match the CURRENT schema by
+    * name and freeze into [[TableMetadata.nameMapping]], so column
+    * renames AFTER import stay metadata-only (imported files keep
+    * resolving by their frozen names, engine files by field ID). Footer
+    * stats harvest exactly like native writes, so stats pruning covers
+    * imported files from the first scan; they land unpartitioned
+    * (column stats, not path layout, carry their pruning — partition
+    * predicates stay conservative on them) under the commit's data
+    * sequence number, so equality tombstones written later apply
+    * normally. Compaction / CoW rewrites re-emit touched imported rows
+    * as native ID-stamped files, lazily upgrading the table.
+    *
+    * Refused loudly: a source column type differing from the schema
+    * (nullability aside), files carrying a column name the frozen
+    * mapping binds to a DIFFERENT field (those bytes would silently go
+    * unread), re-registering an already-live path, and a directory with
+    * no schema-matching columns. */
+  def addFiles(spark: SparkSession, srcDir: String): CommitReport = {
+    refresh()
+    val m = meta
+    val fileTypes = spark.read.parquet(srcDir).schema.fields
+      .map(f => f.name -> f.dataType).toMap
+    val idToImported = m.nameMapping.map(_.swap)
+    // the name each field resolves by in mapped reads: frozen, else current
+    val resolveNames = schema.fields.toSeq.map { f =>
+      f -> m.fieldIds.get(f.name).flatMap(idToImported.get).getOrElse(f.name) }
+    val present = resolveNames.filter { case (_, rn) => fileTypes.contains(rn) }
+    require(present.nonEmpty,
+      s"addFiles($srcDir) on $name: none of the table's columns " +
+        s"(${schema.fieldNames.mkString(", ")}) appear in the source files")
+    present.foreach { case (f, rn) =>
+      val ft = fileTypes(rn)
+      require(org.apache.spark.sql.types.DataType.equalsStructurally(
+        ft, f.dataType, ignoreNullability = true),
+        s"addFiles($srcDir) on $name: column $rn is ${ft.simpleString} in the " +
+          s"source files but ${f.dataType.simpleString} in the table — cast " +
+          "and rewrite the files, or evolve the table schema first")
+    }
+    // a file column under a CURRENT name whose field froze a DIFFERENT
+    // import name would be silently unread at mapped-read time — refuse
+    val shadowed = schema.fields.filter { f =>
+      fileTypes.contains(f.name) &&
+        m.fieldIds.get(f.name).flatMap(idToImported.get).exists(_ != f.name) }
+    require(shadowed.isEmpty,
+      s"addFiles($srcDir) on $name: column(s) ${shadowed.map(_.name).mkString(", ")} " +
+        "were first imported under their pre-rename names and the name mapping " +
+        "froze there — compact() to materialize imported files, then retry")
+    // footer stats matched by the resolve names, keyed by current field IDs
+    val importSchema = StructType(present.map { case (f, rn) =>
+      org.apache.spark.sql.types.StructField(rn, f.dataType, nullable = true) })
+    val importIds = present.flatMap { case (f, rn) =>
+      m.fieldIds.get(f.name).map(rn -> _) }.toMap
+    val entries = StatsHarvester.harvest(spark, srcDir, importSchema, Nil, importIds)
+      .map(_.copy(specId = m.currentSpecId, nameMapped = true))
+    require(entries.nonEmpty,
+      s"addFiles($srcDir) on $name: no non-empty parquet files in the directory")
+    val live = m.currentFiles.map(_.path).toSet
+    val dup = entries.filter(e => live(e.path))
+    require(dup.isEmpty, s"addFiles($srcDir) on $name: already-registered " +
+      s"file(s) ${dup.map(_.path).mkString(", ")}")
+    // names not yet frozen for these fields freeze NOW — inside the
+    // commit CAS, revalidated against the winner's mapping on retry
+    val mappingDelta = present.flatMap { case (f, rn) =>
+      m.fieldIds.get(f.name).filterNot(idToImported.contains).map(id => rn -> id) }
+    commitSnapshot("append", entries, Nil,
+      extraSummary = Map("added-files-source" -> srcDir),
+      transformMeta = { latest =>
+        mappingDelta.foreach { case (n, id) =>
+          if (latest.nameMapping.get(n).exists(_ != id))
+            throw new CommitConflictException(
+              s"addFiles on $name raced a conflicting import binding column $n")
+        }
+        latest.copy(nameMapping = latest.nameMapping ++ mappingDelta)
+      })
+  }
 
   /** Exactly-once append for streaming micro-batches: `sinkId` scopes
     * the ledger to one logical stream (a NEW checkpoint = a new sink
@@ -541,6 +664,14 @@ final class LakeTable private[lake] (
               s"$from has no field ID (table predates nested field IDs); " +
                 "rewrite the table (overwrite + compact) before renaming " +
                 "nested fields")
+            // addFiles-imported files resolve their struct INTERNALS by
+            // name (foreign footers carry no nested field IDs either) —
+            // a nested rename would silently null the field in them
+            require(!m.snapshots.exists(_.files.exists(_.nameMapped)),
+              s"cannot rename nested field $from while addFiles-imported " +
+                "files are reachable: imported footers resolve struct " +
+                "internals by name; compact() (and expire old snapshots) " +
+                "to materialize them first")
             m.copy(
               schema = LakeTable.mapStructAt(m.schema, parent)(st =>
                 org.apache.spark.sql.types.StructType(st.fields.map(f =>
@@ -1478,7 +1609,12 @@ final class LakeTable private[lake] (
       addedEqDeletes: Seq[DataFileEntry] = Nil,
       dropDeletes: Boolean = false,
       toBranch: Option[String] = None,
-      stageOnly: Boolean = false): CommitReport = {
+      stageOnly: Boolean = false,
+      // extra metadata transform applied to the committed result INSIDE
+      // the CAS (addFiles rides its name-mapping freeze on this) — runs
+      // against the winner's metadata on every retry, so it must be
+      // pure and may throw CommitConflictException
+      transformMeta: TableMetadata => TableMetadata = identity): CommitReport = {
     val t0 = System.nanoTime()
     // branch commits: appends AND row-level ops (CoW rewrites, MoR
     // tombstones) land on the branch head — the full WAP story for
@@ -1670,7 +1806,7 @@ final class LakeTable private[lake] (
           throw new IllegalArgumentException(
             s"wap.id '$id' was already staged or published on $name")
       }
-      toBranch match {
+      transformMeta(toBranch match {
         // a branch commit advances the BRANCH head; main is untouched
         case Some(b) => latest.copy(snapshots = latest.snapshots :+ snap,
           // advance the head IN PLACE: retention fields survive commits
@@ -1685,7 +1821,7 @@ final class LakeTable private[lake] (
             properties = withProps)
         case None => latest.copy(snapshots = latest.snapshots :+ snap,
           currentSnapshotId = newId, properties = withProps)
-      }
+      })
     }
     meta = next
     version = v
@@ -1909,4 +2045,15 @@ final class LakeScan private[lake] (
   /** Does this scan's snapshot carry live tombstones? (The SQL read
     * path cannot subtract them and must refuse loudly.) */
   private[lake] def hasLiveDeletes: Boolean = deleteFiles.nonEmpty
+
+  /** Does this scan require the engine's read path? True when the
+    * snapshot carries live tombstones (anti-join subtraction) OR the
+    * pruned file set includes [[LakeTable.addFiles]]-imported files
+    * (ID-less footers resolve through the name mapping, which the
+    * direct parquet-source path cannot do — an ID-expecting read over
+    * them THROWS, and name matching would null renamed columns). The
+    * SQL layer substitutes [[toDF]] for such scans, or refuses loudly
+    * without the extensions. */
+  private[lake] def needsEngineRead: Boolean =
+    hasLiveDeletes || planFiles.exists(_.nameMapped)
 }

@@ -112,7 +112,15 @@ final case class DataFileEntry(
     // for equality-delete entries only: the FIELD IDS of the key
     // columns this file tombstones on (rename-proof, like everything
     // else in the manifest); empty for data and positional entries
-    eqFieldIds: Seq[Int] = Nil)
+    eqFieldIds: Seq[Int] = Nil,
+    // true for files REGISTERED in place by addFiles (Iceberg's
+    // add_files/migrate): foreign parquet written outside the engine,
+    // so its footers carry NO field IDs. Reads resolve its columns
+    // through [[TableMetadata.nameMapping]] (import-time names) instead
+    // of parquet field IDs; compaction/CoW rewrites emit native
+    // ID-stamped files, clearing the flag. Pre-import manifests read
+    // back false (every engine-written file carries IDs).
+    nameMapped: Boolean = false)
 
 /** Pointer to one immutable manifest document plus the rollup counts
   * file planning needs WITHOUT loading it (totals, live-file count).
@@ -247,7 +255,15 @@ final case class TableMetadata(
     // A TAG pins a snapshot immutably; a BRANCH is an advanceable head
     // that branch commits move. "main" is implicit (currentSnapshotId)
     // and never appears here. Snapshot expiry always keeps ref targets.
-    refs: Map[String, TableRef] = Map.empty) {
+    refs: Map[String, TableRef] = Map.empty,
+    // Name mapping (Iceberg's schema.name-mapping.default): import-time
+    // column name → field ID, FROZEN when [[LakeTable.addFiles]] first
+    // registers foreign (ID-less) parquet carrying that column. Reads
+    // of nameMapped files request these names and alias to the current
+    // schema — a column renamed AFTER import keeps resolving in
+    // imported files because the mapping still carries the name their
+    // footers were written under. Empty until the first import.
+    nameMapping: Map[String, Int] = Map.empty) {
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   def currentFiles: Seq[DataFileEntry] = currentSnapshot.map(_.files).getOrElse(Nil)
@@ -356,7 +372,10 @@ object MetadataJson {
       s""""minValues":${strMap(f.minValues)},"maxValues":${strMap(f.maxValues)},""" +
       s""""nullCounts":${longMap(f.nullCounts)},"partitionValues":${strMap(f.partitionValues)},""" +
       s""""specId":${f.specId},"seq":${f.seq},""" +
-      s""""eqFieldIds":${f.eqFieldIds.mkString("[", ",", "]")}}"""
+      s""""eqFieldIds":${f.eqFieldIds.mkString("[", ",", "]")}""" +
+      // emitted only when set: pre-import manifest documents stay
+      // byte-identical (their readers default the field to false)
+      (if (f.nameMapped) ""","nameMapped":true""" else "") + "}"
 
   private def snapshotJson(s: Snapshot): String =
     s"""{"id":${s.id},"parentId":${s.parentId.map(_.toString).getOrElse("null")},""" +
@@ -378,6 +397,12 @@ object MetadataJson {
           s",\"createdAtMs\":${r.createdAtMs}" +
           r.maxRefAgeMs.fold("")(a => s",\"maxRefAgeMs\":$a") + "}"
       }.mkString("{", ",", "}")},""" +
+      // emitted only once an import froze names: pre-import metadata
+      // documents stay byte-identical (readers default to empty)
+      (if (m.nameMapping.nonEmpty)
+        s""""nameMapping":${m.nameMapping.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")},"""
+      else "") +
       s""""spec":${specJson(m.spec)},""" +
       s""""specLog":${m.allSpecs.map(specJson).mkString("[", ",", "]")},""" +
       s""""snapshots":${m.snapshots.map(snapshotJson).mkString("[", ",", "]")},""" +
@@ -429,7 +454,8 @@ object MetadataJson {
     specId = Option(n.get("specId")).map(_.asInt()).getOrElse(0),
     seq = Option(n.get("seq")).map(_.asLong()).getOrElse(0L),
     eqFieldIds = Option(n.get("eqFieldIds"))
-      .map(_.elements().asScala.map(_.asInt()).toSeq).getOrElse(Nil))
+      .map(_.elements().asScala.map(_.asInt()).toSeq).getOrElse(Nil),
+    nameMapped = Option(n.get("nameMapped")).exists(_.asBoolean()))
 
   private def parseSpec(n: JsonNode): Seq[PartitionField] =
     n.elements().asScala
@@ -485,7 +511,10 @@ object MetadataJson {
             createdAtMs = Option(e.getValue.get("createdAtMs"))
               .map(_.asLong()).getOrElse(0L),
             maxRefAgeMs = Option(e.getValue.get("maxRefAgeMs")).map(_.asLong()))
-        }.toMap).getOrElse(Map.empty)
+        }.toMap).getOrElse(Map.empty),
+      nameMapping = Option(n.get("nameMapping"))
+        .map(m => m.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap)
+        .getOrElse(Map.empty)
     ).withFieldIdDefaults // ad-hoc documents get positional IDs
   }
 }

@@ -211,7 +211,20 @@ private[sql] final class LakeMicroBatchStream(
       val parentPaths = s.parentId.flatMap(m.snapshot)
         .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
       s.operation match {
-        case "append" => s.files.filterNot(f => parentPaths(f.path))
+        case "append" =>
+          val fresh = s.files.filterNot(f => parentPaths(f.path))
+          // addFiles-imported files carry no parquet field IDs — the
+          // stream's ID-based vectorized read cannot resolve them, and
+          // by-name matching would silently null renamed columns.
+          // Refuse loudly (the batch path reads them through the name
+          // mapping; a stream consumer should batch-read the import or
+          // restart from a post-import offset)
+          if (fresh.exists(_.nameMapped)) throw new UnsupportedOperationException(
+            s"streaming read of ${lt.name} hit an addFiles import " +
+              s"(snapshot ${s.id}): imported files carry no field IDs and " +
+              "cannot stream; read the import as a batch (or start the " +
+              "stream from a snapshot past it via stream-from-snapshot)")
+          fresh
         case "replace" => Nil // compaction: same rows in new files — not new data
         case op =>
           if (!skipMutations) throw new UnsupportedOperationException(

@@ -141,6 +141,19 @@ private[sql] object LakeProcedures {
       }
     },
 
+    "add_files" -> new LakeProcedure(lake, "add_files",
+      Seq("table" -> StringType, "source_dir" -> StringType),
+      StructType(Seq(
+        StructField("added_files_count", LongType, nullable = false),
+        StructField("added_rows_count", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val r = table(args).addFiles(SparkSession.active,
+          args.getUTF8String(1).toString)
+        new GenericInternalRow(Array[Any](
+          r.addedDataFiles.toLong, r.addedRecords))
+      }
+    },
+
     "remove_orphan_files" -> new LakeProcedure(lake, "remove_orphan_files",
       Seq("table" -> StringType, "older_than_ms" -> LongType),
       StructType(Seq(

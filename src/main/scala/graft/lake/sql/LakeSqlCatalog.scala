@@ -661,12 +661,13 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       // refusal is the safety net for a session running the catalog
       // WITHOUT the extensions — resurrecting MoR-deleted rows is never
       // an acceptable degradation.
-      if (scan.hasLiveDeletes)
+      if (scan.needsEngineRead)
         throw new UnsupportedOperationException(
-          s"${lt.name} carries live merge-on-read delete files and this " +
-            "session does not have graft.lake.sql.LakeSqlExtensions " +
-            "installed; install the extensions (spark.sql.extensions), " +
-            "run compact() to materialize the tombstones, or read " +
+          s"${lt.name} carries live merge-on-read delete files or " +
+            "addFiles-imported (ID-less) data files and this session does " +
+            "not have graft.lake.sql.LakeSqlExtensions installed; install " +
+            "the extensions (spark.sql.extensions), run compact() to " +
+            "materialize tombstones / imported files natively, or read " +
             "through the Scala API")
       mkParquetTable(scan.planFiles.map(_.path))
         .newScanBuilder(options)

@@ -137,7 +137,7 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
   private def morPlan(r: DataSourceV2Relation, t: LakeSqlTable,
       pred: LakePredicate): Option[LogicalPlan] = {
     val scan = t.fullScan(pred)
-    if (!scan.hasLiveDeletes) None
+    if (!scan.needsEngineRead) None
     else {
       val inner = PlanBridge.analyzedPlan(scan.toDF(SparkSession.active))
       // rebind to the relation's attribute ids: schema order and names

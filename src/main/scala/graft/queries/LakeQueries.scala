@@ -189,6 +189,25 @@ object LakeQueries {
     t.newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** In-place migration (Iceberg's add_files): foreign parquet written
+    * WITHOUT engine field IDs registers as ONE metadata commit — no
+    * byte rewritten — with footer stats pruning from the first scan.
+    * The post-import column RENAME proves the frozen name mapping:
+    * imported files resolve the renamed column by their import-time
+    * name, exactly like native files resolve it by field ID. */
+  def lakeAddFiles(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val ext = Files.createTempDirectory("graft_lake_ext_").toString
+    src.repartitionByRange(4, col("o_orderkey"))
+      .write.mode("overwrite").parquet(ext)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_af", src.schema)
+    t.addFiles(s, ext)
+    t.refresh().renameColumn("o_totalprice", "o_price")
+    t.refresh().newScan(LakePredicate.Ge("o_price", Double.box(100000.0)))
+      .toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Branch-scoped mutations (WAP for row-level ops): a CoW delete and
     * update stage on a branch — main untouched until fastForward
     * publishes the audited state. */
@@ -636,6 +655,7 @@ object LakeQueries {
     "lake_delete_cow" -> lakeDeleteCow,
     "lake_delete_mor" -> lakeDeleteMor,
     "lake_rewrite_deletes" -> lakeRewriteDeletes,
+    "lake_add_files" -> lakeAddFiles,
     "lake_branch_mutations" -> lakeBranchMutations,
     "lake_sql_wap" -> lakeSqlWap,
     "lake_update_cow" -> lakeUpdateCow,
@@ -747,6 +767,13 @@ object LakeQueries {
     // rewrite_position_deletes retired every tombstone
     "lake_rewrite_deletes" ->
       "SELECT * FROM orders WHERE NOT (o_totalprice >= 400000.0) ORDER BY o_orderkey",
+    // in-place import + post-import rename: imported (ID-less) files
+    // resolve o_price by the frozen import-time name o_totalprice
+    "lake_add_files" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice AS o_price, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_totalprice >= 100000.0
+        |ORDER BY o_orderkey""".stripMargin,
     // staged delete (F rows) + staged update (O rows get 9-STAGED),
     // published via fastForward
     "lake_branch_mutations" ->
