@@ -622,10 +622,24 @@ final class LakeTable private[lake] (
               // a struct column retires its nested-path IDs with it
               fieldIds = m.fieldIds.view.filterKeys(k =>
                 k != colName && !k.startsWith(colName + ".")).toMap)
-          case SchemaChange.Widen(colName, _) if colName.contains('.') =>
-            throw new UnsupportedOperationException(
-              s"cannot widen nested field $colName: type changes apply to " +
-                "top-level columns only")
+          case SchemaChange.Widen(colName, to) if colName.contains('.') =>
+            val segs = colName.split('.').toSeq
+            val (parent, leaf) = (segs.init, segs.last)
+            val pst = LakeTable.structAt(m.schema, parent).getOrElse(
+              throw new IllegalArgumentException(
+                s"${parent.mkString(".")} is not a struct column of $name"))
+            require(pst.fieldNames.contains(leaf), s"no such field $colName")
+            val from = pst(leaf).dataType
+            require(LakeTable.losslessWidening(from, to),
+              s"cannot change $colName: ${from.simpleString} → ${to.simpleString} " +
+                "is not a lossless widening (allowed: tinyint/smallint/int → a " +
+                "wider integral, float → double)")
+            // same contract as the top-level widen: metadata-only, the
+            // dotted path keeps its field ID, and the parquet reader
+            // widens the nested leaf's narrower physical values at read
+            m.copy(schema = LakeTable.mapStructAt(m.schema, parent)(st =>
+              org.apache.spark.sql.types.StructType(st.fields.map(f =>
+                if (f.name == leaf) f.copy(dataType = to) else f))))
           case SchemaChange.Widen(colName, to) =>
             require(m.schema.fieldNames.contains(colName), s"no such column $colName")
             val from = m.schema(colName).dataType

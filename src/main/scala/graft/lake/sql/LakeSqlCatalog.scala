@@ -177,11 +177,6 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
     val ns = ns1(ident.namespace)
     if (!lake.tableExists(ns, ident.name)) throw new NoSuchTableException(ident)
     val t = lake.loadTable(ns, ident.name)
-    def one(fieldNames: Array[String]): String = fieldNames match {
-      case Array(n) => n
-      case other => throw new UnsupportedOperationException(
-        s"nested column ${other.mkString(".")} is not supported")
-    }
     def path(fieldNames: Array[String]): String = fieldNames.mkString(".")
     def pathExists(p: Array[String]): Boolean =
       graft.lake.TableMetadata.fieldPaths(t.schema).contains(path(p))
@@ -221,9 +216,10 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
       case ren: TableChange.RenameColumn =>
         SchemaChange.Rename(path(ren.fieldNames), ren.newName())
       case up: TableChange.UpdateColumnType =>
-        // lossless widening only; anything else refuses inside the
-        // atomic transform BEFORE any change commits
-        SchemaChange.Widen(one(up.fieldNames), up.newDataType())
+        // lossless widening only (top-level OR a dotted path into a
+        // struct); anything else refuses inside the atomic transform
+        // BEFORE any change commits
+        SchemaChange.Widen(path(up.fieldNames), up.newDataType())
       case del: TableChange.DeleteColumn =>
         // ifExists is resolved inside the atomic transform via the Drop
         // validation; a missing optional column simply contributes no

@@ -76,11 +76,12 @@ class NestedTypesSpec extends LakeSuite {
       === nestedDF.filter(col("s._2") > 500).count())
     assert(spark.sql("SELECT sum(arr[0]) FROM nest.ns.t").head.getDouble(0)
       === nestedDF.select(sum(element_at(col("arr"), 1))).head.getDouble(0))
-    // TYPE changes inside a struct stay out of the model: refuse, never
-    // half-apply
+    // nested TYPE changes take the same lossless-widening contract as
+    // top-level ones (WidenSpec covers the allowed set); a lossy change
+    // refuses, never half-applies
     val e = intercept[Exception](
       spark.sql("ALTER TABLE nest.ns.t ALTER COLUMN s.x TYPE DOUBLE"))
-    assert(e.getMessage.contains("nested"))
+    assert(e.getMessage.contains("lossless"))
   }
 
   test("nested-field add/rename/drop: ID-addressed, metadata-only, old files resolve") {

@@ -79,4 +79,59 @@ class WidenSpec extends LakeSuite {
     // narrowing refuses through SQL too
     intercept[Exception](spark.sql("ALTER TABLE wd.ns.t ALTER COLUMN i TYPE INT"))
   }
+
+  test("nested field widens in place: old files' narrower leaves read widened, new files mix") {
+    import spark.implicits._
+    val df = (1 to 60).map(i => (i, (s"t$i", i, i * 1.5f))).toDF("id", "s")
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "nw", df.schema)
+    t.appendData(df, numFiles = 2)
+
+    t.refresh().alterSchema(Seq(
+      SchemaChange.Widen("s._2", LongType), SchemaChange.Widen("s._3", DoubleType)))
+    val st = t.refresh().schema("s").dataType.asInstanceOf[StructType]
+    assert(st("_2").dataType === LongType)
+    assert(st("_3").dataType === DoubleType)
+
+    // old files (int/float leaves) read back widened, values intact
+    val back = t.newScan().toDF(spark)
+    assert(back.select(sum("s._2")).head.getLong(0) === (1 to 60).map(_.toLong).sum)
+
+    // new files land with the wide types and both generations mix
+    val more = (61 to 80).map(i => (i, (s"t$i", i.toLong, i * 1.5d))).toDF("id", "s")
+    t.refresh().appendData(more)
+    val all = t.refresh().newScan().toDF(spark)
+    assert(all.select(sum("s._2")).head.getLong(0) === (1 to 80).map(_.toLong).sum)
+    assert(math.abs(all.select(sum("s._3")).head.getDouble(0) -
+      (1 to 80).map(_ * 1.5d).sum) < 1e-6)
+
+    // nested rename AFTER the widen still resolves by field ID
+    t.refresh().renameColumn("s._2", "cnt")
+    assert(t.refresh().newScan().toDF(spark)
+      .select(sum("s.cnt")).head.getLong(0) === (1 to 80).map(_.toLong).sum)
+
+    // narrowing / non-numeric nested changes refuse
+    intercept[IllegalArgumentException](
+      t.refresh().widenColumn("s.cnt", IntegerType))
+    intercept[IllegalArgumentException](
+      t.refresh().widenColumn("s._1", LongType))
+
+    // SQL surface: ALTER COLUMN s.f TYPE BIGINT on a DDL-created table
+    val wh2 = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.wn", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.wn.warehouse", wh2)
+    try {
+      spark.sql("CREATE NAMESPACE wn.ns")
+      spark.sql("CREATE TABLE wn.ns.t (id INT, s STRUCT<a: STRING, n: INT>)")
+      val t2 = LakeCatalog.open(wh2).loadTable("ns", "t")
+      val src = (1 to 30).map(i => (i, (s"a$i", i))).toDF("id", "s")
+      t2.appendData(src.select(col("id"), col("s").cast(t2.schema("s").dataType)))
+      spark.sql("ALTER TABLE wn.ns.t ALTER COLUMN s.n TYPE BIGINT")
+      assert(spark.sql("SELECT sum(s.n) FROM wn.ns.t").head.getLong(0)
+        === (1 to 30).map(_.toLong).sum)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.wn")
+      spark.conf.unset("spark.sql.catalog.wn.warehouse")
+    }
+  }
 }
