@@ -494,7 +494,69 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PII redaction: email / US-phone / IPv4 patterns replaced with
+    * typed placeholders, plus a per-doc extraction count. The corpus
+    * text is synthetic, so deterministic PII is APPENDED from doc_id
+    * before redaction — the patterns then provably fire on every row
+    * (a no-op redaction would verify nothing). Pure per-row narrow
+    * work: no shuffle, codegen regexes — at 100 TB this is a
+    * map-only pass. Patterns restricted to the RE2-compatible subset
+    * so the oracle's regex engine agrees byte-for-byte. */
+  def qPiiRedact(s: SparkSession, d: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val raw = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+    documents(s, d).select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("redacted"),
+        size(regexp_extract_all(col("raw"), lit(email), lit(0))).cast("long").as("n_emails"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Repetition statistics (the Gopher-style quality filters): per-doc
+    * token totals, distinct counts, the top token's frequency share,
+    * and the duplicate-token fraction. Two partial-aggregated shuffles
+    * on (doc_id, token) then doc_id — both narrow-keyed, no window. */
+  def qRepetitionStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(wordsCol).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum("n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(max(col("n")).cast("double") / sum(col("n")), 6).as("top_token_frac"),
+        round(lit(1.0) - count(lit(1)).cast("double") / sum(col("n")), 6)
+          .as("dup_token_frac"))
+      .orderBy(col("doc_id"))
+
+  /** Stratified sampling: per-language rates (en 50%, de 20%, rest
+    * 10%) over the SAME engine-independent multiplicative hash as
+    * [[qTrainTestSplit]] — reproducible across engines/runs, and a
+    * pure filter: no shuffle before the small per-stratum rollup.
+    * The domain-mixing primitive of a training-data pipeline. */
+  def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000L))
+    val rate = when(col("lang") === "en", 500L)
+      .when(col("lang") === "de", 200L).otherwise(100L)
+    documents(s, d).filter(bucket < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_redact" -> qPiiRedact,
+    "repetition_stats" -> qRepetitionStats,
+    "stratified_sample" -> qStratifiedSample,
     "dedup_exact" -> qDedupExact,
     "dedup_ngram_jaccard" -> qNgramJaccard,
     "dedup_clusters" -> qDedupClusters,
@@ -513,6 +575,43 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "pii_redact" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 555-'
+        |      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |  len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+        |FROM raw ORDER BY doc_id""".stripMargin,
+    "repetition_stats" ->
+      """WITH cnt AS (
+        |  SELECT doc_id, token, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY doc_id, token)
+        |SELECT doc_id,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_distinct,
+        |  round(max(n) * 1.0 / sum(n), 6) AS top_token_frac,
+        |  round(1.0 - count(*) * 1.0 / sum(n), 6) AS dup_token_frac
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  round(avg(n_chars), 4) AS avg_chars
+        |FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |  CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 200 ELSE 100 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keeper""".stripMargin,
