@@ -204,12 +204,20 @@ final class LakeTable private[lake] (
     * parquet's native by-name widening. */
   private def readMappedFiles(spark: SparkSession, paths: Seq[String],
       withPos: Boolean): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{col, expr, lit}
     val idToImported = meta.nameMapping.map(_.swap)
+    def defaultOf(f: org.apache.spark.sql.types.StructField): Option[String] =
+      meta.fieldIds.get(f.name).flatMap(meta.initialDefaults.get)
     val resolution = schema.fields.map(f =>
       (f, meta.fieldIds.get(f.name).flatMap(idToImported.get)))
     val reqSchema = StructType(resolution.collect { case (f, Some(imp)) =>
-      org.apache.spark.sql.types.StructField(imp, f.dataType, nullable = true) })
+      // existence-default metadata rides the mapped request too: an
+      // imported file missing a defaulted column reads the default
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+      defaultOf(f).foreach(md.putString(org.apache.spark.sql.catalyst.util
+        .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY, _))
+      org.apache.spark.sql.types.StructField(imp, f.dataType, nullable = true,
+        metadata = md.build()) })
     val posCols = if (withPos) Seq(
       col("_metadata.file_path").as(LakeTable.PosFileCol),
       col("_metadata.row_index").as(LakeTable.PosIdxCol)) else Nil
@@ -218,7 +226,12 @@ final class LakeTable private[lake] (
       .read.schema(reqSchema).parquet(paths: _*)
       .select(resolution.map {
         case (f, Some(imp)) => col(imp).as(f.name, f.metadata)
-        case (f, None) => lit(null).cast(f.dataType).as(f.name, f.metadata)
+        // a field added (with default) after import has no mapping
+        // entry: every imported file predates it, so the default IS
+        // its value there; without a default it projects null
+        case (f, None) => defaultOf(f)
+          .map(sql => expr(sql).cast(f.dataType).as(f.name, f.metadata))
+          .getOrElse(lit(null).cast(f.dataType).as(f.name, f.metadata))
       } ++ posCols: _*)
   }
 
@@ -522,6 +535,35 @@ final class LakeTable private[lake] (
   def addColumn(colName: String, dt: org.apache.spark.sql.types.DataType): LakeTable =
     alterSchema(Seq(SchemaChange.Add(colName, dt)))
 
+  /** Schema evolution: add a column with an INITIAL DEFAULT (Iceberg
+    * v3's initial-default). Rows written before the add read `default`
+    * instead of null — resolved per FILE through the parquet reader's
+    * existence-default machinery, so it is exact even across CoW
+    * rewrites and imports that interleave with the add. Metadata-only;
+    * rows written after must supply the column (writes materialize it),
+    * and rewrites materialize the default into real bytes. */
+  def addColumnWithDefault(colName: String,
+      dt: org.apache.spark.sql.types.DataType, default: Any): LakeTable = {
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(default, dt)
+    alterSchema(Seq(SchemaChange.AddWithDefault(colName, dt, lit.sql)))
+  }
+
+  /** Record an initial default for an EXISTING column — the CREATE
+    * TABLE (c INT DEFAULT 5) path, where the column and its default
+    * arrive together; on an already-written table use
+    * [[addColumnWithDefault]] (a default retroactively attached to a
+    * column with data files would rewrite history: nulls those files
+    * genuinely stored would start reading as the default). */
+  private[graft] def setInitialDefault(colName: String, defaultSql: String): LakeTable =
+    metadataChange { m =>
+      val id = m.fieldIds.getOrElse(colName,
+        throw new IllegalArgumentException(s"no such column $colName in $name"))
+      require(m.snapshots.isEmpty,
+        s"cannot attach a default to $colName after data exists; defaults " +
+          "attach at CREATE TABLE or via addColumnWithDefault")
+      m.copy(initialDefaults = m.initialDefaults + (id -> defaultSql))
+    }
+
   /** Schema evolution: drop a column (files keep the bytes; projection
     * ignores them). Its field ID retires with it. Partition sources
     * cannot be dropped. */
@@ -589,6 +631,23 @@ final class LakeTable private[lake] (
               fieldIds = m.fieldIds ++ newPaths.zipWithIndex.map {
                 case (p, i) => (p, m.lastAssignedFieldId + 1 + i) },
               lastAssignedFieldId = m.lastAssignedFieldId + newPaths.size)
+          case SchemaChange.AddWithDefault(colName, dt, defaultSql) =>
+            require(!colName.contains('.'),
+              s"initial defaults apply to top-level columns only, got $colName")
+            require(!(dt.isInstanceOf[org.apache.spark.sql.types.StructType] ||
+              dt.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+              dt.isInstanceOf[org.apache.spark.sql.types.MapType]),
+              s"initial defaults apply to atomic column types, got ${dt.simpleString}")
+            require(!m.schema.fieldNames.contains(colName),
+              s"column $colName already exists")
+            val newId = m.lastAssignedFieldId + 1
+            m.copy(
+              schema = org.apache.spark.sql.types.StructType(m.schema.fields :+
+                org.apache.spark.sql.types.StructField(colName, dt, nullable = true)),
+              fieldIds = m.fieldIds + (colName -> newId),
+              lastAssignedFieldId = newId,
+              // ID-keyed: renames never detach the default
+              initialDefaults = m.initialDefaults + (newId -> defaultSql))
           case SchemaChange.Drop(colName) if colName.contains('.') =>
             val segs = colName.split('.').toSeq
             val (parent, leaf) = (segs.init, segs.last)
@@ -616,12 +675,17 @@ final class LakeTable private[lake] (
             require(!m.fieldIds.get(colName).exists(id =>
               m.currentSnapshot.exists(_.eqDeleteFiles.exists(_.eqFieldIds.contains(id)))),
               s"$colName keys live equality-delete files; compact() first")
+            val retiredIds = m.fieldIds.collect { case (k, id)
+              if k == colName || k.startsWith(colName + ".") => id }.toSet
             m.copy(
               schema = org.apache.spark.sql.types.StructType(
                 m.schema.fields.filterNot(_.name == colName)),
               // a struct column retires its nested-path IDs with it
               fieldIds = m.fieldIds.view.filterKeys(k =>
-                k != colName && !k.startsWith(colName + ".")).toMap)
+                k != colName && !k.startsWith(colName + ".")).toMap,
+              // a dropped column's initial default retires with it
+              initialDefaults = m.initialDefaults.view
+                .filterKeys(!retiredIds(_)).toMap)
           case SchemaChange.Widen(colName, to) if colName.contains('.') =>
             val segs = colName.split('.').toSeq
             val (parent, leaf) = (segs.init, segs.last)

@@ -49,6 +49,15 @@ sealed trait SchemaChange
 object SchemaChange {
   final case class Add(name: String, dataType: org.apache.spark.sql.types.DataType)
       extends SchemaChange
+  /** Add a column with an INITIAL DEFAULT (Iceberg v3's initial-default
+    * / SQL `ADD COLUMN c T DEFAULT lit`): rows written BEFORE the add
+    * read the default instead of null — per FILE, not per snapshot
+    * (Spark's parquet reader fills a column absent from a file's footer
+    * from the requested schema's existence-default metadata). The
+    * default is a rendered SQL literal, top-level atomic columns only. */
+  final case class AddWithDefault(name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      defaultSql: String) extends SchemaChange
   final case class Drop(name: String) extends SchemaChange
   final case class Rename(from: String, to: String) extends SchemaChange
   /** Lossless type promotion (Iceberg's allowed set): the column keeps
@@ -263,7 +272,13 @@ final case class TableMetadata(
     // schema — a column renamed AFTER import keeps resolving in
     // imported files because the mapping still carries the name their
     // footers were written under. Empty until the first import.
-    nameMapping: Map[String, Int] = Map.empty) {
+    nameMapping: Map[String, Int] = Map.empty,
+    // Initial defaults (Iceberg v3): field ID → rendered SQL literal.
+    // A file whose footer LACKS the field reads the default instead of
+    // null — exactly per file, via the requested schema's
+    // existence-default metadata (Spark's parquet reader machinery).
+    // ID-keyed so renames never detach a default; Drop retires it.
+    initialDefaults: Map[Int, String] = Map.empty) {
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   def currentFiles: Seq[DataFileEntry] = currentSnapshot.map(_.files).getOrElse(Nil)
@@ -315,10 +330,22 @@ final case class TableMetadata(
           case _ => f
         }
         fieldIds.get(path) match {
-          case Some(id) => typed.copy(
-            metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          case Some(id) =>
+            val b = new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(typed.metadata)
-              .putLong("parquet.field.id", id.toLong).build())
+              .putLong("parquet.field.id", id.toLong)
+            // existence default: the parquet reader fills this field
+            // from the literal when a FILE's footer lacks it — the
+            // initial-default read semantic, exactly per file. The
+            // CURRENT_DEFAULT twin makes SQL INSERTs that omit the
+            // column fill it (Spark's ResolveDefaultColumns)
+            initialDefaults.get(id).foreach { sql =>
+              b.putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+                .EXISTS_DEFAULT_COLUMN_METADATA_KEY, sql)
+              b.putString(org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+                .CURRENT_DEFAULT_COLUMN_METADATA_KEY, sql)
+            }
+            typed.copy(metadata = b.build())
           case None => typed
         }
       })
@@ -402,6 +429,10 @@ object MetadataJson {
       (if (m.nameMapping.nonEmpty)
         s""""nameMapping":${m.nameMapping.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${q(k)}:$v" }.mkString("{", ",", "}")},"""
+      else "") +
+      (if (m.initialDefaults.nonEmpty)
+        s""""initialDefaults":${m.initialDefaults.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${q(k.toString)}:${q(v)}" }.mkString("{", ",", "}")},"""
       else "") +
       s""""spec":${specJson(m.spec)},""" +
       s""""specLog":${m.allSpecs.map(specJson).mkString("[", ",", "]")},""" +
@@ -514,6 +545,10 @@ object MetadataJson {
         }.toMap).getOrElse(Map.empty),
       nameMapping = Option(n.get("nameMapping"))
         .map(m => m.properties().asScala.map(e => e.getKey -> e.getValue.asInt()).toMap)
+        .getOrElse(Map.empty),
+      initialDefaults = Option(n.get("initialDefaults"))
+        .map(m => m.properties().asScala
+          .map(e => e.getKey.toInt -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty)
     ).withFieldIdDefaults // ad-hoc documents get positional IDs
   }

@@ -141,7 +141,38 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace.length == 1 && lake.tableExists(ident.namespace.head, ident.name)
 
+  /** DDL column DEFAULTs are accepted (SQL `CREATE TABLE (c INT
+    * DEFAULT 5)` / `ALTER TABLE ADD COLUMN c INT DEFAULT 5`): Spark
+    * folds them to literals before they reach the catalog; they land in
+    * the table metadata's ID-keyed initial-defaults. */
+  override def capabilities(): util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    // lift column DEFAULTs out of the field metadata (Spark encodes
+    // them as CURRENT/EXISTS_DEFAULT keys) into the ID-keyed
+    // initial-defaults; the stored schema stays metadata-clean and
+    // schemaWithFieldIds re-exposes them from the single source
+    val existsKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    val currentKey = org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .CURRENT_DEFAULT_COLUMN_METADATA_KEY
+    val defaults = schema.fields.collect {
+      case f if f.metadata.contains(existsKey) =>
+        f.name -> f.metadata.getString(existsKey)
+    }
+    val cleaned = StructType(schema.fields.map { f =>
+      val b = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(existsKey).remove(currentKey)
+      f.copy(metadata = b.build())
+    })
+    createTableWithDefaults(ident, cleaned, defaults, partitions, properties)
+  }
+
+  private def createTableWithDefaults(ident: Identifier, schema: StructType,
+      defaults: Seq[(String, String)],
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val spec = partitions.toSeq.map(LakeSqlCatalog.toPartitionField)
     // TBLPROPERTIES ('write.sort-order'='c1,c2') = the Scala API's
@@ -157,6 +188,9 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
     properties.asScala.foreach { case (k, v) =>
       if (k.startsWith("write.") && k != "write.sort-order")
         t.refresh().setProperty(k, v)
+    }
+    defaults.foreach { case (colName, sql) =>
+      t.refresh().setInitialDefault(colName, sql)
     }
     loadTable(ident)
   }
@@ -212,7 +246,16 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
         if (add.position() != null)
           throw new UnsupportedOperationException(
             "ADD COLUMN with FIRST/AFTER is not supported (columns append)")
-        SchemaChange.Add(path(add.fieldNames), add.dataType())
+        Option(add.defaultValue()) match {
+          case Some(dv) =>
+            // Spark hands the folded literal; render it as catalyst SQL
+            // text — the form both the INSERT filler and the parquet
+            // reader's existence-default machinery re-parse
+            val lit = org.apache.spark.sql.catalyst.expressions.Literal(
+              dv.getValue.value(), dv.getValue.dataType())
+            SchemaChange.AddWithDefault(path(add.fieldNames), add.dataType(), lit.sql)
+          case None => SchemaChange.Add(path(add.fieldNames), add.dataType())
+        }
       case ren: TableChange.RenameColumn =>
         SchemaChange.Rename(path(ren.fieldNames), ren.newName())
       case up: TableChange.UpdateColumnType =>

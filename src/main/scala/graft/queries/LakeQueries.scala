@@ -208,6 +208,21 @@ object LakeQueries {
       .toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Initial column defaults (Iceberg v3): a column added with a
+    * default reads the default from every file written BEFORE the add
+    * (per FILE, via the parquet reader's existence-default machinery),
+    * while post-add appends carry real values — all metadata-only. */
+  def lakeColumnDefaults(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_cd", src.schema)
+    t.appendData(src.filter(col("o_orderkey") % 2 === 0), numFiles = 2)
+    t.refresh().addColumnWithDefault("channel", org.apache.spark.sql.types.StringType, "legacy")
+    t.refresh().appendData(
+      src.filter(col("o_orderkey") % 2 === 1).withColumn("channel", lit("fresh")))
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Branch-scoped mutations (WAP for row-level ops): a CoW delete and
     * update stage on a branch — main untouched until fastForward
     * publishes the audited state. */
@@ -656,6 +671,7 @@ object LakeQueries {
     "lake_delete_mor" -> lakeDeleteMor,
     "lake_rewrite_deletes" -> lakeRewriteDeletes,
     "lake_add_files" -> lakeAddFiles,
+    "lake_column_defaults" -> lakeColumnDefaults,
     "lake_branch_mutations" -> lakeBranchMutations,
     "lake_sql_wap" -> lakeSqlWap,
     "lake_update_cow" -> lakeUpdateCow,
@@ -774,6 +790,13 @@ object LakeQueries {
         |  o_totalprice AS o_price, o_orderdate, o_orderpriority
         |FROM orders WHERE o_totalprice >= 100000.0
         |ORDER BY o_orderkey""".stripMargin,
+    // pre-add rows (even keys) read the initial default; post-add rows
+    // (odd keys) carry their written value
+    "lake_column_defaults" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN 'legacy' ELSE 'fresh' END AS channel
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // staged delete (F rows) + staged update (O rows get 9-STAGED),
     // published via fastForward
     "lake_branch_mutations" ->
