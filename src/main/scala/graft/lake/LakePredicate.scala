@@ -178,6 +178,29 @@ object Stats {
     case other => other.toString
   }
 
+  /** Canonical stat string → CATALYST value (micros/days stay integral,
+    * strings become UTF8String). Only the types whose manifest bounds
+    * are EXACT are decodable — the aggregate-pushdown surface refuses
+    * everything else (floats order NaN wrong, parquet may truncate
+    * string bounds, decimals carry no stats at all). */
+  def fromStatCatalyst(t: DataType, s: String): Option[Any] = t match {
+    case ByteType => Some(s.toByte)
+    case ShortType => Some(s.toShort)
+    case IntegerType | DateType => Some(s.toInt)
+    case LongType | TimestampType | _: TimestampNTZType => Some(s.toLong)
+    case BooleanType => Some(s.toBoolean)
+    case _ => None
+  }
+
+  /** Types whose manifest bounds are exact AND decodable — the only
+    * ones MIN/MAX aggregate pushdown may answer from. */
+  def boundsExact(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | DateType
+         | TimestampType | BooleanType => true
+    case _: TimestampNTZType => true
+    case _ => false
+  }
+
   /** Three-way compare of two canonical stat strings under a type. */
   def cmp(t: DataType, a: String, b: String): Int = t match {
     case ByteType | ShortType | IntegerType | LongType | TimestampType | DateType

@@ -2134,4 +2134,74 @@ final class LakeScan private[lake] (
     * without the extensions. */
   private[lake] def needsEngineRead: Boolean =
     hasLiveDeletes || planFiles.exists(_.nameMapped)
+
+  // ---- manifest-only aggregates (Iceberg's aggregate pushdown) ------
+  // At 100 TB these turn a full scan into a driver-side metadata read:
+  // COUNT/MIN/MAX answer from the manifests' recordCount / nullCount /
+  // exact bounds, touching ZERO data files. Every method returns None
+  // (caller falls back to a real scan) the moment exactness is at risk:
+  // live tombstones subtract unknown rows, a non-trivial predicate
+  // needs row-level evaluation, and per-column stats must cover every
+  // surviving file.
+
+  /** Can stats-only aggregation apply at all? Tombstones make counts
+    * overcount; a predicate needs rows. (Imported files are fine: their
+    * footer stats were harvested at [[LakeTable.addFiles]] time.) */
+  private def statsAggApplicable: Boolean =
+    !hasLiveDeletes && pred == LakePredicate.AlwaysTrue
+
+  /** COUNT(*) from manifests alone. */
+  def countStarFromStats: Option[Long] =
+    if (!statsAggApplicable) None
+    else Some(planFiles.map(_.recordCount).sum)
+
+  /** COUNT(col) — non-null rows — from manifests: needs a nullCount in
+    * EVERY surviving file (a file lacking one may predate the column,
+    * carry it untracked, or read an initial default there). */
+  def countColumnFromStats(colName: String): Option[Long] =
+    if (!statsAggApplicable) None
+    else for {
+      key <- table.metadata.statKey(colName)
+      counts = planFiles.map(f => f.nullCounts.get(key).map(f.recordCount - _))
+      if counts.forall(_.isDefined)
+    } yield counts.flatten.sum
+
+  /** MIN(col)/MAX(col) from manifest bounds. Exactness rules: the type
+    * must have exact decodable bounds ([[Stats.fromStatCatalyst]] —
+    * floats refuse on NaN ordering, strings on parquet bound
+    * truncation, decimals carry no stats); every surviving file must
+    * either have bounds or be provably all-null for the column
+    * (nullCount == recordCount) with no initial default attached
+    * (a default makes "column absent from the file" a real value, not
+    * null). Outer None = cannot answer; inner None = SQL NULL (all
+    * rows null). */
+  def minFromStats(colName: String): Option[Option[Any]] =
+    boundFromStats(colName, wantMin = true)
+  def maxFromStats(colName: String): Option[Option[Any]] =
+    boundFromStats(colName, wantMin = false)
+
+  private def boundFromStats(colName: String, wantMin: Boolean): Option[Option[Any]] = {
+    if (!statsAggApplicable) return None
+    val m = table.metadata
+    for {
+      key <- m.statKey(colName)
+      field <- m.schema.fields.find(_.name == colName)
+      hasDefault = m.fieldIds.get(colName).exists(m.initialDefaults.contains)
+      bounds = planFiles.map { f =>
+        val b = if (wantMin) f.minValues.get(key) else f.maxValues.get(key)
+        // a boundless file only drops out if it provably holds no value
+        b.orElse(if (!hasDefault && f.nullCounts.get(key).contains(f.recordCount))
+          Some(null) else None)
+      }
+      if bounds.forall(_.isDefined)
+      present = bounds.flatten.filter(_ != null).asInstanceOf[Seq[String]]
+      // the TYPE gate fires even when this snapshot has no values yet
+      if Stats.boundsExact(field.dataType)
+      best <- if (present.isEmpty) Some(None) else {
+        val sel = present.reduce((a, b) =>
+          if ((Stats.cmp(field.dataType, a, b) <= 0) == wantMin) a else b)
+        Stats.fromStatCatalyst(field.dataType, sel).map(Some(_))
+      }
+    } yield best
+  }
 }

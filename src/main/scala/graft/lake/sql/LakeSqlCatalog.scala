@@ -681,6 +681,57 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     }
   }
 
+  /** Iceberg-style AGGREGATE PUSHDOWN: a filterless global
+    * COUNT(*) / COUNT(col) / MIN(col) / MAX(col) answers straight from
+    * manifest stats — zero data files opened, zero tasks launched. At
+    * 100 TB this is the difference between a metadata lookup and a
+    * full-table scan. Complete-or-nothing: if ANY aggregate in the
+    * query can't be answered exactly (live tombstones, missing
+    * per-file stats, inexact bound types — floats order NaN wrong,
+    * parquet truncates string bounds — group-bys, DISTINCT), the whole
+    * pushdown declines and the normal scan path runs. Spark only
+    * attempts aggregate pushdown when no post-scan filter remains, and
+    * this builder reports every filter as residual, so a pushed
+    * aggregation is always global over the addressed snapshot. */
+  private def pushedAggResult(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.types.{LongType, StructField}
+    if (agg.groupByExpressions.nonEmpty) return None
+    val scan = fullScan()
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+        case _ => None
+      }
+    def typeOf(n: String) = lt.metadata.schema.fields.find(_.name == n).map(_.dataType)
+    val answered: Seq[Option[(StructField, Any)]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        scan.countStarFromStats.map(v =>
+          (StructField("count(*)", LongType, nullable = false), v: Any))
+      case c: Count if !c.isDistinct =>
+        for { n <- colOf(c.column); v <- scan.countColumnFromStats(n) }
+          yield (StructField(s"count($n)", LongType, nullable = false), v: Any)
+      case m: Min =>
+        for { n <- colOf(m.column); t <- typeOf(n); v <- scan.minFromStats(n) }
+          yield (StructField(s"min($n)", t, nullable = true), v.orNull)
+      case m: Max =>
+        for { n <- colOf(m.column); t <- typeOf(n); v <- scan.maxFromStats(n) }
+          yield (StructField(s"max($n)", t, nullable = true), v.orNull)
+      case _ => None
+    }
+    if (answered.exists(_.isEmpty)) None
+    else {
+      val fields = answered.flatten
+      Some((StructType(fields.map(_._1)),
+        Array[org.apache.spark.sql.catalyst.InternalRow](
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            fields.map(_._2).toArray))))
+    }
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     org.apache.spark.sql.graftbridge.ScanBridge.delegating({ pushed =>
       val pred = toLakePredicate(pushed)
@@ -739,6 +790,11 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
         }).planFiles
         (files.map(_.sizeBytes).sum, files.map(_.recordCount).sum)
       } catch { case scala.util.control.NonFatal(_) => (Long.MaxValue, Long.MaxValue) }
+    },
+    // best-effort like stats: a declined pushdown is just a normal scan
+    aggPushdown = Some { agg =>
+      try pushedAggResult(agg)
+      catch { case scala.util.control.NonFatal(_) => None }
     })
 }
 

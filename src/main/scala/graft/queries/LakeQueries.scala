@@ -518,6 +518,22 @@ object LakeQueries {
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Aggregate pushdown: a filterless global COUNT/MIN/MAX over a lake
+    * table answers from MANIFEST STATS alone — the physical plan is a
+    * driver-local scan, zero data files open, zero tasks launch
+    * (AggPushdownSpec proves the plan shape and that the answer
+    * survives deleting every data file). At 100 TB this is a metadata
+    * lookup standing in for a full-table scan. Shares the read-only
+    * lakesql table (appends only — no tombstones, so pushdown fires). */
+  def lakeAggPushdown(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlOrdersCatalog(sqlCatalogs, s, d, "lakesql")(_ => ())
+    s.sql(
+      s"""SELECT count(*) AS n_rows, count(o_orderstatus) AS n_status,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+         |FROM $catName.q.orders""".stripMargin)
+  }
+
   /** SQL row-level mutation end-to-end: DDL + append, then DELETE FROM
     * through the DSv2 SupportsDelete path (strict predicate conversion →
     * the transactional copy-on-write delete), read back with spark.sql.
@@ -672,6 +688,7 @@ object LakeQueries {
     "lake_rewrite_deletes" -> lakeRewriteDeletes,
     "lake_add_files" -> lakeAddFiles,
     "lake_column_defaults" -> lakeColumnDefaults,
+    "lake_agg_pushdown" -> lakeAggPushdown,
     "lake_branch_mutations" -> lakeBranchMutations,
     "lake_sql_wap" -> lakeSqlWap,
     "lake_update_cow" -> lakeUpdateCow,
@@ -790,6 +807,14 @@ object LakeQueries {
         |  o_totalprice AS o_price, o_orderdate, o_orderpriority
         |FROM orders WHERE o_totalprice >= 100000.0
         |ORDER BY o_orderkey""".stripMargin,
+    // answered from manifest stats on the Spark side (driver-local
+    // plan); the oracle recomputes from rows — equality IS the proof
+    // the metadata answer is exact
+    "lake_agg_pushdown" ->
+      """SELECT count(*) AS n_rows, count(o_orderstatus) AS n_status,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+        |FROM orders""".stripMargin,
     // pre-add rows (even keys) read the initial default; post-add rows
     // (odd keys) carry their written value
     "lake_column_defaults" ->

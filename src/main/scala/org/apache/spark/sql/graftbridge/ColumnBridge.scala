@@ -122,16 +122,43 @@ object ScanBridge {
     * just for stats would re-pay full file planning (and hit batch-only
     * refusals) on streaming relations. Without size estimates Spark
     * never auto-broadcasts a small lake dim in a join — a silent 100 TB
-    * shuffle regression, not a cosmetic gap. */
+    * shuffle regression, not a cosmetic gap.
+    *
+    * `aggPushdown` (optional): COMPLETE aggregate pushdown from the
+    * caller's metadata. Handed Spark's pushed `Aggregation`, it returns
+    * the finished result (schema + rows) or None to decline — on
+    * Some, `build()` answers with a driver-local scan and the query
+    * never touches a data file. Spark only attempts aggregate pushdown
+    * when no post-scan filter remains; this builder reports EVERY
+    * filter as residual, so a pushed aggregation here always comes from
+    * a filterless query — the caller's metadata answer is global. */
   def delegating(mkDelegate: Array[Filter] => FileScanBuilder,
       mkStream: Option[String => org.apache.spark.sql.connector.read.streaming.MicroBatchStream]
         = None,
       streamReadSchema: Option[StructType] = None,
-      stats: Option[Array[Filter] => (Long, Long)] = None): ScanBuilder =
+      stats: Option[Array[Filter] => (Long, Long)] = None,
+      aggPushdown: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+        => Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])]] = None)
+      : ScanBuilder =
     new ScanBuilder with SupportsPushDownCatalystFilters
-        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+        with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var exprs: Seq[Expression] = Nil
       private var required: Option[StructType] = None
+      private var aggResult
+          : Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = None
+
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        aggPushdown.exists(_(agg).isDefined)
+
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        // complete-or-nothing: a partial push would make Spark re-merge
+        // scan rows, and metadata answers are already final
+        aggResult = aggPushdown.flatMap(_(agg))
+        aggResult.isDefined
+      }
 
       override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
         exprs = filters
@@ -145,6 +172,16 @@ object ScanBridge {
         required = Some(requiredSchema)
 
       override def build(): Scan = {
+        aggResult match {
+          case Some((aggSchema, aggRows)) =>
+            // the aggregation was answered from metadata: a driver-local
+            // scan IS the result — zero files opened, zero tasks
+            return new org.apache.spark.sql.connector.read.LocalScan {
+              override def readSchema(): StructType = aggSchema
+              override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = aggRows
+            }
+          case None => ()
+        }
         lazy val translated = exprs.flatMap(e =>
           DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)).toArray
         def buildInner(): Scan = {
