@@ -64,6 +64,26 @@ private[lake] object DataFs {
     ()
   }
 
+  /** Whole-file byte I/O for deletion-vector blobs (small, write-once
+    * objects — one create per commit, read whole on the driver). */
+  def writeBytes(p: String, bytes: Array[Byte]): Unit = {
+    val h = new HPath(p)
+    val out = fsOf(h).create(h, false)
+    try out.write(bytes) finally out.close()
+  }
+
+  def readBytes(p: String): Array[Byte] = {
+    val h = new HPath(p)
+    val fs = fsOf(h)
+    val len = fs.getFileStatus(h).getLen.toInt
+    val in = fs.open(h)
+    try {
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+
   /** Modification time if the path exists ON A FILESYSTEM (metadata
     * documents held by a non-FS backend return None). */
   def mtime(p: LakePath): Option[Long] = {

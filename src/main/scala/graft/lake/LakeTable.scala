@@ -263,9 +263,12 @@ final class LakeTable private[lake] (
     * scan does not pay for tombstones of files it never reads
     * (Iceberg's delete-file-to-data-file indexing). */
   private def readLivePos(spark: SparkSession, files: Seq[DataFileEntry],
-      posDeletes: Seq[DataFileEntry], eqDeletes: Seq[DataFileEntry]): DataFrame = {
+      posDeletes: Seq[DataFileEntry], eqDeletes: Seq[DataFileEntry],
+      dvs: Seq[DataFileEntry] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.col
     var df = readFilesWithPos(spark, files)
+    val dvHits = LakeTable.narrowPosDeletes(dvs, files.map(_.path))
+    if (dvHits.nonEmpty) df = subtractDvs(spark, df, dvHits)
     val pos = LakeTable.narrowPosDeletes(posDeletes, files.map(_.path))
     if (pos.nonEmpty) {
       val tombstones = spark.read.schema(LakeTable.DeleteFileSchema)
@@ -277,6 +280,49 @@ final class LakeTable private[lake] (
     }
     if (eqDeletes.nonEmpty) df = applyEqDeletes(spark, df, files, eqDeletes)
     df
+  }
+
+  /** Subtract DELETION VECTORS (Iceberg v3 MoR): under the broadcast
+    * budget the compressed bitmaps themselves broadcast and tombstoned
+    * rows drop via a codegen'd map-side FILTER — no join, no shuffle,
+    * the scan stays one whole-stage-codegen span (the structural win
+    * DVs have over row-granular tombstones). Above the budget the blobs
+    * expand to (path, pos) rows IN EXECUTORS and subtract via a plain
+    * anti-join — degrades, never OOMs. A blob is read only for the
+    * entries that still reference it: a replaced (stale) DV sharing the
+    * blob with live ones must not resurrect its smaller delete set. */
+  private def subtractDvs(spark: SparkSession, df: DataFrame,
+      dvs: Seq[DataFileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val byBlob: Seq[(String, Set[String])] = dvs.groupBy(_.path)
+      .view.mapValues(_.map(LakeTable.dvRef).toSet).toSeq
+    if (dvs.map(_.sizeBytes).sum <= deleteBroadcastBudget) {
+      val map = new java.util.HashMap[String, DeleteVector]()
+      byBlob.foreach { case (blob, refs) =>
+        DeleteVector.readBlob(DataFs.readBytes(blob)).foreach { case (ref, dv) =>
+          if (refs(ref)) {
+            val prev = map.get(ref)
+            map.put(ref, if (prev == null) dv else prev.union(dv))
+          }
+        }
+      }
+      val bc = spark.sparkContext.broadcast(map)
+      df.filter(!graft.functions.DvContains.column(
+        col(LakeTable.PosFileCol), col(LakeTable.PosIdxCol), bc))
+    } else {
+      import spark.implicits._
+      val expanded = spark.sparkContext
+        .parallelize(byBlob, math.min(byBlob.size, 32))
+        .flatMap { case (blob, refs) =>
+          DeleteVector.readBlob(DataFs.readBytes(blob)).iterator
+            .filter { case (ref, _) => refs(ref) }
+            .flatMap { case (ref, dv) => dv.positions.map(p => (ref, p)) }
+        }.toDF("file_path", "pos")
+      df.join(expanded,
+        col(LakeTable.PosFileCol) === col("file_path") &&
+          col(LakeTable.PosIdxCol) === col("pos"),
+        "left_anti")
+    }
   }
 
   /** Tiny (path → sequence number) lookup frame, broadcast-joined onto
@@ -352,10 +398,11 @@ final class LakeTable private[lake] (
       snap: Option[Snapshot]): DataFrame = {
     val pos = snap.map(_.deleteFiles).getOrElse(Nil)
     val eqs = snap.map(_.eqDeleteFiles).getOrElse(Nil)
-    if (pos.isEmpty && eqs.isEmpty) readFiles(spark, files)
+    val dvs = snap.map(_.dvFiles).getOrElse(Nil)
+    if (pos.isEmpty && eqs.isEmpty && dvs.isEmpty) readFiles(spark, files)
     else {
       import org.apache.spark.sql.functions.col
-      readLivePos(spark, files, pos, eqs)
+      readLivePos(spark, files, pos, eqs, dvs)
         .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)): _*)
     }
   }
@@ -894,15 +941,18 @@ final class LakeTable private[lake] (
     val snap = meta.currentSnapshot
     val pos = snap.map(_.deleteFiles).getOrElse(Nil)
     val eqs = snap.map(_.eqDeleteFiles).getOrElse(Nil)
-    if (pos.isEmpty && eqs.isEmpty) None
+    val dvs = snap.map(_.dvFiles).getOrElse(Nil)
+    if (pos.isEmpty && eqs.isEmpty && dvs.isEmpty) None
     else {
       val live = meta.currentFiles
+      // DV targets come straight from the manifest entries — zero IO
       val posTargets: Set[String] =
-        if (pos.isEmpty) Set.empty
+        (if (pos.isEmpty) Set.empty[String]
         else spark.read.schema(LakeTable.DeleteFileSchema)
           .parquet(pos.map(_.path): _*)
           .select("file_path").distinct()
-          .collect().map(_.getString(0)).toSet
+          .collect().map(_.getString(0)).toSet) ++
+          dvs.map(LakeTable.dvRef)
       // an equality tombstone affects files STRICTLY older (seq) whose
       // key-column stats overlap the tombstone file's (both keyed by
       // table field IDs); missing stats keep the file — conservative,
@@ -1103,21 +1153,95 @@ final class LakeTable private[lake] (
       // already tombstoned by an earlier delete are not re-recorded
       val matched = readLivePos(spark, touched,
           snap.map(_.deleteFiles).getOrElse(Nil),
-          snap.map(_.eqDeleteFiles).getOrElse(Nil))
+          snap.map(_.eqDeleteFiles).getOrElse(Nil),
+          snap.map(_.dvFiles).getOrElse(Nil))
         .filter(F.coalesce(pred.toColumn, F.lit(false)))
         .select(F.col(LakeTable.PosFileCol).as("file_path"),
           F.col(LakeTable.PosIdxCol).as("pos"))
-      val dir = s"$location/data/${UUID.randomUUID}"
-      // tombstones clustered by data-file path: a wide delete still
-      // writes few, well-packed files, and per-file coordinates stay
-      // contiguous for the read-side join
-      matched
-        .repartitionByRange(math.max(1, touched.size / 16), F.col("file_path"))
-        .write.parquet(dir)
-      val added = StatsHarvester.harvest(spark, dir, LakeTable.DeleteFileSchema,
-        Nil, LakeTable.DeleteFieldIds).filter(_.recordCount > 0L)
-      commitSnapshot("delete", Nil, Nil, addedDeletes = added,
-        validateAddedSince = Some((base, pred)), toBranch = branch)
+      if (dvEnabled) {
+        val dvs = writeDeleteVectors(spark, matched,
+          snap.map(_.dvFiles).getOrElse(Nil))
+        commitSnapshot("delete", Nil, Nil, addedDvs = dvs,
+          validateAddedSince = Some((base, pred)), toBranch = branch)
+      } else {
+        val dir = s"$location/data/${UUID.randomUUID}"
+        // tombstones clustered by data-file path: a wide delete still
+        // writes few, well-packed files, and per-file coordinates stay
+        // contiguous for the read-side join
+        matched
+          .repartitionByRange(math.max(1, touched.size / 16), F.col("file_path"))
+          .write.parquet(dir)
+        val added = StatsHarvester.harvest(spark, dir, LakeTable.DeleteFileSchema,
+          Nil, LakeTable.DeleteFieldIds).filter(_.recordCount > 0L)
+        commitSnapshot("delete", Nil, Nil, addedDeletes = added,
+          validateAddedSince = Some((base, pred)), toBranch = branch)
+      }
+    }
+  }
+
+  /** Deletion vectors on? (`write.delete.vector.enabled` — the v3 MoR
+    * storage; positional (file_path, pos) parquet is the v2 default.
+    * Both kinds apply together at read, so flipping the property
+    * mid-life is safe: deletes are monotone and the formats union.) */
+  private def dvEnabled: Boolean =
+    meta.properties.get("write.delete.vector.enabled").contains("true")
+
+  /** Turn matched row coordinates into DELETION VECTORS: one compressed
+    * bitmap per touched data file, merged with the file's existing live
+    * DV (the at-most-one-live-DV-per-file invariant), all packed into
+    * ONE blob object for the commit — a million-row delete across 10k
+    * files writes one object, not 10k row-granular tombstone files.
+    * Bitmaps build DISTRIBUTED (executors see each file's coordinates
+    * sorted within one partition) and only the COMPRESSED bytes
+    * (~1 bit/row worst case) return to the driver, which merges and
+    * writes the blob — the same funnel Iceberg's DV writers commit
+    * through. Returns the manifest entries ([[LakeTable.dvEntry]]). */
+  private def writeDeleteVectors(spark: SparkSession, coords: DataFrame,
+      liveDvs: Seq[DataFileEntry]): Seq[DataFileEntry] = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte])] = coords
+      .repartition(col("file_path"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        // consecutive runs of one file → one DV, built streaming
+        new Iterator[(String, Array[Byte])] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): (String, Array[Byte]) = {
+            val path = buf.head._1
+            val positions = new scala.collection.mutable.ArrayBuffer[Long]()
+            while (buf.hasNext && buf.head._1 == path) positions += buf.next()._2
+            (path, DeleteVector.fromSorted(positions.iterator).serialize)
+          }
+        }
+      }.collect()
+    if (perFile.isEmpty) Nil
+    else {
+      val newRefs = perFile.map(_._1).toSet
+      // existing live DVs for the touched files: read each blob once,
+      // keeping only refs whose entries still point at it
+      val old: Map[String, DeleteVector] = liveDvs
+        .filter(e => newRefs(LakeTable.dvRef(e)))
+        .groupBy(_.path).toSeq.flatMap { case (blob, entries) =>
+          val want = entries.map(LakeTable.dvRef).toSet
+          DeleteVector.readBlob(DataFs.readBytes(blob))
+            .filter { case (ref, _) => want(ref) }
+        }.toMap
+      val merged: Seq[(String, DeleteVector, Array[Byte])] = perFile.toSeq.map {
+        case (ref, bytes) =>
+          val dv0 = DeleteVector.deserialize(bytes)
+          val dv = old.get(ref).map(dv0.union).getOrElse(dv0)
+          val out = if (old.contains(ref)) dv.serialize else bytes
+          (ref, dv, out)
+      }
+      val blobPath = s"$location/data/dv-${UUID.randomUUID}.gdv"
+      DataFs.writeBytes(blobPath, DeleteVector.writeBlob(
+        merged.map { case (ref, dv, _) => (ref, dv) }))
+      merged.map { case (ref, dv, bytes) =>
+        LakeTable.dvEntry(blobPath, ref, dv.cardinality, bytes.length.toLong)
+      }
     }
   }
 
@@ -1147,17 +1271,25 @@ final class LakeTable private[lake] (
       // see one consistent snapshot of a possibly-non-deterministic plan
       val matched = readLivePos(spark, touched,
           snap.map(_.deleteFiles).getOrElse(Nil),
-          snap.map(_.eqDeleteFiles).getOrElse(Nil))
+          snap.map(_.eqDeleteFiles).getOrElse(Nil),
+          snap.map(_.dvFiles).getOrElse(Nil))
         .filter(F.coalesce(pred.toColumn, F.lit(false)))
         .persist()
       try {
-        val tombDir = s"$location/data/${UUID.randomUUID}"
-        matched.select(F.col(LakeTable.PosFileCol).as("file_path"),
-            F.col(LakeTable.PosIdxCol).as("pos"))
-          .repartitionByRange(math.max(1, touched.size / 16), F.col("file_path"))
-          .write.parquet(tombDir)
-        val tombs = StatsHarvester.harvest(spark, tombDir, LakeTable.DeleteFileSchema,
-          Nil, LakeTable.DeleteFieldIds).filter(_.recordCount > 0L)
+        val coords = matched.select(F.col(LakeTable.PosFileCol).as("file_path"),
+          F.col(LakeTable.PosIdxCol).as("pos"))
+        val (tombs, dvs) =
+          if (dvEnabled)
+            (Nil, writeDeleteVectors(spark, coords,
+              snap.map(_.dvFiles).getOrElse(Nil)))
+          else {
+            val tombDir = s"$location/data/${UUID.randomUUID}"
+            coords
+              .repartitionByRange(math.max(1, touched.size / 16), F.col("file_path"))
+              .write.parquet(tombDir)
+            (StatsHarvester.harvest(spark, tombDir, LakeTable.DeleteFileSchema,
+              Nil, LakeTable.DeleteFieldIds).filter(_.recordCount > 0L), Nil)
+          }
         // rows are already filtered to the predicate: assignments apply
         // unconditionally (updateWhere's when(pred) guard is for whole-
         // file rewrites)
@@ -1166,6 +1298,7 @@ final class LakeTable private[lake] (
         }.select(schema.fieldNames.map(F.col): _*)
         val added = writeDataFiles(updated)
         commitSnapshot("overwrite", added, Nil, addedDeletes = tombs,
+          addedDvs = dvs,
           validateAddedSince = Some((base, pred)), toBranch = branch)
       } finally matched.unpersist(blocking = false)
     }
@@ -1603,7 +1736,7 @@ final class LakeTable private[lake] (
     // delete files live under data/ as parquet too — a surviving
     // snapshot's tombstones are as referenced as its data
     val referenced = meta.snapshots
-      .flatMap(s => (s.files ++ s.deleteFiles ++ s.eqDeleteFiles)
+      .flatMap(s => (s.files ++ s.deleteFiles ++ s.eqDeleteFiles ++ s.dvFiles)
         .map(f => norm(f.path))).toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val removed = scala.collection.mutable.Buffer.empty[String]
@@ -1611,7 +1744,8 @@ final class LakeTable private[lake] (
     // object-store warehouses (mtime comes from the store's own listing)
     DataFs.listFilesRecursive(LakePath(location).resolve("data")).foreach {
       case (p, mtimeMs) =>
-        if (p.endsWith(".parquet") && !referenced(norm(p)) && mtimeMs <= cutoff) {
+        if ((p.endsWith(".parquet") || p.endsWith(".gdv")) &&
+          !referenced(norm(p)) && mtimeMs <= cutoff) {
           DataFs.delete(p)
           removed += p
         }
@@ -1685,6 +1819,10 @@ final class LakeTable private[lake] (
       exactlyOnce: Option[(String, Long)] = None,
       addedDeletes: Seq[DataFileEntry] = Nil,
       addedEqDeletes: Seq[DataFileEntry] = Nil,
+      // deletion-vector entries (one per touched data file, all sharing
+      // the commit's blob path) — REPLACE any live DV for the same data
+      // files (the writer already merged them in)
+      addedDvs: Seq[DataFileEntry] = Nil,
       dropDeletes: Boolean = false,
       toBranch: Option[String] = None,
       stageOnly: Boolean = false,
@@ -1730,6 +1868,9 @@ final class LakeTable private[lake] (
       val addedEqDeleteRef = if (addedEqDeletes.nonEmpty)
         Some(catalog.writeManifest(md, addedEqDeletes.map(_.copy(seq = newId)),
           ManifestRef.EqDeletes)) else None
+      val addedDvRef = if (addedDvs.nonEmpty)
+        Some(catalog.writeManifest(md, addedDvs.map(_.copy(seq = newId)),
+          ManifestRef.Dv)) else None
       // Exactly-once ledger check INSIDE the CAS transform: a zombie
       // driver racing a replacement both pass any pre-check, but the
       // loser's CAS retry re-runs this transform against the winner's
@@ -1758,9 +1899,28 @@ final class LakeTable private[lake] (
       // positional-delete manifests ride alongside: carried unless this
       // op materialized them (compact) or replaced the table
       val prev = prevAll.filter(_.content == ManifestRef.Data)
-      val prevDeletes =
+      val prevDeletes0 =
         if (dropDeletes || replaceAll) Nil
         else prevAll.filter(_.content != ManifestRef.Data)
+      // at most ONE live DV per data file: this commit's DVs (already
+      // merged with the old ones by the writer) retire the stale
+      // entries — manifests that lose entries are rewritten, the rest
+      // carry over by reference
+      val prevDeletes =
+        if (addedDvs.isEmpty) prevDeletes0
+        else {
+          val replaced = addedDvs.map(LakeTable.dvRef).toSet
+          prevDeletes0.flatMap { m =>
+            if (m.content != ManifestRef.Dv) Some(m)
+            else {
+              val entries = io.readManifest(m.name)
+              val kept = entries.filterNot(e => replaced(LakeTable.dvRef(e)))
+              if (kept.size == entries.size) Some(m)
+              else if (kept.isEmpty) None
+              else Some(catalog.writeManifest(md, kept, ManifestRef.Dv))
+            }
+          }
+        }
       // Serializable validation: any file added since the base snapshot
       // whose stats overlap the op's predicate conflicts (conservative —
       // mayMatch can only over-approximate, so no conflict is missed).
@@ -1801,13 +1961,14 @@ final class LakeTable private[lake] (
           // data-column stats and always conflict — conservative, never
           // misses a resurrection.
           val baseDeletePaths = base.map(s =>
-            (s.deleteFiles ++ s.eqDeleteFiles).map(_.path).toSet)
+            (s.deleteFiles ++ s.eqDeleteFiles ++ s.dvFiles).map(_.path).toSet)
             .getOrElse(Set.empty[String])
           val deleteOverlap = prevAll.iterator
             .filter(m => m.content != ManifestRef.Data && !baseNames(m.name))
             .flatMap(m => io.readManifest(m.name).map(f => (m.content, f)))
             .filter { case (content, f) => !baseDeletePaths(f.path) &&
-              (content == ManifestRef.Deletes || pred.mayMatch(f, latest)) }
+              (content == ManifestRef.Deletes || content == ManifestRef.Dv ||
+                pred.mayMatch(f, latest)) }
           if (deleteOverlap.nonEmpty)
             throw new CommitConflictException(
               s"$op on $name conflicts with a concurrent commit: delete files " +
@@ -1845,7 +2006,7 @@ final class LakeTable private[lake] (
           untouched ++ survivorRef ++ addedRef
         }
       val manifests: Seq[ManifestRef] =
-        dataManifests ++ prevDeletes ++ addedDeleteRef ++ addedEqDeleteRef
+        dataManifests ++ prevDeletes ++ addedDeleteRef ++ addedEqDeleteRef ++ addedDvRef
       // ONE pointer per snapshot in the metadata document: the manifest
       // list (Iceberg's manifest-list layer). Without it each snapshot
       // entry would embed refs to every live manifest, and the log would
@@ -1869,9 +2030,12 @@ final class LakeTable private[lake] (
           ++ Map("added-data-files" -> added.size.toString,
             "removed-data-files" -> removedCount.toString,
             "added-records" -> added.map(_.recordCount).sum.toString,
-            "added-delete-files" -> (addedDeletes.size + addedEqDeletes.size).toString,
+            "added-delete-files" ->
+              (addedDeletes.size + addedEqDeletes.size + addedDvs.size).toString,
+            // DV cardinalities are positional deletes in v3 clothing
             "added-position-deletes" ->
-              addedDeletes.map(_.recordCount).sum.toString,
+              (addedDeletes.map(_.recordCount).sum +
+                addedDvs.map(_.recordCount).sum).toString,
             "added-equality-deletes" ->
               addedEqDeletes.map(_.recordCount).sum.toString))(io)
       val withProps = exactlyOnce.fold(latest.properties) { case (sinkId, batchId) =>
@@ -1923,7 +2087,8 @@ final class LakeTable private[lake] (
       totalDeleteFiles = deleteRefs.map(_.fileCount).sum,
       totalRecords = snap.totalRecords,
       totalFilesSizeInBytes = snap.totalSizeBytes,
-      totalPositionalDeletes = deleteRefs.filter(_.content == ManifestRef.Deletes)
+      totalPositionalDeletes = deleteRefs.filter(r =>
+        r.content == ManifestRef.Deletes || r.content == ManifestRef.Dv)
         .map(_.recordCount).sum,
       totalEqualityDeletes = eqRefs.map(_.recordCount).sum,
       totalDurationMs = (System.nanoTime() - t0) / 1000000L)
@@ -2027,6 +2192,21 @@ object LakeTable {
     * (delete manifests never enter data-predicate pruning). */
   private val DeleteFieldIds = Map("file_path" -> 1, "pos" -> 2)
 
+  /** The data file a deletion-vector entry tombstones: carried as the
+    * entry's file_path min/max stats (min == max) — which makes
+    * [[narrowPosDeletes]] target DVs to a scan's file set with the SAME
+    * machinery positional tombstone files use. */
+  private[lake] def dvRef(e: DataFileEntry): String =
+    e.minValues(DeleteFieldIds("file_path").toString)
+
+  private[lake] def dvEntry(blobPath: String, ref: String,
+      cardinality: Long, bytes: Long): DataFileEntry = {
+    val key = DeleteFieldIds("file_path").toString
+    DataFileEntry(blobPath, cardinality, bytes,
+      minValues = Map(key -> ref), maxValues = Map(key -> ref),
+      nullCounts = Map.empty, partitionValues = Map.empty)
+  }
+
   /** Driver-side targeting of positional-tombstone FILES to a scan's
     * file set (Iceberg indexes delete files to the data files they can
     * affect): a tombstone file whose harvested [min, max] file_path
@@ -2102,11 +2282,11 @@ final class LakeScan private[lake] (
     survivors
   }
 
-  /** Tombstone files this scan must subtract — positional + equality
-    * (snapshot-scoped, so time travel sees exactly the tombstones its
-    * snapshot had). */
+  /** Tombstone files this scan must subtract — positional + equality +
+    * deletion vectors (snapshot-scoped, so time travel sees exactly the
+    * tombstones its snapshot had). */
   private def deleteFiles: Seq[DataFileEntry] =
-    snapshot.map(s => s.deleteFiles ++ s.eqDeleteFiles).getOrElse(Nil)
+    snapshot.map(s => s.deleteFiles ++ s.eqDeleteFiles ++ s.dvFiles).getOrElse(Nil)
 
   /** A11: full scan to DataFrame (the IcebergGenerics.read analog).
     * Merge-on-read: live tombstones subtract via broadcast anti-joins;

@@ -167,6 +167,14 @@ object ManifestRef {
   val Data = "data"
   val Deletes = "deletes" // positional (file_path, pos) tombstones
   val EqDeletes = "eq-deletes" // key-value tombstones, seq-scoped
+  // Deletion vectors (Iceberg v3): per-data-file compressed bitmaps
+  // packed into per-commit blob files. An entry's path is its BLOB;
+  // the referenced data file rides the entry's file_path min/max stats
+  // (min == max), recordCount is the DV's cardinality and sizeBytes its
+  // serialized length (the read-side broadcast gate's input). Commit
+  // invariant: at most one live DV per data file (new DVs are merged by
+  // the writer and REPLACE the old entry in the same commit).
+  val Dv = "dv"
 }
 
 /** Resolves the immutable manifest-layer documents (manifest lists and
@@ -212,6 +220,11 @@ final case class Snapshot(
     * tombstone every same-key row in data files with smaller seq. */
   lazy val eqDeleteFiles: Seq[DataFileEntry] =
     manifests.filter(_.content == ManifestRef.EqDeletes)
+      .flatMap(m => io.readManifest(m.name))
+  /** Live deletion-vector entries (one per tombstone-carrying data
+    * file; entry path = the commit's blob file). */
+  lazy val dvFiles: Seq[DataFileEntry] =
+    manifests.filter(_.content == ManifestRef.Dv)
       .flatMap(m => io.readManifest(m.name))
 }
 

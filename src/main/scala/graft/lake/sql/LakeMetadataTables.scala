@@ -199,7 +199,8 @@ private[sql] object LakeMetadataTables {
           guardRows(s.map(_.manifests).getOrElse(Nil)
             .filter(_.content != ManifestRef.Data).map(_.fileCount).sum)
           (s.map(_.deleteFiles).getOrElse(Nil).map(fileRow("positional", _)) ++
-            s.map(_.eqDeleteFiles).getOrElse(Nil).map(fileRow("equality", _))).toArray
+            s.map(_.eqDeleteFiles).getOrElse(Nil).map(fileRow("equality", _)) ++
+            s.map(_.dvFiles).getOrElse(Nil).map(fileRow("dv", _))).toArray
 
         case "manifests" =>
           m.currentSnapshot.map(_.manifests).getOrElse(Nil).map { r: ManifestRef =>

@@ -128,7 +128,8 @@ private[sql] object LakeProcedures {
       override protected def run(args: InternalRow): InternalRow = {
         val t = table(args)
         val before = t.metadata.currentSnapshot
-          .map(s => s.deleteFiles.size + s.eqDeleteFiles.size).getOrElse(0)
+          .map(s => s.deleteFiles.size + s.eqDeleteFiles.size + s.dvFiles.size)
+          .getOrElse(0)
         t.rewritePositionDeletes(SparkSession.active) match {
           case None => new GenericInternalRow(Array[Any](0L, 0L, 0L))
           case Some(r) =>

@@ -170,6 +170,23 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Deletion vectors (Iceberg v3 MoR): the same delete as
+    * `lake_delete_mor`, stored as per-file compressed bitmaps in ONE
+    * blob object and subtracted at read by a broadcast codegen'd
+    * map-side filter — no tombstone join, no shuffle; two stacked
+    * deletes prove the one-live-DV-per-file merge. */
+  def lakeDeleteDv(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_dv", src.schema)
+    t.setProperty("write.delete.vector.enabled", "true")
+    t.refresh().appendData(src, numFiles = 4)
+    t.refresh().deleteWhereMoR(s, LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+    // overlapping second delete merges bitmaps per file
+    t.refresh().deleteWhereMoR(s, LakePredicate.Eq("o_orderstatus", "F"))
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Tombstone-materializing maintenance: a clustered table takes a MoR
     * delete (tombstones land on the price-sorted tail files only), then
     * rewrite_position_deletes materializes ONLY the affected files and
@@ -685,6 +702,7 @@ object LakeQueries {
     "lake_compact" -> lakeCompact,
     "lake_delete_cow" -> lakeDeleteCow,
     "lake_delete_mor" -> lakeDeleteMor,
+    "lake_delete_dv" -> lakeDeleteDv,
     "lake_rewrite_deletes" -> lakeRewriteDeletes,
     "lake_add_files" -> lakeAddFiles,
     "lake_column_defaults" -> lakeColumnDefaults,
@@ -796,6 +814,11 @@ object LakeQueries {
       "SELECT * FROM orders WHERE NOT (o_totalprice >= 400000.0) ORDER BY o_orderkey",
     "lake_delete_mor" ->
       "SELECT * FROM orders WHERE NOT (o_totalprice >= 400000.0) ORDER BY o_orderkey",
+    // the deletion-vector twin: stacked deletes, bitmap-merged per file
+    "lake_delete_dv" ->
+      """SELECT * FROM orders
+        |WHERE NOT (o_totalprice >= 400000.0) AND NOT (o_orderstatus = 'F')
+        |ORDER BY o_orderkey""".stripMargin,
     // identical survivors to lake_delete_mor — but read AFTER
     // rewrite_position_deletes retired every tombstone
     "lake_rewrite_deletes" ->
