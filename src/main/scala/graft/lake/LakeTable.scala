@@ -2134,36 +2134,62 @@ object LakeTable {
   /** The ID-claiming paths of a field added at `path`: the path itself
     * plus, for a struct type, every nested path inside it. */
   private[lake] def pathsOf(path: String,
-      dt: org.apache.spark.sql.types.DataType): Seq[String] = dt match {
-    case s: StructType => path +: TableMetadata.fieldPaths(s).map(p => s"$path.$p")
-    case _ => Seq(path)
-  }
+      dt: org.apache.spark.sql.types.DataType): Seq[String] =
+    path +: TableMetadata.nestedPaths(dt, path)
 
   /** The struct type at a dotted path's parent segments — None when any
-    * segment is missing or not a struct. Empty path = the schema root. */
+    * segment is missing or not addressable. Empty path = the schema
+    * root. Collections navigate through the Iceberg markers: `element`
+    * descends an array's element type, `value` a map's value type (map
+    * KEYS are identity — never addressable). The markers only apply
+    * when the current type IS a collection, so real fields named
+    * "element"/"value" keep addressing normally. */
   private[lake] def structAt(st: StructType,
-      path: Seq[String]): Option[StructType] =
-    path.foldLeft(Option(st)) { (acc, seg) =>
-      acc.flatMap(_.fields.find(_.name == seg)).map(_.dataType) match {
-        case Some(inner: StructType) => Some(inner)
+      path: Seq[String]): Option[StructType] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+    def descend(dt: DataType, segs: Seq[String]): Option[DataType] = segs match {
+      case Seq() => Some(dt)
+      case seg +: rest => dt match {
+        case s: StructType =>
+          s.fields.find(_.name == seg).map(_.dataType).flatMap(descend(_, rest))
+        case a: ArrayType if seg == "element" => descend(a.elementType, rest)
+        case m: MapType if seg == "value" => descend(m.valueType, rest)
         case _ => None
       }
     }
+    descend(st, path) match {
+      case Some(s: StructType) => Some(s)
+      case _ => None
+    }
+  }
 
   /** Rewrite the struct at `path` (root when empty) through `f`,
-    * preserving everything else. */
+    * preserving everything else — same path language as [[structAt]]. */
   private[lake] def mapStructAt(st: StructType, path: Seq[String])(
-      f: StructType => StructType): StructType =
-    if (path.isEmpty) f(st)
-    else StructType(st.fields.map { fld =>
-      if (fld.name != path.head) fld
-      else fld.dataType match {
-        case inner: StructType =>
-          fld.copy(dataType = mapStructAt(inner, path.tail)(f))
+      f: StructType => StructType): StructType = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+    def rewrite(dt: DataType, segs: Seq[String]): DataType = segs match {
+      case Seq() => dt match {
+        case s: StructType => f(s)
         case other => throw new IllegalArgumentException(
-          s"${path.head} is ${other.simpleString}, not a struct")
+          s"${other.simpleString} is not a struct")
       }
-    })
+      case seg +: rest => dt match {
+        case s: StructType =>
+          require(s.fieldNames.contains(seg), s"$seg is not a field")
+          StructType(s.fields.map(fld =>
+            if (fld.name != seg) fld
+            else fld.copy(dataType = rewrite(fld.dataType, rest))))
+        case a: ArrayType if seg == "element" =>
+          a.copy(elementType = rewrite(a.elementType, rest))
+        case m: MapType if seg == "value" =>
+          m.copy(valueType = rewrite(m.valueType, rest))
+        case other => throw new IllegalArgumentException(
+          s"$seg is ${other.simpleString}, not addressable")
+      }
+    }
+    rewrite(st, path).asInstanceOf[StructType]
+  }
 
   /** Move a path's field-ID entry — and every descendant path's — from
     * `from` to `to`, keeping the IDs (rename is metadata-only). */

@@ -335,13 +335,22 @@ final case class TableMetadata(
     * writes stamp nested parquet field IDs and reads resolve renamed
     * nested fields in old files by ID. */
   def schemaWithFieldIds: StructType = {
+    // collections recurse through the Iceberg path markers: fields of
+    // an array's element struct stamp under `path.element.*`, of a
+    // map's value struct under `path.value.*` (keys stay unaddressed)
+    def injectType(dt: org.apache.spark.sql.types.DataType,
+        path: String): org.apache.spark.sql.types.DataType = dt match {
+      case s: StructType => inject(s, path)
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = injectType(a.elementType, s"$path.element"))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = injectType(m.valueType, s"$path.value"))
+      case other => other
+    }
     def inject(st: StructType, prefix: String): StructType =
       StructType(st.fields.map { f =>
         val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-        val typed = f.dataType match {
-          case s: StructType => f.copy(dataType = inject(s, path))
-          case _ => f
-        }
+        val typed = f.copy(dataType = injectType(f.dataType, path))
         fieldIds.get(path) match {
           case Some(id) =>
             val b = new org.apache.spark.sql.types.MetadataBuilder()
@@ -368,20 +377,31 @@ final case class TableMetadata(
 
 object TableMetadata {
   /** Every ID-addressable field path of a schema, preorder: top-level
-    * fields and, recursively, fields of struct columns as dotted paths.
-    * Fields inside array/map element types are not addressed (no
-    * evolution inside collection elements). */
-  def fieldPaths(schema: StructType): Seq[String] = {
-    def walk(st: StructType, prefix: String): Seq[String] =
-      st.fields.toSeq.flatMap { f =>
-        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-        p +: (f.dataType match {
-          case s: StructType => walk(s, p)
-          case _ => Nil
-        })
-      }
-    walk(schema, "")
-  }
+    * fields; recursively, fields of struct columns as dotted paths; and
+    * fields of structs INSIDE collections through the Iceberg path
+    * markers — `arr.element.f` for array elements, `m.value.f` for map
+    * values (map KEYS are identity, never addressed — evolving a key
+    * would re-key every row). The markers are unambiguous: they only
+    * apply when the enclosing type IS a collection, so a struct field
+    * literally named "element" still addresses normally. */
+  def fieldPaths(schema: StructType): Seq[String] = walkStruct(schema, "")
+
+  private def walkStruct(st: StructType, prefix: String): Seq[String] =
+    st.fields.toSeq.flatMap { f =>
+      val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      p +: nestedPaths(f.dataType, p)
+    }
+
+  /** ID-addressable paths UNDER a field of type `dt` rooted at `p`. */
+  def nestedPaths(dt: org.apache.spark.sql.types.DataType, p: String): Seq[String] =
+    dt match {
+      case s: StructType => walkStruct(s, p)
+      case a: org.apache.spark.sql.types.ArrayType =>
+        nestedPaths(a.elementType, s"$p.element")
+      case m: org.apache.spark.sql.types.MapType =>
+        nestedPaths(m.valueType, s"$p.value")
+      case _ => Nil
+    }
 }
 
 object MetadataJson {

@@ -225,6 +225,41 @@ object LakeQueries {
       .toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Collection-element evolution: rename + widen + add of fields
+    * INSIDE an array-element struct (`items.element.*`), field-ID
+    * addressed and metadata-only — pre-evolution files resolve the
+    * renamed field by ID, widen at read, and project null for the added
+    * field; post-evolution files carry real values. Output is exploded
+    * flat so the oracle reproduces it relationally. */
+  def lakeElementEvolution(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    def items(df: DataFrame) = df.select(col("o_orderkey"), array(
+      struct((col("o_orderkey") % 5).cast("int").as("qty"), lit("x").as("tag")),
+      struct((col("o_orderkey") % 7).cast("int").as("qty"), lit("y").as("tag")))
+      .as("items"))
+    val cat = freshCatalog()
+    val v1 = items(src.filter(col("o_orderkey") % 2 === 0))
+    val t = cat.createTable("lakeq", "orders_el", v1.schema)
+    t.appendData(v1, numFiles = 2)
+    t.refresh().alterSchema(Seq(
+      SchemaChange.Rename("items.element.qty", "quantity"),
+      SchemaChange.Widen("items.element.quantity",
+        org.apache.spark.sql.types.LongType),
+      SchemaChange.Add("items.element.discount",
+        org.apache.spark.sql.types.IntegerType)))
+    val v2 = src.filter(col("o_orderkey") % 2 === 1).select(col("o_orderkey"), array(
+      struct((col("o_orderkey") % 5).as("quantity"), lit("x").as("tag"),
+        lit(7).as("discount")),
+      struct((col("o_orderkey") % 7).as("quantity"), lit("y").as("tag"),
+        lit(7).as("discount"))).as("items"))
+    t.refresh().appendData(v2)
+    t.refresh().newScan().toDF(s)
+      .select(col("o_orderkey"), explode(col("items")).as("it"))
+      .select(col("o_orderkey"), col("it.quantity").as("quantity"),
+        col("it.tag").as("tag"), col("it.discount").as("discount"))
+      .orderBy(col("o_orderkey"), col("tag"))
+  }
+
   /** Initial column defaults (Iceberg v3): a column added with a
     * default reads the default from every file written BEFORE the add
     * (per FILE, via the parquet reader's existence-default machinery),
@@ -706,6 +741,7 @@ object LakeQueries {
     "lake_rewrite_deletes" -> lakeRewriteDeletes,
     "lake_add_files" -> lakeAddFiles,
     "lake_column_defaults" -> lakeColumnDefaults,
+    "lake_element_evolution" -> lakeElementEvolution,
     "lake_agg_pushdown" -> lakeAggPushdown,
     "lake_branch_mutations" -> lakeBranchMutations,
     "lake_sql_wap" -> lakeSqlWap,
@@ -838,6 +874,16 @@ object LakeQueries {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
         |FROM orders""".stripMargin,
+    // even keys wrote pre-evolution (renamed field resolves by ID,
+    // widens at read, added field reads null); odd keys post-evolution
+    "lake_element_evolution" ->
+      """SELECT o_orderkey, quantity, tag, discount FROM (
+        |  SELECT o_orderkey, o_orderkey % 5 AS quantity, 'x' AS tag,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN 7 END AS discount FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderkey % 7, 'y',
+        |    CASE WHEN o_orderkey % 2 = 1 THEN 7 END FROM orders
+        |) ORDER BY o_orderkey, tag""".stripMargin,
     // pre-add rows (even keys) read the initial default; post-add rows
     // (odd keys) carry their written value
     "lake_column_defaults" ->
