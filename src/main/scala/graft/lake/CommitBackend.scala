@@ -282,7 +282,14 @@ final class HadoopFsCommitBackend(
     val fs = fsOf(target)
     if (!fs.exists(target)) None
     else {
-      val in = fs.open(target)
+      // exists() above races putOverwrite's delete-then-rename window on
+      // the version hint (the one document that IS overwritten): a
+      // concurrent republish between exists and open must read as
+      // "absent" — the hint is best-effort and every caller handles
+      // None — not throw out of an 8-writer commit race
+      val in = try fs.open(target) catch {
+        case _: java.io.FileNotFoundException => return None
+      }
       try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
         java.nio.charset.StandardCharsets.UTF_8))
       finally in.close()
