@@ -57,6 +57,13 @@ final class DeleteVector private (
     DeleteVector.fromSorted(it)
   }
 
+  /** Positions in this vector but NOT in `other` — the per-commit DV
+    * DELTA (new DVs are supersets of the ones they replace, so
+    * `current minus parent` is exactly what one commit deleted: the
+    * changelog's delete set). */
+  def minus(other: DeleteVector): DeleteVector =
+    DeleteVector.fromSorted(positions.filterNot(other.contains))
+
   /** Compact binary form (container-preserving, stable across JVMs). */
   def serialize: Array[Byte] = {
     var size = 8 + 4 // cardinality, nKeys

@@ -1339,6 +1339,162 @@ final class LakeTable private[lake] (
     * table this is exactly the new rows; after a copy-on-write rewrite
     * the added files also carry surviving rows (file-level, not
     * row-level, change capture — same as Iceberg's append scan). */
+  /** Per-commit CHANGELOG (Iceberg's create_changelog_view): every row
+    * change between `fromSnapshotId` (EXCLUSIVE; 0 = from the beginning)
+    * and `toSnapshotId` (inclusive, default current), stamped with
+    * `_change_type` ('insert' | 'delete') and `_commit_snapshot_id`.
+    * Unlike [[changesSince]] (net adds only), this emits DELETED ROWS
+    * with their full pre-image, commit by commit:
+    *
+    *  - appended files → their rows as inserts (an append's own files
+    *    cannot be pre-tombstoned: positional/DV tombstones address
+    *    existing files, equality tombstones scope to strictly-older seq)
+    *  - positional-tombstone delta (delete files this commit added) and
+    *    DELETION-VECTOR delta (`current minus parent` bitmap — new DVs
+    *    are supersets of what they replace) → the tombstoned rows
+    *    fetched from the PARENT state by coordinates
+    *  - equality-tombstone delta (MoR upsert) → parent-live rows
+    *    matching the new tombstones' keys
+    *  - copy-on-write removed files → their parent-live rows as
+    *    deletes, with the rewritten survivors in the added files as
+    *    inserts — FILE-granular gross changes, exactly Iceberg's
+    *    changelog contract for overwrites (net_changes dedup is the
+    *    consumer's fold)
+    *  - `replace` commits (compaction, tombstone materialization,
+    *    manifest rewrites) change no logical rows → skipped
+    *
+    * Refuses when a snapshot inside the range has been expired — a gap
+    * would silently drop its changes. */
+  def changelog(spark: SparkSession, fromSnapshotId: Long,
+      toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val toId = toSnapshotId.getOrElse(meta.currentSnapshotId)
+    require(toId != -1L, s"$name has no snapshots")
+    if (fromSnapshotId != 0L) require(meta.snapshot(fromSnapshotId).isDefined,
+      s"no snapshot $fromSnapshotId in $name (expired? changelog refuses gaps)")
+    val chain = scala.collection.mutable.Buffer.empty[Snapshot]
+    var cur: Option[Snapshot] = Some(meta.snapshot(toId).getOrElse(
+      throw new NoSuchElementException(s"no snapshot $toId in $name")))
+    while (cur.exists(_.id != fromSnapshotId)) {
+      val c = cur.get
+      chain += c
+      cur = c.parentId match {
+        case None =>
+          require(fromSnapshotId == 0L,
+            s"snapshot $fromSnapshotId is not an ancestor of $toId in $name")
+          None
+        case Some(pid) =>
+          Some(meta.snapshot(pid).getOrElse(throw new IllegalStateException(
+            s"snapshot $pid inside the changelog range of $name has been " +
+              "expired; the feed would silently skip its changes")))
+      }
+    }
+    unionChangelog(spark, chain.reverse.toSeq.flatMap(s => changelogOf(spark, s)))
+  }
+
+  private def unionChangelog(spark: SparkSession, parts: Seq[DataFrame]): DataFrame =
+    parts.reduceOption(_.unionByName(_)).getOrElse {
+      import org.apache.spark.sql.types.{LongType, StringType, StructField}
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(schema.fields ++ Seq(
+          StructField("_change_type", StringType, nullable = false),
+          StructField("_commit_snapshot_id", LongType, nullable = false))))
+    }
+
+  private def stampChange(df: DataFrame, tpe: String, s: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    df.select(schema.fieldNames.map(col): _*)
+      .withColumn("_change_type", lit(tpe))
+      .withColumn("_commit_snapshot_id", lit(s.id))
+  }
+
+  /** One commit's row changes (see [[changelog]]). */
+  private def changelogOf(spark: SparkSession, s: Snapshot): Seq[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    if (s.operation == "replace") return Nil
+    val p = s.parentId.flatMap(meta.snapshot)
+    val pFiles = p.map(_.files).getOrElse(Nil)
+    val pPaths = pFiles.map(_.path).toSet
+    val sPaths = s.files.map(_.path).toSet
+    val addedFiles = s.files.filterNot(f => pPaths(f.path))
+    val removedFiles = pFiles.filterNot(f => sPaths(f.path))
+    val inserts =
+      if (addedFiles.isEmpty) Nil
+      else Seq(stampChange(readFiles(spark, addedFiles), "insert", s))
+
+    val deletes = scala.collection.mutable.Buffer.empty[DataFrame]
+    // copy-on-write: removed files' parent-live rows (tombstones as of
+    // the parent apply — already-deleted rows are not re-deleted)
+    if (removedFiles.nonEmpty)
+      deletes += stampChange(readLive(spark, removedFiles, p), "delete", s)
+
+    // positional-tombstone delta: the delete files this commit added
+    val pPos = p.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty[String])
+    val newPos = s.deleteFiles.filterNot(e => pPos(e.path))
+    if (newPos.nonEmpty) {
+      val referenced = LakeTable.narrowDataToDeletes(pFiles, newPos)
+      val coords = spark.read.schema(LakeTable.DeleteFileSchema)
+        .parquet(newPos.map(_.path): _*)
+      deletes += stampChange(
+        readFilesWithPos(spark, referenced).join(gateBroadcast(coords, newPos),
+          col(LakeTable.PosFileCol) === col("file_path") &&
+            col(LakeTable.PosIdxCol) === col("pos"), "left_semi"),
+        "delete", s)
+    }
+
+    // deletion-vector delta: current minus parent, per referenced file
+    val pDvs: Map[String, DataFileEntry] =
+      p.map(_.dvFiles.map(e => LakeTable.dvRef(e) -> e).toMap).getOrElse(Map.empty)
+    val changedDvs = s.dvFiles.filter(e =>
+      !pDvs.get(LakeTable.dvRef(e)).map(_.path).contains(e.path))
+    if (changedDvs.nonEmpty) {
+      def load(entries: Seq[DataFileEntry]): Map[String, DeleteVector] = entries
+        .groupBy(_.path).toSeq.flatMap { case (blob, es) =>
+          val want = es.map(LakeTable.dvRef).toSet
+          DeleteVector.readBlob(DataFs.readBytes(blob))
+            .filter { case (ref, _) => want(ref) }
+        }.toMap
+      val now = load(changedDvs)
+      val before = load(changedDvs.flatMap(e => pDvs.get(LakeTable.dvRef(e))))
+      val delta = new java.util.HashMap[String, DeleteVector]()
+      now.foreach { case (ref, dv) =>
+        delta.put(ref, before.get(ref).map(dv.minus).getOrElse(dv))
+      }
+      val bc = spark.sparkContext.broadcast(delta)
+      val referenced = pFiles.filter(f => now.contains(f.path))
+      deletes += stampChange(
+        readFilesWithPos(spark, referenced).filter(graft.functions.DvContains
+          .column(col(LakeTable.PosFileCol), col(LakeTable.PosIdxCol), bc)),
+        "delete", s)
+    }
+
+    // equality-tombstone delta (MoR upsert): parent-live rows matching
+    // the new tombstones' keys (a tombstone at this commit's seq scopes
+    // every parent file — all strictly older)
+    val pEq = p.map(_.eqDeleteFiles.map(_.path).toSet).getOrElse(Set.empty[String])
+    val newEq = s.eqDeleteFiles.filterNot(e => pEq(e.path))
+    if (newEq.nonEmpty && pFiles.nonEmpty) {
+      val idToName = meta.fieldIds.map(_.swap)
+      val idSchema = meta.schemaWithFieldIds
+      newEq.groupBy(_.eqFieldIds).foreach { case (ids, entries) =>
+        val names = ids.map(id => idToName.getOrElse(id,
+          throw new IllegalStateException(
+            s"equality-delete key field id $id resolves to no current column")))
+        val reqSchema = StructType(names.map(n => idSchema(idSchema.fieldIndex(n))))
+        val session = org.apache.spark.sql.graftbridge.SessionBridge
+          .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
+        val keys = session.read.schema(reqSchema).parquet(entries.map(_.path): _*)
+          .select(names.map(n => col(n).as(s"__cl_$n")): _*)
+        val parentLive = readLive(spark, pFiles, p)
+        val cond = names.map(n => parentLive(n) <=> keys(s"__cl_$n")).reduce(_ && _)
+        deletes += stampChange(
+          parentLive.join(gateBroadcast(keys, entries), cond, "left_semi"),
+          "delete", s)
+      }
+    }
+    inserts ++ deletes.toSeq
+  }
+
   def changesSince(spark: SparkSession, fromSnapshotId: Long): DataFrame = {
     val from = meta.snapshot(fromSnapshotId).getOrElse(
       throw new NoSuchElementException(s"no snapshot $fromSnapshotId in $name"))
@@ -2231,6 +2387,21 @@ object LakeTable {
     DataFileEntry(blobPath, cardinality, bytes,
       minValues = Map(key -> ref), maxValues = Map(key -> ref),
       nullCounts = Map.empty, partitionValues = Map.empty)
+  }
+
+  /** The inverse of [[narrowPosDeletes]]: DATA files a set of
+    * positional-tombstone files can possibly address (path inside some
+    * tombstone file's recorded [min, max] file_path range) — the
+    * changelog fetches deleted rows from exactly these. Entries lacking
+    * stats keep every file (conservative). */
+  private[lake] def narrowDataToDeletes(files: Seq[DataFileEntry],
+      deletes: Seq[DataFileEntry]): Seq[DataFileEntry] = {
+    val key = DeleteFieldIds("file_path").toString
+    val ranges = deletes.map(e => (e.minValues.get(key), e.maxValues.get(key)))
+    files.filter(f => ranges.exists {
+      case (Some(lo), Some(hi)) => lo <= f.path && f.path <= hi
+      case _ => true
+    })
   }
 
   /** Driver-side targeting of positional-tombstone FILES to a scan's

@@ -242,6 +242,31 @@ private[sql] object LakeProcedures {
       }
     },
 
+    // per-commit changelog between two snapshots as a TEMP VIEW
+    // (Iceberg's create_changelog_view): rows with _change_type
+    // insert|delete and _commit_snapshot_id; from_snapshot_id 0 = the
+    // whole history; to_snapshot_id 0 = current
+    "create_changelog_view" -> new LakeProcedure(lake, "create_changelog_view",
+      Seq("table" -> StringType, "from_snapshot_id" -> LongType,
+        "to_snapshot_id" -> LongType),
+      StructType(Seq(
+        StructField("changelog_view", StringType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        val to = args.getLong(2) match { case 0L => None; case id => Some(id) }
+        val df = t.changelog(SparkSession.active, args.getLong(1), to)
+        val view = s"${t.name.replace('.', '_')}_changes"
+        // the changelog frame was built on a conf-pinned CLONE session
+        // (ID-based parquet reads); the view must register on the
+        // CALLER's session or it is invisible to the next query
+        org.apache.spark.sql.graftbridge.PlanBridge
+          .ofRows(SparkSession.active,
+            org.apache.spark.sql.graftbridge.PlanBridge.analyzedPlan(df))
+          .createOrReplaceTempView(view)
+        new GenericInternalRow(Array[Any](utf8(view)))
+      }
+    },
+
     // publish a wap.id-staged snapshot (fast-forward-only: its parent
     // must be the current head — the WAP-pipeline shape)
     "cherrypick_snapshot" -> new LakeProcedure(lake, "cherrypick_snapshot",

@@ -275,6 +275,25 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Per-commit CHANGELOG over a deletion-vector table: two appends, a
+    * DV delete, a DV MoR update — emitted as insert/delete rows with
+    * full pre-images and commit ids (delete deltas come from bitmap
+    * `minus` against the parent's DV). The oracle reconstructs the feed
+    * relationally. */
+  def lakeChangelog(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_cl", src.schema)
+    t.setProperty("write.delete.vector.enabled", "true")
+    t.refresh().appendData(src.filter(col("o_orderkey") % 2 === 0), numFiles = 2)
+    t.refresh().appendData(src.filter(col("o_orderkey") % 2 === 1))
+    t.refresh().deleteWhereMoR(s, LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+    t.refresh().updateWhereMoR(s, LakePredicate.Eq("o_orderstatus", "P"),
+      Map("o_orderpriority" -> lit("9-CL")))
+    t.refresh().changelog(s, fromSnapshotId = 0L)
+      .orderBy(col("_commit_snapshot_id"), col("_change_type"), col("o_orderkey"))
+  }
+
   /** Branch-scoped mutations (WAP for row-level ops): a CoW delete and
     * update stage on a branch — main untouched until fastForward
     * publishes the audited state. */
@@ -742,6 +761,7 @@ object LakeQueries {
     "lake_add_files" -> lakeAddFiles,
     "lake_column_defaults" -> lakeColumnDefaults,
     "lake_element_evolution" -> lakeElementEvolution,
+    "lake_changelog" -> lakeChangelog,
     "lake_agg_pushdown" -> lakeAggPushdown,
     "lake_branch_mutations" -> lakeBranchMutations,
     "lake_sql_wap" -> lakeSqlWap,
@@ -874,6 +894,27 @@ object LakeQueries {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
         |FROM orders""".stripMargin,
+    // the changelog feed, reconstructed relationally: snap 1/2 insert
+    // even/odd keys; snap 3 deletes the high-price rows (DV delta);
+    // snap 4 is the MoR update's delete-pre-image + insert-post-image
+    // over P rows that survived snap 3
+    "lake_changelog" ->
+      """SELECT * FROM (
+        |  SELECT o.*, 'insert' AS _change_type,
+        |    CAST(1 AS BIGINT) AS _commit_snapshot_id
+        |  FROM orders o WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o.*, 'insert', 2 FROM orders o WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o.*, 'delete', 3 FROM orders o WHERE o_totalprice >= 400000.0
+        |  UNION ALL
+        |  SELECT o.*, 'delete', 4 FROM orders o
+        |  WHERE o_orderstatus = 'P' AND o_totalprice < 400000.0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderdate, '9-CL' AS o_orderpriority, 'insert', 4
+        |  FROM orders WHERE o_orderstatus = 'P' AND o_totalprice < 400000.0
+        |) ORDER BY _commit_snapshot_id, _change_type, o_orderkey""".stripMargin,
     // even keys wrote pre-evolution (renamed field resolves by ID,
     // widens at read, added field reads null); odd keys post-evolution
     "lake_element_evolution" ->
