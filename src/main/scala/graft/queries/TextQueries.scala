@@ -553,7 +553,32 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Benchmark-contamination check (the GPT-3/PaLM n-gram practice):
+    * character 20-gram shingles of a benchmark split (here doc_id %
+    * 100 == 0) matched against every other document — a hit means eval
+    * data leaked into the training corpus. The benchmark side is tiny
+    * and BROADCASTS; the corpus side is a map-only explode feeding one
+    * partial-aggregated shuffle on doc_id — no all-pairs join anywhere,
+    * the shape that survives 100 TB. Both sides filter length ≥ 20
+    * (Spark's sequence(1, 0) is DESCENDING, not empty — the guard keeps
+    * the two engines' shingle sets identical). */
+  def qContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(length(col("text")) >= 20)
+    def shingles(df: DataFrame) = df.select(col("doc_id"),
+      explode(expr("transform(sequence(1, length(text) - 19), " +
+        "i -> substring(text, i, 20))")).as("sh")).distinct()
+    val bench = shingles(docs.filter(col("doc_id") % 100 === 0))
+      .withColumnRenamed("doc_id", "bench_id")
+    shingles(docs.filter(col("doc_id") % 100 =!= 0))
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("overlap_shingles"),
+        countDistinct(col("bench_id")).as("bench_docs_hit"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination_check" -> qContamination,
     "pii_redact" -> qPiiRedact,
     "repetition_stats" -> qRepetitionStats,
     "stratified_sample" -> qStratifiedSample,
@@ -575,6 +600,18 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "contamination_check" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, sh FROM (
+        |    SELECT doc_id,
+        |      substr(text, unnest(generate_series(1, length(text) - 19)), 20) AS sh
+        |    FROM documents WHERE length(text) >= 20))
+        |SELECT c.doc_id,
+        |  count(DISTINCT c.sh) AS overlap_shingles,
+        |  count(DISTINCT b.doc_id) AS bench_docs_hit
+        |FROM (SELECT * FROM sh WHERE doc_id % 100 <> 0) c
+        |JOIN (SELECT * FROM sh WHERE doc_id % 100 = 0) b ON c.sh = b.sh
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
     "pii_redact" ->
       """WITH raw AS (
         |  SELECT doc_id,
