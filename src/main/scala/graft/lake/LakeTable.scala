@@ -111,11 +111,36 @@ final class LakeTable private[lake] (
       .withConfs(withIds, Map(
         "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
         "spark.sql.parquet.fieldId.write.enabled" -> "true"))
-      .write.parquet(dir)
+      .write.options(bloomFilterOptions).parquet(dir)
     // stamp which spec derived these partitionValues: after a spec
     // evolution, pruning resolves each file's values under ITS spec
     StatsHarvester.harvest(spark, dir, schema, spec, meta.fieldIds)
       .map(_.copy(specId = meta.currentSpecId))
+  }
+
+  /** Parquet BLOOM FILTERS on write (Iceberg's property names:
+    * `write.parquet.bloom-filter-enabled.column.<col>` = true, plus
+    * optional `write.parquet.bloom-filter-max-bytes` and per-column
+    * `...bloom-filter-fpp.column.<col>`): point lookups on
+    * high-cardinality columns that are NOT in the sort order — ids,
+    * hashes, user keys — skip whole ROW GROUPS that min/max stats
+    * cannot rule out (a uniformly-distributed key spans every range).
+    * The options ride the parquet writer verbatim; the reader consults
+    * the filters automatically for pushed equality/IN predicates —
+    * zero read-path code. Per-file min/max pruning and clustering
+    * still do the macro work; blooms cover the needle-in-row-group
+    * case at ~10 bits/row. */
+  private def bloomFilterOptions: Map[String, String] = {
+    val enabled = "write.parquet.bloom-filter-enabled.column."
+    val fpp = "write.parquet.bloom-filter-fpp.column."
+    meta.properties.collect {
+      case (k, v) if k.startsWith(enabled) =>
+        s"parquet.bloom.filter.enabled#${k.stripPrefix(enabled)}" -> v
+      case (k, v) if k.startsWith(fpp) =>
+        s"parquet.bloom.filter.fpp#${k.stripPrefix(fpp)}" -> v
+      case (k, v) if k == "write.parquet.bloom-filter-max-bytes" =>
+        "parquet.bloom.filter.max.bytes" -> v
+    }
   }
 
   /** The write batch's z-order cluster key: each dimension is
