@@ -566,9 +566,13 @@ object TextQueries {
     val docs = documents(s, d).filter(length(col("text")) >= 20)
     def shingles(df: DataFrame) = df.select(col("doc_id"),
       explode(expr("transform(sequence(1, length(text) - 19), " +
-        "i -> substring(text, i, 20))")).as("sh")).distinct()
+        "i -> substring(text, i, 20))")).as("sh"))
+    // benchmark side dedups (tiny, broadcast); the CORPUS side must
+    // not — a pre-join distinct would shuffle every shingle string in
+    // the corpus, while the broadcast join drops non-matching shingles
+    // map-side and the final countDistinct dedups the few survivors
     val bench = shingles(docs.filter(col("doc_id") % 100 === 0))
-      .withColumnRenamed("doc_id", "bench_id")
+      .withColumnRenamed("doc_id", "bench_id").distinct()
     shingles(docs.filter(col("doc_id") % 100 =!= 0))
       .join(broadcast(bench), "sh")
       .groupBy(col("doc_id"))
