@@ -926,6 +926,26 @@ final class LakeTable private[lake] (
     }
   }
 
+  /** FILTERED compaction (Iceberg's `rewrite_data_files(where => …)`):
+    * rewrite only the files whose stats may match `pred` — a hot
+    * partition or recently-churned key range re-clusters at O(matching
+    * bytes) while the rest of a 100 TB table is untouched. Tombstones
+    * applying to the rewritten subset materialize (readLive); delete
+    * manifests stay (they may reference files this pass keeps), so
+    * pair with [[rewritePositionDeletes]] to retire them. No-op (None)
+    * when nothing matches. */
+  def compactWhere(spark: SparkSession, pred: LakePredicate,
+      targetFiles: Int = 0,
+      conflictRetries: Int = 3): Option[CommitReport] =
+      withConflictRetry(conflictRetries) {
+    val snap = meta.currentSnapshot
+    val matching = meta.currentFiles.filter(pred.mayMatch(_, meta))
+    if (matching.isEmpty) None
+    else Some(commitSnapshot("replace",
+      writeDataFiles(readLive(spark, matching, snap), numFiles = targetFiles),
+      matching))
+  }
+
   /** Binpack small-file compaction (Iceberg's rewrite-data-files
     * strategy): rewrite ONLY files below `smallBytes`, packed into
     * floor(total/smallBytes) outputs — floor, not ceil, so every output

@@ -242,6 +242,32 @@ private[sql] object LakeProcedures {
       }
     },
 
+    // filtered compaction (Iceberg's rewrite_data_files(where => …)):
+    // re-cluster ONLY the files whose stats may match the WHERE — a hot
+    // partition rewrites at O(matching bytes). The WHERE must have an
+    // exact manifest-predicate form (refused otherwise — silently
+    // rewriting the whole table on an unparseable filter is worse)
+    "rewrite_data_files_where" -> new LakeProcedure(lake, "rewrite_data_files_where",
+      Seq("table" -> StringType, "target_files" -> IntegerType,
+        "where" -> StringType),
+      StructType(Seq(
+        StructField("rewritten_files_count", LongType, nullable = false),
+        StructField("added_files_count", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        val spark = SparkSession.active
+        val pred = LakeProcedures.parseWhere(spark, t, args.getUTF8String(2).toString)
+        t.compactWhere(spark, pred, targetFiles = args.getInt(1)) match {
+          case None => new GenericInternalRow(Array[Any](0L, 0L))
+          case Some(r) =>
+            val removed = t.refresh().metadata.currentSnapshot
+              .flatMap(_.summary.get("removed-data-files"))
+              .map(_.toLong).getOrElse(0L)
+            new GenericInternalRow(Array[Any](removed, r.addedDataFiles.toLong))
+        }
+      }
+    },
+
     // per-commit changelog between two snapshots as a TEMP VIEW
     // (Iceberg's create_changelog_view): rows with _change_type
     // insert|delete and _commit_snapshot_id; from_snapshot_id 0 = the
@@ -341,4 +367,34 @@ private[sql] object LakeProcedures {
           utf8(m.sortOrder.mkString(",")), utf8(m.sortOrderKind)))
       }
     })
+
+  /** A WHERE string → STRICT manifest predicate: analyzed against the
+    * table's own scan (names/types resolve like any query), split into
+    * conjuncts, each translated exactly — an inexpressible leaf REFUSES
+    * rather than widening (a lenient AlwaysTrue would quietly turn
+    * "rewrite this partition" into "rewrite the table"). */
+  private def parseWhere(spark: SparkSession, t: LakeTable,
+      whereStr: String): graft.lake.LakePredicate = {
+    import graft.lake.{LakePredicate => P}
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.graftbridge.PlanBridge
+    val analyzed = PlanBridge.analyzedPlan(
+      t.newScan().toDF(spark).filter(whereStr))
+    val cond = analyzed.collectFirst { case f: Filter => f.condition }
+      .getOrElse(throw new IllegalArgumentException(
+        s"WHERE '$whereStr' produced no filter"))
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // fold analyzer-inserted casts around literals (CAST(749 AS
+    // BIGINT)) or translation sees a non-literal and refuses wrongly
+    conjuncts(LakeRowLevelCommands.foldConstants(cond)).map { e =>
+      PlanBridge.translateFilter(e)
+        .flatMap(LakeSqlTable.toLakePredicateStrict)
+        .getOrElse(throw new IllegalArgumentException(
+          s"WHERE clause term has no exact manifest-predicate form: $e"))
+    }.reduceOption(P.And(_, _)).getOrElse(P.AlwaysTrue)
+  }
 }

@@ -54,6 +54,34 @@ class LakeProcedureSpec extends LakeSuite {
       === ordersDF.count())
   }
 
+  test("rewrite_data_files_where compacts only the matching files; inexact WHERE refuses") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    // files range-clustered on o_orderkey: a key-range WHERE hits a few
+    t.setWriteOrder("o_orderkey")
+    t.refresh().appendData(ordersDF, numFiles = 8)
+    val before = t.refresh().metadata.currentFiles.map(_.path).toSet
+    assert(before.size === 8)
+    val maxKey = ordersDF.agg(max(col("o_orderkey"))).head.getLong(0)
+    val row = spark.sql(s"CALL $cat.system.rewrite_data_files_where(" +
+      s"'ns.t', 1, 'o_orderkey >= ${maxKey / 2}')").head
+    assert(row.getLong(0) > 0L && row.getLong(0) < 8L) // a strict subset rewrote
+    val after = t.refresh().metadata.currentFiles.map(_.path).toSet
+    assert((before intersect after).nonEmpty) // non-matching files survive
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0)
+      === ordersDF.count())
+    // a WHERE with no exact manifest form refuses instead of widening
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.rewrite_data_files_where('ns.t', 1, " +
+        "'o_orderpriority LIKE \\'%URGENT\\'')"))
+    assert(e.getMessage.contains("no exact manifest-predicate form") ||
+      Option(e.getCause).exists(_.getMessage.contains("no exact manifest-predicate form")))
+    // nothing-matches is a no-op, not a commit
+    val none = spark.sql(s"CALL $cat.system.rewrite_data_files_where(" +
+      s"'ns.t', 1, 'o_orderkey < 0')").head
+    assert(none.getLong(0) === 0L && none.getLong(1) === 0L)
+  }
+
   test("expire_snapshots + remove_orphan_files reclaim history") {
     val (cat, wh) = sqlCat()
     val t = LakeCatalog.open(wh).loadTable("ns", "t")
