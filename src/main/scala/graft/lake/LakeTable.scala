@@ -911,7 +911,9 @@ final class LakeTable private[lake] (
   def compact(spark: SparkSession, targetFiles: Int,
       conflictRetries: Int = 3): CommitReport = withConflictRetry(conflictRetries) {
     val live = meta.currentFiles
-    if (live.isEmpty) commitSnapshot("replace", Nil, Nil, dropDeletes = true)
+    val baseId = meta.currentSnapshotId
+    if (live.isEmpty) commitSnapshot("replace", Nil, Nil, dropDeletes = true,
+      validateNoNewDeletesSince = Some(baseId))
     else {
       // MoR deletes MATERIALIZE here: the rewrite reads tombstone-
       // filtered rows and the delete manifests retire with the files
@@ -922,7 +924,8 @@ final class LakeTable private[lake] (
       // would be re-shuffled to the default partition count by the spec
       // clustering and the target would be ignored
       val added = writeDataFiles(df, numFiles = targetFiles)
-      commitSnapshot("replace", added, live, dropDeletes = true)
+      commitSnapshot("replace", added, live, dropDeletes = true,
+        validateNoNewDeletesSince = Some(baseId))
     }
   }
 
@@ -943,7 +946,7 @@ final class LakeTable private[lake] (
     if (matching.isEmpty) None
     else Some(commitSnapshot("replace",
       writeDataFiles(readLive(spark, matching, snap), numFiles = targetFiles),
-      matching))
+      matching, validateNoNewDeletesSince = Some(meta.currentSnapshotId)))
   }
 
   /** Binpack small-file compaction (Iceberg's rewrite-data-files
@@ -965,7 +968,8 @@ final class LakeTable private[lake] (
       // survive (they may still reference files this pass keeps)
       val added = writeDataFiles(readLive(spark, small, meta.currentSnapshot),
         numFiles = target)
-      Some(commitSnapshot("replace", added, small))
+      Some(commitSnapshot("replace", added, small,
+        validateNoNewDeletesSince = Some(meta.currentSnapshotId)))
     }
   }
 
@@ -1019,10 +1023,12 @@ final class LakeTable private[lake] (
       if (affected.isEmpty)
         // only DANGLING tombstones remain (their data files were already
         // rewritten away): retire the delete manifests metadata-only
-        Some(commitSnapshot("replace", Nil, Nil, dropDeletes = true))
+        Some(commitSnapshot("replace", Nil, Nil, dropDeletes = true,
+          validateNoNewDeletesSince = Some(meta.currentSnapshotId)))
       else {
         val added = writeDataFiles(readLive(spark, affected, snap))
-        Some(commitSnapshot("replace", added, affected, dropDeletes = true))
+        Some(commitSnapshot("replace", added, affected, dropDeletes = true,
+          validateNoNewDeletesSince = Some(meta.currentSnapshotId)))
       }
     }
   }
@@ -2016,6 +2022,12 @@ final class LakeTable private[lake] (
   private[lake] def commitSnapshot(op: String, added: Seq[DataFileEntry],
       removed: Seq[DataFileEntry], replaceAll: Boolean = false,
       validateAddedSince: Option[(Long, LakePredicate)] = None,
+      // COMPACTION-family validation: the op rewrote files from this
+      // base's MoR-filtered state, so any delete file committed since
+      // is fatal — the rewrite would either drop it (dropDeletes) or
+      // carry it pointing at removed paths while re-appending rows it
+      // tombstoned: deleted rows RESURRECT. Conflict → retry re-reads.
+      validateNoNewDeletesSince: Option[Long] = None,
       extraSummary: Map[String, String] = Map.empty,
       exactlyOnce: Option[(String, Long)] = None,
       addedDeletes: Seq[DataFileEntry] = Nil,
@@ -2175,6 +2187,25 @@ final class LakeTable private[lake] (
               s"$op on $name conflicts with a concurrent commit: delete files " +
                 s"added after base snapshot $baseId may tombstone rows matching " +
                 s"${pred.render}; re-read the table and retry the operation")
+        }
+      }
+      validateNoNewDeletesSince.foreach { baseId =>
+        if (baseSnapshot.map(_.id).getOrElse(-1L) != baseId) {
+          val base = latest.snapshot(baseId)
+          val baseNames = base.map(_.manifests.map(_.name).toSet)
+            .getOrElse(Set.empty[String])
+          val baseDel = base.map(s =>
+            (s.deleteFiles ++ s.eqDeleteFiles ++ s.dvFiles).map(_.path).toSet)
+            .getOrElse(Set.empty[String])
+          val newDeletes = prevAll.iterator
+            .filter(m => m.content != ManifestRef.Data && !baseNames(m.name))
+            .flatMap(m => io.readManifest(m.name))
+            .exists(f => !baseDel(f.path))
+          if (newDeletes)
+            throw new CommitConflictException(
+              s"$op on $name conflicts with a concurrent commit: delete files " +
+                s"were added after base snapshot $baseId and this rewrite read " +
+                "the pre-delete state; re-read the table and retry")
         }
       }
       val dataManifests: Seq[ManifestRef] =

@@ -133,7 +133,8 @@ private[sql] object LakeProcedures {
         t.rewritePositionDeletes(SparkSession.active) match {
           case None => new GenericInternalRow(Array[Any](0L, 0L, 0L))
           case Some(r) =>
-            val removed = t.refresh().metadata.currentSnapshot
+            // the committed snapshot's own summary — race-free
+            val removed = t.refresh().metadata.snapshot(r.snapshotId)
               .flatMap(_.summary.get("removed-data-files"))
               .map(_.toLong).getOrElse(0L)
             new GenericInternalRow(Array[Any](
@@ -260,7 +261,9 @@ private[sql] object LakeProcedures {
         t.compactWhere(spark, pred, targetFiles = args.getInt(1)) match {
           case None => new GenericInternalRow(Array[Any](0L, 0L))
           case Some(r) =>
-            val removed = t.refresh().metadata.currentSnapshot
+            // read the COMMITTED snapshot's own summary, not the
+            // current one — a racing commit would swap the counts
+            val removed = t.refresh().metadata.snapshot(r.snapshotId)
               .flatMap(_.summary.get("removed-data-files"))
               .map(_.toLong).getOrElse(0L)
             new GenericInternalRow(Array[Any](removed, r.addedDataFiles.toLong))

@@ -147,18 +147,32 @@ object ScanBridge {
       private var required: Option[StructType] = None
       private var aggResult
           : Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = None
+      private var aggFor
+          : Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
+
+      // Spark calls supportCompletePushDown then pushAggregation with
+      // the same Aggregation; compute once and reuse — the metadata
+      // answer costs a manifest walk, and paying it twice per query
+      // doubles driver metadata I/O on large tables
+      private def computeAgg(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = {
+        if (!aggFor.contains(agg)) {
+          aggResult = aggPushdown.flatMap(_(agg))
+          aggFor = Some(agg)
+        }
+        aggResult
+      }
 
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-        aggPushdown.exists(_(agg).isDefined)
+        computeAgg(agg).isDefined
 
       override def pushAggregation(
-          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
         // complete-or-nothing: a partial push would make Spark re-merge
         // scan rows, and metadata answers are already final
-        aggResult = aggPushdown.flatMap(_(agg))
-        aggResult.isDefined
-      }
+        computeAgg(agg).isDefined
 
       override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
         exprs = filters

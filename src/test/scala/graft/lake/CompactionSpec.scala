@@ -78,4 +78,26 @@ class CompactionSpec extends LakeSuite {
     assert(r.addedDataFiles === 0)
     assert(t.refresh().metadata.currentFiles.map(_.path).toSet === before)
   }
+
+  test("compaction racing a MoR delete re-reads instead of resurrecting") {
+    import org.apache.spark.sql.functions.col
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "race", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 4)
+    // a handle loaded BEFORE the concurrent delete: its compact() plans
+    // the rewrite from the pre-delete state
+    val stale = cat.loadTable("ns", "race")
+    cat.loadTable("ns", "race")
+      .deleteWhereMoR(spark, LakePredicate.Eq("o_orderstatus", "F"))
+    // without validateNoNewDeletesSince this commit would BOTH drop the
+    // concurrent tombstones (dropDeletes) and re-append the rows they
+    // deleted; the in-CAS conflict + retry re-reads the real state
+    stale.compact(spark, targetFiles = 2)
+    val live = cat.loadTable("ns", "race").newScan().toDF(spark)
+    assert(live.filter(col("o_orderstatus") === "F").count() === 0L)
+    assert(live.count() === ordersDF.filter(col("o_orderstatus") =!= "F").count())
+    // tombstones materialized by the retried compaction
+    assert(cat.loadTable("ns", "race").metadata.currentSnapshot
+      .exists(s => s.deleteFiles.isEmpty && s.dvFiles.isEmpty))
+  }
 }
