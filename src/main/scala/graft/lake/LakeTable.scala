@@ -475,8 +475,13 @@ final class LakeTable private[lake] (
         s"(${schema.fieldNames.mkString(", ")}) appear in the source files")
     present.foreach { case (f, rn) =>
       val ft = fileTypes(rn)
-      require(org.apache.spark.sql.types.DataType.equalsStructurally(
-        ft, f.dataType, ignoreNullability = true),
+      // simpleString equality, NOT equalsStructurally: structural
+      // comparison ignores nested FIELD NAMES, and mapped reads resolve
+      // struct internals by name — a same-shape struct with different
+      // inner names would import cleanly and then read NULL for every
+      // nested field. simpleString carries the names (and drops
+      // nullability, which stays irrelevant).
+      require(ft.simpleString == f.dataType.simpleString,
         s"addFiles($srcDir) on $name: column $rn is ${ft.simpleString} in the " +
           s"source files but ${f.dataType.simpleString} in the table — cast " +
           "and rewrite the files, or evolve the table schema first")
@@ -507,6 +512,7 @@ final class LakeTable private[lake] (
     // commit CAS, revalidated against the winner's mapping on retry
     val mappingDelta = present.flatMap { case (f, rn) =>
       m.fieldIds.get(f.name).filterNot(idToImported.contains).map(id => rn -> id) }
+    val ourPaths = entries.map(_.path).toSet
     commitSnapshot("append", entries, Nil,
       extraSummary = Map("added-files-source" -> srcDir),
       transformMeta = { latest =>
@@ -515,6 +521,17 @@ final class LakeTable private[lake] (
             throw new CommitConflictException(
               s"addFiles on $name raced a conflicting import binding column $n")
         }
+        // the dup check above ran pre-commit: two RACING imports of the
+        // same directory both pass it and would register every file
+        // twice (doubled rows in every scan). Inside the CAS the final
+        // state shows the collision as a path appearing twice.
+        val doubled = latest.currentFiles.iterator.map(_.path)
+          .filter(ourPaths).toSeq.groupBy(identity)
+          .collect { case (p, hits) if hits.size > 1 => p }
+        if (doubled.nonEmpty)
+          throw new CommitConflictException(
+            s"addFiles on $name raced a concurrent import of the same " +
+              s"file(s), e.g. ${doubled.head}")
         latest.copy(nameMapping = latest.nameMapping ++ mappingDelta)
       })
   }
@@ -1570,8 +1587,12 @@ final class LakeTable private[lake] (
       withConflictRetry(conflictRetries) {
     import org.apache.spark.sql.{functions => F}
     require(keys.nonEmpty && keys.forall(schema.fieldNames.contains), s"bad merge keys $keys")
-    require(source.schema.fields.map(f => (f.name, f.dataType)).sameElements(
-      schema.fields.map(f => (f.name, f.dataType))),
+    // simpleString comparison: StructField equality includes METADATA,
+    // and a source derived from this table's own scan carries nested
+    // parquet.field.id metadata inside struct types — identical schemas
+    // would spuriously refuse under exact DataType equality
+    require(source.schema.fields.map(f => (f.name, f.dataType.simpleString))
+      .sameElements(schema.fields.map(f => (f.name, f.dataType.simpleString))),
       s"merge source schema mismatch: ${source.schema.simpleString}")
     val (base, live, baseSnap) = lineageBase(branch)
     // persist: the source plan is consumed three times (bounds agg,
@@ -1652,8 +1673,12 @@ final class LakeTable private[lake] (
       branch: Option[String] = None): CommitReport = {
     import org.apache.spark.sql.{functions => F}
     require(keys.nonEmpty && keys.forall(schema.fieldNames.contains), s"bad merge keys $keys")
-    require(source.schema.fields.map(f => (f.name, f.dataType)).sameElements(
-      schema.fields.map(f => (f.name, f.dataType))),
+    // simpleString comparison: StructField equality includes METADATA,
+    // and a source derived from this table's own scan carries nested
+    // parquet.field.id metadata inside struct types — identical schemas
+    // would spuriously refuse under exact DataType equality
+    require(source.schema.fields.map(f => (f.name, f.dataType.simpleString))
+      .sameElements(schema.fields.map(f => (f.name, f.dataType.simpleString))),
       s"merge source schema mismatch: ${source.schema.simpleString}")
     // branch validity check up-front (the commit transform re-checks
     // inside the CAS; this turns a typo into a fast failure instead of
@@ -1903,8 +1928,17 @@ final class LakeTable private[lake] (
       val defaultAge = latest.properties.get("history.expire.max-ref-age-ms")
         .map(_.toLong)
       val liveRefs = latest.refs.filterNot { case (_, r) =>
-        r.createdAtMs > 0L &&
-          r.maxRefAgeMs.orElse(defaultAge).exists(age => now - r.createdAtMs > age)
+        r.createdAtMs > 0L && {
+          // age from the LATER of ref creation and the head snapshot's
+          // commit time: an ACTIVELY advancing branch never ages out
+          // (aging from the frozen creation time would expire a branch
+          // receiving daily commits and silently drop its staged work —
+          // Iceberg keeps active refs alive the same way); an idle
+          // ref's clock runs from its last activity
+          val basis = math.max(r.createdAtMs,
+            latest.snapshot(r.snapshotId).map(_.timestampMs).getOrElse(0L))
+          r.maxRefAgeMs.orElse(defaultAge).exists(age => now - basis > age)
+        }
       }
       val pinned = liveRefs.values.map(_.snapshotId).toSet
       val kept = latest.snapshots.filter(snap =>

@@ -25,8 +25,30 @@ object StatsHarvester {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(dir)
     val fs = p.getFileSystem(conf)
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    harvestStatuses(conf,
+      fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
+      schema, spec, fieldIds)
+  }
+
+  /** Harvest EXACTLY these files — the streaming sink's epoch commit
+    * shape: opening only task-committed footers keeps a crashed
+    * attempt's truncated partial file from poisoning every later
+    * commit, and the cost O(epoch files) instead of O(all files ever
+    * written under the query directory). */
+  def harvestPaths(spark: SparkSession, paths: Seq[String], schema: StructType,
+      spec: Seq[PartitionField], fieldIds: Map[String, Int]): Seq[DataFileEntry] = {
+    val conf = spark.sessionState.newHadoopConf()
+    harvestStatuses(conf, paths.map { p =>
+      val h = new Path(p)
+      h.getFileSystem(conf).getFileStatus(h)
+    }, schema, spec, fieldIds)
+  }
+
+  private def harvestStatuses(conf: org.apache.hadoop.conf.Configuration,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus], schema: StructType,
+      spec: Seq[PartitionField], fieldIds: Map[String, Int]): Seq[DataFileEntry] = {
+    statuses
       .sortBy(_.getPath.getName)
       .map { st =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))

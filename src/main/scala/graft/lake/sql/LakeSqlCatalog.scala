@@ -669,6 +669,12 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
               s"streaming writes to ${lt.name} cannot target a WAP branch: " +
                 "a continuous sink is not a stageable audit unit " +
                 "(unset spark.wap.branch)")
+            // wap.id symmetry: epochs would land straight on main while
+            // the user believes they are staging
+            require(Wap.stagedId(SparkSession.active).isEmpty,
+              s"streaming writes to ${lt.name} cannot stage under spark.wap.id: " +
+                "a continuous sink is not a stageable audit unit " +
+                "(unset spark.wap.id)")
             val t = lt.refresh()
             val in = info.schema()
             require(in.fields.map(f => (f.name, f.dataType.simpleString)).sameElements(

@@ -47,7 +47,14 @@ private[sql] final class LakeStreamingWrite(lt: LakeTable, queryId: String)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new LakeStreamingWriterFactory(lt.metadata.schemaWithFieldIds, dir)
+    new LakeStreamingWriterFactory(lt.metadata.schemaWithFieldIds, dir,
+      // the CALLER's hadoop conf rides to the executors: a bare
+      // new Configuration() there would drop spark.hadoop.* settings —
+      // object-store credentials, custom fs registrations — so
+      // streaming writes would fail on exactly the warehouses batch
+      // writes reach
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 
   override def useCommitCoordinator(): Boolean = true
 
@@ -57,11 +64,13 @@ private[sql] final class LakeStreamingWrite(lt: LakeTable, queryId: String)
     }.toSet
     if (committed.nonEmpty) {
       val t = lt.refresh()
+      // harvest EXACTLY the task-committed files: a speculative or
+      // crashed attempt's partial file is never opened (a truncated
+      // footer would throw and poison every later epoch), and the
+      // commit pays O(epoch files), not O(files ever written)
       val entries = StatsHarvester
-        .harvest(SparkSession.active, dir, t.schema, t.spec, t.metadata.fieldIds)
-        // ONLY task-committed files enter the manifest: a speculative
-        // or crashed attempt's file sits unreferenced in the directory
-        .filter(e => committed(new HPath(e.path).getName))
+        .harvestPaths(SparkSession.active, committed.toSeq.map(n => s"$dir/$n"),
+          t.schema, t.spec, t.metadata.fieldIds)
         .map(_.copy(specId = t.metadata.currentSpecId))
       t.appendFilesExactlyOnce(entries, s"dsv2-$queryId", epochId)
     } else {
@@ -78,25 +87,28 @@ private[sql] final class LakeStreamingWrite(lt: LakeTable, queryId: String)
 /** Serializable executor-side factory: schema (with parquet field IDs)
   * plus the target directory; each task writes one uniquely-named file. */
 private[sql] final class LakeStreamingWriterFactory(
-    schema: StructType, dir: String) extends StreamingDataWriterFactory {
+    schema: StructType, dir: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new LakeParquetDataWriter(schema,
-      s"$dir/part-$epochId-$partitionId-${UUID.randomUUID}.parquet")
+      s"$dir/part-$epochId-$partitionId-${UUID.randomUUID}.parquet", conf)
 }
 
 /** Streams InternalRows into one parquet file through Spark's own
   * ParquetWriteSupport — identical encoding to the batch write path
   * (TIMESTAMP_MICROS so footer stats prune, field IDs so renames keep
   * resolving, CORRECTED rebase, modern layout). */
-private[sql] final class LakeParquetDataWriter(schema: StructType, path: String)
+private[sql] final class LakeParquetDataWriter(schema: StructType, path: String,
+    sconf: org.apache.spark.util.SerializableConfiguration)
     extends DataWriter[InternalRow] {
 
   private val hPath = new HPath(path)
 
   private val writer: ParquetWriter[InternalRow] = {
-    val conf = new Configuration()
+    val conf = new Configuration(sconf.value)
     // ParquetWriteSupport.init reads these SQLConf keys from the
     // Configuration (the batch path copies them from the session; an
     // executor task has no session, so pin them explicitly)
@@ -123,14 +135,14 @@ private[sql] final class LakeParquetDataWriter(schema: StructType, path: String)
   override def commit(): WriterCommitMessage = {
     writer.close()
     if (rows == 0L) { // empty partition: no file in the directory at all
-      hPath.getFileSystem(new Configuration()).delete(hPath, false)
+      hPath.getFileSystem(sconf.value).delete(hPath, false)
     }
     LakeFileCommitted(hPath.getName, rows)
   }
 
   override def abort(): Unit = {
     try writer.close() catch { case _: Throwable => () }
-    try hPath.getFileSystem(new Configuration()).delete(hPath, false)
+    try hPath.getFileSystem(sconf.value).delete(hPath, false)
     catch { case _: Throwable => () }
   }
 

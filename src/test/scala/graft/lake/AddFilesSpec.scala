@@ -153,6 +153,18 @@ class AddFilesSpec extends LakeSuite {
     t.refresh().renameColumn("s._1", "title")
     assert(t.refresh().newScan().toDF(spark)
       .where(col("s.title").isNotNull).count() === 50L)
+
+    // a SAME-SHAPE struct with DIFFERENT inner names refuses: mapped
+    // reads resolve struct internals by name, so a structural-only
+    // check would import cleanly and then read NULL for every field
+    val src2 = extDir("nested-shape")
+    (1 to 5).map(i => (i, (s"x$i", i.toLong))).toDF("id", "s")
+      .select(col("id"), col("s").cast("struct<other:string,thing:bigint>").as("s"))
+      .write.mode("overwrite").parquet(src2)
+    val cat2 = LakeCatalog.open(freshWarehouse())
+    val t2 = cat2.createTable("ns", "shape", df.schema)
+    val mismatch = intercept[IllegalArgumentException](t2.addFiles(spark, src2))
+    assert(mismatch.getMessage.contains("struct<other:string,thing:bigint>"))
   }
 
   test("SQL surface: CALL add_files registers; SELECT reads through the substitution; streaming refuses imports") {

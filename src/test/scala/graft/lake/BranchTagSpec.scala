@@ -237,6 +237,19 @@ class BranchTagSpec extends LakeSuite {
 
     intercept[IllegalArgumentException](
       t.refresh().createTag("bad", t.currentSnapshotId, maxRefAgeMs = Some(0L)))
+
+    // an ACTIVELY advancing branch never ages out: a branch commit
+    // refreshes the age basis (head snapshot time), so only idle time
+    // counts — aging from frozen creation time would silently drop
+    // actively staged work
+    t.refresh().createBranch("active", maxRefAgeMs = Some(1500L))
+    Thread.sleep(1600) // past the age measured from CREATION
+    t.refresh().appendDataToBranch("active", ordersDF.limit(1))
+    t.refresh().expireSnapshots(keepLast = 1)
+    assert(t.refresh().refs.contains("active")) // fresh head keeps it
+    Thread.sleep(1600) // now genuinely idle past the age
+    t.refresh().expireSnapshots(keepLast = 1)
+    assert(!t.refresh().refs.contains("active"))
   }
 
   test("racing branch mutations serialize: the loser revalidates against the new head") {
