@@ -1194,6 +1194,44 @@ final class LakeTable private[lake] (
     }
   }
 
+  /** Atomic predicate-scoped OVERWRITE (Delta's replaceWhere /
+    * Iceberg's overwrite-by-filter): delete every row matching `pred`
+    * AND append `df` in ONE commit — the backfill primitive. Rewriting
+    * "one day's partition" as delete-then-append needs two commits and
+    * exposes readers to the gap (and a crash between them loses the
+    * day); this is a single serializable snapshot: touched files'
+    * survivors rewrite, replacement data appends, and a racing append
+    * that matches `pred` conflicts and re-runs. Every replacement row
+    * must itself match `pred` — otherwise "replace WHERE day = X" could
+    * smuggle rows into other days (Delta refuses identically). */
+  def replaceWhere(spark: SparkSession, pred: LakePredicate, df: DataFrame,
+      conflictRetries: Int = 3,
+      branch: Option[String] = None): CommitReport = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val strays = df.filter(!coalesce(pred.toColumn, lit(false))).limit(1).count()
+    require(strays == 0L,
+      s"replaceWhere(${pred.render}) on $name: replacement rows must all " +
+        "match the predicate (a stray row would land OUTSIDE the replaced " +
+        "slice and silently corrupt it)")
+    withConflictRetry(conflictRetries) {
+      val (base, live, snap) = lineageBase(branch)
+      val touched = live.filter(pred.mayMatch(_, meta))
+      val newFiles = writeDataFiles(df)
+      if (touched.isEmpty)
+        commitSnapshot("overwrite", newFiles, Nil,
+          validateAddedSince = Some((base, pred)), toBranch = branch)
+      else {
+        // survivors of touched files (NULL-predicate rows KEEP — only
+        // TRUE replaces, SQL delete semantics)
+        val kept = readLive(spark, touched, snap)
+          .filter(!coalesce(pred.toColumn, lit(false)))
+        val added = writeDataFiles(kept) ++ newFiles
+        commitSnapshot("overwrite", added, touched,
+          validateAddedSince = Some((base, pred)), toBranch = branch)
+      }
+    }
+  }
+
   /** MERGE-ON-READ row delete (Iceberg's positional delete files): the
     * matching rows' physical coordinates (file_path, row_index) are
     * written as a small parquet TOMBSTONE file and committed as a

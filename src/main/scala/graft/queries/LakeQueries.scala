@@ -275,6 +275,21 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Atomic predicate-scoped overwrite (replaceWhere — the backfill
+    * primitive): one commit deletes the P-status slice and lands its
+    * regenerated replacement; readers never see the gap a
+    * delete-then-append pair exposes. */
+  def lakeReplaceWhere(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_rw", src.schema)
+    t.appendData(src, numFiles = 4)
+    val backfill = src.filter(col("o_orderstatus") === "P")
+      .withColumn("o_orderpriority", lit("0-BACKFILL"))
+    t.refresh().replaceWhere(s, LakePredicate.Eq("o_orderstatus", "P"), backfill)
+    t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
+  }
+
   /** Per-commit CHANGELOG over a deletion-vector table: two appends, a
     * DV delete, a DV MoR update — emitted as insert/delete rows with
     * full pre-images and commit ids (delete deltas come from bitmap
@@ -762,6 +777,7 @@ object LakeQueries {
     "lake_column_defaults" -> lakeColumnDefaults,
     "lake_element_evolution" -> lakeElementEvolution,
     "lake_changelog" -> lakeChangelog,
+    "lake_replace_where" -> lakeReplaceWhere,
     "lake_agg_pushdown" -> lakeAggPushdown,
     "lake_branch_mutations" -> lakeBranchMutations,
     "lake_sql_wap" -> lakeSqlWap,
@@ -894,6 +910,13 @@ object LakeQueries {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
         |FROM orders""".stripMargin,
+    // the P slice replaced in one commit: same rows, backfilled priority
+    "lake_replace_where" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderstatus = 'P' THEN '0-BACKFILL'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     // the changelog feed, reconstructed relationally: snap 1/2 insert
     // even/odd keys; snap 3 deletes the high-price rows (DV delta);
     // snap 4 is the MoR update's delete-pre-image + insert-post-image

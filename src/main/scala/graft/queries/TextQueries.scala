@@ -581,7 +581,28 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-window CHUNKING (the training-window segmentation step): each
+    * document splits into 64-token windows with a 48-token stride
+    * (16-token overlap keeps context across boundaries). Pure map-side
+    * HOFs — split / sequence / slice inside whole-stage codegen, zero
+    * shuffles until the output sort; the per-doc work is independent, so
+    * the shape is identical at 100 TB. */
+  def qDocChunking(s: SparkSession, d: String): DataFrame = {
+    val K = 64
+    val S = 48
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(floor((size(ts) - 1) / $S) AS INT)), " +
+          s"i -> slice(ts, 1 + i * $S, $K))")))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        size(col("col")).cast("long").as("n_tokens"),
+        array_join(col("col"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunking" -> qDocChunking,
     "contamination_check" -> qContamination,
     "pii_redact" -> qPiiRedact,
     "repetition_stats" -> qRepetitionStats,
@@ -604,6 +625,19 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_chunking" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |ch AS (
+        |  SELECT doc_id, ts,
+        |    unnest(generate_series(0, CAST(floor((len(ts) - 1) / 48) AS BIGINT)))
+        |      AS chunk_id
+        |  FROM tok)
+        |SELECT doc_id, chunk_id,
+        |  len(list_slice(ts, 1 + chunk_id * 48, chunk_id * 48 + 64)) AS n_tokens,
+        |  array_to_string(list_slice(ts, 1 + chunk_id * 48, chunk_id * 48 + 64), ' ')
+        |    AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "contamination_check" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id, sh FROM (

@@ -64,4 +64,39 @@ class MergeSpec extends LakeSuite {
     assertThrows[IllegalArgumentException](
       t.mergeInto(spark, ordersDF.drop("o_orderpriority"), Seq("o_orderkey")))
   }
+
+  test("replaceWhere: one-commit slice backfill; stray rows refuse; tombstones apply") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "rw", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 4)
+    val before = t.refresh().currentSnapshotId
+
+    // a replacement row OUTSIDE the slice refuses pre-commit: it would
+    // silently land in a slice the caller never asked to touch
+    val stray = ordersDF.limit(5) // mixed statuses
+    val e = intercept[IllegalArgumentException](t.refresh().replaceWhere(
+      spark, LakePredicate.Eq("o_orderstatus", "P"), stray))
+    assert(e.getMessage.contains("must all match"))
+    assert(t.refresh().currentSnapshotId === before) // nothing committed
+
+    // MoR-delete part of the slice first: the replace must not
+    // resurrect tombstoned rows from the files it rewrites
+    t.refresh().deleteWhereMoR(spark, LakePredicate.Ge("o_totalprice",
+      Double.box(400000.0)))
+    val backfill = ordersDF.filter(col("o_orderstatus") === "P")
+      .withColumn("o_orderpriority", lit("0-BF"))
+    val r = t.refresh().replaceWhere(spark,
+      LakePredicate.Eq("o_orderstatus", "P"), backfill)
+    assert(r.snapshotId === before + 2) // ONE commit for the whole swap
+    val live = t.refresh().newScan().toDF(spark)
+    // the slice is exactly the backfill (including rows the tombstones
+    // had removed — a backfill REGENERATES its slice)
+    assert(live.filter(col("o_orderstatus") === "P")
+      .filter(col("o_orderpriority") =!= "0-BF").count() === 0L)
+    assert(live.filter(col("o_orderstatus") === "P").count() === backfill.count())
+    // outside the slice the tombstones still hold
+    assert(live.filter(col("o_orderstatus") =!= "P" &&
+      col("o_totalprice") >= 400000.0).count() === 0L)
+  }
 }
