@@ -616,17 +616,40 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      // df.writeTo(t).overwrite(cond) → the atomic replaceWhere
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     import org.apache.spark.sql.connector.write.{V1Write, WriteBuilder}
-    import org.apache.spark.sql.connector.write.SupportsTruncate
+    import org.apache.spark.sql.connector.write.SupportsOverwrite
     require(snapshotId.isEmpty, s"cannot write to a historical snapshot of ${lt.name}")
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsOverwrite {
       private var replace = false
+      private var overwritePred: Option[LakePredicate] = None
       override def truncate(): WriteBuilder = { replace = true; this }
+
+      /** `df.writeTo(t).overwrite(cond)` → [[LakeTable.replaceWhere]]:
+        * the atomic predicate-scoped backfill, ONE serializable commit
+        * for delete-matching + append-replacement. The condition must
+        * have an exact manifest-predicate form (a lenient conversion
+        * would widen the deleted slice) and every replacement row must
+        * match it — replaceWhere enforces both. */
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+        import graft.lake.{LakePredicate => P}
+        if (filters.isEmpty ||
+          filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+          replace = true
+        else overwritePred = Some(filters.map(f =>
+          LakeSqlTable.toLakePredicateStrict(f).getOrElse(
+            throw new UnsupportedOperationException(
+              s"overwrite condition $f has no exact manifest-predicate form")))
+          .reduce(P.And(_, _)))
+        this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new V1Write {
           override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
@@ -637,7 +660,15 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
               val aligned = data.select(t.schema.fields.map(f =>
                 org.apache.spark.sql.functions.col(f.name)
                   .cast(f.dataType).as(f.name)): _*)
-              if (replace || overwrite) {
+              if (overwritePred.isDefined) {
+                // predicate-scoped overwrite is a ROW-LEVEL op: wap.id
+                // staging refuses (pointer to branch staging), a WAP
+                // branch stages it like DELETE/UPDATE/MERGE do
+                Wap.refuseRowLevelStaging(SparkSession.active,
+                  "OVERWRITE", t.name)
+                t.replaceWhere(SparkSession.active, overwritePred.get, aligned,
+                  branch = Wap.writeBranch(SparkSession.active, t))
+              } else if (replace || overwrite) {
                 // raw-conf check: must not auto-create the branch on a
                 // path that refuses
                 require(Wap.set(SparkSession.active).isEmpty &&
