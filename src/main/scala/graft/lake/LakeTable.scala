@@ -1585,7 +1585,10 @@ final class LakeTable private[lake] (
       newEq.groupBy(_.eqFieldIds).foreach { case (ids, entries) =>
         val names = ids.map(id => idToName.getOrElse(id,
           throw new IllegalStateException(
-            s"equality-delete key field id $id resolves to no current column")))
+            s"changelog of $name: snapshot ${s.id} committed equality " +
+              s"tombstones keyed on field id $id, whose column was since " +
+              "DROPPED — that commit's deletes cannot be reconstructed; " +
+              s"start the changelog range after snapshot ${s.id}")))
         val reqSchema = StructType(names.map(n => idSchema(idSchema.fieldIndex(n))))
         val session = org.apache.spark.sql.graftbridge.SessionBridge
           .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
