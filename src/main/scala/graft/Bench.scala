@@ -72,16 +72,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalMin = if (mins.nonEmpty) mins.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"queries_min":$qmins}"""
-    println(line)
-    // the full JSON also lands in a FILE: with ~100 queries the stdout
-    // line outgrows tail-capture harnesses (round 7 lost 32 of 97
-    // queries and parsed:null in BENCH_r7.json) — a file is complete by
-    // construction. Path override: SPARK_GRAFT_BENCH_OUT.
+    // stdout carries ONLY the small headline: with ~100 queries a line
+    // embedding both per-query maps outgrows tail-capture harnesses
+    // (rounds 7/8 came back parsed:null) — the maps live in the file,
+    // which is complete by construction. Path: SPARK_GRAFT_BENCH_OUT.
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"n_queries":${names.size}}"""
+    println(headline)
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"queries_min":$qmins}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(out,
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -75,7 +75,14 @@ private[lake] object DataFs {
   def readBytes(p: String): Array[Byte] = {
     val h = new HPath(p)
     val fs = fsOf(h)
-    val len = fs.getFileStatus(h).getLen.toInt
+    val rawLen = fs.getFileStatus(h).getLen
+    // a silent toInt would turn a ≥2 GiB blob into a negative/truncated
+    // buffer; fail loudly instead (DV blobs are per-commit and orders of
+    // magnitude smaller — hitting this means something is badly wrong)
+    require(rawLen <= Int.MaxValue,
+      s"refusing to read $p into memory: $rawLen bytes exceeds the 2 GiB " +
+        "single-buffer limit")
+    val len = rawLen.toInt
     val in = fs.open(h)
     try {
       val buf = new Array[Byte](len)

@@ -149,16 +149,19 @@ final class LakeCatalog private (
   }
 
   /** Write one immutable manifest document for `files`; returns the ref
-    * a manifest list embeds. The name is unique per write, so a lost CAS
-    * race merely orphans the document (removeOrphanFiles reclaims it) —
-    * no atomicity needed beyond the metadata CAS itself. */
+    * a manifest list embeds, carrying rollup skip stats when `keyTypes`
+    * (stat key → column type, [[TableMetadata.statKeyTypes]]) is given —
+    * the manifest-list summaries that let scan planning skip whole
+    * documents. The name is unique per write, so a lost CAS race merely
+    * orphans the document (removeOrphanFiles reclaims it) — no
+    * atomicity needed beyond the metadata CAS itself. */
   private[lake] def writeManifest(md: LakePath, files: Seq[DataFileEntry],
-      content: String = ManifestRef.Data): ManifestRef = {
+      content: String = ManifestRef.Data,
+      keyTypes: Map[String, org.apache.spark.sql.types.DataType] = Map.empty): ManifestRef = {
     val name = s"manifest-${java.util.UUID.randomUUID}.json"
     backend.putOverwrite(md.resolve(name), MetadataJson.writeManifest(files))
     cachePut(manifestCache, md.resolve(name).toString, files)
-    ManifestRef(name, files.size.toLong, files.map(_.recordCount).sum,
-      files.map(_.sizeBytes).sum, content)
+    ManifestRef.of(name, files, content, keyTypes)
   }
 
   /** Write one immutable manifest-list document; returns its name. */

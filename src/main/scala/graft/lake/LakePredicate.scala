@@ -24,6 +24,13 @@ sealed trait LakePredicate {
     * files were written under, which is what keeps pruning exact across
     * column renames without touching a manifest. */
   def mayMatch(f: DataFileEntry, meta: TableMetadata): Boolean
+
+  /** False only if NO entry in the whole manifest can match — judged
+    * from the manifest-list rollup ([[ManifestRef.of]]) WITHOUT opening
+    * the manifest document, Iceberg's manifest-list skip step. Rollup
+    * keys carry the same every-entry proof as file stats, so the same
+    * bound tests apply; anything unprovable keeps the manifest. */
+  def mayMatchManifest(ref: ManifestRef, meta: TableMetadata): Boolean = true
 }
 
 object LakePredicate {
@@ -43,58 +50,72 @@ object LakePredicate {
     def toColumn: Column = lit(false)
     def render = "false"
     def mayMatch(f: DataFileEntry, m: TableMetadata) = false
+    override def mayMatchManifest(ref: ManifestRef, m: TableMetadata) = false
   }
 
   /** A comparison against a NULL literal is never TRUE in SQL, so such
     * predicates match NO rows: mayMatch = false (prune everything —
     * exact, not just conservative), and toStat is never reached with a
     * null (it would NPE). Surfaces via pushed `IN ('F', NULL)` filters
-    * from the SQL path and via the Scala API. */
+    * from the SQL path and via the Scala API.
+    *
+    * File- and manifest-level pruning share one bound test
+    * ([[boundsMayMatch]]); only the (min, max) source differs. */
   sealed abstract class Comparison(name: String, value: Any) extends LakePredicate {
-    protected def statBounds(f: DataFileEntry, meta: TableMetadata): Option[(String, String, DataType)] =
+    /** Can ANY value in [mn, mx] satisfy this comparison? */
+    protected def boundsMayMatch(mn: String, mx: String, t: DataType): Boolean
+
+    private def resolve(minV: Map[String, String], maxV: Map[String, String],
+        meta: TableMetadata): Option[(String, String, DataType)] =
       for {
         key <- meta.statKey(name)
-        mn <- f.minValues.get(key)
-        mx <- f.maxValues.get(key)
+        mn <- minV.get(key)
+        mx <- maxV.get(key)
         field <- meta.schema.fields.find(_.name == name)
       } yield (mn, mx, field.dataType)
+
+    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
+      value != null && resolve(f.minValues, f.maxValues, m)
+        .forall { case (mn, mx, t) => boundsMayMatch(mn, mx, t) }
+
+    override def mayMatchManifest(ref: ManifestRef, m: TableMetadata): Boolean =
+      value != null && resolve(ref.minValues, ref.maxValues, m)
+        .forall { case (mn, mx, t) => boundsMayMatch(mn, mx, t) }
   }
 
   final case class Eq(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) === lit(value)
     def render = s"$name = $value"
-    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
-      value != null && statBounds(f, m).forall { case (mn, mx, t) =>
-        cmp(t, toStat(t, value), mn) >= 0 && cmp(t, toStat(t, value), mx) <= 0
-      }
+    protected def boundsMayMatch(mn: String, mx: String, t: DataType): Boolean =
+      cmp(t, toStat(t, value), mn) >= 0 && cmp(t, toStat(t, value), mx) <= 0
   }
 
   final case class Gt(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) > lit(value)
     def render = s"$name > $value"
-    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
-      value != null && statBounds(f, m).forall { case (_, mx, t) => cmp(t, mx, toStat(t, value)) > 0 }
+    protected def boundsMayMatch(mn: String, mx: String, t: DataType): Boolean =
+      cmp(t, mx, toStat(t, value)) > 0
   }
 
   final case class Ge(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) >= lit(value)
     def render = s"$name >= $value"
-    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
-      value != null && statBounds(f, m).forall { case (_, mx, t) => cmp(t, mx, toStat(t, value)) >= 0 }
+    protected def boundsMayMatch(mn: String, mx: String, t: DataType): Boolean =
+      cmp(t, mx, toStat(t, value)) >= 0
   }
 
   final case class Lt(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) < lit(value)
     def render = s"$name < $value"
-    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
-      value != null && statBounds(f, m).forall { case (mn, _, t) => cmp(t, mn, toStat(t, value)) < 0 }
+    protected def boundsMayMatch(mn: String, mx: String, t: DataType): Boolean =
+      cmp(t, mn, toStat(t, value)) < 0
   }
 
   final case class Le(name: String, value: Any) extends Comparison(name, value) {
     def toColumn: Column = col(name) <= lit(value)
     def render = s"$name <= $value"
-    def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
-      value != null && statBounds(f, m).forall { case (mn, _, t) => cmp(t, mn, toStat(t, value)) <= 0 }
+    protected def boundsMayMatch(mn: String, mx: String, t: DataType): Boolean =
+      cmp(t, mn, toStat(t, value)) <= 0
   }
 
   final case class In(name: String, values: Seq[Any]) extends LakePredicate {
@@ -102,6 +123,8 @@ object LakePredicate {
     def render = s"$name IN (${values.mkString(",")})"
     def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
       values.exists(v => Eq(name, v).mayMatch(f, m))
+    override def mayMatchManifest(ref: ManifestRef, m: TableMetadata): Boolean =
+      values.exists(v => Eq(name, v).mayMatchManifest(ref, m))
   }
 
   final case class IsNull(name: String) extends LakePredicate {
@@ -109,6 +132,8 @@ object LakePredicate {
     def render = s"$name IS NULL"
     def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
       m.statKey(name).flatMap(f.nullCounts.get).forall(_ > 0)
+    override def mayMatchManifest(ref: ManifestRef, m: TableMetadata): Boolean =
+      m.statKey(name).flatMap(ref.nullCounts.get).forall(_ > 0)
   }
 
   final case class NotNull(name: String) extends LakePredicate {
@@ -116,6 +141,10 @@ object LakePredicate {
     def render = s"$name IS NOT NULL"
     def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
       m.statKey(name).flatMap(f.nullCounts.get).forall(_ < f.recordCount)
+    // all-null across the whole manifest ⇔ rollup nullCount == rollup
+    // recordCount (both are sums over the same every-entry key set)
+    override def mayMatchManifest(ref: ManifestRef, m: TableMetadata): Boolean =
+      m.statKey(name).flatMap(ref.nullCounts.get).forall(_ < ref.recordCount)
   }
 
   final case class And(left: LakePredicate, right: LakePredicate) extends LakePredicate {
@@ -123,6 +152,8 @@ object LakePredicate {
     def render = s"(${left.render} AND ${right.render})"
     def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
       left.mayMatch(f, m) && right.mayMatch(f, m)
+    override def mayMatchManifest(ref: ManifestRef, m: TableMetadata): Boolean =
+      left.mayMatchManifest(ref, m) && right.mayMatchManifest(ref, m)
   }
 
   final case class Or(left: LakePredicate, right: LakePredicate) extends LakePredicate {
@@ -130,6 +161,8 @@ object LakePredicate {
     def render = s"(${left.render} OR ${right.render})"
     def mayMatch(f: DataFileEntry, m: TableMetadata): Boolean =
       left.mayMatch(f, m) || right.mayMatch(f, m)
+    override def mayMatchManifest(ref: ManifestRef, m: TableMetadata): Boolean =
+      left.mayMatchManifest(ref, m) || right.mayMatchManifest(ref, m)
   }
 
   /** Negation cannot reuse the child's bound proof, so it never prunes —
@@ -156,6 +189,14 @@ object LakePredicate {
       val i = m.specFor(f).indexOf(field)
       i < 0 || f.partitionValues.get(s"p$i").forall(_ == value)
     }
+    // The rollup summary carries the DISTINCT partition values per key
+    // (exact-set membership, not bounds), valid only when the manifest
+    // is spec-homogeneous; a mixed-spec or over-cap manifest is kept.
+    override def mayMatchManifest(ref: ManifestRef, m: TableMetadata): Boolean =
+      ref.specId.forall { sid =>
+        val i = m.allSpecs.lift(sid).getOrElse(m.spec).indexOf(field)
+        i < 0 || ref.partitionValues.get(s"p$i").forall(_.contains(value))
+      }
   }
 }
 

@@ -204,7 +204,15 @@ final class LakeTable private[lake] (
     val parts =
       (if (native.nonEmpty) Seq(readIdFiles(spark, native.map(_.path), withPos)) else Nil) ++
         (if (mapped.nonEmpty) Seq(readMappedFiles(spark, mapped.map(_.path), withPos)) else Nil)
-    parts.reduce(_.unionByName(_))
+    if (parts.isEmpty) {
+      // zero files: an empty frame under the table schema (+ pos
+      // columns), not an opaque empty.reduce crash for a future caller
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val s = if (!withPos) schema else StructType(schema.fields ++ Seq(
+        StructField(LakeTable.PosFileCol, StringType, nullable = false),
+        StructField(LakeTable.PosIdxCol, LongType, nullable = false)))
+      spark.createDataFrame(new java.util.ArrayList[Row](), s)
+    } else parts.reduce(_.unionByName(_))
   }
 
   private def readIdFiles(spark: SparkSession, paths: Seq[String],
@@ -1081,9 +1089,17 @@ final class LakeTable private[lake] (
           val dataMfs = cur.manifests.filter(_.content == ManifestRef.Data)
           if (dataMfs.size < minManifests) latest
           else {
+            // cluster by (spec, partition values) before grouping so
+            // each consolidated manifest covers few partitions — the
+            // rollup summaries stay tight and a partition predicate
+            // skips whole documents (Iceberg's rewrite_manifests sorts
+            // by partition for exactly this)
             val entries = dataMfs.flatMap(m => io.readManifest(m.name))
+              .sortBy(e => (e.specId,
+                e.partitionValues.toSeq.sorted.mkString(" "), e.path))
+            val keyTypes = latest.withFieldIdDefaults.statKeyTypes
             val newRefs = entries.grouped(targetEntries).toSeq
-              .map(g => catalog.writeManifest(md, g))
+              .map(g => catalog.writeManifest(md, g, keyTypes = keyTypes))
             val manifests = newRefs ++
               cur.manifests.filterNot(_.content == ManifestRef.Data)
             val listName = catalog.writeManifestList(md, manifests)
@@ -1208,28 +1224,36 @@ final class LakeTable private[lake] (
       conflictRetries: Int = 3,
       branch: Option[String] = None): CommitReport = {
     import org.apache.spark.sql.functions.{coalesce, lit}
-    val strays = df.filter(!coalesce(pred.toColumn, lit(false))).limit(1).count()
-    require(strays == 0L,
-      s"replaceWhere(${pred.render}) on $name: replacement rows must all " +
-        "match the predicate (a stray row would land OUTSIDE the replaced " +
-        "slice and silently corrupt it)")
-    withConflictRetry(conflictRetries) {
-      val (base, live, snap) = lineageBase(branch)
-      val touched = live.filter(pred.mayMatch(_, meta))
-      val newFiles = writeDataFiles(df)
-      if (touched.isEmpty)
-        commitSnapshot("overwrite", newFiles, Nil,
-          validateAddedSince = Some((base, pred)), toBranch = branch)
-      else {
-        // survivors of touched files (NULL-predicate rows KEEP — only
-        // TRUE replaces, SQL delete semantics)
-        val kept = readLive(spark, touched, snap)
-          .filter(!coalesce(pred.toColumn, lit(false)))
-        val added = writeDataFiles(kept) ++ newFiles
-        commitSnapshot("overwrite", added, touched,
-          validateAddedSince = Some((base, pred)), toBranch = branch)
+    // persisted: the replacement frame is evaluated once for the stray
+    // check and again by writeDataFiles (re-run per conflict retry) — a
+    // non-deterministic source could pass the check yet materialize
+    // rows OUTSIDE the slice on the write pass, the exact corruption
+    // the check exists to stop (mergeInto persists for the same reason)
+    val rep = df.persist()
+    try {
+      val strays = rep.filter(!coalesce(pred.toColumn, lit(false))).limit(1).count()
+      require(strays == 0L,
+        s"replaceWhere(${pred.render}) on $name: replacement rows must all " +
+          "match the predicate (a stray row would land OUTSIDE the replaced " +
+          "slice and silently corrupt it)")
+      withConflictRetry(conflictRetries) {
+        val (base, live, snap) = lineageBase(branch)
+        val touched = live.filter(pred.mayMatch(_, meta))
+        val newFiles = writeDataFiles(rep)
+        if (touched.isEmpty)
+          commitSnapshot("overwrite", newFiles, Nil,
+            validateAddedSince = Some((base, pred)), toBranch = branch)
+        else {
+          // survivors of touched files (NULL-predicate rows KEEP — only
+          // TRUE replaces, SQL delete semantics)
+          val kept = readLive(spark, touched, snap)
+            .filter(!coalesce(pred.toColumn, lit(false)))
+          val added = writeDataFiles(kept) ++ newFiles
+          commitSnapshot("overwrite", added, touched,
+            validateAddedSince = Some((base, pred)), toBranch = branch)
+        }
       }
-    }
+    } finally rep.unpersist(blocking = false)
   }
 
   /** MERGE-ON-READ row delete (Iceberg's positional delete files): the
@@ -1595,7 +1619,11 @@ final class LakeTable private[lake] (
         val keys = session.read.schema(reqSchema).parquet(entries.map(_.path): _*)
           .select(names.map(n => col(n).as(s"__cl_$n")): _*)
         val parentLive = readLive(spark, pFiles, p)
-        val cond = names.map(n => parentLive(n) <=> keys(s"__cl_$n")).reduce(_ && _)
+        // === (not null-safe <=>) to MIRROR applyEqDeletes: a null-keyed
+        // tombstone — representable in the format though mergeIntoMoR
+        // never writes one — deletes nothing on reads, so the changelog
+        // must not report it as a delete either
+        val cond = names.map(n => parentLive(n) === keys(s"__cl_$n")).reduce(_ && _)
         deletes += stampChange(
           parentLive.join(gateBroadcast(keys, entries), cond, "left_semi"),
           "delete", s)
@@ -2148,8 +2176,13 @@ final class LakeTable private[lake] (
       // files). Equality deletes apply to seq strictly below their own,
       // so a MoR upsert's own data files escape its own tombstones.
       val newId = latest.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+      // data manifests carry rollup skip stats typed under the schema
+      // the commit lands on (stat strings are canonical, so a later
+      // widen still compares correctly at scan time)
+      val keyTypes = latest.withFieldIdDefaults.statKeyTypes
       val addedRef = if (added.nonEmpty)
-        Some(catalog.writeManifest(md, added.map(_.copy(seq = newId)))) else None
+        Some(catalog.writeManifest(md, added.map(_.copy(seq = newId)),
+          keyTypes = keyTypes)) else None
       val addedDeleteRef = if (addedDeletes.nonEmpty)
         Some(catalog.writeManifest(md, addedDeletes.map(_.copy(seq = newId)),
           ManifestRef.Deletes)) else None
@@ -2309,7 +2342,9 @@ final class LakeTable private[lake] (
           val survivors = touched.flatMap(m => io.readManifest(m.name))
             .filterNot(f => removedPaths(f.path))
           val survivorRef =
-            if (survivors.nonEmpty) Some(catalog.writeManifest(md, survivors)) else None
+            if (survivors.nonEmpty)
+              Some(catalog.writeManifest(md, survivors, keyTypes = keyTypes))
+            else None
           untouched ++ survivorRef ++ addedRef
         }
       val manifests: Seq[ManifestRef] =
@@ -2498,6 +2533,65 @@ object LakeTable {
     rewrite(st, path).asInstanceOf[StructType]
   }
 
+  /** The type a dotted path addresses under [[structAt]]'s path
+    * language — None when any segment fails to resolve. */
+  private[lake] def typeAt(st: StructType,
+      path: Seq[String]): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+    def descend(dt: DataType, segs: Seq[String]): Option[DataType] = segs match {
+      case Seq() => Some(dt)
+      case seg +: rest => dt match {
+        case s: StructType =>
+          s.fields.find(_.name == seg).map(_.dataType).flatMap(descend(_, rest))
+        case a: ArrayType if seg == "element" => descend(a.elementType, rest)
+        case m: MapType if seg == "value" => descend(m.valueType, rest)
+        case _ => None
+      }
+    }
+    descend(st, path)
+  }
+
+  /** The BARE (non-struct) collection-leaf type a dotted path addresses
+    * — Some only when the final segment is an array's `element` or a
+    * map's `value` marker naming an atomic type. Struct-typed leaves
+    * evolve field-by-field through the struct paths instead; map KEYS
+    * are identity and never addressable. */
+  private[lake] def collectionLeafAt(st: StructType,
+      path: String): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType => ST}
+    val segs = path.split('.').toSeq
+    if (segs.size < 2) None
+    else typeAt(st, segs.init).collect {
+      case a: ArrayType if segs.last == "element" &&
+        !a.elementType.isInstanceOf[ST] => a.elementType
+      case m: MapType if segs.last == "value" &&
+        !m.valueType.isInstanceOf[ST] => m.valueType
+    }
+  }
+
+  /** Replace the bare collection-leaf type a path addresses (the
+    * [[collectionLeafAt]] shape) with `to`, preserving containers,
+    * nullability, and everything else. */
+  private[lake] def mapCollectionLeafAt(st: StructType, path: Seq[String],
+      to: org.apache.spark.sql.types.DataType): StructType = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType}
+    def rewrite(dt: DataType, segs: Seq[String]): DataType = (dt, segs) match {
+      case (a: ArrayType, Seq("element")) => a.copy(elementType = to)
+      case (m: MapType, Seq("value")) => m.copy(valueType = to)
+      case (s: StructType, seg +: rest) =>
+        require(s.fieldNames.contains(seg), s"$seg is not a field")
+        StructType(s.fields.map(f =>
+          if (f.name != seg) f else f.copy(dataType = rewrite(f.dataType, rest))))
+      case (a: ArrayType, "element" +: rest) =>
+        a.copy(elementType = rewrite(a.elementType, rest))
+      case (m: MapType, "value" +: rest) =>
+        m.copy(valueType = rewrite(m.valueType, rest))
+      case (other, seg) => throw new IllegalArgumentException(
+        s"${seg.mkString(".")} does not address a collection leaf in ${other.simpleString}")
+    }
+    rewrite(st, path).asInstanceOf[StructType]
+  }
+
   /** Move a path's field-ID entry — and every descendant path's — from
     * `from` to `to`, keeping the IDs (rename is metadata-only). */
   private[lake] def renamePaths(fieldIds: Map[String, Int], from: String,
@@ -2614,10 +2708,15 @@ final class AppendOp private[lake] (table: LakeTable) {
 final class LakeScan private[lake] (
     table: LakeTable, snapshot: Option[Snapshot], pred: LakePredicate) {
 
-  /** A10: enumerate surviving files; fires the ScanReport (A14). */
+  /** A10: enumerate surviving files; fires the ScanReport (A14).
+    * Two pruning tiers: manifest-list rollup stats skip whole manifest
+    * DOCUMENTS (never opened, never parsed — planning stays sublinear
+    * in table size), then file stats prune within the opened ones. */
   lazy val planFiles: Seq[DataFileEntry] = {
     val t0 = System.nanoTime()
-    val files = snapshot.map(_.files).getOrElse(Nil)
+    val refs = snapshot.map(_.dataManifests).getOrElse(Nil)
+    val (kept, skipped) = refs.partition(pred.mayMatchManifest(_, table.metadata))
+    val files = snapshot.map(s => kept.flatMap(s.filesOf)).getOrElse(Nil)
     val survivors = files.filter(pred.mayMatch(_, table.metadata))
     table.catalog.reporter.report(ScanReport(
       tableName = table.name,
@@ -2626,7 +2725,9 @@ final class LakeScan private[lake] (
       resultDataFiles = survivors.size,
       resultDeleteFiles = deleteFiles.size,
       totalFileSizeInBytes = survivors.map(_.sizeBytes).sum,
-      planningDurationMs = (System.nanoTime() - t0) / 1000000L))
+      planningDurationMs = (System.nanoTime() - t0) / 1000000L,
+      skippedDataManifests = skipped.size,
+      scannedDataManifests = kept.size))
     survivors
   }
 

@@ -59,7 +59,14 @@ final case class ScanReport(
     resultDataFiles: Long,
     resultDeleteFiles: Long,
     totalFileSizeInBytes: Long,
-    planningDurationMs: Long) extends MetricsReport {
+    planningDurationMs: Long,
+    // Manifest-list skip tier: documents pruned by rollup stats without
+    // being opened vs documents actually parsed. Report fields only —
+    // NOT meters, so the exported meter set stays exactly the
+    // reference's three (MicrometerMetricsReporterTest.java:43-47);
+    // observers that want them read the report (reporter injection).
+    skippedDataManifests: Long = 0L,
+    scannedDataManifests: Long = 0L) extends MetricsReport {
   def counters: Map[String, Long] = Map(
     "resultDataFiles" -> resultDataFiles,
     "resultDeleteFiles" -> resultDeleteFiles,

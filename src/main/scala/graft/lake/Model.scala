@@ -161,7 +161,29 @@ final case class ManifestRef(
     fileCount: Long,
     recordCount: Long,
     sizeBytes: Long,
-    content: String = ManifestRef.Data)
+    content: String = ManifestRef.Data,
+    // Manifest-level skip stats (Iceberg's manifest-list partition
+    // summaries + column-bound rollups): scan planning consults these
+    // BEFORE opening the manifest document, so a selective predicate on
+    // a clustered/partitioned table parses only the manifests that can
+    // hold matches — planning stays sublinear in table size. A key is
+    // present ONLY when EVERY entry in the manifest carries that stat
+    // (same proof obligation as file-level pruning); pre-rollup
+    // documents read back empty maps and are never skipped.
+    minValues: Map[String, String] = Map.empty,
+    maxValues: Map[String, String] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty,
+    // Partition-value summary: spec-position key ("p0") → the DISTINCT
+    // values across entries, capped at [[ManifestRef.MaxSummaryValues]]
+    // (beyond the cap the key is dropped — conservative). Exact-set
+    // membership rather than bounds keeps it correct under the stringly
+    // canonical partition encoding (no lexicographic-order trap on
+    // numerics). Only meaningful when `specId` is defined.
+    partitionValues: Map[String, Seq[String]] = Map.empty,
+    // Some(id) iff every entry was written under the same partition
+    // spec — partition keys are spec-POSITIONAL, so a mixed-spec
+    // manifest cannot be summarized (None → no partition skipping).
+    specId: Option[Int] = None)
 
 object ManifestRef {
   val Data = "data"
@@ -175,6 +197,44 @@ object ManifestRef {
   // invariant: at most one live DV per data file (new DVs are merged by
   // the writer and REPLACE the old entry in the same commit).
   val Dv = "dv"
+
+  /** Distinct-partition-value cap per summarized key: a manifest
+    * spanning more partitions than this carries no summary for the key
+    * (the doc would bloat and a predicate rarely prunes it anyway). */
+  val MaxSummaryValues = 64
+
+  /** Build a ref with rollup skip stats from the entries being written.
+    * `keyTypes` maps stat key (field-ID string) → column type — the
+    * comparator the canonical stat strings sort under; keys without a
+    * type contribute no bounds (conservative, never wrong). */
+  def of(name: String, files: Seq[DataFileEntry], content: String,
+      keyTypes: Map[String, org.apache.spark.sql.types.DataType]): ManifestRef = {
+    def everyFileKeys[V](m: DataFileEntry => Map[String, V]): Set[String] =
+      if (files.isEmpty) Set.empty
+      else files.map(m(_).keySet).reduce(_ intersect _)
+    val minKeys = everyFileKeys(_.minValues).filter(keyTypes.contains)
+    val maxKeys = everyFileKeys(_.maxValues).filter(keyTypes.contains)
+    val mins = minKeys.map { k =>
+      val t = keyTypes(k)
+      k -> files.map(_.minValues(k)).reduce((a, b) => if (Stats.cmp(t, a, b) <= 0) a else b)
+    }.toMap
+    val maxs = maxKeys.map { k =>
+      val t = keyTypes(k)
+      k -> files.map(_.maxValues(k)).reduce((a, b) => if (Stats.cmp(t, a, b) >= 0) a else b)
+    }.toMap
+    val nulls = everyFileKeys(_.nullCounts)
+      .map(k => k -> files.map(_.nullCounts(k)).sum).toMap
+    val specIds = files.map(_.specId).distinct
+    val specId = if (specIds.size == 1) Some(specIds.head) else None
+    val parts =
+      if (specId.isEmpty) Map.empty[String, Seq[String]]
+      else everyFileKeys(_.partitionValues).flatMap { k =>
+        val vs = files.map(_.partitionValues(k)).distinct.sorted
+        if (vs.size <= MaxSummaryValues) Some(k -> vs) else None
+      }.toMap
+    ManifestRef(name, files.size.toLong, files.map(_.recordCount).sum,
+      files.map(_.sizeBytes).sum, content, mins, maxs, nulls, parts, specId)
+  }
 }
 
 /** Resolves the immutable manifest-layer documents (manifest lists and
@@ -203,14 +263,19 @@ final case class Snapshot(
     summary: Map[String, String])(
     io: ManifestIO) {
   lazy val manifests: Seq[ManifestRef] = io.readList(manifestList)
+  /** Live DATA manifest refs — the skip-stats surface scan planning
+    * consults before deciding which documents to open at all. */
+  def dataManifests: Seq[ManifestRef] =
+    manifests.filter(_.content == ManifestRef.Data)
+  /** Open ONE manifest document (for planners that skipped the rest). */
+  def filesOf(m: ManifestRef): Seq[DataFileEntry] = io.readManifest(m.name)
   /** Complete live DATA manifest at this snapshot (lazy: union of the
     * referenced data manifest documents; each loads once per process).
     * Positional-delete manifests are deliberately excluded — every
     * existing caller (scans, CoW planning, CDC, orphan data sweep)
     * means "data files" by this. */
   lazy val files: Seq[DataFileEntry] =
-    manifests.filter(_.content == ManifestRef.Data)
-      .flatMap(m => io.readManifest(m.name))
+    dataManifests.flatMap(m => io.readManifest(m.name))
   /** Live positional-delete files at this snapshot: parquet files of
     * (file_path, pos) tombstones a merge-on-read scan subtracts. */
   lazy val deleteFiles: Seq[DataFileEntry] =
@@ -309,6 +374,14 @@ final case class TableMetadata(
   /** Manifest stat-map key for a column under the CURRENT schema —
     * None for unknown columns (prune conservatively). */
   def statKey(colName: String): Option[String] = fieldIds.get(colName).map(_.toString)
+
+  /** Stat key → column type for every TOP-LEVEL column (the only ones
+    * the harvester collects bounds for) — the comparator map manifest
+    * rollups sort canonical stat strings under. */
+  def statKeyTypes: Map[String, org.apache.spark.sql.types.DataType] =
+    schema.fields.iterator
+      .flatMap(f => fieldIds.get(f.name).map(id => id.toString -> f.dataType))
+      .toMap
 
   /** Metadata built ad hoc (tests, external tools) gets positional IDs
     * 1..n — the same assignment createTable performs. Guarded on
@@ -486,11 +559,20 @@ object MetadataJson {
   /** One manifest-list document: the refs whose union is a snapshot's
     * live file set. */
   def writeManifestList(refs: Seq[ManifestRef]): String =
-    refs.map(m =>
+    refs.map { m =>
+      val summary =
+        (if (m.minValues.isEmpty) "" else s""","minValues":${strMap(m.minValues)}""") +
+          (if (m.maxValues.isEmpty) "" else s""","maxValues":${strMap(m.maxValues)}""") +
+          (if (m.nullCounts.isEmpty) "" else s""","nullCounts":${longMap(m.nullCounts)}""") +
+          (if (m.partitionValues.isEmpty) "" else s""","partitionValues":${
+            m.partitionValues.toSeq.sortBy(_._1).map { case (k, vs) =>
+              s"${q(k)}:${vs.map(q).mkString("[", ",", "]")}"
+            }.mkString("{", ",", "}")}""") +
+          m.specId.map(id => s""","specId":$id""").getOrElse("")
       s"""{"name":${q(m.name)},"fileCount":${m.fileCount},""" +
         s""""recordCount":${m.recordCount},"sizeBytes":${m.sizeBytes},""" +
-        s""""content":${q(m.content)}}""")
-      .mkString("""{"manifests":[""", ",", "]}")
+        s""""content":${q(m.content)}$summary}"""
+    }.mkString("""{"manifests":[""", ",", "]}")
 
   def readManifestList(json: String): Seq[ManifestRef] =
     mapper.readTree(json).get("manifests").elements().asScala.map(m => ManifestRef(
@@ -499,7 +581,16 @@ object MetadataJson {
       recordCount = m.get("recordCount").asLong(),
       sizeBytes = m.get("sizeBytes").asLong(),
       content = Option(m.get("content")).map(_.asText())
-        .getOrElse(ManifestRef.Data))).toSeq
+        .getOrElse(ManifestRef.Data),
+      // absent on pre-rollup documents → empty → never skipped
+      minValues = Option(m.get("minValues")).map(asStrMap).getOrElse(Map.empty),
+      maxValues = Option(m.get("maxValues")).map(asStrMap).getOrElse(Map.empty),
+      nullCounts = Option(m.get("nullCounts")).map(asLongMap).getOrElse(Map.empty),
+      partitionValues = Option(m.get("partitionValues")).map(n =>
+        n.properties().asScala.map(e =>
+          e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq).toMap)
+        .getOrElse(Map.empty),
+      specId = Option(m.get("specId")).map(_.asInt()))).toSeq
 
   private def asStrMap(n: JsonNode): Map[String, String] =
     n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap

@@ -221,6 +221,51 @@ class PruningSpec extends LakeSuite {
     assert(survivors < total, s"$survivors of $total files survive")
   }
 
+  test("manifest-list skip stats: a selective scan never opens non-matching manifest docs") {
+    val wh = freshWarehouse()
+    val reports = scala.collection.mutable.ArrayBuffer[ScanReport]()
+    val rec: MetricsReporter = {
+      case s: ScanReport => reports += s
+      case _ => ()
+    }
+    val cat = LakeCatalog.open(wh, rec)
+    val t = cat.createTable("prune", "orders_mf", ordersDF.schema,
+      spec = Seq(PartitionField("o_orderdate", "year")))
+    // one commit per year → one data manifest per year, each with a
+    // tight rollup over o_orderdate and a single-valued p0 summary
+    val years = Seq(1995, 1996, 1997)
+    years.foreach(y =>
+      t.appendData(ordersDF.filter(year(col("o_orderdate")) === y), numFiles = 2))
+    assert(t.refresh().metadata.currentSnapshot.get.dataManifests.size === 3)
+
+    // reopen COLD: a skipped manifest is never parsed, not just unused
+    val cat2 = LakeCatalog.open(wh, rec)
+    val t2 = cat2.loadTable("prune", "orders_mf")
+    val parsedBefore = cat2.metaCacheSizes._1
+    val pred = And(
+      Ge("o_orderdate", java.sql.Timestamp.valueOf("1996-01-01 00:00:00")),
+      Lt("o_orderdate", java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    val got = t2.newScan(pred).toDF(spark).count()
+    assert(got === ordersDF.filter(year(col("o_orderdate")) === 1996).count())
+    val rep = reports.last
+    assert(rep.scannedDataManifests === 1L,
+      s"expected 1 manifest opened, got ${rep.scannedDataManifests}")
+    assert(rep.skippedDataManifests === 2L,
+      s"expected 2 manifests skipped, got ${rep.skippedDataManifests}")
+    assert(cat2.metaCacheSizes._1 - parsedBefore === 1,
+      "only the matching manifest document should be parsed")
+
+    // PartitionEq skips on the partition-value summary too
+    val pe = PartitionEq(PartitionField("o_orderdate", "year"), "1995")
+    t2.newScan(pe).planFiles
+    assert(reports.last.skippedDataManifests === 2L)
+
+    // and the rollup is conservative: the full scan opens everything
+    t2.newScan().planFiles
+    assert(reports.last.skippedDataManifests === 0L)
+    assert(reports.last.scannedDataManifests === 3L)
+  }
+
   test("partition values derived for clustered files use the year transform") {
     val withPv = table.metadata.currentFiles.filter(_.partitionValues.nonEmpty)
     assert(withPv.nonEmpty, "at least some files should sit inside one year")
