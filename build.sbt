@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output goes RAW to stdout: sbt's default LoggedOutput prefixes
+// every line with "[info] ", which breaks line-oriented JSON parsing of
+// Bench's headline (BENCH_r09 parsed:null despite the line fitting).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
