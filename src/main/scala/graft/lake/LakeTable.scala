@@ -783,9 +783,31 @@ final class LakeTable private[lake] (
               // a dropped column's initial default retires with it
               initialDefaults = m.initialDefaults.view
                 .filterKeys(!retiredIds(_)).toMap)
+          case SchemaChange.Widen(colName, to)
+              if LakeTable.collectionLeafAt(m.schema, colName).isDefined =>
+            // BARE collection-leaf widening: `arr.element` / `m.value`
+            // naming an atomic type (struct-typed leaves evolve
+            // field-by-field through the struct cases below). Bare
+            // leaves carry no field ID — the collection column's ID
+            // covers the whole value — so this is a pure type change:
+            // the parquet reader widens old files' narrower physical
+            // leaves (int32→int64, float→double) exactly as it does for
+            // top-level columns. Map KEYS stay non-addressable: widening
+            // a key re-keys every row (Iceberg refuses too).
+            val from = LakeTable.collectionLeafAt(m.schema, colName).get
+            require(LakeTable.losslessWidening(from, to),
+              s"cannot change $colName: ${from.simpleString} → ${to.simpleString} " +
+                "is not a lossless widening (allowed: tinyint/smallint/int → a " +
+                "wider integral, float → double)")
+            m.copy(schema = LakeTable.mapCollectionLeafAt(
+              m.schema, colName.split('.').toSeq, to))
           case SchemaChange.Widen(colName, to) if colName.contains('.') =>
             val segs = colName.split('.').toSeq
             val (parent, leaf) = (segs.init, segs.last)
+            require(!(leaf == "key" && LakeTable.typeAt(m.schema, parent)
+                .exists(_.isInstanceOf[org.apache.spark.sql.types.MapType])),
+              s"cannot change $colName: map keys are identity — evolving a " +
+                "key type would re-key every row; rewrite into a new column")
             val pst = LakeTable.structAt(m.schema, parent).getOrElse(
               throw new IllegalArgumentException(
                 s"${parent.mkString(".")} is not a struct column of $name"))

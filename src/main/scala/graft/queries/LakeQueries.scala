@@ -260,6 +260,32 @@ object LakeQueries {
       .orderBy(col("o_orderkey"), col("tag"))
   }
 
+  /** BARE collection-element type promotion (Iceberg's primitive
+    * promotion applied to array elements): `array<int>` → `array<bigint>`
+    * as ONE metadata commit — no file rewritten. Pre-widen files' int32
+    * leaves widen at the parquet read; the post-widen append lands
+    * genuinely-64-bit values both generations scan together. Output is
+    * posexploded flat so the oracle reproduces it relationally. */
+  def lakeElementWiden(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val v1 = src.filter(col("o_orderkey") % 2 === 0).select(col("o_orderkey"),
+      array((col("o_orderkey") % 5).cast("int"),
+        (col("o_orderkey") % 7).cast("int")).as("qs"))
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_elw", v1.schema)
+    t.appendData(v1, numFiles = 2)
+    t.refresh().alterSchema(Seq(SchemaChange.Widen("qs.element",
+      org.apache.spark.sql.types.LongType)))
+    // post-widen values overflow int32 — only a real bigint read survives
+    val v2 = src.filter(col("o_orderkey") % 2 === 1).select(col("o_orderkey"),
+      array((col("o_orderkey") % 5) * 1000000000L,
+        col("o_orderkey") % 7).as("qs"))
+    t.refresh().appendData(v2)
+    t.refresh().newScan().toDF(s)
+      .select(col("o_orderkey"), posexplode(col("qs")).as(Seq("pos", "q")))
+      .orderBy(col("o_orderkey"), col("pos"))
+  }
+
   /** Initial column defaults (Iceberg v3): a column added with a
     * default reads the default from every file written BEFORE the add
     * (per FILE, via the parquet reader's existence-default machinery),
@@ -776,6 +802,7 @@ object LakeQueries {
     "lake_add_files" -> lakeAddFiles,
     "lake_column_defaults" -> lakeColumnDefaults,
     "lake_element_evolution" -> lakeElementEvolution,
+    "lake_element_widen" -> lakeElementWiden,
     "lake_changelog" -> lakeChangelog,
     "lake_replace_where" -> lakeReplaceWhere,
     "lake_agg_pushdown" -> lakeAggPushdown,
@@ -948,6 +975,22 @@ object LakeQueries {
         |  SELECT o_orderkey, o_orderkey % 7, 'y',
         |    CASE WHEN o_orderkey % 2 = 1 THEN 7 END FROM orders
         |) ORDER BY o_orderkey, tag""".stripMargin,
+    // even keys wrote int32 elements pre-widen (read widened); odd keys
+    // post-widen with values past int range
+    "lake_element_widen" ->
+      """SELECT o_orderkey, pos, q FROM (
+        |  SELECT o_orderkey, 0 AS pos,
+        |    CAST(o_orderkey % 5 AS BIGINT) AS q FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, CAST(o_orderkey % 7 AS BIGINT)
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 0, (o_orderkey % 5) * 1000000000
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, 1, o_orderkey % 7
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |) ORDER BY o_orderkey, pos""".stripMargin,
     // pre-add rows (even keys) read the initial default; post-add rows
     // (odd keys) carry their written value
     "lake_column_defaults" ->

@@ -134,4 +134,71 @@ class WidenSpec extends LakeSuite {
       spark.conf.unset("spark.sql.catalog.wn.warehouse")
     }
   }
+
+  test("bare collection elements widen: array<int>→array<bigint>, map values; keys refuse") {
+    import spark.implicits._
+    val df = (1 to 60).map(i =>
+      (i, Seq(i, i + 1), Map(s"k$i" -> i), Seq(i * 1.5f))).toDF("id", "arr", "m", "fs")
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "ew", df.schema)
+    t.appendData(df, numFiles = 2)
+    val filesBefore = t.refresh().metadata.currentFiles.map(_.path).toSet
+
+    t.refresh().alterSchema(Seq(
+      SchemaChange.Widen("arr.element", LongType),
+      SchemaChange.Widen("m.value", LongType),
+      SchemaChange.Widen("fs.element", DoubleType)))
+    // metadata-only: no file rewritten
+    assert(t.refresh().metadata.currentFiles.map(_.path).toSet === filesBefore)
+    assert(t.refresh().schema("arr").dataType
+      .asInstanceOf[ArrayType].elementType === LongType)
+    assert(t.refresh().schema("m").dataType
+      .asInstanceOf[MapType].valueType === LongType)
+
+    // old (narrow) files read back widened, values intact
+    val back = t.newScan().toDF(spark)
+    assert(back.schema("arr").dataType.asInstanceOf[ArrayType].elementType === LongType)
+    assert(back.select(sum(expr("aggregate(arr, 0L, (a, x) -> a + x)")))
+      .head.getLong(0) === (1 to 60).map(i => 2L * i + 1).sum)
+    assert(back.select(sum(expr("element_at(map_values(m), 1)")))
+      .head.getLong(0) === (1 to 60).map(_.toLong).sum)
+
+    // post-widen append mixes wide files with narrow ones
+    val more = (61 to 80).map(i =>
+      (i, Seq(i.toLong, i + 1L), Map(s"k$i" -> i.toLong), Seq(i * 1.5d)))
+      .toDF("id", "arr", "m", "fs")
+    t.refresh().appendData(more)
+    val all = t.refresh().newScan().toDF(spark)
+    assert(all.count() === 80L)
+    assert(all.select(sum(expr("aggregate(arr, 0L, (a, x) -> a + x)")))
+      .head.getLong(0) === (1 to 80).map(i => 2L * i + 1).sum)
+
+    // refusals: map key, non-numeric element, narrowing, struct leaf
+    val te = t.refresh()
+    intercept[IllegalArgumentException](te.widenColumn("m.key", LongType))
+    intercept[IllegalArgumentException](te.widenColumn("arr.element", IntegerType))
+    intercept[IllegalArgumentException](
+      cat.createTable("ns", "sarr",
+        new StructType().add("a", ArrayType(StringType)))
+        .widenColumn("a.element", LongType))
+
+    // SQL surface over a DDL-created table, mixed generations
+    val wh2 = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.we", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.we.warehouse", wh2)
+    try {
+      spark.sql("CREATE NAMESPACE we.ns")
+      spark.sql("CREATE TABLE we.ns.t (id INT, xs ARRAY<INT>)")
+      val t2 = LakeCatalog.open(wh2).loadTable("ns", "t")
+      t2.appendData((1 to 30).map(i => (i, Seq(i))).toDF("id", "xs"))
+      spark.sql("ALTER TABLE we.ns.t ALTER COLUMN xs.element TYPE BIGINT")
+      spark.sql("INSERT INTO we.ns.t VALUES (31, array(9999999999))")
+      assert(spark.sql(
+        "SELECT sum(aggregate(xs, 0L, (a, x) -> a + x)) FROM we.ns.t")
+        .head.getLong(0) === (1 to 30).map(_.toLong).sum + 9999999999L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.we")
+      spark.conf.unset("spark.sql.catalog.we.warehouse")
+    }
+  }
 }
