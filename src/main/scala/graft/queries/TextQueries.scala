@@ -563,19 +563,41 @@ object TextQueries {
     * (Spark's sequence(1, 0) is DESCENDING, not empty — the guard keeps
     * the two engines' shingle sets identical). */
   def qContamination(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).filter(length(col("text")) >= 20)
-    def shingles(df: DataFrame) = df.select(col("doc_id"),
-      explode(expr("transform(sequence(1, length(text) - 19), " +
-        "i -> substring(text, i, 20))")).as("sh"))
-    // benchmark side dedups (tiny, broadcast); the CORPUS side must
-    // not — a pre-join distinct would shuffle every shingle string in
-    // the corpus, while the broadcast join drops non-matching shingles
-    // map-side and the final countDistinct dedups the few survivors
-    val bench = shingles(docs.filter(col("doc_id") % 100 === 0))
+    val docs = documents(s, d)
+    contaminationAgainst(s, docs.filter(col("doc_id") % 100 =!= 0),
+      docs.filter(col("doc_id") % 100 === 0))
+  }
+
+  /** The parameterized form: check `corpus` for shingle overlap with an
+    * ARBITRARY benchmark table (the real-world shape — a fixed external
+    * eval set, not a slice of the corpus itself). The benchmark side is
+    * usually tiny and broadcasts, but the broadcast is BUDGET-GATED from
+    * Catalyst's own size estimate (free — no job): past the budget the
+    * join degrades to a shuffle join on the shingle key, which is the
+    * only shape that survives a benchmark too big for executor memory.
+    * Gate key: `graft.contamination.broadcastBudget` (bytes, 0 disables
+    * broadcasting); the ~20x factor models shingle inflation (one
+    * 20-char shingle per character survives the distinct at worst). */
+  def contaminationAgainst(s: SparkSession, corpus: DataFrame,
+      bench: DataFrame): DataFrame = {
+    def shingles(df: DataFrame) = df.filter(length(col("text")) >= 20)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) - 19), " +
+          "i -> substring(text, i, 20))")).as("sh"))
+    // benchmark side dedups (small relative to the corpus); the CORPUS
+    // side must not — a pre-join distinct would shuffle every shingle
+    // string in the corpus, while the join drops non-matching shingles
+    // and the final countDistinct dedups the few survivors
+    val benchSh = shingles(bench)
       .withColumnRenamed("doc_id", "bench_id").distinct()
-    shingles(docs.filter(col("doc_id") % 100 =!= 0))
-      .join(broadcast(bench), "sh")
-      .groupBy(col("doc_id"))
+    val budget = s.conf.get("graft.contamination.broadcastBudget",
+      (64L << 20).toString).toLong
+    val benchBytes = bench.queryExecution.optimizedPlan.stats.sizeInBytes
+    val joined =
+      if (budget > 0 && benchBytes * 20 <= BigInt(budget))
+        shingles(corpus).join(broadcast(benchSh), "sh")
+      else shingles(corpus).join(benchSh, "sh")
+    joined.groupBy(col("doc_id"))
       .agg(countDistinct(col("sh")).as("overlap_shingles"),
         countDistinct(col("bench_id")).as("bench_docs_hit"))
       .orderBy(col("doc_id"))
