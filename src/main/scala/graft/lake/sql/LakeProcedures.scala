@@ -200,43 +200,10 @@ private[sql] object LakeProcedures {
       StructType(Seq(
         StructField("spec_id", IntegerType, nullable = false),
         StructField("spec", StringType, nullable = false)))) {
-      private def splitTop(s: String): Seq[String] = {
-        val out = scala.collection.mutable.Buffer.empty[String]
-        var depth = 0
-        val sb = new StringBuilder
-        s.foreach {
-          case '(' => depth += 1; sb += '('
-          case ')' => depth -= 1; sb += ')'
-          case ',' if depth == 0 => out += sb.toString; sb.clear()
-          case ch => sb += ch
-        }
-        if (sb.nonEmpty) out += sb.toString
-        out.map(_.trim).filter(_.nonEmpty).toSeq
-      }
-      private val call = """(\w+)\s*\(([^)]*)\)""".r
-      private def parseField(s: String): graft.lake.PartitionField = s match {
-        case call(fn, inner) =>
-          def twoArg: (Int, String) = inner.split(',').map(_.trim) match {
-            case Array(n, col) if n.forall(_.isDigit) && n.nonEmpty => (n.toInt, col)
-            case _ => throw new IllegalArgumentException(
-              s"$fn takes (width, column), got '$inner'")
-          }
-          fn.toLowerCase match {
-            case "bucket" =>
-              val (n, col) = twoArg; graft.lake.PartitionField(col, s"bucket[$n]")
-            case "truncate" =>
-              val (n, col) = twoArg; graft.lake.PartitionField(col, s"truncate[$n]")
-            case t @ ("year" | "month" | "day" | "hour") =>
-              graft.lake.PartitionField(inner.trim, t)
-            case other => throw new IllegalArgumentException(
-              s"unknown partition transform '$other' " +
-                "(identity, bucket, truncate, year, month, day, hour)")
-          }
-        case ident => graft.lake.PartitionField(ident, "identity")
-      }
       override protected def run(args: InternalRow): InternalRow = {
         val t = table(args)
-        t.evolveSpec(splitTop(args.getUTF8String(1).toString).map(parseField))
+        t.evolveSpec(SpecDsl.splitTop(args.getUTF8String(1).toString)
+          .map(SpecDsl.parseField))
         val m = t.refresh().metadata
         new GenericInternalRow(Array[Any](m.allSpecs.size - 1,
           utf8(m.spec.map(_.render).mkString(", "))))

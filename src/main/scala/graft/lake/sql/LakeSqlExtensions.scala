@@ -36,6 +36,9 @@ class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => LakeRowLevelCommands)
     ext.injectResolutionRule(_ => LakeMoRScanSubstitution)
+    // spec-evolution DDL (ADD/DROP PARTITION FIELD) — not in Spark's
+    // grammar; everything else delegates to the session parser verbatim
+    ext.injectParser((_, delegate) => new LakeSqlParser(delegate))
   }
 }
 

@@ -1,0 +1,169 @@
+package graft.lake.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.{CatalogNotFoundException, Identifier, TableCatalog}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.lake.{LakeTable, PartitionField}
+
+/** The partition-transform mini-language shared by `CALL
+  * system.evolve_spec(...)` and `ALTER TABLE ... ADD/DROP PARTITION
+  * FIELD`: `bucket(4, c1)`, `truncate(2, c2)`, `year(ts)` / `month` /
+  * `day` / `hour`, or a bare column name for identity. */
+private[sql] object SpecDsl {
+
+  /** Split on top-level commas only (transform args keep theirs). */
+  def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    var depth = 0
+    val sb = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case ch => sb += ch
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private val call = """(\w+)\s*\(([^)]*)\)""".r
+
+  def parseField(s: String): PartitionField = s.trim match {
+    case call(fn, inner) =>
+      def twoArg: (Int, String) = inner.split(',').map(_.trim) match {
+        case Array(n, col) if n.nonEmpty && n.forall(_.isDigit) => (n.toInt, col)
+        case _ => throw new IllegalArgumentException(
+          s"$fn takes (width, column), got '$inner'")
+      }
+      fn.toLowerCase match {
+        case "bucket" =>
+          val (n, col) = twoArg; PartitionField(col, s"bucket[$n]")
+        case "truncate" =>
+          val (n, col) = twoArg; PartitionField(col, s"truncate[$n]")
+        case t @ ("year" | "month" | "day" | "hour") =>
+          PartitionField(inner.trim, t)
+        case other => throw new IllegalArgumentException(
+          s"unknown partition transform '$other' " +
+            "(identity, bucket, truncate, year, month, day, hour)")
+      }
+    case ident => PartitionField(ident, "identity")
+  }
+}
+
+/** Session parser handling Iceberg's spec-evolution DDL, which Spark's
+  * grammar lacks:
+  *
+  * {{{
+  *   ALTER TABLE t ADD PARTITION FIELD bucket(4, c1)
+  *   ALTER TABLE t DROP PARTITION FIELD bucket(4, c1)
+  * }}}
+  *
+  * Everything else delegates verbatim. The statement routes to
+  * [[LakeTable.evolveSpec]] — the same metadata-only commit as `CALL
+  * system.evolve_spec`, appending to / removing from the CURRENT spec
+  * (evolve_spec replaces it wholesale). Existing files keep pruning
+  * under the spec that derived their partition values, so the DDL never
+  * rewrites data. */
+class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import LakeSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case AddField(table, field) =>
+      LakeAlterPartitionFieldCommand(
+        delegate.parseMultipartIdentifier(table), add = true, field.trim)
+    case DropField(table, field) =>
+      LakeAlterPartitionFieldCommand(
+        delegate.parseMultipartIdentifier(table), add = false, field.trim)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object LakeSqlParser {
+  // table identifiers: quoted-backtick or bare dotted parts; the field
+  // clause is taken verbatim and parsed by SpecDsl (refusing loudly)
+  private val AddField =
+    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  private val DropField =
+    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+}
+
+/** `ALTER TABLE ... ADD/DROP PARTITION FIELD` as a driver command:
+  * resolve the lake table through the session's catalog manager, then
+  * commit the evolved spec (current spec ± the parsed field). */
+final case class LakeAlterPartitionFieldCommand(
+    tableParts: Seq[String], add: Boolean, fieldSql: String)
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = LakeAlterPartitionFieldCommand.resolve(spark, tableParts)
+    val f = SpecDsl.parseField(fieldSql)
+    val cur = t.metadata.spec
+    val next =
+      if (add) {
+        require(!cur.contains(f),
+          s"partition field ${f.render} already exists in ${t.name}")
+        cur :+ f
+      } else {
+        require(cur.contains(f),
+          s"no partition field ${f.render} in ${t.name} " +
+            s"(current: ${cur.map(_.render).mkString(", ")})")
+        cur.filterNot(_ == f)
+      }
+    t.evolveSpec(next)
+    Nil
+  }
+}
+
+object LakeAlterPartitionFieldCommand {
+  /** Multipart name → the live [[LakeTable]] behind it: explicit
+    * catalog prefix when the first part names one, else the session's
+    * current catalog + namespace. */
+  private[sql] def resolve(spark: SparkSession, parts: Seq[String]): LakeTable = {
+    val cm = spark.sessionState.catalogManager
+    val (catalog, ident) = parts match {
+      case Seq(single) =>
+        (cm.currentCatalog, Identifier.of(cm.currentNamespace, single))
+      case _ =>
+        try (cm.catalog(parts.head),
+          Identifier.of(parts.tail.init.toArray, parts.last))
+        catch { case _: CatalogNotFoundException =>
+          (cm.currentCatalog, Identifier.of(parts.init.toArray, parts.last))
+        }
+    }
+    catalog match {
+      case tc: TableCatalog => tc.loadTable(ident) match {
+        case lt: LakeSqlTable => lt.lakeTable
+        case other => throw new UnsupportedOperationException(
+          s"${parts.mkString(".")} is not a lake table " +
+            s"(got ${other.getClass.getSimpleName}); " +
+            "ALTER TABLE ... PARTITION FIELD applies to lake tables only")
+      }
+      case other => throw new UnsupportedOperationException(
+        s"catalog ${other.name()} is not a TableCatalog")
+    }
+  }
+}
