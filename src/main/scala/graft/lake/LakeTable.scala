@@ -570,12 +570,13 @@ final class LakeTable private[lake] (
     * [[appendDataExactlyOnce]]. Returns None when the batch already
     * landed (files become orphans; removeOrphanFiles reclaims). */
   private[lake] def appendFilesExactlyOnce(files: Seq[DataFileEntry],
-      sinkId: String, batchId: Long): Option[CommitReport] = {
+      sinkId: String, batchId: Long,
+      toBranch: Option[String] = None): Option[CommitReport] = {
     refresh()
     if (lastCommittedBatchId(sinkId).exists(_ >= batchId)) None
     else
       try Some(commitSnapshot("append", files, Nil,
-        exactlyOnce = Some((sinkId, batchId))))
+        exactlyOnce = Some((sinkId, batchId)), toBranch = toBranch))
       catch { case _: BatchAlreadyCommitted => None }
   }
 

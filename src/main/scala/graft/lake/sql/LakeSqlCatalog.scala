@@ -398,10 +398,13 @@ object LakeSqlCatalog {
   * write), and reads resolve the branch head when it exists — so the
   * audit queries in the same session see the staged state — falling
   * back to main before the first staged write. `CALL
-  * cat.system.fast_forward(t, branch)` publishes. Guards: a tag of the
-  * same name refuses (tags are immutable); INSERT OVERWRITE and
-  * streaming writes refuse under WAP (a full replace / continuous sink
-  * is not a stageable audit unit); explicit AS OF wins over the conf. */
+  * cat.system.fast_forward(t, branch)` publishes. Streaming writes
+  * (`writeStream.toTable`) stage too: every epoch appends onto the
+  * branch head, exactly-once ledger intact. Guards: a tag of the same
+  * name refuses (tags are immutable); INSERT OVERWRITE refuses (a full
+  * replace is not a stageable audit unit); wap.id refuses for streams
+  * (staged snapshots have no single publishable unit); explicit AS OF
+  * wins over the conf. */
 private[sql] object Wap {
   val Conf = "spark.wap.branch"
 
@@ -696,23 +699,28 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
             require(!replace, s"streaming writes to ${lt.name} support " +
               "append output mode only (complete/truncate refused)")
-            require(Wap.set(SparkSession.active).isEmpty,
-              s"streaming writes to ${lt.name} cannot target a WAP branch: " +
-                "a continuous sink is not a stageable audit unit " +
-                "(unset spark.wap.branch)")
-            // wap.id symmetry: epochs would land straight on main while
-            // the user believes they are staging
+            // wap.id refuses: a staged snapshot has no pointer, so every
+            // epoch would stage a SEPARATE invisible snapshot with no
+            // single publishable unit. A BRANCH is different: epochs
+            // append onto the branch head in order (Iceberg's
+            // branch-targeted streaming write), the exactly-once ledger
+            // still applies (it lives in table properties, checked
+            // inside the commit CAS), and fastForward publishes the
+            // audited prefix as one pointer move.
             require(Wap.stagedId(SparkSession.active).isEmpty,
               s"streaming writes to ${lt.name} cannot stage under spark.wap.id: " +
-                "a continuous sink is not a stageable audit unit " +
-                "(unset spark.wap.id)")
+                "epochs would stage disconnected invisible snapshots — " +
+                "stream onto a branch instead (spark.wap.branch)")
             val t = lt.refresh()
+            // branch pinned at query START: a conf change mid-query must
+            // not silently redirect later epochs
+            val branch = Wap.writeBranch(SparkSession.active, t)
             val in = info.schema()
             require(in.fields.map(f => (f.name, f.dataType.simpleString)).sameElements(
               t.schema.fields.map(f => (f.name, f.dataType.simpleString))),
               s"streaming write schema mismatch for ${lt.name}: " +
                 s"${in.simpleString} vs ${t.schema.simpleString}")
-            new LakeStreamingWrite(t, info.queryId())
+            new LakeStreamingWrite(t, info.queryId(), branch)
           }
         }
     }

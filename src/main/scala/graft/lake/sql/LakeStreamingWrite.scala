@@ -37,7 +37,8 @@ private[sql] final case class LakeFileCommitted(fileName: String, rows: Long)
   * Append output mode only: a lake table is an append-only log of
   * snapshots; complete-mode truncation per epoch is refused at
   * `toStreaming` (use foreachBatch + overwriteAll for that shape). */
-private[sql] final class LakeStreamingWrite(lt: LakeTable, queryId: String)
+private[sql] final class LakeStreamingWrite(lt: LakeTable, queryId: String,
+    branch: Option[String] = None)
     extends StreamingWrite {
 
   // one directory per (query, run): files are uniquely named, epoch
@@ -72,11 +73,11 @@ private[sql] final class LakeStreamingWrite(lt: LakeTable, queryId: String)
         .harvestPaths(SparkSession.active, committed.toSeq.map(n => s"$dir/$n"),
           t.schema, t.spec, t.metadata.fieldIds)
         .map(_.copy(specId = t.metadata.currentSpecId))
-      t.appendFilesExactlyOnce(entries, s"dsv2-$queryId", epochId)
+      t.appendFilesExactlyOnce(entries, s"dsv2-$queryId", epochId, branch)
     } else {
       // empty epoch: still advance the ledger so a replay cannot
       // reorder against later epochs
-      lt.refresh().appendFilesExactlyOnce(Nil, s"dsv2-$queryId", epochId)
+      lt.refresh().appendFilesExactlyOnce(Nil, s"dsv2-$queryId", epochId, branch)
     }
     ()
   }

@@ -341,6 +341,54 @@ class LakeStreamSourceSpec extends LakeSuite {
       .toDF(spark).count() === 13L)
   }
 
+  test("streaming writes stage on a WAP branch; fastForward publishes; wap.id still refuses") {
+    val (srcName, src) = sqlTable()
+    val (dstName, dst) = sqlTable()
+    src.appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+    // the branch needs a snapshot to fork from: seed main
+    val seed = ordersDF.filter(col("o_orderkey") % 2 === 0)
+    dst.appendData(seed)
+
+    val ckpt = Files.createTempDirectory("graft_wapsink_ck_").toString
+    def pump(): Unit = {
+      val q = spark.readStream.option("stream-from", "beginning").table(srcName)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable(dstName)
+      q.awaitTermination()
+    }
+    spark.conf.set("spark.wap.branch", "audit")
+    try {
+      pump()
+      // main untouched; the branch staged seed + streamed epochs
+      assert(dst.refresh().newScan().toDF(spark).count() === seed.count())
+      assert(dst.scanRef("audit").toDF(spark).count() === ordersDF.count())
+      // replay with nothing new: the epoch ledger no-ops on the branch
+      pump()
+      assert(dst.refresh().scanRef("audit").toDF(spark).count() === ordersDF.count())
+      // audit passed: one pointer move publishes the streamed prefix
+      dst.refresh().fastForward("audit")
+      assert(dst.refresh().newScan().toDF(spark).count() === ordersDF.count())
+      // wap.id keeps refusing for streams (no publishable unit)
+      spark.conf.unset("spark.wap.branch")
+      spark.conf.set("spark.wap.id", "stream-audit-1")
+      val e = intercept[Exception] {
+        val more = ordersDF.limit(7)
+          .withColumn("o_orderkey", col("o_orderkey") + 700000000L)
+        src.refresh().appendData(more)
+        pump()
+      }
+      def causes(x: Throwable): Seq[Throwable] =
+        if (x == null) Nil else x +: causes(x.getCause)
+      assert(causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("spark.wap.id"))))
+    } finally {
+      spark.conf.unset("spark.wap.branch")
+      spark.conf.unset("spark.wap.id")
+    }
+  }
+
   test("historical AS OF handles do not stream; offsets survive rollback monotonically") {
     val (name, t) = sqlTable()
     val first = t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
