@@ -14,7 +14,7 @@ import org.apache.spark.sql.types._
   *
   * Pruning is conservative: anything not provably false keeps the file.
   */
-sealed trait LakePredicate {
+sealed trait LakePredicate extends Serializable {
   def toColumn: Column
   def render: String
 
@@ -61,7 +61,12 @@ object LakePredicate {
     *
     * File- and manifest-level pruning share one bound test
     * ([[boundsMayMatch]]); only the (min, max) source differs. */
-  sealed abstract class Comparison(name: String, value: Any) extends LakePredicate {
+  // Serializable: distributed planFiles evaluates predicates in
+  // executor tasks (an abstract superclass outside the serialization
+  // graph needs a no-arg constructor Java serialization can call —
+  // extending Serializable here is the cheaper contract)
+  sealed abstract class Comparison(name: String, value: Any)
+      extends LakePredicate with Serializable {
     /** Can ANY value in [mn, mx] satisfy this comparison? */
     protected def boundsMayMatch(mn: String, mx: String, t: DataType): Boolean
 

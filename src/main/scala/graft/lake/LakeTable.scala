@@ -2739,8 +2739,10 @@ final class LakeScan private[lake] (
     val t0 = System.nanoTime()
     val refs = snapshot.map(_.dataManifests).getOrElse(Nil)
     val (kept, skipped) = refs.partition(pred.mayMatchManifest(_, table.metadata))
-    val files = snapshot.map(s => kept.flatMap(s.filesOf)).getOrElse(Nil)
-    val survivors = files.filter(pred.mayMatch(_, table.metadata))
+    val survivors = distributedSurvivors(kept).getOrElse {
+      val files = snapshot.map(s => kept.flatMap(s.filesOf)).getOrElse(Nil)
+      files.filter(pred.mayMatch(_, table.metadata))
+    }
     table.catalog.reporter.report(ScanReport(
       tableName = table.name,
       snapshotId = snapshot.map(_.id).getOrElse(-1L),
@@ -2752,6 +2754,43 @@ final class LakeScan private[lake] (
       skippedDataManifests = skipped.size,
       scannedDataManifests = kept.size))
     survivors
+  }
+
+  /** Iceberg's DISTRIBUTED-PLANNING analog: when the kept manifests
+    * hold more entries than the driver parse budget
+    * (`graft.plan.driverEntryBudget`, entries — 0 disables), executors
+    * parse the manifest documents and evaluate the predicate, and only
+    * the SURVIVING entries ever reach the driver. Below the budget the
+    * driver path wins (document cache, no job); None = use it. The
+    * driver necessarily holds the survivors either way — downstream
+    * builds the read from them — so the budget bounds the PARSE width,
+    * which is what explodes on a 1M-file table scanned selectively. */
+  private def distributedSurvivors(
+      kept: Seq[ManifestRef]): Option[Seq[DataFileEntry]] = {
+    val spark = SparkSession.getActiveSession.orNull
+    if (spark == null || kept.isEmpty) return None
+    val budget = spark.conf
+      .get("graft.plan.driverEntryBudget", 4000000L.toString).toLong
+    if (budget <= 0 || kept.map(_.fileCount).sum <= budget) return None
+    val md = table.catalog.metadataDir(table.namespace, table.shortName)
+    val docs = kept.map(r => md.resolve(r.name).uri)
+    // snapshots carry the catalog's manifest-IO handle — strip them; the
+    // predicate only consults schema / field IDs / spec log
+    val meta = table.metadata.copy(snapshots = Nil)
+    val p = pred
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val slices = math.max(1,
+      math.min(docs.size, spark.sparkContext.defaultParallelism * 2))
+    Some(spark.sparkContext.parallelize(docs, slices).flatMap { uri =>
+      val h = new org.apache.hadoop.fs.Path(uri)
+      val in = h.getFileSystem(hconf.value).open(h)
+      val json =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      MetadataJson.readManifest(json).filter(p.mayMatch(_, meta))
+    }.collect().toSeq)
   }
 
   /** Tombstone files this scan must subtract — positional + equality +

@@ -266,6 +266,37 @@ class PruningSpec extends LakeSuite {
     assert(reports.last.scannedDataManifests === 3L)
   }
 
+  test("distributed planFiles: over-budget planning parses manifests in executors, identically") {
+    val wh = freshWarehouse()
+    val cat = LakeCatalog.open(wh)
+    val t = cat.createTable("prune", "orders_dp", ordersDF.schema)
+    // several manifests with many entries each
+    (0 until 3).foreach(i =>
+      t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 3 === i),
+        numFiles = 8))
+    val pred = Ge("o_orderkey", Long.box(750L))
+    val driverPlanned = t.refresh().newScan(pred).planFiles.map(_.path).toSet
+    assert(driverPlanned.nonEmpty)
+
+    // force the distributed path: budget below the 24 live entries.
+    // Reopen COLD and watch the document cache — executor-side parsing
+    // must leave the DRIVER's manifest cache untouched (the bounded-
+    // allocation claim, observable).
+    spark.conf.set("graft.plan.driverEntryBudget", "4")
+    try {
+      val cat2 = LakeCatalog.open(wh)
+      val t2 = cat2.loadTable("prune", "orders_dp")
+      val before = cat2.metaCacheSizes._1
+      val scan = t2.newScan(pred)
+      assert(scan.planFiles.map(_.path).toSet === driverPlanned)
+      assert(cat2.metaCacheSizes._1 === before,
+        "distributed planning must not parse manifest documents on the driver")
+      // the full read over the distributed plan stays exact
+      assert(scan.toDF(spark).count() ===
+        ordersDF.filter(col("o_orderkey") >= 750L).count())
+    } finally spark.conf.unset("graft.plan.driverEntryBudget")
+  }
+
   test("partition values derived for clustered files use the year transform") {
     val withPv = table.metadata.currentFiles.filter(_.partitionValues.nonEmpty)
     assert(withPv.nonEmpty, "at least some files should sit inside one year")
