@@ -81,8 +81,20 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DropField(table, field) =>
       LakeAlterPartitionFieldCommand(
         delegate.parseMultipartIdentifier(table), add = false, field.trim)
+    case CreateRef(table, kind, ine, ref, asOf, retainDays) =>
+      LakeRefDdlCommand(delegate.parseMultipartIdentifier(table),
+        create = true, kind.toLowerCase, unquote(ref), ifClause = ine != null,
+        asOfVersion = Option(asOf).map(_.toLong),
+        retainDays = Option(retainDays).map(_.toLong))
+    case DropRef(table, kind, ie, ref) =>
+      LakeRefDdlCommand(delegate.parseMultipartIdentifier(table),
+        create = false, kind.toLowerCase, unquote(ref), ifClause = ie != null,
+        asOfVersion = None, retainDays = None)
     case _ => delegate.parsePlan(sqlText)
   }
+
+  private def unquote(s: String): String =
+    if (s.startsWith("`") && s.endsWith("`")) s.substring(1, s.length - 1) else s
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -109,6 +121,15 @@ object LakeSqlParser {
     """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
   private val DropField =
     """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+  // Iceberg's branch/tag DDL: CREATE BRANCH/TAG [IF NOT EXISTS] name
+  // [AS OF VERSION n] [RETAIN n DAYS]; DROP BRANCH/TAG [IF EXISTS] name
+  private val CreateRef =
+    ("""(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+CREATE\s+(BRANCH|TAG)\s+""" +
+      """(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)""" +
+      """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?(?:\s+RETAIN\s+(\d+)\s+DAYS)?\s*;?\s*""").r
+  private val DropRef =
+    ("""(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+DROP\s+(BRANCH|TAG)\s+""" +
+      """(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*;?\s*""").r
 }
 
 /** `ALTER TABLE ... ADD/DROP PARTITION FIELD` as a driver command:
@@ -134,6 +155,43 @@ final case class LakeAlterPartitionFieldCommand(
         cur.filterNot(_ == f)
       }
     t.evolveSpec(next)
+    Nil
+  }
+}
+
+/** `ALTER TABLE ... CREATE/DROP BRANCH/TAG` as a driver command on the
+  * ref API: metadata-only pointer commits. CREATE defaults to the
+  * current snapshot (`AS OF VERSION` pins another); `RETAIN n DAYS`
+  * sets the ref's max age for snapshot expiry. DROP refuses a kind
+  * mismatch (dropping a tag with DROP BRANCH would silently remove the
+  * wrong protection) unless IF EXISTS-style laxity was asked — kind
+  * mismatch still refuses even then, only absence is forgiven. */
+final case class LakeRefDdlCommand(
+    tableParts: Seq[String], create: Boolean, kind: String, refName: String,
+    ifClause: Boolean, asOfVersion: Option[Long], retainDays: Option[Long])
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = LakeAlterPartitionFieldCommand.resolve(spark, tableParts)
+    val maxAgeMs = retainDays.map(_ * 86400000L)
+    if (create) {
+      if (ifClause && t.refs.contains(refName)) return Nil
+      if (kind == "branch")
+        t.createBranch(refName, asOfVersion.getOrElse(-1L), maxAgeMs)
+      else
+        t.createTag(refName,
+          asOfVersion.getOrElse(t.currentSnapshotId), maxAgeMs)
+    } else {
+      t.refs.get(refName) match {
+        case None =>
+          if (!ifClause) throw new IllegalArgumentException(
+            s"no $kind '$refName' on ${t.name}")
+        case Some(r) =>
+          require(r.kind == kind,
+            s"ref '$refName' of ${t.name} is a ${r.kind}, not a $kind")
+          t.dropRef(refName)
+      }
+    }
     Nil
   }
 }

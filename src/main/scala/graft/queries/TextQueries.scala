@@ -623,8 +623,38 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** Sequence PACKING (the concat-and-split batching step between
+    * chunking and training): documents shard deterministically
+    * (`doc_id % S`), concatenate in doc_id order within each shard, and
+    * cut into fixed B-token training sequences — a document's pack is
+    * where its FIRST token lands (GPT-style document concatenation).
+    * One window per shard computes the running token offset, so the
+    * work is S-way parallel with a single shuffle on the shard key; at
+    * 100 TB the shard count scales with the cluster and each shard's
+    * sort stays machine-local. Output is the per-pack manifest
+    * (doc counts, token totals, doc-id span) — the exact-integer
+    * surface both engines reproduce. */
+  def qDocPacking(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val S = 8
+    val B = 256
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % S).as("shard"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", floor(col("start_tok") / B))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunking" -> qDocChunking,
+    "doc_packing" -> qDocPacking,
     "contamination_check" -> qContamination,
     "pii_redact" -> qPiiRedact,
     "repetition_stats" -> qRepetitionStats,
@@ -647,6 +677,20 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_packing" ->
+      """WITH tok AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        |  FROM documents),
+        |pk AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |      - n_tokens) / 256.0) AS BIGINT) AS pack_id
+        |  FROM tok)
+        |SELECT shard, pack_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM pk GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin,
     "doc_chunking" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
