@@ -910,6 +910,60 @@ final class LakeTable private[lake] (
       latest.copy(sortOrder = cols, sortOrderKind = "linear")
     }
 
+  /** ANALYZE (Iceberg's theta-sketch NDV statistics, stored-property
+    * form): ONE distributed aggregation pass computes per-column NDV
+    * (HLL approximate), null count, and — for strings — avg/max byte
+    * length, stored in table PROPERTIES stamped with the analyzed
+    * snapshot. These are the optimizer-facing statistics the manifest
+    * sums cannot give: size/rowCount make a small dim broadcast, but
+    * CBO join REORDERING and selectivity need per-column NDV. Bounds
+    * (min/max) are NOT stored — the SQL layer reads them fresh from
+    * manifest rollups at estimate time, so they never go stale. Stats
+    * staleness after churn is the usual CBO contract (estimates, not
+    * answers); re-run after heavy mutation. */
+  def analyzeColumns(spark: SparkSession, cols: Seq[String] = Nil): LakeTable = {
+    import org.apache.spark.sql.functions._
+    refresh()
+    val targets = if (cols.nonEmpty) cols else schema.fields.map(_.name).toSeq
+    targets.foreach(c => require(schema.fieldNames.contains(c),
+      s"no such column $c on $name"))
+    targets.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"analyze supports simple column names, got '$c'"))
+    val analyzedAt = currentSnapshotId
+    val df = newScan().toDF(spark)
+    val aggs = count(lit(1)).as("__rows") +: targets.flatMap { c =>
+      val base = Seq(
+        approx_count_distinct(col(c)).as(s"ndv__$c"),
+        count(col(c)).as(s"nonnull__$c"))
+      schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType => base ++ Seq(
+          avg(length(col(c))).as(s"avglen__$c"),
+          max(length(col(c))).as(s"maxlen__$c"))
+        case _ => base
+      }
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = row.getAs[Long]("__rows")
+    def jnum(n: Long) = n.toString
+    val colJson = targets.map { c =>
+      val ndv = row.getAs[Long](s"ndv__$c")
+      val nulls = rows - row.getAs[Long](s"nonnull__$c")
+      val lens = schema(c).dataType match {
+        case org.apache.spark.sql.types.StringType =>
+          val avgLen = Option(row.getAs[Any](s"avglen__$c"))
+            .map(v => math.round(v.asInstanceOf[Double])).getOrElse(0L)
+          val maxLen = Option(row.getAs[Any](s"maxlen__$c"))
+            .map(v => v.asInstanceOf[Int].toLong).getOrElse(0L)
+          s""","avgLen":${jnum(avgLen)},"maxLen":${jnum(maxLen)}"""
+        case _ => ""
+      }
+      s""""${c}":{"ndv":${jnum(ndv)},"nulls":${jnum(nulls)}$lens}"""
+    }.mkString("{", ",", "}")
+    val json = s"""{"snapshotId":$analyzedAt,"rows":$rows,"cols":$colJson}"""
+    metadataChange(m => m.copy(properties =
+      m.properties + (LakeTable.ColStatsProperty -> json)))
+  }
+
   /** Z-ORDER write order (Iceberg's `zorder(...)` sort order): future
     * writes cluster + sort on the interleaved Morton code of `cols`,
     * so every file covers a small hyper-rectangle of the key space and
@@ -2624,6 +2678,23 @@ object LakeTable {
       else if (k.startsWith(from + ".")) (to + k.stripPrefix(from)) -> v
       else k -> v
     }
+
+  /** Table property holding [[LakeTable.analyzeColumns]]'s output. */
+  private[lake] val ColStatsProperty = "graft.colstats"
+
+  /** Parsed column statistics from the analyze property: column →
+    * (ndv, nulls, avgLen, maxLen) — lengths only for strings. */
+  private[lake] def parseColStats(
+      json: String): Map[String, (Long, Long, Option[Long], Option[Long])] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val cols = root.get("cols")
+    cols.properties().asScala.map { e =>
+      val v = e.getValue
+      e.getKey -> (v.get("ndv").asLong, v.get("nulls").asLong,
+        Option(v.get("avgLen")).map(_.asLong),
+        Option(v.get("maxLen")).map(_.asLong))
+    }.toMap
+  }
 
   /** Positional-delete file schema (Iceberg's position-delete layout):
     * the coordinates of tombstoned rows — fully-qualified file path as

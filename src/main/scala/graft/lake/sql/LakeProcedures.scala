@@ -320,6 +320,25 @@ private[sql] object LakeProcedures {
       }
     },
 
+    // ANALYZE (Iceberg's NDV-statistics story): one aggregation pass,
+    // NDV/null/length stats into table properties; the scan builder
+    // serves them to CBO as DSv2 column statistics. columns = 'c1,c2'
+    // or '' for all.
+    "analyze_table" -> new LakeProcedure(lake, "analyze_table",
+      Seq("table" -> StringType, "columns" -> StringType),
+      StructType(Seq(
+        StructField("analyzed_snapshot_id", LongType, nullable = false),
+        StructField("analyzed_columns", IntegerType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        val cols = args.getUTF8String(1).toString.split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        t.analyzeColumns(SparkSession.active, cols)
+        val n = if (cols.nonEmpty) cols.size else t.schema.fields.length
+        new GenericInternalRow(Array[Any](t.currentSnapshotId, n))
+      }
+    },
+
     "set_write_order" -> new LakeProcedure(lake, "set_write_order",
       Seq("table" -> StringType, "order" -> StringType),
       StructType(Seq(

@@ -840,6 +840,57 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     aggPushdown = Some { agg =>
       try pushedAggResult(agg)
       catch { case scala.util.control.NonFatal(_) => None }
+    },
+    // COLUMN statistics for CBO (join reordering / selectivity):
+    // NDV/null/length stats from the last analyzeColumns run (table
+    // property), bounds FRESH from manifest stats so they never go
+    // stale. Best-effort: no analyze property → empty map.
+    colStats = Some { () =>
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      try {
+        val m = lt.refresh().metadata
+        m.properties.get(graft.lake.LakeTable.ColStatsProperty).foreach { json =>
+          val parsed = graft.lake.LakeTable.parseColStats(json)
+          val files = m.currentFiles
+          parsed.foreach { case (cname, (ndv, nulls, avgL, maxL)) =>
+            m.schema.fields.find(_.name == cname).foreach { field =>
+              import java.util.{Optional, OptionalLong}
+              // exact fresh bounds when every live file carries them
+              val bounds = for {
+                key <- m.statKey(cname)
+                if graft.lake.Stats.boundsExact(field.dataType)
+                if files.nonEmpty && files.forall(f =>
+                  f.minValues.contains(key) && f.maxValues.contains(key))
+                mn <- graft.lake.Stats.fromStatCatalyst(field.dataType,
+                  files.map(_.minValues(key)).reduce((a, b) =>
+                    if (graft.lake.Stats.cmp(field.dataType, a, b) <= 0) a else b))
+                mx <- graft.lake.Stats.fromStatCatalyst(field.dataType,
+                  files.map(_.maxValues(key)).reduce((a, b) =>
+                    if (graft.lake.Stats.cmp(field.dataType, a, b) >= 0) a else b))
+              } yield (mn, mx)
+              out.put(
+                org.apache.spark.sql.connector.expressions.Expressions.column(cname),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): OptionalLong = OptionalLong.of(ndv)
+                  override def nullCount(): OptionalLong = OptionalLong.of(nulls)
+                  override def min(): Optional[Object] = bounds
+                    .map(b => Optional.of(b._1.asInstanceOf[Object]))
+                    .getOrElse(Optional.empty[Object]())
+                  override def max(): Optional[Object] = bounds
+                    .map(b => Optional.of(b._2.asInstanceOf[Object]))
+                    .getOrElse(Optional.empty[Object]())
+                  override def avgLen(): OptionalLong = avgL
+                    .map(OptionalLong.of(_)).getOrElse(OptionalLong.empty())
+                  override def maxLen(): OptionalLong = maxL
+                    .map(OptionalLong.of(_)).getOrElse(OptionalLong.empty())
+                })
+            }
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      out
     })
 }
 

@@ -90,6 +90,13 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
       LakeRefDdlCommand(delegate.parseMultipartIdentifier(table),
         create = false, kind.toLowerCase, unquote(ref), ifClause = ie != null,
         asOfVersion = None, retainDays = None)
+    case WriteOrdered(table, kind, cols) =>
+      LakeWriteOrderCommand(delegate.parseMultipartIdentifier(table),
+        zorder = kind.trim.toUpperCase.startsWith("Z"),
+        cols = cols.split(',').map(c => unquote(c.trim)).filter(_.nonEmpty).toSeq)
+    case WriteUnordered(table) =>
+      LakeWriteOrderCommand(delegate.parseMultipartIdentifier(table),
+        zorder = false, cols = Nil)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -130,6 +137,14 @@ object LakeSqlParser {
   private val DropRef =
     ("""(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+DROP\s+(BRANCH|TAG)\s+""" +
       """(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*;?\s*""").r
+  // Iceberg's write-order DDL: WRITE ORDERED BY c1, c2 (range-cluster +
+  // sort future writes), WRITE ZORDER BY (c1, c2) (multi-dimensional),
+  // WRITE UNORDERED (clear)
+  private val WriteOrdered =
+    ("""(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+WRITE\s+""" +
+      """(ZORDER(?:ED)?\s+|ORDERED\s+)BY\s+\(?([\w`,\s]+?)\)?\s*;?\s*""").r
+  private val WriteUnordered =
+    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
 }
 
 /** `ALTER TABLE ... ADD/DROP PARTITION FIELD` as a driver command:
@@ -155,6 +170,23 @@ final case class LakeAlterPartitionFieldCommand(
         cur.filterNot(_ == f)
       }
     t.evolveSpec(next)
+    Nil
+  }
+}
+
+/** `ALTER TABLE ... WRITE ORDERED BY / ZORDER BY / UNORDERED` as a
+  * driver command on the write-order API: metadata-only; future writes
+  * (appends, compaction, CoW rewrites) cluster under the new order.
+  * Run `CALL system.rewrite_data_files` after to re-cluster existing
+  * data. */
+final case class LakeWriteOrderCommand(
+    tableParts: Seq[String], zorder: Boolean, cols: Seq[String])
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = LakeAlterPartitionFieldCommand.resolve(spark, tableParts)
+    if (zorder) t.setZOrder(cols: _*)
+    else t.setWriteOrder(cols: _*)
     Nil
   }
 }

@@ -652,9 +652,37 @@ object TextQueries {
       .orderBy(col("shard"), col("pack_id"))
   }
 
+  /** Keyword extraction (tf-idf's integer-exact core): each document's
+    * top-3 characteristic terms, ranked by term frequency DESC, then
+    * document frequency ASC (rarer across the corpus = more
+    * distinctive), then term — the float-free tf-idf ordering both
+    * engines reproduce bit-for-bit. Shapes: one shuffle to (doc, term)
+    * counts, a vocabulary-sized rollup for df (vocabularies are small
+    * relative to corpora — AQE broadcasts it), a per-doc window for
+    * top-k. No all-pairs anywhere; at 100 TB the vocab rollup is the
+    * only global structure and it is bounded by vocabulary, not corpus,
+    * size. */
+  def qKeywordExtraction(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("tok"))
+    tf.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("tok"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_chunking" -> qDocChunking,
     "doc_packing" -> qDocPacking,
+    "keyword_extraction" -> qKeywordExtraction,
     "contamination_check" -> qContamination,
     "pii_redact" -> qPiiRedact,
     "repetition_stats" -> qRepetitionStats,
@@ -677,6 +705,20 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "keyword_extraction" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE len(tok) > 0 GROUP BY doc_id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |r AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.tok) AS rn
+        |  FROM tf JOIN dfreq USING (tok))
+        |SELECT doc_id, rn, tok, tf, df FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
     "doc_packing" ->
       """WITH tok AS (
         |  SELECT doc_id, doc_id % 8 AS shard,

@@ -138,7 +138,14 @@ object ScanBridge {
       streamReadSchema: Option[StructType] = None,
       stats: Option[Array[Filter] => (Long, Long)] = None,
       aggPushdown: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation
-        => Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])]] = None)
+        => Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])]] = None,
+      // table-level COLUMN statistics (NDV/nulls/bounds/lengths) for
+      // CBO — join reordering and selectivity need per-column NDV,
+      // which row/byte sums cannot give. Evaluated lazily per
+      // estimateStatistics call; empty map = none known.
+      colStats: Option[() => java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]] = None)
       : ScanBuilder =
     new ScanBuilder with SupportsPushDownCatalystFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -221,14 +228,20 @@ object ScanBridge {
             override def estimateStatistics()
                 : org.apache.spark.sql.connector.read.Statistics = {
               import java.util.OptionalLong
+              val cols = colStats.map(_())
+                .getOrElse(java.util.Collections.emptyMap[
+                  org.apache.spark.sql.connector.expressions.NamedReference,
+                  org.apache.spark.sql.connector.read.colstats.ColumnStatistics]())
               stats.map(_(translated)) match {
                 case Some((bytes, rows)) => new org.apache.spark.sql.connector.read.Statistics {
                   override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
                   override def numRows(): OptionalLong = OptionalLong.of(rows)
+                  override def columnStats() = cols
                 }
                 case None => new org.apache.spark.sql.connector.read.Statistics {
                   override def sizeInBytes(): OptionalLong = OptionalLong.empty()
                   override def numRows(): OptionalLong = OptionalLong.empty()
+                  override def columnStats() = cols
                 }
               }
             }
