@@ -107,11 +107,27 @@ final class LakeTable private[lake] (
     // TIMESTAMP_MICROS session-wide, changing how other writes annotate
     // computed timestamp columns (isAdjustedToUTC) and breaking oracle
     // schema parity.
+    // write.target-file-size-bytes (Iceberg's target file size): cap
+    // rows per output file at target / avgRowBytes, with the average
+    // row size measured from the table's OWN live manifests (exact,
+    // zero IO) — so a huge append rolls into target-sized files no
+    // matter how the shuffle partitioned it. First write (no manifest
+    // history) has no size basis and writes unrolled; opt-in property,
+    // so pinned-numFiles tests and default tables are untouched.
+    val rollOpt = (for {
+      target <- meta.properties.get("write.target-file-size-bytes").map(_.toLong)
+      if target > 0
+      files = meta.currentFiles
+      if files.nonEmpty
+      rows = files.map(_.recordCount).sum
+      if rows > 0
+      avgRow = math.max(1L, files.map(_.sizeBytes).sum / rows)
+    } yield "maxRecordsPerFile" -> math.max(1L, target / avgRow).toString).toMap
     org.apache.spark.sql.graftbridge.SessionBridge
       .withConfs(withIds, Map(
         "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
         "spark.sql.parquet.fieldId.write.enabled" -> "true"))
-      .write.options(bloomFilterOptions).parquet(dir)
+      .write.options(bloomFilterOptions ++ rollOpt).parquet(dir)
     // stamp which spec derived these partitionValues: after a spec
     // evolution, pruning resolves each file's values under ITS spec
     StatsHarvester.harvest(spark, dir, schema, spec, meta.fieldIds)
