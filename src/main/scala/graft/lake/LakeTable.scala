@@ -2869,7 +2869,10 @@ final class LakeScan private[lake] (
       spark.sessionState.newHadoopConf())
     val slices = math.max(1,
       math.min(docs.size, spark.sparkContext.defaultParallelism * 2))
-    Some(spark.sparkContext.parallelize(docs, slices).flatMap { uri =>
+    // any executor-side failure (a backend whose scheme executors
+    // cannot resolve, a serialization surprise) degrades to the
+    // always-correct driver parse — distribution is an optimization
+    try Some(spark.sparkContext.parallelize(docs, slices).flatMap { uri =>
       val h = new org.apache.hadoop.fs.Path(uri)
       val in = h.getFileSystem(hconf.value).open(h)
       val json =
@@ -2878,6 +2881,7 @@ final class LakeScan private[lake] (
         finally in.close()
       MetadataJson.readManifest(json).filter(p.mayMatch(_, meta))
     }.collect().toSeq)
+    catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Tombstone files this scan must subtract — positional + equality +

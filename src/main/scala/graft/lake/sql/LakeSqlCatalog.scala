@@ -853,21 +853,24 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
         val m = lt.refresh().metadata
         m.properties.get(graft.lake.LakeTable.ColStatsProperty).foreach { json =>
           val parsed = graft.lake.LakeTable.parseColStats(json)
-          val files = m.currentFiles
+          // bounds from MANIFEST-LIST rollups: O(#manifests), never
+          // O(#files) — estimation must stay cheap on a 1M-file table.
+          // Pre-rollup documents read back empty maps → no bounds
+          // (conservative, NDV/null stats still serve).
+          val refs = m.currentSnapshot.map(_.dataManifests).getOrElse(Nil)
           parsed.foreach { case (cname, (ndv, nulls, avgL, maxL)) =>
             m.schema.fields.find(_.name == cname).foreach { field =>
               import java.util.{Optional, OptionalLong}
-              // exact fresh bounds when every live file carries them
               val bounds = for {
                 key <- m.statKey(cname)
                 if graft.lake.Stats.boundsExact(field.dataType)
-                if files.nonEmpty && files.forall(f =>
-                  f.minValues.contains(key) && f.maxValues.contains(key))
+                if refs.nonEmpty && refs.forall(r =>
+                  r.minValues.contains(key) && r.maxValues.contains(key))
                 mn <- graft.lake.Stats.fromStatCatalyst(field.dataType,
-                  files.map(_.minValues(key)).reduce((a, b) =>
+                  refs.map(_.minValues(key)).reduce((a, b) =>
                     if (graft.lake.Stats.cmp(field.dataType, a, b) <= 0) a else b))
                 mx <- graft.lake.Stats.fromStatCatalyst(field.dataType,
-                  files.map(_.maxValues(key)).reduce((a, b) =>
+                  refs.map(_.maxValues(key)).reduce((a, b) =>
                     if (graft.lake.Stats.cmp(field.dataType, a, b) >= 0) a else b))
               } yield (mn, mx)
               out.put(
