@@ -14,6 +14,8 @@ import org.apache.spark.sql.types._
   *
   * Pruning is conservative: anything not provably false keeps the file.
   */
+// Serializable: distributed planFiles ships predicates to executor
+// tasks for manifest-entry filtering.
 sealed trait LakePredicate extends Serializable {
   def toColumn: Column
   def render: String
@@ -61,12 +63,8 @@ object LakePredicate {
     *
     * File- and manifest-level pruning share one bound test
     * ([[boundsMayMatch]]); only the (min, max) source differs. */
-  // Serializable: distributed planFiles evaluates predicates in
-  // executor tasks (an abstract superclass outside the serialization
-  // graph needs a no-arg constructor Java serialization can call —
-  // extending Serializable here is the cheaper contract)
   sealed abstract class Comparison(name: String, value: Any)
-      extends LakePredicate with Serializable {
+      extends LakePredicate {
     /** Can ANY value in [mn, mx] satisfy this comparison? */
     protected def boundsMayMatch(mn: String, mx: String, t: DataType): Boolean
 

@@ -115,7 +115,11 @@ final class LakeTable private[lake] (
     // history) has no size basis and writes unrolled; opt-in property,
     // so pinned-numFiles tests and default tables are untouched.
     val rollOpt = (for {
-      target <- meta.properties.get("write.target-file-size-bytes").map(_.toLong)
+      raw <- meta.properties.get("write.target-file-size-bytes")
+      target = try raw.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"write.target-file-size-bytes must be a plain byte count, got '$raw'")
+      }
       if target > 0
       files = meta.currentFiles
       if files.nonEmpty
@@ -940,7 +944,23 @@ final class LakeTable private[lake] (
   def analyzeColumns(spark: SparkSession, cols: Seq[String] = Nil): LakeTable = {
     import org.apache.spark.sql.functions._
     refresh()
-    val targets = if (cols.nonEmpty) cols else schema.fields.map(_.name).toSeq
+    // default-all SKIPS what it cannot analyze (complex types have no
+    // meaningful NDV; non-word names don't embed in the JSON) — an
+    // unanalyzable column must not block stats for the rest. An
+    // EXPLICIT list still refuses per column: the user asked by name.
+    def analyzable(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: NumericType | StringType | BooleanType | DateType
+             | TimestampType | _: TimestampNTZType => true
+        case _ => false
+      }
+    }
+    val targets =
+      if (cols.nonEmpty) cols
+      else schema.fields.toSeq.filter(f =>
+        f.name.matches("[A-Za-z0-9_]+") && analyzable(f.dataType)).map(_.name)
+    require(targets.nonEmpty, s"no analyzable columns on $name")
     targets.foreach(c => require(schema.fieldNames.contains(c),
       s"no such column $c on $name"))
     targets.foreach(c => require(c.matches("[A-Za-z0-9_]+"),

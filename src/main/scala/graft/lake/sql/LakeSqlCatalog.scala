@@ -501,6 +501,14 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
   private[sql] def lakeTable: LakeTable = lt
   private[sql] def isHistorical: Boolean = snapshotId.isDefined
 
+  // memoized column statistics per (snapshot, analyze-json): Spark
+  // calls estimateStatistics per planned query, and re-parsing the
+  // property + reducing manifest rollups each time is avoidable
+  // planning overhead on hot tables
+  @volatile private var colStatsCache: Option[(Long, String, java.util.Map[
+    org.apache.spark.sql.connector.expressions.NamedReference,
+    org.apache.spark.sql.connector.read.colstats.ColumnStatistics])] = None
+
   /** For the merge-on-read substitution rule ([[LakeMoRScanSubstitution]]):
     * a scan of exactly the snapshot this SQL handle addresses (current
     * or `AS OF`), over the SAME already-loaded metadata the direct
@@ -843,15 +851,29 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     },
     // COLUMN statistics for CBO (join reordering / selectivity):
     // NDV/null/length stats from the last analyzeColumns run (table
-    // property), bounds FRESH from manifest stats so they never go
-    // stale. Best-effort: no analyze property → empty map.
-    colStats = Some { () =>
-      val out = new java.util.HashMap[
-        org.apache.spark.sql.connector.expressions.NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      try {
-        val m = lt.refresh().metadata
-        m.properties.get(graft.lake.LakeTable.ColStatsProperty).foreach { json =>
+    // property), bounds from manifest-list rollups under the handle's
+    // ALREADY-LOADED snapshot (no refresh — planning must not advance
+    // the handle, and the stats must describe the snapshot the scan
+    // reads). Best-effort: no analyze property → empty map; memoized
+    // per (snapshot, property) in [[colStatsCache]].
+    colStats = Some { () => computeColStats() })
+
+  private def computeColStats(): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    try {
+      val m = lt.metadata
+      m.properties.get(graft.lake.LakeTable.ColStatsProperty) match {
+        case None => ()
+        case Some(json) =>
+          colStatsCache match {
+            case Some((snap, j, cached))
+              if snap == m.currentSnapshotId && j == json => return cached
+            case _ => ()
+          }
           val parsed = graft.lake.LakeTable.parseColStats(json)
           // bounds from MANIFEST-LIST rollups: O(#manifests), never
           // O(#files) — estimation must stay cheap on a 1M-file table.
@@ -891,10 +913,11 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
                 })
             }
           }
-        }
-      } catch { case scala.util.control.NonFatal(_) => () }
-      out
-    })
+          colStatsCache = Some((m.currentSnapshotId, json, out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    out
+  }
 }
 
 object LakeSqlTable {

@@ -122,29 +122,36 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object LakeSqlParser {
-  // table identifiers: quoted-backtick or bare dotted parts; the field
-  // clause is taken verbatim and parsed by SpecDsl (refusing loudly)
+  // Table identifier: one flat character class — NEVER a nested
+  // quantifier like ((?:`[^`]+`|[\w.]+)+). That shape backtracks
+  // exponentially when a statement matches the prefix but not the
+  // keyword tail (`ALTER TABLE long_name ADD COLUMNS ...`): every
+  // failed match re-split the identifier 2^n ways and a ~35-char name
+  // froze the session. This parser sees EVERY statement, so its
+  // patterns must fail in linear time; the identifier's real parse
+  // belongs to parseMultipartIdentifier anyway.
+  private val Tbl = """([\w.`]+)"""
   private val AddField =
-    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+ADD\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Tbl\\s+ADD\\s+PARTITION\\s+FIELD\\s+(.+?)\\s*;?\\s*""".r
   private val DropField =
-    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+DROP\s+PARTITION\s+FIELD\s+(.+?)\s*;?\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+PARTITION\\s+FIELD\\s+(.+?)\\s*;?\\s*""".r
   // Iceberg's branch/tag DDL: CREATE BRANCH/TAG [IF NOT EXISTS] name
   // [AS OF VERSION n] [RETAIN n DAYS]; DROP BRANCH/TAG [IF EXISTS] name
   private val CreateRef =
-    ("""(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+CREATE\s+(BRANCH|TAG)\s+""" +
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$Tbl\\s+CREATE\\s+(BRANCH|TAG)\\s+""" +
       """(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)""" +
       """(?:\s+AS\s+OF\s+VERSION\s+(\d+))?(?:\s+RETAIN\s+(\d+)\s+DAYS)?\s*;?\s*""").r
   private val DropRef =
-    ("""(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+DROP\s+(BRANCH|TAG)\s+""" +
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$Tbl\\s+DROP\\s+(BRANCH|TAG)\\s+""" +
       """(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*;?\s*""").r
   // Iceberg's write-order DDL: WRITE ORDERED BY c1, c2 (range-cluster +
   // sort future writes), WRITE ZORDER BY (c1, c2) (multi-dimensional),
   // WRITE UNORDERED (clear)
   private val WriteOrdered =
-    ("""(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+WRITE\s+""" +
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$Tbl\\s+WRITE\\s+""" +
       """(ZORDER(?:ED)?\s+|ORDERED\s+)BY\s+\(?([\w`,\s]+?)\)?\s*;?\s*""").r
   private val WriteUnordered =
-    """(?is)\s*ALTER\s+TABLE\s+((?:`[^`]+`|[\w.]+)+)\s+WRITE\s+UNORDERED\s*;?\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Tbl\\s+WRITE\\s+UNORDERED\\s*;?\\s*""".r
 }
 
 /** `ALTER TABLE ... ADD/DROP PARTITION FIELD` as a driver command:
@@ -184,6 +191,11 @@ final case class LakeWriteOrderCommand(
   extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
+    // a "c1 DESC" token would otherwise reach setWriteOrder as a column
+    // named "c1 DESC" and fail blaming a column that exists
+    cols.foreach(c => require(!c.exists(_.isWhitespace),
+      s"unsupported sort modifier in '$c': WRITE ORDERED BY takes bare " +
+        "column names (ASC/DESC/NULLS FIRST|LAST are not supported)"))
     val t = LakeAlterPartitionFieldCommand.resolve(spark, tableParts)
     if (zorder) t.setZOrder(cols: _*)
     else t.setWriteOrder(cols: _*)
@@ -207,7 +219,10 @@ final case class LakeRefDdlCommand(
     val t = LakeAlterPartitionFieldCommand.resolve(spark, tableParts)
     val maxAgeMs = retainDays.map(_ * 86400000L)
     if (create) {
-      if (ifClause && t.refs.contains(refName)) return Nil
+      // IF NOT EXISTS forgives only a ref of the SAME kind — an
+      // existing TAG under CREATE BRANCH IF NOT EXISTS must still
+      // refuse, or the user walks away believing a branch exists
+      if (ifClause && t.refs.get(refName).exists(_.kind == kind)) return Nil
       if (kind == "branch")
         t.createBranch(refName, asOfVersion.getOrElse(-1L), maxAgeMs)
       else

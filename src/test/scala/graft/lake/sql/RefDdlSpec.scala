@@ -38,10 +38,23 @@ class RefDdlSpec extends LakeSuite {
       intercept[Exception](
         spark.sql("ALTER TABLE refddl.ns.t CREATE BRANCH audit"))
 
-      // kind guard: DROP BRANCH on a tag refuses either way
+      // kind guard: DROP BRANCH on a tag refuses either way, and
+      // CREATE BRANCH IF NOT EXISTS over an existing TAG refuses too
+      // (only same-kind existence is forgiven)
       intercept[Exception](spark.sql("ALTER TABLE refddl.ns.t DROP BRANCH v1"))
       intercept[Exception](
         spark.sql("ALTER TABLE refddl.ns.t DROP BRANCH IF EXISTS v1"))
+      intercept[Exception](
+        spark.sql("ALTER TABLE refddl.ns.t CREATE BRANCH IF NOT EXISTS v1"))
+
+      // parser patterns must fail in LINEAR time on near-miss
+      // statements (the nested-quantifier identifier regex froze the
+      // session on long names; a hang here = regression)
+      val longName = "a" + ("_x" * 40)
+      val t0 = System.nanoTime()
+      intercept[Exception](spark.sql(
+        s"ALTER TABLE refddl.ns.$longName ADD COLUMNS (c INT)"))
+      assert((System.nanoTime() - t0) / 1e9 < 10.0, "parser near-miss took too long")
 
       spark.sql("ALTER TABLE refddl.ns.t DROP TAG v1")
       spark.sql("ALTER TABLE refddl.ns.t DROP BRANCH audit")
