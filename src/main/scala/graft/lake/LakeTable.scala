@@ -2716,11 +2716,11 @@ object LakeTable {
     }
 
   /** Table property holding [[LakeTable.analyzeColumns]]'s output. */
-  private[lake] val ColStatsProperty = "graft.colstats"
+  val ColStatsProperty = "graft.colstats"
 
   /** Parsed column statistics from the analyze property: column →
     * (ndv, nulls, avgLen, maxLen) — lengths only for strings. */
-  private[lake] def parseColStats(
+  def parseColStats(
       json: String): Map[String, (Long, Long, Option[Long], Option[Long])] = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
     val cols = root.get("cols")

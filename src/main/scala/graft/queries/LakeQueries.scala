@@ -286,6 +286,36 @@ object LakeQueries {
       .orderBy(col("o_orderkey"), col("pos"))
   }
 
+  /** ANALYZE (column statistics for CBO): one aggregation pass stores
+    * NDV/null/length stats in table properties; this entry surfaces the
+    * EXACT parts (null counts from the pass, key bounds decoded from
+    * manifest rollups — the same values the DSv2 columnStats serve) so
+    * the oracle can recompute them relationally. NDV is HLL-approximate
+    * and stays out of the oracled output (ColStatsSpec bounds it). */
+  def lakeAnalyze(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_an", src.schema)
+    t.appendData(src, numFiles = 4)
+    t.refresh().analyzeColumns(s,
+      Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
+    val m = t.refresh().metadata
+    val stats = graft.lake.LakeTable.parseColStats(
+      m.properties(graft.lake.LakeTable.ColStatsProperty))
+    val keyId = m.statKey("o_orderkey").get
+    val files = m.currentFiles
+    val minK = files.map(_.minValues(keyId).toLong).min
+    val maxK = files.map(_.maxValues(keyId).toLong).max
+    import s.implicits._
+    Seq(
+      ("o_orderkey", stats("o_orderkey")._2, Some(minK), Some(maxK)),
+      ("o_orderstatus", stats("o_orderstatus")._2,
+        Option.empty[Long], Option.empty[Long]),
+      ("o_totalprice", stats("o_totalprice")._2,
+        Option.empty[Long], Option.empty[Long]))
+      .toDF("col", "nulls", "min_key", "max_key").orderBy(col("col"))
+  }
+
   /** Initial column defaults (Iceberg v3): a column added with a
     * default reads the default from every file written BEFORE the add
     * (per FILE, via the parquet reader's existence-default machinery),
@@ -803,6 +833,7 @@ object LakeQueries {
     "lake_column_defaults" -> lakeColumnDefaults,
     "lake_element_evolution" -> lakeElementEvolution,
     "lake_element_widen" -> lakeElementWiden,
+    "lake_analyze" -> lakeAnalyze,
     "lake_changelog" -> lakeChangelog,
     "lake_replace_where" -> lakeReplaceWhere,
     "lake_agg_pushdown" -> lakeAggPushdown,
@@ -975,6 +1006,21 @@ object LakeQueries {
         |  SELECT o_orderkey, o_orderkey % 7, 'y',
         |    CASE WHEN o_orderkey % 2 = 1 THEN 7 END FROM orders
         |) ORDER BY o_orderkey, tag""".stripMargin,
+    // analyze stores exact null counts; key bounds decode from manifest
+    // rollups — both recomputable relationally (NDV stays spec-bounded)
+    "lake_analyze" ->
+      """SELECT col, nulls, min_key, max_key FROM (
+        |  SELECT 'o_orderkey' AS col,
+        |    count(*) - count(o_orderkey) AS nulls,
+        |    min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', count(*) - count(o_totalprice),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) FROM orders
+        |) ORDER BY col""".stripMargin,
     // even keys wrote int32 elements pre-widen (read widened); odd keys
     // post-widen with values past int range
     "lake_element_widen" ->
