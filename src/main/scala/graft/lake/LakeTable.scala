@@ -1209,7 +1209,7 @@ final class LakeTable private[lake] (
             // by partition for exactly this)
             val entries = dataMfs.flatMap(m => io.readManifest(m.name))
               .sortBy(e => (e.specId,
-                e.partitionValues.toSeq.sorted.mkString(" "), e.path))
+                e.partitionValues.toSeq.sorted.mkString("\u0000"), e.path))
             val keyTypes = latest.withFieldIdDefaults.statKeyTypes
             val newRefs = entries.grouped(targetEntries).toSeq
               .map(g => catalog.writeManifest(md, g, keyTypes = keyTypes))
@@ -2846,7 +2846,8 @@ final class LakeScan private[lake] (
     val t0 = System.nanoTime()
     val refs = snapshot.map(_.dataManifests).getOrElse(Nil)
     val (kept, skipped) = refs.partition(pred.mayMatchManifest(_, table.metadata))
-    val survivors = distributedSurvivors(kept).getOrElse {
+    val (dist, degraded) = distributedSurvivors(kept)
+    val survivors = dist.getOrElse {
       val files = snapshot.map(s => kept.flatMap(s.filesOf)).getOrElse(Nil)
       files.filter(pred.mayMatch(_, table.metadata))
     }
@@ -2859,7 +2860,8 @@ final class LakeScan private[lake] (
       totalFileSizeInBytes = survivors.map(_.sizeBytes).sum,
       planningDurationMs = (System.nanoTime() - t0) / 1000000L,
       skippedDataManifests = skipped.size,
-      scannedDataManifests = kept.size))
+      scannedDataManifests = kept.size,
+      planDegraded = if (degraded) 1L else 0L))
     survivors
   }
 
@@ -2871,14 +2873,19 @@ final class LakeScan private[lake] (
     * driver path wins (document cache, no job); None = use it. The
     * driver necessarily holds the survivors either way — downstream
     * builds the read from them — so the budget bounds the PARSE width,
-    * which is what explodes on a 1M-file table scanned selectively. */
+    * which is what explodes on a 1M-file table scanned selectively.
+    *
+    * Returns (result, degraded): degraded = true means the distributed
+    * attempt was made and FAILED (result None, caller re-plans on the
+    * driver) — surfaced as ScanReport.planDegraded so a persistent
+    * degrade at scale is visible, not silent. */
   private def distributedSurvivors(
-      kept: Seq[ManifestRef]): Option[Seq[DataFileEntry]] = {
+      kept: Seq[ManifestRef]): (Option[Seq[DataFileEntry]], Boolean) = {
     val spark = SparkSession.getActiveSession.orNull
-    if (spark == null || kept.isEmpty) return None
+    if (spark == null || kept.isEmpty) return (None, false)
     val budget = spark.conf
       .get("graft.plan.driverEntryBudget", 4000000L.toString).toLong
-    if (budget <= 0 || kept.map(_.fileCount).sum <= budget) return None
+    if (budget <= 0 || kept.map(_.fileCount).sum <= budget) return (None, false)
     val md = table.catalog.metadataDir(table.namespace, table.shortName)
     val docs = kept.map(r => md.resolve(r.name).uri)
     // snapshots carry the catalog's manifest-IO handle — strip them; the
@@ -2892,7 +2899,7 @@ final class LakeScan private[lake] (
     // any executor-side failure (a backend whose scheme executors
     // cannot resolve, a serialization surprise) degrades to the
     // always-correct driver parse — distribution is an optimization
-    try Some(spark.sparkContext.parallelize(docs, slices).flatMap { uri =>
+    try (Some(spark.sparkContext.parallelize(docs, slices).flatMap { uri =>
       val h = new org.apache.hadoop.fs.Path(uri)
       val in = h.getFileSystem(hconf.value).open(h)
       val json =
@@ -2900,8 +2907,8 @@ final class LakeScan private[lake] (
           java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       MetadataJson.readManifest(json).filter(p.mayMatch(_, meta))
-    }.collect().toSeq)
-    catch { case scala.util.control.NonFatal(_) => None }
+    }.collect().toSeq), false)
+    catch { case scala.util.control.NonFatal(_) => (None, true) }
   }
 
   /** Tombstone files this scan must subtract — positional + equality +

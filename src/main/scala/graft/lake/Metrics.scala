@@ -66,7 +66,14 @@ final case class ScanReport(
     // reference's three (MicrometerMetricsReporterTest.java:43-47);
     // observers that want them read the report (reporter injection).
     skippedDataManifests: Long = 0L,
-    scannedDataManifests: Long = 0L) extends MetricsReport {
+    scannedDataManifests: Long = 0L,
+    // Round-11: 1 when the distributed planFiles attempt swallowed an
+    // executor-side failure and fell back to the driver parse. The
+    // fallback is always correct, but at the 1M-file scale the
+    // distributed path exists for, a PERSISTENT degrade silently
+    // reintroduces the driver bottleneck — operators must be able to
+    // see it (alert on rate > 0), so it is counted, not just logged.
+    planDegraded: Long = 0L) extends MetricsReport {
   def counters: Map[String, Long] = Map(
     "resultDataFiles" -> resultDataFiles,
     "resultDeleteFiles" -> resultDeleteFiles,

@@ -46,12 +46,25 @@ object AggWindowQueries {
         countDistinct(col("l_orderkey")).as("n_orders"))
       .orderBy(col("l_returnflag"))
 
-  /** HLL sketch — estimator differs from DuckDB's, so rows-only check. */
+  /** HLL sketch with a tolerance-gated oracle (round-11): the raw
+    * estimate differs from DuckDB's HLL so it can't be hashed, but the
+    * EXACT distinct counts can, and the |approx−exact|/exact ≤ 5%
+    * gates are deterministic booleans both engines agree on as long as
+    * the sketch honors its error bound (rsd = 0.01 leaves a 5× margin,
+    * so the gate verifies the estimator without pretending it's
+    * exact). This is the full-oracle form of the old rows-only entry. */
   def qApproxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("ao"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.01).as("ap"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.05)
+          .as("orders_within_5pct"),
+        (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.05)
+          .as("parts_within_5pct"))
       .orderBy(col("l_returnflag"))
 
   /** collect_set → sorted CSV so the set-valued agg is order-stable. */
@@ -159,6 +172,13 @@ object AggWindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS orders_within_5pct,
+        |  TRUE AS parts_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT year(o_orderdate) AS yr,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

@@ -315,70 +315,133 @@ object TextQueries {
       .limit(25)
   }
 
+  /** Engine-independent 64-bit hash pair from MD5, bit-identical to
+    * DuckDB 1.0's `md5_number_lower`/`md5_number_upper`: the last /
+    * first 8 digest bytes read little-endian as an unsigned 64-bit
+    * value (held in a Long's bit pattern). MD5 is a published standard
+    * (RFC 1321), so the oracle reconstructs the identical value —
+    * unlike xxhash64/murmur whose seed/variant are engine-private.
+    * Used for dedup hashing only, never security. */
+  private def md5Pair(md: java.security.MessageDigest, s: String): (Long, Long) = {
+    md.reset()
+    val dg = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var lo = 0L
+    var hi = 0L
+    var i = 15
+    while (i >= 8) { lo = (lo << 8) | (dg(i) & 0xffL); i -= 1 }
+    i = 7
+    while (i >= 0) { hi = (hi << 8) | (dg(i) & 0xffL); i -= 1 }
+    (lo, hi)
+  }
+
   /** MinHash + LSH banding (k=16 hashes, 4 bands of 4): near-dup
-    * candidates with estimated similarity ≥ 0.5. xxhash64-based, so
-    * rows-only driver check (no DuckDB oracle). */
+    * candidates with estimated similarity ≥ 0.5.
+    *
+    * Round-11: re-seated on an ENGINE-INDEPENDENT hash family so the
+    * DuckDB oracle reconstructs the exact signatures (this was a
+    * rows-only entry while it used xxhash64). Per shingle, two base
+    * values a = md5_lower mod p and b = md5_upper mod p (p = 2^31-1),
+    * then the classic double-hashing family h_i = (a + i·b) mod p —
+    * every intermediate stays below 2^36, exact BIGINT range in both
+    * engines. The signature is the per-doc min of each h_i (ONE
+    * map-side-combined shuffle); candidates share a band of 4
+    * consecutive signature slots (join on the concatenated band key,
+    * no engine hash involved); est_sim = matching slots / 16, whose
+    * values are exact multiples of 1/16 so the rounded doubles match
+    * bit-for-bit across engines. */
   def qMinhashDedup(s: SparkSession, d: String): DataFrame = {
     val k = 16
-    val exploded = shingleRows(documents(s, d))
-    val sigs = exploded.groupBy(col("doc_id"))
-      .agg(array((0 until k).map(i => min(xxhash64(lit(i), col("s")))): _*).as("sig"))
-    val bands = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        hash(slice(col("sig"), b * 4 + 1, 4))): _*)).as(Seq("band", "bucket")))
-    val l = bands.select(col("band"), col("bucket"),
-      col("doc_id").as("da"), col("sig").as("siga"))
-    val r = bands.select(col("band"), col("bucket"),
-      col("doc_id").as("db"), col("sig").as("sigb"))
-    l.join(r, Seq("band", "bucket")).filter(col("da") < col("db"))
-      .select(col("da"), col("db"),
-        (size(filter(zip_with(col("siga"), col("sigb"), (x, y) => x === y),
-          b => b)) / lit(k.toDouble)).as("est_sim"))
-      .distinct()
-      .filter(col("est_sim") >= 0.5)
-      .select(col("da"), col("db"), round(col("est_sim"), 4).as("est_sim"))
+    val p = 2147483647L
+    val spark0 = s
+    import spark0.implicits._
+    val hashed = documents(s, d).select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
+          if (ws.length < 3) Iterator.empty
+          else {
+            val seen = new scala.collection.mutable.HashSet[String]
+            (0 to ws.length - 3).iterator
+              .map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
+              .filter(seen.add)
+              .map { sh =>
+                val (lo, hi) = md5Pair(md, sh)
+                (id, java.lang.Long.remainderUnsigned(lo, p),
+                  java.lang.Long.remainderUnsigned(hi, p))
+              }
+          }
+        }
+      }
+      .toDF("doc_id", "a", "b")
+    val aggs = (0 until k).map(i =>
+      min((col("a") + lit(i.toLong) * col("b")) % lit(p)).as(s"h$i"))
+    val sigs = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array((0 until 4).map(bnd =>
+        concat_ws("_", (0 until 4).map(j => col(s"h${bnd * 4 + j}")): _*)): _*))
+        .as(Seq("band", "bucket")))
+    val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("da"))
+      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("db")),
+        Seq("band", "bucket"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val sa = sigs.toDF(("da" +: (0 until k).map(i => s"sa$i")): _*)
+    val sb = sigs.toDF(("db" +: (0 until k).map(i => s"sb$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"sa$i") === col(s"sb$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "da").join(sb, "db")
+      .select(col("da"), col("db"), (matches / lit(k.toDouble)).as("raw"))
+      .filter(col("raw") >= 0.5)
+      .select(col("da"), col("db"), round(col("raw"), 4).as("est_sim"))
       .orderBy(col("da"), col("db"))
   }
 
   /** SimHash (64-bit) near-dup: hamming distance ≤ 3 via 4×16-bit band
-    * candidate generation + exact bit_count check. Rows-only.
+    * candidate generation + exact bit_count check.
     * (32 bits at hamming ≤ 4 produced ~600k pairs on the shared-vocab
     * corpus — the wider hash restores discrimination.)
     *
     * The per-doc simhash is ONE narrow map stage: hash each distinct
-    * word with XXH64 (the exact algorithm+seed behind SQL xxhash64, so
-    * values match the round-1 formulation bit for bit), fold ±1 into
-    * 64 local counters, emit the sign bits — zero shuffles and zero
-    * intermediate rows. The round-1 formulation exploded 64 rows per
-    * (doc, word) — ~16M rows through two shuffles at sf0.1 — to
-    * express exactly this local arithmetic. (A doubled-murmur32 hash
-    * was tried first and produced 300× more hamming-≤3 pairs — its
-    * halves are too correlated for sign-vote bits; hash quality IS the
-    * operator here.) */
+    * word, fold ±1 into 64 local counters, emit the sign bits — zero
+    * shuffles and zero intermediate rows. The round-1 formulation
+    * exploded 64 rows per (doc, word) — ~16M rows through two shuffles
+    * at sf0.1 — to express exactly this local arithmetic.
+    *
+    * Round-11: word hash switched XXH64 → MD5-lower-64 ([[md5Pair]]),
+    * the exact value of DuckDB's md5_number_lower, so the oracle
+    * reconstructs every signature and this entry graduates from
+    * rows-only to full hash-match. Bit quality is at least as good
+    * (cryptographic vs non-crypto mixer; the earlier doubled-murmur32
+    * experiment showed correlated halves destroy sign-vote bits, so
+    * only proven-uniform hashes belong here). */
   def qSimhashDedup(s: SparkSession, d: String): DataFrame = {
     val spark0 = s
     import spark0.implicits._
     val sim = documents(s, d).select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val counts = new Array[Int](64)
-        // null text hashes as zero words → simhash 0 (null-safe like
-        // the SQL formulation this replaced)
-        val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
-        ws.distinct.foreach { w =>
-          val wb = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-            wb, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, wb.length, 42L)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val counts = new Array[Int](64)
+          // null text hashes as zero words → simhash 0 (null-safe like
+          // the SQL formulation this replaced)
+          val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
+          ws.distinct.foreach { w =>
+            val (h, _) = md5Pair(md, w)
+            var b = 0
+            while (b < 64) {
+              if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+              b += 1
+            }
           }
+          var sh = 0L
+          var b = 0
+          while (b < 64) { if (counts(b) > 0) sh |= (1L << b); b += 1 }
+          (id, sh)
         }
-        var sh = 0L
-        var b = 0
-        while (b < 64) { if (counts(b) > 0) sh |= (1L << b); b += 1 }
-        (id, sh)
       }
       .toDF("doc_id", "simhash")
     val banded = sim.select(col("doc_id"), col("simhash"),
@@ -636,7 +699,13 @@ object TextQueries {
     * surface both engines reproduce. */
   def qDocPacking(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val S = 8
+    // Shard count is the parallelism ceiling of the per-shard window
+    // sort, so it is a conf (round-11), not a constant: at 100 TB set
+    // it to O(cluster cores). The oracle pins the default 8; shards
+    // are independent (each doc's pack depends only on its own shard's
+    // running offset), so S only changes grouping, never pack math
+    // within a shard — DocPackingShardSpec asserts exactly that.
+    val S = s.conf.get("spark.graft.packing.shards", "8").toInt
     val B = 256
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
     documents(s, d)
@@ -845,6 +914,71 @@ object TextQueries {
         |)
         |SELECT node AS doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" -> {
+      // h0..h15 and the 4 band keys are generated so the constants can
+      // never drift from the Spark side (same k, p, double-hash family)
+      val sigExprs = (0 until 16)
+        .map(i => s"min((a + $i * b) % 2147483647) AS h$i").mkString(", ")
+      val bandSelects = (0 until 4).map { bnd =>
+        val key = (0 until 4).map(j => s"h${bnd * 4 + j}::VARCHAR").mkString(" || '_' || ")
+        s"SELECT doc_id, $bnd AS band, $key AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      val matchSum = (0 until 16)
+        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+         |  FROM w, (SELECT unnest(range(len(ws) - 2)) AS i) t
+         |), hashed AS (
+         |  SELECT doc_id,
+         |    CAST(md5_number_lower(s) % 2147483647 AS BIGINT) AS a,
+         |    CAST(md5_number_upper(s) % 2147483647 AS BIGINT) AS b
+         |  FROM sh
+         |), sig AS (
+         |  SELECT doc_id, $sigExprs FROM hashed GROUP BY doc_id
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |)
+         |SELECT da, db, round(($matchSum) / 16.0, 4) AS est_sim
+         |FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
+         |WHERE ($matchSum) / 16.0 >= 0.5
+         |ORDER BY da, db""".stripMargin
+    },
+    "dedup_simhash" ->
+      """WITH words AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |), hv AS (
+        |  SELECT doc_id, md5_number_lower(w) AS h FROM words
+        |), votes AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM hv, (SELECT unnest(range(64)) AS b) t
+        |  GROUP BY doc_id, b
+        |), bands AS (
+        |  SELECT doc_id, b // 16 AS band,
+        |    CAST(sum(bit * (1::BIGINT << (b % 16))) AS BIGINT) AS bucket
+        |  FROM votes GROUP BY doc_id, b // 16
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        |)
+        |SELECT c.da, c.db,
+        |  CAST(sum(bit_count(xor(x.bucket, y.bucket))) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN bands x ON x.doc_id = c.da
+        |JOIN bands y ON y.doc_id = c.db AND y.band = x.band
+        |GROUP BY c.da, c.db
+        |HAVING sum(bit_count(xor(x.bucket, y.bucket))) <= 3
+        |ORDER BY da, db""".stripMargin,
     "train_test_split" ->
       """SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
         |            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'

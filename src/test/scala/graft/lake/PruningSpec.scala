@@ -297,6 +297,47 @@ class PruningSpec extends LakeSuite {
     } finally spark.conf.unset("graft.plan.driverEntryBudget")
   }
 
+  test("planDegraded: executor-side failure falls back to the driver AND is counted") {
+    val wh = freshWarehouse()
+    val reports = scala.collection.mutable.ArrayBuffer[ScanReport]()
+    val rec: MetricsReporter = {
+      case s: ScanReport => reports += s
+      case _ => ()
+    }
+    val cat = LakeCatalog.open(wh, rec)
+    val t = cat.createTable("prune", "orders_deg", ordersDF.schema)
+    (0 until 3).foreach(i =>
+      t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 3 === i),
+        numFiles = 8))
+    val pred = Ge("o_orderkey", Long.box(750L))
+    val want = t.refresh().newScan(pred).planFiles.map(_.path).toSet
+    assert(want.nonEmpty)
+    assert(reports.last.planDegraded === 0L) // under budget: no attempt
+
+    // over budget + a hadoop conf executors cannot build a FileSystem
+    // from (session confs flow into sessionState.newHadoopConf, which
+    // is exactly the conf the distributed parse ships): the attempt
+    // fails, the driver re-plan answers, and the degrade is visible
+    spark.conf.set("graft.plan.driverEntryBudget", "4")
+    spark.conf.set("fs.file.impl", "no.such.FileSystem")
+    spark.conf.set("fs.file.impl.disable.cache", "true")
+    try {
+      val got = t.refresh().newScan(pred).planFiles.map(_.path).toSet
+      assert(got === want)
+      assert(reports.last.planDegraded === 1L,
+        "a swallowed distributed-planning failure must be counted")
+    } finally {
+      spark.conf.unset("fs.file.impl")
+      spark.conf.unset("fs.file.impl.disable.cache")
+    }
+    // same scan with a healthy conf: distributed path, no degrade
+    try {
+      val again = t.refresh().newScan(pred).planFiles.map(_.path).toSet
+      assert(again === want)
+      assert(reports.last.planDegraded === 0L)
+    } finally spark.conf.unset("graft.plan.driverEntryBudget")
+  }
+
   test("partition values derived for clustered files use the year transform") {
     val withPv = table.metadata.currentFiles.filter(_.partitionValues.nonEmpty)
     assert(withPv.nonEmpty, "at least some files should sit inside one year")
