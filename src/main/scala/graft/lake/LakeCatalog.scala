@@ -172,6 +172,21 @@ final class LakeCatalog private (
     name
   }
 
+  /** Write one immutable statistics document (the Puffin-file analog);
+    * returns its name for [[TableMetadata.statsFiles]]. Unique per
+    * write like manifests: a replaced or race-lost doc is merely an
+    * orphan the sweep reclaims. */
+  private[lake] def writeStatsDoc(md: LakePath, json: String): String = {
+    val name = s"stats-${java.util.UUID.randomUUID}.json"
+    backend.putOverwrite(md.resolve(name), json)
+    name
+  }
+
+  /** Read a statistics document; None when missing (stats are
+    * best-effort estimates — a lost doc degrades, never fails). */
+  private[lake] def readStatsDoc(md: LakePath, name: String): Option[String] =
+    backend.get(md.resolve(name))
+
   /** Delete a manifest-layer document no surviving snapshot references. */
   private[lake] def deleteMetaDoc(md: LakePath, name: String): Unit = {
     backend.delete(md.resolve(name))

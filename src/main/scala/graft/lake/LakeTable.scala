@@ -109,11 +109,13 @@ final class LakeTable private[lake] (
     // schema parity.
     // write.target-file-size-bytes (Iceberg's target file size): cap
     // rows per output file at target / avgRowBytes, with the average
-    // row size measured from the table's OWN live manifests (exact,
-    // zero IO) — so a huge append rolls into target-sized files no
-    // matter how the shuffle partitioned it. First write (no manifest
-    // history) has no size basis and writes unrolled; opt-in property,
-    // so pinned-numFiles tests and default tables are untouched.
+    // row size from the current SNAPSHOT's totalSizeBytes/totalRecords
+    // rollups — O(1) driver work and zero IO (round-11; summing
+    // DataFileEntry rows parsed every live manifest document on each
+    // append, exactly the O(#files) parse width distributed planning
+    // exists to bound). First write (no snapshot history) has no size
+    // basis and writes unrolled; opt-in property, so pinned-numFiles
+    // tests and default tables are untouched.
     val rollOpt = (for {
       raw <- meta.properties.get("write.target-file-size-bytes")
       target = try raw.toLong catch {
@@ -121,11 +123,9 @@ final class LakeTable private[lake] (
           s"write.target-file-size-bytes must be a plain byte count, got '$raw'")
       }
       if target > 0
-      files = meta.currentFiles
-      if files.nonEmpty
-      rows = files.map(_.recordCount).sum
-      if rows > 0
-      avgRow = math.max(1L, files.map(_.sizeBytes).sum / rows)
+      snap <- meta.currentSnapshot
+      if snap.totalRecords > 0
+      avgRow = math.max(1L, snap.totalSizeBytes / snap.totalRecords)
     } yield "maxRecordsPerFile" -> math.max(1L, target / avgRow).toString).toMap
     org.apache.spark.sql.graftbridge.SessionBridge
       .withConfs(withIds, Map(
@@ -930,13 +930,16 @@ final class LakeTable private[lake] (
       latest.copy(sortOrder = cols, sortOrderKind = "linear")
     }
 
-  /** ANALYZE (Iceberg's theta-sketch NDV statistics, stored-property
-    * form): ONE distributed aggregation pass computes per-column NDV
-    * (HLL approximate), null count, and — for strings — avg/max byte
-    * length, stored in table PROPERTIES stamped with the analyzed
-    * snapshot. These are the optimizer-facing statistics the manifest
-    * sums cannot give: size/rowCount make a small dim broadcast, but
-    * CBO join REORDERING and selectivity need per-column NDV. Bounds
+  /** ANALYZE (Iceberg's statistics files, Puffin analog): ONE
+    * distributed aggregation pass computes per-column NDV (HLL
+    * approximate), null count, and — for strings — avg/max byte
+    * length, written as an immutable `stats-*.json` document and
+    * referenced from metadata's `statsFiles` list keyed by the
+    * analyzed snapshot (round-11; previously one property blob that
+    * inflated every metadata rewrite and lost old snapshots' stats).
+    * These are the optimizer-facing statistics the manifest sums
+    * cannot give: size/rowCount make a small dim broadcast, but CBO
+    * join REORDERING and selectivity need per-column NDV. Bounds
     * (min/max) are NOT stored — the SQL layer reads them fresh from
     * manifest rollups at estimate time, so they never go stale. Stats
     * staleness after churn is the usual CBO contract (estimates, not
@@ -996,8 +999,39 @@ final class LakeTable private[lake] (
       s""""${c}":{"ndv":${jnum(ndv)},"nulls":${jnum(nulls)}$lens}"""
     }.mkString("{", ",", "}")
     val json = s"""{"snapshotId":$analyzedAt,"rows":$rows,"cols":$colJson}"""
-    metadataChange(m => m.copy(properties =
-      m.properties + (LakeTable.ColStatsProperty -> json)))
+    val docName = catalog.writeStatsDoc(
+      catalog.metadataDir(namespace, shortName), json)
+    // re-analyzing the same snapshot replaces its entry (the orphaned
+    // doc is swept later); a fresh snapshot appends — old snapshots
+    // keep their own stats for time travel
+    metadataChange(m => m.copy(statsFiles =
+      m.statsFiles.filterNot(_.snapshotId == analyzedAt) :+
+        StatsFileRef(analyzedAt, docName)))
+  }
+
+  /** Latest ANALYZE blob (append order — the property-era fallback
+    * keeps pre-round-11 tables serving stats). For CBO on current
+    * reads: freshest estimates win even when analyzed a few commits
+    * ago. */
+  def colStatsJson: Option[String] = {
+    val m = metadata
+    m.statsFiles.lastOption
+      .flatMap(sf => catalog.readStatsDoc(
+        catalog.metadataDir(namespace, shortName), sf.name))
+      .orElse(m.properties.get(LakeTable.ColStatsProperty))
+  }
+
+  /** ANALYZE blob for EXACTLY `snapshotId` — time-travel reads must
+    * not see another snapshot's statistics (no fallback to current:
+    * wrong-snapshot NDV misguides CBO worse than no stats). The legacy
+    * property blob serves only when its own stamp matches. */
+  def colStatsJsonFor(snapshotId: Long): Option[String] = {
+    val m = metadata
+    m.statsFiles.find(_.snapshotId == snapshotId)
+      .flatMap(sf => catalog.readStatsDoc(
+        catalog.metadataDir(namespace, shortName), sf.name))
+      .orElse(m.properties.get(LakeTable.ColStatsProperty)
+        .filter(j => LakeTable.parseColStatsSnapshot(j).contains(snapshotId)))
   }
 
   /** Z-ORDER write order (Iceberg's `zorder(...)` sort order): future
@@ -2127,7 +2161,11 @@ final class LakeTable private[lake] (
         snap.id == latest.currentSnapshotId || pinned(snap.id) ||
           keep(latest, snap))
       expired = latest.snapshots.map(_.id).diff(kept.map(_.id))
-      latest.copy(snapshots = kept, refs = liveRefs)
+      // stats files ride their snapshot: an expired snapshot's ANALYZE
+      // doc is dereferenced here and reclaimed by the orphan sweep
+      val keptIds = kept.map(_.id).toSet
+      latest.copy(snapshots = kept, refs = liveRefs,
+        statsFiles = latest.statsFiles.filter(sf => keptIds(sf.snapshotId)))
     }
     meta = next
     version = v
@@ -2185,7 +2223,8 @@ final class LakeTable private[lake] (
     // conservative, never deletes a possibly-in-flight manifest.
     val md = catalog.metadataDir(namespace, shortName)
     val liveDocs = meta.snapshots.flatMap(s =>
-      s.manifestList +: s.manifests.map(_.name)).toSet
+      s.manifestList +: s.manifests.map(_.name)).toSet ++
+      meta.statsFiles.map(_.name)
     // ONE recursive listing supplies every candidate's mtime (same
     // batching as the data-side walk above) — a per-candidate mtime
     // call was the last O(files) round-trip pattern in the sweep, and
@@ -2196,6 +2235,7 @@ final class LakeTable private[lake] (
       }.toMap).getOrElse(Map.empty)
     catalog.backend.listChildren(md)
       .filter(n => (n.startsWith("manifest-") || n.startsWith("snaplist-") ||
+        n.startsWith("stats-") || // dereferenced ANALYZE docs
         n.startsWith(".tmp-")) && // crash-stranded write-then-publish temps
         n.endsWith(".json") && !liveDocs(n))
       .filter { n =>
@@ -2715,8 +2755,16 @@ object LakeTable {
       else k -> v
     }
 
-  /** Table property holding [[LakeTable.analyzeColumns]]'s output. */
+  /** Legacy table property that held [[LakeTable.analyzeColumns]]'s
+    * output before round-11's per-snapshot stats files; still READ as
+    * a fallback so pre-existing tables keep serving stats. */
   val ColStatsProperty = "graft.colstats"
+
+  /** The snapshot an analyze blob was computed at (its stamp). */
+  def parseColStatsSnapshot(json: String): Option[Long] = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    Option(root.get("snapshotId")).map(_.asLong)
+  }
 
   /** Parsed column statistics from the analyze property: column →
     * (ndv, nulls, avgLen, maxLen) — lengths only for strings. */

@@ -156,6 +156,13 @@ object TableRef {
   val Branch = "branch"
 }
 
+/** One per-snapshot statistics document (the Puffin-file analog):
+  * `name` is an immutable stats-*.json under metadata/ holding the
+  * ANALYZE blob for `snapshotId`. Referenced from
+  * [[TableMetadata.statsFiles]]; unreferenced docs are reclaimed by
+  * the orphan sweep like any other metadata document. */
+final case class StatsFileRef(snapshotId: Long, name: String)
+
 final case class ManifestRef(
     name: String, // document name under metadata/, e.g. manifest-<uuid>.json
     fileCount: Long,
@@ -356,7 +363,15 @@ final case class TableMetadata(
     // null — exactly per file, via the requested schema's
     // existence-default metadata (Spark's parquet reader machinery).
     // ID-keyed so renames never detach a default; Drop retires it.
-    initialDefaults: Map[Int, String] = Map.empty) {
+    initialDefaults: Map[Int, String] = Map.empty,
+    // Per-snapshot statistics documents (Iceberg's `statistics` list of
+    // Puffin files): ANALYZE writes its NDV/null/length blob as an
+    // immutable stats-*.json document and records (analyzed snapshot,
+    // name) here — one small ref per analyze instead of the whole blob
+    // in properties, so wide tables don't inflate every metadata
+    // rewrite and old snapshots keep their own stats across time
+    // travel. Append order = analyze order (last entry is freshest).
+    statsFiles: Seq[StatsFileRef] = Nil) {
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   def currentFiles: Seq[DataFileEntry] = currentSnapshot.map(_.files).getOrElse(Nil)
@@ -540,6 +555,13 @@ object MetadataJson {
         s""""initialDefaults":${m.initialDefaults.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${q(k.toString)}:${q(v)}" }.mkString("{", ",", "}")},"""
       else "") +
+      // emitted only once ANALYZE ran: pre-stats documents stay
+      // byte-identical (readers default to empty)
+      (if (m.statsFiles.nonEmpty)
+        s""""statsFiles":${m.statsFiles.map(sf =>
+          s"""{"snapshotId":${sf.snapshotId},"name":${q(sf.name)}}""")
+          .mkString("[", ",", "]")},"""
+      else "") +
       s""""spec":${specJson(m.spec)},""" +
       s""""specLog":${m.allSpecs.map(specJson).mkString("[", ",", "]")},""" +
       s""""snapshots":${m.snapshots.map(snapshotJson).mkString("[", ",", "]")},""" +
@@ -673,7 +695,11 @@ object MetadataJson {
       initialDefaults = Option(n.get("initialDefaults"))
         .map(m => m.properties().asScala
           .map(e => e.getKey.toInt -> e.getValue.asText()).toMap)
-        .getOrElse(Map.empty)
+        .getOrElse(Map.empty),
+      statsFiles = Option(n.get("statsFiles"))
+        .map(_.elements().asScala.map(s => StatsFileRef(
+          s.get("snapshotId").asLong(), s.get("name").asText())).toSeq)
+        .getOrElse(Nil)
     ).withFieldIdDefaults // ad-hoc documents get positional IDs
   }
 }

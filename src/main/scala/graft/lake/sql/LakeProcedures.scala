@@ -321,9 +321,9 @@ private[sql] object LakeProcedures {
     },
 
     // ANALYZE (Iceberg's NDV-statistics story): one aggregation pass,
-    // NDV/null/length stats into table properties; the scan builder
-    // serves them to CBO as DSv2 column statistics. columns = 'c1,c2'
-    // or '' for all.
+    // NDV/null/length stats into a per-snapshot stats file; the scan
+    // builder serves them to CBO as DSv2 column statistics.
+    // columns = 'c1,c2' or '' for all.
     "analyze_table" -> new LakeProcedure(lake, "analyze_table",
       Seq("table" -> StringType, "columns" -> StringType),
       StructType(Seq(
@@ -334,7 +334,12 @@ private[sql] object LakeProcedures {
         val cols = args.getUTF8String(1).toString.split(',')
           .map(_.trim).filter(_.nonEmpty).toSeq
         t.analyzeColumns(SparkSession.active, cols)
-        val n = if (cols.nonEmpty) cols.size else t.schema.fields.length
+        // report what was ACTUALLY analyzed (the committed blob's
+        // column set): the default-all path skips complex-typed and
+        // non-word-named columns, so schema width would overstate it
+        val n = t.colStatsJson
+          .map(graft.lake.LakeTable.parseColStats(_).size)
+          .getOrElse(0)
         new GenericInternalRow(Array[Any](t.currentSnapshotId, n))
       }
     },

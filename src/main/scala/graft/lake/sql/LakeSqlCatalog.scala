@@ -850,12 +850,16 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       catch { case scala.util.control.NonFatal(_) => None }
     },
     // COLUMN statistics for CBO (join reordering / selectivity):
-    // NDV/null/length stats from the last analyzeColumns run (table
-    // property), bounds from manifest-list rollups under the handle's
-    // ALREADY-LOADED snapshot (no refresh — planning must not advance
-    // the handle, and the stats must describe the snapshot the scan
-    // reads). Best-effort: no analyze property → empty map; memoized
-    // per (snapshot, property) in [[colStatsCache]].
+    // NDV/null/length stats from the per-snapshot stats files (Puffin
+    // analog; legacy property fallback), bounds from manifest-list
+    // rollups under the handle's ALREADY-LOADED snapshot (no refresh —
+    // planning must not advance the handle, and the stats must
+    // describe the snapshot the scan reads). An AS OF handle serves
+    // ONLY statistics analyzed at its pinned snapshot — current-
+    // snapshot NDV/bounds describing a different dataset would
+    // misguide CBO (round-11) — and its bounds come from the PINNED
+    // snapshot's manifests. Best-effort: no analyze doc → empty map;
+    // memoized per (snapshot, json) in [[colStatsCache]].
     colStats = Some { () => computeColStats() })
 
   private def computeColStats(): java.util.Map[
@@ -866,12 +870,17 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     try {
       val m = lt.metadata
-      m.properties.get(graft.lake.LakeTable.ColStatsProperty) match {
+      val statsSnap = snapshotId.getOrElse(m.currentSnapshotId)
+      val jsonOpt = snapshotId match {
+        case Some(id) => lt.colStatsJsonFor(id)
+        case None => lt.colStatsJson
+      }
+      jsonOpt match {
         case None => ()
         case Some(json) =>
           colStatsCache match {
             case Some((snap, j, cached))
-              if snap == m.currentSnapshotId && j == json => return cached
+              if snap == statsSnap && j == json => return cached
             case _ => ()
           }
           val parsed = graft.lake.LakeTable.parseColStats(json)
@@ -879,7 +888,8 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
           // O(#files) — estimation must stay cheap on a 1M-file table.
           // Pre-rollup documents read back empty maps → no bounds
           // (conservative, NDV/null stats still serve).
-          val refs = m.currentSnapshot.map(_.dataManifests).getOrElse(Nil)
+          val refs = snapshotId.flatMap(m.snapshot).orElse(m.currentSnapshot)
+            .map(_.dataManifests).getOrElse(Nil)
           parsed.foreach { case (cname, (ndv, nulls, avgL, maxL)) =>
             m.schema.fields.find(_.name == cname).foreach { field =>
               import java.util.{Optional, OptionalLong}
@@ -913,7 +923,7 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
                 })
             }
           }
-          colStatsCache = Some((m.currentSnapshotId, json, out))
+          colStatsCache = Some((statsSnap, json, out))
       }
     } catch { case scala.util.control.NonFatal(_) => () }
     out

@@ -300,8 +300,7 @@ object LakeQueries {
     t.refresh().analyzeColumns(s,
       Seq("o_orderkey", "o_totalprice", "o_orderstatus"))
     val m = t.refresh().metadata
-    val stats = graft.lake.LakeTable.parseColStats(
-      m.properties(graft.lake.LakeTable.ColStatsProperty))
+    val stats = graft.lake.LakeTable.parseColStats(t.colStatsJson.get)
     val keyId = m.statKey("o_orderkey").get
     val files = m.currentFiles
     val minK = files.map(_.minValues(keyId).toLong).min

@@ -634,13 +634,19 @@ object TextQueries {
   /** The parameterized form: check `corpus` for shingle overlap with an
     * ARBITRARY benchmark table (the real-world shape — a fixed external
     * eval set, not a slice of the corpus itself). The benchmark side is
-    * usually tiny and broadcasts, but the broadcast is BUDGET-GATED from
-    * Catalyst's own size estimate (free — no job): past the budget the
-    * join degrades to a shuffle join on the shingle key, which is the
-    * only shape that survives a benchmark too big for executor memory.
-    * Gate key: `graft.contamination.broadcastBudget` (bytes, 0 disables
-    * broadcasting); the ~20x factor models shingle inflation (one
-    * 20-char shingle per character survives the distinct at worst). */
+    * usually tiny and broadcasts, but the broadcast is BUDGET-GATED:
+    * past the budget the join degrades to a shuffle join on the shingle
+    * key, which is the only shape that survives a benchmark too big for
+    * executor memory. Two gate tiers (round-11): Catalyst's free size
+    * estimate first — but without CBO a Filter keeps its CHILD's
+    * estimate, so a small slice of a big table looks full-size and
+    * would silently over-refuse the broadcast — then, only when that
+    * says "too big", ONE narrow aggregation measures the actual
+    * shingle-source bytes (O(bench scan), trivial next to the join it
+    * sizes). Gate key: `graft.contamination.broadcastBudget` (bytes,
+    * 0 disables broadcasting); the 20x factor models shingle inflation
+    * (one 20-byte shingle per character survives the distinct at
+    * worst). */
   def contaminationAgainst(s: SparkSession, corpus: DataFrame,
       bench: DataFrame): DataFrame = {
     def shingles(df: DataFrame) = df.filter(length(col("text")) >= 20)
@@ -655,9 +661,13 @@ object TextQueries {
       .withColumnRenamed("doc_id", "bench_id").distinct()
     val budget = s.conf.get("graft.contamination.broadcastBudget",
       (64L << 20).toString).toLong
-    val benchBytes = bench.queryExecution.optimizedPlan.stats.sizeInBytes
+    val catalystEst = bench.queryExecution.optimizedPlan.stats.sizeInBytes * 20
+    lazy val measuredEst = BigInt(bench.filter(length(col("text")) >= 20)
+      .agg(coalesce(sum(length(col("text")).cast("long") * 20L), lit(0L)))
+      .head.getLong(0))
     val joined =
-      if (budget > 0 && benchBytes * 20 <= BigInt(budget))
+      if (budget > 0 &&
+        (catalystEst <= BigInt(budget) || measuredEst <= BigInt(budget)))
         shingles(corpus).join(broadcast(benchSh), "sh")
       else shingles(corpus).join(benchSh, "sh")
     joined.groupBy(col("doc_id"))

@@ -211,38 +211,42 @@ object ScanBridge {
           required.foreach(delegate.pruneColumns)
           delegate.build()
         }
-        mkStream match {
-          case None => buildInner()
-          case Some(f) => new Scan
-              with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-            private lazy val inner: Scan = buildInner()
-            override def readSchema(): StructType =
-              streamReadSchema.map(s => required.getOrElse(s))
-                .getOrElse(inner.readSchema())
-            override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
-            override def toMicroBatchStream(checkpointLocation: String)
-                : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-              f(checkpointLocation)
-            override def description(): String =
-              streamReadSchema.fold(inner.description())(_ => "graft-lake scan")
-            override def estimateStatistics()
-                : org.apache.spark.sql.connector.read.Statistics = {
-              import java.util.OptionalLong
-              val cols = colStats.map(_())
-                .getOrElse(java.util.Collections.emptyMap[
-                  org.apache.spark.sql.connector.expressions.NamedReference,
-                  org.apache.spark.sql.connector.read.colstats.ColumnStatistics]())
-              stats.map(_(translated)) match {
-                case Some((bytes, rows)) => new org.apache.spark.sql.connector.read.Statistics {
-                  override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
-                  override def numRows(): OptionalLong = OptionalLong.of(rows)
-                  override def columnStats() = cols
-                }
-                case None => new org.apache.spark.sql.connector.read.Statistics {
-                  override def sizeInBytes(): OptionalLong = OptionalLong.empty()
-                  override def numRows(): OptionalLong = OptionalLong.empty()
-                  override def columnStats() = cols
-                }
+        // the stats-reporting wrapper applies UNCONDITIONALLY — a
+        // historical (AS OF) handle has no stream factory but its
+        // reads need manifest-sum + column statistics exactly like
+        // current reads (round-11: the None case returned the bare
+        // delegate, so time-travel plans lost all DSv2 statistics)
+        new Scan
+            with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+          private lazy val inner: Scan = buildInner()
+          override def readSchema(): StructType =
+            streamReadSchema.map(s => required.getOrElse(s))
+              .getOrElse(inner.readSchema())
+          override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+          override def toMicroBatchStream(checkpointLocation: String)
+              : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+            mkStream.map(_(checkpointLocation)).getOrElse(
+              throw new UnsupportedOperationException(
+                "this table handle does not support streaming reads"))
+          override def description(): String =
+            streamReadSchema.fold(inner.description())(_ => "graft-lake scan")
+          override def estimateStatistics()
+              : org.apache.spark.sql.connector.read.Statistics = {
+            import java.util.OptionalLong
+            val cols = colStats.map(_())
+              .getOrElse(java.util.Collections.emptyMap[
+                org.apache.spark.sql.connector.expressions.NamedReference,
+                org.apache.spark.sql.connector.read.colstats.ColumnStatistics]())
+            stats.map(_(translated)) match {
+              case Some((bytes, rows)) => new org.apache.spark.sql.connector.read.Statistics {
+                override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
+                override def numRows(): OptionalLong = OptionalLong.of(rows)
+                override def columnStats() = cols
+              }
+              case None => new org.apache.spark.sql.connector.read.Statistics {
+                override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+                override def numRows(): OptionalLong = OptionalLong.empty()
+                override def columnStats() = cols
               }
             }
           }
