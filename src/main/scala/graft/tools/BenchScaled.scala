@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-cliff probe (round-11 stretch): run the scale-sensitive
+  * corpus queries against a [[MakeScaledData]] dir (≈ sf1) at the
+  * bench's local[32] shape and print one BENCH-style JSON line with
+  * per-query minimums — the artifact that shows whether any operator's
+  * cost curve bends worse than the ~10× the data grew (shuffle spill,
+  * broadcast-threshold flips, quadratic candidate growth). Lake
+  * scenario queries are excluded: they build their own fixed-size
+  * tables, so input SF does not scale them.
+  *
+  * Usage: runMain graft.tools.BenchScaled [scaledDir] [reps]
+  */
+object BenchScaled {
+  /** Queries whose input is the testdata corpus (scale with SF),
+    * picked for scale risk: wide shuffles, window sorts, candidate
+    * joins, banded dedup, broadcast gates. */
+  val Targets: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q_running_frames", "q_ev_sliding", "q_ev_sessionize",
+    "contamination_check", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_minhash", "dedup_simhash", "keyword_extraction",
+    "doc_packing", "token_frequency", "cosine_topk_brute", "ann_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/tmp/sf1"
+    val reps = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.lake.sql.LakeSqlExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // warmup
+    val prep0 = System.nanoTime()
+    graft.queries.Corpus.prepare(spark, sfDir)
+    val prepSec = (System.nanoTime() - prep0) / 1e9
+    val wall0 = System.nanoTime()
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 0 until reps; name <- Targets) {
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        finally graft.queries.QueryCaches.clear()
+      times(name) = times(name) :+
+        (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val mins = Targets.map(n => n -> {
+      val ts = times(n)
+      if (ts.exists(_ < 0)) -1.0 else ts.min
+    })
+    val wall = (System.nanoTime() - wall0) / 1e9
+    val qjson = mins.map { case (n, v) => s""""$n":${"%.3f".format(v)}""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"scaled_total","value":${"%.3f"
+      .format(mins.map(_._2).filter(_ >= 0).sum)},"unit":"sec",""" +
+      s""""queries":$qjson,"sf":"$sfDir","reps":$reps,""" +
+      s""""prep":${"%.3f".format(prepSec)},"wall":${"%.3f".format(wall)}}""")
+    spark.stop()
+  }
+}
