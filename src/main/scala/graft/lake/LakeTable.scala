@@ -1009,16 +1009,18 @@ final class LakeTable private[lake] (
         StatsFileRef(analyzedAt, docName)))
   }
 
-  /** Latest ANALYZE blob (append order — the property-era fallback
-    * keeps pre-round-11 tables serving stats). For CBO on current
-    * reads: freshest estimates win even when analyzed a few commits
-    * ago. */
+  /** Latest ANALYZE blob (append order). For CBO on current reads:
+    * freshest estimates win even when analyzed a few commits ago. The
+    * legacy property serves ONLY pre-round-11 tables (no statsFiles
+    * yet) — once file-form stats exist, a lost/unreadable doc degrades
+    * to no stats rather than resurrecting an arbitrarily older
+    * property blob as if it were the latest analyze. */
   def colStatsJson: Option[String] = {
     val m = metadata
-    m.statsFiles.lastOption
-      .flatMap(sf => catalog.readStatsDoc(
+    if (m.statsFiles.nonEmpty)
+      m.statsFiles.lastOption.flatMap(sf => catalog.readStatsDoc(
         catalog.metadataDir(namespace, shortName), sf.name))
-      .orElse(m.properties.get(LakeTable.ColStatsProperty))
+    else m.properties.get(LakeTable.ColStatsProperty)
   }
 
   /** ANALYZE blob for EXACTLY `snapshotId` — time-travel reads must

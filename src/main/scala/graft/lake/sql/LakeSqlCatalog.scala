@@ -888,8 +888,14 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
           // O(#files) — estimation must stay cheap on a 1M-file table.
           // Pre-rollup documents read back empty maps → no bounds
           // (conservative, NDV/null stats still serve).
-          val refs = snapshotId.flatMap(m.snapshot).orElse(m.currentSnapshot)
-            .map(_.dataManifests).getOrElse(Nil)
+          // an AS OF handle whose pinned snapshot is gone (expired
+          // concurrently) gets NO bounds rather than the current
+          // snapshot's — snapshot-X NDV paired with current bounds is
+          // exactly the cross-dataset mix this path exists to prevent
+          val refs = (snapshotId match {
+            case Some(id) => m.snapshot(id)
+            case None => m.currentSnapshot
+          }).map(_.dataManifests).getOrElse(Nil)
           parsed.foreach { case (cname, (ndv, nulls, avgL, maxL)) =>
             m.schema.fields.find(_.name == cname).foreach { field =>
               import java.util.{Optional, OptionalLong}

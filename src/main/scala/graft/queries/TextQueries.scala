@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   *    hashes, 4 bands × 4 rows, pairs only within equal band buckets;
   *  - SimHash gives hamming-ball near-dup for short docs with one
   *    shuffle on 16-bit bands.
-  * Engine-specific hash functions (xxhash64/murmur3) make MinHash and
-  * SimHash non-oracle-able in DuckDB — those queries get the driver's
-  * rows-only check; everything else is oracled.
+  * Round-11: MinHash and SimHash are seated on MD5-derived hashes
+  * (RFC 1321; DuckDB's md5_number_lower/upper compute the identical
+  * values), so the whole dedup family — like everything else here —
+  * is verified by exact DuckDB oracles.
   */
 object TextQueries {
   import Tables._
@@ -354,24 +355,18 @@ object TextQueries {
     val p = 2147483647L
     val spark0 = s
     import spark0.implicits._
-    val hashed = documents(s, d).select(col("doc_id").cast("long"), col("text"))
+    // layered on the SAME shingle stage the jaccard family uses — the
+    // oracles of both depend on identical tokenization, so there is
+    // exactly one copy of it; the md5 stage maps over its rows in the
+    // same narrow stage (no shuffle between them)
+    val hashed = shingleRows(documents(s, d))
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.flatMap { case (id, text) =>
-          val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
-          if (ws.length < 3) Iterator.empty
-          else {
-            val seen = new scala.collection.mutable.HashSet[String]
-            (0 to ws.length - 3).iterator
-              .map(i => s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)}")
-              .filter(seen.add)
-              .map { sh =>
-                val (lo, hi) = md5Pair(md, sh)
-                (id, java.lang.Long.remainderUnsigned(lo, p),
-                  java.lang.Long.remainderUnsigned(hi, p))
-              }
-          }
+        it.map { case (id, sh) =>
+          val (lo, hi) = md5Pair(md, sh)
+          (id, java.lang.Long.remainderUnsigned(lo, p),
+            java.lang.Long.remainderUnsigned(hi, p))
         }
       }
       .toDF("doc_id", "a", "b")
@@ -424,23 +419,28 @@ object TextQueries {
       .as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, text) =>
-          val counts = new Array[Int](64)
-          // null text hashes as zero words → simhash 0 (null-safe like
-          // the SQL formulation this replaced)
-          val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
-          ws.distinct.foreach { w =>
-            val (h, _) = md5Pair(md, w)
-            var b = 0
-            while (b < 64) {
-              if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-              b += 1
+        // null text drops the doc — DuckDB's string_split(NULL) yields
+        // no words, so the oracle never sees it; emitting simhash 0
+        // here instead would band-join against every doc with a zero
+        // 16-bit band and diverge from the oracle the moment a corpus
+        // carries a null (the old rows-only check never noticed)
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val counts = new Array[Int](64)
+            text.split(" ", -1).distinct.foreach { w =>
+              val (h, _) = md5Pair(md, w)
+              var b = 0
+              while (b < 64) {
+                if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+                b += 1
+              }
             }
+            var sh = 0L
+            var b = 0
+            while (b < 64) { if (counts(b) > 0) sh |= (1L << b); b += 1 }
+            Iterator.single((id, sh))
           }
-          var sh = 0L
-          var b = 0
-          while (b < 64) { if (counts(b) > 0) sh |= (1L << b); b += 1 }
-          (id, sh)
         }
       }
       .toDF("doc_id", "simhash")
@@ -715,7 +715,9 @@ object TextQueries {
     // are independent (each doc's pack depends only on its own shard's
     // running offset), so S only changes grouping, never pack math
     // within a shard — DocPackingShardSpec asserts exactly that.
-    val S = s.conf.get("spark.graft.packing.shards", "8").toInt
+    // (graft.* prefix like every other engine knob — contamination
+    // budget, plan budget — so operators find it where they expect.)
+    val S = s.conf.get("graft.packing.shards", "8").toInt
     val B = 256
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
     documents(s, d)

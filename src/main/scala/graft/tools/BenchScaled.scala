@@ -58,12 +58,17 @@ object BenchScaled {
       if (ts.exists(_ < 0)) -1.0 else ts.min
     })
     val wall = (System.nanoTime() - wall0) / 1e9
-    val qjson = mins.map { case (n, v) => s""""$n":${"%.3f".format(v)}""" }
+    // Locale.ROOT: default-locale %.3f renders comma decimals on e.g.
+    // de_DE JVMs — invalid JSON, the same artifact-parse failure class
+    // as the round-9 sbt-prefix bug
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qjson = mins.map { case (n, v) => s""""$n":${f3(v)}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"scaled_total","value":${"%.3f"
-      .format(mins.map(_._2).filter(_ >= 0).sum)},"unit":"sec",""" +
+    println(s"""{"metric":"scaled_total","value":${f3(
+      mins.map(_._2).filter(_ >= 0).sum)},"unit":"sec",""" +
       s""""queries":$qjson,"sf":"$sfDir","reps":$reps,""" +
-      s""""prep":${"%.3f".format(prepSec)},"wall":${"%.3f".format(wall)}}""")
+      s""""prep":${f3(prepSec)},"wall":${f3(wall)}}""")
     spark.stop()
   }
 }

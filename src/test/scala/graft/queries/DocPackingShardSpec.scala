@@ -3,7 +3,7 @@ package graft.queries
 import graft.lake.LakeSuite
 import org.apache.spark.sql.functions._
 
-/** `spark.graft.packing.shards` is the parallelism knob of doc_packing
+/** `graft.packing.shards` is the parallelism knob of doc_packing
   * (round-11): shards must be fully independent — each document's pack
   * assignment depends only on the running token offset within its own
   * shard — so raising S on a bigger cluster regroups the output without
@@ -44,12 +44,12 @@ class DocPackingShardSpec extends LakeSuite {
       }
       .toSeq.sorted
 
-    spark.conf.set("spark.graft.packing.shards", "32")
+    spark.conf.set("graft.packing.shards", "32")
     val got =
       try TextQueries.qDocPacking(spark, d).collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getLong(4), r.getLong(5))).toSeq.sorted
-      finally spark.conf.unset("spark.graft.packing.shards")
+      finally spark.conf.unset("graft.packing.shards")
     assert(got === expected)
     assert(got.map(_._1).distinct.size > 8) // genuinely ran at S=32
 
