@@ -106,6 +106,29 @@ class ColStatsSpec extends LakeSuite {
       t2.colStatsJsonFor(snap1).get)("o_orderkey")._1 === ndv1)
   }
 
+  test("expiry dereferences a dropped snapshot's stats file; the sweep reclaims it") {
+    val wh = freshWarehouse()
+    val cat = LakeCatalog.open(wh)
+    val t = cat.createTable("ns3", "t3", ordersDF.schema)
+    t.appendData(ordersDF.filter(col("o_orderkey") < 500))
+    t.refresh().analyzeColumns(spark, Seq("o_orderkey"))
+    val snap1 = t.currentSnapshotId
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") >= 500))
+    t.refresh().analyzeColumns(spark, Seq("o_orderkey"))
+    assert(t.metadata.statsFiles.size === 2)
+    val oldDoc = t.metadata.statsFiles.find(_.snapshotId == snap1).get.name
+
+    // expiring snapshot 1 drops its stats entry in the same commit...
+    assert(t.expireSnapshots(keepLast = 1) === Seq(snap1))
+    assert(t.metadata.statsFiles.map(_.snapshotId) === Seq(t.currentSnapshotId))
+    assert(t.colStatsJsonFor(snap1).isEmpty)
+    // ...and the dereferenced document becomes sweepable
+    val removed = t.removeOrphanFiles()
+    assert(removed.exists(_.endsWith(oldDoc)), s"expected $oldDoc in $removed")
+    // the surviving snapshot's stats doc is untouched and still serves
+    assert(t.colStatsJson.isDefined)
+  }
+
   test("AS OF handles serve pinned-snapshot stats and bounds, not current") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.cst2", classOf[LakeSqlCatalog].getName)
