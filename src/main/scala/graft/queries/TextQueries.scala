@@ -200,7 +200,10 @@ object TextQueries {
     // produces the IDENTICAL min-representative labeling. The driver
     // sees only the edge list it already paid to compute at ingest;
     // above the budget, the distributed loop below is the scale path.
-    val budget = s.conf.getOption("spark.graft.cc.broadcastEdges")
+    // canonical key graft.* like every other engine knob; the
+    // spark.graft.* spelling this shipped with stays readable
+    val budget = s.conf.getOption("graft.cc.broadcastEdges")
+      .orElse(s.conf.getOption("spark.graft.cc.broadcastEdges"))
       .map(_.toLong).getOrElse(2000000L)
     if (nEdges <= budget) {
       val edgeRows = pairsRaw.collect()
