@@ -338,6 +338,26 @@ object TextQueries {
     (lo, hi)
   }
 
+  /** Per-partition memo over [[md5Pair]]: corpus tokens repeat heavily
+    * (vocabulary ≪ occurrences — ~27k distinct words/shingles against
+    * ~1.5M occurrences at sf0.1), so caching the pure hash cuts MD5
+    * calls ~50× in the simhash word stage. Size-capped so a
+    * pathological high-cardinality partition at 100 TB degrades to
+    * plain hashing instead of growing an unbounded map. */
+  private final class Md5Memo(limit: Int = 1 << 20) {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    private val cache = new java.util.HashMap[String, (Long, Long)]()
+    def apply(s: String): (Long, Long) = {
+      val hit = cache.get(s)
+      if (hit != null) hit
+      else {
+        val v = md5Pair(md, s)
+        if (cache.size < limit) cache.put(s, v)
+        v
+      }
+    }
+  }
+
   /** MinHash + LSH banding (k=16 hashes, 4 bands of 4): near-dup
     * candidates with estimated similarity ≥ 0.5.
     *
@@ -365,9 +385,9 @@ object TextQueries {
     val hashed = shingleRows(documents(s, d))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new Md5Memo()
         it.map { case (id, sh) =>
-          val (lo, hi) = md5Pair(md, sh)
+          val (lo, hi) = memo(sh)
           (id, java.lang.Long.remainderUnsigned(lo, p),
             java.lang.Long.remainderUnsigned(hi, p))
         }
@@ -421,7 +441,7 @@ object TextQueries {
     val sim = documents(s, d).select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val memo = new Md5Memo()
         // null text drops the doc — DuckDB's string_split(NULL) yields
         // no words, so the oracle never sees it; emitting simhash 0
         // here instead would band-join against every doc with a zero
@@ -432,7 +452,7 @@ object TextQueries {
           else {
             val counts = new Array[Int](64)
             text.split(" ", -1).distinct.foreach { w =>
-              val (h, _) = md5Pair(md, w)
+              val (h, _) = memo(w)
               var b = 0
               while (b < 64) {
                 if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
