@@ -341,10 +341,13 @@ object TextQueries {
   /** Per-partition memo over [[md5Pair]]: corpus tokens repeat heavily
     * (vocabulary ≪ occurrences — ~27k distinct words/shingles against
     * ~1.5M occurrences at sf0.1), so caching the pure hash cuts MD5
-    * calls ~50× in the simhash word stage. Size-capped so a
-    * pathological high-cardinality partition at 100 TB degrades to
-    * plain hashing instead of growing an unbounded map. */
-  private final class Md5Memo(limit: Int = 1 << 20) {
+    * calls ~50× in the simhash word stage. The 64k-entry cap bounds
+    * the WORST-case retained heap to a few MB per running task even
+    * with long tokens (URLs/IDs as "words") — many concurrent tasks
+    * per executor multiply whatever this pins — while still covering
+    * a natural-language vocabulary; past it, hashing proceeds
+    * uncached. */
+  private final class Md5Memo(limit: Int = 1 << 16) {
     private val md = java.security.MessageDigest.getInstance("MD5")
     private val cache = new java.util.HashMap[String, (Long, Long)]()
     def apply(s: String): (Long, Long) = {

@@ -13,12 +13,21 @@ class DedupClusterSpec extends LakeSuite {
     val fast = TextQueries.qDedupClusters(spark, d).collect().map(r =>
       (r.getLong(0), r.getLong(1))).toSeq
     assert(fast.nonEmpty)
-    // force the distributed loop by zeroing the broadcast budget
-    spark.conf.set("spark.graft.cc.broadcastEdges", "0")
+    // force the distributed loop by zeroing the broadcast budget —
+    // via the CANONICAL key (the primary read path); the legacy
+    // spark.graft.* spelling is covered right after
+    spark.conf.set("graft.cc.broadcastEdges", "0")
     try {
       val slow = TextQueries.qDedupClusters(spark, d).collect().map(r =>
         (r.getLong(0), r.getLong(1))).toSeq
       assert(slow === fast)
+    } finally spark.conf.unset("graft.cc.broadcastEdges")
+    // the legacy spelling still reaches the gate
+    spark.conf.set("spark.graft.cc.broadcastEdges", "0")
+    try {
+      val legacy = TextQueries.qDedupClusters(spark, d).collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSeq
+      assert(legacy === fast)
     } finally spark.conf.unset("spark.graft.cc.broadcastEdges")
     // labels are min-per-component: every cluster id labels itself
     val byCluster = fast.groupBy(_._2)
