@@ -149,6 +149,74 @@ case class CosineSimilarityF(left: Expression, right: Expression) extends Vector
     copy(left = l, right = r)
 }
 
+/** Engine-independent QUANTIZED dot product: Σ ⌊aᵢ·2¹⁵⌋·⌊bᵢ·2¹⁵⌋ as
+  * BIGINT, in one codegen pass. Multiplying a double by a power of two
+  * is exact, and floor of a double is exact, so the per-component
+  * quantized values — and therefore this integer sum — are BIT-IDENTICAL
+  * in any engine that reads the same floats (DuckDB reconstructs it as
+  * `floor(x * 32768)`), unlike float accumulation whose result depends
+  * on summation order. This is what lets the ANN top-k family carry
+  * full hash-match oracles.
+  *
+  * Range safety (documented, not just hoped): for unit-normalized
+  * embeddings (Σx² = 1, the corpus contract) each ⌊x·2¹⁵⌋ ≤ 2¹⁵+1 in
+  * magnitude and the quantized self-norm n = Σq² ≤ 2³⁰ + 2¹⁹ < 2³¹;
+  * Cauchy–Schwarz then bounds any cross dot by √(nₐ·n_b) < 2³¹, so
+  * dot² < 2⁶² stays inside BIGINT in both engines. */
+case class QuantizedDotF(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def dataType: DataType = LongType
+
+  private val scale = QuantizedDotF.Scale
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (lt, rt) = (elemType(left), elemType(right))
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val qx = math.floor(get(x, lt, i) * scale).toLong
+      val qy = math.floor(get(y, rt, i) * scale).toLong
+      s += qx * qy; i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val qx = ctx.freshName("qx")
+      val qy = ctx.freshName("qy")
+      val nullGuard =
+        if (nullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
+         |  long $qx = (long) java.lang.Math.floor(${genGet(a, elemType(left), i)} * $scale.0);
+         |  long $qy = (long) java.lang.Math.floor(${genGet(b, elemType(right), i)} * $scale.0);
+         |  $acc += $qx * $qy;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object QuantizedDotF {
+  /** 2¹⁵ — power of two so `x * Scale` is exact in IEEE doubles. */
+  val Scale: Int = 32768
+}
+
 object VectorFunctions {
   // Spark 4 Column is backend-agnostic (no .expr); the classic bridge
   // converts Column <-> catalyst Expression (via the graftbridge shim,
@@ -159,6 +227,8 @@ object VectorFunctions {
     column(DotProductF(expression(a), expression(b)))
   def cosine_f(a: Column, b: Column): Column =
     column(CosineSimilarityF(expression(a), expression(b)))
+  def qdot_f(a: Column, b: Column): Column =
+    column(QuantizedDotF(expression(a), expression(b)))
 
   /** SQL registration: SELECT cosine_f(a, b) ... */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -166,5 +236,7 @@ object VectorFunctions {
       "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_f", exprs => CosineSimilarityF(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "qdot_f", exprs => QuantizedDotF(exprs(0), exprs(1)), "built-in")
   }
 }

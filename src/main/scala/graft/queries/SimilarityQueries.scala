@@ -3,19 +3,41 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Similarity search over `embeddings` (64-dim float vectors).
+/** Similarity search over `embeddings` (64-dim unit-normalized float
+  * vectors).
   *
-  * Two paths, per the north-star contract:
-  *  - [[qCosineTopkBrute]]: exact brute-force cosine top-k — the
-  *    baseline/verifier. Query set is broadcast against the corpus, so
-  *    at 100 TB this is one scan, no shuffle of the big side.
-  *  - [[qAnnLsh]]: random-hyperplane LSH (16 planes → 16-bit signature
-  *    buckets): candidates only where signatures collide on a band,
-  *    then exact cosine re-rank — the sublinear scale path.
+  * Three retrieval paths, per the north-star contract:
+  *  - [[qCosineTopkBrute]]: exact brute-force top-k — the baseline /
+  *    ground truth. Query set is broadcast against the corpus, so at
+  *    100 TB this is one scan, no shuffle of the big side.
+  *  - [[qAnnLsh]]: hyperplane LSH (64 planes → 16 bands of 4 bits):
+  *    candidates only where signatures collide on a band, then exact
+  *    re-rank — the sublinear scale path.
+  *  - [[qIvfAnn]]: inverted-file ANN over a KMeans coarse quantizer.
   *
-  * Float-sum ordering differs across engines (FIXTURES.md), so these are
-  * rows-only queries (no DuckDB oracle); [[qEmbeddingStats]] keeps to
-  * exact-representable outputs and is oracled.
+  * Round 11: the top-k family is FULLY ORACLED. Float cosine ordering
+  * is engine-private (summation order), so ranking moved to an exact
+  * integer surrogate: components quantize as ⌊x·2¹⁵⌋ (exact in IEEE
+  * doubles — see [[graft.functions.QuantizedDotF]]), and each
+  * candidate scores
+  *
+  *   score = sign(dot) · ⌊dot² · 2²⁰ / n_c⌋      (n_c = Σq_c², corpus side)
+  *
+  * which is monotone in cosine per query (cos² = dot²/(n_q·n_c) and n_q
+  * is constant inside a query's ranking partition), computed entirely in
+  * BIGINT via the decomposition a₁·2²⁰ + (a₀·2²⁰) div n with
+  * a₁ = dot² div n, a₀ = dot² mod n — every intermediate provably
+  * < 2⁶³ by Cauchy–Schwarz. DuckDB reconstructs the identical integers,
+  * so `cosine_topk_brute`, `ann_lsh` and `ann_recall` carry full
+  * hash-match oracles. Quantization perturbs cosine by ≲ 2·10⁻⁴ —
+  * far inside the LSH approximation the ANN paths already accept.
+  * LSH hyperplanes are ±1 (Rademacher) with signs drawn from MD5
+  * parity (`md5_number_lower('hp-i-j') % 2`, RFC 1321) so the oracle
+  * regenerates the exact plane matrix; Rademacher projections carry the
+  * same LSH guarantee as Gaussian ones (Achlioptas 2003).
+  * `ivf_ann`/`ivf_recall` stay rows-only: KMeans centroid training is
+  * float-iterative and not reproducible in SQL; AnnRecallSpec pins
+  * their quality floor instead.
   */
 object SimilarityQueries {
   import Tables._
@@ -31,53 +53,80 @@ object SimilarityQueries {
 
   /** Production path: native codegen expressions (one-pass loop inside
     * whole-stage codegen; HOFs are interpreted per element). */
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.VectorFunctions.dot_f(a, b)
-
   private def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosine_f(a, b)
+
+  private def qdot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.qdot_f(a, b)
 
   // test access to the HOF reference formulation
   def dotHofPublic(a: Column, b: Column): Column = dotHof(a, b)
   def cosineHofPublic(a: Column, b: Column): Column = cosineHof(a, b)
 
   private val nQueries = 5
+  private val QScale = graft.functions.QuantizedDotF.Scale // 2^15
+  private val ScoreShift = 1048576L // 2^20
 
-  /** Exact cosine top-10 for the first 5 vec_ids against the corpus. */
+  /** The exact-integer ranking score over named columns `dot`, `nv` —
+    * ONE formula rendered for both engines so the constants can never
+    * drift. All operands are non-negative at every div/mod, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree. */
+  private def scoreSqlSpark: String =
+    "CASE WHEN nv = 0L THEN 0L ELSE (CASE WHEN dot < 0L THEN -1L ELSE 1L END) * " +
+      s"(((dot * dot) div nv) * ${ScoreShift}L + (((dot * dot) % nv) * ${ScoreShift}L) div nv) END"
+
+  private def scoreSqlDuck: String =
+    "CASE WHEN nv = 0 THEN 0 ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END) * " +
+      s"(((dot * dot) // nv) * $ScoreShift + (((dot * dot) % nv) * $ScoreShift) // nv) END"
+
+  private def scoreCol: Column = expr(scoreSqlSpark)
+
+  /** Exact top-10 by (quantized) cosine for the first 5 vec_ids against
+    * the corpus. One corpus scan vs a broadcast query set; the self-norm
+    * rides in the same codegen stage as the cross dot. */
   def qCosineTopkBrute(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = embeddings(s, d)
-    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"),
+        qdot(col("embedding"), col("embedding")).as("nv"))
+    val queries = embeddings(s, d).filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
+      .orderBy(col("score").desc, col("vec_id"))
     emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("q_vec")), 6).as("sim"))
+        qdot(col("embedding"), col("q_vec")).as("dot"), col("nv"))
+      .withColumn("score", scoreCol)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
-      .select(col("q_id"), col("vec_id"), col("sim"), col("rn").cast("long").as("rn"))
+      .select(col("q_id"), col("vec_id"), col("score"), col("rn").cast("long").as("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** Deterministic random hyperplanes (seed 42), 64 × 64 — one 64-bit
-    * signature per vector. */
-  private lazy val planes: Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(64)(Seq.fill(64)(rnd.nextGaussian()))
-  }
+  /** 64 ±1 hyperplanes, sign(i,j) from MD5 parity of "hp-i-j" — the
+    * engine-independent seed convention shared with the MinHash oracle.
+    * sign(⌊±1·2¹⁵⌋·Σ±q_j) = sign(Σ±s_j·q_j), so [[qdot]] against the
+    * ±1.0 literal array gives exactly the oracle's signed integer sum. */
+  private lazy val planeSigns: IndexedSeq[Seq[Double]] =
+    (0 until 64).map(i => (0 until 64).map(j =>
+      if ((TextQueries.md5LowerOf(s"hp-$i-$j") & 1L) == 0L) 1.0 else -1.0))
 
-  private def signature(v: Column): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(v, typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** 16 band buckets (4 signature bits each), computed directly — no
+    * monolithic 64-bit signature, so bit 63 never meets BIGINT sign. */
+  private def bucketCols: Seq[Column] = (0 until 16).map { b =>
+    (0 until 4).map { k =>
+      when(qdot(col("embedding"), typedLit(planeSigns(b * 4 + k))) > 0,
+        lit(1 << k)).otherwise(lit(0))
+    }.reduce(_ + _).cast("long")
+  }
 
   /** LSH signature index per (session, corpus): the banded signature
     * table is an OFFLINE index artifact like the IVF inverted file —
-    * 64 hyperplane dot products per vector belong to ingest, not to
+    * 64 hyperplane projections per vector belong to ingest, not to
     * every query invocation (measured ~2.5 s/invocation of pure
-    * signature recompute at sf0.1). */
+    * signature recompute at sf0.1). Carries the quantized self-norm so
+    * re-rank scoring reads it for free. */
   private val lshIndexes = new SessionMemo[DataFrame]()
 
   /** Public setup hook for [[Corpus.prepare]]. */
@@ -86,40 +135,42 @@ object SimilarityQueries {
   private def ensureLshIndex(s: SparkSession, d: String): DataFrame =
     lshIndexes.getOrBuild(s, d) {
       val idx = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"), signature(col("embedding")).as("sig"))
+        .select(col("vec_id"), col("embedding"),
+          qdot(col("embedding"), col("embedding")).as("nv"),
+          array(bucketCols: _*).as("buckets"))
         .persist()
       idx.count() // materialize once at build
       idx
     }
 
-  /** ANN via signature-bucket join + exact cosine re-rank (top-5). */
+  /** ANN via signature-bucket join + exact integer-score re-rank
+    * (top-5). 16 bands × 4 bits: for a top neighbor on RANDOM
+    * embeddings (cosine ~0.35, the adversarial case — no cluster
+    * structure) a 4-bit band collides with ~0.61⁴ ≈ 14%; 16 bands lift
+    * that to 1-(1-0.14)¹⁶ ≈ 0.9 recall, which is what AnnRecallSpec
+    * pins. Band count/width is THE recall/cost knob: each band is one
+    * shuffle-key worth of candidates, tuned at scale to the target
+    * similarity. */
   def qAnnLsh(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = ensureLshIndex(s, d)
-    // 16 bands × 4 bits: for a top neighbor on RANDOM embeddings
-    // (cosine ~0.35, the adversarial case — no cluster structure) a
-    // 4-bit band collides with ~0.61^4 ≈ 14%; 16 bands lift that to
-    // 1-(1-0.14)^16 ≈ 0.9 recall, which is what AnnRecallSpec pins
-    // (the round-1 4-band config measured 0.32). Band count/width is
-    // THE recall/cost knob: each band is one shuffle-key worth of
-    // candidates, tuned at scale to the target similarity. */
-    val banded = emb.select(col("vec_id"), col("embedding"),
-      posexplode(array((0 until 16).map(b =>
-        shiftright(col("sig"), b * 4).bitwiseAND(0xF)): _*))
-        .as(Seq("band", "bucket")))
+    val banded = emb.select(col("vec_id"), col("embedding"), col("nv"),
+      posexplode(col("buckets")).as(Seq("band", "bucket")))
     val queries = banded.filter(col("vec_id") < nQueries)
       .select(col("band"), col("bucket"),
         col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
+      .orderBy(col("score").desc, col("vec_id"))
     banded.join(broadcast(queries), Seq("band", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("q_vec")), 6).as("sim"))
+        qdot(col("embedding"), col("q_vec")).as("dot"), col("nv"))
+      .withColumn("score", scoreCol)
+      .select(col("q_id"), col("vec_id"), col("score"))
       .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
-      .select(col("q_id"), col("vec_id"), col("sim"), col("rn").cast("long").as("rn"))
+      .select(col("q_id"), col("vec_id"), col("score"), col("rn").cast("long").as("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -146,7 +197,9 @@ object SimilarityQueries {
       val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("cell").fit(feat)
       val assigned = model.transform(feat)
-        .select(col("vec_id"), col("embedding"), col("cell")).persist()
+        .select(col("vec_id"), col("embedding"),
+          qdot(col("embedding"), col("embedding")).as("nv"), col("cell"))
+        .persist()
       assigned.count() // materialize, then drop the featurized temp
       feat.unpersist(blocking = false)
       // 16 centroids are model metadata (driver-side by construction)
@@ -157,10 +210,12 @@ object SimilarityQueries {
     }
 
   /** IVF (inverted-file) ANN: seeded KMeans coarse quantizer (k=16),
-    * nprobe=2 — each query searches only the 2 nearest centroid cells,
-    * then exact cosine re-ranks (top-5). The other classic sublinear
-    * path next to [[qAnnLsh]]; at scale the centroid set stays tiny and
-    * broadcast while the corpus is scanned once to assign cells. */
+    * nprobe=6 — each query searches only its 6 nearest centroid cells,
+    * then the exact integer score re-ranks (top-5). The other classic
+    * sublinear path next to [[qAnnLsh]]; at scale the centroid set
+    * stays tiny and broadcast while the corpus is scanned once to
+    * assign cells. Rows-only: the kmeans cells are engine-private even
+    * though the re-rank arithmetic is exact. */
   def qIvfAnn(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (assigned, cells) = ensureIvfIndex(s, d)
@@ -180,15 +235,17 @@ object SimilarityQueries {
       .filter(col("crn") <= 6)
       .select(col("q_id"), col("q_vec"), col("cell"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
+      .orderBy(col("score").desc, col("vec_id"))
     probed.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(cosine(col("embedding"), col("q_vec")), 6).as("sim"))
+        qdot(col("embedding"), col("q_vec")).as("dot"), col("nv"))
+      .withColumn("score", scoreCol)
+      .select(col("q_id"), col("vec_id"), col("score"))
       .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
-      .select(col("q_id"), col("vec_id"), col("sim"), col("rn").cast("long").as("rn"))
+      .select(col("q_id"), col("vec_id"), col("score"), col("rn").cast("long").as("rn"))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -227,9 +284,7 @@ object SimilarityQueries {
       // signature recompute hurts most
       val emb = ensureLshIndex(s, d)
       val banded = emb.select(col("vec_id"), col("embedding"),
-        posexplode(array((0 until 16).map(b =>
-          shiftright(col("sig"), b * 4).bitwiseAND(0xF)): _*))
-          .as(Seq("band", "bucket")))
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
       val l = banded.select(col("band"), col("bucket"),
         col("vec_id").as("va"), col("embedding").as("ea"))
       val r = banded.select(col("band"), col("bucket"),
@@ -263,25 +318,32 @@ object SimilarityQueries {
     budget > 0 && onDisk * 4 <= budget
   }
 
-  /** Recall@5 of each ANN path against the brute-force ground truth,
-    * per query id. Deterministic integers (all sims are rounded with
-    * vec_id tiebreaks), so AnnRecallSpec can assert a hard floor
-    * (≥ 0.6 mean recall) instead of the quality living in a comment.
-    * Engine-specific float ordering keeps it rows-only for DuckDB. */
-  def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+  /** Recall@5 of one ANN path against the brute-force ground truth, per
+    * query id. With the integer-score ranking everything here is exact
+    * arithmetic, so the LSH flavor carries a full DuckDB oracle; the
+    * IVF flavor stays rows-only (kmeans cells) with AnnRecallSpec
+    * asserting the same ≥ 0.6 floor on both. */
+  private def hitsAt5(s: SparkSession, d: String, approx: DataFrame, method: String): DataFrame = {
     val truth = qCosineTopkBrute(s, d).filter(col("rn") <= 5)
       .select(col("q_id"), col("vec_id"))
     val qids = truth.select(col("q_id")).distinct()
-    def hits(approx: DataFrame, method: String): DataFrame =
-      qids.join(
-        truth.join(approx.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_semi")
-          .groupBy(col("q_id")).agg(count(lit(1)).as("hits")),
-        Seq("q_id"), "left_outer")
-        .select(lit(method).as("method"), col("q_id"),
-          coalesce(col("hits"), lit(0L)).as("hits_at_5"), lit(5L).as("k"))
-    hits(qAnnLsh(s, d), "lsh").unionByName(hits(qIvfAnn(s, d), "ivf"))
-      .orderBy(col("method"), col("q_id"))
+    qids.join(
+      truth.join(approx.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits")),
+      Seq("q_id"), "left_outer")
+      .select(lit(method).as("method"), col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits_at_5"), lit(5L).as("k"))
+      .orderBy(col("q_id"))
   }
+
+  /** LSH recall@5 vs brute force — fully oracled. */
+  def qAnnRecall(s: SparkSession, d: String): DataFrame =
+    hitsAt5(s, d, qAnnLsh(s, d), "lsh")
+
+  /** IVF recall@5 vs brute force — rows-only (kmeans cells are
+    * engine-private); AnnRecallSpec pins the floor. */
+  def qIvfRecall(s: SparkSession, d: String): DataFrame =
+    hitsAt5(s, d, qIvfAnn(s, d), "ivf")
 
   /** Oracled embedding stats: exact-representable outputs only (counts,
     * single-element casts — no cross-engine float summation). */
@@ -301,11 +363,102 @@ object SimilarityQueries {
     "ann_lsh" -> qAnnLsh,
     "ivf_ann" -> qIvfAnn,
     "ann_recall" -> qAnnRecall,
+    "ivf_recall" -> qIvfRecall,
     "dedup_embedding" -> qDedupEmbedding,
     "embedding_stats" -> qEmbeddingStats,
   )
 
+  // ---- DuckDB oracle reconstruction (generated from the SAME constants
+  // as the Spark side so neither can drift) -------------------------------
+
+  /** Quantized vectors + self-norms. x·2¹⁵ and floor are exact in
+    * doubles; q² sums stay < 2³¹ so list_sum in doubles is exact too. */
+  private def oracleBaseCtes: String =
+    s"""qe AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   x -> CAST(floor(x * $QScale) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), nrm AS (
+       |  SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nv
+       |  FROM qe
+       |)""".stripMargin
+
+  /** Brute-force ranking CTEs ending in `branked(q_id, vec_id, score, rn)`.
+    * list_dot_product over integer-valued doubles is exact: every
+    * product ≤ 2²⁹ and the running sum ≤ 2³¹ ≪ 2⁵³. */
+  private def bruteCtes: String =
+    s"""bpairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id,
+       |    CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT) AS dot,
+       |    n.nv
+       |  FROM qe q JOIN qe c ON c.vec_id <> q.vec_id
+       |  JOIN nrm n ON n.vec_id = c.vec_id
+       |  WHERE q.vec_id < $nQueries
+       |), bscored AS (
+       |  SELECT q_id, vec_id, $scoreSqlDuck AS score FROM bpairs
+       |), branked AS (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM bscored
+       |)""".stripMargin
+
+  /** LSH ranking CTEs ending in `lranked(q_id, vec_id, score, rn)`:
+    * regenerate the ±1 plane matrix from MD5 parity, project, band,
+    * bucket-join, exact-score re-rank. */
+  private def lshCtes: String =
+    s"""planes AS (
+       |  SELECT i, j,
+       |    CASE WHEN md5_number_lower('hp-' || i || '-' || j) % 2 = 0 THEN 1 ELSE -1 END AS s
+       |  FROM range(64) t1(i), range(64) t2(j)
+       |), psum AS (
+       |  SELECT q.vec_id, p.i, sum(p.s * q.qv[p.j + 1]) AS pd
+       |  FROM qe q, planes p GROUP BY q.vec_id, p.i
+       |), buck AS (
+       |  SELECT vec_id, i // 4 AS band,
+       |    CAST(sum(CASE WHEN pd > 0 THEN 1 << (i % 4) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM psum GROUP BY vec_id, i // 4
+       |), cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id
+       |  FROM buck q JOIN buck c ON q.band = c.band AND q.bucket = c.bucket
+       |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id
+       |), lpairs AS (
+       |  SELECT cd.q_id, cd.vec_id,
+       |    CAST(list_dot_product(CAST(a.qv AS DOUBLE[]), CAST(b.qv AS DOUBLE[])) AS BIGINT) AS dot,
+       |    n.nv
+       |  FROM cand cd
+       |  JOIN qe a ON a.vec_id = cd.q_id
+       |  JOIN qe b ON b.vec_id = cd.vec_id
+       |  JOIN nrm n ON n.vec_id = cd.vec_id
+       |), lscored AS (
+       |  SELECT q_id, vec_id, $scoreSqlDuck AS score FROM lpairs
+       |), lranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM lscored
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "cosine_topk_brute" ->
+      s"""WITH $oracleBaseCtes, $bruteCtes
+         |SELECT q_id, vec_id, score, CAST(rn AS BIGINT) AS rn
+         |FROM branked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH $oracleBaseCtes, $lshCtes
+         |SELECT q_id, vec_id, score, CAST(rn AS BIGINT) AS rn
+         |FROM lranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "ann_recall" ->
+      s"""WITH $oracleBaseCtes, $bruteCtes, $lshCtes,
+         |truth AS (SELECT q_id, vec_id FROM branked WHERE rn <= 5),
+         |approx5 AS (SELECT q_id, vec_id FROM lranked WHERE rn <= 5),
+         |hits AS (
+         |  SELECT t.q_id, count(a.vec_id) AS h
+         |  FROM truth t LEFT JOIN approx5 a
+         |    ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+         |  GROUP BY t.q_id)
+         |SELECT 'lsh' AS method, q_id, CAST(h AS BIGINT) AS hits_at_5,
+         |  CAST(5 AS BIGINT) AS k
+         |FROM hits ORDER BY q_id""".stripMargin,
     // all-pairs ground truth: verifies the LSH candidate generation
     // actually reached every qualifying pair (nearest non-pair sits
     // ≥ 1e-3 from the threshold at every SF, so float noise can't flip

@@ -326,7 +326,7 @@ object TextQueries {
     * (RFC 1321), so the oracle reconstructs the identical value —
     * unlike xxhash64/murmur whose seed/variant are engine-private.
     * Used for dedup hashing only, never security. */
-  private def md5Pair(md: java.security.MessageDigest, s: String): (Long, Long) = {
+  private[queries] def md5Pair(md: java.security.MessageDigest, s: String): (Long, Long) = {
     md.reset()
     val dg = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var lo = 0L
@@ -337,6 +337,12 @@ object TextQueries {
     while (i >= 0) { hi = (hi << 8) | (dg(i) & 0xffL); i -= 1 }
     (lo, hi)
   }
+
+  /** Driver-side convenience over [[md5Pair]] for small constant
+    * universes (e.g. the LSH hyperplane sign matrix) — allocates a
+    * digest per call, so keep it off per-row paths. */
+  private[queries] def md5LowerOf(s: String): Long =
+    md5Pair(java.security.MessageDigest.getInstance("MD5"), s)._1
 
   /** Per-partition memo over [[md5Pair]]: corpus tokens repeat heavily
     * (vocabulary ≪ occurrences — ~27k distinct words/shingles against

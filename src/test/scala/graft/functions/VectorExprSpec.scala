@@ -55,6 +55,49 @@ class VectorExprSpec extends LakeSuite {
     assert(out.filter(col("c").isNotNull).count() === 0)
   }
 
+  test("qdot_f matches a driver-side reference and is exactly integer") {
+    val rows = emb.limit(20).select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val pairs = emb.limit(20).select(col("vec_id"), col("embedding"))
+      .crossJoin(emb.limit(20).select(col("vec_id").as("v2"), col("embedding").as("e2")))
+      .select(col("vec_id"), col("v2"),
+        VectorFunctions.qdot_f(col("embedding"), col("e2")).as("qd"))
+      .collect()
+    val byId = rows.toMap
+    def ref(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * 32768).toLong * math.floor(y.toDouble * 32768).toLong
+      }.sum
+    pairs.foreach { r =>
+      assert(r.getLong(2) === ref(byId(r.getLong(0)), byId(r.getLong(1))))
+    }
+    assert(pairs.nonEmpty)
+  }
+
+  test("qdot_f: null element yields null; quantized score orders like cosine") {
+    val row = spark.sql(
+      "SELECT array(CAST(1.0 AS DOUBLE), NULL) AS a, array(CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE)) AS b")
+      .select(VectorFunctions.qdot_f(col("a"), col("b")).as("q")).collect().head
+    assert(row.isNullAt(0), "qdot must be null on null element")
+    // constructed unit vectors with cosines 1.0, 0.8, 0.0, -0.6 against
+    // the query (1,0): the integer score must reproduce that exact order
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))),
+        |  (2L, array(CAST(0.8 AS DOUBLE), CAST(0.6 AS DOUBLE))),
+        |  (3L, array(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE))),
+        |  (4L, array(CAST(-0.6 AS DOUBLE), CAST(0.8 AS DOUBLE))) AS t(id, v)""".stripMargin)
+      .select(col("id"),
+        VectorFunctions.qdot_f(col("v"), array(lit(1.0), lit(0.0))).as("dot"),
+        VectorFunctions.qdot_f(col("v"), col("v")).as("nv"))
+      .selectExpr("id",
+        "CASE WHEN nv = 0L THEN 0L ELSE (CASE WHEN dot < 0L THEN -1L ELSE 1L END) * " +
+          "(((dot * dot) div nv) * 1048576L + (((dot * dot) % nv) * 1048576L) div nv) END AS score")
+      .orderBy(col("score").desc)
+      .collect().map(_.getLong(0)).toSeq
+    assert(df === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("SQL registration: cosine_f usable from spark.sql") {
     VectorFunctions.register(spark)
     emb.limit(10).createOrReplaceTempView("emb_v")

@@ -13,6 +13,7 @@ class AnnRecallSpec extends LakeSuite {
   test("LSH and IVF mean recall@5 vs brute force is at least 0.6") {
     val d = "/root/testdata/sf0.01"
     val recall = SimilarityQueries.qAnnRecall(spark, d)
+      .unionByName(SimilarityQueries.qIvfRecall(spark, d))
       .groupBy(col("method"))
       .agg((sum(col("hits_at_5")) / sum(col("k"))).as("recall"))
       .collect()
