@@ -792,7 +792,70 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Exact substring (duplicated-span) dedup, the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" measure
+    * re-expressed for a shuffle engine: a 20-token window whose exact
+    * text occurs in ≥ 2 DISTINCT documents is a duplicated span; each
+    * document reports how much of it is covered by such spans. Exactly
+    * the signal used to cut memorization-prone boilerplate.
+    *
+    * Shape: one narrow map builds the overlapping windows (stride 1)
+    * and shrinks each to its MD5 hex — 32 bytes on the wire instead of
+    * a ~120-char 20-gram, and engine-independent (Spark `md5` and
+    * DuckDB `md5` both hash the UTF-8 bytes to the same lowercase hex),
+    * so the oracle reconstructs the IDENTICAL keys rather than merely
+    * equivalent ones. Then one count-distinct rollup keyed by window
+    * hash finds the cross-doc spans, and one join + per-doc rollup
+    * counts covered positions. Lee et al.'s suffix array is the
+    * single-machine O(N) answer; hash-shingled windows are the
+    * distributed-standard O(N·W) one — the shuffle carries only
+    * (hash, doc_id), never window text. dup_permyriad is an exact
+    * integer ((dups·10⁴) div windows) so no float division crosses
+    * engines.
+    *
+    * Spark-side the 128-bit key travels as two longs (16 B vs 32-char
+    * hex — md5 ↔ (lo,hi) is a bijection, so the grouping is identical
+    * to the oracle's hex grouping), "occurs in ≥ 2 distinct docs" is
+    * just min(doc_id) ≠ max(doc_id) (no count-distinct expand), and
+    * per-doc totals come from exploding the per-hash occurrence lists
+    * back out — ONE corpus scan, two keyed shuffles, no join. The
+    * first formulation (HOF windows + count-distinct + self-join)
+    * scanned and windowed the corpus twice and ran 5× slower. */
+  def qDedupSubstring(s: SparkSession, d: String): DataFrame = {
+    val W = 20
+    val spark0 = s
+    import spark0.implicits._
+    val wins = documents(s, d)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val sb = new java.lang.StringBuilder()
+        it.flatMap { case (id, text) =>
+          val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
+          if (ws.length < W) Iterator.empty
+          else (0 to ws.length - W).iterator.map { i =>
+            sb.setLength(0)
+            var j = 0
+            while (j < W) { if (j > 0) sb.append(' '); sb.append(ws(i + j)); j += 1 }
+            val (lo, hi) = md5Pair(md, sb.toString)
+            (id, lo, hi)
+          }
+        }
+      }
+      .toDF("doc_id", "lo", "hi")
+    wins.groupBy(col("lo"), col("hi"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+        collect_list(col("doc_id")).as("docs"))
+      .select(explode(col("docs")).as("doc_id"),
+        when(col("mn") =!= col("mx"), 1).otherwise(0).as("dup"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), sum(col("dup")).cast("long").as("n_dup_windows"))
+      .withColumn("dup_permyriad", expr("(n_dup_windows * 10000L) div n_windows"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_substring" -> qDedupSubstring,
     "doc_chunking" -> qDocChunking,
     "doc_packing" -> qDocPacking,
     "keyword_extraction" -> qKeywordExtraction,
@@ -818,6 +881,23 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_substring" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 20
+        |), wins AS (
+        |  SELECT doc_id, md5(array_to_string(ws[i+1:i+20], ' ')) AS h
+        |  FROM w, (SELECT unnest(range(len(ws) - 19)) AS i) t
+        |), dup AS (
+        |  SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+        |), marked AS (
+        |  SELECT wins.doc_id, CASE WHEN dup.h IS NULL THEN 0 ELSE 1 END AS d
+        |  FROM wins LEFT JOIN dup ON wins.h = dup.h
+        |)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(d) AS BIGINT) AS n_dup_windows,
+        |  (CAST(sum(d) AS BIGINT) * 10000) // count(*) AS dup_permyriad
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "keyword_extraction" ->
       """WITH tf AS (
         |  SELECT doc_id, tok, count(*) AS tf FROM (
