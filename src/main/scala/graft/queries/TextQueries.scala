@@ -546,6 +546,50 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared between [[qGopherFilter]] and its generated oracle SQL so
+    * the stopword set can never drift. Gopher's published list plus
+    * "a" — the synthetic corpus carries exactly two English function
+    * words ("a", "the"), and without one of them in the list the
+    * stop-word rule would fail EVERY document and the filter would
+    * degenerate into a constant (found empirically: 500/500 dropped). */
+  private val gopherStopwords =
+    Seq("a", "the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style rule filter (Rae et al. 2021 §A1.1, the public
+    * heuristics), adapted to single-line docs: keep/drop WITH REASONS —
+    * the provenance-carrying filter stage a curation pipeline audits,
+    * where [[qQualityScore]] is the soft score. Every ratio rule is an
+    * integer CROSS-MULTIPLICATION (10·symbols ≤ words, 5·alpha ≥
+    * 4·words, 3n ≤ chars ≤ 10n) so no float division crosses engines;
+    * word lengths come from `len(text) - spaces` instead of a per-word
+    * sum (words join by single spaces — one codegen'd translate, no
+    * HOF). Map-only: zero shuffles at any scale. */
+  def qGopherFilter(s: SparkSession, d: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val ws = split(t, " ")
+    val nWords = size(ws).cast("long")
+    // Σ word length = chars minus the single-space separators
+    val sumLen = (length(t) - (nWords - 1)).cast("long")
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    val ellipses = ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val alphaWords = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val stopHits = gopherStopwords
+      .map(w => when(array_contains(ws, w), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val rules: Seq[(String, Column)] = Seq(
+      "word_count" -> (nWords >= 50 && nWords <= 100000),
+      "mean_word_len" -> (sumLen >= nWords * 3 && sumLen <= nWords * 10),
+      "symbol_ratio" -> ((hashes + ellipses) * 10 <= nWords),
+      "alpha_words" -> (alphaWords * 5 >= nWords * 4),
+      "stopwords" -> (stopHits >= 2))
+    val keep = rules.map(_._2).reduce(_ && _)
+    val reasons = concat_ws(",",
+      rules.map { case (n, c) => when(!c, n).otherwise(lit(null)) }: _*)
+    documents(s, d).select(col("doc_id"), nWords.as("n_words"),
+      keep.as("keep"), reasons.as("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: full SHA-256 + a 16-hex prefix bucket. */
   def qDocFingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
@@ -856,6 +900,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_substring" -> qDedupSubstring,
+    "gopher_filter" -> qGopherFilter,
     "doc_chunking" -> qDocChunking,
     "doc_packing" -> qDocPacking,
     "keyword_extraction" -> qKeywordExtraction,
@@ -881,6 +926,42 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "gopher_filter" -> {
+      val stopCases = gopherStopwords
+        .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws,
+         |    coalesce(text, '') AS t
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(t) - (len(ws) - 1) AS BIGINT) AS sum_len,
+         |    CAST(len(t) - len(replace(t, '#', '')) AS BIGINT) AS hashes,
+         |    CAST((len(t) - len(replace(t, '...', ''))) // 3 AS BIGINT) AS ellipses,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+         |    CAST($stopCases AS BIGINT) AS stop_hits
+         |  FROM b
+         |), r AS (
+         |  SELECT doc_id, n_words,
+         |    (n_words >= 50 AND n_words <= 100000) AS r1,
+         |    (sum_len >= n_words * 3 AND sum_len <= n_words * 10) AS r2,
+         |    ((hashes + ellipses) * 10 <= n_words) AS r3,
+         |    (alpha_words * 5 >= n_words * 4) AS r4,
+         |    (stop_hits >= 2) AS r5
+         |  FROM m
+         |)
+         |SELECT doc_id, n_words,
+         |  (r1 AND r2 AND r3 AND r4 AND r5) AS keep,
+         |  concat_ws(',',
+         |    CASE WHEN NOT r1 THEN 'word_count' END,
+         |    CASE WHEN NOT r2 THEN 'mean_word_len' END,
+         |    CASE WHEN NOT r3 THEN 'symbol_ratio' END,
+         |    CASE WHEN NOT r4 THEN 'alpha_words' END,
+         |    CASE WHEN NOT r5 THEN 'stopwords' END) AS reasons
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "dedup_substring" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

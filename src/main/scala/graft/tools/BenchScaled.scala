@@ -21,7 +21,8 @@ object BenchScaled {
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q_running_frames", "q_ev_sliding", "q_ev_sessionize",
     "contamination_check", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_minhash", "dedup_simhash", "keyword_extraction",
+    "dedup_minhash", "dedup_simhash", "dedup_substring",
+    "keyword_extraction",
     "doc_packing", "token_frequency", "cosine_topk_brute", "ann_lsh")
 
   def main(args: Array[String]): Unit = {
