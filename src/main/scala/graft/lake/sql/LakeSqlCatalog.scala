@@ -860,7 +860,19 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     // misguide CBO (round-11) — and its bounds come from the PINNED
     // snapshot's manifests. Best-effort: no analyze doc → empty map;
     // memoized per (snapshot, json) in [[colStatsCache]].
-    colStats = Some { () => computeColStats() })
+    colStats = Some { () => computeColStats() },
+    // runtime (dynamic-partition-pruning) filtering: every spec's
+    // source columns are fair game — pruning is stats-based mayMatch,
+    // so values arriving from a join build side skip files exactly like
+    // a static IN predicate, and files written under OLDER specs still
+    // prune by their column bounds. Restricted to columns that still
+    // exist top-level in the current schema (a dropped source would
+    // make Spark compile a filter on a ghost column).
+    runtimeFilterAttrs = () => {
+      val names = lt.metadata.schema.fields.map(_.name).toSet
+      lt.metadata.allSpecs.flatten.map(_.source).distinct
+        .filter(names.contains).toArray
+    })
 
   private def computeColStats(): java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,

@@ -145,7 +145,14 @@ object ScanBridge {
       // estimateStatistics call; empty map = none known.
       colStats: Option[() => java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]] = None)
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]] = None,
+      // columns whose values Spark may supply AT RUNTIME from a join's
+      // build side (dynamic partition pruning, SPARK-35779): reporting
+      // the table's partition-source columns lets a selective dim
+      // filter prune FACT FILES at execution time — the difference
+      // between scanning one partition and scanning 100 TB. Empty =
+      // runtime filtering off.
+      runtimeFilterAttrs: () => Array[String] = () => Array.empty)
       : ScanBuilder =
     new ScanBuilder with SupportsPushDownCatalystFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -205,8 +212,8 @@ object ScanBridge {
         }
         lazy val translated = exprs.flatMap(e =>
           DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)).toArray
-        def buildInner(): Scan = {
-          val delegate = mkDelegate(translated)
+        def buildInner(runtime: Array[Filter]): Scan = {
+          val delegate = mkDelegate(translated ++ runtime)
           delegate.pushFilters(exprs) // parquet row-group/page pushdown
           required.foreach(delegate.pruneColumns)
           delegate.build()
@@ -217,8 +224,32 @@ object ScanBridge {
         // current reads (round-11: the None case returned the bare
         // delegate, so time-travel plans lost all DSv2 statistics)
         new Scan
-            with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-          private lazy val inner: Scan = buildInner()
+            with org.apache.spark.sql.connector.read.SupportsReportStatistics
+            with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+          // rebuildable, not lazy: a runtime filter() arrives AFTER the
+          // batch delegate may have been planned, and the whole point is
+          // to re-plan the file list under the narrowed predicate
+          private var innerCache: Scan = null
+          private var runtimeV1: Array[Filter] = Array.empty
+          private def inner: Scan = {
+            if (innerCache == null) innerCache = buildInner(runtimeV1)
+            innerCache
+          }
+          override def filterAttributes()
+              : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+            runtimeFilterAttrs().map(
+              org.apache.spark.sql.connector.expressions.Expressions.column)
+          override def filter(
+              predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+              : Unit = {
+            // v2 runtime predicates (IN-sets from the join build side)
+            // → v1 filters the delegate's file pruning understands;
+            // untranslatable ones drop — runtime filters only ever SKIP
+            // files, Spark re-applies the join itself
+            val v1 = predicates.flatMap(p =>
+              org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p))
+            if (v1.nonEmpty) { runtimeV1 = runtimeV1 ++ v1; innerCache = null }
+          }
           override def readSchema(): StructType =
             streamReadSchema.map(s => required.getOrElse(s))
               .getOrElse(inner.readSchema())
