@@ -785,36 +785,100 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     }
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    org.apache.spark.sql.graftbridge.ScanBridge.delegating({ pushed =>
-      val pred = toLakePredicate(pushed)
-      val scan = snapshotId match {
-        case Some(id) => lt.asOf(id, pred)
-        // spark.wap.branch: audit reads resolve the staged head
-        case None => Wap.readBranch(SparkSession.active, lt) match {
-          case Some(b) => lt.refresh().scanRef(b, pred)
-          case None => lt.newScan(pred)
+  /** Pruned live-file entries for a pushed filter set — shared by the
+    * batch delegate, the SPJ group builder, and (with its own catch)
+    * the statistics estimate. */
+  private def planEntries(pushed: Array[org.apache.spark.sql.sources.Filter])
+      : Seq[graft.lake.DataFileEntry] = {
+    val pred = toLakePredicate(pushed)
+    val scan = snapshotId match {
+      case Some(id) => lt.asOf(id, pred)
+      // spark.wap.branch: audit reads resolve the staged head
+      case None => Wap.readBranch(SparkSession.active, lt) match {
+        case Some(b) => lt.refresh().scanRef(b, pred)
+        case None => lt.newScan(pred)
+      }
+    }
+    // the direct SQL path hands surviving file paths straight to
+    // Spark's parquet source, which cannot subtract tombstones. With
+    // [[LakeSqlExtensions]] installed this builder is never reached
+    // for a live-tombstone snapshot ([[LakeMoRScanSubstitution]]
+    // re-planned the relation onto the MoR-aware readLive path); this
+    // refusal is the safety net for a session running the catalog
+    // WITHOUT the extensions — resurrecting MoR-deleted rows is never
+    // an acceptable degradation.
+    if (scan.needsEngineRead)
+      throw new UnsupportedOperationException(
+        s"${lt.name} carries live merge-on-read delete files or " +
+          "addFiles-imported (ID-less) data files and this session does " +
+          "not have graft.lake.sql.LakeSqlExtensions installed; install " +
+          "the extensions (spark.sql.extensions), run compact() to " +
+          "materialize tombstones / imported files natively, or read " +
+          "through the Scala API")
+    scan.planFiles
+  }
+
+  /** Storage-partitioned-join groups: one (partition-key row, paths)
+    * group per live partition value, clustering by the CURRENT spec's
+    * identity fields. Declines (None → UnknownPartitioning) whenever
+    * exactness is at risk: no identity fields, a non-decodable key
+    * type, or any live file missing a value for an identity source
+    * (e.g. written under an older spec) — grouping such a file under a
+    * wrong key would silently co-locate non-matching rows, the one
+    * failure SPJ must never have. */
+  private def spjGroupsFor(pushed: Array[org.apache.spark.sql.sources.Filter])
+      : Option[(Array[String],
+        Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])] =
+    try {
+      val meta = lt.metadata
+      val spec = meta.allSpecs.last
+      // partitionValues are keyed POSITIONALLY within the writing spec
+      // ("p<i>"), so grouping is only exact for files written under the
+      // current spec — any other specId declines below
+      val idFields = spec.zipWithIndex.collect {
+        case (f, i) if f.transform == "identity" => (f.source, s"p$i")
+      }
+      def decode(t: org.apache.spark.sql.types.DataType, s: String): Option[Any] = t match {
+        case org.apache.spark.sql.types.StringType =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+        case other => graft.lake.Stats.fromStatCatalyst(other, s)
+      }
+      val types = idFields.flatMap { case (c, _) =>
+        meta.schema.fields.find(_.name == c).map(_.dataType) }
+      if (idFields.isEmpty || types.size != idFields.size) None
+      else {
+        val entries = planEntries(pushed)
+        val currentSpecId = meta.currentSpecId
+        if (entries.isEmpty ||
+          !entries.forall(e => e.specId == currentSpecId &&
+            idFields.forall(f => e.partitionValues.contains(f._2)))) None
+        else {
+          val grouped = entries.groupBy(e => idFields.map(f => e.partitionValues(f._2)))
+          val rows = grouped.toSeq.sortBy(_._1.mkString(0.toChar.toString))
+            .map { case (vals, fs) =>
+              val decoded = vals.zip(types).map { case (s, t) => decode(t, s) }
+              if (decoded.exists(_.isEmpty)) None
+              else Some(
+                (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  decoded.map(_.get).toArray[Any]): org.apache.spark.sql.catalyst.InternalRow,
+                  fs.map(_.path)))
+            }
+          if (rows.exists(_.isEmpty)) None
+          else Some((idFields.map(_._1).toArray, rows.map(_.get)))
         }
       }
-      // the direct SQL path hands surviving file paths straight to
-      // Spark's parquet source, which cannot subtract tombstones. With
-      // [[LakeSqlExtensions]] installed this builder is never reached
-      // for a live-tombstone snapshot ([[LakeMoRScanSubstitution]]
-      // re-planned the relation onto the MoR-aware readLive path); this
-      // refusal is the safety net for a session running the catalog
-      // WITHOUT the extensions — resurrecting MoR-deleted rows is never
-      // an acceptable degradation.
-      if (scan.needsEngineRead)
-        throw new UnsupportedOperationException(
-          s"${lt.name} carries live merge-on-read delete files or " +
-            "addFiles-imported (ID-less) data files and this session does " +
-            "not have graft.lake.sql.LakeSqlExtensions installed; install " +
-            "the extensions (spark.sql.extensions), run compact() to " +
-            "materialize tombstones / imported files natively, or read " +
-            "through the Scala API")
-      mkParquetTable(scan.planFiles.map(_.path))
-        .newScanBuilder(options)
-        .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def mkBuilderForPaths(paths: Seq[String],
+      options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.execution.datasources.v2.FileScanBuilder =
+    mkParquetTable(paths)
+      .newScanBuilder(options)
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.v2.FileScanBuilder]
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    org.apache.spark.sql.graftbridge.ScanBridge.delegating({ pushed =>
+      mkBuilderForPaths(planEntries(pushed).map(_.path), options)
     },
     // streaming reads tail append commits (current handles only; a
     // historical AS OF handle has no future to stream). The stream
@@ -872,7 +936,13 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       val names = lt.metadata.schema.fields.map(_.name).toSet
       lt.metadata.allSpecs.flatten.map(_.source).distinct
         .filter(names.contains).toArray
-    })
+    },
+    // storage-partitioned joins: identity-partitioned tables report
+    // KeyGroupedPartitioning and plan per-partition-value input groups,
+    // so two co-partitioned lake tables join with NO shuffle on either
+    // side (engaged under spark.sql.sources.v2.bucketing.enabled)
+    spjGroups = Some(pushed => spjGroupsFor(pushed)),
+    mkDelegateForPaths = Some(paths => mkBuilderForPaths(paths, options)))
 
   private def computeColStats(): java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,

@@ -152,7 +152,19 @@ object ScanBridge {
       // filter prune FACT FILES at execution time — the difference
       // between scanning one partition and scanning 100 TB. Empty =
       // runtime filtering off.
-      runtimeFilterAttrs: () => Array[String] = () => Array.empty)
+      runtimeFilterAttrs: () => Array[String] = () => Array.empty,
+      // storage-partitioned joins (SPJ, SPARK-37375): `spjGroups(pushed)`
+      // returns the identity clustering columns plus one (partition-key
+      // row, file paths) group per live partition value, or None when
+      // the table isn't cleanly identity-partitioned. When Some, the
+      // scan reports KeyGroupedPartitioning and plans one HasPartitionKey
+      // input-partition set per group, so two tables partitioned the
+      // same way join WITHOUT shuffling either side (gated by Spark's
+      // spark.sql.sources.v2.bucketing.enabled). `mkDelegateForPaths`
+      // builds the file-source scan over one group's explicit file list.
+      spjGroups: Option[Array[Filter] => Option[(Array[String],
+        Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])]] = None,
+      mkDelegateForPaths: Option[Seq[String] => FileScanBuilder] = None)
       : ScanBuilder =
     new ScanBuilder with SupportsPushDownCatalystFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -225,7 +237,8 @@ object ScanBridge {
         // delegate, so time-travel plans lost all DSv2 statistics)
         new Scan
             with org.apache.spark.sql.connector.read.SupportsReportStatistics
-            with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+            with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+            with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
           // rebuildable, not lazy: a runtime filter() arrives AFTER the
           // batch delegate may have been planned, and the whole point is
           // to re-plan the file list under the narrowed predicate
@@ -250,10 +263,61 @@ object ScanBridge {
               org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p))
             if (v1.nonEmpty) { runtimeV1 = runtimeV1 ++ v1; innerCache = null }
           }
+          // SPJ groups under the CURRENT filter set (runtime filters
+          // included — a runtime-pruned scan regroups to the surviving
+          // keys); memoized per filter-array identity since both
+          // outputPartitioning and toBatch consult them
+          private var spjCache: Option[(Array[String],
+            Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])] = None
+          private var spjCacheFor: Array[Filter] = null
+          private def spjFor(): Option[(Array[String],
+              Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])] = {
+            val key = runtimeV1
+            if (spjCacheFor ne key) {
+              spjCache = spjGroups.flatMap(f => f(translated ++ key))
+              spjCacheFor = key
+            }
+            spjCache
+          }
+
+          override def outputPartitioning()
+              : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+            spjFor() match {
+              case Some((cols, groups)) if groups.nonEmpty =>
+                new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+                  cols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+                    .identity(c): org.apache.spark.sql.connector.expressions.Expression),
+                  groups.size)
+              case _ =>
+                new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+            }
+
           override def readSchema(): StructType =
             streamReadSchema.map(s => required.getOrElse(s))
               .getOrElse(inner.readSchema())
-          override def toBatch: org.apache.spark.sql.connector.read.Batch = inner.toBatch
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            spjFor() match {
+              case Some((_, groups)) if groups.nonEmpty && mkDelegateForPaths.isDefined =>
+                new org.apache.spark.sql.connector.read.Batch {
+                  override def planInputPartitions()
+                      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+                    groups.toArray.flatMap { case (key, paths) =>
+                      val b = mkDelegateForPaths.get(paths)
+                      b.pushFilters(exprs)
+                      required.foreach(b.pruneColumns)
+                      b.build().toBatch.planInputPartitions()
+                        .map(p => SpjPartition(p, key))
+                    }
+                  // ONE factory serves every group: the parquet reader
+                  // factory is file-list-agnostic (the files ride in the
+                  // InputPartition), so the full delegate's factory reads
+                  // any group's splits after unwrapping
+                  override def createReaderFactory()
+                      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+                    new SpjReaderFactory(inner.toBatch.createReaderFactory())
+                }
+              case _ => inner.toBatch
+            }
           override def toMicroBatchStream(checkpointLocation: String)
               : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
             mkStream.map(_(checkpointLocation)).getOrElse(
@@ -284,4 +348,37 @@ object ScanBridge {
         }
       }
     }
+
+  /** A delegate file split tagged with its partition-value key — what
+    * KeyGroupedPartitioning needs to co-locate matching keys without a
+    * shuffle. Serializable: ships to executors inside the task. */
+  private final case class SpjPartition(
+      inner: org.apache.spark.sql.connector.read.InputPartition,
+      key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+    override def preferredLocations(): Array[String] = inner.preferredLocations()
+    override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+  }
+
+  /** Unwraps [[SpjPartition]] before handing splits to the real parquet
+    * reader factory; forwards the columnar path so vectorized reading
+    * survives the SPJ wrapper. */
+  private final class SpjReaderFactory(
+      delegate: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+    private def unwrap(p: org.apache.spark.sql.connector.read.InputPartition) =
+      p.asInstanceOf[SpjPartition].inner
+    override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] =
+      delegate.createReader(unwrap(p))
+    override def createColumnarReader(p: org.apache.spark.sql.connector.read.InputPartition)
+        : org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.vectorized.ColumnarBatch] =
+      delegate.createColumnarReader(unwrap(p))
+    override def supportColumnarReads(
+        p: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+      delegate.supportColumnarReads(unwrap(p))
+  }
 }
