@@ -659,6 +659,52 @@ object LakeQueries {
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Storage-partitioned join through the corpus gate: two lake tables
+    * identity-partitioned on the same column, joined on (partition key,
+    * row key) under `spark.sql.sources.v2.bucketing.enabled` — the
+    * shuffle-free co-located join SpjSpec proves plan-shape for; this
+    * entry proves the RESULT through that exact path against the
+    * DuckDB relational reconstruction. The SPJ confs ride a cloned
+    * session (never leaked into the shared one). */
+  private val spjCatalogs = new SessionMemo[String]()
+
+  def lakeCopartitionJoin(s: SparkSession, d: String): DataFrame = {
+    val catName = spjCatalogs.getOrBuild(s, d) {
+      val src = orders(s, d)
+      val wh = Files.createTempDirectory("graft_lakespj_").toString
+      val name = s"lakespj_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      val a = src.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val b = src.filter(col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      s.sql(s"CREATE TABLE $name.q.facts (${a.schema.toDDL}) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"CREATE TABLE $name.q.big (${b.schema.toDDL}) PARTITIONED BY (o_orderstatus)")
+      val cat = LakeCatalog.open(wh)
+      // partition-aligned ingestion (one batch per status, the shape a
+      // real pipeline lands): every file carries a single partition
+      // value, which is what makes the scan key-groupable — a bulk
+      // append that mixes values in one file would decline SPJ
+      Seq("F", "O", "P").foreach { st =>
+        cat.loadTable("q", "facts").appendData(a.filter(col("o_orderstatus") === st))
+        cat.loadTable("q", "big").appendData(b.filter(col("o_orderstatus") === st))
+      }
+      name
+    }
+    val spj = org.apache.spark.sql.graftbridge.SessionBridge.sessionWithConfs(s, Map(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"))
+    spj.sql(
+      s"""SELECT a.o_orderstatus, count(*) AS n,
+         |  round(sum(a.o_totalprice), 2) AS sum_price,
+         |  sum(b.o_custkey) AS sum_ck
+         |FROM $catName.q.facts a JOIN $catName.q.big b
+         |  ON a.o_orderstatus = b.o_orderstatus AND a.o_orderkey = b.o_orderkey
+         |GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus""".stripMargin)
+  }
+
   /** Aggregate pushdown: a filterless global COUNT/MIN/MAX over a lake
     * table answers from MANIFEST STATS alone — the physical plan is a
     * driver-local scan, zero data files open, zero tasks launch
@@ -813,6 +859,7 @@ object LakeQueries {
     "lake_nested_evolution" -> lakeNestedEvolution,
     "lake_changes" -> lakeChanges,
     "lake_sql_select" -> lakeSqlSelect,
+    "lake_copartition_join" -> lakeCopartitionJoin,
     "lake_roundtrip" -> lakeRoundtrip,
     "lake_uri_roundtrip" -> lakeUriRoundtrip,
     "lake_spec_evolution" -> lakeSpecEvolution,
@@ -911,6 +958,17 @@ object LakeQueries {
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  min(o_orderdate) AS first_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "lake_copartition_join" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
+        |  WHERE o_totalprice > 100000.0
+        |)
+        |SELECT a.o_orderstatus, count(*) AS n,
+        |  round(sum(a.o_totalprice), 2) AS sum_price,
+        |  CAST(sum(b.o_custkey) AS BIGINT) AS sum_ck
+        |FROM orders a JOIN b
+        |  ON a.o_orderstatus = b.o_orderstatus AND a.o_orderkey = b.o_orderkey
+        |GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus""".stripMargin,
     "lake_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_uri_roundtrip" -> "SELECT * FROM orders ORDER BY o_orderkey",
     "lake_spec_evolution" ->
