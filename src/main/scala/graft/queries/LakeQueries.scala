@@ -668,8 +668,8 @@ object LakeQueries {
     * session (never leaked into the shared one). */
   private val spjCatalogs = new SessionMemo[String]()
 
-  def lakeCopartitionJoin(s: SparkSession, d: String): DataFrame = {
-    val catName = spjCatalogs.getOrBuild(s, d) {
+  private def ensureSpjCatalog(s: SparkSession, d: String): String =
+    spjCatalogs.getOrBuild(s, d) {
       val src = orders(s, d)
       val wh = Files.createTempDirectory("graft_lakespj_").toString
       val name = s"lakespj_${java.lang.Long.toHexString(System.nanoTime())}"
@@ -692,6 +692,9 @@ object LakeQueries {
       }
       name
     }
+
+  def lakeCopartitionJoin(s: SparkSession, d: String): DataFrame = {
+    val catName = ensureSpjCatalog(s, d)
     val spj = org.apache.spark.sql.graftbridge.SessionBridge.sessionWithConfs(s, Map(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
@@ -703,6 +706,29 @@ object LakeQueries {
          |FROM $catName.q.facts a JOIN $catName.q.big b
          |  ON a.o_orderstatus = b.o_orderstatus AND a.o_orderkey = b.o_orderkey
          |GROUP BY a.o_orderstatus ORDER BY a.o_orderstatus""".stripMargin)
+  }
+
+  /** Dynamic partition pruning through the corpus gate: a partitioned
+    * lake fact joined to a small SELECTIVELY FILTERED dim — Spark
+    * injects the dim's surviving keys into the lake scan at execution
+    * time (SupportsRuntimeV2Filtering) and the file list re-plans to
+    * the matching partitions (RuntimeFilterSpec pins the plan shape
+    * and pruning; this entry proves the RESULT through that path).
+    * Reuses the co-partitioned warehouse: facts is identity-partitioned
+    * by o_orderstatus with per-status files, exactly what runtime
+    * IN-sets prune. */
+  def lakeRuntimeFilterJoin(s: SparkSession, d: String): DataFrame = {
+    val catName = ensureSpjCatalog(s, d)
+    val dim = orders(s, d).select(col("o_orderstatus")).distinct()
+      .withColumn("keep", when(col("o_orderstatus") === "F", 1).otherwise(0))
+    dim.createOrReplaceTempView("lake_rtf_dim")
+    s.sql(
+      s"""SELECT f.o_orderstatus, count(*) AS n,
+         |  round(sum(f.o_totalprice), 2) AS sum_price
+         |FROM $catName.q.facts f JOIN lake_rtf_dim d
+         |  ON f.o_orderstatus = d.o_orderstatus
+         |WHERE d.keep = 1
+         |GROUP BY f.o_orderstatus ORDER BY f.o_orderstatus""".stripMargin)
   }
 
   /** Aggregate pushdown: a filterless global COUNT/MIN/MAX over a lake
@@ -860,6 +886,7 @@ object LakeQueries {
     "lake_changes" -> lakeChanges,
     "lake_sql_select" -> lakeSqlSelect,
     "lake_copartition_join" -> lakeCopartitionJoin,
+    "lake_runtime_filter" -> lakeRuntimeFilterJoin,
     "lake_roundtrip" -> lakeRoundtrip,
     "lake_uri_roundtrip" -> lakeUriRoundtrip,
     "lake_spec_evolution" -> lakeSpecEvolution,
@@ -958,6 +985,11 @@ object LakeQueries {
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  min(o_orderdate) AS first_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "lake_runtime_filter" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "lake_copartition_join" ->
       """WITH b AS (
         |  SELECT o_orderkey, o_orderstatus, o_custkey FROM orders
