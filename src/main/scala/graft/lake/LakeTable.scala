@@ -134,8 +134,45 @@ final class LakeTable private[lake] (
       .write.options(bloomFilterOptions ++ rollOpt).parquet(dir)
     // stamp which spec derived these partitionValues: after a spec
     // evolution, pruning resolves each file's values under ITS spec
-    StatsHarvester.harvest(spark, dir, schema, spec, meta.fieldIds)
+    val entries = StatsHarvester.harvest(spark, dir, schema, spec, meta.fieldIds)
       .map(_.copy(specId = meta.currentSpecId))
+    withBucketValues(spark, entries, dir, spec)
+  }
+
+  /** Bucket partition values cannot be derived from footer bounds (the
+    * transform is hash-based), so for bucket-specced tables ONE extra
+    * column-pruned pass over the JUST-WRITTEN files computes each
+    * file's bucket value (recorded only when the file is single-valued
+    * — partition-aligned ingestion). O(new data, one column); non-bucket
+    * specs never pay it. This is what arms bucket-point-lookup file
+    * pruning AND storage-partitioned joins on bucket-partitioned
+    * tables. */
+  private def withBucketValues(spark: SparkSession, entries: Seq[DataFileEntry],
+      dir: String, spec: Seq[PartitionField]): Seq[DataFileEntry] = {
+    import org.apache.spark.sql.{functions => F}
+    val bucketFields = spec.zipWithIndex.filter(_._1.transform.startsWith("bucket["))
+    if (bucketFields.isEmpty || entries.isEmpty) entries
+    else try {
+      val df = spark.read.parquet(dir)
+      val aggs = bucketFields.flatMap { case (pf, i) =>
+        Seq(F.min(pf.toColumn).as(s"mn$i"), F.max(pf.toColumn).as(s"mx$i"))
+      }
+      val perFile = df.groupBy(F.input_file_name().as("f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val name = r.getString(0).split('/').last
+          name -> bucketFields.zipWithIndex.flatMap { case ((_, i), j) =>
+            val mn = r.get(1 + j * 2)
+            val mx = r.get(2 + j * 2)
+            if (mn != null && mn == mx) Some(s"p$i" -> mn.toString) else None
+          }.toMap
+        }.toMap
+      entries.map { e =>
+        val extra = perFile.getOrElse(e.path.split('/').last, Map.empty)
+        if (extra.isEmpty) e else e.copy(partitionValues = e.partitionValues ++ extra)
+      }
+    } catch { case scala.util.control.NonFatal(_) => entries }
   }
 
   /** Parquet BLOOM FILTERS on write (Iceberg's property names:

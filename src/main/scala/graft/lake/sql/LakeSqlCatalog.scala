@@ -40,7 +40,7 @@ import graft.lake.{LakeCatalog, LakePredicate, LakeTable, PartitionField}
   * the transactional Scala API (LakeTable updateWhere/mergeInto).
   */
 class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var lake: LakeCatalog = _
 
@@ -78,6 +78,24 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
       LakeProcedures.all(lake).keys.toSeq.sorted
         .map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
+
+  // ---- FunctionCatalog: the partition transforms as loadable V2
+  // functions — Spark resolves `bucket(n, col)` clustering expressions
+  // in a reported KeyGroupedPartitioning against THIS surface (empty
+  // namespace, the resolution path V2ExpressionUtils uses; `system`
+  // also answers for symmetry with procedures) ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      LakeFunctions.names.map(Identifier.of(namespace, _)).toArray
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty || ident.namespace.sameElements(Array("system")))
+      LakeFunctions.unbound(ident.name).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   private def ns1(namespace: Array[String]): String = namespace match {
     case Array(ns) => ns
@@ -827,36 +845,52 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     * wrong key would silently co-locate non-matching rows, the one
     * failure SPJ must never have. */
   private def spjGroupsFor(pushed: Array[org.apache.spark.sql.sources.Filter])
-      : Option[(Array[String],
+      : Option[(Array[org.apache.spark.sql.connector.expressions.Expression],
         Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])] =
     try {
       val meta = lt.metadata
       val spec = meta.allSpecs.last
       // partitionValues are keyed POSITIONALLY within the writing spec
       // ("p<i>"), so grouping is only exact for files written under the
-      // current spec — any other specId declines below
-      val idFields = spec.zipWithIndex.collect {
-        case (f, i) if f.transform == "identity" => (f.source, s"p$i")
-      }
+      // current spec — any other specId declines below. Identity AND
+      // bucket fields cluster (bucket resolves via the FunctionCatalog);
+      // other transforms (year/…) are simply excluded from the key,
+      // which stays exact: grouping by a key subset still puts every
+      // row of a given key value in one group.
+      val fields: Seq[(String, String, org.apache.spark.sql.types.DataType,
+          org.apache.spark.sql.connector.expressions.Expression)] =
+        spec.zipWithIndex.flatMap { case (f, i) =>
+          f.transform match {
+            case "identity" =>
+              meta.schema.fields.find(_.name == f.source).map(sf =>
+                (f.source, s"p$i", sf.dataType,
+                  Expressions.identity(f.source)
+                    : org.apache.spark.sql.connector.expressions.Expression))
+            case tr if tr.startsWith("bucket[") =>
+              val n = tr.stripPrefix("bucket[").stripSuffix("]").toInt
+              Some((f.source, s"p$i", org.apache.spark.sql.types.IntegerType,
+                Expressions.bucket(n, f.source)
+                  : org.apache.spark.sql.connector.expressions.Expression))
+            case _ => None
+          }
+        }
       def decode(t: org.apache.spark.sql.types.DataType, s: String): Option[Any] = t match {
         case org.apache.spark.sql.types.StringType =>
           Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
         case other => graft.lake.Stats.fromStatCatalyst(other, s)
       }
-      val types = idFields.flatMap { case (c, _) =>
-        meta.schema.fields.find(_.name == c).map(_.dataType) }
-      if (idFields.isEmpty || types.size != idFields.size) None
+      if (fields.isEmpty) None
       else {
         val entries = planEntries(pushed)
         val currentSpecId = meta.currentSpecId
         if (entries.isEmpty ||
           !entries.forall(e => e.specId == currentSpecId &&
-            idFields.forall(f => e.partitionValues.contains(f._2)))) None
+            fields.forall(f => e.partitionValues.contains(f._2)))) None
         else {
-          val grouped = entries.groupBy(e => idFields.map(f => e.partitionValues(f._2)))
+          val grouped = entries.groupBy(e => fields.map(f => e.partitionValues(f._2)))
           val rows = grouped.toSeq.sortBy(_._1.mkString(0.toChar.toString))
             .map { case (vals, fs) =>
-              val decoded = vals.zip(types).map { case (s, t) => decode(t, s) }
+              val decoded = vals.zip(fields).map { case (s, f) => decode(f._3, s) }
               if (decoded.exists(_.isEmpty)) None
               else Some(
                 (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -864,7 +898,7 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
                   fs.map(_.path)))
             }
           if (rows.exists(_.isEmpty)) None
-          else Some((idFields.map(_._1).toArray, rows.map(_.get)))
+          else Some((fields.map(_._4).toArray, rows.map(_.get)))
         }
       }
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -154,15 +154,19 @@ object ScanBridge {
       // runtime filtering off.
       runtimeFilterAttrs: () => Array[String] = () => Array.empty,
       // storage-partitioned joins (SPJ, SPARK-37375): `spjGroups(pushed)`
-      // returns the identity clustering columns plus one (partition-key
-      // row, file paths) group per live partition value, or None when
-      // the table isn't cleanly identity-partitioned. When Some, the
-      // scan reports KeyGroupedPartitioning and plans one HasPartitionKey
-      // input-partition set per group, so two tables partitioned the
-      // same way join WITHOUT shuffling either side (gated by Spark's
-      // spark.sql.sources.v2.bucketing.enabled). `mkDelegateForPaths`
-      // builds the file-source scan over one group's explicit file list.
-      spjGroups: Option[Array[Filter] => Option[(Array[String],
+      // returns the clustering expressions (identity / bucket
+      // transforms) plus one (partition-key row, file paths) group per
+      // live partition value, or None when the table isn't cleanly
+      // partitioned. When Some, the scan reports KeyGroupedPartitioning
+      // and plans one HasPartitionKey input-partition set per group, so
+      // two tables partitioned the same way join WITHOUT shuffling
+      // either side (gated by Spark's
+      // spark.sql.sources.v2.bucketing.enabled; bucket transforms
+      // resolve through the catalog's FunctionCatalog).
+      // `mkDelegateForPaths` builds the file-source scan over one
+      // group's explicit file list.
+      spjGroups: Option[Array[Filter] => Option[
+        (Array[org.apache.spark.sql.connector.expressions.Expression],
         Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])]] = None,
       mkDelegateForPaths: Option[Seq[String] => FileScanBuilder] = None)
       : ScanBuilder =
@@ -267,10 +271,12 @@ object ScanBridge {
           // included — a runtime-pruned scan regroups to the surviving
           // keys); memoized per filter-array identity since both
           // outputPartitioning and toBatch consult them
-          private var spjCache: Option[(Array[String],
+          private var spjCache: Option[
+            (Array[org.apache.spark.sql.connector.expressions.Expression],
             Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])] = None
           private var spjCacheFor: Array[Filter] = null
-          private def spjFor(): Option[(Array[String],
+          private def spjFor(): Option[
+              (Array[org.apache.spark.sql.connector.expressions.Expression],
               Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])] = {
             val key = runtimeV1
             if (spjCacheFor ne key) {
@@ -283,11 +289,9 @@ object ScanBridge {
           override def outputPartitioning()
               : org.apache.spark.sql.connector.read.partitioning.Partitioning =
             spjFor() match {
-              case Some((cols, groups)) if groups.nonEmpty =>
+              case Some((exprs, groups)) if groups.nonEmpty =>
                 new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-                  cols.map(c => org.apache.spark.sql.connector.expressions.Expressions
-                    .identity(c): org.apache.spark.sql.connector.expressions.Expression),
-                  groups.size)
+                  exprs, groups.size)
               case _ =>
                 new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
             }

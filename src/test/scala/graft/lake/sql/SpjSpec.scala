@@ -73,6 +73,48 @@ class SpjSpec extends LakeSuite {
     }
   }
 
+  test("bucket-partitioned tables storage-partition-join via the function catalog") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjb", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjb.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      spark.sql("CREATE NAMESPACE spjb.ns")
+      def mk(name: String, rows: Int): Unit = {
+        val t = LakeCatalog.open(wh).createTable("ns", name,
+          spark.range(0).select(col("id").cast("int").as("k"),
+            col("id").cast("long").as("v")).schema,
+          spec = Seq(PartitionField("k", "bucket[4]")))
+        // partition-aligned ingestion per bucket — `hash` here IS the
+        // write path's transform (murmur3 seed 42), so every file is
+        // single-bucket-valued and the scan is key-groupable
+        (0 until 4).foreach { b =>
+          t.appendData(spark.range(rows)
+            .select(col("id").cast("int").as("k"), (col("id") * 3).cast("long").as("v"))
+            .filter(pmod(hash(col("id").cast("int")), lit(4)) === b))
+        }
+      }
+      mk("a", 80)
+      mk("b", 60)
+      val q = """SELECT count(*) AS n, sum(a.v + b.v) AS s
+                |FROM spjb.ns.a a JOIN spjb.ns.b b ON a.k = b.k""".stripMargin
+      val df = spark.sql(q)
+      assert(df.head.getLong(0) === 60L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, plan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucket SPJ must not shuffle either join side, plan:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjb")
+      spark.conf.unset("spark.sql.catalog.spjb.warehouse")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
+  }
+
   test("SPJ declines on a non-identity-partitioned table; join still correct") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.spj2", classOf[LakeSqlCatalog].getName)
