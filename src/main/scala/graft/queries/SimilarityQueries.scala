@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *  - [[qAnnLsh]]: hyperplane LSH (64 planes → 16 bands of 4 bits):
   *    candidates only where signatures collide on a band, then exact
   *    re-rank — the sublinear scale path.
-  *  - [[qIvfAnn]]: inverted-file ANN over a KMeans coarse quantizer.
+  *  - [[qIvfAnn]]: inverted-file ANN — coarse quantizer cells, each
+  *    query probes only its nearest cells. Default quantizer is
+  *    hash-sampled medoids (engine-independent, fully oracled); a
+  *    seeded-KMeans quantizer stays available via conf.
   *
   * Round 11: the top-k family is FULLY ORACLED. Float cosine ordering
   * is engine-private (summation order), so ranking moved to an exact
@@ -35,9 +38,16 @@ import org.apache.spark.sql.functions._
   * parity (`md5_number_lower('hp-i-j') % 2`, RFC 1321) so the oracle
   * regenerates the exact plane matrix; Rademacher projections carry the
   * same LSH guarantee as Gaussian ones (Achlioptas 2003).
-  * `ivf_ann`/`ivf_recall` stay rows-only: KMeans centroid training is
-  * float-iterative and not reproducible in SQL; AnnRecallSpec pins
-  * their quality floor instead.
+  * `ivf_ann`/`ivf_recall` joined the oracled set in the round-11 third
+  * wave: the default coarse quantizer is now K hash-sampled MEDOIDS
+  * (seed rank = md5_lower('ivf-'||vec_id) mod 2³¹−1, the MinHash
+  * oracle's seed family) with cell assignment by the same exact
+  * integer score against the medoid's self-norm — the whole inverted
+  * file reconstructs in DuckDB SQL. Lloyd-free sampling is also the
+  * CHEAPER index build at 100 TB (no iterative passes over the corpus,
+  * just a top-K hash scan plus one assignment map); FAISS-style KMeans
+  * training remains available (`graft.ivf.quantizer=kmeans`, rows-only
+  * by nature) and AnnRecallSpec pins the same recall floor on both.
   */
 object SimilarityQueries {
   import Tables._
@@ -71,13 +81,17 @@ object SimilarityQueries {
     * ONE formula rendered for both engines so the constants can never
     * drift. All operands are non-negative at every div/mod, so Spark's
     * truncating `div` and DuckDB's flooring `//` agree. */
-  private def scoreSqlSpark: String =
-    "CASE WHEN nv = 0L THEN 0L ELSE (CASE WHEN dot < 0L THEN -1L ELSE 1L END) * " +
-      s"(((dot * dot) div nv) * ${ScoreShift}L + (((dot * dot) % nv) * ${ScoreShift}L) div nv) END"
+  private def scoreSqlSparkOn(dot: String, nv: String): String =
+    s"CASE WHEN $nv = 0L THEN 0L ELSE (CASE WHEN $dot < 0L THEN -1L ELSE 1L END) * " +
+      s"((($dot * $dot) div $nv) * ${ScoreShift}L + ((($dot * $dot) % $nv) * ${ScoreShift}L) div $nv) END"
 
-  private def scoreSqlDuck: String =
-    "CASE WHEN nv = 0 THEN 0 ELSE (CASE WHEN dot < 0 THEN -1 ELSE 1 END) * " +
-      s"(((dot * dot) // nv) * $ScoreShift + (((dot * dot) % nv) * $ScoreShift) // nv) END"
+  private def scoreSqlDuckOn(dot: String, nv: String): String =
+    s"CASE WHEN $nv = 0 THEN 0 ELSE (CASE WHEN $dot < 0 THEN -1 ELSE 1 END) * " +
+      s"((($dot * $dot) // $nv) * $ScoreShift + ((($dot * $dot) % $nv) * $ScoreShift) // $nv) END"
+
+  private def scoreSqlSpark: String = scoreSqlSparkOn("dot", "nv")
+
+  private def scoreSqlDuck: String = scoreSqlDuckOn("dot", "nv")
 
   private def scoreCol: Column = expr(scoreSqlSpark)
 
@@ -181,68 +195,174 @@ object SimilarityQueries {
     * round 1: 2.8 s/invocation of pure retraining). The assignment
     * stays persisted across invocations by design: it is the inverted
     * file, not a per-query temp. */
-  private val ivfIndexes = new SessionMemo[(DataFrame, DataFrame)]()
+  private val ivfIndexes = new SessionMemo[IvfIndex]()
+
+  private val ivfK = 16
+  private val ivfNprobe = 6
+  private val ivfSeedMod = 2147483647L // 2³¹ − 1, the MinHash oracle's modulus
+
+  /** The inverted file: `assigned` = (vec_id, embedding, nv, cell).
+    * Probing differs per quantizer, so the centroid form rides along. */
+  private sealed trait IvfIndex { def assigned: DataFrame }
+  private final case class MedoidIvf(assigned: DataFrame,
+      centroids: Seq[(Seq[Double], Long)]) extends IvfIndex
+  private final case class KmeansIvf(assigned: DataFrame,
+      cells: DataFrame) extends IvfIndex
 
   /** Public setup hook for [[Corpus.prepare]]. */
   def prepareIvfIndex(s: SparkSession, d: String): Unit = { ensureIvfIndex(s, d); () }
 
-  private def ensureIvfIndex(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    ivfIndexes.getOrBuild(s, d) {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.linalg.{Vector, Vectors}
-      import s.implicits._
-      val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-      val feat = embeddings(s, d)
-        .withColumn("features", toVec(col("embedding"))).persist()
-      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-        .setFeaturesCol("features").setPredictionCol("cell").fit(feat)
-      val assigned = model.transform(feat)
-        .select(col("vec_id"), col("embedding"),
-          qdot(col("embedding"), col("embedding")).as("nv"), col("cell"))
-        .persist()
-      assigned.count() // materialize, then drop the featurized temp
-      feat.unpersist(blocking = false)
-      // 16 centroids are model metadata (driver-side by construction)
-      val cells = model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c: Vector, i: Int) => (i, c.toArray.toSeq) }
-        .toDF("cell", "centroid")
-      (assigned, cells)
+  private def ivfQuantizer(s: SparkSession): String =
+    s.conf.get("graft.ivf.quantizer", "medoid")
+
+  private def ensureIvfIndex(s: SparkSession, d: String): IvfIndex = {
+    val mode = ivfQuantizer(s)
+    ivfIndexes.getOrBuild(s, s"$d#$mode") {
+      if (mode == "kmeans") buildKmeansIvf(s, d) else buildMedoidIvf(s, d)
+    }
+  }
+
+  /** Per-centroid quantized-dot and score columns appended to `df`
+    * (whose vector lives in `vecCol`): `ivfd<i>` / `ivfs<i>`. The
+    * centroid is a LITERAL double array, so all K dots run in one
+    * whole-stage-codegen pass over the corpus — no join, no shuffle. */
+  private def withCentroidScores(df: DataFrame, vecCol: String,
+      centroids: Seq[(Seq[Double], Long)]): DataFrame =
+    centroids.zipWithIndex.foldLeft(df) { case (acc, ((emb, nc), i)) =>
+      acc.withColumn(s"ivfd$i", qdot(col(vecCol), typedLit(emb)))
+        .withColumn(s"ivfs$i", expr(scoreSqlSparkOn(s"ivfd$i", s"${nc}L")))
     }
 
-  /** IVF (inverted-file) ANN: seeded KMeans coarse quantizer (k=16),
-    * nprobe=6 — each query searches only its 6 nearest centroid cells,
-    * then the exact integer score re-ranks (top-5). The other classic
-    * sublinear path next to [[qAnnLsh]]; at scale the centroid set
-    * stays tiny and broadcast while the corpus is scanned once to
-    * assign cells. Rows-only: the kmeans cells are engine-private even
-    * though the re-rank arithmetic is exact. */
+  private def ivfScoreArraySql: String =
+    (0 until ivfK).map(i => s"ivfs$i").mkString("array(", ", ", ")")
+
+  /** Default quantizer: K hash-sampled MEDOIDS. Seed rank is the
+    * engine-independent `md5_lower("ivf-"||vec_id) mod (2³¹−1)`
+    * (unsigned remainder — the exact value of DuckDB's
+    * `md5_number_lower(..) % p`), ties by vec_id; the K lowest-ranked
+    * corpus vectors ARE the centroids (cell = seed rank). Assignment
+    * maximizes the exact integer score against each medoid's quantized
+    * self-norm, ties to the lowest cell — every step reconstructs in
+    * DuckDB SQL, which is what lets `ivf_ann`/`ivf_recall` carry full
+    * hash-match oracles.
+    *
+    * Scale shape: seed selection is one narrow scan + TakeOrdered(K)
+    * (no sort shuffle), assignment is one map pass against K literal
+    * centroids — CHEAPER than Lloyd iterations at 100 TB, and the
+    * sampled-quantizer quality trade is the standard IVF practice
+    * (production systems train on samples, not the corpus). */
+  private def buildMedoidIvf(s: SparkSession, d: String): MedoidIvf = {
+    val spark0 = s
+    import spark0.implicits._
+    val seedIds = embeddings(s, d).select(col("vec_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          (id, java.lang.Long.remainderUnsigned(
+            TextQueries.md5Pair(md, "ivf-" + id)._1, ivfSeedMod))
+        }
+      }
+      .toDF("vec_id", "h")
+      .orderBy(col("h"), col("vec_id")).limit(ivfK)
+      .collect().map(_.getLong(0)).toSeq
+    val seedEmb = embeddings(s, d)
+      .filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val centroids = seedIds.map { id =>
+      val e = seedEmb(id).map(_.toDouble)
+      val nc = e.map(x => { val q = math.floor(x * QScale).toLong; q * q }).sum
+      (e, nc)
+    }
+    val arr = ivfScoreArraySql
+    val assigned = withCentroidScores(
+      embeddings(s, d).select(col("vec_id"), col("embedding"),
+        qdot(col("embedding"), col("embedding")).as("nv")),
+      "embedding", centroids)
+      // argmax, first occurrence on ties = lowest cell
+      .withColumn("cell",
+        expr(s"cast(array_position($arr, array_max($arr)) as int) - 1"))
+      .select(col("vec_id"), col("embedding"), col("nv"), col("cell"))
+      .persist()
+    assigned.count()
+    MedoidIvf(assigned, centroids)
+  }
+
+  /** Alternative quantizer (`graft.ivf.quantizer=kmeans`): seeded
+    * KMeans, the FAISS-style trained coarse quantizer. Cells are
+    * float-iterative and engine-private, so this mode has no SQL
+    * oracle; AnnRecallSpec pins its recall floor alongside the medoid
+    * default. */
+  private def buildKmeansIvf(s: SparkSession, d: String): KmeansIvf = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    import s.implicits._
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = embeddings(s, d)
+      .withColumn("features", toVec(col("embedding"))).persist()
+    val model = new KMeans().setK(ivfK).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id"), col("embedding"),
+        qdot(col("embedding"), col("embedding")).as("nv"), col("cell"))
+      .persist()
+    assigned.count() // materialize, then drop the featurized temp
+    feat.unpersist(blocking = false)
+    // 16 centroids are model metadata (driver-side by construction)
+    val cells = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c: Vector, i: Int) => (i, c.toArray.toSeq) }
+      .toDF("cell", "centroid")
+    KmeansIvf(assigned, cells)
+  }
+
+  /** IVF (inverted-file) ANN: coarse quantizer (k=16), nprobe=6 — each
+    * query searches only its 6 nearest centroid cells, then the exact
+    * integer score re-ranks (top-5). The other classic sublinear path
+    * next to [[qAnnLsh]]; at scale the centroid set stays tiny (a
+    * literal / broadcast) while the corpus is scanned once at ingest to
+    * assign cells.
+    *
+    * nprobe = 6 of 16 cells: on random embeddings the true top-5
+    * spread across cells (no cluster structure to exploit), so few
+    * probes miss them — nprobe=4 measured 0.52 recall@5 at sf0.01; 6
+    * clears the AnnRecallSpec 0.6 floor while still scanning under 40%
+    * of the inverted file. On real (clustered) embeddings the same
+    * recall needs far fewer probes. */
   def qIvfAnn(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (assigned, cells) = ensureIvfIndex(s, d)
-    val qs = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val wCell = Window.partitionBy(col("q_id"))
-      .orderBy(col("cdist").desc, col("cell"))
-    val probed = qs.crossJoin(broadcast(cells))
-      .withColumn("cdist", cosine(col("q_vec"), col("centroid")))
-      .withColumn("crn", row_number().over(wCell))
-      // nprobe = 6 of 16 cells: on random embeddings the true top-5
-      // spread across cells (no cluster structure to exploit), so few
-      // probes miss them — nprobe=4 measured 0.52 recall@5 at sf0.01;
-      // 6 clears the AnnRecallSpec 0.6 floor while still scanning
-      // under 40% of the inverted file. On real (clustered) embeddings
-      // the same recall needs far fewer probes.
-      .filter(col("crn") <= 6)
-      .select(col("q_id"), col("q_vec"), col("cell"))
+    val index = ensureIvfIndex(s, d)
+    val probed = index match {
+      case MedoidIvf(_, centroids) =>
+        // queries score the K literal centroids in one codegen pass,
+        // then keep their nprobe best (score DESC, cell ASC)
+        val wCell = Window.partitionBy(col("q_id"))
+          .orderBy(col("col").desc, col("pos"))
+        withCentroidScores(
+          embeddings(s, d).filter(col("vec_id") < nQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          "q_vec", centroids)
+          .select(col("q_id"), col("q_vec"), posexplode(expr(ivfScoreArraySql)))
+          .withColumn("crn", row_number().over(wCell))
+          .filter(col("crn") <= ivfNprobe)
+          .select(col("q_id"), col("q_vec"), col("pos").as("cell"))
+      case KmeansIvf(assigned, cells) =>
+        val wCell = Window.partitionBy(col("q_id"))
+          .orderBy(col("cdist").desc, col("cell"))
+        assigned.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          .crossJoin(broadcast(cells))
+          .withColumn("cdist", cosine(col("q_vec"), col("centroid")))
+          .withColumn("crn", row_number().over(wCell))
+          .filter(col("crn") <= ivfNprobe)
+          .select(col("q_id"), col("q_vec"), col("cell"))
+    }
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
-    probed.join(assigned, Seq("cell"))
+    probed.join(index.assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         qdot(col("embedding"), col("q_vec")).as("dot"), col("nv"))
       .withColumn("score", scoreCol)
-      .select(col("q_id"), col("vec_id"), col("score"))
-      .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("vec_id"), col("score"), col("rn").cast("long").as("rn"))
@@ -320,9 +440,9 @@ object SimilarityQueries {
 
   /** Recall@5 of one ANN path against the brute-force ground truth, per
     * query id. With the integer-score ranking everything here is exact
-    * arithmetic, so the LSH flavor carries a full DuckDB oracle; the
-    * IVF flavor stays rows-only (kmeans cells) with AnnRecallSpec
-    * asserting the same ≥ 0.6 floor on both. */
+    * arithmetic, so BOTH flavors carry full DuckDB oracles (the IVF one
+    * since the medoid quantizer landed); AnnRecallSpec additionally
+    * asserts the ≥ 0.6 quality floor on each. */
   private def hitsAt5(s: SparkSession, d: String, approx: DataFrame, method: String): DataFrame = {
     val truth = qCosineTopkBrute(s, d).filter(col("rn") <= 5)
       .select(col("q_id"), col("vec_id"))
@@ -340,8 +460,8 @@ object SimilarityQueries {
   def qAnnRecall(s: SparkSession, d: String): DataFrame =
     hitsAt5(s, d, qAnnLsh(s, d), "lsh")
 
-  /** IVF recall@5 vs brute force — rows-only (kmeans cells are
-    * engine-private); AnnRecallSpec pins the floor. */
+  /** IVF recall@5 vs brute force — fully oracled under the default
+    * medoid quantizer; AnnRecallSpec pins the floor (both quantizers). */
   def qIvfRecall(s: SparkSession, d: String): DataFrame =
     hitsAt5(s, d, qIvfAnn(s, d), "ivf")
 
@@ -438,7 +558,71 @@ object SimilarityQueries {
        |  FROM lscored
        |)""".stripMargin
 
+  /** IVF ranking CTEs ending in `iranked(q_id, vec_id, score, rn)`:
+    * re-derive the K medoid seeds from MD5 rank, re-assign every vector
+    * by the identical integer score, probe, re-rank. Generated from the
+    * SAME constants as the Spark side (K / nprobe / modulus / score
+    * formula) so neither can drift. */
+  private def ivfCtes: String =
+    s"""icent AS (
+       |  SELECT t.cell, q.qv, n.nv AS nc
+       |  FROM (
+       |    SELECT vec_id, row_number() OVER (
+       |      ORDER BY CAST(md5_number_lower('ivf-' || vec_id) % $ivfSeedMod AS BIGINT),
+       |               vec_id) - 1 AS cell
+       |    FROM qe) t
+       |  JOIN qe q USING (vec_id) JOIN nrm n USING (vec_id)
+       |  WHERE t.cell < $ivfK
+       |), iasc AS (
+       |  SELECT vec_id, cell, ${scoreSqlDuckOn("dot", "nv")} AS score FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      CAST(list_dot_product(CAST(v.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT) AS dot,
+       |      c.nc AS nv
+       |    FROM qe v, icent c)
+       |), icellof AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |    FROM iasc) WHERE rn = 1
+       |), iprobe AS (
+       |  SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
+       |    FROM iasc WHERE vec_id < $nQueries) WHERE rn <= $ivfNprobe
+       |), ipairs AS (
+       |  SELECT p.q_id, a.vec_id,
+       |    CAST(list_dot_product(CAST(qq.qv AS DOUBLE[]), CAST(cc.qv AS DOUBLE[])) AS BIGINT) AS dot,
+       |    n.nv
+       |  FROM iprobe p JOIN icellof a USING (cell)
+       |  JOIN qe qq ON qq.vec_id = p.q_id
+       |  JOIN qe cc ON cc.vec_id = a.vec_id
+       |  JOIN nrm n ON n.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.q_id
+       |), iscored AS (
+       |  SELECT q_id, vec_id, $scoreSqlDuck AS score FROM ipairs
+       |), iranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM iscored
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ivf_ann" ->
+      s"""WITH $oracleBaseCtes, $ivfCtes
+         |SELECT q_id, vec_id, score, CAST(rn AS BIGINT) AS rn
+         |FROM iranked WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "ivf_recall" ->
+      s"""WITH $oracleBaseCtes, $bruteCtes, $ivfCtes,
+         |truth AS (SELECT q_id, vec_id FROM branked WHERE rn <= 5),
+         |approx5 AS (SELECT q_id, vec_id FROM iranked WHERE rn <= 5),
+         |hits AS (
+         |  SELECT t.q_id, count(a.vec_id) AS h
+         |  FROM truth t LEFT JOIN approx5 a
+         |    ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+         |  GROUP BY t.q_id)
+         |SELECT 'ivf' AS method, q_id, CAST(h AS BIGINT) AS hits_at_5,
+         |  CAST(5 AS BIGINT) AS k
+         |FROM hits ORDER BY q_id""".stripMargin,
     "cosine_topk_brute" ->
       s"""WITH $oracleBaseCtes, $bruteCtes
          |SELECT q_id, vec_id, score, CAST(rn AS BIGINT) AS rn

@@ -24,6 +24,17 @@ class AnnRecallSpec extends LakeSuite {
     assert(recall("ivf") >= 0.6, s"IVF recall@5 ${recall("ivf")} < 0.6")
   }
 
+  test("the trained-KMeans quantizer mode holds the same IVF floor") {
+    val d = "/root/testdata/sf0.01"
+    val km = org.apache.spark.sql.graftbridge.SessionBridge
+      .sessionWithConfs(spark, Map("graft.ivf.quantizer" -> "kmeans"))
+    val recall = SimilarityQueries.qIvfRecall(km, d)
+      .agg((sum(col("hits_at_5")) / sum(col("k"))).as("recall"))
+      .head.getDouble(0)
+    graft.queries.QueryCaches.clear()
+    assert(recall >= 0.6, s"KMeans-IVF recall@5 $recall < 0.6")
+  }
+
   test("dedup_embedding size gate: banded fallback finds most exact pairs, no extras") {
     val d = "/root/testdata/sf0.01"
     val exact = SimilarityQueries.qDedupEmbedding(spark, d)
