@@ -219,6 +219,8 @@ final class LakeCatalog private (
     val md = root.resolve("metadata")
     if (tableExists(ns, name))
       throw new IllegalArgumentException(s"table $ns.$name already exists")
+    if (viewExists(ns, name))
+      throw new IllegalArgumentException(s"view $ns.$name already exists")
     backend.ensureDir(md)
     // data directories live wherever the warehouse URI points (Spark
     // parquet I/O resolves the same Hadoop FileSystem), whatever backend
@@ -313,6 +315,95 @@ final class LakeCatalog private (
         DataFs.deleteTree(oldRoot)
       } else backend.putOverwrite(oldRoot.resolve(LakeCatalog.MovedDoc), s"$toNs.$toName")
     }
+  }
+
+  // ---- SQL views (Iceberg view-spec analog; see [[ViewDoc]]) ----
+
+  private def viewMetaDir(ns: String, name: String): LakePath =
+    tableDir(ns, name).resolve("view-metadata")
+
+  def viewExists(ns: String, name: String): Boolean =
+    currentVersion(viewMetaDir(ns, name)).isDefined
+
+  /** Views share the namespace directory with tables but carry a
+    * `view-metadata/` dir instead of `metadata/`, so [[listTables]]
+    * never lists them and vice versa. */
+  def listViews(ns: String): Seq[String] =
+    backend.listChildren(warehouse.resolve(ns))
+      .filter(v => viewExists(ns, v)).sorted
+
+  def loadView(ns: String, name: String): Option[ViewDoc] = {
+    val md = viewMetaDir(ns, name)
+    currentVersion(md).flatMap(v => backend.get(md.resolve(s"v$v.json")))
+      .map(ViewJson.parse)
+  }
+
+  /** Create a view; same CAS as table creation — racing creators,
+    * exactly one wins. Refuses a name bound to a table (one namespace,
+    * one name universe — a reader must never need to know which kind a
+    * name is to get an answer). */
+  def createView(ns: String, name: String, doc: ViewDoc): Unit = {
+    if (tableExists(ns, name))
+      throw new IllegalArgumentException(s"table $ns.$name already exists")
+    if (backend.get(tableDir(ns, name).resolve(LakeCatalog.MovedDoc)).isDefined)
+      throw new IllegalArgumentException(
+        s"name $ns.$name was retired by RENAME TABLE; its directory still " +
+          "hosts the renamed table's storage")
+    val md = viewMetaDir(ns, name)
+    backend.ensureDir(md)
+    if (!backend.putIfAbsent(md.resolve("v1.json"), ViewJson.write(doc)))
+      throw new IllegalArgumentException(s"view $ns.$name already exists")
+    writeHint(md, 1)
+  }
+
+  /** CREATE OR REPLACE: append the next version to the log atomically
+    * (optimistic CAS like table commits — a racing replace retries on
+    * the loser's side, never drops a version). Falls back to create
+    * when the view does not exist yet. */
+  def replaceView(ns: String, name: String)(
+      next: Option[ViewDoc] => ViewDoc): ViewDoc = {
+    val md = viewMetaDir(ns, name)
+    var attempts = 0
+    while (attempts < 10) {
+      attempts += 1
+      currentVersion(md) match {
+        case None =>
+          val doc = next(None)
+          try { createView(ns, name, doc); return doc }
+          catch { case _: IllegalArgumentException if viewExists(ns, name) => () }
+        case Some(v) =>
+          val cur = backend.get(md.resolve(s"v$v.json")).map(ViewJson.parse)
+          val doc = next(cur)
+          if (backend.putIfAbsent(md.resolve(s"v${v + 1}.json"), ViewJson.write(doc))) {
+            writeHint(md, v + 1)
+            return doc
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"replaceView $ns.$name: lost the commit race 10 times")
+  }
+
+  /** Returns true if the view existed. */
+  def dropView(ns: String, name: String): Boolean = {
+    if (!viewExists(ns, name)) false
+    else {
+      val root = tableDir(ns, name)
+      backend.deleteTree(root)
+      DataFs.deleteTree(root) // the FS dir may exist regardless of backend
+      true
+    }
+  }
+
+  /** Metadata-only rename: the doc is small and self-contained, so
+    * rename copies it under the target name (CAS — exactly one racing
+    * creator wins) and drops the source. */
+  def renameView(ns: String, name: String, toNs: String, toName: String): Unit = {
+    val doc = loadView(ns, name).getOrElse(
+      throw new NoSuchElementException(s"no such view $ns.$name under $warehouse"))
+    createView(toNs, toName, doc.copy(name = s"$toNs.$toName"))
+    dropView(ns, name)
+    ()
   }
 
   private[lake] def readMeta(md: LakePath, version: Int): TableMetadata =

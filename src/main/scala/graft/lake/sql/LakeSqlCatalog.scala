@@ -40,7 +40,7 @@ import graft.lake.{LakeCatalog, LakePredicate, LakeTable, PartitionField}
   * the transactional Scala API (LakeTable updateWhere/mergeInto).
   */
 class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog {
+    with ProcedureCatalog with FunctionCatalog with ViewCatalog {
   private var catalogName: String = _
   private var lake: LakeCatalog = _
 
@@ -329,6 +329,131 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
       case _: IllegalArgumentException =>
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
           newIdent.namespace :+ newIdent.name)
+    }
+  }
+
+  // ---- ViewCatalog: SQL views persisted in the lake catalog (the
+  // Iceberg view-spec analog). Spark 4's SQL layer does not yet route
+  // view DDL/reads to ViewCatalog on its own — the injected session
+  // parser and [[LakeViewResolution]] rule drive this surface (the
+  // same extension shape Iceberg's Spark runtime ships) — but the
+  // catalog speaks the standard interface so nothing here is private
+  // protocol. ----
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = ns1(namespace.toArray)
+    if (!namespaceExists(Array(ns))) throw new NoSuchNamespaceException(Array(ns))
+    lake.listViews(ns).map(Identifier.of(Array(ns), _)).toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && lake.viewExists(ident.namespace.head, ident.name)
+
+  override def loadView(ident: Identifier): View = {
+    val ns = ns1(ident.namespace)
+    val doc = lake.loadView(ns, ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident))
+    docView(doc)
+  }
+
+  private def docView(doc: graft.lake.ViewDoc): View = {
+    val v = doc.current
+    new View {
+      override def name(): String = doc.name
+      override def query(): String = v.sql
+      override def currentCatalog(): String = v.currentCatalog
+      override def currentNamespace(): Array[String] = v.currentNamespace.toArray
+      override def schema(): StructType = v.schema
+      override def queryColumnNames(): Array[String] = v.queryColumnNames.toArray
+      override def columnAliases(): Array[String] = v.columnAliases.toArray
+      override def columnComments(): Array[String] = v.columnComments.toArray
+      override def properties(): util.Map[String, String] = doc.properties.asJava
+    }
+  }
+
+  private def versionFrom(info: ViewInfo, id: Int): graft.lake.ViewVersion =
+    graft.lake.ViewVersion(
+      versionId = id,
+      timestampMs = System.currentTimeMillis(),
+      sql = info.sql,
+      schema = info.schema,
+      currentCatalog = info.currentCatalog,
+      currentNamespace = Option(info.currentNamespace).map(_.toSeq).getOrElse(Nil),
+      queryColumnNames = Option(info.queryColumnNames).map(_.toSeq).getOrElse(Nil),
+      columnAliases = Option(info.columnAliases).map(_.toSeq).getOrElse(Nil),
+      columnComments = Option(info.columnComments).map(_.toSeq).getOrElse(Nil)
+        .map(c => if (c == null) "" else c))
+
+  private def infoProps(info: ViewInfo): Map[String, String] =
+    Option(info.properties).map(_.asScala.toMap).getOrElse(Map.empty)
+
+  override def createView(info: ViewInfo): View = {
+    val ns = ns1(info.ident.namespace)
+    try lake.createView(ns, info.ident.name, graft.lake.ViewDoc(
+      name = s"$ns.${info.ident.name}", currentVersionId = 1,
+      versions = Seq(versionFrom(info, 1)), properties = infoProps(info)))
+    catch {
+      case e: IllegalArgumentException =>
+        if (lake.viewExists(ns, info.ident.name))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .ViewAlreadyExistsException(info.ident)
+        else throw e
+    }
+    loadView(info.ident)
+  }
+
+  /** CREATE OR REPLACE VIEW: appends the next [[graft.lake.ViewVersion]]
+    * to the version log under the catalog's CAS — the full definition
+    * history stays auditable, Iceberg-style. */
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ns = ns1(info.ident.namespace)
+    if (!orCreate && !lake.viewExists(ns, info.ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident)
+    val doc = lake.replaceView(ns, info.ident.name) {
+      case None => graft.lake.ViewDoc(
+        name = s"$ns.${info.ident.name}", currentVersionId = 1,
+        versions = Seq(versionFrom(info, 1)), properties = infoProps(info))
+      case Some(cur) =>
+        val id = cur.versions.map(_.versionId).max + 1
+        cur.copy(currentVersionId = id,
+          versions = cur.versions :+ versionFrom(info, id),
+          properties = infoProps(info))
+    }
+    docView(doc)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val ns = ns1(ident.namespace)
+    if (!lake.viewExists(ns, ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val doc = lake.replaceView(ns, ident.name) {
+      case None =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+      case Some(cur) =>
+        changes.foldLeft(cur) { (d, ch) => ch match {
+          case sp: ViewChange.SetProperty =>
+            d.copy(properties = d.properties + (sp.property -> sp.value))
+          case rp: ViewChange.RemoveProperty =>
+            d.copy(properties = d.properties - rp.property)
+          case other => throw new UnsupportedOperationException(
+            s"unsupported view change ${other.getClass.getSimpleName}")
+        }}
+    }
+    docView(doc)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    ident.namespace.length == 1 && lake.dropView(ident.namespace.head, ident.name)
+
+  override def renameView(fromIdent: Identifier, toIdent: Identifier): Unit = {
+    val ns = ns1(fromIdent.namespace)
+    if (!lake.viewExists(ns, fromIdent.name))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(fromIdent)
+    try lake.renameView(ns, fromIdent.name, ns1(toIdent.namespace), toIdent.name)
+    catch {
+      case _: IllegalArgumentException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(toIdent)
     }
   }
 

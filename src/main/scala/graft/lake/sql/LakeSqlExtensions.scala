@@ -36,6 +36,9 @@ class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => LakeRowLevelCommands)
     ext.injectResolutionRule(_ => LakeMoRScanSubstitution)
+    // SQL views over the ViewCatalog surface: reads of a lake view
+    // substitute its stored (context-qualified) SQL
+    ext.injectResolutionRule(_ => LakeViewResolution)
     // spec-evolution DDL (ADD/DROP PARTITION FIELD) — not in Spark's
     // grammar; everything else delegates to the session parser verbatim
     ext.injectParser((_, delegate) => new LakeSqlParser(delegate))

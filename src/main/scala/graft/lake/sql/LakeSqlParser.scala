@@ -97,7 +97,10 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
     case WriteUnordered(table) =>
       LakeWriteOrderCommand(delegate.parseMultipartIdentifier(table),
         zorder = false, cols = Nil)
-    case _ => delegate.parsePlan(sqlText)
+    // view DDL rides Spark's own grammar; the post-parse rewrite
+    // re-targets statements naming a lake catalog onto the ViewCatalog
+    // commands (shape-only match — see LakeViewDdl.rewrite)
+    case _ => LakeViewDdl.rewrite(delegate.parsePlan(sqlText))
   }
 
   private def unquote(s: String): String =

@@ -659,6 +659,30 @@ object LakeQueries {
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** SQL VIEW persisted in the lake catalog, through the correctness
+    * gate: CREATE OR REPLACE VIEW over the lake table (each invocation
+    * appends one more version to the view's definition log — the
+    * replace path, not just create), then a filtered aggregate read
+    * through the view. The stored SQL substitutes at resolution and
+    * the WHERE pushes through the view boundary into manifest pruning
+    * like any subquery — a view costs one metadata read, never a
+    * materialization. */
+  def lakeView(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlOrdersCatalog(sqlCatalogs, s, d, "lakesql")(_ => ())
+    s.sql(
+      s"""CREATE OR REPLACE VIEW $catName.q.orders_by_status AS
+         |SELECT o_orderstatus AS st, o_orderpriority AS pri,
+         |  o_totalprice, o_orderkey
+         |FROM $catName.q.orders""".stripMargin)
+    s.sql(
+      s"""SELECT st, pri, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS sum_price,
+         |  min(o_orderkey) AS min_key
+         |FROM $catName.q.orders_by_status
+         |WHERE st <> 'P'
+         |GROUP BY st, pri ORDER BY st, pri""".stripMargin)
+  }
+
   /** Storage-partitioned join through the corpus gate: two lake tables
     * identity-partitioned on the same column, joined on (partition key,
     * row key) under `spark.sql.sources.v2.bucketing.enabled` — the
@@ -885,6 +909,7 @@ object LakeQueries {
     "lake_nested_evolution" -> lakeNestedEvolution,
     "lake_changes" -> lakeChanges,
     "lake_sql_select" -> lakeSqlSelect,
+    "lake_view" -> lakeView,
     "lake_copartition_join" -> lakeCopartitionJoin,
     "lake_runtime_filter" -> lakeRuntimeFilterJoin,
     "lake_roundtrip" -> lakeRoundtrip,
@@ -985,6 +1010,12 @@ object LakeQueries {
         |  round(sum(o_totalprice), 2) AS sum_price,
         |  min(o_orderdate) AS first_date
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "lake_view" ->
+      """SELECT o_orderstatus AS st, o_orderpriority AS pri, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  min(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "lake_runtime_filter" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price
