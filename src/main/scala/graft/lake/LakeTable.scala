@@ -352,7 +352,7 @@ final class LakeTable private[lake] (
     * the scanned file set via their file_path min/max stats — a pruned
     * scan does not pay for tombstones of files it never reads
     * (Iceberg's delete-file-to-data-file indexing). */
-  private def readLivePos(spark: SparkSession, files: Seq[DataFileEntry],
+  private[lake] def readLivePos(spark: SparkSession, files: Seq[DataFileEntry],
       posDeletes: Seq[DataFileEntry], eqDeletes: Seq[DataFileEntry],
       dvs: Seq[DataFileEntry] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -2828,8 +2828,8 @@ object LakeTable {
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType, nullable = false)))
   /** Temp column names for the MoR anti-joins (stripped before return). */
-  private val PosFileCol = "__graft_file_path"
-  private val PosIdxCol = "__graft_row_pos"
+  private[lake] val PosFileCol = "__graft_file_path"
+  private[lake] val PosIdxCol = "__graft_row_pos"
   private val DataSeqCol = "__graft_data_seq"
   private val EqSeqCol = "__eq_seq"
   /** Field-ID keys for delete-file manifest stats — their own namespace
@@ -3014,6 +3014,34 @@ final class LakeScan private[lake] (
     else
       table.readLive(spark, files, snapshot)
         .filter(pred.toColumn)
+  }
+
+  /** [[toDF]] plus each row's physical coordinates as `_file`/`_pos` —
+    * Iceberg's hidden metadata columns, served to the SQL layer by the
+    * metadata-column substitution rule. MoR-aware: a tombstoned
+    * snapshot subtracts through the same anti-joins and survivors keep
+    * their ORIGINAL file path / row index (`_pos` is the parquet
+    * row_index, so it stays stable under row-group-pruned reads and is
+    * exactly the coordinate a positional delete file tombstones). */
+  def toDFWithPositions(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val files = planFiles
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(table.schema.fields ++ Seq(
+          StructField("_file", StringType, nullable = false),
+          StructField("_pos", LongType, nullable = false))))
+    else {
+      val pos = snapshot.map(_.deleteFiles).getOrElse(Nil)
+      val eqs = snapshot.map(_.eqDeleteFiles).getOrElse(Nil)
+      val dvs = snapshot.map(_.dvFiles).getOrElse(Nil)
+      table.readLivePos(spark, files, pos, eqs, dvs)
+        .filter(pred.toColumn)
+        .select(table.schema.fields.map(f => col(f.name).as(f.name, f.metadata)) ++ Seq(
+          col(LakeTable.PosFileCol).as("_file"),
+          col(LakeTable.PosIdxCol).as("_pos")): _*)
+    }
   }
 
   /** Does this scan's snapshot carry live tombstones? (The SQL read

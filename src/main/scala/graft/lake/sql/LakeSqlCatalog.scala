@@ -637,7 +637,19 @@ private[sql] object Wap {
 final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Iceberg's hidden inspection columns: `_file` (data file path) and
+    * `_pos` (row position in that file — the parquet row_index, the
+    * exact coordinate positional delete files tombstone). Declared here
+    * so the analyzer resolves them WITHOUT leaking into `SELECT *`;
+    * produced by the substitution rule in [[LakeMoRScanSubstitution]]
+    * through the engine's position-carrying read (the direct parquet
+    * delegate cannot emit them). */
+  override def metadataColumns(): Array[
+      org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(LakeSqlTable.FileMetaColumn, LakeSqlTable.PosMetaColumn)
 
   /** For the row-level command rule ([[LakeSqlExtensions]]): the
     * transactional Scala-API table UPDATE/MERGE plan onto. */
@@ -1178,6 +1190,27 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
 }
 
 object LakeSqlTable {
+
+  /** The hidden metadata column names (Iceberg's `_file`/`_pos`). */
+  private[sql] val MetaColNames: Set[String] = Set("_file", "_pos")
+
+  private[sql] object FileMetaColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = "_file"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "path of the data file the row lives in"
+  }
+
+  private[sql] object PosMetaColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = "_pos"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "row position (parquet row index) in _file"
+  }
   /** sources.Filter → manifest predicate, STRICT form: None when the
     * filter has no exact LakePredicate equivalent. Scans can degrade an
     * inexpressible filter to AlwaysTrue (pruning is an optimization;

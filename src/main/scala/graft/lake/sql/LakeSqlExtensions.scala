@@ -74,7 +74,25 @@ class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
   */
 object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = substitute(plan)
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // `_file`/`_pos` references resolve through Spark's builtin
+    // AddMetadataColumns rule, which appends them to the RELATION's
+    // output — substituting the relation before that happened would
+    // strand the reference unresolved forever. While such a reference
+    // is still pending, leave the plan for the next iteration.
+    // pending = an unresolved reference by name, OR a reference already
+    // RESOLVED against the relation's metadataOutput that no child
+    // output provides yet (ResolveReferences resolves _file in the same
+    // iteration in which the relation's output is still unextended)
+    val pendingMeta = plan.exists(p =>
+      (!p.resolved && p.expressions.exists(_.exists {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          LakeSqlTable.MetaColNames(ua.nameParts.last.toLowerCase)
+        case _ => false
+      })) ||
+        p.missingInput.exists(a => LakeSqlTable.MetaColNames(a.name)))
+    if (pendingMeta) plan else substitute(plan)
+  }
 
   private def substitute(p: LogicalPlan): LogicalPlan = p match {
     // command targets MUST remain catalog relations (see scaladoc);
@@ -98,6 +116,8 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
           se.withNewPlan(substitute(se.plan))
       }
       relationUnder(child) match {
+        case Some((r, t)) if f.resolved && hasMetaCols(r) =>
+          Filter(cond2, metaPlan(r, t, pruningPred(cond2)))
         case Some((r, t)) if f.resolved =>
           morPlan(r, t, pruningPred(cond2)) match {
             case Some(sub) => Filter(cond2, sub)
@@ -108,6 +128,8 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
         case None => Filter(cond2, substitute(child))
       }
     case r: DataSourceV2Relation => r.table match {
+      case t: LakeSqlTable if hasMetaCols(r) =>
+        metaPlan(r, t, LakePredicate.AlwaysTrue)
       case t: LakeSqlTable => morPlan(r, t, LakePredicate.AlwaysTrue).getOrElse(r)
       case _ => r
     }
@@ -139,6 +161,34 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
       .map(LakeSqlTable.toLakePredicateLenient)
       .reduceOption[LakePredicate](LakePredicate.And(_, _))
       .getOrElse(LakePredicate.AlwaysTrue)
+
+  /** Did AddMetadataColumns append `_file`/`_pos` to this relation?
+    * (It only does so when the query references them.) */
+  private def hasMetaCols(r: DataSourceV2Relation): Boolean =
+    r.output.exists(a => LakeSqlTable.MetaColNames(a.name))
+
+  /** Substitute a relation whose output carries the hidden metadata
+    * columns with the engine's position-carrying read: the direct
+    * parquet delegate cannot emit `_file`/`_pos`, and the API path
+    * already threads the parquet reader's `_metadata.file_path` /
+    * `row_index` through every MoR anti-join (survivors keep their
+    * ORIGINAL coordinates — the contract positional deletes rely on).
+    * Manifest pruning still applies through `pred`, exactly like the
+    * MoR substitution. */
+  private def metaPlan(r: DataSourceV2Relation, t: LakeSqlTable,
+      pred: LakePredicate): LogicalPlan = {
+    val inner = PlanBridge.analyzedPlan(
+      t.fullScan(pred).toDFWithPositions(SparkSession.active))
+    val byName = inner.output.map(a => a.name -> a).toMap
+    Project(r.output.map { tgt =>
+      val src = byName.getOrElse(tgt.name, throw new IllegalStateException(
+        s"metadata substitution: column ${tgt.name} missing for ${t.name()}"))
+      // explicitMetadata preserves the metadata-column marker so a
+      // later star expansion still EXCLUDES _file/_pos from `*`
+      Alias(src, tgt.name)(exprId = tgt.exprId, qualifier = tgt.qualifier,
+        explicitMetadata = Some(tgt.metadata))
+    }, inner)
+  }
 
   private def morPlan(r: DataSourceV2Relation, t: LakeSqlTable,
       pred: LakePredicate): Option[LogicalPlan] = {

@@ -107,6 +107,22 @@ object LakeViewDdl {
         case Some((_, cat, ns)) => LakeShowViewsCommand(cat, ns, pattern, output)
         case None => sv
       }
+    case sp @ org.apache.spark.sql.catalyst.plans.logical.SetViewProperties(
+        child: org.apache.spark.sql.catalyst.analysis.UnresolvedView, props) =>
+      lakeFor(child.multipartIdentifier) match {
+        case Some((_, cat, ns, name)) =>
+          LakeAlterViewPropsCommand(cat, ns, name, set = props, unset = Nil,
+            ifExists = false)
+        case None => sp
+      }
+    case up @ org.apache.spark.sql.catalyst.plans.logical.UnsetViewProperties(
+        child: org.apache.spark.sql.catalyst.analysis.UnresolvedView, keys, ifExists) =>
+      lakeFor(child.multipartIdentifier) match {
+        case Some((_, cat, ns, name)) =>
+          LakeAlterViewPropsCommand(cat, ns, name, set = Map.empty, unset = keys,
+            ifExists = ifExists)
+        case None => up
+      }
     case other => other
   }
 
@@ -197,6 +213,34 @@ final case class LakeDropViewCommand(
     if (!dropped && !ifExists)
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(
         Identifier.of(Array(ns), name))
+    Nil
+  }
+}
+
+/** ALTER VIEW … SET/UNSET TBLPROPERTIES through the ViewCatalog's
+  * alterView (CAS-appended like every view mutation). UNSET without IF
+  * EXISTS refuses a missing key, matching Spark's session-catalog
+  * semantics. */
+final case class LakeAlterViewPropsCommand(
+    catName: String, ns: String, name: String,
+    set: Map[String, String], unset: Seq[String], ifExists: Boolean)
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = LakeViewDdl.catalogOf(spark, catName)
+    val ident = Identifier.of(Array(ns), name)
+    if (unset.nonEmpty && !ifExists) {
+      val have = cat.loadView(ident).properties
+      val missing = unset.filterNot(have.containsKey)
+      require(missing.isEmpty,
+        s"ALTER VIEW $catName.$ns.$name UNSET TBLPROPERTIES: " +
+          s"missing keys ${missing.mkString(", ")} (use IF EXISTS)")
+    }
+    val changes =
+      set.map { case (k, v) =>
+        org.apache.spark.sql.connector.catalog.ViewChange.setProperty(k, v) }.toSeq ++
+        unset.map(org.apache.spark.sql.connector.catalog.ViewChange.removeProperty)
+    cat.alterView(ident, changes: _*)
     Nil
   }
 }

@@ -683,6 +683,25 @@ object LakeQueries {
          |GROUP BY st, pri ORDER BY st, pri""".stripMargin)
   }
 
+  /** Hidden metadata columns `_file`/`_pos` through the correctness
+    * gate: a 4-file table queried for per-file position invariants —
+    * exactly 4 distinct files, positions dense and 0-based in every
+    * file (per-file max+1 sums to the corpus rowcount, every per-file
+    * min is 0). File paths themselves are engine-private, so the
+    * oracle verifies these derived exact integers instead. */
+  private val metaCatalogs = new SessionMemo[String]()
+
+  def lakeMetadataCols(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlOrdersCatalog(metaCatalogs, s, d, "lakemeta", numFiles = 4)(_ => ())
+    s.sql(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(mx + 1) AS BIGINT) AS n_rows,
+         |  CAST(min(mn) AS BIGINT) AS min_pos,
+         |  CAST(max(mn) AS BIGINT) AS max_min_pos
+         |FROM (SELECT _file, max(_pos) AS mx, min(_pos) AS mn
+         |      FROM $catName.q.orders GROUP BY _file)""".stripMargin)
+  }
+
   /** Storage-partitioned join through the corpus gate: two lake tables
     * identity-partitioned on the same column, joined on (partition key,
     * row key) under `spark.sql.sources.v2.bucketing.enabled` — the
@@ -910,6 +929,7 @@ object LakeQueries {
     "lake_changes" -> lakeChanges,
     "lake_sql_select" -> lakeSqlSelect,
     "lake_view" -> lakeView,
+    "lake_metadata_cols" -> lakeMetadataCols,
     "lake_copartition_join" -> lakeCopartitionJoin,
     "lake_runtime_filter" -> lakeRuntimeFilterJoin,
     "lake_roundtrip" -> lakeRoundtrip,
@@ -1016,6 +1036,10 @@ object LakeQueries {
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "lake_metadata_cols" ->
+      """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows,
+        |  CAST(0 AS BIGINT) AS min_pos, CAST(0 AS BIGINT) AS max_min_pos
+        |FROM orders""".stripMargin,
     "lake_runtime_filter" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price

@@ -141,6 +141,15 @@ class LakeViewSpec extends LakeSuite {
       assert(cat.loadView(ident).properties.get("owner") === "graft")
       cat.alterView(ident, ViewChange.removeProperty("owner"))
       assert(!cat.loadView(ident).properties.containsKey("owner"))
+
+      // the SQL surface of the same: SET/UNSET TBLPROPERTIES
+      spark.sql("ALTER VIEW ve.ns.v SET TBLPROPERTIES ('tier' = 'gold')")
+      assert(cat.loadView(ident).properties.get("tier") === "gold")
+      intercept[Exception](spark.sql(
+        "ALTER VIEW ve.ns.v UNSET TBLPROPERTIES ('nope')"))
+      spark.sql("ALTER VIEW ve.ns.v UNSET TBLPROPERTIES IF EXISTS ('nope')")
+      spark.sql("ALTER VIEW ve.ns.v UNSET TBLPROPERTIES ('tier')")
+      assert(!cat.loadView(ident).properties.containsKey("tier"))
       assert(cat.loadView(ident).query === "SELECT 1 AS one")
       cat.renameView(ident, Identifier.of(Array("ns"), "v2"))
       assert(!cat.viewExists(ident))
