@@ -107,6 +107,29 @@ object LakeViewDdl {
         case Some((_, cat, ns)) => LakeShowViewsCommand(cat, ns, pattern, output)
         case None => sv
       }
+    // DESCRIBE / SHOW CREATE TABLE target UnresolvedTableOrView — not
+    // UnresolvedRelation — so the read-substitution rule never sees
+    // them; route to view commands when the name IS a lake view (one
+    // metadata read at parse time; a table name passes through to
+    // Spark's own path untouched)
+    case d @ org.apache.spark.sql.catalyst.plans.logical.DescribeRelation(
+        tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+        partitionSpec, isExtended, output) if partitionSpec.isEmpty =>
+      lakeFor(tv.multipartIdentifier) match {
+        case Some((l, cat, ns, name))
+            if l.viewExists(Identifier.of(Array(ns), name)) =>
+          LakeDescribeViewCommand(cat, ns, name, isExtended, output)
+        case _ => d
+      }
+    case sc @ org.apache.spark.sql.catalyst.plans.logical.ShowCreateTable(
+        tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView,
+        _, output) =>
+      lakeFor(tv.multipartIdentifier) match {
+        case Some((l, cat, ns, name))
+            if l.viewExists(Identifier.of(Array(ns), name)) =>
+          LakeShowCreateViewCommand(cat, ns, name, output)
+        case _ => sc
+      }
     case sp @ org.apache.spark.sql.catalyst.plans.logical.SetViewProperties(
         child: org.apache.spark.sql.catalyst.analysis.UnresolvedView, props) =>
       lakeFor(child.multipartIdentifier) match {
@@ -242,6 +265,51 @@ final case class LakeAlterViewPropsCommand(
         unset.map(org.apache.spark.sql.connector.catalog.ViewChange.removeProperty)
     cat.alterView(ident, changes: _*)
     Nil
+  }
+}
+
+/** DESCRIBE [EXTENDED] on a lake view: the stored schema's columns
+  * (with stored column comments when the definition carried a column
+  * list), plus the view-specific detail block under EXTENDED. */
+final case class LakeDescribeViewCommand(
+    catName: String, ns: String, name: String, isExtended: Boolean,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = LakeViewDdl.catalogOf(spark, catName)
+    val v = cat.loadView(Identifier.of(Array(ns), name))
+    val aliases = v.columnAliases
+    val comments = v.columnComments
+    val cols = v.schema.fields.zipWithIndex.map { case (f, i) =>
+      val colName = if (aliases.nonEmpty) aliases(i) else f.name
+      val comment = if (comments.nonEmpty && comments(i).nonEmpty) comments(i) else null
+      Row(colName, f.dataType.simpleString, comment)
+    }.toSeq
+    if (!isExtended) cols
+    else cols ++ Seq(
+      Row("", "", ""),
+      Row("# Detailed View Information", "", ""),
+      Row("Name", v.name, ""),
+      Row("View Text", v.query, ""),
+      Row("View Catalog and Namespace",
+        (v.currentCatalog +: v.currentNamespace.toSeq).mkString("."), ""),
+      Row("View Query Output Columns", v.queryColumnNames.mkString("[", ", ", "]"), ""))
+  }
+}
+
+/** SHOW CREATE TABLE on a lake view: a re-runnable CREATE VIEW
+  * statement from the stored definition. */
+final case class LakeShowCreateViewCommand(
+    catName: String, ns: String, name: String,
+    override val output: Seq[Attribute]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cat = LakeViewDdl.catalogOf(spark, catName)
+    val v = cat.loadView(Identifier.of(Array(ns), name))
+    val colList =
+      if (v.columnAliases.isEmpty) ""
+      else v.columnAliases.mkString(" (", ", ", ")")
+    Seq(Row(s"CREATE VIEW $catName.$ns.$name$colList AS\n${v.query}"))
   }
 }
 

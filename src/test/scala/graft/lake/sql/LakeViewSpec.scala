@@ -58,6 +58,19 @@ class LakeViewSpec extends LakeSuite {
       assert(doc.currentVersionId === 2)
       assert(doc.versions.head.sql.contains("round(sum(o_totalprice)"))
 
+      // DESCRIBE shows the stored schema; SHOW CREATE round-trips the
+      // definition text; DESCRIBE of the TABLE still takes Spark's path
+      val desc = spark.sql("DESCRIBE vc.ns.status_rollup").collect()
+      assert(desc.map(_.getString(0)).toSeq === Seq("st", "n"))
+      val descExt = spark.sql("DESCRIBE EXTENDED vc.ns.status_rollup").collect()
+      assert(descExt.exists(_.getString(0) == "View Text"))
+      val created = spark.sql("SHOW CREATE TABLE vc.ns.status_rollup")
+        .head.getString(0)
+      assert(created.startsWith("CREATE VIEW vc.ns.status_rollup AS"))
+      assert(created.contains("GROUP BY o_orderstatus"))
+      assert(spark.sql("DESCRIBE vc.ns.orders").collect()
+        .map(_.getString(0)).toSeq === ordersDF.schema.fieldNames.toSeq)
+
       // SHOW VIEWS lists it; DROP removes it
       val shown = spark.sql("SHOW VIEWS IN vc.ns").collect()
       assert(shown.map(_.getString(1)).toSeq === Seq("status_rollup"))
