@@ -3023,24 +3023,58 @@ final class LakeScan private[lake] (
     * their ORIGINAL file path / row index (`_pos` is the parquet
     * row_index, so it stays stable under row-group-pruned reads and is
     * exactly the coordinate a positional delete file tombstones). */
-  def toDFWithPositions(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+  def toDFWithPositions(spark: SparkSession,
+      withPartitionInfo: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    import org.apache.spark.sql.types.{IntegerType, LongType, MapType, StringType, StructField, StructType}
     val files = planFiles
-    if (files.isEmpty)
+    if (files.isEmpty) {
+      val extra =
+        if (!withPartitionInfo) Nil
+        else Seq(StructField("_spec_id", IntegerType, nullable = true),
+          StructField("_partition", MapType(StringType, StringType), nullable = true))
       spark.createDataFrame(new java.util.ArrayList[Row](),
         StructType(table.schema.fields ++ Seq(
           StructField("_file", StringType, nullable = false),
-          StructField("_pos", LongType, nullable = false))))
-    else {
+          StructField("_pos", LongType, nullable = false)) ++ extra))
+    } else {
       val pos = snapshot.map(_.deleteFiles).getOrElse(Nil)
       val eqs = snapshot.map(_.eqDeleteFiles).getOrElse(Nil)
       val dvs = snapshot.map(_.dvFiles).getOrElse(Nil)
-      table.readLivePos(spark, files, pos, eqs, dvs)
+      val base = table.readLivePos(spark, files, pos, eqs, dvs)
         .filter(pred.toColumn)
         .select(table.schema.fields.map(f => col(f.name).as(f.name, f.metadata)) ++ Seq(
           col(LakeTable.PosFileCol).as("_file"),
           col(LakeTable.PosIdxCol).as("_pos")): _*)
+      if (!withPartitionInfo) base
+      else {
+        // `_spec_id`/`_partition` are per-FILE constants the manifests
+        // already hold: broadcast the (already driver-resident) planned
+        // file list and join on the scheme-normalized path (manifest
+        // paths carry whatever scheme Hadoop's FileStatus rendered;
+        // `_metadata.file_path` renders its own — both reduce to the
+        // bare path)
+        val spark0 = spark
+        import spark0.implicits._
+        def norm(c: org.apache.spark.sql.Column) =
+          regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
+        // manifests key partition values by SPEC POSITION ("p0", …) —
+        // stable across renames; the user-facing map re-keys them by
+        // the field render of the file's OWN spec
+        val specs = table.metadata.allSpecs
+        val info = files.map { f =>
+          val fields = specs.lift(f.specId).getOrElse(Nil)
+          val named = f.partitionValues.flatMap { case (k, v) =>
+            k.stripPrefix("p").toIntOption.flatMap(fields.lift)
+              .map(_.render -> v)
+          }
+          (f.path, f.specId, named)
+        }.toSeq
+          .toDF("__graft_info_path", "_spec_id", "_partition")
+        base.join(broadcast(info),
+          norm(col("_file")) === norm(col("__graft_info_path")), "left")
+          .drop("__graft_info_path")
+      }
     }
   }
 

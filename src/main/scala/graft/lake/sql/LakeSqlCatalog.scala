@@ -649,7 +649,8 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     * delegate cannot emit them). */
   override def metadataColumns(): Array[
       org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(LakeSqlTable.FileMetaColumn, LakeSqlTable.PosMetaColumn)
+    Array(LakeSqlTable.FileMetaColumn, LakeSqlTable.PosMetaColumn,
+      LakeSqlTable.SpecIdMetaColumn, LakeSqlTable.PartitionMetaColumn)
 
   /** For the row-level command rule ([[LakeSqlExtensions]]): the
     * transactional Scala-API table UPDATE/MERGE plan onto. */
@@ -1191,8 +1192,13 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
 
 object LakeSqlTable {
 
-  /** The hidden metadata column names (Iceberg's `_file`/`_pos`). */
-  private[sql] val MetaColNames: Set[String] = Set("_file", "_pos")
+  /** The hidden metadata column names (Iceberg's inspection columns). */
+  private[sql] val MetaColNames: Set[String] =
+    Set("_file", "_pos", "_spec_id", "_partition")
+
+  /** The two that need the per-file manifest join (see
+    * [[graft.lake.LakeScan.toDFWithPositions]]). */
+  private[sql] val PartitionMetaNames: Set[String] = Set("_spec_id", "_partition")
 
   private[sql] object FileMetaColumn
       extends org.apache.spark.sql.connector.catalog.MetadataColumn {
@@ -1210,6 +1216,33 @@ object LakeSqlTable {
       org.apache.spark.sql.types.LongType
     override def isNullable: Boolean = false
     override def comment(): String = "row position (parquet row index) in _file"
+  }
+
+  private[sql] object SpecIdMetaColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = "_spec_id"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.IntegerType
+    override def isNullable: Boolean = true
+    override def comment(): String =
+      "partition spec id the row's file was written under"
+  }
+
+  /** Iceberg renders `_partition` as a struct typed by the current
+    * spec; this engine's manifests store partition values in their
+    * stat-string form, so the column surfaces them as a map of
+    * partition-field render → value (files under older specs carry
+    * their OWN spec's fields — exactly what the manifests recorded). */
+  private[sql] object PartitionMetaColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = "_partition"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)
+    override def isNullable: Boolean = true
+    override def comment(): String =
+      "partition values (field render -> stat-string value) of the row's file"
   }
   /** sources.Filter → manifest predicate, STRICT form: None when the
     * filter has no exact LakePredicate equivalent. Scans can degrade an

@@ -177,8 +177,10 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
     * MoR substitution. */
   private def metaPlan(r: DataSourceV2Relation, t: LakeSqlTable,
       pred: LakePredicate): LogicalPlan = {
-    val inner = PlanBridge.analyzedPlan(
-      t.fullScan(pred).toDFWithPositions(SparkSession.active))
+    val withPartitionInfo =
+      r.output.exists(a => LakeSqlTable.PartitionMetaNames(a.name))
+    val inner = PlanBridge.analyzedPlan(t.fullScan(pred)
+      .toDFWithPositions(SparkSession.active, withPartitionInfo))
     val byName = inner.output.map(a => a.name -> a).toMap
     Project(r.output.map { tgt =>
       val src = byName.getOrElse(tgt.name, throw new IllegalStateException(

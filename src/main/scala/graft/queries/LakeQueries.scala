@@ -702,6 +702,20 @@ object LakeQueries {
          |      FROM $catName.q.orders GROUP BY _file)""".stripMargin)
   }
 
+  /** `_spec_id`/`_partition` through the correctness gate: the
+    * identity-partitioned SPJ fixture ingests one batch per status, so
+    * every file carries a single partition value — counts grouped by
+    * the inspection columns reconstruct exactly from the relational
+    * data (all files live under spec 0 with their status value). */
+  def lakePartitionMeta(s: SparkSession, d: String): DataFrame = {
+    val catName = ensureSpjCatalog(s, d)
+    s.sql(
+      s"""SELECT CAST(_spec_id AS BIGINT) AS spec_id,
+         |  _partition['o_orderstatus'] AS st, count(*) AS n
+         |FROM $catName.q.facts
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   /** Storage-partitioned join through the corpus gate: two lake tables
     * identity-partitioned on the same column, joined on (partition key,
     * row key) under `spark.sql.sources.v2.bucketing.enabled` — the
@@ -930,6 +944,7 @@ object LakeQueries {
     "lake_sql_select" -> lakeSqlSelect,
     "lake_view" -> lakeView,
     "lake_metadata_cols" -> lakeMetadataCols,
+    "lake_partition_meta" -> lakePartitionMeta,
     "lake_copartition_join" -> lakeCopartitionJoin,
     "lake_runtime_filter" -> lakeRuntimeFilterJoin,
     "lake_roundtrip" -> lakeRoundtrip,
@@ -1040,6 +1055,10 @@ object LakeQueries {
       """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows,
         |  CAST(0 AS BIGINT) AS min_pos, CAST(0 AS BIGINT) AS max_min_pos
         |FROM orders""".stripMargin,
+    "lake_partition_meta" ->
+      """SELECT CAST(0 AS BIGINT) AS spec_id, o_orderstatus AS st,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "lake_runtime_filter" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price

@@ -59,4 +59,36 @@ class MetadataColumnsSpec extends LakeSuite {
       spark.conf.unset("spark.sql.catalog.mc.warehouse")
     }
   }
+
+  test("_spec_id/_partition report each file's OWN spec across a spec evolution") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.mp", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mp.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE mp.ns")
+      spark.sql(s"CREATE TABLE mp.ns.t (${ordersDF.schema.toDDL})")
+      val t = LakeCatalog.open(wh).loadTable("ns", "t")
+      val even = ordersDF.filter("o_orderkey % 2 = 0")
+      val odd = ordersDF.filter("o_orderkey % 2 = 1")
+      t.appendData(even) // spec 0: unpartitioned
+      spark.sql("ALTER TABLE mp.ns.t ADD PARTITION FIELD o_orderstatus")
+      // partition-aligned batches so each new file carries one value
+      Seq("F", "O", "P").foreach { st =>
+        t.refresh().appendData(odd.filter(col("o_orderstatus") === st))
+      }
+      val bySpec = spark.sql(
+        "SELECT _spec_id, count(*) AS n FROM mp.ns.t GROUP BY _spec_id")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(bySpec === Map(0 -> even.count(), 1 -> odd.count()))
+      // old files: empty partition map; new files: their own value
+      val parts = spark.sql(
+        """SELECT DISTINCT _spec_id, _partition['o_orderstatus'] AS st
+          |FROM mp.ns.t""".stripMargin)
+        .collect().map(r => (r.getInt(0), Option(r.getString(1)))).toSet
+      assert(parts === Set((0, None), (1, Some("F")), (1, Some("O")), (1, Some("P"))))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.mp")
+      spark.conf.unset("spark.sql.catalog.mp.warehouse")
+    }
+  }
 }
