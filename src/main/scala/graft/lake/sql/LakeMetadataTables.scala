@@ -14,11 +14,14 @@ import org.apache.spark.unsafe.types.UTF8String
 import graft.lake.{DataFileEntry, LakeTable, ManifestRef}
 
 /** Iceberg-style METADATA TABLES: `SELECT * FROM cat.ns.t.snapshots`
-  * (also `history`, `files`, `delete_files`, `manifests`,
-  * `properties`) — the table's own commit log, live file inventory, and
-  * configuration as queryable relations, resolved through the normal
-  * multipart-identifier path (namespace `[ns, t]`, table name = the
-  * metadata table kind).
+  * (also `history`, `files`, `delete_files`, `manifests`, `properties`,
+  * `refs`, `partitions`, `entries`, `all_data_files`, `all_manifests`,
+  * `metadata_log_entries`) — the table's own commit log, live file
+  * inventory, and configuration as queryable relations, resolved
+  * through the normal multipart-identifier path (namespace `[ns, t]`,
+  * table name = the metadata table kind). Iceberg's nested `data_file`
+  * struct is flattened into top-level columns (more queryable, same
+  * information).
   *
   * Results come back as a [[LocalScan]]: in this engine the manifest
   * layer is driver-resident by design (snapshots load through the
@@ -31,7 +34,8 @@ private[sql] object LakeMetadataTables {
 
   val kinds: Set[String] =
     Set("snapshots", "history", "files", "delete_files", "manifests",
-      "properties", "refs", "partitions")
+      "properties", "refs", "partitions", "entries", "all_data_files",
+      "all_manifests", "metadata_log_entries")
 
   def table(lt: LakeTable, kind: String): Table = new LakeMetadataTable(lt, kind)
 
@@ -54,6 +58,25 @@ private[sql] object LakeMetadataTables {
   private val statsMapType = MapType(StringType, StringType, valueContainsNull = false)
   private val nullsMapType = MapType(StringType, LongType, valueContainsNull = false)
 
+  private val fileFields: Seq[StructField] = Seq(
+    StructField("content", StringType, nullable = false),
+    StructField("file_path", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size_in_bytes", LongType, nullable = false),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("sequence_number", LongType, nullable = false),
+    StructField("partition", statsMapType, nullable = false),
+    StructField("lower_bounds", statsMapType, nullable = false),
+    StructField("upper_bounds", statsMapType, nullable = false),
+    StructField("null_counts", nullsMapType, nullable = false))
+
+  private val manifestFields: Seq[StructField] = Seq(
+    StructField("content", StringType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("file_count", LongType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false))
+
   private[sql] val schemas: Map[String, StructType] = Map(
     "snapshots" -> StructType(Seq(
       StructField("committed_at", TimestampType, nullable = false),
@@ -70,23 +93,8 @@ private[sql] object LakeMetadataTables {
       StructField("snapshot_id", LongType, nullable = false),
       StructField("parent_id", LongType, nullable = true),
       StructField("is_current_ancestor", BooleanType, nullable = false))),
-    "files" -> StructType(Seq(
-      StructField("content", StringType, nullable = false),
-      StructField("file_path", StringType, nullable = false),
-      StructField("record_count", LongType, nullable = false),
-      StructField("file_size_in_bytes", LongType, nullable = false),
-      StructField("spec_id", IntegerType, nullable = false),
-      StructField("sequence_number", LongType, nullable = false),
-      StructField("partition", statsMapType, nullable = false),
-      StructField("lower_bounds", statsMapType, nullable = false),
-      StructField("upper_bounds", statsMapType, nullable = false),
-      StructField("null_counts", nullsMapType, nullable = false))),
-    "manifests" -> StructType(Seq(
-      StructField("content", StringType, nullable = false),
-      StructField("path", StringType, nullable = false),
-      StructField("file_count", LongType, nullable = false),
-      StructField("record_count", LongType, nullable = false),
-      StructField("size_bytes", LongType, nullable = false))),
+    "files" -> StructType(fileFields),
+    "manifests" -> StructType(manifestFields),
     "properties" -> StructType(Seq(
       StructField("key", StringType, nullable = false),
       StructField("value", StringType, nullable = false))),
@@ -101,8 +109,29 @@ private[sql] object LakeMetadataTables {
       StructField("spec_id", IntegerType, nullable = false),
       StructField("file_count", LongType, nullable = false),
       StructField("record_count", LongType, nullable = false),
-      StructField("total_size_bytes", LongType, nullable = false))))
-  // delete_files shares the files schema
+      StructField("total_size_bytes", LongType, nullable = false))),
+    // manifest ENTRIES of the current snapshot (Iceberg's `entries`,
+    // data_file struct flattened into the `files` columns): status 1 =
+    // added by the current snapshot's commit, 0 = existing from an
+    // earlier one; snapshot_id = the ADDING commit (the entry's data
+    // sequence number doubles as it in this format)
+    "entries" -> StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false)) ++
+      fileFields),
+    // every snapshot's manifest refs, tagged with the referencing
+    // snapshot (Iceberg's `all_manifests`)
+    "all_manifests" -> StructType(
+      StructField("reference_snapshot_id", LongType, nullable = false) +:
+        manifestFields),
+    // the metadata version log: one row per v{N}.json document
+    // (Iceberg's `metadata_log_entries`); timestamp = the commit time
+    // of that version's latest snapshot (null before the first append)
+    "metadata_log_entries" -> StructType(Seq(
+      StructField("timestamp", TimestampType, nullable = true),
+      StructField("file", StringType, nullable = false),
+      StructField("latest_snapshot_id", LongType, nullable = true))))
+  // delete_files and all_data_files share the files schema
   private[sql] def schemaOf(kind: String): StructType =
     schemas.getOrElse(kind, schemas("files"))
 
@@ -222,6 +251,55 @@ private[sql] object LakeMetadataTables {
                 strMap(pv), specId, fs.size.toLong,
                 fs.map(_.recordCount).sum, fs.map(_.sizeBytes).sum))
             }.toArray
+
+        case "entries" =>
+          val s = m.currentSnapshot
+          guardRows(s.map(_.fileCount).getOrElse(0L) +
+            s.map(_.manifests).getOrElse(Nil)
+              .filter(_.content != ManifestRef.Data).map(_.fileCount).sum)
+          def entryRow(content: String, f: DataFileEntry): InternalRow = {
+            val status = if (f.seq == m.currentSnapshotId) 1 else 0
+            new GenericInternalRow(Array[Any](status, f.seq) ++
+              fileRow(content, f).asInstanceOf[GenericInternalRow].values)
+          }
+          (s.map(_.files).getOrElse(Nil).map(entryRow("data", _)) ++
+            s.map(_.deleteFiles).getOrElse(Nil).map(entryRow("positional", _)) ++
+            s.map(_.eqDeleteFiles).getOrElse(Nil).map(entryRow("equality", _)) ++
+            s.map(_.dvFiles).getOrElse(Nil).map(entryRow("dv", _))).toArray
+
+        case "all_data_files" =>
+          // union of live data files across EVERY snapshot, one row per
+          // distinct path (files live across many snapshots); guard on
+          // the rollup sum — pessimistic, which is the safe direction
+          guardRows(m.snapshots.map(_.fileCount).sum)
+          m.snapshots.sortBy(_.id).flatMap(_.files)
+            .groupBy(_.path).toSeq.sortBy(_._1)
+            .map { case (_, fs) => fileRow("data", fs.head) }.toArray
+
+        case "all_manifests" =>
+          m.snapshots.sortBy(_.id).flatMap { s =>
+            s.manifests.map { r =>
+              new GenericInternalRow(Array[Any](s.id, utf8(r.content),
+                utf8(r.name), r.fileCount, r.recordCount, r.sizeBytes))
+            }
+          }.toArray
+
+        case "metadata_log_entries" =>
+          val cat = lt.catalog
+          val md = cat.metadataDir(lt.namespace, lt.shortName)
+          val cur = lt.version0
+          guardRows(cur.toLong)
+          (1 to cur).flatMap { v =>
+            // versions can be sparse if a writer lost a CAS race and a
+            // doc number was skipped; absent docs simply don't row
+            scala.util.Try(cat.readMeta(md, v)).toOption.map { vm =>
+              val snap = vm.currentSnapshot
+              new GenericInternalRow(Array[Any](
+                snap.map(s => Long.box(s.timestampMs * 1000L)).orNull,
+                utf8(s"v$v.json"),
+                snap.map(s => Long.box(s.id)).orNull))
+            }
+          }.toArray
 
         case "refs" =>
           // "main" rides along like Iceberg's refs table does

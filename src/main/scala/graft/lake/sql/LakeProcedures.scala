@@ -42,6 +42,11 @@ private[sql] object LakeProcedures {
 
     protected def run(args: InternalRow): InternalRow
 
+    /** Multi-row procedures (lineage listings) override this; the
+      * default wraps the single summary row. */
+    protected def runRows(args: InternalRow): Array[InternalRow] =
+      Array(run(args))
+
     override def description: String = s"graft-lake $name"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
@@ -49,9 +54,9 @@ private[sql] object LakeProcedures {
       params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
 
     override def call(input: InternalRow): JIterator[Scan] = {
-      val row = run(input)
+      val out = runRows(input)
       Collections.singletonList[Scan](new LocalScan {
-        override def rows(): Array[InternalRow] = Array(row)
+        override def rows(): Array[InternalRow] = out
         override def readSchema(): StructType = resultSchema
       }).iterator()
     }
@@ -341,6 +346,35 @@ private[sql] object LakeProcedures {
           .map(graft.lake.LakeTable.parseColStats(_).size)
           .getOrElse(0)
         new GenericInternalRow(Array[Any](t.currentSnapshotId, n))
+      }
+    },
+
+    // Iceberg's ancestors_of: the parent chain from a snapshot (0 =
+    // current) back to the table's root, newest first — the lineage
+    // listing rollback/cherry-pick debugging starts from
+    "ancestors_of" -> new LakeProcedure(lake, "ancestors_of",
+      Seq("table" -> StringType, "snapshot_id" -> LongType),
+      StructType(Seq(
+        StructField("snapshot_id", LongType, nullable = false),
+        StructField("timestamp_ms", LongType, nullable = false),
+        StructField("operation", StringType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow =
+        throw new UnsupportedOperationException("multi-row")
+      override protected def runRows(args: InternalRow): Array[InternalRow] = {
+        val t = table(args)
+        val m = t.metadata
+        val from = args.getLong(1) match {
+          case 0L => m.currentSnapshotId
+          case id => id
+        }
+        require(m.snapshot(from).isDefined,
+          s"no snapshot $from in ${t.name} (expired or never existed)")
+        Iterator.iterate(m.snapshot(from))(
+          _.flatMap(_.parentId).flatMap(m.snapshot))
+          .takeWhile(_.isDefined).flatten
+          .map(s => new GenericInternalRow(Array[Any](
+            s.id, s.timestampMs, utf8(s.operation))): InternalRow)
+          .toArray
       }
     },
 

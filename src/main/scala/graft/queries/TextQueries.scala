@@ -898,7 +898,53 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain-MIXTURE sampling (the pre-training data-mixture step —
+    * Pile/LLaMA-style per-source weights): each source subsamples
+    * toward its target token share of a global budget B = half the
+    * corpus tokens. Weights are integer permyriad derived from the
+    * source id (relative, not normalized); the per-source target is
+    * the EXACT integer `((Σtokens div 2)·w_s) div Σw`, and selection
+    * is the engine-independent multiplicative hash already proven in
+    * train_test_split: keep iff `bucket·T_s < target_s·10^6` with
+    * `bucket = (doc_id·2654435761) mod 10^6` — the keep probability
+    * target/T never materializes as a float (cross-multiplied), and a
+    * source at-or-under its target keeps everything (the inequality
+    * holds for all buckets when T_s ≤ target_s), so the cap needs no
+    * branch. Every intermediate < 2^52: exact in both engines.
+    *
+    * Plan shape: TWO narrow corpus scans (one map-side-combined rollup
+    * to #sources rows; one filter+rollup with the totals broadcast
+    * back) and a #sources-row join — no wide shuffle at any scale. A
+    * LEFT join from the totals keeps sources whose sample emptied, so
+    * the output is always one row per source. */
+  def qDataMixture(s: SparkSession, d: String): DataFrame = {
+    val weight = (expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1) * 1000L
+    val docs = documents(s, d).select(col("doc_id"), col("source"),
+      size(split(col("text"), "\\s+")).cast("long").as("toks"))
+    val totals = docs.groupBy(col("source"))
+      .agg(sum(col("toks")).as("t_s"), count(lit(1)).as("n_s"))
+      .withColumn("w", weight)
+    // grand totals: a #sources-row aggregate, broadcast as scalars
+    val grand = totals.agg(sum(col("t_s")).as("tot"), sum(col("w")).as("sumw"))
+    val targeted = broadcast(totals.crossJoin(broadcast(grand))
+      .withColumn("target", expr("((tot div 2) * w) div sumw")))
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+    val kept = docs.join(targeted, "source")
+      .filter(bucket * col("t_s") < col("target") * lit(1000000L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("toks")).as("kept_tokens"))
+    targeted.select(col("source"), col("w").as("weight"), col("n_s").as("n_docs"),
+        col("t_s").as("total_tokens"), col("target").as("target_tokens"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("weight"), col("n_docs"), col("total_tokens"),
+        col("target_tokens"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_mixture" -> qDataMixture,
     "dedup_substring" -> qDedupSubstring,
     "gopher_filter" -> qGopherFilter,
     "doc_chunking" -> qDocChunking,
@@ -1255,5 +1301,35 @@ object TextQueries {
         |  n_chars % 64 * 16 + 32 AS fake_width,
         |  n_chars % 48 * 16 + 32 AS fake_height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical integer arithmetic as the Spark side: HUGEINT
+    // intermediates are exact, outputs cast back to BIGINT
+    "data_mixture" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS toks
+        |  FROM documents
+        |), tot AS (
+        |  SELECT source, sum(toks) AS t_s, count(*) AS n_s,
+        |    (CAST(substring(source, 4) AS BIGINT) % 4 + 1) * 1000 AS w
+        |  FROM docs GROUP BY source
+        |), g AS (
+        |  SELECT sum(t_s) AS tot, sum(w) AS sumw FROM tot
+        |), tgt AS (
+        |  SELECT t.*, ((g.tot // 2) * t.w) // g.sumw AS target
+        |  FROM tot t CROSS JOIN g
+        |), kept AS (
+        |  SELECT d.source, count(*) AS kept_docs,
+        |    CAST(sum(d.toks) AS BIGINT) AS kept_tokens
+        |  FROM docs d JOIN tgt t USING (source)
+        |  WHERE ((d.doc_id * 2654435761) % 1000000) * t.t_s < t.target * 1000000
+        |  GROUP BY d.source
+        |)
+        |SELECT t.source, t.w AS weight, t.n_s AS n_docs,
+        |  CAST(t.t_s AS BIGINT) AS total_tokens,
+        |  CAST(t.target AS BIGINT) AS target_tokens,
+        |  coalesce(k.kept_docs, 0) AS kept_docs,
+        |  coalesce(k.kept_tokens, 0) AS kept_tokens
+        |FROM tgt t LEFT JOIN kept k ON t.source = k.source
+        |ORDER BY t.source""".stripMargin,
   )
 }

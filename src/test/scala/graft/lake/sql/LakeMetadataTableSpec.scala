@@ -126,4 +126,65 @@ class LakeMetadataTableSpec extends LakeSuite {
     t.refresh().setProperty("metadata-tables.max-rows", "1000")
     assert(spark.sql("SELECT count(*) FROM metag.ns.g.files").head.getLong(0) === 6L)
   }
+
+  test("entries, all_data_files, all_manifests, metadata_log_entries") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.metae", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.metae.warehouse", wh)
+    spark.sql("CREATE NAMESPACE metae.ns")
+    val cat = LakeCatalog.open(wh)
+    val t = cat.createTable("ns", "e", ordersDF.schema)
+    val first = t.appendData(
+      ordersDF.filter(col("o_orderkey") % 2 === 0), numFiles = 2)
+    t.refresh().appendData(
+      ordersDF.filter(col("o_orderkey") % 2 === 1), numFiles = 3)
+    val second = t.refresh().currentSnapshotId
+
+    // entries: per-file status against the CURRENT snapshot — the 3
+    // files of the second append are status 1 (added), the 2 of the
+    // first are status 0 (existing); snapshot_id = the adding commit
+    val entries = spark.sql(
+      "SELECT status, snapshot_id, file_path FROM metae.ns.e.entries").collect()
+    assert(entries.length === 5)
+    assert(entries.count(_.getInt(0) == 1) === 3)
+    assert(entries.filter(_.getInt(0) == 0)
+      .forall(_.getLong(1) === first.snapshotId))
+    assert(entries.filter(_.getInt(0) == 1).forall(_.getLong(1) === second))
+
+    // a MoR delete adds tombstone entries; data entries flip to existing
+    t.refresh().deleteWhereMoR(spark, graft.lake.LakePredicate.Eq("o_orderstatus", "F"))
+    val afterDel = spark.sql(
+      "SELECT content, status FROM metae.ns.e.entries").collect()
+    assert(afterDel.filter(_.getString(0) == "data").forall(_.getInt(1) == 0))
+    assert(afterDel.exists(r => r.getString(0) == "positional" && r.getInt(1) == 1))
+
+    // all_data_files: union across snapshots, one row per distinct path
+    // (the 5 data files, each live in 2+ snapshots)
+    val allFiles = spark.sql(
+      "SELECT file_path FROM metae.ns.e.all_data_files").collect()
+    assert(allFiles.length === 5)
+    assert(allFiles.map(_.getString(0)).distinct.length === 5)
+
+    // all_manifests: manifest refs of EVERY snapshot, tagged by it; the
+    // current snapshot's slice matches the plain manifests table
+    val mans = spark.sql(
+      s"SELECT content FROM metae.ns.e.all_manifests " +
+        s"WHERE reference_snapshot_id = ${t.refresh().currentSnapshotId}").collect()
+    assert(mans.map(_.getString(0)).sorted ===
+      spark.sql("SELECT content FROM metae.ns.e.manifests").collect()
+        .map(_.getString(0)).sorted)
+    assert(spark.sql(
+      "SELECT count(DISTINCT reference_snapshot_id) FROM metae.ns.e.all_manifests")
+      .head.getLong(0) === 3L)
+
+    // metadata_log_entries: one row per metadata version; the latest
+    // row points at the current snapshot, the create version at none
+    val log = spark.sql(
+      "SELECT file, latest_snapshot_id FROM metae.ns.e.metadata_log_entries " +
+        "ORDER BY file").collect()
+    assert(log.length >= 4) // create + 2 appends + MoR delete
+    assert(log.head.getString(0) === "v1.json" && log.head.isNullAt(1))
+    val latest = log.maxBy(_.getString(0).stripPrefix("v").stripSuffix(".json").toInt)
+    assert(latest.getLong(1) === t.refresh().currentSnapshotId)
+  }
 }

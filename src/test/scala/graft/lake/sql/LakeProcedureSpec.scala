@@ -216,6 +216,33 @@ class LakeProcedureSpec extends LakeSuite {
       Option(nocol.getCause).exists(_.getMessage.contains("not a column")))
   }
 
+  test("ancestors_of lists the parent chain, newest first; rollback forks it") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    val first = t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+    val second = t.refresh().currentSnapshotId
+    // 0 = current: both appends, newest first, operations carried
+    val cur = spark.sql(s"CALL $cat.system.ancestors_of('ns.t', 0)").collect()
+    assert(cur.map(_.getLong(0)).toSeq === Seq(second, first.snapshotId))
+    assert(cur.forall(_.getString(2) === "append"))
+    // an explicit historical snapshot sees only ITS lineage
+    val old = spark.sql(
+      s"CALL $cat.system.ancestors_of('ns.t', ${first.snapshotId})").collect()
+    assert(old.map(_.getLong(0)).toSeq === Seq(first.snapshotId))
+    // after a rollback + new append, the fork's lineage skips `second`
+    spark.sql(s"CALL $cat.system.rollback_to_snapshot('ns.t', ${first.snapshotId})")
+    t.refresh().appendData(ordersDF.limit(3)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000000L))
+    val forked = spark.sql(s"CALL $cat.system.ancestors_of('ns.t', 0)").collect()
+    assert(forked.length === 2 && !forked.map(_.getLong(0)).contains(second))
+    // unknown snapshot refuses loudly
+    val e = intercept[Exception](
+      spark.sql(s"CALL $cat.system.ancestors_of('ns.t', 123456789)").collect())
+    assert(e.getMessage.contains("no snapshot") ||
+      Option(e.getCause).exists(_.getMessage.contains("no snapshot")))
+  }
+
   test("set_write_order parses linear and zorder forms; unknown procedures refuse") {
     val (cat, wh) = sqlCat()
     val linear = spark.sql(
