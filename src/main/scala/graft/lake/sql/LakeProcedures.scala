@@ -349,6 +349,31 @@ private[sql] object LakeProcedures {
       }
     },
 
+    // Iceberg's migrate/snapshot story in one call: CREATE a lake table
+    // whose schema is inferred from an existing parquet directory, then
+    // register those files IN PLACE (one metadata commit + a
+    // footer-stats pass — onboarding 100 TB never rewrites a byte).
+    // Equivalent to CREATE TABLE + add_files; the files stay outside
+    // the table location so expiry/orphan sweeps can never touch them.
+    "snapshot_table" -> new LakeProcedure(lake, "snapshot_table",
+      Seq("table" -> StringType, "source_dir" -> StringType),
+      StructType(Seq(
+        StructField("imported_files_count", LongType, nullable = false),
+        StructField("imported_rows_count", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val parts = args.getUTF8String(0).toString.split('.')
+        require(parts.length >= 2, s"table must be 'namespace.table', got " +
+          s"'${args.getUTF8String(0)}'")
+        val src = args.getUTF8String(1).toString
+        val spark = SparkSession.active
+        val t = lake.createTable(parts.dropRight(1).mkString("."), parts.last,
+          spark.read.parquet(src).schema)
+        val r = t.addFiles(spark, src)
+        new GenericInternalRow(Array[Any](
+          r.addedDataFiles.toLong, r.addedRecords))
+      }
+    },
+
     // Iceberg's ancestors_of: the parent chain from a snapshot (0 =
     // current) back to the table's root, newest first — the lineage
     // listing rollback/cherry-pick debugging starts from

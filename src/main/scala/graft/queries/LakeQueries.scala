@@ -649,6 +649,40 @@ object LakeQueries {
     * read back with spark.sql over `<catalog>.<ns>.<table>`. */
   private val sqlCatalogs = new SessionMemo[String]()
 
+  /** The INSPECTION metadata tables under the correctness gate: a
+    * 2-commit table queried through `entries` / `all_data_files` /
+    * `all_manifests` / `metadata_log_entries`, reduced to invariants
+    * DuckDB reconstructs relationally from the source rows (snapshot
+    * ids and paths are run-specific; row counts and version/file/ref
+    * counts are not). */
+  def lakeInspect(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val wh = Files.createTempDirectory("graft_lakeins_").toString
+    val name = s"lakeins_${java.lang.Long.toHexString(System.nanoTime())}"
+    s.conf.set(s"spark.sql.catalog.$name", classOf[graft.lake.sql.LakeSqlCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $name.q")
+    s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
+    val t = LakeCatalog.open(wh).loadTable("q", "orders")
+    t.appendData(src.filter(col("o_orderkey") % 2 === 0), numFiles = 2)
+    t.refresh().appendData(src.filter(col("o_orderkey") % 2 === 1), numFiles = 2)
+    s.sql(
+      s"""SELECT 'rows_existing_commit1' AS metric, sum(record_count) AS value
+         |FROM $name.q.orders.entries WHERE status = 0
+         |UNION ALL
+         |SELECT 'rows_added_commit2', sum(record_count)
+         |FROM $name.q.orders.entries WHERE status = 1
+         |UNION ALL
+         |SELECT 'live_files_ever', count(*) FROM $name.q.orders.all_data_files
+         |UNION ALL
+         |SELECT 'metadata_versions', count(*)
+         |FROM $name.q.orders.metadata_log_entries
+         |UNION ALL
+         |SELECT 'snapshots_with_manifests', count(DISTINCT reference_snapshot_id)
+         |FROM $name.q.orders.all_manifests
+         |ORDER BY metric""".stripMargin)
+  }
+
   def lakeSqlSelect(s: SparkSession, d: String): DataFrame = {
     val catName = sqlOrdersCatalog(sqlCatalogs, s, d, "lakesql")(_ => ())
     s.sql(
@@ -943,6 +977,7 @@ object LakeQueries {
     "lake_changes" -> lakeChanges,
     "lake_sql_select" -> lakeSqlSelect,
     "lake_view" -> lakeView,
+    "lake_inspect" -> lakeInspect,
     "lake_metadata_cols" -> lakeMetadataCols,
     "lake_partition_meta" -> lakePartitionMeta,
     "lake_copartition_join" -> lakeCopartitionJoin,
@@ -1051,6 +1086,17 @@ object LakeQueries {
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // 3 metadata versions = create + 2 appends; 4 files = 2 pinned per
+    // commit; the entries split mirrors the even/odd commit split
+    "lake_inspect" ->
+      """SELECT 'rows_existing_commit1' AS metric,
+        |  CAST(count(*) AS BIGINT) AS value FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'rows_added_commit2', count(*) FROM orders WHERE o_orderkey % 2 = 1
+        |UNION ALL SELECT 'live_files_ever', 4
+        |UNION ALL SELECT 'metadata_versions', 3
+        |UNION ALL SELECT 'snapshots_with_manifests', 2
+        |ORDER BY metric""".stripMargin,
     "lake_metadata_cols" ->
       """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_rows,
         |  CAST(0 AS BIGINT) AS min_pos, CAST(0 AS BIGINT) AS max_min_pos

@@ -216,6 +216,29 @@ class LakeProcedureSpec extends LakeSuite {
       Option(nocol.getCause).exists(_.getMessage.contains("not a column")))
   }
 
+  test("snapshot_table creates + imports a parquet directory in place") {
+    val (cat, wh) = sqlCat()
+    val src = freshWarehouse() + "/foreign"
+    ordersDF.write.parquet(src)
+    val row = spark.sql(
+      s"CALL $cat.system.snapshot_table('ns.imported', '$src')").head
+    assert(row.getLong(1) === ordersDF.count())
+    // full SQL read-back through the new table; schema was inferred
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.imported").head.getLong(0)
+      === ordersDF.count())
+    assert(spark.table(s"$cat.ns.imported").schema.fieldNames.toSeq
+      === ordersDF.schema.fieldNames.toSeq)
+    // the files were registered, not copied: paths point at the source
+    val lt = LakeCatalog.open(wh).loadTable("ns", "imported")
+    assert(lt.metadata.currentFiles.nonEmpty)
+    assert(lt.metadata.currentFiles.forall(_.path.contains("/foreign")))
+    // a second call refuses (table exists) — migrate is one-shot
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.snapshot_table('ns.imported', '$src')"))
+    assert(e.getMessage.contains("already exists") ||
+      Option(e.getCause).exists(_.getMessage.contains("already exists")))
+  }
+
   test("ancestors_of lists the parent chain, newest first; rollback forks it") {
     val (cat, wh) = sqlCat()
     val t = LakeCatalog.open(wh).loadTable("ns", "t")
