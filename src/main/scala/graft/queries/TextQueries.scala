@@ -283,6 +283,30 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The dedup loop CLOSED: near-dup clusters (qDedupClusters' exact
+    * min-representative labeling) applied back to the corpus as a
+    * retention policy — each cluster keeps its minimum doc_id, every
+    * other member drops, unclustered docs keep. Per-source rollup of
+    * what survived (the actionable summary a curation pipeline reads
+    * before materializing the kept corpus; the kept SET itself is the
+    * same join minus the rollup). The labels artifact holds only docs
+    * with at least one near-dup — typically a small fraction of the
+    * corpus — and the join is keyed on doc_id; AQE broadcasts it when
+    * it fits, falls back to a shuffle join when a duplicate-heavy
+    * corpus grows it (no forced-broadcast cliff at 100 TB). */
+  def qDedupRetention(s: SparkSession, d: String): DataFrame = {
+    val labels = qDedupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("keep",
+        col("cluster_id").isNull || col("cluster_id") === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(!col("keep"), col("n_chars")).otherwise(0L)).as("dropped_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic train/validation/test split: a multiplicative hash
     * on doc_id (Knuth constant), NOT engine hash functions — the split
     * must be reproducible across engines and runs (the oracle computes
@@ -957,6 +981,7 @@ object TextQueries {
     "dedup_exact" -> qDedupExact,
     "dedup_ngram_jaccard" -> qNgramJaccard,
     "dedup_clusters" -> qDedupClusters,
+    "dedup_retention" -> qDedupRetention,
     "train_test_split" -> qTrainTestSplit,
     "bigram_counts" -> qBigramCounts,
     "dedup_minhash" -> qMinhashDedup,
@@ -970,6 +995,36 @@ object TextQueries {
     "doc_length_histogram" -> qDocLengthHistogram,
     "multimodal_meta" -> qMultimodalMeta,
   )
+
+  /** Shared DuckDB CTE chain reconstructing the ngram-jaccard near-dup
+    * edges and the transitive min-label reachability both cluster
+    * oracles consume (kept in ONE place so the two can never drift). */
+  private val clusterLabelCtes: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+      |  FROM w, (SELECT unnest(range(len(ws) - 2)) AS i) t
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT da, db FROM inter
+      |  JOIN sizes sa ON da = sa.doc_id
+      |  JOIN sizes sb ON db = sb.doc_id
+      |  WHERE n / (sa.sz + sb.sz - n) >= 0.5
+      |), edges AS (
+      |  SELECT da AS a, db AS b FROM pairs
+      |  UNION ALL SELECT db, da FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT a AS node, a AS label FROM edges
+      |  UNION
+      |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "gopher_filter" -> {
@@ -1138,33 +1193,22 @@ object TextQueries {
         |WHERE n / (sa.sz + sb.sz - n) >= 0.5
         |ORDER BY da, db""".stripMargin,
     "dedup_clusters" ->
-      """WITH RECURSIVE w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
-        |  FROM w, (SELECT unnest(range(len(ws) - 2)) AS i) t
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
-        |), inter AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |), pairs AS (
-        |  SELECT da, db FROM inter
-        |  JOIN sizes sa ON da = sa.doc_id
-        |  JOIN sizes sb ON db = sb.doc_id
-        |  WHERE n / (sa.sz + sb.sz - n) >= 0.5
-        |), edges AS (
-        |  SELECT da AS a, db AS b FROM pairs
-        |  UNION ALL SELECT db, da FROM pairs
-        |), reach AS (
-        |  SELECT DISTINCT a AS node, a AS label FROM edges
-        |  UNION
-        |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
-        |)
+      s"""$clusterLabelCtes
         |SELECT node AS doc_id, min(label) AS cluster_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // same labeling CTEs, applied as the keep-min-representative policy
+    "dedup_retention" ->
+      s"""$clusterLabelCtes, labels AS (
+        |  SELECT node AS doc_id, min(label) AS cluster_id
+        |  FROM reach GROUP BY node
+        |)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN l.cluster_id IS NULL OR l.cluster_id = d.doc_id
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        |  CAST(sum(CASE WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> d.doc_id
+        |                THEN d.n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "dedup_minhash" -> {
       // h0..h15 and the 4 band keys are generated so the constants can
       // never drift from the Spark side (same k, p, double-hash family)
