@@ -35,7 +35,7 @@ private[sql] object LakeMetadataTables {
   val kinds: Set[String] =
     Set("snapshots", "history", "files", "delete_files", "manifests",
       "properties", "refs", "partitions", "entries", "all_data_files",
-      "all_manifests", "metadata_log_entries")
+      "all_manifests", "metadata_log_entries", "position_deletes")
 
   def table(lt: LakeTable, kind: String): Table = new LakeMetadataTable(lt, kind)
 
@@ -130,7 +130,17 @@ private[sql] object LakeMetadataTables {
     "metadata_log_entries" -> StructType(Seq(
       StructField("timestamp", TimestampType, nullable = true),
       StructField("file", StringType, nullable = false),
-      StructField("latest_snapshot_id", LongType, nullable = true))))
+      StructField("latest_snapshot_id", LongType, nullable = true))),
+    // live positional tombstone COORDINATES (Iceberg's
+    // `position_deletes`): every (data file, row ordinal) the current
+    // snapshot's merge-on-read subtracts, from tombstone parquet files
+    // and expanded deletion-vector bitmaps alike; equality deletes are
+    // value- not position-keyed and stay in `delete_files`
+    "position_deletes" -> StructType(Seq(
+      StructField("file_path", StringType, nullable = false),
+      StructField("pos", LongType, nullable = false),
+      StructField("delete_file_path", StringType, nullable = false),
+      StructField("content", StringType, nullable = false))))
   // delete_files and all_data_files share the files schema
   private[sql] def schemaOf(kind: String): StructType =
     schemas.getOrElse(kind, schemas("files"))
@@ -283,6 +293,49 @@ private[sql] object LakeMetadataTables {
                 utf8(r.name), r.fileCount, r.recordCount, r.sizeBytes))
             }
           }.toArray
+
+        case "position_deletes" =>
+          val s = m.currentSnapshot
+          val posFiles = s.map(_.deleteFiles).getOrElse(Nil)
+          val dvEntries = s.map(_.dvFiles).getOrElse(Nil)
+          // manifest rollups: tombstone rows for parquet carriers,
+          // bitmap cardinality for DV entries — known before any IO
+          guardRows(posFiles.map(_.recordCount).sum +
+            dvEntries.map(_.recordCount).sum)
+          val fromParquet: Seq[InternalRow] =
+            if (posFiles.isEmpty) Nil
+            else {
+              // ONE batched read over every carrier; the carrier path
+              // rejoins by basename (carrier names are uuid-unique)
+              val byBase = posFiles
+                .map(e => e.path.substring(e.path.lastIndexOf('/') + 1) -> e.path)
+                .toMap
+              import org.apache.spark.sql.functions.input_file_name
+              org.apache.spark.sql.SparkSession.active.read
+                .schema(graft.lake.LakeTable.DeleteFileSchema)
+                .parquet(posFiles.map(_.path): _*)
+                .withColumn("carrier", input_file_name())
+                .collect().toSeq.map { r =>
+                  val base = r.getString(2)
+                    .substring(r.getString(2).lastIndexOf('/') + 1)
+                  new GenericInternalRow(Array[Any](
+                    utf8(r.getString(0)), r.getLong(1),
+                    utf8(byBase.getOrElse(base, r.getString(2))),
+                    utf8("positional"))): InternalRow
+                }
+            }
+          val fromDvs: Seq[InternalRow] = dvEntries.groupBy(_.path).toSeq
+            .flatMap { case (blob, entries) =>
+              val refs = entries.map(graft.lake.LakeTable.dvRef).toSet
+              graft.lake.DeleteVector.readBlob(graft.lake.DataFs.readBytes(blob))
+                .filter(p => refs.contains(p._1))
+                .flatMap { case (ref, dv) => dv.positions.map(p =>
+                  new GenericInternalRow(Array[Any](
+                    utf8(ref), p, utf8(blob), utf8("dv"))): InternalRow) }
+            }
+          (fromParquet ++ fromDvs)
+            .sortBy(r => (r.getUTF8String(0).toString, r.getLong(1)))
+            .toArray
 
         case "metadata_log_entries" =>
           val cat = lt.catalog

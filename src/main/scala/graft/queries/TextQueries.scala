@@ -945,9 +945,12 @@ object TextQueries {
     val weight = (expr("CAST(substring(source, 4) AS BIGINT)") % 4 + 1) * 1000L
     val docs = documents(s, d).select(col("doc_id"), col("source"),
       size(split(col("text"), "\\s+")).cast("long").as("toks"))
-    val totals = docs.groupBy(col("source"))
+    // persisted: the rollup is #sources rows but referenced from three
+    // branches (grand totals, the kept join's build side, the output's
+    // preserved side) — unpersisted, each branch re-scans the corpus
+    val totals = QueryCaches.track(docs.groupBy(col("source"))
       .agg(sum(col("toks")).as("t_s"), count(lit(1)).as("n_s"))
-      .withColumn("w", weight)
+      .withColumn("w", weight).persist())
     // grand totals: a #sources-row aggregate, broadcast as scalars
     val grand = totals.agg(sum(col("t_s")).as("tot"), sum(col("w")).as("sumw"))
     val targeted = broadcast(totals.crossJoin(broadcast(grand))

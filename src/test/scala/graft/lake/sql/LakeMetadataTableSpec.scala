@@ -127,6 +127,42 @@ class LakeMetadataTableSpec extends LakeSuite {
     assert(spark.sql("SELECT count(*) FROM metag.ns.g.files").head.getLong(0) === 6L)
   }
 
+  test("position_deletes expands tombstone parquet and DV bitmaps to coordinates") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.metapd", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.metapd.warehouse", wh)
+    spark.sql("CREATE NAMESPACE metapd.ns")
+    val cat = LakeCatalog.open(wh)
+    val nF = ordersDF.filter(col("o_orderstatus") === "F").count()
+
+    // positional-parquet tombstones
+    val t = cat.createTable("ns", "pd", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 3)
+    t.refresh().deleteWhereMoR(spark, graft.lake.LakePredicate.Eq("o_orderstatus", "F"))
+    val pd = spark.sql(
+      "SELECT file_path, pos, content FROM metapd.ns.pd.position_deletes").collect()
+    assert(pd.length.toLong === nF)
+    assert(pd.forall(_.getString(2) == "positional"))
+    // coordinates address live data files at valid ordinals
+    val dataPaths = spark.sql("SELECT file_path FROM metapd.ns.pd.files")
+      .collect().map(_.getString(0)).toSet
+    assert(pd.map(_.getString(0)).toSet.subsetOf(dataPaths))
+    assert(pd.forall(_.getLong(1) >= 0))
+    // the MoR scan drops exactly these coordinates
+    assert(spark.sql("SELECT count(*) FROM metapd.ns.pd").head.getLong(0)
+      === ordersDF.count() - nF)
+
+    // deletion-vector bitmaps expand to the same coordinate space
+    val tv = cat.createTable("ns", "pdv", ordersDF.schema)
+    tv.setProperty("write.delete.vector.enabled", "true")
+    tv.refresh().appendData(ordersDF, numFiles = 3)
+    tv.refresh().deleteWhereMoR(spark, graft.lake.LakePredicate.Eq("o_orderstatus", "F"))
+    val dv = spark.sql(
+      "SELECT content, count(*) AS n FROM metapd.ns.pdv.position_deletes " +
+        "GROUP BY content").collect()
+    assert(dv.map(r => r.getString(0) -> r.getLong(1)).toMap === Map("dv" -> nF))
+  }
+
   test("entries, all_data_files, all_manifests, metadata_log_entries") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.metae", classOf[LakeSqlCatalog].getName)
