@@ -22,7 +22,7 @@ object BenchScaled {
     "q_running_frames", "q_ev_sliding", "q_ev_sessionize",
     "contamination_check", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_minhash", "dedup_simhash", "dedup_substring",
-    "keyword_extraction",
+    "dedup_retention", "data_mixture", "keyword_extraction",
     "doc_packing", "token_frequency", "cosine_topk_brute", "ann_lsh")
 
   def main(args: Array[String]): Unit = {

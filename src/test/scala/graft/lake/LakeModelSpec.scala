@@ -97,4 +97,89 @@ class LakeModelSpec extends LakeSuite {
       assert(reread === model, s"seed=$seed reopened-catalog state")
     }
   }
+
+  /** Second model family: MERGE-ON-READ mutations (tombstone files or
+    * DV bitmaps by coin flip), rollback forks, and a TIME-TRAVEL check —
+    * every surviving historical snapshot must replay to the exact model
+    * state recorded when it was current, under any later mutation mix. */
+  test("random MoR/DV/rollback sequences keep table, history and time travel == model") {
+    for (seed <- Seq(11, 42)) {
+      val rng = new scala.util.Random(seed)
+      val cat = LakeCatalog.open(freshWarehouse())
+      val t = cat.createTable("ns", s"morm_$seed", modelSchema)
+      if (rng.nextBoolean()) // half the seeds exercise the DV encoding
+        t.refresh().setProperty("write.delete.vector.enabled", "true")
+      var model = Map.empty[Long, Double]
+      var nextId = 0L
+      var history = Map.empty[Long, Map[Long, Double]] // snapshotId -> state
+
+      def freshRows(n: Int): Seq[(Long, Double)] = (0 until n).map { _ =>
+        nextId += 1
+        (nextId, rng.nextInt(1000).toDouble)
+      }
+      def record(op: String, step: Int): Unit = {
+        val id = t.refresh().currentSnapshotId
+        history += id -> model
+        val actual = t.newScan().toDF(spark)
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+        assert(actual === model, s"seed=$seed step=$step after $op")
+        // time travel: a random SURVIVING recorded snapshot replays to
+        // the state it was current at (expiry may have dropped some)
+        val alive = t.metadata.snapshots.map(_.id).filter(history.contains)
+        if (alive.nonEmpty) {
+          val pick = alive(rng.nextInt(alive.size))
+          val then_ = t.asOf(pick).toDF(spark)
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+          assert(then_ === history(pick),
+            s"seed=$seed step=$step time travel to $pick after $op")
+        }
+      }
+
+      val seedRows = freshRows(20)
+      t.refresh().appendData(df(seedRows))
+      model = seedRows.toMap
+      record("seed append", -1)
+
+      for (step <- 0 until 14) {
+        rng.nextInt(6) match {
+          case 0 => // append
+            val rows = freshRows(1 + rng.nextInt(30))
+            t.refresh().appendData(df(rows))
+            model ++= rows
+          case 1 => // MoR delete of a trailing id band
+            val cut = if (nextId == 0) 0L else nextId - rng.nextInt(15)
+            t.refresh().deleteWhereMoR(spark, LakePredicate.Ge("id", cut))
+            model = model.filter { case (id, _) => id < cut }
+          case 2 => // MoR update of a band
+            val lo = math.max(1L, nextId - rng.nextInt(25))
+            t.refresh().updateWhereMoR(spark,
+              LakePredicate.Ge("id", lo), Map("v" -> lit(-7.0)))
+            model = model.map { case (id, v) => id -> (if (id >= lo) -7.0 else v) }
+          case 3 => // MoR merge upsert
+            val updates = model.keys.toSeq.sorted.takeRight(4).map(id => (id, 555.0))
+            val inserts = freshRows(1 + rng.nextInt(8))
+            t.refresh().mergeIntoMoR(spark, df(updates ++ inserts), Seq("id"))
+            model ++= updates ++ inserts
+          case 4 => // rollback to a random surviving ancestor (fork)
+            val m = t.refresh().metadata
+            val ids = m.snapshots.map(_.id).filter(history.contains)
+            if (ids.nonEmpty) {
+              val target = ids(rng.nextInt(ids.size))
+              t.rollbackTo(target)
+              model = history(target)
+            }
+          case 5 => // maintenance: materialize tombstones or expire
+            if (rng.nextBoolean()) t.refresh().rewritePositionDeletes(spark)
+            else t.refresh().expireSnapshots(keepLast = 2)
+        }
+        record(s"op$step", step)
+      }
+      // durability: reopened catalog sees the same end state
+      val re = LakeCatalog.open(t.location.stripSuffix(s"/ns/morm_$seed"))
+        .loadTable("ns", s"morm_$seed")
+      assert(re.newScan().toDF(spark)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap === model,
+        s"seed=$seed reopened-catalog state")
+    }
+  }
 }
