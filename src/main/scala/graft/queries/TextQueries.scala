@@ -506,11 +506,15 @@ object TextQueries {
         .as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("da"), col("simhash").as("ha"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("db"), col("simhash").as("hb"))
+    // hamming gate BEFORE the pair distinct: the band join emits every
+    // 16-bit bucket collision (junk included), and deduping survivors
+    // only shuffles orders of magnitude fewer rows — the filter
+    // commutes with distinct, so the result is identical
     l.join(r, Seq("band", "bucket")).filter(col("da") < col("db"))
       .select(col("da"), col("db"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("da"), col("db"))
   }
 
