@@ -988,47 +988,79 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
     try {
       val meta = lt.metadata
       val spec = meta.allSpecs.last
+      def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
       // partitionValues are keyed POSITIONALLY within the writing spec
       // ("p<i>"), so grouping is only exact for files written under the
-      // current spec — any other specId declines below. Identity AND
-      // bucket fields cluster (bucket resolves via the FunctionCatalog);
-      // other transforms (year/…) are simply excluded from the key,
-      // which stays exact: grouping by a key subset still puts every
-      // row of a given key value in one group.
-      val fields: Seq[(String, String, org.apache.spark.sql.types.DataType,
-          org.apache.spark.sql.connector.expressions.Expression)] =
+      // current spec — any other specId declines below. EVERY transform
+      // clusters (all resolve via the FunctionCatalog): identity,
+      // bucket, the temporal family, truncate. Each field carries its
+      // own decoder from the manifest's RENDERED partition value to the
+      // transform's V2 result representation (years/months/hours since
+      // epoch as int, days as epoch-day int — matching
+      // LakeFunctions' conventions, so a group key here equals what the
+      // published function computes on a row of that partition).
+      type V2E = org.apache.spark.sql.connector.expressions.Expression
+      val fields: Seq[(String, V2E, String => Option[Any])] =
         spec.zipWithIndex.flatMap { case (f, i) =>
+          def temporalDec(tr: String)(s: String): Option[Any] = scala.util.Try(tr match {
+            case "year" => Int.box(s.toInt - 1970)
+            case "month" =>
+              val Array(y, m) = s.split('-')
+              Int.box((y.toInt - 1970) * 12 + m.toInt - 1)
+            case "day" =>
+              Int.box(java.time.LocalDate.parse(s).toEpochDay.toInt)
+            case "hour" =>
+              val Array(d, h) = s.split('T')
+              Int.box((java.time.LocalDate.parse(d).toEpochDay * 24 + h.toInt).toInt)
+          }).toOption
           f.transform match {
             case "identity" =>
-              meta.schema.fields.find(_.name == f.source).map(sf =>
-                (f.source, s"p$i", sf.dataType,
-                  Expressions.identity(f.source)
-                    : org.apache.spark.sql.connector.expressions.Expression))
+              meta.schema.fields.find(_.name == f.source).map { sf =>
+                val dec: String => Option[Any] = sf.dataType match {
+                  case org.apache.spark.sql.types.StringType => s => Some(utf8(s))
+                  case other => s => graft.lake.Stats.fromStatCatalyst(other, s)
+                }
+                (s"p$i", Expressions.identity(f.source): V2E, dec)
+              }
             case tr if tr.startsWith("bucket[") =>
               val n = tr.stripPrefix("bucket[").stripSuffix("]").toInt
-              Some((f.source, s"p$i", org.apache.spark.sql.types.IntegerType,
-                Expressions.bucket(n, f.source)
-                  : org.apache.spark.sql.connector.expressions.Expression))
+              Some((s"p$i", Expressions.bucket(n, f.source): V2E,
+                (s: String) => s.toIntOption.map(Int.box)))
+            case "year" =>
+              Some((s"p$i", Expressions.years(f.source): V2E, temporalDec("year") _))
+            case "month" =>
+              Some((s"p$i", Expressions.months(f.source): V2E, temporalDec("month") _))
+            case "day" =>
+              Some((s"p$i", Expressions.days(f.source): V2E, temporalDec("day") _))
+            case "hour" =>
+              Some((s"p$i", Expressions.hours(f.source): V2E, temporalDec("hour") _))
+            case tr if tr.startsWith("truncate[") =>
+              val w = tr.stripPrefix("truncate[").stripSuffix("]").toInt
+              // width baked into the function NAME: the subset-keys
+              // SPJ rule requires single-leaf partition expressions
+              // (see LakeFunctions.TruncateWidthUnbound)
+              Some((s"p$i",
+                Expressions.apply(s"truncate$w",
+                  Expressions.column(f.source)): V2E,
+                (s: String) => Some(utf8(s))))
             case _ => None
           }
         }
-      def decode(t: org.apache.spark.sql.types.DataType, s: String): Option[Any] = t match {
-        case org.apache.spark.sql.types.StringType =>
-          Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
-        case other => graft.lake.Stats.fromStatCatalyst(other, s)
-      }
-      if (fields.isEmpty) None
+      // ALL spec fields must cluster — a partial key would be exact
+      // (key-subset grouping) but would under-report the layout; a spec
+      // with an unsupported transform simply declines
+      if (fields.isEmpty || fields.size != spec.size) None
       else {
         val entries = planEntries(pushed)
         val currentSpecId = meta.currentSpecId
         if (entries.isEmpty ||
           !entries.forall(e => e.specId == currentSpecId &&
-            fields.forall(f => e.partitionValues.contains(f._2)))) None
+            fields.forall(f => e.partitionValues.contains(f._1)))) None
         else {
-          val grouped = entries.groupBy(e => fields.map(f => e.partitionValues(f._2)))
+          val grouped = entries.groupBy(e => fields.map(f => e.partitionValues(f._1)))
           val rows = grouped.toSeq.sortBy(_._1.mkString(0.toChar.toString))
             .map { case (vals, fs) =>
-              val decoded = vals.zip(fields).map { case (s, f) => decode(f._3, s) }
+              val decoded = vals.zip(fields).map { case (s, f) => f._3(s) }
               if (decoded.exists(_.isEmpty)) None
               else Some(
                 (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -1036,7 +1068,7 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
                   fs.map(_.path)))
             }
           if (rows.exists(_.isEmpty)) None
-          else Some((fields.map(_._4).toArray, rows.map(_.get)))
+          else Some((fields.map(_._2).toArray, rows.map(_.get)))
         }
       }
     } catch { case scala.util.control.NonFatal(_) => None }

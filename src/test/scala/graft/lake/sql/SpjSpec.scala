@@ -115,6 +115,91 @@ class SpjSpec extends LakeSuite {
     }
   }
 
+  test("month-partitioned tables storage-partition-join via the temporal transform") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjm", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjm.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      spark.sql("CREATE NAMESPACE spjm.ns")
+      def mk(name: String, rows: Int): Unit = {
+        val t = LakeCatalog.open(wh).createTable("ns", name,
+          spark.range(0).select(
+            lit(java.sql.Date.valueOf("2024-01-01")).as("d"),
+            col("id").as("v")).schema,
+          spec = Seq(PartitionField("d", "month")))
+        // month-aligned ingestion: each append stays inside one month,
+        // so footer bounds derive a single month value per file
+        (0 until 3).foreach { m =>
+          t.appendData(spark.range(rows).select(
+            date_add(add_months(lit(java.sql.Date.valueOf("2024-01-01")), m),
+              pmod(col("id"), lit(25)).cast("int")).as("d"),
+            col("id").as("v")))
+        }
+      }
+      mk("a", 50)
+      mk("b", 30)
+      val q = """SELECT count(*) AS n FROM spjm.ns.a a JOIN spjm.ns.b b
+                |ON a.d = b.d AND a.v = b.v""".stripMargin
+      val df = spark.sql(q)
+      assert(df.head.getLong(0) === 90L) // 30 matches x 3 months
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, plan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"month SPJ must not shuffle either join side, plan:\n$plan")
+      // shuffled twin answers identically
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      assert(spark.sql(q).head.getLong(0) === 90L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjm")
+      spark.conf.unset("spark.sql.catalog.spjm.warehouse")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
+  }
+
+  test("truncate-partitioned tables storage-partition-join on string prefixes") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.spjt", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.spjt.warehouse", wh)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      spark.sql("CREATE NAMESPACE spjt.ns")
+      def mk(name: String, rows: Int): Unit = {
+        val t = LakeCatalog.open(wh).createTable("ns", name,
+          spark.range(0).select(lit("x").as("s"), col("id").as("v")).schema,
+          spec = Seq(PartitionField("s", "truncate[3]")))
+        // prefix-aligned ingestion: one 3-char prefix per append
+        Seq("abc", "def", "ghi").foreach { p =>
+          t.appendData(spark.range(rows).select(
+            concat(lit(p), pmod(col("id"), lit(7)).cast("string")).as("s"),
+            col("id").as("v")))
+        }
+      }
+      mk("a", 40)
+      mk("b", 25)
+      val q = """SELECT count(*) AS n FROM spjt.ns.a a JOIN spjt.ns.b b
+                |ON a.s = b.s AND a.v = b.v""".stripMargin
+      val df = spark.sql(q)
+      assert(df.head.getLong(0) === 75L) // 25 matches x 3 prefixes
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, plan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"truncate SPJ must not shuffle either join side, plan:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.spjt")
+      spark.conf.unset("spark.sql.catalog.spjt.warehouse")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.requireAllClusterKeysForCoPartition")
+    }
+  }
+
   test("SPJ declines on a non-identity-partitioned table; join still correct") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.spj2", classOf[LakeSqlCatalog].getName)
