@@ -33,9 +33,10 @@ import graft.lake.{DataFileEntry, LakeTable, ManifestRef}
 private[sql] object LakeMetadataTables {
 
   val kinds: Set[String] =
-    Set("snapshots", "history", "files", "delete_files", "manifests",
-      "properties", "refs", "partitions", "entries", "all_data_files",
-      "all_manifests", "metadata_log_entries", "position_deletes")
+    Set("snapshots", "history", "files", "data_files", "delete_files",
+      "manifests", "properties", "refs", "partitions", "entries",
+      "all_data_files", "all_manifests", "metadata_log_entries",
+      "position_deletes")
 
   def table(lt: LakeTable, kind: String): Table = new LakeMetadataTable(lt, kind)
 
@@ -225,7 +226,7 @@ private[sql] object LakeMetadataTables {
               ancestors.contains(s.id)))
           }.toArray
 
-        case "files" =>
+        case "files" | "data_files" => // data_files = Iceberg's alias
           // row-per-file tables are driver-resident: gate on the
           // snapshot's ROLLUP count (known without loading a manifest)
           // so a million-file table fails loudly instead of OOMing

@@ -87,6 +87,41 @@ private[sql] object LakeProcedures {
       }
     },
 
+    // Iceberg's rollback_to_timestamp: current ← the latest snapshot
+    // committed at or before the cutoff (epoch millis)
+    "rollback_to_timestamp" -> new LakeProcedure(lake, "rollback_to_timestamp",
+      Seq("table" -> StringType, "older_than_ms" -> LongType),
+      StructType(Seq(
+        StructField("previous_snapshot_id", LongType, nullable = false),
+        StructField("current_snapshot_id", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        val cutoff = args.getLong(1)
+        val target = t.snapshots.filter(_.timestampMs <= cutoff)
+          .sortBy(_.id).lastOption.getOrElse(throw new IllegalArgumentException(
+            s"no snapshot of ${t.name} at or before ${cutoff}ms"))
+        val prev = t.currentSnapshotId
+        t.rollbackTo(target.id)
+        new GenericInternalRow(Array[Any](prev, t.currentSnapshotId))
+      }
+    },
+
+    // Iceberg's set_current_snapshot: like rollback but direction-free
+    // (also re-targets FORWARD onto an abandoned commit after a
+    // rollback — the redo to rollback's undo)
+    "set_current_snapshot" -> new LakeProcedure(lake, "set_current_snapshot",
+      Seq("table" -> StringType, "snapshot_id" -> LongType),
+      StructType(Seq(
+        StructField("previous_snapshot_id", LongType, nullable = false),
+        StructField("current_snapshot_id", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        val prev = t.currentSnapshotId
+        t.rollbackTo(args.getLong(1))
+        new GenericInternalRow(Array[Any](prev, t.currentSnapshotId))
+      }
+    },
+
     "expire_snapshots" -> new LakeProcedure(lake, "expire_snapshots",
       Seq("table" -> StringType, "keep_last" -> IntegerType),
       StructType(Seq(

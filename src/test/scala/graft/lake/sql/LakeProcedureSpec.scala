@@ -216,6 +216,37 @@ class LakeProcedureSpec extends LakeSuite {
       Option(nocol.getCause).exists(_.getMessage.contains("not a column")))
   }
 
+  test("rollback_to_timestamp and set_current_snapshot retarget the head") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    val first = t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    val tsAfterFirst = t.refresh().metadata
+      .snapshot(first.snapshotId).get.timestampMs
+    Thread.sleep(5)
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+    val second = t.refresh().currentSnapshotId
+    // timestamp rollback lands on the latest snapshot at-or-before
+    val row = spark.sql(s"CALL $cat.system.rollback_to_timestamp(" +
+      s"'ns.t', $tsAfterFirst)").head
+    assert(row.getLong(0) === second && row.getLong(1) === first.snapshotId)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0)
+      === ordersDF.filter(col("o_orderkey") % 2 === 0).count())
+    // set_current_snapshot re-targets FORWARD onto the abandoned commit
+    val fwd = spark.sql(
+      s"CALL $cat.system.set_current_snapshot('ns.t', $second)").head
+    assert(fwd.getLong(1) === second)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0)
+      === ordersDF.count())
+    // pre-history timestamp refuses
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.rollback_to_timestamp('ns.t', 1)"))
+    assert(e.getMessage.contains("at or before") ||
+      Option(e.getCause).exists(_.getMessage.contains("at or before")))
+    // data_files metadata-table alias answers like files
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t.data_files").head.getLong(0)
+      === spark.sql(s"SELECT count(*) FROM $cat.ns.t.files").head.getLong(0))
+  }
+
   test("snapshot_table creates + imports a parquet directory in place") {
     val (cat, wh) = sqlCat()
     val src = freshWarehouse() + "/foreign"
