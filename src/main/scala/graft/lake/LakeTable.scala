@@ -1073,6 +1073,49 @@ final class LakeTable private[lake] (
         .filter(j => LakeTable.parseColStatsSnapshot(j).contains(snapshotId)))
   }
 
+  /** PARTITION STATISTICS (Iceberg's partition-statistics files):
+    * roll the current snapshot's per-partition-tuple file/record/byte
+    * counts into an immutable `stats-*.json` document referenced from
+    * metadata's `partitionStats` list — the `partitions` inspection
+    * table then answers O(#partitions) from the doc instead of a full
+    * driver manifest parse (the difference between a lookup and an
+    * O(#files) walk on a million-file table). Partition keys are
+    * stored in the readable field-render form the inspection surfaces
+    * share; re-computing the same snapshot replaces its entry, expiry
+    * dereferences, the orphan sweep reclaims. Returns the partition
+    * tuple count. */
+  def computePartitionStats(): Int = {
+    refresh()
+    val m = meta
+    val statsAt = m.currentSnapshotId
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val groups = m.currentFiles
+      .groupBy(f => (m.readablePartition(f), f.specId)).toSeq
+      .sortBy(_._1._1.toSeq.sortBy(_._1).mkString(0.toChar.toString))
+    val rows = groups.map { case ((pv, specId), fs) =>
+      val vals = pv.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString("{", ",", "}")
+      s"""{"specId":$specId,"values":$vals,"fileCount":${fs.size},""" +
+        s""""recordCount":${fs.map(_.recordCount).sum},""" +
+        s""""sizeBytes":${fs.map(_.sizeBytes).sum}}"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"snapshotId":$statsAt,"partitions":$rows}"""
+    val docName = catalog.writeStatsDoc(
+      catalog.metadataDir(namespace, shortName), json)
+    metadataChange(mm => mm.copy(partitionStats =
+      mm.partitionStats.filterNot(_.snapshotId == statsAt) :+
+        StatsFileRef(statsAt, docName)))
+    groups.size
+  }
+
+  /** Partition-stats blob for EXACTLY `snapshotId`; None when never
+    * computed there (the inspection table then falls back to the
+    * manifest walk). */
+  def partitionStatsJsonFor(snapshotId: Long): Option[String] =
+    metadata.partitionStats.find(_.snapshotId == snapshotId)
+      .flatMap(sf => catalog.readStatsDoc(
+        catalog.metadataDir(namespace, shortName), sf.name))
+
   /** Z-ORDER write order (Iceberg's `zorder(...)` sort order): future
     * writes cluster + sort on the interleaved Morton code of `cols`,
     * so every file covers a small hyper-rectangle of the key space and
@@ -2204,7 +2247,8 @@ final class LakeTable private[lake] (
       // doc is dereferenced here and reclaimed by the orphan sweep
       val keptIds = kept.map(_.id).toSet
       latest.copy(snapshots = kept, refs = liveRefs,
-        statsFiles = latest.statsFiles.filter(sf => keptIds(sf.snapshotId)))
+        statsFiles = latest.statsFiles.filter(sf => keptIds(sf.snapshotId)),
+        partitionStats = latest.partitionStats.filter(sf => keptIds(sf.snapshotId)))
     }
     meta = next
     version = v
@@ -2263,7 +2307,7 @@ final class LakeTable private[lake] (
     val md = catalog.metadataDir(namespace, shortName)
     val liveDocs = meta.snapshots.flatMap(s =>
       s.manifestList +: s.manifests.map(_.name)).toSet ++
-      meta.statsFiles.map(_.name)
+      meta.statsFiles.map(_.name) ++ meta.partitionStats.map(_.name)
     // ONE recursive listing supplies every candidate's mtime (same
     // batching as the data-side walk above) — a per-candidate mtime
     // call was the last O(files) round-trip pattern in the sweep, and

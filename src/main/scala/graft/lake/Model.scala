@@ -371,7 +371,16 @@ final case class TableMetadata(
     // in properties, so wide tables don't inflate every metadata
     // rewrite and old snapshots keep their own stats across time
     // travel. Append order = analyze order (last entry is freshest).
-    statsFiles: Seq[StatsFileRef] = Nil) {
+    statsFiles: Seq[StatsFileRef] = Nil,
+    // Per-snapshot PARTITION statistics documents (Iceberg's
+    // partition-statistics files): computePartitionStats rolls the
+    // per-partition-tuple file/record/byte counts into an immutable
+    // doc so the `partitions` inspection table answers O(#partitions)
+    // without touching a manifest — on a million-file table the
+    // difference between a lookup and a full driver parse. Same
+    // lifecycle as statsFiles: replace-per-snapshot, expiry
+    // dereferences, orphan sweep reclaims.
+    partitionStats: Seq[StatsFileRef] = Nil) {
   def currentSnapshot: Option[Snapshot] = snapshots.find(_.id == currentSnapshotId)
   def snapshot(id: Long): Option[Snapshot] = snapshots.find(_.id == id)
   def currentFiles: Seq[DataFileEntry] = currentSnapshot.map(_.files).getOrElse(Nil)
@@ -385,6 +394,18 @@ final case class TableMetadata(
     * conservatively: indexOf misses → no pruning). */
   def specFor(f: DataFileEntry): Seq[PartitionField] =
     allSpecs.lift(f.specId).getOrElse(spec)
+
+  /** A file's partition values re-keyed from the positional manifest
+    * form (`p<i>`) to the field render of its OWN spec —
+    * `o_orderstatus` or `month(o_orderdate)` — the human/SQL-facing
+    * form the inspection surfaces share. */
+  def readablePartition(f: DataFileEntry): Map[String, String] = {
+    val fSpec = specFor(f)
+    f.partitionValues.map { case (k, v) =>
+      (if (k.startsWith("p")) k.drop(1).toIntOption else None)
+        .flatMap(fSpec.lift).map(_.render).getOrElse(k) -> v
+    }
+  }
 
   /** Manifest stat-map key for a column under the CURRENT schema —
     * None for unknown columns (prune conservatively). */
@@ -562,6 +583,11 @@ object MetadataJson {
           s"""{"snapshotId":${sf.snapshotId},"name":${q(sf.name)}}""")
           .mkString("[", ",", "]")},"""
       else "") +
+      (if (m.partitionStats.nonEmpty)
+        s""""partitionStats":${m.partitionStats.map(sf =>
+          s"""{"snapshotId":${sf.snapshotId},"name":${q(sf.name)}}""")
+          .mkString("[", ",", "]")},"""
+      else "") +
       s""""spec":${specJson(m.spec)},""" +
       s""""specLog":${m.allSpecs.map(specJson).mkString("[", ",", "]")},""" +
       s""""snapshots":${m.snapshots.map(snapshotJson).mkString("[", ",", "]")},""" +
@@ -697,6 +723,10 @@ object MetadataJson {
           .map(e => e.getKey.toInt -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty),
       statsFiles = Option(n.get("statsFiles"))
+        .map(_.elements().asScala.map(s => StatsFileRef(
+          s.get("snapshotId").asLong(), s.get("name").asText())).toSeq)
+        .getOrElse(Nil),
+      partitionStats = Option(n.get("partitionStats"))
         .map(_.elements().asScala.map(s => StatsFileRef(
           s.get("snapshotId").asLong(), s.get("name").asText())).toSeq)
         .getOrElse(Nil)

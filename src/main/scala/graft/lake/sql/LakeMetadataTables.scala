@@ -189,18 +189,9 @@ private[sql] object LakeMetadataTables {
 
       // manifest partition values are keyed by SPEC POSITION ("p0"…,
       // rename-stable); surface them by the deriving field's readable
-      // name — `o_orderstatus` or `month(o_orderdate)` — under the
-      // spec id the file was written with
-      def partMap(f: DataFileEntry): Map[String, String] = {
-        val spec = m.specFor(f)
-        f.partitionValues.map { case (k, v) =>
-          val readable = (if (k.startsWith("p")) k.drop(1).toIntOption else None)
-            .flatMap(spec.lift).map(pf =>
-              if (pf.transform == "identity") pf.source
-              else s"${pf.transform}(${pf.source})")
-          readable.getOrElse(k) -> v
-        }
-      }
+      // render under the spec id the file was written with
+      def partMap(f: DataFileEntry): Map[String, String] =
+        m.readablePartition(f)
 
       def fileRow(content: String, f: DataFileEntry): InternalRow =
         new GenericInternalRow(Array[Any](
@@ -253,15 +244,34 @@ private[sql] object LakeMetadataTables {
         }.toArray
 
         case "partitions" =>
-          guardRows(m.currentSnapshot.map(_.fileCount).getOrElse(0L))
-          m.currentSnapshot.map(_.files).getOrElse(Nil)
-            .groupBy(f => (partMap(f), f.specId)).toSeq
-            .sortBy(_._1._1.toSeq.sortBy(_._1).mkString(","))
-            .map { case ((pv, specId), fs) =>
-              new GenericInternalRow(Array[Any](
-                strMap(pv), specId, fs.size.toLong,
-                fs.map(_.recordCount).sum, fs.map(_.sizeBytes).sum))
-            }.toArray
+          // a partition-statistics doc for the CURRENT snapshot (see
+          // LakeTable.computePartitionStats) answers O(#partitions)
+          // with no manifest load and NO row guard — the stats file is
+          // rollup-sized by construction; otherwise fall back to the
+          // guarded manifest walk
+          t.partitionStatsJsonFor(m.currentSnapshotId) match {
+            case Some(json) =>
+              val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+              import scala.jdk.CollectionConverters._
+              mapper.readTree(json).get("partitions").elements().asScala.map { p =>
+                val vals = p.get("values").properties().asScala
+                  .map(e => e.getKey -> e.getValue.asText()).toMap
+                new GenericInternalRow(Array[Any](
+                  strMap(vals), p.get("specId").asInt(),
+                  p.get("fileCount").asLong(), p.get("recordCount").asLong(),
+                  p.get("sizeBytes").asLong())): InternalRow
+              }.toArray
+            case None =>
+              guardRows(m.currentSnapshot.map(_.fileCount).getOrElse(0L))
+              m.currentSnapshot.map(_.files).getOrElse(Nil)
+                .groupBy(f => (partMap(f), f.specId)).toSeq
+                .sortBy(_._1._1.toSeq.sortBy(_._1).mkString(","))
+                .map { case ((pv, specId), fs) =>
+                  new GenericInternalRow(Array[Any](
+                    strMap(pv), specId, fs.size.toLong,
+                    fs.map(_.recordCount).sum, fs.map(_.sizeBytes).sum))
+                }.toArray
+          }
 
         case "entries" =>
           val s = m.currentSnapshot

@@ -438,6 +438,21 @@ private[sql] object LakeProcedures {
       }
     },
 
+    // Iceberg's compute_partition_stats: per-partition rollups into an
+    // immutable stats doc; the `partitions` inspection table then
+    // answers from it with no manifest load (and no row cap)
+    "compute_partition_stats" -> new LakeProcedure(lake, "compute_partition_stats",
+      Seq("table" -> StringType),
+      StructType(Seq(
+        StructField("analyzed_snapshot_id", LongType, nullable = false),
+        StructField("partition_count", IntegerType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val t = table(args)
+        val n = t.computePartitionStats()
+        new GenericInternalRow(Array[Any](t.currentSnapshotId, n))
+      }
+    },
+
     "set_write_order" -> new LakeProcedure(lake, "set_write_order",
       Seq("table" -> StringType, "order" -> StringType),
       StructType(Seq(

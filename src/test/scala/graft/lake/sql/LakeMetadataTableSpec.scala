@@ -163,6 +163,49 @@ class LakeMetadataTableSpec extends LakeSuite {
     assert(dv.map(r => r.getString(0) -> r.getLong(1)).toMap === Map("dv" -> nF))
   }
 
+  test("partition statistics files serve the partitions table without manifests") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.metaps", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.metaps.warehouse", wh)
+    spark.sql("CREATE NAMESPACE metaps.ns")
+    val cat = LakeCatalog.open(wh)
+    val t = cat.createTable("ns", "ps", ordersDF.schema,
+      spec = Seq(graft.lake.PartitionField("o_orderstatus", "identity")))
+    t.appendData(ordersDF, numFiles = 6)
+    // manifest-walk baseline, BEFORE stats exist
+    val baseline = spark.sql(
+      "SELECT partition['o_orderstatus'] AS st, file_count, record_count, " +
+        "total_size_bytes FROM metaps.ns.ps.partitions ORDER BY st").collect()
+    val row = spark.sql(
+      s"CALL metaps.system.compute_partition_stats('ns.ps')").head
+    assert(row.getLong(0) === t.refresh().currentSnapshotId)
+    assert(row.getInt(1) === baseline.length)
+    // stats-file-served path answers IDENTICALLY — even under a row cap
+    // that would refuse the manifest walk (proving no manifest load)
+    t.refresh().setProperty("metadata-tables.max-rows", "1")
+    val served = spark.sql(
+      "SELECT partition['o_orderstatus'] AS st, file_count, record_count, " +
+        "total_size_bytes FROM metaps.ns.ps.partitions ORDER BY st").collect()
+    assert(served.map(_.toSeq).toSeq === baseline.map(_.toSeq).toSeq)
+    // a new commit outdates the doc: falls back (and the tiny cap now
+    // refuses loudly, proving the stale doc is NOT served)
+    t.refresh().appendData(ordersDF.limit(7)
+      .withColumn("o_orderkey", col("o_orderkey") + 700000000L))
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM metaps.ns.ps.partitions").collect())
+    def causes(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: causes(x.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+      .exists(_.contains("metadata-tables.max-rows"))))
+    // expiry dereferences the old snapshot's doc; orphan sweep reclaims
+    t.refresh().setProperty("metadata-tables.max-rows", "1000000")
+    val docName = t.refresh().metadata.partitionStats.head.name
+    t.refresh().expireSnapshots(keepLast = 1)
+    assert(t.refresh().metadata.partitionStats.isEmpty)
+    t.removeOrphanFiles()
+    assert(cat.backend.get(cat.metadataDir("ns", "ps").resolve(docName)).isEmpty)
+  }
+
   test("entries, all_data_files, all_manifests, metadata_log_entries") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.metae", classOf[LakeSqlCatalog].getName)
