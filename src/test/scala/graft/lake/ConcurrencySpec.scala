@@ -145,4 +145,38 @@ class ConcurrencySpec extends LakeSuite {
         firstTen.filter(col("o_totalprice") < 400000.0).count()
     assert(cat.loadTable("ns", "cow").newScan().toDF(spark).count() === expected)
   }
+
+  test("racing CREATE OR REPLACE VIEW commits all land; version log complete") {
+    // the view log uses the same putIfAbsent CAS as table commits: 8
+    // racing replaces must each land ONE version (losers retry on
+    // fresh state, no dropped or duplicated versions), and the final
+    // doc must be one of the racers' definitions intact
+    val cat = LakeCatalog.open(freshWarehouse(), new SimpleMetrics,
+      new InMemoryCommitBackend)
+    cat.createNamespace("ns")
+    val schema = new org.apache.spark.sql.types.StructType().add("c", "int")
+    val results = Await.result(Future.sequence((0 until 8).map { i =>
+      Future(cat.replaceView("ns", "v") { cur =>
+        val nextId = cur.map(_.currentVersionId + 1).getOrElse(1)
+        val ver = ViewVersion(nextId, 1000L + nextId, s"SELECT $i AS c",
+          schema, "cat", Seq("ns"), Seq("c"), Seq("c"), Seq(""))
+        ViewDoc("ns.v", nextId,
+          cur.map(_.versions).getOrElse(Nil) :+ ver,
+          Map("racer" -> i.toString))
+      })
+    }), 60.seconds)
+    assert(results.size === 8)
+    val doc = cat.loadView("ns", "v").get
+    // final state is exactly one racer's write, not a merge artifact;
+    // the full definition history (one version per landed replace)
+    // survived the race — each racer appended to the CURRENT log
+    assert(doc.properties.get("racer")
+      .exists(r => doc.current.sql == s"SELECT $r AS c"))
+    assert(doc.currentVersionId === doc.versions.size)
+    assert(doc.versions.map(_.versionId) === (1 to doc.versions.size))
+    // the version log recorded every landed replace: the final doc's
+    // currentVersionId (asserted == versions.size above) must be 8 —
+    // create counts as v1, each racing replace appended exactly one
+    assert(doc.currentVersionId === 8)
+  }
 }
