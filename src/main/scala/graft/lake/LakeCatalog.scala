@@ -75,7 +75,7 @@ final class LakeCatalog private (
     resolveTableRoot(ns, name)
       .exists(r => currentVersion(r.resolve("metadata")).isDefined)
 
-  private def tableDir(ns: String, name: String): LakePath = warehouse.resolve(ns).resolve(name)
+  private[lake] def tableDir(ns: String, name: String): LakePath = warehouse.resolve(ns).resolve(name)
 
   /** Resolve a table NAME to its physical root. Names decouple from
     * paths through two small documents in the name's directory:
@@ -233,6 +233,52 @@ final class LakeCatalog private (
       snapshots = Nil, currentSnapshotId = -1L,
       sortOrder = sortOrder, sortOrderKind = sortOrderKind).withFieldIdDefaults
     // same CAS as commit(): racing creators — exactly one wins
+    if (!backend.putIfAbsent(md.resolve("v1.json"), MetadataJson.write(meta)))
+      throw new IllegalArgumentException(s"table $ns.$name already exists")
+    writeHint(md, 1)
+    new LakeTable(this, ns, name, meta, 1)
+  }
+
+  /** ATOMIC staged create (CTAS): like [[createTable]], but `v1.json`
+    * already references pre-written data files — ONE putIfAbsent makes
+    * the table and its data visible together, so a CREATE TABLE AS
+    * SELECT never exposes an empty or partially-loaded table and a
+    * crash before the CAS leaves nothing visible (stray staged files
+    * are unreferenced garbage). The entries must have been written
+    * under [[TableMetadata.withFieldIdDefaults]] positional IDs for
+    * this (ns, name, schema, spec) — the same IDs this metadata
+    * assigns. */
+  private[lake] def createTableWithData(ns: String, name: String,
+      schema: StructType, spec: Seq[PartitionField],
+      entries: Seq[DataFileEntry]): LakeTable = {
+    val root = tableDir(ns, name)
+    if (backend.get(root.resolve(LakeCatalog.MovedDoc)).isDefined)
+      throw new IllegalArgumentException(
+        s"name $ns.$name was retired by RENAME TABLE; its directory still " +
+          "hosts the renamed table's storage")
+    val md = root.resolve("metadata")
+    if (tableExists(ns, name))
+      throw new IllegalArgumentException(s"table $ns.$name already exists")
+    if (viewExists(ns, name))
+      throw new IllegalArgumentException(s"view $ns.$name already exists")
+    backend.ensureDir(md)
+    DataFs.mkdirs(root)
+    val meta0 = TableMetadata(s"$ns.$name", root.uri, schema, spec,
+      snapshots = Nil, currentSnapshotId = -1L).withFieldIdDefaults
+    val stamped = entries.map(_.copy(seq = 1L, specId = meta0.currentSpecId))
+    val manifest = writeManifest(md, stamped, keyTypes = meta0.statKeyTypes)
+    val listName = writeManifestList(md, Seq(manifest))
+    val snap = Snapshot(1L, None, System.currentTimeMillis(), "append",
+      listName, fileCount = manifest.fileCount,
+      totalRecords = manifest.recordCount, totalSizeBytes = manifest.sizeBytes,
+      summary = Map(
+        "added-data-files" -> stamped.size.toString,
+        "removed-data-files" -> "0",
+        "added-records" -> stamped.map(_.recordCount).sum.toString,
+        "added-delete-files" -> "0",
+        "added-position-deletes" -> "0",
+        "added-equality-deletes" -> "0"))(manifestIO(md))
+    val meta = meta0.copy(snapshots = Seq(snap), currentSnapshotId = 1L)
     if (!backend.putIfAbsent(md.resolve("v1.json"), MetadataJson.write(meta)))
       throw new IllegalArgumentException(s"table $ns.$name already exists")
     writeHint(md, 1)

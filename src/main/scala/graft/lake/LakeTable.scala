@@ -1073,6 +1073,37 @@ final class LakeTable private[lake] (
         .filter(j => LakeTable.parseColStatsSnapshot(j).contains(snapshotId)))
   }
 
+  /** ATOMIC staged replace (RTAS): ONE CAS swaps schema, spec, field
+    * ids AND data — readers see the old table or the finished new one,
+    * never the drop/create gap (or data-less window) of Spark's
+    * non-atomic REPLACE TABLE AS SELECT fallback. `template` is the
+    * ephemeral metadata the staged entries were WRITTEN under (its
+    * positional field ids key their footer stats); history RESETS to
+    * the single replace snapshot — REPLACE TABLE is a new table at the
+    * old name/location (the non-atomic path literally drops it), and
+    * carrying old snapshots would let time travel read old manifests
+    * under the new schema's ids. Old manifests, stats docs and refs
+    * become orphans the sweep reclaims. */
+  def replaceContentsWith(template: TableMetadata,
+      entries: Seq[DataFileEntry]): CommitReport = {
+    val fresh = template.withFieldIdDefaults
+    commitSnapshot("replace", entries, Nil, replaceAll = true,
+      keyTypesOverride = Some(fresh.statKeyTypes),
+      transformMeta = m => {
+        val snap = m.snapshots.lastOption.getOrElse(throw new IllegalStateException(
+          s"replace commit on $name lost its snapshot"))
+        m.copy(schema = fresh.schema,
+          spec = fresh.spec, specLog = Seq(fresh.spec),
+          fieldIds = fresh.fieldIds,
+          lastAssignedFieldId = fresh.lastAssignedFieldId,
+          snapshots = Seq(snap), currentSnapshotId = snap.id,
+          nameMapping = Map.empty, initialDefaults = Map.empty,
+          properties = Map.empty, refs = Map.empty,
+          sortOrder = Nil, sortOrderKind = "linear",
+          statsFiles = Nil, partitionStats = Nil)
+      })
+  }
+
   /** PARTITION STATISTICS (Iceberg's partition-statistics files):
     * roll the current snapshot's per-partition-tuple file/record/byte
     * counts into an immutable `stats-*.json` document referenced from
@@ -2378,6 +2409,9 @@ final class LakeTable private[lake] (
       dropDeletes: Boolean = false,
       toBranch: Option[String] = None,
       stageOnly: Boolean = false,
+      // staged-replace (RTAS): the added entries' stats are keyed by
+      // the REPLACEMENT schema's field ids, not the current metadata's
+      keyTypesOverride: Option[Map[String, org.apache.spark.sql.types.DataType]] = None,
       // extra metadata transform applied to the committed result INSIDE
       // the CAS (addFiles rides its name-mapping freeze on this) — runs
       // against the winner's metadata on every retry, so it must be
@@ -2415,7 +2449,8 @@ final class LakeTable private[lake] (
       // data manifests carry rollup skip stats typed under the schema
       // the commit lands on (stat strings are canonical, so a later
       // widen still compares correctly at scan time)
-      val keyTypes = latest.withFieldIdDefaults.statKeyTypes
+      val keyTypes =
+        keyTypesOverride.getOrElse(latest.withFieldIdDefaults.statKeyTypes)
       val addedRef = if (added.nonEmpty)
         Some(catalog.writeManifest(md, added.map(_.copy(seq = newId)),
           keyTypes = keyTypes)) else None

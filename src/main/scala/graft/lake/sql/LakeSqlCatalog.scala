@@ -40,7 +40,8 @@ import graft.lake.{LakeCatalog, LakePredicate, LakeTable, PartitionField}
   * the transactional Scala API (LakeTable updateWhere/mergeInto).
   */
 class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog with FunctionCatalog with ViewCatalog {
+    with ProcedureCatalog with FunctionCatalog with ViewCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   private var lake: LakeCatalog = _
 
@@ -187,6 +188,98 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
       f.copy(metadata = b.build())
     })
     createTableWithDefaults(ident, cleaned, defaults, partitions, properties)
+  }
+
+  // ---- StagingTableCatalog: ATOMIC CTAS / RTAS ----
+  // Spark's fallback without this catalog is non-atomic: CTAS exposes
+  // an empty-then-partial table while the query runs, RTAS literally
+  // drops the old table before writing the new one (a crash loses
+  // both). Staged, the data files are written FIRST — into the final
+  // table location under ephemeral metadata carrying the new schema's
+  // positional field ids, invisible because nothing references them —
+  // and visibility is ONE CAS: createTableWithData's v1.json already
+  // holds the data snapshot; replaceContentsWith swaps schema, spec,
+  // ids and data in one commit. Abort deletes the staged files.
+
+  private sealed trait StageMode
+  private object StageCreate extends StageMode
+  private object StageReplace extends StageMode
+  private object StageCreateOrReplace extends StageMode
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident))
+      throw new IllegalArgumentException(s"table $ident already exists")
+    new StagedLakeTable(ns1(ident.namespace), ident.name, info, StageCreate)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new StagedLakeTable(ns1(ident.namespace), ident.name, info, StageReplace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    new StagedLakeTable(ns1(ident.namespace), ident.name, info, StageCreateOrReplace)
+
+  private final class StagedLakeTable(ns: String, tname: String,
+      info: org.apache.spark.sql.connector.catalog.TableInfo, mode: StageMode)
+      extends org.apache.spark.sql.connector.catalog.StagedTable
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    private val tschema = info.schema()
+    private val spec = info.partitions().toSeq.map(LakeSqlCatalog.toPartitionField)
+    private val template = graft.lake.TableMetadata(s"$ns.$tname",
+      lake.tableDir(ns, tname).uri, tschema, spec,
+      snapshots = Nil, currentSnapshotId = -1L).withFieldIdDefaults
+    @volatile private var staged: Seq[graft.lake.DataFileEntry] = Nil
+
+    override def name(): String = s"$ns.$tname"
+    override def schema(): StructType = tschema
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+    override def newWriteBuilder(
+        winfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder = {
+      import org.apache.spark.sql.connector.write.{SupportsTruncate, V1Write, WriteBuilder}
+      new WriteBuilder with SupportsTruncate {
+        // the staged table has no prior data — truncate is vacuous
+        override def truncate(): WriteBuilder = this
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          new V1Write {
+            override def toInsertableRelation
+                : org.apache.spark.sql.sources.InsertableRelation =
+              (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+                val writer = new graft.lake.LakeTable(
+                  lake, ns, tname, template, 0)
+                val aligned = data.select(tschema.fields.map(f =>
+                  org.apache.spark.sql.functions.col(f.name)
+                    .cast(f.dataType).as(f.name)): _*)
+                staged = writer.writeDataFiles(aligned)
+                ()
+              }
+          }
+      }
+    }
+
+    override def commitStagedChanges(): Unit = mode match {
+      case StageCreate =>
+        lake.createTableWithData(ns, tname, tschema, spec, staged); ()
+      case StageReplace =>
+        lake.loadTable(ns, tname).replaceContentsWith(template, staged); ()
+      case StageCreateOrReplace =>
+        if (lake.tableExists(ns, tname))
+          lake.loadTable(ns, tname).replaceContentsWith(template, staged)
+        else lake.createTableWithData(ns, tname, tschema, spec, staged)
+        ()
+    }
+
+    override def abortStagedChanges(): Unit =
+      staged.foreach(e => scala.util.Try(graft.lake.DataFs.delete(e.path)))
   }
 
   private def createTableWithDefaults(ident: Identifier, schema: StructType,

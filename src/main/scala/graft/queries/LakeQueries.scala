@@ -683,6 +683,30 @@ object LakeQueries {
          |ORDER BY metric""".stripMargin)
   }
 
+  /** CTAS → RTAS through the V2 catalog: CREATE TABLE AS SELECT
+    * derives schema + data from a query in one statement, REPLACE
+    * TABLE AS SELECT swaps the definition wholesale; the read back
+    * proves the replace (not the original) is what's served, through
+    * the same manifest-commit write path as INSERT. */
+  def lakeCtas(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val wh = Files.createTempDirectory("graft_ctas_").toString
+    val name = s"ctas_${java.lang.Long.toHexString(System.nanoTime())}"
+    s.conf.set(s"spark.sql.catalog.$name", classOf[graft.lake.sql.LakeSqlCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $name.q")
+    src.createOrReplaceTempView(s"${name}_orders_src")
+    s.sql(
+      s"""CREATE TABLE $name.q.big AS
+         |SELECT o_orderstatus, o_totalprice FROM ${name}_orders_src""".stripMargin)
+    s.sql(
+      s"""REPLACE TABLE $name.q.big AS
+         |SELECT o_orderstatus AS st, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS sum_price
+         |FROM ${name}_orders_src GROUP BY o_orderstatus""".stripMargin)
+    s.sql(s"SELECT st, n, sum_price FROM $name.q.big ORDER BY st")
+  }
+
   def lakeSqlSelect(s: SparkSession, d: String): DataFrame = {
     val catName = sqlOrdersCatalog(sqlCatalogs, s, d, "lakesql")(_ => ())
     s.sql(
@@ -978,6 +1002,7 @@ object LakeQueries {
     "lake_sql_select" -> lakeSqlSelect,
     "lake_view" -> lakeView,
     "lake_inspect" -> lakeInspect,
+    "lake_ctas" -> lakeCtas,
     "lake_metadata_cols" -> lakeMetadataCols,
     "lake_partition_meta" -> lakePartitionMeta,
     "lake_copartition_join" -> lakeCopartitionJoin,
@@ -1086,6 +1111,10 @@ object LakeQueries {
         |  min(o_orderkey) AS min_key
         |FROM orders WHERE o_orderstatus <> 'P'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "lake_ctas" ->
+      """SELECT o_orderstatus AS st, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // 3 metadata versions = create + 2 appends; 4 files = 2 pinned per
     // commit; the entries split mirrors the even/odd commit split
     "lake_inspect" ->
