@@ -209,23 +209,10 @@ final class LakeCatalog private (
         graft.functions.ZOrder.supported(schema(c).dataType),
         s"column $c: type ${schema(c).dataType.simpleString} has no z-order encoding"))
     }
-    val root = tableDir(ns, name)
-    // a renamed-away name's directory physically hosts the renamed
-    // table's files — reusing the name would collide with them
-    if (backend.get(root.resolve(LakeCatalog.MovedDoc)).isDefined)
-      throw new IllegalArgumentException(
-        s"name $ns.$name was retired by RENAME TABLE; its directory still " +
-          "hosts the renamed table's storage")
-    val md = root.resolve("metadata")
-    if (tableExists(ns, name))
-      throw new IllegalArgumentException(s"table $ns.$name already exists")
-    if (viewExists(ns, name))
-      throw new IllegalArgumentException(s"view $ns.$name already exists")
-    backend.ensureDir(md)
     // data directories live wherever the warehouse URI points (Spark
     // parquet I/O resolves the same Hadoop FileSystem), whatever backend
-    // holds the metadata documents
-    DataFs.mkdirs(tableDir(ns, name))
+    // holds the metadata documents (prepareCreate's mkdirs)
+    val (_, md) = prepareCreate(ns, name)
     // positional field IDs 1..n at creation (reference schemas carry
     // explicit IDs, IntegrationTest.java:59-64); stable under rename,
     // never reused after drop
@@ -239,19 +226,21 @@ final class LakeCatalog private (
     new LakeTable(this, ns, name, meta, 1)
   }
 
-  /** ATOMIC staged create (CTAS): like [[createTable]], but `v1.json`
-    * already references pre-written data files — ONE putIfAbsent makes
-    * the table and its data visible together, so a CREATE TABLE AS
-    * SELECT never exposes an empty or partially-loaded table and a
-    * crash before the CAS leaves nothing visible (stray staged files
-    * are unreferenced garbage). The entries must have been written
-    * under [[TableMetadata.withFieldIdDefaults]] positional IDs for
-    * this (ns, name, schema, spec) — the same IDs this metadata
-    * assigns. */
-  private[lake] def createTableWithData(ns: String, name: String,
-      schema: StructType, spec: Seq[PartitionField],
-      entries: Seq[DataFileEntry]): LakeTable = {
+  /** The directory a table name's storage PHYSICALLY lives in:
+    * rename-resolved like [[metadataDir]] (a renamed-away source name
+    * keeps pointing at the hosting directory), falling back to the
+    * name's own dir for names that don't resolve yet (creation). */
+  private[lake] def tableRoot(ns: String, name: String): LakePath =
+    resolveTableRoot(ns, name).getOrElse(tableDir(ns, name))
+
+  /** Shared creation preamble: name-retirement, existence and view
+    * collision guards + directory init. Returns (root, metadata dir).
+    * Factored so [[createTable]] and [[createTableWithData]] can never
+    * drift on the naming rules. */
+  private def prepareCreate(ns: String, name: String): (LakePath, LakePath) = {
     val root = tableDir(ns, name)
+    // a renamed-away name's directory physically hosts the renamed
+    // table's files — reusing the name would collide with them
     if (backend.get(root.resolve(LakeCatalog.MovedDoc)).isDefined)
       throw new IllegalArgumentException(
         s"name $ns.$name was retired by RENAME TABLE; its directory still " +
@@ -263,8 +252,29 @@ final class LakeCatalog private (
       throw new IllegalArgumentException(s"view $ns.$name already exists")
     backend.ensureDir(md)
     DataFs.mkdirs(root)
+    (root, md)
+  }
+
+  /** ATOMIC staged create (CTAS): like [[createTable]], but `v1.json`
+    * already references pre-written data files — ONE putIfAbsent makes
+    * the table and its data visible together, so a CREATE TABLE AS
+    * SELECT never exposes an empty or partially-loaded table and a
+    * crash before the CAS leaves nothing visible (stray staged files
+    * are unreferenced garbage). The entries must have been written
+    * under [[TableMetadata.withFieldIdDefaults]] positional IDs for
+    * this (ns, name, schema, spec) — the same IDs this metadata
+    * assigns. */
+  private[lake] def createTableWithData(ns: String, name: String,
+      schema: StructType, spec: Seq[PartitionField],
+      entries: Seq[DataFileEntry],
+      properties: Map[String, String] = Map.empty,
+      sortOrder: Seq[String] = Nil,
+      sortOrderKind: String = "linear"): LakeTable = {
+    val (root, md) = prepareCreate(ns, name)
     val meta0 = TableMetadata(s"$ns.$name", root.uri, schema, spec,
-      snapshots = Nil, currentSnapshotId = -1L).withFieldIdDefaults
+      snapshots = Nil, currentSnapshotId = -1L,
+      properties = properties, sortOrder = sortOrder,
+      sortOrderKind = sortOrderKind).withFieldIdDefaults
     val stamped = entries.map(_.copy(seq = 1L, specId = meta0.currentSpecId))
     val manifest = writeManifest(md, stamped, keyTypes = meta0.statKeyTypes)
     val listName = writeManifestList(md, Seq(manifest))

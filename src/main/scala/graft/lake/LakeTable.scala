@@ -1098,8 +1098,10 @@ final class LakeTable private[lake] (
           lastAssignedFieldId = fresh.lastAssignedFieldId,
           snapshots = Seq(snap), currentSnapshotId = snap.id,
           nameMapping = Map.empty, initialDefaults = Map.empty,
-          properties = Map.empty, refs = Map.empty,
-          sortOrder = Nil, sortOrderKind = "linear",
+          // the REPLACEMENT definition's properties/sort order — the
+          // old table's config is dropped with its schema
+          properties = fresh.properties, refs = Map.empty,
+          sortOrder = fresh.sortOrder, sortOrderKind = fresh.sortOrderKind,
           statsFiles = Nil, partitionStats = Nil)
       })
   }

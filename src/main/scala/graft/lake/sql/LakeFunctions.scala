@@ -75,8 +75,11 @@ object LakeFunctions {
       if (fn == "days") DateType else IntegerType
     override def name(): String = fn
     override def canonicalName(): String = s"graft.$fn(${colType.catalogString})"
-    override def isResultNullable: Boolean = false
+    // NULL in, NULL out — without the check a null date would unbox to
+    // epoch and silently report 1970 instead of null
+    override def isResultNullable: Boolean = true
     override def produceResult(input: InternalRow): Integer = {
+      if (input.isNullAt(0)) return null
       val utc = java.time.ZoneOffset.UTC
       val zdt = colType match {
         case DateType =>
@@ -115,12 +118,11 @@ object LakeFunctions {
     override def resultType(): DataType = StringType
     override def name(): String = "truncate"
     override def canonicalName(): String = "graft.truncate(string)"
-    override def isResultNullable: Boolean = false
+    override def isResultNullable: Boolean = true
     override def produceResult(input: InternalRow)
         : org.apache.spark.unsafe.types.UTF8String = {
-      val w = input.getInt(0)
-      val s = input.getUTF8String(1)
-      s.substring(0, math.min(w, s.numChars()))
+      if (input.isNullAt(1)) return null
+      LakeFunctions.truncateUtf16(input.getInt(0), input.getUTF8String(1))
     }
   }
 
@@ -142,13 +144,23 @@ object LakeFunctions {
     override def resultType(): DataType = StringType
     override def name(): String = s"truncate$w"
     override def canonicalName(): String = s"graft.truncate[$w](string)"
-    override def isResultNullable: Boolean = false
+    override def isResultNullable: Boolean = true
     override def produceResult(input: InternalRow)
         : org.apache.spark.unsafe.types.UTF8String = {
-      val s = input.getUTF8String(0)
-      s.substring(0, math.min(w, s.numChars()))
+      if (input.isNullAt(0)) return null
+      LakeFunctions.truncateUtf16(w, input.getUTF8String(0))
     }
   }
+
+  /** UTF-16-unit prefix, matching the WRITE path's stat derivation
+    * (String.take(w) in StatsHarvester.applyTransform) — a code-point
+    * substring would disagree on supplementary characters and make the
+    * published transform compute different keys than the manifests'
+    * rendered partition values. */
+  private[sql] def truncateUtf16(w: Int,
+      s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s.toString.take(w))
 
   final case class BucketBound(colType: DataType) extends ScalarFunction[Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, colType)

@@ -253,7 +253,13 @@ private[sql] object LakeMetadataTables {
             case Some(json) =>
               val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
               import scala.jdk.CollectionConverters._
-              mapper.readTree(json).get("partitions").elements().asScala.map { p =>
+              val parts = mapper.readTree(json).get("partitions")
+              // rollup-sized by construction — but partition cardinality
+              // can approach file cardinality (near-unique identity
+              // keys), so the driver cap still applies before any row
+              // materializes
+              guardRows(parts.size().toLong)
+              parts.elements().asScala.map { p =>
                 val vals = p.get("values").properties().asScala
                   .map(e => e.getKey -> e.getValue.asText()).toMap
                 new GenericInternalRow(Array[Any](

@@ -97,9 +97,17 @@ private[sql] object LakeProcedures {
       override protected def run(args: InternalRow): InternalRow = {
         val t = table(args)
         val cutoff = args.getLong(1)
-        val target = t.snapshots.filter(_.timestampMs <= cutoff)
+        // candidates = ANCESTORS of the current snapshot only (table
+        // history, like Iceberg's procedure): the raw log also holds
+        // WAP-staged and branch-only commits, and "rolling back" onto
+        // one would publish unaudited data or move main onto a branch
+        val m = t.metadata
+        val ancestors = Iterator.iterate(m.currentSnapshot)(
+          _.flatMap(_.parentId).flatMap(m.snapshot))
+          .takeWhile(_.isDefined).flatten.toSeq
+        val target = ancestors.filter(_.timestampMs <= cutoff)
           .sortBy(_.id).lastOption.getOrElse(throw new IllegalArgumentException(
-            s"no snapshot of ${t.name} at or before ${cutoff}ms"))
+            s"no ancestor snapshot of ${t.name} at or before ${cutoff}ms"))
         val prev = t.currentSnapshotId
         t.rollbackTo(target.id)
         new GenericInternalRow(Array[Any](prev, t.currentSnapshotId))

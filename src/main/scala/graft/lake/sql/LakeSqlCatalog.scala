@@ -232,9 +232,23 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
       with org.apache.spark.sql.connector.catalog.SupportsWrite {
     private val tschema = info.schema()
     private val spec = info.partitions().toSeq.map(LakeSqlCatalog.toPartitionField)
+    // TBLPROPERTIES carry through like the non-staged DDL path:
+    // write.sort-order parses to the clustering config, write.* keys
+    // persist, Spark-reserved keys (provider/location/owner/…) stay out
+    private val rawProps = info.properties().asScala.toMap
+    private val (sortOrder, orderKind) = rawProps.get("write.sort-order")
+      .map(LakeSqlCatalog.parseSortOrder).getOrElse((Nil, "linear"))
+    private val userProps = rawProps.filter { case (k, _) =>
+      k.startsWith("write.") && k != "write.sort-order" }
+    // location rename-resolved: RTAS on a renamed table must stage its
+    // files under the directory that PHYSICALLY hosts the table (the
+    // orphan sweep walks only metadata.location — files staged under
+    // the name's own dir would leak forever)
     private val template = graft.lake.TableMetadata(s"$ns.$tname",
-      lake.tableDir(ns, tname).uri, tschema, spec,
-      snapshots = Nil, currentSnapshotId = -1L).withFieldIdDefaults
+      lake.tableRoot(ns, tname).uri, tschema, spec,
+      snapshots = Nil, currentSnapshotId = -1L,
+      properties = userProps, sortOrder = sortOrder,
+      sortOrderKind = orderKind).withFieldIdDefaults
     @volatile private var staged: Seq[graft.lake.DataFileEntry] = Nil
 
     override def name(): String = s"$ns.$tname"
@@ -266,16 +280,37 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
       }
     }
 
+    private def create(): Unit = {
+      lake.createTableWithData(ns, tname, tschema, spec, staged,
+        properties = userProps, sortOrder = sortOrder,
+        sortOrderKind = orderKind)
+      ()
+    }
+
     override def commitStagedChanges(): Unit = mode match {
-      case StageCreate =>
-        lake.createTableWithData(ns, tname, tschema, spec, staged); ()
+      case StageCreate => create()
       case StageReplace =>
         lake.loadTable(ns, tname).replaceContentsWith(template, staged); ()
       case StageCreateOrReplace =>
-        if (lake.tableExists(ns, tname))
-          lake.loadTable(ns, tname).replaceContentsWith(template, staged)
-        else lake.createTableWithData(ns, tname, tschema, spec, staged)
-        ()
+        // exists-check-then-act retries: a concurrent creator between
+        // the check and the create CAS must flip the loser to the
+        // replace arm (and a concurrent drop flips it back) — CREATE
+        // OR REPLACE never fails with already-exists/no-such-table
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          try {
+            if (lake.tableExists(ns, tname))
+              lake.loadTable(ns, tname).replaceContentsWith(template, staged)
+            else create()
+            done = true
+          } catch {
+            case e: Exception if attempts < 5 &&
+              (e.getMessage != null && (e.getMessage.contains("already exists")
+                || e.getMessage.contains("no such table"))) => ()
+          }
+        }
     }
 
     override def abortStagedChanges(): Unit =

@@ -50,6 +50,21 @@ class StagedCtasSpec extends LakeSuite {
       .spec.map(_.render) === Seq("k"))
     assert(spark.sql(s"SELECT count(*) FROM $c.ns.p WHERE k = 1").head.getLong(0)
       === 30L)
+    // TBLPROPERTIES carry through the staged path like the plain DDL
+    // path: sort order parses into the clustering config, write.* keys
+    // persist (they silently vanished before the review fix)
+    spark.sql(s"CREATE TABLE $c.ns.props TBLPROPERTIES(" +
+      "'write.sort-order'='v', 'write.target-file-size-bytes'='1048576') " +
+      "AS SELECT CAST(id % 3 AS INT) AS k, id AS v FROM range(30)")
+    val tp = LakeCatalog.open(cat2wh).loadTable("ns", "props")
+    assert(tp.metadata.sortOrder === Seq("v"))
+    assert(tp.metadata.properties.get("write.target-file-size-bytes")
+      === Some("1048576"))
+    spark.sql(s"REPLACE TABLE $c.ns.props TBLPROPERTIES(" +
+      "'write.delete.mode'='merge-on-read') AS SELECT 1 AS a")
+    val tr = LakeCatalog.open(cat2wh).loadTable("ns", "props")
+    assert(tr.metadata.properties.get("write.delete.mode") === Some("merge-on-read"))
+    assert(tr.metadata.sortOrder === Nil) // the old config went with the old schema
   }
 
   test("RTAS atomically swaps schema, spec and data; history resets") {
