@@ -35,8 +35,8 @@ private[sql] object LakeMetadataTables {
   val kinds: Set[String] =
     Set("snapshots", "history", "files", "data_files", "delete_files",
       "manifests", "properties", "refs", "partitions", "entries",
-      "all_data_files", "all_manifests", "metadata_log_entries",
-      "position_deletes")
+      "all_data_files", "all_entries", "all_manifests",
+      "metadata_log_entries", "position_deletes")
 
   def table(lt: LakeTable, kind: String): Table = new LakeMetadataTable(lt, kind)
 
@@ -117,6 +117,15 @@ private[sql] object LakeMetadataTables {
     // earlier one; snapshot_id = the ADDING commit (the entry's data
     // sequence number doubles as it in this format)
     "entries" -> StructType(Seq(
+      StructField("status", IntegerType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = false)) ++
+      fileFields),
+    // `entries` over EVERY snapshot (Iceberg's `all_entries`): status
+    // is evaluated against the REFERENCING snapshot, so one file rows
+    // once as added (under its commit) and again as existing under
+    // each later snapshot that still carries it
+    "all_entries" -> StructType(Seq(
+      StructField("reference_snapshot_id", LongType, nullable = false),
       StructField("status", IntegerType, nullable = false),
       StructField("snapshot_id", LongType, nullable = false)) ++
       fileFields),
@@ -293,6 +302,22 @@ private[sql] object LakeMetadataTables {
             s.map(_.deleteFiles).getOrElse(Nil).map(entryRow("positional", _)) ++
             s.map(_.eqDeleteFiles).getOrElse(Nil).map(entryRow("equality", _)) ++
             s.map(_.dvFiles).getOrElse(Nil).map(entryRow("dv", _))).toArray
+
+        case "all_entries" =>
+          guardRows(m.snapshots.map(s => s.fileCount +
+            s.manifests.filter(_.content != ManifestRef.Data)
+              .map(_.fileCount).sum).sum)
+          m.snapshots.sortBy(_.id).flatMap { s =>
+            def entryRow(content: String, f: DataFileEntry): InternalRow = {
+              val status = if (f.seq == s.id) 1 else 0
+              new GenericInternalRow(Array[Any](s.id, status, f.seq) ++
+                fileRow(content, f).asInstanceOf[GenericInternalRow].values)
+            }
+            s.files.map(entryRow("data", _)) ++
+              s.deleteFiles.map(entryRow("positional", _)) ++
+              s.eqDeleteFiles.map(entryRow("equality", _)) ++
+              s.dvFiles.map(entryRow("dv", _))
+          }.toArray
 
         case "all_data_files" =>
           // union of live data files across EVERY snapshot, one row per

@@ -259,6 +259,17 @@ class LakeMetadataTableSpec extends LakeSuite {
       "SELECT count(DISTINCT reference_snapshot_id) FROM metae.ns.e.all_manifests")
       .head.getLong(0) === 3L)
 
+    // all_entries: per-snapshot entry view — a file rows as ADDED under
+    // its own commit and EXISTING under each later carrying snapshot
+    val allEnt = spark.sql(
+      "SELECT reference_snapshot_id, status, count(*) AS n " +
+        "FROM metae.ns.e.all_entries WHERE content = 'data' " +
+        "GROUP BY 1, 2 ORDER BY 1, 2").collect()
+    // snap1: 2 added; snap2: 2 existing + 3 added; snap3 (MoR delete):
+    // all 5 existing
+    assert(allEnt.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+      .map { case (_, st, n) => (st, n) } === Seq((1, 2L), (0, 2L), (1, 3L), (0, 5L)))
+
     // metadata_log_entries: one row per metadata version; the latest
     // row points at the current snapshot, the create version at none
     val log = spark.sql(

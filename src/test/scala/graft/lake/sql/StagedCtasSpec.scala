@@ -93,6 +93,29 @@ class StagedCtasSpec extends LakeSuite {
     assert(swept >= 0)
   }
 
+  test("racing CREATE OR REPLACE AS SELECT: both land, final state is one racer's") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (c, wh) = cat()
+    // the exists-check-then-act hole: both racers may see "missing" and
+    // try the create arm; the CAS loser must flip to replace, not fail
+    val results = Await.result(Future.sequence((0 until 4).map { i =>
+      Future(scala.util.Try(spark.sql(
+        s"CREATE OR REPLACE TABLE $c.ns.race AS SELECT $i AS racer, id FROM range(20)")))
+    }), 120.seconds)
+    assert(results.forall(_.isSuccess),
+      s"racers failed: ${results.collect { case scala.util.Failure(e) => e.getMessage }}")
+    // final state is exactly one racer's full write
+    val rows = spark.sql(s"SELECT DISTINCT racer FROM $c.ns.race").collect()
+    assert(rows.length === 1)
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.race").head.getLong(0) === 20L)
+    // one surviving snapshot per the replace semantics (or the single
+    // create if the winner created last); either way history is clean
+    val t = LakeCatalog.open(wh).loadTable("ns", "race")
+    assert(t.snapshots.size === 1)
+  }
+
   test("REPLACE of a missing table refuses; CREATE OR REPLACE creates it") {
     val (c, _) = cat()
     val e = intercept[Exception](spark.sql(
