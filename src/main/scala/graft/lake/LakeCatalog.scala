@@ -23,6 +23,29 @@ final class LakeCatalog private (
   def createNamespace(ns: String): Unit =
     backend.ensureDir(warehouse.resolve(ns))
 
+  /** Namespace key/value properties (Iceberg namespaces carry them):
+    * stored as one small JSON doc in the namespace dir, last-writer-
+    * wins (namespace config is operator-set, not contended like table
+    * commits). The doc name is underscored so [[listNamespaces]]'
+    * dir-only filter and table listings never mistake it for a table. */
+  def namespaceProperties(ns: String): Map[String, String] =
+    backend.get(warehouse.resolve(ns).resolve("_namespace.json"))
+      .map { json =>
+        val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty)
+
+  def setNamespaceProperties(ns: String, set: Map[String, String],
+      remove: Set[String] = Set.empty): Unit = {
+    require(listNamespaces().contains(ns), s"no such namespace $ns")
+    val next = (namespaceProperties(ns) ++ set) -- remove
+    def q(s: String) = new com.fasterxml.jackson.databind.ObjectMapper()
+      .writeValueAsString(s)
+    backend.putOverwrite(warehouse.resolve(ns).resolve("_namespace.json"),
+      next.toSeq.sortBy(_._1).map { case (k, v) => s"${q(k)}:${q(v)}" }
+        .mkString("{", ",", "}"))
+  }
+
   def listNamespaces(): Seq[String] =
     backend.listChildren(warehouse)
       .filter(n => backend.isDir(warehouse.resolve(n))) // stray files ≠ namespaces

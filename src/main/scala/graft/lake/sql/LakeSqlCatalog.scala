@@ -601,15 +601,31 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    util.Collections.emptyMap()
+    val m = new util.HashMap[String, String]()
+    lake.namespaceProperties(ns1(namespace)).foreach { case (k, v) => m.put(k, v) }
+    m
   }
 
   override def createNamespace(namespace: Array[String],
-      metadata: util.Map[String, String]): Unit =
-    lake.createNamespace(ns1(namespace))
+      metadata: util.Map[String, String]): Unit = {
+    val ns = ns1(namespace)
+    lake.createNamespace(ns)
+    // CREATE NAMESPACE ... WITH PROPERTIES; Spark-reserved keys
+    // (location/owner/comment arrive here too) persist alongside
+    val props = metadata.asScala.toMap
+    if (props.nonEmpty) lake.setNamespaceProperties(ns, props)
+  }
 
-  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
-    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+  /** `ALTER NAMESPACE ns SET/UNSET PROPERTIES` — the DSv2
+    * NamespaceChange surface over the namespace property doc. */
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val set = changes.collect {
+      case c: NamespaceChange.SetProperty => c.property -> c.value }.toMap
+    val remove = changes.collect {
+      case c: NamespaceChange.RemoveProperty => c.property }.toSet
+    lake.setNamespaceProperties(ns1(namespace), set, remove)
+  }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val ns = ns1(namespace)

@@ -437,4 +437,31 @@ class LakeSqlCatalogSpec extends LakeSuite {
       s"small lake dim did not broadcast:\n$planStr")
     assert(joined.count() > 0)
   }
+
+  test("namespace properties: WITH PROPERTIES, ALTER SET/UNSET, DESCRIBE, reopen") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.nsp", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.nsp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE nsp.ns WITH PROPERTIES ('team'='data', 'tier'='gold')")
+    def props() = spark.sql("DESCRIBE NAMESPACE EXTENDED nsp.ns").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .getOrElse("Properties", "")
+    assert(props().contains("team") && props().contains("gold"))
+    spark.sql("ALTER NAMESPACE nsp.ns SET PROPERTIES ('tier'='silver', 'pii'='false')")
+    assert(props().contains("silver") && props().contains("pii") &&
+      !props().contains("gold"))
+    spark.sql("ALTER NAMESPACE nsp.ns UNSET PROPERTIES ('team')")
+    assert(!props().contains("team"))
+    // durable across a cold catalog reopen
+    // Spark injects reserved keys (owner) at CREATE — they persist too
+    assert(LakeCatalog.open(wh).namespaceProperties("ns") -- Set("owner")
+      === Map("tier" -> "silver", "pii" -> "false"))
+    // the property doc is invisible to namespace/table listings
+    assert(spark.sql("SHOW TABLES IN nsp.ns").collect().isEmpty)
+    // missing namespace refuses
+    val e = intercept[Exception](spark.sql(
+      "ALTER NAMESPACE nsp.ghost SET PROPERTIES ('x'='1')"))
+    assert(e.getMessage.toLowerCase.contains("namespace") ||
+      e.getMessage.toLowerCase.contains("schema"))
+  }
 }
