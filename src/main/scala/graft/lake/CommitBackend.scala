@@ -58,6 +58,30 @@ private[lake] object DataFs {
     }
   }
 
+  /** Best-effort depth-first removal of EMPTY directories under `root`
+    * (root itself survives): the per-write UUID dirs the orphan sweep
+    * empties are FS-only debris — object stores have no directories, so
+    * failures are swallowed. Non-recursive deletes only: a dir that
+    * gained content between the listing and the delete is refused by
+    * the FS, never truncated. */
+  def deleteEmptyDirs(root: LakePath): Unit = {
+    val h = new HPath(root.uri)
+    try {
+      val fs = fsOf(h)
+      def sweep(dir: HPath): Boolean = { // true = dir is empty after sweep
+        var empty = true
+        fs.listStatus(dir).foreach { st =>
+          if (st.isDirectory) {
+            if (sweep(st.getPath)) { fs.delete(st.getPath, false); () }
+            else empty = false
+          } else empty = false
+        }
+        empty
+      }
+      if (fs.exists(h)) { sweep(h); () }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   def delete(p: String): Unit = {
     val h = new HPath(p)
     fsOf(h).delete(h, false)

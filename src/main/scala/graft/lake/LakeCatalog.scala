@@ -525,8 +525,17 @@ final class LakeCatalog private (
       attempts += 1
       val base = currentVersion(md).getOrElse(
         throw new IllegalStateException(s"table $ns.$name has no metadata"))
-      val next = transform(readMeta(md, base))
-      if (backend.putIfAbsent(md.resolve(s"v${base + 1}.json"), MetadataJson.write(next))) {
+      val latest = readMeta(md, base)
+      val next = transform(latest)
+      // IDENTITY transforms commit NOTHING: a scheduled maintenance
+      // loop (rewriteManifests below minManifests, expireSnapshots with
+      // nothing to expire) must converge on metadata VERSIONS too —
+      // byte-identical v{N+1} docs per cron tick grow the metadata dir
+      // unboundedly (old versions are never swept)
+      val nextJson = MetadataJson.write(next)
+      if (nextJson == MetadataJson.write(latest))
+        return (latest, base, attempts)
+      if (backend.putIfAbsent(md.resolve(s"v${base + 1}.json"), nextJson)) {
         writeHint(md, base + 1)
         return (next, base + 1, attempts)
       }

@@ -334,8 +334,12 @@ final class LakeTable private[lake] (
     * multi-GB broadcast. The delete manifests record exact sizes, so
     * the gate costs no IO. */
   private def deleteBroadcastBudget: Long =
-    meta.properties.get("read.delete.broadcast-bytes").map(_.toLong)
-      .getOrElse(64L << 20)
+    meta.properties.get("read.delete.broadcast-bytes").map(v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"table property read.delete.broadcast-bytes must be a plain " +
+            s"byte count, got '$v'")
+      }).getOrElse(64L << 20)
 
   /** Broadcast `df` only when the tombstone files' recorded bytes fit
     * [[deleteBroadcastBudget]]. */
@@ -420,7 +424,9 @@ final class LakeTable private[lake] (
     * per-row column without a literal map in codegen. */
   private def pathSeqLookup(spark: SparkSession, files: Seq[DataFileEntry],
       pathCol: String, seqCol: String): DataFrame = {
-    val rows = files.map(f => Row(f.path, f.seq))
+    // keyed in the reader's path render: the probe side is
+    // `_metadata.file_path` (see LakeTable.readerPath)
+    val rows = files.map(f => Row(LakeTable.readerPath(f.path), f.seq))
     spark.createDataFrame(
       new java.util.ArrayList[Row](rows.asJava),
       StructType(Seq(
@@ -657,7 +663,12 @@ final class LakeTable private[lake] (
   /** The exactly-once ledger: last committed streaming batch for a
     * sink id, from table properties (expiry-proof, O(1)). */
   def lastCommittedBatchId(sinkId: String): Option[Long] =
-    meta.properties.get(s"streaming.last-batch-id.$sinkId").map(_.toLong)
+    meta.properties.get(s"streaming.last-batch-id.$sinkId").map(v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt exactly-once ledger streaming.last-batch-id.$sinkId on " +
+            s"$name: '$v' is not a batch id")
+      })
 
   /** Maintenance: drop a retired sink's exactly-once ledger entry.
     * Every checkpoint wipe mints a new sink id and its key would
@@ -826,10 +837,20 @@ final class LakeTable private[lake] (
             require(!m.sortOrder.contains(colName),
               s"$colName is a write-order column; clear it with setWriteOrder first")
             // live equality tombstones key on this column's field ID;
-            // dropping it would detach them and resurrect deleted rows
+            // dropping it would detach them and resurrect deleted rows.
+            // Checked on main AND every ref head (a branch's tombstones
+            // would otherwise break every scanRef read forever —
+            // branches can't compact to self-repair, replace commits
+            // are main-only). Plain historical snapshots stay
+            // droppable-under: this format reads history under the
+            // CURRENT schema by design, and compact-then-drop is the
+            // documented repair (a full-history check would outlaw it).
+            val heads = (m.currentSnapshot.toSeq ++
+              m.refs.values.flatMap(r => m.snapshot(r.snapshotId))).distinct
             require(!m.fieldIds.get(colName).exists(id =>
-              m.currentSnapshot.exists(_.eqDeleteFiles.exists(_.eqFieldIds.contains(id)))),
-              s"$colName keys live equality-delete files; compact() first")
+              heads.exists(_.eqDeleteFiles.exists(_.eqFieldIds.contains(id)))),
+              s"$colName keys live equality-delete files (on main or a " +
+                "branch/tag head); compact() first")
             val retiredIds = m.fieldIds.collect { case (k, id)
               if k == colName || k.startsWith(colName + ".") => id }.toSet
             m.copy(
@@ -1005,6 +1026,10 @@ final class LakeTable private[lake] (
       s"no such column $c on $name"))
     targets.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
       s"analyze supports simple column names, got '$c'"))
+    targets.foreach(c => require(analyzable(schema(c).dataType),
+      s"column $c of $name is ${schema(c).dataType.simpleString}: complex " +
+        "types have no meaningful NDV/bounds — omit it (the default list " +
+        "skips unanalyzable columns automatically)"))
     val analyzedAt = currentSnapshotId
     val df = newScan().toDF(spark)
     val aggs = count(lit(1)).as("__rows") +: targets.flatMap { c =>
@@ -1306,7 +1331,8 @@ final class LakeTable private[lake] (
             .getOrElse(true)
         }
       val affected = live.filter(f =>
-        posTargets(f.path) || eqs.exists(e => eqAffects(e, f)))
+        posTargets(LakeTable.readerPath(f.path)) ||
+          eqs.exists(e => eqAffects(e, f)))
       if (affected.isEmpty)
         // only DANGLING tombstones remain (their data files were already
         // rewritten away): retire the delete manifests metadata-only
@@ -1684,10 +1710,12 @@ final class LakeTable private[lake] (
           }
         // rows are already filtered to the predicate: assignments apply
         // unconditionally (updateWhere's when(pred) guard is for whole-
-        // file rewrites)
-        val updated = assignments.foldLeft(matched: DataFrame) {
-          case (acc, (c, v)) => acc.withColumn(c, v)
-        }.select(schema.fieldNames.map(F.col): _*)
+        // file rewrites). ONE select so every assignment evaluates
+        // against the OLD row (SQL UPDATE semantics — a withColumn fold
+        // would feed later assignments the already-updated values)
+        val updated = matched.select(schema.fieldNames.map { c =>
+          assignments.get(c).map(_.as(c)).getOrElse(F.col(c))
+        }: _*)
         val added = writeDataFiles(updated)
         commitSnapshot("overwrite", added, Nil, addedDeletes = tombs,
           addedDvs = dvs,
@@ -1853,7 +1881,8 @@ final class LakeTable private[lake] (
         delta.put(ref, before.get(ref).map(dv.minus).getOrElse(dv))
       }
       val bc = spark.sparkContext.broadcast(delta)
-      val referenced = pFiles.filter(f => now.contains(f.path))
+      val referenced = pFiles.filter(f =>
+        now.contains(LakeTable.readerPath(f.path)))
       deletes += stampChange(
         readFilesWithPos(spark, referenced).filter(graft.functions.DvContains
           .column(col(LakeTable.PosFileCol), col(LakeTable.PosIdxCol), bc)),
@@ -2084,10 +2113,17 @@ final class LakeTable private[lake] (
         toBranch = branch)
     else {
       val df = readLive(spark, touched, snap)
-      val rewritten = assignments.foldLeft(df) { case (acc, (c, v)) =>
-        acc.withColumn(c, org.apache.spark.sql.functions.when(pred.toColumn, v)
-          .otherwise(org.apache.spark.sql.functions.col(c)))
-      }.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      // ONE select applies every assignment against the OLD row (SQL
+      // UPDATE semantics): a sequential withColumn fold would let
+      // `SET a = b, b = a` resolve b's expression against the
+      // already-updated a (no swap, silently wrong, and Map iteration
+      // order made it nondeterministic past 4 assignments)
+      import org.apache.spark.sql.functions.{col => fcol, when => fwhen}
+      val rewritten = df.select(schema.fieldNames.map { c =>
+        assignments.get(c)
+          .map(v => fwhen(pred.toColumn, v).otherwise(fcol(c)).as(c))
+          .getOrElse(fcol(c))
+      }: _*)
       val added = writeDataFiles(rewritten)
       commitSnapshot("overwrite", added, touched,
         validateAddedSince = Some((base, pred)), toBranch = branch)
@@ -2145,6 +2181,14 @@ final class LakeTable private[lake] (
     * serialize through the same CAS retry as everything else. */
   def appendDataToBranch(branch: String, df: DataFrame,
       numFiles: Int = 0): CommitReport = {
+    // fail a mistyped branch name in milliseconds, BEFORE the write
+    // job: the CAS transform would catch it too, but only after
+    // materializing the whole dataset as orphans (the commit re-checks
+    // inside the CAS regardless — this is an early exit, not the guard)
+    val ref = meta.refs.getOrElse(branch, throw new NoSuchElementException(
+      s"no branch '$branch' on $name"))
+    require(ref.kind == TableRef.Branch,
+      s"ref '$branch' of $name is a ${ref.kind}; only branches accept commits")
     val added = writeDataFiles(df, numFiles)
     commitSnapshot("append", added, Nil, toBranch = Some(branch))
   }
@@ -2238,8 +2282,18 @@ final class LakeTable private[lake] (
     * the ids expired. Expired snapshots are no longer time-travelable. */
   def expireSnapshots(keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    expireWhere((latest, snap) =>
-      latest.snapshots.sortBy(_.id).takeRight(keepLast).exists(_.id == snap.id))
+    // memoize the sorted keep-set per metadata instance: the callback
+    // runs once per snapshot (and re-runs per CAS retry) — re-sorting
+    // the whole log inside it made a 10k-snapshot expiry O(n² log n)
+    var memoFor: TableMetadata = null
+    var memo: Set[Long] = Set.empty
+    expireWhere { (latest, snap) =>
+      if (memoFor ne latest) {
+        memo = latest.snapshots.sortBy(_.id).takeRight(keepLast).map(_.id).toSet
+        memoFor = latest
+      }
+      memo(snap.id)
+    }
   }
 
   /** Shared expiry commit: drop snapshots failing `keep`; the current
@@ -2319,7 +2373,8 @@ final class LakeTable private[lake] (
     val removed = scala.collection.mutable.Buffer.empty[String]
     // Hadoop FileSystem walk: one code path for plain, file:// and
     // object-store warehouses (mtime comes from the store's own listing)
-    DataFs.listFilesRecursive(LakePath(location).resolve("data")).foreach {
+    val listing = DataFs.listFilesRecursive(LakePath(location).resolve("data"))
+    listing.foreach {
       case (p, mtimeMs) =>
         if ((p.endsWith(".parquet") || p.endsWith(".gdv")) &&
           !referenced(norm(p)) && mtimeMs <= cutoff) {
@@ -2327,6 +2382,23 @@ final class LakeTable private[lake] (
           removed += p
         }
     }
+    // Spark write markers (_SUCCESS) and their per-write UUID dirs:
+    // once a dir's last parquet is swept (or the write never committed)
+    // the marker and the empty dir are unbounded small-object debris on
+    // a heavy-churn table. A marker goes when NO live file shares its
+    // directory; empty dirs sweep best-effort after (object stores have
+    // no real dirs — deleteTree on a prefix with content is refused by
+    // the liveDirs check).
+    val liveDirs = referenced.map(p => p.substring(0, p.lastIndexOf('/')))
+    listing.foreach {
+      case (p, mtimeMs) =>
+        if (p.endsWith("/_SUCCESS") && mtimeMs <= cutoff &&
+          !liveDirs(norm(p).stripSuffix("/_SUCCESS"))) {
+          DataFs.delete(p)
+          removed += p
+        }
+    }
+    DataFs.deleteEmptyDirs(LakePath(location).resolve("data"))
     // manifest documents no surviving snapshot references (left behind by
     // expireSnapshots, lost CAS races, failed CoW attempts). No cutoff
     // filter is needed for CONCURRENT writers' in-flight manifests: a
@@ -2910,6 +2982,18 @@ object LakeTable {
       org.apache.spark.sql.types.LongType, nullable = false)))
   /** Temp column names for the MoR anti-joins (stripped before return). */
   private[lake] val PosFileCol = "__graft_file_path"
+
+  /** A manifest-recorded path in the RENDER Spark's
+    * `_metadata.file_path` uses (SparkPath's url-encoded form): every
+    * join or lookup between manifest entries and reader metadata must
+    * compare in ONE form — Hadoop's FileStatus renders `file:/a b`
+    * where the reader renders `file:/a%20b`, and a silent mismatch
+    * RESURRECTS merge-on-read deletes on any path with an encodable
+    * character. Tombstone/DV CONTENT already carries the reader form
+    * (coordinates are captured from `_metadata.file_path`); manifest
+    * entry paths carry the FileStatus form and normalize through here. */
+  private[lake] def readerPath(p: String): String =
+    org.apache.spark.paths.SparkPath.fromPathString(p).urlEncoded
   private[lake] val PosIdxCol = "__graft_row_pos"
   private val DataSeqCol = "__graft_data_seq"
   private val EqSeqCol = "__eq_seq"
@@ -2941,10 +3025,14 @@ object LakeTable {
       deletes: Seq[DataFileEntry]): Seq[DataFileEntry] = {
     val key = DeleteFieldIds("file_path").toString
     val ranges = deletes.map(e => (e.minValues.get(key), e.maxValues.get(key)))
-    files.filter(f => ranges.exists {
-      case (Some(lo), Some(hi)) => lo <= f.path && f.path <= hi
-      case _ => true
-    })
+    files.filter { f =>
+      // tombstone stats are over reader-form content (see readerPath)
+      val fp = readerPath(f.path)
+      ranges.exists {
+        case (Some(lo), Some(hi)) => lo <= fp && fp <= hi
+        case _ => true
+      }
+    }
   }
 
   /** Driver-side targeting of positional-tombstone FILES to a scan's
@@ -2959,7 +3047,9 @@ object LakeTable {
   private[lake] def narrowPosDeletes(posDeletes: Seq[DataFileEntry],
       scannedPaths: Seq[String]): Seq[DataFileEntry] = {
     if (posDeletes.isEmpty) return posDeletes
-    val sorted = scannedPaths.sorted.toIndexedSeq
+    // tombstone file_path STATS are over content captured from
+    // `_metadata.file_path`; the scanned paths arrive in manifest form
+    val sorted = scannedPaths.map(readerPath).sorted.toIndexedSeq
     val pathKey = DeleteFieldIds("file_path").toString
     posDeletes.filter { e =>
       (e.minValues.get(pathKey), e.maxValues.get(pathKey)) match {

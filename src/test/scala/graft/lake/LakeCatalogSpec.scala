@@ -215,12 +215,15 @@ class LakeCatalogSpec extends LakeSuite {
     // simulate a concurrent winner landing BETWEEN the version read and
     // the rename: the first transform invocation plants v2.json
     var calls = 0
+    // the transform must make a REAL change: identity transforms now
+    // short-circuit without committing (no-op convergence), which would
+    // bypass the CAS race this test exercises
     val (_, version, attempts) = cat.commit("ns", "t") { latest =>
       calls += 1
       if (calls == 1)
         java.nio.file.Files.writeString(md.resolve("v2.json"),
           MetadataJson.write(latest))
-      latest
+      latest.copy(properties = latest.properties + ("probe" -> "1"))
     }
     assert(attempts === 2)
     assert(version === 3) // v2 was the interloper; our commit landed as v3

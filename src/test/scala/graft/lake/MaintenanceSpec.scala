@@ -93,4 +93,25 @@ class MaintenanceSpec extends LakeSuite {
     t.appendData(ordersDF.coalesce(1))
     assertThrows[IllegalArgumentException](t.refresh().expireSnapshots(0))
   }
+
+  test("no-op maintenance commits nothing: metadata versions converge") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "quiet", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 2)
+    val v0 = t.refresh().version0
+    // nothing to expire, nothing to rewrite: a 5-minute cron loop on a
+    // quiet table must not write a byte-identical v{N+1}.json per tick
+    (0 until 3).foreach { _ =>
+      t.refresh().expireSnapshots(keepLast = 5)
+      t.refresh().rewriteManifests(minManifests = 100)
+    }
+    assert(t.refresh().version0 === v0,
+      "identity transforms must not mint metadata versions")
+    // a REAL change still commits
+    t.refresh().setProperty("k", "v")
+    assert(t.refresh().version0 === v0 + 1)
+    // and setting the SAME value again converges too
+    t.refresh().setProperty("k", "v")
+    assert(t.refresh().version0 === v0 + 1)
+  }
 }

@@ -168,4 +168,35 @@ class MoRDeleteSpec extends LakeSuite {
     val e = intercept[UnsupportedOperationException](scan.toBatch)
     assert(e.getMessage.contains("LakeSqlExtensions"))
   }
+
+  test("MoR deletes survive a warehouse path with URL-encodable characters") {
+    // manifest paths render unencoded (FileStatus) while the reader's
+    // _metadata.file_path renders url-encoded — on a path with a space
+    // an unnormalized join resurrects every MoR-deleted row silently
+    val wh = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(freshWarehouse(), "my lake")).toString
+    val cat = LakeCatalog.open(wh)
+    val t = cat.createTable("ns", "sp", ordersDF.schema)
+    t.appendData(ordersDF, numFiles = 3)
+    val nF = ordersDF.filter(org.apache.spark.sql.functions
+      .col("o_orderstatus") === "F").count()
+    // positional tombstones
+    t.refresh().deleteWhereMoR(spark, LakePredicate.Eq("o_orderstatus", "F"))
+    assert(t.refresh().newScan().toDF(spark).count() === ordersDF.count() - nF)
+    // equality tombstones (strictly-older seq scoping joins on paths too)
+    val upd = ordersDF.filter(org.apache.spark.sql.functions
+      .col("o_orderstatus") === "O").limit(5)
+      .withColumn("o_totalprice", org.apache.spark.sql.functions.lit(1.0))
+    t.refresh().mergeIntoMoR(spark, upd, Seq("o_orderkey"))
+    val got = t.refresh().newScan().toDF(spark)
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") === 1.0).count()
+    assert(got === 5L, "equality tombstones must apply under an encodable path")
+    assert(t.refresh().newScan().toDF(spark).count() === ordersDF.count() - nF)
+    // DV bitmaps too
+    val tv = cat.createTable("ns", "spdv", ordersDF.schema)
+    tv.setProperty("write.delete.vector.enabled", "true")
+    tv.refresh().appendData(ordersDF, numFiles = 3)
+    tv.refresh().deleteWhereMoR(spark, LakePredicate.Eq("o_orderstatus", "F"))
+    assert(tv.refresh().newScan().toDF(spark).count() === ordersDF.count() - nF)
+  }
 }

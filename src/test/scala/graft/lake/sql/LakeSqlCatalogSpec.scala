@@ -331,6 +331,20 @@ class LakeSqlCatalogSpec extends LakeSuite {
     // a condition with no exact manifest-predicate form is REFUSED
     intercept[Exception](
       spark.sql("UPDATE sqllake9.ns.t SET o_totalprice = 0.0 WHERE o_orderkey % 2 = 0"))
+
+    // SQL UPDATE semantics: ALL SET expressions evaluate against the
+    // OLD row — `SET a = b, b = a` must SWAP, on CoW and MoR alike (a
+    // sequential withColumn application left both columns equal)
+    for ((mode, tbl) <- Seq("copy-on-write" -> "swapc", "merge-on-read" -> "swapm")) {
+      spark.sql(s"CREATE TABLE sqllake9.ns.$tbl (k BIGINT, a BIGINT, b BIGINT) " +
+        s"TBLPROPERTIES('write.update.mode'='$mode')")
+      spark.sql(s"INSERT INTO sqllake9.ns.$tbl VALUES (1, 10, 20), (2, 30, 40)")
+      spark.sql(s"UPDATE sqllake9.ns.$tbl SET a = b, b = a WHERE k = 1")
+      assert(spark.sql(s"SELECT a, b FROM sqllake9.ns.$tbl WHERE k = 1").head.toSeq
+        === Seq(20L, 10L), s"$mode UPDATE must swap against the old row")
+      assert(spark.sql(s"SELECT a, b FROM sqllake9.ns.$tbl WHERE k = 2").head.toSeq
+        === Seq(30L, 40L))
+    }
   }
 
   test("SQL MERGE INTO routes through the transactional keyed merge") {
