@@ -3264,6 +3264,17 @@ final class LakeScan private[lake] (
   private[lake] def needsEngineRead: Boolean =
     hasLiveDeletes || planFiles.exists(_.nameMapped)
 
+  /** Cheap ANALYZER-TIME gate over [[needsEngineRead]]: manifest-list
+    * content types (one cached doc) + the table's frozen name mapping —
+    * no manifest documents load, no planning job runs, no ScanReport
+    * fires. False proves the direct parquet path is fine; true defers
+    * to the full check. Conservative on ever-imported tables (the
+    * mapping survives compaction), which only costs them the precise
+    * check, never a wrong plan. */
+  private[lake] def mayNeedEngineRead: Boolean =
+    snapshot.exists(_.manifests.exists(_.content != ManifestRef.Data)) ||
+      table.metadata.nameMapping.nonEmpty
+
   // ---- manifest-only aggregates (Iceberg's aggregate pushdown) ------
   // At 100 TB these turn a full scan into a driver-side metadata read:
   // COUNT/MIN/MAX answer from the manifests' recordCount / nullCount /

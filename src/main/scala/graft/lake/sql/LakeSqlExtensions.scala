@@ -164,8 +164,13 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Did AddMetadataColumns append `_file`/`_pos` to this relation?
     * (It only does so when the query references them.) */
-  private def hasMetaCols(r: DataSourceV2Relation): Boolean =
-    r.output.exists(a => LakeSqlTable.MetaColNames(a.name))
+  private def hasMetaCols(r: DataSourceV2Relation): Boolean = {
+    // a DATA column that happens to be named _file/_pos/… is the
+    // user's column, not a metadata reference — rerouting on the bare
+    // name would let the engine's position column silently SHADOW it
+    val dataNames = r.table.schema().fieldNames.toSet
+    r.output.exists(a => LakeSqlTable.MetaColNames(a.name) && !dataNames(a.name))
+  }
 
   /** Substitute a relation whose output carries the hidden metadata
     * columns with the engine's position-carrying read: the direct
@@ -195,7 +200,12 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
   private def morPlan(r: DataSourceV2Relation, t: LakeSqlTable,
       pred: LakePredicate): Option[LogicalPlan] = {
     val scan = t.fullScan(pred)
-    if (!scan.needsEngineRead) None
+    // cheap metadata-level gate FIRST (manifest-list content types +
+    // frozen name mapping — no manifest docs, no jobs, no ScanReport):
+    // this rule runs per analyzer fixed-point iteration on EVERY lake
+    // query, and the common tombstone-free table must cost nothing here
+    if (!scan.mayNeedEngineRead) None
+    else if (!scan.needsEngineRead) None
     else {
       val inner = PlanBridge.analyzedPlan(scan.toDF(SparkSession.active))
       // rebind to the relation's attribute ids: schema order and names
@@ -287,7 +297,14 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
     * references by name at run time because the rewrite re-reads the
     * files under fresh attribute ids. */
   private def assignmentEntry(a: Assignment): (String, Expression) = a.key match {
-    case attr: AttributeReference => attr.name -> a.value
+    case attr: AttributeReference =>
+      // a subquery value captures outer references whose exprIds can
+      // never rebind against the command's fresh re-read — refuse
+      // CLEANLY at analysis instead of dying unresolved at run()
+      if (a.value.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+        unsupported(s"UPDATE SET ${attr.name} = (subquery) is not supported")
+      attr.name -> a.value
     case other => unsupported(s"UPDATE of nested field ${other.sql} is not supported")
   }
 
@@ -325,9 +342,17 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
         "UPDATE SET * / WHEN NOT MATCHED THEN INSERT * (no action conditions)")
   }
 
+  /** Strip the wrappers the analyzer's assignment resolution adds
+    * around star-expanded values (Alias, ANY Cast — source/target type
+    * drift — and AssertNotNull for non-nullable targets): the canonical-
+    * upsert check cares about the value's IDENTITY, and LakeMergeCommand
+    * casts the source to the table schema regardless, so a widening
+    * wrapper must not refuse a perfectly canonical MERGE. */
   private def stripTrivial(e: Expression): Expression = e match {
     case Alias(child, _) => stripTrivial(child)
-    case c: Cast if c.child.dataType == c.dataType => stripTrivial(c.child)
+    case c: Cast => stripTrivial(c.child)
+    case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull =>
+      stripTrivial(a.child)
     case other => other
   }
 
@@ -337,7 +362,16 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
   private def mergeKeys(cond: Expression,
       targetOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
       sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): Seq[String] =
-    splitConjunctivePredicates(cond).map {
+    splitConjunctivePredicates(cond).map { p =>
+      // the analyzer wraps the narrower side in Cast when key types
+      // differ across sides — strip before shape-matching, the merge
+      // itself keys on the table schema's types
+      val stripped = p match {
+        case EqualTo(l, r) => EqualTo(stripTrivial(l), stripTrivial(r))
+        case other => other
+      }
+      stripped
+    }.map {
       case EqualTo(l: AttributeReference, r: AttributeReference)
           if l.name == r.name &&
             ((targetOut.contains(l) && sourceOut.contains(r)) ||

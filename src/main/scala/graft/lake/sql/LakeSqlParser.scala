@@ -34,10 +34,19 @@ private[sql] object SpecDsl {
 
   private val call = """(\w+)\s*\(([^)]*)\)""".r
 
+  /** Strip one layer of backtick quoting — the same treatment branch
+    * names and WRITE ORDERED BY columns get; without it
+    * `ADD PARTITION FIELD \`region\`` failed against a real column. */
+  private def unquoteId(s: String): String =
+    if (s.length >= 2 && s.startsWith("`") && s.endsWith("`"))
+      s.substring(1, s.length - 1)
+    else s
+
   def parseField(s: String): PartitionField = s.trim match {
     case call(fn, inner) =>
       def twoArg: (Int, String) = inner.split(',').map(_.trim) match {
-        case Array(n, col) if n.nonEmpty && n.forall(_.isDigit) => (n.toInt, col)
+        case Array(n, col) if n.nonEmpty && n.forall(_.isDigit) =>
+          (n.toInt, unquoteId(col))
         case _ => throw new IllegalArgumentException(
           s"$fn takes (width, column), got '$inner'")
       }
@@ -47,12 +56,12 @@ private[sql] object SpecDsl {
         case "truncate" =>
           val (n, col) = twoArg; PartitionField(col, s"truncate[$n]")
         case t @ ("year" | "month" | "day" | "hour") =>
-          PartitionField(inner.trim, t)
+          PartitionField(unquoteId(inner.trim), t)
         case other => throw new IllegalArgumentException(
           s"unknown partition transform '$other' " +
             "(identity, bucket, truncate, year, month, day, hour)")
       }
-    case ident => PartitionField(ident, "identity")
+    case ident => PartitionField(unquoteId(ident), "identity")
   }
 }
 
@@ -74,7 +83,13 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   import LakeSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    // custom-DDL patterns anchor on whitespace; a leading SQL comment
+    // would silently punt valid lake DDL to the delegate (which lacks
+    // the grammar and throws an opaque syntax error). Matching runs on
+    // the comment-stripped text; delegation keeps the ORIGINAL.
+    val matchable = LakeSqlParser.stripLeadingComments(sqlText)
+    matchable match {
     case AddField(table, field) =>
       LakeAlterPartitionFieldCommand(
         delegate.parseMultipartIdentifier(table), add = true, field.trim)
@@ -91,9 +106,15 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
         create = false, kind.toLowerCase, unquote(ref), ifClause = ie != null,
         asOfVersion = None, retainDays = None)
     case WriteOrdered(table, kind, cols) =>
+      val parsed = cols.split(',').map(c => unquote(c.trim))
+        .filter(_.nonEmpty).toSeq
+      // a degenerate list (`ORDERED BY ,`) must not silently behave as
+      // WRITE UNORDERED and clear the existing sort order
+      if (parsed.isEmpty) throw new IllegalArgumentException(
+        s"WRITE ORDERED BY needs at least one column, got '$cols'")
       LakeWriteOrderCommand(delegate.parseMultipartIdentifier(table),
         zorder = kind.trim.toUpperCase.startsWith("Z"),
-        cols = cols.split(',').map(c => unquote(c.trim)).filter(_.nonEmpty).toSeq)
+        cols = parsed)
     case WriteUnordered(table) =>
       LakeWriteOrderCommand(delegate.parseMultipartIdentifier(table),
         zorder = false, cols = Nil)
@@ -101,6 +122,7 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
     // re-targets statements naming a lake catalog onto the ViewCatalog
     // commands (shape-only match — see LakeViewDdl.rewrite)
     case _ => LakeViewDdl.rewrite(delegate.parsePlan(sqlText))
+    }
   }
 
   private def unquote(s: String): String =
@@ -125,6 +147,20 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object LakeSqlParser {
+  /** Drop leading `--` line comments and `/* */` block comments (plus
+    * surrounding whitespace) for PATTERN MATCHING only — the delegate
+    * still parses the original text, comments and all. */
+  private[sql] def stripLeadingComments(sql: String): String = {
+    var s = sql
+    var changed = true
+    while (changed) {
+      val t = s.replaceFirst("(?s)^\\s*(--[^\\n]*(\\n|$)|/\\*.*?\\*/)", "")
+      changed = t != s
+      s = t
+    }
+    s
+  }
+
   // Table identifier: one flat character class — NEVER a nested
   // quantifier like ((?:`[^`]+`|[\w.]+)+). That shape backtracks
   // exponentially when a statement matches the prefix but not the

@@ -67,4 +67,39 @@ class AlterPartitionFieldSpec extends LakeSuite {
       spark.conf.unset("spark.sql.catalog.apf.warehouse")
     }
   }
+
+  test("quoted identifiers and leading comments parse; degenerate order list refuses") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.apfq", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.apfq.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE apfq.ns")
+      spark.sql("CREATE TABLE apfq.ns.t (region STRING, k BIGINT)")
+      val t = LakeCatalog.open(wh).loadTable("ns", "t")
+      // backtick-quoted field + quoted transform argument
+      spark.sql("ALTER TABLE apfq.ns.t ADD PARTITION FIELD `region`")
+      assert(t.refresh().metadata.spec ===
+        Seq(PartitionField("region", "identity")))
+      spark.sql("ALTER TABLE apfq.ns.t ADD PARTITION FIELD bucket(4, `k`)")
+      assert(t.refresh().metadata.spec === Seq(
+        PartitionField("region", "identity"), PartitionField("k", "bucket[4]")))
+      // a LEADING COMMENT must not punt lake DDL to the delegate
+      spark.sql("-- evolve\nALTER TABLE apfq.ns.t DROP PARTITION FIELD bucket(4, `k`)")
+      assert(t.refresh().metadata.spec ===
+        Seq(PartitionField("region", "identity")))
+      spark.sql("/* block */ ALTER TABLE apfq.ns.t DROP PARTITION FIELD `region`")
+      assert(t.refresh().metadata.spec === Nil)
+      // WRITE ORDERED BY with a degenerate list refuses instead of
+      // silently clearing the order
+      spark.sql("ALTER TABLE apfq.ns.t WRITE ORDERED BY k")
+      assert(t.refresh().metadata.sortOrder === Seq("k"))
+      val e = intercept[Exception](
+        spark.sql("ALTER TABLE apfq.ns.t WRITE ORDERED BY ,"))
+      assert(e.getMessage.contains("at least one column"))
+      assert(t.refresh().metadata.sortOrder === Seq("k")) // untouched
+    } finally {
+      spark.conf.unset("spark.sql.catalog.apfq")
+      spark.conf.unset("spark.sql.catalog.apfq.warehouse")
+    }
+  }
 }

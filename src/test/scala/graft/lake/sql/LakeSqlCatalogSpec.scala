@@ -387,6 +387,33 @@ class LakeSqlCatalogSpec extends LakeSuite {
         WHEN MATCHED THEN DELETE"""))
   }
 
+  test("canonical-upsert MERGE survives analyzer cast/not-null wrappers; UPDATE subquery refuses cleanly") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.sqlmw", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.sqlmw.warehouse", wh)
+    spark.sql("CREATE NAMESPACE sqlmw.ns")
+    // BIGINT non-nullable-ish target, INT source: the analyzer wraps the
+    // star-expanded assignment values in Cast (and AssertNotNull where
+    // applicable) — the canonical-shape check must strip them
+    spark.sql("CREATE TABLE sqlmw.ns.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO sqlmw.ns.t VALUES (1, 10), (2, 20)")
+    spark.range(0).selectExpr("CAST(id AS INT) AS id", "CAST(id AS INT) AS v")
+      .createOrReplaceTempView("sqlmw_src0")
+    spark.sql("SELECT CAST(2 AS INT) AS id, CAST(99 AS INT) AS v " +
+      "UNION ALL SELECT CAST(3 AS INT), CAST(30 AS INT)")
+      .createOrReplaceTempView("sqlmw_src")
+    spark.sql("""MERGE INTO sqlmw.ns.t AS t USING sqlmw_src AS s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT id, v FROM sqlmw.ns.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 10L), (2L, 99L), (3L, 30L)))
+    // UPDATE with a subquery value refuses at ANALYSIS with a clear
+    // message (previously died unresolved inside the rewrite)
+    val e = intercept[Exception](spark.sql(
+      "UPDATE sqlmw.ns.t SET v = (SELECT max(v) FROM sqlmw.ns.t) WHERE id = 1"))
+    assert(e.getMessage.contains("subquery"), e.getMessage)
+  }
+
   test("DELETE WHERE false never rewrites a data file") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.sqllake11", classOf[LakeSqlCatalog].getName)

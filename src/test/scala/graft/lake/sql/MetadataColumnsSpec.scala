@@ -91,4 +91,22 @@ class MetadataColumnsSpec extends LakeSuite {
       spark.conf.unset("spark.sql.catalog.mp.warehouse")
     }
   }
+
+  test("a DATA column named _file is never shadowed by the metadata column") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.metashadow", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.metashadow.warehouse", wh)
+    spark.sql("CREATE NAMESPACE metashadow.ns")
+    spark.sql("CREATE TABLE metashadow.ns.t (_file STRING, v BIGINT)")
+    spark.sql("INSERT INTO metashadow.ns.t VALUES ('user-data-1', 1), ('user-data-2', 2)")
+    // SELECT _file must return the USER's column, not parquet paths
+    val vals = spark.sql("SELECT _file FROM metashadow.ns.t ORDER BY _file")
+      .collect().map(_.getString(0)).toSeq
+    assert(vals === Seq("user-data-1", "user-data-2"),
+      "the metadata substitution shadowed a real data column")
+    // and it participates in expressions/filters like any data column
+    assert(spark.sql(
+      "SELECT v FROM metashadow.ns.t WHERE _file = 'user-data-2'")
+      .head.getLong(0) === 2L)
+  }
 }
