@@ -311,7 +311,8 @@ final class LakeCatalog private (
         "added-delete-files" -> "0",
         "added-position-deletes" -> "0",
         "added-equality-deletes" -> "0"))(manifestIO(md))
-    val meta = meta0.copy(snapshots = Seq(snap), currentSnapshotId = 1L)
+    val meta = meta0.copy(snapshots = Seq(snap), currentSnapshotId = 1L,
+      lastSnapshotId = 1L)
     if (!backend.putIfAbsent(md.resolve("v1.json"), MetadataJson.write(meta)))
       throw new IllegalArgumentException(s"table $ns.$name already exists")
     writeHint(md, 1)

@@ -1391,7 +1391,9 @@ final class LakeTable private[lake] (
             val manifests = newRefs ++
               cur.manifests.filterNot(_.content == ManifestRef.Data)
             val listName = catalog.writeManifestList(md, manifests)
-            val newId = latest.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+            val newId = math.max(
+              latest.snapshots.map(_.id).maxOption.getOrElse(0L),
+              latest.lastSnapshotId) + 1L
             val snap = Snapshot(newId, Some(cur.id), System.currentTimeMillis(),
               "replace", listName,
               fileCount = newRefs.map(_.fileCount).sum,
@@ -1404,7 +1406,7 @@ final class LakeTable private[lake] (
                 "added-records" -> "0"))(io)
             landed = Some(newId)
             latest.copy(snapshots = latest.snapshots :+ snap,
-              currentSnapshotId = newId)
+              currentSnapshotId = newId, lastSnapshotId = newId)
           }
       }
     }
@@ -2519,7 +2521,9 @@ final class LakeTable private[lake] (
       // orphans removeOrphanFiles reclaims, same as rewritten data
       // files). Equality deletes apply to seq strictly below their own,
       // so a MoR upsert's own data files escape its own tombstones.
-      val newId = latest.snapshots.map(_.id).maxOption.getOrElse(0L) + 1L
+      val newId = math.max(
+        latest.snapshots.map(_.id).maxOption.getOrElse(0L),
+        latest.lastSnapshotId) + 1L
       // data manifests carry rollup skip stats typed under the schema
       // the commit lands on (stat strings are canonical, so a later
       // widen still compares correctly at scan time)
@@ -2735,7 +2739,11 @@ final class LakeTable private[lake] (
           throw new IllegalArgumentException(
             s"wap.id '$id' was already staged or published on $name")
       }
-      transformMeta(toBranch match {
+      // every commit advances the id high-water mark (rollback + expiry
+      // must never let a later commit REUSE an id — see
+      // TableMetadata.lastSnapshotId); transformMeta runs after, its
+      // copies preserve the stamp
+      transformMeta((toBranch match {
         // a branch commit advances the BRANCH head; main is untouched
         case Some(b) => latest.copy(snapshots = latest.snapshots :+ snap,
           // advance the head IN PLACE: retention fields survive commits
@@ -2750,7 +2758,7 @@ final class LakeTable private[lake] (
             properties = withProps)
         case None => latest.copy(snapshots = latest.snapshots :+ snap,
           currentSnapshotId = newId, properties = withProps)
-      })
+      }).copy(lastSnapshotId = newId))
     }
     meta = next
     version = v

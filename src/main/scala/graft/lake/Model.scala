@@ -372,6 +372,13 @@ final case class TableMetadata(
     // rewrite and old snapshots keep their own stats across time
     // travel. Append order = analyze order (last entry is freshest).
     statsFiles: Seq[StatsFileRef] = Nil,
+    // Snapshot-id HIGH-WATER MARK (Iceberg's last-snapshot-id): ids
+    // allocate max(log, this)+1 so rollback + expiry can NEVER reuse
+    // an id — reuse at or below a streaming checkpoint's offset makes
+    // ancestorsAfter treat new commits as already read (silent loss in
+    // an exactly-once pipeline). Pre-field documents read back 0 and
+    // become monotone at their first post-upgrade commit.
+    lastSnapshotId: Long = 0L,
     // Per-snapshot PARTITION statistics documents (Iceberg's
     // partition-statistics files): computePartitionStats rolls the
     // per-partition-tuple file/record/byte counts into an immutable
@@ -588,6 +595,9 @@ object MetadataJson {
           s"""{"snapshotId":${sf.snapshotId},"name":${q(sf.name)}}""")
           .mkString("[", ",", "]")},"""
       else "") +
+      (if (m.lastSnapshotId > 0L)
+        s""""lastSnapshotId":${m.lastSnapshotId},"""
+      else "") +
       s""""spec":${specJson(m.spec)},""" +
       s""""specLog":${m.allSpecs.map(specJson).mkString("[", ",", "]")},""" +
       s""""snapshots":${m.snapshots.map(snapshotJson).mkString("[", ",", "]")},""" +
@@ -729,7 +739,9 @@ object MetadataJson {
       partitionStats = Option(n.get("partitionStats"))
         .map(_.elements().asScala.map(s => StatsFileRef(
           s.get("snapshotId").asLong(), s.get("name").asText())).toSeq)
-        .getOrElse(Nil)
+        .getOrElse(Nil),
+      lastSnapshotId = Option(n.get("lastSnapshotId"))
+        .map(_.asLong()).getOrElse(0L)
     ).withFieldIdDefaults // ad-hoc documents get positional IDs
   }
 }

@@ -175,8 +175,16 @@ private[sql] final class LakeMicroBatchStream(
     * OLDEST FIRST — a rolled-back lineage is never walked (its
     * snapshots are not ancestors). Expired history refuses: the stream
     * cannot know what it already read. */
-  private def ancestorsAfter(startId: Long, endId: Long): Seq[Snapshot] = {
-    val m = lt.refresh().metadata
+  private def ancestorsAfter(startId: Long, endId: Long): Seq[Snapshot] =
+    ancestorsAfterIn(lt.refresh().metadata, startId, endId)
+
+  /** [[ancestorsAfter]] against an EXPLICIT metadata view — callers
+    * that also resolve parents must validate and resolve against the
+    * SAME instance (a refresh between the two reads different
+    * metadata, and a parent that validates in one view but misses in
+    * the other must throw, never degrade to an empty parent set). */
+  private def ancestorsAfterIn(m: graft.lake.TableMetadata,
+      startId: Long, endId: Long): Seq[Snapshot] = {
     var cur = m.snapshot(endId)
     if (cur.isEmpty && endId > 0L && endId > startId)
       throw new IllegalStateException(
@@ -206,13 +214,28 @@ private[sql] final class LakeMicroBatchStream(
 
   /** Files appended in `(startId, endId]`, oldest snapshot first. */
   private def filesBetween(startId: Long, endId: Long): Seq[DataFileEntry] = {
-    val m = lt.metadata // refreshed by ancestorsAfter
-    ancestorsAfter(startId, endId).flatMap { s =>
-      val parentPaths = s.parentId.flatMap(m.snapshot)
-        .map(_.files.map(_.path).toSet).getOrElse(Set.empty)
+    // ONE metadata view for BOTH validation and parent resolution: a
+    // second refresh here could let concurrent expiry race a parent
+    // away between the check and the use
+    val m = lt.refresh().metadata
+    ancestorsAfterIn(m, startId, endId).flatMap { s =>
       s.operation match {
         case "append" =>
-          val fresh = s.files.filterNot(f => parentPaths(f.path))
+          // an append commit ADDS manifests and carries the parent's by
+          // reference: diffing manifest NAMES yields exactly the added
+          // files at O(new manifests) — never the O(live files) path-set
+          // of the parent (a 1M-file table paid that per micro-batch).
+          // The parent resolves against the SAME view ancestorsAfterIn
+          // validated; a root snapshot (no parent) is all-fresh.
+          val parentManifests = s.parentId.flatMap(m.snapshot) match {
+            case Some(p) => p.dataManifests.map(_.name).toSet
+            case None if s.parentId.isEmpty => Set.empty[String]
+            case None => throw new IllegalStateException(
+              s"snapshot ${s.id}'s parent ${s.parentId.get} of ${lt.name} " +
+                "expired mid-plan; restart the batch")
+          }
+          val fresh = s.dataManifests
+            .filterNot(r => parentManifests(r.name)).flatMap(s.filesOf)
           // addFiles-imported files carry no parquet field IDs — the
           // stream's ID-based vectorized read cannot resolve them, and
           // by-name matching would silently null renamed columns.
@@ -241,16 +264,9 @@ private[sql] final class LakeMicroBatchStream(
     val files = filesBetween(
       start.asInstanceOf[LakeOffset].snapshotId,
       end.asInstanceOf[LakeOffset].snapshotId)
-    val table = org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-      lt.name,
-      // ID-based matching, as everywhere: pre-rename files must resolve
-      // renamed columns by parquet field ID
-      org.apache.spark.sql.graftbridge.SessionBridge.sessionWithConfs(
-        session, Map("spark.sql.parquet.fieldId.read.enabled" -> "true")),
-      CaseInsensitiveStringMap.empty(),
-      files.map(_.path),
-      Some(lt.metadata.schemaWithFieldIds),
-      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+    // the shared construction (LakeSqlCatalog.mkParquetTable): a reader
+    // conf change reaches batch and streaming together
+    val table = LakeSqlCatalog.mkParquetTable(lt, session, files.map(_.path))
     lastBatch = table.newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
     lastBatch.planInputPartitions()
   }

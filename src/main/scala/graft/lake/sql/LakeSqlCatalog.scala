@@ -637,6 +637,25 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
 }
 
 object LakeSqlCatalog {
+  /** The ONE parquet-table construction every lake read path shares
+    * (batch delegate, SPJ groups, streaming micro-batches): a cloned
+    * session with ID-based parquet matching — files written before a
+    * renameColumn must resolve the renamed column by field ID; on the
+    * user's session (fieldId.read.enabled=false default) name matching
+    * would silently project NULL for every pre-rename file. A reader
+    * conf added here reaches batch AND streaming together. */
+  private[sql] def mkParquetTable(lt: graft.lake.LakeTable,
+      session: SparkSession, files: Seq[String])
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      lt.name,
+      org.apache.spark.sql.graftbridge.SessionBridge.sessionWithConfs(
+        session, Map("spark.sql.parquet.fieldId.read.enabled" -> "true")),
+      CaseInsensitiveStringMap.empty(),
+      files,
+      Some(lt.metadata.schemaWithFieldIds),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
   /** Parse a `write.sort-order` property value — `c1,c2` (linear) or
     * `zorder(c1,c2)` — into (columns, kind). Shared by CREATE TABLE
     * and ALTER TABLE SET TBLPROPERTIES so both apply the order for
@@ -861,19 +880,7 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
   }
 
   private def mkParquetTable(files: Seq[String]) =
-    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-      lt.name,
-      // cloned session with ID-based parquet matching: files written
-      // before a renameColumn must resolve the renamed column by field
-      // ID — on the user's session (fieldId.read.enabled=false default)
-      // name matching would silently project NULL for every pre-rename
-      // file. Same mechanism as LakeTable.readFiles on the API path.
-      org.apache.spark.sql.graftbridge.SessionBridge.sessionWithConfs(
-        SparkSession.active, Map("spark.sql.parquet.fieldId.read.enabled" -> "true")),
-      CaseInsensitiveStringMap.empty(),
-      files,
-      Some(lt.metadata.schemaWithFieldIds),
-      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+    LakeSqlCatalog.mkParquetTable(lt, SparkSession.active, files)
 
   private def toLakePredicateStrict(
       f: org.apache.spark.sql.sources.Filter): Option[LakePredicate] =

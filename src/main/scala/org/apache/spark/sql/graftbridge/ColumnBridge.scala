@@ -303,6 +303,19 @@ object ScanBridge {
             spjFor() match {
               case Some((_, groups)) if groups.nonEmpty && mkDelegateForPaths.isDefined =>
                 new org.apache.spark.sql.connector.read.Batch {
+                  // the parquet reader factory is file-list-agnostic
+                  // (files ride in the InputPartitions), so ONE group's
+                  // delegate supplies the factory for every group —
+                  // materializing the FULL delegate for it would pay a
+                  // second complete manifest-pruning + file-listing pass
+                  // per storage-partitioned join
+                  private lazy val factoryDelegate = {
+                    val b = mkDelegateForPaths.get(
+                      groups.headOption.map(_._2).getOrElse(Nil))
+                    b.pushFilters(exprs)
+                    required.foreach(b.pruneColumns)
+                    b.build().toBatch
+                  }
                   override def planInputPartitions()
                       : Array[org.apache.spark.sql.connector.read.InputPartition] =
                     groups.toArray.flatMap { case (key, paths) =>
@@ -312,13 +325,9 @@ object ScanBridge {
                       b.build().toBatch.planInputPartitions()
                         .map(p => SpjPartition(p, key))
                     }
-                  // ONE factory serves every group: the parquet reader
-                  // factory is file-list-agnostic (the files ride in the
-                  // InputPartition), so the full delegate's factory reads
-                  // any group's splits after unwrapping
                   override def createReaderFactory()
                       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
-                    new SpjReaderFactory(inner.toBatch.createReaderFactory())
+                    new SpjReaderFactory(factoryDelegate.createReaderFactory())
                 }
               case _ => inner.toBatch
             }

@@ -76,4 +76,28 @@ class RollbackSpec extends LakeSuite {
     assert(t.refresh().newScan().toDF(spark).count() === survivors)
     assert(t.newScan().toDF(spark).filter(col("o_orderstatus") === "F").count() === 0L)
   }
+
+  test("snapshot ids never reuse across rollback + expiry") {
+    // id reuse at or below a streaming checkpoint's offset makes the
+    // source treat NEW commits as already read (silent loss); the
+    // metadata high-water mark must keep allocation monotone
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "mono", ordersDF.schema)
+    t.appendData(ordersDF.limit(5))                       // id 1
+    t.refresh().appendData(ordersDF.limit(5))             // id 2
+    t.refresh().appendData(ordersDF.limit(5))             // id 3
+    t.refresh().rollbackTo(1L)
+    // the abandoned 2 and 3 expire (not current, not ref-pinned)
+    t.expireSnapshotsOlderThan(System.currentTimeMillis() + 60000)
+    assert(t.refresh().snapshots.map(_.id) === Seq(1L))
+    // the next commit must allocate PAST the high-water mark
+    t.refresh().appendData(ordersDF.limit(5))
+    assert(t.refresh().currentSnapshotId === 4L,
+      "rollback + expiry must not let snapshot ids recycle")
+    // durable across a cold reopen too
+    val re = LakeCatalog.open(t.location.stripSuffix("/ns/mono"))
+      .loadTable("ns", "mono")
+    re.appendData(ordersDF.limit(3))
+    assert(re.refresh().currentSnapshotId === 5L)
+  }
 }
