@@ -175,4 +175,44 @@ class DeleteVectorSpec extends LakeSuite {
       spark.conf.unset("spark.sql.catalog.dvc.warehouse")
     }
   }
+
+  test("property: random bitmaps round-trip and compose exactly vs a set model") {
+    // the codec is data-loss-class: a wrong bit silently deletes (or
+    // resurrects) a row. Drive random position sets — sparse, dense,
+    // container-boundary-straddling, high-key — through serialize/
+    // deserialize/union/minus/positions against plain Sets
+    for (seed <- Seq(3, 17, 99)) {
+      val rng = new scala.util.Random(seed)
+      def randomSet(): Set[Long] = {
+        val style = rng.nextInt(4)
+        val base = (rng.nextInt(4).toLong << 16) // container boundaries
+        val n = 1 + rng.nextInt(2000)
+        (0 until n).map { _ =>
+          style match {
+            case 0 => base + rng.nextInt(100)           // dense cluster
+            case 1 => rng.nextLong(1L << 40)            // sparse high keys
+            case 2 => base + 65530 + rng.nextInt(12)    // straddle boundary
+            case _ => rng.nextInt(1 << 20).toLong       // mid-density
+          }
+        }.toSet
+      }
+      for (_ <- 0 until 20) {
+        val a = randomSet()
+        val b = randomSet()
+        val dvA = DeleteVector.fromSorted(a.toSeq.sorted.iterator)
+        val dvB = DeleteVector.fromSorted(b.toSeq.sorted.iterator)
+        // round-trip
+        val rt = DeleteVector.deserialize(dvA.serialize)
+        assert(rt.positions.toSet === a, s"seed=$seed roundtrip")
+        // membership on members and near-misses
+        a.take(50).foreach(p => assert(rt.contains(p)))
+        a.take(50).foreach(p => if (!a(p + 1)) assert(!rt.contains(p + 1)))
+        // union / minus vs the set model
+        assert(dvA.union(dvB).positions.toSet === (a ++ b), s"seed=$seed union")
+        assert(dvA.minus(dvB).positions.toSet === (a -- b), s"seed=$seed minus")
+        // cardinality-consistent
+        assert(dvA.positions.size === a.size)
+      }
+    }
+  }
 }
