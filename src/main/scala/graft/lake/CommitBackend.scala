@@ -63,8 +63,16 @@ private[lake] object DataFs {
     * empties are FS-only debris — object stores have no directories, so
     * failures are swallowed. Non-recursive deletes only: a dir that
     * gained content between the listing and the delete is refused by
-    * the FS, never truncated. */
-  def deleteEmptyDirs(root: LakePath): Unit = {
+    * the FS, never truncated. The age `cutoffMs` that protects FILES
+    * from the sweep must protect directories too: a CONCURRENT
+    * in-flight write's freshly created scaffolding (the per-write UUID
+    * dir before its first parquet lands, FileOutputCommitter's
+    * `_temporary` tree) is empty-by-listing but very much in use —
+    * deleting it fails that write. Only dirs whose own mtime is at or
+    * before the cutoff go, and `_temporary` trees are never entered
+    * (their mtime churns with every task attempt; skipping is the only
+    * safe answer — the committer removes them itself on job end). */
+  def deleteEmptyDirs(root: LakePath, cutoffMs: Long = Long.MaxValue): Unit = {
     val h = new HPath(root.uri)
     try {
       val fs = fsOf(h)
@@ -72,7 +80,9 @@ private[lake] object DataFs {
         var empty = true
         fs.listStatus(dir).foreach { st =>
           if (st.isDirectory) {
-            if (sweep(st.getPath)) { fs.delete(st.getPath, false); () }
+            if (st.getPath.getName == "_temporary") empty = false
+            else if (sweep(st.getPath) &&
+              st.getModificationTime <= cutoffMs) { fs.delete(st.getPath, false); () }
             else empty = false
           } else empty = false
         }

@@ -3,6 +3,21 @@ package graft.lake
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.types.StructType
 
+/** A create/rename target name is already bound to a table. Subclasses
+  * IllegalArgumentException so existing callers keep working; races
+  * (CREATE OR REPLACE's exists-check-then-act) key their retry on this
+  * TYPE — message-text matching would silently retry unrelated
+  * failures that happen to contain "already exists". */
+final class LakeTableExistsException(msg: String)
+  extends IllegalArgumentException(msg)
+
+/** A table name does not resolve (never created, dropped, or renamed
+  * away). Subclasses NoSuchElementException for caller compatibility;
+  * exists-check-then-act retries key on the type (see
+  * [[LakeTableExistsException]]). */
+final class LakeNoSuchTableException(msg: String)
+  extends NoSuchElementException(msg)
+
 /** Directory-backed catalog: `<warehouse>/<namespace>/<table>/{metadata,data}`.
   *
   * The Spark-native analog of the reference's LocalIcebergCatalog
@@ -244,7 +259,7 @@ final class LakeCatalog private (
       sortOrder = sortOrder, sortOrderKind = sortOrderKind).withFieldIdDefaults
     // same CAS as commit(): racing creators — exactly one wins
     if (!backend.putIfAbsent(md.resolve("v1.json"), MetadataJson.write(meta)))
-      throw new IllegalArgumentException(s"table $ns.$name already exists")
+      throw new LakeTableExistsException(s"table $ns.$name already exists")
     writeHint(md, 1)
     new LakeTable(this, ns, name, meta, 1)
   }
@@ -270,7 +285,7 @@ final class LakeCatalog private (
           "hosts the renamed table's storage")
     val md = root.resolve("metadata")
     if (tableExists(ns, name))
-      throw new IllegalArgumentException(s"table $ns.$name already exists")
+      throw new LakeTableExistsException(s"table $ns.$name already exists")
     if (viewExists(ns, name))
       throw new IllegalArgumentException(s"view $ns.$name already exists")
     backend.ensureDir(md)
@@ -314,7 +329,7 @@ final class LakeCatalog private (
     val meta = meta0.copy(snapshots = Seq(snap), currentSnapshotId = 1L,
       lastSnapshotId = 1L)
     if (!backend.putIfAbsent(md.resolve("v1.json"), MetadataJson.write(meta)))
-      throw new IllegalArgumentException(s"table $ns.$name already exists")
+      throw new LakeTableExistsException(s"table $ns.$name already exists")
     writeHint(md, 1)
     new LakeTable(this, ns, name, meta, 1)
   }
@@ -323,7 +338,7 @@ final class LakeCatalog private (
   def loadTable(ns: String, name: String): LakeTable = {
     val md = metadataDir(ns, name)
     val v = currentVersion(md).getOrElse(
-      throw new NoSuchElementException(s"no such table $ns.$name under $warehouse"))
+      throw new LakeNoSuchTableException(s"no such table $ns.$name under $warehouse"))
     new LakeTable(this, ns, name, readMeta(md, v), v)
   }
 

@@ -5,6 +5,27 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.StructType
 import scala.jdk.CollectionConverters._
 
+/** One WHEN clause of a conditional MERGE ([[LakeTable.mergeIntoConditional]]).
+  *
+  * `condition` and every assignment value are Columns over the merge's
+  * PREFIXED join namespace: the target row's (old) values are
+  * `__t_<column>` and the source row's are `__s_<column>` — unique
+  * names, so a target/source column name collision can never
+  * mis-resolve. A None condition always applies (SQL allows it only on
+  * the last clause of its family; callers enforce ordering).
+  * `isDelete` drops the row (assignments must be empty); otherwise the
+  * assignments give the NEW value per target column — unassigned
+  * columns keep the old value in UPDATE clauses and become NULL in
+  * INSERT clauses. Every value is evaluated against the OLD row
+  * (standard SQL UPDATE semantics: `SET a = b, b = a` swaps). */
+final case class MergeClauseSpec(
+    condition: Option[Column],
+    isDelete: Boolean,
+    assignments: Seq[(String, Column)]) {
+  require(!isDelete || assignments.isEmpty,
+    "a DELETE merge clause carries no assignments")
+}
+
 /** Table handle: snapshot log + append/scan/time-travel/compact/delete.
   * The Spark-native analog of the reference's Iceberg `Table` surface
   * (reference: newAppend/commit/refresh IntegrationTest.java:92-99,
@@ -2101,6 +2122,171 @@ final class LakeTable private[lake] (
       catch { case _: BatchAlreadyCommitted => None }
   }
 
+  /** FULL-GRAMMAR conditional MERGE (copy-on-write): the general
+    * `MERGE INTO` shape SQL users write on day one of a CDC feed —
+    *
+    * {{{
+    *   WHEN MATCHED [AND c1] THEN UPDATE SET ... | DELETE      (× N, first match wins)
+    *   WHEN NOT MATCHED [AND c2] THEN INSERT ...               (× N, first match wins)
+    *   WHEN NOT MATCHED BY SOURCE [AND c3] THEN UPDATE | DELETE (× N, first match wins)
+    * }}}
+    *
+    * where [[mergeInto]] handles only the canonical unconditional
+    * upsert (and keeps its O(source) merge-on-read twin). Clause
+    * conditions/values are Columns over the prefixed `__t_*`/`__s_*`
+    * namespace — see [[MergeClauseSpec]]. Matched rows with no
+    * applicable clause KEEP their old values; unmatched source rows
+    * with no applicable insert clause are dropped; target rows
+    * unmatched by source keep unless a NOT-MATCHED-BY-SOURCE clause
+    * applies. All conditions evaluate against the OLD target row.
+    *
+    * Scale shape: ONE pass. Files to rewrite = those whose stats may
+    * overlap the source's key bounds (one driver-side agg row computes
+    * them), UNION — only when NOT-MATCHED-BY-SOURCE clauses exist —
+    * those that may hold a row satisfying `nmbsPrune` (a LENIENT
+    * may-match predicate the caller derives from the clause
+    * conditions; AlwaysTrue for an unconditional clause, which is
+    * inherently a full-table operation). The rewrite itself is one
+    * distributed full-outer join on the keys; untouched files are
+    * carried by reference. Serializable: a racing commit adding rows
+    * inside the key bounds (or matching `nmbsPrune`) fails validation
+    * and retries against fresh metadata.
+    *
+    * Source contract: merge keys must be DISTINCT among non-NULL-key
+    * rows (which row wins is undefined otherwise — reduce a versioned
+    * feed first). NULL-key source rows match nothing and fall through
+    * to the NOT MATCHED clauses, standard SQL semantics. Unlike
+    * [[mergeInto]] the source need not match the table schema: insert
+    * clauses compute every column explicitly (missing → NULL). */
+  def mergeIntoConditional(spark: SparkSession, source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeClauseSpec],
+      notMatched: Seq[MergeClauseSpec],
+      notMatchedBySource: Seq[MergeClauseSpec] = Nil,
+      nmbsPrune: LakePredicate = LakePredicate.AlwaysTrue,
+      conflictRetries: Int = 3,
+      branch: Option[String] = None): CommitReport =
+      withConflictRetry(conflictRetries) {
+    import org.apache.spark.sql.{functions => F}
+    require(keys.nonEmpty && keys.forall(schema.fieldNames.contains), s"bad merge keys $keys")
+    require(keys.forall(source.columns.contains),
+      s"merge source lacks key column(s): ${keys.filterNot(source.columns.contains)}")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "MERGE needs at least one WHEN clause")
+    require(notMatched.forall(!_.isDelete), "WHEN NOT MATCHED cannot DELETE")
+    require(!schema.fieldNames.exists(_.startsWith("__")) &&
+      !source.columns.exists(_.startsWith("__")),
+      "column names starting with __ collide with the merge's join namespace")
+    val (base, live, baseSnap) = lineageBase(branch)
+    // persist: the source feeds the bounds agg AND the join, and must
+    // be ONE consistent snapshot across them (and across conflict
+    // retries — a recomputed non-deterministic source could fall
+    // outside the validated bounds)
+    val src = source.persist()
+    try {
+      val keyNotNull = keys.map(F.col(_).isNotNull).reduce(_ && _)
+      val aggs = keys.flatMap(k => Seq(F.min(F.col(k)), F.max(F.col(k)))) ++ Seq(
+        F.count(F.lit(1)),
+        F.sum(F.when(keyNotNull, 0L).otherwise(1L)),
+        // WHEN without otherwise → NULL, which count_distinct ignores:
+        // distinctness is asserted among non-NULL-key rows only
+        F.count_distinct(F.when(keyNotNull, F.struct(keys.map(F.col): _*))))
+      val boundsRow = src.agg(aggs.head, aggs.tail: _*).head()
+      val nRows = boundsRow.getLong(2 * keys.size)
+      // sum over zero rows is NULL — an empty source has no null keys
+      val nullKeyRows =
+        if (boundsRow.isNullAt(2 * keys.size + 1)) 0L
+        else boundsRow.getLong(2 * keys.size + 1)
+      val distinctKeys = boundsRow.getLong(2 * keys.size + 2)
+      if (distinctKeys < nRows - nullKeyRows)
+        throw new IllegalArgumentException(
+          s"merge source has ${nRows - nullKeyRows - distinctKeys} duplicate " +
+            s"merge-key row(s) in $keys — which row wins is undefined; reduce " +
+            "the source to one row per key first")
+      val keyPred: Option[LakePredicate] =
+        if (nRows - nullKeyRows == 0L) None
+        else Some(keys.zipWithIndex.map { case (k, i) =>
+          LakePredicate.And(
+            LakePredicate.Ge(k, boundsRow.get(2 * i)),
+            LakePredicate.Le(k, boundsRow.get(2 * i + 1)))
+        }.reduceLeft[LakePredicate]((a, b) => LakePredicate.And(a, b)))
+      val nmbsPredOpt =
+        if (notMatchedBySource.isEmpty) None else Some(nmbsPrune)
+      val touchPred: Option[LakePredicate] = (keyPred, nmbsPredOpt) match {
+        case (Some(a), Some(b)) => Some(LakePredicate.Or(a, b))
+        case (a, b) => a.orElse(b)
+      }
+      val touched = touchPred match {
+        case None => Nil
+        case Some(p) => live.filter(p.mayMatch(_, meta))
+      }
+      if (touched.isEmpty && nRows == 0L)
+        // nothing to read, nothing to insert: no-op (ledger still records)
+        commitSnapshot("overwrite", Nil, Nil, toBranch = branch)
+      else {
+        val tgtRaw =
+          if (touched.isEmpty)
+            spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+          else readLive(spark, touched, baseSnap)
+        // prefixed namespaces + NON-NULL presence markers: key columns
+        // cannot flag presence (both sides may legally hold NULL keys)
+        val tgt = tgtRaw.select(
+          schema.fieldNames.map(c => F.col(c).as("__t_" + c)).toSeq :+
+            F.lit(1).as("__t__p"): _*)
+        val srcP = src.select(
+          src.columns.map(c => F.col(c).as("__s_" + c)).toSeq :+
+            F.lit(1).as("__s__p"): _*)
+        val joined = tgt.join(srcP,
+          keys.map(k => F.col("__t_" + k) === F.col("__s_" + k)).reduce(_ && _),
+          "full_outer")
+        // one integer action per row: first clause of the row's family
+        // whose condition is TRUE (NULL counts as false, SQL semantics)
+        val KEEP = 0
+        val DROP = -1
+        def chain(clauses: Seq[MergeClauseSpec], codeBase: Int,
+            default: Int): Column =
+          clauses.zipWithIndex.foldRight(F.lit(default): Column) {
+            case ((c, i), els) =>
+              val code = if (c.isDelete) DROP else codeBase + i
+              c.condition match {
+                case Some(cond) =>
+                  F.when(F.coalesce(cond, F.lit(false)), F.lit(code)).otherwise(els)
+                case None => F.lit(code)
+              }
+          }
+        val tP = F.col("__t__p").isNotNull
+        val sP = F.col("__s__p").isNotNull
+        val act = F.when(tP && sP, chain(matched, 1000, KEEP))
+          .when(sP, chain(notMatched, 2000, DROP)) // source-only
+          .otherwise(chain(notMatchedBySource, 3000, KEEP)) // target-only
+        val withAct = joined.withColumn("__act", act)
+          .filter(F.col("__act") =!= DROP)
+        val actCol = F.col("__act")
+        val outCols = schema.fields.map { f =>
+          val old = F.col("__t_" + f.name)
+          var e: Column = old
+          def overlay(clauses: Seq[MergeClauseSpec], codeBase: Int,
+              insert: Boolean): Unit =
+            clauses.zipWithIndex.foreach { case (c, i) =>
+              if (!c.isDelete) {
+                val v = c.assignments.collectFirst {
+                  case (n, vc) if n == f.name => vc
+                }.getOrElse(if (insert) F.lit(null) else old)
+                e = F.when(actCol === (codeBase + i), v).otherwise(e)
+              }
+            }
+          overlay(matched, 1000, insert = false)
+          overlay(notMatched, 2000, insert = true)
+          overlay(notMatchedBySource, 3000, insert = false)
+          e.cast(f.dataType).as(f.name)
+        }
+        val added = writeDataFiles(withAct.select(outCols.toSeq: _*))
+        commitSnapshot("overwrite", added, touched,
+          validateAddedSince = touchPred.map(p => (base, p)), toBranch = branch)
+      }
+    } finally src.unpersist(blocking = false)
+  }
+
   /** Copy-on-write update: rewrite matching rows with the assignments.
     * `branch` stages the update on a branch head (WAP for mutations). */
   def updateWhere(spark: SparkSession, pred: LakePredicate,
@@ -2186,7 +2372,11 @@ final class LakeTable private[lake] (
     // fail a mistyped branch name in milliseconds, BEFORE the write
     // job: the CAS transform would catch it too, but only after
     // materializing the whole dataset as orphans (the commit re-checks
-    // inside the CAS regardless — this is an early exit, not the guard)
+    // inside the CAS regardless — this is an early exit, not the guard).
+    // refresh() first: a branch another writer created since this
+    // handle's last refresh must not be rejected here when the CAS
+    // commit (which always re-reads) would have accepted it.
+    refresh()
     val ref = meta.refs.getOrElse(branch, throw new NoSuchElementException(
       s"no branch '$branch' on $name"))
     require(ref.kind == TableRef.Branch,
@@ -2400,7 +2590,7 @@ final class LakeTable private[lake] (
           removed += p
         }
     }
-    DataFs.deleteEmptyDirs(LakePath(location).resolve("data"))
+    DataFs.deleteEmptyDirs(LakePath(location).resolve("data"), cutoff)
     // manifest documents no surviving snapshot references (left behind by
     // expireSnapshots, lost CAS races, failed CoW attempts). No cutoff
     // filter is needed for CONCURRENT writers' in-flight manifests: a

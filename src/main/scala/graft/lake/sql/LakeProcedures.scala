@@ -88,7 +88,9 @@ private[sql] object LakeProcedures {
     },
 
     // Iceberg's rollback_to_timestamp: current ← the latest snapshot
-    // committed at or before the cutoff (epoch millis)
+    // committed STRICTLY BEFORE the cutoff (epoch millis) — Iceberg's
+    // RollbackToTimestamp uses `<`, so a snapshot committed exactly at
+    // the cutoff is rolled PAST, not kept
     "rollback_to_timestamp" -> new LakeProcedure(lake, "rollback_to_timestamp",
       Seq("table" -> StringType, "older_than_ms" -> LongType),
       StructType(Seq(
@@ -105,9 +107,9 @@ private[sql] object LakeProcedures {
         val ancestors = Iterator.iterate(m.currentSnapshot)(
           _.flatMap(_.parentId).flatMap(m.snapshot))
           .takeWhile(_.isDefined).flatten.toSeq
-        val target = ancestors.filter(_.timestampMs <= cutoff)
+        val target = ancestors.filter(_.timestampMs < cutoff)
           .sortBy(_.id).lastOption.getOrElse(throw new IllegalArgumentException(
-            s"no ancestor snapshot of ${t.name} at or before ${cutoff}ms"))
+            s"no ancestor snapshot of ${t.name} strictly before ${cutoff}ms"))
         val prev = t.currentSnapshotId
         t.rollbackTo(target.id)
         new GenericInternalRow(Array[Any](prev, t.currentSnapshotId))

@@ -306,9 +306,14 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
             else create()
             done = true
           } catch {
-            case e: Exception if attempts < 5 &&
-              (e.getMessage != null && (e.getMessage.contains("already exists")
-                || e.getMessage.contains("no such table"))) => ()
+            // keyed on the dedicated TYPES, not message text: only the
+            // two genuine race outcomes retry (a concurrent creator won
+            // the name / a concurrent drop took it), and a wording
+            // change or an unrelated failure that happens to mention
+            // "already exists" (e.g. a view-name collision) surfaces
+            // immediately instead of spinning 4 times
+            case _: graft.lake.LakeTableExistsException if attempts < 5 => ()
+            case _: graft.lake.LakeNoSuchTableException if attempts < 5 => ()
           }
         }
     }
@@ -936,7 +941,14 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       // df.writeTo(t).overwrite(cond) → the atomic replaceWhere
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      // MERGE WITH SCHEMA EVOLUTION: Spark's
+      // ResolveMergeIntoSchemaEvolution routes the source's new/widened
+      // columns through alterTable (AddColumn → ID-assigning metadata
+      // commit with null backfill on old files; UpdateColumnType →
+      // lossless Widen, refused loudly otherwise) before the merge
+      // resolves
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

@@ -246,20 +246,120 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
       }
 
     case m @ MergeIntoTable(target, source, cond, matched, notMatched,
-        notMatchedBySource, withSchemaEvolution) if m.resolved =>
+        notMatchedBySource, _) if m.resolved =>
+      // withSchemaEvolution needs no handling here: the table declares
+      // AUTOMATIC_SCHEMA_EVOLUTION, so Spark's own
+      // ResolveMergeIntoSchemaEvolution has ALREADY applied the source's
+      // new/widened columns through the catalog's alterTable (ID-assigning
+      // metadata commit; old files null-backfill through the projection
+      // machinery) and re-loaded the relation before `m.resolved` holds.
       lakeTableOf(target) match {
         case Some(t) =>
           require(!t.isHistorical, s"cannot MERGE into a historical snapshot of ${t.name()}")
-          if (withSchemaEvolution) unsupported(
-            "MERGE WITH SCHEMA EVOLUTION is not supported")
-          if (notMatchedBySource.nonEmpty) unsupported(
-            "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported")
+          val targetOut = target.outputSet
           val sourceOut = source.outputSet
-          requireUpsertShape(matched, notMatched, sourceOut)
-          val keys = mergeKeys(cond, target.outputSet, sourceOut)
-          LakeMergeCommand(t.lakeTable, source, keys)
+          val keys = mergeKeys(cond, targetOut, sourceOut)
+          if (notMatchedBySource.isEmpty &&
+              isCanonicalUpsert(matched, notMatched, sourceOut,
+                t.lakeTable.schema.fieldNames))
+            // the unconditional whole-row upsert keeps its dedicated
+            // path: O(source) merge-on-read routing + schema-identity
+            // fast source alignment
+            LakeMergeCommand(t.lakeTable, source, keys)
+          else {
+            val tbl = t.lakeTable
+            LakeConditionalMergeCommand(tbl, source, keys,
+              matched.map(toClause(_, targetOut, sourceOut, tbl, family = "MATCHED")),
+              notMatched.map(toClause(_, targetOut, sourceOut, tbl, family = "NOT MATCHED")),
+              notMatchedBySource.map(toClause(_, targetOut, sourceOut, tbl,
+                family = "NOT MATCHED BY SOURCE")),
+              nmbsPrune(notMatchedBySource))
+          }
         case None => m
       }
+  }
+
+  /** A WHEN clause's action → serializable spec: conditions/values keep
+    * their analyzed Catalyst form (casts, functions) but every attribute
+    * rebinds BY NAME into the merge join's prefixed namespace
+    * (`__t_<col>` target / `__s_<col>` source — see [[graft.lake.MergeClauseSpec]]),
+    * because the command re-reads both sides under fresh attribute ids. */
+  private def toClause(action: MergeAction,
+      targetOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      table: LakeTable, family: String): LakeMergeClause = {
+    def rebind(e: Expression): Expression = {
+      if (e.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+        unsupported(s"MERGE WHEN $family with a subquery condition/value " +
+          "is not supported")
+      val out = e.transform {
+        case a: AttributeReference if targetOut.contains(a) =>
+          UnresolvedAttribute.quoted("__t_" + a.name)
+        case a: AttributeReference if sourceOut.contains(a) =>
+          UnresolvedAttribute.quoted("__s_" + a.name)
+      }
+      out.foreach {
+        case a: AttributeReference => unsupported(
+          s"MERGE WHEN $family references unknown attribute ${a.name}")
+        case _ => ()
+      }
+      out
+    }
+    def starFromSource(): Seq[(String, Expression)] =
+      table.schema.fieldNames.toSeq.map(n =>
+        n -> (UnresolvedAttribute.quoted("__s_" + n): Expression))
+    def entries(assigns: Seq[Assignment]): Seq[(String, Expression)] =
+      assigns.map { a =>
+        a.key match {
+          case attr: AttributeReference => attr.name -> rebind(a.value)
+          case other => unsupported(
+            s"MERGE assignment to nested field ${other.sql} is not supported")
+        }
+      }
+    action match {
+      case UpdateStarAction(c) =>
+        LakeMergeClause(c.map(rebind), isDelete = false, starFromSource())
+      case UpdateAction(c, assigns, _) =>
+        LakeMergeClause(c.map(rebind), isDelete = false, entries(assigns))
+      case DeleteAction(c) =>
+        LakeMergeClause(c.map(rebind), isDelete = true, Nil)
+      case InsertStarAction(c) =>
+        LakeMergeClause(c.map(rebind), isDelete = false, starFromSource())
+      case InsertAction(c, assigns) =>
+        LakeMergeClause(c.map(rebind), isDelete = false, entries(assigns))
+      case other => unsupported(s"MERGE action ${other.getClass.getSimpleName}")
+    }
+  }
+
+  /** Lenient may-match file-prune predicate for the NOT-MATCHED-BY-SOURCE
+    * family: OR over the clauses of (AND of each clause condition's
+    * expressible conjuncts) — expressible conjuncts prune, inexpressible
+    * ones fall away toward AlwaysTrue (more files read, never fewer than
+    * correct). An unconditional clause is inherently a full-table
+    * operation → AlwaysTrue. Conditions here reference only target
+    * columns (analyzer-enforced), so plain column names translate. */
+  private def nmbsPrune(actions: Seq[MergeAction]): LakePredicate = {
+    if (actions.isEmpty) return LakePredicate.AlwaysTrue
+    def clausePred(c: Option[Expression]): LakePredicate = c match {
+      case None => LakePredicate.AlwaysTrue
+      case Some(cond) =>
+        splitConjunctivePredicates(foldConstants(cond))
+          .flatMap(PlanBridge.translateFilter)
+          .map(LakeSqlTable.toLakePredicateLenient)
+          .reduceOption[LakePredicate](LakePredicate.And(_, _))
+          .getOrElse(LakePredicate.AlwaysTrue)
+    }
+    actions.map {
+      case UpdateAction(c, _, _) => clausePred(c)
+      case UpdateStarAction(c) => clausePred(c)
+      case DeleteAction(c) => clausePred(c)
+      case other => LakePredicate.AlwaysTrue
+    }.reduce[LakePredicate] {
+      case (LakePredicate.AlwaysTrue, _) => LakePredicate.AlwaysTrue
+      case (_, LakePredicate.AlwaysTrue) => LakePredicate.AlwaysTrue
+      case (a, b) => LakePredicate.Or(a, b)
+    }
   }
 
   private def unsupported(msg: String): Nothing =
@@ -310,13 +410,24 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
 
   /** The canonical upsert: WHEN MATCHED THEN UPDATE SET * / WHEN NOT
     * MATCHED THEN INSERT * (raw or analyzer-expanded into full
-    * column-aligned assignments from the source). Anything else —
-    * conditional actions, partial column updates, DELETE actions — is
-    * refused loudly. */
-  private def requireUpsertShape(matched: Seq[MergeAction],
+    * column-aligned assignments from the source), no action conditions.
+    * This shape routes to the dedicated [[LakeMergeCommand]] (O(source)
+    * merge-on-read twin available); every other grammar shape goes
+    * through the general [[LakeConditionalMergeCommand]]. */
+  private def isCanonicalUpsert(matched: Seq[MergeAction],
       notMatched: Seq[MergeAction],
-      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet): Unit = {
+      sourceOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      tableColumns: Array[String]): Boolean = {
+    // WHOLE-row only: a partial assignment list (SET qty = s.qty with
+    // more columns in the table) is NOT the canonical upsert — the
+    // dedicated command aligns the source to the full table schema,
+    // which a partial source cannot satisfy; the conditional path
+    // handles partial updates/inserts correctly
     def identityFromSource(assigns: Seq[Assignment]): Boolean =
+      assigns.map(_.key).map {
+        case attr: AttributeReference => attr.name
+        case _ => return false
+      }.toSet == tableColumns.toSet &&
       assigns.forall { a =>
         val k = a.key match {
           case attr: AttributeReference => attr.name
@@ -337,20 +448,24 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
       case Seq(InsertAction(None, assigns)) => identityFromSource(assigns)
       case _ => false
     }
-    if (!okMatched || !okNotMatched) unsupported(
-      "only the canonical upsert MERGE is supported: WHEN MATCHED THEN " +
-        "UPDATE SET * / WHEN NOT MATCHED THEN INSERT * (no action conditions)")
+    okMatched && okNotMatched
   }
 
   /** Strip the wrappers the analyzer's assignment resolution adds
-    * around star-expanded values (Alias, ANY Cast — source/target type
-    * drift — and AssertNotNull for non-nullable targets): the canonical-
-    * upsert check cares about the value's IDENTITY, and LakeMergeCommand
-    * casts the source to the table schema regardless, so a widening
-    * wrapper must not refuse a perfectly canonical MERGE. */
+    * around star-expanded values (Alias, SAFE-WIDENING Cast —
+    * source/target type drift — and AssertNotNull for non-nullable
+    * targets): the canonical-upsert check cares about the value's
+    * IDENTITY, and LakeMergeCommand casts the source to the table
+    * schema regardless, so a widening wrapper must not refuse a
+    * perfectly canonical MERGE. Only `Cast.canUpCast` casts strip
+    * (ADVICE r11): a LOSSY cross-type cast on a merge-key side must
+    * NOT canonicalize to a bare name equality — matching under the
+    * table schema's narrower type could match rows Spark's coercion
+    * of the original ON predicate would not. */
   private def stripTrivial(e: Expression): Expression = e match {
     case Alias(child, _) => stripTrivial(child)
-    case c: Cast => stripTrivial(c.child)
+    case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) =>
+      stripTrivial(c.child)
     case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull =>
       stripTrivial(a.child)
     case other => other
@@ -431,6 +546,52 @@ final case class LakeMergeCommand(
     if (t.writeMode("merge") == "merge-on-read")
       t.mergeIntoMoR(spark, src, keys, branch = wap)
     else t.mergeInto(spark, src, keys, branch = wap)
+    Nil
+  }
+}
+
+/** One analyzed WHEN clause, command-serializable: conditions/values are
+  * Catalyst expressions whose attributes were rebound by name into the
+  * merge join's prefixed `__t_*`/`__s_*` namespace (the command re-reads
+  * target and source under fresh attribute ids, so analyzed exprIds can
+  * never rebind — names can). */
+final case class LakeMergeClause(
+    condition: Option[Expression],
+    isDelete: Boolean,
+    assignments: Seq[(String, Expression)])
+
+/** `MERGE INTO` in its FULL grammar — clause conditions, WHEN MATCHED
+  * DELETE, multiple first-match-wins clauses per family, WHEN NOT
+  * MATCHED BY SOURCE — as a driver command on the transactional
+  * conditional copy-on-write merge ([[LakeTable.mergeIntoConditional]]).
+  * Runs copy-on-write regardless of the table's merge write-mode: the
+  * O(source) merge-on-read shortcut is only sound for the unconditional
+  * whole-row upsert (a clause condition must read the OLD row, which
+  * MoR tombstones never see) — that shape routes to [[LakeMergeCommand]]
+  * instead. */
+final case class LakeConditionalMergeCommand(
+    table: LakeTable,
+    source: LogicalPlan,
+    keys: Seq[String],
+    matched: Seq[LakeMergeClause],
+    notMatched: Seq[LakeMergeClause],
+    notMatchedBySource: Seq[LakeMergeClause],
+    nmbsPrune: LakePredicate) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = table.refresh()
+    def toSpec(c: LakeMergeClause): graft.lake.MergeClauseSpec =
+      graft.lake.MergeClauseSpec(
+        c.condition.map(ColumnBridge.column),
+        c.isDelete,
+        c.assignments.map { case (n, e) => n -> ColumnBridge.column(e) })
+    Wap.refuseRowLevelStaging(spark, "MERGE", t.name)
+    val wap = Wap.writeBranch(spark, t)
+    t.mergeIntoConditional(spark, PlanBridge.ofRows(spark, source), keys,
+      matched.map(toSpec), notMatched.map(toSpec),
+      notMatchedBySource.map(toSpec), nmbsPrune, branch = wap)
     Nil
   }
 }

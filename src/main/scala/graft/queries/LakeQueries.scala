@@ -932,6 +932,48 @@ object LakeQueries {
     s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
   }
 
+  /** FULL-grammar SQL MERGE (round 12): ONE CDC batch carrying
+    * conditioned deletes (`WHEN MATCHED AND s.op='D' THEN DELETE`),
+    * conditioned updates, filtered partial inserts AND a
+    * NOT-MATCHED-BY-SOURCE re-prioritization — the general WHEN grammar
+    * routed through the conditional copy-on-write merge
+    * ([[graft.lake.LakeTable.mergeIntoConditional]]): one full-outer
+    * join over only the key-bounds/condition-overlapping files, one
+    * atomic serializable commit. The oracle reconstructs the final
+    * table relationally from the same input. */
+  private val sqlMergeFullCatalogs = new SessionMemo[String]()
+
+  def lakeSqlMergeFull(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlOrdersCatalog(sqlMergeFullCatalogs, s, d, "lakesqlmrgf",
+      numFiles = 4) { name =>
+      val src = orders(s, d)
+      src.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("D").as("op"))
+        .unionByName(src.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"), lit("U").as("op")))
+        .unionByName(src.filter(col("o_orderkey") % 10 === 7)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice"), lit("I").as("op")))
+        .createOrReplaceTempView("lake_sql_merge_full_src")
+      s.sql(
+        s"""MERGE INTO $name.q.orders AS t USING lake_sql_merge_full_src AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice,
+           |  o_orderpriority = '5-MERGED'
+           |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (o_orderkey, o_custkey,
+           |  o_orderstatus, o_totalprice, o_orderpriority)
+           |  VALUES (s.o_orderkey, CAST(-1 AS BIGINT), 'I', s.o_totalprice,
+           |          '0-NEW')
+           |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F'
+           |  AND t.o_totalprice > 300000.0 THEN
+           |  UPDATE SET o_orderpriority = '9-STALE'""".stripMargin)
+      ()
+    }
+    s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
+  }
+
   /** SQL read over LIVE merge-on-read tombstones: a positional delete
     * (deleteWhereMoR) and an equality-delete upsert (mergeIntoMoR) are
     * both live — never compacted — when spark.sql reads the table, so
@@ -994,6 +1036,7 @@ object LakeQueries {
     "lake_sql_mor" -> lakeSqlMor,
     "lake_sql_update" -> lakeSqlUpdate,
     "lake_sql_merge" -> lakeSqlMerge,
+    "lake_sql_merge_full" -> lakeSqlMergeFull,
     "lake_sql_delete" -> lakeSqlDelete,
     "lake_maintenance" -> lakeMaintenance,
     "lake_rename" -> lakeRename,
@@ -1039,6 +1082,26 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // matched D-rows (key%10=0) delete; matched U-rows (key%10=3) take the
+    // doubled price + '5-MERGED'; I-rows insert under shifted keys with
+    // NULL o_orderdate (partial INSERT); every row the source does NOT
+    // match (key%10 ∉ {0,3}) re-prioritizes to '9-STALE' when it is an
+    // expensive 'F' order (the NOT MATCHED BY SOURCE clause)
+    "lake_sql_merge_full" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN '5-MERGED'
+        |       WHEN o_orderkey % 10 NOT IN (0, 3) AND o_orderstatus = 'F'
+        |            AND o_totalprice > 300000.0 THEN '9-STALE'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, CAST(-1 AS BIGINT), 'I', o_totalprice,
+        |  CAST(NULL AS TIMESTAMP), '0-NEW'
+        |FROM orders WHERE o_orderkey % 10 = 7
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_rename_table" ->
       """SELECT 'current' AS view, * FROM orders
         |UNION ALL

@@ -225,9 +225,11 @@ class LakeProcedureSpec extends LakeSuite {
     Thread.sleep(5)
     t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
     val second = t.refresh().currentSnapshotId
-    // timestamp rollback lands on the latest snapshot at-or-before
+    // timestamp rollback lands on the latest snapshot STRICTLY BEFORE
+    // the cutoff (Iceberg semantics: a snapshot committed exactly at the
+    // cutoff is rolled past), so cutoff+1 keeps the first snapshot
     val row = spark.sql(s"CALL $cat.system.rollback_to_timestamp(" +
-      s"'ns.t', $tsAfterFirst)").head
+      s"'ns.t', ${tsAfterFirst + 1})").head
     assert(row.getLong(0) === second && row.getLong(1) === first.snapshotId)
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t").head.getLong(0)
       === ordersDF.filter(col("o_orderkey") % 2 === 0).count())
@@ -240,8 +242,8 @@ class LakeProcedureSpec extends LakeSuite {
     // pre-history timestamp refuses
     val e = intercept[Exception](spark.sql(
       s"CALL $cat.system.rollback_to_timestamp('ns.t', 1)"))
-    assert(e.getMessage.contains("at or before") ||
-      Option(e.getCause).exists(_.getMessage.contains("at or before")))
+    assert(e.getMessage.contains("strictly before") ||
+      Option(e.getCause).exists(_.getMessage.contains("strictly before")))
     // data_files metadata-table alias answers like files
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns.t.data_files").head.getLong(0)
       === spark.sql(s"SELECT count(*) FROM $cat.ns.t.files").head.getLong(0))

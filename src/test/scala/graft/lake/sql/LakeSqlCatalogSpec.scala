@@ -380,11 +380,27 @@ class LakeSqlCatalogSpec extends LakeSuite {
       })
     assert(bumped.head.getLong(0) >= 0) // smoke: query planable post-merge
 
-    // non-canonical merges are refused loudly
-    intercept[Exception](spark.sql(
+    // non-canonical merges (here: MATCHED DELETE) route through the
+    // conditional copy-on-write path since round 12
+    val before = spark.sql("SELECT count(*) FROM sqllake10.ns.t").head.getLong(0)
+    val matchedCnt = spark.sql(
+      """SELECT count(*) FROM sqllake10.ns.t tg
+        |WHERE EXISTS (SELECT 1 FROM merge_src s
+        |              WHERE s.o_orderkey = tg.o_orderkey)""".stripMargin)
+      .head.getLong(0)
+    spark.sql(
       """MERGE INTO sqllake10.ns.t AS tg USING merge_src AS s
         ON tg.o_orderkey = s.o_orderkey
+        WHEN MATCHED THEN DELETE""")
+    assert(spark.sql("SELECT count(*) FROM sqllake10.ns.t").head.getLong(0)
+      === before - matchedCnt)
+
+    // a non-equi ON condition still refuses loudly (no keyed prune shape)
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO sqllake10.ns.t AS tg USING merge_src AS s
+        ON tg.o_orderkey < s.o_orderkey
         WHEN MATCHED THEN DELETE"""))
+    assert(e.getMessage.contains("not a target.k = source.k equality"))
   }
 
   test("canonical-upsert MERGE survives analyzer cast/not-null wrappers; UPDATE subquery refuses cleanly") {
