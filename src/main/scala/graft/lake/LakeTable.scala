@@ -1521,6 +1521,70 @@ final class LakeTable private[lake] (
     }
   }
 
+  /** Copy-on-write DELETE whose row MATCHING requires joins — the
+    * decorrelated-subquery path (`WHERE k IN (SELECT …)`, correlated
+    * EXISTS): `flag` receives the touched-files read and must return
+    * the SAME rows (multiplicity preserved — join only against
+    * DISTINCT keys) plus one boolean column `__match`; NULL counts as
+    * false (SQL WHERE semantics). `prune` is a LENIENT may-match
+    * predicate over the condition's join-free conjuncts: it selects
+    * which files rewrite AND which racing commits conflict, so it must
+    * be a SUPERSET of the true matches — AlwaysTrue degrades to a
+    * full-table rewrite and full-strictness validation, never a wrong
+    * answer. Scale shape: the subquery side joins as a distinct key
+    * set (broadcast under AQE when small); the data side is the
+    * pruned file read, no extra shuffle of untouched files. */
+  def deleteWhereFlagged(spark: SparkSession, prune: LakePredicate,
+      flag: DataFrame => DataFrame,
+      conflictRetries: Int = 3,
+      branch: Option[String] = None): CommitReport =
+      withConflictRetry(conflictRetries) {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val (base, live, snap) = lineageBase(branch)
+    val touched = live.filter(prune.mayMatch(_, meta))
+    if (touched.isEmpty)
+      commitSnapshot("delete", Nil, Nil, validateAddedSince = Some((base, prune)),
+        toBranch = branch)
+    else {
+      val flagged = flag(readLive(spark, touched, snap))
+      val kept = flagged.filter(!coalesce(col("__match"), lit(false)))
+        .select(schema.fieldNames.map(col): _*)
+      val added = writeDataFiles(kept)
+      commitSnapshot("delete", added, touched,
+        validateAddedSince = Some((base, prune)), toBranch = branch)
+    }
+  }
+
+  /** Copy-on-write UPDATE twin of [[deleteWhereFlagged]]: rows whose
+    * `__match` is TRUE take the assignments (all evaluated against the
+    * OLD row — the one-select rule of [[updateWhere]]), the rest
+    * rewrite unchanged. */
+  def updateWhereFlagged(spark: SparkSession, prune: LakePredicate,
+      flag: DataFrame => DataFrame,
+      assignments: Map[String, Column],
+      conflictRetries: Int = 3,
+      branch: Option[String] = None): CommitReport =
+      withConflictRetry(conflictRetries) {
+    import org.apache.spark.sql.functions.{coalesce, col => fcol, lit, when => fwhen}
+    val (base, live, snap) = lineageBase(branch)
+    val touched = live.filter(prune.mayMatch(_, meta))
+    if (touched.isEmpty)
+      commitSnapshot("overwrite", Nil, Nil, validateAddedSince = Some((base, prune)),
+        toBranch = branch)
+    else {
+      val flagged = flag(readLive(spark, touched, snap))
+      val cond = coalesce(fcol("__match"), lit(false))
+      val rewritten = flagged.select(schema.fieldNames.map { c =>
+        assignments.get(c)
+          .map(v => fwhen(cond, v).otherwise(fcol(c)).as(c))
+          .getOrElse(fcol(c))
+      }: _*)
+      val added = writeDataFiles(rewritten)
+      commitSnapshot("overwrite", added, touched,
+        validateAddedSince = Some((base, prune)), toBranch = branch)
+    }
+  }
+
   /** Atomic predicate-scoped OVERWRITE (Delta's replaceWhere /
     * Iceberg's overwrite-by-filter): delete every row matching `pred`
     * AND append `df` in ONE commit — the backfill primitive. Rewriting

@@ -2,7 +2,7 @@ package graft.lake.sql
 
 import org.apache.spark.sql.{Row, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Cast, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, Cast, EqualTo, Exists, Expression, InSubquery, Not, OuterReference, PredicateHelper, ScalarSubquery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -240,9 +240,28 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
       lakeTableOf(rel) match {
         case Some(t) =>
           require(!t.isHistorical, s"cannot UPDATE a historical snapshot of ${t.name()}")
-          LakeUpdateCommand(t.lakeTable, toPredicate(condition, "UPDATE"),
-            assignments.map(assignmentEntry))
+          if (condition.exists(hasSubquery)) {
+            val m = planSubqueryMatch(condition.get)
+            LakeRowLevelSubqueryCommand(t.lakeTable, "UPDATE",
+              assignments.map(assignmentEntry), m.residual, m.flags, m.prune)
+          } else
+            LakeUpdateCommand(t.lakeTable, toPredicate(condition, "UPDATE"),
+              assignments.map(assignmentEntry))
         case None => u
+      }
+
+    // DELETE with a subquery condition: the DSv2 SupportsDelete path
+    // (strict manifest predicates) cannot express it; decorrelate onto
+    // the flagged copy-on-write rewrite instead. Join-free DELETEs stay
+    // on the existing strict path untouched.
+    case dl @ DeleteFromTable(rel, cond) if dl.resolved && hasSubquery(cond) =>
+      lakeTableOf(rel) match {
+        case Some(t) =>
+          require(!t.isHistorical, s"cannot DELETE from a historical snapshot of ${t.name()}")
+          val m = planSubqueryMatch(cond)
+          LakeRowLevelSubqueryCommand(t.lakeTable, "DELETE", Nil,
+            m.residual, m.flags, m.prune)
+        case None => dl
       }
 
     case m @ MergeIntoTable(target, source, cond, matched, notMatched,
@@ -395,17 +414,123 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
   /** SET clause entry → (column name, value expression). The value is
     * kept as a Catalyst expression; the command un-resolves attribute
     * references by name at run time because the rewrite re-reads the
-    * files under fresh attribute ids. */
+    * files under fresh attribute ids. An UNCORRELATED scalar subquery
+    * value is allowed since round 12 — the command evaluates it once
+    * (it is a constant for the whole statement) and splices the
+    * literal; a CORRELATED one captures outer references whose exprIds
+    * can never rebind against the fresh re-read — refused CLEANLY at
+    * analysis instead of dying unresolved at run(). */
   private def assignmentEntry(a: Assignment): (String, Expression) = a.key match {
     case attr: AttributeReference =>
-      // a subquery value captures outer references whose exprIds can
-      // never rebind against the command's fresh re-read — refuse
-      // CLEANLY at analysis instead of dying unresolved at run()
-      if (a.value.exists(_.isInstanceOf[
-          org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
-        unsupported(s"UPDATE SET ${attr.name} = (subquery) is not supported")
+      a.value.foreach {
+        case sq: ScalarSubquery if sq.outerAttrs.isEmpty => ()
+        case _: SubqueryExpression => unsupported(
+          s"UPDATE SET ${attr.name} = (subquery) is only supported for an " +
+            "uncorrelated scalar subquery")
+        case _ => ()
+      }
       attr.name -> a.value
     case other => unsupported(s"UPDATE of nested field ${other.sql} is not supported")
+  }
+
+  private def hasSubquery(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[SubqueryExpression])
+
+  /** The analyzed pieces of a subquery-bearing row-level condition:
+    * join-free conjuncts stay an exact row filter (`residual`) and
+    * contribute the LENIENT file-prune predicate; each subquery
+    * conjunct becomes a [[LakeSubqueryFlag]] the command turns into a
+    * distinct-key join at run time. */
+  private[sql] final case class SubqueryMatch(residual: Option[Expression],
+      flags: Seq[LakeSubqueryFlag], prune: LakePredicate)
+
+  private def planSubqueryMatch(cond0: Expression): SubqueryMatch = {
+    val conjs = splitConjunctivePredicates(foldConstants(cond0))
+    val (subs, plain) = conjs.partition(hasSubquery)
+    val flags = subs.map(toFlag)
+    val prune = plain
+      .flatMap(PlanBridge.translateFilter)
+      .map(LakeSqlTable.toLakePredicateLenient)
+      .reduceOption[LakePredicate](LakePredicate.And(_, _))
+      .getOrElse(LakePredicate.AlwaysTrue)
+    SubqueryMatch(plain.reduceOption(And), flags, prune)
+  }
+
+  /** One subquery conjunct → a flag spec. Supported shapes (anything
+    * else refuses loudly at analysis — never a partial apply):
+    *  - `x [NOT] IN (uncorrelated subquery)` — single- or multi-value;
+    *    NOT IN keeps its three-valued semantics via run-time stats of
+    *    the subquery result (any NULL key → never TRUE)
+    *  - `[NOT] EXISTS (subquery)` — uncorrelated, or correlated by a
+    *    conjunction of simple equalities `outer = innerExpr` sitting in
+    *    Filters reachable through the subquery's output-shaping
+    *    projections (the CDC `EXISTS (SELECT 1 FROM s WHERE s.k = t.k
+    *    AND …)` shape); deeper correlation refuses. */
+  private def toFlag(e: Expression): LakeSubqueryFlag = e match {
+    case InSubquery(values, lq) =>
+      if (lq.outerAttrs.nonEmpty) unsupported(
+        "correlated IN subquery conditions are not supported (use EXISTS)")
+      LakeSubqueryFlag("in", lq.plan, values)
+    case Not(InSubquery(values, lq)) =>
+      if (lq.outerAttrs.nonEmpty) unsupported(
+        "correlated NOT IN subquery conditions are not supported")
+      LakeSubqueryFlag("notin", lq.plan, values)
+    case ex: Exists =>
+      val (pairs, plan) = decorrelateExists(ex.plan)
+      LakeSubqueryFlag("exists", plan, pairs.map(_._1),
+        innerKeys = pairs.map(_._2))
+    case Not(ex: Exists) =>
+      val (pairs, plan) = decorrelateExists(ex.plan)
+      LakeSubqueryFlag("notexists", plan, pairs.map(_._1),
+        innerKeys = pairs.map(_._2))
+    case other => unsupported(
+      s"subquery condition ${other.sql} is not a supported [NOT] IN / " +
+        "[NOT] EXISTS shape")
+  }
+
+  /** Pull the correlated equalities out of an EXISTS subquery plan:
+    * returns (outerExpr, innerExpr) pairs plus the plan with those
+    * conjuncts removed. Output-shaping Projects above the filters are
+    * discarded (EXISTS cares only about emptiness), so the command can
+    * project the inner key expressions at the peeled plan's top, where
+    * the filter scope's attributes are still visible. Correlation
+    * anywhere deeper (under aggregates, joins, limits, generators)
+    * refuses loudly. */
+  private def decorrelateExists(root: LogicalPlan)
+      : (Seq[(Expression, Expression)], LogicalPlan) = {
+    def hasOuterDeep(p: LogicalPlan): Boolean =
+      p.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference])))
+    def go(p: LogicalPlan, topProjects: Boolean)
+        : (Seq[(Expression, Expression)], LogicalPlan) = p match {
+      case SubqueryAlias(id, c) =>
+        val (pairs, c2) = go(c, topProjects)
+        (pairs, SubqueryAlias(id, c2))
+      case Project(list, c) if topProjects &&
+          !list.exists(_.exists(_.isInstanceOf[OuterReference])) =>
+        go(c, topProjects = true)
+      case Filter(cond, c) =>
+        val (corr, rest) = splitConjunctivePredicates(cond)
+          .partition(_.exists(_.isInstanceOf[OuterReference]))
+        val pairs = corr.map {
+          case EqualTo(OuterReference(a), inner)
+              if !inner.exists(_.isInstanceOf[OuterReference]) =>
+            (a: Expression, inner)
+          case EqualTo(inner, OuterReference(a))
+              if !inner.exists(_.isInstanceOf[OuterReference]) =>
+            (a: Expression, inner)
+          case other => unsupported(
+            s"EXISTS correlation ${other.sql} is not a simple " +
+              "outer = inner equality")
+        }
+        val (below, c2) = go(c, topProjects = false)
+        (pairs ++ below,
+          rest.reduceOption(And).map(Filter(_, c2)).getOrElse(c2))
+      case other =>
+        if (hasOuterDeep(other)) unsupported(
+          s"EXISTS correlation below a ${other.nodeName} operator is not supported")
+        (Nil, other)
+    }
+    go(root, topProjects = true)
   }
 
   /** The canonical upsert: WHEN MATCHED THEN UPDATE SET * / WHEN NOT
@@ -508,11 +633,14 @@ final case class LakeUpdateCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     // re-resolve attribute references by NAME: the rewrite re-reads the
     // touched files as a fresh DataFrame whose attribute ids differ from
-    // the analyzed UPDATE plan's
+    // the analyzed UPDATE plan's. Uncorrelated scalar subquery values
+    // evaluate ONCE here (they are statement constants) and splice in
+    // as literals.
     val cols = assignments.map { case (name, value) =>
-      name -> ColumnBridge.column(value.transform {
-        case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
-      })
+      name -> ColumnBridge.column(
+        LakeSubqueryEval.resolveScalars(spark, value).transform {
+          case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+        })
     }.toMap
     val t = table.refresh()
     Wap.refuseRowLevelStaging(spark, "UPDATE", t.name)
@@ -546,6 +674,134 @@ final case class LakeMergeCommand(
     if (t.writeMode("merge") == "merge-on-read")
       t.mergeIntoMoR(spark, src, keys, branch = wap)
     else t.mergeInto(spark, src, keys, branch = wap)
+    Nil
+  }
+}
+
+/** One subquery conjunct of a row-level condition, command-serializable.
+  * `kind` ∈ in / notin / exists / notexists. For IN flavors the
+  * subquery plan's output columns pair positionally with `outerKeys`
+  * (the IN value expressions over the target row); for EXISTS flavors
+  * `outerKeys`/`innerKeys` are the decorrelated equality sides (empty =
+  * uncorrelated, a statement-constant emptiness test). */
+final case class LakeSubqueryFlag(
+    kind: String,
+    plan: LogicalPlan,
+    outerKeys: Seq[Expression],
+    innerKeys: Seq[Expression] = Nil)
+
+/** Evaluates uncorrelated scalar subqueries in assignment values to
+  * literals — once per statement, exactly the SQL semantics of a
+  * statement-constant subexpression. */
+private[sql] object LakeSubqueryEval {
+  def resolveScalars(spark: SparkSession, e: Expression): Expression = e.transform {
+    case sq: ScalarSubquery =>
+      val rows = PlanBridge.ofRows(spark, sq.plan).limit(2).collect()
+      if (rows.length > 1) throw new IllegalStateException(
+        "scalar subquery in UPDATE SET returned more than one row")
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        if (rows.isEmpty) null else rows(0).get(0), sq.dataType)
+  }
+}
+
+/** `UPDATE … WHERE <subquery condition>` / `DELETE … WHERE <subquery
+  * condition>` as a driver command on the FLAGGED copy-on-write rewrite
+  * ([[LakeTable.updateWhereFlagged]]/[[LakeTable.deleteWhereFlagged]]):
+  * each subquery conjunct joins the touched-files read against the
+  * subquery's DISTINCT keys (left-outer + presence marker, so row
+  * multiplicity is preserved and NULL keys never match — exactly SQL's
+  * WHERE-context IN/EXISTS semantics), join-free conjuncts evaluate
+  * directly, and the whole condition lands as one boolean `__match`
+  * column. File pruning and serializable validation use the LENIENT
+  * predicate over the join-free conjuncts (superset of true matches —
+  * conservative in both roles). */
+final case class LakeRowLevelSubqueryCommand(
+    table: LakeTable,
+    verb: String,
+    assignments: Seq[(String, Expression)],
+    residual: Option[Expression],
+    flags: Seq[LakeSubqueryFlag],
+    prune: LakePredicate) extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = flags.map(_.plan)
+
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+  }
+
+  private def flagFn(spark: SparkSession)(
+      df0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    import org.apache.spark.sql.Column
+    var df = df0
+    val conds = scala.collection.mutable.Buffer.empty[Column]
+    residual.foreach(e => conds += ColumnBridge.column(unresolve(e)))
+    flags.zipWithIndex.foreach { case (f, i) =>
+      val subRaw = PlanBridge.ofRows(spark, f.plan)
+      val keyNames = f.outerKeys.indices.map(j => s"__sq${i}_k$j")
+      val marker = s"__sq${i}_m"
+      def outerCols = f.outerKeys.map(ok => ColumnBridge.column(unresolve(ok)))
+      def joinMarked(keyed: org.apache.spark.sql.DataFrame): Column = {
+        val marked = keyed.distinct().withColumn(marker, lit(true))
+        val joinCond = outerCols.zip(keyNames.map(col))
+          .map { case (ok, kn) => ok === kn }.reduce(_ && _)
+        df = df.join(marked, joinCond, "left_outer").drop(keyNames: _*)
+        col(marker).isNotNull
+      }
+      f.kind match {
+        case "in" =>
+          require(f.outerKeys.size == subRaw.columns.length,
+            s"IN subquery arity mismatch: ${f.outerKeys.size} values vs " +
+              s"${subRaw.columns.length} output columns")
+          conds += joinMarked(subRaw.toDF(keyNames: _*))
+        case "notin" =>
+          require(f.outerKeys.size == subRaw.columns.length,
+            "NOT IN subquery arity mismatch")
+          val keyed = subRaw.toDF(keyNames: _*)
+          // three-valued NOT IN: any NULL in the subquery result means
+          // the predicate is never TRUE; a NULL outer value likewise
+          val statsRow = keyed.agg(count(lit(1)),
+            sum(when(keyNames.map(col(_).isNull).reduce(_ || _), 1L)
+              .otherwise(0L))).head()
+          val total = statsRow.getLong(0)
+          val nulls = if (statsRow.isNullAt(1)) 0L else statsRow.getLong(1)
+          if (total == 0L) conds += lit(true)
+          else if (nulls > 0L) conds += lit(false)
+          else {
+            val hit = joinMarked(keyed)
+            conds += (outerCols.map(_.isNotNull).reduce(_ && _) && !hit)
+          }
+        case "exists" | "notexists" =>
+          if (f.outerKeys.isEmpty) {
+            // uncorrelated: a statement-constant emptiness test
+            val nonEmpty = !subRaw.isEmpty
+            conds += lit(if (f.kind == "exists") nonEmpty else !nonEmpty)
+          } else {
+            val projected = subRaw.select(f.innerKeys.zip(keyNames).map {
+              case (ik, kn) => ColumnBridge.column(ik).as(kn) }: _*)
+            val hit = joinMarked(projected)
+            conds += (if (f.kind == "exists") hit else !hit)
+          }
+      }
+    }
+    df.withColumn("__match", conds.reduceOption(_ && _).getOrElse(lit(true)))
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = table.refresh()
+    Wap.refuseRowLevelStaging(spark, verb, t.name)
+    val wap = Wap.writeBranch(spark, t)
+    if (verb == "DELETE")
+      t.deleteWhereFlagged(spark, prune, flagFn(spark), branch = wap)
+    else {
+      val cols = assignments.map { case (name, value) =>
+        name -> ColumnBridge.column(
+          LakeSubqueryEval.resolveScalars(spark, value).transform {
+            case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+          })
+      }.toMap
+      t.updateWhereFlagged(spark, prune, flagFn(spark), cols, branch = wap)
+    }
     Nil
   }
 }

@@ -932,6 +932,36 @@ object LakeQueries {
     s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
   }
 
+  /** UPDATE/DELETE with SUBQUERY conditions (round 12): an UPDATE whose
+    * WHERE combines an uncorrelated `IN (GROUP BY … HAVING …)` subquery
+    * with a plain residual conjunct, then a DELETE keyed by a
+    * correlated EXISTS — both decorrelated onto the flagged
+    * copy-on-write rewrite ([[graft.lake.LakeTable.updateWhereFlagged]]):
+    * the subquery joins as a DISTINCT key set against only the pruned
+    * file read, row multiplicity preserved. Oracle reconstructs both
+    * mutations relationally. */
+  private val sqlUpdSubqCatalogs = new SessionMemo[String]()
+
+  def lakeSqlUpdateSubquery(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlOrdersCatalog(sqlUpdSubqCatalogs, s, d, "lakesqlsubq",
+      numFiles = 4) { name =>
+      orders(s, d).createOrReplaceTempView("lake_subq_orders_in")
+      s.sql(
+        s"""UPDATE $name.q.orders SET o_orderpriority = '7-HOT'
+           |WHERE o_custkey IN (SELECT o_custkey FROM lake_subq_orders_in
+           |                    GROUP BY o_custkey HAVING count(*) >= 8)
+           |  AND o_orderstatus = 'O'""".stripMargin)
+      s.sql("SELECT o_orderkey AS k FROM lake_subq_orders_in WHERE o_orderkey % 100 = 0")
+        .createOrReplaceTempView("lake_subq_dead_keys")
+      s.sql(
+        s"""DELETE FROM $name.q.orders
+           |WHERE EXISTS (SELECT 1 FROM lake_subq_dead_keys x
+           |              WHERE x.k = o_orderkey)""".stripMargin)
+      ()
+    }
+    s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
+  }
+
   /** FULL-grammar SQL MERGE (round 12): ONE CDC batch carrying
     * conditioned deletes (`WHEN MATCHED AND s.op='D' THEN DELETE`),
     * conditioned updates, filtered partial inserts AND a
@@ -1037,6 +1067,7 @@ object LakeQueries {
     "lake_sql_update" -> lakeSqlUpdate,
     "lake_sql_merge" -> lakeSqlMerge,
     "lake_sql_merge_full" -> lakeSqlMergeFull,
+    "lake_sql_update_subquery" -> lakeSqlUpdateSubquery,
     "lake_sql_delete" -> lakeSqlDelete,
     "lake_maintenance" -> lakeMaintenance,
     "lake_rename" -> lakeRename,
@@ -1087,6 +1118,16 @@ object LakeQueries {
     // NULL o_orderdate (partial INSERT); every row the source does NOT
     // match (key%10 ∉ {0,3}) re-prioritizes to '9-STALE' when it is an
     // expensive 'F' order (the NOT MATCHED BY SOURCE clause)
+    // UPDATE: 'O'-status orders of customers with ≥ 8 orders re-prioritize;
+    // DELETE: every 100th key dies via the correlated EXISTS
+    "lake_sql_update_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        |  CASE WHEN o_orderstatus = 'O' AND o_custkey IN (
+        |         SELECT o_custkey FROM orders GROUP BY o_custkey
+        |         HAVING count(*) >= 8)
+        |       THEN '7-HOT' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 100 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
     "lake_sql_merge_full" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2

@@ -500,10 +500,38 @@ object TextQueries {
         }
       }
       .toDF("doc_id", "simhash")
-    val banded = sim.select(col("doc_id"), col("simhash"),
+    // signatures persist (QueryCaches-tracked): the pair-budget
+    // estimate below and the band join both consume them, and the
+    // hash pass over the raw text is the expensive half
+    val simCached = QueryCaches.track(sim.persist())
+    val banded = simCached.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band", "bucket")))
+    // PAIR-BUDGET GATE (round 12): this query's contract — materialize
+    // every near-dup pair — is the one dedup output that grows
+    // QUADRATICALLY with cluster size (the sf1 probe measured 9× wall
+    // at 10× data, all of it output). Candidate pairs Σ n·(n−1)/2 over
+    // the band buckets cost one count-shuffle over the cached
+    // signatures to estimate; past the budget the query REFUSES with a
+    // pointer to `dedup_clusters`, whose banded connected-component
+    // labels are the linear-output (100 TB) answer to the same
+    // question. Budget ≤ 0 disables the gate (the estimate is skipped
+    // entirely — no extra job).
+    val budget = s.conf.get("graft.simhashDedup.pairBudget",
+      (200L * 1000 * 1000).toString).toLong
+    if (budget > 0) {
+      val candPairs = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum((col("n") * (col("n") - 1)).cast("long")), lit(0L)))
+        .head().getLong(0) / 2
+      if (candPairs > budget) throw new IllegalStateException(
+        s"dedup_simhash would examine ~$candPairs candidate pairs " +
+          s"(budget $budget): the all-pairs output is quadratic in " +
+          "cluster size at this dup rate. Use dedup_clusters (banded " +
+          "connected-component labels, linear output) instead, or raise " +
+          "graft.simhashDedup.pairBudget")
+    }
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("da"), col("simhash").as("ha"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("db"), col("simhash").as("hb"))
     // hamming gate BEFORE the pair distinct: the band join emits every

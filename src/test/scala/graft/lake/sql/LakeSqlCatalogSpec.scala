@@ -423,11 +423,18 @@ class LakeSqlCatalogSpec extends LakeSuite {
     assert(spark.sql("SELECT id, v FROM sqlmw.ns.t ORDER BY id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
       === Seq((1L, 10L), (2L, 99L), (3L, 30L)))
-    // UPDATE with a subquery value refuses at ANALYSIS with a clear
-    // message (previously died unresolved inside the rewrite)
+    // UPDATE with an UNCORRELATED scalar-subquery value evaluates it
+    // once against the pre-statement snapshot (round 12; previously a
+    // loud analysis refusal): max(v) = 99 from the state above
+    spark.sql(
+      "UPDATE sqlmw.ns.t SET v = (SELECT max(v) FROM sqlmw.ns.t) WHERE id = 1")
+    assert(spark.sql("SELECT v FROM sqlmw.ns.t WHERE id = 1").head.getLong(0) === 99L)
+    // a CORRELATED subquery value still refuses at ANALYSIS with a
+    // clear message (previously died unresolved inside the rewrite)
     val e = intercept[Exception](spark.sql(
-      "UPDATE sqlmw.ns.t SET v = (SELECT max(v) FROM sqlmw.ns.t) WHERE id = 1"))
-    assert(e.getMessage.contains("subquery"), e.getMessage)
+      "UPDATE sqlmw.ns.t AS t SET v = (SELECT max(s.v) FROM sqlmw.ns.t AS s " +
+        "WHERE s.id = t.id) WHERE id = 1"))
+    assert(e.getMessage.contains("uncorrelated scalar"), e.getMessage)
   }
 
   test("DELETE WHERE false never rewrites a data file") {

@@ -1,0 +1,117 @@
+package graft.lake.sql
+
+import org.apache.spark.sql.Row
+import graft.lake.{LakeCatalog, LakeSuite}
+
+/** UPDATE/DELETE with subquery conditions (round 12): [NOT] IN over
+  * uncorrelated subqueries, [NOT] EXISTS with equality decorrelation,
+  * scalar-subquery assignment values, three-valued NOT IN semantics,
+  * and the loud refusal of genuinely uncorrelatable shapes. */
+class SubqueryRowLevelSpec extends LakeSuite {
+
+  private def freshCat(tag: String): (String, LakeCatalog) = {
+    val wh = freshWarehouse()
+    val name = s"sqrl$tag"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[LakeSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.ns")
+    (name, LakeCatalog.open(wh))
+  }
+
+  private def rows(sql: String): Seq[Row] = spark.sql(sql).collect().toSeq
+
+  test("DELETE WHERE key IN (subquery) + residual conjunct") {
+    val (c, _) = freshCat("din")
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT, v INT)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1,1),(2,2),(3,3),(4,4),(5,5)")
+    spark.sql("SELECT * FROM VALUES (2L),(4L),(9L) AS s(k)")
+      .createOrReplaceTempView("din_keys")
+    // residual v > 2 keeps id=2 alive even though its key is in the set
+    spark.sql(s"DELETE FROM $c.ns.t WHERE id IN (SELECT k FROM din_keys) AND v > 2")
+    assert(rows(s"SELECT * FROM $c.ns.t ORDER BY id") ===
+      Seq(Row(1L, 1), Row(2L, 2), Row(3L, 3), Row(5L, 5)))
+  }
+
+  test("NOT IN: three-valued semantics — NULL in subquery result means no row matches") {
+    val (c, _) = freshCat("nin")
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT, v INT)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1,1),(2,2),(3,3)")
+    spark.sql("SELECT * FROM VALUES (1L),(CAST(NULL AS BIGINT)) AS s(k)")
+      .createOrReplaceTempView("nin_null")
+    spark.sql(s"DELETE FROM $c.ns.t WHERE id NOT IN (SELECT k FROM nin_null)")
+    // NULL in the set: NOT IN is never TRUE → nothing deleted
+    assert(rows(s"SELECT count(*) FROM $c.ns.t") === Seq(Row(3L)))
+    spark.sql("SELECT * FROM VALUES (1L) AS s(k)")
+      .createOrReplaceTempView("nin_plain")
+    spark.sql(s"DELETE FROM $c.ns.t WHERE id NOT IN (SELECT k FROM nin_plain)")
+    assert(rows(s"SELECT * FROM $c.ns.t") === Seq(Row(1L, 1)))
+  }
+
+  test("UPDATE WHERE EXISTS (correlated equality) — the CDC day-one shape") {
+    val (c, _) = freshCat("uex")
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT, status STRING)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1,'a'),(2,'a'),(3,'a')")
+    spark.sql("SELECT * FROM VALUES (1L,'D'),(3L,'U') AS s(k, op)")
+      .createOrReplaceTempView("uex_src")
+    spark.sql(
+      s"""UPDATE $c.ns.t SET status = 'flagged'
+         |WHERE EXISTS (SELECT 1 FROM uex_src s
+         |              WHERE s.k = id AND s.op = 'D')""".stripMargin)
+    assert(rows(s"SELECT * FROM $c.ns.t ORDER BY id") ===
+      Seq(Row(1L, "flagged"), Row(2L, "a"), Row(3L, "a")))
+    // NOT EXISTS flips the set
+    spark.sql(
+      s"""UPDATE $c.ns.t SET status = 'unmatched'
+         |WHERE NOT EXISTS (SELECT 1 FROM uex_src s WHERE s.k = id)""".stripMargin)
+    assert(rows(s"SELECT * FROM $c.ns.t ORDER BY id") ===
+      Seq(Row(1L, "flagged"), Row(2L, "unmatched"), Row(3L, "a")))
+  }
+
+  test("UPDATE SET col = (uncorrelated scalar subquery)") {
+    val (c, _) = freshCat("ssq")
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1,10),(2,20),(3,30)")
+    spark.sql(s"UPDATE $c.ns.t SET v = (SELECT max(id) FROM VALUES (7L),(9L) AS m(id)) WHERE id = 2")
+    assert(rows(s"SELECT * FROM $c.ns.t ORDER BY id") ===
+      Seq(Row(1L, 10L), Row(2L, 9L), Row(3L, 30L)))
+  }
+
+  test("DELETE WHERE IN over another LAKE table as the subquery source") {
+    val (c, _) = freshCat("lks")
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT, v INT)")
+    spark.sql(s"CREATE TABLE $c.ns.dead (id BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1,1),(2,2),(3,3)")
+    spark.sql(s"INSERT INTO $c.ns.dead VALUES (2),(3)")
+    spark.sql(s"DELETE FROM $c.ns.t WHERE id IN (SELECT id FROM $c.ns.dead)")
+    assert(rows(s"SELECT * FROM $c.ns.t") === Seq(Row(1L, 1)))
+  }
+
+  test("genuinely uncorrelatable shapes refuse loudly") {
+    val (c, _) = freshCat("ref")
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT, v INT)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1,1)")
+    spark.sql("SELECT * FROM VALUES (1L, 5) AS s(k, w)")
+      .createOrReplaceTempView("ref_src")
+    // non-equality correlation
+    val e1 = intercept[Exception](spark.sql(
+      s"DELETE FROM $c.ns.t WHERE EXISTS (SELECT 1 FROM ref_src s WHERE s.k < id)"))
+    assert(e1.getMessage.contains("not a simple"))
+    // HAVING-level correlation sits ABOVE the aggregate — removing the
+    // equality and semi-joining on the projected aggregate attribute is
+    // sound, so this decorrelates (t row (1,1): max(w)=5 ≠ 1 → no match)
+    spark.sql(
+      s"""DELETE FROM $c.ns.t WHERE EXISTS (
+         |  SELECT max(w) FROM ref_src s GROUP BY s.k HAVING max(w) = id)""".stripMargin)
+    assert(rows(s"SELECT count(*) FROM $c.ns.t") === Seq(Row(1L)))
+    // correlation UNDER the aggregate genuinely cannot pull up — refuses
+    val e2 = intercept[Exception](spark.sql(
+      s"""DELETE FROM $c.ns.t WHERE EXISTS (
+         |  SELECT s.k FROM ref_src s WHERE s.w = id GROUP BY s.k)""".stripMargin))
+    assert(e2.getMessage.toLowerCase.contains("not supported") ||
+      e2.getMessage.contains("correlation"))
+    // correlated SET value still refuses
+    val e3 = intercept[Exception](spark.sql(
+      s"UPDATE $c.ns.t SET v = (SELECT w FROM ref_src s WHERE s.k = id)"))
+    assert(e3.getMessage.contains("uncorrelated scalar"))
+  }
+}
