@@ -45,7 +45,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted // stable pass order
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 0 until reps; name <- names) {
+    def runOnce(name: String): Unit = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -54,10 +54,18 @@ object Bench {
       // failures report -1s instead of masquerading as a fast query
       times(name) = times(name) :+ (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val results = names.map { name =>
-      val ts = times(name)
-      name -> (if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2))
-    }.toMap
+    for (_ <- 0 until reps; name <- names) runOnce(name)
+    // sub-200 ms queries sit at the scheduler/JIT noise floor where 3
+    // samples give useless error bars — top them up to 5 interleaved
+    // samples (cheap by definition; round-12 bench-signal hardening)
+    val fastNames = names.filter { n =>
+      val ts = times(n)
+      ts.forall(_ >= 0) && ts.sorted.apply(ts.size / 2) < 0.2
+    }
+    for (_ <- reps until 5; name <- fastNames) runOnce(name)
+    def median(ts: Vector[Double]): Double =
+      if (ts.exists(_ < 0)) -1.0 else ts.sorted.apply(ts.size / 2)
+    val results = names.map(n => n -> median(times(n))).toMap
     // min across reps spread minutes apart = the least-contended
     // execution: discards noise a median can't (a real regression slows
     // every rep, so it still shows), the stable round-over-round stat
@@ -65,20 +73,46 @@ object Bench {
       val ts = times(name)
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
+    // per-query coefficient of variation (stddev/mean across reps): the
+    // machine-readable error bar that distinguishes uniform environment
+    // drift (high CV everywhere, medians move together) from a real
+    // plan regression (low CV, one median moves) — round-11 verdict ask
+    val cvs = names.map { name =>
+      val ts = times(name)
+      name -> {
+        if (ts.exists(_ < 0) || ts.isEmpty) -1.0
+        else {
+          val m = ts.sum / ts.size
+          if (m <= 0) 0.0
+          else math.sqrt(ts.map(t => (t - m) * (t - m)).sum / ts.size) / m
+        }
+      }
+    }.toMap
+    def pct(sorted: Vector[Double], p: Double): Double =
+      if (sorted.isEmpty) 0.0
+      else sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
+    val cvSorted = cvs.values.filter(_ >= 0).toVector.sorted
+    val cvMedian = pct(cvSorted, 0.5)
+    val cvP90 = pct(cvSorted, 0.9)
     val wall = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qmins = mins.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qcvs = cvs.map { case (k, v) =>
+      s"\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalMin = if (mins.nonEmpty) mins.values.sum else 0.0
+    def f4(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     // stdout carries ONLY the small headline: with ~100 queries a line
     // embedding both per-query maps outgrows tail-capture harnesses
     // (rounds 7/8 came back parsed:null) — the maps live in the file,
     // which is complete by construction. Path: SPARK_GRAFT_BENCH_OUT.
-    val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"n_queries":${names.size}}"""
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"n_queries":${names.size},"cv_median":${f4(cvMedian)},"cv_p90":${f4(cvP90)}}"""
     println(headline)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"queries_min":$qmins}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"queries_min":$qmins,"queries_cv":$qcvs,"cv_median":${f4(cvMedian)},"cv_p90":${f4(cvP90)}}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(out,

@@ -7,23 +7,32 @@ import org.apache.spark.sql.SparkSession
   * bench's local[32] shape and print one BENCH-style JSON line with
   * per-query minimums — the artifact that shows whether any operator's
   * cost curve bends worse than the ~10× the data grew (shuffle spill,
-  * broadcast-threshold flips, quadratic candidate growth). Lake
-  * scenario queries are excluded: they build their own fixed-size
-  * tables, so input SF does not scale them.
+  * broadcast-threshold flips, quadratic candidate growth).
+  *
+  * Round 12 adds the most expensive `lake_*` SCENARIO queries: their
+  * builders read the probe dir's (10×) orders table, so the whole
+  * scenario — table build, commits, CoW/MoR mutation, read-back —
+  * scales with the input and the probe sees the commit protocol's cost
+  * curve, not just the analytics operators'. The fresh-catalog
+  * scenarios rebuild per rep (every rep times the full mutation); the
+  * memoized SQL scenario (`lake_sql_merge_full`) mutates on rep 1 and
+  * times the steady-state read after — its min is the read path.
   *
   * Usage: runMain graft.tools.BenchScaled [scaledDir] [reps]
   */
 object BenchScaled {
   /** Queries whose input is the testdata corpus (scale with SF),
     * picked for scale risk: wide shuffles, window sorts, candidate
-    * joins, banded dedup, broadcast gates. */
+    * joins, banded dedup, broadcast gates, commit-protocol scenarios. */
   val Targets: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     "q_running_frames", "q_ev_sliding", "q_ev_sessionize",
     "contamination_check", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_minhash", "dedup_simhash", "dedup_substring",
     "dedup_retention", "data_mixture", "keyword_extraction",
-    "doc_packing", "token_frequency", "cosine_topk_brute", "ann_lsh")
+    "doc_packing", "token_frequency", "cosine_topk_brute", "ann_lsh",
+    "lake_changelog", "lake_compact", "lake_merge_mor", "lake_prune",
+    "lake_merge_upsert", "lake_sql_merge_full")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/sf1"
@@ -38,6 +47,11 @@ object BenchScaled {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the dedup_simhash pair-budget gate FIRES at this replica's dup
+    // rate × 10 (the protective refusal working as designed — the
+    // probe that motivated it); disable it here so the probe still
+    // measures the pair path's cost CURVE rather than a refusal
+    spark.conf.set("graft.simhashDedup.pairBudget", "0")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warmup
     val prep0 = System.nanoTime()
     graft.queries.Corpus.prepare(spark, sfDir)
