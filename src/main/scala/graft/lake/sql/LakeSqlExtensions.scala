@@ -240,28 +240,48 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
       lakeTableOf(rel) match {
         case Some(t) =>
           require(!t.isHistorical, s"cannot UPDATE a historical snapshot of ${t.name()}")
+          val entries = assignments.map(assignmentEntry)
           if (condition.exists(hasSubquery)) {
             val m = planSubqueryMatch(condition.get)
             LakeRowLevelSubqueryCommand(t.lakeTable, "UPDATE",
-              assignments.map(assignmentEntry), m.residual, m.flags, m.prune)
-          } else
-            LakeUpdateCommand(t.lakeTable, toPredicate(condition, "UPDATE"),
-              assignments.map(assignmentEntry))
+              entries, m.residual, m.flags, m.prune)
+          } else tryPredicate(condition) match {
+            case Some(pred) =>
+              // exact manifest form: prune and row-match from ONE
+              // predicate (metadata-only no-op when nothing overlaps)
+              LakeUpdateCommand(t.lakeTable, pred, entries)
+            case None =>
+              // inexpressible but join-free (round 12 — e.g. `key % 2 =
+              // 0`, function calls): the flagged rewrite evaluates the
+              // WHOLE condition per row exactly; expressible conjuncts
+              // still prune files leniently
+              val m = planSubqueryMatch(condition.get)
+              LakeRowLevelSubqueryCommand(t.lakeTable, "UPDATE",
+                entries, m.residual, Nil, m.prune)
+          }
         case None => u
       }
 
-    // DELETE with a subquery condition: the DSv2 SupportsDelete path
-    // (strict manifest predicates) cannot express it; decorrelate onto
-    // the flagged copy-on-write rewrite instead. Join-free DELETEs stay
-    // on the existing strict path untouched.
-    case dl @ DeleteFromTable(rel, cond) if dl.resolved && hasSubquery(cond) =>
+    // DELETE whose condition the DSv2 SupportsDelete path (strict
+    // manifest predicates) cannot express: subquery conditions
+    // decorrelate onto the flagged copy-on-write rewrite; join-free
+    // inexpressible conditions (round 12) evaluate exactly per row on
+    // the same rewrite. Strictly-expressible DELETEs stay on the
+    // existing SupportsDelete path (metadata-only file drops when
+    // bounds prove whole files match).
+    case dl @ DeleteFromTable(rel, cond) if dl.resolved =>
       lakeTableOf(rel) match {
-        case Some(t) =>
+        case Some(t) if hasSubquery(cond) =>
           require(!t.isHistorical, s"cannot DELETE from a historical snapshot of ${t.name()}")
           val m = planSubqueryMatch(cond)
           LakeRowLevelSubqueryCommand(t.lakeTable, "DELETE", Nil,
             m.residual, m.flags, m.prune)
-        case None => dl
+        case Some(t) if tryPredicate(Some(cond)).isEmpty =>
+          require(!t.isHistorical, s"cannot DELETE from a historical snapshot of ${t.name()}")
+          val m = planSubqueryMatch(cond)
+          LakeRowLevelSubqueryCommand(t.lakeTable, "DELETE", Nil,
+            m.residual, Nil, m.prune)
+        case _ => dl
       }
 
     case m @ MergeIntoTable(target, source, cond, matched, notMatched,
@@ -384,21 +404,22 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
   private def unsupported(msg: String): Nothing =
     throw new UnsupportedOperationException(msg)
 
-  /** Catalyst condition → exact manifest predicate, or refuse. The
-    * predicate is used both to prune the copy-on-write rewrite AND as
-    * the row-level rewrite condition, so (like DELETE) it must express
-    * the WHOLE condition exactly — a lenient AlwaysTrue degrade would
-    * update rows the condition never matched. */
-  private def toPredicate(condition: Option[Expression], verb: String): LakePredicate =
+  /** Catalyst condition → exact manifest predicate, or None. When every
+    * conjunct has a strict manifest form, ONE predicate both prunes the
+    * copy-on-write rewrite and matches rows (and proves no-op commits
+    * metadata-only); otherwise the caller falls back to the flagged
+    * rewrite, where the condition evaluates per row exactly and only
+    * the expressible conjuncts prune (leniently). */
+  private def tryPredicate(condition: Option[Expression]): Option[LakePredicate] =
     condition match {
-      case None => LakePredicate.AlwaysTrue
+      case None => Some(LakePredicate.AlwaysTrue)
       case Some(c) =>
-        splitConjunctivePredicates(foldConstants(c)).map { e =>
-          PlanBridge.translateFilter(e)
-            .flatMap(LakeSqlTable.toLakePredicateStrict)
-            .getOrElse(unsupported(
-              s"$verb condition ${e.sql} has no exact manifest-predicate form"))
-        }.reduceLeft[LakePredicate](LakePredicate.And(_, _))
+        val parts = splitConjunctivePredicates(foldConstants(c)).map { e =>
+          PlanBridge.translateFilter(e).flatMap(LakeSqlTable.toLakePredicateStrict)
+        }
+        if (parts.forall(_.isDefined))
+          Some(parts.flatten.reduceLeft[LakePredicate](LakePredicate.And(_, _)))
+        else None
     }
 
   /** This rule runs at ANALYSIS, before the optimizer's constant
@@ -474,6 +495,14 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
     case Not(InSubquery(values, lq)) =>
       if (lq.outerAttrs.nonEmpty) unsupported(
         "correlated NOT IN subquery conditions are not supported")
+      // single-column only: tuple NOT IN three-valued logic lets a
+      // PARTIALLY-null subquery row still exclude tuples whose non-null
+      // components differ — the run-time any-null stat that makes
+      // single-column NOT IN exact would silently KEEP rows SQL
+      // matches. Refuse rather than approximate.
+      if (values.size != 1) unsupported(
+        "multi-column NOT IN subquery conditions are not supported " +
+          "(three-valued tuple semantics); use NOT EXISTS")
       LakeSubqueryFlag("notin", lq.plan, values)
     case ex: Exists =>
       val (pairs, plan) = decorrelateExists(ex.plan)

@@ -288,12 +288,18 @@ class LakeSqlCatalogSpec extends LakeSuite {
       === df.filter(col("o_orderkey") > 100)
         .filter(!(col("o_orderkey") > 5000 && col("o_totalprice") < 50000)).count())
 
-    // a condition with no exact manifest-predicate form is REFUSED, not
-    // partially applied (the lenient scan conversion would over-delete)
+    // a condition with no exact manifest-predicate form routes through
+    // the FLAGGED copy-on-write rewrite (round 12; previously refused):
+    // the whole condition evaluates per row exactly
     val before = spark.sql("SELECT count(*) FROM sqllake7.ns.t").head.getLong(0)
-    intercept[Exception](
-      spark.sql("DELETE FROM sqllake7.ns.t WHERE o_orderkey % 2 = 0"))
-    assert(spark.sql("SELECT count(*) FROM sqllake7.ns.t").head.getLong(0) === before)
+    val evens = spark.sql(
+      "SELECT count(*) FROM sqllake7.ns.t WHERE o_orderkey % 2 = 0").head.getLong(0)
+    spark.sql("DELETE FROM sqllake7.ns.t WHERE o_orderkey % 2 = 0")
+    assert(spark.sql("SELECT count(*) FROM sqllake7.ns.t").head.getLong(0)
+      === before - evens)
+    assert(spark.sql(
+      "SELECT count(*) FROM sqllake7.ns.t WHERE o_orderkey % 2 = 0")
+      .head.getLong(0) === 0L)
 
     // unconditional DELETE arrives as one AlwaysTrue filter and empties
     // the table through the same commit protocol
@@ -328,9 +334,17 @@ class LakeSqlCatalogSpec extends LakeSuite {
     val filesAfter = t.refresh().metadata.currentFiles.map(_.path).toSet
     assert(filesAfter === filesBefore) // predicate matches nothing: no rewrite
 
-    // a condition with no exact manifest-predicate form is REFUSED
-    intercept[Exception](
-      spark.sql("UPDATE sqllake9.ns.t SET o_totalprice = 0.0 WHERE o_orderkey % 2 = 0"))
+    // a condition with no exact manifest-predicate form routes through
+    // the FLAGGED rewrite (round 12; previously refused)
+    spark.sql("UPDATE sqllake9.ns.t SET o_totalprice = 0.0 WHERE o_orderkey % 2 = 0")
+    assert(spark.sql(
+      "SELECT round(sum(o_totalprice), 2) FROM sqllake9.ns.t").head.getDouble(0)
+      === {
+        val exp2 = expected.withColumn("o_totalprice",
+          org.apache.spark.sql.functions.when(col("o_orderkey") % 2 === 0,
+            org.apache.spark.sql.functions.lit(0.0)).otherwise(col("o_totalprice")))
+        math.round(exp2.agg(sum("o_totalprice")).head.getDouble(0) * 100) / 100.0
+      })
 
     // SQL UPDATE semantics: ALL SET expressions evaluate against the
     // OLD row — `SET a = b, b = a` must SWAP, on CoW and MoR alike (a
