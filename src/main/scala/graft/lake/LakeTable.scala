@@ -2300,9 +2300,37 @@ final class LakeTable private[lake] (
         val srcP = src.select(
           src.columns.map(c => F.col(c).as("__s_" + c)).toSeq :+
             F.lit(1).as("__s__p"): _*)
+        // NOT a full-outer join: Spark cannot broadcast a full outer, so
+        // it would force a sort-merge SHUFFLE of the entire touched-file
+        // read even for a 1000-row CDC source. Decomposed instead:
+        //   joined  = tgt LEFT OUTER src         (matched + target-only;
+        //             broadcastable build-right when the source is small)
+        //   matched = key-only tgt scan SEMI srcKeys, ≤ |src| rows
+        //             (column-pruned parquet read, broadcastable)
+        //   inserts = src ANTI matched           (source-only rows;
+        //             broadcastable — `matched` is small by construction)
+        // With a small source AQE broadcasts all three and the target
+        // data NEVER shuffles (the key-only scan is the only extra
+        // pass); with a huge source each degrades to the same SMJ the
+        // full-outer would have been. Semantics are identical: NULL
+        // keys match nothing on either side, so they fall out of the
+        // semi/anti exactly as out of the outer join.
+        val skeys = keys.map("__s_" + _)
         val joined = tgt.join(srcP,
           keys.map(k => F.col("__t_" + k) === F.col("__s_" + k)).reduce(_ && _),
-          "full_outer")
+          "left_outer")
+        val srcKeyset = srcP.select(skeys.map(F.col): _*).distinct()
+        val matchedKeys = tgtRaw
+          .select(keys.map(k => F.col(k).as("__s_" + k)): _*)
+          .join(srcKeyset, skeys, "left_semi").distinct()
+        val inserts = srcP.join(matchedKeys, skeys, "left_anti")
+          .select(
+            schema.fields.map(f =>
+              F.lit(null).cast(f.dataType).as("__t_" + f.name)).toSeq ++
+              Seq(F.lit(null).cast("int").as("__t__p")) ++
+              src.columns.map(c => F.col("__s_" + c)) :+
+              F.col("__s__p"): _*)
+        val unioned = joined.unionByName(inserts)
         // one integer action per row: first clause of the row's family
         // whose condition is TRUE (NULL counts as false, SQL semantics)
         val KEEP = 0
@@ -2323,7 +2351,7 @@ final class LakeTable private[lake] (
         val act = F.when(tP && sP, chain(matched, 1000, KEEP))
           .when(sP, chain(notMatched, 2000, DROP)) // source-only
           .otherwise(chain(notMatchedBySource, 3000, KEEP)) // target-only
-        val withAct = joined.withColumn("__act", act)
+        val withAct = unioned.withColumn("__act", act)
           .filter(F.col("__act") =!= DROP)
         val actCol = F.col("__act")
         val outCols = schema.fields.map { f =>
