@@ -1555,6 +1555,103 @@ final class LakeTable private[lake] (
     }
   }
 
+  /** MERGE-ON-READ twin of [[deleteWhereFlagged]]: ships positional
+    * tombstones (or DV bitmaps) for the matched coordinates in ONE
+    * commit — write cost O(matched rows), never a file rewrite, the
+    * shape a subquery purge wants on a huge MoR table. `flag` must
+    * PRESERVE its input columns (the hidden position columns ride
+    * through its joins) and add `__match`. */
+  def deleteWhereFlaggedMoR(spark: SparkSession, prune: LakePredicate,
+      flag: DataFrame => DataFrame,
+      conflictRetries: Int = 3,
+      branch: Option[String] = None): CommitReport =
+      withConflictRetry(conflictRetries) {
+    import org.apache.spark.sql.{functions => F}
+    val (base, live, snap) = lineageBase(branch)
+    val touched = live.filter(prune.mayMatch(_, meta))
+    if (touched.isEmpty)
+      commitSnapshot("delete", Nil, Nil, validateAddedSince = Some((base, prune)),
+        toBranch = branch)
+    else {
+      val matched = flag(readLivePos(spark, touched,
+          snap.map(_.deleteFiles).getOrElse(Nil),
+          snap.map(_.eqDeleteFiles).getOrElse(Nil),
+          snap.map(_.dvFiles).getOrElse(Nil)))
+        .filter(F.coalesce(F.col("__match"), F.lit(false)))
+        .select(F.col(LakeTable.PosFileCol).as("file_path"),
+          F.col(LakeTable.PosIdxCol).as("pos"))
+      if (dvEnabled) {
+        val dvs = writeDeleteVectors(spark, matched,
+          snap.map(_.dvFiles).getOrElse(Nil))
+        commitSnapshot("delete", Nil, Nil, addedDvs = dvs,
+          validateAddedSince = Some((base, prune)), toBranch = branch)
+      } else {
+        val dir = s"$location/data/${UUID.randomUUID}"
+        matched
+          .repartitionByRange(math.max(1, touched.size / 16), F.col("file_path"))
+          .write.parquet(dir)
+        val added = StatsHarvester.harvest(spark, dir, LakeTable.DeleteFileSchema,
+          Nil, LakeTable.DeleteFieldIds).filter(_.recordCount > 0L)
+        commitSnapshot("delete", Nil, Nil, addedDeletes = added,
+          validateAddedSince = Some((base, prune)), toBranch = branch)
+      }
+    }
+  }
+
+  /** MERGE-ON-READ twin of [[updateWhereFlagged]]: ONE commit of
+    * positional tombstones for the matched rows' old coordinates plus
+    * data files with their updated values — O(matched rows). Same flag
+    * contract as [[deleteWhereFlaggedMoR]]. */
+  def updateWhereFlaggedMoR(spark: SparkSession, prune: LakePredicate,
+      flag: DataFrame => DataFrame,
+      assignments: Map[String, Column],
+      conflictRetries: Int = 3,
+      branch: Option[String] = None): CommitReport =
+      withConflictRetry(conflictRetries) {
+    import org.apache.spark.sql.{functions => F}
+    val (base, live, snap) = lineageBase(branch)
+    val touched = live.filter(prune.mayMatch(_, meta))
+    if (touched.isEmpty)
+      commitSnapshot("overwrite", Nil, Nil, validateAddedSince = Some((base, prune)),
+        toBranch = branch)
+    else {
+      // persisted: tombstone coordinates AND updated rows must see one
+      // consistent snapshot of a plan whose subquery joins could
+      // otherwise recompute differently
+      val matched = flag(readLivePos(spark, touched,
+          snap.map(_.deleteFiles).getOrElse(Nil),
+          snap.map(_.eqDeleteFiles).getOrElse(Nil),
+          snap.map(_.dvFiles).getOrElse(Nil)))
+        .filter(F.coalesce(F.col("__match"), F.lit(false)))
+        .persist()
+      try {
+        val coords = matched.select(F.col(LakeTable.PosFileCol).as("file_path"),
+          F.col(LakeTable.PosIdxCol).as("pos"))
+        val (tombs, dvs) =
+          if (dvEnabled)
+            (Nil, writeDeleteVectors(spark, coords,
+              snap.map(_.dvFiles).getOrElse(Nil)))
+          else {
+            val tombDir = s"$location/data/${UUID.randomUUID}"
+            coords
+              .repartitionByRange(math.max(1, touched.size / 16), F.col("file_path"))
+              .write.parquet(tombDir)
+            (StatsHarvester.harvest(spark, tombDir, LakeTable.DeleteFileSchema,
+              Nil, LakeTable.DeleteFieldIds).filter(_.recordCount > 0L), Nil)
+          }
+        // rows are already filtered to the matches: assignments apply
+        // unconditionally, ONE select against the OLD row
+        val updated = matched.select(schema.fieldNames.map { c =>
+          assignments.get(c).map(_.as(c)).getOrElse(F.col(c))
+        }: _*)
+        val added = writeDataFiles(updated)
+        commitSnapshot("overwrite", added, Nil, addedDeletes = tombs,
+          addedDvs = dvs,
+          validateAddedSince = Some((base, prune)), toBranch = branch)
+      } finally matched.unpersist(blocking = false)
+    }
+  }
+
   /** Copy-on-write UPDATE twin of [[deleteWhereFlagged]]: rows whose
     * `__match` is TRUE take the assignments (all evaluated against the
     * OLD row — the one-select rule of [[updateWhere]]), the rest

@@ -540,13 +540,21 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
       case Filter(cond, c) =>
         val (corr, rest) = splitConjunctivePredicates(cond)
           .partition(_.exists(_.isInstanceOf[OuterReference]))
+        // one side must be PURELY outer (every attribute under an
+        // OuterReference — `t.id + 1` qualifies, `t.id + s.k` does
+        // not), the other purely inner; the outer side unwraps into a
+        // target-row expression for the semi-join key
+        def hasOuter(e: Expression) = e.exists(_.isInstanceOf[OuterReference])
+        def innerFree(e: Expression) = !e.transform {
+          case _: OuterReference =>
+            org.apache.spark.sql.catalyst.expressions.Literal(null)
+        }.exists(_.isInstanceOf[AttributeReference])
+        def unwrap(e: Expression) = e.transform { case OuterReference(a) => a }
         val pairs = corr.map {
-          case EqualTo(OuterReference(a), inner)
-              if !inner.exists(_.isInstanceOf[OuterReference]) =>
-            (a: Expression, inner)
-          case EqualTo(inner, OuterReference(a))
-              if !inner.exists(_.isInstanceOf[OuterReference]) =>
-            (a: Expression, inner)
+          case EqualTo(l, r) if hasOuter(l) && !hasOuter(r) && innerFree(l) =>
+            (unwrap(l), r)
+          case EqualTo(l, r) if hasOuter(r) && !hasOuter(l) && innerFree(r) =>
+            (unwrap(r), l)
           case other => unsupported(
             s"EXISTS correlation ${other.sql} is not a simple " +
               "outer = inner equality")
@@ -820,16 +828,23 @@ final case class LakeRowLevelSubqueryCommand(
     val t = table.refresh()
     Wap.refuseRowLevelStaging(spark, verb, t.name)
     val wap = Wap.writeBranch(spark, t)
-    if (verb == "DELETE")
-      t.deleteWhereFlagged(spark, prune, flagFn(spark), branch = wap)
-    else {
+    // the table's write.delete/update.mode routes exactly like the
+    // predicate paths: merge-on-read ships O(matched) tombstones, copy-
+    // on-write rewrites the touched files
+    if (verb == "DELETE") {
+      if (t.writeMode("delete") == "merge-on-read")
+        t.deleteWhereFlaggedMoR(spark, prune, flagFn(spark), branch = wap)
+      else t.deleteWhereFlagged(spark, prune, flagFn(spark), branch = wap)
+    } else {
       val cols = assignments.map { case (name, value) =>
         name -> ColumnBridge.column(
           LakeSubqueryEval.resolveScalars(spark, value).transform {
             case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
           })
       }.toMap
-      t.updateWhereFlagged(spark, prune, flagFn(spark), cols, branch = wap)
+      if (t.writeMode("update") == "merge-on-read")
+        t.updateWhereFlaggedMoR(spark, prune, flagFn(spark), cols, branch = wap)
+      else t.updateWhereFlagged(spark, prune, flagFn(spark), cols, branch = wap)
     }
     Nil
   }

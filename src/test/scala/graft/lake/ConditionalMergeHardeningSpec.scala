@@ -94,6 +94,45 @@ class ConditionalMergeHardeningSpec extends LakeSuite {
     assert(ids === (1L to 24L by 2).toSeq) // odds below the DV cut
   }
 
+  test("small-source conditional merge broadcasts every join (target data never sort-merge shuffles)") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "cmplan", schema2)
+    t.appendData(df2((1L to 50000L).map(i => (i, i))), numFiles = 4)
+    @volatile var plans = List.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = plans ::= qe.executedPlan.toString
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      t.refresh().mergeIntoConditional(spark,
+        df2(Seq((10L, 1000L), (99999L, 1L))), Seq("id"),
+        matched = upd(col("__s_v")),
+        notMatched = Seq(MergeClauseSpec(None, isDelete = false,
+          Seq("id" -> col("__s_id"), "v" -> col("__s_v")))))
+      // QueryExecutionListener delivery is async — poll briefly
+      val deadline = System.currentTimeMillis() + 15000
+      while (System.currentTimeMillis() < deadline &&
+        !plans.exists(_.contains("Join"))) Thread.sleep(100)
+    } finally spark.listenerManager.unregister(listener)
+    val joinPlans = plans.filter(_.contains("Join"))
+    assert(joinPlans.nonEmpty, "no join plan captured")
+    assert(joinPlans.exists(_.contains("BroadcastHashJoin")),
+      "expected the decomposed merge joins to broadcast")
+    assert(!joinPlans.exists(_.contains("SortMergeJoin")),
+      "a small-source conditional merge must not sort-merge shuffle " +
+        "the touched-file read:\n" + joinPlans.mkString("\n---\n"))
+    // and the result is right
+    val got = cat.loadTable("ns", "cmplan").newScan().toDF(spark)
+      .filter(col("id").isin(10L, 99999L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(10L -> 1000L, 99999L -> 1L))
+  }
+
   test("NMBS file widening: an unconditional NOT MATCHED BY SOURCE clause rewrites files outside the key bounds") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "nmbsw", schema2)

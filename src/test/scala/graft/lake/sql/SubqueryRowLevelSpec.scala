@@ -86,6 +86,29 @@ class SubqueryRowLevelSpec extends LakeSuite {
     assert(rows(s"SELECT * FROM $c.ns.t") === Seq(Row(1L, 1)))
   }
 
+  test("subquery DELETE/UPDATE on a merge-on-read table ships tombstones, not rewrites") {
+    val (c, cat) = freshCat("mor")
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT, v INT) TBLPROPERTIES(" +
+      "'write.delete.mode'='merge-on-read','write.update.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES (1,1),(2,2),(3,3),(4,4),(5,5)")
+    val filesBefore = cat.loadTable("ns", "t").metadata.currentFiles.map(_.path).toSet
+    spark.sql("SELECT * FROM VALUES (2L),(4L) AS s(k)")
+      .createOrReplaceTempView("mor_keys")
+    spark.sql(s"DELETE FROM $c.ns.t WHERE id IN (SELECT k FROM mor_keys)")
+    val t1 = cat.loadTable("ns", "t")
+    // the original data files SURVIVE (no rewrite) and tombstones landed
+    assert(filesBefore.subsetOf(t1.metadata.currentFiles.map(_.path).toSet))
+    assert(t1.metadata.currentSnapshot.get.deleteFiles.nonEmpty)
+    assert(rows(s"SELECT id FROM $c.ns.t ORDER BY id") ===
+      Seq(Row(1L), Row(3L), Row(5L)))
+    // MoR subquery UPDATE: O(matched) tombstone + updated rows
+    spark.sql(
+      s"""UPDATE $c.ns.t SET v = -1
+         |WHERE EXISTS (SELECT 1 FROM mor_keys s WHERE s.k = id + 1)""".stripMargin)
+    assert(rows(s"SELECT * FROM $c.ns.t ORDER BY id") ===
+      Seq(Row(1L, -1), Row(3L, -1), Row(5L, 5)))
+  }
+
   test("genuinely uncorrelatable shapes refuse loudly") {
     val (c, _) = freshCat("ref")
     spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT, v INT)")
