@@ -2327,6 +2327,41 @@ final class LakeTable private[lake] (
       nmbsPrune: LakePredicate = LakePredicate.AlwaysTrue,
       conflictRetries: Int = 3,
       branch: Option[String] = None): CommitReport =
+    conditionalMergeImpl(spark, source, keys, matched, notMatched,
+      notMatchedBySource, nmbsPrune, conflictRetries, branch, mor = false)
+
+  /** MERGE-ON-READ twin of [[mergeIntoConditional]]: instead of
+    * rewriting every key-overlapping file, ONE commit ships positional
+    * tombstones (or DV bitmaps) for only the rows a clause actually
+    * UPDATEs or DELETEs, plus data files carrying the updated/inserted
+    * rows — write cost O(affected + source), while KEEP rows (matched
+    * with no applicable clause, unmatched-by-source with no applicable
+    * clause) cost NOTHING. Unlike the canonical [[mergeIntoMoR]] the
+    * touched files are still READ (clause conditions evaluate against
+    * the OLD row, which equality tombstones never see), so the read
+    * cost is the pruned scan; the WRITE cost is what drops from
+    * O(touched files) to O(affected rows) — the Iceberg
+    * merge-on-read MERGE shape. Same serializable validation. */
+  def mergeIntoConditionalMoR(spark: SparkSession, source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeClauseSpec],
+      notMatched: Seq[MergeClauseSpec],
+      notMatchedBySource: Seq[MergeClauseSpec] = Nil,
+      nmbsPrune: LakePredicate = LakePredicate.AlwaysTrue,
+      conflictRetries: Int = 3,
+      branch: Option[String] = None): CommitReport =
+    conditionalMergeImpl(spark, source, keys, matched, notMatched,
+      notMatchedBySource, nmbsPrune, conflictRetries, branch, mor = true)
+
+  private def conditionalMergeImpl(spark: SparkSession, source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[MergeClauseSpec],
+      notMatched: Seq[MergeClauseSpec],
+      notMatchedBySource: Seq[MergeClauseSpec],
+      nmbsPrune: LakePredicate,
+      conflictRetries: Int,
+      branch: Option[String],
+      mor: Boolean): CommitReport =
       withConflictRetry(conflictRetries) {
     import org.apache.spark.sql.{functions => F}
     require(keys.nonEmpty && keys.forall(schema.fieldNames.contains), s"bad merge keys $keys")
@@ -2385,14 +2420,29 @@ final class LakeTable private[lake] (
         // nothing to read, nothing to insert: no-op (ledger still records)
         commitSnapshot("overwrite", Nil, Nil, toBranch = branch)
       else {
+        // the MoR variant reads WITH hidden coordinates: affected rows
+        // tombstone by (file, pos) instead of rewriting their files
+        val posFields =
+          if (!mor) Array.empty[org.apache.spark.sql.types.StructField]
+          else Array(
+            org.apache.spark.sql.types.StructField(LakeTable.PosFileCol,
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(LakeTable.PosIdxCol,
+              org.apache.spark.sql.types.LongType))
         val tgtRaw =
           if (touched.isEmpty)
-            spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+            spark.createDataFrame(new java.util.ArrayList[Row](),
+              StructType(schema.fields ++ posFields))
+          else if (mor) readLivePos(spark, touched,
+            baseSnap.map(_.deleteFiles).getOrElse(Nil),
+            baseSnap.map(_.eqDeleteFiles).getOrElse(Nil),
+            baseSnap.map(_.dvFiles).getOrElse(Nil))
           else readLive(spark, touched, baseSnap)
         // prefixed namespaces + NON-NULL presence markers: key columns
         // cannot flag presence (both sides may legally hold NULL keys)
         val tgt = tgtRaw.select(
-          schema.fieldNames.map(c => F.col(c).as("__t_" + c)).toSeq :+
+          schema.fieldNames.map(c => F.col(c).as("__t_" + c)).toSeq ++
+            posFields.map(f => F.col(f.name)) :+
             F.lit(1).as("__t__p"): _*)
         val srcP = src.select(
           src.columns.map(c => F.col(c).as("__s_" + c)).toSeq :+
@@ -2424,6 +2474,7 @@ final class LakeTable private[lake] (
           .select(
             schema.fields.map(f =>
               F.lit(null).cast(f.dataType).as("__t_" + f.name)).toSeq ++
+              posFields.map(f => F.lit(null).cast(f.dataType).as(f.name)) ++
               Seq(F.lit(null).cast("int").as("__t__p")) ++
               src.columns.map(c => F.col("__s_" + c)) :+
               F.col("__s__p"): _*)
@@ -2448,8 +2499,6 @@ final class LakeTable private[lake] (
         val act = F.when(tP && sP, chain(matched, 1000, KEEP))
           .when(sP, chain(notMatched, 2000, DROP)) // source-only
           .otherwise(chain(notMatchedBySource, 3000, KEEP)) // target-only
-        val withAct = unioned.withColumn("__act", act)
-          .filter(F.col("__act") =!= DROP)
         val actCol = F.col("__act")
         val outCols = schema.fields.map { f =>
           val old = F.col("__t_" + f.name)
@@ -2469,9 +2518,47 @@ final class LakeTable private[lake] (
           overlay(notMatchedBySource, 3000, insert = false)
           e.cast(f.dataType).as(f.name)
         }
-        val added = writeDataFiles(withAct.select(outCols.toSeq: _*))
-        commitSnapshot("overwrite", added, touched,
-          validateAddedSince = touchPred.map(p => (base, p)), toBranch = branch)
+        if (!mor) {
+          val withAct = unioned.withColumn("__act", act)
+            .filter(F.col("__act") =!= DROP)
+          val added = writeDataFiles(withAct.select(outCols.toSeq: _*))
+          commitSnapshot("overwrite", added, touched,
+            validateAddedSince = touchPred.map(p => (base, p)), toBranch = branch)
+        } else {
+          // persist: tombstone coordinates AND new rows must come from
+          // ONE evaluation of the joined frame
+          val withAct = unioned.withColumn("__act", act).persist()
+          try {
+            // affected = anything not KEEPing its row as-is; target-
+            // backed affected rows tombstone their old coordinates
+            // (source-only inserts have NULL coordinates and none)
+            val affected = withAct.filter(F.col("__act") =!= KEEP)
+            val coords = affected
+              .filter(F.col(LakeTable.PosFileCol).isNotNull)
+              .select(F.col(LakeTable.PosFileCol).as("file_path"),
+                F.col(LakeTable.PosIdxCol).as("pos"))
+            val (tombs, dvs) =
+              if (dvEnabled)
+                (Nil, writeDeleteVectors(spark, coords,
+                  baseSnap.map(_.dvFiles).getOrElse(Nil)))
+              else {
+                val tombDir = s"$location/data/${UUID.randomUUID}"
+                coords
+                  .repartitionByRange(math.max(1, touched.size / 16),
+                    F.col("file_path"))
+                  .write.parquet(tombDir)
+                (StatsHarvester.harvest(spark, tombDir, LakeTable.DeleteFileSchema,
+                  Nil, LakeTable.DeleteFieldIds).filter(_.recordCount > 0L), Nil)
+              }
+            val newRows = affected.filter(F.col("__act") =!= DROP)
+              .select(outCols.toSeq: _*)
+            val added = writeDataFiles(newRows)
+            commitSnapshot("overwrite", added, Nil, addedDeletes = tombs,
+              addedDvs = dvs,
+              validateAddedSince = touchPred.map(p => (base, p)),
+              toBranch = branch)
+          } finally withAct.unpersist(blocking = false)
+        }
       }
     } finally src.unpersist(blocking = false)
   }

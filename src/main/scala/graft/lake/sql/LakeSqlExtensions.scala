@@ -863,12 +863,15 @@ final case class LakeMergeClause(
 /** `MERGE INTO` in its FULL grammar — clause conditions, WHEN MATCHED
   * DELETE, multiple first-match-wins clauses per family, WHEN NOT
   * MATCHED BY SOURCE — as a driver command on the transactional
-  * conditional copy-on-write merge ([[LakeTable.mergeIntoConditional]]).
-  * Runs copy-on-write regardless of the table's merge write-mode: the
-  * O(source) merge-on-read shortcut is only sound for the unconditional
-  * whole-row upsert (a clause condition must read the OLD row, which
-  * MoR tombstones never see) — that shape routes to [[LakeMergeCommand]]
-  * instead. */
+  * conditional merge. `write.merge.mode` routes the strategy:
+  * copy-on-write rewrites the key/condition-overlapping files
+  * ([[LakeTable.mergeIntoConditional]]); merge-on-read reads them but
+  * WRITES only O(affected rows) — positional tombstones plus
+  * updated/inserted data files ([[LakeTable.mergeIntoConditionalMoR]]).
+  * (The read is unavoidable for the general grammar: clause conditions
+  * evaluate against the OLD row, which the canonical upsert's read-free
+  * equality-tombstone shortcut never sees — that shape routes to
+  * [[LakeMergeCommand]] instead.) */
 final case class LakeConditionalMergeCommand(
     table: LakeTable,
     source: LogicalPlan,
@@ -889,9 +892,17 @@ final case class LakeConditionalMergeCommand(
         c.assignments.map { case (n, e) => n -> ColumnBridge.column(e) })
     Wap.refuseRowLevelStaging(spark, "MERGE", t.name)
     val wap = Wap.writeBranch(spark, t)
-    t.mergeIntoConditional(spark, PlanBridge.ofRows(spark, source), keys,
-      matched.map(toSpec), notMatched.map(toSpec),
-      notMatchedBySource.map(toSpec), nmbsPrune, branch = wap)
+    // write.merge.mode routes like the canonical path: merge-on-read
+    // tombstones only the affected rows, copy-on-write rewrites the
+    // touched files
+    if (t.writeMode("merge") == "merge-on-read")
+      t.mergeIntoConditionalMoR(spark, PlanBridge.ofRows(spark, source), keys,
+        matched.map(toSpec), notMatched.map(toSpec),
+        notMatchedBySource.map(toSpec), nmbsPrune, branch = wap)
+    else
+      t.mergeIntoConditional(spark, PlanBridge.ofRows(spark, source), keys,
+        matched.map(toSpec), notMatched.map(toSpec),
+        notMatchedBySource.map(toSpec), nmbsPrune, branch = wap)
     Nil
   }
 }

@@ -1004,6 +1004,49 @@ object LakeQueries {
     s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
   }
 
+  /** MERGE-ON-READ twin of [[lakeSqlMergeFull]]: identical CDC batch on
+    * a `write.merge.mode=merge-on-read` table — ONE commit of
+    * positional tombstones for only the affected rows plus the
+    * updated/inserted data files
+    * ([[graft.lake.LakeTable.mergeIntoConditionalMoR]]); KEEP rows cost
+    * nothing. Shares lakeSqlMergeFull's oracle, so the gate proves the
+    * CoW and MoR strategies produce identical answers for the FULL
+    * grammar. */
+  private val sqlMergeFullMorCatalogs = new SessionMemo[String]()
+
+  def lakeSqlMergeFullMor(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlOrdersCatalog(sqlMergeFullMorCatalogs, s, d, "lakesqlmrgfm",
+      numFiles = 4) { name =>
+      s.sql(s"ALTER TABLE $name.q.orders SET TBLPROPERTIES(" +
+        "'write.merge.mode'='merge-on-read')")
+      val src = orders(s, d)
+      src.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), lit("D").as("op"))
+        .unionByName(src.filter(col("o_orderkey") % 10 === 3)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"), lit("U").as("op")))
+        .unionByName(src.filter(col("o_orderkey") % 10 === 7)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice"), lit("I").as("op")))
+        .createOrReplaceTempView("lake_sql_merge_full_mor_src")
+      s.sql(
+        s"""MERGE INTO $name.q.orders AS t USING lake_sql_merge_full_mor_src AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice,
+           |  o_orderpriority = '5-MERGED'
+           |WHEN NOT MATCHED AND s.op = 'I' THEN INSERT (o_orderkey, o_custkey,
+           |  o_orderstatus, o_totalprice, o_orderpriority)
+           |  VALUES (s.o_orderkey, CAST(-1 AS BIGINT), 'I', s.o_totalprice,
+           |          '0-NEW')
+           |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F'
+           |  AND t.o_totalprice > 300000.0 THEN
+           |  UPDATE SET o_orderpriority = '9-STALE'""".stripMargin)
+      ()
+    }
+    s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
+  }
+
   /** SQL read over LIVE merge-on-read tombstones: a positional delete
     * (deleteWhereMoR) and an equality-delete upsert (mergeIntoMoR) are
     * both live — never compacted — when spark.sql reads the table, so
@@ -1067,6 +1110,7 @@ object LakeQueries {
     "lake_sql_update" -> lakeSqlUpdate,
     "lake_sql_merge" -> lakeSqlMerge,
     "lake_sql_merge_full" -> lakeSqlMergeFull,
+    "lake_sql_merge_full_mor" -> lakeSqlMergeFullMor,
     "lake_sql_update_subquery" -> lakeSqlUpdateSubquery,
     "lake_sql_delete" -> lakeSqlDelete,
     "lake_maintenance" -> lakeMaintenance,
@@ -1128,6 +1172,22 @@ object LakeQueries {
         |       THEN '7-HOT' ELSE o_orderpriority END AS o_orderpriority
         |FROM orders WHERE o_orderkey % 100 <> 0
         |ORDER BY o_orderkey""".stripMargin,
+    "lake_sql_merge_full_mor" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderkey % 10 = 3 THEN '5-MERGED'
+        |       WHEN o_orderkey % 10 NOT IN (0, 3) AND o_orderstatus = 'F'
+        |            AND o_totalprice > 300000.0 THEN '9-STALE'
+        |       ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, CAST(-1 AS BIGINT), 'I', o_totalprice,
+        |  CAST(NULL AS TIMESTAMP), '0-NEW'
+        |FROM orders WHERE o_orderkey % 10 = 7
+        |ORDER BY o_orderkey""".stripMargin,
+    // same oracle as the MoR twin above: CoW and MoR must agree exactly
     "lake_sql_merge_full" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2

@@ -133,6 +133,41 @@ class ConditionalMergeHardeningSpec extends LakeSuite {
     assert(got === Map(10L -> 1000L, 99999L -> 1L))
   }
 
+  test("MoR conditional merge: original files survive, only affected rows tombstone+rewrite") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "cmmorw", schema2)
+    t.refresh().setProperty("write.merge.mode", "merge-on-read")
+    t.refresh().appendData(df2((1L to 1000L).map(i => (i, i))), numFiles = 4)
+    val filesBefore = t.refresh().metadata.currentFiles.map(_.path).toSet
+    // matched delete (id 10), conditioned update (id 20), insert (2000),
+    // and 997 KEEP rows that must cost nothing
+    import spark.implicits._
+    val src = Seq((10L, 0L, "D"), (20L, 222L, "U"), (2000L, 2L, "I"))
+      .toDF("id", "nv", "op")
+    t.refresh().mergeIntoConditionalMoR(spark, src, Seq("id"),
+      matched = Seq(
+        MergeClauseSpec(Some(col("__s_op") === "D"), isDelete = true, Nil),
+        MergeClauseSpec(None, isDelete = false, Seq("v" -> col("__s_nv")))),
+      notMatched = Seq(MergeClauseSpec(Some(col("__s_op") === "I"),
+        isDelete = false, Seq("id" -> col("__s_id"), "v" -> col("__s_nv")))))
+    val after = t.refresh()
+    // every original data file is still live (no rewrite)...
+    assert(filesBefore.subsetOf(after.metadata.currentFiles.map(_.path).toSet))
+    // ...with positional tombstones for exactly the delete + update rows
+    val snap = after.metadata.currentSnapshot.get
+    assert(snap.deleteFiles.map(_.recordCount).sum === 2L)
+    // and only 2 new rows written (the update's new version + the insert)
+    val newFiles = after.metadata.currentFiles.map(_.path).toSet -- filesBefore
+    assert(after.metadata.currentFiles.filter(f => newFiles(f.path))
+      .map(_.recordCount).sum === 2L)
+    // read-back semantics identical to the CoW shape
+    val got = after.newScan().toDF(spark)
+      .filter(col("id").isin(10L, 20L, 2000L, 30L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(20L -> 222L, 2000L -> 2L, 30L -> 30L))
+    assert(after.newScan().toDF(spark).count() === 1000L) // -1 del +1 ins
+  }
+
   test("NMBS file widening: an unconditional NOT MATCHED BY SOURCE clause rewrites files outside the key bounds") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "nmbsw", schema2)
