@@ -419,6 +419,41 @@ object SimilarityQueries {
     }
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication = cluster the embedding space with a cheap coarse
+    * quantizer, then drop near-duplicates WITHIN each cluster only —
+    * the trick that makes embedding dedup tractable at web scale
+    * (pairwise work is bounded per cell instead of quadratic in the
+    * corpus). Reuses the ingest-time medoid IVF assignment (K
+    * hash-sampled medoids, engine-independent — the same cells the
+    * `ivf_ann` oracle reconstructs); within a cell, a vector is
+    * PRUNED when a lower-id cell-mate sits at cosine ≥ 0.5
+    * (deterministic keep-lowest-id representative). Output: one row
+    * per vector with its cell, keep flag and pruning representative.
+    *
+    * Scale shape: one map pass assigns cells (K literal centroids,
+    * codegen), ONE shuffle on cell, pairwise only within cells — at
+    * 100 TB, K grows with the corpus so per-cell work stays bounded
+    * (the paper's configuration), and the join never leaves the cell. */
+  def qSemdedup(s: SparkSession, d: String): DataFrame = {
+    val assigned = ensureIvfIndex(s, d).assigned
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    val l = assigned.select(col("cell"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val r = assigned.select(col("cell"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val pruned = l.join(r, Seq("cell"))
+      .filter(col("va") < col("vb"))
+      .filter(cosine(col("ea"), col("eb")) >= 0.5)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("pruned_by"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(pruned, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        col("pruned_by").isNull.as("keep"), col("pruned_by"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Size gate for [[qDedupEmbedding]]: does the embeddings corpus fit
     * an executor-broadcast budget? Decided from parquet bytes on disk
     * (free — no Spark job) times a 4x deserialization factor (float
@@ -485,6 +520,7 @@ object SimilarityQueries {
     "ann_recall" -> qAnnRecall,
     "ivf_recall" -> qIvfRecall,
     "dedup_embedding" -> qDedupEmbedding,
+    "semdedup" -> qSemdedup,
     "embedding_stats" -> qEmbeddingStats,
   )
 
@@ -563,7 +599,10 @@ object SimilarityQueries {
     * by the identical integer score, probe, re-rank. Generated from the
     * SAME constants as the Spark side (K / nprobe / modulus / score
     * formula) so neither can drift. */
-  private def ivfCtes: String =
+  /** The cell-ASSIGNMENT half of [[ivfCtes]] (medoid seeds → integer
+    * scores → argmax cell), shared with the `semdedup` oracle which
+    * needs cells but no query probing. */
+  private def ivfAssignCtes: String =
     s"""icent AS (
        |  SELECT t.cell, q.qv, n.nv AS nc
        |  FROM (
@@ -584,7 +623,10 @@ object SimilarityQueries {
        |    SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
        |    FROM iasc) WHERE rn = 1
-       |), iprobe AS (
+       |)""".stripMargin
+
+  private def ivfCtes: String =
+    s"""$ivfAssignCtes, iprobe AS (
        |  SELECT vec_id AS q_id, cell FROM (
        |    SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell) AS rn
@@ -655,6 +697,26 @@ object SimilarityQueries {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.5
         |ORDER BY va, vb""".stripMargin,
+    // cells re-derive through the SAME md5-medoid CTEs as ivf_ann; the
+    // within-cell cosine threshold shares dedup_embedding's 1e-3 margin
+    // guarantee, so membership can't flip on float noise
+    "semdedup" ->
+      s"""WITH $oracleBaseCtes, $ivfAssignCtes,
+         |spairs AS (
+         |  SELECT ca.vec_id AS va, cb.vec_id AS vb
+         |  FROM icellof ca JOIN icellof cb
+         |    ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+         |  JOIN embeddings a ON a.vec_id = ca.vec_id
+         |  JOIN embeddings b ON b.vec_id = cb.vec_id
+         |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |                               CAST(b.embedding AS DOUBLE[])) >= 0.5
+         |), spruned AS (
+         |  SELECT vb AS vec_id, min(va) AS pruned_by FROM spairs GROUP BY vb
+         |)
+         |SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+         |  p.pruned_by IS NULL AS keep, p.pruned_by
+         |FROM icellof c LEFT JOIN spruned p USING (vec_id)
+         |ORDER BY c.vec_id""".stripMargin,
     "embedding_stats" ->
       """SELECT label, count(*) AS n_vecs,
         |  count(DISTINCT vec_id) AS n_ids,
