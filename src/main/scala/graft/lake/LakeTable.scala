@@ -1640,10 +1640,12 @@ final class LakeTable private[lake] (
               Nil, LakeTable.DeleteFieldIds).filter(_.recordCount > 0L), Nil)
           }
         // rows are already filtered to the matches: assignments apply
-        // unconditionally, ONE select against the OLD row
-        val updated = matched.select(schema.fieldNames.map { c =>
-          assignments.get(c).map(_.as(c)).getOrElse(F.col(c))
-        }: _*)
+        // unconditionally, ONE select against the OLD row; cast pins
+        // the DECLARED column type (`SET s.x = 0` on a BIGINT x)
+        val updated = matched.select(schema.fields.map { f =>
+          assignments.get(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(F.col(f.name))
+        }.toSeq: _*)
         val added = writeDataFiles(updated)
         commitSnapshot("overwrite", added, Nil, addedDeletes = tombs,
           addedDvs = dvs,
@@ -1671,11 +1673,12 @@ final class LakeTable private[lake] (
     else {
       val flagged = flag(readLive(spark, touched, snap))
       val cond = coalesce(fcol("__match"), lit(false))
-      val rewritten = flagged.select(schema.fieldNames.map { c =>
-        assignments.get(c)
-          .map(v => fwhen(cond, v).otherwise(fcol(c)).as(c))
-          .getOrElse(fcol(c))
-      }: _*)
+      val rewritten = flagged.select(schema.fields.map { f =>
+        assignments.get(f.name)
+          .map(v => fwhen(cond, v.cast(f.dataType))
+            .otherwise(fcol(f.name)).as(f.name))
+          .getOrElse(fcol(f.name))
+      }.toSeq: _*)
       val added = writeDataFiles(rewritten)
       commitSnapshot("overwrite", added, touched,
         validateAddedSince = Some((base, prune)), toBranch = branch)
@@ -1896,10 +1899,12 @@ final class LakeTable private[lake] (
         // unconditionally (updateWhere's when(pred) guard is for whole-
         // file rewrites). ONE select so every assignment evaluates
         // against the OLD row (SQL UPDATE semantics — a withColumn fold
-        // would feed later assignments the already-updated values)
-        val updated = matched.select(schema.fieldNames.map { c =>
-          assignments.get(c).map(_.as(c)).getOrElse(F.col(c))
-        }: _*)
+        // would feed later assignments the already-updated values);
+        // cast pins the DECLARED column type (`SET s.x = 0` on BIGINT x)
+        val updated = matched.select(schema.fields.map { f =>
+          assignments.get(f.name).map(_.cast(f.dataType).as(f.name))
+            .getOrElse(F.col(f.name))
+        }.toSeq: _*)
         val added = writeDataFiles(updated)
         commitSnapshot("overwrite", added, Nil, addedDeletes = tombs,
           addedDvs = dvs,
@@ -2583,11 +2588,15 @@ final class LakeTable private[lake] (
       // already-updated a (no swap, silently wrong, and Map iteration
       // order made it nondeterministic past 4 assignments)
       import org.apache.spark.sql.functions.{col => fcol, when => fwhen}
-      val rewritten = df.select(schema.fieldNames.map { c =>
-        assignments.get(c)
-          .map(v => fwhen(pred.toColumn, v).otherwise(fcol(c)).as(c))
-          .getOrElse(fcol(c))
-      }: _*)
+      // the explicit cast (not `when`'s implicit coercion) pins every
+      // assignment to the DECLARED column type — `SET s.x = 0` must
+      // store a BIGINT x, not narrow the struct to the literal's type
+      val rewritten = df.select(schema.fields.map { f =>
+        assignments.get(f.name)
+          .map(v => fwhen(pred.toColumn, v.cast(f.dataType))
+            .otherwise(fcol(f.name)).as(f.name))
+          .getOrElse(fcol(f.name))
+      }.toSeq: _*)
       val added = writeDataFiles(rewritten)
       commitSnapshot("overwrite", added, touched,
         validateAddedSince = Some((base, pred)), toBranch = branch)

@@ -240,7 +240,7 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
       lakeTableOf(rel) match {
         case Some(t) =>
           require(!t.isHistorical, s"cannot UPDATE a historical snapshot of ${t.name()}")
-          val entries = assignments.map(assignmentEntry)
+          val entries = canonicalAssignments(assignments, checkUpdateValue)
           if (condition.exists(hasSubquery)) {
             val m = planSubqueryMatch(condition.get)
             LakeRowLevelSubqueryCommand(t.lakeTable, "UPDATE",
@@ -349,13 +349,7 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
       table.schema.fieldNames.toSeq.map(n =>
         n -> (UnresolvedAttribute.quoted("__s_" + n): Expression))
     def entries(assigns: Seq[Assignment]): Seq[(String, Expression)] =
-      assigns.map { a =>
-        a.key match {
-          case attr: AttributeReference => attr.name -> rebind(a.value)
-          case other => unsupported(
-            s"MERGE assignment to nested field ${other.sql} is not supported")
-        }
-      }
+      canonicalAssignments(assigns, rebind)
     action match {
       case UpdateStarAction(c) =>
         LakeMergeClause(c.map(rebind), isDelete = false, starFromSource())
@@ -432,26 +426,90 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
         f.eval(org.apache.spark.sql.catalyst.expressions.EmptyRow), f.dataType)
   }
 
-  /** SET clause entry → (column name, value expression). The value is
-    * kept as a Catalyst expression; the command un-resolves attribute
-    * references by name at run time because the rewrite re-reads the
-    * files under fresh attribute ids. An UNCORRELATED scalar subquery
-    * value is allowed since round 12 — the command evaluates it once
-    * (it is a constant for the whole statement) and splices the
-    * literal; a CORRELATED one captures outer references whose exprIds
-    * can never rebind against the fresh re-read — refused CLEANLY at
-    * analysis instead of dying unresolved at run(). */
-  private def assignmentEntry(a: Assignment): (String, Expression) = a.key match {
-    case attr: AttributeReference =>
-      a.value.foreach {
-        case sq: ScalarSubquery if sq.outerAttrs.isEmpty => ()
-        case _: SubqueryExpression => unsupported(
-          s"UPDATE SET ${attr.name} = (subquery) is only supported for an " +
-            "uncorrelated scalar subquery")
-        case _ => ()
+  /** SET clause value validation for UPDATE: the value is kept as a
+    * Catalyst expression; the command un-resolves attribute references
+    * by name at run time because the rewrite re-reads the files under
+    * fresh attribute ids. An UNCORRELATED scalar subquery value is
+    * allowed since round 12 — the command evaluates it once (it is a
+    * constant for the whole statement) and splices the literal; a
+    * CORRELATED one captures outer references whose exprIds can never
+    * rebind against the fresh re-read — refused CLEANLY at analysis
+    * instead of dying unresolved at run(). */
+  private def checkUpdateValue(e: Expression): Expression = {
+    e.foreach {
+      case sq: ScalarSubquery if sq.outerAttrs.isEmpty => ()
+      case _: SubqueryExpression => unsupported(
+        "UPDATE SET <col> = (subquery) is only supported for an " +
+          "uncorrelated scalar subquery")
+      case _ => ()
+    }
+    e
+  }
+
+  /** SET key → (root column, struct path below it). `SET s.a.x = v`
+    * canonicalizes onto its ROOT column — see [[canonicalAssignments]].
+    * Array/map ELEMENT paths have no per-element rewrite and refuse. */
+  private def keyPath(e: Expression): (AttributeReference, List[String]) = e match {
+    case a: AttributeReference => (a, Nil)
+    case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
+      val (root, p) = keyPath(g.child)
+      (root, p :+ g.extractFieldName)
+    case other => unsupported(s"assignment to ${other.sql} is not supported " +
+      "(top-level columns and nested STRUCT fields only)")
+  }
+
+  /** Rebuilds `current` (an expression producing the root column's
+    * struct) with the field at `path` replaced by `v`, leaving every
+    * sibling field untouched. Built from UnresolvedExtractValue /
+    * UpdateFields nodes that resolve BY NAME at the command's fresh
+    * re-read (no ordinals captured — schema evolution between analysis
+    * and run cannot skew the write). A NULL struct stays NULL
+    * (UpdateFields semantics — the same answer Spark's
+    * Column.withField and Iceberg's nested UPDATE give). */
+  private def setPath(current: Expression, path: Seq[String],
+      v: Expression): Expression = path match {
+    case Seq(last) =>
+      org.apache.spark.sql.catalyst.expressions.UpdateFields(current,
+        Seq(org.apache.spark.sql.catalyst.expressions.WithField(last, v)))
+    case head +: tail =>
+      org.apache.spark.sql.catalyst.expressions.UpdateFields(current,
+        Seq(org.apache.spark.sql.catalyst.expressions.WithField(head,
+          setPath(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+            current, org.apache.spark.sql.catalyst.expressions.Literal(head)),
+            tail, v))))
+  }
+
+  /** UPDATE / MERGE assignment list → whole-column entries. Nested
+    * struct-field assignments (round 12 — Iceberg supports them, this
+    * layer refused them) canonicalize onto their root column as a
+    * struct-rebuild (UpdateFields) that replaces ONLY the named path,
+    * so the rewrite machinery below needs zero nested-path awareness —
+    * it keeps applying whole columns by name. Multiple distinct paths
+    * under one root compose left-to-right; two assignments where one
+    * path PREFIXES the other (including a whole-column + nested pair)
+    * are ambiguous-by-order and refuse, exactly like SQL's duplicate-
+    * assignment rule. `mapValue` is the per-caller value transform
+    * (subquery validation for UPDATE, namespace rebinding for MERGE)
+    * and is also applied to the synthesized root reference. */
+  private[sql] def canonicalAssignments(assigns: Seq[Assignment],
+      mapValue: Expression => Expression): Seq[(String, Expression)] = {
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, Expression]
+    val seen = scala.collection.mutable.ListBuffer.empty[(String, List[String])]
+    assigns.foreach { a =>
+      val (root, path) = keyPath(a.key)
+      seen.foreach { case (r, p) =>
+        if (r == root.name && (p.startsWith(path) || path.startsWith(p)))
+          unsupported("conflicting assignments to " +
+            (root.name :: path).mkString(".") + " and " +
+            (r :: p).mkString(".") + " in one statement")
       }
-      attr.name -> a.value
-    case other => unsupported(s"UPDATE of nested field ${other.sql} is not supported")
+      seen += ((root.name, path))
+      val v = mapValue(a.value)
+      if (path.isEmpty) order(root.name) = v
+      else order(root.name) =
+        setPath(order.getOrElse(root.name, mapValue(root)), path, v)
+    }
+    order.toSeq
   }
 
   private def hasSubquery(e: Expression): Boolean =

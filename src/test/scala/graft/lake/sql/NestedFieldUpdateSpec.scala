@@ -1,0 +1,114 @@
+package graft.lake.sql
+
+import org.apache.spark.sql.Row
+import graft.lake.{LakeCatalog, LakeSuite}
+
+/** Nested struct-field assignments in UPDATE and MERGE (round 12 —
+  * previously a loud refusal; Iceberg supports them). The extension
+  * layer canonicalizes `SET s.a.x = v` onto the root column as an
+  * UpdateFields struct-rebuild, so every rewrite path (strict CoW,
+  * flagged, MoR, conditional merge) applies them with zero nested-path
+  * awareness. */
+class NestedFieldUpdateSpec extends LakeSuite {
+
+  private def freshCat(tag: String): String = {
+    val wh = freshWarehouse()
+    val name = s"nest$tag"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[LakeSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.ns")
+    name
+  }
+
+  private def mkTable(c: String): Unit = {
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT, " +
+      "s STRUCT<x: BIGINT, y: STRING, d: STRUCT<u: INT, w: STRING>>)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES " +
+      "(1, named_struct('x', 10L, 'y', 'a', 'd', named_struct('u', 1, 'w', 'p'))), " +
+      "(2, named_struct('x', 20L, 'y', 'b', 'd', named_struct('u', 2, 'w', 'q'))), " +
+      "(3, CAST(NULL AS STRUCT<x: BIGINT, y: STRING, d: STRUCT<u: INT, w: STRING>>))")
+  }
+
+  private def fetch(c: String): Map[Long, Row] =
+    spark.sql(s"SELECT id, s FROM $c.ns.t").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1)))
+      .toMap
+
+  test("UPDATE SET s.x: siblings survive, other rows untouched, NULL struct stays NULL") {
+    val c = freshCat("u1")
+    mkTable(c)
+    spark.sql(s"UPDATE $c.ns.t SET s.x = s.x + 100 WHERE id <= 2")
+    val m = fetch(c)
+    assert(m(1L).getLong(0) == 110L && m(1L).getString(1) == "a")
+    assert(m(1L).getStruct(2).getInt(0) == 1, "deep sibling survives")
+    assert(m(2L).getLong(0) == 120L && m(2L).getString(1) == "b")
+    assert(m(3L) == null, "NULL struct cannot grow a field from nothing")
+
+    // deep path + two distinct paths under one root in one statement
+    spark.sql(s"UPDATE $c.ns.t SET s.d.w = 'Z', s.y = 'YY' WHERE id = 1")
+    val m2 = fetch(c)
+    assert(m2(1L).getStruct(2).getString(1) == "Z")
+    assert(m2(1L).getString(1) == "YY")
+    assert(m2(1L).getLong(0) == 110L, "untouched leaf survives the rebuild")
+    assert(m2(1L).getStruct(2).getInt(0) == 1)
+  }
+
+  test("flagged paths: nested SET under a subquery and an inexpressible condition") {
+    val c = freshCat("u2")
+    mkTable(c)
+    // subquery condition → LakeRowLevelSubqueryCommand
+    spark.sql(s"UPDATE $c.ns.t SET s.d.u = 99 WHERE id IN " +
+      s"(SELECT id FROM $c.ns.t WHERE s.y = 'a')")
+    assert(fetch(c)(1L).getStruct(2).getInt(0) == 99)
+    // join-free but manifest-inexpressible condition → flagged rewrite
+    spark.sql(s"UPDATE $c.ns.t SET s.y = concat(s.y, '!') WHERE id % 2 = 0")
+    assert(fetch(c)(2L).getString(1) == "b!")
+    assert(fetch(c)(1L).getString(1) == "a")
+  }
+
+  test("merge-on-read UPDATE applies nested SET through tombstones") {
+    val c = freshCat("u3")
+    mkTable(c)
+    spark.sql(s"ALTER TABLE $c.ns.t SET TBLPROPERTIES ('write.update.mode'='merge-on-read')")
+    spark.sql(s"UPDATE $c.ns.t SET s.x = 0 WHERE id = 2")
+    val m = fetch(c)
+    assert(m(2L).getLong(0) == 0L && m(2L).getString(1) == "b")
+    assert(m(1L).getLong(0) == 10L)
+  }
+
+  test("MERGE clauses accept nested assignments (conditional CoW path)") {
+    val c = freshCat("m1")
+    mkTable(c)
+    spark.sql("SELECT * FROM VALUES (1L, 7L), (9L, 90L) AS src(id, nx)")
+      .createOrReplaceTempView("nested_src")
+    spark.sql(
+      s"""MERGE INTO $c.ns.t AS t USING nested_src AS s ON t.id = s.id
+         |WHEN MATCHED AND s.nx < 50 THEN UPDATE SET t.s.x = s.nx, t.s.d.w = 'M'
+         |WHEN NOT MATCHED THEN INSERT (id) VALUES (s.id)""".stripMargin)
+    val m = fetch(c)
+    assert(m(1L).getLong(0) == 7L && m(1L).getString(1) == "a")
+    assert(m(1L).getStruct(2).getString(1) == "M")
+    assert(m(1L).getStruct(2).getInt(0) == 1, "deep sibling survives")
+    assert(m(2L).getLong(0) == 20L, "unmatched clause leaves the row")
+    assert(m.contains(9L) && m(9L) == null, "partial insert NULLs the struct")
+  }
+
+  test("prefix-conflicting and element-path assignments refuse loudly") {
+    val c = freshCat("r1")
+    mkTable(c)
+    val e1 = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE $c.ns.t SET s.d = named_struct('u', 1, 'w', 'x'), s.d.u = 2 WHERE id = 1")
+    }
+    assert(e1.getMessage.contains("conflicting assignments"))
+    // whole column + nested path is the empty-prefix case of the same rule
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"UPDATE $c.ns.t SET s = NULL, s.x = 2 WHERE id = 1")
+    }
+    assert(e2.getMessage.contains("conflicting assignments"))
+    spark.sql(s"ALTER TABLE $c.ns.t ADD COLUMN arr ARRAY<STRUCT<k: INT>>")
+    val e3 = intercept[Exception] {
+      spark.sql(s"UPDATE $c.ns.t SET arr[0].k = 1 WHERE id = 1")
+    }
+    assert(e3.getMessage != null)
+  }
+}
