@@ -1054,7 +1054,60 @@ object TextQueries {
       .limit(30)
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * rank raw-corpus documents by how little their hashed-unigram
+    * feature distribution diverges from a TARGET domain (here
+    * lang='en', the stand-in for the paper's high-quality target), so
+    * the least-divergent docs are what importance resampling would
+    * pull into the training mix. Per-token divergence in INTEGER bits
+    * (the [[qLmPerplexity]] device):
+    *   bits(b) = bitlen(q(b)+1) − bitlen(p(b)+1) ≥ 0
+    * over B=4096 MD5 hash buckets (target ⊆ corpus keeps it
+    * nonnegative, so the ×1000 integer normalization never divides a
+    * negative). Smallest mean divergence = most target-like.
+    *
+    * Scale shape: the bucket tables are B-bounded (4096 rows) however
+    * large the corpus — two map-side-combined count shuffles build
+    * them, the corpus token stream joins the broadcast-sized model,
+    * and one doc_id aggregation finishes; the token stream is
+    * persisted across its three consumers (p, q, scoring) so the text
+    * is hashed once. */
+  def qDsirSelect(s: SparkSession, d: String): DataFrame = {
+    val B = 4096L
+    val spark0 = s
+    import spark0.implicits._
+    val toks = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val memo = new Md5Memo()
+        it.flatMap { case (id, lang, text) =>
+          if (text == null) Iterator.empty
+          else text.split(" ", -1).iterator.map { w =>
+            (id, lang, java.lang.Long.remainderUnsigned(memo(w)._1, B))
+          }
+        }
+      }.toDF("doc_id", "lang", "b")
+    val cached = QueryCaches.track(toks.persist())
+    val q = cached.groupBy("b").agg(count(lit(1)).as("nq"))
+    val p = cached.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("np"))
+    val model = q.join(p, Seq("b"), "left_outer")
+      .select(col("b"),
+        (length(bin(col("nq") + lit(1L))) -
+          length(bin(coalesce(col("np"), lit(0L)) + lit(1L)))).cast("long").as("bits"))
+    cached.filter(col("lang") =!= "en")
+      .join(model, Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("divergence_bits"))
+      .withColumn("mbits_per_token",
+        expr("divergence_bits * 1000L div n_tokens"))
+      .orderBy(col("mbits_per_token").asc, col("doc_id"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dsir_select" -> qDsirSelect,
     "lm_perplexity" -> qLmPerplexity,
     "data_mixture" -> qDataMixture,
     "dedup_substring" -> qDedupSubstring,
@@ -1371,6 +1424,29 @@ object TextQueries {
         |  min(doc_id) AS min_doc,
         |  max(doc_id) AS max_doc
         |FROM documents GROUP BY split ORDER BY split""".stripMargin,
+    "dsir_select" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        |), tok AS (
+        |  SELECT doc_id, lang, unnest(ws) AS tkn FROM w
+        |), tb AS (
+        |  SELECT doc_id, lang, md5_number_lower(tkn) % 4096 AS b FROM tok
+        |), q AS (
+        |  SELECT b, count(*) AS nq FROM tb GROUP BY 1
+        |), p AS (
+        |  SELECT b, count(*) AS np FROM tb WHERE lang = 'en' GROUP BY 1
+        |), model AS (
+        |  SELECT b, CAST(length(bin(nq + 1)) -
+        |    length(bin(COALESCE(np, 0) + 1)) AS BIGINT) AS bits
+        |  FROM q LEFT JOIN p USING (b)
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(bits) AS BIGINT) AS divergence_bits
+        |  FROM tb JOIN model USING (b) WHERE lang <> 'en' GROUP BY 1
+        |)
+        |SELECT doc_id, n_tokens, divergence_bits,
+        |  divergence_bits * 1000 // n_tokens AS mbits_per_token
+        |FROM agg ORDER BY mbits_per_token ASC, doc_id LIMIT 30""".stripMargin,
     "lm_perplexity" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
