@@ -360,6 +360,11 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
       case InsertStarAction(c) =>
         LakeMergeClause(c.map(rebind), isDelete = false, starFromSource())
       case InsertAction(c, assigns) =>
+        // an INSERT has no old row to rebuild a struct around — a nested
+        // key here would silently produce a NULL struct, so refuse
+        assigns.foreach(a => if (!a.key.isInstanceOf[AttributeReference])
+          unsupported(s"MERGE INSERT column ${a.key.sql} must be a " +
+            "top-level column (assign the whole struct instead)"))
         LakeMergeClause(c.map(rebind), isDelete = false, entries(assigns))
       case other => unsupported(s"MERGE action ${other.getClass.getSimpleName}")
     }
@@ -828,6 +833,15 @@ final case class LakeRowLevelSubqueryCommand(
       df0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, count, lit, sum, when}
     import org.apache.spark.sql.Column
+    // same rule as the conditional merge: the flag joins `__sqN_*` key
+    // and marker columns onto the read — a table column in that
+    // namespace would be silently shadowed by the join instead of
+    // matched (`__match` is the flag output itself). The MoR read's own
+    // `__graft_*` coordinates pass — they are engine-internal, not
+    // joinable names.
+    require(!df0.columns.exists(c => c.startsWith("__sq") || c == "__match"),
+      "column names in the __sq*/__match namespace collide with the " +
+        "subquery-flag join")
     var df = df0
     val conds = scala.collection.mutable.Buffer.empty[Column]
     residual.foreach(e => conds += ColumnBridge.column(unresolve(e)))

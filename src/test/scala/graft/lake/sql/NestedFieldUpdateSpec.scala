@@ -93,6 +93,17 @@ class NestedFieldUpdateSpec extends LakeSuite {
     assert(m.contains(9L) && m(9L) == null, "partial insert NULLs the struct")
   }
 
+  test("nested assignments evaluate against the OLD row (swap semantics)") {
+    val c = freshCat("sw")
+    mkTable(c)
+    // s.x := old s.d.u, s.d.u := old s.x — composition of two paths
+    // under one root must NOT feed the second the first's output
+    spark.sql(s"UPDATE $c.ns.t SET s.x = s.d.u, s.d.u = s.x WHERE id = 1")
+    val m = fetch(c)
+    assert(m(1L).getLong(0) == 1L, s"s.x takes OLD s.d.u: ${m(1L)}")
+    assert(m(1L).getStruct(2).getInt(0) == 10, s"s.d.u takes OLD s.x: ${m(1L)}")
+  }
+
   test("prefix-conflicting and element-path assignments refuse loudly") {
     val c = freshCat("r1")
     mkTable(c)
