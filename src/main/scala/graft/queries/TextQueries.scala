@@ -1106,7 +1106,88 @@ object TextQueries {
       .limit(30)
   }
 
+  /** BM25 top-k retrieval (Robertson & Walker 1994; the Okapi/Lucene
+    * ranking function) over the corpus for a fixed query term set —
+    * the standard relevance scorer a data pipeline uses to pull
+    * topical slices out of a 100 TB corpus (and the scoring half of a
+    * sparse-retrieval index).
+    *
+    * Engine-independence: every factor is integer arithmetic.
+    *  - idf in HALF-bits, via the bitlen-of-a-square device:
+    *    bitlen((N+1)² div (df+1)²) = ⌊2·log2((N+1)/(df+1))⌋ + 1 — the
+    *    +1 is Lucene's "+1 inside the log" floor, so terms in most
+    *    documents still contribute through their saturated tf instead
+    *    of vanishing (exactly how BM25+ behaves). Squares of document
+    *    counts fit a long for any N < 3e9 per shard; past that the
+    *    idf table is vocabulary-bounded and trivially recomputed in
+    *    decimal.
+    *  - tf saturation k1=1.2, b=0.75 as one exact rational: with
+    *    integers only, tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) scaled ×1000
+    *    is (44·SumDL·tf·1000) div (20·SumDL·tf + 6·SumDL + 18·dl·N)
+    *    (multiply numerator and denominator by 20·SumDL, avgdl =
+    *    SumDL/N). At extreme corpus sizes swap SumDL for
+    *    avgdl_milli = 1000·SumDL div N to keep magnitudes bounded.
+    *
+    * Scale shape: the token stream is filtered to the query terms at
+    * the scan (predicate on the exploded token — the stream that
+    * reaches the shuffle is O(query matches), not O(corpus)); the df
+    * and corpus-stats tables are 1-row/|Q|-row broadcasts; one
+    * (doc_id, tok) count shuffle + one doc_id rollup; TakeOrdered k. */
+  def qBm25TopK(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("dup", "vector", "batch")
+    val docs = documents(s, d).select(col("doc_id"),
+      split(col("text"), " ").as("ws"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(col("ws"))).cast("long").as("sumdl"))
+    val tf = docs
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("tok")).crossJoin(stats)
+      .withColumn("contrib",
+        expr("length(bin((n+1)*(n+1) div ((df+1)*(df+1)))) * " +
+          "((44 * sumdl * tf * 1000) div " +
+          "(20 * sumdl * tf + 6 * sumdl + 18 * dl * n))").cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  /** BPE pair counting (Sennrich et al. 2016, arXiv:1508.07909) — the
+    * inner statistic of byte-pair-encoding tokenizer training: corpus
+    * word frequencies, then adjacent-symbol pair counts weighted by
+    * word frequency; training repeatedly merges the top pair. The
+    * distributed-scale insight this query encodes: only the FIRST
+    * aggregation (text → word counts) touches the corpus — one
+    * map-side-combined shuffle — and every merge iteration after
+    * operates on the vocabulary-bounded word table (re-pairing ~10⁵
+    * distinct words per iteration is driver-trivial at any corpus
+    * size), so training a 30k-merge tokenizer over 100 TB costs one
+    * corpus pass. Emits the top pairs of the first iteration — the
+    * exact ranking the first merges would consume. */
+  def qBpePairCounts(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words.filter(length(col("w")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w)-1), " +
+          "i -> struct(substring(w, i, 1) AS a, substring(w, i+1, 1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("a"), col("b"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_topk" -> qBm25TopK,
+    "bpe_pair_counts" -> qBpePairCounts,
     "dsir_select" -> qDsirSelect,
     "lm_perplexity" -> qLmPerplexity,
     "data_mixture" -> qDataMixture,
@@ -1168,6 +1249,40 @@ object TextQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "bm25_topk" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), st AS (
+        |  SELECT count(*) AS n, CAST(sum(len(ws)) AS BIGINT) AS sumdl FROM docs
+        |), tf AS (
+        |  SELECT doc_id, dl, tok, count(*) AS tf FROM (
+        |    SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS tok
+        |    FROM docs)
+        |  WHERE tok IN ('dup', 'vector', 'batch') GROUP BY doc_id, dl, tok
+        |), dfreq AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        |), sc AS (
+        |  SELECT tf.doc_id,
+        |    length(bin((st.n+1)*(st.n+1) // ((dfreq.df+1)*(dfreq.df+1)))) *
+        |      ((44 * st.sumdl * tf.tf * 1000) //
+        |       (20 * st.sumdl * tf.tf + 6 * st.sumdl + 18 * tf.dl * st.n))
+        |      AS contrib
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN st
+        |)
+        |SELECT doc_id, count(*) AS n_terms, CAST(sum(contrib) AS BIGINT) AS score
+        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "bpe_pair_counts" ->
+      """WITH words AS (
+        |  SELECT tok AS w, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0 GROUP BY tok
+        |), pairs AS (
+        |  SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b, freq
+        |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
+        |  WHERE len(w) >= 2
+        |)
+        |SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY a, b ORDER BY pair_count DESC, a, b LIMIT 25""".stripMargin,
     "gopher_filter" -> {
       val stopCases = gopherStopwords
         .map(w => s"(CASE WHEN list_contains(ws, '$w') THEN 1 ELSE 0 END)")
