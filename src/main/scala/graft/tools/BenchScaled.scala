@@ -31,6 +31,7 @@ object BenchScaled {
     "dedup_minhash", "dedup_simhash", "dedup_substring",
     "dedup_retention", "data_mixture", "keyword_extraction",
     "doc_packing", "token_frequency", "cosine_topk_brute", "ann_lsh",
+    "semdedup", "lm_perplexity", "dsir_select", "bm25_topk",
     "lake_changelog", "lake_compact", "lake_merge_mor", "lake_prune",
     "lake_merge_upsert", "lake_sql_merge_full")
 

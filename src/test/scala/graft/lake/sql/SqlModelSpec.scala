@@ -164,4 +164,177 @@ class SqlModelSpec extends LakeSuite {
       }
     }
   }
+
+  /** Nested-struct twin of the flat fuzz: random sequences of nested
+    * SET (leaf, deep leaf, swapped pair, whole-struct, NULL-struct),
+    * conditional MERGE with nested assignments, and DELETE run against
+    * a model that mirrors the UpdateFields semantics the round-12
+    * canonicalization promises — NULL structs stay NULL, NULL
+    * intermediate structs absorb deeper writes, values read the OLD
+    * row. Crosses the two round-12 features (conditional merge ×
+    * nested SET) by construction instead of one hand case each. */
+  test("random nested-struct SET sequences keep table == model at every step") {
+    for (seed <- Seq(7, 43)) {
+      val rng = new scala.util.Random(seed)
+      val wh = freshWarehouse()
+      val cat = s"structfuzz$seed"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeSqlCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE $cat.ns")
+      spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT, a BIGINT, " +
+        "s STRUCT<x: BIGINT, d: STRUCT<u: BIGINT, w: STRING>>)")
+
+      // model row = Row(id, a, Row(x, Row(u, w))); nulls at any level
+      var model = Map.empty[Long, Row]
+      var nextId = 0L
+      def jl(v: Long): java.lang.Long = java.lang.Long.valueOf(v)
+      def sOf(r: Row): Row = r.getAs[Row](2)
+      def withS(r: Row, s: Row): Row = Row(r.get(0), r.get(1), s)
+      // UpdateFields semantics: a NULL struct absorbs the write
+      def setX(r: Row, v: java.lang.Long): Row = {
+        val s = sOf(r)
+        if (s == null) r else withS(r, Row(v, s.get(1)))
+      }
+      def setDU(r: Row, v: java.lang.Long): Row = {
+        val s = sOf(r)
+        if (s == null) r
+        else {
+          val d = s.getAs[Row](1)
+          if (d == null) r else withS(r, Row(s.get(0), Row(v, d.get(1))))
+        }
+      }
+      def setDW(r: Row, v: String): Row = {
+        val s = sOf(r)
+        if (s == null) r
+        else {
+          val d = s.getAs[Row](1)
+          if (d == null) r else withS(r, Row(s.get(0), Row(d.get(0), v)))
+        }
+      }
+
+      def check(step: Int, op: String): Unit = {
+        val actual = spark.sql(s"SELECT * FROM $cat.ns.t").collect()
+          .map(r => r.getLong(0) -> Row(r.get(0), r.get(1), r.get(2))).toMap
+        assert(actual === model, s"seed=$seed step=$step after $op")
+      }
+
+      def structSql(i: Long): String =
+        s"named_struct('x', CAST($i AS BIGINT), 'd', " +
+          s"named_struct('u', CAST(${i * 2} AS BIGINT), 'w', 'r$i'))"
+      def freshRows(n: Int): Seq[(Long, Row)] = (0 until n).map { _ =>
+        nextId += 1
+        val i = nextId
+        val s = rng.nextInt(4) match {
+          case 0 => null
+          case 1 => Row(jl(i), null)
+          case _ => Row(jl(i), Row(jl(i * 2), s"r$i"))
+        }
+        i -> Row(jl(i), jl(i * 10), s)
+      }
+      def structLit(s: Row): String =
+        if (s == null) "CAST(NULL AS STRUCT<x: BIGINT, d: STRUCT<u: BIGINT, w: STRING>>)"
+        else {
+          val d = s.getAs[Row](1)
+          val dLit = if (d == null)
+            "CAST(NULL AS STRUCT<u: BIGINT, w: STRING>)"
+          else s"named_struct('u', CAST(${d.get(0)} AS BIGINT), 'w', '${d.get(1)}')"
+          s"named_struct('x', CAST(${s.get(0)} AS BIGINT), 'd', $dLit)"
+        }
+
+      val seedRows = freshRows(12)
+      spark.sql(s"INSERT INTO $cat.ns.t VALUES " + seedRows.map { case (_, r) =>
+        s"(${r.get(0)}, ${r.get(1)}, ${structLit(sOf(r))})"
+      }.mkString(", "))
+      model = seedRows.toMap
+      check(-1, "seed insert")
+
+      for (step <- 0 until 12) {
+        rng.nextInt(6) match {
+          case 0 => // leaf SET against the old row's sibling values
+            val m = rng.nextInt(3)
+            spark.sql(s"UPDATE $cat.ns.t SET s.x = a + $step WHERE id % 3 = $m")
+            model = model.map { case (id, r) =>
+              id -> (if (id % 3 == m) setX(r, jl(r.getLong(1) + step)) else r)
+            }
+            check(step, s"set s.x id%3=$m")
+          case 1 => // swapped pair: both values must read the OLD row
+            val m = rng.nextInt(2)
+            spark.sql(s"UPDATE $cat.ns.t SET s.x = s.d.u, s.d.u = s.x " +
+              s"WHERE id % 2 = $m")
+            model = model.map { case (id, r) =>
+              if (id % 2 != m) id -> r
+              else {
+                val s = sOf(r)
+                val oldX = if (s == null) null else s.getAs[java.lang.Long](0)
+                val d = if (s == null) null else s.getAs[Row](1)
+                val oldU = if (d == null) null else d.getAs[java.lang.Long](0)
+                id -> setDU(setX(r, oldU), oldX)
+              }
+            }
+            check(step, s"swap s.x/s.d.u id%2=$m")
+          case 2 => // deep leaf string SET
+            val m = rng.nextInt(4)
+            spark.sql(s"UPDATE $cat.ns.t SET s.d.w = 'p$step' WHERE id % 4 = $m")
+            model = model.map { case (id, r) =>
+              id -> (if (id % 4 == m) setDW(r, s"p$step") else r)
+            }
+            check(step, s"set s.d.w id%4=$m")
+          case 3 => // whole-struct overwrite (sometimes to NULL)
+            val m = rng.nextInt(3)
+            val toNull = rng.nextBoolean()
+            val lit = if (toNull)
+              "CAST(NULL AS STRUCT<x: BIGINT, d: STRUCT<u: BIGINT, w: STRING>>)"
+            else structSql(step + 100L)
+            spark.sql(s"UPDATE $cat.ns.t SET s = $lit WHERE id % 3 = $m")
+            val sNew = if (toNull) null
+            else Row(jl(step + 100L), Row(jl((step + 100L) * 2), s"r${step + 100}"))
+            model = model.map { case (id, r) =>
+              id -> (if (id % 3 == m) withS(r, sNew) else r)
+            }
+            check(step, s"set whole s id%3=$m toNull=$toNull")
+          case 4 => // conditional MERGE with nested assignments
+            val existing = rng.shuffle(model.keys.toSeq).take(rng.nextInt(5))
+            val ins = freshRows(rng.nextInt(3))
+            val srcRows = existing.map(i => (i, i * 7L)) ++
+              ins.map { case (i, _) => (i, i * 7L) }
+            if (srcRows.nonEmpty) {
+              spark.createDataFrame(
+                srcRows.map { case (i, nv) => Row(jl(i), jl(nv)) }.asJava0,
+                StructType(Seq(StructField("id", LongType),
+                  StructField("nv", LongType))))
+                .createOrReplaceTempView(s"structfuzz_src_$seed")
+              spark.sql(
+                s"""MERGE INTO $cat.ns.t AS t USING structfuzz_src_$seed AS src
+                   |ON t.id = src.id
+                   |WHEN MATCHED AND src.nv % 2 = 0 THEN UPDATE SET s.x = src.nv
+                   |WHEN MATCHED THEN UPDATE SET s.d.w = 'm$step', a = t.a + 1
+                   |WHEN NOT MATCHED THEN INSERT (id, a, s)
+                   |  VALUES (src.id, src.nv, ${structSql(9000L + step)})""".stripMargin)
+              val insIds = ins.map(_._1).toSet
+              model = model.map { case (id, r) =>
+                if (!existing.contains(id)) id -> r
+                else if ((id * 7L) % 2 == 0) id -> setX(r, jl(id * 7L))
+                else {
+                  val r2 = setDW(r, s"m$step")
+                  id -> Row(r2.get(0), jl(r2.getLong(1) + 1), sOf(r2))
+                }
+              }
+              model ++= ins.map { case (i, _) =>
+                i -> Row(jl(i), jl(i * 7L),
+                  Row(jl(9000L + step),
+                    Row(jl((9000L + step) * 2), s"r${9000 + step}")))
+              }
+              // guard: inserted ids must not collide with existing handling
+              assert(insIds.forall(i => !existing.contains(i)))
+              check(step, "conditional merge nested")
+            }
+          case 5 => // DELETE a residue class
+            val m = rng.nextInt(5)
+            spark.sql(s"DELETE FROM $cat.ns.t WHERE id % 5 = $m")
+            model = model.filter { case (id, _) => id % 5 != m }
+            check(step, s"delete id%5=$m")
+        }
+      }
+    }
+  }
 }
