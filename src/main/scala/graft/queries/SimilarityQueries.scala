@@ -454,6 +454,35 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Cluster-cap sampling (the DataComp / Meta "cluster-balanced
+    * subset" practice, e.g. Abbas et al. 2023 §4's per-cluster
+    * retention): cap every embedding cluster's contribution to the
+    * training mix at K vectors so head clusters (boilerplate, memes,
+    * templated text) cannot dominate the sample. Reuses the ingest-time
+    * IVF cells as the clustering; within a cell the kept K are chosen
+    * by a deterministic multiplicative hash of the id (Knuth 2654435761
+    * — engine-exact integer arithmetic), ties by id, so the sample is
+    * reproducible and oracle-reconstructable.
+    *
+    * Scale shape: the cell assignment is the already-built inverted
+    * file (one map pass against K literal centroids); ranking is one
+    * window sort per cell — a single shuffle keyed by cell, no joins,
+    * output linear in the corpus. */
+  def qClusterCapSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 8
+    val assigned = ensureIvfIndex(s, d).assigned.select(col("vec_id"), col("cell"))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(pmod(col("vec_id") * lit(2654435761L), lit(1000000L)), col("vec_id"))
+    assigned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cell_size",
+        count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .select(col("vec_id"), col("cell"), col("cell_size"), col("rank"),
+        (col("rank") <= K).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Size gate for [[qDedupEmbedding]]: does the embeddings corpus fit
     * an executor-broadcast budget? Decided from parquet bytes on disk
     * (free — no Spark job) times a 4x deserialization factor (float
@@ -521,6 +550,7 @@ object SimilarityQueries {
     "ivf_recall" -> qIvfRecall,
     "dedup_embedding" -> qDedupEmbedding,
     "semdedup" -> qSemdedup,
+    "cluster_cap_sample" -> qClusterCapSample,
     "embedding_stats" -> qEmbeddingStats,
   )
 
@@ -717,6 +747,18 @@ object SimilarityQueries {
          |  p.pruned_by IS NULL AS keep, p.pruned_by
          |FROM icellof c LEFT JOIN spruned p USING (vec_id)
          |ORDER BY c.vec_id""".stripMargin,
+    "cluster_cap_sample" ->
+      s"""WITH $oracleBaseCtes, $ivfAssignCtes,
+         |ranked AS (
+         |  SELECT vec_id, cell,
+         |    count(*) OVER (PARTITION BY cell) AS cell_size,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY (vec_id * 2654435761) % 1000000, vec_id) AS rank
+         |  FROM icellof)
+         |SELECT vec_id, CAST(cell AS INT) AS cell,
+         |  CAST(cell_size AS BIGINT) AS cell_size, CAST(rank AS BIGINT) AS rank,
+         |  rank <= 8 AS kept
+         |FROM ranked ORDER BY vec_id""".stripMargin,
     "embedding_stats" ->
       """SELECT label, count(*) AS n_vecs,
         |  count(DISTINCT vec_id) AS n_ids,

@@ -1185,9 +1185,52 @@ object TextQueries {
       .limit(25)
   }
 
+  /** Filter-pipeline funnel — the per-stage survival report every
+    * production cleaning pipeline publishes (CCNet, Gopher §A,
+    * RefinedWeb table 2 all report exactly this): docs in / docs out
+    * for each sequential stage, where stage N only sees stage N−1's
+    * survivors. Stages here: token-length window, language keep,
+    * exact-text dedup (keep-lowest-id AMONG SURVIVORS — dedup after
+    * filtering, the standard order, and the part naive per-stage
+    * counting gets wrong), distinct-token-ratio floor (a repetition
+    * screen). All-integer predicates.
+    *
+    * Scale shape: ONE corpus scan computes every per-doc flag
+    * cumulatively (no per-stage re-scan); the dedup stage is the only
+    * shuffle (text-keyed window over survivors); the funnel itself is
+    * a 4-row aggregate. At 100 TB this is the same one-pass + one
+    * dedup-shuffle a real pipeline pays. */
+  def qPipelineFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d).select(col("doc_id"), col("text"), col("lang"),
+      split(col("text"), " ").as("ws"))
+      .withColumn("n_toks", size(col("ws")).cast("long"))
+      .withColumn("p1", col("n_toks").between(20L, 80L))
+      .withColumn("p2", col("p1") && (col("lang") === "en"))
+    val kept = docs.filter(col("p2"))
+      .withColumn("p3",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      .withColumn("p4", col("p3") &&
+        expr("size(array_distinct(ws)) * 100L div n_toks") >= 40L)
+      .select(col("doc_id"), col("p3"), col("p4"))
+    val c = docs.join(kept, Seq("doc_id"), "left_outer")
+      .agg(count(lit(1)).as("n0"),
+        sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("p2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(coalesce(col("p3"), lit(false)), 1L).otherwise(0L)).as("n3"),
+        sum(when(coalesce(col("p4"), lit(false)), 1L).otherwise(0L)).as("n4"))
+    c.select(lit(1L).as("stage"), lit("token_length").as("name"),
+        col("n0").as("docs_in"), col("n1").as("docs_out"))
+      .unionAll(c.select(lit(2L), lit("lang_en"), col("n1"), col("n2")))
+      .unionAll(c.select(lit(3L), lit("exact_dedup"), col("n2"), col("n3")))
+      .unionAll(c.select(lit(4L), lit("distinct_ratio"), col("n3"), col("n4")))
+      .orderBy(col("stage"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_topk" -> qBm25TopK,
     "bpe_pair_counts" -> qBpePairCounts,
+    "pipeline_funnel" -> qPipelineFunnel,
     "dsir_select" -> qDsirSelect,
     "lm_perplexity" -> qLmPerplexity,
     "data_mixture" -> qDataMixture,
@@ -1271,6 +1314,38 @@ object TextQueries {
         |)
         |SELECT doc_id, count(*) AS n_terms, CAST(sum(contrib) AS BIGINT) AS score
         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "pipeline_funnel" ->
+      """WITH f AS (
+        |  SELECT doc_id, text, lang, string_split(text, ' ') AS ws,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents
+        |), f1 AS (
+        |  SELECT *, n_toks BETWEEN 20 AND 80 AS p1 FROM f
+        |), f2 AS (
+        |  SELECT *, p1 AND lang = 'en' AS p2 FROM f1
+        |), k AS (
+        |  SELECT doc_id, ws, n_toks,
+        |    doc_id = min(doc_id) OVER (PARTITION BY text) AS p3
+        |  FROM f2 WHERE p2
+        |), k4 AS (
+        |  SELECT doc_id, p3,
+        |    p3 AND (len(list_distinct(ws)) * 100) // n_toks >= 40 AS p4
+        |  FROM k
+        |), c AS (
+        |  SELECT
+        |    (SELECT count(*) FROM f) AS n0,
+        |    (SELECT count(*) FROM f1 WHERE p1) AS n1,
+        |    (SELECT count(*) FROM f2 WHERE p2) AS n2,
+        |    (SELECT count(*) FROM k4 WHERE p3) AS n3,
+        |    (SELECT count(*) FROM k4 WHERE p4) AS n4
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'token_length' AS name,
+        |    n0 AS docs_in, n1 AS docs_out FROM c
+        |  UNION ALL SELECT 2, 'lang_en', n1, n2 FROM c
+        |  UNION ALL SELECT 3, 'exact_dedup', n2, n3 FROM c
+        |  UNION ALL SELECT 4, 'distinct_ratio', n3, n4 FROM c)
+        |ORDER BY stage""".stripMargin,
     "bpe_pair_counts" ->
       """WITH words AS (
         |  SELECT tok AS w, count(*) AS freq FROM (
