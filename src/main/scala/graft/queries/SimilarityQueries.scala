@@ -483,6 +483,33 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** kNN label classification over the embedding corpus — the
+    * standard auto-labeling / eval pass (classify a vector by the
+    * majority label of its k nearest neighbors, ties to the smaller
+    * label). Neighbors come from the exact-integer brute ranking
+    * ([[qCosineTopkBrute]], self excluded), so the whole pipeline —
+    * ranking, vote, argmax — is engine-exact. Scale: the query set is
+    * the bounded probe sample; production-scale classification swaps
+    * the brute ranking for the IVF/LSH candidates, which share this
+    * vote/argmax tail. */
+  def qKnnClassify(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = qCosineTopkBrute(s, d).filter(col("rn") <= 5)
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("label").as("predicted"), col("votes"))
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("actual")),
+        Seq("q_id"))
+      .select(col("q_id"), col("predicted"), col("votes"), col("actual"),
+        (col("predicted") === col("actual")).as("correct"))
+      .orderBy(col("q_id"))
+  }
+
   /** Size gate for [[qDedupEmbedding]]: does the embeddings corpus fit
     * an executor-broadcast budget? Decided from parquet bytes on disk
     * (free — no Spark job) times a 4x deserialization factor (float
@@ -551,6 +578,7 @@ object SimilarityQueries {
     "dedup_embedding" -> qDedupEmbedding,
     "semdedup" -> qSemdedup,
     "cluster_cap_sample" -> qClusterCapSample,
+    "knn_classify" -> qKnnClassify,
     "embedding_stats" -> qEmbeddingStats,
   )
 
@@ -747,6 +775,24 @@ object SimilarityQueries {
          |  p.pruned_by IS NULL AS keep, p.pruned_by
          |FROM icellof c LEFT JOIN spruned p USING (vec_id)
          |ORDER BY c.vec_id""".stripMargin,
+    "knn_classify" ->
+      s"""WITH $oracleBaseCtes, $bruteCtes,
+         |nb AS (SELECT q_id, vec_id FROM branked WHERE rn <= 5),
+         |votes AS (
+         |  SELECT nb.q_id, e.label, count(*) AS votes
+         |  FROM nb JOIN embeddings e USING (vec_id)
+         |  GROUP BY nb.q_id, e.label
+         |), pred AS (
+         |  SELECT q_id, label AS predicted, votes FROM (
+         |    SELECT q_id, label, votes,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY votes DESC, label) AS rn
+         |    FROM votes) WHERE rn = 1
+         |)
+         |SELECT p.q_id, p.predicted, CAST(p.votes AS BIGINT) AS votes,
+         |  a.label AS actual, p.predicted = a.label AS correct
+         |FROM pred p JOIN embeddings a ON a.vec_id = p.q_id
+         |ORDER BY p.q_id""".stripMargin,
     "cluster_cap_sample" ->
       s"""WITH $oracleBaseCtes, $ivfAssignCtes,
          |ranked AS (

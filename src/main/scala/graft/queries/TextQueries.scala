@@ -1028,7 +1028,16 @@ object TextQueries {
     * then joins the model on (w1,w2) (AQE broadcasts it when small)
     * and aggregates per doc_id. Everything stays in codegen'd HOFs
     * (split / transform / explode) — no UDFs, no driver loops. */
-  def qLmPerplexity(s: SparkSession, d: String): DataFrame = {
+  def qLmPerplexity(s: SparkSession, d: String): DataFrame =
+    lmDocBits(s, d)
+      .orderBy(col("mbits_per_bigram").desc, col("doc_id"))
+      .limit(30)
+
+  /** The bigram-LM per-doc scoring shared by [[qLmPerplexity]] (worst
+    * tail) and [[qPerplexityBuckets]] (CCNet terciles): one row per
+    * doc with ≥ 1 bigram — (doc_id, n_bigrams, total_bits,
+    * mbits_per_bigram). */
+  private def lmDocBits(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"),
       split(col("text"), " ").as("ws"))
     // guard size>=2 BEFORE sequence(0, size-2): Spark's sequence(0,-1)
@@ -1050,8 +1059,30 @@ object TextQueries {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("total_bits"))
       .withColumn("mbits_per_bigram",
         expr("total_bits * 1000L div n_bigrams"))
-      .orderBy(col("mbits_per_bigram").desc, col("doc_id"))
-      .limit(30)
+  }
+
+  /** CCNet's actual output (Wenzek et al. 2020 §4.4): bucket the
+    * corpus into head/middle/tail perplexity TERCILES — training
+    * pipelines keep head, downsample middle, drop tail. Buckets come
+    * from ntile(3) over the doc-level score table ordered (mbits,
+    * doc_id) — a total order, so the assignment is engine-exact.
+    *
+    * Scale note: the global ntile sorts the DOC-LEVEL rollup (three
+    * orders smaller than the corpus), and the single-partition window
+    * is this probe query's shape only — at 100 TB the same terciles
+    * come from a two-pass range quantile (compute the two cut scores,
+    * then a map-only bucket stamp), which this operator's doc-rollup
+    * input feeds unchanged. */
+  def qPerplexityBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("mbits_per_bigram"), col("doc_id"))
+    lmDocBits(s, d)
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("mbits_per_bigram")).as("min_mbits"),
+        max(col("mbits_per_bigram")).as("max_mbits"))
+      .orderBy(col("bucket"))
   }
 
   /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169
@@ -1231,6 +1262,7 @@ object TextQueries {
     "bm25_topk" -> qBm25TopK,
     "bpe_pair_counts" -> qBpePairCounts,
     "pipeline_funnel" -> qPipelineFunnel,
+    "perplexity_buckets" -> qPerplexityBuckets,
     "dsir_select" -> qDsirSelect,
     "lm_perplexity" -> qLmPerplexity,
     "data_mixture" -> qDataMixture,
@@ -1314,6 +1346,37 @@ object TextQueries {
         |)
         |SELECT doc_id, count(*) AS n_terms, CAST(sum(contrib) AS BIGINT) AS score
         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "perplexity_buckets" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |), tok AS (
+        |  SELECT unnest(ws) AS w FROM w
+        |), vocab AS (
+        |  SELECT count(DISTINCT w) AS v FROM tok
+        |), bg AS (
+        |  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+        |  FROM w, (SELECT unnest(range(len(ws) - 1)) AS i) t
+        |), c2 AS (
+        |  SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w1, count(*) AS n1 FROM bg GROUP BY 1
+        |), model AS (
+        |  SELECT w1, w2,
+        |    CAST(length(bin(n1 + v)) - length(bin(n2 + 1)) AS BIGINT) AS bits
+        |  FROM c2 JOIN c1 USING (w1) CROSS JOIN vocab
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(bits) AS BIGINT) AS total_bits
+        |  FROM bg JOIN model USING (w1, w2) GROUP BY 1
+        |), scored AS (
+        |  SELECT doc_id, total_bits * 1000 // n_bigrams AS mbits,
+        |    ntile(3) OVER (ORDER BY total_bits * 1000 // n_bigrams, doc_id)
+        |      AS bucket
+        |  FROM agg
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+        |  min(mbits) AS min_mbits, max(mbits) AS max_mbits
+        |FROM scored GROUP BY bucket ORDER BY bucket""".stripMargin,
     "pipeline_funnel" ->
       """WITH f AS (
         |  SELECT doc_id, text, lang, string_split(text, ' ') AS ws,
