@@ -1250,11 +1250,19 @@ object TextQueries {
         sum(when(col("p2"), 1L).otherwise(0L)).as("n2"),
         sum(when(coalesce(col("p3"), lit(false)), 1L).otherwise(0L)).as("n3"),
         sum(when(coalesce(col("p4"), lit(false)), 1L).otherwise(0L)).as("n4"))
-    c.select(lit(1L).as("stage"), lit("token_length").as("name"),
-        col("n0").as("docs_in"), col("n1").as("docs_out"))
-      .unionAll(c.select(lit(2L), lit("lang_en"), col("n1"), col("n2")))
-      .unionAll(c.select(lit(3L), lit("exact_dedup"), col("n2"), col("n3")))
-      .unionAll(c.select(lit(4L), lit("distinct_ratio"), col("n3"), col("n4")))
+    // one explode over the single agg row, NOT a 4-branch union — the
+    // union re-ran the corpus scan + aggregate once per funnel row
+    c.select(explode(array(
+        struct(lit(1L).as("stage"), lit("token_length").as("name"),
+          col("n0").as("docs_in"), col("n1").as("docs_out")),
+        struct(lit(2L).as("stage"), lit("lang_en").as("name"),
+          col("n1").as("docs_in"), col("n2").as("docs_out")),
+        struct(lit(3L).as("stage"), lit("exact_dedup").as("name"),
+          col("n2").as("docs_in"), col("n3").as("docs_out")),
+        struct(lit(4L).as("stage"), lit("distinct_ratio").as("name"),
+          col("n3").as("docs_in"), col("n4").as("docs_out")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.name").as("name"),
+        col("r.docs_in").as("docs_in"), col("r.docs_out").as("docs_out"))
       .orderBy(col("stage"))
   }
 
