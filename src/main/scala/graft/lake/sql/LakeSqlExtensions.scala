@@ -839,7 +839,10 @@ final case class LakeRowLevelSubqueryCommand(
     // matched (`__match` is the flag output itself). The MoR read's own
     // `__graft_*` coordinates pass — they are engine-internal, not
     // joinable names.
-    require(!df0.columns.exists(c => c.startsWith("__sq") || c == "__match"),
+    // case-INSENSITIVE: Spark resolution is, so `__Match` would be
+    // silently replaced by withColumn just like the exact name
+    require(!df0.columns.exists(c => c.toLowerCase.startsWith("__sq") ||
+        c.equalsIgnoreCase("__match")),
       "column names in the __sq*/__match namespace collide with the " +
         "subquery-flag join")
     var df = df0

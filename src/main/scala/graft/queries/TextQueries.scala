@@ -1203,7 +1203,6 @@ object TextQueries {
   def qBpePairCounts(s: SparkSession, d: String): DataFrame = {
     val words = documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
     words.filter(length(col("w")) >= 2)
       .select(col("freq"), explode(expr(
@@ -1233,23 +1232,24 @@ object TextQueries {
     * dedup-shuffle a real pipeline pays. */
   def qPipelineFunnel(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = documents(s, d).select(col("doc_id"), col("text"), col("lang"),
-      split(col("text"), " ").as("ws"))
+    // truly ONE scan: the dedup keeper flag comes from a conditional
+    // window min over ALL rows (non-survivors contribute NULL, so the
+    // min is the lowest SURVIVOR id) — no second read, no doc_id join
+    val c = documents(s, d).select(col("doc_id"), col("text"), col("lang"),
+        split(col("text"), " ").as("ws"))
       .withColumn("n_toks", size(col("ws")).cast("long"))
       .withColumn("p1", col("n_toks").between(20L, 80L))
       .withColumn("p2", col("p1") && (col("lang") === "en"))
-    val kept = docs.filter(col("p2"))
-      .withColumn("p3",
-        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("text"))))
+      .withColumn("p3", col("p2") && col("doc_id") ===
+        min(when(col("p2"), col("doc_id")))
+          .over(Window.partitionBy(col("text"))))
       .withColumn("p4", col("p3") &&
         expr("size(array_distinct(ws)) * 100L div n_toks") >= 40L)
-      .select(col("doc_id"), col("p3"), col("p4"))
-    val c = docs.join(kept, Seq("doc_id"), "left_outer")
       .agg(count(lit(1)).as("n0"),
         sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
         sum(when(col("p2"), 1L).otherwise(0L)).as("n2"),
-        sum(when(coalesce(col("p3"), lit(false)), 1L).otherwise(0L)).as("n3"),
-        sum(when(coalesce(col("p4"), lit(false)), 1L).otherwise(0L)).as("n4"))
+        sum(when(col("p3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("p4"), 1L).otherwise(0L)).as("n4"))
     // one explode over the single agg row, NOT a 4-branch union — the
     // union re-ran the corpus scan + aggregate once per funnel row
     c.select(explode(array(
@@ -1331,6 +1331,35 @@ object TextQueries {
       |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
       |)""".stripMargin
 
+  /** Bigram-LM model + per-doc rollup CTEs shared by the
+    * `lm_perplexity` and `perplexity_buckets` oracles — one SQL
+    * definition of the model so the two cannot drift (the Spark twin
+    * is the shared [[lmDocBits]]). Ends in
+    * `agg(doc_id, n_bigrams, total_bits)`. */
+  private def lmOracleCtes: String =
+    """w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), tok AS (
+      |  SELECT unnest(ws) AS w FROM w
+      |), vocab AS (
+      |  SELECT count(DISTINCT w) AS v FROM tok
+      |), bg AS (
+      |  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+      |  FROM w, (SELECT unnest(range(len(ws) - 1)) AS i) t
+      |), c2 AS (
+      |  SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT w1, count(*) AS n1 FROM bg GROUP BY 1
+      |), model AS (
+      |  SELECT w1, w2,
+      |    CAST(length(bin(n1 + v)) - length(bin(n2 + 1)) AS BIGINT) AS bits
+      |  FROM c2 JOIN c1 USING (w1) CROSS JOIN vocab
+      |), agg AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    CAST(sum(bits) AS BIGINT) AS total_bits
+      |  FROM bg JOIN model USING (w1, w2) GROUP BY 1
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "bm25_topk" ->
       """WITH docs AS (
@@ -1355,28 +1384,7 @@ object TextQueries {
         |SELECT doc_id, count(*) AS n_terms, CAST(sum(contrib) AS BIGINT) AS score
         |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "perplexity_buckets" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |), tok AS (
-        |  SELECT unnest(ws) AS w FROM w
-        |), vocab AS (
-        |  SELECT count(DISTINCT w) AS v FROM tok
-        |), bg AS (
-        |  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
-        |  FROM w, (SELECT unnest(range(len(ws) - 1)) AS i) t
-        |), c2 AS (
-        |  SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2
-        |), c1 AS (
-        |  SELECT w1, count(*) AS n1 FROM bg GROUP BY 1
-        |), model AS (
-        |  SELECT w1, w2,
-        |    CAST(length(bin(n1 + v)) - length(bin(n2 + 1)) AS BIGINT) AS bits
-        |  FROM c2 JOIN c1 USING (w1) CROSS JOIN vocab
-        |), agg AS (
-        |  SELECT doc_id, count(*) AS n_bigrams,
-        |    CAST(sum(bits) AS BIGINT) AS total_bits
-        |  FROM bg JOIN model USING (w1, w2) GROUP BY 1
-        |), scored AS (
+      s"""WITH $lmOracleCtes, scored AS (
         |  SELECT doc_id, total_bits * 1000 // n_bigrams AS mbits,
         |    ntile(3) OVER (ORDER BY total_bits * 1000 // n_bigrams, doc_id)
         |      AS bucket
@@ -1421,7 +1429,7 @@ object TextQueries {
       """WITH words AS (
         |  SELECT tok AS w, count(*) AS freq FROM (
         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  WHERE len(tok) > 0 GROUP BY tok
+        |  GROUP BY tok
         |), pairs AS (
         |  SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b, freq
         |  FROM words, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) t
@@ -1709,31 +1717,10 @@ object TextQueries {
         |  divergence_bits * 1000 // n_tokens AS mbits_per_token
         |FROM agg ORDER BY mbits_per_token ASC, doc_id LIMIT 30""".stripMargin,
     "lm_perplexity" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |), tok AS (
-        |  SELECT unnest(ws) AS w FROM w
-        |), vocab AS (
-        |  SELECT count(DISTINCT w) AS v FROM tok
-        |), bg AS (
-        |  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
-        |  FROM w, (SELECT unnest(range(len(ws) - 1)) AS i) t
-        |), c2 AS (
-        |  SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2
-        |), c1 AS (
-        |  SELECT w1, count(*) AS n1 FROM bg GROUP BY 1
-        |), model AS (
-        |  SELECT w1, w2,
-        |    CAST(length(bin(n1 + v)) - length(bin(n2 + 1)) AS BIGINT) AS bits
-        |  FROM c2 JOIN c1 USING (w1) CROSS JOIN vocab
-        |), agg AS (
-        |  SELECT doc_id, count(*) AS n_bigrams,
-        |    CAST(sum(bits) AS BIGINT) AS total_bits
-        |  FROM bg JOIN model USING (w1, w2) GROUP BY 1
-        |)
-        |SELECT doc_id, n_bigrams, total_bits,
-        |  total_bits * 1000 // n_bigrams AS mbits_per_bigram
-        |FROM agg ORDER BY mbits_per_bigram DESC, doc_id LIMIT 30""".stripMargin,
+      s"""WITH $lmOracleCtes
+         |SELECT doc_id, n_bigrams, total_bits,
+         |  total_bits * 1000 // n_bigrams AS mbits_per_bigram
+         |FROM agg ORDER BY mbits_per_bigram DESC, doc_id LIMIT 30""".stripMargin,
     "bigram_counts" ->
       """WITH w AS (
         |  SELECT string_split(text, ' ') AS ws FROM documents

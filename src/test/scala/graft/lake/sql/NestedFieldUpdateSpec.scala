@@ -104,6 +104,22 @@ class NestedFieldUpdateSpec extends LakeSuite {
     assert(m(1L).getStruct(2).getInt(0) == 10, s"s.d.u takes OLD s.x: ${m(1L)}")
   }
 
+  test("MERGE INSERT with a nested column key refuses loudly") {
+    val c = freshCat("mi")
+    mkTable(c)
+    spark.sql("SELECT * FROM VALUES (7L, 70L) AS s(id, nx)")
+      .createOrReplaceTempView("nest_mi_src")
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE INTO $c.ns.t AS t USING nest_mi_src AS src
+           |ON t.id = src.id
+           |WHEN NOT MATCHED THEN INSERT (id, s.x) VALUES (src.id, src.nx)
+           |""".stripMargin)
+    }
+    assert(e.getMessage.contains("top-level column"),
+      s"nested INSERT key must refuse, got: ${e.getMessage}")
+  }
+
   test("prefix-conflicting and element-path assignments refuse loudly") {
     val c = freshCat("r1")
     mkTable(c)

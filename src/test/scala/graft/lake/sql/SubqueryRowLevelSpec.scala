@@ -137,4 +137,21 @@ class SubqueryRowLevelSpec extends LakeSuite {
       s"UPDATE $c.ns.t SET v = (SELECT w FROM ref_src s WHERE s.k = id)"))
     assert(e3.getMessage.contains("uncorrelated scalar"))
   }
+
+  test("columns in the synthetic __sq*/__match join namespace refuse") {
+    val (c, _) = freshCat("clash")
+    // case-VARIANT names: Spark resolution is case-insensitive, so
+    // `__Match` would be silently replaced by the flag column if the
+    // guard compared exactly
+    for ((col, tag) <- Seq("`__Match` INT" -> "m", "`__SQ0_k` INT" -> "s")) {
+      spark.sql(s"CREATE TABLE $c.ns.t$tag (id BIGINT, $col)")
+      spark.sql(s"INSERT INTO $c.ns.t$tag VALUES (1, 1)")
+      spark.sql("SELECT * FROM VALUES (1L) AS s(k)")
+        .createOrReplaceTempView(s"clash_keys_$tag")
+      val e = intercept[Exception](spark.sql(
+        s"DELETE FROM $c.ns.t$tag WHERE id IN (SELECT k FROM clash_keys_$tag)"))
+      assert(e.getMessage.contains("__sq*/__match namespace"),
+        s"$col must refuse, got: ${e.getMessage}")
+    }
+  }
 }
