@@ -1266,7 +1266,81 @@ object TextQueries {
       .orderBy(col("stage"))
   }
 
+  /** Naive-Bayes quality classifier — the "fastText classifier"
+    * component of GPT-3/LLaMA-class pipelines (Brown et al. 2020 §A;
+    * Touvron et al. 2023): a linear bag-of-words model trained to
+    * separate a high-quality reference domain from the raw crawl, then
+    * swept over the corpus as a keep/drop gate. Here the target domain
+    * is lang='en' (the same stand-in [[qDsirSelect]] uses) and the
+    * features are B=4096 MD5-hashed unigram buckets.
+    *
+    * Engine-independence: the model is the per-bucket POSTERIOR in
+    * exact integer ppm — ppm(b) = 10⁶·(c_en(b)+1) div (c_en(b)+
+    * c_rest(b)+2), add-one smoothed — and a doc is classified en when
+    * its summed token posterior beats the corpus prior rate:
+    * Σ ppm > n_tokens · prior_ppm (the averaged-posterior NB decision
+    * rule). Integer division at ppm resolution keeps the full signal —
+    * the log-bitlen device the LM queries use floors to whole bits,
+    * which is COARSER than this label's real separation (~±2 bits of
+    * true log-odds: a bitlen model degenerates to all-positive; this
+    * was measured, not guessed). margin = Σppm − n_tokens·prior_ppm is
+    * exact in both engines. The output is the confusion rollup
+    * (actual × predicted with margin extrema) — the table a pipeline
+    * inspects before trusting the classifier as a filter.
+    *
+    * Scale shape: like [[qDsirSelect]] the model is B-bounded (4096
+    * rows) at any corpus size — two map-side-combined count shuffles
+    * train it, the token stream (hashed ONCE, persisted across its
+    * consumers) joins the broadcast model, one doc_id rollup scores,
+    * and the confusion matrix is a 4-row aggregate. At 100 TB: one
+    * corpus pass + bounded broadcasts, the same cost as the real
+    * fastText sweep. */
+  def qNbQualityClassify(s: SparkSession, d: String): DataFrame = {
+    val B = 4096L
+    val spark0 = s
+    import spark0.implicits._
+    val toks = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val memo = new Md5Memo()
+        it.flatMap { case (id, lang, text) =>
+          if (text == null) Iterator.empty
+          else text.split(" ", -1).iterator.map { w =>
+            (id, lang, java.lang.Long.remainderUnsigned(memo(w)._1, B))
+          }
+        }
+      }.toDF("doc_id", "lang", "b")
+    val cached = QueryCaches.track(toks.persist())
+    val en = cached.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("np"))
+    val rest = cached.filter(col("lang") =!= "en")
+      .groupBy("b").agg(count(lit(1)).as("nn"))
+    val model = en.join(rest, Seq("b"), "full_outer")
+      .select(col("b"), expr(
+        "1000000L * (coalesce(np, 0L) + 1L) div " +
+          "(coalesce(np, 0L) + coalesce(nn, 0L) + 2L)").as("ppm"))
+    // the corpus-level prior rate (one tiny agg, broadcast scalar):
+    // the decision threshold an average token must beat
+    val prior = cached.agg(expr(
+      "1000000L * sum(CASE WHEN lang = 'en' THEN 1L ELSE 0L END) " +
+        "div count(1)").as("prior_ppm"))
+    cached.join(model, Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ppm")).as("ppm_sum"))
+      .crossJoin(prior)
+      .select((col("lang") === "en").as("actual_en"),
+        (col("ppm_sum") - col("n_tokens") * col("prior_ppm"))
+          .cast("long").as("margin_ppm"))
+      .withColumn("predicted_en", col("margin_ppm") > lit(0L))
+      .groupBy(col("actual_en"), col("predicted_en"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("margin_ppm")).as("min_margin"),
+        max(col("margin_ppm")).as("max_margin"))
+      .orderBy(col("actual_en"), col("predicted_en"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nb_quality_classify" -> qNbQualityClassify,
     "bm25_topk" -> qBm25TopK,
     "bpe_pair_counts" -> qBpePairCounts,
     "pipeline_funnel" -> qPipelineFunnel,
@@ -1361,6 +1435,34 @@ object TextQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "nb_quality_classify" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+        |), tb AS (
+        |  SELECT doc_id, lang, md5_number_lower(tkn) % 4096 AS b
+        |  FROM (SELECT doc_id, lang, unnest(ws) AS tkn FROM w)
+        |), pos AS (
+        |  SELECT b, count(*) AS np FROM tb WHERE lang = 'en' GROUP BY 1
+        |), neg AS (
+        |  SELECT b, count(*) AS nn FROM tb WHERE lang <> 'en' GROUP BY 1
+        |), model AS (
+        |  SELECT b, CAST(1000000 * (COALESCE(np, 0) + 1) //
+        |    (COALESCE(np, 0) + COALESCE(nn, 0) + 2) AS BIGINT) AS ppm
+        |  FROM pos FULL JOIN neg USING (b)
+        |), tot AS (
+        |  SELECT CAST(1000000 * sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+        |    // count(*) AS BIGINT) AS prior_ppm
+        |  FROM tb
+        |), scored AS (
+        |  SELECT t.lang = 'en' AS actual_en,
+        |    CAST(sum(m.ppm) - count(*) * tot.prior_ppm AS BIGINT) AS margin_ppm
+        |  FROM tb t JOIN model m USING (b) CROSS JOIN tot
+        |  GROUP BY t.doc_id, t.lang, tot.prior_ppm
+        |)
+        |SELECT actual_en, margin_ppm > 0 AS predicted_en,
+        |  count(*) AS n_docs,
+        |  min(margin_ppm) AS min_margin, max(margin_ppm) AS max_margin
+        |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "bm25_topk" ->
       """WITH docs AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -32,6 +32,8 @@ object BenchScaled {
     "dedup_retention", "data_mixture", "keyword_extraction",
     "doc_packing", "token_frequency", "cosine_topk_brute", "ann_lsh",
     "semdedup", "lm_perplexity", "dsir_select", "bm25_topk",
+    "pipeline_funnel", "knn_classify", "cluster_cap_sample",
+    "perplexity_buckets",
     "lake_changelog", "lake_compact", "lake_merge_mor", "lake_prune",
     "lake_merge_upsert", "lake_sql_merge_full")
 
