@@ -556,6 +556,57 @@ object SimilarityQueries {
   def qIvfRecall(s: SparkSession, d: String): DataFrame =
     hitsAt5(s, d, qIvfAnn(s, d), "ivf")
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    * Büttcher 2009, the k=60 rule every hybrid-search stack ships):
+    * fuse the sparse BM25 ranking ([[TextQueries.bm25Scored]], the
+    * shared scorer) with the dense quantized-cosine ranking against
+    * query vector 0 by summing 10⁶ div (60 + rank) over the two
+    * top-50 lists — integer division, so the fused score is exact in
+    * both engines. A doc absent from one list contributes 0 from that
+    * side (the standard RRF convention). The two query anchors (the
+    * fixed term set / vec 0) are fixture-level; the operator shape —
+    * rank two retrievers, fuse by reciprocal rank — is the product
+    * surface. The dense self-match (vec 0) is excluded as in
+    * [[qCosineTopkBrute]].
+    *
+    * Scale shape: each side is its retriever's native cost (BM25's
+    * term-filtered stream; one corpus scan vs a broadcast query) ended
+    * by TakeOrdered(50) — the global sort-limit never materializes a
+    * corpus-sized sort. The fusion itself joins two 50-row lists:
+    * driver-trivial at any corpus size, and the single-partition
+    * row_number windows only ever see those 50 rows. */
+  def qRrfFusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 50
+    val qvec = embeddings(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q_vec"))
+    val dense = embeddings(s, d).filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(qvec))
+      .select(col("vec_id"),
+        qdot(col("embedding"), col("q_vec")).as("dot"),
+        qdot(col("embedding"), col("embedding")).as("nv"))
+      .withColumn("score", scoreCol)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+      .withColumn("dense_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("vec_id"))).cast("long"))
+      .select(col("vec_id").as("doc_id"), col("dense_rank"))
+    val sparse = TextQueries.bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("sparse_rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("sparse_rank"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_milli",
+        coalesce(expr("1000000L div (60L + sparse_rank)"), lit(0L)) +
+          coalesce(expr("1000000L div (60L + dense_rank)"), lit(0L)))
+      .orderBy(col("rrf_milli").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("sparse_rank"), col("dense_rank"),
+        col("rrf_milli"))
+  }
+
   /** Oracled embedding stats: exact-representable outputs only (counts,
     * single-element casts — no cross-engine float summation). */
   def qEmbeddingStats(s: SparkSession, d: String): DataFrame =
@@ -579,6 +630,7 @@ object SimilarityQueries {
     "semdedup" -> qSemdedup,
     "cluster_cap_sample" -> qClusterCapSample,
     "knn_classify" -> qKnnClassify,
+    "rrf_fusion" -> qRrfFusion,
     "embedding_stats" -> qEmbeddingStats,
   )
 
@@ -727,6 +779,40 @@ object SimilarityQueries {
       s"""WITH $oracleBaseCtes, $bruteCtes
          |SELECT q_id, vec_id, score, CAST(rn AS BIGINT) AS rn
          |FROM branked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // sparse side re-derives through TextQueries' shared BM25 CTEs,
+    // dense side through the same quantized-score SQL as the brute
+    // ranking — neither scorer has a second definition anywhere
+    "rrf_fusion" ->
+      s"""WITH $oracleBaseCtes, ${TextQueries.bm25OracleCtes},
+         |dpairs AS (
+         |  SELECT c.vec_id,
+         |    CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT) AS dot,
+         |    n.nv
+         |  FROM qe q JOIN qe c ON q.vec_id = 0 AND c.vec_id <> 0
+         |  JOIN nrm n ON n.vec_id = c.vec_id
+         |), dscored AS (
+         |  SELECT vec_id, $scoreSqlDuck AS score FROM dpairs
+         |), dranked AS (
+         |  SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY score DESC, vec_id) AS dense_rank
+         |  FROM dscored
+         |), dtop AS (
+         |  SELECT doc_id, CAST(dense_rank AS BIGINT) AS dense_rank
+         |  FROM dranked WHERE dense_rank <= 50
+         |), sranked AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS sparse_rank
+         |  FROM bmdoc
+         |), stop AS (
+         |  SELECT doc_id, CAST(sparse_rank AS BIGINT) AS sparse_rank
+         |  FROM sranked WHERE sparse_rank <= 50
+         |)
+         |SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         |  s.sparse_rank, d.dense_rank,
+         |  CAST(COALESCE(1000000 // (60 + s.sparse_rank), 0) +
+         |    COALESCE(1000000 // (60 + d.dense_rank), 0) AS BIGINT) AS rrf_milli
+         |FROM stop s FULL JOIN dtop d ON s.doc_id = d.doc_id
+         |ORDER BY rrf_milli DESC, doc_id LIMIT 20""".stripMargin,
     "ann_lsh" ->
       s"""WITH $oracleBaseCtes, $lshCtes
          |SELECT q_id, vec_id, score, CAST(rn AS BIGINT) AS rn

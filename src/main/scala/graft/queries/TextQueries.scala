@@ -1164,7 +1164,16 @@ object TextQueries {
     * reaches the shuffle is O(query matches), not O(corpus)); the df
     * and corpus-stats tables are 1-row/|Q|-row broadcasts; one
     * (doc_id, tok) count shuffle + one doc_id rollup; TakeOrdered k. */
-  def qBm25TopK(s: SparkSession, d: String): DataFrame = {
+  def qBm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(25)
+
+  /** The BM25 document-score stage — per-doc (n_terms, score) for the
+    * fixed query term set, BEFORE any ordering/limit. One definition
+    * shared by [[qBm25TopK]] and the hybrid-retrieval fusion
+    * ([[SimilarityQueries.qRrfFusion]]) so the two cannot drift. */
+  private[queries] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("dup", "vector", "batch")
     val docs = documents(s, d).select(col("doc_id"),
       split(col("text"), " ").as("ws"))
@@ -1184,8 +1193,6 @@ object TextQueries {
           "(20 * sumdl * tf + 6 * sumdl + 18 * dl * n))").cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(25)
   }
 
   /** BPE pair counting (Sennrich et al. 2016, arXiv:1508.07909) — the
@@ -1434,6 +1441,34 @@ object TextQueries {
       |  FROM bg JOIN model USING (w1, w2) GROUP BY 1
       |)""".stripMargin
 
+  /** BM25 scoring CTE chain ending in `bmdoc(doc_id, n_terms, score)`
+    * — one SQL definition of the scorer shared by the `bm25_topk`
+    * oracle and the `rrf_fusion` oracle (the Spark twin is the shared
+    * [[bm25Scored]]). */
+  private[queries] def bm25OracleCtes: String =
+    """docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |), st AS (
+      |  SELECT count(*) AS n, CAST(sum(len(ws)) AS BIGINT) AS sumdl FROM docs
+      |), tf AS (
+      |  SELECT doc_id, dl, tok, count(*) AS tf FROM (
+      |    SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS tok
+      |    FROM docs)
+      |  WHERE tok IN ('dup', 'vector', 'batch') GROUP BY doc_id, dl, tok
+      |), dfreq AS (
+      |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+      |), sc AS (
+      |  SELECT tf.doc_id,
+      |    length(bin((st.n+1)*(st.n+1) // ((dfreq.df+1)*(dfreq.df+1)))) *
+      |      ((44 * st.sumdl * tf.tf * 1000) //
+      |       (20 * st.sumdl * tf.tf + 6 * st.sumdl + 18 * tf.dl * st.n))
+      |      AS contrib
+      |  FROM tf JOIN dfreq USING (tok) CROSS JOIN st
+      |), bmdoc AS (
+      |  SELECT doc_id, count(*) AS n_terms, CAST(sum(contrib) AS BIGINT) AS score
+      |  FROM sc GROUP BY doc_id
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "nb_quality_classify" ->
       """WITH w AS (
@@ -1464,27 +1499,9 @@ object TextQueries {
         |  min(margin_ppm) AS min_margin, max(margin_ppm) AS max_margin
         |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "bm25_topk" ->
-      """WITH docs AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-        |), st AS (
-        |  SELECT count(*) AS n, CAST(sum(len(ws)) AS BIGINT) AS sumdl FROM docs
-        |), tf AS (
-        |  SELECT doc_id, dl, tok, count(*) AS tf FROM (
-        |    SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS tok
-        |    FROM docs)
-        |  WHERE tok IN ('dup', 'vector', 'batch') GROUP BY doc_id, dl, tok
-        |), dfreq AS (
-        |  SELECT tok, count(*) AS df FROM tf GROUP BY tok
-        |), sc AS (
-        |  SELECT tf.doc_id,
-        |    length(bin((st.n+1)*(st.n+1) // ((dfreq.df+1)*(dfreq.df+1)))) *
-        |      ((44 * st.sumdl * tf.tf * 1000) //
-        |       (20 * st.sumdl * tf.tf + 6 * st.sumdl + 18 * tf.dl * st.n))
-        |      AS contrib
-        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN st
-        |)
-        |SELECT doc_id, count(*) AS n_terms, CAST(sum(contrib) AS BIGINT) AS score
-        |FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+      s"""WITH $bm25OracleCtes
+         |SELECT doc_id, n_terms, score
+         |FROM bmdoc ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "perplexity_buckets" ->
       s"""WITH $lmOracleCtes, scored AS (
         |  SELECT doc_id, total_bits * 1000 // n_bigrams AS mbits,
