@@ -1346,7 +1346,38 @@ object TextQueries {
       .orderBy(col("actual_en"), col("predicted_en"))
   }
 
+  /** Cross-document n-gram novelty — the per-doc duplication profile
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", §5) report alongside dedup: for every document,
+    * the fraction of its distinct 3-token shingles whose FIRST corpus
+    * occurrence (min doc_id) is an earlier document. Low novelty = the
+    * doc is mostly restatement of earlier data — exactly the mass a
+    * near-dup pass should be removing, and the number that says
+    * whether it did. Emits the 30 least-novel docs in exact integer
+    * permyriad.
+    *
+    * Shares [[shingleRows]] with the whole jaccard/minhash family —
+    * ONE tokenization definition corpus-wide. Scale shape: one
+    * shingle-keyed shuffle builds first-occurrence, and the join back
+    * is on the SAME key (no second wide shuffle of the big side); per
+    * doc one rollup. At 100 TB the shingle strings on the wire would
+    * ride as 16-byte md5 keys like [[qDedupSubstring]] — same plan,
+    * narrower payload. */
+  def qNgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(documents(s, d))
+    val first = sh.groupBy(col("s")).agg(min(col("doc_id")).as("fd"))
+    sh.join(first, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("fd") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty_permyriad",
+        expr("(n_shingles - n_seen) * 10000L div n_shingles"))
+      .orderBy(col("novelty_permyriad").asc, col("doc_id"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_novelty" -> qNgramNovelty,
     "nb_quality_classify" -> qNbQualityClassify,
     "bm25_topk" -> qBm25TopK,
     "bpe_pair_counts" -> qBpePairCounts,
@@ -1470,6 +1501,23 @@ object TextQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ngram_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+        |  FROM w, (SELECT unnest(range(len(ws) - 2)) AS i) t
+        |), fo AS (
+        |  SELECT s, min(doc_id) AS fd FROM sh GROUP BY s
+        |), agg AS (
+        |  SELECT sh.doc_id, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN fo.fd < sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+        |  FROM sh JOIN fo USING (s) GROUP BY sh.doc_id
+        |)
+        |SELECT doc_id, n_shingles, n_seen,
+        |  (n_shingles - n_seen) * 10000 // n_shingles AS novelty_permyriad
+        |FROM agg ORDER BY novelty_permyriad ASC, doc_id LIMIT 30""".stripMargin,
     "nb_quality_classify" ->
       """WITH w AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
