@@ -1301,7 +1301,10 @@ object TextQueries {
     * consumers) joins the broadcast model, one doc_id rollup scores,
     * and the confusion matrix is a 4-row aggregate. At 100 TB: one
     * corpus pass + bounded broadcasts, the same cost as the real
-    * fastText sweep. */
+    * fastText sweep. Magnitudes: 10⁶·count stays in BIGINT below
+    * ~9·10¹² tokens per training shard; past that, train the (B-row)
+    * model per shard and average the ppm tables — the bm25 idf note's
+    * device — before the corpus-wide scoring pass. */
   def qNbQualityClassify(s: SparkSession, d: String): DataFrame = {
     val B = 4096L
     val spark0 = s

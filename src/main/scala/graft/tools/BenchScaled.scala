@@ -33,7 +33,8 @@ object BenchScaled {
     "doc_packing", "token_frequency", "cosine_topk_brute", "ann_lsh",
     "semdedup", "lm_perplexity", "dsir_select", "bm25_topk",
     "pipeline_funnel", "knn_classify", "cluster_cap_sample",
-    "perplexity_buckets",
+    "perplexity_buckets", "nb_quality_classify", "rrf_fusion",
+    "ngram_novelty",
     "lake_changelog", "lake_compact", "lake_merge_mor", "lake_prune",
     "lake_merge_upsert", "lake_sql_merge_full")
 
