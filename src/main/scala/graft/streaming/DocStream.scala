@@ -28,7 +28,29 @@ object DocStream {
       .select(col("doc_id"), sha2(col("text"), 256).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
-      .select(col("keeper"), col("n_copies"))
+      .select(col("fp"), col("keeper"), col("n_copies"))
+
+  /** The production sink for [[dedupKeepers]]: Update-mode foreachBatch
+    * lands each micro-batch's CHANGED keeper rows as one exactly-once
+    * MERGE into a lake table keyed by fingerprint — O(changed keys) per
+    * batch on the wire, the (sinkId, batchId) ledger making checkpoint
+    * replays durable no-ops. Update mode is what makes the aggregate
+    * stream incremental: Complete would re-emit the whole keeper table
+    * every batch. */
+  def keeperUpsertSink(keepers: DataFrame, table: graft.lake.LakeTable,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sinkId = EventStream.sinkIdFor(keepers.sparkSession, checkpointDir)
+    keepers.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) => {
+        table.mergeIntoExactlyOnce(batch.sparkSession, batch.toDF(),
+          Seq("fp"), sinkId, batchId)
+        ()
+      })
+      .start()
+  }
 
   /** Streaming corpus profile — running per-lang doc and token totals,
     * the ingest-time dashboard row (`text_stats`' streaming twin; the

@@ -57,6 +57,44 @@ class DocStreamSpec extends LakeSuite {
     assert(batch.except(streamed).count() === 0)
   }
 
+  test("keeper stream upserts into a lake table exactly-once, Update mode") {
+    import graft.lake.LakeCatalog
+    val cat = LakeCatalog.open(freshWarehouse())
+    val keeperSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("keeper", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_copies", org.apache.spark.sql.types.LongType)))
+    val t = cat.createTable("ns", "doc_keepers", keeperSchema)
+    // two micro-batches, keeper-hostile order (high ids first)
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs3_").toString
+    val cut = staticDocs.agg(avg(col("doc_id"))).head.getDouble(0).toLong
+    staticDocs.filter(col("doc_id") >= cut)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_docs3_ckpt_").toString
+    val q = DocStream.keeperUpsertSink(
+      DocStream.dedupKeepers(spark, staticDocs.schema, s"$dir/in"), t, ckpt)
+    try {
+      q.processAllAvailable()
+      staticDocs.filter(col("doc_id") < cut)
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    // the lake keeper table converged to the batch answer — later
+    // micro-batches REVISED existing fingerprints through the merge
+    val batch = graft.queries.TextQueries.qDedupExact(spark, sfDir)
+    val landed = t.refresh().newScan().toDF(spark)
+      .select(col("keeper"), col("n_copies"))
+    assert(landed.except(batch).count() === 0)
+    assert(batch.except(landed).count() === 0)
+    // checkpoint-replay of the last batch is a durable no-op
+    val sinkId = EventStream.sinkIdFor(spark, ckpt)
+    val last = t.lastCommittedBatchId(sinkId).get
+    val replay = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row("bogus", 1L, 99L)), keeperSchema)
+    assert(t.mergeIntoExactlyOnce(spark, replay, Seq("fp"), sinkId, last).isEmpty)
+    assert(t.refresh().newScan().toDF(spark).count() === batch.count())
+  }
+
   test("streaming lang profile == batch per-lang rollup") {
     val streamed = EventStream.runToMemory(
       DocStream.langProfile(spark, staticDocs.schema, stagedDir),
