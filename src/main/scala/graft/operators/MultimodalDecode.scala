@@ -153,6 +153,54 @@ object MultimodalDecode {
         col("pixel_sum"), col("pixel_max"))
       .orderBy(col("doc_id"))
 
+  final case class ImageHash(doc_id: Long, dhash: Long)
+
+  /** Perceptual difference-hash (dHash — the LAION-class image near-dup
+    * fingerprint) of the DECODED raster: the blob is encoded to PNG and
+    * decoded back by the real JDK codec exactly as in [[pngRoundTrip]],
+    * then bit k = r·8+c of the 64-bit hash is set when
+    * pixel(2r, 2c+1) > pixel(2r, 2c) — 8 horizontally-adjacent pixel
+    * pairs on each of 8 subsampled rows. Because the codec is lossless,
+    * the raster equals the source bytes and the DuckDB oracle
+    * reconstructs the hash from the text directly (the
+    * `multimodal_png_codec` losslessness argument). A real image
+    * pipeline swaps the canvas fill for a decoded+grayscaled+resized
+    * frame; the hash, banding, and join are unchanged. */
+  def imageDHash(df: DataFrame): Dataset[ImageHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val w = 16
+        val h = 16
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var i = 0
+        while (i < w * h) {
+          val v = if (i < bytes.length) bytes(i) & 0xFF else 0
+          img.getRaster.setSample(i % w, i / w, 0, v)
+          i += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        val dec = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(out.toByteArray))
+        var hash = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            val a = dec.getRaster.getSample(2 * c, 2 * r, 0)
+            val b = dec.getRaster.getSample(2 * c + 1, 2 * r, 0)
+            if (b > a) hash |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        ImageHash(id, hash)
+      })
+  }
+
   final case class WavMeta(doc_id: Long, sample_rate: Long, channels: Long,
       n_samples: Long, sample_sum: Long, sample_max: Long)
 

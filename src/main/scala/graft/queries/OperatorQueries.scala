@@ -13,8 +13,49 @@ object OperatorQueries {
     Salting.saltedStats(lineitem(s, d), Seq("l_returnflag"), "l_quantity")
       .orderBy(col("l_returnflag"))
 
+  /** Perceptual-hash image dedup — the multimodal near-dup operator a
+    * LAION-class pipeline runs over billions of images: dHash each
+    * decoded image ([[MultimodalDecode.imageDHash]], real PNG codec in
+    * the loop), LSH-band the 64-bit hash into 4×16-bit buckets,
+    * candidates = band collisions, keep pairs with hamming ≤ 6. Same
+    * shape (banding, hamming-before-distinct, pair-budget refusal) as
+    * `dedup_simhash` — at 100 TB the hashes are an ingest-time index
+    * and the scale-safe output is cluster labels, not pairs. */
+  def qImagePhashDedup(s: SparkSession, d: String): DataFrame = {
+    val hashed = MultimodalDecode.imageDHash(documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))).toDF()
+    val cached = QueryCaches.track(hashed.persist())
+    val banded = cached.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "bucket")))
+    val budget = s.conf.get("graft.imageDedup.pairBudget",
+      (200L * 1000 * 1000).toString).toLong
+    if (budget > 0) {
+      val candPairs = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum((col("n") * (col("n") - 1)).cast("long")), lit(0L)))
+        .head().getLong(0) / 2
+      if (candPairs > budget) throw new IllegalStateException(
+        s"image_phash_dedup would examine ~$candPairs candidate pairs " +
+          s"(budget $budget): band into cluster labels instead, or raise " +
+          "graft.imageDedup.pairBudget")
+    }
+    val l = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("da"), col("dhash").as("ha"))
+    val r = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("db"), col("dhash").as("hb"))
+    l.join(r, Seq("band", "bucket")).filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 6)
+      .distinct()
+      .orderBy(col("da"), col("db"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> qSaltedAgg,
+    "image_phash_dedup" -> qImagePhashDedup,
     "multimodal_decode" -> ((s, d) => MultimodalDecode.decodeDocuments(s, d)),
     "multimodal_frames" -> ((s, d) => MultimodalDecode.frameDocuments(s, d)),
     "multimodal_png_codec" -> ((s, d) => MultimodalDecode.pngDocuments(s, d)),
@@ -22,6 +63,38 @@ object OperatorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the lossless-codec argument again: the decoded raster == the
+    // source bytes, so the dHash reconstructs from the text (bytes past
+    // the 16x16 canvas are zero); bands of 16 bits keep bit 63 away
+    // from BIGINT sign exactly as in the simhash oracle
+    "image_phash_dedup" ->
+      """WITH px AS (
+        |  SELECT doc_id, r, c,
+        |    CASE WHEN 32*r + 2*c < length(text)
+        |      THEN ascii(substring(text, 32*r + 2*c + 1, 1)) ELSE 0 END AS a,
+        |    CASE WHEN 32*r + 2*c + 1 < length(text)
+        |      THEN ascii(substring(text, 32*r + 2*c + 2, 1)) ELSE 0 END AS b
+        |  FROM documents,
+        |    (SELECT unnest(range(8)) AS r) t1,
+        |    (SELECT unnest(range(8)) AS c) t2
+        |), bands AS (
+        |  SELECT doc_id, (r*8 + c) // 16 AS band,
+        |    CAST(sum(CASE WHEN b > a THEN 1::BIGINT << ((r*8 + c) % 16)
+        |             ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM px GROUP BY doc_id, (r*8 + c) // 16
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        |)
+        |SELECT c.da, c.db,
+        |  CAST(sum(bit_count(xor(x.bucket, y.bucket))) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN bands x ON x.doc_id = c.da
+        |JOIN bands y ON y.doc_id = c.db AND y.band = x.band
+        |GROUP BY c.da, c.db
+        |HAVING sum(bit_count(xor(x.bucket, y.bucket))) <= 6
+        |ORDER BY da, db""".stripMargin,
     // the REAL-codec check: a lossless PNG round-trip must return
     // exactly the source bytes as pixels, so the decoded raster's
     // statistics equal byte statistics computed straight off the text

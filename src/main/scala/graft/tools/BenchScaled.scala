@@ -34,7 +34,7 @@ object BenchScaled {
     "semdedup", "lm_perplexity", "dsir_select", "bm25_topk",
     "pipeline_funnel", "knn_classify", "cluster_cap_sample",
     "perplexity_buckets", "nb_quality_classify", "rrf_fusion",
-    "ngram_novelty",
+    "ngram_novelty", "image_phash_dedup",
     "lake_changelog", "lake_compact", "lake_merge_mor", "lake_prune",
     "lake_merge_upsert", "lake_sql_merge_full")
 
