@@ -248,4 +248,54 @@ object MultimodalDecode {
       .select(col("doc_id"), col("text").cast("binary").as("blob")))
       .toDF()
       .orderBy(col("doc_id"))
+
+  final case class AudioHash(doc_id: Long, afp: Long)
+
+  /** Temporal energy fingerprint of the DECODED PCM stream — the
+    * audio analog of [[imageDHash]] (a Shazam-class landmark hash
+    * reduced to its energy-profile core): the blob round-trips through
+    * the real WAV codec exactly as in [[wavRoundTrip]], the first 256
+    * decoded samples split into 64 windows of 4, and bit k of the
+    * 64-bit fingerprint is set when window (k+1) mod 64 carries more
+    * energy than window k (cyclic, so all 64 bits are populated).
+    * Windows past the stream's end have zero energy. Losslessness
+    * makes the fingerprint byte-reconstructible for the oracle. A real
+    * audio pipeline swaps the raw windows for mel-band energies of a
+    * resampled clip; the fingerprint, banding, and join are unchanged. */
+  def audioFingerprint(df: DataFrame): Dataset[AudioHash] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        import javax.sound.sampled._
+        val fmt = new AudioFormat(8000f, 8, 1, false, false)
+        val src = new AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
+        val out = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(src, AudioFileFormat.Type.WAVE, out)
+        val dec = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(out.toByteArray))
+        val samples = dec.readAllBytes()
+        val e = new Array[Long](64)
+        var w = 0
+        while (w < 64) {
+          var j = 0
+          var s = 0L
+          while (j < 4) {
+            val i = w * 4 + j
+            if (i < samples.length) s += (samples(i) & 0xFF).toLong
+            j += 1
+          }
+          e(w) = s
+          w += 1
+        }
+        var hash = 0L
+        var k = 0
+        while (k < 64) {
+          if (e((k + 1) % 64) > e(k)) hash |= 1L << k
+          k += 1
+        }
+        AudioHash(id, hash)
+      })
+  }
 }

@@ -24,27 +24,47 @@ object OperatorQueries {
   def qImagePhashDedup(s: SparkSession, d: String): DataFrame = {
     val hashed = MultimodalDecode.imageDHash(documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("blob"))).toDF()
+    bandedHammingPairs(s, hashed, "dhash", "graft.imageDedup.pairBudget",
+      "image_phash_dedup")
+  }
+
+  /** Audio near-dup via the temporal energy fingerprint
+    * ([[MultimodalDecode.audioFingerprint]], real WAV codec in the
+    * loop) — same banding/hamming/budget machinery as
+    * [[qImagePhashDedup]], so the whole dedup family (text shingles,
+    * embeddings, images, audio) shares one scale posture. */
+  def qAudioFingerprintDedup(s: SparkSession, d: String): DataFrame = {
+    val hashed = MultimodalDecode.audioFingerprint(documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))).toDF()
+    bandedHammingPairs(s, hashed, "afp", "graft.audioDedup.pairBudget",
+      "audio_fingerprint_dedup")
+  }
+
+  /** The shared banded near-dup tail: 4×16-bit LSH bands over a 64-bit
+    * hash column, candidate pairs on band collision, hamming gate
+    * BEFORE the pair distinct, quadratic-output budget refusal. */
+  private def bandedHammingPairs(s: SparkSession, hashed: DataFrame,
+      hashCol: String, budgetConf: String, opName: String): DataFrame = {
     val cached = QueryCaches.track(hashed.persist())
-    val banded = cached.select(col("doc_id"), col("dhash"),
+    val banded = cached.select(col("doc_id"), col(hashCol).as("h"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("dhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band", "bucket")))
-    val budget = s.conf.get("graft.imageDedup.pairBudget",
-      (200L * 1000 * 1000).toString).toLong
+    val budget = s.conf.get(budgetConf, (200L * 1000 * 1000).toString).toLong
     if (budget > 0) {
       val candPairs = banded.groupBy(col("band"), col("bucket"))
         .agg(count(lit(1)).as("n"))
         .agg(coalesce(sum((col("n") * (col("n") - 1)).cast("long")), lit(0L)))
         .head().getLong(0) / 2
       if (candPairs > budget) throw new IllegalStateException(
-        s"image_phash_dedup would examine ~$candPairs candidate pairs " +
+        s"$opName would examine ~$candPairs candidate pairs " +
           s"(budget $budget): band into cluster labels instead, or raise " +
-          "graft.imageDedup.pairBudget")
+          budgetConf)
     }
     val l = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("da"), col("dhash").as("ha"))
+      col("doc_id").as("da"), col("h").as("ha"))
     val r = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("db"), col("dhash").as("hb"))
+      col("doc_id").as("db"), col("h").as("hb"))
     l.join(r, Seq("band", "bucket")).filter(col("da") < col("db"))
       .select(col("da"), col("db"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
@@ -56,6 +76,7 @@ object OperatorQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> qSaltedAgg,
     "image_phash_dedup" -> qImagePhashDedup,
+    "audio_fingerprint_dedup" -> qAudioFingerprintDedup,
     "multimodal_decode" -> ((s, d) => MultimodalDecode.decodeDocuments(s, d)),
     "multimodal_frames" -> ((s, d) => MultimodalDecode.frameDocuments(s, d)),
     "multimodal_png_codec" -> ((s, d) => MultimodalDecode.pngDocuments(s, d)),
@@ -63,6 +84,37 @@ object OperatorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // decoded PCM == source bytes (lossless WAV), so the 64-window
+    // energy fingerprint reconstructs from the text; the cyclic
+    // neighbor comparison and 16-bit banding mirror the Spark side
+    "audio_fingerprint_dedup" ->
+      """WITH en AS (
+        |  SELECT doc_id, w,
+        |    CAST(list_sum(list_transform(range(4), j ->
+        |      CASE WHEN 4*w + j < length(text)
+        |        THEN ascii(substring(text, 4*w + j + 1, 1)) ELSE 0 END))
+        |      AS BIGINT) AS e
+        |  FROM documents, (SELECT unnest(range(64)) AS w) t
+        |), bands AS (
+        |  SELECT a.doc_id, a.w // 16 AS band,
+        |    CAST(sum(CASE WHEN b.e > a.e THEN 1::BIGINT << (a.w % 16)
+        |             ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM en a JOIN en b
+        |    ON b.doc_id = a.doc_id AND b.w = (a.w + 1) % 64
+        |  GROUP BY a.doc_id, a.w // 16
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        |)
+        |SELECT c.da, c.db,
+        |  CAST(sum(bit_count(xor(x.bucket, y.bucket))) AS BIGINT) AS hamming
+        |FROM cand c
+        |JOIN bands x ON x.doc_id = c.da
+        |JOIN bands y ON y.doc_id = c.db AND y.band = x.band
+        |GROUP BY c.da, c.db
+        |HAVING sum(bit_count(xor(x.bucket, y.bucket))) <= 6
+        |ORDER BY da, db""".stripMargin,
     // the lossless-codec argument again: the decoded raster == the
     // source bytes, so the dHash reconstructs from the text (bytes past
     // the 16x16 canvas are zero); bands of 16 bits keep bit 63 away
