@@ -67,6 +67,32 @@ object AggWindowQueries {
           .as("parts_within_5pct"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate quantiles (t-digest-class sketch) gated against the
+    * exact answer — the [[qApproxDistinct]] device applied to the
+    * other classic streaming sketch: `approx_percentile` (Spark's
+    * KLL/GK-family sketch, a one-pass mergeable summary — the only
+    * viable quantile at 100 TB) rides next to the EXACT percentile,
+    * the hashed projection is the exact value plus a relative-error
+    * tolerance boolean, and the sketch's engine-private internals
+    * never reach the oracle. */
+  def qApproxQuantile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("ex50"),
+        expr("percentile(o_totalprice, 0.95)").as("ex95"),
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(o_totalprice, 0.95, 1000)").as("ap95"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        round(col("ex50"), 4).as("exact_p50"),
+        round(col("ex95"), 4).as("exact_p95"),
+        col("n"),
+        (abs(col("ap50") - col("ex50")) <= abs(col("ex50")) * 0.02)
+          .as("p50_within_2pct"),
+        (abs(col("ap95") - col("ex95")) <= abs(col("ex95")) * 0.02)
+          .as("p95_within_2pct"))
+      .orderBy(col("o_orderstatus"))
+
   /** collect_set → sorted CSV so the set-valued agg is order-stable. */
   def qCollectSet(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -162,6 +188,7 @@ object AggWindowQueries {
     "q_cube" -> qCube,
     "q_distinct_agg" -> qDistinctAgg,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_approx_quantile" -> qApproxQuantile,
     "q_collect_set" -> qCollectSet,
     "q_percentiles" -> qPercentiles,
     "q_union_distinct" -> qUnionDistinct,
@@ -216,6 +243,17 @@ object AggWindowQueries {
         |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // same tolerance-gate convention as q_approx_distinct: the exact
+    // columns hash, the booleans assert the sketch landed inside the
+    // bound (Spark's percentile interpolates like quantile_cont)
+    "q_approx_quantile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS exact_p95,
+        |  count(*) AS n,
+        |  TRUE AS p50_within_2pct,
+        |  TRUE AS p95_within_2pct
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_percentiles" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 4) AS median_total,

@@ -1379,8 +1379,29 @@ object TextQueries {
       .limit(30)
   }
 
+  /** Tokenizer fertility per language — subword tokens per whitespace
+    * word, the standard metric multilingual tokenizer evaluations
+    * quote (a fertility far above ~1.3 means the vocabulary serves
+    * that language badly: more sequence length per sentence, higher
+    * training cost). Uses the corpus's two tokenizers from
+    * [[qTokenCount]] (whitespace vs BPE-ish regex) so the fertility is
+    * their exact ratio in integer permille; one map + one lang rollup,
+    * no joins. */
+  def qTokenizerFertility(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long").as("re"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+        sum(col("re")).as("subword_tokens"))
+      .withColumn("fertility_milli",
+        expr("subword_tokens * 1000L div ws_tokens"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ngram_novelty" -> qNgramNovelty,
+    "tokenizer_fertility" -> qTokenizerFertility,
     "nb_quality_classify" -> qNbQualityClassify,
     "bm25_topk" -> qBm25TopK,
     "bpe_pair_counts" -> qBpePairCounts,
@@ -1504,6 +1525,13 @@ object TextQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "tokenizer_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS subword_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) * 1000
+        |    // sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS fertility_milli
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "ngram_novelty" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
