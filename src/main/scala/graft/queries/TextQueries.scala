@@ -1399,9 +1399,48 @@ object TextQueries {
         expr("subword_tokens * 1000L div ws_tokens"))
       .orderBy(col("lang"))
 
+  /** Passage-level dedup — the Dolma paragraph / CCNet line dedup
+    * reduced to this corpus's flat word-stream texts: non-overlapping
+    * 32-token passages, every non-FIRST occurrence corpus-wide is a
+    * drop (first = smallest (doc_id, position); within-doc repeats
+    * count too — exactly the boilerplate removal those pipelines run
+    * before document-level dedup). Emits the 30 worst-retained docs
+    * with exact permyriad retention. Differs from [[qNgramNovelty]]
+    * (an overlapping-shingle PROFILE of restatement) in being the
+    * removal operator itself at removal granularity.
+    *
+    * The first-occurrence winner is min(doc_id·4096 + position) — one
+    * integer both engines order identically; 4096 bounds passages per
+    * doc (≥ 131k tokens) on this corpus, and the general form swaps
+    * the combo for a min over a (doc_id, position) struct. One
+    * passage-keyed shuffle + same-key join back + doc rollup, the
+    * [[qNgramNovelty]] scale shape at 32× coarser granularity. */
+  def qPassageDedup(s: SparkSession, d: String): DataFrame = {
+    val P = 32
+    val pass = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(floor((size(ts) - 1) / $P) AS INT)), " +
+          s"i -> array_join(slice(ts, 1 + i * $P, $P), ' '))")))
+      .select(col("doc_id"), col("pos").cast("long").as("pid"),
+        col("col").as("p"))
+    val first = pass.groupBy(col("p"))
+      .agg(min(col("doc_id") * 4096L + col("pid")).as("wcombo"))
+    pass.join(first, Seq("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("wcombo") < col("doc_id") * 4096L + col("pid"), 1L)
+          .otherwise(0L)).as("n_dropped"))
+      .withColumn("retained_permyriad",
+        expr("(n_passages - n_dropped) * 10000L div n_passages"))
+      .orderBy(col("retained_permyriad").asc, col("doc_id"))
+      .limit(30)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ngram_novelty" -> qNgramNovelty,
     "tokenizer_fertility" -> qTokenizerFertility,
+    "passage_dedup" -> qPassageDedup,
     "nb_quality_classify" -> qNbQualityClassify,
     "bm25_topk" -> qBm25TopK,
     "bpe_pair_counts" -> qBpePairCounts,
@@ -1525,6 +1564,24 @@ object TextQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "passage_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), pass AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pid,
+        |    array_to_string(ts[1 + i*32 : 32 + i*32], ' ') AS p
+        |  FROM w, (SELECT unnest(range((len(ts) - 1) // 32 + 1)) AS i) t
+        |), fo AS (
+        |  SELECT p, min(doc_id * 4096 + pid) AS wcombo FROM pass GROUP BY p
+        |), agg AS (
+        |  SELECT pass.doc_id, count(*) AS n_passages,
+        |    CAST(sum(CASE WHEN fo.wcombo < pass.doc_id * 4096 + pass.pid
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |  FROM pass JOIN fo USING (p) GROUP BY pass.doc_id
+        |)
+        |SELECT doc_id, n_passages, n_dropped,
+        |  (n_passages - n_dropped) * 10000 // n_passages AS retained_permyriad
+        |FROM agg ORDER BY retained_permyriad ASC, doc_id LIMIT 30""".stripMargin,
     "tokenizer_fertility" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS ws_tokens,
