@@ -412,6 +412,32 @@ final class LakeCatalog private (
     }
   }
 
+  /** Iceberg's register_table: bind a catalog NAME to a table whose
+    * metadata already exists at `location` — no copy, no metadata
+    * rewrite, the import path for a table written by another catalog
+    * (or orphaned by a dropped name). Reuses RENAME's pointer
+    * mechanism, so the registered name resolves through
+    * [[resolveTableRoot]] like any renamed table, and the putIfAbsent
+    * CAS makes racing registrations land exactly one winner. */
+  def registerTable(ns: String, name: String, location: String): LakeTable = {
+    val physical = LakePath(location.trim)
+    if (currentVersion(physical.resolve("metadata")).isEmpty)
+      throw new IllegalArgumentException(
+        s"no table metadata found under $location")
+    val newDir = tableDir(ns, name)
+    if (tableExists(ns, name))
+      throw new LakeTableExistsException(s"table $ns.$name already exists")
+    if (backend.get(newDir.resolve(LakeCatalog.MovedDoc)).isDefined)
+      throw new IllegalArgumentException(
+        s"name $ns.$name was retired by RENAME TABLE; its directory " +
+          "still hosts the renamed table's storage")
+    backend.ensureDir(newDir)
+    if (newDir != physical &&
+        !backend.putIfAbsent(newDir.resolve(LakeCatalog.PointerDoc), physical.uri))
+      throw new LakeTableExistsException(s"table $ns.$name already exists")
+    loadTable(ns, name)
+  }
+
   // ---- SQL views (Iceberg view-spec analog; see [[ViewDoc]]) ----
 
   private def viewMetaDir(ns: String, name: String): LakePath =

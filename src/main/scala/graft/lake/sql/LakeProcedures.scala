@@ -419,6 +419,25 @@ private[sql] object LakeProcedures {
       }
     },
 
+    // Iceberg's register_table: bind a catalog name to EXISTING table
+    // metadata (no copy) — the import twin of snapshot_table, which
+    // copies data files into a fresh table
+    "register_table" -> new LakeProcedure(lake, "register_table",
+      Seq("table" -> StringType, "location" -> StringType),
+      StructType(Seq(
+        StructField("current_snapshot_id", LongType, nullable = false),
+        StructField("total_data_files", LongType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        val parts = args.getUTF8String(0).toString.split('.')
+        require(parts.length >= 2, s"table must be 'namespace.table', got " +
+          s"'${args.getUTF8String(0)}'")
+        val t = lake.registerTable(parts.dropRight(1).mkString("."),
+          parts.last, args.getUTF8String(1).toString)
+        new GenericInternalRow(Array[Any](t.metadata.currentSnapshotId,
+          t.metadata.currentFiles.size.toLong))
+      }
+    },
+
     // Iceberg's ancestors_of: the parent chain from a snapshot (0 =
     // current) back to the table's root, newest first — the lineage
     // listing rollback/cherry-pick debugging starts from

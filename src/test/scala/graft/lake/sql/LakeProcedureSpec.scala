@@ -312,4 +312,34 @@ class LakeProcedureSpec extends LakeSuite {
     assert(e.getMessage.contains("no procedure") ||
       Option(e.getCause).exists(_.getMessage.contains("no procedure")))
   }
+
+  test("register_table binds a name to existing metadata without copying") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    t.appendData(ordersDF)
+    val physical = s"$wh/ns/t"
+    // a SECOND catalog (fresh warehouse) imports the same table by
+    // reference — the no-copy path Iceberg's register_table provides
+    val (cat2, wh2) = sqlCat()
+    val row = spark.sql(
+      s"CALL $cat2.system.register_table('ns.imported', '$physical')").head
+    assert(row.getLong(0) === t.refresh().metadata.currentSnapshotId)
+    assert(row.getLong(1) === t.metadata.currentFiles.size.toLong)
+    // the registered name reads the ORIGINAL table's data
+    assert(spark.table(s"$cat2.ns.imported").count() === ordersDF.count())
+    // and writes through it: an append lands in the shared metadata,
+    // visible from BOTH names (pointer semantics, not a copy)
+    LakeCatalog.open(wh2).loadTable("ns", "imported")
+      .appendData(ordersDF.limit(3))
+    assert(spark.table(s"$cat.ns.t").count() === ordersDF.count() + 3)
+    // re-registering the live name refuses; a bogus location refuses
+    val dup = intercept[Exception](spark.sql(
+      s"CALL $cat2.system.register_table('ns.imported', '$physical')").collect())
+    assert(dup.getMessage.contains("already exists") ||
+      Option(dup.getCause).exists(_.getMessage.contains("already exists")))
+    val bogus = intercept[Exception](spark.sql(
+      s"CALL $cat2.system.register_table('ns.other', '$wh2/ns/nope')").collect())
+    assert(bogus.getMessage.contains("no table metadata") ||
+      Option(bogus.getCause).exists(_.getMessage.contains("no table metadata")))
+  }
 }
