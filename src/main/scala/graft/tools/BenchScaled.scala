@@ -34,7 +34,8 @@ object BenchScaled {
     "semdedup", "lm_perplexity", "dsir_select", "bm25_topk",
     "pipeline_funnel", "knn_classify", "cluster_cap_sample",
     "perplexity_buckets", "nb_quality_classify", "rrf_fusion",
-    "ngram_novelty", "image_phash_dedup",
+    "ngram_novelty", "image_phash_dedup", "audio_fingerprint_dedup",
+    "passage_dedup",
     "lake_changelog", "lake_compact", "lake_merge_mor", "lake_prune",
     "lake_merge_upsert", "lake_sql_merge_full")
 

@@ -18,7 +18,7 @@ import graft.lake.{LakeCatalog, LakeSuite}
 class SqlModelSpec extends LakeSuite {
 
   test("random SQL statement sequences keep table == model at every step") {
-    for (seed <- Seq(5, 31)) {
+    for (seed <- Seq(5, 31, 97)) {
       val rng = new scala.util.Random(seed)
       val wh = freshWarehouse()
       val cat = s"sqlfuzz$seed"
@@ -174,7 +174,7 @@ class SqlModelSpec extends LakeSuite {
     * row. Crosses the two round-12 features (conditional merge ×
     * nested SET) by construction instead of one hand case each. */
   test("random nested-struct SET sequences keep table == model at every step") {
-    for (seed <- Seq(7, 43)) {
+    for (seed <- Seq(7, 43, 101)) {
       val rng = new scala.util.Random(seed)
       val wh = freshWarehouse()
       val cat = s"structfuzz$seed"
