@@ -99,6 +99,78 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Cohort retention matrix — the product-analytics staple: users are
+    * cohorted by first-active day, and each (cohort_day, day_offset)
+    * cell counts how many came back, with retention as an exact integer
+    * permille of the cohort's size (its offset-0 cell, which always
+    * exists because the first-active day is by construction active).
+    *
+    * Scale shape: one user-keyed aggregate (first day), one distinct on
+    * (user, day) — both partial-aggregated map-side — then a user-keyed
+    * join that AQE broadcasts when the user dimension is small, and a
+    * final cohort-cell rollup whose cardinality is O(days²), not O(rows).
+    * No window over the raw events; the only window runs over the tiny
+    * cell table. */
+  def qEvCohortRetention(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val cells = e.distinct()
+      .join(first, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+    val w = Window.partitionBy(col("cohort_day"))
+    cells
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0L, col("n_users"))).over(w))
+      .withColumn("retention_permille",
+        expr("(1000 * n_users) div cohort_size"))
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        col("cohort_size"), col("retention_permille"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Ordered three-step funnel (view → click → purchase) with a 7-day
+    * completion horizon from the first view: a user converts to step 2
+    * at the earliest click STRICTLY AFTER their first view, to step 3 at
+    * the earliest purchase strictly after that click — the
+    * sequence-sensitive definition (a purchase before the click does not
+    * count), which per-type independent mins get wrong.
+    *
+    * One pass computes the step-1 anchor per user (conditional min);
+    * steps 2 and 3 are user-keyed joins against the ALREADY user-reduced
+    * step table (AQE-broadcastable: one row per converted user), so raw
+    * events shuffle once per step on the same key and never self-join
+    * row-to-row. Output is the 3-row funnel with exact integer permille
+    * conversion. */
+  def qEvFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val horizon = expr("INTERVAL 7 DAYS")
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + horizon)
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts")).as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2.select(col("user_id"), col("t1"), col("t2")), "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t1") + horizon)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val counts = t1.agg(count(lit(1)).as("n1")).crossJoin(
+      t2.agg(count(lit(1)).as("n2"))).crossJoin(
+      t3.agg(count(lit(1)).as("n3")))
+    counts.select(explode(array(
+        struct(lit(1L).as("step"), lit("view").as("event_type"), col("n1").as("n_users")),
+        struct(lit(2L).as("step"), lit("click").as("event_type"), col("n2").as("n_users")),
+        struct(lit(3L).as("step"), lit("purchase").as("event_type"), col("n3").as("n_users")))).as("r"),
+        col("n1"))
+      .select(col("r.step").as("step"), col("r.event_type").as("event_type"),
+        col("r.n_users").as("n_users"),
+        expr("(1000 * r.n_users) div n1").as("conv_permille"))
+      .orderBy(col("step"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumbling" -> qEvTumbling,
     "q_ev_sliding" -> qEvSliding,
@@ -106,6 +178,8 @@ object EventQueries {
     "q_ev_asof_order" -> qEvAsofOrder,
     "q_ev_asof_tolerance" -> qEvAsofTolerance,
     "q_ev_late_data" -> qEvLateData,
+    "q_ev_cohort_retention" -> qEvCohortRetention,
+    "q_ev_funnel" -> qEvFunnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -164,5 +238,48 @@ object EventQueries {
         |FROM events
         |WHERE ts > (SELECT max(ts) FROM events) - INTERVAL '1 day'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_ev_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |firstday AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |cells AS (
+        |  SELECT f.cohort_day,
+        |    CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |    count(DISTINCT a.user_id) AS n_users
+        |  FROM (SELECT DISTINCT user_id, day FROM e) a
+        |  JOIN firstday f USING (user_id)
+        |  GROUP BY 1, 2),
+        |sized AS (
+        |  SELECT cohort_day, day_offset, n_users,
+        |    max(CASE WHEN day_offset = 0 THEN n_users END)
+        |      OVER (PARTITION BY cohort_day) AS cohort_size
+        |  FROM cells)
+        |SELECT cohort_day, day_offset, n_users, cohort_size,
+        |  (1000 * n_users) // cohort_size AS retention_permille
+        |FROM sized ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_ev_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, t1.t1, min(e.ts) AS t2
+        |  FROM events e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+        |    AND e.ts <= t1.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id, t1.t1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+        |    AND e.ts <= t2.t1 + INTERVAL 7 DAY
+        |  GROUP BY e.user_id),
+        |c AS (SELECT (SELECT count(*) FROM t1) AS n1,
+        |             (SELECT count(*) FROM t2) AS n2,
+        |             (SELECT count(*) FROM t3) AS n3)
+        |SELECT step, event_type, n_users, (1000 * n_users) // n1 AS conv_permille
+        |FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, n1 AS n_users, n1 FROM c
+        |  UNION ALL SELECT 2, 'click', n2, n1 FROM c
+        |  UNION ALL SELECT 3, 'purchase', n3, n1 FROM c)
+        |ORDER BY step""".stripMargin,
   )
 }
