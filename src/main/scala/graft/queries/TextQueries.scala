@@ -42,7 +42,7 @@ object TextQueries {
     * split(" ", -1) keeps trailing empty tokens — Spark's split() and
     * DuckDB's string_split both keep them, and the oracle depends on
     * identical tokenization. */
-  private def shingleRows(df: DataFrame): DataFrame = {
+  private[queries] def shingleRows(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
@@ -60,6 +60,81 @@ object TextQueries {
         }
       }
       .toDF("doc_id", "s")
+  }
+
+  /** Bloom-filter incremental dedup — the Dolma-"BFF" / CCNet-hash
+    * shape: new crawl batches are screened against a CONSTANT-SIZE
+    * bitmap of everything already ingested, without ever joining
+    * against the historical corpus. Reference partition = sources
+    * src0..src9, incoming = src10..src19; the filter holds every
+    * reference 3-gram shingle under k=3 double-hashed MD5 positions
+    * (pos_i = (a + i·b) mod m, a = md5_lower mod m, b = md5_upper
+    * mod m — the MinHash oracle's seed family, so DuckDB reconstructs
+    * every bit), and each incoming doc reports how much of it the
+    * filter has already seen, flagging ≥ 50% overlap.
+    *
+    * False positives are PART OF THE OPERATOR's semantics (that is the
+    * bloom trade) and are deterministic under the MD5 family, so the
+    * oracle reproduces them exactly.
+    *
+    * Scale shape: the bitmap is m = 2²² bits = 512 KiB regardless of
+    * corpus size — built by one map-side-combined `bit_or` aggregate
+    * (m/64 = 65k words reach the driver, the sketch-merge pattern),
+    * broadcast once; the incoming side is one narrow scan testing bits
+    * locally plus a doc-keyed rollup. No shuffle touches the reference
+    * corpus. At 100 TB the same plan holds with m sized to the shingle
+    * cardinality (2³³ bits = 1 GiB still broadcasts). */
+  def qBloomDedup(s: SparkSession, d: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val m = 1 << 22
+    val srcNum = substring(col("source"), 4, 8).cast("int")
+    val docs = documents(s, d)
+    // reference partition → distinct bit positions → 64-bit words
+    val refWords = shingleRows(docs.filter(srcNum < 10))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new Md5Memo()
+        it.flatMap { case (_, sh) =>
+          val (lo, hi) = memo(sh)
+          val a = java.lang.Long.remainderUnsigned(lo, m)
+          val b = java.lang.Long.remainderUnsigned(hi, m)
+          (0 until 3).iterator.map(i => (a + i * b) % m)
+        }
+      }
+      .toDF("pos")
+      .groupBy(expr("pos div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").as("bits"))
+      .collect() // bounded by m/64 words — the driver-side sketch merge
+    val bitmap = new Array[Long](m / 64)
+    refWords.foreach(r => bitmap(r.getLong(0).toInt) = r.getLong(1))
+    val bc = s.sparkContext.broadcast(bitmap)
+    shingleRows(docs.filter(srcNum >= 10))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val memo = new Md5Memo()
+        val bm = bc.value
+        it.map { case (id, sh) =>
+          val (lo, hi) = memo(sh)
+          val a = java.lang.Long.remainderUnsigned(lo, m)
+          val b = java.lang.Long.remainderUnsigned(hi, m)
+          var hit = 1
+          var i = 0
+          while (i < 3 && hit == 1) {
+            val pos = (a + i * b) % m
+            if ((bm((pos >> 6).toInt) & (1L << (pos & 63))) == 0L) hit = 0
+            i += 1
+          }
+          (id, hit)
+        }
+      }
+      .toDF("doc_id", "hit")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        expr("(10000 * n_seen) div n_shingles").as("seen_permyriad"),
+        expr("(10000 * n_seen) div n_shingles >= 5000").as("maybe_dup"))
+      .orderBy(col("doc_id"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.5) via the full
@@ -663,6 +738,37 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(25)
+
+  /** Heavy hitters with a Count-Min Sketch gate — the third classic
+    * streaming sketch beside HLL (`q_approx_distinct`) and KLL
+    * (`q_approx_quantile`), under the same exact-plus-tolerance-gate
+    * device: the exact top-20 token list is the hash-matched oracle
+    * surface, and two booleans assert the CMS landed (no
+    * underestimate — a structural CMS guarantee — and overestimate
+    * ≤ ε·N, the probabilistic one).
+    *
+    * Scale shape: the sketch is Spark's mergeable
+    * `util.sketch.CountMinSketch` — map-side partial sketches of
+    * CONSTANT size (w=⌈2/ε⌉ counters × d=⌈ln 1/δ⌉ rows) merge on the
+    * driver, which is the whole point at 100 TB: frequency estimates
+    * for ANY token without a corpus-sized group-by. The exact top-20
+    * here exists only to gate it; estimates are read through a
+    * broadcast of the finished sketch over the 20 survivors. */
+  def qHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(explode(wordsCol).as("token"))
+    val eps = 0.0001
+    val sketch = toks.stat.countMinSketch(col("token"), eps, 0.99, 42)
+    val bound = math.ceil(eps * sketch.totalCount()).toLong
+    val bc = s.sparkContext.broadcast(sketch)
+    val estimate = udf((t: String) => bc.value.estimateCount(t))
+    toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(20)
+      .withColumn("est", estimate(col("token")))
+      .select(col("token"), col("n"),
+        (col("est") >= col("n")).as("cms_no_underestimate"),
+        (col("est") - col("n") <= lit(bound)).as("cms_within_eps"))
+      .orderBy(col("n").desc, col("token"))
+  }
 
   /** Document-length histogram over fixed 50-char buckets. */
   def qDocLengthHistogram(s: SparkSession, d: String): DataFrame =
@@ -1472,6 +1578,8 @@ object TextQueries {
     "quality_score" -> qQualityScore,
     "doc_fingerprint" -> qDocFingerprint,
     "token_frequency" -> qTokenFrequency,
+    "heavy_hitters" -> qHeavyHitters,
+    "bloom_dedup" -> qBloomDedup,
     "doc_length_histogram" -> qDocLengthHistogram,
     "multimodal_meta" -> qMultimodalMeta,
   )
@@ -2026,6 +2134,49 @@ object TextQueries {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin,
+    // exact top-20 hashes; the CMS gate booleans assert TRUE (sketch
+    // internals are engine-private — the q_approx_distinct device)
+    "heavy_hitters" ->
+      """SELECT token, n, true AS cms_no_underestimate, true AS cms_within_eps
+        |FROM (
+        |  SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY token ORDER BY n DESC, token LIMIT 20)
+        |ORDER BY n DESC, token""".stripMargin,
+    // every bloom bit reconstructs from the MD5 double-hash family;
+    // membership = all 3 positions present in the reference bit set
+    "bloom_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+        |  FROM w, (SELECT unnest(range(len(ws) - 2)) AS i) t
+        |), hp AS (
+        |  SELECT doc_id, CAST(substr(source, 4) AS INT) AS src, s,
+        |    CAST(md5_number_lower(s) % 4194304 AS BIGINT) AS a,
+        |    CAST(md5_number_upper(s) % 4194304 AS BIGINT) AS b
+        |  FROM sh
+        |), refbits AS (
+        |  SELECT DISTINCT (a + i * b) % 4194304 AS pos
+        |  FROM hp, (SELECT unnest([0, 1, 2]) AS i) t WHERE src < 10
+        |), incpos AS (
+        |  SELECT doc_id, s, (a + i * b) % 4194304 AS pos
+        |  FROM hp, (SELECT unnest([0, 1, 2]) AS i) t WHERE src >= 10
+        |), shhit AS (
+        |  SELECT i.doc_id, i.s,
+        |    CASE WHEN count(r.pos) = 3 THEN 1 ELSE 0 END AS hit
+        |  FROM incpos i LEFT JOIN refbits r ON r.pos = i.pos
+        |  GROUP BY i.doc_id, i.s
+        |), docagg AS (
+        |  SELECT doc_id, count(*) AS n_shingles,
+        |    CAST(sum(hit) AS BIGINT) AS n_seen
+        |  FROM shhit GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, n_seen,
+        |  (10000 * n_seen) // n_shingles AS seen_permyriad,
+        |  (10000 * n_seen) // n_shingles >= 5000 AS maybe_dup
+        |FROM docagg ORDER BY doc_id""".stripMargin,
     "doc_length_histogram" ->
       """SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
         |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
