@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.JoinExtraQueries.queries ++
       graft.queries.SqlSourceQueries.queries ++
-      graft.queries.OperatorQueries.queries
+      graft.queries.OperatorQueries.queries ++
+      graft.queries.GraphQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.JoinExtraQueries.oracles ++
       graft.queries.SqlSourceQueries.oracles ++
-      graft.queries.OperatorQueries.oracles
+      graft.queries.OperatorQueries.oracles ++
+      graft.queries.GraphQueries.oracles
 }
