@@ -607,6 +607,71 @@ object SimilarityQueries {
         col("rrf_milli"))
   }
 
+  /** MMR diversified retrieval (Carbonell & Goldstein 1998): greedy
+    * top-8 re-rank of the 24 most query-relevant vectors, each pick
+    * maximizing `rel(d) − max_{s∈S} sim(d, s)` — relevance minus the
+    * worst redundancy against what is already selected (λ = 1/2 up to
+    * the shared scale factor).
+    *
+    * Both terms are EXACT integers from the quantized-cosine device:
+    * rel(d) uses the standard score (divisor = d's self-norm, monotone
+    * in cosine for the fixed query), and the redundancy term pscore(d,s)
+    * uses divisor = n_s, making it monotone in cos(d,s) for FIXED d
+    * across varying s — exactly the comparison `max over S` performs.
+    * Cross-multiplying cos² rationals would overflow BIGINT (dot²·n ≈
+    * 2⁹⁰); choosing the divisor per comparison direction keeps every
+    * intermediate in range and both engines bit-identical.
+    *
+    * Scale shape: candidate generation is the distributed part (one
+    * corpus scan + TakeOrdered(24), the brute/ANN path); the greedy
+    * re-rank is inherently sequential over the BOUNDED candidate list —
+    * 24 rows + 24×23 pairwise scores cross the driver, which is how
+    * every production MMR/diversity re-ranker runs (rerank windows of
+    * 10²–10³ candidates, never the corpus). At 100 TB only the
+    * candidate generator changes (ANN instead of brute). */
+  def qMmrDiversify(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"),
+      qdot(col("embedding"), col("embedding")).as("nv"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    val cands = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("embedding"), col("nv"),
+        qdot(col("embedding"), col("q_vec")).as("dot"))
+      .withColumn("rel", expr(scoreSqlSparkOn("dot", "nv")))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(24)
+      .select(col("vec_id"), col("embedding"), col("nv"), col("rel"))
+    val a = cands.select(col("vec_id").as("dv"), col("embedding").as("ev"))
+    val b = cands.select(col("vec_id").as("sv_id"), col("embedding").as("sv"),
+      col("nv").as("ns"))
+    val pair = a.join(broadcast(b), col("dv") =!= col("sv_id"))
+      .select(col("dv"), col("sv_id"),
+        qdot(col("ev"), col("sv")).as("dot"), col("ns"))
+      .withColumn("ps", expr(scoreSqlSparkOn("dot", "ns")))
+      .select(col("dv"), col("sv_id"), col("ps"))
+    // bounded driver re-rank: 24 candidates + their pairwise scores
+    val cr = cands.select(col("vec_id"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, rel) => (-rel, id) }
+    val pm = pair.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    val remaining = scala.collection.mutable.LinkedHashSet(cr: _*)
+    for (rank <- 1 to 8) {
+      val pick = remaining.iterator.map { case (id, rel) =>
+        val pen = if (selected.isEmpty) 0L
+        else selected.iterator.map(t => pm((id, t._2))).max
+        (rel - pen, id, rel, pen)
+      }.minBy { case (mmr, id, _, _) => (-mmr, id) }
+      selected += ((rank.toLong, pick._2, pick._3, pick._4))
+      remaining.remove((pick._2, pick._3))
+    }
+    val spark0 = s
+    import spark0.implicits._
+    selected.toSeq.toDF("sel_rank", "vec_id", "rel", "redundancy")
+      .withColumn("mmr", col("rel") - col("redundancy"))
+      .orderBy(col("sel_rank"))
+  }
+
   /** Oracled embedding stats: exact-representable outputs only (counts,
     * single-element casts — no cross-engine float summation). */
   def qEmbeddingStats(s: SparkSession, d: String): DataFrame =
@@ -631,6 +696,7 @@ object SimilarityQueries {
     "cluster_cap_sample" -> qClusterCapSample,
     "knn_classify" -> qKnnClassify,
     "rrf_fusion" -> qRrfFusion,
+    "mmr_diversify" -> qMmrDiversify,
     "embedding_stats" -> qEmbeddingStats,
   )
 
@@ -758,7 +824,59 @@ object SimilarityQueries {
        |  FROM iscored
        |)""".stripMargin
 
+  /** MMR oracle: candidate + pairwise CTEs, then the 8 greedy picks
+    * UNROLLED by a Scala loop (one template, no hand-copied steps) —
+    * each pick re-scores the remainder against the accumulated
+    * selection and takes the (mmr DESC, vec_id) head, exactly the
+    * driver-side greedy. */
+  private def mmrOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH $oracleBaseCtes, mrel AS (
+         |  SELECT c.vec_id,
+         |    CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT) AS dot,
+         |    n.nv
+         |  FROM qe c JOIN qe q ON q.vec_id = 0 AND c.vec_id <> 0
+         |  JOIN nrm n ON n.vec_id = c.vec_id
+         |), mcand AS MATERIALIZED (
+         |  SELECT vec_id, $scoreSqlDuck AS rel FROM mrel
+         |  ORDER BY rel DESC, vec_id LIMIT 24
+         |), mpsim AS MATERIALIZED (
+         |  SELECT a.vec_id AS d, b.vec_id AS s2,
+         |    ${scoreSqlDuckOn(
+             "CAST(list_dot_product(CAST(qa.qv AS DOUBLE[]), CAST(qb.qv AS DOUBLE[])) AS BIGINT)",
+             "nb.nv")} AS ps
+         |  FROM mcand a JOIN mcand b ON a.vec_id <> b.vec_id
+         |  JOIN qe qa ON qa.vec_id = a.vec_id
+         |  JOIN qe qb ON qb.vec_id = b.vec_id
+         |  JOIN nrm nb ON nb.vec_id = b.vec_id
+         |), acc1 AS MATERIALIZED (
+         |  SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel,
+         |    CAST(0 AS BIGINT) AS pen
+         |  FROM mcand ORDER BY rel DESC, vec_id LIMIT 1
+         |)""".stripMargin)
+    for (k <- 2 to 8) {
+      val prev = s"acc${k - 1}"
+      sb.append(
+        s""", pick$k AS (
+           |  SELECT CAST($k AS BIGINT) AS sel_rank, c.vec_id, c.rel,
+           |    max(p.ps) AS pen
+           |  FROM mcand c JOIN mpsim p ON p.d = c.vec_id
+           |    AND p.s2 IN (SELECT vec_id FROM $prev)
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+           |  GROUP BY c.vec_id, c.rel
+           |  ORDER BY c.rel - max(p.ps) DESC, c.vec_id LIMIT 1
+           |), acc$k AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM pick$k)""".stripMargin)
+    }
+    sb.append(
+      """
+        |SELECT sel_rank, vec_id, rel, pen AS redundancy, rel - pen AS mmr
+        |FROM acc8 ORDER BY sel_rank""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "mmr_diversify" -> mmrOracleSql,
     "ivf_ann" ->
       s"""WITH $oracleBaseCtes, $ivfCtes
          |SELECT q_id, vec_id, score, CAST(rn AS BIGINT) AS rn
