@@ -672,6 +672,42 @@ object SimilarityQueries {
       .orderBy(col("sel_rank"))
   }
 
+  /** c-TF-IDF topic keywords (the BERTopic device, Grootendorst 2022):
+    * label every embedding cluster with its 5 most characteristic
+    * words. Clusters are the ingest-time md5-medoid IVF cells (the
+    * semdedup/cluster_cap_sample device, vec_id ≡ doc_id on this
+    * corpus); "characteristic" is class-based TF-IDF in EXACT integer
+    * bits — score = tf_{w,c} · bitlen((C + cdf_w) div cdf_w), with
+    * cdf_w = number of cells containing w (the cell-level idf that
+    * kills corpus-wide words) and bitlen = length(bin(x)), the
+    * lm_perplexity/dsir log device.
+    *
+    * Scale shape: tokens join the O(corpus) cell assignment on doc_id
+    * (one shuffle), the (cell, word) rollup is map-side combined, the
+    * cell-df table is vocabulary-bounded, C is one broadcast scalar,
+    * and the final top-5 window sorts only the vocabulary-bounded
+    * scored table. Nothing quadratic, no driver state. */
+  def qCtfidfTopics(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ensureIvfIndex(s, d).assigned
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = toks.join(assigned, "doc_id")
+      .groupBy(col("cell"), col("word")).agg(count(lit(1)).as("tf"))
+    val dfw = tf.groupBy(col("word")).agg(count(lit(1)).as("cdf"))
+    val cTot = assigned.agg(countDistinct(col("cell")).as("n_cells"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("score").desc, col("word"))
+    tf.join(dfw, "word").crossJoin(broadcast(cTot))
+      .withColumn("score",
+        col("tf") * length(bin(expr("(n_cells + cdf) div cdf"))).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("cell").cast("int").as("cell"), col("rn"), col("word"),
+        col("tf"), col("score"))
+      .orderBy(col("cell"), col("rn"))
+  }
+
   /** Oracled embedding stats: exact-representable outputs only (counts,
     * single-element casts — no cross-engine float summation). */
   def qEmbeddingStats(s: SparkSession, d: String): DataFrame =
@@ -697,6 +733,7 @@ object SimilarityQueries {
     "knn_classify" -> qKnnClassify,
     "rrf_fusion" -> qRrfFusion,
     "mmr_diversify" -> qMmrDiversify,
+    "ctfidf_topics" -> qCtfidfTopics,
     "embedding_stats" -> qEmbeddingStats,
   )
 
@@ -877,6 +914,31 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "mmr_diversify" -> mmrOracleSql,
+    // cells re-derive through the shared ivfAssignCtes; the bitlen idf
+    // is the lm/dsir log device at cell granularity
+    "ctfidf_topics" ->
+      s"""WITH $oracleBaseCtes, $ivfAssignCtes,
+         |ctoks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+         |), ctf AS (
+         |  SELECT a.cell, t.word, count(*) AS tf
+         |  FROM ctoks t JOIN icellof a ON a.vec_id = t.doc_id
+         |  GROUP BY 1, 2
+         |), cdfw AS (
+         |  SELECT word, count(*) AS cdf FROM ctf GROUP BY word
+         |), ctot AS (
+         |  SELECT count(DISTINCT cell) AS n_cells FROM icellof
+         |), cscored AS (
+         |  SELECT f.cell, f.word, f.tf,
+         |    f.tf * length(bin((c.n_cells + w.cdf) // w.cdf)) AS score
+         |  FROM ctf f JOIN cdfw w USING (word), ctot c
+         |), cranked AS (
+         |  SELECT cell, word, tf, score,
+         |    row_number() OVER (PARTITION BY cell ORDER BY score DESC, word) AS rn
+         |  FROM cscored)
+         |SELECT CAST(cell AS INT) AS cell, CAST(rn AS BIGINT) AS rn, word, tf,
+         |  CAST(score AS BIGINT) AS score
+         |FROM cranked WHERE rn <= 5 ORDER BY cell, rn""".stripMargin,
     "ivf_ann" ->
       s"""WITH $oracleBaseCtes, $ivfCtes
          |SELECT q_id, vec_id, score, CAST(rn AS BIGINT) AS rn

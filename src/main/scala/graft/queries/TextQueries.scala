@@ -62,6 +62,35 @@ object TextQueries {
       .toDF("doc_id", "s")
   }
 
+  /** Temperature-flattened source mixture (the multilingual-T5 /
+    * UniMax sampling rule at T = 2): mixing weight ∝ √(natural share),
+    * boosting low-resource sources without letting any source dominate.
+    * Exact integers throughout via a CORRECTED integer sqrt: s₀ =
+    * ⌊sqrt(x)⌋ through doubles (IEEE sqrt is correctly rounded in both
+    * engines, so s₀ is within ±1 of truth), then one CASE clamps to the
+    * true isqrt — (s₀+1)² ≤ x → s₀+1; s₀² > x → s₀−1 — making the
+    * device exact REGARDLESS of float rounding. Shares scale ×10⁸ so
+    * the sqrt carries 4 exact decimal digits.
+    *
+    * Scale shape: one map-side-combined source rollup; everything after
+    * runs on the #sources-row table (empty-frame windows over ~20
+    * rows). The weights then drive the same cross-multiplied keep test
+    * as `data_mixture`. */
+  def qDataMixtureTemperature(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    documents(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum(col("n_docs")).over(all))
+      .withColumn("x", expr("(n_docs * 100000000) div total"))
+      .withColumn("s0", floor(sqrt(col("x").cast("double"))).cast("long"))
+      .withColumn("w_sqrt", expr(
+        "CASE WHEN (s0+1)*(s0+1) <= x THEN s0+1 WHEN s0*s0 > x THEN s0-1 ELSE s0 END"))
+      .withColumn("w_total", sum(col("w_sqrt")).over(all))
+      .select(col("source"), col("n_docs"),
+        col("w_sqrt"), expr("(1000 * w_sqrt) div w_total").as("mix_permille"))
+      .orderBy(col("source"))
+  }
+
   /** Bloom-filter incremental dedup — the Dolma-"BFF" / CCNet-hash
     * shape: new crawl batches are screened against a CONSTANT-SIZE
     * bitmap of everything already ingested, without ever joining
@@ -1580,6 +1609,7 @@ object TextQueries {
     "token_frequency" -> qTokenFrequency,
     "heavy_hitters" -> qHeavyHitters,
     "bloom_dedup" -> qBloomDedup,
+    "data_mixture_temperature" -> qDataMixtureTemperature,
     "doc_length_histogram" -> qDocLengthHistogram,
     "multimodal_meta" -> qMultimodalMeta,
   )
@@ -2177,6 +2207,27 @@ object TextQueries {
         |  (10000 * n_seen) // n_shingles AS seen_permyriad,
         |  (10000 * n_seen) // n_shingles >= 5000 AS maybe_dup
         |FROM docagg ORDER BY doc_id""".stripMargin,
+    // corrected-isqrt: float sqrt lands within ±1, the CASE clamps to
+    // the exact integer sqrt in both engines
+    "data_mixture_temperature" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        |), shares AS (
+        |  SELECT source, n_docs,
+        |    CAST((n_docs * 100000000) // sum(n_docs) OVER () AS BIGINT) AS x
+        |  FROM counts
+        |), seeds AS (
+        |  SELECT source, n_docs, x,
+        |    CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0
+        |  FROM shares
+        |), ws AS (
+        |  SELECT source, n_docs,
+        |    CASE WHEN (s0+1)*(s0+1) <= x THEN s0+1
+        |         WHEN s0*s0 > x THEN s0-1 ELSE s0 END AS w_sqrt
+        |  FROM seeds)
+        |SELECT source, n_docs, w_sqrt,
+        |  CAST((1000 * w_sqrt) // sum(w_sqrt) OVER () AS BIGINT) AS mix_permille
+        |FROM ws ORDER BY source""".stripMargin,
     "doc_length_histogram" ->
       """SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
         |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
