@@ -89,6 +89,58 @@ object EventStream {
       }
   }
 
+  final case class FunnelProgress(user_id: Long, stage: Long,
+      t1_ms: Long, t2_ms: Long, t3_ms: Long)
+
+  /** Cross-batch funnel state: the three step anchors (ms since epoch,
+    * MinValue = not reached). Greedy first-qualifying transitions over
+    * chronologically delivered events equal the batch min-anchored
+    * definition in [[graft.queries.EventQueries.qEvFunnel]]. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** Streaming ordered funnel — the stateful twin of the batch
+    * `q_ev_funnel` (view → click → purchase, 7-day horizon from the
+    * first view). Per user, flatMapGroupsWithState carries the step
+    * anchors across micro-batches and applies the strictly-ordered
+    * state machine: a click counts only after the first view, a
+    * purchase only after that click, both inside the horizon.
+    *
+    * Bounded-input formulation (the sessionize convention): each
+    * group's batch slice is sorted in memory and batches are assumed
+    * chronological — the file-replay shape. A production out-of-order
+    * stream would buffer inside the watermark with an event-time
+    * timeout before folding; the transition function is the same.
+    * Emits the user's current stage each batch (monotone — Append
+    * mode; the memory-sink max per user is the final stage). */
+  def funnelProgress(spark: SparkSession, schema: StructType, dir: String,
+      horizonMs: Long = 7L * 24 * 3600 * 1000): Dataset[FunnelProgress] = {
+    import spark.implicits._
+    spark.readStream.schema(schema).parquet(dir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          val Unset = Long.MinValue
+          var st = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+          val evs = rows.map(r => (r.ts.getTime, r.event_type)).toArray.sortBy(_._1)
+          evs.foreach { case (ms, tpe) =>
+            tpe match {
+              case "view" if st.t1 == Unset => st = st.copy(t1 = ms)
+              case "click" if st.t2 == Unset && st.t1 != Unset &&
+                ms > st.t1 && ms <= st.t1 + horizonMs => st = st.copy(t2 = ms)
+              case "purchase" if st.t3 == Unset && st.t2 != Unset &&
+                ms > st.t2 && ms <= st.t1 + horizonMs => st = st.copy(t3 = ms)
+              case _ =>
+            }
+          }
+          state.update(st)
+          val stage = (if (st.t1 != Unset) 1L else 0L) +
+            (if (st.t2 != Unset) 1L else 0L) + (if (st.t3 != Unset) 1L else 0L)
+          Iterator.single(FunnelProgress(user, stage, st.t1, st.t2, st.t3))
+      }
+  }
+
   /** Streaming exact dedup — the unbounded twin of the batch
     * dedup_exact operator, for at-least-once sources that re-deliver.
     * dropDuplicatesWithinWatermark keeps a key's dedup state only

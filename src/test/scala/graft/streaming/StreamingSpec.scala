@@ -97,6 +97,41 @@ class StreamingSpec extends LakeSuite {
     assert(batch.except(finalState).count() === 0)
   }
 
+  test("streaming funnel final stages == batch funnel counts, across micro-batches") {
+    // two chronological micro-batches against one running query — step
+    // transitions spanning the cut (view in batch 1, click in batch 2)
+    // must survive through state
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel_").toString
+    val all = staticEvents.orderBy(col("ts"))
+    val n = all.count()
+    val firstHalf = all.limit((n / 2).toInt)
+    val cut = firstHalf.agg(max(col("ts"))).head.getTimestamp(0)
+    firstHalf.write.mode("overwrite").parquet(s"$dir/in")
+    val q = EventStream.funnelProgress(spark, staticEvents.schema, s"$dir/in").toDF()
+      .writeStream.format("memory").queryName("funnel_prog")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      all.filter(col("ts") > cut).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val finals = spark.table("funnel_prog").groupBy(col("user_id"))
+      .agg(max(col("stage")).as("stage"))
+    // streaming per-user stage k ⟺ the user converts through step k in
+    // the batch funnel, so stage-weighted counts reproduce q_ev_funnel
+    val streamedCounts = (1 to 3).map(k =>
+      finals.filter(col("stage") >= k).count())
+    val batch = graft.queries.EventQueries
+      .qEvFunnel(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(2))
+    assert(streamedCounts == batch.toSeq,
+      s"streaming $streamedCounts != batch ${batch.toSeq}")
+    // stages only ever move forward across batches
+    val perBatchMax = spark.table("funnel_prog")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("emissions"))
+    assert(perBatchMax.filter(col("emissions") > 2).count() === 0)
+  }
+
   test("streaming lake sink: one append commit per micro-batch, replay-idempotent") {
     import graft.lake.{LakeCatalog, LakePredicate}
     val cat = LakeCatalog.open(freshWarehouse())
