@@ -47,7 +47,12 @@ object GraphQueries {
     val e = QueryCaches.track(edges.join(deg, "src").persist())
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to 3) {
-      ranks = e.join(ranks, e("src") === ranks("node"))
+      // rank vector is O(nodes) ≪ O(edges): broadcast it so the cached
+      // edge table never shuffles — each iteration is a map-side join +
+      // one partial-aggregated dst rollup. (At node counts past the
+      // broadcast budget this hint comes off and the same plan runs as
+      // a bucketed src-keyed shuffle join.)
+      ranks = e.join(broadcast(ranks), e("src") === ranks("node"))
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
         .select(col("dst").as("node"),
