@@ -119,8 +119,11 @@ object EventQueries {
       .select(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"),
         col("user_id"))
+      // (user, day) is distinct and day ≡ cohort_day + offset, so each
+      // user appears once per cell — plain count equals count-distinct
+      // without the two-phase distinct-aggregate expansion
       .groupBy(col("cohort_day"), col("day_offset"))
-      .agg(count_distinct(col("user_id")).as("n_users"))
+      .agg(count(lit(1)).as("n_users"))
     val w = Window.partitionBy(col("cohort_day"))
     cells
       .withColumn("cohort_size",
@@ -275,7 +278,9 @@ object EventQueries {
         |c AS (SELECT (SELECT count(*) FROM t1) AS n1,
         |             (SELECT count(*) FROM t2) AS n2,
         |             (SELECT count(*) FROM t3) AS n3)
-        |SELECT step, event_type, n_users, (1000 * n_users) // n1 AS conv_permille
+        |SELECT step, event_type, n_users,
+        |  CASE WHEN n1 = 0 THEN NULL
+        |       ELSE (1000 * n_users) // n1 END AS conv_permille
         |FROM (
         |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, n1 AS n_users, n1 FROM c
         |  UNION ALL SELECT 2, 'click', n2, n1 FROM c

@@ -633,13 +633,17 @@ object SimilarityQueries {
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"),
       qdot(col("embedding"), col("embedding")).as("nv"))
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
-    val cands = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
-      .select(col("vec_id"), col("embedding"), col("nv"),
-        qdot(col("embedding"), col("q_vec")).as("dot"))
-      .withColumn("rel", expr(scoreSqlSparkOn("dot", "nv")))
-      .orderBy(col("rel").desc, col("vec_id"))
-      .limit(24)
-      .select(col("vec_id"), col("embedding"), col("nv"), col("rel"))
+    // persisted: consumed by the pairwise self-join (both sides) and the
+    // candidate collect — without it the corpus scan + TakeOrdered runs 3×
+    val cands = QueryCaches.track(
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"), col("nv"),
+          qdot(col("embedding"), col("q_vec")).as("dot"))
+        .withColumn("rel", expr(scoreSqlSparkOn("dot", "nv")))
+        .orderBy(col("rel").desc, col("vec_id"))
+        .limit(24)
+        .select(col("vec_id"), col("embedding"), col("nv"), col("rel"))
+        .persist())
     val a = cands.select(col("vec_id").as("dv"), col("embedding").as("ev"))
     val b = cands.select(col("vec_id").as("sv_id"), col("embedding").as("sv"),
       col("nv").as("ns"))
