@@ -93,6 +93,35 @@ object AggWindowQueries {
           .as("p95_within_2pct"))
       .orderBy(col("o_orderstatus"))
 
+  /** Exact WEIGHTED median per group — the percentile the built-in
+    * `percentile()` cannot express (each row counts l_quantity times):
+    * sort by price under a TOTAL order (price, orderkey, linenumber),
+    * running-sum the integer weights, and take the first row whose
+    * cumulative weight reaches half the group total. Weights are
+    * integral doubles cast to BIGINT, so the cumulative sums are exact
+    * in both engines (a double running sum would be summation-order
+    * private). One sort shuffle per group + two windows over it. */
+  def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("qty"))
+      .withColumn("cum",
+        sum(col("qty")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("tot",
+        sum(col("qty")).over(Window.partitionBy(col("l_returnflag"))))
+      .filter(col("cum") * 2 >= col("tot"))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").as("weighted_median_price"),
+        col("tot").as("total_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** collect_set → sorted CSV so the set-valued agg is order-stable. */
   def qCollectSet(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -191,6 +220,7 @@ object AggWindowQueries {
     "q_approx_quantile" -> qApproxQuantile,
     "q_collect_set" -> qCollectSet,
     "q_percentiles" -> qPercentiles,
+    "q_weighted_median" -> qWeightedMedian,
     "q_union_distinct" -> qUnionDistinct,
     "q_intersect" -> qIntersect,
     "q_except" -> qExcept,
@@ -199,6 +229,24 @@ object AggWindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_weighted_median" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem
+        |), sel AS (
+        |  SELECT l_returnflag, l_extendedprice, tot,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |  FROM c WHERE cum * 2 >= tot)
+        |SELECT l_returnflag, l_extendedprice AS weighted_median_price,
+        |  CAST(tot AS BIGINT) AS total_qty
+        |FROM sel WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_orderkey) AS exact_orders,

@@ -174,6 +174,31 @@ object EventQueries {
       .orderBy(col("step"))
   }
 
+  /** Half-life-decayed engagement score per user — the feature-store /
+    * recsys freshness-weighting staple: each event contributes its
+    * value halved once per week of age. Exact integers end-to-end:
+    * cents = ⌊value·100⌋ (floor of an IEEE product is deterministic,
+    * unlike a raw double→int cast whose truncate-vs-round semantics
+    * differ across engines), age in whole weeks from the corpus max
+    * day (broadcast scalar), decay as `cents div 2^weeks` — all
+    * operands non-negative so truncating and flooring division agree.
+    *
+    * Scale shape: one broadcast scalar + one map stage + one user
+    * rollup (map-side combined). Top-25 by score. */
+  def qEvDecayedEngagement(s: SparkSession, d: String): DataFrame = {
+    val mx = events(s, d).agg(max(to_date(col("ts"))).as("maxd"))
+    events(s, d).crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        expr("datediff(maxd, to_date(ts)) div 7").cast("long").as("age_w"))
+      .select(col("user_id"),
+        expr("cents div shiftleft(CAST(1 AS BIGINT), CAST(age_w AS INT))").as("w"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decayed_cents"))
+      .orderBy(col("decayed_cents").desc, col("user_id"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumbling" -> qEvTumbling,
     "q_ev_sliding" -> qEvSliding,
@@ -183,6 +208,7 @@ object EventQueries {
     "q_ev_late_data" -> qEvLateData,
     "q_ev_cohort_retention" -> qEvCohortRetention,
     "q_ev_funnel" -> qEvFunnel,
+    "q_ev_decayed_engagement" -> qEvDecayedEngagement,
   )
 
   val oracles: Map[String, String] = Map(
@@ -286,5 +312,16 @@ object EventQueries {
         |  UNION ALL SELECT 2, 'click', n2, n1 FROM c
         |  UNION ALL SELECT 3, 'purchase', n3, n1 FROM c)
         |ORDER BY step""".stripMargin,
+    "q_ev_decayed_engagement" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 100) AS BIGINT)
+        |      // (CAST(1 AS BIGINT) << CAST(date_diff('day', CAST(ts AS DATE), maxd) // 7 AS INT)) AS w
+        |  FROM events, mx)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(w) AS BIGINT) AS decayed_cents
+        |FROM per GROUP BY user_id
+        |ORDER BY decayed_cents DESC, user_id LIMIT 25""".stripMargin,
   )
 }

@@ -91,6 +91,31 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Source-balance Gini coefficient over per-source token mass — the
+    * one-number answer to "how skewed is my corpus mix" that mixture
+    * reports (data_mixture, the temperature variant) are judged by.
+    * Gini = Σᵢⱼ|xᵢ−xⱼ| / (2n²·mean) = Σᵢⱼ|xᵢ−xⱼ| / (2n·Σx), emitted as
+    * an exact integer permyriad.
+    *
+    * Scale shape: ONE corpus pass (map-side-combined per-source token
+    * rollup); the |xᵢ−xⱼ| double sum runs on the #sources×#sources
+    * self-join of a 20-row broadcast table — the corpus is never
+    * touched again. */
+  def qSourceBalanceGini(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(col("source"), size(wordsCol).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("toks"))
+    val a = counts.select(col("toks").as("xa"))
+    val b = counts.select(col("toks").as("xb"))
+    val pairSum = a.crossJoin(broadcast(b))
+      .agg(sum(abs(col("xa") - col("xb"))).as("diff_sum"))
+    val tot = counts.agg(count(lit(1)).as("n_sources"), sum(col("toks")).as("total_tokens"))
+    pairSum.crossJoin(broadcast(tot))
+      .select(col("n_sources"), col("total_tokens"),
+        expr("(10000 * diff_sum) div (2 * n_sources * total_tokens)")
+          .as("gini_permyriad"))
+  }
+
   /** Bloom-filter incremental dedup — the Dolma-"BFF" / CCNet-hash
     * shape: new crawl batches are screened against a CONSTANT-SIZE
     * bitmap of everything already ingested, without ever joining
@@ -1610,6 +1635,7 @@ object TextQueries {
     "heavy_hitters" -> qHeavyHitters,
     "bloom_dedup" -> qBloomDedup,
     "data_mixture_temperature" -> qDataMixtureTemperature,
+    "source_balance_gini" -> qSourceBalanceGini,
     "doc_length_histogram" -> qDocLengthHistogram,
     "multimodal_meta" -> qMultimodalMeta,
   )
@@ -2228,6 +2254,20 @@ object TextQueries {
         |SELECT source, n_docs, w_sqrt,
         |  CAST((1000 * w_sqrt) // sum(w_sqrt) OVER () AS BIGINT) AS mix_permille
         |FROM ws ORDER BY source""".stripMargin,
+    "source_balance_gini" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY source
+        |), p AS (
+        |  SELECT CAST(sum(abs(a.toks - b.toks)) AS BIGINT) AS diff_sum
+        |  FROM counts a, counts b
+        |), t AS (
+        |  SELECT count(*) AS n_sources, CAST(sum(toks) AS BIGINT) AS total_tokens
+        |  FROM counts)
+        |SELECT n_sources, total_tokens,
+        |  CAST((10000 * diff_sum) // (2 * n_sources * total_tokens) AS BIGINT)
+        |    AS gini_permyriad
+        |FROM p, t""".stripMargin,
     "doc_length_histogram" ->
       """SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
         |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
