@@ -199,6 +199,39 @@ object EventQueries {
       .limit(25)
   }
 
+  /** Hourly resample + forward-fill per user — the time-series
+    * regularization every monitoring/feature pipeline runs before
+    * modeling: one row per user per hour over the user's OWN
+    * [first, last] span (a global grid would cross-multiply users ×
+    * corpus span at scale), carrying the hour's last observation or the
+    * most recent earlier one, with an `observed` flag.
+    *
+    * Values pass through untouched (no float arithmetic → engine-exact);
+    * "last in hour" is pinned by the (ts, event_id) total order. Scale
+    * shape: one window over events keyed (user, hour), one per-user
+    * span rollup whose `sequence()` explode generates the spine
+    * row-parallel, one user-keyed left join, one per-user ordered
+    * window for the fill — everything partitions by user. */
+  def qEvResampleFfill(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("user_id"),
+      date_trunc("hour", col("ts")).as("h"), col("ts"), col("event_id"), col("value"))
+    val lastObs = e.withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("h"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).select(col("user_id"), col("h"), col("value"))
+    val spine = e.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(lastObs, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        last(col("value"), ignoreNulls = true).over(w).as("value_ffill"),
+        col("value").isNotNull.as("observed"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumbling" -> qEvTumbling,
     "q_ev_sliding" -> qEvSliding,
@@ -209,6 +242,7 @@ object EventQueries {
     "q_ev_cohort_retention" -> qEvCohortRetention,
     "q_ev_funnel" -> qEvFunnel,
     "q_ev_decayed_engagement" -> qEvDecayedEngagement,
+    "q_ev_resample_ffill" -> qEvResampleFfill,
   )
 
   val oracles: Map[String, String] = Map(
@@ -323,5 +357,25 @@ object EventQueries {
         |  CAST(sum(w) AS BIGINT) AS decayed_cents
         |FROM per GROUP BY user_id
         |ORDER BY decayed_cents DESC, user_id LIMIT 25""".stripMargin,
+    "q_ev_resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h, ts, event_id, value
+        |  FROM events
+        |), lastobs AS (
+        |  SELECT user_id, h, value FROM (
+        |    SELECT user_id, h, value, row_number() OVER (
+        |      PARTITION BY user_id, h ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1
+        |), spine AS (
+        |  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM e GROUP BY user_id
+        |), j AS (
+        |  SELECT s.user_id, s.h, o.value
+        |  FROM spine s LEFT JOIN lastobs o USING (user_id, h))
+        |SELECT user_id, h,
+        |  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+        |  value IS NOT NULL AS observed
+        |FROM j ORDER BY user_id, h""".stripMargin,
   )
 }

@@ -35,7 +35,8 @@ object GraphQueries {
     * the edge table would be bucketed by src so the per-iteration join
     * is shuffle-free on the edge side. No driver-side state: ranks
     * never leave the cluster. */
-  def qGraphPagerank(s: SparkSession, d: String): DataFrame = {
+  /** Cached (edge, degree) table + the uniform start vector. */
+  private[queries] def edgeTable(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
       .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -45,18 +46,33 @@ object GraphQueries {
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e = QueryCaches.track(edges.join(deg, "src").persist())
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+    (e, deg.select(col("src").as("node"), lit(1000000L).as("rank")))
+  }
+
+  /** One PageRank step. The rank vector is O(nodes) ≪ O(edges):
+    * broadcast it so the cached edge table never shuffles — a map-side
+    * join + one partial-aggregated dst rollup. (At node counts past
+    * the broadcast budget the hint comes off and the same plan runs as
+    * a bucketed src-keyed shuffle join.) */
+  private[queries] def pagerankStep(e: DataFrame, ranks: DataFrame): DataFrame =
+    e.join(broadcast(ranks), e("src") === ranks("node"))
+      .select(col("dst"), expr("rank div deg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      .select(col("dst").as("node"),
+        expr("150000 + (850 * sc) div 1000").as("rank"))
+
+  def qGraphPagerank(s: SparkSession, d: String): DataFrame = {
+    val (e, ranks0) = edgeTable(s, d)
+    var ranks = ranks0
     for (_ <- 1 to 3) {
-      // rank vector is O(nodes) ≪ O(edges): broadcast it so the cached
-      // edge table never shuffles — each iteration is a map-side join +
-      // one partial-aggregated dst rollup. (At node counts past the
-      // broadcast budget this hint comes off and the same plan runs as
-      // a bucketed src-keyed shuffle join.)
-      ranks = e.join(broadcast(ranks), e("src") === ranks("node"))
-        .select(col("dst"), expr("rank div deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-        .select(col("dst").as("node"),
-          expr("150000 + (850 * sc) div 1000").as("rank"))
+      // materialize each step's O(nodes) vector and CUT its lineage:
+      // without this, step N+1 is a self-join against a plan containing
+      // `e`, whose deduplicated re-instancing misses the cache and
+      // re-runs the whole edge build once per step (observed: 6
+      // SortMergeJoins in the final plan; with the cut: zero) — the
+      // standard iterative-algorithm checkpoint, same role as GraphX's
+      // per-iteration checkpointing
+      ranks = pagerankStep(e, ranks).localCheckpoint()
     }
     ranks.select(
         when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp")).as("node_type"),

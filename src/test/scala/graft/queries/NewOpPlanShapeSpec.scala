@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.lake.LakeSuite
+
+/** Physical-plan shape pins for the round-12 final-session operators —
+  * the properties that make them survive 100×, which value-level
+  * oracles cannot see. A plan regression (lost broadcast, surprise
+  * sort-merge or cartesian join) fails here before it shows up as a
+  * bench cliff. */
+class NewOpPlanShapeSpec extends LakeSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** Final AQE plan of the dataframe's OWN execution: `collect()`
+    * forces df.queryExecution (a `write` would plan a separate
+    * QueryExecution), and caches clear only AFTER the string is read —
+    * clearing first would re-plan without the InMemoryRelation
+    * segments the query's scale shape depends on. */
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    QueryCaches.clear()
+    s
+  }
+
+  test("pagerank iterations broadcast the rank vector — edges never shuffle-join") {
+    // the full query's final plan is a checkpoint scan (the iterations
+    // ran eagerly behind lineage cuts), so pin the shape of one STEP
+    // against a materialized edge cache — the plan every iteration runs
+    val (e, ranks0) = GraphQueries.edgeTable(spark, d)
+    e.count() // populate the cache, as iteration 1 would
+    val plan = planOf(GraphQueries.pagerankStep(e, ranks0.localCheckpoint()))
+    // the cached-relation node dumps its own build plan (including the
+    // discarded "Initial Plan" with pre-AQE join placeholders) — the
+    // step's OWN operators are everything above it
+    val step = plan.split("InMemoryRelation").head
+    assert(step.contains("BroadcastHashJoin"), "rank join must broadcast:\n" + plan)
+    assert(!step.contains("SortMergeJoin"),
+      "the step degenerated to a sort-merge join:\n" + plan)
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+      "the edge table must come from cache:\n" + plan)
+  }
+
+  test("bloom dedup incoming side joins nothing — membership is a local bit test") {
+    val plan = planOf(TextQueries.qBloomDedup(spark, d))
+    assert(!plan.contains("Join"),
+      "bloom membership must not join the reference corpus:\n" + plan)
+  }
+
+  test("funnel step joins stay broadcast at dimension-sized step tables") {
+    val plan = planOf(EventQueries.qEvFunnel(spark, d))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("resample+ffill generates the spine row-parallel (no corpus re-join for the grid)") {
+    val plan = planOf(EventQueries.qEvResampleFfill(spark, d))
+    assert(plan.contains("Generate"), "sequence explode must be a Generate")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "the spine must not cross-join a calendar table:\n" + plan)
+  }
+
+  test("ctfidf/mmr: the only nested-loop joins are 1-row broadcast scalars") {
+    // scalar crossJoins (n_cells, query vector) are fine; a real
+    // cartesian over data tables is not
+    Seq(SimilarityQueries.qCtfidfTopics(spark, d),
+        SimilarityQueries.qMmrDiversify(spark, d)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"),
+        "data-sized cartesian product appeared:\n" + plan)
+    }
+  }
+}
