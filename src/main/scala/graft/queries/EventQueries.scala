@@ -232,6 +232,55 @@ object EventQueries {
       .orderBy(col("user_id"), col("h"))
   }
 
+  /** Robust outlier report per event type: median / MAD (median
+    * absolute deviation), the estimator that survives the heavy tails
+    * that wreck mean/stddev z-scores. Engine-exact WITHOUT integer
+    * quantization: the medians are lower-median ELEMENTS under total
+    * orders ((value, event_id) and (dev, event_id)) — picked, not
+    * averaged — and |x−med| / 3·mad are per-element IEEE ops, which
+    * are deterministic everywhere (only SUMS of doubles are
+    * engine-private through ordering).
+    *
+    * Scale shape: two ranked windows per type + one broadcastable
+    * per-type median join each — no corpus-sized sort beyond the two
+    * per-type orderings. */
+  def qEvAnomalyMad(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    val base = events(s, d).select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))))
+    val med = base.filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("value").as("med"))
+    val dev = base.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.withColumn("rn2", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("dev"), col("event_id"))))
+      .filter(col("rn2") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("dev").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("dev") > col("mad") * 3, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Rolling 7-day active users per day — the dashboard staple whose
+    * naive form (distinct over every trailing window) re-scans the
+    * corpus per day. One (user, day) distinct + a range join against
+    * the CALENDAR-BOUNDED day dimension (broadcast — day count grows
+    * with time, not data), then a per-day distinct count. */
+  def qEvRollingWau(s: SparkSession, d: String): DataFrame = {
+    val act = events(s, d).select(to_date(col("ts")).as("aday"), col("user_id")).distinct()
+    val days = act.select(col("aday").as("day")).distinct()
+    act.join(broadcast(days),
+        col("aday") >= date_sub(col("day"), 6) && col("aday") <= col("day"))
+      .groupBy(col("day"))
+      .agg(count_distinct(col("user_id")).as("wau"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumbling" -> qEvTumbling,
     "q_ev_sliding" -> qEvSliding,
@@ -243,6 +292,8 @@ object EventQueries {
     "q_ev_funnel" -> qEvFunnel,
     "q_ev_decayed_engagement" -> qEvDecayedEngagement,
     "q_ev_resample_ffill" -> qEvResampleFfill,
+    "q_ev_anomaly_mad" -> qEvAnomalyMad,
+    "q_ev_rolling_wau" -> qEvRollingWau,
   )
 
   val oracles: Map[String, String] = Map(
@@ -377,5 +428,36 @@ object EventQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
         |  value IS NOT NULL AS observed
         |FROM j ORDER BY user_id, h""".stripMargin,
+    "q_ev_anomaly_mad" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id, value,
+        |    count(*) OVER (PARTITION BY event_type) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn
+        |  FROM events
+        |), med AS (
+        |  SELECT event_type, value AS med FROM base WHERE rn = (n + 1) // 2
+        |), dev AS (
+        |  SELECT b.event_type, b.event_id, b.n, m.med,
+        |    abs(b.value - m.med) AS dev
+        |  FROM base b JOIN med m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, dev AS mad FROM (
+        |    SELECT event_type, dev, n, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY dev, event_id) AS rn2
+        |    FROM dev) WHERE rn2 = (n + 1) // 2
+        |)
+        |SELECT d.event_type, count(*) AS n, first(d.med) AS med,
+        |  first(a.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.dev > a.mad * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM dev d JOIN mad a USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+    "q_ev_rolling_wau" ->
+      """WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS aday, user_id FROM events),
+        |days AS (SELECT DISTINCT aday AS day FROM act)
+        |SELECT day, count(DISTINCT user_id) AS wau
+        |FROM act JOIN days ON aday >= day - 6 AND aday <= day
+        |GROUP BY day ORDER BY day""".stripMargin,
   )
 }

@@ -29,6 +29,49 @@ class EventAnalyticsSpec extends LakeSuite {
     assert(cohorts.sorted.sameElements(anchors.sorted))
   }
 
+  test("MAD anomalies: estimator identities and breakdown robustness") {
+    import org.apache.spark.sql.functions._
+    val rows = EventQueries.qEvAnomalyMad(spark, d).collect()
+    assert(rows.length == 5)
+    val vals = Tables.events(spark, d)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    rows.foreach { r =>
+      val (tpe, n, med, mad, out) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      val sorted = vals(tpe)
+      assert(n == sorted.length)
+      // the reported median IS the lower-median element of the raw data
+      assert(med == sorted(((n + 1) / 2 - 1).toInt), s"median drift: $r")
+      assert(mad >= 0.0)
+      // outlier count computed independently from raw data
+      val expected = sorted.count(v => math.abs(v - med) > mad * 3)
+      assert(out == expected, s"outlier count drift: $r vs $expected")
+    }
+  }
+
+  test("rolling WAU: window dominance and day-1 identity") {
+    import org.apache.spark.sql.functions._
+    val rows = EventQueries.qEvRollingWau(spark, d).collect()
+    assert(rows.nonEmpty)
+    // WAU(day) >= DAU(day), and >= WAU is bounded by total users
+    val dau = Tables.events(spark, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("dau")).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val totalUsers = Tables.events(spark, d)
+      .select(col("user_id")).distinct().count()
+    rows.foreach { r =>
+      val (day, wau) = (r.getDate(0).toString, r.getLong(1))
+      assert(wau >= dau(day), s"WAU below DAU on $day")
+      assert(wau <= totalUsers)
+    }
+    // the first day's trailing window contains only itself
+    val first = rows.minBy(_.getDate(0).toString)
+    assert(first.getLong(1) == dau(first.getDate(0).toString),
+      "first-day WAU must equal first-day DAU")
+  }
+
   test("funnel: monotone steps, strict ordering semantics, permille exact") {
     val rows = EventQueries.qEvFunnel(spark, d).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
