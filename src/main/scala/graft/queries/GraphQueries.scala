@@ -37,11 +37,15 @@ object GraphQueries {
     * never leave the cluster. */
   /** Cached (edge, degree) table + the uniform start vector. */
   private[queries] def edgeTable(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val pairs = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
-      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
-      .distinct()
+    // persisted: the union (both directions) and the degree rollup each
+    // reference it twice — 4 plan occurrences of the join+distinct
+    val pairs = QueryCaches.track(
+      lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .persist())
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
