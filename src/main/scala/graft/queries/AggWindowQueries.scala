@@ -122,6 +122,20 @@ object AggWindowQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** k-anonymity audit (k=5) over the (nation, market-segment)
+    * quasi-identifier pair — the privacy-governance pass a dataset
+    * release runs before publication: any equivalence class smaller
+    * than k re-identifies its members. One map-side-combined rollup
+    * over the quasi-identifier key; the report is
+    * O(|key combinations|), never O(rows). */
+  def qKAnonymity(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+        (col("n") < 5).as("reidentification_risk"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+
   /** collect_set → sorted CSV so the set-valued agg is order-stable. */
   def qCollectSet(s: SparkSession, d: String): DataFrame =
     orders(s, d)
@@ -221,6 +235,7 @@ object AggWindowQueries {
     "q_collect_set" -> qCollectSet,
     "q_percentiles" -> qPercentiles,
     "q_weighted_median" -> qWeightedMedian,
+    "q_k_anonymity" -> qKAnonymity,
     "q_union_distinct" -> qUnionDistinct,
     "q_intersect" -> qIntersect,
     "q_except" -> qExcept,
@@ -247,6 +262,11 @@ object AggWindowQueries {
         |SELECT l_returnflag, l_extendedprice AS weighted_median_price,
         |  CAST(tot AS BIGINT) AS total_qty
         |FROM sel WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n,
+        |  count(*) < 5 AS reidentification_risk
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "q_approx_distinct" ->
       """SELECT l_returnflag,
         |  count(DISTINCT l_orderkey) AS exact_orders,

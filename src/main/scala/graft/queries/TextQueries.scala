@@ -775,6 +775,31 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** C4's heuristic cleaning rules (Raffel et al. 2020 §2.2) at doc
+    * granularity — the OTHER canonical named filter beside Gopher, with
+    * the same per-rule drop-reason report shape as [[qGopherFilter]]:
+    * ≥3 sentences, no curly brace (code/templating), no "lorem ipsum",
+    * no "javascript" (boilerplate markers), and terminal punctuation.
+    * All string predicates are exact in both engines. Map-only — zero
+    * shuffles; at 100 TB this is a free pass over the scan. */
+  def qC4Filter(s: SparkSession, d: String): DataFrame = {
+    val t = coalesce(col("text"), lit(""))
+    val lower = org.apache.spark.sql.functions.lower(t)
+    val trimmed = trim(t)
+    val rules: Seq[(String, Column)] = Seq(
+      "min_sentences" -> (size(split(t, "\\.")) - 1 >= 3),
+      "no_brace" -> !t.contains("{"),
+      "no_lorem" -> !lower.contains("lorem ipsum"),
+      "no_javascript" -> !lower.contains("javascript"),
+      "terminal_punct" -> (trimmed.endsWith(".") || trimmed.endsWith("!") ||
+        trimmed.endsWith("?") || trimmed.endsWith("\"")))
+    val keep = rules.map(_._2).reduce(_ && _)
+    val reasons = concat_ws(",",
+      rules.map { case (n, c) => when(!c, n).otherwise(lit(null)) }: _*)
+    documents(s, d).select(col("doc_id"), keep.as("keep"), reasons.as("reasons"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: full SHA-256 + a 16-hex prefix bucket. */
   def qDocFingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
@@ -1382,6 +1407,57 @@ object TextQueries {
       .limit(25)
   }
 
+  /** BPE tokenizer TRAINING loop (Sennrich et al. 2016 algorithm 1) —
+    * the first 5 merges learned end-to-end, not just the pair
+    * statistic ([[qBpePairCounts]] is round 1's input): each round
+    * counts frequency-weighted adjacent symbol pairs over the
+    * vocabulary's spaced symbol forms, takes the (count DESC, pair)
+    * argmax, and rewrites every word by merging that pair — the
+    * rewrite is ONE sentinel-padded `replace` (' a b ' → ' ab '),
+    * whose left-to-right non-overlapping semantics are identical in
+    * Spark and DuckDB, so greedy pairing of runs ('a a a' → 'aa a')
+    * is engine-exact.
+    *
+    * Scale shape: the ONLY corpus-sized pass builds the word-frequency
+    * table; every round after runs on the VOCABULARY-bounded table
+    * (one pair rollup + a 1-row argmax + a map-only rewrite, lineage
+    * cut per round) — which is why 30k-merge training over 100 TB is
+    * one corpus pass plus 30k cheap vocabulary rounds. */
+  def qBpeLearnMerges(s: SparkSession, d: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    var words = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(expr("concat_ws(' ', transform(sequence(1, length(w)), " +
+        "i -> substring(w, i, 1)))").as("sp"), col("freq"))
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
+    for (r <- 1 to 5) {
+      val best = words.select(col("freq"), split(col("sp"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r.toLong, a, b, a + b, cnt))
+      // literals via lit() (never string-interpolated SQL — symbols are
+      // arbitrary corpus characters); lineage cut per round, as in the
+      // PageRank loop
+      words = words.select(
+        trim(org.apache.spark.sql.functions.replace(
+          concat(lit(" "), col("sp"), lit(" ")),
+          lit(s" $a $b "), lit(s" $a$b "))).as("sp"),
+        col("freq")).localCheckpoint()
+    }
+    merges.toSeq.toDF("round", "a", "b", "merged", "pair_count")
+      .orderBy(col("round"))
+  }
+
   /** Filter-pipeline funnel — the per-stage survival report every
     * production cleaning pipeline publishes (CCNet, Gopher §A,
     * RefinedWeb table 2 all report exactly this): docs in / docs out
@@ -1636,9 +1712,53 @@ object TextQueries {
     "bloom_dedup" -> qBloomDedup,
     "data_mixture_temperature" -> qDataMixtureTemperature,
     "source_balance_gini" -> qSourceBalanceGini,
+    "c4_filter" -> qC4Filter,
+    "bpe_learn_merges" -> qBpeLearnMerges,
     "doc_length_histogram" -> qDocLengthHistogram,
     "multimodal_meta" -> qMultimodalMeta,
   )
+
+  /** BPE-training oracle: 5 merge rounds UNROLLED by a Scala loop into
+    * MATERIALIZED CTEs (plain chained CTEs inline exponentially in
+    * DuckDB — the mmr_diversify lesson); each round re-derives the
+    * argmax pair itself and applies it via the cross-joined 1-row CTE,
+    * so no value is ever string-interpolated into the SQL. */
+  private def bpeLearnOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT array_to_string(
+        |      list_transform(generate_series(1, len(w)), i -> w[i]), ' ') AS sp,
+        |    freq
+        |  FROM (SELECT tok AS w, count(*) AS freq FROM (
+        |          SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |        GROUP BY tok)
+        |  WHERE len(w) >= 1
+        |)""".stripMargin)
+    for (r <- 1 to 5) {
+      val prev = s"w${r - 1}"
+      sb.append(
+        s""", p$r AS MATERIALIZED (
+           |  SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(sp, ' ') AS syms, freq FROM $prev) t,
+           |       LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+           |  GROUP BY 1, 2
+           |), b$r AS MATERIALIZED (
+           |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1
+           |), w$r AS MATERIALIZED (
+           |  SELECT trim(replace(' ' || w.sp || ' ',
+           |      ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' ')) AS sp,
+           |    w.freq
+           |  FROM $prev w, b$r b
+           |)""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM (")
+    sb.append((1 to 5).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, a, b, a || b AS merged, cnt AS pair_count FROM b$r"
+    }.mkString("\n UNION ALL "))
+    sb.append(") ORDER BY round")
+    sb.toString
+  }
 
   /** Shared DuckDB CTE chain reconstructing the ngram-jaccard near-dup
     * edges and the transitive min-label reachability both cluster
@@ -2268,6 +2388,27 @@ object TextQueries {
         |  CAST((10000 * diff_sum) // (2 * n_sources * total_tokens) AS BIGINT)
         |    AS gini_permyriad
         |FROM p, t""".stripMargin,
+    "c4_filter" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    len(string_split(coalesce(text, ''), '.')) - 1 >= 3 AS r1,
+        |    NOT contains(coalesce(text, ''), '{') AS r2,
+        |    NOT contains(lower(coalesce(text, '')), 'lorem ipsum') AS r3,
+        |    NOT contains(lower(coalesce(text, '')), 'javascript') AS r4,
+        |    (ends_with(trim(coalesce(text, '')), '.')
+        |     OR ends_with(trim(coalesce(text, '')), '!')
+        |     OR ends_with(trim(coalesce(text, '')), '?')
+        |     OR ends_with(trim(coalesce(text, '')), '"')) AS r5
+        |  FROM documents)
+        |SELECT doc_id, r1 AND r2 AND r3 AND r4 AND r5 AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN NOT r1 THEN 'min_sentences' END,
+        |    CASE WHEN NOT r2 THEN 'no_brace' END,
+        |    CASE WHEN NOT r3 THEN 'no_lorem' END,
+        |    CASE WHEN NOT r4 THEN 'no_javascript' END,
+        |    CASE WHEN NOT r5 THEN 'terminal_punct' END) AS reasons
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "bpe_learn_merges" -> bpeLearnOracleSql,
     "doc_length_histogram" ->
       """SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
         |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars
