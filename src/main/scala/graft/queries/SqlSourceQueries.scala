@@ -68,6 +68,35 @@ object SqlSourceQueries {
          |ORDER BY rflag, lstatus""".stripMargin)
   }
 
+  /** Correlated SCALAR subquery in a WHERE — Catalyst decorrelates it
+    * into an aggregate + join (the .explain shows no per-row subplan
+    * execution, which is what makes the shape survive scale): customers
+    * whose balance beats their nation's average. */
+  def qSqlCorrelatedScalar(s: SparkSession, d: String): DataFrame = {
+    val c = view(s, d, "customer")
+    s.sql(
+      s"""SELECT c_nationkey, count(*) AS n_above,
+         |       round(max(c_acctbal), 2) AS max_bal
+         |FROM $c outer_c
+         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM $c inner_c
+         |                   WHERE inner_c.c_nationkey = outer_c.c_nationkey)
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  /** LATERAL correlated subquery — per nation, its top-2 customers by
+    * balance through the SQL LATERAL surface (planned as a ranked
+    * window under the hood, not a per-row re-scan). */
+  def qSqlLateralTopn(s: SparkSession, d: String): DataFrame = {
+    val (n, c) = (view(s, d, "nation"), view(s, d, "customer"))
+    s.sql(
+      s"""SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS bal
+         |FROM $n n,
+         |LATERAL (SELECT c_custkey, c_acctbal FROM $c
+         |         WHERE c_nationkey = n.n_nationkey
+         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+         |ORDER BY n.n_name, bal DESC, t.c_custkey""".stripMargin)
+  }
+
   /** Null-safe equality (<=> / IS NOT DISTINCT FROM) over an outer join
     * product, where plain '=' and null-safe '=' genuinely differ. */
   def qNullSafeEq(s: SparkSession, d: String): DataFrame =
@@ -130,12 +159,28 @@ object SqlSourceQueries {
     "q_sql_exists_subquery" -> qSqlExistsSubquery,
     "q_sql_grouping_sets" -> qSqlGroupingSets,
     "q_null_safe_eq" -> qNullSafeEq,
+    "q_sql_correlated_scalar" -> qSqlCorrelatedScalar,
+    "q_sql_lateral_topn" -> qSqlLateralTopn,
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_json_roundtrip" -> qJsonRoundtrip,
     "q_orc_roundtrip" -> qOrcRoundtrip,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_correlated_scalar" ->
+      """SELECT c_nationkey, count(*) AS n_above,
+        |  round(max(c_acctbal), 2) AS max_bal
+        |FROM customer outer_c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer inner_c
+        |                   WHERE inner_c.c_nationkey = outer_c.c_nationkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_sql_lateral_topn" ->
+      """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS bal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, bal DESC, t.c_custkey""".stripMargin,
     "q_sql_revenue_filter" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         |       count(*) AS n
