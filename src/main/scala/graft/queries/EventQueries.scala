@@ -191,8 +191,12 @@ object EventQueries {
       .select(col("user_id"),
         floor(col("value") * 100).cast("long").as("cents"),
         expr("datediff(maxd, to_date(ts)) div 7").cast("long").as("age_w"))
+      // shift capped: past 62 half-lives the weight is exactly 0 for any
+      // representable cents — and an uncapped shift ≥ 64 DIVERGES across
+      // engines (Java shiftleft wraps mod 64; DuckDB << throws)
       .select(col("user_id"),
-        expr("cents div shiftleft(CAST(1 AS BIGINT), CAST(age_w AS INT))").as("w"))
+        expr("CASE WHEN age_w >= 63 THEN 0L ELSE " +
+          "cents div shiftleft(CAST(1 AS BIGINT), CAST(age_w AS INT)) END").as("w"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("w")).as("decayed_cents"))
       .orderBy(col("decayed_cents").desc, col("user_id"))
@@ -246,14 +250,20 @@ object EventQueries {
     * per-type orderings. */
   def qEvAnomalyMad(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
-    val base = events(s, d).select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))))
+    // persisted: the median filter and BOTH sides of the deviation
+    // stage read it — ReuseExchange dedups only identical exchanges,
+    // not the ranked windows above them, so without the cache the
+    // corpus-sized window sort runs 4×
+    val base = QueryCaches.track(
+      events(s, d).select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))))
+        .persist())
     val med = base.filter(col("rn") === expr("(n + 1) div 2"))
       .select(col("event_type"), col("value").as("med"))
-    val dev = base.join(broadcast(med), "event_type")
-      .withColumn("dev", abs(col("value") - col("med")))
+    val dev = QueryCaches.track(base.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("value") - col("med"))).persist())
     val mad = dev.withColumn("rn2", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("dev"), col("event_id"))))
       .filter(col("rn2") === expr("(n + 1) div 2"))
@@ -401,8 +411,10 @@ object EventQueries {
       """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
         |per AS (
         |  SELECT user_id,
-        |    CAST(floor(value * 100) AS BIGINT)
-        |      // (CAST(1 AS BIGINT) << CAST(date_diff('day', CAST(ts AS DATE), maxd) // 7 AS INT)) AS w
+        |    CASE WHEN date_diff('day', CAST(ts AS DATE), maxd) // 7 >= 63 THEN 0
+        |         ELSE CAST(floor(value * 100) AS BIGINT)
+        |      // (CAST(1 AS BIGINT) << CAST(date_diff('day', CAST(ts AS DATE), maxd) // 7 AS INT))
+        |    END AS w
         |  FROM events, mx)
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(w) AS BIGINT) AS decayed_cents

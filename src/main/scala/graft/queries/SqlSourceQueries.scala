@@ -68,18 +68,24 @@ object SqlSourceQueries {
          |ORDER BY rflag, lstatus""".stripMargin)
   }
 
-  /** Correlated SCALAR subquery in a WHERE — Catalyst decorrelates it
-    * into an aggregate + join (the .explain shows no per-row subplan
-    * execution, which is what makes the shape survive scale): customers
-    * whose balance beats their nation's average. */
+  /** Correlated SCALAR subqueries in a WHERE — Catalyst decorrelates
+    * each into an aggregate + join (no per-row subplan execution, which
+    * is what makes the shape survive scale): customers whose balance
+    * beats their nation's average. Above-average is tested in exact
+    * integer cents — `cents·n > Σcents` — because a raw double
+    * avg() is summation-order engine-private; floor(x·100) per element
+    * is deterministic IEEE. */
   def qSqlCorrelatedScalar(s: SparkSession, d: String): DataFrame = {
     val c = view(s, d, "customer")
     s.sql(
       s"""SELECT c_nationkey, count(*) AS n_above,
          |       round(max(c_acctbal), 2) AS max_bal
          |FROM $c outer_c
-         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM $c inner_c
-         |                   WHERE inner_c.c_nationkey = outer_c.c_nationkey)
+         |WHERE CAST(floor(c_acctbal * 100) AS BIGINT) *
+         |      (SELECT count(*) FROM $c i1
+         |       WHERE i1.c_nationkey = outer_c.c_nationkey)
+         |    > (SELECT sum(CAST(floor(c_acctbal * 100) AS BIGINT)) FROM $c i2
+         |       WHERE i2.c_nationkey = outer_c.c_nationkey)
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
@@ -171,8 +177,11 @@ object SqlSourceQueries {
       """SELECT c_nationkey, count(*) AS n_above,
         |  round(max(c_acctbal), 2) AS max_bal
         |FROM customer outer_c
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer inner_c
-        |                   WHERE inner_c.c_nationkey = outer_c.c_nationkey)
+        |WHERE CAST(floor(c_acctbal * 100) AS BIGINT) *
+        |      (SELECT count(*) FROM customer i1
+        |       WHERE i1.c_nationkey = outer_c.c_nationkey)
+        |    > (SELECT sum(CAST(floor(c_acctbal * 100) AS BIGINT)) FROM customer i2
+        |       WHERE i2.c_nationkey = outer_c.c_nationkey)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_sql_lateral_topn" ->
       """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS bal

@@ -1412,11 +1412,17 @@ object TextQueries {
     * statistic ([[qBpePairCounts]] is round 1's input): each round
     * counts frequency-weighted adjacent symbol pairs over the
     * vocabulary's spaced symbol forms, takes the (count DESC, pair)
-    * argmax, and rewrites every word by merging that pair — the
-    * rewrite is ONE sentinel-padded `replace` (' a b ' → ' ab '),
-    * whose left-to-right non-overlapping semantics are identical in
-    * Spark and DuckDB, so greedy pairing of runs ('a a a' → 'aa a')
-    * is engine-exact.
+    * argmax, and rewrites every word by merging that pair. The rewrite
+    * implements EXACT greedy left-to-right symbol merging with plain
+    * string `replace` via a DOUBLE-SPACE separator device: separators
+    * expand to two spaces, so the pattern ' a  b ' consumes one space
+    * of each boundary and adjacent occurrences still match
+    * (' a  b  a  b ' → ' ab  ab ', i.e. 'abab' merges BOTH pairs —
+    * a single-space sentinel misses every second occurrence in runs);
+    * a final '  '→' ' collapse restores canonical form. All three
+    * replaces are L2R non-overlapping in both engines, and
+    * BpeLearnSpec pins the whole loop against an independent
+    * symbol-level reference implementation.
     *
     * Scale shape: the ONLY corpus-sized pass builds the word-frequency
     * table; every round after runs on the VOCABULARY-bounded table
@@ -1448,10 +1454,13 @@ object TextQueries {
       // literals via lit() (never string-interpolated SQL — symbols are
       // arbitrary corpus characters); lineage cut per round, as in the
       // PageRank loop
+      def rep(src: Column, find: Column, to: Column): Column =
+        org.apache.spark.sql.functions.replace(src, find, to)
       words = words.select(
-        trim(org.apache.spark.sql.functions.replace(
-          concat(lit(" "), col("sp"), lit(" ")),
-          lit(s" $a $b "), lit(s" $a$b "))).as("sp"),
+        trim(rep(rep(
+          concat(lit(" "), rep(col("sp"), lit(" "), lit("  ")), lit(" ")),
+          lit(s" $a  $b "), lit(s" $a$b ")),
+          lit("  "), lit(" "))).as("sp"),
         col("freq")).localCheckpoint()
     }
     merges.toSeq.toDF("round", "a", "b", "merged", "pair_count")
@@ -1746,8 +1755,10 @@ object TextQueries {
            |), b$r AS MATERIALIZED (
            |  SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1
            |), w$r AS MATERIALIZED (
-           |  SELECT trim(replace(' ' || w.sp || ' ',
-           |      ' ' || b.a || ' ' || b.b || ' ', ' ' || b.a || b.b || ' ')) AS sp,
+           |  SELECT trim(replace(replace(
+           |      ' ' || replace(w.sp, ' ', '  ') || ' ',
+           |      ' ' || b.a || '  ' || b.b || ' ', ' ' || b.a || b.b || ' '),
+           |      '  ', ' ')) AS sp,
            |    w.freq
            |  FROM $prev w, b$r b
            |)""".stripMargin)

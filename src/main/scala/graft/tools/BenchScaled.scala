@@ -36,7 +36,8 @@ object BenchScaled {
     "perplexity_buckets", "nb_quality_classify", "rrf_fusion",
     "ngram_novelty", "image_phash_dedup", "audio_fingerprint_dedup",
     "passage_dedup", "bloom_dedup", "heavy_hitters", "graph_pagerank",
-    "q_ev_cohort_retention", "mmr_diversify",
+    "q_ev_cohort_retention", "mmr_diversify", "q_ev_resample_ffill",
+    "q_weighted_median", "q_ev_anomaly_mad", "bpe_learn_merges",
     "lake_changelog", "lake_compact", "lake_merge_mor", "lake_prune",
     "lake_merge_upsert", "lake_sql_merge_full")
 
