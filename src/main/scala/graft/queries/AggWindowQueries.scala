@@ -95,30 +95,57 @@ object AggWindowQueries {
 
   /** Exact WEIGHTED median per group — the percentile the built-in
     * `percentile()` cannot express (each row counts l_quantity times):
-    * sort by price under a TOTAL order (price, orderkey, linenumber),
-    * running-sum the integer weights, and take the first row whose
-    * cumulative weight reaches half the group total. Weights are
-    * integral doubles cast to BIGINT, so the cumulative sums are exact
-    * in both engines (a double running sum would be summation-order
-    * private). One sort shuffle per group + two windows over it. */
+    * under the total order (price, orderkey, linenumber), the first row
+    * whose cumulative integer weight reaches half the group total.
+    *
+    * Computed by HISTOGRAM SELECTION, not a per-group global sort: a
+    * window partitioned by a 3-value key serializes each group's sort
+    * into one task (measured 4.5× at 10× data), so instead (1) one
+    * map-side-combined (group, bucket) rollup over 1024 range buckets
+    * finds the bucket holding the median plus the exact weight mass
+    * below it, and (2) only that bucket's rows — 1/1024 of the group —
+    * are sorted. Bucketing is a Spark-internal routing detail (floor
+    * over doubles, deterministic); the RESULT equals the naive
+    * sorted-cumsum definition, which is what the DuckDB oracle states.
+    * Weights are integral doubles cast to BIGINT so every cumulative
+    * sum is exact. */
   def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ord = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    lineitem(s, d)
+    val B = 1024
+    val base = QueryCaches.track(lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"),
         col("l_quantity").cast("long").as("qty"))
-      .withColumn("cum",
-        sum(col("qty")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("tot",
-        sum(col("qty")).over(Window.partitionBy(col("l_returnflag"))))
+      .persist())
+    val stats = base.groupBy(col("l_returnflag"))
+      .agg(min(col("l_extendedprice")).as("mn"),
+        max(col("l_extendedprice")).as("mx"), sum(col("qty")).as("tot"))
+    val bucketed = base.join(broadcast(stats), "l_returnflag")
+      .withColumn("bucket", when(col("mx") === col("mn"), lit(0)).otherwise(
+        least(lit(B - 1), floor((col("l_extendedprice") - col("mn"))
+          * B / (col("mx") - col("mn"))).cast("int"))))
+    val wb = Window.partitionBy(col("l_returnflag")).orderBy(col("bucket"))
+    val target = bucketed.groupBy(col("l_returnflag"), col("bucket"), col("tot"))
+      .agg(sum(col("qty")).as("bq"))
+      .withColumn("cum", sum(col("bq")).over(
+        wb.rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("cum") * 2 >= col("tot"))
-      .withColumn("rn", row_number().over(ord))
+      .withColumn("rn", row_number().over(wb))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("bucket").as("tb"),
+        (col("cum") - col("bq")).as("below"), col("tot").as("tott"))
+    val win = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    bucketed.drop("tot").join(broadcast(target),
+        Seq("l_returnflag")).filter(col("bucket") === col("tb"))
+      .withColumn("cum", col("below") +
+        sum(col("qty")).over(win.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("cum") * 2 >= col("tott"))
+      .withColumn("rn", row_number().over(win))
       .filter(col("rn") === 1)
       .select(col("l_returnflag"),
         col("l_extendedprice").as("weighted_median_price"),
-        col("tot").as("total_qty"))
+        col("tott").as("total_qty"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -714,6 +714,23 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Classifier-eval rollup over [[qLangId]]: the (actual, predicted)
+    * confusion matrix with exact per-class recall permille — the
+    * report every auto-labeling pass ships next to its predictions
+    * (the [[graft.queries.SimilarityQueries.qKnnClassify]] pattern at
+    * the language-ID surface). One prediction map + one matrix-sized
+    * rollup; the window runs over the ≤ |langs|² matrix. */
+  def qLangConfusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+    qLangId(s, d).select(col("lang"), col("predicted"))
+      .groupBy(col("lang"), col("predicted")).agg(count(lit(1)).as("n"))
+      .withColumn("lang_total", sum(col("n")).over(w))
+      .select(col("lang"), col("predicted"), col("n"),
+        expr("(1000 * n) div lang_total").as("recall_permille"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
   /** Quality scoring: length/punctuation/stopword/word-length signals
     * combined into one deterministic score. */
   def qQualityScore(s: SparkSession, d: String): DataFrame = {
@@ -1723,9 +1740,25 @@ object TextQueries {
     "source_balance_gini" -> qSourceBalanceGini,
     "c4_filter" -> qC4Filter,
     "bpe_learn_merges" -> qBpeLearnMerges,
+    "lang_confusion" -> qLangConfusion,
     "doc_length_histogram" -> qDocLengthHistogram,
     "multimodal_meta" -> qMultimodalMeta,
   )
+
+  /** ONE SQL definition of the lang-id predictor, consumed by both the
+    * `lang_id` oracle and the `lang_confusion` rollup oracle so the
+    * predictor can never drift between them. */
+  private val langIdOracleSql: String =
+    """SELECT doc_id, lang,
+      |  CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS BIGINT) AS s_en,
+      |  CAST((length(text) - length(replace(text, 'scan', ''))) / 4 AS BIGINT) AS s_de,
+      |  CAST((length(text) - length(replace(text, 'join', ''))) / 4 AS BIGINT) AS s_fr,
+      |  CASE WHEN (length(text) - length(replace(text, 'table', ''))) / 5 >= (length(text) - length(replace(text, 'scan', ''))) / 4
+      |        AND (length(text) - length(replace(text, 'table', ''))) / 5 >= (length(text) - length(replace(text, 'join', ''))) / 4
+      |       THEN 'en'
+      |       WHEN (length(text) - length(replace(text, 'scan', ''))) / 4 >= (length(text) - length(replace(text, 'join', ''))) / 4
+      |       THEN 'de' ELSE 'fr' END AS predicted
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** BPE-training oracle: 5 merge rounds UNROLLED by a Scala loop into
     * MATERIALIZED CTEs (plain chained CTEs inline exponentially in
@@ -2292,17 +2325,14 @@ object TextQueries {
         |  len(regexp_split_to_array(text, '\s+')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "lang_id" ->
-      """SELECT doc_id, lang,
-        |  CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS BIGINT) AS s_en,
-        |  CAST((length(text) - length(replace(text, 'scan', ''))) / 4 AS BIGINT) AS s_de,
-        |  CAST((length(text) - length(replace(text, 'join', ''))) / 4 AS BIGINT) AS s_fr,
-        |  CASE WHEN (length(text) - length(replace(text, 'table', ''))) / 5 >= (length(text) - length(replace(text, 'scan', ''))) / 4
-        |        AND (length(text) - length(replace(text, 'table', ''))) / 5 >= (length(text) - length(replace(text, 'join', ''))) / 4
-        |       THEN 'en'
-        |       WHEN (length(text) - length(replace(text, 'scan', ''))) / 4 >= (length(text) - length(replace(text, 'join', ''))) / 4
-        |       THEN 'de' ELSE 'fr' END AS predicted
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" -> langIdOracleSql,
+    "lang_confusion" ->
+      s"""WITH li AS ($langIdOracleSql),
+         |m AS (SELECT lang, predicted, count(*) AS n FROM li GROUP BY 1, 2)
+         |SELECT lang, predicted, n,
+         |  CAST((1000 * n) // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+         |    AS recall_permille
+         |FROM m ORDER BY lang, predicted""".stripMargin,
     "quality_score" ->
       """SELECT doc_id,
         |  round(length(regexp_replace(text, '[^.!?,;]', '', 'g')) * 1.0 / length(text), 6) AS punct_ratio,
