@@ -22,14 +22,16 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"========== $name ==========")
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
-      if (sys.env.contains("SPARK_GRAFT_TIME")) {
-        val t0 = System.nanoTime()
-        val n = df.count()
-        println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
-      }
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        if (sys.env.contains("SPARK_GRAFT_TIME")) {
+          val t0 = System.nanoTime()
+          val n = df.count()
+          println(f"rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+        }
+      } finally graft.queries.QueryCaches.clear() // query-builder persists
     }
     spark.stop()
   }

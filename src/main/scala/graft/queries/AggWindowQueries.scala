@@ -110,7 +110,6 @@ object AggWindowQueries {
     * Weights are integral doubles cast to BIGINT so every cumulative
     * sum is exact. */
   def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val B = 1024
     val base = QueryCaches.track(lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"),
