@@ -291,6 +291,26 @@ object EventQueries {
       .orderBy(col("day"))
   }
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences — the sequence-modeling baseline (what follows a click?)
+    * with exact integer row-permille probabilities. One per-user
+    * window lead + a |types|²-sized rollup; the permille window runs
+    * over the matrix, not the corpus. */
+  def qEvMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val all = Window.partitionBy(col("from_type"))
+    events(s, d).select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(all))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("(1000 * n) div row_total").as("permille"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumbling" -> qEvTumbling,
     "q_ev_sliding" -> qEvSliding,
@@ -304,6 +324,7 @@ object EventQueries {
     "q_ev_resample_ffill" -> qEvResampleFfill,
     "q_ev_anomaly_mad" -> qEvAnomalyMad,
     "q_ev_rolling_wau" -> qEvRollingWau,
+    "q_ev_markov" -> qEvMarkov,
   )
 
   val oracles: Map[String, String] = Map(
@@ -471,5 +492,18 @@ object EventQueries {
         |SELECT day, count(DISTINCT user_id) AS wau
         |FROM act JOIN days ON aday >= day - 6 AND aday <= day
         |GROUP BY day ORDER BY day""".stripMargin,
+    "q_ev_markov" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), m AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |    AS permille
+        |FROM m ORDER BY from_type, to_type""".stripMargin,
   )
 }

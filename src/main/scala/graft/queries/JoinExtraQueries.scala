@@ -111,12 +111,43 @@ object JoinExtraQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Market-basket affinity — association-rule mining's core statistic:
+    * for part pairs co-occurring in ≥ 2 orders (the threshold a random-basket corpus supports at every SF), exact integer lift in
+    * permyriad, `(10000·N·n_ab) div (n_a·n_b)` (> 10000 ⇔ the pair
+    * attracts). The per-basket self-join is bounded by basket size
+    * (TPC-H orders hold ≤ 7 parts), so the pair stream is O(orders·k²)
+    * with one order-keyed shuffle — at 100 TB with unbounded baskets
+    * the standard cap-or-sample per basket applies before the join.
+    * Every term is a BIGINT count, so both engines agree bit-for-bit. */
+  def qMarketBasket(s: SparkSession, d: String): DataFrame = {
+    val items = QueryCaches.track(lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().persist())
+    val nOrders = items.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val partCounts = items.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_p"))
+    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(partCounts.select(col("l_partkey").as("pa"), col("n_p").as("n_a")), "pa")
+      .join(partCounts.select(col("l_partkey").as("pb"), col("n_p").as("n_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(10000 * n_orders * n_ab) div (n_a * n_b)").as("lift_permyriad"))
+      .orderBy(col("lift_permyriad").desc, col("pa"), col("pb"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_range_join" -> qRangeJoin,
     "q_theta_join" -> qThetaJoin,
     "q_bucketed_join" -> qBucketedJoin,
     "q_udf_scalar" -> qUdfScalar,
     "q_udaf_geomean" -> qUdafGeomean,
+    "q_market_basket" -> qMarketBasket,
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,6 +174,24 @@ object JoinExtraQueries {
         |  length(regexp_replace(p_name, '[^aeiou]', '', 'g')) AS n_vowels,
         |  length(p_name) - length(regexp_replace(p_name, '[^aeiou]', '', 'g')) AS n_other
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |), norders AS (
+        |  SELECT count(DISTINCT l_orderkey) AS n_orders FROM items
+        |), pc AS (
+        |  SELECT l_partkey, count(*) AS n_p FROM items GROUP BY l_partkey
+        |), prs AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, n_ab, ca.n_p AS n_a, cb.n_p AS n_b,
+        |  CAST((10000 * n.n_orders * n_ab) // (ca.n_p * cb.n_p) AS BIGINT)
+        |    AS lift_permyriad
+        |FROM prs JOIN pc ca ON ca.l_partkey = pa
+        |JOIN pc cb ON cb.l_partkey = pb, norders n
+        |ORDER BY lift_permyriad DESC, pa, pb LIMIT 25""".stripMargin,
     "q_udaf_geomean" ->
       """SELECT o_orderstatus,
         |  round(exp(avg(ln(o_totalprice))), 4) AS geomean_total,
