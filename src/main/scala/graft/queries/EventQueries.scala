@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -311,6 +311,33 @@ object EventQueries {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** RFM segmentation — the marketing-analytics staple: per user,
+    * recency (days since last purchase event), frequency (purchase
+    * count) and monetary (exact cents via the floor-of-product device),
+    * each cut into quintiles by `ntile(5)` under TOTAL orders (metric,
+    * then user_id), so the banding is engine-exact. One user rollup +
+    * three windows over the user-sized table — the corpus is scanned
+    * once; windows never see raw events. */
+  def qEvRfm(s: SparkSession, d: String): DataFrame = {
+    val mx = events(s, d).agg(max(to_date(col("ts"))).as("maxd"))
+    val per = events(s, d).filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(mx))
+      .groupBy(col("user_id"))
+      .agg(min(expr("datediff(maxd, to_date(ts))")).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("value") * 100).cast("long")).as("monetary_cents"))
+    def quintile(metric: Column, asc: Boolean) = ntile(5).over(
+      Window.orderBy(if (asc) metric.asc else metric.desc, col("user_id"))).cast("long")
+    per
+      .withColumn("r_band", quintile(col("recency_days"), asc = true))
+      .withColumn("f_band", quintile(col("frequency"), asc = false))
+      .withColumn("m_band", quintile(col("monetary_cents"), asc = false))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_band"), col("f_band"), col("m_band"),
+        concat(col("r_band"), col("f_band"), col("m_band")).as("segment"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumbling" -> qEvTumbling,
     "q_ev_sliding" -> qEvSliding,
@@ -325,6 +352,7 @@ object EventQueries {
     "q_ev_anomaly_mad" -> qEvAnomalyMad,
     "q_ev_rolling_wau" -> qEvRollingWau,
     "q_ev_markov" -> qEvMarkov,
+    "q_ev_rfm" -> qEvRfm,
   )
 
   val oracles: Map[String, String] = Map(
@@ -505,5 +533,26 @@ object EventQueries {
         |  CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT)
         |    AS permille
         |FROM m ORDER BY from_type, to_type""".stripMargin,
+    "q_ev_rfm" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |    CAST(min(date_diff('day', CAST(ts AS DATE), maxd)) AS BIGINT)
+        |      AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_cents
+        |  FROM events, mx WHERE event_type = 'purchase' GROUP BY user_id),
+        |banded AS (
+        |  SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_band,
+        |    CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_band,
+        |    CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT) AS m_band
+        |  FROM per)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        |  r_band, f_band, m_band,
+        |  CAST(r_band AS VARCHAR) || CAST(f_band AS VARCHAR)
+        |    || CAST(m_band AS VARCHAR) AS segment
+        |FROM banded ORDER BY user_id""".stripMargin,
   )
 }
