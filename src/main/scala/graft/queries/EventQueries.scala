@@ -315,9 +315,10 @@ object EventQueries {
     * recency (days since last purchase event), frequency (purchase
     * count) and monetary (exact cents via the floor-of-product device),
     * each cut into quintiles by `ntile(5)` under TOTAL orders (metric,
-    * then user_id), so the banding is engine-exact. One user rollup +
-    * three windows over the user-sized table — the corpus is scanned
-    * once; windows never see raw events. */
+    * then user_id), so the banding is engine-exact. Two corpus scans
+    * (the broadcast max-day scalar, then the purchase rollup) + three
+    * windows over the user-sized table — windows never see raw
+    * events. */
   def qEvRfm(s: SparkSession, d: String): DataFrame = {
     val mx = events(s, d).agg(max(to_date(col("ts"))).as("maxd"))
     val per = events(s, d).filter(col("event_type") === "purchase")

@@ -38,6 +38,7 @@ object BenchScaled {
     "passage_dedup", "bloom_dedup", "heavy_hitters", "graph_pagerank",
     "q_ev_cohort_retention", "mmr_diversify", "q_ev_resample_ffill",
     "q_weighted_median", "q_ev_anomaly_mad", "bpe_learn_merges",
+    "q_market_basket", "q_ev_markov", "q_ev_rfm",
     "lake_changelog", "lake_compact", "lake_merge_mor", "lake_prune",
     "lake_merge_upsert", "lake_sql_merge_full")
 

@@ -5,9 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Structural invariants for the market-basket, Markov, and RFM
   * operators. */
-class SegmentationSpec extends LakeSuite {
+class SegmentationSpec extends LakeSuite
+    with org.scalatest.BeforeAndAfterEach {
 
   private val d = "/root/testdata/sf0.001"
+
+  override def afterEach(): Unit = {
+    QueryCaches.clear() // qMarketBasket registers a persisted DataFrame
+    super.afterEach()
+  }
 
   test("market basket: support floor, symmetric bounds, lift formula") {
     val rows = JoinExtraQueries.qMarketBasket(spark, d).collect()
