@@ -69,10 +69,19 @@ private[lake] object DataFs {
     * dir before its first parquet lands, FileOutputCommitter's
     * `_temporary` tree) is empty-by-listing but very much in use —
     * deleting it fails that write. Only dirs whose own mtime is at or
-    * before the cutoff go, and `_temporary` trees are never entered
-    * (their mtime churns with every task attempt; skipping is the only
-    * safe answer — the committer removes them itself on job end). */
+    * before the cutoff go. A LIVE job's `_temporary` tree is never
+    * entered (its mtime churns with every task attempt; the committer
+    * removes it itself on job end) — but a CRASHED job's committer
+    * never runs, and a retained `_temporary` tree pins its parents as
+    * non-empty forever. So a `_temporary` root whose own mtime is a
+    * full grace window OLDER than the cutoff (no task has touched it
+    * in cutoff + 7 days) is dead-job debris and is removed
+    * recursively — the one recursive delete here, justified because
+    * any concurrent writer would have refreshed the mtime. */
   def deleteEmptyDirs(root: LakePath, cutoffMs: Long = Long.MaxValue): Unit = {
+    val tempGraceMs = 7L * 24 * 3600 * 1000
+    val tempCutoff = // cutoff - grace, saturating (MaxValue stays MaxValue)
+      if (cutoffMs == Long.MaxValue) Long.MaxValue else cutoffMs - tempGraceMs
     val h = new HPath(root.uri)
     try {
       val fs = fsOf(h)
@@ -80,7 +89,11 @@ private[lake] object DataFs {
         var empty = true
         fs.listStatus(dir).foreach { st =>
           if (st.isDirectory) {
-            if (st.getPath.getName == "_temporary") empty = false
+            if (st.getPath.getName == "_temporary") {
+              if (st.getModificationTime <= tempCutoff) {
+                fs.delete(st.getPath, true); ()
+              } else empty = false
+            }
             else if (sweep(st.getPath) &&
               st.getModificationTime <= cutoffMs) { fs.delete(st.getPath, false); () }
             else empty = false

@@ -427,6 +427,10 @@ final class LakeCatalog private (
     val newDir = tableDir(ns, name)
     if (tableExists(ns, name))
       throw new LakeTableExistsException(s"table $ns.$name already exists")
+    // mirror renameTable: a name that already resolves as a SQL view
+    // must not also bind a table — one name, one object
+    if (viewExists(ns, name))
+      throw new IllegalArgumentException(s"view $ns.$name already exists")
     if (backend.get(newDir.resolve(LakeCatalog.MovedDoc)).isDefined)
       throw new IllegalArgumentException(
         s"name $ns.$name was retired by RENAME TABLE; its directory " +

@@ -314,25 +314,43 @@ object EventQueries {
   /** RFM segmentation — the marketing-analytics staple: per user,
     * recency (days since last purchase event), frequency (purchase
     * count) and monetary (exact cents via the floor-of-product device),
-    * each cut into quintiles by `ntile(5)` under TOTAL orders (metric,
-    * then user_id), so the banding is engine-exact. Two corpus scans
-    * (the broadcast max-day scalar, then the purchase rollup) + three
-    * windows over the user-sized table — windows never see raw
-    * events. */
+    * each cut into quintiles equal to `ntile(5)` under TOTAL orders
+    * (metric, then user_id), so the banding is engine-exact.
+    *
+    * The quintiles are computed by [[HistogramNtile]] — the
+    * histogram-selection device from `q_weighted_median` — NOT by
+    * three unpartitioned `ntile(5)` windows: at 100 TB of events the
+    * user table is 10⁸⁺ rows, and an unpartitioned window funnels all
+    * of them through ONE task, three times (the round-12 verdict's
+    * scale-killer). Instead each metric's four quintile boundary
+    * tuples are selected from a 1024-bucket mass rollup (only the
+    * boundary buckets' rows ever sort) and band assignment is a
+    * map-side comparison against the three broadcast 4-element cut
+    * arrays — the per-user rollup is never globally sorted.
+    * Descending metrics (frequency, monetary) enter negated: ORDER BY
+    * −m ASC ≡ m DESC under the same user_id ASC tie. Oracle unchanged
+    * (plain ntile in DuckDB). */
   def qEvRfm(s: SparkSession, d: String): DataFrame = {
     val mx = events(s, d).agg(max(to_date(col("ts"))).as("maxd"))
-    val per = events(s, d).filter(col("event_type") === "purchase")
+    val per = QueryCaches.track(events(s, d)
+      .filter(col("event_type") === "purchase")
       .crossJoin(broadcast(mx))
       .groupBy(col("user_id"))
       .agg(min(expr("datediff(maxd, to_date(ts))")).cast("long").as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(floor(col("value") * 100).cast("long")).as("monetary_cents"))
-    def quintile(metric: Column, asc: Boolean) = ntile(5).over(
-      Window.orderBy(if (asc) metric.asc else metric.desc, col("user_id"))).cast("long")
+      .withColumn("neg_f", -col("frequency"))
+      .withColumn("neg_m", -col("monetary_cents"))
+      .persist())
+    val cr = HistogramNtile.cutsRow(per, "recency_days", "user_id", 5, "rc")
+    val cf = HistogramNtile.cutsRow(per, "neg_f", "user_id", 5, "fc")
+    val cm = HistogramNtile.cutsRow(per, "neg_m", "user_id", 5, "mc")
     per
-      .withColumn("r_band", quintile(col("recency_days"), asc = true))
-      .withColumn("f_band", quintile(col("frequency"), asc = false))
-      .withColumn("m_band", quintile(col("monetary_cents"), asc = false))
+      .crossJoin(broadcast(cr)).crossJoin(broadcast(cf))
+      .crossJoin(broadcast(cm))
+      .withColumn("r_band", HistogramNtile.bandExpr("recency_days", "user_id", "rc", 5))
+      .withColumn("f_band", HistogramNtile.bandExpr("neg_f", "user_id", "fc", 5))
+      .withColumn("m_band", HistogramNtile.bandExpr("neg_m", "user_id", "mc", 5))
       .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary_cents"), col("r_band"), col("f_band"), col("m_band"),
         concat(col("r_band"), col("f_band"), col("m_band")).as("segment"))

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact `ntile(k)` banding WITHOUT a global sort — the histogram-
+  * selection device proven in `q_weighted_median`
+  * (AggWindowQueries.scala), generalized from "find the median row" to
+  * "find the k−1 ntile boundary rows".
+  *
+  * `ntile(k)` over a TOTAL order (metric ASC, tie ASC; the tie column
+  * is unique, so the order is strict) assigns the row of 1-based rank
+  * r to the smallest band j with r ≤ R_j, where the band-j boundary
+  * rank is
+  *
+  *   R_j = j·(n div k) + least(j, n mod k)
+  *
+  * (Spark's and DuckDB's shared definition: the first `n mod k` bands
+  * get one extra row). So banding needs only the k−1 BOUNDARY TUPLES
+  * (metric, tie) at ranks R_1..R_{k−1}: a row (m, t) belongs to the
+  * smallest j whose boundary tuple is ≥ it lexicographically, else
+  * band k. Selection of the boundary tuples runs in three bounded
+  * steps, none of which sorts the full table in one task:
+  *
+  *  1. one map-side-combined (bucket) mass rollup over `buckets`
+  *     range buckets of the metric (bucketing is a Spark-internal
+  *     routing detail: floor over doubles, monotone and
+  *     deterministic — results never depend on bucket boundaries);
+  *  2. a cumulative count over the ≤`buckets`-row rollup locates, for
+  *     each cut rank R_j, the bucket holding it plus the exact mass
+  *     below it (the one unpartitioned window here runs over the
+  *     BOUNDED rollup, never the data);
+  *  3. only the target buckets' rows — (k−1)/`buckets` of the data —
+  *     are sorted, per (bucket, cut) partition, and the row whose
+  *     within-bucket rank + below-mass equals R_j is the boundary.
+  *
+  * Band assignment is then a MAP-SIDE array expression against the
+  * broadcast ≤(k−1)-element boundary array: no shuffle, no window, no
+  * sort touches the full table. Degenerate case: a single-valued
+  * metric collapses to one bucket and step 3 sorts it whole — exactly
+  * `q_weighted_median`'s documented degenerate shape.
+  *
+  * Descending metrics: pass the NEGATED metric (order by −m ASC ≡ m
+  * DESC with the same ASC tie), as `q_ev_rfm` does for frequency and
+  * monetary.
+  */
+object HistogramNtile {
+
+  /** Single-row DataFrame with one column `outCol`:
+    * array&lt;struct&lt;j:int, bv:bigint, bu:tie&gt;&gt; of the k−1 ntile
+    * boundary tuples of `base` under (metricCol ASC, tieCol ASC),
+    * sorted by j. Broadcast-join it onto `base` and stamp bands with
+    * [[bandExpr]]. `metricCol` must be integral (cast to BIGINT);
+    * `tieCol` must be unique per row. */
+  def cutsRow(base: DataFrame, metricCol: String, tieCol: String, k: Int,
+      outCol: String, buckets: Int = 1024): DataFrame = {
+    require(k >= 2, s"ntile k must be >= 2, got $k")
+    val m = col(metricCol).cast("long")
+    val stats = base.agg(count(lit(1)).as("__hn_n"),
+      min(m).as("__hn_mn"), max(m).as("__hn_mx"))
+    // cut ranks R_j; R_j = 0 only when n = 0 (dropped — empty input)
+    val cuts = stats.select(explode(expr(
+        s"transform(sequence(1, ${k - 1}), j -> struct(" +
+          s"CAST(j AS INT) AS j, " +
+          s"j * (__hn_n div $k) + least(CAST(j AS BIGINT), __hn_n % $k) AS r))"))
+        .as("c"))
+      .select(col("c.j").as("__hn_j"), col("c.r").as("__hn_r"))
+      .filter(col("__hn_r") > 0)
+    val bucketed = base.select(m.as("__hn_m"), col(tieCol).as("__hn_t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__hn_b",
+        when(col("__hn_mx") === col("__hn_mn"), lit(0)).otherwise(
+          least(lit(buckets - 1),
+            floor((col("__hn_m") - col("__hn_mn")).cast("double") * buckets /
+              (col("__hn_mx") - col("__hn_mn")).cast("double")).cast("int"))))
+    // bounded: ≤ `buckets` rows through the unpartitioned cumulative
+    val mass = bucketed.groupBy(col("__hn_b")).agg(count(lit(1)).as("__hn_c"))
+      .withColumn("__hn_cum", sum(col("__hn_c")).over(
+        Window.orderBy(col("__hn_b"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("__hn_below", col("__hn_cum") - col("__hn_c"))
+    // rank R_j lives in the smallest bucket with cum ≥ R_j
+    val tgt = cuts.join(broadcast(mass), col("__hn_cum") >= col("__hn_r"))
+      .groupBy(col("__hn_j"), col("__hn_r"))
+      .agg(min(col("__hn_b")).as("__hn_tb"))
+      .join(broadcast(mass.select(col("__hn_b").as("__hn_tb"),
+        col("__hn_below"))), "__hn_tb")
+    // partition by (bucket, cut): two cuts sharing a bucket (n < k, or
+    // a dense bucket) each rank their OWN copy of its rows — a plain
+    // by-bucket partition would double-count the joined copies
+    val wi = Window.partitionBy(col("__hn_b"), col("__hn_j"))
+      .orderBy(col("__hn_m"), col("__hn_t"))
+    val bounds = bucketed
+      .join(broadcast(tgt), col("__hn_b") === col("__hn_tb"))
+      .withColumn("__hn_rn",
+        row_number().over(wi).cast("long") + col("__hn_below"))
+      .filter(col("__hn_rn") === col("__hn_r"))
+      .select(col("__hn_j").as("j"), col("__hn_m").as("bv"),
+        col("__hn_t").as("bu"))
+    bounds.agg(sort_array(collect_list(struct(col("j"), col("bv"),
+      col("bu")))).as(outCol))
+  }
+
+  /** Map-side band stamp: smallest j whose boundary tuple in `cutsCol`
+    * (a [[cutsRow]] output, already cross-joined onto the row) is ≥
+    * (metricCol, tieCol) lexicographically; band k past the last
+    * boundary. BIGINT result, identical to
+    * `ntile(k) OVER (ORDER BY metricCol, tieCol)`. */
+  def bandExpr(metricCol: String, tieCol: String, cutsCol: String,
+      k: Int): Column =
+    expr(s"CAST(coalesce(array_min(transform(filter($cutsCol, " +
+      s"c -> CAST($metricCol AS BIGINT) < c.bv OR " +
+      s"(CAST($metricCol AS BIGINT) = c.bv AND $tieCol <= c.bu)), " +
+      s"c -> c.j)), $k) AS BIGINT)")
+
+  /** One-metric convenience: `base` plus a `bandCol` BIGINT column
+    * equal to `ntile(k) OVER (ORDER BY metricCol, tieCol)`. */
+  def withBand(base: DataFrame, metricCol: String, tieCol: String, k: Int,
+      bandCol: String, buckets: Int = 1024): DataFrame = {
+    val cr = cutsRow(base, metricCol, tieCol, k, "__hn_cuts", buckets)
+    base.crossJoin(broadcast(cr))
+      .withColumn(bandCol, bandExpr(metricCol, tieCol, "__hn_cuts", k))
+      .drop("__hn_cuts")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 
 /** Remaining join shapes + the UDF/UDAF surface (SURVEY.md §2.C).
   *
@@ -116,12 +116,24 @@ object JoinExtraQueries {
     * permyriad, `(10000·N·n_ab) div (n_a·n_b)` (> 10000 ⇔ the pair
     * attracts). The per-basket self-join is bounded by basket size
     * (TPC-H orders hold ≤ 7 parts), so the pair stream is O(orders·k²)
-    * with one order-keyed shuffle — at 100 TB with unbounded baskets
-    * the standard cap-or-sample per basket applies before the join.
+    * with one order-keyed shuffle. For unbounded baskets the standard
+    * per-basket cap applies BEFORE the join: `graft.marketBasket.capK`
+    * (default 64, far above TPC-H's max 7 so the oracle is unaffected)
+    * keeps each basket's K smallest part keys — a deterministic cut,
+    * so capped runs are reproducible — making the pair stream
+    * O(orders·K²) at ANY basket distribution. The cap mirrors the
+    * modal dedups' pair-budget gates: a bounded-resource conf with a
+    * spec driving the tiny-cap path (MarketBasketCapSpec).
     * Every term is a BIGINT count, so both engines agree bit-for-bit. */
   def qMarketBasket(s: SparkSession, d: String): DataFrame = {
+    val capK = s.conf.getOption("graft.marketBasket.capK")
+      .map(_.toInt).getOrElse(64)
+    val wB = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
     val items = QueryCaches.track(lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct().persist())
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= capK).drop("rk")
+      .persist())
     val nOrders = items.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n_orders"))
     val partCounts = items.groupBy(col("l_partkey"))

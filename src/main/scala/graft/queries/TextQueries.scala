@@ -1265,21 +1265,23 @@ object TextQueries {
 
   /** CCNet's actual output (Wenzek et al. 2020 §4.4): bucket the
     * corpus into head/middle/tail perplexity TERCILES — training
-    * pipelines keep head, downsample middle, drop tail. Buckets come
-    * from ntile(3) over the doc-level score table ordered (mbits,
-    * doc_id) — a total order, so the assignment is engine-exact.
-    *
-    * Scale note: the global ntile sorts the DOC-LEVEL rollup (three
-    * orders smaller than the corpus), and the single-partition window
-    * is this probe query's shape only — at 100 TB the same terciles
-    * come from a two-pass range quantile (compute the two cut scores,
-    * then a map-only bucket stamp), which this operator's doc-rollup
-    * input feeds unchanged. */
+    * pipelines keep head, downsample middle, drop tail. Buckets equal
+    * ntile(3) over the doc-level score table ordered (mbits, doc_id) —
+    * a total order, so the assignment is engine-exact — but are
+    * COMPUTED by the two-pass range quantile ([[HistogramNtile]], the
+    * `q_weighted_median` histogram-selection device): the doc rollup
+    * is corpus-sized (one row per document), so a global `ntile`
+    * window would funnel every document through one task at 100 TB.
+    * Pass 1 selects the two exact tercile boundary tuples from a
+    * 1024-bucket mass rollup; pass 2 is a map-only bucket stamp
+    * against the broadcast boundaries. Oracle unchanged (plain ntile
+    * in DuckDB). */
   def qPerplexityBuckets(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("mbits_per_bigram"), col("doc_id"))
-    lmDocBits(s, d)
-      .withColumn("bucket", ntile(3).over(w).cast("long"))
+    val base = QueryCaches.track(lmDocBits(s, d).persist())
+    val cuts = HistogramNtile.cutsRow(base, "mbits_per_bigram", "doc_id", 3, "pc")
+    base.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        HistogramNtile.bandExpr("mbits_per_bigram", "doc_id", "pc", 3))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("mbits_per_bigram")).as("min_mbits"),
@@ -1356,10 +1358,11 @@ object TextQueries {
     *    decimal.
     *  - tf saturation k1=1.2, b=0.75 as one exact rational: with
     *    integers only, tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)) scaled ×1000
-    *    is (44·SumDL·tf·1000) div (20·SumDL·tf + 6·SumDL + 18·dl·N)
-    *    (multiply numerator and denominator by 20·SumDL, avgdl =
-    *    SumDL/N). At extreme corpus sizes swap SumDL for
-    *    avgdl_milli = 1000·SumDL div N to keep magnitudes bounded.
+    *    is (44·am·tf·1000) div (20·am·tf + 6·am + 18000·dl) with
+    *    am = avgdl_milli = 1000·SumDL div N (multiply numerator and
+    *    denominator by 20·am; am rounds avgdl to milli precision so
+    *    every magnitude is bounded by per-document lengths — the raw
+    *    SumDL form overflows BIGINT past ~2e14 corpus tokens).
     *
     * Scale shape: the token stream is filtered to the query terms at
     * the scan (predicate on the exploded token — the stream that
@@ -1379,8 +1382,14 @@ object TextQueries {
     val terms = Seq("dup", "vector", "batch")
     val docs = documents(s, d).select(col("doc_id"),
       split(col("text"), " ").as("ws"))
+    // avgdl enters as avgdl_milli = 1000·SumDL div N (the docstring's
+    // bounded form, now APPLIED, not just prescribed): every term in
+    // the rational is then bounded by per-document magnitudes
+    // (44·am·tf·1000 ≈ 4.4e7·avgdl·tf), never by total corpus tokens —
+    // the raw-SumDL form overflows BIGINT past ~2e14 corpus tokens.
     val stats = docs.agg(count(lit(1)).as("n"),
       sum(size(col("ws"))).cast("long").as("sumdl"))
+      .withColumn("am", expr("1000 * sumdl div n"))
     val tf = docs
       .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
         explode(col("ws")).as("tok"))
@@ -1391,8 +1400,8 @@ object TextQueries {
     tf.join(dfreq, Seq("tok")).crossJoin(stats)
       .withColumn("contrib",
         expr("length(bin((n+1)*(n+1) div ((df+1)*(df+1)))) * " +
-          "((44 * sumdl * tf * 1000) div " +
-          "(20 * sumdl * tf + 6 * sumdl + 18 * dl * n))").cast("long"))
+          "((44 * am * tf * 1000) div " +
+          "(20 * am * tf + 6 * am + 18000 * dl))").cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("score"))
   }
@@ -1871,7 +1880,8 @@ object TextQueries {
     """docs AS (
       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |), st AS (
-      |  SELECT count(*) AS n, CAST(sum(len(ws)) AS BIGINT) AS sumdl FROM docs
+      |  SELECT count(*) AS n, CAST(sum(len(ws)) AS BIGINT) AS sumdl,
+      |    CAST(1000 * sum(len(ws)) AS BIGINT) // count(*) AS am FROM docs
       |), tf AS (
       |  SELECT doc_id, dl, tok, count(*) AS tf FROM (
       |    SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS tok
@@ -1882,8 +1892,8 @@ object TextQueries {
       |), sc AS (
       |  SELECT tf.doc_id,
       |    length(bin((st.n+1)*(st.n+1) // ((dfreq.df+1)*(dfreq.df+1)))) *
-      |      ((44 * st.sumdl * tf.tf * 1000) //
-      |       (20 * st.sumdl * tf.tf + 6 * st.sumdl + 18 * tf.dl * st.n))
+      |      ((44 * st.am * tf.tf * 1000) //
+      |       (20 * st.am * tf.tf + 6 * st.am + 18000 * tf.dl))
       |      AS contrib
       |  FROM tf JOIN dfreq USING (tok) CROSS JOIN st
       |), bmdoc AS (

@@ -123,8 +123,12 @@ object EventStream {
         (user: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
           val Unset = Long.MinValue
           var st = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
-          val evs = rows.map(r => (r.ts.getTime, r.event_type)).toArray.sortBy(_._1)
-          evs.foreach { case (ms, tpe) =>
+          // (ts, event_id) pins a TOTAL order on the batch slice —
+          // events sharing a millisecond must not apply in
+          // shuffle-dependent order (the batch corpus's tie-break)
+          val evs = rows.map(r => (r.ts.getTime, r.event_id, r.event_type))
+            .toArray.sortBy(e => (e._1, e._2))
+          evs.foreach { case (ms, _, tpe) =>
             tpe match {
               case "view" if st.t1 == Unset => st = st.copy(t1 = ms)
               case "click" if st.t2 == Unset && st.t1 != Unset &&

@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.lake.LakeSuite
+import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+
+/** Corpus-wide lint: an UNPARTITIONED window funnels its whole input
+  * through one task — the scale-killer class the round-12 verdict
+  * flagged (`q_ev_rfm`'s three ntile(5)s, `perplexity_buckets`'
+  * ntile(3), both since re-planned onto [[HistogramNtile]]). This spec
+  * pins the class closed: every query in the 173-entry corpus is
+  * planned and any `Window` with an empty partitionSpec in its
+  * OPTIMIZED logical plan must be allowlisted here with a stated
+  * bounded-input justification. A new query that sneaks in a global
+  * sort-window over corpus-sized data fails the build, not the 100-TB
+  * run. */
+class GlobalWindowLintSpec extends LakeSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** query → why its unpartitioned window's input is BOUNDED (never
+    * corpus-sized). Keep this under 10 entries — past that the class
+    * is regrowing. */
+  private val allow: Map[String, String] = Map(
+    "q_ev_rfm" -> ("HistogramNtile mass cumulatives: Window over the " +
+      "device's 1024-value bucket-key Aggregate, ≤1024 rows by " +
+      "construction (3 metrics × the rollup planned twice in the DAG)"),
+    "perplexity_buckets" -> ("HistogramNtile mass cumulative over the " +
+      "≤1024-row bucket rollup (planned twice in the DAG)"),
+    "rrf_fusion" -> ("rank windows over the union of two TakeOrdered " +
+      "top-50 lists — ≤100 rows by construction (SimilarityQueries " +
+      "pins the limit upstream)"),
+    "data_mixture_temperature" -> ("share windows over the per-source " +
+      "rollup — |sources| rows (single-digit in the documents corpus; " +
+      "dimension-sized, never row-sized)"))
+
+  private def unpartitionedWindows(p: LogicalPlan): Seq[LWindow] = {
+    val here = p.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    val subPlans = p.flatMap(n => n.expressions.flatMap(_.collect {
+      case s: SubqueryExpression => s.plan
+    }))
+    here ++ subPlans.flatMap(unpartitionedWindows)
+  }
+
+  test("no corpus query plans an unpartitioned window unless allowlisted") {
+    Corpus.prepare(spark, d)
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val unusedAllow = scala.collection.mutable.Set(allow.keySet.toSeq: _*)
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, d)
+        val n = unpartitionedWindows(df.queryExecution.optimizedPlan).size
+        if (n > 0) {
+          if (allow.contains(name)) unusedAllow -= name
+          else offenders += s"$name ($n unpartitioned window(s))"
+        }
+      } finally QueryCaches.clear()
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned windows outside the allowlist:\n  " +
+        offenders.mkString("\n  "))
+    assert(unusedAllow.isEmpty,
+      s"stale allowlist entries (no longer plan a global window): $unusedAllow")
+    assert(allow.size < 10, "allowlist is regrowing the global-window class")
+  }
+}

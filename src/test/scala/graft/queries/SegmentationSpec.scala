@@ -32,6 +32,39 @@ class SegmentationSpec extends LakeSuite
     assert(lifts == lifts.sorted.reverse)
   }
 
+  test("market basket: capK keeps each basket's K smallest parts (tiny-cap path)") {
+    spark.conf.set("graft.marketBasket.capK", "2")
+    try {
+      val got = JoinExtraQueries.qMarketBasket(spark, d)
+      // independent formulation of the same cap: per order, the sorted
+      // distinct part list sliced to 2 (collect_list+slice, not a
+      // window), then the identical pair/lift pipeline
+      val capped = Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .groupBy(col("l_orderkey"))
+        .agg(slice(sort_array(collect_list(col("l_partkey"))), 1, 2).as("ps"))
+        .select(col("l_orderkey"), explode(col("ps")).as("l_partkey"))
+      capped.createOrReplaceTempView("mb_capped")
+      val want = spark.sql(
+        """WITH n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM mb_capped),
+          |pc AS (SELECT l_partkey, count(*) AS n_p FROM mb_capped GROUP BY 1),
+          |pr AS (
+          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+          |  FROM mb_capped a JOIN mb_capped b USING (l_orderkey)
+          |  WHERE a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT pa, pb, n_ab, ca.n_p AS n_a, cb.n_p AS n_b,
+          |  (10000 * n.n_orders * n_ab) div (ca.n_p * cb.n_p) AS lift_permyriad
+          |FROM pr JOIN pc ca ON ca.l_partkey = pa
+          |        JOIN pc cb ON cb.l_partkey = pb CROSS JOIN n
+          |ORDER BY lift_permyriad DESC, pa, pb LIMIT 25""".stripMargin)
+      val diff = got.except(want).union(want.except(got)).collect()
+      assert(diff.isEmpty, s"capped run diverges: ${diff.take(5).mkString(", ")}")
+      // and the cap actually binds: no basket contributes more than 1
+      // pair, so every pair count is bounded by the order count
+      assert(got.collect().forall(_.getLong(2) >= 2L))
+    } finally spark.conf.unset("graft.marketBasket.capK")
+  }
+
   test("markov: complete rows sum to 1000-ish permille, counts conserved") {
     val rows = EventQueries.qEvMarkov(spark, d).collect()
     assert(rows.nonEmpty)
