@@ -40,8 +40,14 @@ class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
     // substitute its stored (context-qualified) SQL
     ext.injectResolutionRule(_ => LakeViewResolution)
     // spec-evolution DDL (ADD/DROP PARTITION FIELD) — not in Spark's
-    // grammar; everything else delegates to the session parser verbatim
-    ext.injectParser((_, delegate) => new LakeSqlParser(delegate))
+    // grammar — then element-path SET sugar (`SET tags[2] = v`), which
+    // lowers onto lake_element_set; everything else delegates to the
+    // session parser verbatim
+    ext.injectParser((_, delegate) =>
+      new LakeSqlParser(new ElementAssignmentParser(delegate)))
+    // lake_element_set / lake_field_set — the element-rewrite
+    // functions, also directly callable
+    LakeElementSet.registerFunctions(ext)
   }
 }
 
@@ -451,37 +457,105 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
     e
   }
 
-  /** SET key → (root column, struct path below it). `SET s.a.x = v`
-    * canonicalizes onto its ROOT column — see [[canonicalAssignments]].
-    * Array/map ELEMENT paths have no per-element rewrite and refuse. */
-  private def keyPath(e: Expression): (AttributeReference, List[String]) = e match {
+  /** One step of a SET key path below its root column. */
+  private[sql] sealed trait PathStep
+  /** `s.field` — struct-field descent. */
+  private[sql] final case class FieldStep(name: String) extends PathStep
+  /** `arr[i]` — array element, FOLDED non-negative integer index
+    * (0-based, Spark's convention). */
+  private[sql] final case class IndexStep(
+      index: org.apache.spark.sql.catalyst.expressions.Literal) extends PathStep
+  /** `m[k]` — map value at a FOLDED literal key. */
+  private[sql] final case class KeyStep(
+      key: org.apache.spark.sql.catalyst.expressions.Literal) extends PathStep
+
+  /** SET key → (root column, step path below it). `SET s.a.x = v`,
+    * `SET tags[2] = v` and `SET m['k'] = v` all canonicalize onto
+    * their ROOT column — see [[canonicalAssignments]]. Element indices
+    * and map keys must fold to literals (a data-dependent index has no
+    * static rewrite) or the statement refuses loudly. */
+  private def keyPath(e: Expression): (AttributeReference, List[PathStep]) = e match {
     case a: AttributeReference => (a, Nil)
     case g: org.apache.spark.sql.catalyst.expressions.GetStructField =>
       val (root, p) = keyPath(g.child)
-      (root, p :+ g.extractFieldName)
+      (root, p :+ FieldStep(g.extractFieldName))
+    case g: org.apache.spark.sql.catalyst.expressions.GetArrayItem =>
+      val (root, p) = keyPath(g.child)
+      val idx = foldConstants(g.ordinal) match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.value != null => l
+        case other => unsupported(
+          s"array index in assignment target must be a constant, got ${other.sql}")
+      }
+      val i = idx.value match {
+        case n: java.lang.Number => n.longValue()
+        case _ => unsupported(s"array index ${idx.sql} is not integral")
+      }
+      // out-of-range (incl. negative) indices are row-preserving
+      // no-ops, the same rule as a past-the-end index: clamp anything
+      // unrepresentable to -1, which matches no element
+      val i32 = if (i >= 0 && i <= Int.MaxValue) i.toInt else -1
+      (root, p :+ IndexStep(org.apache.spark.sql.catalyst.expressions.Literal(i32)))
+    case g: org.apache.spark.sql.catalyst.expressions.GetMapValue =>
+      val (root, p) = keyPath(g.child)
+      val k = foldConstants(g.key) match {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+            if l.value != null => l
+        case other => unsupported(
+          s"map key in assignment target must be a non-null constant, got ${other.sql}")
+      }
+      (root, p :+ KeyStep(k))
     case other => unsupported(s"assignment to ${other.sql} is not supported " +
-      "(top-level columns and nested STRUCT fields only)")
+      "(top-level columns, nested STRUCT fields, ARRAY elements by " +
+      "constant index, and MAP values by constant key)")
   }
 
   /** Rebuilds `current` (an expression producing the root column's
-    * struct) with the field at `path` replaced by `v`, leaving every
-    * sibling field untouched. Built from UnresolvedExtractValue /
+    * value) with the element at `path` replaced by `v`, leaving every
+    * sibling untouched. Struct fields use UnresolvedExtractValue /
     * UpdateFields nodes that resolve BY NAME at the command's fresh
     * re-read (no ordinals captured — schema evolution between analysis
-    * and run cannot skew the write). A NULL struct stays NULL
-    * (UpdateFields semantics — the same answer Spark's
-    * Column.withField and Iceberg's nested UPDATE give). */
-  private def setPath(current: Expression, path: Seq[String],
-      v: Expression): Expression = path match {
-    case Seq(last) =>
-      org.apache.spark.sql.catalyst.expressions.UpdateFields(current,
-        Seq(org.apache.spark.sql.catalyst.expressions.WithField(last, v)))
-    case head +: tail =>
-      org.apache.spark.sql.catalyst.expressions.UpdateFields(current,
-        Seq(org.apache.spark.sql.catalyst.expressions.WithField(head,
-          setPath(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
-            current, org.apache.spark.sql.catalyst.expressions.Literal(head)),
-            tail, v))))
+    * and run cannot skew the write); a NULL struct stays NULL
+    * (UpdateFields semantics — the same answer Spark's Column.withField
+    * and Iceberg's nested UPDATE give).
+    *
+    * Array elements rebuild the root as `transform(arr, (x, i) ->
+    * IF(i = idx, …, x))` — an OUT-OF-BOUNDS index is a no-op (no
+    * element matches, the array is kept; same row-preserving answer as
+    * the struct path's NULL rule) and a NULL array stays NULL. Map
+    * values rebuild through `map_entries`: a present key's entry is
+    * replaced IN PLACE (original entry order preserved — deterministic
+    * output), an absent key appends its entry at the end when the map
+    * key is the FINAL step (the upsert a user means by `m['k'] = v`);
+    * deeper paths under a map key (`m['k'].f = v`) update only when
+    * the key is present (nothing exists to descend into otherwise).
+    * NULL maps stay NULL. Lambda variables use lake-prefixed names so
+    * they can never capture a user column during the command's
+    * re-resolution. */
+  private def setPath(current: Expression, path: Seq[PathStep],
+      v: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+    def lam(name: String) = UnresolvedNamedLambdaVariable(Seq(name))
+    path match {
+      case Seq(FieldStep(last)) =>
+        UpdateFields(current, Seq(WithField(last, v)))
+      case FieldStep(head) +: tail =>
+        UpdateFields(current, Seq(WithField(head,
+          setPath(UnresolvedExtractValue(current, Literal(head)), tail, v))))
+      case IndexStep(idx) +: tail =>
+        // ONE implementation of element semantics — the same
+        // [[LakeElementSet]] the SQL sugar lowers onto; the deep-path
+        // extraction is evaluated only under the index-match guard
+        val inner = if (tail.isEmpty) v
+          else setPath(GetArrayItem(current, idx), tail, v)
+        LakeElementSet(current, idx, inner, upsert = tail.isEmpty)
+      case KeyStep(key) +: tail =>
+        val inner = if (tail.isEmpty) v
+          else setPath(GetMapValue(current, key), tail, v)
+        LakeElementSet(current, key, inner, upsert = tail.isEmpty)
+      case Seq() => v
+    }
   }
 
   /** UPDATE / MERGE assignment list → whole-column entries. Nested
@@ -498,15 +572,20 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
     * and is also applied to the synthesized root reference. */
   private[sql] def canonicalAssignments(assigns: Seq[Assignment],
       mapValue: Expression => Expression): Seq[(String, Expression)] = {
+    def render(r: String, p: List[PathStep]): String = r + p.map {
+      case FieldStep(n) => s".$n"
+      case IndexStep(i) => s"[${i.value}]"
+      case KeyStep(k) => s"[${k.sql}]"
+    }.mkString
     val order = scala.collection.mutable.LinkedHashMap.empty[String, Expression]
-    val seen = scala.collection.mutable.ListBuffer.empty[(String, List[String])]
+    val seen = scala.collection.mutable.ListBuffer.empty[(String, List[PathStep])]
     assigns.foreach { a =>
       val (root, path) = keyPath(a.key)
       seen.foreach { case (r, p) =>
         if (r == root.name && (p.startsWith(path) || path.startsWith(p)))
           unsupported("conflicting assignments to " +
-            (root.name :: path).mkString(".") + " and " +
-            (r :: p).mkString(".") + " in one statement")
+            render(root.name, path) + " and " +
+            render(r, p) + " in one statement")
       }
       seen += ((root.name, path))
       val v = mapValue(a.value)

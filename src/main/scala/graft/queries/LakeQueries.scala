@@ -962,6 +962,47 @@ object LakeQueries {
     s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
   }
 
+  /** Array/map ELEMENT paths in UPDATE / MERGE SET (round 13 —
+    * previously a loud refusal): `SET tags[1] = v`, `SET m['k'] = v`
+    * lower through [[graft.lake.sql.ElementAssignmentParser]] onto the
+    * [[graft.lake.sql.LakeElementSet]] whole-root rebuild and ride the
+    * existing CoW application sites unchanged. Exercises in-bounds
+    * array replace, map update-in-place, map upsert-append,
+    * out-of-bounds no-op, and a MERGE-clause element SET; the oracle
+    * reconstructs the final table relationally from `documents`. */
+  private val sqlElemCatalogs = new SessionMemo[String]()
+
+  def lakeSqlUpdateElement(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlElemCatalogs.getOrBuild(s, d) {
+      val wh = Files.createTempDirectory("graft_lakesqlel_").toString
+      val name = s"lakesqlel_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name", classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      val src = documents(s, d).select(col("doc_id"),
+        expr("slice(split(text, ' '), 1, 3)").as("tags"),
+        map(lit("n"), size(split(col("text"), " ")).cast("long"),
+          lit("v"), col("doc_id")).as("meta"),
+        array(col("doc_id"), col("doc_id") * 2, col("doc_id") * 3).as("scores"))
+      s.sql(s"CREATE TABLE $name.q.docs (${src.schema.toDDL})")
+      LakeCatalog.open(wh).loadTable("q", "docs").appendData(src, 4)
+      s.sql(s"UPDATE $name.q.docs SET tags[1] = 'X' WHERE doc_id % 3 = 0")
+      s.sql(s"UPDATE $name.q.docs SET meta['n'] = meta['n'] + 100 WHERE doc_id % 4 = 0")
+      s.sql(s"UPDATE $name.q.docs SET meta['new'] = doc_id WHERE doc_id % 5 = 0")
+      // scores has exactly 3 elements: index 7 is the out-of-bounds
+      // row-preserving no-op
+      s.sql(s"UPDATE $name.q.docs SET scores[7] = -1 WHERE doc_id % 7 = 0")
+      documents(s, d).select(col("doc_id")).filter(col("doc_id") % 6 === 0)
+        .createOrReplaceTempView("lake_elem_merge_src")
+      s.sql(
+        s"""MERGE INTO $name.q.docs t USING lake_elem_merge_src m
+           |ON t.doc_id = m.doc_id
+           |WHEN MATCHED THEN UPDATE SET t.tags[0] = 'M'""".stripMargin)
+      name
+    }
+    s.sql(s"SELECT doc_id, tags, meta, scores FROM $catName.q.docs ORDER BY doc_id")
+  }
+
   /** FULL-grammar SQL MERGE (round 12): ONE CDC batch carrying
     * conditioned deletes (`WHEN MATCHED AND s.op='D' THEN DELETE`),
     * conditioned updates, filtered partial inserts AND a
@@ -1112,6 +1153,7 @@ object LakeQueries {
     "lake_sql_merge_full" -> lakeSqlMergeFull,
     "lake_sql_merge_full_mor" -> lakeSqlMergeFullMor,
     "lake_sql_update_subquery" -> lakeSqlUpdateSubquery,
+    "lake_sql_update_element" -> lakeSqlUpdateElement,
     "lake_sql_delete" -> lakeSqlDelete,
     "lake_maintenance" -> lakeMaintenance,
     "lake_rename" -> lakeRename,
@@ -1157,6 +1199,30 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // element-path UPDATE/MERGE SET: tags[1]='X' (%3), meta['n']+=100
+    // (%4), meta['new'] upsert-append (%5), scores[7] OOB no-op (%7),
+    // MERGE tags[0]='M' (%6) — reconstructed relationally
+    "lake_sql_update_element" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    string_split(text, ' ')[1:3] AS tags0,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n0
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  list_transform(generate_series(1, len(tags0)),
+        |    j -> CASE WHEN j = 1 AND doc_id % 6 = 0 THEN 'M'
+        |              WHEN j = 2 AND doc_id % 3 = 0 THEN 'X'
+        |              ELSE tags0[j] END) AS tags,
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN map(['n', 'v', 'new'],
+        |                [CASE WHEN doc_id % 4 = 0 THEN n0 + 100 ELSE n0 END,
+        |                 doc_id, doc_id])
+        |       ELSE map(['n', 'v'],
+        |                [CASE WHEN doc_id % 4 = 0 THEN n0 + 100 ELSE n0 END,
+        |                 doc_id]) END AS meta,
+        |  [doc_id, doc_id * 2, doc_id * 3] AS scores
+        |FROM base ORDER BY doc_id""".stripMargin,
     // matched D-rows (key%10=0) delete; matched U-rows (key%10=3) take the
     // doubled price + '5-MERGED'; I-rows insert under shifted keys with
     // NULL o_orderdate (partial INSERT); every row the source does NOT

@@ -337,4 +337,129 @@ class SqlModelSpec extends LakeSuite {
       }
     }
   }
+
+  test("random element-path SET + conditional MERGE keep table == model at every step") {
+    for (seed <- Seq(11, 59, 83)) {
+      val rng = new scala.util.Random(seed)
+      val wh = freshWarehouse()
+      val cat = s"elemfuzz$seed"
+      spark.conf.set(s"spark.sql.catalog.$cat", classOf[LakeSqlCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      spark.sql(s"CREATE NAMESPACE $cat.ns")
+      spark.sql(s"CREATE TABLE $cat.ns.t (id BIGINT, tags ARRAY<STRING>, " +
+        "m MAP<STRING, BIGINT>)")
+
+      // model row = (tags or null, ORDERED map entries or null) — entry
+      // order is part of the contract (in-place update preserves it,
+      // upsert appends at the end)
+      var model = Map.empty[Long, (List[String], Vector[(String, Long)])]
+      var nextId = 0L
+      val keys = Vector("a", "b", "c", "d")
+
+      def check(step: Int, op: String): Unit = {
+        val actual = spark.sql(
+          s"SELECT id, tags, map_entries(m) FROM $cat.ns.t").collect()
+          .map { r =>
+            r.getLong(0) -> ((
+              if (r.isNullAt(1)) null else r.getSeq[String](1).toList,
+              if (r.isNullAt(2)) null
+              else r.getSeq[Row](2).map(e => (e.getString(0), e.getLong(1))).toVector))
+          }.toMap
+        assert(actual === model, s"seed=$seed step=$step after $op")
+      }
+
+      def upsert(es: Vector[(String, Long)], k: String, v: Long) =
+        if (es == null) null
+        else if (es.exists(_._1 == k)) es.map(e => if (e._1 == k) (k, v) else e)
+        else es :+ ((k, v))
+
+      def tagsLit(t: List[String]): String =
+        if (t == null) "CAST(NULL AS ARRAY<STRING>)"
+        else if (t.isEmpty) "array()" else t.map(s => s"'$s'").mkString("array(", ", ", ")")
+      def mapLit(es: Vector[(String, Long)]): String =
+        if (es == null) "CAST(NULL AS MAP<STRING, BIGINT>)"
+        else if (es.isEmpty) "map()"
+        else es.map { case (k, v) => s"'$k', CAST($v AS BIGINT)" }
+          .mkString("map(", ", ", ")")
+
+      def freshRows(n: Int): Seq[(Long, (List[String], Vector[(String, Long)]))] =
+        (0 until n).map { _ =>
+          nextId += 1
+          val i = nextId
+          val tg = rng.nextInt(5) match {
+            case 0 => null
+            case k => List.tabulate(k - 1)(j => s"t${i}_$j")
+          }
+          val mp = rng.nextInt(4) match {
+            case 0 => null
+            case k => Vector.tabulate(k - 1)(j => (keys(j), i * 100 + j))
+          }
+          i -> ((tg, mp))
+        }
+
+      val seedRows = freshRows(12)
+      spark.sql(s"INSERT INTO $cat.ns.t VALUES " + seedRows.map {
+        case (id, (tg, mp)) => s"($id, ${tagsLit(tg)}, ${mapLit(mp)})"
+      }.mkString(", "))
+      model = seedRows.toMap
+      check(-1, "seed insert")
+
+      for (step <- 0 until 12) {
+        rng.nextInt(5) match {
+          case 0 => // array element ← literal (index sometimes OOB)
+            val i = rng.nextInt(4); val mm = rng.nextInt(3)
+            spark.sql(s"UPDATE $cat.ns.t SET tags[$i] = 'e$step' WHERE id % 3 = $mm")
+            model = model.map { case (id, (tg, mp)) =>
+              id -> ((
+                if (id % 3 == mm && tg != null && i < tg.length)
+                  tg.updated(i, s"e$step") else tg, mp))
+            }
+            check(step, s"tags[$i] literal")
+          case 1 => // map upsert ← literal
+            val k = keys(rng.nextInt(keys.length)); val mm = rng.nextInt(3)
+            val v = step * 10 + 1L
+            spark.sql(s"UPDATE $cat.ns.t SET m['$k'] = $v WHERE id % 3 = $mm")
+            model = model.map { case (id, (tg, mp)) =>
+              id -> ((tg, if (id % 3 == mm) upsert(mp, k, v) else mp))
+            }
+            check(step, s"m[$k] literal")
+          case 2 => // array element ← expression over the OLD element
+            val i = rng.nextInt(3); val mm = rng.nextInt(3)
+            spark.sql(s"UPDATE $cat.ns.t SET tags[$i] = upper(tags[$i]) WHERE id % 3 = $mm")
+            model = model.map { case (id, (tg, mp)) =>
+              id -> ((
+                if (id % 3 == mm && tg != null && i < tg.length)
+                  tg.updated(i, tg(i).toUpperCase) else tg, mp))
+            }
+            check(step, s"tags[$i] self")
+          case 3 => // conditional MERGE: matched-AND element SET + insert
+            val present = model.keys.toSeq.sorted.filter(_ => rng.nextBoolean())
+            val fresh = freshRows(1 + rng.nextInt(2))
+            val srcIds = present ++ fresh.map(_._1)
+            spark.sql("SELECT * FROM VALUES " +
+              srcIds.map(i => s"(CAST($i AS BIGINT))").mkString(", ") +
+              " AS s(id)").createOrReplaceTempView("elem_fuzz_src")
+            spark.sql(
+              s"""MERGE INTO $cat.ns.t t USING elem_fuzz_src s ON t.id = s.id
+                 |WHEN MATCHED AND t.id % 2 = 0 THEN UPDATE SET t.m['mg'] = $step
+                 |WHEN NOT MATCHED THEN INSERT (id, tags, m)
+                 |  VALUES (s.id, array('n$step'), map('a', CAST($step AS BIGINT)))
+                 |""".stripMargin)
+            model = model.map { case (id, (tg, mp)) =>
+              id -> ((tg,
+                if (present.contains(id) && id % 2 == 0)
+                  upsert(mp, "mg", step.toLong) else mp))
+            } ++ fresh.map { case (id, _) =>
+              id -> ((List(s"n$step"), Vector(("a", step.toLong))))
+            }
+            check(step, "conditional merge")
+          case 4 => // DELETE churn
+            val mm = rng.nextInt(5)
+            spark.sql(s"DELETE FROM $cat.ns.t WHERE id % 5 = $mm")
+            model = model.filter { case (id, _) => id % 5 != mm }
+            check(step, s"delete %5=$mm")
+        }
+      }
+    }
+  }
 }
