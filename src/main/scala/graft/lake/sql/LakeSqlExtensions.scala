@@ -654,9 +654,68 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
       val (pairs, plan) = decorrelateExists(ex.plan)
       LakeSubqueryFlag("notexists", plan, pairs.map(_._1),
         innerKeys = pairs.map(_._2))
+    case e if e.exists(_.isInstanceOf[SubqueryExpression]) &&
+        e.collect { case s: SubqueryExpression => s }
+          .forall(_.isInstanceOf[ScalarSubquery]) =>
+      // scalar-subquery conjunct (round 13): `x > (SELECT agg FROM t2
+      // WHERE t2.k = t.k)` and friends. Each scalar becomes a
+      // placeholder attribute the command binds at run time — a
+      // statement-constant literal when uncorrelated, a per-key
+      // left-joined aggregate when correlated (see
+      // [[decorrelateScalarAgg]] for the empty-group treatment).
+      val subs = scala.collection.mutable.Buffer.empty[LakeScalarSub]
+      val cond = e.transform {
+        case sq: ScalarSubquery =>
+          val j = subs.length
+          if (sq.outerAttrs.isEmpty) subs += LakeScalarSub(sq.plan, Nil, None)
+          else subs += decorrelateScalarAgg(sq.plan)
+          UnresolvedAttribute(Seq(s"__lake_sq_val_$j"))
+      }
+      LakeSubqueryFlag("scalar", subs.head.plan, Nil,
+        scalarCond = Some(cond), scalars = subs.toSeq)
     case other => unsupported(
       s"subquery condition ${other.sql} is not a supported [NOT] IN / " +
-        "[NOT] EXISTS shape")
+        "[NOT] EXISTS / scalar-comparison shape")
+  }
+
+  /** Decorrelate one correlated scalar-aggregate subquery: the inner
+    * plan must be a GLOBAL aggregate whose filters correlate through
+    * simple `outer = inner` equalities (the `WHERE price > (SELECT
+    * avg(price) FROM t2 WHERE t2.k = t.k)` CDC/repair shape —
+    * correlation under joins/limits/generators still refuses loudly).
+    * Returns the per-key twin — `Aggregate(keys, keys :+ value,
+    * strippedChild)`, output = key columns then the value column — plus
+    * the ON-EMPTY plan: the ORIGINAL global aggregate over an empty
+    * relation, whose single row is exactly what SQL's scalar subquery
+    * yields for a key with no inner matches (NULL for avg/sum/min/max,
+    * 0 for count — the classic decorrelation count-bug, fixed by
+    * construction rather than by special-casing Count). */
+  private def decorrelateScalarAgg(root: LogicalPlan): LakeScalarSub = {
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case SubqueryAlias(_, c) => strip(c)
+      case other => other
+    }
+    strip(root) match {
+      case Aggregate(Seq(), aggExprs, child, _) if aggExprs.size == 1 =>
+        val (pairs, stripped) = pullCorrelatedEqualities(child,
+          stripProjects = false)
+        if (pairs.isEmpty) unsupported(
+          "correlated scalar subquery carries no outer = inner equality " +
+            "to decorrelate on")
+        val keyAliases = pairs.map(_._2).zipWithIndex.map { case (ik, j) =>
+          Alias(ik, s"__lake_sq_key_$j")()
+        }
+        val perKey = Aggregate(pairs.map(_._2), keyAliases :+ aggExprs.head,
+          stripped)
+        val onEmpty = Aggregate(Seq(), aggExprs,
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+            stripped.output))
+        LakeScalarSub(perKey, pairs.map(_._1), Some(onEmpty))
+      case other => unsupported(
+        s"correlated scalar subquery over a ${other.nodeName} is not a " +
+          "global aggregate (only `SELECT agg(...) FROM t WHERE " +
+          "t.k = outer.k [AND ...]` decorrelates)")
+    }
   }
 
   /** Pull the correlated equalities out of an EXISTS subquery plan:
@@ -668,6 +727,14 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
     * anywhere deeper (under aggregates, joins, limits, generators)
     * refuses loudly. */
   private def decorrelateExists(root: LogicalPlan)
+      : (Seq[(Expression, Expression)], LogicalPlan) =
+    pullCorrelatedEqualities(root, stripProjects = true)
+
+  /** Shared correlation walker for EXISTS (strips output-shaping
+    * Projects — emptiness is all that matters) and scalar aggregates
+    * (keeps them — the value matters). */
+  private def pullCorrelatedEqualities(root: LogicalPlan,
+      stripProjects: Boolean)
       : (Seq[(Expression, Expression)], LogicalPlan) = {
     def hasOuterDeep(p: LogicalPlan): Boolean =
       p.exists(_.expressions.exists(_.exists(_.isInstanceOf[OuterReference])))
@@ -698,7 +765,7 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
           case EqualTo(l, r) if hasOuter(r) && !hasOuter(l) && innerFree(r) =>
             (unwrap(r), l)
           case other => unsupported(
-            s"EXISTS correlation ${other.sql} is not a simple " +
+            s"subquery correlation ${other.sql} is not a simple " +
               "outer = inner equality")
         }
         val (below, c2) = go(c, topProjects = false)
@@ -706,10 +773,10 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
           rest.reduceOption(And).map(Filter(_, c2)).getOrElse(c2))
       case other =>
         if (hasOuterDeep(other)) unsupported(
-          s"EXISTS correlation below a ${other.nodeName} operator is not supported")
+          s"subquery correlation below a ${other.nodeName} operator is not supported")
         (Nil, other)
     }
-    go(root, topProjects = true)
+    go(root, topProjects = stripProjects)
   }
 
   /** The canonical upsert: WHEN MATCHED THEN UPDATE SET * / WHEN NOT
@@ -867,7 +934,24 @@ final case class LakeSubqueryFlag(
     kind: String,
     plan: LogicalPlan,
     outerKeys: Seq[Expression],
-    innerKeys: Seq[Expression] = Nil)
+    innerKeys: Seq[Expression] = Nil,
+    /** kind="scalar": the conjunct with each ScalarSubquery replaced by
+      * an `__lake_sq_val_<j>` placeholder attribute. */
+    scalarCond: Option[Expression] = None,
+    /** kind="scalar": one entry per placeholder, in index order. */
+    scalars: Seq[LakeScalarSub] = Nil)
+
+/** One scalar subquery inside a "scalar" flag conjunct. Uncorrelated:
+  * `plan` is the original subquery, `outerKeys` empty, evaluated once
+  * to a statement-constant literal. Correlated: `plan` is the per-key
+  * aggregate twin (keys projected first, value last), `outerKeys` the
+  * target-row join expressions, `onEmpty` the original global
+  * aggregate over an empty relation — its single row is the value SQL
+  * gives a key with no inner matches (count → 0, avg/sum → NULL). */
+final case class LakeScalarSub(
+    plan: LogicalPlan,
+    outerKeys: Seq[Expression],
+    onEmpty: Option[LogicalPlan])
 
 /** Evaluates uncorrelated scalar subqueries in assignment values to
   * literals — once per statement, exactly the SQL semantics of a
@@ -973,6 +1057,47 @@ final case class LakeRowLevelSubqueryCommand(
             val hit = joinMarked(projected)
             conds += (if (f.kind == "exists") hit else !hit)
           }
+        case "scalar" =>
+          // bind each placeholder: uncorrelated → one literal;
+          // correlated → left-join the per-key aggregate, then
+          // coalesce with the aggregate's on-empty value so a key
+          // with no inner matches reads what SQL's scalar subquery
+          // yields (count → 0, avg/sum → NULL — the count-bug fix)
+          var bound = unresolve(f.scalarCond.get)
+          f.scalars.zipWithIndex.foreach { case (sc, j) =>
+            val phName = s"__lake_sq_val_$j"
+            val valueExpr: Expression = if (sc.outerKeys.isEmpty) {
+              val rows = PlanBridge.ofRows(spark, sc.plan).limit(2).collect()
+              if (rows.length > 1) throw new IllegalStateException(
+                s"scalar subquery in $verb WHERE returned more than one row")
+              org.apache.spark.sql.catalyst.expressions.Literal.create(
+                if (rows.isEmpty) null else rows(0).get(0),
+                sc.plan.output.head.dataType)
+            } else {
+              val vCol = s"__sq${i}_v$j"
+              val kNames = sc.outerKeys.indices.map(q => s"__sq${i}_s${j}_k$q")
+              val perKey = PlanBridge.ofRows(spark, sc.plan)
+                .toDF(kNames :+ vCol: _*)
+              val joinCond = sc.outerKeys
+                .map(ok => ColumnBridge.column(unresolve(ok)))
+                .zip(kNames.map(col)).map { case (ok, kn) => ok === kn }
+                .reduce(_ && _)
+              // grouped-by-key ⇒ at most one row per key: multiplicity 1
+              df = df.join(perKey, joinCond, "left_outer").drop(kNames: _*)
+              val onEmptyVal = sc.onEmpty.map { oe =>
+                PlanBridge.ofRows(spark, oe).head().get(0)
+              }.orNull
+              org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+                UnresolvedAttribute.quoted(vCol),
+                org.apache.spark.sql.catalyst.expressions.Literal.create(
+                  onEmptyVal, sc.plan.output.last.dataType)))
+            }
+            bound = bound.transform {
+              case u: UnresolvedAttribute if u.nameParts == Seq(phName) =>
+                valueExpr
+            }
+          }
+          conds += ColumnBridge.column(bound)
       }
     }
     df.withColumn("__match", conds.reduceOption(_ && _).getOrElse(lit(true)))

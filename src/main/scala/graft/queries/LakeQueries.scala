@@ -962,6 +962,37 @@ object LakeQueries {
     s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
   }
 
+  /** Correlated scalar aggregates in UPDATE/DELETE WHERE (round 13 —
+    * previously a loud refusal): `WHERE (SELECT count(*) … WHERE inner
+    * = outer) = 1` and `WHERE price = (SELECT max(…) …)` decorrelate
+    * onto a per-key aggregate left-joined against the touched-files
+    * read. The inner source is restricted to EVEN order keys so both
+    * empty-group semantics appear under the oracle: count over an
+    * empty group reads 0 (the decorrelation count-bug, fixed by the
+    * on-empty-relation default), max reads NULL (comparison unknown →
+    * no match). max/count only — integer-exact selection aggregates,
+    * never a double sum. */
+  private val sqlCorrAggCatalogs = new SessionMemo[String]()
+
+  def lakeSqlUpdateCorrAgg(s: SparkSession, d: String): DataFrame = {
+    val catName = sqlOrdersCatalog(sqlCorrAggCatalogs, s, d, "lakesqlcagg",
+      numFiles = 4) { name =>
+      orders(s, d).filter(col("o_orderkey") % 2 === 0)
+        .createOrReplaceTempView("lake_corr_evens")
+      s.sql(
+        s"""UPDATE $name.q.orders t SET o_orderpriority = '8-SOLO'
+           |WHERE (SELECT count(*) FROM lake_corr_evens o2
+           |       WHERE o2.o_custkey = t.o_custkey) = 1""".stripMargin)
+      s.sql(
+        s"""DELETE FROM $name.q.orders t
+           |WHERE o_orderstatus = 'F' AND o_totalprice =
+           |  (SELECT max(o2.o_totalprice) FROM lake_corr_evens o2
+           |   WHERE o2.o_custkey = t.o_custkey)""".stripMargin)
+      ()
+    }
+    s.sql(s"SELECT * FROM $catName.q.orders ORDER BY o_orderkey")
+  }
+
   /** Array/map ELEMENT paths in UPDATE / MERGE SET (round 13 —
     * previously a loud refusal): `SET tags[1] = v`, `SET m['k'] = v`
     * lower through [[graft.lake.sql.ElementAssignmentParser]] onto the
@@ -1154,6 +1185,7 @@ object LakeQueries {
     "lake_sql_merge_full_mor" -> lakeSqlMergeFullMor,
     "lake_sql_update_subquery" -> lakeSqlUpdateSubquery,
     "lake_sql_update_element" -> lakeSqlUpdateElement,
+    "lake_sql_update_corr_agg" -> lakeSqlUpdateCorrAgg,
     "lake_sql_delete" -> lakeSqlDelete,
     "lake_maintenance" -> lakeMaintenance,
     "lake_rename" -> lakeRename,
@@ -1199,6 +1231,22 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // correlated scalar aggregates over the EVEN-key inner domain:
+    // count()=1 → '8-SOLO' (absent key counts 0); then F-orders at
+    // their customer's even-max price die (absent key → NULL → keep)
+    "lake_sql_update_corr_agg" ->
+      """WITH ev AS (
+        |  SELECT o_custkey, count(*) AS n, max(o_totalprice) AS mx
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+        |)
+        |SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+        |  o.o_orderdate,
+        |  CASE WHEN coalesce(ev.n, 0) = 1 THEN '8-SOLO'
+        |       ELSE o.o_orderpriority END AS o_orderpriority
+        |FROM orders o LEFT JOIN ev USING (o_custkey)
+        |WHERE NOT coalesce(o.o_orderstatus = 'F'
+        |                   AND o.o_totalprice = ev.mx, false)
+        |ORDER BY o_orderkey""".stripMargin,
     // element-path UPDATE/MERGE SET: tags[1]='X' (%3), meta['n']+=100
     // (%4), meta['new'] upsert-append (%5), scores[7] OOB no-op (%7),
     // MERGE tags[0]='M' (%6) — reconstructed relationally

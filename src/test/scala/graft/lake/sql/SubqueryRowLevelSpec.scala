@@ -138,6 +138,78 @@ class SubqueryRowLevelSpec extends LakeSuite {
     assert(e3.getMessage.contains("uncorrelated scalar"))
   }
 
+  // ---- correlated scalar aggregates in WHERE (round 13) ----
+
+  private def scalarFixture(tag: String): String = {
+    val (c, _) = freshCat(tag)
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT, k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.t VALUES " +
+      "(1,1,10),(2,1,20),(3,2,5),(4,2,5),(5,3,7)")
+    // inner domain covers k=1,2 only — k=3 is the EMPTY group
+    spark.sql("SELECT * FROM VALUES (1L,10L),(1L,20L),(2L,5L),(2L,5L) AS s(k2, w)")
+      .createOrReplaceTempView(s"sc_src_$tag")
+    c
+  }
+
+  test("UPDATE WHERE v > (SELECT avg ... WHERE k2 = k) decorrelates; empty group is NULL") {
+    val c = scalarFixture("sag")
+    spark.sql(s"UPDATE $c.ns.t SET v = -1 " +
+      s"WHERE v > (SELECT avg(w) FROM sc_src_sag WHERE k2 = k)")
+    // k=1 avg 15 → only v=20 updates; k=2 avg 5 → none; k=3 empty
+    // group → NULL comparison → row 5 untouched
+    assert(rows(s"SELECT id, v FROM $c.ns.t ORDER BY id") ===
+      Seq(Row(1L, 10L), Row(2L, -1L), Row(3L, 5L), Row(4L, 5L), Row(5L, 7L)))
+  }
+
+  test("count over an empty group reads 0, not NULL (the decorrelation count-bug)") {
+    val c = scalarFixture("cb")
+    spark.sql(s"DELETE FROM $c.ns.t " +
+      s"WHERE (SELECT count(*) FROM sc_src_cb WHERE k2 = k) = 0")
+    // exactly the empty-group row (k=3) dies — a naive groupBy+join
+    // would read NULL there and delete nothing
+    assert(rows(s"SELECT id FROM $c.ns.t ORDER BY id") ===
+      Seq(Row(1L), Row(2L), Row(3L), Row(4L)))
+  }
+
+  test("uncorrelated scalar comparison in WHERE is statement-constant") {
+    val c = scalarFixture("usc")
+    // global avg(w) = 10 → deletes v < 10 rows
+    spark.sql(s"DELETE FROM $c.ns.t WHERE v < (SELECT avg(w) FROM sc_src_usc)")
+    assert(rows(s"SELECT id FROM $c.ns.t ORDER BY id") ===
+      Seq(Row(1L), Row(2L)))
+  }
+
+  test("scalar conjunct composes with IN flags and residuals in one WHERE") {
+    val c = scalarFixture("mix")
+    spark.sql("SELECT * FROM VALUES (1L),(2L),(5L) AS s(i)")
+      .createOrReplaceTempView("sc_mix_ids")
+    spark.sql(s"UPDATE $c.ns.t SET v = 99 " +
+      s"WHERE id IN (SELECT i FROM sc_mix_ids) " +
+      s"AND v >= (SELECT min(w) FROM sc_src_mix WHERE k2 = k) AND id > 1")
+    // id∈{2,5}∧id>1; id=2: v=20 ≥ min(k=1)=10 ✓; id=5: empty group → NULL ✗
+    assert(rows(s"SELECT id, v FROM $c.ns.t ORDER BY id") ===
+      Seq(Row(1L, 10L), Row(2L, 99L), Row(3L, 5L), Row(4L, 5L), Row(5L, 7L)))
+  }
+
+  test("correlation in a JOIN condition refuses; above the join it decorrelates") {
+    val c = scalarFixture("ref2")
+    // outer reference INSIDE the join condition — genuinely unpullable
+    val e = intercept[Exception](spark.sql(
+      s"""DELETE FROM $c.ns.t WHERE v > (
+         |  SELECT avg(a.w) FROM sc_src_ref2 a JOIN sc_src_ref2 b ON a.k2 = k)""".stripMargin))
+    assert(e.getMessage.contains("not supported") ||
+      e.getMessage.contains("correlation"), e.getMessage)
+    // the same equality in a FILTER above the join pulls up soundly:
+    // per k=1, the self-join doubles each side (2×2 rows, avg 15) —
+    // deletes v>15 ⇒ only id=2
+    spark.sql(
+      s"""DELETE FROM $c.ns.t WHERE v > (
+         |  SELECT avg(a.w) FROM sc_src_ref2 a JOIN sc_src_ref2 b ON a.w = b.w
+         |  WHERE a.k2 = k)""".stripMargin)
+    assert(rows(s"SELECT id FROM $c.ns.t ORDER BY id") ===
+      Seq(Row(1L), Row(3L), Row(4L), Row(5L)))
+  }
+
   test("columns in the synthetic __sq*/__match join namespace refuse") {
     val (c, _) = freshCat("clash")
     // case-VARIANT names: Spark resolution is case-insensitive, so
