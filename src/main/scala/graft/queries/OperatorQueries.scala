@@ -40,27 +40,16 @@ object OperatorQueries {
       "audio_fingerprint_dedup")
   }
 
-  /** The shared banded near-dup tail: 4×16-bit LSH bands over a 64-bit
-    * hash column, candidate pairs on band collision, hamming gate
-    * BEFORE the pair distinct, quadratic-output budget refusal. */
-  private def bandedHammingPairs(s: SparkSession, hashed: DataFrame,
-      hashCol: String, budgetConf: String, opName: String): DataFrame = {
-    val cached = QueryCaches.track(hashed.persist())
-    val banded = cached.select(col("doc_id"), col(hashCol).as("h"),
+  /** 4×16-bit LSH bands over a 64-bit hash column. */
+  private def bandHashes(cached: DataFrame, hashCol: String): DataFrame =
+    cached.select(col("doc_id"), col(hashCol).as("h"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band", "bucket")))
-    val budget = s.conf.get(budgetConf, (200L * 1000 * 1000).toString).toLong
-    if (budget > 0) {
-      val candPairs = banded.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("n"))
-        .agg(coalesce(sum((col("n") * (col("n") - 1)).cast("long")), lit(0L)))
-        .head().getLong(0) / 2
-      if (candPairs > budget) throw new IllegalStateException(
-        s"$opName would examine ~$candPairs candidate pairs " +
-          s"(budget $budget): band into cluster labels instead, or raise " +
-          budgetConf)
-    }
+
+  /** Band-collision candidates → hamming ≤ 6 edges (da < db, with the
+    * distance; duplicates across bands NOT yet removed). */
+  private def hammingEdges(banded: DataFrame): DataFrame = {
     val l = banded.select(col("band"), col("bucket"),
       col("doc_id").as("da"), col("h").as("ha"))
     val r = banded.select(col("band"), col("bucket"),
@@ -69,84 +58,165 @@ object OperatorQueries {
       .select(col("da"), col("db"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 6)
-      .distinct()
-      .orderBy(col("da"), col("db"))
+  }
+
+  /** The shared banded near-dup tail: candidate pairs on band
+    * collision, hamming gate BEFORE the pair distinct,
+    * quadratic-output budget refusal. The refusal message names the
+    * RUNNABLE escape: the `*_clusters` twins below emit linear
+    * min-representative labels through [[ConnectedComponents]] with no
+    * pair materialization, so 100 TB has a path, not just an error. */
+  private def bandedHammingPairs(s: SparkSession, hashed: DataFrame,
+      hashCol: String, budgetConf: String, opName: String): DataFrame = {
+    val cached = QueryCaches.track(hashed.persist())
+    val banded = bandHashes(cached, hashCol)
+    val budget = s.conf.get(budgetConf, (200L * 1000 * 1000).toString).toLong
+    if (budget > 0) {
+      val candPairs = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum((col("n") * (col("n") - 1)).cast("long")), lit(0L)))
+        .head().getLong(0) / 2
+      if (candPairs > budget) throw new IllegalStateException(
+        s"$opName would examine ~$candPairs candidate pairs " +
+          s"(budget $budget): run the ${opName.stripSuffix("_dedup")}" +
+          s"_clusters labels twin instead, or raise " + budgetConf)
+    }
+    hammingEdges(banded).distinct().orderBy(col("da"), col("db"))
+  }
+
+  /** The labels ESCAPE for the banded modal dedups: the same bands and
+    * hamming gate, but the output is min-representative cluster labels
+    * ([[ConnectedComponents]] — size-gated union-find or distributed
+    * min-label propagation), O(clustered docs) rows no matter how
+    * duplicate-heavy the corpus. No pair budget: nothing quadratic is
+    * ever materialized or returned — the edge stream flows straight
+    * into the component loop, whose shuffles are sized to the edge
+    * set. This is the documented 100-TB shape for image/audio dedup. */
+  private def bandedHammingClusters(s: SparkSession, hashed: DataFrame,
+      hashCol: String): DataFrame = {
+    val cached = QueryCaches.track(hashed.persist())
+    val edges = hammingEdges(bandHashes(cached, hashCol))
+      .select(col("da"), col("db")).distinct()
+    ConnectedComponents.labels(s, edges)
+  }
+
+  /** [[qImagePhashDedup]]'s linear-output twin. */
+  def qImagePhashClusters(s: SparkSession, d: String): DataFrame = {
+    val hashed = MultimodalDecode.imageDHash(documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))).toDF()
+    bandedHammingClusters(s, hashed, "dhash")
+  }
+
+  /** [[qAudioFingerprintDedup]]'s linear-output twin. */
+  def qAudioFingerprintClusters(s: SparkSession, d: String): DataFrame = {
+    val hashed = MultimodalDecode.audioFingerprint(documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))).toDF()
+    bandedHammingClusters(s, hashed, "afp")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_salted_agg" -> qSaltedAgg,
     "image_phash_dedup" -> qImagePhashDedup,
     "audio_fingerprint_dedup" -> qAudioFingerprintDedup,
+    "image_phash_clusters" -> qImagePhashClusters,
+    "audio_fingerprint_clusters" -> qAudioFingerprintClusters,
     "multimodal_decode" -> ((s, d) => MultimodalDecode.decodeDocuments(s, d)),
     "multimodal_frames" -> ((s, d) => MultimodalDecode.frameDocuments(s, d)),
     "multimodal_png_codec" -> ((s, d) => MultimodalDecode.pngDocuments(s, d)),
     "multimodal_wav_codec" -> ((s, d) => MultimodalDecode.wavDocuments(s, d)),
   )
 
+  // decoded PCM == source bytes (lossless WAV), so the 64-window
+  // energy fingerprint reconstructs from the text; the cyclic
+  // neighbor comparison and 16-bit banding mirror the Spark side.
+  // ONE definition of bands/cand feeds both the pair oracle and the
+  // clusters oracle so they cannot drift.
+  private val audioBandCtes: String =
+    """en AS (
+      |  SELECT doc_id, w,
+      |    CAST(list_sum(list_transform(range(4), j ->
+      |      CASE WHEN 4*w + j < length(text)
+      |        THEN ascii(substring(text, 4*w + j + 1, 1)) ELSE 0 END))
+      |      AS BIGINT) AS e
+      |  FROM documents, (SELECT unnest(range(64)) AS w) t
+      |), bands AS (
+      |  SELECT a.doc_id, a.w // 16 AS band,
+      |    CAST(sum(CASE WHEN b.e > a.e THEN 1::BIGINT << (a.w % 16)
+      |             ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM en a JOIN en b
+      |    ON b.doc_id = a.doc_id AND b.w = (a.w + 1) % 64
+      |  GROUP BY a.doc_id, a.w // 16
+      |), cand AS (
+      |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+      |)""".stripMargin
+
+  // the lossless-codec argument again: the decoded raster == the
+  // source bytes, so the dHash reconstructs from the text (bytes past
+  // the 16x16 canvas are zero); bands of 16 bits keep bit 63 away
+  // from BIGINT sign exactly as in the simhash oracle
+  private val imageBandCtes: String =
+    """px AS (
+      |  SELECT doc_id, r, c,
+      |    CASE WHEN 32*r + 2*c < length(text)
+      |      THEN ascii(substring(text, 32*r + 2*c + 1, 1)) ELSE 0 END AS a,
+      |    CASE WHEN 32*r + 2*c + 1 < length(text)
+      |      THEN ascii(substring(text, 32*r + 2*c + 2, 1)) ELSE 0 END AS b
+      |  FROM documents,
+      |    (SELECT unnest(range(8)) AS r) t1,
+      |    (SELECT unnest(range(8)) AS c) t2
+      |), bands AS (
+      |  SELECT doc_id, (r*8 + c) // 16 AS band,
+      |    CAST(sum(CASE WHEN b > a THEN 1::BIGINT << ((r*8 + c) % 16)
+      |             ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM px GROUP BY doc_id, (r*8 + c) // 16
+      |), cand AS (
+      |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+      |)""".stripMargin
+
+  private val hammingPairSelect: String =
+    """SELECT c.da, c.db,
+      |  CAST(sum(bit_count(xor(x.bucket, y.bucket))) AS BIGINT) AS hamming
+      |FROM cand c
+      |JOIN bands x ON x.doc_id = c.da
+      |JOIN bands y ON y.doc_id = c.db AND y.band = x.band
+      |GROUP BY c.da, c.db
+      |HAVING sum(bit_count(xor(x.bucket, y.bucket))) <= 6
+      |ORDER BY da, db""".stripMargin
+
+  // pairs → bidirectional edges → recursive reachability; min
+  // reachable id per node == the component's min-representative label
+  private val hammingClusterTail: String =
+    """, pairs AS (
+      |  SELECT c.da, c.db
+      |  FROM cand c
+      |  JOIN bands x ON x.doc_id = c.da
+      |  JOIN bands y ON y.doc_id = c.db AND y.band = x.band
+      |  GROUP BY c.da, c.db
+      |  HAVING sum(bit_count(xor(x.bucket, y.bucket))) <= 6
+      |), edges AS (
+      |  SELECT da AS a, db AS b FROM pairs
+      |  UNION ALL SELECT db, da FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT a AS node, a AS label FROM edges
+      |  UNION
+      |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+      |)
+      |SELECT node AS doc_id, min(label) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // decoded PCM == source bytes (lossless WAV), so the 64-window
-    // energy fingerprint reconstructs from the text; the cyclic
-    // neighbor comparison and 16-bit banding mirror the Spark side
     "audio_fingerprint_dedup" ->
-      """WITH en AS (
-        |  SELECT doc_id, w,
-        |    CAST(list_sum(list_transform(range(4), j ->
-        |      CASE WHEN 4*w + j < length(text)
-        |        THEN ascii(substring(text, 4*w + j + 1, 1)) ELSE 0 END))
-        |      AS BIGINT) AS e
-        |  FROM documents, (SELECT unnest(range(64)) AS w) t
-        |), bands AS (
-        |  SELECT a.doc_id, a.w // 16 AS band,
-        |    CAST(sum(CASE WHEN b.e > a.e THEN 1::BIGINT << (a.w % 16)
-        |             ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM en a JOIN en b
-        |    ON b.doc_id = a.doc_id AND b.w = (a.w + 1) % 64
-        |  GROUP BY a.doc_id, a.w // 16
-        |), cand AS (
-        |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
-        |  FROM bands l JOIN bands r
-        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-        |)
-        |SELECT c.da, c.db,
-        |  CAST(sum(bit_count(xor(x.bucket, y.bucket))) AS BIGINT) AS hamming
-        |FROM cand c
-        |JOIN bands x ON x.doc_id = c.da
-        |JOIN bands y ON y.doc_id = c.db AND y.band = x.band
-        |GROUP BY c.da, c.db
-        |HAVING sum(bit_count(xor(x.bucket, y.bucket))) <= 6
-        |ORDER BY da, db""".stripMargin,
-    // the lossless-codec argument again: the decoded raster == the
-    // source bytes, so the dHash reconstructs from the text (bytes past
-    // the 16x16 canvas are zero); bands of 16 bits keep bit 63 away
-    // from BIGINT sign exactly as in the simhash oracle
+      s"WITH $audioBandCtes\n$hammingPairSelect",
     "image_phash_dedup" ->
-      """WITH px AS (
-        |  SELECT doc_id, r, c,
-        |    CASE WHEN 32*r + 2*c < length(text)
-        |      THEN ascii(substring(text, 32*r + 2*c + 1, 1)) ELSE 0 END AS a,
-        |    CASE WHEN 32*r + 2*c + 1 < length(text)
-        |      THEN ascii(substring(text, 32*r + 2*c + 2, 1)) ELSE 0 END AS b
-        |  FROM documents,
-        |    (SELECT unnest(range(8)) AS r) t1,
-        |    (SELECT unnest(range(8)) AS c) t2
-        |), bands AS (
-        |  SELECT doc_id, (r*8 + c) // 16 AS band,
-        |    CAST(sum(CASE WHEN b > a THEN 1::BIGINT << ((r*8 + c) % 16)
-        |             ELSE 0 END) AS BIGINT) AS bucket
-        |  FROM px GROUP BY doc_id, (r*8 + c) // 16
-        |), cand AS (
-        |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
-        |  FROM bands l JOIN bands r
-        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-        |)
-        |SELECT c.da, c.db,
-        |  CAST(sum(bit_count(xor(x.bucket, y.bucket))) AS BIGINT) AS hamming
-        |FROM cand c
-        |JOIN bands x ON x.doc_id = c.da
-        |JOIN bands y ON y.doc_id = c.db AND y.band = x.band
-        |GROUP BY c.da, c.db
-        |HAVING sum(bit_count(xor(x.bucket, y.bucket))) <= 6
-        |ORDER BY da, db""".stripMargin,
+      s"WITH $imageBandCtes\n$hammingPairSelect",
+    "audio_fingerprint_clusters" ->
+      s"WITH RECURSIVE $audioBandCtes$hammingClusterTail",
+    "image_phash_clusters" ->
+      s"WITH RECURSIVE $imageBandCtes$hammingClusterTail",
     // the REAL-codec check: a lossless PNG round-trip must return
     // exactly the source bytes as pixels, so the decoded raster's
     // statistics equal byte statistics computed straight off the text

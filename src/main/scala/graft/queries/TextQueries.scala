@@ -316,101 +316,13 @@ object TextQueries {
     * corpus — the scalable component algorithm on a 1000-executor
     * cluster. The driver only ever sees one convergence count per
     * round, never data. */
-  def qDedupClusters(s: SparkSession, d: String): DataFrame = {
+  def qDedupClusters(s: SparkSession, d: String): DataFrame =
     // reads the memoized ingest artifact — the pair pipeline no longer
-    // re-runs inside every invocation of this query
-    val pairsRaw = jaccardPairs(s, d).select(col("da"), col("db"))
-    val nEdges = pairsRaw.count() // one cheap job against the cached artifact
-
-    // SIZE-GATED, like the embedding near-dup: the pair table is the
-    // ALREADY-REDUCED artifact (near-dup edges, not the corpus), so
-    // when it fits the driver budget, union-find there beats 6+ shuffle
-    // stages per propagation round by an order of magnitude — and
-    // produces the IDENTICAL min-representative labeling. The driver
-    // sees only the edge list it already paid to compute at ingest;
-    // above the budget, the distributed loop below is the scale path.
-    // canonical key graft.* like every other engine knob; the
-    // spark.graft.* spelling this shipped with stays readable
-    val budget = s.conf.getOption("graft.cc.broadcastEdges")
-      .orElse(s.conf.getOption("spark.graft.cc.broadcastEdges"))
-      .map(_.toLong).getOrElse(2000000L)
-    if (nEdges <= budget) {
-      val edgeRows = pairsRaw.collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edgeRows.foreach { row =>
-        val (a, b) = (row.getLong(0), row.getLong(1))
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { // min id becomes the representative
-          if (ra < rb) parent(rb) = ra else parent(ra) = rb
-        } else parent.getOrElseUpdate(ra, ra)
-      }
-      val nodes = edgeRows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
-      import s.implicits._
-      return nodes.map(n => (n, find(n))).toSeq
-        .toDF("doc_id", "cluster_id").orderBy(col("doc_id"))
-    }
-
-    // Distributed path: min-label propagation with pointer doubling.
-    // The loop's shuffle width is sized to the EDGE set on a cloned
-    // session (persisted plans are exempt from AQE coalescing; ~2M
-    // edges per partition keeps a big corpus's rounds parallel).
-    val loopPartitions = math.max(4L, math.min(2048L, nEdges / 2000000L + 4L))
-    val pairs = org.apache.spark.sql.graftbridge.SessionBridge.withConfs(
-      pairsRaw, Map("spark.sql.shuffle.partitions" -> loopPartitions.toString))
-    // both edge directions via ONE explode rather than a self-union
-    val edges = QueryCaches.track(pairs
-      .select(explode(array(
-        struct(col("da").as("a"), col("db").as("b")),
-        struct(col("db").as("a"), col("da").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .persist())
-    var labels = QueryCaches.track(
-      edges.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")).persist())
-    // materialize BOTH persists before the loop: a round's job references
-    // edges and labels from several branches, and branches of one job
-    // race to compute an unmaterialized cache — each re-running the whole
-    // Jaccard pipeline in parallel (measured 11 s for round 0 without
-    // this; the count itself costs one tiny job)
-    labels.count()
-    var moved = 1L
-    var rounds = 0
-    // Each round folds in BOTH the neighbor minimum and the label's own
-    // label (pointer doubling): rounds to fixpoint drop from the
-    // component diameter to its log. The convergence count rides the
-    // same action that materializes the round's persist — each round is
-    // exactly one job, so the driver-synchronized loop costs rounds, not
-    // rounds x passes.
-    while (moved > 0 && rounds < 20) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("b"), col("label").as("nl")), Seq("b"))
-        .groupBy(col("a").as("node")).agg(min(col("nl")).as("nbr"))
-      val next = QueryCaches.track(labels
-        .join(nbrMin, Seq("node"), "left")
-        .join(labels.select(col("node").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("node"), col("label").as("old"),
-          least(col("label"),
-            coalesce(col("nbr"), col("label")),
-            coalesce(col("ll"), col("label"))).as("label"))
-        .persist())
-      val rt0 = System.nanoTime()
-      moved = next.filter(col("label") < col("old")).count()
-      if (sys.env.contains("GRAFT_CC_DEBUG"))
-        println(f"CCROUND $rounds%d moved=$moved%d sec=${(System.nanoTime() - rt0) / 1e9}%.2f")
-      labels = next
-      rounds += 1
-    }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .orderBy(col("doc_id"))
-  }
+    // re-runs inside every invocation of this query; the label
+    // machinery (size-gated union-find / distributed min-label
+    // propagation) lives in [[ConnectedComponents]], shared with the
+    // modal dedups' clusters escape
+    ConnectedComponents.labels(s, jaccardPairs(s, d).select(col("da"), col("db")))
 
   /** The dedup loop CLOSED: near-dup clusters (qDedupClusters' exact
     * min-representative labeling) applied back to the corpus as a
