@@ -45,8 +45,19 @@ private[sql] final case class LakeOffset(snapshotId: Long) extends Offset {
   * admission-control caps (composable).
   */
 private[sql] final class LakeMicroBatchStream(
-    lt: LakeTable, options: CaseInsensitiveStringMap)
+    lt: LakeTable, options: CaseInsensitiveStringMap,
+    changelogMode: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // the CDC stamp columns widen the STREAM RELATION's schema, which
+  // only a Table can declare — so changelog mode is the dedicated
+  // `<table>.changes` handle ([[LakeChangesTable]]), never an option
+  // on the base table (the option would emit rows wider than the
+  // relation and silently misalign columns)
+  if (options.containsKey("mode"))
+    throw new IllegalArgumentException(
+      "the 'mode' option is not a stream option: read the " +
+        s"'${lt.name}.changes' table for the changelog feed")
 
   // Trigger.AvailableNow pins its end target HERE (Spark's wrapper
   // would otherwise discard the read limit for sources that cannot
@@ -261,9 +272,10 @@ private[sql] final class LakeMicroBatchStream(
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val files = filesBetween(
-      start.asInstanceOf[LakeOffset].snapshotId,
-      end.asInstanceOf[LakeOffset].snapshotId)
+    val startId = start.asInstanceOf[LakeOffset].snapshotId
+    val endId = end.asInstanceOf[LakeOffset].snapshotId
+    if (changelogMode) return changelogPartitions(startId, endId)
+    val files = filesBetween(startId, endId)
     // the shared construction (LakeSqlCatalog.mkParquetTable): a reader
     // conf change reaches batch and streaming together
     val table = LakeSqlCatalog.mkParquetTable(lt, session, files.map(_.path))
@@ -271,6 +283,159 @@ private[sql] final class LakeMicroBatchStream(
     lastBatch.planInputPartitions()
   }
 
+  /** CHANGELOG mode (the `<table>.changes` handle, the Iceberg
+    * incremental-CDC read next to WAP/branches): each micro-batch
+    * emits the offset range's row changes stamped `_change_type`
+    * ('insert' | 'delete') and `_commit_snapshot_id` — the streaming
+    * twin of [[LakeTable.changelog]], restricted to the commits whose
+    * changes are expressible as pure FILE SCANS (so batches stay
+    * distributed parquet reads at any size, exactly like append mode):
+    *
+    *  - appends → added files as inserts;
+    *  - replace (compaction) → skipped, no logical change;
+    *  - copy-on-write delete/overwrite → removed files' rows as
+    *    deletes + rewritten survivors as inserts (file-granular gross
+    *    changes, Iceberg's changelog contract) — REQUIRES the parent
+    *    snapshot to carry no live tombstones (else pre-images need the
+    *    batch changelog's anti-joins);
+    *  - merge-on-read tombstone deltas → refuse loudly toward the
+    *    batch [[LakeTable.changelog]], whose join machinery exists for
+    *    exactly that shape.
+    *
+    * Tagging rides per-partition constants through a [[JoinedRow]] in
+    * the reader — zero per-row allocation, no driver materialization. */
+  private def changelogPartitions(startId: Long, endId: Long): Array[InputPartition] = {
+    val m = lt.refresh().metadata
+    val parts = Array.newBuilder[InputPartition]
+    ancestorsAfterIn(m, startId, endId).foreach { s =>
+      if (s.operation != "replace") {
+        val p = s.parentId.flatMap(m.snapshot)
+        val pFiles = p.map(_.files).getOrElse(Nil)
+        val pPaths = pFiles.map(_.path).toSet
+        val sPaths = s.files.map(_.path).toSet
+        val added = s.files.filterNot(f => pPaths(f.path))
+        val removed = pFiles.filterNot(f => sPaths(f.path))
+        val pPos = p.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty[String])
+        val pEq = p.map(_.eqDeleteFiles.map(_.path).toSet).getOrElse(Set.empty[String])
+        val pDvs = p.map(_.dvFiles.map(e => LakeTable.dvRef(e) -> e.path).toMap)
+          .getOrElse(Map.empty[String, String])
+        val newTombstones = s.deleteFiles.exists(e => !pPos(e.path)) ||
+          s.eqDeleteFiles.exists(e => !pEq(e.path)) ||
+          s.dvFiles.exists(e => !pDvs.get(LakeTable.dvRef(e)).contains(e.path))
+        if (newTombstones) throw new UnsupportedOperationException(
+          s"changelog stream of ${lt.name} hit snapshot ${s.id}: a " +
+            "merge-on-read tombstone delta is not expressible as file " +
+            "scans — consume that range through the batch changelog() " +
+            "and restart the stream past it")
+        if (removed.nonEmpty && p.exists(ps => ps.deleteFiles.nonEmpty ||
+            ps.eqDeleteFiles.nonEmpty || ps.dvFiles.nonEmpty))
+          throw new UnsupportedOperationException(
+            s"changelog stream of ${lt.name} hit snapshot ${s.id}: removed " +
+              "files' pre-images overlap live parent tombstones — the " +
+              "batch changelog() reconstructs them; restart the stream past it")
+        if ((added ++ removed).exists(_.nameMapped))
+          throw new UnsupportedOperationException(
+            s"changelog stream of ${lt.name} hit an addFiles import " +
+              s"(snapshot ${s.id}): imported files carry no field IDs and " +
+              "cannot stream")
+        parts ++= taggedPartitions(added, "insert", s.id)
+        parts ++= taggedPartitions(removed, "delete", s.id)
+      }
+    }
+    parts.result()
+  }
+
+  private def taggedPartitions(files: Seq[DataFileEntry], tpe: String,
+      snapshotId: Long): Seq[InputPartition] =
+    if (files.isEmpty) Nil
+    else {
+      val table = LakeSqlCatalog.mkParquetTable(lt, session, files.map(_.path))
+      val batch = table.newScanBuilder(CaseInsensitiveStringMap.empty())
+        .build().toBatch
+      // the parquet factory is file-list-agnostic (paths ride in the
+      // partitions) but each group ships its own, serialized inside
+      // the partition — no cross-group factory aliasing assumptions
+      val factory = batch.createReaderFactory()
+      batch.planInputPartitions().toSeq
+        .map(ip => ChangeTaggedPartition(ip, factory, tpe, snapshotId))
+    }
+
   override def createReaderFactory(): PartitionReaderFactory =
-    lastBatch.createReaderFactory()
+    if (changelogMode) ChangeTaggedReaderFactory
+    else lastBatch.createReaderFactory()
+}
+
+/** The `<table>.changes` handle: a streaming-only Table whose schema
+  * is the base table's plus the CDC stamp columns, served by
+  * [[LakeMicroBatchStream]] in changelog mode — Iceberg's incremental
+  * changelog read as a first-class streaming source:
+  *
+  * {{{
+  *   spark.readStream.option("stream-from", "beginning")
+  *     .table("cat.ns.t.changes")
+  * }}}
+  *
+  * Batch consumers use [[LakeTable.changelog]] (the Scala API) — a
+  * batch scan of this handle refuses by capability, because the batch
+  * changelog's tombstone reconstruction is join-shaped, not
+  * file-scan-shaped. */
+private[sql] final class LakeChangesTable(lt: LakeTable)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.types._
+
+  private val schema0 = StructType(lt.metadata.schemaWithFieldIds.fields ++ Seq(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_snapshot_id", LongType, nullable = false)))
+
+  override def name(): String = s"${lt.name}.changes"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.Scan {
+      override def readSchema(): StructType = schema0
+      override def toMicroBatchStream(checkpointLocation: String)
+          : MicroBatchStream =
+        new LakeMicroBatchStream(lt, options, changelogMode = true)
+      override def description(): String = "graft-lake changes stream"
+    }
+}
+
+/** A parquet partition plus the change stamp its rows carry. */
+private[sql] final case class ChangeTaggedPartition(
+    inner: InputPartition,
+    factory: PartitionReaderFactory,
+    changeType: String,
+    snapshotId: Long) extends InputPartition
+
+/** Appends the two constant changelog columns to every row via a
+  * reused [[org.apache.spark.sql.catalyst.expressions.JoinedRow]] —
+  * per-partition constants, zero per-row allocation. Row-based reads
+  * only: the constants splice between the parquet columns and the
+  * stream schema, which the columnar path cannot express without
+  * building constant vectors for no benefit at changelog batch sizes. */
+private[sql] object ChangeTaggedReaderFactory extends PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val t = p.asInstanceOf[ChangeTaggedPartition]
+    val inner = t.factory.createReader(t.inner)
+    val suffix = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(t.changeType),
+        t.snapshotId))
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = joined(inner.get(), suffix)
+      override def close(): Unit = inner.close()
+    }
+  }
 }

@@ -117,6 +117,10 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
     case Array(ns, tbl) if LakeMetadataTables.kinds(ident.name)
         && lake.tableExists(ns, tbl) =>
       LakeMetadataTables.table(lake.loadTable(ns, tbl), ident.name)
+    // the streaming changelog handle, Iceberg-style: `cat.ns.t.changes`
+    case Array(ns, tbl) if ident.name == "changes"
+        && lake.tableExists(ns, tbl) =>
+      new LakeChangesTable(lake.loadTable(ns, tbl))
     case _ => throw new NoSuchTableException(ident)
   }
 

@@ -1,0 +1,110 @@
+package graft.lake
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming CHANGELOG source (the `<table>.changes` handle): the
+  * incremental-CDC twin of [[LakeTable.changelog]]. The DocStream
+  * convention: streaming consumption of N commits must equal the batch
+  * changelog over the same range, a checkpoint replay must be a no-op,
+  * and the shapes the stream cannot express (merge-on-read tombstone
+  * deltas) must refuse loudly toward the batch API. */
+class LakeChangelogStreamSpec extends LakeSuite {
+
+  private var n = 0
+  private def sqlTable(): (String, LakeTable) = {
+    n += 1
+    val wh = freshWarehouse()
+    val cat = s"clstr$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (${ordersDF.schema.toDDL})")
+    (s"$cat.ns.t", LakeCatalog.open(wh).loadTable("ns", "t"))
+  }
+
+  private def drain(name: String, checkpoint: String): Seq[Row] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = spark.readStream
+      .option("stream-from", "beginning")
+      .table(s"$name.changes").writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        buf ++= df.collect(); ()
+      }
+      .start()
+    q.awaitTermination()
+    buf.toSeq
+  }
+
+  private def key(r: Row) = (r.getLong(r.fieldIndex("_commit_snapshot_id")),
+    r.getString(r.fieldIndex("_change_type")),
+    r.getLong(r.fieldIndex("o_orderkey")))
+
+  test("appends + CoW delete stream as the batch changelog; replay is a no-op") {
+    val (name, t) = sqlTable()
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+    // copy-on-write delete: rewritten survivors stream as inserts,
+    // removed files' rows as deletes (gross file-granular changes)
+    t.refresh().deleteWhere(spark, LakePredicate.Ge("o_totalprice",
+      Double.box(400000.0)))
+
+    val ckpt = Files.createTempDirectory("graft_cl_ck_").toString
+    val streamed = drain(name, ckpt)
+    val batch = t.refresh().changelog(spark, 0L).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed.map(key).sorted === batch.map(key).sorted,
+      s"stream (${streamed.size} rows) != batch changelog (${batch.size})")
+    // full-row equality, not just keys: sort both sides identically
+    val sa = streamed.sortBy(key).map(_.toSeq)
+    val sb = batch.sortBy(key).map(_.toSeq)
+    assert(sa === sb)
+
+    // replay against the same checkpoint: nothing new
+    assert(drain(name, ckpt).isEmpty)
+
+    // one more append: only its inserts arrive, stamped with its id
+    val extra = ordersDF.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+      .filter(col("o_totalprice") < 400000.0)
+    val snap = t.refresh().appendData(extra)
+    val more = drain(name, ckpt)
+    assert(more.size === extra.count())
+    assert(more.forall(r =>
+      r.getString(r.fieldIndex("_change_type")) == "insert" &&
+        r.getLong(r.fieldIndex("_commit_snapshot_id")) == snap.snapshotId))
+  }
+
+  test("a merge-on-read tombstone delta refuses the changelog stream loudly") {
+    val (name, t) = sqlTable()
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0))
+    t.refresh().deleteWhereMoR(spark, LakePredicate.Ge("o_totalprice",
+      Double.box(400000.0)))
+    val ckpt = Files.createTempDirectory("graft_cl_ck_").toString
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(name, ckpt)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("batch changelog")),
+      s"refusal must point at the batch changelog: ${messages(e)}")
+  }
+
+  test("compaction inside the range streams no changelog rows") {
+    val (name, t) = sqlTable()
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0), numFiles = 4)
+    t.refresh().compact(spark, targetFiles = 1)
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 2 === 1))
+    val ckpt = Files.createTempDirectory("graft_cl_ck_").toString
+    val streamed = drain(name, ckpt)
+    // every source row exactly once as an insert — the replace
+    // snapshot contributed nothing
+    assert(streamed.size === ordersDF.count())
+    assert(streamed.forall(_.getString(
+      streamed.head.fieldIndex("_change_type")) == "insert"))
+  }
+}
