@@ -342,12 +342,12 @@ object EventQueries {
       .withColumn("neg_f", -col("frequency"))
       .withColumn("neg_m", -col("monetary_cents"))
       .persist())
-    val cr = HistogramNtile.cutsRow(per, "recency_days", "user_id", 5, "rc")
-    val cf = HistogramNtile.cutsRow(per, "neg_f", "user_id", 5, "fc")
-    val cm = HistogramNtile.cutsRow(per, "neg_m", "user_id", 5, "mc")
+    val cutRow = HistogramNtile.cutsRows(per, Seq(
+      HistogramNtile.Spec("recency_days", "user_id", 5, "rc"),
+      HistogramNtile.Spec("neg_f", "user_id", 5, "fc"),
+      HistogramNtile.Spec("neg_m", "user_id", 5, "mc")))
     per
-      .crossJoin(broadcast(cr)).crossJoin(broadcast(cf))
-      .crossJoin(broadcast(cm))
+      .crossJoin(broadcast(cutRow))
       .withColumn("r_band", HistogramNtile.bandExpr("recency_days", "user_id", "rc", 5))
       .withColumn("f_band", HistogramNtile.bandExpr("neg_f", "user_id", "fc", 5))
       .withColumn("m_band", HistogramNtile.bandExpr("neg_m", "user_id", "mc", 5))

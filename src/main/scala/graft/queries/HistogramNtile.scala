@@ -48,6 +48,11 @@ import org.apache.spark.sql.functions._
   */
 object HistogramNtile {
 
+  /** One ntile banding request: `ntile(k) OVER (ORDER BY metricCol,
+    * tieCol)` materialized as the boundary array `outCol`. */
+  final case class Spec(metricCol: String, tieCol: String, k: Int,
+      outCol: String)
+
   /** Single-row DataFrame with one column `outCol`:
     * array&lt;struct&lt;j:int, bv:bigint, bu:tie&gt;&gt; of the k−1 ntile
     * boundary tuples of `base` under (metricCol ASC, tieCol ASC),
@@ -55,52 +60,92 @@ object HistogramNtile {
     * [[bandExpr]]. `metricCol` must be integral (cast to BIGINT);
     * `tieCol` must be unique per row. */
   def cutsRow(base: DataFrame, metricCol: String, tieCol: String, k: Int,
-      outCol: String, buckets: Int = 1024): DataFrame = {
-    require(k >= 2, s"ntile k must be >= 2, got $k")
-    val m = col(metricCol).cast("long")
-    val stats = base.agg(count(lit(1)).as("__hn_n"),
-      min(m).as("__hn_mn"), max(m).as("__hn_mx"))
-    // cut ranks R_j; R_j = 0 only when n = 0 (dropped — empty input)
-    val cuts = stats.select(explode(expr(
-        s"transform(sequence(1, ${k - 1}), j -> struct(" +
-          s"CAST(j AS INT) AS j, " +
-          s"j * (__hn_n div $k) + least(CAST(j AS BIGINT), __hn_n % $k) AS r))"))
-        .as("c"))
-      .select(col("c.j").as("__hn_j"), col("c.r").as("__hn_r"))
+      outCol: String, buckets: Int = 1024): DataFrame =
+    cutsRows(base, Seq(Spec(metricCol, tieCol, k, outCol)), buckets)
+
+  /** Multi-metric [[cutsRow]]: ONE stats pass, ONE (metric, bucket)
+    * mass shuffle and ONE boundary-selection pass serve every
+    * requested banding (q_ev_rfm's three quintiles ride one plan
+    * instead of three — at bench scale that is the difference between
+    * ~4 jobs and ~10). Output: one row, one boundary-array column per
+    * spec. All specs must share the tie column's UNIQUENESS property;
+    * tie columns may differ. */
+  def cutsRows(base: DataFrame, specs: Seq[Spec],
+      buckets: Int = 1024): DataFrame = {
+    require(specs.nonEmpty)
+    specs.foreach(sp => require(sp.k >= 2, s"ntile k must be >= 2, got ${sp.k}"))
+    val statAggs = count(lit(1)).as("__hn_n") +: specs.zipWithIndex.flatMap {
+      case (sp, i) =>
+        val m = col(sp.metricCol).cast("long")
+        Seq(min(m).as(s"__hn_mn_$i"), max(m).as(s"__hn_mx_$i"))
+    }
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    // cut ranks R_j per spec; R_j = 0 only when n = 0 (empty input)
+    val cuts = stats.select(explode(concat(specs.zipWithIndex.map {
+        case (sp, i) => expr(
+          s"transform(sequence(1, ${sp.k - 1}), j -> struct(" +
+            s"CAST($i AS INT) AS mid, CAST(j AS INT) AS j, " +
+            s"j * (__hn_n div ${sp.k}) + " +
+            s"least(CAST(j AS BIGINT), __hn_n % ${sp.k}) AS r))")
+      }: _*)).as("c"))
+      .select(col("c.mid").as("__hn_mid"), col("c.j").as("__hn_j"),
+        col("c.r").as("__hn_r"))
       .filter(col("__hn_r") > 0)
-    val bucketed = base.select(m.as("__hn_m"), col(tieCol).as("__hn_t"))
-      .crossJoin(broadcast(stats))
-      .withColumn("__hn_b",
-        when(col("__hn_mx") === col("__hn_mn"), lit(0)).otherwise(
-          least(lit(buckets - 1),
-            floor((col("__hn_m") - col("__hn_mn")).cast("double") * buckets /
-              (col("__hn_mx") - col("__hn_mn")).cast("double")).cast("int"))))
-    // bounded: ≤ `buckets` rows through the unpartitioned cumulative
-    val mass = bucketed.groupBy(col("__hn_b")).agg(count(lit(1)).as("__hn_c"))
+    // one row per (input row, spec): metric value, tie, bucket
+    val bucketed = base.crossJoin(broadcast(stats))
+      .select(explode(array(specs.zipWithIndex.map { case (sp, i) =>
+        val m = col(sp.metricCol).cast("long")
+        val mn = col(s"__hn_mn_$i"); val mx = col(s"__hn_mx_$i")
+        // NO cast on the tie: its native ordering is part of the total
+        // order (a string cast would order user_id 10 before 9). All
+        // specs in one call must therefore share the tie column's TYPE
+        // (they may differ by name).
+        struct(lit(i).as("mid"), m.as("m"),
+          col(sp.tieCol).as("t"),
+          when(mx === mn, lit(0)).otherwise(
+            least(lit(buckets - 1),
+              floor((m - mn).cast("double") * buckets /
+                (mx - mn).cast("double")).cast("int"))).as("b"))
+      }: _*)).as("e"))
+      .select(col("e.mid").as("__hn_mid"), col("e.m").as("__hn_m"),
+        col("e.t").as("__hn_t"), col("e.b").as("__hn_b"))
+    // bounded: ≤ specs × `buckets` rows through the per-metric cumulative
+    val mass = bucketed.groupBy(col("__hn_mid"), col("__hn_b"))
+      .agg(count(lit(1)).as("__hn_c"))
       .withColumn("__hn_cum", sum(col("__hn_c")).over(
-        Window.orderBy(col("__hn_b"))
+        Window.partitionBy(col("__hn_mid")).orderBy(col("__hn_b"))
           .rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("__hn_below", col("__hn_cum") - col("__hn_c"))
     // rank R_j lives in the smallest bucket with cum ≥ R_j
-    val tgt = cuts.join(broadcast(mass), col("__hn_cum") >= col("__hn_r"))
-      .groupBy(col("__hn_j"), col("__hn_r"))
+    val tgt = cuts.join(broadcast(mass),
+        cuts("__hn_mid") === mass("__hn_mid") && col("__hn_cum") >= col("__hn_r"))
+      .select(cuts("__hn_mid"), col("__hn_j"), col("__hn_r"), col("__hn_b"))
+      .groupBy(col("__hn_mid"), col("__hn_j"), col("__hn_r"))
       .agg(min(col("__hn_b")).as("__hn_tb"))
-      .join(broadcast(mass.select(col("__hn_b").as("__hn_tb"),
-        col("__hn_below"))), "__hn_tb")
-    // partition by (bucket, cut): two cuts sharing a bucket (n < k, or
-    // a dense bucket) each rank their OWN copy of its rows — a plain
-    // by-bucket partition would double-count the joined copies
-    val wi = Window.partitionBy(col("__hn_b"), col("__hn_j"))
+      .join(broadcast(mass.select(col("__hn_mid"),
+        col("__hn_b").as("__hn_tb"), col("__hn_below"))),
+        Seq("__hn_mid", "__hn_tb"))
+    // partition by (metric, bucket, cut): two cuts sharing a bucket
+    // (n < k, or a dense bucket) each rank their OWN copy of its
+    // rows — a plain by-bucket partition would double-count the copies
+    val wi = Window.partitionBy(col("__hn_mid"), col("__hn_b"), col("__hn_j"))
       .orderBy(col("__hn_m"), col("__hn_t"))
     val bounds = bucketed
-      .join(broadcast(tgt), col("__hn_b") === col("__hn_tb"))
+      .join(broadcast(tgt), bucketed("__hn_mid") === tgt("__hn_mid") &&
+        bucketed("__hn_b") === tgt("__hn_tb"))
+      .select(bucketed("__hn_mid").as("__hn_mid"), col("__hn_m"),
+        col("__hn_t"), col("__hn_b"), col("__hn_j"), col("__hn_r"),
+        col("__hn_below"))
       .withColumn("__hn_rn",
         row_number().over(wi).cast("long") + col("__hn_below"))
       .filter(col("__hn_rn") === col("__hn_r"))
-      .select(col("__hn_j").as("j"), col("__hn_m").as("bv"),
-        col("__hn_t").as("bu"))
-    bounds.agg(sort_array(collect_list(struct(col("j"), col("bv"),
-      col("bu")))).as(outCol))
+      .select(col("__hn_mid").as("mid"), col("__hn_j").as("j"),
+        col("__hn_m").as("bv"), col("__hn_t").as("bu"))
+    val outAggs = specs.zipWithIndex.map { case (sp, i) =>
+      expr(s"sort_array(collect_list(CASE WHEN mid = $i " +
+        s"THEN struct(j, bv, bu) END))").as(sp.outCol)
+    }
+    bounds.agg(outAggs.head, outAggs.tail: _*)
   }
 
   /** Map-side band stamp: smallest j whose boundary tuple in `cutsCol`

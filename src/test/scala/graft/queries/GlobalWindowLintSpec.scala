@@ -22,11 +22,8 @@ class GlobalWindowLintSpec extends LakeSuite {
     * corpus-sized). Keep this under 10 entries — past that the class
     * is regrowing. */
   private val allow: Map[String, String] = Map(
-    "q_ev_rfm" -> ("HistogramNtile mass cumulatives: Window over the " +
-      "device's 1024-value bucket-key Aggregate, ≤1024 rows by " +
-      "construction (3 metrics × the rollup planned twice in the DAG)"),
-    "perplexity_buckets" -> ("HistogramNtile mass cumulative over the " +
-      "≤1024-row bucket rollup (planned twice in the DAG)"),
+    // HistogramNtile's mass cumulative is partitioned by metric id, so
+    // q_ev_rfm / perplexity_buckets no longer appear here at all
     "rrf_fusion" -> ("rank windows over the union of two TakeOrdered " +
       "top-50 lists — ≤100 rows by construction (SimilarityQueries " +
       "pins the limit upstream)"),
