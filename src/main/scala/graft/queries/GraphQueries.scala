@@ -85,8 +85,43 @@ object GraphQueries {
       .limit(30)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    * graph-based counterpart to the tf-idf keyword battery: PageRank
+    * over the ADJACENT-WORD co-occurrence graph (undirected, distinct
+    * edges, normalized `least/greatest` so a bigram and its mirror
+    * are one edge), 3 fixed integer iterations via the SAME
+    * [[pagerankStep]] the customer–supplier query runs — cached edge
+    * table, broadcast O(vocabulary) rank vector, per-step lineage
+    * cuts — so the whole iterative machinery (and its plan-shape spec
+    * guarantees) is shared, not twinned. Output: top-25 words by rank.
+    * Scale shape: vocabulary-bounded everywhere after the one bigram
+    * pass — the rank vector and degree table are O(vocab), never
+    * O(corpus). */
+  def qTextrankKeywords(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bg = docs.select(explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    val pairs = QueryCaches.track(bg
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .distinct().persist())
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = QueryCaches.track(edges.join(deg, "src").persist())
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to 3) ranks = pagerankStep(e, ranks).localCheckpoint()
+    ranks.select(col("node").as("word"), col("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> qGraphPagerank,
+    "textrank_keywords" -> qTextrankKeywords,
   )
 
   val oracles: Map[String, String] = Map(
@@ -114,5 +149,32 @@ object GraphQueries {
         |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
         |  node // 2 AS key, rank
         |FROM r3 ORDER BY rank DESC, node_type, key LIMIT 30""".stripMargin,
+    // identical 3-iteration integer unroll over the adjacent-word graph
+    "textrank_keywords" ->
+      """WITH bgr AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2) t,
+        |       LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+        |  WHERE ws[i] <> ws[i+1]),
+        |pairs AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+        |          FROM bgr),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |          UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        |e AS (SELECT edges.src, edges.dst, deg.deg
+        |      FROM edges JOIN deg USING (src)),
+        |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+        |r1 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (850 * sum(r.rank // e.deg)) // 1000 AS BIGINT) AS rank
+        |       FROM e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (850 * sum(r.rank // e.deg)) // 1000 AS BIGINT) AS rank
+        |       FROM e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         CAST(150000 + (850 * sum(r.rank // e.deg)) // 1000 AS BIGINT) AS rank
+        |       FROM e JOIN r2 r ON r.node = e.src GROUP BY e.dst)
+        |SELECT node AS word, rank
+        |FROM r3 ORDER BY rank DESC, word LIMIT 25""".stripMargin,
   )
 }

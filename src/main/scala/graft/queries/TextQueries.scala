@@ -737,6 +737,62 @@ object TextQueries {
       substring(sha2(col("text"), 256), 1, 8).as("fp_bucket"))
       .orderBy(col("doc_id"))
 
+  /** Inverted index build (round 13) — the retrieval artifact a
+    * search/decontamination pipeline materializes next to BM25: per
+    * token, document frequency plus a CAPPED posting list (the 20
+    * smallest doc_ids). Scale shape: one distinct (token, doc) pass,
+    * then a per-token window keeps rank ≤ 20 BEFORE any collect — the
+    * aggregation state is 20 ids per token no matter how stopword-like
+    * the token (an uncapped `collect_list` would hold a corpus-sized
+    * posting for common tokens), and the window partitions by token —
+    * fully parallel, never global. Report = top-25 tokens by
+    * (df DESC, token). */
+  def qInvertedIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = QueryCaches.track(documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .persist())
+    val df = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val wt = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    val capped = postings
+      .withColumn("rk", row_number().over(wt))
+      .filter(col("rk") <= 20)
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+    df.join(capped, "token")
+      .select(col("token"), col("df"), col("postings"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(25)
+  }
+
+  /** Vocabulary growth / Heaps'-law report (round 13) — how fast new
+    * word TYPES appear as the corpus grows, the curve a tokenizer-
+    * vocabulary-size decision reads. The naive formulation (distinct
+    * count per corpus prefix) rescans the corpus per checkpoint; this
+    * is ONE pass: each type's FIRST-occurrence doc (min doc_id) drops
+    * it into a decile of the doc_id range, and the per-decile type
+    * count IS the growth curve. Token volume rolls up per decile in
+    * the same pass shape. Integer type-density per mille closes it. */
+  def qVocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val mx = documents(s, d).agg(max(col("doc_id")).as("mxd"))
+    val toks = QueryCaches.track(documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .persist())
+    val vol = toks.crossJoin(broadcast(mx))
+      .groupBy(expr("doc_id * 10 div (mxd + 1)").as("decile"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val types = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      .crossJoin(broadcast(mx))
+      .groupBy(expr("fd * 10 div (mxd + 1)").as("decile"))
+      .agg(count(lit(1)).as("new_types"))
+    vol.join(types, Seq("decile"), "left")
+      .select(col("decile"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("type_permille", expr("1000 * new_types div n_tokens"))
+      .orderBy(col("decile"))
+  }
+
   /** Corpus vocabulary statistics: top-25 tokens by frequency (the
     * unigram table a tokenizer-training pipeline starts from). */
   def qTokenFrequency(s: SparkSession, d: String): DataFrame =
@@ -1370,6 +1426,28 @@ object TextQueries {
   def qBpeLearnMerges(s: SparkSession, d: String): DataFrame = {
     val spark0 = s
     import spark0.implicits._
+    bpeTrain(s, d).toDF("round", "a", "b", "merged", "pair_count")
+      .orderBy(col("round"))
+  }
+
+  /** The Sennrich greedy double-space merge rewrite shared by the
+    * training rounds and the encoder. */
+  private def bpeMergeStep(sp: Column, a: String, b: String): Column = {
+    // literals via lit() (never string-interpolated SQL — symbols are
+    // arbitrary corpus characters)
+    def rep(src: Column, find: Column, to: Column): Column =
+      org.apache.spark.sql.functions.replace(src, find, to)
+    trim(rep(rep(
+      concat(lit(" "), rep(sp, lit(" "), lit("  ")), lit(" ")),
+      lit(s" $a  $b "), lit(s" $a$b ")),
+      lit("  "), lit(" ")))
+  }
+
+  /** The 5-round training loop (the docstring above [[qBpeLearnMerges]]
+    * describes the device) returning the merge table — driver-side,
+    * bounded at 5 rows, reused by the encoder. */
+  private def bpeTrain(s: SparkSession,
+      d: String): Seq[(Long, String, String, String, Long)] = {
     var words = documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
@@ -1389,20 +1467,42 @@ object TextQueries {
         .limit(1).collect()(0)
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((r.toLong, a, b, a + b, cnt))
-      // literals via lit() (never string-interpolated SQL — symbols are
-      // arbitrary corpus characters); lineage cut per round, as in the
-      // PageRank loop
-      def rep(src: Column, find: Column, to: Column): Column =
-        org.apache.spark.sql.functions.replace(src, find, to)
-      words = words.select(
-        trim(rep(rep(
-          concat(lit(" "), rep(col("sp"), lit(" "), lit("  ")), lit(" ")),
-          lit(s" $a  $b "), lit(s" $a$b ")),
-          lit("  "), lit(" "))).as("sp"),
+      // lineage cut per round, as in the PageRank loop
+      words = words.select(bpeMergeStep(col("sp"), a, b).as("sp"),
         col("freq")).localCheckpoint()
     }
-    merges.toSeq.toDF("round", "a", "b", "merged", "pair_count")
-      .orderBy(col("round"))
+    merges.toSeq
+  }
+
+  /** BPE ENCODING (round 13) — the tokenizer APPLIED: the 5 trained
+    * merges rewrite the corpus into tokens; every doc reports
+    * (n_words, n_tokens, fertility_milli). The distributed-scale
+    * insight mirrors training's: encoding runs over the DISTINCT-WORD
+    * vocabulary (each word encoded ONCE through a map-only codegen'd
+    * replace chain — never per occurrence), and per-doc counts come
+    * from joining the word stream against the vocabulary-bounded
+    * token-count table (AQE broadcasts it when small). One corpus pass
+    * for the vocab, one for the rollup, at any corpus size. */
+  def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeTrain(s, d)
+    var enc = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1).distinct()
+      .withColumn("sp", expr("concat_ws(' ', transform(sequence(1, " +
+        "length(w)), i -> substring(w, i, 1)))"))
+    merges.foreach { case (_, a, b, _, _) =>
+      enc = enc.withColumn("sp", bpeMergeStep(col("sp"), a, b))
+    }
+    val wordTokens = enc.select(col("w"),
+      size(split(col("sp"), " ")).cast("long").as("toks"))
+    documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .join(wordTokens, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("toks")).as("n_tokens"))
+      .withColumn("fertility_milli", expr("1000 * n_tokens div n_words"))
+      .orderBy(col("doc_id"))
   }
 
   /** Filter-pipeline funnel — the per-stage survival report every
@@ -1655,12 +1755,15 @@ object TextQueries {
     "quality_score" -> qQualityScore,
     "doc_fingerprint" -> qDocFingerprint,
     "token_frequency" -> qTokenFrequency,
+    "inverted_index" -> qInvertedIndex,
+    "vocab_growth" -> qVocabGrowth,
     "heavy_hitters" -> qHeavyHitters,
     "bloom_dedup" -> qBloomDedup,
     "data_mixture_temperature" -> qDataMixtureTemperature,
     "source_balance_gini" -> qSourceBalanceGini,
     "c4_filter" -> qC4Filter,
     "bpe_learn_merges" -> qBpeLearnMerges,
+    "bpe_encode" -> qBpeEncode,
     "lang_confusion" -> qLangConfusion,
     "doc_length_histogram" -> qDocLengthHistogram,
     "multimodal_meta" -> qMultimodalMeta,
@@ -1686,7 +1789,9 @@ object TextQueries {
     * DuckDB — the mmr_diversify lesson); each round re-derives the
     * argmax pair itself and applies it via the cross-joined 1-row CTE,
     * so no value is ever string-interpolated into the SQL. */
-  private def bpeLearnOracleSql: String = {
+  /** The shared training CTE chain `w0..w5, b1..b5` (merge argmaxes in
+    * b1..b5), composed by both the learn oracle and the encode oracle. */
+  private def bpeTrainCtes: String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS MATERIALIZED (
@@ -1717,11 +1822,50 @@ object TextQueries {
            |  FROM $prev w, b$r b
            |)""".stripMargin)
     }
-    sb.append("\nSELECT * FROM (")
-    sb.append((1 to 5).map { r =>
+    sb.toString
+  }
+
+  private def bpeLearnOracleSql: String =
+    bpeTrainCtes + "\nSELECT * FROM (" + (1 to 5).map { r =>
       s"SELECT CAST($r AS BIGINT) AS round, a, b, a || b AS merged, cnt AS pair_count FROM b$r"
-    }.mkString("\n UNION ALL "))
-    sb.append(") ORDER BY round")
+    }.mkString("\n UNION ALL ") + ") ORDER BY round"
+
+  /** Encode oracle: the trained merges applied to the DISTINCT-WORD
+    * vocabulary (e1..e5 mirror the Spark encoder's replace chain), then
+    * the per-doc rollup over the word stream. */
+  private def bpeEncodeOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(bpeTrainCtes)
+    sb.append(
+      """, vocab AS MATERIALIZED (
+        |  SELECT w, array_to_string(
+        |      list_transform(generate_series(1, len(w)), i -> w[i]), ' ') AS sp
+        |  FROM (SELECT DISTINCT tok AS w FROM (
+        |          SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+        |  WHERE len(w) >= 1
+        |)""".stripMargin)
+    for (r <- 1 to 5) {
+      val prev = if (r == 1) "vocab" else s"e${r - 1}"
+      sb.append(
+        s""", e$r AS MATERIALIZED (
+           |  SELECT v.w, trim(replace(replace(
+           |      ' ' || replace(v.sp, ' ', '  ') || ' ',
+           |      ' ' || b.a || '  ' || b.b || ' ', ' ' || b.a || b.b || ' '),
+           |      '  ', ' ')) AS sp
+           |  FROM $prev v, b$r b
+           |)""".stripMargin)
+    }
+    sb.append(
+      """, wt AS (
+        |  SELECT w, CAST(len(string_split(sp, ' ')) AS BIGINT) AS toks FROM e5
+        |)
+        |SELECT d.doc_id, count(*) AS n_words,
+        |  CAST(sum(wt.toks) AS BIGINT) AS n_tokens,
+        |  (1000 * CAST(sum(wt.toks) AS BIGINT)) // count(*) AS fertility_milli
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |      FROM documents) d
+        |JOIN wt USING (w)
+        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin)
     sb.toString
   }
 
@@ -2273,6 +2417,39 @@ object TextQueries {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin,
+    "vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS mxd FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |), vol AS (
+        |  SELECT doc_id * 10 // (mxd + 1) AS decile, count(*) AS n_tokens
+        |  FROM toks, mx GROUP BY 1
+        |), ty AS (
+        |  SELECT fd * 10 // (mxd + 1) AS decile, count(*) AS new_types
+        |  FROM (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok), mx
+        |  GROUP BY 1
+        |)
+        |SELECT vol.decile, vol.n_tokens,
+        |  CAST(coalesce(ty.new_types, 0) AS BIGINT) AS new_types,
+        |  (1000 * CAST(coalesce(ty.new_types, 0) AS BIGINT)) // vol.n_tokens
+        |    AS type_permille
+        |FROM vol LEFT JOIN ty USING (decile)
+        |ORDER BY decile""".stripMargin,
+    "inverted_index" ->
+      """WITH post AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |), ranked AS (
+        |  SELECT token, doc_id,
+        |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rk
+        |  FROM post
+        |)
+        |SELECT p.token, p.df, r.postings
+        |FROM (SELECT token, count(*) AS df FROM post GROUP BY token) p
+        |JOIN (SELECT token, list_sort(list(doc_id)) AS postings
+        |      FROM ranked WHERE rk <= 20 GROUP BY token) r USING (token)
+        |ORDER BY df DESC, token LIMIT 25""".stripMargin,
     // exact top-20 hashes; the CMS gate booleans assert TRUE (sketch
     // internals are engine-private — the q_approx_distinct device)
     "heavy_hitters" ->
@@ -2372,6 +2549,7 @@ object TextQueries {
         |    CASE WHEN NOT r5 THEN 'terminal_punct' END) AS reasons
         |FROM r ORDER BY doc_id""".stripMargin,
     "bpe_learn_merges" -> bpeLearnOracleSql,
+    "bpe_encode" -> bpeEncodeOracleSql,
     "doc_length_histogram" ->
       """SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
         |  count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars

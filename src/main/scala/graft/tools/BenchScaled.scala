@@ -39,6 +39,12 @@ object BenchScaled {
     "q_ev_cohort_retention", "mmr_diversify", "q_ev_resample_ffill",
     "q_weighted_median", "q_ev_anomaly_mad", "bpe_learn_merges",
     "q_market_basket", "q_ev_markov", "q_ev_rfm",
+    // round-13 additions: the labels twins (the modal dedups' runnable
+    // 100-TB path must SHOW sublinear), the element/corr-agg row-level
+    // scenarios, and the round-12 stragglers the verdict listed unprobed
+    "image_phash_clusters", "audio_fingerprint_clusters",
+    "lake_sql_update_element", "lake_sql_update_corr_agg",
+    "lang_confusion", "q_k_anonymity", "c4_filter", "q_sql_lateral_topn",
     "lake_changelog", "lake_compact", "lake_merge_mor", "lake_prune",
     "lake_merge_upsert", "lake_sql_merge_full")
 
