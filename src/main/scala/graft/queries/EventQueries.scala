@@ -357,6 +357,41 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Last-touch conversion attribution (round 13) — the
+    * revenue-credit report every growth team runs: each `purchase` is
+    * credited to the user's most recent preceding touch (`click` or
+    * `view`) within a 7-day lookback, else to `none`. One pass, no
+    * self-join: the per-user event stream is totally ordered by
+    * `(ts, event_id)` and the latest touch's (ts, type) is carried
+    * forward with `last(_, ignoreNulls)` over a rows-frame ending 1
+    * row before current — the same carry-forward shape as the as-of
+    * join, so a touch at the purchase's exact timestamp attributes
+    * iff its event_id is smaller (deterministic under the total
+    * order). Revenue in exact integer cents (`floor(value·100)`, the
+    * engine-exact device). Scale shape: ONE user-partitioned window
+    * + a ≤3-row rollup — no join, no global sort before the tiny
+    * final ORDER BY. */
+  def qEvAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("click", "view")
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"))
+      .withColumn("lt_ts", last(when(isTouch, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("lt_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("lt_ts").isNotNull &&
+            col("lt_ts") >= col("ts") - expr("INTERVAL 7 DAYS"),
+          col("lt_type")).otherwise(lit("none")).as("touch_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+      .orderBy(col("touch_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumbling" -> qEvTumbling,
     "q_ev_sliding" -> qEvSliding,
@@ -372,9 +407,28 @@ object EventQueries {
     "q_ev_rolling_wau" -> qEvRollingWau,
     "q_ev_markov" -> qEvMarkov,
     "q_ev_rfm" -> qEvRfm,
+    "q_ev_attribution" -> qEvAttribution,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_attribution" ->
+      """WITH carried AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN ts END
+        |      IGNORE NULLS) OVER w AS lt_ts,
+        |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END
+        |      IGNORE NULLS) OVER w AS lt_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT CASE WHEN lt_ts IS NOT NULL AND lt_ts >= ts - INTERVAL 7 DAY
+        |            THEN lt_type ELSE 'none' END AS touch_type,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM carried
+        |WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
     "q_ev_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |  time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,

@@ -793,6 +793,120 @@ object TextQueries {
       .orderBy(col("decile"))
   }
 
+  /** Collocation extraction (round 13) — the phrase-detection statistic
+    * a word2phrase-style pipeline (Mikolov et al. 2013) runs before
+    * tokenizer training: adjacent bigrams scored by the Dice
+    * coefficient `2·c(ab)/(c(a)+c(b))` in exact integer permyriad.
+    * Dice is chosen over raw PMI/lift deliberately: PMI's
+    * `c(ab)·N/(c(a)·c(b))` numerator multiplies two corpus-sized
+    * counts and overflows BIGINT near ~2e14 tokens (the bm25 lesson),
+    * while every Dice magnitude is bounded by `20000·c(ab)` — safe at
+    * any corpus size, and Dice ranks collocations the same way in
+    * practice (both reward pairs that rarely appear apart). Scale
+    * shape: one bigram count shuffle + a vocabulary-bounded unigram
+    * table joined twice (AQE broadcasts it), count-filtered (≥ 5)
+    * before the joins. */
+  def qCollocations(s: SparkSession, d: String): DataFrame = {
+    val docs = QueryCaches.track(documents(s, d)
+      .select(split(col("text"), " ").as("ws")).persist())
+    val uni = docs.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bg = docs.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS a, ws[i+1] AS b))")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    bg.join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(20000 * c_ab) div (c_a + c_b)").as("dice_permyriad"))
+      .orderBy(col("dice_permyriad").desc, col("a"), col("b"))
+      .limit(25)
+  }
+
+  /** Deterministic train/valid/test split (round 13) — the
+    * reproducible-by-construction dataset split every training corpus
+    * ships with: assignment = `md5(doc_id) mod 1000` (<900 train,
+    * <950 valid, else test), so ANY engine reproduces the same
+    * membership with no stored split column and no RNG seed plumbing
+    * — re-running over a grown corpus never reshuffles previously
+    * assigned docs. Report: per (source, split) doc and token volume
+    * plus the realized per-source permille. Scale shape: map-only
+    * hash + one (source, split)-keyed rollup (≤ 3·|sources| rows);
+    * the per-source total joins a broadcast-sized rollup. */
+  def qHashSplit(s: SparkSession, d: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val tagged = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .as[(Long, String, Long)]
+      .mapPartitions { it =>
+        val memo = new Md5Memo()
+        it.map { case (id, src, nt) =>
+          val b = java.lang.Long.remainderUnsigned(memo(id.toString)._1, 1000L)
+          val split = if (b < 900) "train" else if (b < 950) "valid" else "test"
+          (src, split, nt)
+        }
+      }.toDF("source", "split", "n_toks")
+    val per = tagged.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val tot = per.groupBy(col("source")).agg(sum(col("n_docs")).as("src_docs"))
+    per.join(broadcast(tot), "source")
+      .withColumn("share_permille", expr("1000 * n_docs div src_docs"))
+      .select(col("source"), col("split"), col("n_docs"), col("n_tokens"),
+        col("share_permille"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  /** Winnowing fingerprints (round 13) — Schleimer, Wilkerson & Aiken
+    * 2003 (the MOSS algorithm): hash every token 4-gram, slide a
+    * w=4 window over the hash sequence, keep each window's MINIMUM —
+    * the guarantee is that any match of ≥ w+k-1 tokens between two
+    * docs shares at least one selected fingerprint, at ~1/w the
+    * storage of full k-gram hashing. This materializes the per-doc
+    * fingerprint summary (gram count, distinct-fingerprint count, a
+    * mod-sum checksum over the fingerprint SET); the cross-doc match
+    * joins are the existing dedup family's job. Hashes are the
+    * engine-independent MD5-lower mod 2^61−1 (values < 2^61, so
+    * signed and unsigned comparison agree in both engines). Scale
+    * shape: map-only — one pass, no shuffle before the final sort. */
+  def qWinnowFingerprint(s: SparkSession, d: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val M = 2305843009213693951L // 2^61 - 1
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
+        if (ws.length < 7) Iterator.empty // need ≥ 4 grams of k=4 tokens
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val n = ws.length - 3
+          val h = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val g = s"${ws(i)} ${ws(i + 1)} ${ws(i + 2)} ${ws(i + 3)}"
+            h(i) = java.lang.Long.remainderUnsigned(md5Pair(md, g)._1, M)
+            i += 1
+          }
+          val mins = new scala.collection.mutable.HashSet[Long]
+          var j = 0
+          while (j <= n - 4) {
+            var m = h(j)
+            var t = 1
+            while (t < 4) { if (h(j + t) < m) m = h(j + t); t += 1 }
+            mins += m
+            j += 1
+          }
+          var ck = 0L
+          mins.foreach(x => ck += x % 1000003L)
+          Iterator.single((id, n.toLong, mins.size.toLong, ck))
+        }
+      }.toDF("doc_id", "n_grams", "n_fp", "fp_checksum")
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus vocabulary statistics: top-25 tokens by frequency (the
     * unigram table a tokenizer-training pipeline starts from). */
   def qTokenFrequency(s: SparkSession, d: String): DataFrame =
@@ -1757,6 +1871,9 @@ object TextQueries {
     "token_frequency" -> qTokenFrequency,
     "inverted_index" -> qInvertedIndex,
     "vocab_growth" -> qVocabGrowth,
+    "collocations" -> qCollocations,
+    "hash_split" -> qHashSplit,
+    "winnow_fingerprint" -> qWinnowFingerprint,
     "heavy_hitters" -> qHeavyHitters,
     "bloom_dedup" -> qBloomDedup,
     "data_mixture_temperature" -> qDataMixtureTemperature,
@@ -2435,6 +2552,59 @@ object TextQueries {
         |    AS type_permille
         |FROM vol LEFT JOIN ty USING (decile)
         |ORDER BY decile""".stripMargin,
+    "collocations" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (
+        |  SELECT w, count(*) AS c
+        |  FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY w
+        |), bg AS (
+        |  SELECT ws[i] AS a, ws[i+1] AS b, count(*) AS c_ab
+        |  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+        |  WHERE len(ws) >= 2
+        |  GROUP BY 1, 2 HAVING count(*) >= 5
+        |)
+        |SELECT bg.a, bg.b, bg.c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  (20000 * bg.c_ab) // (ua.c + ub.c) AS dice_permyriad
+        |FROM bg JOIN uni ua ON ua.w = bg.a JOIN uni ub ON ub.w = bg.b
+        |ORDER BY dice_permyriad DESC, a, b LIMIT 25""".stripMargin,
+    "hash_split" ->
+      """WITH tagged AS (
+        |  SELECT source,
+        |    CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 900
+        |           THEN 'train'
+        |         WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 950
+        |           THEN 'valid'
+        |         ELSE 'test' END AS split,
+        |    len(string_split(text, ' ')) AS n_toks
+        |  FROM documents
+        |), per AS (
+        |  SELECT source, split, count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM tagged GROUP BY source, split
+        |)
+        |SELECT per.source, per.split, per.n_docs, per.n_tokens,
+        |  CAST((1000 * per.n_docs) // t.src_docs AS BIGINT) AS share_permille
+        |FROM per JOIN (SELECT source, sum(n_docs) AS src_docs FROM per GROUP BY source) t
+        |  USING (source)
+        |ORDER BY source, split""".stripMargin,
+    "winnow_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_transform(generate_series(1, len(ws) - 3),
+        |      i -> md5_number_lower(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |             || ' ' || ws[i+3]) % 2305843009213693951) AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 7
+        |), wmin AS (
+        |  SELECT doc_id, h,
+        |    list_distinct(list_transform(generate_series(1, len(h) - 3),
+        |      j -> least(h[j], h[j+1], h[j+2], h[j+3]))) AS mins
+        |  FROM g
+        |)
+        |SELECT doc_id, CAST(len(h) AS BIGINT) AS n_grams,
+        |  CAST(len(mins) AS BIGINT) AS n_fp,
+        |  CAST(list_sum(list_transform(mins, x -> x % 1000003)) AS BIGINT)
+        |    AS fp_checksum
+        |FROM wmin ORDER BY doc_id""".stripMargin,
     "inverted_index" ->
       """WITH post AS (
         |  SELECT DISTINCT doc_id, token FROM (
