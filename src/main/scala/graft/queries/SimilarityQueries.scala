@@ -725,6 +725,101 @@ object SimilarityQueries {
         max(size(col("embedding"))).cast("long").as("max_dim"))
       .orderBy(col("label"))
 
+  /** Distributed Lloyd's k-means TRAINING (round 13), fully oracled —
+    * the trained counterpart to the hash-sampled IVF medoids (and the
+    * exact-integer sibling of the float `graft.ivf.quantizer=kmeans`
+    * mode, which is engine-private by nature): K=8 hash-ranked seeds
+    * (the IVF seed family, `md5_lower("km-"||vec_id) mod 2³¹−1`), two
+    * Lloyd rounds + a final assignment, everything in exact BIGINT so
+    * DuckDB replays the identical trajectory.
+    *
+    * Exactness devices: components quantize as ⌊x·2¹⁵⌋ (the shared
+    * QuantizedDotF device); distance = n_q + n_c − 2·dot with `dot`
+    * from the codegen'd [[qdot]] against the centroid-as-double
+    * literal (integer/2¹⁵ is a power-of-2 division — exact, so qdot's
+    * re-quantization reproduces the centroid integers bit-for-bit);
+    * the centroid mean shifts into non-negative space before dividing
+    * (`(Σq + 2¹⁵·n) div n − 2¹⁵`) because Spark's `div` truncates
+    * toward zero while DuckDB's `//` floors — they agree only on
+    * non-negative numerators; assignment ties go to the smallest cid
+    * (ordered CASE chain here, `ORDER BY dist, cid` there). Per-vector
+    * distances are ≤ 64·2³² so the per-cluster inertia is reported in
+    * 2²⁰ units (`Σ(dist div 2²⁰)`), BIGINT-safe past 10¹³ members.
+    *
+    * Scale shape: the classic distributed Lloyd — per round ONE
+    * codegen map pass against K literal centroids (no join: centroids
+    * travel via the driver, K×64 longs) plus ONE (cid,dim)-keyed
+    * rollup with map-side combine whose result is K×64 rows; nothing
+    * iterative ever self-joins, so no lineage cuts are needed. */
+  def qKmeansTrain(s: SparkSession, d: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val K = 8
+    val Shift = QScale.toLong // 2^15
+    val emb = QueryCaches.track(embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        qdot(col("embedding"), col("embedding")).as("nq"))
+      .persist())
+    val seedIds = embeddings(s, d).select(col("vec_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          (id, java.lang.Long.remainderUnsigned(
+            TextQueries.md5Pair(md, "km-" + id)._1, 2147483647L))
+        }
+      }
+      .toDF("vec_id", "h")
+      .orderBy(col("h"), col("vec_id")).limit(K)
+      .collect().map(_.getLong(0)).toSeq
+    val seedEmb = embeddings(s, d)
+      .filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // centroids as (cid, integer components); cid labels survive empty
+    // clusters (a vanished centroid keeps every other label stable)
+    var centroids: Seq[(Int, Array[Long])] = seedIds.zipWithIndex.map {
+      case (id, i) =>
+        (i, seedEmb(id).map(x => math.floor(x.toDouble * Shift).toLong).toArray)
+    }
+    def assign(cs: Seq[(Int, Array[Long])]): DataFrame = {
+      var df = emb
+      cs.foreach { case (cid, c) =>
+        val nc = c.map(x => x * x).sum
+        df = df.withColumn(s"d$cid",
+          lit(nc) - lit(2L) * qdot(col("embedding"),
+            typedLit(c.map(_.toDouble / Shift).toSeq)) + col("nq"))
+      }
+      val mn = least(cs.map { case (cid, _) => col(s"d$cid") }: _*)
+      val cidCol = cs.map(_._1).sorted.reverse.tail.reverse // all but last, asc
+        .foldRight(lit(cs.map(_._1).max.toLong): Column) { (cid, acc) =>
+          when(col(s"d$cid") === col("mn"), lit(cid.toLong)).otherwise(acc)
+        }
+      df.withColumn("mn", mn).withColumn("cid", cidCol)
+    }
+    for (_ <- 1 to 2) {
+      val updated = assign(centroids)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("cid"), col("dim"),
+          expr(s"CAST(floor(CAST(x AS DOUBLE) * $Shift) AS BIGINT)").as("q"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+        .select(col("cid"), col("dim"),
+          expr(s"(sq + $Shift * n) div n - $Shift").as("v"))
+        .collect()
+      centroids = updated.groupBy(_.getLong(0).toInt).toSeq.sortBy(_._1)
+        .map { case (cid, rows) =>
+          val arr = new Array[Long](rows.map(_.getInt(1)).max + 1)
+          rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+          (cid, arr)
+        }
+    }
+    assign(centroids)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(expr("mn div 1048576")).as("inertia_m"))
+      .orderBy(col("cid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cosine_topk_brute" -> qCosineTopkBrute,
     "ann_lsh" -> qAnnLsh,
@@ -739,6 +834,7 @@ object SimilarityQueries {
     "mmr_diversify" -> qMmrDiversify,
     "ctfidf_topics" -> qCtfidfTopics,
     "embedding_stats" -> qEmbeddingStats,
+    "kmeans_train" -> qKmeansTrain,
   )
 
   // ---- DuckDB oracle reconstruction (generated from the SAME constants
@@ -916,7 +1012,59 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** The k-means trajectory replayed in SQL: seeds by hash rank, two
+    * Lloyd rounds as MATERIALIZED CTE pairs (distance argmin with
+    * `ORDER BY dist, cid`, shifted-mean update), final assignment
+    * rolled up. `sum((q-v)²)` is the same integer as the Spark side's
+    * n_q + n_c − 2·dot decomposition. */
+  private def kmeansOracleSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH $oracleBaseCtes,
+         |qd AS MATERIALIZED (
+         |  SELECT vec_id, i AS dim, qv[i] AS q
+         |  FROM qe, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i) g
+         |), sr AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS cid
+         |  FROM (SELECT vec_id,
+         |          md5_number_lower('km-' || CAST(vec_id AS VARCHAR))
+         |            % 2147483647 AS hk
+         |        FROM qe)
+         |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= 8
+         |), c0 AS MATERIALIZED (
+         |  SELECT sr.cid, qd.dim, qd.q AS v FROM sr JOIN qd USING (vec_id)
+         |)""".stripMargin)
+    for (r <- 1 to 3) {
+      sb.append(
+        s""", d$r AS MATERIALIZED (
+           |  SELECT qd.vec_id, c.cid,
+           |    CAST(sum((qd.q - c.v) * (qd.q - c.v)) AS BIGINT) AS dist
+           |  FROM qd JOIN c${r - 1} c ON c.dim = qd.dim
+           |  GROUP BY 1, 2
+           |), a$r AS MATERIALIZED (
+           |  SELECT vec_id, cid, dist FROM d$r
+           |  QUALIFY row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY dist, cid) = 1
+           |)""".stripMargin)
+      if (r < 3) sb.append(
+        s""", c$r AS MATERIALIZED (
+           |  SELECT a.cid, qd.dim,
+           |    CAST((sum(qd.q) + 32768 * count(*)) // count(*) - 32768 AS BIGINT)
+           |      AS v
+           |  FROM a$r a JOIN qd USING (vec_id) GROUP BY 1, 2
+           |)""".stripMargin)
+    }
+    sb.append(
+      """
+        |SELECT cid, count(*) AS n_members,
+        |  CAST(sum(dist // 1048576) AS BIGINT) AS inertia_m
+        |FROM a3 GROUP BY cid ORDER BY cid""".stripMargin)
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "kmeans_train" -> kmeansOracleSql,
     "mmr_diversify" -> mmrOracleSql,
     // cells re-derive through the shared ivfAssignCtes; the bitlen idf
     // is the lm/dsir log device at cell granularity

@@ -60,6 +60,17 @@ class NewOpPlanShapeSpec extends LakeSuite {
       "the spine must not cross-join a calendar table:\n" + plan)
   }
 
+  test("kmeans assignment passes are join-free — centroids travel via driver literals") {
+    val plan = planOf(SimilarityQueries.qKmeansTrain(spark, d))
+    // the final assignment (the plan we capture) must be a map pass
+    // over the cached corpus + one hash aggregate: any Join means the
+    // centroid table leaked into the plan as a relation
+    val step = plan.split("InMemoryRelation").head
+    assert(!step.contains("Join"),
+      "kmeans assignment must not join a centroid relation:\n" + plan)
+    assert(step.contains("HashAggregate"), plan)
+  }
+
   test("ctfidf/mmr: the only nested-loop joins are 1-row broadcast scalars") {
     // scalar crossJoins (n_cells, query vector) are fine; a real
     // cartesian over data tables is not
