@@ -392,6 +392,91 @@ object EventQueries {
       .orderBy(col("touch_type"))
   }
 
+  /** A/B experiment readout (round 13) — the conversion report every
+    * experimentation platform produces: a user's variant is the parity
+    * of the `k` field in the JSON props of their FIRST event
+    * (assignment at first exposure, pinned by the `(ts, event_id)`
+    * total order), outcomes are purchase conversion and revenue in
+    * exact integer cents, and the rate is integer permille. Scale
+    * shape: one user-partitioned window for the assignment + one
+    * user-keyed rollup, co-keyed join (both sides hash on user_id, AQE
+    * plans it), then a ≤3-row variant rollup — nothing global. */
+  def qEvAbReadout(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val base = QueryCaches.track(events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .persist())
+    val variant = base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), (col("k") % 2).as("variant"))
+    val per = base.groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("purchases"),
+      sum(when(col("event_type") === "purchase",
+        floor(col("value") * 100).cast("long")).otherwise(0L)).as("cents"))
+    variant.join(per, "user_id")
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("purchases") > 0, 1L).otherwise(0L)).as("converters"),
+        sum(col("purchases")).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+      .withColumn("conv_permille", expr("1000 * converters div n_users"))
+      .orderBy(col("variant"))
+  }
+
+  /** Exact per-type latency-style percentiles (round 13) — p50/p95/p99
+    * of event value in cents, the SRE/latency report, WITHOUT the
+    * 5-value-partition window that would serialize the sort at scale
+    * (`Window.partitionBy(event_type)` is exactly the low-cardinality
+    * partition-key class the sf1 probe caught in `q_weighted_median`).
+    * The percentile is the value at 1-based rank `⌈p·n/100⌉ =
+    * (n·p+99) div 100` of the ascending cents order — located by the
+    * histogram-selection device: a per-(type, bucket) mass rollup
+    * (≤ 5·1024 rows through the cumulative window), then ONLY the
+    * buckets holding a target rank sort their rows, per
+    * (type, bucket, p) partition. Bucket boundaries are an internal
+    * routing detail (floor over doubles — deterministic and monotone;
+    * the reported value never depends on them). */
+  def qEvPercentiles(s: SparkSession, d: String): DataFrame = {
+    val base = QueryCaches.track(events(s, d)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents")).persist())
+    val stats = base.groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+      min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    val bucketed = base.join(broadcast(stats), "event_type")
+      .withColumn("b", when(col("mx") === col("mn"), lit(0)).otherwise(
+        least(lit(1023), floor((col("cents") - col("mn")).cast("double") * 1024 /
+          (col("mx") - col("mn")).cast("double")).cast("int"))))
+      .select(col("event_type"), col("b"), col("cents"), col("event_id"))
+    val mass = bucketed.groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("below", col("cum") - col("c"))
+    val ranks = stats.select(col("event_type"), col("n"),
+        explode(typedLit(Seq(50, 95, 99))).as("p"))
+      .withColumn("r", expr("(n * p + 99) div 100"))
+    val tgt = ranks.join(mass, Seq("event_type"))
+      .filter(col("below") < col("r") && col("r") <= col("cum"))
+      .select(col("event_type"), col("p"), col("r"), col("b"), col("below"))
+    val wB = Window.partitionBy(col("event_type"), col("b"), col("p"))
+      .orderBy(col("cents"), col("event_id"))
+    val vals = bucketed
+      .join(broadcast(tgt), Seq("event_type", "b"))
+      .withColumn("rn", row_number().over(wB))
+      .filter(col("below") + col("rn") === col("r"))
+    vals.groupBy(col("event_type"))
+      .agg(max(when(col("p") === 50, col("cents"))).as("p50_cents"),
+        max(when(col("p") === 95, col("cents"))).as("p95_cents"),
+        max(when(col("p") === 99, col("cents"))).as("p99_cents"))
+      .join(broadcast(stats.select(col("event_type"), col("n"))), "event_type")
+      .select(col("event_type"), col("n"), col("p50_cents"),
+        col("p95_cents"), col("p99_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumbling" -> qEvTumbling,
     "q_ev_sliding" -> qEvSliding,
@@ -408,9 +493,55 @@ object EventQueries {
     "q_ev_markov" -> qEvMarkov,
     "q_ev_rfm" -> qEvRfm,
     "q_ev_attribution" -> qEvAttribution,
+    "q_ev_ab_readout" -> qEvAbReadout,
+    "q_ev_percentiles" -> qEvPercentiles,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_ab_readout" ->
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events
+        |), variant AS (
+        |  SELECT user_id, k % 2 AS variant FROM base
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) = 1
+        |), per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS purchases,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS cents
+        |  FROM base GROUP BY user_id
+        |)
+        |SELECT v.variant, count(*) AS n_users,
+        |  CAST(sum(CASE WHEN p.purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS converters,
+        |  CAST(sum(p.purchases) AS BIGINT) AS n_purchases,
+        |  CAST(sum(p.cents) AS BIGINT) AS revenue_cents,
+        |  (1000 * CAST(sum(CASE WHEN p.purchases > 0 THEN 1 ELSE 0 END)
+        |     AS BIGINT)) // count(*) AS conv_permille
+        |FROM variant v JOIN per p USING (user_id)
+        |GROUP BY v.variant ORDER BY variant""".stripMargin,
+    "q_ev_percentiles" ->
+      """WITH base AS (
+        |  SELECT event_type, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), ranked AS (
+        |  SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM base
+        |)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN cents END) AS p50_cents,
+        |  max(CASE WHEN rn = (n * 95 + 99) // 100 THEN cents END) AS p95_cents,
+        |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN cents END) AS p99_cents
+        |FROM ranked GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_ev_attribution" ->
       """WITH carried AS (
         |  SELECT user_id, ts, event_type, value,

@@ -872,11 +872,21 @@ object TextQueries {
     * engine-independent MD5-lower mod 2^61−1 (values < 2^61, so
     * signed and unsigned comparison agree in both engines). Scale
     * shape: map-only — one pass, no shuffle before the final sort. */
-  def qWinnowFingerprint(s: SparkSession, d: String): DataFrame = {
+  def qWinnowFingerprint(s: SparkSession, d: String): DataFrame =
+    winnowSets(s, documents(s, d))
+      .select(col("doc_id"), col("n_grams"), size(col("fps")).cast("long").as("n_fp"),
+        aggregate(col("fps"), lit(0L), (acc, x) => acc + x % 1000003L)
+          .as("fp_checksum"))
+      .orderBy(col("doc_id"))
+
+  /** The winnowing core shared by [[qWinnowFingerprint]] and the
+    * guarantee spec: per doc with ≥ 7 tokens, `(doc_id, n_grams,
+    * fps)` where `fps` is the sorted distinct window-minima set. */
+  private[queries] def winnowSets(s: SparkSession, docs: DataFrame): DataFrame = {
     val spark0 = s
     import spark0.implicits._
     val M = 2305843009213693951L // 2^61 - 1
-    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
         if (ws.length < 7) Iterator.empty // need ≥ 4 grams of k=4 tokens
@@ -899,12 +909,9 @@ object TextQueries {
             mins += m
             j += 1
           }
-          var ck = 0L
-          mins.foreach(x => ck += x % 1000003L)
-          Iterator.single((id, n.toLong, mins.size.toLong, ck))
+          Iterator.single((id, n.toLong, mins.toArray.sorted))
         }
-      }.toDF("doc_id", "n_grams", "n_fp", "fp_checksum")
-      .orderBy(col("doc_id"))
+      }.toDF("doc_id", "n_grams", "fps")
   }
 
   /** Corpus vocabulary statistics: top-25 tokens by frequency (the
