@@ -97,17 +97,65 @@ object GraphQueries {
     * Scale shape: vocabulary-bounded everywhere after the one bigram
     * pass — the rank vector and degree table are O(vocab), never
     * O(corpus). */
-  def qTextrankKeywords(s: SparkSession, d: String): DataFrame = {
+  /** The distinct undirected adjacent-word co-occurrence pairs
+    * (a &lt; b), shared by TextRank and the triangle counter: one
+    * bigram pass, `least/greatest`-normalized, cached. */
+  private def wordPairs(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
     val bg = docs.select(explode(expr(
         "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .filter(col("w1") =!= col("w2"))
-    val pairs = QueryCaches.track(bg
+    QueryCaches.track(bg
       .select(least(col("w1"), col("w2")).as("a"),
         greatest(col("w1"), col("w2")).as("b"))
       .distinct().persist())
+  }
+
+  /** Triangle counting (round 13) over the word co-occurrence graph —
+    * the clustering-structure metric (and the core of clustering-
+    * coefficient / community detection) — via the COMPACT-FORWARD
+    * orientation (Latapy 2008): orient every undirected edge from its
+    * (degree, node)-smaller endpoint to the larger, making the graph
+    * a DAG in which each triangle has exactly ONE vertex with two
+    * out-edges; wedges join out-edges at that vertex and close
+    * against the normalized pair set with ONE equi-join (no OR-join,
+    * no nested loop). The orientation is THE scale device: wedge
+    * fan-out is bounded by oriented out-degree ≤ O(√m) even when a
+    * hub word touches everything — an unoriented wedge join would be
+    * quadratic in the hub degree. Output: top-15 words by triangle
+    * participation (each triangle credits its three corners). */
+  def qGraphTriangles(s: SparkSession, d: String): DataFrame = {
+    val pairs = wordPairs(s, d)
+    val deg = pairs.select(col("a").as("n")).unionByName(
+        pairs.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val ori = QueryCaches.track(pairs
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+      .persist())
+    val wedges = ori.select(col("u"), col("v").as("x"))
+      .join(ori.select(col("u"), col("v").as("y")), "u")
+      .filter(col("x") < col("y"))
+    val tris = wedges.join(pairs,
+      col("x") === col("a") && col("y") === col("b"))
+      .select(col("u"), col("x"), col("y"))
+    tris.select(explode(array(col("u"), col("x"), col("y"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("word"))
+      .limit(15)
+  }
+
+  def qTextrankKeywords(s: SparkSession, d: String): DataFrame = {
+    val pairs = wordPairs(s, d)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -122,6 +170,7 @@ object GraphQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> qGraphPagerank,
     "textrank_keywords" -> qTextrankKeywords,
+    "graph_triangles" -> qGraphTriangles,
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +198,35 @@ object GraphQueries {
         |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
         |  node // 2 AS key, rank
         |FROM r3 ORDER BY rank DESC, node_type, key LIMIT 30""".stripMargin,
+    // compact-forward replayed relationally: same orientation rule,
+    // same single closure equi-join
+    "graph_triangles" ->
+      """WITH bgr AS (
+        |  SELECT ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT string_split(text, ' ') AS ws FROM documents
+        |        WHERE len(string_split(text, ' ')) >= 2) t,
+        |       LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g
+        |  WHERE ws[i] <> ws[i+1]),
+        |pairs AS (SELECT DISTINCT least(w1, w2) AS a, greatest(w1, w2) AS b
+        |          FROM bgr),
+        |deg AS (SELECT n, count(*) AS dg FROM (
+        |          SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs)
+        |        GROUP BY n),
+        |ori AS (SELECT
+        |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+        |         THEN a ELSE b END AS u,
+        |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+        |         THEN b ELSE a END AS v
+        |  FROM pairs JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+        |tris AS (
+        |  SELECT e1.u AS u, e1.v AS x, e2.v AS y
+        |  FROM ori e1 JOIN ori e2 ON e2.u = e1.u AND e1.v < e2.v
+        |  JOIN pairs p ON p.a = e1.v AND p.b = e2.v)
+        |SELECT word, count(*) AS n_triangles
+        |FROM (SELECT u AS word FROM tris
+        |      UNION ALL SELECT x FROM tris
+        |      UNION ALL SELECT y FROM tris)
+        |GROUP BY word ORDER BY n_triangles DESC, word LIMIT 15""".stripMargin,
     // identical 3-iteration integer unroll over the adjacent-word graph
     "textrank_keywords" ->
       """WITH bgr AS (
