@@ -159,7 +159,43 @@ object SqlSourceQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Recursive CTE (round 13; Spark 4.1's WITH RECURSIVE) — BFS
+    * reachability with hop counts over the nation-level trade graph
+    * (edge = "a supplier in nation X supplied an order of a customer
+    * in nation Y"). The recursion is scale-safe BY CONSTRUCTION: it
+    * runs over a dimension-sized graph (≤ 25² edges at any corpus
+    * scale — the corpus-sized joins happen ONCE to build the edge
+    * view), bounded at 3 hops, and the UNION ALL path fan-out is
+    * capped by 25³ before the min-hop rollup. Both engines execute
+    * the identical iteration, so hop counts match exactly. */
+  def qSqlRecursive(s: SparkSession, d: String): DataFrame = {
+    val (li, o, c, su) = (view(s, d, "lineitem"), view(s, d, "orders"),
+      view(s, d, "customer"), view(s, d, "supplier"))
+    s.sql(
+      s"""WITH edges AS (
+         |  SELECT DISTINCT su.s_nationkey AS src, c.c_nationkey AS dst
+         |  FROM $li l
+         |  JOIN $o o ON o.o_orderkey = l.l_orderkey
+         |  JOIN $c c ON c.c_custkey = o.o_custkey
+         |  JOIN $su su ON su.s_suppkey = l.l_suppkey
+         |  WHERE su.s_nationkey <> c.c_nationkey
+         |)
+         |SELECT nk, min(d) AS hops, count(*) AS n_paths
+         |FROM (
+         |  WITH RECURSIVE reach(nk, d) AS (
+         |    SELECT CAST(0 AS BIGINT) AS nk, 0 AS d
+         |    UNION ALL
+         |    SELECT CAST(e.dst AS BIGINT), r.d + 1
+         |    FROM reach r JOIN edges e ON e.src = r.nk
+         |    WHERE r.d < 3
+         |  )
+         |  SELECT nk, d FROM reach
+         |)
+         |GROUP BY nk ORDER BY nk""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_recursive" -> qSqlRecursive,
     "q_sql_revenue_filter" -> qSqlRevenueFilter,
     "q_sql_having" -> qSqlHaving,
     "q_sql_exists_subquery" -> qSqlExistsSubquery,
@@ -173,6 +209,27 @@ object SqlSourceQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sql_recursive" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT su.s_nationkey AS src, c.c_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN supplier su ON su.s_suppkey = l.l_suppkey
+        |  WHERE su.s_nationkey <> c.c_nationkey
+        |)
+        |SELECT nk, min(d) AS hops, count(*) AS n_paths
+        |FROM (
+        |  WITH RECURSIVE reach(nk, d) AS (
+        |    SELECT CAST(0 AS BIGINT) AS nk, 0 AS d
+        |    UNION ALL
+        |    SELECT CAST(e.dst AS BIGINT), r.d + 1
+        |    FROM reach r JOIN edges e ON e.src = r.nk
+        |    WHERE r.d < 3
+        |  )
+        |  SELECT nk, d FROM reach
+        |)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
     "q_sql_correlated_scalar" ->
       """SELECT c_nationkey, count(*) AS n_above,
         |  round(max(c_acctbal), 2) AS max_bal

@@ -45,6 +45,12 @@ object BenchScaled {
     "image_phash_clusters", "audio_fingerprint_clusters",
     "lake_sql_update_element", "lake_sql_update_corr_agg",
     "lang_confusion", "q_k_anonymity", "c4_filter", "q_sql_lateral_topn",
+    // round-13 second wave: retrieval artifacts, tokenizer encode,
+    // graph ops, the kmeans trainer, and the event-analytics additions
+    "textrank_keywords", "inverted_index", "vocab_growth", "bpe_encode",
+    "collocations", "hash_split", "winnow_fingerprint", "kmeans_train",
+    "graph_triangles", "q_ev_attribution", "q_ev_ab_readout",
+    "q_ev_percentiles",
     "lake_changelog", "lake_compact", "lake_merge_mor", "lake_prune",
     "lake_merge_upsert", "lake_sql_merge_full")
 
