@@ -477,6 +477,39 @@ object EventQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Cohort LTV curve (round 13) — cumulative revenue per user by
+    * weeks-since-acquisition, the companion to cohort retention:
+    * cohort = epoch-week of the user's FIRST event (integer
+    * `days-since-epoch div 7` — the corpus spans ~a month, and weeks
+    * are what its cohorts resolve; a calendar-unit swap is one
+    * constant), revenue = purchase value in exact integer cents. The
+    * cumulative window runs over the (cohort, offset) ROLLUP — a
+    * weeks²-bounded table, never the event stream — so partitioning
+    * by cohort there is lint-safe at any scale. Scale shape: one
+    * user-keyed min rollup, one co-keyed join, one (cohort, offset)
+    * rollup, then the bounded cumulative. */
+  def qEvLtv(s: SparkSession, d: String): DataFrame = {
+    val base = QueryCaches.track(events(s, d)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("m",
+        expr("datediff(to_date(ts), DATE '1970-01-01') div 7").cast("long"))
+      .persist())
+    val cohort = base.groupBy(col("user_id")).agg(min(col("m")).as("cm"))
+    val sizes = cohort.groupBy(col("cm")).agg(count(lit(1)).as("n_users"))
+    val rev = base.filter(col("event_type") === "purchase")
+      .join(cohort, "user_id")
+      .groupBy(col("cm"), (col("m") - col("cm")).as("week_offset"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("rev_cents"))
+    val wC = Window.partitionBy(col("cm")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rev.withColumn("cum_revenue_cents", sum(col("rev_cents")).over(wC))
+      .join(broadcast(sizes), "cm")
+      .select(col("cm").as("cohort_week"), col("week_offset"),
+        col("n_users"), col("cum_revenue_cents"),
+        expr("cum_revenue_cents div n_users").as("ltv_cents_per_user"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumbling" -> qEvTumbling,
     "q_ev_sliding" -> qEvSliding,
@@ -495,9 +528,39 @@ object EventQueries {
     "q_ev_attribution" -> qEvAttribution,
     "q_ev_ab_readout" -> qEvAbReadout,
     "q_ev_percentiles" -> qEvPercentiles,
+    "q_ev_ltv" -> qEvLtv,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_ltv" ->
+      """WITH base AS (
+        |  SELECT user_id, event_type, value,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |      AS BIGINT) AS m
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(m) AS cm FROM base GROUP BY user_id
+        |), sizes AS (
+        |  SELECT cm, count(*) AS n_users FROM cohort GROUP BY cm
+        |), rev AS (
+        |  SELECT c.cm, b.m - c.cm AS week_offset,
+        |    CAST(sum(CAST(floor(b.value * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM base b JOIN cohort c USING (user_id)
+        |  WHERE b.event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT rev.cm AS cohort_week, rev.week_offset, sizes.n_users,
+        |  CAST(sum(rev.rev_cents) OVER (PARTITION BY rev.cm
+        |    ORDER BY rev.week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_revenue_cents,
+        |  CAST(sum(rev.rev_cents) OVER (PARTITION BY rev.cm
+        |    ORDER BY rev.week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    // sizes.n_users AS ltv_cents_per_user
+        |FROM rev JOIN sizes USING (cm)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_ev_ab_readout" ->
       """WITH base AS (
         |  SELECT user_id, ts, event_id, event_type, value,

@@ -820,7 +820,30 @@ object SimilarityQueries {
       .orderBy(col("cid"))
   }
 
+  /** Int8 scalar-quantization audit (round 13) — the report an ANN
+    * index build reads before switching storage to SQ8 (FAISS's
+    * ScalarQuantizer): per dimension, the total and worst absolute
+    * reconstruction error of the 8-bit code against the exact q15
+    * integer components. Code = `(q15 + 2¹⁵) div 256` (the shift puts
+    * the numerator in non-negative space where Spark's truncating
+    * `div` and DuckDB's flooring `//` agree — the k-means mean
+    * device); reconstruction = `code·256 − 2¹⁵`; every error ≤ 255
+    * exactly. Scale shape: one map pass + a 64-group rollup with
+    * map-side combine — nothing keyed by row. */
+  def qSq8Error(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        expr(s"CAST(floor(CAST(x AS DOUBLE) * $QScale) AS BIGINT)").as("q"))
+      .withColumn("r", expr(s"((q + $QScale) div 256) * 256 - $QScale"))
+      .withColumn("err", abs(col("q") - col("r")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err")).as("sum_err"),
+        max(col("err")).as("max_err"))
+      .orderBy(col("dim"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sq8_error" -> qSq8Error,
     "cosine_topk_brute" -> qCosineTopkBrute,
     "ann_lsh" -> qAnnLsh,
     "ivf_ann" -> qIvfAnn,
@@ -1064,6 +1087,18 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "sq8_error" ->
+      s"""WITH $oracleBaseCtes,
+         |qd AS (
+         |  SELECT CAST(i - 1 AS INT) AS dim, qv[i] AS q
+         |  FROM qe, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i) g
+         |)
+         |SELECT dim, count(*) AS n_vecs,
+         |  CAST(sum(abs(q - (((q + $QScale) // 256) * 256 - $QScale)))
+         |    AS BIGINT) AS sum_err,
+         |  CAST(max(abs(q - (((q + $QScale) // 256) * 256 - $QScale)))
+         |    AS BIGINT) AS max_err
+         |FROM qd GROUP BY dim ORDER BY dim""".stripMargin,
     "kmeans_train" -> kmeansOracleSql,
     "mmr_diversify" -> mmrOracleSql,
     // cells re-derive through the shared ivfAssignCtes; the bitlen idf
