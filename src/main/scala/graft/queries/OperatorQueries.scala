@@ -95,9 +95,26 @@ object OperatorQueries {
   private def bandedHammingClusters(s: SparkSession, hashed: DataFrame,
       hashCol: String): DataFrame = {
     val cached = QueryCaches.track(hashed.persist())
-    val edges = hammingEdges(bandHashes(cached, hashCol))
+    // exact-hash collapse BEFORE banding (the round-13 probe lesson):
+    // identical hashes are hamming-0 connected by definition, so each
+    // identical-hash group enters the band buckets ONCE via its min-id
+    // representative, plus identity edges rep→member. Without this the
+    // within-bucket candidate join is quadratic in duplicate-group
+    // SIZE — the 10× replica probe showed 30× (every group 10× deeper
+    // → 100× pair work); with it, pair work scales with DISTINCT
+    // hashes. Components are unchanged: hamming distance depends only
+    // on the hash, so any member edge is represented by its rep edge.
+    val reps = QueryCaches.track(cached
+      .groupBy(col(hashCol)).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col(hashCol))
+      .persist())
+    val identity = cached.select(col(hashCol), col("doc_id").as("db"))
+      .join(reps.select(col(hashCol), col("doc_id").as("da")), hashCol)
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"))
+    val repEdges = hammingEdges(bandHashes(reps, hashCol))
       .select(col("da"), col("db")).distinct()
-    ConnectedComponents.labels(s, edges)
+    ConnectedComponents.labels(s, repEdges.unionByName(identity))
   }
 
   /** [[qImagePhashDedup]]'s linear-output twin. */
