@@ -145,6 +145,55 @@ object EventStream {
       }
   }
 
+  final case class AttributedPurchase(user_id: Long, event_id: Long,
+      touch_type: String, cents: Long)
+
+  /** Cross-batch attribution state: the user's latest touch (ms since
+    * epoch + type). O(1) per user regardless of history length. */
+  final case class TouchState(ms: Long, tpe: String)
+
+  /** Streaming last-touch attribution — the stateful twin of the batch
+    * `q_ev_attribution`: each purchase is credited, AT ARRIVAL, to the
+    * user's most recent preceding `click`/`view` within the 7-day
+    * lookback, else to `none`. The state is a single (ms, type) pair
+    * per user — the carry-forward the batch query materializes with a
+    * window — so an unbounded stream attributes with constant per-key
+    * state and emits each purchase exactly once (Append mode).
+    *
+    * Bounded-input formulation (the funnel/sessionize convention):
+    * each group's batch slice sorts by the `(ts, event_id)` total
+    * order and batches are assumed chronological — the file-replay
+    * shape. Tie semantics match the batch side exactly: a touch at
+    * the purchase's own timestamp counts iff its event_id is smaller. */
+  def attributionProgress(spark: SparkSession, schema: StructType, dir: String,
+      lookbackMs: Long = 7L * 24 * 3600 * 1000): Dataset[AttributedPurchase] = {
+    import spark.implicits._
+    spark.readStream.schema(schema).parquet(dir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[EventRow], state: GroupState[TouchState]) =>
+          var st = state.getOption.orNull
+          val evs = rows.toArray.sortBy(r => (r.ts.getTime, r.event_id))
+          val out = scala.collection.mutable.Buffer.empty[AttributedPurchase]
+          evs.foreach { r =>
+            r.event_type match {
+              case "click" | "view" => st = TouchState(r.ts.getTime, r.event_type)
+              case "purchase" =>
+                val tpe =
+                  if (st != null && st.ms >= r.ts.getTime - lookbackMs) st.tpe
+                  else "none"
+                out += AttributedPurchase(user, r.event_id, tpe,
+                  math.floor(r.value * 100).toLong)
+              case _ =>
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the unbounded twin of the batch
     * dedup_exact operator, for at-least-once sources that re-deliver.
     * dropDuplicatesWithinWatermark keeps a key's dedup state only

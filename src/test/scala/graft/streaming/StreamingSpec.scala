@@ -97,6 +97,35 @@ class StreamingSpec extends LakeSuite {
     assert(batch.except(finalState).count() === 0)
   }
 
+  test("streaming last-touch attribution == batch q_ev_attribution, across micro-batches") {
+    // carried-touch state must survive the batch cut: a click in
+    // micro-batch 1 attributes a purchase in micro-batch 2
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_").toString
+    val cut = staticEvents.orderBy(col("ts"))
+      .limit((staticEvents.count() / 2).toInt)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    staticEvents.filter(col("ts") <= cut).write.mode("overwrite").parquet(s"$dir/in")
+    val q = EventStream.attributionProgress(spark, staticEvents.schema, s"$dir/in").toDF()
+      .writeStream.format("memory").queryName("attr_prog")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      staticEvents.filter(col("ts") > cut).write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attr_prog")
+      // each purchase appears exactly once across all micro-batches
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+    val batch = graft.queries.EventQueries
+      .qEvAttribution(spark, "/root/testdata/sf0.001")
+    assert(streamed.except(batch).count() === 0)
+    assert(batch.except(streamed).count() === 0)
+    val total = spark.table("attr_prog").count()
+    val dedup = spark.table("attr_prog").select(col("event_id")).distinct().count()
+    assert(total === dedup, "a purchase was attributed more than once")
+  }
+
   test("streaming funnel final stages == batch funnel counts, across micro-batches") {
     // two chronological micro-batches against one running query — step
     // transitions spanning the cut (view in batch 1, click in batch 2)
