@@ -510,6 +510,54 @@ object EventQueries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Time-weighted average (round 13) — the telemetry/billing statistic
+    * a point-in-time sampled metric needs (a plain AVG over-weights
+    * bursts): per user, Σ(value·Δt) / Σ(Δt) over the step function the
+    * events trace, in exact integers (cents × ms — products bounded by
+    * span·max-cents, ≪ 2⁶³). Users with a single event have no
+    * interval and are excluded (the SQL-NULL-free formulation both
+    * engines agree on). Scale shape: ONE user-partitioned window
+    * (lead) + one user rollup — the sessionize plan shape. Top-25 by
+    * (twa desc, user) keeps output bounded. */
+  def qEvTwa(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("dur", lead(col("ms"), 1).over(w) - col("ms"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur")).as("span_ms"),
+        expr("sum(cents * dur) div sum(dur)").as("twa_cents"))
+      .orderBy(col("twa_cents").desc, col("user_id"))
+      .limit(25)
+  }
+
+  /** Audience-overlap matrix (round 13) — for every event-type pair,
+    * how many users do both and the exact Jaccard permille of the two
+    * audiences: the report behind "do clickers also purchase?".
+    * Scale shape: one distinct on (user, type) — 5 rows per user max —
+    * then a user-keyed self-join whose fan-out is bounded by the TYPE
+    * count (≤ C(5,2) pairs per user), and a pair rollup of ≤ 10 rows.
+    * All counts BIGINT; Jaccard denominator |A∪B| = nA + nB − n_both. */
+  def qEvOverlap(s: SparkSession, d: String): DataFrame = {
+    val ut = QueryCaches.track(events(s, d)
+      .select(col("user_id"), col("event_type")).distinct().persist())
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val pairs = ut.select(col("user_id"), col("event_type").as("ta"))
+      .join(ut.select(col("user_id"), col("event_type").as("tb")), "user_id")
+      .filter(col("ta") < col("tb"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("ta"), col("n").as("n_a"))), "ta")
+      .join(broadcast(sizes.select(col("event_type").as("tb"), col("n").as("n_b"))), "tb")
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"), col("n_both"),
+        expr("(1000 * n_both) div (n_a + n_b - n_both)").as("jaccard_permille"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumbling" -> qEvTumbling,
     "q_ev_sliding" -> qEvSliding,
@@ -529,9 +577,42 @@ object EventQueries {
     "q_ev_ab_readout" -> qEvAbReadout,
     "q_ev_percentiles" -> qEvPercentiles,
     "q_ev_ltv" -> qEvLtv,
+    "q_ev_twa" -> qEvTwa,
+    "q_ev_overlap" -> qEvOverlap,
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ev_twa" ->
+      """WITH iv AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) - epoch_ms(ts) AS dur
+        |  FROM events
+        |)
+        |SELECT user_id, count(*) AS n_intervals,
+        |  CAST(sum(dur) AS BIGINT) AS span_ms,
+        |  CAST(sum(cents * dur) AS BIGINT) // CAST(sum(dur) AS BIGINT)
+        |    AS twa_cents
+        |FROM iv WHERE dur IS NOT NULL
+        |GROUP BY user_id
+        |ORDER BY twa_cents DESC, user_id LIMIT 25""".stripMargin,
+    "q_ev_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events
+        |), sizes AS (
+        |  SELECT event_type, count(*) AS n FROM ut GROUP BY event_type
+        |), pairs AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ta, tb, sa.n AS n_a, sb.n AS n_b, n_both,
+        |  (1000 * n_both) // (sa.n + sb.n - n_both) AS jaccard_permille
+        |FROM pairs JOIN sizes sa ON sa.event_type = ta
+        |JOIN sizes sb ON sb.event_type = tb
+        |ORDER BY ta, tb""".stripMargin,
     "q_ev_ltv" ->
       """WITH base AS (
         |  SELECT user_id, event_type, value,
