@@ -558,6 +558,45 @@ object EventQueries {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** Holt linear-trend forecast (round 13) — the capacity-planning
+    * staple: per event type, exponential level+trend smoothing over
+    * the daily count series, forecasting the next 3 days. All
+    * arithmetic is integer milli-factors (α=0.3, β=0.1) with
+    * TRUNCATING division — the trend term goes negative, and on
+    * negative integer numerators Scala's `/`, Spark's `div` and
+    * DuckDB's integer `//` all truncate toward zero (DuckDB floors
+    * only for FLOAT operands — verified, not assumed), so a
+    * recursive-CTE oracle replays the identical trajectory.
+    *
+    * The smoothing recursion is inherently sequential in time, so it
+    * runs on the DRIVER over the DAILY ROLLUP — a (types × days)
+    * table bounded by the calendar horizon, not the corpus (the
+    * MMR-style bounded collect; at 100 TB the rollup is still ~10³
+    * rows/year). The corpus-sized work — the daily count — is one
+    * map-side-combined aggregation. */
+  def qEvForecast(s: SparkSession, d: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .orderBy(col("event_type"), col("day"))
+      .select(col("event_type"), col("y")).as[(String, Long)]
+      .collect() // ≤ types × calendar-days rows — horizon-bounded
+    val out = daily.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      var l = rows.head._2
+      var b = 0L
+      rows.tail.foreach { case (_, y) =>
+        val lNew = (300L * y + 700L * (l + b)) / 1000L
+        b = (100L * (lNew - l) + 900L * b) / 1000L
+        l = lNew
+      }
+      (1L to 3L).map(h => (tpe, h, l + h * b))
+    }
+    out.toDF("event_type", "h", "forecast")
+      .orderBy(col("event_type"), col("h"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumbling" -> qEvTumbling,
     "q_ev_sliding" -> qEvSliding,
@@ -579,9 +618,37 @@ object EventQueries {
     "q_ev_ltv" -> qEvLtv,
     "q_ev_twa" -> qEvTwa,
     "q_ev_overlap" -> qEvOverlap,
+    "q_ev_forecast" -> qEvForecast,
   )
 
   val oracles: Map[String, String] = Map(
+    // identical integer Holt recursion; DuckDB's integer `//` truncates
+    // toward zero exactly like Scala Long division (trend goes negative)
+    "q_ev_forecast" ->
+      """WITH RECURSIVE idx AS (
+        |  SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+        |  FROM (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |        FROM events GROUP BY 1, 2)
+        |), mx AS (
+        |  SELECT event_type, max(i) AS t FROM idx GROUP BY event_type
+        |), sm(event_type, i, l, b) AS (
+        |  SELECT event_type, CAST(1 AS BIGINT), CAST(y AS BIGINT),
+        |    CAST(0 AS BIGINT)
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.i + 1,
+        |    (300 * x.y + 700 * (s.l + s.b)) // 1000,
+        |    (100 * (((300 * x.y + 700 * (s.l + s.b)) // 1000) - s.l)
+        |       + 900 * s.b) // 1000
+        |  FROM sm s JOIN idx x
+        |    ON x.event_type = s.event_type AND x.i = s.i + 1
+        |)
+        |SELECT s.event_type, h.h, s.l + h.h * s.b AS forecast
+        |FROM sm s
+        |JOIN mx ON mx.event_type = s.event_type AND s.i = mx.t,
+        |  (SELECT unnest(generate_series(1, 3)) AS h) h
+        |ORDER BY s.event_type, h""".stripMargin,
     "q_ev_twa" ->
       """WITH iv AS (
         |  SELECT user_id,

@@ -50,7 +50,8 @@ object BenchScaled {
     "textrank_keywords", "inverted_index", "vocab_growth", "bpe_encode",
     "collocations", "hash_split", "winnow_fingerprint", "kmeans_train",
     "graph_triangles", "q_ev_attribution", "q_ev_ab_readout",
-    "q_ev_percentiles",
+    "q_ev_percentiles", "q_ev_ltv", "q_ev_twa", "q_ev_overlap",
+    "q_ev_forecast", "sq8_error", "q_sql_recursive",
     "lake_changelog", "lake_compact", "lake_merge_mor", "lake_prune",
     "lake_merge_upsert", "lake_sql_merge_full")
 
