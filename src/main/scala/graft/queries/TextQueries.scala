@@ -914,6 +914,38 @@ object TextQueries {
       }.toDF("doc_id", "n_grams", "fps")
   }
 
+  /** Fuzzy vocabulary join (round 13) — spell-variant / OCR-noise
+    * detection, the string-similarity JOIN operator: word pairs within
+    * edit distance 2, candidates generated by the classic blocking
+    * key (first char × a 3-wide length band — each word emits keys
+    * len..len+2, so any |Δlen| ≤ 2 pair collides on exactly the keys
+    * both emit) and verified with `levenshtein` (identical DP
+    * definition in both engines). The join runs over the DISTINCT
+    * VOCABULARY, never the corpus: candidate volume is bounded by
+    * (vocab per block)², the standard spell-correction shape. Pairs
+    * whose first character differs are deliberately outside the
+    * blocking (the documented recall trade every blocked fuzzy join
+    * makes; widen the key set to widen recall). */
+  def qFuzzyVocabJoin(s: SparkSession, d: String): DataFrame = {
+    val vocab = QueryCaches.track(documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 3)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist())
+    def keyed(wc: String, cc: String) = vocab
+      .select(col("w").as(wc), col("c").as(cc),
+        explode(expr("array(length(w), length(w) + 1, length(w) + 2)")).as("lb"),
+        substring(col("w"), -1, 1).as("fc"))
+    keyed("a", "c_a").join(keyed("b", "c_b"), Seq("lb", "fc"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("c_a"), col("c_b"),
+        levenshtein(col("a"), col("b")).cast("long").as("dist"))
+      .filter(col("dist") <= 2)
+      .distinct()
+      .orderBy(col("dist"), col("a"), col("b"))
+      .limit(25)
+  }
+
   /** Corpus vocabulary statistics: top-25 tokens by frequency (the
     * unigram table a tokenizer-training pipeline starts from). */
   def qTokenFrequency(s: SparkSession, d: String): DataFrame =
@@ -1879,6 +1911,7 @@ object TextQueries {
     "inverted_index" -> qInvertedIndex,
     "vocab_growth" -> qVocabGrowth,
     "collocations" -> qCollocations,
+    "fuzzy_vocab_join" -> qFuzzyVocabJoin,
     "hash_split" -> qHashSplit,
     "winnow_fingerprint" -> qWinnowFingerprint,
     "heavy_hitters" -> qHeavyHitters,
@@ -2559,6 +2592,20 @@ object TextQueries {
         |    AS type_permille
         |FROM vol LEFT JOIN ty USING (decile)
         |ORDER BY decile""".stripMargin,
+    "fuzzy_vocab_join" ->
+      """WITH vocab AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) >= 3 GROUP BY w
+        |), keyed AS (
+        |  SELECT w, c, len(w) + k AS lb, substr(w, -1, 1) AS fc
+        |  FROM vocab, (SELECT unnest([0, 1, 2]) AS k) g
+        |)
+        |SELECT DISTINCT a.w AS a, b.w AS b, a.c AS c_a, b.c AS c_b,
+        |  CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM keyed a JOIN keyed b ON a.lb = b.lb AND a.fc = b.fc AND a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 2
+        |ORDER BY dist, a, b LIMIT 25""".stripMargin,
     "collocations" ->
       """WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
         |uni AS (
