@@ -597,6 +597,139 @@ object EventQueries {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** Lag-1..7 autocorrelation of the daily count series per event type
+    * (round 13) — the seasonality probe behind "is traffic weekly?".
+    * Exactness device: work on n-SCALED deviations dv_i = n·y_i − Σy
+    * (integers, no mean division), so acf_permille(k) =
+    * (1000·Σ dv_i·dv_{i+k}) div (Σ dv_i²) — the n² factors cancel.
+    * Products are summed as DECIMAL(38,0) on the Spark side and
+    * HUGEINT on the DuckDB side (both exact 128-bit-class integer
+    * sums; Spark's `div`/Decimal.quot and DuckDB's `//` both truncate
+    * toward zero on the negative numerators a lag sum produces).
+    * Magnitude bound: |num| ≤ den ≤ days·(n·ymax)² ≈ 5·10²⁸ at a
+    * 10⁹-events/day corpus — inside both 38-digit budgets.
+    * Scale shape: ONE map-side-combined daily rollup; everything
+    * after runs on the (types × days) calendar-bounded table. */
+  def qEvAutocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = QueryCaches.track(events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y")).persist())
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val dev = daily.join(broadcast(stats), "event_type")
+      .withColumn("i", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .select(col("event_type"), col("i"),
+        (col("n") * col("y") - col("s")).as("dv"))
+    val den = dev.groupBy(col("event_type"))
+      .agg(sum(expr("CAST(dv AS DECIMAL(38,0)) * dv")).as("den"))
+    val right = dev.select(col("event_type").as("et"),
+      col("i").as("j"), col("dv").as("dv_b"))
+    val num = dev
+      .select(col("event_type"), col("i"), col("dv"),
+        explode(expr("sequence(1L, 7L)")).as("lag"))
+      .join(right, col("event_type") === col("et") &&
+        col("j") === col("i") + col("lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(expr("CAST(dv AS DECIMAL(38,0)) * dv_b")).as("num"))
+    num.join(broadcast(den), "event_type")
+      .filter(col("den") > 0)
+      .select(col("event_type"), col("lag"),
+        expr("CAST((1000 * num) div den AS BIGINT)").as("acf_permille"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  /** CUSUM change-point detection over the daily count series per
+    * event type (round 13) — the ops-dashboard statistic behind "when
+    * did the level shift?". Same n-scaled-deviation device as
+    * [[qEvAutocorr]]: cusum_j = Σ_{i≤j}(n·y_i − Σy) is exact BIGINT
+    * (≤ days²·ymax ≈ 1.3·10¹⁴ at 10⁹ events/day), the change point is
+    * the EARLIEST day attaining max |cusum|. One daily rollup, then
+    * type-partitioned cumulative windows over the calendar-bounded
+    * table. */
+  def qEvChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"))
+    val wC = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cus = QueryCaches.track(daily.join(broadcast(stats), "event_type")
+      .withColumn("cusum",
+        sum(col("n") * col("y") - col("s")).over(wC)).persist())
+    val best = cus
+      .groupBy(col("event_type")).agg(max(abs(col("cusum"))).as("cusum_abs"))
+    cus.join(broadcast(best), "event_type")
+      .filter(abs(col("cusum")) === col("cusum_abs"))
+      .groupBy(col("event_type"), col("cusum_abs"))
+      .agg(min(col("day")).as("cp_day"))
+      .join(cus.select(col("event_type"), col("day").as("cp_day"),
+        col("cusum").as("cusum_scaled")), Seq("event_type", "cp_day"))
+      .select(col("event_type"), col("cp_day"), col("cusum_scaled"),
+        col("cusum_abs"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sequential-pattern support (round 13) — for every ORDERED type
+    * pair (a, b), how many users ever did `a` strictly before `b`
+    * (arbitrary gap — the PrefixSpan 2-sequence, which qEvMarkov's
+    * ADJACENT transitions cannot see). Device: "∃ a-event before a
+    * b-event" ⟺ min_ts(a) < max_ts(b), so the corpus collapses to a
+    * (user, type) rollup of first/last millis — ≤ |types| rows per
+    * user — and the self-join fan-out is type-bounded exactly like
+    * [[qEvOverlap]]. Support permille over ALL users via a broadcast
+    * scalar. */
+  def qEvSeqPatterns(s: SparkSession, d: String): DataFrame = {
+    val ut = QueryCaches.track(events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_millis(col("ts"))).as("first_ms"),
+        max(unix_millis(col("ts"))).as("last_ms")).persist())
+    val totals = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    ut.select(col("user_id"), col("event_type").as("ta"), col("first_ms"))
+      .join(ut.select(col("user_id"), col("event_type").as("tb"),
+        col("last_ms")), "user_id")
+      .filter(col("ta") =!= col("tb") && col("first_ms") < col("last_ms"))
+      .groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_users_seq"))
+      .crossJoin(broadcast(totals))
+      .select(col("ta"), col("tb"), col("n_users_seq"),
+        expr("(1000 * n_users_seq) div n_users").as("support_permille"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  /** Top-10 session-opening paths (round 13) — the first THREE event
+    * types of every ≥3-event session, counted across sessions: the
+    * "how do sessions start?" report qEvFunnel (fixed steps) and
+    * qEvMarkov (memoryless pairs) both miss. Sessionization reuses the
+    * 30-min-gap device; the first-3 extraction is conditional MAX over
+    * row_number ≤ 3 (collect_list order is not deterministic — the
+    * conditional max is). Two user-keyed window passes + one path
+    * rollup; ties broken (n desc, path asc) so the LIMIT 10 is
+    * deterministic over the ≤|types|³ path space. */
+  def qEvPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events(s, d)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val ws = Window.partitionBy(col("user_id"), col("sess_id"))
+      .orderBy(col("ts"), col("event_id"))
+    sess.withColumn("rn", row_number().over(ws)).filter(col("rn") <= 3)
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(max(when(col("rn") === 1, col("event_type"))).as("s1"),
+        max(when(col("rn") === 2, col("event_type"))).as("s2"),
+        max(when(col("rn") === 3, col("event_type"))).as("s3"))
+      .filter(col("s3").isNotNull)
+      .select(concat_ws(">", col("s1"), col("s2"), col("s3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ev_tumbling" -> qEvTumbling,
     "q_ev_sliding" -> qEvSliding,
@@ -619,6 +752,10 @@ object EventQueries {
     "q_ev_twa" -> qEvTwa,
     "q_ev_overlap" -> qEvOverlap,
     "q_ev_forecast" -> qEvForecast,
+    "q_ev_autocorr" -> qEvAutocorr,
+    "q_ev_changepoint" -> qEvChangepoint,
+    "q_ev_seq_patterns" -> qEvSeqPatterns,
+    "q_ev_paths" -> qEvPaths,
   )
 
   val oracles: Map[String, String] = Map(
@@ -969,5 +1106,103 @@ object EventQueries {
         |  CAST(r_band AS VARCHAR) || CAST(f_band AS VARCHAR)
         |    || CAST(m_band AS VARCHAR) AS segment
         |FROM banded ORDER BY user_id""".stripMargin,
+    // dv products sum in HUGEINT (exact 128-bit, mirrors Spark's
+    // DECIMAL(38,0)); `//` truncates toward zero like Spark's div
+    "q_ev_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1
+        |), dev AS (
+        |  SELECT d.event_type,
+        |    row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS i,
+        |    CAST(st.n * d.y - st.s AS HUGEINT) AS dv
+        |  FROM daily d JOIN st USING (event_type)
+        |), den AS (
+        |  SELECT event_type, sum(dv * dv) AS den FROM dev GROUP BY 1
+        |), num AS (
+        |  SELECT a.event_type, l.lag, sum(a.dv * b.dv) AS num
+        |  FROM dev a
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l
+        |  JOIN dev b ON b.event_type = a.event_type AND b.i = a.i + l.lag
+        |  GROUP BY 1, 2
+        |)
+        |SELECT n.event_type, n.lag,
+        |  CAST((1000 * n.num) // d.den AS BIGINT) AS acf_permille
+        |FROM num n JOIN den d USING (event_type)
+        |WHERE d.den > 0
+        |ORDER BY n.event_type, n.lag""".stripMargin,
+    "q_ev_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, count(*) AS n, CAST(sum(y) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1
+        |), cus AS (
+        |  SELECT d.event_type, d.day,
+        |    CAST(sum(st.n * d.y - st.s) OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cusum
+        |  FROM daily d JOIN st USING (event_type)
+        |), best AS (
+        |  SELECT event_type, max(abs(cusum)) AS cusum_abs FROM cus GROUP BY 1
+        |), pick AS (
+        |  SELECT c.event_type, b.cusum_abs, min(c.day) AS cp_day
+        |  FROM cus c JOIN best b
+        |    ON b.event_type = c.event_type AND abs(c.cusum) = b.cusum_abs
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.event_type, p.cp_day, c.cusum AS cusum_scaled, p.cusum_abs
+        |FROM pick p JOIN cus c
+        |  ON c.event_type = p.event_type AND c.day = p.cp_day
+        |ORDER BY p.event_type""".stripMargin,
+    "q_ev_seq_patterns" ->
+      """WITH ut AS (
+        |  SELECT user_id, event_type,
+        |    min(epoch_ms(ts)) AS first_ms, max(epoch_ms(ts)) AS last_ms
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT count(DISTINCT user_id) AS n_users FROM ut
+        |)
+        |SELECT a.event_type AS ta, b.event_type AS tb,
+        |  count(*) AS n_users_seq,
+        |  (1000 * count(*)) // (SELECT n_users FROM tot) AS support_permille
+        |FROM ut a JOIN ut b
+        |  ON b.user_id = a.user_id AND a.event_type <> b.event_type
+        | AND a.first_ms < b.last_ms
+        |GROUP BY 1, 2
+        |ORDER BY ta, tb""".stripMargin,
+    "q_ev_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id,
+        |    ts, event_id
+        |  FROM flagged
+        |), ranked AS (
+        |  SELECT user_id, sess_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sess_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM sess
+        |), firsts AS (
+        |  SELECT user_id, sess_id,
+        |    max(CASE WHEN rn = 1 THEN event_type END) AS s1,
+        |    max(CASE WHEN rn = 2 THEN event_type END) AS s2,
+        |    max(CASE WHEN rn = 3 THEN event_type END) AS s3
+        |  FROM ranked WHERE rn <= 3 GROUP BY 1, 2
+        |)
+        |SELECT s1 || '>' || s2 || '>' || s3 AS path,
+        |  count(*) AS n_sessions
+        |FROM firsts WHERE s3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
   )
 }
