@@ -250,7 +250,66 @@ object AggWindowQueries {
         "attr", "val")
       .orderBy(col("p_partkey"), col("attr"))
 
+  /** 2-D Pareto frontier / skyline (round 13): the orders no other order
+    * beats on BOTH price and recency — maximize (total_cents, order_day).
+    *
+    * A naive skyline is a global sort-window over the corpus — the
+    * serialized-sort class GlobalWindowLintSpec exists to kill. The
+    * scale shape here is the local-prune/global-verify split skyline
+    * papers use, rebuilt on value-domain histograms:
+    *  1. collapse to one row per DISTINCT cents (max day) — map-side
+    *     combined, dominance within equal price falls out for free;
+    *  2. a (cents div 65536) bucket rollup (≤ price-domain/65536 rows,
+    *     ~770 for TPC-H prices — BOUNDED BY THE VALUE DOMAIN, never by
+    *     the corpus) takes a suffix-max scan, and a row survives only
+    *     if it beats every strictly-higher bucket's best day;
+    *  3. the exact window runs over SURVIVORS only.
+    * Pruning is lossless in both directions (induction over buckets: a
+    * pruned row's dominator chain always ends at an unpruned dominator,
+    * and no true frontier point can be pruned), so the oracle can run
+    * the textbook single-window form. Survivor count is data-dependent
+    * (worst case: every order in the top bucket), so step 3 sits behind
+    * `graft.pareto.budget` (default 2²¹) with a loud refusal — the
+    * pair-budget house pattern. */
+  def qParetoFrontier(s: SparkSession, d: String): DataFrame = {
+    val pts = QueryCaches.track(orders(s, d)
+      .select(floor(col("o_totalprice") * 100).cast("long").as("cents"),
+        datediff(to_date(col("o_orderdate")),
+          lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .groupBy(col("cents")).agg(max(col("day")).as("day"))
+      .persist())
+    val buck = pts.groupBy(expr("cents div 65536").as("b"))
+      .agg(max(col("day")).as("bmax"))
+    // suffix max over STRICTLY higher buckets; unpartitioned window over
+    // the value-domain-bounded rollup (GlobalWindowLintSpec allowlisted)
+    val wSuf = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val suf = buck.withColumn("hi_max", max(col("bmax")).over(wSuf))
+      .select(col("b"), col("hi_max"))
+    val surv = QueryCaches.track(pts
+      .join(broadcast(suf), expr("cents div 65536") === col("b"))
+      .filter(col("hi_max").isNull || col("day") > col("hi_max"))
+      .select(col("cents"), col("day"))
+      .persist())
+    val budget = s.conf.get("graft.pareto.budget", (1L << 21).toString).toLong
+    if (budget > 0) {
+      val n = surv.count()
+      if (n > budget) throw new IllegalStateException(
+        s"q_pareto_frontier: $n candidate rows survive histogram pruning " +
+          s"(budget $budget) — the frontier verify window would serialize " +
+          "them through one task. Raise graft.pareto.budget or narrow the " +
+          "input.")
+    }
+    val wHi = Window.orderBy(col("cents"))
+      .rangeBetween(1, Window.unboundedFollowing)
+    surv.withColumn("mx_hi", max(col("day")).over(wHi))
+      .filter(col("mx_hi").isNull || col("day") > col("mx_hi"))
+      .select(col("cents").as("price_cents"), col("day").as("order_day"))
+      .orderBy(col("price_cents").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pareto_frontier" -> qParetoFrontier,
     "q_pivot" -> qPivot,
     "q_unpivot" -> qUnpivot,
     "q_rollup" -> qRollup,
@@ -270,6 +329,22 @@ object AggWindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // textbook single-window skyline — pruning is proven lossless, so
+    // the oracle skips it
+    "q_pareto_frontier" ->
+      """WITH pts AS (
+        |  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+        |    max(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE))) AS day
+        |  FROM orders GROUP BY 1
+        |), sky AS (
+        |  SELECT cents, day, max(day) OVER (ORDER BY cents
+        |    RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS mx_hi
+        |  FROM pts
+        |)
+        |SELECT cents AS price_cents, CAST(day AS BIGINT) AS order_day
+        |FROM sky WHERE mx_hi IS NULL OR day > mx_hi
+        |ORDER BY price_cents DESC""".stripMargin,
     "q_weighted_median" ->
       """WITH c AS (
         |  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,

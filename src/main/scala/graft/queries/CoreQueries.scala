@@ -125,7 +125,33 @@ object CoreQueries {
         round(avg(col("c_acctbal")), 4).as("avg_bal"))
       .orderBy(col("r_name"), col("n_name"))
 
+  /** TPC-H Q18 analog (round 13): customers whose single order carries a
+    * >300-unit basket — the classic "aggregate, filter, then rejoin the
+    * facts" shape. The basket rollup is map-side combined and the >300
+    * filter leaves a sliver, so BOTH rejoins broadcast the sliver and
+    * stream the big table past it: orders never shuffles, customer never
+    * shuffles. Quantities are integer-valued doubles; casting each to
+    * long BEFORE the sum keeps the rollup exact in both engines. */
+  def qLargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    val hits = orders(s, d)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        floor(col("o_totalprice") * 100).cast("long").as("total_cents"),
+        col("total_qty"))
+    customer(s, d)
+      .join(broadcast(hits), col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("total_cents"), col("total_qty"))
+      .orderBy(col("total_cents").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_large_orders" -> qLargeOrders,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_region_revenue" -> q5RegionRevenue,
@@ -137,6 +163,19 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+        |)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |  CAST(floor(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+        |  b.total_qty
+        |FROM customer c
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN big b ON b.l_orderkey = o.o_orderkey
+        |ORDER BY total_cents DESC, o.o_orderkey LIMIT 100""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -29,7 +29,11 @@ class GlobalWindowLintSpec extends LakeSuite {
       "pins the limit upstream)"),
     "data_mixture_temperature" -> ("share windows over the per-source " +
       "rollup — |sources| rows (single-digit in the documents corpus; " +
-      "dimension-sized, never row-sized)"))
+      "dimension-sized, never row-sized)"),
+    "q_pareto_frontier" -> ("suffix-max window over the cents-div-65536 " +
+      "bucket rollup (value-domain-bounded, ~770 rows) and the verify " +
+      "window over histogram-pruned survivors gated by " +
+      "graft.pareto.budget (loud refusal past 2^21)"))
 
   private def unpartitionedWindows(p: LogicalPlan): Seq[LWindow] = {
     val here = p.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
