@@ -842,7 +842,74 @@ object SimilarityQueries {
         max(col("err")).as("max_err"))
       .orderBy(col("dim"))
 
+  /** Product-quantization encode (round 13) — the FAISS IndexPQ storage
+    * step that turns a 64-dim vector into 8 nibble codes (one per 8-dim
+    * subspace, 16-entry codebook each): the memory layout that makes
+    * billion-vector ANN fit RAM. Codebook entries are 16 hash-ranked
+    * SAMPLE vectors' subvectors (`md5("pq-"||vec_id)` rank — the IVF
+    * medoid sampling family; per-subspace Lloyd refinement is the
+    * [[qKmeansTrain]] machinery and deliberately not re-run here).
+    *
+    * Exactness: subvector distance = n_q + n_c − 2·dot with every term
+    * from the codegen'd [[qdot]] in ⌊x·2¹⁵⌋ integers; argmin ties go to
+    * the smallest code. `pq_code` packs the 8 nibbles into one BIGINT
+    * (Σ code_m·2⁴ᵐ < 2³²); `qerr` is the exact total reconstruction
+    * error Σ_m min-dist.
+    *
+    * Scale shape: the codebook travels by driver/broadcast (16×64
+    * longs); encode is one map-side broadcast join fanning each vector
+    * to its 8 subspaces × 16 entries, then ONE vec_id rollup whose 8
+    * conditional-min structs pick every subspace's argmin in a single
+    * shuffle. O(corpus) rows out — the point of the operator. */
+  def qPqEncode(s: SparkSession, d: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val M = 8; val Sub = 8; val K = 16
+    val Shift = QScale.toLong
+    val seedIds = embeddings(s, d).select(col("vec_id")).as[Long]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map(id => (id, java.lang.Long.remainderUnsigned(
+          TextQueries.md5Pair(md, "pq-" + id)._1, ivfSeedMod)))
+      }
+      .toDF("vec_id", "h")
+      .orderBy(col("h"), col("vec_id")).limit(K)
+      .collect().map(_.getLong(0)).toSeq // rank order = code order
+    val seedEmb = embeddings(s, d)
+      .filter(col("vec_id").isin(seedIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val cbRows = for {
+      (id, k) <- seedIds.zipWithIndex
+      m <- 0 until M
+    } yield {
+      val q = seedEmb(id).slice(m * Sub, (m + 1) * Sub)
+        .map(x => math.floor(x.toDouble * Shift).toLong)
+      (m.toLong, k.toLong, q.map(_.toDouble / Shift).toSeq,
+        q.map(x => x * x).sum)
+    }
+    val cb = cbRows.toDF("m", "k", "cq", "nc")
+    val dists = embeddings(s, d)
+      .select(col("vec_id"),
+        explode(expr(s"sequence(0L, ${M - 1}L)")).as("m"), col("embedding"))
+      .withColumn("sub",
+        expr(s"slice(embedding, CAST(m * $Sub + 1 AS INT), $Sub)"))
+      .join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("k"),
+        (qdot(col("sub"), col("sub")) + col("nc") -
+          lit(2L) * qdot(col("sub"), col("cq"))).as("dist"))
+    val aggs = (0 until M).map(m =>
+      min(when(col("m") === m, struct(col("dist"), col("k")))).as(s"b$m"))
+    dists.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"),
+        (0 until M).map(m => expr(s"shiftleft(b$m.k, ${4 * m})"))
+          .reduce(_ + _).as("pq_code"),
+        (0 until M).map(m => col(s"b$m.dist")).reduce(_ + _).as("qerr"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pq_encode" -> qPqEncode,
     "sq8_error" -> qSq8Error,
     "cosine_topk_brute" -> qCosineTopkBrute,
     "ann_lsh" -> qAnnLsh,
@@ -1087,6 +1154,39 @@ object SimilarityQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // seeds re-derive by the same md5 rank; per-(vec,m,k) distance is
+    // Σ(q−v)² over the subspace dims — the same integer as the Spark
+    // side's n_q + n_c − 2·dot decomposition
+    "pq_encode" ->
+      s"""WITH $oracleBaseCtes,
+         |qd AS MATERIALIZED (
+         |  SELECT vec_id, i - 1 AS dim, qv[i] AS q
+         |  FROM qe, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i) g
+         |), psr AS (
+         |  SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS k
+         |  FROM (SELECT vec_id,
+         |          md5_number_lower('pq-' || CAST(vec_id AS VARCHAR))
+         |            % $ivfSeedMod AS hk
+         |        FROM qe)
+         |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= 16
+         |), pcb AS MATERIALIZED (
+         |  SELECT s.k, qd.dim // 8 AS m, qd.dim % 8 AS j, qd.q AS v
+         |  FROM psr s JOIN qd USING (vec_id)
+         |), pdist AS MATERIALIZED (
+         |  SELECT qd.vec_id, c.m, c.k,
+         |    CAST(sum((qd.q - c.v) * (qd.q - c.v)) AS BIGINT) AS dist
+         |  FROM qd JOIN pcb c ON c.m = qd.dim // 8 AND c.j = qd.dim % 8
+         |  GROUP BY 1, 2, 3
+         |), pbest AS (
+         |  SELECT vec_id, m, k, dist FROM pdist
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+         |    ORDER BY dist, k) = 1
+         |)
+         |SELECT vec_id,
+         |  CAST(sum(k << CAST(4 * m AS INT)) AS BIGINT) AS pq_code,
+         |  CAST(sum(dist) AS BIGINT) AS qerr
+         |FROM pbest GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "sq8_error" ->
       s"""WITH $oracleBaseCtes,
          |qd AS (
