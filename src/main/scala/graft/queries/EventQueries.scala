@@ -597,6 +597,56 @@ object EventQueries {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** Kaplan-Meier time-to-conversion curve (round 13) — the estimator
+    * plain conversion rates get WRONG under censoring: S(t) =
+    * Π(1 − d_i/n_i) = probability a user is still purchase-free t days
+    * after first activity, where users who never purchase are
+    * RIGHT-CENSORED at their observed lifetime (they leave the risk
+    * set without counting as conversions — the estimator's whole
+    * point). Survival is exact integer ppm with TRUNCATING division
+    * applied sequentially: s_i = (s_{i−1}·(n_i − d_i)) div n_i —
+    * products ≤ 10⁶·|users|, BIGINT-safe to 10¹² users.
+    *
+    * The recursion is sequential in t, so it runs on the DRIVER over
+    * the lag rollup — CALENDAR-bounded (≤ observation-window days
+    * ≪ corpus; the qEvForecast bounded-collect device). The
+    * corpus-sized work is one user rollup with map-side combine.
+    * DuckDB replays the identical trajectory as a recursive CTE. */
+  def qEvSurvival(s: SparkSession, d: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val roll = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("fd"),
+        max(to_date(col("ts"))).as("ld"),
+        min(when(col("event_type") === "purchase",
+          to_date(col("ts")))).as("pd"))
+      .select(
+        when(col("pd").isNotNull, datediff(col("pd"), col("fd")))
+          .otherwise(datediff(col("ld"), col("fd")))
+          .cast("long").as("t"),
+        when(col("pd").isNotNull, 1L).otherwise(0L).as("churn"))
+      .groupBy(col("t"))
+      .agg(sum(col("churn")).as("dd"),
+        (count(lit(1)) - sum(col("churn"))).as("cc"))
+      .orderBy(col("t"))
+      .as[(Long, Long, Long)]
+      .collect() // ≤ observation-window days rows — calendar-bounded
+    val total = roll.map(r => r._2 + r._3).sum
+    var atRisk = total
+    var surv = 1000000L
+    val out = roll.flatMap { case (t, dd, cc) =>
+      val row = if (dd > 0) {
+        surv = surv * (atRisk - dd) / atRisk
+        Some((t, atRisk, dd, surv))
+      } else None
+      atRisk -= dd + cc
+      row
+    }
+    out.toSeq.toDF("lag_days", "n_at_risk", "n_converted", "survival_ppm")
+      .orderBy(col("lag_days"))
+  }
+
   /** Lag-1..7 autocorrelation of the daily count series per event type
     * (round 13) — the seasonality probe behind "is traffic weekly?".
     * Exactness device: work on n-SCALED deviations dv_i = n·y_i − Σy
@@ -752,6 +802,7 @@ object EventQueries {
     "q_ev_twa" -> qEvTwa,
     "q_ev_overlap" -> qEvOverlap,
     "q_ev_forecast" -> qEvForecast,
+    "q_ev_survival" -> qEvSurvival,
     "q_ev_autocorr" -> qEvAutocorr,
     "q_ev_changepoint" -> qEvChangepoint,
     "q_ev_seq_patterns" -> qEvSeqPatterns,
@@ -1106,6 +1157,41 @@ object EventQueries {
         |  CAST(r_band AS VARCHAR) || CAST(f_band AS VARCHAR)
         |    || CAST(m_band AS VARCHAR) AS segment
         |FROM banded ORDER BY user_id""".stripMargin,
+    // the KM recursion replayed as a recursive CTE; `//` on the
+    // non-negative numerators matches Scala Long division exactly
+    "q_ev_survival" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS fd,
+        |    max(CAST(ts AS DATE)) AS ld,
+        |    min(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(ts AS DATE) END) AS pd
+        |  FROM events GROUP BY 1
+        |), obs AS (
+        |  SELECT CASE WHEN pd IS NOT NULL THEN date_diff('day', fd, pd)
+        |              ELSE date_diff('day', fd, ld) END AS t,
+        |    CASE WHEN pd IS NOT NULL THEN 1 ELSE 0 END AS churn
+        |  FROM base
+        |), roll AS (
+        |  SELECT t, CAST(sum(churn) AS BIGINT) AS d,
+        |    CAST(count(*) - sum(churn) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1
+        |), idx AS (
+        |  SELECT t, d, c, row_number() OVER (ORDER BY t) AS i,
+        |    CAST((SELECT count(*) FROM obs) - coalesce(sum(d + c) OVER (
+        |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS n_at_risk
+        |  FROM roll
+        |), km(i, s) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(1000000 AS BIGINT)
+        |  UNION ALL
+        |  SELECT x.i, CASE WHEN x.d > 0
+        |    THEN (k.s * (x.n_at_risk - x.d)) // x.n_at_risk ELSE k.s END
+        |  FROM km k JOIN idx x ON x.i = k.i + 1
+        |)
+        |SELECT x.t AS lag_days, x.n_at_risk, x.d AS n_converted,
+        |  k.s AS survival_ppm
+        |FROM km k JOIN idx x ON x.i = k.i
+        |WHERE x.d > 0 ORDER BY x.t""".stripMargin,
     // dv products sum in HUGEINT (exact 128-bit, mirrors Spark's
     // DECIMAL(38,0)); `//` truncates toward zero like Spark's div
     "q_ev_autocorr" ->

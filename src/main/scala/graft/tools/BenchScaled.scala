@@ -53,7 +53,12 @@ object BenchScaled {
     "q_ev_percentiles", "q_ev_ltv", "q_ev_twa", "q_ev_overlap",
     "q_ev_forecast", "sq8_error", "q_sql_recursive",
     "lake_changelog", "lake_compact", "lake_merge_mor", "lake_prune",
-    "lake_merge_upsert", "lake_sql_merge_full")
+    "lake_merge_upsert", "lake_sql_merge_full",
+    // round-13 third wave: PQ encode (corpus-sized fan-out/rollup), the
+    // skyline (pruning must hold the verify window small), the big-big
+    // Q18 join, and the new event statistics
+    "pq_encode", "q_pareto_frontier", "q_large_orders",
+    "q_ev_autocorr", "q_ev_changepoint", "q_ev_seq_patterns", "q_ev_paths")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/sf1"
