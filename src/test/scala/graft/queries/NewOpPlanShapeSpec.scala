@@ -71,6 +71,30 @@ class NewOpPlanShapeSpec extends LakeSuite {
     assert(step.contains("HashAggregate"), plan)
   }
 
+  test("large orders: the basket sliver broadcasts twice — no fact table shuffles") {
+    val plan = planOf(CoreQueries.qLargeOrders(spark, d))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "a fact table shuffled against the >300 sliver:\n" + plan)
+  }
+
+  test("pq encode: codebook joins by broadcast; one rollup picks all 8 argmins") {
+    val plan = planOf(SimilarityQueries.qPqEncode(spark, d))
+    assert(plan.contains("BroadcastHashJoin"),
+      "codebook must broadcast:\n" + plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "the 128-row codebook degenerated to a shuffle join:\n" + plan)
+    // exactly one data shuffle: the vec_id rollup (the conditional-min
+    // design exists to avoid a second (vec_id, m)-keyed shuffle). Count
+    // hash-partition exchanges in the FINAL plan only — the AQE dump
+    // repeats the pre-AQE tree under "Initial Plan", and the output
+    // sort's range partition / the codebook broadcast are not rollup
+    // shuffles.
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(n == 1, s"pq encode plans $n hash exchanges (want 1):\n" + plan)
+  }
+
   test("ctfidf/mmr: the only nested-loop joins are 1-row broadcast scalars") {
     // scalar crossJoins (n_cells, query vector) are fine; a real
     // cartesian over data tables is not
