@@ -861,10 +861,14 @@ object SimilarityQueries {
     * to its 8 subspaces × 16 entries, then ONE vec_id rollup whose 8
     * conditional-min structs pick every subspace's argmin in a single
     * shuffle. O(corpus) rows out — the point of the operator. */
-  def qPqEncode(s: SparkSession, d: String): DataFrame = {
+  private val pqM = 8; private val pqSub = 8; private val pqK = 16
+
+  /** PQ codebook: per (subspace m, code k) the 8 q15 integer components
+    * of hash-ranked sample vector k's m-th subvector. 16×8×8 longs —
+    * driver-sized at any corpus. */
+  private def pqCodebook(s: SparkSession, d: String): Seq[(Int, Int, Array[Long])] = {
     val spark0 = s
     import spark0.implicits._
-    val M = 8; val Sub = 8; val K = 16
     val Shift = QScale.toLong
     val seedIds = embeddings(s, d).select(col("vec_id")).as[Long]
       .mapPartitions { it =>
@@ -873,43 +877,127 @@ object SimilarityQueries {
           TextQueries.md5Pair(md, "pq-" + id)._1, ivfSeedMod)))
       }
       .toDF("vec_id", "h")
-      .orderBy(col("h"), col("vec_id")).limit(K)
+      .orderBy(col("h"), col("vec_id")).limit(pqK)
       .collect().map(_.getLong(0)).toSeq // rank order = code order
     val seedEmb = embeddings(s, d)
       .filter(col("vec_id").isin(seedIds: _*))
       .select(col("vec_id"), col("embedding"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    val cbRows = for {
+    for {
       (id, k) <- seedIds.zipWithIndex
-      m <- 0 until M
-    } yield {
-      val q = seedEmb(id).slice(m * Sub, (m + 1) * Sub)
-        .map(x => math.floor(x.toDouble * Shift).toLong)
+      m <- 0 until pqM
+    } yield (m, k, seedEmb(id).slice(m * pqSub, (m + 1) * pqSub)
+      .map(x => math.floor(x.toDouble * Shift).toLong).toArray)
+  }
+
+  /** (vec_id, pq_code, qerr) for the whole corpus: one broadcast-join
+    * map pass + one vec_id rollup (see [[qPqEncode]]'s scale notes). */
+  private def pqEncoded(s: SparkSession, d: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val Shift = QScale.toLong
+    val cb = pqCodebook(s, d).map { case (m, k, q) =>
       (m.toLong, k.toLong, q.map(_.toDouble / Shift).toSeq,
         q.map(x => x * x).sum)
-    }
-    val cb = cbRows.toDF("m", "k", "cq", "nc")
+    }.toDF("m", "k", "cq", "nc")
     val dists = embeddings(s, d)
       .select(col("vec_id"),
-        explode(expr(s"sequence(0L, ${M - 1}L)")).as("m"), col("embedding"))
+        explode(expr(s"sequence(0L, ${pqM - 1}L)")).as("m"), col("embedding"))
       .withColumn("sub",
-        expr(s"slice(embedding, CAST(m * $Sub + 1 AS INT), $Sub)"))
+        expr(s"slice(embedding, CAST(m * $pqSub + 1 AS INT), $pqSub)"))
       .join(broadcast(cb), "m")
       .select(col("vec_id"), col("m"), col("k"),
         (qdot(col("sub"), col("sub")) + col("nc") -
           lit(2L) * qdot(col("sub"), col("cq"))).as("dist"))
-    val aggs = (0 until M).map(m =>
+    val aggs = (0 until pqM).map(m =>
       min(when(col("m") === m, struct(col("dist"), col("k")))).as(s"b$m"))
     dists.groupBy(col("vec_id")).agg(aggs.head, aggs.tail: _*)
       .select(col("vec_id"),
-        (0 until M).map(m => expr(s"shiftleft(b$m.k, ${4 * m})"))
+        (0 until pqM).map(m => expr(s"shiftleft(b$m.k, ${4 * m})"))
           .reduce(_ + _).as("pq_code"),
-        (0 until M).map(m => col(s"b$m.dist")).reduce(_ + _).as("qerr"))
-      .orderBy(col("vec_id"))
+        (0 until pqM).map(m => col(s"b$m.dist")).reduce(_ + _).as("qerr"))
+  }
+
+  def qPqEncode(s: SparkSession, d: String): DataFrame =
+    pqEncoded(s, d).orderBy(col("vec_id"))
+
+  /** PQ asymmetric-distance search + recall@5 (round 13) — the payoff
+    * of [[qPqEncode]]: each query builds a 8×16 lookup table of exact
+    * integer subspace distances to every codebook entry ON THE DRIVER
+    * (640 longs for 5 queries), and scanning the code table is 8 nibble
+    * extractions + 8 LUT adds per vector — never touching the original
+    * embeddings (the FAISS ADC scan). The 4-bit code is a CANDIDATE
+    * GENERATOR, not a ranker — exactly like the LSH band buckets — so
+    * the ADC top-50 per query re-ranks by EXACT integer L2 (rank by
+    * n_v − 2·dot, the self-norm constant drops) before taking the
+    * top-5; recall then measures whether 32 bits of code keep the true
+    * neighbors inside a 50-candidate working set (the FAISS
+    * IndexPQ+refine shape). hits_at_5 is exact arithmetic end-to-end —
+    * fully oracled, with PqRecallSpec pinning a quality floor the hash
+    * compare can't express. */
+  def qPqRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark0 = s
+    import spark0.implicits._
+    val Shift = QScale.toLong
+    val cb = pqCodebook(s, d)
+    val qEmb = embeddings(s, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * Shift).toLong))
+    val lut = (for {
+      (qid, qv) <- qEmb.toSeq
+      (m, k, c) <- cb
+    } yield {
+      val lval = (0 until pqSub).map { j =>
+        val diff = qv(m * pqSub + j) - c(j); diff * diff
+      }.sum
+      (qid, m.toLong, k.toLong, lval)
+    }).toDF("q_id", "m", "nib", "lval")
+    val codes = pqEncoded(s, d).select(col("vec_id"), col("pq_code"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    val adcCand = codes
+      .select(col("vec_id"), col("pq_code"),
+        explode(expr(s"sequence(0L, ${pqM - 1}L)")).as("m"))
+      .withColumn("nib",
+        expr("shiftright(pq_code, CAST(4 * m AS INT)) & 15"))
+      .join(broadcast(lut), Seq("m", "nib"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id")).agg(sum(col("lval")).as("adist"))
+      .withColumn("rn", row_number().over(wA)).filter(col("rn") <= 50)
+      .select(col("q_id"), col("vec_id"))
+    val queries = embeddings(s, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        qdot(col("embedding"), col("embedding")).as("nv"))
+    val wT = Window.partitionBy(col("q_id"))
+      .orderBy(col("tdist"), col("vec_id"))
+    def exactTop5(cands: DataFrame): DataFrame = cands
+      .join(emb, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        (col("nv") - lit(2L) * qdot(col("embedding"), col("q_vec"))).as("tdist"))
+      .withColumn("rn", row_number().over(wT)).filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val adcTop = exactTop5(adcCand)
+    val truth = exactTop5(embeddings(s, d).select(col("vec_id"))
+      .crossJoin(broadcast(queries.select(col("q_id"))))
+      .filter(col("vec_id") =!= col("q_id")))
+    val qids = truth.select(col("q_id")).distinct()
+    qids.join(
+      truth.join(adcTop, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits")),
+      Seq("q_id"), "left_outer")
+      .select(lit("pq_adc").as("method"), col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits_at_5"), lit(5L).as("k"))
+      .orderBy(col("q_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pq_encode" -> qPqEncode,
+    "pq_recall" -> qPqRecall,
     "sq8_error" -> qSq8Error,
     "cosine_topk_brute" -> qCosineTopkBrute,
     "ann_lsh" -> qAnnLsh,
@@ -1153,40 +1241,100 @@ object SimilarityQueries {
     sb.toString
   }
 
+  /** Shared PQ CTEs ending in `pbest(vec_id, m, k, dist)` — codebook
+    * seeds by md5 rank, per-(vec,m,k) distance Σ(q−v)² over the
+    * subspace dims (the same integer as the Spark side's
+    * n_q + n_c − 2·dot decomposition), per-subspace argmin. */
+  private def pqCtes: String =
+    s"""qd AS MATERIALIZED (
+       |  SELECT vec_id, i - 1 AS dim, qv[i] AS q
+       |  FROM qe, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i) g
+       |), psr AS (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS k
+       |  FROM (SELECT vec_id,
+       |          md5_number_lower('pq-' || CAST(vec_id AS VARCHAR))
+       |            % $ivfSeedMod AS hk
+       |        FROM qe)
+       |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= 16
+       |), pcb AS MATERIALIZED (
+       |  SELECT s.k, qd.dim // 8 AS m, qd.dim % 8 AS j, qd.q AS v
+       |  FROM psr s JOIN qd USING (vec_id)
+       |), pdist AS MATERIALIZED (
+       |  SELECT qd.vec_id, c.m, c.k,
+       |    CAST(sum((qd.q - c.v) * (qd.q - c.v)) AS BIGINT) AS dist
+       |  FROM qd JOIN pcb c ON c.m = qd.dim // 8 AND c.j = qd.dim % 8
+       |  GROUP BY 1, 2, 3
+       |), pbest AS (
+       |  SELECT vec_id, m, k, dist FROM pdist
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |    ORDER BY dist, k) = 1
+       |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // seeds re-derive by the same md5 rank; per-(vec,m,k) distance is
-    // Σ(q−v)² over the subspace dims — the same integer as the Spark
-    // side's n_q + n_c − 2·dot decomposition
     "pq_encode" ->
-      s"""WITH $oracleBaseCtes,
-         |qd AS MATERIALIZED (
-         |  SELECT vec_id, i - 1 AS dim, qv[i] AS q
-         |  FROM qe, LATERAL (SELECT unnest(generate_series(1, len(qv))) AS i) g
-         |), psr AS (
-         |  SELECT vec_id,
-         |    CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS BIGINT) AS k
-         |  FROM (SELECT vec_id,
-         |          md5_number_lower('pq-' || CAST(vec_id AS VARCHAR))
-         |            % $ivfSeedMod AS hk
-         |        FROM qe)
-         |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= 16
-         |), pcb AS MATERIALIZED (
-         |  SELECT s.k, qd.dim // 8 AS m, qd.dim % 8 AS j, qd.q AS v
-         |  FROM psr s JOIN qd USING (vec_id)
-         |), pdist AS MATERIALIZED (
-         |  SELECT qd.vec_id, c.m, c.k,
-         |    CAST(sum((qd.q - c.v) * (qd.q - c.v)) AS BIGINT) AS dist
-         |  FROM qd JOIN pcb c ON c.m = qd.dim // 8 AND c.j = qd.dim % 8
-         |  GROUP BY 1, 2, 3
-         |), pbest AS (
-         |  SELECT vec_id, m, k, dist FROM pdist
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
-         |    ORDER BY dist, k) = 1
-         |)
+      s"""WITH $oracleBaseCtes, $pqCtes
          |SELECT vec_id,
          |  CAST(sum(k << CAST(4 * m AS INT)) AS BIGINT) AS pq_code,
          |  CAST(sum(dist) AS BIGINT) AS qerr
          |FROM pbest GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // ADC replay: the LUT is pbest's OWN distance table restricted to
+    // the 5 query vectors' subvectors; Σ LUT[m][nibble] generates 50
+    // candidates per query, exact integer L2 (nv − 2·dot) re-ranks —
+    // both ADC and truth tie-break on vec_id
+    "pq_recall" ->
+      s"""WITH $oracleBaseCtes, $pqCtes,
+         |pcode AS MATERIALIZED (
+         |  SELECT vec_id, CAST(sum(k << CAST(4 * m AS INT)) AS BIGINT)
+         |    AS pq_code
+         |  FROM pbest GROUP BY vec_id
+         |), plut AS MATERIALIZED (
+         |  SELECT s.vec_id AS q_id, c.m, c.k AS nib,
+         |    CAST(sum((s.q - c.v) * (s.q - c.v)) AS BIGINT) AS lval
+         |  FROM (SELECT vec_id, dim, q FROM qd WHERE vec_id < $nQueries) s
+         |  JOIN pcb c ON c.m = s.dim // 8 AND c.j = s.dim % 8
+         |  GROUP BY 1, 2, 3
+         |), padc AS (
+         |  SELECT l.q_id, p.vec_id, sum(l.lval) AS adist
+         |  FROM pcode p
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m) g
+         |  JOIN plut l ON l.m = g.m
+         |    AND l.nib = (p.pq_code >> CAST(4 * g.m AS INT)) & 15
+         |  WHERE p.vec_id <> l.q_id
+         |  GROUP BY 1, 2
+         |), pcand AS (
+         |  SELECT q_id, vec_id FROM padc
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adist, vec_id) <= 50
+         |), ptop AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT cd.q_id, cd.vec_id,
+         |      CAST(n.nv - 2 * list_dot_product(CAST(v.qv AS DOUBLE[]),
+         |        CAST(q.qv AS DOUBLE[])) AS BIGINT) AS tdist
+         |    FROM pcand cd
+         |    JOIN qe v ON v.vec_id = cd.vec_id
+         |    JOIN nrm n ON n.vec_id = cd.vec_id
+         |    JOIN qe q ON q.vec_id = cd.q_id)
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY tdist, vec_id) <= 5
+         |), ptruth AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.vec_id AS q_id, v.vec_id,
+         |      CAST(n.nv - 2 * list_dot_product(CAST(v.qv AS DOUBLE[]),
+         |        CAST(q.qv AS DOUBLE[])) AS BIGINT) AS tdist
+         |    FROM qe v
+         |    JOIN nrm n ON n.vec_id = v.vec_id
+         |    JOIN qe q ON q.vec_id < $nQueries AND v.vec_id <> q.vec_id)
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY tdist, vec_id) <= 5
+         |)
+         |SELECT 'pq_adc' AS method, t.q_id,
+         |  CAST(coalesce(sum(CASE WHEN a.vec_id IS NOT NULL
+         |    THEN 1 END), 0) AS BIGINT) AS hits_at_5,
+         |  CAST(5 AS BIGINT) AS k
+         |FROM ptruth t LEFT JOIN ptop a
+         |  ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin,
     "sq8_error" ->
       s"""WITH $oracleBaseCtes,
          |qd AS (
