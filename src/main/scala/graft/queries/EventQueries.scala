@@ -597,6 +597,80 @@ object EventQueries {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** CUPED variance reduction (round 13) — the experimentation-platform
+    * adjustment (Deng et al. 2013) every A/B readout at scale applies:
+    * shrink the experiment metric Y by its pre-period covariate X,
+    * ŷ = y − θ(x − x̄), θ = cov(X,Y)/var(X). Everything stays EXACT
+    * integers by n-scaling: θ_permille = (1000·(nΣxy − ΣxΣy)) div
+    * (nΣx² − (Σx)²), and each variant's adjusted total is a closed form
+    * of its own sums — Σᵥ(1000·n·y − θ(n·x − Σx)) = 1000·n·Σᵥy −
+    * θ(n·Σᵥx − nᵥ·Σx) — so no per-user second pass exists at all.
+    * Products sum as DECIMAL(38,0) / HUGEINT (the autocorr device);
+    * both engines truncate the signed divisions identically. The
+    * period split (first 15 days = covariate window) derives from the
+    * data's own min day; variant = user_id parity (assignment MECHANICS
+    * are qEvAbReadout's subject — this operator's subject is the
+    * estimator). Scale shape: ONE user rollup with map-side combine,
+    * then everything is a handful of broadcast scalars. */
+  def qEvCuped(s: SparkSession, d: String): DataFrame = {
+    val minDay = events(s, d).agg(min(to_date(col("ts"))).as("d0"))
+    val per = QueryCaches.track(events(s, d)
+      .crossJoin(broadcast(minDay))
+      .select(col("user_id"),
+        (datediff(to_date(col("ts")), col("d0")) < 15).as("pre"),
+        when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")).otherwise(0L).as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("pre"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(!col("pre"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+      .persist())
+    val stats = per.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+      .withColumn("theta_permille", expr(
+        """CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+          |ELSE (1000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)
+          |END AS BIGINT)""".stripMargin))
+    per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_x_cents"), sum(col("y")).as("sum_y_cents"))
+      .crossJoin(broadcast(stats.select(col("n"), col("sx"),
+        col("theta_permille"))))
+      .select(col("variant"), col("n_users"),
+        col("sum_x_cents"), col("sum_y_cents"), col("theta_permille"),
+        expr("""CAST((1000 * CAST(n AS DECIMAL(38,0)) * sum_y_cents
+          | - theta_permille * (CAST(n AS DECIMAL(38,0)) * sum_x_cents
+          |   - n_users * sx))
+          | div (n * n_users) AS BIGINT)""".stripMargin)
+          .as("mean_adj_milli"))
+      .orderBy(col("variant"))
+  }
+
+  /** Day-of-week seasonality index per event type (round 13): how much
+    * a weekday over/under-indexes the type's average day, in exact
+    * permille — idx = (1000·n_days·Σ_dow y) div (n_dow_days·Σ_all y),
+    * the n-scaled ratio-of-means that needs no float division. Weekday
+    * convention pinned cross-engine: Spark `weekday()` (0=Monday) =
+    * DuckDB `isodow − 1`. One daily rollup; everything downstream is
+    * (type × 7)-sized. */
+  def qEvSeasonality(s: SparkSession, d: String): DataFrame = {
+    val daily = QueryCaches.track(events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("dow", expr("CAST(weekday(day) AS BIGINT)"))
+      .persist())
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("y")).as("sy"), count(lit(1)).as("nd"))
+    daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("y")).as("sdw"), count(lit(1)).as("ndw"))
+      .join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"), col("ndw").as("n_days"),
+        expr("(1000 * nd * sdw) div (ndw * sy)").as("idx_permille"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** Kaplan-Meier time-to-conversion curve (round 13) — the estimator
     * plain conversion rates get WRONG under censoring: S(t) =
     * Π(1 − d_i/n_i) = probability a user is still purchase-free t days
@@ -803,6 +877,8 @@ object EventQueries {
     "q_ev_overlap" -> qEvOverlap,
     "q_ev_forecast" -> qEvForecast,
     "q_ev_survival" -> qEvSurvival,
+    "q_ev_cuped" -> qEvCuped,
+    "q_ev_seasonality" -> qEvSeasonality,
     "q_ev_autocorr" -> qEvAutocorr,
     "q_ev_changepoint" -> qEvChangepoint,
     "q_ev_seq_patterns" -> qEvSeqPatterns,
@@ -1157,6 +1233,61 @@ object EventQueries {
         |  CAST(r_band AS VARCHAR) || CAST(f_band AS VARCHAR)
         |    || CAST(m_band AS VARCHAR) AS segment
         |FROM banded ORDER BY user_id""".stripMargin,
+    // HUGEINT sums mirror Spark's DECIMAL(38,0); `//` truncates toward
+    // zero like Spark's div on the signed covariance numerators
+    "q_ev_cuped" ->
+      """WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        |per AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN date_diff('day', (SELECT d0 FROM d0),
+        |        CAST(ts AS DATE)) < 15 AND event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN date_diff('day', (SELECT d0 FROM d0),
+        |        CAST(ts AS DATE)) >= 15 AND event_type = 'purchase'
+        |      THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id
+        |), st AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM per
+        |), th AS (
+        |  SELECT n, sx,
+        |    CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+        |      ELSE (1000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+        |      END AS BIGINT) AS theta_permille
+        |  FROM st
+        |)
+        |SELECT p.variant, count(*) AS n_users,
+        |  CAST(sum(p.x) AS BIGINT) AS sum_x_cents,
+        |  CAST(sum(p.y) AS BIGINT) AS sum_y_cents,
+        |  any_value(t.theta_permille) AS theta_permille,
+        |  CAST((1000 * any_value(t.n) * CAST(sum(p.y) AS HUGEINT)
+        |    - any_value(t.theta_permille) * (any_value(t.n)
+        |      * CAST(sum(p.x) AS HUGEINT) - count(*) * any_value(t.sx)))
+        |    // (any_value(t.n) * count(*)) AS BIGINT) AS mean_adj_milli
+        |FROM per p, th t
+        |GROUP BY p.variant ORDER BY p.variant""".stripMargin,
+    // weekday pinned: DuckDB isodow (1=Mon..7) − 1 = Spark weekday()
+    "q_ev_seasonality" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y,
+        |    CAST(isodow(CAST(ts AS DATE)) - 1 AS BIGINT) AS dow
+        |  FROM events GROUP BY 1, 2, 4
+        |), tot AS (
+        |  SELECT event_type, CAST(sum(y) AS BIGINT) AS sy,
+        |    count(*) AS nd
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT d.event_type, d.dow, count(*) AS n_days,
+        |  (1000 * any_value(t.nd) * CAST(sum(d.y) AS BIGINT))
+        |    // (count(*) * any_value(t.sy)) AS idx_permille
+        |FROM daily d JOIN tot t USING (event_type)
+        |GROUP BY 1, 2 ORDER BY d.event_type, d.dow""".stripMargin,
     // the KM recursion replayed as a recursive CTE; `//` on the
     // non-negative numerators matches Scala Long division exactly
     "q_ev_survival" ->
