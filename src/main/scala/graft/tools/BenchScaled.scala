@@ -57,8 +57,9 @@ object BenchScaled {
     // round-13 third wave: PQ encode (corpus-sized fan-out/rollup), the
     // skyline (pruning must hold the verify window small), the big-big
     // Q18 join, and the new event statistics
-    "pq_encode", "q_pareto_frontier", "q_large_orders",
-    "q_ev_autocorr", "q_ev_changepoint", "q_ev_seq_patterns", "q_ev_paths")
+    "pq_encode", "pq_recall", "q_pareto_frontier", "q_large_orders",
+    "q_ev_autocorr", "q_ev_changepoint", "q_ev_seq_patterns", "q_ev_paths",
+    "q_ev_survival", "q_ev_cuped", "q_ev_seasonality")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/sf1"
