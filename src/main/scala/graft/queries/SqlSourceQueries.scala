@@ -147,6 +147,22 @@ object SqlSourceQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Plain-text sink + line source round-trip (spark.read.text — the
+    * raw-corpus ingestion format every crawl pipeline starts from).
+    * The corpus text is newline-free, so one document = one line and
+    * the line stats below pin content integrity exactly. */
+  def qTextRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("text"))
+    val dir = Files.createTempDirectory("graft_text_").toString + "/docs"
+    src.write.mode("overwrite").text(dir)
+    s.read.text(dir)
+      .select(col("value"), length(col("value")).cast("long").as("len"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("value")).as("n_distinct"),
+        sum(col("len")).as("total_chars"),
+        min(col("len")).as("min_len"), max(col("len")).as("max_len"))
+  }
+
   /** JSON-lines sink + schema-enforced JSON source round-trip. */
   def qJsonRoundtrip(s: SparkSession, d: String): DataFrame = {
     val src = customer(s, d)
@@ -206,6 +222,7 @@ object SqlSourceQueries {
     "q_csv_roundtrip" -> qCsvRoundtrip,
     "q_json_roundtrip" -> qJsonRoundtrip,
     "q_orc_roundtrip" -> qOrcRoundtrip,
+    "q_text_roundtrip" -> qTextRoundtrip,
   )
 
   val oracles: Map[String, String] = Map(
@@ -300,5 +317,12 @@ object SqlSourceQueries {
       """SELECT c_mktsegment, count(*) AS n,
         |  round(sum(c_acctbal), 2) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_text_roundtrip" ->
+      """SELECT count(*) AS n_lines,
+        |  count(DISTINCT text) AS n_distinct,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(min(length(text)) AS BIGINT) AS min_len,
+        |  CAST(max(length(text)) AS BIGINT) AS max_len
+        |FROM documents""".stripMargin,
   )
 }
