@@ -3004,8 +3004,23 @@ final class LakeTable private[lake] (
       // widen still compares correctly at scan time)
       val keyTypes =
         keyTypesOverride.getOrElse(latest.withFieldIdDefaults.statKeyTypes)
+      // Row lineage (Iceberg v3): every data file this commit adds gets
+      // firstRowId from the table's next-row-id mark — assigned INSIDE
+      // the CAS transform, so a lost race re-assigns from the winner's
+      // mark and ids stay table-unique and monotone. A row's stable id
+      // is firstRowId + parquet row_index (LakeScan.rowLineage).
+      val rid0 = latest.nextRowId
+      val addedWithIds = {
+        var rid = rid0
+        added.map { f =>
+          val e = f.copy(seq = newId, firstRowId = Some(rid))
+          rid += f.recordCount
+          e
+        }
+      }
+      val nextRid = rid0 + added.map(_.recordCount).sum
       val addedRef = if (added.nonEmpty)
-        Some(catalog.writeManifest(md, added.map(_.copy(seq = newId)),
+        Some(catalog.writeManifest(md, addedWithIds,
           keyTypes = keyTypes)) else None
       val addedDeleteRef = if (addedDeletes.nonEmpty)
         Some(catalog.writeManifest(md, addedDeletes.map(_.copy(seq = newId)),
@@ -3204,9 +3219,22 @@ final class LakeTable private[lake] (
                 addedDvs.map(_.recordCount).sum).toString,
             "added-equality-deletes" ->
               addedEqDeletes.map(_.recordCount).sum.toString))(io)
-      val withProps = exactlyOnce.fold(latest.properties) { case (sinkId, batchId) =>
+      val withProps0 = exactlyOnce.fold(latest.properties) { case (sinkId, batchId) =>
         latest.properties + (s"streaming.last-batch-id.$sinkId" -> batchId.toString)
       }
+      // Row-lineage honesty flag: a rewrite-shaped commit (files
+      // removed AND re-added — compaction, CoW update/delete/merge)
+      // re-ids every surviving row it carried, so stable-id reads must
+      // refuse from here on (the Iceberg v3 answer — materializing
+      // _row_id into rewritten files — is the documented path, not yet
+      // taken). Pure appends, MoR tombstones, DV deletes, and
+      // whole-file CoW deletes (rows GONE, none re-idd) keep lineage.
+      // A table REPLACE starts a fresh incarnation: flag cleared.
+      val withProps =
+        if (replaceAll) withProps0 - LakeTable.RowLineageBrokenProp
+        else if (removedPaths.nonEmpty && added.nonEmpty)
+          withProps0 + (LakeTable.RowLineageBrokenProp -> "true")
+        else withProps0
       // a staged wap.id must be unique across the log: double-submitting
       // an orchestrator retry would stage the same data twice
       extraSummary.get("wap.id").foreach { id =>
@@ -3233,7 +3261,7 @@ final class LakeTable private[lake] (
             properties = withProps)
         case None => latest.copy(snapshots = latest.snapshots :+ snap,
           currentSnapshotId = newId, properties = withProps)
-      }).copy(lastSnapshotId = newId))
+      }).copy(lastSnapshotId = newId, nextRowId = nextRid))
     }
     meta = next
     version = v
@@ -3464,6 +3492,11 @@ object LakeTable {
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType, nullable = false)))
   /** Temp column names for the MoR anti-joins (stripped before return). */
+  /** Table property set by any rewrite-shaped commit (files removed AND
+    * re-added): surviving rows were re-assigned fresh firstRowIds, so
+    * stable-id reads must refuse (see LakeScan.rowLineage). */
+  private[lake] val RowLineageBrokenProp = "row-lineage.broken"
+
   private[lake] val PosFileCol = "__graft_file_path"
 
   /** A manifest-recorded path in the RENDER Spark's
@@ -3729,6 +3762,53 @@ final class LakeScan private[lake] (
           norm(col("_file")) === norm(col("__graft_info_path")), "left")
           .drop("__graft_info_path")
       }
+    }
+  }
+
+  /** Stable per-row ids (Iceberg v3 row lineage): [[toDFWithPositions]]
+    * plus `_row_id` = the file's commit-assigned firstRowId + the row's
+    * parquet row_index. Ids are table-unique and survive appends,
+    * MoR/DV deletes (survivors keep their file and position), branch
+    * commits, and time travel; they do NOT survive rewrite-shaped
+    * commits (compaction, copy-on-write row-level ops), which re-id the
+    * rows they carry — such tables REFUSE loudly here until materialized
+    * `_row_id` carry-through in rewritten files (the Iceberg v3 story)
+    * lands. Scale shape: the per-file id base is a driver-resident
+    * broadcast join keyed on the scheme-normalized path — O(planned
+    * files), exactly the join `_spec_id`/`_partition` already ride. */
+  def rowLineage(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    require(!table.metadata.properties
+      .get(LakeTable.RowLineageBrokenProp).contains("true"),
+      s"row lineage on ${table.name} was broken by a rewrite-shaped commit " +
+        "(compaction / copy-on-write row-level ops re-assign surviving rows " +
+        "fresh ids); materialized _row_id carry-through is the documented " +
+        "path for rewrite-heavy tables")
+    val files = planFiles
+    val missing = files.filter(_.firstRowId.isEmpty)
+    require(missing.isEmpty,
+      s"${missing.size} live file(s) of ${table.name} predate row lineage " +
+        s"(e.g. ${missing.headOption.map(_.path).getOrElse("")}); rewrite " +
+        "or re-append them to assign first-row ids")
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(table.schema.fields ++ Seq(
+          StructField("_file", StringType, nullable = false),
+          StructField("_pos", LongType, nullable = false),
+          StructField("_row_id", LongType, nullable = false))))
+    else {
+      val spark0 = spark
+      import spark0.implicits._
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
+      val base = files.map(f => (f.path, f.firstRowId.get))
+        .toDF("__graft_rid_path", "__graft_first_rid")
+      toDFWithPositions(spark)
+        .join(broadcast(base),
+          norm(col("_file")) === norm(col("__graft_rid_path")))
+        .withColumn("_row_id", col("__graft_first_rid") + col("_pos"))
+        .drop("__graft_rid_path", "__graft_first_rid")
     }
   }
 

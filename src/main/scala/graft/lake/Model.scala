@@ -129,7 +129,14 @@ final case class DataFileEntry(
     // of parquet field IDs; compaction/CoW rewrites emit native
     // ID-stamped files, clearing the flag. Pre-import manifests read
     // back false (every engine-written file carries IDs).
-    nameMapped: Boolean = false)
+    nameMapped: Boolean = false,
+    // row lineage (Iceberg v3 first-row-id): the table-wide id of this
+    // file's FIRST row, assigned inside the commit CAS from
+    // [[TableMetadata.nextRowId]] — a row's stable id is
+    // firstRowId + its parquet row_index. None for pre-lineage
+    // manifests; see LakeScan.rowLineage for the read contract (and
+    // the loud refusal once a rewrite re-ids surviving rows).
+    firstRowId: Option[Long] = None)
 
 /** Pointer to one immutable manifest document plus the rollup counts
   * file planning needs WITHOUT loading it (totals, live-file count).
@@ -379,6 +386,14 @@ final case class TableMetadata(
     // an exactly-once pipeline). Pre-field documents read back 0 and
     // become monotone at their first post-upgrade commit.
     lastSnapshotId: Long = 0L,
+    // Row-lineage high-water mark (Iceberg v3 next-row-id): the first
+    // row id the NEXT commit's data files will be assigned. Advanced
+    // inside the commit CAS by the total record count of added files,
+    // so ids are table-unique and monotone even under commit races
+    // (the loser's retry re-reads the winner's mark). Pre-lineage
+    // documents read back 0 — their existing files carry no
+    // firstRowId, and the lineage read surface refuses on them.
+    nextRowId: Long = 0L,
     // Per-snapshot PARTITION statistics documents (Iceberg's
     // partition-statistics files): computePartitionStats rolls the
     // per-partition-tuple file/record/byte counts into an immutable
@@ -551,7 +566,8 @@ object MetadataJson {
       s""""eqFieldIds":${f.eqFieldIds.mkString("[", ",", "]")}""" +
       // emitted only when set: pre-import manifest documents stay
       // byte-identical (their readers default the field to false)
-      (if (f.nameMapped) ""","nameMapped":true""" else "") + "}"
+      (if (f.nameMapped) ""","nameMapped":true""" else "") +
+      f.firstRowId.fold("")(r => s""","firstRowId":$r""") + "}"
 
   private def snapshotJson(s: Snapshot): String =
     s"""{"id":${s.id},"parentId":${s.parentId.map(_.toString).getOrElse("null")},""" +
@@ -597,6 +613,9 @@ object MetadataJson {
       else "") +
       (if (m.lastSnapshotId > 0L)
         s""""lastSnapshotId":${m.lastSnapshotId},"""
+      else "") +
+      (if (m.nextRowId > 0L)
+        s""""nextRowId":${m.nextRowId},"""
       else "") +
       s""""spec":${specJson(m.spec)},""" +
       s""""specLog":${m.allSpecs.map(specJson).mkString("[", ",", "]")},""" +
@@ -668,7 +687,8 @@ object MetadataJson {
     seq = Option(n.get("seq")).map(_.asLong()).getOrElse(0L),
     eqFieldIds = Option(n.get("eqFieldIds"))
       .map(_.elements().asScala.map(_.asInt()).toSeq).getOrElse(Nil),
-    nameMapped = Option(n.get("nameMapped")).exists(_.asBoolean()))
+    nameMapped = Option(n.get("nameMapped")).exists(_.asBoolean()),
+    firstRowId = Option(n.get("firstRowId")).map(_.asLong()))
 
   private def parseSpec(n: JsonNode): Seq[PartitionField] =
     n.elements().asScala
@@ -741,6 +761,8 @@ object MetadataJson {
           s.get("snapshotId").asLong(), s.get("name").asText())).toSeq)
         .getOrElse(Nil),
       lastSnapshotId = Option(n.get("lastSnapshotId"))
+        .map(_.asLong()).getOrElse(0L),
+      nextRowId = Option(n.get("nextRowId"))
         .map(_.asLong()).getOrElse(0L)
     ).withFieldIdDefaults // ad-hoc documents get positional IDs
   }

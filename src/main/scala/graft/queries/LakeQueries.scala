@@ -187,6 +187,33 @@ object LakeQueries {
     t.refresh().newScan().toDF(s).orderBy(col("o_orderkey"))
   }
 
+  /** Row lineage (Iceberg v3): every commit assigns its data files a
+    * table-unique first-row-id inside the CAS, and `_row_id` =
+    * firstRowId + parquet row_index is a STABLE per-row identity — the
+    * CDC/audit primitive incremental consumers key on. The scenario
+    * appends two single-file sorted batches (ids fully determined by
+    * the data), then DV-deletes a slice: survivors keep their original
+    * ids (the tombstones never touch the data files), which the oracle
+    * reconstructs from the relational data alone. */
+  def lakeRowLineage(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "orders_rl",
+      src.select(col("o_orderkey"), col("o_totalprice")).schema)
+    t.setProperty("write.delete.vector.enabled", "true")
+    def batch(parity: Int) = src
+      .filter(col("o_orderkey") % 2 === parity)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(1).sortWithinPartitions(col("o_orderkey"))
+    t.refresh().appendData(batch(0)) // firstRowId 0
+    t.refresh().appendData(batch(1)) // firstRowId = |even batch|
+    t.refresh().deleteWhereMoR(s,
+      graft.lake.LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+    t.refresh().newScan().rowLineage(s)
+      .select(col("o_orderkey"), col("_row_id").as("row_id"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Tombstone-materializing maintenance: a clustered table takes a MoR
     * delete (tombstones land on the price-sorted tail files only), then
     * rewrite_position_deletes materializes ONLY the affected files and
@@ -1213,6 +1240,7 @@ object LakeQueries {
     "lake_delete_cow" -> lakeDeleteCow,
     "lake_delete_mor" -> lakeDeleteMor,
     "lake_delete_dv" -> lakeDeleteDv,
+    "lake_row_lineage" -> lakeRowLineage,
     "lake_rewrite_deletes" -> lakeRewriteDeletes,
     "lake_add_files" -> lakeAddFiles,
     "lake_column_defaults" -> lakeColumnDefaults,
@@ -1231,6 +1259,23 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // ids reconstruct from the data alone: batch 1 = even keys sorted
+    // (ids 0..n_even−1), batch 2 = odd keys sorted (ids n_even..);
+    // the DV delete filters rows but never moves an id
+    "lake_row_lineage" ->
+      """WITH ids AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0)
+        |      + row_number() OVER (ORDER BY o_orderkey) - 1 AS row_id
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |)
+        |SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id
+        |FROM ids WHERE o_totalprice < 400000.0
+        |ORDER BY o_orderkey""".stripMargin,
     // correlated scalar aggregates over the EVEN-key inner domain:
     // count()=1 → '8-SOLO' (absent key counts 0); then F-orders at
     // their customer's even-max price die (absent key → NULL → keep)
