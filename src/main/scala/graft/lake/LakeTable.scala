@@ -3776,9 +3776,10 @@ final class LakeScan private[lake] (
     * lands. Scale shape: the per-file id base is a driver-resident
     * broadcast join keyed on the scheme-normalized path — O(planned
     * files), exactly the join `_spec_id`/`_partition` already ride. */
-  def rowLineage(spark: SparkSession): DataFrame = {
+  def rowLineage(spark: SparkSession,
+      withPartitionInfo: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.types.LongType
     require(!table.metadata.properties
       .get(LakeTable.RowLineageBrokenProp).contains("true"),
       s"row lineage on ${table.name} was broken by a rewrite-shaped commit " +
@@ -3792,11 +3793,9 @@ final class LakeScan private[lake] (
         s"(e.g. ${missing.headOption.map(_.path).getOrElse("")}); rewrite " +
         "or re-append them to assign first-row ids")
     if (files.isEmpty)
-      spark.createDataFrame(new java.util.ArrayList[Row](),
-        StructType(table.schema.fields ++ Seq(
-          StructField("_file", StringType, nullable = false),
-          StructField("_pos", LongType, nullable = false),
-          StructField("_row_id", LongType, nullable = false))))
+      toDFWithPositions(spark, withPartitionInfo)
+        .withColumn("_row_id",
+          org.apache.spark.sql.functions.lit(0L).cast(LongType))
     else {
       val spark0 = spark
       import spark0.implicits._
@@ -3804,7 +3803,7 @@ final class LakeScan private[lake] (
         regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
       val base = files.map(f => (f.path, f.firstRowId.get))
         .toDF("__graft_rid_path", "__graft_first_rid")
-      toDFWithPositions(spark)
+      toDFWithPositions(spark, withPartitionInfo)
         .join(broadcast(base),
           norm(col("_file")) === norm(col("__graft_rid_path")))
         .withColumn("_row_id", col("__graft_first_rid") + col("_pos"))

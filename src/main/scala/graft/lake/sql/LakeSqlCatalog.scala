@@ -822,7 +822,8 @@ final class LakeSqlTable(lt: LakeTable, snapshotId: Option[Long] = None)
   override def metadataColumns(): Array[
       org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(LakeSqlTable.FileMetaColumn, LakeSqlTable.PosMetaColumn,
-      LakeSqlTable.SpecIdMetaColumn, LakeSqlTable.PartitionMetaColumn)
+      LakeSqlTable.SpecIdMetaColumn, LakeSqlTable.PartitionMetaColumn,
+      LakeSqlTable.RowIdMetaColumn)
 
   /** For the row-level command rule ([[LakeSqlExtensions]]): the
     * transactional Scala-API table UPDATE/MERGE plan onto. */
@@ -1393,7 +1394,7 @@ object LakeSqlTable {
 
   /** The hidden metadata column names (Iceberg's inspection columns). */
   private[sql] val MetaColNames: Set[String] =
-    Set("_file", "_pos", "_spec_id", "_partition")
+    Set("_file", "_pos", "_spec_id", "_partition", "_row_id")
 
   /** The two that need the per-file manifest join (see
     * [[graft.lake.LakeScan.toDFWithPositions]]). */
@@ -1443,6 +1444,20 @@ object LakeSqlTable {
     override def comment(): String =
       "partition values (field render -> stat-string value) of the row's file"
   }
+  /** Iceberg v3 row lineage through SQL: `_row_id` = the file's
+    * CAS-assigned firstRowId + the row's parquet row_index (see
+    * [[graft.lake.LakeScan.rowLineage]] for the stability contract and
+    * the loud refusal after rewrite-shaped commits). */
+  private[sql] object RowIdMetaColumn
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = "_row_id"
+    override def dataType(): org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "stable row id (commit-assigned first-row-id + parquet row index)"
+  }
+
   /** sources.Filter → manifest predicate, STRICT form: None when the
     * filter has no exact LakePredicate equivalent. Scans can degrade an
     * inexpressible filter to AlwaysTrue (pruning is an optimization;

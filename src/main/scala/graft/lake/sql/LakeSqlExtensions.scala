@@ -190,8 +190,14 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
       pred: LakePredicate): LogicalPlan = {
     val withPartitionInfo =
       r.output.exists(a => LakeSqlTable.PartitionMetaNames(a.name))
-    val inner = PlanBridge.analyzedPlan(t.fullScan(pred)
-      .toDFWithPositions(SparkSession.active, withPartitionInfo))
+    val scan = t.fullScan(pred)
+    // `_row_id` routes through the lineage read (same positions read +
+    // the per-file first-row-id broadcast join; refuses loudly on
+    // broken-lineage tables — the SQL surface inherits the contract)
+    val inner = PlanBridge.analyzedPlan(
+      if (r.output.exists(_.name == "_row_id"))
+        scan.rowLineage(SparkSession.active, withPartitionInfo)
+      else scan.toDFWithPositions(SparkSession.active, withPartitionInfo))
     val byName = inner.output.map(a => a.name -> a).toMap
     Project(r.output.map { tgt =>
       val src = byName.getOrElse(tgt.name, throw new IllegalStateException(

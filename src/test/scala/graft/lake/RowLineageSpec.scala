@@ -69,6 +69,36 @@ class RowLineageSpec extends LakeSuite {
     assert(t.refresh().newScan().toDF(spark).count() == ordersDF.count() + 5)
   }
 
+  test("SQL surface: _row_id metadata column resolves, stays out of *, survives DELETE") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.rlc", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rlc.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE rlc.ns")
+      spark.sql("CREATE TABLE rlc.ns.t (k BIGINT, v STRING)")
+      spark.sql("ALTER TABLE rlc.ns.t SET TBLPROPERTIES " +
+        "('write.delete.vector.enabled'='true')")
+      spark.sql("INSERT INTO rlc.ns.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      spark.sql("INSERT INTO rlc.ns.t VALUES (4, 'd')")
+      val rows = spark.sql("SELECT k, _row_id FROM rlc.ns.t ORDER BY _row_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.map(_._2).toSeq == (0L to 3L), s"ids not dense: ${rows.toSeq}")
+      assert(rows.find(_._1 == 4L).exists(_._2 == 3L),
+        "second commit's row must carry the next id")
+      // `*` never leaks the metadata column
+      assert(spark.sql("SELECT * FROM rlc.ns.t").columns.toSeq == Seq("k", "v"))
+      // a DV delete keeps survivors' ids stable through the SQL read
+      spark.sql("DELETE FROM rlc.ns.t WHERE k = 2")
+      val after = spark.sql("SELECT k, _row_id FROM rlc.ns.t ORDER BY _row_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(after.toSeq == rows.filterNot(_._1 == 2L).toSeq,
+        "DV delete moved a surviving row's id")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.rlc")
+      spark.conf.unset("spark.sql.catalog.rlc.warehouse")
+    }
+  }
+
   test("manifest round-trip preserves firstRowId; pre-lineage entries read back None") {
     val f = DataFileEntry("/w/d1.parquet", 10L, 100L,
       Map.empty, Map.empty, Map.empty, Map.empty, firstRowId = Some(42L))
