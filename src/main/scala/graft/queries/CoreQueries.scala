@@ -150,7 +150,65 @@ object CoreQueries {
       .limit(100)
   }
 
+  /** TPC-H Q7 analog (round 13): bilateral trade volume between two
+    * nations per ship year — the 6-table star whose plan quality IS the
+    * operator: both nation dims broadcast, customer/supplier hash-join
+    * the fact stream, and the shipdate band prunes at the parquet scan.
+    * Revenue sums exact cents: floor of the double product is
+    * bit-identical across engines (the decayed-engagement device). */
+  def qTradeVolume(s: SparkSession, d: String): DataFrame = {
+    val n1 = broadcast(nation(s, d)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(nation(s, d)
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation")))
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1998-01-01 00:00:00"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("snk"))
+      .join(n2, col("c_nationkey") === col("cnk"))
+      .filter((col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11") ||
+        (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_20"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_cents"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
+  /** TPC-H Q21 shape adapted to the available columns (round 13): for
+    * multi-supplier orders, which supplier shipped LAST (the shipment
+    * that closed the order) — the blame report Q21 computes with
+    * commit/receipt dates. One order-keyed window picks the closing
+    * line deterministically ((shipdate, suppkey) desc), a groupBy-HAVING
+    * sliver marks multi-supplier orders and joins back broadcast, and
+    * the supplier dim broadcasts onto the per-supplier rollup. */
+  def qMultiSupplierOrders(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val multi = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("mok"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .filter(col("n_supp") >= 2)
+      .select(col("mok"))
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_shipdate").desc, col("l_suppkey").desc)
+    lineitem(s, d)
+      .join(multi, col("l_orderkey") === col("mok"), "left_semi")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_closed"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_closed"))
+      .orderBy(col("n_closed").desc, col("s_suppkey"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_trade_volume" -> qTradeVolume,
+    "q_multi_supplier_orders" -> qMultiSupplierOrders,
     "q_large_orders" -> qLargeOrders,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -163,6 +221,40 @@ object CoreQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+        |  count(*) AS n_items,
+        |  CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem l
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    "q_multi_supplier_orders" ->
+      """WITH multi AS (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY 1 HAVING count(DISTINCT l_suppkey) >= 2
+        |), closing AS (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l.l_suppkey,
+        |      row_number() OVER (PARTITION BY l.l_orderkey
+        |        ORDER BY l.l_shipdate DESC, l.l_suppkey DESC) AS rn
+        |    FROM lineitem l JOIN multi m ON m.l_orderkey = l.l_orderkey)
+        |  WHERE rn = 1
+        |)
+        |SELECT s.s_suppkey, s.s_name, count(*) AS n_closed
+        |FROM closing c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        |GROUP BY 1, 2
+        |ORDER BY n_closed DESC, s.s_suppkey LIMIT 10""".stripMargin,
     "q_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey,
