@@ -136,6 +136,80 @@ class Round13OpsSpec extends LakeSuite {
     }
   }
 
+  test("cuped: theta recomputed from raw per-user sums in BigInt") {
+    val rows = EventQueries.qEvCuped(spark, d).collect()
+    QueryCaches.clear()
+    assert(rows.length == 2)
+    val minDay = Tables.events(spark, d)
+      .agg(min(to_date(col("ts")))).head().getDate(0).toLocalDate
+    val per = Tables.events(spark, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .collect().groupBy(_.getLong(0)).map { case (u, rs) =>
+        val x = rs.filter(r => r.getString(2) == "purchase" &&
+          java.time.temporal.ChronoUnit.DAYS.between(
+            minDay, r.getDate(1).toLocalDate) < 15).map(_.getLong(3)).sum
+        val y = rs.filter(r => r.getString(2) == "purchase" &&
+          java.time.temporal.ChronoUnit.DAYS.between(
+            minDay, r.getDate(1).toLocalDate) >= 15).map(_.getLong(3)).sum
+        (u, x, y)
+      }.toSeq
+    val n = BigInt(per.size)
+    val sx = per.map(p => BigInt(p._2)).sum
+    val sy = per.map(p => BigInt(p._3)).sum
+    val sxx = per.map(p => BigInt(p._2) * p._2).sum
+    val sxy = per.map(p => BigInt(p._2) * p._3).sum
+    val theta = (BigInt(1000) * (n * sxy - sx * sy)) / (n * sxx - sx * sx)
+    rows.foreach(r => assert(r.getLong(4) == theta.toLong, s"theta drift: $r"))
+    // adjusted-mean closed form per variant
+    rows.foreach { r =>
+      val vu = per.filter(p => p._1 % 2 == r.getLong(0))
+      val nv = BigInt(vu.size)
+      val sxv = vu.map(p => BigInt(p._2)).sum
+      val syv = vu.map(p => BigInt(p._3)).sum
+      val adj = (BigInt(1000) * n * syv - theta * (n * sxv - nv * sx)) / (n * nv)
+      assert(r.getLong(5) == adj.toLong, s"mean_adj drift: $r")
+    }
+  }
+
+  test("seasonality: per-type indices recomputed and mass-balanced") {
+    val rows = EventQueries.qEvSeasonality(spark, d).collect()
+    QueryCaches.clear()
+    assert(rows.nonEmpty)
+    val daily = Tables.events(spark, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      val mine = daily.filter(_._1 == tpe)
+      val nd = mine.length.toLong
+      val sy = mine.map(_._3).sum
+      rs.foreach { r =>
+        val dow = r.getLong(1)
+        val sub = mine.filter(_._2.getDayOfWeek.getValue - 1 == dow)
+        assert(r.getLong(2) == sub.length.toLong, s"n_days drift: $r")
+        val idx = (1000L * nd * sub.map(_._3).sum) / (sub.length * sy)
+        assert(r.getLong(3) == idx, s"idx drift: $r")
+      }
+      // mass balance: day-count-weighted mean of the exact ratio is 1 —
+      // the truncated permilles must straddle 1000
+      assert(rs.map(_.getLong(3)).min <= 1000L && rs.map(_.getLong(3)).max >= 999L)
+    }
+  }
+
+  test("survival: monotone nonincreasing, risk-set accounting exact") {
+    val rows = EventQueries.qEvSurvival(spark, d).collect()
+    assert(rows.nonEmpty)
+    val s = rows.map(_.getLong(3))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a }, "S(t) must not rise")
+    assert(s.head <= 1000000L && s.forall(_ >= 0L))
+    // at-risk counts strictly decrease along reported ts and every
+    // reported conversion count fits inside its risk set
+    val n = rows.map(_.getLong(1))
+    assert(n.zip(n.tail).forall { case (a, b) => b < a })
+    rows.foreach(r => assert(r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(1)))
+  }
+
   test("large orders: threshold and basket identity") {
     val rows = CoreQueries.qLargeOrders(spark, d).collect()
     assert(rows.nonEmpty)
