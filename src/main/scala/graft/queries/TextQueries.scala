@@ -879,6 +879,44 @@ object TextQueries {
           .as("fp_checksum"))
       .orderBy(col("doc_id"))
 
+  /** Cross-split n-gram leakage (round 13) — the eval-integrity check
+    * that closes the [[qHashSplit]]/[[qContaminationCheck]] loop: what
+    * fraction of the valid/test splits' word 5-grams also occur in the
+    * TRAIN split (the leakage that silently inflates held-out metrics).
+    * Same split assignment as hash_split (`md5(doc_id) mod 1000`), same
+    * gram-hash device as winnowing (`md5 mod 2⁶¹−1`). Scale shape: one
+    * gram pass, a distinct on the train side, ONE hash-keyed left join
+    * — never doc×doc; output is |splits|-sized. */
+  def qSplitContamination(s: SparkSession, d: String): DataFrame = {
+    val spark0 = s
+    import spark0.implicits._
+    val M = 2305843009213693951L // 2^61 - 1
+    val grams = QueryCaches.track(documents(s, d)
+      .select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, text) =>
+          val b = java.lang.Long.remainderUnsigned(
+            md5Pair(md, id.toString)._1, 1000L)
+          val split = if (b < 900) "train" else if (b < 950) "valid" else "test"
+          val ws = if (text == null) Array.empty[String] else text.split(" ", -1)
+          (0 to ws.length - 5).iterator.map { i =>
+            (split, java.lang.Long.remainderUnsigned(
+              md5Pair(md, ws.slice(i, i + 5).mkString(" "))._1, M))
+          }
+        }
+      }.toDF("split", "h").persist())
+    val train = grams.filter(col("split") === "train")
+      .select(col("h")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("split") =!= "train")
+      .join(train, Seq("h"), "left_outer")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
+      .withColumn("leak_permille", expr("(1000 * n_leaked) div n_grams"))
+      .orderBy(col("split"))
+  }
+
   /** The winnowing core shared by [[qWinnowFingerprint]] and the
     * guarantee spec: per doc with ≥ 7 tokens, `(doc_id, n_grams,
     * fps)` where `fps` is the sorted distinct window-minima set. */
@@ -1913,6 +1951,7 @@ object TextQueries {
     "collocations" -> qCollocations,
     "fuzzy_vocab_join" -> qFuzzyVocabJoin,
     "hash_split" -> qHashSplit,
+    "split_contamination" -> qSplitContamination,
     "winnow_fingerprint" -> qWinnowFingerprint,
     "heavy_hitters" -> qHeavyHitters,
     "bloom_dedup" -> qBloomDedup,
@@ -2641,6 +2680,32 @@ object TextQueries {
         |FROM per JOIN (SELECT source, sum(n_docs) AS src_docs FROM per GROUP BY source) t
         |  USING (source)
         |ORDER BY source, split""".stripMargin,
+    "split_contamination" ->
+      """WITH tagged AS (
+        |  SELECT CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 900
+        |           THEN 'train'
+        |         WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 950
+        |           THEN 'valid'
+        |         ELSE 'test' END AS split,
+        |    string_split(text, ' ') AS ws
+        |  FROM documents
+        |), g AS (
+        |  SELECT split, unnest(list_transform(generate_series(1, len(ws) - 4),
+        |    i -> md5_number_lower(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |           || ' ' || ws[i+3] || ' ' || ws[i+4])
+        |         % 2305843009213693951)) AS h
+        |  FROM tagged WHERE len(ws) >= 5
+        |), tr AS (
+        |  SELECT DISTINCT h FROM g WHERE split = 'train'
+        |)
+        |SELECT g.split, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaked,
+        |  CAST((1000 * sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END))
+        |    // count(*) AS BIGINT) AS leak_permille
+        |FROM g LEFT JOIN tr ON tr.h = g.h
+        |WHERE g.split <> 'train'
+        |GROUP BY g.split ORDER BY g.split""".stripMargin,
     "winnow_fingerprint" ->
       """WITH g AS (
         |  SELECT doc_id, list_transform(generate_series(1, len(ws) - 3),
