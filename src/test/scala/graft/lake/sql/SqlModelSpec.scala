@@ -44,6 +44,14 @@ class SqlModelSpec extends LakeSuite {
         case other => other.toString
       }
 
+      // Row-lineage invariant, checked WITHOUT predicting file layout:
+      // while `SELECT _row_id` still succeeds the table has never taken
+      // a rewrite-shaped commit, so every surviving row's id must equal
+      // what the previous successful read saw, and ids stay unique.
+      // Once a read refuses (CoW rewrite landed), refusal is sticky.
+      var lineageBroken = false
+      var lastRowIds = Map.empty[Long, Long]
+
       def check(step: Int, op: String): Unit = {
         val actual = spark.sql(s"SELECT * FROM $cat.ns.t").collect()
           .map { r =>
@@ -54,6 +62,26 @@ class SqlModelSpec extends LakeSuite {
           id -> cols.map(c => c -> row.getOrElse(c, null)).toMap
         }
         assert(actual === expected, s"seed=$seed step=$step after $op")
+        try {
+          val rl = spark.sql(s"SELECT id, _row_id FROM $cat.ns.t").collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(!lineageBroken,
+            s"seed=$seed step=$step after $op: lineage read succeeded " +
+              "after an earlier refusal (broken flag must be sticky)")
+          assert(rl.keySet == model.keySet,
+            s"seed=$seed step=$step after $op: lineage row set drift")
+          assert(rl.values.toSet.size == rl.size,
+            s"seed=$seed step=$step after $op: duplicate row ids")
+          lastRowIds.foreach { case (k, rid) =>
+            rl.get(k).foreach(now => assert(now == rid,
+              s"seed=$seed step=$step after $op: row $k id moved $rid->$now"))
+          }
+          lastRowIds = rl
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("rewrite-shaped") =>
+            lineageBroken = true
+        }
         history += snapId -> model
       }
 
