@@ -597,6 +597,29 @@ object EventQueries {
       .orderBy(col("event_type"), col("h"))
   }
 
+  /** Daily bounce rate (round 13) — the classic web metric: share of
+    * sessions (30-min-gap device) that contain exactly ONE event,
+    * attributed to the day the session STARTED. Exact permille; one
+    * user-keyed window pass + a session rollup + a day rollup. */
+  def qEvBounceRate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(to_date(col("ts"))).as("day"), count(lit(1)).as("n_events"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_permille",
+        expr("(1000 * n_bounces) div n_sessions"))
+      .orderBy(col("day"))
+  }
+
   /** CUPED variance reduction (round 13) — the experimentation-platform
     * adjustment (Deng et al. 2013) every A/B readout at scale applies:
     * shrink the experiment metric Y by its pre-period covariate X,
@@ -878,6 +901,7 @@ object EventQueries {
     "q_ev_forecast" -> qEvForecast,
     "q_ev_survival" -> qEvSurvival,
     "q_ev_cuped" -> qEvCuped,
+    "q_ev_bounce_rate" -> qEvBounceRate,
     "q_ev_seasonality" -> qEvSeasonality,
     "q_ev_autocorr" -> qEvAutocorr,
     "q_ev_changepoint" -> qEvChangepoint,
@@ -1233,6 +1257,29 @@ object EventQueries {
         |  CAST(r_band AS VARCHAR) || CAST(f_band AS VARCHAR)
         |    || CAST(m_band AS VARCHAR) AS segment
         |FROM banded ORDER BY user_id""".stripMargin,
+    "q_ev_bounce_rate" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged
+        |), per AS (
+        |  SELECT user_id, sess_id, min(CAST(ts AS DATE)) AS day,
+        |    count(*) AS n_events
+        |  FROM sess GROUP BY 1, 2
+        |)
+        |SELECT day, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounces,
+        |  (1000 * CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT)) // count(*) AS bounce_permille
+        |FROM per GROUP BY day ORDER BY day""".stripMargin,
     // HUGEINT sums mirror Spark's DECIMAL(38,0); `//` truncates toward
     // zero like Spark's div on the signed covariance numerators
     "q_ev_cuped" ->

@@ -447,7 +447,9 @@ object TextQueries {
     * no engine hash involved); est_sim = matching slots / 16, whose
     * values are exact multiples of 1/16 so the rounded doubles match
     * bit-for-bit across engines. */
-  def qMinhashDedup(s: SparkSession, d: String): DataFrame = {
+  /** Signatures + banded candidates shared by [[qMinhashDedup]] and
+    * [[qMinhashAccuracy]] — one copy of the k=16 double-hash family. */
+  private def minhashSigCands(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val k = 16
     val p = 2147483647L
     val spark0 = s
@@ -479,6 +481,12 @@ object TextQueries {
         Seq("band", "bucket"))
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
+    (sigs, cand)
+  }
+
+  def qMinhashDedup(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val (sigs, cand) = minhashSigCands(s, d)
     val sa = sigs.toDF(("da" +: (0 until k).map(i => s"sa$i")): _*)
     val sb = sigs.toDF(("db" +: (0 until k).map(i => s"sb$i")): _*)
     val matches = (0 until k)
@@ -489,6 +497,44 @@ object TextQueries {
       .filter(col("raw") >= 0.5)
       .select(col("da"), col("db"), round(col("raw"), 4).as("est_sim"))
       .orderBy(col("da"), col("db"))
+  }
+
+  /** MinHash estimator-accuracy audit (round 13) — the QA report behind
+    * trusting dedup_minhash's threshold: for EVERY banded candidate
+    * pair, |estimated − exact| Jaccard in exact permille, rolled into
+    * 50-permille error buckets (est = 1000·matching-slots div 16; exact
+    * from the same shingle sets the jaccard family uses). Scale shape:
+    * intersections are computed ONLY for banded candidates (the bounded
+    * set the dedup already materializes) via one shingle-keyed join —
+    * never all-pairs; output is ≤ 21 buckets. */
+  def qMinhashAccuracy(s: SparkSession, d: String): DataFrame = {
+    val k = 16
+    val (sigs, cand0) = minhashSigCands(s, d)
+    val cand = QueryCaches.track(cand0.persist())
+    val sa = sigs.toDF(("da" +: (0 until k).map(i => s"sa$i")): _*)
+    val sb = sigs.toDF(("db" +: (0 until k).map(i => s"sb$i")): _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"sa$i") === col(s"sb$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand.join(sa, "da").join(sb, "db")
+      .select(col("da"), col("db"), matches.as("m"))
+      .withColumn("est_pm", expr("(1000 * m) div 16"))
+    val sh = QueryCaches.track(shingleRows(documents(s, d)).persist())
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("s")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("s")), Seq("db", "s"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ni"))
+    est.join(inter, Seq("da", "db"), "left_outer")
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .withColumn("jac_pm",
+        expr("(1000 * coalesce(ni, 0)) div (na + nb - coalesce(ni, 0))"))
+      .withColumn("err", abs(col("est_pm") - col("jac_pm")))
+      .groupBy(expr("err div 50").as("err_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("err")).as("min_err"), max(col("err")).as("max_err"))
+      .orderBy(col("err_bucket"))
   }
 
   /** SimHash (64-bit) near-dup: hamming distance ≤ 3 via 4×16-bit band
@@ -1939,6 +1985,7 @@ object TextQueries {
     "train_test_split" -> qTrainTestSplit,
     "bigram_counts" -> qBigramCounts,
     "dedup_minhash" -> qMinhashDedup,
+    "minhash_accuracy" -> qMinhashAccuracy,
     "dedup_simhash" -> qSimhashDedup,
     "text_stats" -> qTextStats,
     "token_count" -> qTokenCount,
@@ -2152,6 +2199,44 @@ object TextQueries {
       |  SELECT doc_id, count(*) AS n_terms, CAST(sum(contrib) AS BIGINT) AS score
       |  FROM sc GROUP BY doc_id
       |)""".stripMargin
+
+  /** Shared minhash oracle CTEs (ending in `cand(da, db)`, with `sh`
+    * and `sig` live for downstream use) + the 16-slot match-count
+    * expression — h0..h15 and the 4 band keys are GENERATED so the
+    * constants can never drift from the Spark side (same k, p,
+    * double-hash family). */
+  private def minhashOracleParts: (String, String) = {
+    val sigExprs = (0 until 16)
+      .map(i => s"min((a + $i * b) % 2147483647) AS h$i").mkString(", ")
+    val bandSelects = (0 until 4).map { bnd =>
+      val key = (0 until 4).map(j => s"h${bnd * 4 + j}::VARCHAR").mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    val matchSum = (0 until 16)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
+    val ctes =
+      s"""w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 3
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
+         |  FROM w, (SELECT unnest(range(len(ws) - 2)) AS i) t
+         |), hashed AS (
+         |  SELECT doc_id,
+         |    CAST(md5_number_lower(s) % 2147483647 AS BIGINT) AS a,
+         |    CAST(md5_number_upper(s) % 2147483647 AS BIGINT) AS b
+         |  FROM sh
+         |), sig AS (
+         |  SELECT doc_id, $sigExprs FROM hashed GROUP BY doc_id
+         |), bands AS (
+         |  $bandSelects
+         |), cand AS (
+         |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+         |)""".stripMargin
+    (ctes, matchSum)
+  }
 
   val oracles: Map[String, String] = Map(
     "passage_dedup" ->
@@ -2465,40 +2550,42 @@ object TextQueries {
         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "dedup_minhash" -> {
-      // h0..h15 and the 4 band keys are generated so the constants can
-      // never drift from the Spark side (same k, p, double-hash family)
-      val sigExprs = (0 until 16)
-        .map(i => s"min((a + $i * b) % 2147483647) AS h$i").mkString(", ")
-      val bandSelects = (0 until 4).map { bnd =>
-        val key = (0 until 4).map(j => s"h${bnd * 4 + j}::VARCHAR").mkString(" || '_' || ")
-        s"SELECT doc_id, $bnd AS band, $key AS bucket FROM sig"
-      }.mkString(" UNION ALL ")
-      val matchSum = (0 until 16)
-        .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH w AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
-         |  WHERE len(string_split(text, ' ')) >= 3
-         |), sh AS (
-         |  SELECT DISTINCT doc_id, ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS s
-         |  FROM w, (SELECT unnest(range(len(ws) - 2)) AS i) t
-         |), hashed AS (
-         |  SELECT doc_id,
-         |    CAST(md5_number_lower(s) % 2147483647 AS BIGINT) AS a,
-         |    CAST(md5_number_upper(s) % 2147483647 AS BIGINT) AS b
-         |  FROM sh
-         |), sig AS (
-         |  SELECT doc_id, $sigExprs FROM hashed GROUP BY doc_id
-         |), bands AS (
-         |  $bandSelects
-         |), cand AS (
-         |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
-         |  FROM bands l JOIN bands r
-         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-         |)
+      val (ctes, matchSum) = minhashOracleParts
+      s"""WITH $ctes
          |SELECT da, db, round(($matchSum) / 16.0, 4) AS est_sim
          |FROM cand JOIN sig sa ON sa.doc_id = da JOIN sig sb ON sb.doc_id = db
          |WHERE ($matchSum) / 16.0 >= 0.5
          |ORDER BY da, db""".stripMargin
+    },
+    // est permille vs exact shingle-set jaccard for EVERY banded
+    // candidate; integer arithmetic end-to-end, ≤21 bucket rows
+    "minhash_accuracy" -> {
+      val (ctes, matchSum) = minhashOracleParts
+      s"""WITH $ctes, sizes AS (
+         |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+         |), inter AS (
+         |  SELECT c.da, c.db, count(*) AS ni
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.da
+         |  JOIN sh y ON y.doc_id = c.db AND y.s = x.s
+         |  GROUP BY 1, 2
+         |), scored AS (
+         |  SELECT c.da, c.db,
+         |    (1000 * ($matchSum)) // 16 AS est_pm,
+         |    (1000 * coalesce(i.ni, 0))
+         |      // (na.n + nb.n - coalesce(i.ni, 0)) AS jac_pm
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.da
+         |  JOIN sig sb ON sb.doc_id = c.db
+         |  LEFT JOIN inter i ON i.da = c.da AND i.db = c.db
+         |  JOIN sizes na ON na.doc_id = c.da
+         |  JOIN sizes nb ON nb.doc_id = c.db
+         |)
+         |SELECT abs(est_pm - jac_pm) // 50 AS err_bucket,
+         |  count(*) AS n_pairs,
+         |  CAST(min(abs(est_pm - jac_pm)) AS BIGINT) AS min_err,
+         |  CAST(max(abs(est_pm - jac_pm)) AS BIGINT) AS max_err
+         |FROM scored GROUP BY 1 ORDER BY err_bucket""".stripMargin
     },
     "dedup_simhash" ->
       """WITH words AS (
