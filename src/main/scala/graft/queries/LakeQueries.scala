@@ -1058,7 +1058,17 @@ object LakeQueries {
            |WHEN MATCHED THEN UPDATE SET t.tags[0] = 'M'""".stripMargin)
       name
     }
-    s.sql(s"SELECT doc_id, tags, meta, scores FROM $catName.q.docs ORDER BY doc_id")
+    // Collections are projected to deterministic STRINGS for the gate:
+    // the driver's row-sort comparator cannot hash raw array/map cells
+    // (round-13 `err`). Sorted-key k=v join for the map; comma join for
+    // the arrays — the q_array_funcs head3 precedent.
+    s.sql(
+      s"""SELECT doc_id,
+         |  concat_ws(',', tags) AS tags,
+         |  concat_ws(',', transform(array_sort(map_keys(meta)),
+         |    k -> concat(k, '=', CAST(meta[k] AS STRING)))) AS meta,
+         |  concat_ws(',', scores) AS scores
+         |FROM $catName.q.docs ORDER BY doc_id""".stripMargin)
   }
 
   /** FULL-grammar SQL MERGE (round 12): ONE CDC batch carrying
@@ -1303,18 +1313,16 @@ object LakeQueries {
         |  FROM documents
         |)
         |SELECT doc_id,
-        |  list_transform(generate_series(1, len(tags0)),
+        |  array_to_string(list_transform(generate_series(1, len(tags0)),
         |    j -> CASE WHEN j = 1 AND doc_id % 6 = 0 THEN 'M'
         |              WHEN j = 2 AND doc_id % 3 = 0 THEN 'X'
-        |              ELSE tags0[j] END) AS tags,
-        |  CASE WHEN doc_id % 5 = 0
-        |       THEN map(['n', 'v', 'new'],
-        |                [CASE WHEN doc_id % 4 = 0 THEN n0 + 100 ELSE n0 END,
-        |                 doc_id, doc_id])
-        |       ELSE map(['n', 'v'],
-        |                [CASE WHEN doc_id % 4 = 0 THEN n0 + 100 ELSE n0 END,
-        |                 doc_id]) END AS meta,
-        |  [doc_id, doc_id * 2, doc_id * 3] AS scores
+        |              ELSE tags0[j] END), ',') AS tags,
+        |  'n=' || CAST(CASE WHEN doc_id % 4 = 0 THEN n0 + 100 ELSE n0 END
+        |               AS VARCHAR)
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ',new=' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |    || ',v=' || CAST(doc_id AS VARCHAR) AS meta,
+        |  array_to_string([doc_id, doc_id * 2, doc_id * 3], ',') AS scores
         |FROM base ORDER BY doc_id""".stripMargin,
     // matched D-rows (key%10=0) delete; matched U-rows (key%10=3) take the
     // doubled price + '5-MERGED'; I-rows insert under shifted keys with

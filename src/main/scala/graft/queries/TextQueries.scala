@@ -805,7 +805,8 @@ object TextQueries {
       .withColumn("rk", row_number().over(wt))
       .filter(col("rk") <= 20)
       .groupBy(col("token"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+        .as("postings"))
     df.join(capped, "token")
       .select(col("token"), col("df"), col("postings"))
       .orderBy(col("df").desc, col("token"))
@@ -2823,7 +2824,8 @@ object TextQueries {
         |)
         |SELECT p.token, p.df, r.postings
         |FROM (SELECT token, count(*) AS df FROM post GROUP BY token) p
-        |JOIN (SELECT token, list_sort(list(doc_id)) AS postings
+        |JOIN (SELECT token,
+        |        array_to_string(list_sort(list(doc_id)), ',') AS postings
         |      FROM ranked WHERE rk <= 20 GROUP BY token) r USING (token)
         |ORDER BY df DESC, token LIMIT 25""".stripMargin,
     // exact top-20 hashes; the CMS gate booleans assert TRUE (sketch
