@@ -68,14 +68,25 @@ final class LakeTable private[lake] (
     * `numFiles` > 0 pins the output file count (an explicit repartition
     * count also stops AQE from coalescing everything into one file at
     * small scale). */
-  def writeDataFiles(df: DataFrame, numFiles: Int = 0): Seq[DataFileEntry] = {
+  def writeDataFiles(df0: DataFrame, numFiles: Int = 0,
+      carryRowIds: Boolean = false): Seq[DataFileEntry] = {
+    // lineage carry-through: the frame arrives with a trailing
+    // _row_id column (readLiveWithRowIds) that is PERSISTED into the
+    // written files under the reserved field id — excluded from the
+    // user-schema contract check and from stats harvesting
+    require(!carryRowIds || df0.columns.contains(LakeTable.RowIdCol),
+      s"carryRowIds write without a ${LakeTable.RowIdCol} column")
+    val df =
+      if (!carryRowIds) df0
+      else df0.select((schema.fieldNames :+ LakeTable.RowIdCol).map(df0.col): _*)
     // nullability-erased comparison (simpleString renders names + types
     // but not nullable flags): a source whose (possibly nested) fields
     // are merely non-nullable where the table allows null is the same
     // data contract — exact equality made every Dataset-built struct
     // source fail against DDL-created nested schemas
-    require(df.schema.fields.map(f => (f.name, f.dataType.simpleString)).sameElements(
-      schema.fields.map(f => (f.name, f.dataType.simpleString))),
+    require((if (carryRowIds) df.schema.fields.dropRight(1) else df.schema.fields)
+      .map(f => (f.name, f.dataType.simpleString)).sameElements(
+        schema.fields.map(f => (f.name, f.dataType.simpleString))),
       s"schema mismatch: ${df.schema.simpleString} vs ${schema.simpleString}")
     val spark = df.sparkSession
     val dir = s"$location/data/${UUID.randomUUID}"
@@ -114,7 +125,10 @@ final class LakeTable private[lake] (
     // schema attaches verbatim over the same rows (nullability comes
     // from the data: the attach must not claim non-null for a source
     // that is merely compatible).
-    val idSchema = meta.schemaWithFieldIds
+    val idSchema =
+      if (!carryRowIds) meta.schemaWithFieldIds
+      else org.apache.spark.sql.types.StructType(
+        meta.schemaWithFieldIds.fields :+ LakeTable.rowIdField)
     val withIds =
       if (meta.fieldIds.keysIterator.exists(_.contains('.')))
         org.apache.spark.sql.graftbridge.SessionBridge.withSchema(
@@ -268,8 +282,9 @@ final class LakeTable private[lake] (
     * positional delete file tombstones. Both sides of the merge-on-read
     * anti-join come from the SAME metadata columns, so the path form
     * matches exactly. */
-  private def readFilesWithPos(spark: SparkSession, files: Seq[DataFileEntry]): DataFrame =
-    splitRead(spark, files, withPos = true)
+  private def readFilesWithPos(spark: SparkSession, files: Seq[DataFileEntry],
+      withRowId: Boolean = false): DataFrame =
+    splitRead(spark, files, withPos = true, withRowId = withRowId)
 
   /** Route each file group through its resolution mode: engine-written
     * files read by parquet field ID, [[addFiles]]-imported (foreign,
@@ -277,33 +292,45 @@ final class LakeTable private[lake] (
     * carry identical schemas by construction, so the union is by name
     * and position alike. */
   private def splitRead(spark: SparkSession, files: Seq[DataFileEntry],
-      withPos: Boolean): DataFrame = {
+      withPos: Boolean, withRowId: Boolean = false): DataFrame = {
     val (mapped, native) = files.partition(_.nameMapped)
     val parts =
-      (if (native.nonEmpty) Seq(readIdFiles(spark, native.map(_.path), withPos)) else Nil) ++
-        (if (mapped.nonEmpty) Seq(readMappedFiles(spark, mapped.map(_.path), withPos)) else Nil)
+      (if (native.nonEmpty) Seq(readIdFiles(spark, native.map(_.path), withPos, withRowId)) else Nil) ++
+        (if (mapped.nonEmpty) Seq(readMappedFiles(spark, mapped.map(_.path), withPos, withRowId)) else Nil)
     if (parts.isEmpty) {
       // zero files: an empty frame under the table schema (+ pos
       // columns), not an opaque empty.reduce crash for a future caller
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val s = if (!withPos) schema else StructType(schema.fields ++ Seq(
         StructField(LakeTable.PosFileCol, StringType, nullable = false),
-        StructField(LakeTable.PosIdxCol, LongType, nullable = false)))
+        StructField(LakeTable.PosIdxCol, LongType, nullable = false)) ++
+        (if (withRowId) Seq(StructField(LakeTable.MatRidCol, LongType,
+          nullable = true)) else Nil))
       spark.createDataFrame(new java.util.ArrayList[Row](), s)
     } else parts.reduce(_.unionByName(_))
   }
 
   private def readIdFiles(spark: SparkSession, paths: Seq[String],
-      withPos: Boolean): DataFrame = {
+      withPos: Boolean, withRowId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     val posCols = if (withPos) Seq(
       col("_metadata.file_path").as(LakeTable.PosFileCol),
       col("_metadata.row_index").as(LakeTable.PosIdxCol)) else Nil
+    // materialized row ids: requested under the reserved field id —
+    // files written before a rewrite carried ids simply lack the column
+    // and read NULL (exactly the add-a-column evolution read shape)
+    val reqSchema =
+      if (!withRowId) meta.schemaWithFieldIds
+      else org.apache.spark.sql.types.StructType(
+        meta.schemaWithFieldIds.fields :+ LakeTable.rowIdField)
+    val ridCols = if (withRowId)
+      Seq(col(LakeTable.RowIdCol).as(LakeTable.MatRidCol)) else Nil
     org.apache.spark.sql.graftbridge.SessionBridge
       .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
-      .read.schema(meta.schemaWithFieldIds).parquet(paths: _*)
+      .read.schema(reqSchema).parquet(paths: _*)
       // strip the injected metadata so scan outputs carry the user's schema
-      .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)) ++ posCols: _*)
+      .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)) ++
+        posCols ++ ridCols: _*)
   }
 
   /** Read [[addFiles]]-imported files: footers carry NO field IDs, so
@@ -314,7 +341,7 @@ final class LakeTable private[lake] (
     * types are the CURRENT schema's, so post-import type widening rides
     * parquet's native by-name widening. */
   private def readMappedFiles(spark: SparkSession, paths: Seq[String],
-      withPos: Boolean): DataFrame = {
+      withPos: Boolean, withRowId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, lit}
     val idToImported = meta.nameMapping.map(_.swap)
     def defaultOf(f: org.apache.spark.sql.types.StructField): Option[String] =
@@ -332,6 +359,11 @@ final class LakeTable private[lake] (
     val posCols = if (withPos) Seq(
       col("_metadata.file_path").as(LakeTable.PosFileCol),
       col("_metadata.row_index").as(LakeTable.PosIdxCol)) else Nil
+    // imported (foreign) files predate lineage by definition: never a
+    // materialized id cell
+    val ridCols = if (withRowId) Seq(lit(null)
+      .cast(org.apache.spark.sql.types.LongType)
+      .as(LakeTable.MatRidCol)) else Nil
     org.apache.spark.sql.graftbridge.SessionBridge
       .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "false"))
       .read.schema(reqSchema).parquet(paths: _*)
@@ -343,7 +375,7 @@ final class LakeTable private[lake] (
         case (f, None) => defaultOf(f)
           .map(sql => expr(sql).cast(f.dataType).as(f.name, f.metadata))
           .getOrElse(lit(null).cast(f.dataType).as(f.name, f.metadata))
-      } ++ posCols: _*)
+      } ++ posCols ++ ridCols: _*)
   }
 
   /** Byte budget for broadcasting MoR tombstone sets in the read path
@@ -379,9 +411,9 @@ final class LakeTable private[lake] (
     * (Iceberg's delete-file-to-data-file indexing). */
   private[lake] def readLivePos(spark: SparkSession, files: Seq[DataFileEntry],
       posDeletes: Seq[DataFileEntry], eqDeletes: Seq[DataFileEntry],
-      dvs: Seq[DataFileEntry] = Nil): DataFrame = {
+      dvs: Seq[DataFileEntry] = Nil, withRowId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
-    var df = readFilesWithPos(spark, files)
+    var df = readFilesWithPos(spark, files, withRowId = withRowId)
     val dvHits = LakeTable.narrowPosDeletes(dvs, files.map(_.path))
     if (dvHits.nonEmpty) df = subtractDvs(spark, df, dvHits)
     val pos = LakeTable.narrowPosDeletes(posDeletes, files.map(_.path))
@@ -522,6 +554,47 @@ final class LakeTable private[lake] (
       readLivePos(spark, files, pos, eqs, dvs)
         .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)): _*)
     }
+  }
+
+  /** Can a rewrite of `files` carry row lineage through? Yes iff the
+    * table's lineage is intact (no prior uncarried rewrite) and every
+    * file in the set has a commit-assigned first-row id to derive ids
+    * from (files may also carry materialized ids from an earlier
+    * rewrite — those too have firstRowId, as every commit assigns it). */
+  private def canCarryRowIds(files: Seq[DataFileEntry]): Boolean =
+    !meta.properties.get(LakeTable.RowLineageBrokenProp).contains("true") &&
+      files.forall(_.firstRowId.isDefined)
+
+  /** MoR-filtered read of `files` carrying each row's STABLE id as a
+    * trailing [[LakeTable.RowIdCol]] column — the input side of every
+    * lineage-preserving rewrite (compaction, CoW row-level ops). The id
+    * is `coalesce(materialized cell, firstRowId + row position)`: the
+    * same resolution rule LakeScan.rowLineage serves readers, evaluated
+    * here so the rewrite can persist it into the files it writes. The
+    * per-file id base joins as a driver-resident broadcast on the
+    * scheme-normalized path — O(files), zero shuffle of the data side.
+    * Callers gate on [[canCarryRowIds]] first. */
+  private[lake] def readLiveWithRowIds(spark: SparkSession,
+      files: Seq[DataFileEntry], snap: Option[Snapshot]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, regexp_replace}
+    val pos = snap.map(_.deleteFiles).getOrElse(Nil)
+    val eqs = snap.map(_.eqDeleteFiles).getOrElse(Nil)
+    val dvs = snap.map(_.dvFiles).getOrElse(Nil)
+    val base = readLivePos(spark, files, pos, eqs, dvs, withRowId = true)
+    val spark0 = spark
+    import spark0.implicits._
+    def norm(c: Column) = regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
+    val firsts = files.map(f => (f.path, f.firstRowId.getOrElse(-1L)))
+      .toDF("__graft_rid_path", "__graft_first_rid")
+    // LEFT join: a path-render mismatch must never DROP rows from a
+    // rewrite (that would be data loss) — it only nulls the id, which
+    // readers then refuse on honestly
+    base.join(broadcast(firsts),
+      norm(col(LakeTable.PosFileCol)) === norm(col("__graft_rid_path")), "left")
+      .withColumn(LakeTable.RowIdCol, coalesce(col(LakeTable.MatRidCol),
+        col("__graft_first_rid") + col(LakeTable.PosIdxCol)))
+      .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)) :+
+        col(LakeTable.RowIdCol): _*)
   }
 
   /** A9: append commit — newAppend().appendData(df).commit(). */
@@ -1250,15 +1323,21 @@ final class LakeTable private[lake] (
     else {
       // MoR deletes MATERIALIZE here: the rewrite reads tombstone-
       // filtered rows and the delete manifests retire with the files
-      // they referenced (dropDeletes) — delete meters return to 0
-      val df = readLive(spark, live, meta.currentSnapshot)
+      // they referenced (dropDeletes) — delete meters return to 0.
+      // Row lineage CARRIES: each surviving row's stable id persists
+      // into the rewritten files (Iceberg v3), so scheduled maintenance
+      // never bricks _row_id reads.
+      val carry = canCarryRowIds(live)
+      val df =
+        if (carry) readLiveWithRowIds(spark, live, meta.currentSnapshot)
+        else readLive(spark, live, meta.currentSnapshot)
       // numFiles goes through writeDataFiles so the partitioned path uses
       // repartitionByRange(targetFiles, spec) — a bare repartition here
       // would be re-shuffled to the default partition count by the spec
       // clustering and the target would be ignored
-      val added = writeDataFiles(df, numFiles = targetFiles)
+      val added = writeDataFiles(df, numFiles = targetFiles, carryRowIds = carry)
       commitSnapshot("replace", added, live, dropDeletes = true,
-        validateNoNewDeletesSince = Some(baseId))
+        validateNoNewDeletesSince = Some(baseId), lineageCarried = carry)
     }
   }
 
@@ -1277,9 +1356,16 @@ final class LakeTable private[lake] (
     val snap = meta.currentSnapshot
     val matching = meta.currentFiles.filter(pred.mayMatch(_, meta))
     if (matching.isEmpty) None
-    else Some(commitSnapshot("replace",
-      writeDataFiles(readLive(spark, matching, snap), numFiles = targetFiles),
-      matching, validateNoNewDeletesSince = Some(meta.currentSnapshotId)))
+    else {
+      val carry = canCarryRowIds(matching)
+      val df =
+        if (carry) readLiveWithRowIds(spark, matching, snap)
+        else readLive(spark, matching, snap)
+      Some(commitSnapshot("replace",
+        writeDataFiles(df, numFiles = targetFiles, carryRowIds = carry),
+        matching, validateNoNewDeletesSince = Some(meta.currentSnapshotId),
+        lineageCarried = carry))
+    }
   }
 
   /** Binpack small-file compaction (Iceberg's rewrite-data-files
@@ -1299,10 +1385,14 @@ final class LakeTable private[lake] (
         (small.map(_.sizeBytes).sum / smallBytes).toInt)
       // tombstones applied to the rewritten subset; delete manifests
       // survive (they may still reference files this pass keeps)
-      val added = writeDataFiles(readLive(spark, small, meta.currentSnapshot),
-        numFiles = target)
+      val carry = canCarryRowIds(small)
+      val df =
+        if (carry) readLiveWithRowIds(spark, small, meta.currentSnapshot)
+        else readLive(spark, small, meta.currentSnapshot)
+      val added = writeDataFiles(df, numFiles = target, carryRowIds = carry)
       Some(commitSnapshot("replace", added, small,
-        validateNoNewDeletesSince = Some(meta.currentSnapshotId)))
+        validateNoNewDeletesSince = Some(meta.currentSnapshotId),
+        lineageCarried = carry))
     }
   }
 
@@ -1360,9 +1450,14 @@ final class LakeTable private[lake] (
         Some(commitSnapshot("replace", Nil, Nil, dropDeletes = true,
           validateNoNewDeletesSince = Some(meta.currentSnapshotId)))
       else {
-        val added = writeDataFiles(readLive(spark, affected, snap))
+        val carry = canCarryRowIds(affected)
+        val df =
+          if (carry) readLiveWithRowIds(spark, affected, snap)
+          else readLive(spark, affected, snap)
+        val added = writeDataFiles(df, carryRowIds = carry)
         Some(commitSnapshot("replace", added, affected, dropDeletes = true,
-          validateNoNewDeletesSince = Some(meta.currentSnapshotId)))
+          validateNoNewDeletesSince = Some(meta.currentSnapshotId),
+          lineageCarried = carry))
       }
     }
   }
@@ -1511,13 +1606,19 @@ final class LakeTable private[lake] (
         toBranch = branch)
     else {
       // NULL predicate rows must be KEPT (SQL delete semantics: only
-      // TRUE deletes) — a bare !pred would drop them
-      val kept = readLive(spark, touched, snap)
+      // TRUE deletes) — a bare !pred would drop them. Survivors keep
+      // their stable row ids (materialized into the rewritten files).
+      val carry = canCarryRowIds(touched)
+      val src =
+        if (carry) readLiveWithRowIds(spark, touched, snap)
+        else readLive(spark, touched, snap)
+      val kept = src
         .filter(!org.apache.spark.sql.functions.coalesce(pred.toColumn,
           org.apache.spark.sql.functions.lit(false)))
-      val added = writeDataFiles(kept)
+      val added = writeDataFiles(kept, carryRowIds = carry)
       commitSnapshot("delete", added, touched,
-        validateAddedSince = Some((base, pred)), toBranch = branch)
+        validateAddedSince = Some((base, pred)), toBranch = branch,
+        lineageCarried = carry)
     }
   }
 
@@ -1546,12 +1647,23 @@ final class LakeTable private[lake] (
       commitSnapshot("delete", Nil, Nil, validateAddedSince = Some((base, prune)),
         toBranch = branch)
     else {
-      val flagged = flag(readLive(spark, touched, snap))
+      // lineage carries iff the caller's flag transform preserved the
+      // trailing _row_id column (the SQL layer's flagFn only JOINS
+      // columns on, so it always does; a projecting flag falls back to
+      // the honest broken flag)
+      val carry0 = canCarryRowIds(touched)
+      val src =
+        if (carry0) readLiveWithRowIds(spark, touched, snap)
+        else readLive(spark, touched, snap)
+      val flagged = flag(src)
+      val carry = carry0 && flagged.columns.contains(LakeTable.RowIdCol)
       val kept = flagged.filter(!coalesce(col("__match"), lit(false)))
-        .select(schema.fieldNames.map(col): _*)
-      val added = writeDataFiles(kept)
+        .select((schema.fieldNames ++
+          (if (carry) Seq(LakeTable.RowIdCol) else Nil)).map(col): _*)
+      val added = writeDataFiles(kept, carryRowIds = carry)
       commitSnapshot("delete", added, touched,
-        validateAddedSince = Some((base, prune)), toBranch = branch)
+        validateAddedSince = Some((base, prune)), toBranch = branch,
+        lineageCarried = carry)
     }
   }
 
@@ -1671,17 +1783,25 @@ final class LakeTable private[lake] (
       commitSnapshot("overwrite", Nil, Nil, validateAddedSince = Some((base, prune)),
         toBranch = branch)
     else {
-      val flagged = flag(readLive(spark, touched, snap))
+      // same carry rule as deleteWhereFlagged: updates preserve _row_id
+      // when the flag transform kept the column (the SQL flagFn does)
+      val carry0 = canCarryRowIds(touched)
+      val src =
+        if (carry0) readLiveWithRowIds(spark, touched, snap)
+        else readLive(spark, touched, snap)
+      val flagged = flag(src)
+      val carry = carry0 && flagged.columns.contains(LakeTable.RowIdCol)
       val cond = coalesce(fcol("__match"), lit(false))
       val rewritten = flagged.select(schema.fields.map { f =>
         assignments.get(f.name)
           .map(v => fwhen(cond, v.cast(f.dataType))
             .otherwise(fcol(f.name)).as(f.name))
           .getOrElse(fcol(f.name))
-      }.toSeq: _*)
-      val added = writeDataFiles(rewritten)
+      }.toSeq ++ (if (carry) Seq(fcol(LakeTable.RowIdCol)) else Nil): _*)
+      val added = writeDataFiles(rewritten, carryRowIds = carry)
       commitSnapshot("overwrite", added, touched,
-        validateAddedSince = Some((base, prune)), toBranch = branch)
+        validateAddedSince = Some((base, prune)), toBranch = branch,
+        lineageCarried = carry)
     }
   }
 
@@ -1720,12 +1840,18 @@ final class LakeTable private[lake] (
             validateAddedSince = Some((base, pred)), toBranch = branch)
         else {
           // survivors of touched files (NULL-predicate rows KEEP — only
-          // TRUE replaces, SQL delete semantics)
-          val kept = readLive(spark, touched, snap)
-            .filter(!coalesce(pred.toColumn, lit(false)))
-          val added = writeDataFiles(kept) ++ newFiles
+          // TRUE replaces, SQL delete semantics) carry their stable ids;
+          // the replacement rows land in id-free files and derive fresh
+          // ids from their own commit range
+          val carry = canCarryRowIds(touched)
+          val src =
+            if (carry) readLiveWithRowIds(spark, touched, snap)
+            else readLive(spark, touched, snap)
+          val kept = src.filter(!coalesce(pred.toColumn, lit(false)))
+          val added = writeDataFiles(kept, carryRowIds = carry) ++ newFiles
           commitSnapshot("overwrite", added, touched,
-            validateAddedSince = Some((base, pred)), toBranch = branch)
+            validateAddedSince = Some((base, pred)), toBranch = branch,
+            lineageCarried = carry)
         }
       }
     } finally rep.unpersist(blocking = false)
@@ -2188,16 +2314,38 @@ final class LakeTable private[lake] (
             LakePredicate.Le(k, boundsRow.get(2 * i + 1)))
         }.reduceLeft[LakePredicate]((a, b) => LakePredicate.And(a, b))
         val touched = live.filter(pred.mayMatch(_, meta))
-        val kept =
-          if (touched.isEmpty) src.limit(0)
-          else readLive(spark, touched, baseSnap)
-            .join(src.select(keys.map(F.col): _*), keys, "left_anti")
-        val added = writeDataFiles(kept.unionByName(src))
+        val carry = canCarryRowIds(touched)
+        val added =
+          if (!carry) {
+            val kept =
+              if (touched.isEmpty) src.limit(0)
+              else readLive(spark, touched, baseSnap)
+                .join(src.select(keys.map(F.col): _*), keys, "left_anti")
+            writeDataFiles(kept.unionByName(src))
+          } else {
+            // row lineage through the upsert (Iceberg v3: an UPDATE
+            // preserves _row_id): unmatched target rows keep their ids;
+            // a matched source row CONTINUES its target row's id (min
+            // over legal duplicate target keys — deterministic); a
+            // source-only row writes a NULL cell and derives a fresh id
+            // from the new file's own commit range. The target reads
+            // twice (anti-join + id lookup) but the id pass prunes to
+            // key + id columns.
+            val tgt =
+              if (touched.isEmpty) src.limit(0).withColumn(LakeTable.RowIdCol,
+                F.lit(null).cast(org.apache.spark.sql.types.LongType))
+              else readLiveWithRowIds(spark, touched, baseSnap)
+            val kept = tgt.join(src.select(keys.map(F.col): _*), keys, "left_anti")
+            val tgtIds = tgt.groupBy(keys.map(F.col): _*)
+              .agg(F.min(F.col(LakeTable.RowIdCol)).as(LakeTable.RowIdCol))
+            val srcWithIds = src.join(tgtIds, keys, "left")
+            writeDataFiles(kept.unionByName(srcWithIds), carryRowIds = true)
+          }
         // serializable: a racing append inside the key bounds would leave
         // duplicate live keys after this upsert — fail and retry instead
         commitSnapshot("overwrite", added, touched,
           validateAddedSince = Some((base, pred)), exactlyOnce = exactlyOnce,
-          toBranch = branch)
+          toBranch = branch, lineageCarried = carry)
       }
     } finally src.unpersist(blocking = false)
   }
@@ -2434,20 +2582,31 @@ final class LakeTable private[lake] (
               org.apache.spark.sql.types.StringType),
             org.apache.spark.sql.types.StructField(LakeTable.PosIdxCol,
               org.apache.spark.sql.types.LongType))
+        // CoW rewrites carry row lineage: the target reads WITH ids,
+        // UPDATE/KEEP rows persist theirs, INSERT rows write NULL cells
+        // (fresh ids from the new file's commit range). The MoR twin
+        // never rewrites target files, so lineage holds there for free.
+        val carry = !mor && canCarryRowIds(touched)
+        val ridFields =
+          if (!carry) Array.empty[org.apache.spark.sql.types.StructField]
+          else Array(org.apache.spark.sql.types.StructField(
+            LakeTable.RowIdCol, org.apache.spark.sql.types.LongType))
         val tgtRaw =
           if (touched.isEmpty)
             spark.createDataFrame(new java.util.ArrayList[Row](),
-              StructType(schema.fields ++ posFields))
+              StructType(schema.fields ++ posFields ++ ridFields))
           else if (mor) readLivePos(spark, touched,
             baseSnap.map(_.deleteFiles).getOrElse(Nil),
             baseSnap.map(_.eqDeleteFiles).getOrElse(Nil),
             baseSnap.map(_.dvFiles).getOrElse(Nil))
+          else if (carry) readLiveWithRowIds(spark, touched, baseSnap)
           else readLive(spark, touched, baseSnap)
         // prefixed namespaces + NON-NULL presence markers: key columns
         // cannot flag presence (both sides may legally hold NULL keys)
         val tgt = tgtRaw.select(
           schema.fieldNames.map(c => F.col(c).as("__t_" + c)).toSeq ++
-            posFields.map(f => F.col(f.name)) :+
+            posFields.map(f => F.col(f.name)) ++
+            ridFields.map(f => F.col(f.name)) :+
             F.lit(1).as("__t__p"): _*)
         val srcP = src.select(
           src.columns.map(c => F.col(c).as("__s_" + c)).toSeq :+
@@ -2480,6 +2639,7 @@ final class LakeTable private[lake] (
             schema.fields.map(f =>
               F.lit(null).cast(f.dataType).as("__t_" + f.name)).toSeq ++
               posFields.map(f => F.lit(null).cast(f.dataType).as(f.name)) ++
+              ridFields.map(f => F.lit(null).cast(f.dataType).as(f.name)) ++
               Seq(F.lit(null).cast("int").as("__t__p")) ++
               src.columns.map(c => F.col("__s_" + c)) :+
               F.col("__s__p"): _*)
@@ -2526,9 +2686,11 @@ final class LakeTable private[lake] (
         if (!mor) {
           val withAct = unioned.withColumn("__act", act)
             .filter(F.col("__act") =!= DROP)
-          val added = writeDataFiles(withAct.select(outCols.toSeq: _*))
+          val added = writeDataFiles(withAct.select(outCols.toSeq ++
+            ridFields.map(f => F.col(f.name)): _*), carryRowIds = carry)
           commitSnapshot("overwrite", added, touched,
-            validateAddedSince = touchPred.map(p => (base, p)), toBranch = branch)
+            validateAddedSince = touchPred.map(p => (base, p)),
+            toBranch = branch, lineageCarried = carry)
         } else {
           // persist: tombstone coordinates AND new rows must come from
           // ONE evaluation of the joined frame
@@ -2581,7 +2743,12 @@ final class LakeTable private[lake] (
       commitSnapshot("overwrite", Nil, Nil, validateAddedSince = Some((base, pred)),
         toBranch = branch)
     else {
-      val df = readLive(spark, touched, snap)
+      // an UPDATEd row keeps its stable id (Iceberg v3 row lineage:
+      // updates preserve _row_id) — the id column rides the select
+      val carry = canCarryRowIds(touched)
+      val df =
+        if (carry) readLiveWithRowIds(spark, touched, snap)
+        else readLive(spark, touched, snap)
       // ONE select applies every assignment against the OLD row (SQL
       // UPDATE semantics): a sequential withColumn fold would let
       // `SET a = b, b = a` resolve b's expression against the
@@ -2596,10 +2763,11 @@ final class LakeTable private[lake] (
           .map(v => fwhen(pred.toColumn, v.cast(f.dataType))
             .otherwise(fcol(f.name)).as(f.name))
           .getOrElse(fcol(f.name))
-      }.toSeq: _*)
-      val added = writeDataFiles(rewritten)
+      }.toSeq ++ (if (carry) Seq(fcol(LakeTable.RowIdCol)) else Nil): _*)
+      val added = writeDataFiles(rewritten, carryRowIds = carry)
       commitSnapshot("overwrite", added, touched,
-        validateAddedSince = Some((base, pred)), toBranch = branch)
+        validateAddedSince = Some((base, pred)), toBranch = branch,
+        lineageCarried = carry)
     }
   }
 
@@ -2960,6 +3128,10 @@ final class LakeTable private[lake] (
       dropDeletes: Boolean = false,
       toBranch: Option[String] = None,
       stageOnly: Boolean = false,
+      // the rewrite MATERIALIZED _row_id into its added files (Iceberg
+      // v3 carry-through): a rewrite-shaped commit with this set keeps
+      // lineage readable instead of setting the sticky broken flag
+      lineageCarried: Boolean = false,
       // staged-replace (RTAS): the added entries' stats are keyed by
       // the REPLACEMENT schema's field ids, not the current metadata's
       keyTypesOverride: Option[Map[String, org.apache.spark.sql.types.DataType]] = None,
@@ -3224,15 +3396,16 @@ final class LakeTable private[lake] (
       }
       // Row-lineage honesty flag: a rewrite-shaped commit (files
       // removed AND re-added — compaction, CoW update/delete/merge)
-      // re-ids every surviving row it carried, so stable-id reads must
-      // refuse from here on (the Iceberg v3 answer — materializing
-      // _row_id into rewritten files — is the documented path, not yet
-      // taken). Pure appends, MoR tombstones, DV deletes, and
-      // whole-file CoW deletes (rows GONE, none re-idd) keep lineage.
-      // A table REPLACE starts a fresh incarnation: flag cleared.
+      // that did NOT materialize _row_id into its new files re-ids
+      // every surviving row it carried, so stable-id reads must refuse
+      // from here on. Rewrites that carried (lineageCarried — the
+      // default path since round 14) keep lineage readable. Pure
+      // appends, MoR tombstones, DV deletes, and whole-file CoW
+      // deletes (rows GONE, none re-idd) keep lineage. A table REPLACE
+      // starts a fresh incarnation: flag cleared.
       val withProps =
         if (replaceAll) withProps0 - LakeTable.RowLineageBrokenProp
-        else if (removedPaths.nonEmpty && added.nonEmpty)
+        else if (removedPaths.nonEmpty && added.nonEmpty && !lineageCarried)
           withProps0 + (LakeTable.RowLineageBrokenProp -> "true")
         else withProps0
       // a staged wap.id must be unique across the log: double-submitting
@@ -3492,10 +3665,40 @@ object LakeTable {
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType, nullable = false)))
   /** Temp column names for the MoR anti-joins (stripped before return). */
-  /** Table property set by any rewrite-shaped commit (files removed AND
-    * re-added): surviving rows were re-assigned fresh firstRowIds, so
-    * stable-id reads must refuse (see LakeScan.rowLineage). */
+  /** Table property set by a rewrite-shaped commit (files removed AND
+    * re-added) that could NOT materialize `_row_id` carry-through —
+    * pre-lineage files in the rewritten set, or a caller-provided flag
+    * transform that dropped the id column. Surviving rows were
+    * re-assigned fresh firstRowIds, so stable-id reads must refuse
+    * (see LakeScan.rowLineage). Rewrites that DID carry (the default
+    * since round 14) never set it. */
   private[lake] val RowLineageBrokenProp = "row-lineage.broken"
+
+  /** Materialized row-lineage column written into REWRITTEN data files
+    * (the Iceberg v3 `_row_id` carry-through): compaction and
+    * copy-on-write row-level ops persist each surviving row's stable id
+    * as a real parquet column, so lineage survives table maintenance.
+    * Freshly APPENDED files never carry it (their ids derive as
+    * firstRowId + row position); readers take
+    * `coalesce(materialized, firstRowId + pos)` per row — which also
+    * covers MERGE-inserted rows written into a carried file (NULL cell,
+    * id from the file's own commit-assigned range). */
+  private[lake] val RowIdCol = "_row_id"
+
+  /** Engine-reserved parquet field id for [[RowIdCol]] — top of the
+    * int32 space, outside sequential user field-id allocation, so a
+    * schema evolution can never collide with it. */
+  private[lake] val RowIdFieldId = 2147483540
+
+  /** Internal alias the read path gives the materialized [[RowIdCol]]
+    * cell so it never collides with the user-facing `_row_id` output. */
+  private[lake] val MatRidCol = "__graft_mat_rid"
+
+  private[lake] def rowIdField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(RowIdCol,
+      org.apache.spark.sql.types.LongType, nullable = true,
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", RowIdFieldId.toLong).build())
 
   private[lake] val PosFileCol = "__graft_file_path"
 
@@ -3711,15 +3914,21 @@ final class LakeScan private[lake] (
     * row_index, so it stays stable under row-group-pruned reads and is
     * exactly the coordinate a positional delete file tombstones). */
   def toDFWithPositions(spark: SparkSession,
-      withPartitionInfo: Boolean = false): DataFrame = {
+      withPartitionInfo: Boolean = false): DataFrame =
+    toDFWithPositionsImpl(spark, withPartitionInfo, withRowId = false)
+
+  private def toDFWithPositionsImpl(spark: SparkSession,
+      withPartitionInfo: Boolean, withRowId: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
     import org.apache.spark.sql.types.{IntegerType, LongType, MapType, StringType, StructField, StructType}
     val files = planFiles
     if (files.isEmpty) {
       val extra =
-        if (!withPartitionInfo) Nil
+        (if (!withRowId) Nil
+        else Seq(StructField(LakeTable.MatRidCol, LongType, nullable = true))) ++
+        (if (!withPartitionInfo) Nil
         else Seq(StructField("_spec_id", IntegerType, nullable = true),
-          StructField("_partition", MapType(StringType, StringType), nullable = true))
+          StructField("_partition", MapType(StringType, StringType), nullable = true)))
       spark.createDataFrame(new java.util.ArrayList[Row](),
         StructType(table.schema.fields ++ Seq(
           StructField("_file", StringType, nullable = false),
@@ -3728,11 +3937,13 @@ final class LakeScan private[lake] (
       val pos = snapshot.map(_.deleteFiles).getOrElse(Nil)
       val eqs = snapshot.map(_.eqDeleteFiles).getOrElse(Nil)
       val dvs = snapshot.map(_.dvFiles).getOrElse(Nil)
-      val base = table.readLivePos(spark, files, pos, eqs, dvs)
+      val base = table.readLivePos(spark, files, pos, eqs, dvs,
+        withRowId = withRowId)
         .filter(pred.toColumn)
         .select(table.schema.fields.map(f => col(f.name).as(f.name, f.metadata)) ++ Seq(
           col(LakeTable.PosFileCol).as("_file"),
-          col(LakeTable.PosIdxCol).as("_pos")): _*)
+          col(LakeTable.PosIdxCol).as("_pos")) ++
+          (if (withRowId) Seq(col(LakeTable.MatRidCol)) else Nil): _*)
       if (!withPartitionInfo) base
       else {
         // `_spec_id`/`_partition` are per-FILE constants the manifests
@@ -3766,26 +3977,31 @@ final class LakeScan private[lake] (
   }
 
   /** Stable per-row ids (Iceberg v3 row lineage): [[toDFWithPositions]]
-    * plus `_row_id` = the file's commit-assigned firstRowId + the row's
-    * parquet row_index. Ids are table-unique and survive appends,
-    * MoR/DV deletes (survivors keep their file and position), branch
-    * commits, and time travel; they do NOT survive rewrite-shaped
-    * commits (compaction, copy-on-write row-level ops), which re-id the
-    * rows they carry — such tables REFUSE loudly here until materialized
-    * `_row_id` carry-through in rewritten files (the Iceberg v3 story)
-    * lands. Scale shape: the per-file id base is a driver-resident
-    * broadcast join keyed on the scheme-normalized path — O(planned
-    * files), exactly the join `_spec_id`/`_partition` already ride. */
+    * plus `_row_id` = the row's MATERIALIZED id cell when its file was
+    * written by a lineage-carrying rewrite, else the file's
+    * commit-assigned firstRowId + the row's parquet row_index — the
+    * Iceberg v3 `coalesce(_row_id, first_row_id + pos)` resolution
+    * rule. Ids are table-unique and survive appends, MoR/DV deletes
+    * (survivors keep their file and position), branch commits, time
+    * travel, AND rewrite-shaped commits — compaction and copy-on-write
+    * row-level ops persist each surviving row's id into the files they
+    * write (round 14). The refusal below is reserved for tables whose
+    * lineage is GENUINELY broken: a rewrite that ran before
+    * carry-through existed, or one whose caller-provided transform
+    * dropped the id column. Scale shape: the per-file id base is a
+    * driver-resident broadcast join keyed on the scheme-normalized
+    * path — O(planned files), exactly the join `_spec_id`/`_partition`
+    * already ride; the materialized cell is one extra long column read
+    * only from rewritten files. */
   def rowLineage(spark: SparkSession,
       withPartitionInfo: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, regexp_replace}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, regexp_replace}
     import org.apache.spark.sql.types.LongType
     require(!table.metadata.properties
       .get(LakeTable.RowLineageBrokenProp).contains("true"),
       s"row lineage on ${table.name} was broken by a rewrite-shaped commit " +
-        "(compaction / copy-on-write row-level ops re-assign surviving rows " +
-        "fresh ids); materialized _row_id carry-through is the documented " +
-        "path for rewrite-heavy tables")
+        "that could not materialize _row_id carry-through (it ran before " +
+        "carry-through existed, or its flag transform dropped the id column)")
     val files = planFiles
     val missing = files.filter(_.firstRowId.isEmpty)
     require(missing.isEmpty,
@@ -3803,11 +4019,12 @@ final class LakeScan private[lake] (
         regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
       val base = files.map(f => (f.path, f.firstRowId.get))
         .toDF("__graft_rid_path", "__graft_first_rid")
-      toDFWithPositions(spark, withPartitionInfo)
+      toDFWithPositionsImpl(spark, withPartitionInfo, withRowId = true)
         .join(broadcast(base),
           norm(col("_file")) === norm(col("__graft_rid_path")))
-        .withColumn("_row_id", col("__graft_first_rid") + col("_pos"))
-        .drop("__graft_rid_path", "__graft_first_rid")
+        .withColumn("_row_id", coalesce(col(LakeTable.MatRidCol),
+          col("__graft_first_rid") + col("_pos")))
+        .drop("__graft_rid_path", "__graft_first_rid", LakeTable.MatRidCol)
     }
   }
 

@@ -209,6 +209,14 @@ object LakeQueries {
     t.refresh().appendData(batch(1)) // firstRowId = |even batch|
     t.refresh().deleteWhereMoR(s,
       graft.lake.LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+    // round 14: lineage now survives MAINTENANCE — the compaction
+    // materializes every survivor's id into the rewritten file
+    // (coalesce(_row_id, firstRowId+pos) on read), and the CoW delete
+    // after re-carries those materialized cells; the oracle still
+    // reconstructs the ids from the original append order alone
+    t.refresh().compact(s, targetFiles = 1)
+    t.refresh().deleteWhere(s,
+      graft.lake.LakePredicate.Lt("o_totalprice", Double.box(30000.0)))
     t.refresh().newScan().rowLineage(s)
       .select(col("o_orderkey"), col("_row_id").as("row_id"))
       .orderBy(col("o_orderkey"))
@@ -1271,7 +1279,9 @@ object LakeQueries {
   val oracles: Map[String, String] = Map(
     // ids reconstruct from the data alone: batch 1 = even keys sorted
     // (ids 0..n_even−1), batch 2 = odd keys sorted (ids n_even..);
-    // the DV delete filters rows but never moves an id
+    // the DV delete filters rows but never moves an id, and neither do
+    // the compaction (materialized carry-through) nor the CoW delete
+    // after it (re-carried) — only their row filters show in the oracle
     "lake_row_lineage" ->
       """WITH ids AS (
         |  SELECT o_orderkey, o_totalprice,
@@ -1284,7 +1294,7 @@ object LakeQueries {
         |  FROM orders WHERE o_orderkey % 2 = 1
         |)
         |SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id
-        |FROM ids WHERE o_totalprice < 400000.0
+        |FROM ids WHERE o_totalprice < 400000.0 AND o_totalprice >= 30000.0
         |ORDER BY o_orderkey""".stripMargin,
     // correlated scalar aggregates over the EVEN-key inner domain:
     // count()=1 → '8-SOLO' (absent key counts 0); then F-orders at

@@ -49,24 +49,89 @@ class RowLineageSpec extends LakeSuite {
     assert(t.refresh().metadata.nextRowId == ids2.values.max + 1)
   }
 
-  test("rewrite-shaped commits break lineage loudly and stay broken") {
+  test("compaction carries ids: materialized _row_id survives the rewrite") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "rlc", ordersDF.schema)
     (0 until 4).foreach(i =>
       t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 4 === i)))
-    assert(lineageIds(t).size == ordersDF.count())
+    val before = lineageIds(t)
+    assert(before.size == ordersDF.count())
     t.refresh().compact(spark, targetFiles = 1)
+    val after = lineageIds(t)
+    assert(after == before, "compaction must preserve every row's id")
+    assert(t.refresh().metadata.properties
+      .get(LakeTable.RowLineageBrokenProp).isEmpty,
+      "a carrying rewrite must not set the broken flag")
+    // ids keep flowing: a post-compaction append continues from the mark
+    // (shifted keys — lineageIds keys the map by o_orderkey)
+    t.refresh().appendData(ordersDF.limit(5)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    val withNew = lineageIds(t)
+    assert(withNew.values.toSet.size == withNew.size, "ids must stay unique")
+    before.foreach { case (k, rid) => assert(withNew(k) == rid) }
+    // and a SECOND compaction re-carries the already-materialized ids
+    t.refresh().compact(spark, targetFiles = 2)
+    assert(lineageIds(t) == withNew, "second compaction moved ids")
+  }
+
+  test("CoW delete/update/merge carry ids; inserts draw fresh ones") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "rlm", ordersDF.schema)
+    t.refresh().appendData(ordersDF, numFiles = 3)
+    val before = lineageIds(t)
+    // CoW delete: survivors keep ids even inside rewritten files
+    t.refresh().deleteWhere(spark, LakePredicate.Eq("o_orderstatus", "F"))
+    val afterDel = lineageIds(t)
+    assert(afterDel.size < before.size, "delete removed nothing — fixture drift")
+    afterDel.foreach { case (k, rid) =>
+      assert(before(k) == rid, s"CoW delete moved id of key $k") }
+    // CoW update: an updated row KEEPS its id (Iceberg v3 semantics)
+    t.refresh().updateWhere(spark, LakePredicate.Eq("o_orderstatus", "O"),
+      Map("o_orderpriority" -> lit("9-CARRIED")))
+    val afterUpd = lineageIds(t)
+    assert(afterUpd == afterDel, "CoW update moved ids")
+    // CoW merge upsert: matched rows continue the target id, inserted
+    // rows draw fresh ids above the old high-water mark
+    val mark = t.refresh().metadata.nextRowId
+    val someKey = afterUpd.keysIterator.next()
+    val src = t.refresh().newScan().toDF(spark)
+      .filter(col("o_orderkey") === someKey)
+      .withColumn("o_totalprice", lit(1.23))
+      .unionByName(t.refresh().newScan().toDF(spark).limit(1)
+        .withColumn("o_orderkey", lit(999999999L)))
+    t.refresh().mergeInto(spark, src, Seq("o_orderkey"))
+    val afterMerge = lineageIds(t)
+    assert(afterMerge(someKey) == afterUpd(someKey),
+      "merge UPDATE must preserve the matched row's id")
+    assert(afterMerge(999999999L) >= mark,
+      "merge INSERT must draw a fresh id above the prior high-water mark")
+    afterUpd.foreach { case (k, rid) =>
+      assert(afterMerge(k) == rid, s"merge moved id of untouched key $k") }
+  }
+
+  test("a flag transform that drops _row_id breaks lineage loudly and stays broken") {
+    val cat = LakeCatalog.open(freshWarehouse())
+    val t = cat.createTable("ns", "rlb", ordersDF.schema)
+    t.refresh().appendData(ordersDF)
+    assert(lineageIds(t).nonEmpty)
+    // a caller-provided flag that PROJECTS the read (dropping the
+    // trailing _row_id) cannot carry — the rewrite must set the sticky
+    // broken flag instead of silently re-idding rows
+    t.refresh().deleteWhereFlagged(spark, LakePredicate.AlwaysTrue,
+      df => df.select((df.columns.filterNot(_ == "_row_id").map(col) :+
+        (col("o_orderkey") % 10 === 0).as("__match")).toSeq: _*))
     val e = intercept[IllegalArgumentException] {
       t.refresh().newScan().rowLineage(spark).collect()
     }
-    assert(e.getMessage.contains("rewrite-shaped"))
-    // the flag is sticky: later pure appends don't un-break identity
+    assert(e.getMessage.contains("broken"))
+    // sticky: later pure appends don't un-break identity
     t.refresh().appendData(ordersDF.limit(5))
     intercept[IllegalArgumentException] {
       t.refresh().newScan().rowLineage(spark).collect()
     }
     // plain reads are untouched by the broken flag
-    assert(t.refresh().newScan().toDF(spark).count() == ordersDF.count() + 5)
+    assert(t.refresh().newScan().toDF(spark).count() ==
+      ordersDF.filter(col("o_orderkey") % 10 =!= 0).count() + 5)
   }
 
   test("SQL surface: _row_id metadata column resolves, stays out of *, survives DELETE") {
