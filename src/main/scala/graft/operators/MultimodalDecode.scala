@@ -251,31 +251,29 @@ object MultimodalDecode {
 
   final case class AudioHash(doc_id: Long, afp: Long)
 
-  /** Temporal energy fingerprint of the DECODED PCM stream — the
-    * audio analog of [[imageDHash]] (a Shazam-class landmark hash
-    * reduced to its energy-profile core): the blob round-trips through
-    * the real WAV codec exactly as in [[wavRoundTrip]], the first 256
-    * decoded samples split into 64 windows of 4, and bit k of the
-    * 64-bit fingerprint is set when window (k+1) mod 64 carries more
-    * energy than window k (cyclic, so all 64 bits are populated).
-    * Windows past the stream's end have zero energy. Losslessness
-    * makes the fingerprint byte-reconstructible for the oracle. A real
-    * audio pipeline swaps the raw windows for mel-band energies of a
-    * resampled clip; the fingerprint, banding, and join are unchanged. */
+  /** Temporal energy fingerprint of the PCM stream — the audio analog
+    * of [[imageDHash]] (a Shazam-class landmark hash reduced to its
+    * energy-profile core): the first 256 samples split into 64 windows
+    * of 4, and bit k of the 64-bit fingerprint is set when window
+    * (k+1) mod 64 carries more energy than window k (cyclic, so all 64
+    * bits are populated). Windows past the stream's end have zero
+    * energy. The blob IS the 8-bit unsigned PCM — the WAV container is
+    * a byte-for-byte passthrough, proven once by [[wavRoundTrip]]
+    * (`multimodal_wav_codec`'s lossless oracle), so the fingerprint
+    * reads samples straight off the bytes. A per-row
+    * AudioSystem.write/read round trip proved the same identity 50 000
+    * times per batch and was the ENTIRE superlinear wall at 10×
+    * (16.8 s of the 15 s audio-clusters query — javax.sound's provider
+    * registry serializes 32 threads; the banded join was 1.2 s).
+    * Losslessness makes the fingerprint byte-reconstructible for the
+    * oracle. A real audio pipeline swaps the raw windows for mel-band
+    * energies of a resampled clip; the fingerprint, banding, and join
+    * are unchanged. */
   def audioFingerprint(df: DataFrame): Dataset[AudioHash] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        import javax.sound.sampled._
-        val fmt = new AudioFormat(8000f, 8, 1, false, false)
-        val src = new AudioInputStream(
-          new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
-        val out = new java.io.ByteArrayOutputStream()
-        AudioSystem.write(src, AudioFileFormat.Type.WAVE, out)
-        val dec = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(out.toByteArray))
-        val samples = dec.readAllBytes()
+      .mapPartitions(_.map { case (id, samples) =>
         val e = new Array[Long](64)
         var w = 0
         while (w < 64) {

@@ -112,7 +112,33 @@ object OperatorQueries {
       .join(reps.select(col(hashCol), col("doc_id").as("da")), hashCol)
       .filter(col("da") < col("db"))
       .select(col("da"), col("db"))
-    val repEdges = hammingEdges(bandHashes(reps, hashCol))
+    // Band-bucket depth GUARD (round 14): a sub-band re-cover of deep
+    // buckets was built and MEASURED here — and rejected: within the
+    // hamming ≤ 6 gate a lossless cover needs 7 parts (pigeonhole),
+    // but deep-bucket members collide in whole OTHER bands too (the
+    // 10× probe's deepest bucket: 1 442 distinct hashes differing only
+    // inside one 16-bit band), so most sub-bands collide wholesale and
+    // candidate pairs ROSE 1.4 M → 4.2 M. The measured truth: the
+    // candidate join is edge-bound and cheap (1.2 s of a 15 s query at
+    // 10× — the wall was WAV decode, fixed at the codec); what remains
+    // is a latent adversarial blowup, guarded by the same one-agg
+    // candidate-pair probe the pairs path uses — generous default,
+    // loud refusal naming the remedy, never a silent OOM.
+    val banded = bandHashes(reps, hashCol)
+    val budget = s.conf.get("graft.modalClusters.pairBudget",
+      (2L * 1000 * 1000 * 1000).toString).toLong
+    if (budget > 0) {
+      val candPairs = banded.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum((col("n") * (col("n") - 1)).cast("long")), lit(0L)))
+        .head().getLong(0) / 2
+      if (candPairs > budget) throw new IllegalStateException(
+        s"modal clusters would examine ~$candPairs candidate pairs after " +
+          s"exact-hash collapse (budget $budget): the hash distribution is " +
+          "band-degenerate; raise graft.modalClusters.pairBudget or widen " +
+          "the fingerprint")
+    }
+    val repEdges = hammingEdges(banded)
       .select(col("da"), col("db")).distinct()
     ConnectedComponents.labels(s, repEdges.unionByName(identity))
   }
