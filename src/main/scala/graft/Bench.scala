@@ -88,6 +88,27 @@ object Bench {
         }
       }
     }.toMap
+    // ISOLATED floors (round-14 verdict ask): the interleaved medians
+    // of the most expensive queries swung 1.2× round-over-round with
+    // pinned plans — corpus-run contention, not regressions. After the
+    // loop (no other query's spill/GC in flight) the known swingers run
+    // back-to-back and record a floor: a real plan regression moves
+    // floor AND median together; contention moves only the median.
+    val floorNames = sys.env.getOrElse("SPARK_GRAFT_FLOOR_QUERIES",
+      "graph_pagerank,perplexity_buckets,q_market_basket," +
+        "image_phash_clusters,q_ev_rfm")
+      .split(',').map(_.trim).filter(names.contains).toSeq
+    val floors = floorNames.map { name =>
+      val fn = SparkEntry.queries(name)
+      val ts = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+          finally graft.queries.QueryCaches.clear()
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }.toMap
     def pct(sorted: Vector[Double], p: Double): Double =
       if (sorted.isEmpty) 0.0
       else sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
@@ -112,7 +133,9 @@ object Bench {
     // which is complete by construction. Path: SPARK_GRAFT_BENCH_OUT.
     val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"n_queries":${names.size},"cv_median":${f4(cvMedian)},"cv_p90":${f4(cvP90)}}"""
     println(headline)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"queries_min":$qmins,"queries_cv":$qcvs,"cv_median":${f4(cvMedian)},"cv_p90":${f4(cvP90)}}"""
+    val qfloors = floors.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"queries_min":$qmins,"queries_cv":$qcvs,"queries_floor":$qfloors,"cv_median":${f4(cvMedian)},"cv_p90":${f4(cvP90)}}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(out,

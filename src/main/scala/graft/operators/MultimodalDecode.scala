@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   * bytes, and the output is a typed Dataset.
   *
   * ===== STUB BOUNDARY =====
-  * The container ships no image/audio codecs, so [[decodeOne]] is a
-  * clearly-marked deterministic fake computed from the bytes (length +
-  * first byte). Swapping in a real codec (JPEG header parse, ffprobe,
-  * etc.) changes ONLY the body of decodeOne — the schema, partitioning,
-  * signature, and batch shape are the real, tested plumbing.
+  * The container ships no COMPRESSED-codec libraries (ffmpeg/PIL
+  * class), so [[decodeOne]] is a clearly-marked deterministic fake
+  * computed from the bytes (length + first byte). Swapping in a real
+  * codec (JPEG header parse, ffprobe, etc.) changes ONLY the body of
+  * decodeOne — the schema, partitioning, signature, and batch shape
+  * are the real, tested plumbing. Every format a pure JDK CAN speak is
+  * real below: PNG ([[pngRoundTrip]]), WAV ([[wavRoundTrip]]), and
+  * Y4M video ([[videoRoundTrip]] via [[Y4mCodec]], round 14).
   */
 object MultimodalDecode {
 
@@ -151,6 +154,59 @@ object MultimodalDecode {
       .toDF()
       .select(col("doc_id"), col("width"), col("height"),
         col("pixel_sum"), col("pixel_max"))
+      .orderBy(col("doc_id"))
+
+  final case class VideoMeta(doc_id: Long, width: Long, height: Long,
+      n_frames: Long, y_sum: Long, y_max: Long)
+
+  /** Genuine video encode → decode through [[Y4mCodec]] (YUV4MPEG2 —
+    * the uncompressed container ffmpeg-class tools interchange; a raw
+    * format needs only the JDK, so this retires the last multimodal
+    * stub): each blob's first 1024 bytes become up to four 16×16 mono
+    * luma frames, the frames are MUXED into a real Y4M byte stream,
+    * and the stream is then PARSED BACK by the strict decoder with
+    * per-video luma statistics computed from the decoded planes. The
+    * container is lossless, so the decoded y_sum/y_max/n_frames equal
+    * statistics the DuckDB oracle computes from the text directly —
+    * the same externally-checkable losslessness argument as the
+    * PNG/WAV codecs. A real pipeline swaps Y4M for a compressed
+    * demuxer; the frame-sample shape, stats, and oracle posture are
+    * unchanged. */
+  def videoRoundTrip(df: DataFrame): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val w = 16
+        val h = 16
+        val planeLen = w * h
+        val n = math.max(1, math.min(4, (bytes.length + planeLen - 1) / planeLen))
+        val frames = Seq.tabulate(n) { i =>
+          val f = new Array[Byte](planeLen)
+          val off = i * planeLen
+          val len = math.max(0, math.min(planeLen, bytes.length - off))
+          if (len > 0) System.arraycopy(bytes, off, f, 0, len)
+          f
+        }
+        val y4m = Y4mCodec.encode(w, h, frames) // the stored binary
+        val (dw, dh, dec) = Y4mCodec.decode(y4m)
+        var sum = 0L
+        var mx = 0L
+        dec.foreach(_.foreach { b =>
+          val v = (b & 0xFF).toLong
+          sum += v
+          if (v > mx) mx = v
+        })
+        VideoMeta(id, dw.toLong, dh.toLong, dec.size.toLong, sum, mx)
+      })
+  }
+
+  /** Corpus entry: Y4M-codec round-trip over every document blob
+    * (oracled on the decoded frame count and luma statistics). */
+  def videoDocuments(s: SparkSession, d: String): DataFrame =
+    videoRoundTrip(graft.queries.Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob")))
+      .toDF()
       .orderBy(col("doc_id"))
 
   final case class ImageHash(doc_id: Long, dhash: Long)

@@ -167,6 +167,7 @@ object OperatorQueries {
     "multimodal_frames" -> ((s, d) => MultimodalDecode.frameDocuments(s, d)),
     "multimodal_png_codec" -> ((s, d) => MultimodalDecode.pngDocuments(s, d)),
     "multimodal_wav_codec" -> ((s, d) => MultimodalDecode.wavDocuments(s, d)),
+    "multimodal_video_codec" -> ((s, d) => MultimodalDecode.videoDocuments(s, d)),
   )
 
   // decoded PCM == source bytes (lossless WAV), so the 64-window
@@ -278,6 +279,23 @@ object OperatorQueries {
         |SELECT d.doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
         |  coalesce(agg.s, 0) AS pixel_sum,
         |  coalesce(agg.m, 0) AS pixel_max
+        |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Y4M losslessness: decoded luma planes must equal the source
+    // bytes (first 4 frames of 256), frame count from the parsed
+    // stream; padding zeros add nothing to sum/max
+    "multimodal_video_codec" ->
+      """WITH px AS (
+        |  SELECT doc_id, ascii(substring(text, i + 1, 1)) AS v
+        |  FROM documents, (SELECT unnest(range(least(length(text), 1024))) AS i) t
+        |), agg AS (
+        |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS s, CAST(max(v) AS BIGINT) AS m
+        |  FROM px GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(greatest(1, least(4, (length(text) + 255) // 256)) AS BIGINT)
+        |    AS n_frames,
+        |  coalesce(agg.s, 0) AS y_sum,
+        |  coalesce(agg.m, 0) AS y_max
         |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     // same losslessness argument for audio: decoded u8 PCM samples must
     // equal the source bytes, format fields come from the parsed header

@@ -67,6 +67,11 @@ object BenchScaled {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/sf1"
     val reps = if (args.length > 1) args(1).toInt else 2
+    // optional third arg: comma-separated target subset — the sf10
+    // (100×) probe runs only the scale-sensitive dozen, not all 93
+    val targets =
+      if (args.length > 2) { val w = args(2).split(',').map(_.trim).toSet
+        Targets.filter(w) } else Targets
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,7 +94,7 @@ object BenchScaled {
     val wall0 = System.nanoTime()
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    for (_ <- 0 until reps; name <- Targets) {
+    for (_ <- 0 until reps; name <- targets) {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -98,7 +103,7 @@ object BenchScaled {
       times(name) = times(name) :+
         (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val mins = Targets.map(n => n -> {
+    val mins = targets.map(n => n -> {
       val ts = times(n)
       if (ts.exists(_ < 0)) -1.0 else ts.min
     })
