@@ -347,17 +347,25 @@ private[sql] final class LakeMicroBatchStream(
 
   private def taggedPartitions(files: Seq[DataFileEntry], tpe: String,
       snapshotId: Long): Seq[InputPartition] =
-    if (files.isEmpty) Nil
-    else {
-      val table = LakeSqlCatalog.mkParquetTable(lt, session, files.map(_.path))
+    // ONE scan per FILE (not per group): each partition then carries
+    // its file's commit-assigned firstRowId as a constant, and the
+    // reader serves `_row_id` per row — materialized cell when the
+    // file was written by a lineage-carrying rewrite, else firstRowId
+    // + the parquet row index (the same coalesce rule
+    // LakeScan.rowLineage applies), NULL for pre-lineage files. A
+    // changelog batch's file count is bounded by its commit, so the
+    // per-file plan cost is the commit's own scale.
+    files.flatMap { f =>
+      val table = LakeSqlCatalog.mkChangesParquetTable(lt, session, f.path)
       val batch = table.newScanBuilder(CaseInsensitiveStringMap.empty())
         .build().toBatch
       // the parquet factory is file-list-agnostic (paths ride in the
-      // partitions) but each group ships its own, serialized inside
-      // the partition — no cross-group factory aliasing assumptions
+      // partitions) but each file ships its own, serialized inside
+      // the partition — no cross-file factory aliasing assumptions
       val factory = batch.createReaderFactory()
       batch.planInputPartitions().toSeq
-        .map(ip => ChangeTaggedPartition(ip, factory, tpe, snapshotId))
+        .map(ip => ChangeTaggedPartition(ip, factory, tpe, snapshotId,
+          f.firstRowId, lt.metadata.schemaWithFieldIds))
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -386,7 +394,12 @@ private[sql] final class LakeChangesTable(lt: LakeTable)
 
   private val schema0 = StructType(lt.metadata.schemaWithFieldIds.fields ++ Seq(
     StructField("_change_type", StringType, nullable = false),
-    StructField("_commit_snapshot_id", LongType, nullable = false)))
+    StructField("_commit_snapshot_id", LongType, nullable = false),
+    // stable row identity (Iceberg v3 row lineage) so CDC consumers
+    // key deltas on it: a CoW rewrite emits delete+insert rows with
+    // the SAME _row_id for surviving rows. NULL only for pre-lineage
+    // files (committed before first-row-id assignment existed).
+    StructField("_row_id", LongType, nullable = true)))
 
   override def name(): String = s"${lt.name}.changes"
   override def schema(): StructType = schema0
@@ -406,19 +419,28 @@ private[sql] final class LakeChangesTable(lt: LakeTable)
     }
 }
 
-/** A parquet partition plus the change stamp its rows carry. */
+/** A parquet partition plus the change stamp its rows carry and the
+  * file's lineage base for per-row `_row_id` resolution. */
 private[sql] final case class ChangeTaggedPartition(
     inner: InputPartition,
     factory: PartitionReaderFactory,
     changeType: String,
-    snapshotId: Long) extends InputPartition
+    snapshotId: Long,
+    firstRowId: Option[Long],
+    prefixSchema: org.apache.spark.sql.types.StructType) extends InputPartition
 
-/** Appends the two constant changelog columns to every row via a
-  * reused [[org.apache.spark.sql.catalyst.expressions.JoinedRow]] —
-  * per-partition constants, zero per-row allocation. Row-based reads
-  * only: the constants splice between the parquet columns and the
-  * stream schema, which the columnar path cannot express without
-  * building constant vectors for no benefit at changelog batch sizes. */
+/** Appends the changelog columns to every row via a reused
+  * [[org.apache.spark.sql.catalyst.expressions.JoinedRow]] over a
+  * [[org.apache.spark.sql.catalyst.ProjectingInternalRow]] prefix:
+  * the inner scan reads two extra trailing columns (the materialized
+  * `_row_id` cell and the parquet row index) that feed the per-row id
+  * and must not leak into the stream schema. `_change_type` /
+  * `_commit_snapshot_id` stay per-partition constants; `_row_id` is
+  * one long write per row into the reused suffix — no per-row
+  * allocation beyond the boxed long. Row-based reads only: the
+  * constants splice between the parquet columns and the stream
+  * schema, which the columnar path cannot express without building
+  * constant vectors for no benefit at changelog batch sizes. */
 private[sql] object ChangeTaggedReaderFactory extends PartitionReaderFactory {
   import org.apache.spark.sql.catalyst.InternalRow
   import org.apache.spark.sql.connector.read.PartitionReader
@@ -428,13 +450,27 @@ private[sql] object ChangeTaggedReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val t = p.asInstanceOf[ChangeTaggedPartition]
     val inner = t.factory.createReader(t.inner)
+    val n = t.prefixSchema.fields.length
+    val prefix = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      t.prefixSchema, 0 until n)
     val suffix = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(t.changeType),
-        t.snapshotId))
+        t.snapshotId, null))
     val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     new PartitionReader[InternalRow] {
       override def next(): Boolean = inner.next()
-      override def get(): InternalRow = joined(inner.get(), suffix)
+      override def get(): InternalRow = {
+        val row = inner.get()
+        val rid: Any =
+          if (!row.isNullAt(n)) Long.box(row.getLong(n)) // materialized
+          else t.firstRowId match {
+            case Some(f) => Long.box(f + row.getLong(n + 1))
+            case None => null // pre-lineage file
+          }
+        suffix.update(2, rid)
+        prefix.project(row)
+        joined(prefix, suffix)
+      }
       override def close(): Unit = inner.close()
     }
   }

@@ -665,6 +665,30 @@ object LakeSqlCatalog {
       Some(lt.metadata.schemaWithFieldIds),
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
+  /** [[mkParquetTable]] for ONE changelog file, widened by the two
+    * row-lineage feeder columns: the materialized `_row_id` cell
+    * (reserved field id — NULL in files no rewrite has carried ids
+    * into) and Spark's parquet row-index temporary column (the
+    * `_metadata.row_index` mechanism: the parquet reader POPULATES a
+    * requested long column named `_tmp_metadata_row_index`). The
+    * changelog reader resolves `coalesce(cell, firstRowId + index)`
+    * per row and strips both feeders. */
+  private[sql] def mkChangesParquetTable(lt: graft.lake.LakeTable,
+      session: SparkSession, file: String)
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      lt.name,
+      org.apache.spark.sql.graftbridge.SessionBridge.sessionWithConfs(
+        session, Map("spark.sql.parquet.fieldId.read.enabled" -> "true")),
+      CaseInsensitiveStringMap.empty(),
+      Seq(file),
+      Some(org.apache.spark.sql.types.StructType(
+        lt.metadata.schemaWithFieldIds.fields :+
+          graft.lake.LakeTable.rowIdField :+
+          org.apache.spark.sql.types.StructField("_tmp_metadata_row_index",
+            org.apache.spark.sql.types.LongType))),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
   /** Parse a `write.sort-order` property value — `c1,c2` (linear) or
     * `zorder(c1,c2)` — into (columns, kind). Shared by CREATE TABLE
     * and ALTER TABLE SET TBLPROPERTIES so both apply the order for

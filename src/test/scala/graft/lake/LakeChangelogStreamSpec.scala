@@ -60,7 +60,8 @@ class LakeChangelogStreamSpec extends LakeSuite {
     assert(streamed.map(key).sorted === batch.map(key).sorted,
       s"stream (${streamed.size} rows) != batch changelog (${batch.size})")
     // full-row equality, not just keys: sort both sides identically
-    val sa = streamed.sortBy(key).map(_.toSeq)
+    // (the stream adds a trailing _row_id the batch changelog lacks)
+    val sa = streamed.sortBy(key).map(_.toSeq.dropRight(1))
     val sb = batch.sortBy(key).map(_.toSeq)
     assert(sa === sb)
 
@@ -92,6 +93,42 @@ class LakeChangelogStreamSpec extends LakeSuite {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("batch changelog")),
       s"refusal must point at the batch changelog: ${messages(e)}")
+  }
+
+  test("_row_id keys the CDC feed: stable across compaction, delete+insert pair on rewrite") {
+    val (name, t) = sqlTable()
+    t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0)
+      .repartition(1).sortWithinPartitions(col("o_orderkey")))
+    val ckpt = Files.createTempDirectory("graft_cl_ck_").toString
+    val first = drain(name, ckpt)
+    def rid(r: Row) = r.getLong(r.fieldIndex("_row_id"))
+    def k(r: Row) = r.getLong(r.fieldIndex("o_orderkey"))
+    val ids1 = first.map(r => k(r) -> rid(r)).toMap
+    assert(ids1.values.toSeq.sorted == (0L until ids1.size.toLong),
+      "first commit must stream dense ids 0..n-1")
+    // compaction mid-stream: emits nothing, but MATERIALIZES ids into
+    // the rewritten file — the next CoW commit's pre-images must still
+    // carry the original ids
+    t.refresh().compact(spark, targetFiles = 1)
+    t.refresh().deleteWhere(spark, LakePredicate.Ge("o_totalprice",
+      Double.box(400000.0)))
+    val second = drain(name, ckpt)
+    val dels = second.filter(_.getString(
+      second.head.fieldIndex("_change_type")) == "delete")
+    val ins = second.filter(_.getString(
+      second.head.fieldIndex("_change_type")) == "insert")
+    assert(dels.nonEmpty && ins.nonEmpty && ins.size < dels.size)
+    // every pre-image carries its ORIGINAL id (read from the compacted
+    // file's materialized cells), every surviving insert the SAME id —
+    // a consumer keying on _row_id reconciles the rewrite exactly
+    dels.foreach(r => assert(rid(r) == ids1(k(r)),
+      s"delete pre-image of key ${k(r)} lost its id"))
+    ins.foreach(r => assert(rid(r) == ids1(k(r)),
+      s"surviving row ${k(r)} changed id across the rewrite"))
+    val survivorKeys = ordersDF.filter(col("o_orderkey") % 2 === 0)
+      .filter(col("o_totalprice") < 400000.0)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(ins.map(k).toSet == survivorKeys)
   }
 
   test("compaction inside the range streams no changelog rows") {
