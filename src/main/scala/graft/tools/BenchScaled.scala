@@ -89,7 +89,22 @@ object BenchScaled {
     spark.conf.set("graft.simhashDedup.pairBudget", "0")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warmup
     val prep0 = System.nanoTime()
-    graft.queries.Corpus.prepare(spark, sfDir)
+    // Subset runs prepare ONLY the artifacts their targets read. The
+    // exact-jaccard pair artifact in particular is quadratic-OUTPUT in
+    // the replica corpus by construction (every doc gains C−1 near-dup
+    // twins above the 0.5 threshold — at C=100 that is ~99 true pairs
+    // per doc, ~70 GB of verify-join spill), so the 100× probe must
+    // not pay for it when no target consumes it.
+    val jaccardFamily = Set("dedup_ngram_jaccard", "dedup_clusters",
+      "dedup_retention", "minhash_accuracy")
+    if (args.length <= 2) graft.queries.Corpus.prepare(spark, sfDir)
+    else {
+      graft.queries.JoinExtraQueries.prepareBucketed(spark, sfDir)
+      graft.queries.SimilarityQueries.prepareIvfIndex(spark, sfDir)
+      graft.queries.SimilarityQueries.prepareLshIndex(spark, sfDir)
+      if (targets.exists(jaccardFamily))
+        graft.queries.TextQueries.prepareJaccardPairs(spark, sfDir)
+    }
     val prepSec = (System.nanoTime() - prep0) / 1e9
     val wall0 = System.nanoTime()
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
