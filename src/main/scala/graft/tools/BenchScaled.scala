@@ -61,6 +61,8 @@ object BenchScaled {
     "q_ev_autocorr", "q_ev_changepoint", "q_ev_seq_patterns", "q_ev_paths",
     "q_ev_survival", "q_ev_cuped", "q_ev_seasonality",
     "lake_row_lineage", "q_text_roundtrip",
+    // round-14: the Y4M codec (decode is the modal family's cost center)
+    "multimodal_video_codec",
     "q_trade_volume", "q_multi_supplier_orders", "split_contamination",
     "minhash_accuracy", "q_ev_bounce_rate")
 

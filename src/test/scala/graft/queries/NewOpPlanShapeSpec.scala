@@ -105,4 +105,16 @@ class NewOpPlanShapeSpec extends LakeSuite {
         "data-sized cartesian product appeared:\n" + plan)
     }
   }
+
+  test("row-lineage read joins the per-file id base as a broadcast (round 14)") {
+    // the lake_row_lineage scenario's final read: the O(planned files)
+    // firstRowId map must broadcast onto the scan — a sort-merge join
+    // here would shuffle the whole table to attach a driver-resident
+    // constant per file
+    val plan = planOf(LakeQueries.lakeRowLineage(spark, d))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the id-base join must broadcast:\n" + plan)
+    assert(!plan.contains("SortMergeJoin"),
+      "the lineage read degenerated to a sort-merge join:\n" + plan)
+  }
 }
