@@ -118,6 +118,38 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Hard-negative mining (round 14) — the contrastive-training feed:
+    * for each query vector, the top-3 most similar vectors with a
+    * DIFFERENT label ("close but wrong" — the negatives that actually
+    * move an embedding model, vs easy random negatives). Same brute
+    * exact-integer scorer as [[qCosineTopkBrute]] plus the label
+    * anti-predicate, which rides INSIDE the scan filter so excluded
+    * same-label vectors never reach the ranking window. 100-TB shape:
+    * swap the brute scan for the IVF/PQ candidate path (the label
+    * filter moves onto the re-rank) — the scorer, window, and output
+    * contract are unchanged. */
+  def qHardNegatives(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        qdot(col("embedding"), col("embedding")).as("nv"))
+    val queries = embeddings(s, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        qdot(col("embedding"), col("q_vec")).as("dot"), col("nv"))
+      .withColumn("score", scoreCol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), col("label").cast("long").as("label"),
+        col("score"), col("rn").cast("long").as("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** 64 ±1 hyperplanes, sign(i,j) from MD5 parity of "hp-i-j" — the
     * engine-independent seed convention shared with the MinHash oracle.
     * sign(⌊±1·2¹⁵⌋·Σ±q_j) = sign(Σ±s_j·q_j), so [[qdot]] against the
@@ -1000,6 +1032,7 @@ object SimilarityQueries {
     "pq_recall" -> qPqRecall,
     "sq8_error" -> qSq8Error,
     "cosine_topk_brute" -> qCosineTopkBrute,
+    "hard_negatives" -> qHardNegatives,
     "ann_lsh" -> qAnnLsh,
     "ivf_ann" -> qIvfAnn,
     "ann_recall" -> qAnnRecall,
@@ -1394,6 +1427,29 @@ object SimilarityQueries {
       s"""WITH $oracleBaseCtes, $bruteCtes
          |SELECT q_id, vec_id, score, CAST(rn AS BIGINT) AS rn
          |FROM branked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // brute scorer + the label anti-predicate inside the pair CTE
+    "hard_negatives" ->
+      s"""WITH $oracleBaseCtes, lab AS (
+         |  SELECT vec_id, label FROM embeddings
+         |), hpairs AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id, lc.label,
+         |    CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT) AS dot,
+         |    n.nv
+         |  FROM qe q JOIN qe c ON c.vec_id <> q.vec_id
+         |  JOIN nrm n ON n.vec_id = c.vec_id
+         |  JOIN lab lq ON lq.vec_id = q.vec_id
+         |  JOIN lab lc ON lc.vec_id = c.vec_id
+         |  WHERE q.vec_id < $nQueries AND lc.label <> lq.label
+         |), hscored AS (
+         |  SELECT q_id, vec_id, label, $scoreSqlDuck AS score FROM hpairs
+         |), hranked AS (
+         |  SELECT q_id, vec_id, label, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM hscored
+         |)
+         |SELECT q_id, vec_id, CAST(label AS BIGINT) AS label, score,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM hranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
     // sparse side re-derives through TextQueries' shared BM25 CTEs,
     // dense side through the same quantized-score SQL as the brute
     // ranking — neither scorer has a second definition anywhere

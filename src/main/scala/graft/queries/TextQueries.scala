@@ -813,6 +813,35 @@ object TextQueries {
       .limit(25)
   }
 
+  /** N-gram diversity per source (round 14) — the corpus-health metric
+    * next to [[qVocabGrowth]]: distinct word-trigram TYPES vs total
+    * trigram TOKENS and the type-token ratio in exact permille, per
+    * source. A collapsing TTR is the first sign of template/boilerplate
+    * flooding a crawl slice — the signal a mixture decision reads
+    * before weighting a source up. Scale shape: the trigram explode is
+    * a Generate (three words of state per row), the rollup one
+    * partial-agg'd groupBy on |sources| keys; the exact distinct
+    * shuffles (source, trigram) once — at 100 TB swap it for
+    * approx_count_distinct and the report shape is unchanged. */
+  def qNgramDiversity(s: SparkSession, d: String): DataFrame = {
+    val tri = documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("tri"))
+    val agg = tri.groupBy(col("source")).agg(
+      count_distinct(col("tri")).as("trigram_types"),
+      count(lit(1)).as("trigram_total"))
+    val nd = documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    nd.join(agg, "source")
+      .select(col("source"), col("n_docs"), col("trigram_types"),
+        col("trigram_total"),
+        expr("trigram_types * 1000L div trigram_total").as("ttr_permille"))
+      .orderBy(col("source"))
+  }
+
   /** Vocabulary growth / Heaps'-law report (round 13) — how fast new
     * word TYPES appear as the corpus grows, the curve a tokenizer-
     * vocabulary-size decision reads. The naive formulation (distinct
@@ -1996,6 +2025,7 @@ object TextQueries {
     "token_frequency" -> qTokenFrequency,
     "inverted_index" -> qInvertedIndex,
     "vocab_growth" -> qVocabGrowth,
+    "ngram_diversity" -> qNgramDiversity,
     "collocations" -> qCollocations,
     "fuzzy_vocab_join" -> qFuzzyVocabJoin,
     "hash_split" -> qHashSplit,
@@ -2701,6 +2731,28 @@ object TextQueries {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin,
+    // DuckDB lists are 1-based where Spark subscripts are 0-based —
+    // both sides window words i..i+2
+    "ngram_diversity" ->
+      """WITH w AS (
+        |  SELECT source, string_split(text, ' ') AS ws FROM documents
+        |), tri AS (
+        |  SELECT source, unnest(list_transform(range(len(ws) - 2),
+        |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS tri
+        |  FROM w WHERE len(ws) >= 3
+        |), agg AS (
+        |  SELECT source, count(DISTINCT tri) AS trigram_types,
+        |    count(*) AS trigram_total
+        |  FROM tri GROUP BY source
+        |), nd AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        |)
+        |SELECT n.source, n.n_docs,
+        |  CAST(a.trigram_types AS BIGINT) AS trigram_types,
+        |  CAST(a.trigram_total AS BIGINT) AS trigram_total,
+        |  CAST(a.trigram_types * 1000 // a.trigram_total AS BIGINT)
+        |    AS ttr_permille
+        |FROM nd n JOIN agg a USING (source) ORDER BY source""".stripMargin,
     "vocab_growth" ->
       """WITH mx AS (SELECT max(doc_id) AS mxd FROM documents),
         |toks AS (
