@@ -222,6 +222,42 @@ object LakeQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Incremental materialized aggregate view
+    * ([[graft.lake.IncrementalAggView]] — classic delta maintenance
+    * over the batch changelog): a per-priority (count, exact-cents sum)
+    * rollup refreshed THROUGH a CoW delete, an append, and a CoW
+    * update at O(delta + |view|) cost — the base is never rescanned
+    * after the initial build, and each refresh is one atomic commit
+    * moving the contents and the base-snapshot watermark together.
+    * The oracle recomputes the final rollup relationally from the
+    * mutation sequence. */
+  def lakeIncrMv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val base = cat.createTable("lakeq", "orders_mvb", src.schema)
+    val view = cat.createTable("lakeq", "orders_mv", StructType(Seq(
+      StructField("o_orderpriority", org.apache.spark.sql.types.StringType),
+      StructField("cnt", LongType),
+      StructField("cents", LongType))))
+    val keys = Seq("o_orderpriority")
+    val sums = Seq("cents" -> expr("CAST(floor(o_totalprice * 100) AS LONG)"))
+    def refresh() = graft.lake.IncrementalAggView.refresh(
+      s, base, view, keys, sums)
+    base.refresh().appendData(src, numFiles = 4)
+    refresh() // initial build (delta = the whole first commit)
+    base.refresh().deleteWhere(s,
+      LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+    base.refresh().appendData(
+      src.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000000L))
+    refresh() // two commits in one incremental delta
+    base.refresh().updateWhere(s, LakePredicate.Eq("o_orderstatus", "F"),
+      Map("o_orderpriority" -> lit("9-MOVED")))
+    refresh() // update moves mass between groups via delete+insert pair
+    view.refresh().newScan().toDF(s).orderBy(col("o_orderpriority"))
+  }
+
   /** Tombstone-materializing maintenance: a clustered table takes a MoR
     * delete (tombstones land on the price-sorted tail files only), then
     * rewrite_position_deletes materializes ONLY the affected files and
@@ -1259,6 +1295,7 @@ object LakeQueries {
     "lake_delete_mor" -> lakeDeleteMor,
     "lake_delete_dv" -> lakeDeleteDv,
     "lake_row_lineage" -> lakeRowLineage,
+    "lake_incr_mv" -> lakeIncrMv,
     "lake_rewrite_deletes" -> lakeRewriteDeletes,
     "lake_add_files" -> lakeAddFiles,
     "lake_column_defaults" -> lakeColumnDefaults,
@@ -1296,6 +1333,26 @@ object LakeQueries {
         |SELECT o_orderkey, CAST(row_id AS BIGINT) AS row_id
         |FROM ids WHERE o_totalprice < 400000.0 AND o_totalprice >= 30000.0
         |ORDER BY o_orderkey""".stripMargin,
+    // the view after: survivors of the price delete, plus the appended
+    // key%10=7 copies (appended AFTER the delete, so unfiltered), with
+    // the F-status re-prioritization applied to the final row set
+    "lake_incr_mv" ->
+      """WITH finalrows AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN '9-MOVED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |    o_totalprice
+        |  FROM orders WHERE o_totalprice < 400000.0
+        |  UNION ALL
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN '9-MOVED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM finalrows GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     // correlated scalar aggregates over the EVEN-key inner domain:
     // count()=1 → '8-SOLO' (absent key counts 0); then F-orders at
     // their customer's even-max price die (absent key → NULL → keep)
