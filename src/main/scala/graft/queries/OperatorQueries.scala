@@ -47,9 +47,9 @@ object OperatorQueries {
         shiftright(col(hashCol), b * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("band", "bucket")))
 
-  /** Band-collision candidates → hamming ≤ 6 edges (da < db, with the
-    * distance; duplicates across bands NOT yet removed). */
-  private def hammingEdges(banded: DataFrame): DataFrame = {
+  /** Band-collision candidates → hamming ≤ radius edges (da < db, with
+    * the distance; duplicates across bands NOT yet removed). */
+  private def hammingEdges(banded: DataFrame, radius: Int = 6): DataFrame = {
     val l = banded.select(col("band"), col("bucket"),
       col("doc_id").as("da"), col("h").as("ha"))
     val r = banded.select(col("band"), col("bucket"),
@@ -57,7 +57,7 @@ object OperatorQueries {
     l.join(r, Seq("band", "bucket")).filter(col("da") < col("db"))
       .select(col("da"), col("db"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 6)
+      .filter(col("hamming") <= radius)
   }
 
   /** The shared banded near-dup tail: candidate pairs on band
@@ -92,8 +92,8 @@ object OperatorQueries {
     * ever materialized or returned — the edge stream flows straight
     * into the component loop, whose shuffles are sized to the edge
     * set. This is the documented 100-TB shape for image/audio dedup. */
-  private def bandedHammingClusters(s: SparkSession, hashed: DataFrame,
-      hashCol: String): DataFrame = {
+  private[queries] def bandedHammingClusters(s: SparkSession, hashed: DataFrame,
+      hashCol: String, radius: Int = 6): DataFrame = {
     val cached = QueryCaches.track(hashed.persist())
     // exact-hash collapse BEFORE banding (the round-13 probe lesson):
     // identical hashes are hamming-0 connected by definition, so each
@@ -133,12 +133,12 @@ object OperatorQueries {
         .agg(coalesce(sum((col("n") * (col("n") - 1)).cast("long")), lit(0L)))
         .head().getLong(0) / 2
       if (candPairs > budget) throw new IllegalStateException(
-        s"modal clusters would examine ~$candPairs candidate pairs after " +
+        s"banded clusters would examine ~$candPairs candidate pairs after " +
           s"exact-hash collapse (budget $budget): the hash distribution is " +
           "band-degenerate; raise graft.modalClusters.pairBudget or widen " +
           "the fingerprint")
     }
-    val repEdges = hammingEdges(banded)
+    val repEdges = hammingEdges(banded, radius)
       .select(col("da"), col("db")).distinct()
     ConnectedComponents.labels(s, repEdges.unionByName(identity))
   }

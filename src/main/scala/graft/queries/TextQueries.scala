@@ -555,7 +555,9 @@ object TextQueries {
     * (cryptographic vs non-crypto mixer; the earlier doubled-murmur32
     * experiment showed correlated halves destroy sign-vote bits, so
     * only proven-uniform hashes belong here). */
-  def qSimhashDedup(s: SparkSession, d: String): DataFrame = {
+  /** The per-doc 64-bit simhash signatures (shared by the pair query
+    * and its clusters twin): one narrow map stage, cached. */
+  private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val spark0 = s
     import spark0.implicits._
     val sim = documents(s, d).select(col("doc_id").cast("long"), col("text"))
@@ -588,9 +590,13 @@ object TextQueries {
       }
       .toDF("doc_id", "simhash")
     // signatures persist (QueryCaches-tracked): the pair-budget
-    // estimate below and the band join both consume them, and the
+    // estimate and the band join both consume them, and the
     // hash pass over the raw text is the expensive half
-    val simCached = QueryCaches.track(sim.persist())
+    QueryCaches.track(sim.persist())
+  }
+
+  def qSimhashDedup(s: SparkSession, d: String): DataFrame = {
+    val simCached = simhashSignatures(s, d)
     val banded = simCached.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
@@ -615,9 +621,9 @@ object TextQueries {
       if (candPairs > budget) throw new IllegalStateException(
         s"dedup_simhash would examine ~$candPairs candidate pairs " +
           s"(budget $budget): the all-pairs output is quadratic in " +
-          "cluster size at this dup rate. Use dedup_clusters (banded " +
-          "connected-component labels, linear output) instead, or raise " +
-          "graft.simhashDedup.pairBudget")
+          "cluster size at this dup rate. Use simhash_clusters (same " +
+          "signatures, connected-component labels, linear output) " +
+          "instead, or raise graft.simhashDedup.pairBudget")
     }
     val l = banded.select(col("band"), col("bucket"), col("doc_id").as("da"), col("simhash").as("ha"))
     val r = banded.select(col("band"), col("bucket"), col("doc_id").as("db"), col("simhash").as("hb"))
@@ -632,6 +638,17 @@ object TextQueries {
       .distinct()
       .orderBy(col("da"), col("db"))
   }
+
+  /** [[qSimhashDedup]]'s linear-output twin (round 14) — the escape the
+    * pair query's budget refusal names, previously pointing at the
+    * shingle-jaccard clusters (a DIFFERENT similarity). Same signatures,
+    * same 4×16 bands, hamming ≤ 3, but the output is min-representative
+    * component labels via the modal family's shared machinery
+    * (exact-hash collapse before banding + [[ConnectedComponents]]) —
+    * O(clustered docs) rows at any dup rate, the 100-TB shape. */
+  def qSimhashClusters(s: SparkSession, d: String): DataFrame =
+    OperatorQueries.bandedHammingClusters(s,
+      simhashSignatures(s, d), "simhash", radius = 3)
 
   /** Per-language corpus stats (docs, chars, whitespace tokens). */
   def qTextStats(s: SparkSession, d: String): DataFrame =
@@ -2017,6 +2034,7 @@ object TextQueries {
     "dedup_minhash" -> qMinhashDedup,
     "minhash_accuracy" -> qMinhashAccuracy,
     "dedup_simhash" -> qSimhashDedup,
+    "simhash_clusters" -> qSimhashClusters,
     "text_stats" -> qTextStats,
     "token_count" -> qTokenCount,
     "lang_id" -> qLangId,
@@ -2647,6 +2665,45 @@ object TextQueries {
         |GROUP BY c.da, c.db
         |HAVING sum(bit_count(xor(x.bucket, y.bucket))) <= 3
         |ORDER BY da, db""".stripMargin,
+    // same signature/band/hamming CTEs as dedup_simhash, closed into
+    // min-label components by the dedup_clusters recursion shape
+    "simhash_clusters" ->
+      """WITH RECURSIVE words AS (
+        |  SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |), hv AS (
+        |  SELECT doc_id, md5_number_lower(w) AS h FROM words
+        |), votes AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM hv, (SELECT unnest(range(64)) AS b) t
+        |  GROUP BY doc_id, b
+        |), bands AS (
+        |  SELECT doc_id, b // 16 AS band,
+        |    CAST(sum(bit * (1::BIGINT << (b % 16))) AS BIGINT) AS bucket
+        |  FROM votes GROUP BY doc_id, b // 16
+        |), cand AS (
+        |  SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+        |), pairs AS (
+        |  SELECT c.da, c.db
+        |  FROM cand c
+        |  JOIN bands x ON x.doc_id = c.da
+        |  JOIN bands y ON y.doc_id = c.db AND y.band = x.band
+        |  GROUP BY c.da, c.db
+        |  HAVING sum(bit_count(xor(x.bucket, y.bucket))) <= 3
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM pairs
+        |  UNION ALL SELECT db, da FROM pairs
+        |), reach AS (
+        |  SELECT DISTINCT a AS node, a AS label FROM edges
+        |  UNION
+        |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+        |)
+        |SELECT node AS doc_id, min(label) AS cluster_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "train_test_split" ->
       """SELECT CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
         |            WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'valid'
