@@ -215,6 +215,62 @@ private[sql] object LakeProcedures {
           table(args).removeOrphanFiles(args.getLong(1)).size.toLong))
     },
 
+    // Incremental materialized-view refresh through SQL (the CALL form
+    // of graft.lake.IncrementalAggView — Iceberg-style procedure next
+    // to the maintenance family). `keys` = 'c1,c2'; `sums` =
+    // 'name:expr;name2:expr2' (semicolons, because sum expressions
+    // carry commas); expressions evaluate over BASE rows and must be
+    // integer-typed for exact delta arithmetic.
+    "refresh_agg_view" -> new LakeProcedure(lake, "refresh_agg_view",
+      Seq("base" -> StringType, "view" -> StringType,
+        "keys" -> StringType, "sums" -> StringType),
+      StructType(Seq(
+        StructField("from_snapshot_id", LongType, nullable = false),
+        StructField("to_snapshot_id", LongType, nullable = false),
+        StructField("delta_rows", LongType, nullable = false),
+        StructField("refreshed", BooleanType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        def tbl(ref: String): LakeTable = {
+          val parts = ref.split('.')
+          require(parts.length == 2, s"table ref must be ns.table: '$ref'")
+          lake.loadTable(parts(0), parts(1))
+        }
+        val keys = args.getUTF8String(2).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val sumSpecs = args.getUTF8String(3).toString
+          .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+            val i = kv.indexOf(':')
+            require(i > 0, s"sum spec must be name:expr, got '$kv'")
+            kv.substring(0, i).trim -> kv.substring(i + 1)
+          }
+        val session = SparkSession.active
+        val base = tbl(args.getUTF8String(0).toString)
+        val view = tbl(args.getUTF8String(1).toString)
+        // Spark invokes BoundProcedure.call from INSIDE the analyzer
+        // (the InvokeProcedures rule). The maintenance procedures above
+        // only read/write files, but this one plans and runs nested
+        // AGGREGATION queries, which must not analyze under the outer
+        // analyzer's thread-local state — run the refresh on a clean
+        // thread and join (thread-locals don't propagate).
+        var out: graft.lake.IncrementalAggView.RefreshReport = null
+        var err: Throwable = null
+        val th = new Thread(() => {
+          try {
+            SparkSession.setActiveSession(session)
+            val sums = sumSpecs.map { case (n, e) =>
+              n -> org.apache.spark.sql.functions.expr(e) }
+            out = graft.lake.IncrementalAggView.refresh(
+              session, base, view, keys, sums)
+          } catch { case t: Throwable => err = t }
+        }, "graft-refresh-agg-view")
+        th.start()
+        th.join()
+        if (err != null) throw err
+        new GenericInternalRow(Array[Any](
+          out.fromSnapshotId, out.toSnapshotId, out.deltaRows, out.refreshed))
+      }
+    },
+
     "create_tag" -> new LakeProcedure(lake, "create_tag",
       Seq("table" -> StringType, "name" -> StringType, "snapshot_id" -> LongType),
       StructType(Seq(

@@ -90,13 +90,20 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
     // RESOLVED against the relation's metadataOutput that no child
     // output provides yet (ResolveReferences resolves _file in the same
     // iteration in which the relation's output is still unextended)
+    // missingInput (via output) THROWS on a half-analyzed node — e.g.
+    // an Aggregate still carrying UnresolvedAlias (`SELECT count(*)`
+    // before alias resolution), which crashed ANY unaliased SQL
+    // aggregate over a lake table (found by the refresh_agg_view
+    // procedure test; the oracle corpus aliases everything, so it
+    // never saw it). The missing-from-child probe only means anything
+    // on a RESOLVED node anyway — guard it.
     val pendingMeta = plan.exists(p =>
       (!p.resolved && p.expressions.exists(_.exists {
         case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           LakeSqlTable.MetaColNames(ua.nameParts.last.toLowerCase)
         case _ => false
       })) ||
-        p.missingInput.exists(a => LakeSqlTable.MetaColNames(a.name)))
+        (p.resolved && p.missingInput.exists(a => LakeSqlTable.MetaColNames(a.name))))
     if (pendingMeta) plan else substitute(plan)
   }
 
