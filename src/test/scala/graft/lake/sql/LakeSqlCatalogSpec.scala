@@ -542,4 +542,35 @@ class LakeSqlCatalogSpec extends LakeSuite {
     assert(e.getMessage.toLowerCase.contains("namespace") ||
       e.getMessage.toLowerCase.contains("schema"))
   }
+
+  test("unaliased SQL aggregates analyze (substitution rule half-plan guard)") {
+    // regression: LakeMoRScanSubstitution probed missingInput on
+    // half-analyzed nodes, so `SELECT count(*)` (UnresolvedAlias until
+    // alias resolution) over ANY lake table crashed analysis with an
+    // UnresolvedAlias internal error — the oracle corpus aliases every
+    // aggregate, so only ad-hoc SQL saw it
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.unal", classOf[LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.unal.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE unal.ns")
+      spark.sql(s"CREATE TABLE unal.ns.t (${ordersDF.schema.toDDL})")
+      LakeCatalog.open(wh).loadTable("ns", "t").appendData(ordersDF)
+      assert(spark.sql("SELECT count(*) FROM unal.ns.t").head.getLong(0)
+        === ordersDF.count())
+      assert(spark.sql("SELECT max(o_totalprice), min(o_orderkey) " +
+        "FROM unal.ns.t").head.getLong(1) === 0L)
+      assert(spark.sql("SELECT o_orderstatus, count(*) FROM unal.ns.t " +
+        "GROUP BY o_orderstatus").count() === 3)
+      // and on a MoR-substituted (live-tombstone) read too
+      val t = LakeCatalog.open(wh).loadTable("ns", "t")
+      t.refresh().deleteWhereMoR(spark,
+        graft.lake.LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+      assert(spark.sql("SELECT count(*) FROM unal.ns.t").head.getLong(0)
+        === ordersDF.filter(col("o_totalprice") < 400000.0).count())
+    } finally {
+      spark.conf.unset("spark.sql.catalog.unal")
+      spark.conf.unset("spark.sql.catalog.unal.warehouse")
+    }
+  }
 }
