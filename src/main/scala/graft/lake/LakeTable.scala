@@ -571,28 +571,27 @@ final class LakeTable private[lake] (
     * is `coalesce(materialized cell, firstRowId + row position)`: the
     * same resolution rule LakeScan.rowLineage serves readers, evaluated
     * here so the rewrite can persist it into the files it writes. The
-    * per-file id base joins as a driver-resident broadcast on the
-    * scheme-normalized path — O(files), zero shuffle of the data side.
+    * per-file id base rides as a MAP LITERAL keyed by the reader's own
+    * path render ([[LakeTable.readerPath]] — the DV/tombstone
+    * invariant), so the lookup is one codegen'd element_at per row: no
+    * join, no per-row regex, no shuffle (the first cut joined a
+    * broadcast frame on a regexp-normalized path and cost CoW scenario
+    * queries ~1.6-2× in the round-14 bench). A missing path NULLs the
+    * id — never drops the row — and readers refuse on it honestly.
     * Callers gate on [[canCarryRowIds]] first. */
   private[lake] def readLiveWithRowIds(spark: SparkSession,
       files: Seq[DataFileEntry], snap: Option[Snapshot]): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, regexp_replace}
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, typedLit}
     val pos = snap.map(_.deleteFiles).getOrElse(Nil)
     val eqs = snap.map(_.eqDeleteFiles).getOrElse(Nil)
     val dvs = snap.map(_.dvFiles).getOrElse(Nil)
     val base = readLivePos(spark, files, pos, eqs, dvs, withRowId = true)
-    val spark0 = spark
-    import spark0.implicits._
-    def norm(c: Column) = regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
-    val firsts = files.map(f => (f.path, f.firstRowId.getOrElse(-1L)))
-      .toDF("__graft_rid_path", "__graft_first_rid")
-    // LEFT join: a path-render mismatch must never DROP rows from a
-    // rewrite (that would be data loss) — it only nulls the id, which
-    // readers then refuse on honestly
-    base.join(broadcast(firsts),
-      norm(col(LakeTable.PosFileCol)) === norm(col("__graft_rid_path")), "left")
+    val firsts: Map[String, Long] = files.flatMap(f =>
+      f.firstRowId.map(r => LakeTable.readerPath(f.path) -> r)).toMap
+    base
       .withColumn(LakeTable.RowIdCol, coalesce(col(LakeTable.MatRidCol),
-        col("__graft_first_rid") + col(LakeTable.PosIdxCol)))
+        element_at(typedLit(firsts), col(LakeTable.PosFileCol)) +
+          col(LakeTable.PosIdxCol)))
       .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)) :+
         col(LakeTable.RowIdCol): _*)
   }
@@ -2328,18 +2327,20 @@ final class LakeTable private[lake] (
             // a matched source row CONTINUES its target row's id (min
             // over legal duplicate target keys — deterministic); a
             // source-only row writes a NULL cell and derives a fresh id
-            // from the new file's own commit range. The target reads
-            // twice (anti-join + id lookup) but the id pass prunes to
-            // key + id columns.
+            // from the new file's own commit range. The target feeds
+            // two consumers (anti-join + id lookup) and persists across
+            // them so the touched files read once.
             val tgt =
-              if (touched.isEmpty) src.limit(0).withColumn(LakeTable.RowIdCol,
+              (if (touched.isEmpty) src.limit(0).withColumn(LakeTable.RowIdCol,
                 F.lit(null).cast(org.apache.spark.sql.types.LongType))
-              else readLiveWithRowIds(spark, touched, baseSnap)
-            val kept = tgt.join(src.select(keys.map(F.col): _*), keys, "left_anti")
-            val tgtIds = tgt.groupBy(keys.map(F.col): _*)
-              .agg(F.min(F.col(LakeTable.RowIdCol)).as(LakeTable.RowIdCol))
-            val srcWithIds = src.join(tgtIds, keys, "left")
-            writeDataFiles(kept.unionByName(srcWithIds), carryRowIds = true)
+              else readLiveWithRowIds(spark, touched, baseSnap)).persist()
+            try {
+              val kept = tgt.join(src.select(keys.map(F.col): _*), keys, "left_anti")
+              val tgtIds = tgt.groupBy(keys.map(F.col): _*)
+                .agg(F.min(F.col(LakeTable.RowIdCol)).as(LakeTable.RowIdCol))
+              val srcWithIds = src.join(tgtIds, keys, "left")
+              writeDataFiles(kept.unionByName(srcWithIds), carryRowIds = true)
+            } finally tgt.unpersist(blocking = false)
           }
         // serializable: a racing append inside the key bounds would leave
         // duplicate live keys after this upsert — fail and retry instead
@@ -3988,14 +3989,14 @@ final class LakeScan private[lake] (
     * write (round 14). The refusal below is reserved for tables whose
     * lineage is GENUINELY broken: a rewrite that ran before
     * carry-through existed, or one whose caller-provided transform
-    * dropped the id column. Scale shape: the per-file id base is a
-    * driver-resident broadcast join keyed on the scheme-normalized
-    * path — O(planned files), exactly the join `_spec_id`/`_partition`
-    * already ride; the materialized cell is one extra long column read
-    * only from rewritten files. */
+    * dropped the id column. Scale shape: the per-file id base is a MAP
+    * LITERAL keyed by the reader's path render — O(planned files)
+    * driver-side, one codegen'd element_at per row, no join and no
+    * shuffle; the materialized cell is one extra long column read only
+    * from rewritten files. */
   def rowLineage(spark: SparkSession,
       withPartitionInfo: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, regexp_replace}
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, typedLit}
     import org.apache.spark.sql.types.LongType
     require(!table.metadata.properties
       .get(LakeTable.RowLineageBrokenProp).contains("true"),
@@ -4013,18 +4014,12 @@ final class LakeScan private[lake] (
         .withColumn("_row_id",
           org.apache.spark.sql.functions.lit(0L).cast(LongType))
     else {
-      val spark0 = spark
-      import spark0.implicits._
-      def norm(c: org.apache.spark.sql.Column) =
-        regexp_replace(c, "^[a-zA-Z0-9.+-]+:/+", "/")
-      val base = files.map(f => (f.path, f.firstRowId.get))
-        .toDF("__graft_rid_path", "__graft_first_rid")
+      val firsts: Map[String, Long] = files.map(f =>
+        LakeTable.readerPath(f.path) -> f.firstRowId.get).toMap
       toDFWithPositionsImpl(spark, withPartitionInfo, withRowId = true)
-        .join(broadcast(base),
-          norm(col("_file")) === norm(col("__graft_rid_path")))
         .withColumn("_row_id", coalesce(col(LakeTable.MatRidCol),
-          col("__graft_first_rid") + col("_pos")))
-        .drop("__graft_rid_path", "__graft_first_rid", LakeTable.MatRidCol)
+          element_at(typedLit(firsts), col("_file")) + col("_pos")))
+        .drop(LakeTable.MatRidCol)
     }
   }
 

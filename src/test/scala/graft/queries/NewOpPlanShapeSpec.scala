@@ -106,15 +106,14 @@ class NewOpPlanShapeSpec extends LakeSuite {
     }
   }
 
-  test("row-lineage read joins the per-file id base as a broadcast (round 14)") {
+  test("row-lineage read attaches the id base without ANY join (round 14)") {
     // the lake_row_lineage scenario's final read: the O(planned files)
-    // firstRowId map must broadcast onto the scan — a sort-merge join
-    // here would shuffle the whole table to attach a driver-resident
-    // constant per file
+    // firstRowId base rides as a map-literal element_at per row — no
+    // join at all (the first cut broadcast-joined on a regexp-
+    // normalized path and cost CoW scenarios ~1.6-2×), so a join of
+    // any kind here is a regression
     val plan = planOf(LakeQueries.lakeRowLineage(spark, d))
-    assert(plan.contains("BroadcastHashJoin"),
-      "the id-base join must broadcast:\n" + plan)
-    assert(!plan.contains("SortMergeJoin"),
-      "the lineage read degenerated to a sort-merge join:\n" + plan)
+    assert(!plan.contains("Join"),
+      "the lineage read must not join for the id base:\n" + plan)
   }
 }
