@@ -5,7 +5,8 @@ import graft.lake.LakeSuite
 /** The dedup_simhash pair-budget gate (round 12): under the budget the
   * query materializes the exact pair set it always did; past the
   * budget it refuses loudly and points at the linear-output
-  * `dedup_clusters` path — never a silently truncated pair table. */
+  * `simhash_clusters` twin (round 14 — previously the shingle-jaccard
+  * clusters) — never a silently truncated pair table. */
 class SimhashGateSpec extends LakeSuite {
 
   private val d = "/root/testdata/sf0.001"
@@ -22,7 +23,7 @@ class SimhashGateSpec extends LakeSuite {
       val e = intercept[IllegalStateException] {
         TextQueries.qSimhashDedup(spark, d).collect()
       }
-      assert(e.getMessage.contains("dedup_clusters"))
+      assert(e.getMessage.contains("simhash_clusters"))
       assert(e.getMessage.contains("pairBudget"))
     } finally {
       spark.conf.unset("graft.simhashDedup.pairBudget")
