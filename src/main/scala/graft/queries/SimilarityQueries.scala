@@ -150,6 +150,41 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Embedding-drift monitor (round 14) — the data-quality check an
+    * embedding pipeline runs when a model or corpus slice changes: per
+    * label, the centroid L1 distance between the even- and odd-vec_id
+    * halves, in EXACT quantized units. The mean difference per
+    * dimension is (S1j/n1 − S2j/n2); scaling by n1·n2 keeps it integer:
+    * drift_q = Σ_j |n2·S1j − n1·S2j| div (n1·n2) over floor(x·2¹⁵)
+    * quantized components (|n·S| ≤ 2.3e9 at sf0.1 — long-safe, and abs
+    * makes the truncating div flooring, so both engines agree). A drift
+    * far above its label's peers flags a slice whose two halves came
+    * from different distributions. Scale shape: one posexplode to
+    * (label, half, dim) — 64 rows per vector — then two rollups and a
+    * |labels|·64-row join; nothing is ever pairwise. */
+  def qEmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val qe = embeddings(s, d).select(col("label").cast("long").as("label"),
+      (col("vec_id") % 2).as("half"),
+      expr(s"transform(embedding, x -> CAST(floor(x * $QScale) AS LONG))")
+        .as("qv"))
+    val ex = qe.select(col("label"), col("half"),
+      posexplode(col("qv")).as(Seq("j", "q")))
+    val sums = ex.groupBy(col("label"), col("half"), col("j"))
+      .agg(sum(col("q")).as("sj"))
+    val ns = qe.groupBy(col("label"), col("half"))
+      .agg(count(lit(1)).as("n"))
+    val wide = sums.join(ns, Seq("label", "half"))
+      .groupBy(col("label"), col("j"))
+      .agg(sum(when(col("half") === 0, col("sj"))).as("s0"),
+        sum(when(col("half") === 1, col("sj"))).as("s1"),
+        sum(when(col("half") === 0, col("n"))).as("n0"),
+        sum(when(col("half") === 1, col("n"))).as("n1"))
+    wide.groupBy(col("label"))
+      .agg(max(col("n0")).as("n_even"), max(col("n1")).as("n_odd"),
+        sum(expr("abs(n1 * s0 - n0 * s1) div (n0 * n1)")).as("drift_q"))
+      .orderBy(col("label"))
+  }
+
   /** 64 ±1 hyperplanes, sign(i,j) from MD5 parity of "hp-i-j" — the
     * engine-independent seed convention shared with the MinHash oracle.
     * sign(⌊±1·2¹⁵⌋·Σ±q_j) = sign(Σ±s_j·q_j), so [[qdot]] against the
@@ -1033,6 +1068,7 @@ object SimilarityQueries {
     "sq8_error" -> qSq8Error,
     "cosine_topk_brute" -> qCosineTopkBrute,
     "hard_negatives" -> qHardNegatives,
+    "embedding_drift" -> qEmbeddingDrift,
     "ann_lsh" -> qAnnLsh,
     "ivf_ann" -> qIvfAnn,
     "ann_recall" -> qAnnRecall,
@@ -1427,6 +1463,34 @@ object SimilarityQueries {
       s"""WITH $oracleBaseCtes, $bruteCtes
          |SELECT q_id, vec_id, score, CAST(rn AS BIGINT) AS rn
          |FROM branked WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    // per-(label, half, dim) sums re-derived from the shared quantized
+    // CTE; abs before the flooring div keeps both engines exact
+    "embedding_drift" ->
+      s"""WITH $oracleBaseCtes, ex AS (
+         |  SELECT e.label, e.vec_id % 2 AS half, t.j, q.qv[t.j + 1] AS q
+         |  FROM embeddings e JOIN qe q ON q.vec_id = e.vec_id,
+         |    (SELECT unnest(range(64)) AS j) t
+         |), sums AS (
+         |  SELECT label, half, j, CAST(sum(q) AS BIGINT) AS sj
+         |  FROM ex GROUP BY label, half, j
+         |), ns AS (
+         |  SELECT label, vec_id % 2 AS half, count(*) AS n
+         |  FROM embeddings GROUP BY label, vec_id % 2
+         |), wide AS (
+         |  SELECT s.label, s.j,
+         |    sum(CASE WHEN s.half = 0 THEN s.sj END) AS s0,
+         |    sum(CASE WHEN s.half = 1 THEN s.sj END) AS s1,
+         |    sum(CASE WHEN s.half = 0 THEN n.n END) AS n0,
+         |    sum(CASE WHEN s.half = 1 THEN n.n END) AS n1
+         |  FROM sums s JOIN ns n ON n.label = s.label AND n.half = s.half
+         |  GROUP BY s.label, s.j
+         |)
+         |SELECT CAST(label AS BIGINT) AS label,
+         |  CAST(max(n0) AS BIGINT) AS n_even,
+         |  CAST(max(n1) AS BIGINT) AS n_odd,
+         |  CAST(sum(abs(n1 * s0 - n0 * s1) // (n0 * n1)) AS BIGINT)
+         |    AS drift_q
+         |FROM wide GROUP BY label ORDER BY label""".stripMargin,
     // brute scorer + the label anti-predicate inside the pair CTE
     "hard_negatives" ->
       s"""WITH $oracleBaseCtes, lab AS (

@@ -158,6 +158,14 @@ class RowLineageSpec extends LakeSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1)))
       assert(after.toSeq == rows.filterNot(_._1 == 2L).toSeq,
         "DV delete moved a surviving row's id")
+      // ... and a COMPACTION keeps them too through the SQL metadata
+      // column (round 14 carry-through: the substitution rule's
+      // metaPlan reads the materialized cells from the rewritten file)
+      spark.sql("CALL rlc.system.rewrite_data_files('ns.t', 1)")
+      val compacted = spark.sql("SELECT k, _row_id FROM rlc.ns.t ORDER BY _row_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(compacted.toSeq == after.toSeq,
+        "compaction moved a surviving row's id in the SQL read")
     } finally {
       spark.conf.unset("spark.sql.catalog.rlc")
       spark.conf.unset("spark.sql.catalog.rlc.warehouse")
