@@ -61,8 +61,12 @@ object BenchScaled {
     "q_ev_autocorr", "q_ev_changepoint", "q_ev_seq_patterns", "q_ev_paths",
     "q_ev_survival", "q_ev_cuped", "q_ev_seasonality",
     "lake_row_lineage", "q_text_roundtrip",
-    // round-14: the Y4M codec (decode is the modal family's cost center)
-    "multimodal_video_codec",
+    // round-14: the Y4M codec (decode is the modal family's cost
+    // center), the simhash linear twin (the pair path's escape must
+    // show sublinear), the embedding-family additions, and the
+    // incremental-MV scenario (refresh cost must track the delta)
+    "multimodal_video_codec", "simhash_clusters", "hard_negatives",
+    "ngram_diversity", "embedding_drift", "lake_incr_mv",
     "q_trade_volume", "q_multi_supplier_orders", "split_contamination",
     "minhash_accuracy", "q_ev_bounce_rate")
 
