@@ -107,7 +107,40 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
     if (pendingMeta) plan else substitute(plan)
   }
 
-  private def substitute(p: LogicalPlan): LogicalPlan = p match {
+  private def substitute(p: LogicalPlan): LogicalPlan = substitute(p, Nil)
+
+  /** A conjunct may ride the pruning context only when it is fully
+    * analyzed, deterministic, and subquery-free: the context exists
+    * purely to LENIENTLY prune manifests at a substituted scan, so a
+    * conjunct that cannot be safely re-evaluated against a superset of
+    * rows (rand(), subqueries) must never narrow the file list. */
+  private def ctxSafe(e: Expression): Boolean =
+    e.resolved && e.deterministic && !e.exists(_.isInstanceOf[SubqueryExpression])
+
+  /** The context conjuncts that speak only about THIS relation's
+    * columns. Attribute ids are plan-unique (DeduplicateRelations), so
+    * a reference-subset test is exact even under self-joins. */
+  private def ctxFor(ctx: Seq[Expression], r: DataSourceV2Relation): Seq[Expression] =
+    ctx.filter(_.references.subsetOf(r.outputSet))
+
+  /** Recursive substitution carrying a PRUNING CONTEXT: the conjuncts of
+    * every enclosing Filter that are still known to hold, row-for-row,
+    * at this subtree's output. A live-tombstone relation reached under a
+    * join (`SELECT … FROM fact JOIN dim … WHERE fact.p` — the common BI
+    * shape) thus still hands `fact.p`'s lenient manifest form to
+    * planFiles, instead of the round-14 behavior of substituting an
+    * UNPRUNED scan whenever the Filter was not adjacent. The context is
+    * advisory only — the exact residual Filter never moves — so the
+    * propagation rules below must merely guarantee the conjunct is
+    * row-level TRUE for every source row that can still reach the
+    * filter: joins propagate per Catalyst's pushdown side rules (never
+    * into a null-producing outer side; ON conjuncts join the context on
+    * sides where a failing row provably cannot contribute), Projects
+    * remap through their aliases, Sorts pass through, and every other
+    * operator (Limit, Aggregate, Window, Union, Generate…) RESETS the
+    * context — pruning below a Limit or a whole-partition Window would
+    * change results. */
+  private def substitute(p: LogicalPlan, ctx: Seq[Expression]): LogicalPlan = p match {
     // command targets MUST remain catalog relations (see scaladoc);
     // V2 write commands (AppendData et al) keep their target out of
     // `children`, so only the pre-resolution INSERT statement and the
@@ -115,8 +148,8 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
     case u: UpdateTable => u
     case m: MergeIntoTable => m
     case d: DeleteFromTable => d
-    case i: InsertIntoStatement => i.copy(query = substitute(i.query))
-    // a Filter directly over the relation (modulo SubqueryAlias — the
+    case i: InsertIntoStatement => i.copy(query = substitute(i.query, Nil))
+    // a Filter over the relation (modulo SubqueryAlias — the
     // `SELECT ... WHERE p` shape) hands its condition to the scan in
     // lenient manifest form, so a live-tombstone SQL read keeps
     // MANIFEST-level file skipping; the full condition stays on top as
@@ -126,30 +159,75 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
     case f @ Filter(cond, child) =>
       val cond2 = cond.transformUp {
         case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-          se.withNewPlan(substitute(se.plan))
+          se.withNewPlan(substitute(se.plan, Nil))
       }
       relationUnder(child) match {
         case Some((r, t)) if f.resolved && hasMetaCols(r) =>
-          Filter(cond2, metaPlan(r, t, pruningPred(cond2)))
+          Filter(cond2, metaPlan(r, t,
+            pruningPredOf(splitConjunctivePredicates(cond2) ++ ctxFor(ctx, r))))
         case Some((r, t)) if f.resolved =>
-          morPlan(r, t, pruningPred(cond2)) match {
+          morPlan(r, t,
+            pruningPredOf(splitConjunctivePredicates(cond2) ++ ctxFor(ctx, r))) match {
             case Some(sub) => Filter(cond2, sub)
             case None => // no live tombstones: direct scan + pushdown
               if (cond2 eq cond) f else Filter(cond2, child)
           }
         case Some(_) => f
-        case None => Filter(cond2, substitute(child))
+        case None =>
+          val add = if (f.resolved)
+            splitConjunctivePredicates(cond2).filter(ctxSafe) else Nil
+          Filter(cond2, substitute(child, ctx ++ add))
+      }
+    case j @ Join(left, right, joinType, condition, hint) =>
+      val cond2 = condition.map(_.transformUp {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          se.withNewPlan(substitute(se.plan, Nil))
+      })
+      // ON conjuncts prune a side only where a row failing the conjunct
+      // provably cannot contribute to output: both sides of INNER/CROSS,
+      // the non-preserved side of an outer join (an unmatched right row
+      // of a LEFT OUTER never appears), both sides of a SEMI, and only
+      // the RIGHT of an ANTI (a left row failing ON has no match and is
+      // KEPT by the anti-join — pruning it would drop it).
+      val onConjs =
+        if (j.resolved) cond2.map(splitConjunctivePredicates).getOrElse(Nil)
+          .filter(ctxSafe)
+        else Nil
+      import org.apache.spark.sql.catalyst.plans.{Cross, Inner, LeftAnti, LeftOuter, LeftSemi, RightOuter}
+      val (lctx, rctx) = joinType match {
+        case Inner | Cross => (ctx ++ onConjs, ctx ++ onConjs)
+        case LeftOuter => (ctx, onConjs)
+        case RightOuter => (onConjs, ctx)
+        case LeftSemi => (ctx ++ onConjs, onConjs)
+        case LeftAnti => (ctx, onConjs)
+        case _ => (Seq.empty[Expression], Seq.empty[Expression])
+      }
+      Join(substitute(left, lctx), substitute(right, rctx), joinType, cond2, hint)
+    case pr @ Project(list, child) =>
+      val list2 = list.map(_.transformUp {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          se.withNewPlan(substitute(se.plan, Nil))
+      }.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+      val ctx2 = if (pr.resolved)
+        ctx.map(replaceAlias(_, getAliasMap(pr))).filter(ctxSafe) else Nil
+      Project(list2, substitute(child, ctx2))
+    case sa: SubqueryAlias => sa.copy(child = substitute(sa.child, ctx))
+    case s: Sort =>
+      s.copy(child = substitute(s.child, ctx)).transformExpressionsUp {
+        case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+          se.withNewPlan(substitute(se.plan, Nil))
       }
     case r: DataSourceV2Relation => r.table match {
       case t: LakeSqlTable if hasMetaCols(r) =>
-        metaPlan(r, t, LakePredicate.AlwaysTrue)
-      case t: LakeSqlTable => morPlan(r, t, LakePredicate.AlwaysTrue).getOrElse(r)
+        metaPlan(r, t, pruningPredOf(ctxFor(ctx, r)))
+      case t: LakeSqlTable =>
+        morPlan(r, t, pruningPredOf(ctxFor(ctx, r))).getOrElse(r)
       case _ => r
     }
     case other =>
-      other.mapChildren(substitute).transformExpressionsUp {
+      other.mapChildren(substitute(_, Nil)).transformExpressionsUp {
         case se: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-          se.withNewPlan(substitute(se.plan))
+          se.withNewPlan(substitute(se.plan, Nil))
       }
   }
 
@@ -163,13 +241,15 @@ object LakeMoRScanSubstitution extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
-  /** Catalyst condition → lenient manifest predicate: expressible
-    * conjuncts prune, the rest fall away (the residual above re-applies
-    * everything exactly). Constants fold first — this runs at analysis,
-    * before the optimizer, so literals sit under type-widening casts
-    * the filter translator refuses. */
-  private def pruningPred(cond: Expression): LakePredicate =
-    splitConjunctivePredicates(LakeRowLevelCommands.foldConstants(cond))
+  /** Catalyst conjuncts → lenient manifest predicate: expressible
+    * conjuncts prune, the rest fall away (the exact residual above
+    * re-applies everything). Constants fold first — this runs at
+    * analysis, before the optimizer, so literals sit under
+    * type-widening casts the filter translator refuses. */
+  private def pruningPredOf(conjuncts: Seq[Expression]): LakePredicate =
+    conjuncts
+      .flatMap(e => splitConjunctivePredicates(
+        LakeRowLevelCommands.foldConstants(e)))
       .flatMap(PlanBridge.translateFilter)
       .map(LakeSqlTable.toLakePredicateLenient)
       .reduceOption[LakePredicate](LakePredicate.And(_, _))

@@ -122,6 +122,73 @@ class MoRGateSpec extends LakeSuite {
       ordersDF.filter(col("o_orderkey") <= cutoff && col("o_orderstatus") =!= "F").count())
   }
 
+  test("SQL reads keep manifest pruning when the filter sits ABOVE a join (round 15)") {
+    val wh = freshWarehouse()
+    spark.conf.set("spark.sql.catalog.morjoin", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set("spark.sql.catalog.morjoin.warehouse", wh)
+    spark.sql("CREATE NAMESPACE morjoin.ns")
+    spark.sql(s"CREATE TABLE morjoin.ns.fact (${ordersDF.schema.toDDL}) " +
+      "TBLPROPERTIES ('write.sort-order'='o_orderkey')")
+    val t = LakeCatalog.open(wh).loadTable("ns", "fact")
+    t.appendData(ordersDF, numFiles = 4) // disjoint o_orderkey ranges
+    t.refresh().deleteWhereMoR(spark, LakePredicate.Eq("o_orderstatus", "F"))
+    val cutoff = ordersDF.selectExpr("percentile(o_orderkey, 0.2)").head().getDouble(0).toLong
+    // a plain-parquet dim joined to the MoR fact, filter ONLY above the join
+    ordersDF.select(col("o_custkey")).distinct().limit(200)
+      .createOrReplaceTempView("morjoin_dim")
+
+    def dataScanFiles(df: DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.inputFiles.count(p =>
+                p.endsWith(".parquet") && p.contains("/fact/"))
+            case _ => 0
+          }
+      }.filter(_ > 0).max
+
+    // before round 15 the substitution handed planFiles AlwaysTrue the
+    // moment any operator separated the Filter from the relation — the
+    // single most common BI shape read every fact file
+    val q = spark.sql(
+      s"""SELECT count(*) AS n FROM morjoin.ns.fact f
+         |JOIN morjoin_dim d ON f.o_custkey = d.o_custkey
+         |WHERE f.o_orderkey <= $cutoff""".stripMargin)
+    assert(dataScanFiles(q) < 4,
+      "filter-above-join did not prune the MoR fact scan")
+    val expected = ordersDF
+      .filter(col("o_orderkey") <= cutoff && col("o_orderstatus") =!= "F")
+      .join(spark.table("morjoin_dim"), "o_custkey").count()
+    assert(q.head().getLong(0) === expected)
+
+    // projection (aliasing) between filter and join still remaps: the
+    // context conjunct rewrites through the alias back onto o_orderkey
+    val q2 = spark.sql(
+      s"""SELECT count(*) AS n FROM (
+         |  SELECT f.o_orderkey AS k, f.o_orderstatus AS st
+         |  FROM morjoin.ns.fact f JOIN morjoin_dim d ON f.o_custkey = d.o_custkey
+         |) WHERE k <= $cutoff""".stripMargin)
+    assert(dataScanFiles(q2) < 4,
+      "filter above a projected join did not remap through the alias")
+    assert(q2.head().getLong(0) === expected)
+
+    // LEFT OUTER with the lake table on the null-producing side must
+    // NOT prune by the above-join filter (IS NULL would flip results);
+    // correctness is the assertion — file count may legitimately be 4
+    val q3 = spark.sql(
+      s"""SELECT count(*) AS n FROM morjoin_dim d
+         |LEFT JOIN morjoin.ns.fact f ON f.o_custkey = d.o_custkey
+         |WHERE f.o_orderkey IS NULL OR f.o_orderkey <= $cutoff""".stripMargin)
+    val live = ordersDF.filter(col("o_orderstatus") =!= "F")
+    val expected3 = spark.table("morjoin_dim")
+      .join(live, Seq("o_custkey"), "left")
+      .filter(col("o_orderkey").isNull || col("o_orderkey") <= cutoff).count()
+    assert(dataScanFiles(q3) === 4,
+      "outer-join null side must not prune by the enclosing filter")
+    assert(q3.head().getLong(0) === expected3)
+  }
+
   test("serializable validation conflicts with a concurrent MoR delete (no resurrection)") {
     val cat = LakeCatalog.open(freshWarehouse())
     val t = cat.createTable("ns", "gate3", ordersDF.schema)
