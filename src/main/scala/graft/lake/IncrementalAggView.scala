@@ -4,70 +4,246 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental materialized AGGREGATE view — the batch-changelog
-  * payoff (incremental view maintenance): a COUNT/SUM rollup of a base
-  * table kept fresh at O(delta + |view|) refresh cost, never a base
-  * rescan. The algebra is the classic delta-maintenance rule for
-  * distributive aggregates: the changelog's `insert` rows contribute
-  * +1/+value and `delete` rows −1/−value, so a copy-on-write rewrite's
-  * carried survivors cancel exactly (their delete and insert deltas
+  * payoff (incremental view maintenance): a COUNT/SUM/MIN/MAX rollup
+  * of a base table kept fresh at O(delta + |view|) refresh cost, never
+  * an unconditional base rescan.
+  *
+  * COUNT/SUM use the classic delta-maintenance rule for distributive
+  * aggregates: the changelog's `insert` rows contribute +1/+value and
+  * `delete` rows −1/−value, so a copy-on-write rewrite's carried
+  * survivors cancel exactly (their delete and insert deltas
   * annihilate), row-level deletes subtract, updates move mass between
   * groups via their delete+insert pair, and compactions (skipped by
   * the changelog as no logical change) cost nothing. Sum columns must
   * be INTEGER expressions over base rows (the floor-cents device for
   * money) — exact group arithmetic, no float drift across refreshes.
   *
+  * MIN/MAX are NOT distributive under deletion: an insert can only
+  * improve the stored extremum (merge with least/greatest), but a
+  * delete that ties it may retract it, and the new extremum lives only
+  * in the base. The scale-honest close is the AFFECTED-GROUP rescan:
+  * a group re-aggregates from base ONLY when a NET-deleted value ties
+  * its candidate extremum (provably `net_del_min >= cand_min`, so `<=`
+  * fires exactly on ties), with the affected-key filter pushed into
+  * `planFiles` for stats pruning when the set is driver-collectable
+  * ([[RescanKeyPushdownCap]]) and a broadcast semi-join keeping the
+  * scan exact either way. Everything else merges distributively.
+  * "NET" matters: a copy-on-write rewrite's changelog re-emits every
+  * carried survivor as a delete+insert pair — including each group's
+  * extremum rows — so the retraction probe first cancels per-value
+  * pairs (one extra delta-sized shuffle per distinct extremum
+  * expression) and only values whose multiset count truly decreased
+  * can force a rescan. Without it every CoW delete would rescan every
+  * group it touched.
+  *
   * One refresh = ONE atomic commit on the view table: the re-aggregated
   * contents replace the old files and the base-snapshot watermark
   * property moves in the same CAS transform — a reader never sees a
   * view claiming a watermark its rows don't reflect, and a crashed
   * refresh leaves the old view intact (the next refresh re-reads the
-  * same delta).
+  * same delta). CONCURRENT refreshes serialize through that CAS: the
+  * transform re-checks (against the winner's metadata, inside the
+  * retry loop) that the watermark it read is still current, throws
+  * [[CommitConflictException]] if another refresh moved it, and the
+  * loser re-runs from the new watermark — usually a no-op. No
+  * double-count, watermark monotone.
   *
   * Scale shape: the delta aggregation shuffles O(changed rows) on the
-  * view keys, the merge re-aggregates O(|view| + |delta groups|) rows
-  * (the view is group-sized, not base-sized), and the view rewrite is
-  * O(|view|). At 100 TB with a group-sized view this is the difference
-  * between a nightly full rebuild and a minute-scale refresh. */
+  * view keys, the merge joins O(|view| + |delta groups|) group-sized
+  * rows, the rescan touches only affected groups' files, and the view
+  * rewrite is O(|view|). At 100 TB with a group-sized view this is the
+  * difference between a nightly full rebuild and a minute-scale
+  * refresh. */
 object IncrementalAggView {
   /** View table property carrying the base snapshot the contents
     * reflect. Advanced inside the refresh commit's CAS transform. */
   val WatermarkProp = "incr-view.base-snapshot-id"
 
+  /** Above this many affected groups the rescan stops collecting keys
+    * for planFiles pruning and relies on the semi-join alone — the
+    * driver never holds a data-proportional key list. */
+  val RescanKeyPushdownCap = 10000
+
+  /** `deltaGroups` counts groups the changelog delta touched (the
+    * merge's working set), `rescannedGroups` counts groups whose
+    * extremum retraction forced a base re-aggregation. */
   final case class RefreshReport(fromSnapshotId: Long, toSnapshotId: Long,
-      deltaRows: Long, refreshed: Boolean)
+      deltaGroups: Long, rescannedGroups: Long, refreshed: Boolean)
 
   /** Bring `view` up to date with `base`. The view schema must be
-    * `keys ++ cnt: long ++ sums.map(_._1): long`. `sums` are integer
-    * Column expressions over BASE rows (e.g. floor-cents). */
+    * `keys ++ cnt: long ++ sums.map(_._1): long ++ mins.map(_._1) ++
+    * maxs.map(_._1)` in that order. `sums` are integer Column
+    * expressions over BASE rows (e.g. floor-cents); `mins`/`maxs` are
+    * any orderable expressions whose type matches the view column.
+    * Retries [[CommitConflictException]] (a racing refresh moved the
+    * watermark) by re-running from the fresh watermark. */
   def refresh(spark: SparkSession, base: LakeTable, view: LakeTable,
-      keys: Seq[String], sums: Seq[(String, Column)]): RefreshReport = {
+      keys: Seq[String], sums: Seq[(String, Column)],
+      mins: Seq[(String, Column)] = Nil,
+      maxs: Seq[(String, Column)] = Nil,
+      maxAttempts: Int = 5): RefreshReport = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return refreshOnce(spark, base, view, keys, sums, mins, maxs)
+      catch {
+        case _: CommitConflictException if attempt < maxAttempts => // re-read
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def refreshOnce(spark: SparkSession, base: LakeTable,
+      view: LakeTable, keys: Seq[String], sums: Seq[(String, Column)],
+      mins: Seq[(String, Column)], maxs: Seq[(String, Column)]): RefreshReport = {
+    val outNames = keys ++ ("cnt" +: (sums ++ mins ++ maxs).map(_._1))
+    require(outNames.distinct.size == outNames.size,
+      s"duplicate output column among $outNames")
     val b = base.refresh()
     val head = b.metadata.currentSnapshotId
     val v = view.refresh()
     val last = v.metadata.properties.get(WatermarkProp)
       .map(_.toLong).getOrElse(0L)
     if (head == last || head == -1L)
-      return RefreshReport(last, head, 0L, refreshed = false)
+      return RefreshReport(last, head, 0L, 0L, refreshed = false)
+
     val delta = b.changelog(spark, last, Some(head))
     val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    val aggExprs = sum(sgn).as("cnt") +:
-      sums.map { case (n, c) => sum(sgn * c).as(n) }
-    val deltaAgg = delta.groupBy(keys.map(col): _*)
-      .agg(aggExprs.head, aggExprs.tail: _*)
-    val deltaRows = deltaAgg.count()
-    val mergeExprs = sum(col("cnt")).as("cnt") +:
-      sums.map { case (n, _) => sum(col(n)).as(n) }
-    val merged = v.newScan().toDF(spark).unionByName(deltaAgg)
-      .groupBy(keys.map(col): _*)
-      .agg(mergeExprs.head, mergeExprs.tail: _*)
-      // a group whose every row died leaves a zero-count residue row —
-      // it must VANISH, exactly as a full recompute would drop it
-      .filter(col("cnt") =!= 0L)
-    val added = v.writeDataFiles(merged)
-    v.commitSnapshot("replace", added, v.metadata.currentFiles,
-      dropDeletes = true,
-      transformMeta = m => m.copy(properties =
-        m.properties + (WatermarkProp -> head.toString)))
-    RefreshReport(last, head, deltaRows, refreshed = true)
+    // one pass over the delta for the distributive columns...
+    val dAggs = sum(sgn).as("__d_cnt") +:
+      sums.map { case (n, c) => sum(sgn * c).as(s"__d_$n") }
+    val distAgg = delta.groupBy(keys.map(col): _*)
+      .agg(dAggs.head, dAggs.tail: _*)
+    // ...plus, per distinct extremum expression, a NET per-value pass:
+    // a CoW rewrite's carried survivors arrive as delete+insert pairs
+    // of the same value and must annihilate before the retraction
+    // probe, else every rewrite falsely retracts its groups' extrema.
+    // net > 0 → genuinely new occurrences (candidate side); net < 0 →
+    // multiset truly shrank at that value (retraction side).
+    val extremaAggs = dedupeByExpr(mins.map((_, true)) ++
+      maxs.map((_, false))).map { case (c, uses) =>
+      val net = delta.groupBy(keys.map(col) :+ c.as("__v"): _*)
+        .agg(sum(sgn).as("__net"))
+      val cands = uses.map {
+        case (n, true) => // min column
+          Seq(min(when(col("__net") > 0L, col("__v"))).as(s"__inm_$n"),
+            min(when(col("__net") < 0L, col("__v"))).as(s"__dlm_$n"))
+        case (n, false) => // max column
+          Seq(max(when(col("__net") > 0L, col("__v"))).as(s"__inx_$n"),
+            max(when(col("__net") < 0L, col("__v"))).as(s"__dlx_$n"))
+      }.flatten
+      net.groupBy(keys.map(col): _*).agg(cands.head, cands.tail: _*)
+    }
+    // all sides group the SAME delta, so their key sets coincide up to
+    // all-null-value groups — full_outer keeps the union exact
+    val deltaAgg = extremaAggs.foldLeft(distAgg)(
+      _.join(_, keys, "full_outer")).persist()
+    try {
+      val deltaGroups = deltaAgg.count() // materializes the persist
+      // full-outer merge on the keys (using-columns join coalesces
+      // them): distributive columns add, extrema take least/greatest
+      // of (stored, inserted) — exact unless a delete ties the result
+      val joined = v.newScan().toDF(spark)
+        .join(deltaAgg, keys, "full_outer")
+      val newCnt = (coalesce(col("cnt"), lit(0L)) +
+        coalesce(col("__d_cnt"), lit(0L))).as("cnt")
+      val newSums = sums.map { case (n, _) =>
+        (coalesce(col(n), lit(0L)) + coalesce(col(s"__d_$n"), lit(0L))).as(n) }
+      // least/greatest skip nulls, so a group new to the view (stored
+      // null) or untouched by inserts merges correctly
+      val candMins = mins.map { case (n, _) =>
+        n -> least(col(n), col(s"__inm_$n")) }
+      val candMaxs = maxs.map { case (n, _) =>
+        n -> greatest(col(n), col(s"__inx_$n")) }
+      // every deleted value once lived in {view rows ∪ window inserts},
+      // so del_min >= cand_min and del_max <= cand_max: <=/>= fire
+      // exactly when a delete TIES the candidate — the only case where
+      // the survivor extremum is unknowable without the base
+      val rescanConds =
+        candMins.map { case (n, cand) =>
+          col(s"__dlm_$n").isNotNull && col(s"__dlm_$n") <= cand } ++
+        candMaxs.map { case (n, cand) =>
+          col(s"__dlx_$n").isNotNull && col(s"__dlx_$n") >= cand }
+      val rescanFlag =
+        if (rescanConds.isEmpty) lit(false)
+        else coalesce(rescanConds.reduce(_ || _), lit(false))
+      val merged = joined.select(keys.map(col) ++ (newCnt +: newSums) ++
+        candMins.map { case (n, c) => c.as(n) } ++
+        candMaxs.map { case (n, c) => c.as(n) } :+
+        rescanFlag.as("__rescan"): _*)
+        // a group whose every row died leaves a zero-count residue row —
+        // it must VANISH, exactly as a full recompute would drop it
+        .filter(col("cnt") =!= 0L)
+
+      val (finalDF, rescanned, rescanCache) =
+        if (rescanConds.isEmpty) (merged.drop("__rescan"), 0L, None)
+        else resolveRescans(spark, b, head, merged, keys, sums, mins, maxs)
+      try {
+        val added = v.writeDataFiles(finalDF.select(outNames.map(col): _*))
+        v.commitSnapshot("replace", added, v.metadata.currentFiles,
+          dropDeletes = true,
+          transformMeta = m => {
+            val cur = m.properties.get(WatermarkProp).map(_.toLong).getOrElse(0L)
+            if (cur != last)
+              throw new CommitConflictException(
+                s"view watermark moved $last -> $cur during refresh; " +
+                  "a concurrent refresh won — re-run from the new watermark")
+            m.copy(properties = m.properties + (WatermarkProp -> head.toString))
+          })
+        RefreshReport(last, head, deltaGroups, rescanned, refreshed = true)
+      } finally rescanCache.foreach(_.unpersist())
+    } finally deltaAgg.unpersist()
+  }
+
+  /** Group min/max columns sharing one value expression into one net
+    * pass (keyed on the column's unresolved string form — a miss only
+    * costs a redundant pass, never correctness). Each entry is
+    * (expression, uses) with uses = (outputName, isMin). */
+  private def dedupeByExpr(cols: Seq[((String, Column), Boolean)])
+      : Seq[(Column, Seq[(String, Boolean)])] =
+    cols.foldLeft(Vector.empty[(Column, Vector[(String, Boolean)])]) {
+      case (acc, ((n, c), isMin)) =>
+        val i = acc.indexWhere(_._1.toString == c.toString)
+        if (i < 0) acc :+ (c -> Vector(n -> isMin))
+        else acc.updated(i, acc(i)._1 -> (acc(i)._2 :+ (n -> isMin)))
+    }
+
+  /** Replace rescan-flagged groups with their exact re-aggregation
+    * from base at `head`. The affected-key set is group-sized; when it
+    * is small it is collected for an In-pushdown into planFiles (stats
+    * pruning skips untouched files) and broadcast into the semi-join;
+    * past [[RescanKeyPushdownCap]] the semi-join alone keeps the scan
+    * exact with no driver materialization. */
+  private def resolveRescans(spark: SparkSession, b: LakeTable, head: Long,
+      merged: DataFrame, keys: Seq[String], sums: Seq[(String, Column)],
+      mins: Seq[(String, Column)],
+      maxs: Seq[(String, Column)]): (DataFrame, Long, Option[DataFrame]) = {
+    // stays cached until the view write lands (caller unpersists): the
+    // semi-join consumes it lazily inside the final plan
+    val flaggedKeys = merged.filter(col("__rescan"))
+      .select(keys.map(col): _*).persist()
+    val nFlagged = flaggedKeys.count()
+    if (nFlagged == 0L) {
+      flaggedKeys.unpersist()
+      return (merged.drop("__rescan"), 0L, None)
+    }
+    val small = nFlagged <= RescanKeyPushdownCap
+    val pred =
+      if (small) LakePredicate.In(keys.head,
+        flaggedKeys.select(col(keys.head)).distinct()
+          .collect().map(_.get(0)).toSeq)
+      else LakePredicate.AlwaysTrue
+    val affected =
+      if (small) broadcast(flaggedKeys) else flaggedKeys
+    val baseRows = b.asOf(head, pred).toDF(spark)
+      .join(affected, keys, "left_semi")
+    val rAggs = count(lit(1)).as("cnt") +: (
+      sums.map { case (n, c) => sum(c).as(n) } ++
+      mins.map { case (n, c) => min(c).as(n) } ++
+      maxs.map { case (n, c) => max(c).as(n) })
+    val rescanAgg = baseRows.groupBy(keys.map(col): _*)
+      .agg(rAggs.head, rAggs.tail: _*)
+    (merged.filter(!col("__rescan")).drop("__rescan")
+      .unionByName(rescanAgg), nFlagged, Some(flaggedKeys))
   }
 }

@@ -217,17 +217,20 @@ private[sql] object LakeProcedures {
 
     // Incremental materialized-view refresh through SQL (the CALL form
     // of graft.lake.IncrementalAggView — Iceberg-style procedure next
-    // to the maintenance family). `keys` = 'c1,c2'; `sums` =
-    // 'name:expr;name2:expr2' (semicolons, because sum expressions
-    // carry commas); expressions evaluate over BASE rows and must be
-    // integer-typed for exact delta arithmetic.
+    // to the maintenance family). `keys` = 'c1,c2'; `aggs` =
+    // 'name:expr;name2:min:expr2;name3:max:expr3' (semicolons, because
+    // expressions carry commas): the bare form is a SUM (must be an
+    // integer expression over BASE rows for exact delta arithmetic),
+    // and an explicit 'min:'/'max:' kind routes through the
+    // affected-group-rescan extremum maintenance.
     "refresh_agg_view" -> new LakeProcedure(lake, "refresh_agg_view",
       Seq("base" -> StringType, "view" -> StringType,
-        "keys" -> StringType, "sums" -> StringType),
+        "keys" -> StringType, "aggs" -> StringType),
       StructType(Seq(
         StructField("from_snapshot_id", LongType, nullable = false),
         StructField("to_snapshot_id", LongType, nullable = false),
-        StructField("delta_rows", LongType, nullable = false),
+        StructField("delta_groups", LongType, nullable = false),
+        StructField("rescanned_groups", LongType, nullable = false),
         StructField("refreshed", BooleanType, nullable = false)))) {
       override protected def run(args: InternalRow): InternalRow = {
         def tbl(ref: String): LakeTable = {
@@ -237,11 +240,17 @@ private[sql] object LakeProcedures {
         }
         val keys = args.getUTF8String(2).toString
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        val sumSpecs = args.getUTF8String(3).toString
+        // (kind, name, expr) — view-schema order is keys ++ cnt ++
+        // sums ++ mins ++ maxs regardless of spec order
+        val aggSpecs = args.getUTF8String(3).toString
           .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
             val i = kv.indexOf(':')
-            require(i > 0, s"sum spec must be name:expr, got '$kv'")
-            kv.substring(0, i).trim -> kv.substring(i + 1)
+            require(i > 0, s"agg spec must be name[:min|:max]:expr, got '$kv'")
+            val name = kv.substring(0, i).trim
+            val rest = kv.substring(i + 1)
+            if (rest.startsWith("min:")) ("min", name, rest.substring(4))
+            else if (rest.startsWith("max:")) ("max", name, rest.substring(4))
+            else ("sum", name, rest)
           }
         val session = SparkSession.active
         val base = tbl(args.getUTF8String(0).toString)
@@ -257,17 +266,19 @@ private[sql] object LakeProcedures {
         val th = new Thread(() => {
           try {
             SparkSession.setActiveSession(session)
-            val sums = sumSpecs.map { case (n, e) =>
+            def of(kind: String) = aggSpecs.collect { case (`kind`, n, e) =>
               n -> org.apache.spark.sql.functions.expr(e) }
             out = graft.lake.IncrementalAggView.refresh(
-              session, base, view, keys, sums)
+              session, base, view, keys, of("sum"),
+              mins = of("min"), maxs = of("max"))
           } catch { case t: Throwable => err = t }
         }, "graft-refresh-agg-view")
         th.start()
         th.join()
         if (err != null) throw err
         new GenericInternalRow(Array[Any](
-          out.fromSnapshotId, out.toSnapshotId, out.deltaRows, out.refreshed))
+          out.fromSnapshotId, out.toSnapshotId, out.deltaGroups,
+          out.rescannedGroups, out.refreshed))
       }
     },
 

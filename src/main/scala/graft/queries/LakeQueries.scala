@@ -239,11 +239,17 @@ object LakeQueries {
     val view = cat.createTable("lakeq", "orders_mv", StructType(Seq(
       StructField("o_orderpriority", org.apache.spark.sql.types.StringType),
       StructField("cnt", LongType),
-      StructField("cents", LongType))))
+      StructField("cents", LongType),
+      StructField("min_cents", LongType),
+      StructField("max_cents", LongType))))
     val keys = Seq("o_orderpriority")
-    val sums = Seq("cents" -> expr("CAST(floor(o_totalprice * 100) AS LONG)"))
+    val cents = expr("CAST(floor(o_totalprice * 100) AS LONG)")
+    // min/max ride the non-distributive path: the >=400k delete below
+    // retracts every group's stored max, forcing the affected-group
+    // rescan (planFiles-pruned + semi-joined) instead of a full rebuild
     def refresh() = graft.lake.IncrementalAggView.refresh(
-      s, base, view, keys, sums)
+      s, base, view, keys, Seq("cents" -> cents),
+      mins = Seq("min_cents" -> cents), maxs = Seq("max_cents" -> cents))
     base.refresh().appendData(src, numFiles = 4)
     refresh() // initial build (delta = the whole first commit)
     base.refresh().deleteWhere(s,
@@ -1350,7 +1356,11 @@ object LakeQueries {
         |)
         |SELECT o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
-        |    AS cents
+        |    AS cents,
+        |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
         |FROM finalrows GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     // correlated scalar aggregates over the EVEN-key inner domain:

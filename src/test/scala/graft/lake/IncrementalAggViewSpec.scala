@@ -1,18 +1,24 @@
 package graft.lake
 
+import java.util.concurrent.CountDownLatch
+
 import org.apache.spark.sql.functions._
 
 /** Incremental view maintenance invariants the value oracle cannot
   * see: refreshes consume only the delta (watermark-to-head), a no-op
   * refresh commits nothing, each refresh is ONE commit moving contents
   * and watermark together, MoR tombstone deltas maintain correctly,
-  * and a randomized mutation sequence converges to the direct
-  * recompute. */
+  * MIN/MAX extremum retractions trigger the affected-group rescan
+  * (and ONLY then), a randomized mutation sequence converges to the
+  * direct recompute, and racing refreshes serialize through the view's
+  * CAS — loser retries, no double-count, watermark monotone. */
 class IncrementalAggViewSpec extends LakeSuite {
 
   private val keys = Seq("o_orderpriority")
-  private def sums = Seq(
-    "cents" -> expr("CAST(floor(o_totalprice * 100) AS LONG)"))
+  private val centsExpr = expr("CAST(floor(o_totalprice * 100) AS LONG)")
+  private def sums = Seq("cents" -> centsExpr)
+  private def mins = Seq("min_cents" -> centsExpr)
+  private def maxs = Seq("max_cents" -> centsExpr)
 
   private def mkTables(): (LakeTable, LakeTable) = {
     import org.apache.spark.sql.types._
@@ -20,44 +26,56 @@ class IncrementalAggViewSpec extends LakeSuite {
     val base = cat.createTable("ns", "b", ordersDF.schema)
     val view = cat.createTable("ns", "v", StructType(Seq(
       StructField("o_orderpriority", StringType),
-      StructField("cnt", LongType), StructField("cents", LongType))))
+      StructField("cnt", LongType), StructField("cents", LongType),
+      StructField("min_cents", LongType), StructField("max_cents", LongType))))
     (base, view)
   }
 
-  private def direct(t: LakeTable): Seq[(String, Long, Long)] =
+  private def refresh(base: LakeTable, view: LakeTable) =
+    IncrementalAggView.refresh(spark, base, view, keys, sums, mins, maxs)
+
+  private def direct(t: LakeTable): Seq[(String, Long, Long, Long, Long)] =
     t.refresh().newScan().toDF(spark)
       .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(expr("CAST(floor(o_totalprice * 100) AS LONG)")).as("cents"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .agg(count(lit(1)).as("cnt"), sum(centsExpr).as("cents"),
+        min(centsExpr).as("min_cents"), max(centsExpr).as("max_cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
       .sortBy(_._1).toSeq
 
-  private def viewRows(v: LakeTable): Seq[(String, Long, Long)] =
+  private def viewRows(v: LakeTable): Seq[(String, Long, Long, Long, Long)] =
     v.refresh().newScan().toDF(spark)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
       .sortBy(_._1).toSeq
 
   test("refreshes are incremental, atomic, and no-op-stable") {
     val (base, view) = mkTables()
     base.refresh().appendData(ordersDF, numFiles = 2)
-    val r1 = IncrementalAggView.refresh(spark, base, view, keys, sums)
+    val r1 = refresh(base, view)
     assert(r1.refreshed && r1.fromSnapshotId == 0L)
+    assert(r1.rescannedGroups == 0L,
+      "pure inserts merge distributively — no rescan")
     assert(viewRows(view) == direct(base))
     val v1 = view.refresh().metadata.snapshots.size
 
     // no-op: head == watermark → zero commits, report says so
-    val r2 = IncrementalAggView.refresh(spark, base, view, keys, sums)
-    assert(!r2.refreshed && r2.deltaRows == 0L)
+    val r2 = refresh(base, view)
+    assert(!r2.refreshed && r2.deltaGroups == 0L)
     assert(view.refresh().metadata.snapshots.size == v1, "no-op committed")
 
     // incremental: the next refresh starts AT the previous head, and
-    // one refresh = one commit even over two base commits
+    // one refresh = one commit even over two base commits. The >=450k
+    // delete retracts stored maxes → the rescan path must fire.
     base.refresh().deleteWhere(spark,
       LakePredicate.Ge("o_totalprice", Double.box(450000.0)))
     base.refresh().appendData(ordersDF.filter(col("o_orderkey") % 7 === 0))
-    val r3 = IncrementalAggView.refresh(spark, base, view, keys, sums)
+    val r3 = refresh(base, view)
     assert(r3.refreshed && r3.fromSnapshotId == r1.toSnapshotId,
       s"refresh must start at the prior watermark: $r3")
+    assert(r3.rescannedGroups > 0L, "max retraction must rescan")
     assert(view.refresh().metadata.snapshots.size == v1 + 1,
       "one refresh must be one commit")
     assert(viewRows(view) == direct(base))
@@ -68,7 +86,7 @@ class IncrementalAggViewSpec extends LakeSuite {
   test("MoR tombstones and group-moving updates maintain correctly") {
     val (base, view) = mkTables()
     base.refresh().appendData(ordersDF, numFiles = 2)
-    IncrementalAggView.refresh(spark, base, view, keys, sums)
+    refresh(base, view)
     // MoR delete: the batch changelog reconstructs tombstoned pre-images
     base.refresh().deleteWhereMoR(spark,
       LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
@@ -76,14 +94,34 @@ class IncrementalAggViewSpec extends LakeSuite {
     base.refresh().updateWhere(spark,
       LakePredicate.Eq("o_orderstatus", "F"),
       Map("o_orderpriority" -> lit("9-MOVED")))
-    IncrementalAggView.refresh(spark, base, view, keys, sums)
+    refresh(base, view)
     assert(viewRows(view) == direct(base))
+  }
+
+  test("non-tying deletes merge distributively — no rescan") {
+    val (base, view) = mkTables()
+    base.refresh().appendData(ordersDF)
+    refresh(base, view)
+    // delete a mid-price band: for any group whose min/max sit outside
+    // [100k, 200k] no deleted value ties an extremum. The report must
+    // show rescans ONLY for groups whose extremum the band clips.
+    val lo = direct(base).map(_._4).max // largest group-min, in cents
+    val hi = direct(base).map(_._5).min // smallest group-max
+    if (lo + 1 < hi) { // a band strictly inside every group's range
+      base.refresh().deleteWhere(spark, LakePredicate.And(
+        LakePredicate.Gt("o_totalprice", Double.box((lo + 1) / 100.0)),
+        LakePredicate.Lt("o_totalprice", Double.box((hi - 1) / 100.0))))
+      val r = refresh(base, view)
+      assert(r.rescannedGroups == 0L,
+        s"interior deletes must not rescan: $r")
+      assert(viewRows(view) == direct(base))
+    }
   }
 
   test("randomized mutation sequence converges to the direct recompute") {
     val (base, view) = mkTables()
     base.refresh().appendData(ordersDF.filter(col("o_orderkey") % 3 === 0))
-    IncrementalAggView.refresh(spark, base, view, keys, sums)
+    refresh(base, view)
     val rnd = new scala.util.Random(14)
     (0 until 6).foreach { i =>
       rnd.nextInt(4) match {
@@ -98,11 +136,55 @@ class IncrementalAggViewSpec extends LakeSuite {
         case 3 => base.refresh().compact(spark, targetFiles = 2)
       }
       if (rnd.nextBoolean()) {
-        IncrementalAggView.refresh(spark, base, view, keys, sums)
+        refresh(base, view)
         assert(viewRows(view) == direct(base), s"diverged after step $i")
       }
     }
-    IncrementalAggView.refresh(spark, base, view, keys, sums)
+    refresh(base, view)
     assert(viewRows(view) == direct(base))
+  }
+
+  test("racing refreshes serialize through the view CAS") {
+    val (base, view) = mkTables()
+    base.refresh().appendData(ordersDF, numFiles = 2)
+    refresh(base, view)
+    // two base commits, then two refreshes racing from the same
+    // watermark: the loser's CAS transform sees the moved watermark,
+    // throws conflict, and re-runs from the winner's head — never
+    // applying its delta twice and never regressing the watermark
+    base.refresh().deleteWhere(spark,
+      LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+    base.refresh().appendData(ordersDF.filter(col("o_orderkey") % 9 === 1)
+      .withColumn("o_orderkey", col("o_orderkey") + 900000000L))
+    val gate = new CountDownLatch(1)
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[
+      IncrementalAggView.RefreshReport]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { _ =>
+      new Thread(() => {
+        try {
+          org.apache.spark.sql.SparkSession.setActiveSession(spark)
+          gate.await()
+          reports.add(refresh(base, view))
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing refresh threw: ${errs.peek()}")
+    import scala.jdk.CollectionConverters._
+    val rs = reports.asScala.toSeq
+    assert(rs.size == 2)
+    // exactly one applied the delta; the other either saw a no-op
+    // (post-conflict re-run at the new watermark) or lost before
+    // committing — but never refreshed from a stale watermark twice
+    val applied = rs.filter(r => r.refreshed)
+    assert(applied.map(r => (r.fromSnapshotId, r.toSnapshotId))
+      .distinct.size == applied.size,
+      s"two refreshes applied the SAME delta window: $rs")
+    val head = base.refresh().metadata.currentSnapshotId
+    assert(view.refresh().metadata.properties(
+      IncrementalAggView.WatermarkProp).toLong == head,
+      "watermark must land on the base head")
+    assert(viewRows(view) == direct(base), "racing refreshes double-counted")
   }
 }

@@ -347,26 +347,35 @@ class LakeProcedureSpec extends LakeSuite {
     val (cat, wh) = sqlCat()
     val t = LakeCatalog.open(wh).loadTable("ns", "t")
     spark.sql(s"CREATE TABLE $cat.ns.v (o_orderpriority STRING, " +
-      "cnt BIGINT, cents BIGINT)")
+      "cnt BIGINT, cents BIGINT, max_cents BIGINT)")
     t.appendData(ordersDF, numFiles = 2)
     val call = s"CALL $cat.system.refresh_agg_view('ns.t', 'ns.v', " +
-      "'o_orderpriority', 'cents:CAST(floor(o_totalprice * 100) AS LONG)')"
+      "'o_orderpriority', 'cents:CAST(floor(o_totalprice * 100) AS LONG);" +
+      "max_cents:max:CAST(floor(o_totalprice * 100) AS LONG)')"
     val r1 = spark.sql(call).head
-    assert(r1.getBoolean(3) && r1.getLong(0) == 0L)
+    assert(r1.getBoolean(4) && r1.getLong(0) == 0L)
     // no-op: nothing changed underneath
-    assert(!spark.sql(call).head.getBoolean(3))
-    // mutate, refresh incrementally, compare against the direct rollup
+    assert(!spark.sql(call).head.getBoolean(4))
+    // mutate, refresh incrementally, compare against the direct rollup.
+    // The >=300k delete retracts every group's stored max, so the
+    // extremum path must report rescanned groups.
     t.refresh().deleteWhere(spark,
       graft.lake.LakePredicate.Ge("o_totalprice", Double.box(300000.0)))
     val r2 = spark.sql(call).head
-    assert(r2.getBoolean(3) && r2.getLong(0) == r1.getLong(1),
+    assert(r2.getBoolean(4) && r2.getLong(0) == r1.getLong(1),
       "refresh must start at the prior watermark")
+    assert(r2.getLong(3) > 0L, "max retraction must rescan affected groups")
     val got = spark.sql(s"SELECT * FROM $cat.ns.v ORDER BY o_orderpriority")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
     val want = spark.sql(s"SELECT o_orderpriority, count(*), " +
-      s"sum(CAST(floor(o_totalprice * 100) AS LONG)) FROM $cat.ns.t " +
+      s"sum(CAST(floor(o_totalprice * 100) AS LONG)), " +
+      s"max(CAST(floor(o_totalprice * 100) AS LONG)) FROM $cat.ns.t " +
       "GROUP BY o_orderpriority ORDER BY o_orderpriority")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
     assert(got == want)
   }
 }
