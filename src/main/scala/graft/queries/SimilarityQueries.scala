@@ -150,6 +150,56 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Hard-negative mining, ANN path (round 15) — the 100-TB shape the
+    * brute query's scaladoc promises: the IVF candidate generator
+    * ([[ivfProbe]] + the label-carrying inverted file) replaces the
+    * corpus × queries cross product, and the label anti-predicate
+    * moves onto the candidate re-rank — it CANNOT ride the probe,
+    * because cells are label-blind. Scorer, window, and output
+    * contract are identical to [[qHardNegatives]]; recall vs that
+    * exact query is measured by [[qHardNegativesRecall]] and floored
+    * in AnnRecallSpec (the ann_recall/pq_recall precedent).
+    * Scale shape: each query scans ~nprobe/K of the inverted file;
+    * the label filter prunes candidates in the same stage that scores
+    * them (no corpus-sized label join — the label lives in the index). */
+  def qHardNegativesAnn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = ensureIvfIndex(s, d)
+    val probed = ivfProbe(index,
+      embeddings(s, d).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label")),
+      extras = Seq("q_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    probed.join(index.assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        qdot(col("embedding"), col("q_vec")).as("dot"), col("nv"))
+      .withColumn("score", scoreCol)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), col("label").cast("long").as("label"),
+        col("score"), col("rn").cast("long").as("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Recall@3 of the ANN hard-negative path against the brute one —
+    * fully oracled (both sides reconstruct in DuckDB SQL), so the
+    * quality of the IVF swap-in is a measured number, not a claim. */
+  def qHardNegativesRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = qHardNegatives(s, d).select(col("q_id"), col("vec_id"))
+    val approx = qHardNegativesAnn(s, d).select(col("q_id"), col("vec_id"))
+    val qids = truth.select(col("q_id")).distinct()
+    qids.join(
+      truth.join(approx, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("hits")),
+      Seq("q_id"), "left_outer")
+      .select(lit("hard_neg_ivf").as("method"), col("q_id"),
+        coalesce(col("hits"), lit(0L)).as("hits_at_3"), lit(3L).as("k"))
+      .orderBy(col("q_id"))
+  }
+
   /** Embedding-drift monitor (round 14) — the data-quality check an
     * embedding pipeline runs when a model or corpus slice changes: per
     * label, the centroid L1 distance between the even- and odd-vec_id
@@ -268,8 +318,11 @@ object SimilarityQueries {
   private val ivfNprobe = 6
   private val ivfSeedMod = 2147483647L // 2³¹ − 1, the MinHash oracle's modulus
 
-  /** The inverted file: `assigned` = (vec_id, embedding, nv, cell).
-    * Probing differs per quantizer, so the centroid form rides along. */
+  /** The inverted file: `assigned` = (vec_id, embedding, nv, label,
+    * cell). The label rides IN the index so filtered ANN (hard-negative
+    * mining's anti-predicate) prunes candidates in the same scan that
+    * produces them — no corpus-sized label join at query time. Probing
+    * differs per quantizer, so the centroid form rides along. */
   private sealed trait IvfIndex { def assigned: DataFrame }
   private final case class MedoidIvf(assigned: DataFrame,
       centroids: Seq[(Seq[Double], Long)]) extends IvfIndex
@@ -344,12 +397,13 @@ object SimilarityQueries {
     val arr = ivfScoreArraySql
     val assigned = withCentroidScores(
       embeddings(s, d).select(col("vec_id"), col("embedding"),
-        qdot(col("embedding"), col("embedding")).as("nv")),
+        qdot(col("embedding"), col("embedding")).as("nv"), col("label")),
       "embedding", centroids)
       // argmax, first occurrence on ties = lowest cell
       .withColumn("cell",
         expr(s"cast(array_position($arr, array_max($arr)) as int) - 1"))
-      .select(col("vec_id"), col("embedding"), col("nv"), col("cell"))
+      .select(col("vec_id"), col("embedding"), col("nv"), col("label"),
+        col("cell"))
       .persist()
     assigned.count()
     MedoidIvf(assigned, centroids)
@@ -371,7 +425,8 @@ object SimilarityQueries {
       .setFeaturesCol("features").setPredictionCol("cell").fit(feat)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"),
-        qdot(col("embedding"), col("embedding")).as("nv"), col("cell"))
+        qdot(col("embedding"), col("embedding")).as("nv"), col("label"),
+        col("cell"))
       .persist()
     assigned.count() // materialize, then drop the featurized temp
     feat.unpersist(blocking = false)
@@ -395,34 +450,42 @@ object SimilarityQueries {
     * clears the AnnRecallSpec 0.6 floor while still scanning under 40%
     * of the inverted file. On real (clustered) embeddings the same
     * recall needs far fewer probes. */
-  def qIvfAnn(s: SparkSession, d: String): DataFrame = {
+  /** Query-side cell probing, shared by every IVF consumer: keep each
+    * query's `ivfNprobe` best cells (score DESC, cell ASC). `extras`
+    * are query-side columns carried through untouched (hard-negative
+    * mining rides its q_label here). Medoid centroids are literals —
+    * one codegen pass, no join; KMeans cells are a 16-row broadcast. */
+  private def ivfProbe(index: IvfIndex, queries: DataFrame,
+      extras: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val index = ensureIvfIndex(s, d)
-    val probed = index match {
+    val keep = (Seq("q_id", "q_vec") ++ extras).map(col)
+    index match {
       case MedoidIvf(_, centroids) =>
-        // queries score the K literal centroids in one codegen pass,
-        // then keep their nprobe best (score DESC, cell ASC)
         val wCell = Window.partitionBy(col("q_id"))
           .orderBy(col("col").desc, col("pos"))
-        withCentroidScores(
-          embeddings(s, d).filter(col("vec_id") < nQueries)
-            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
-          "q_vec", centroids)
-          .select(col("q_id"), col("q_vec"), posexplode(expr(ivfScoreArraySql)))
+        withCentroidScores(queries, "q_vec", centroids)
+          .select(keep :+ posexplode(expr(ivfScoreArraySql)): _*)
           .withColumn("crn", row_number().over(wCell))
           .filter(col("crn") <= ivfNprobe)
-          .select(col("q_id"), col("q_vec"), col("pos").as("cell"))
-      case KmeansIvf(assigned, cells) =>
+          .select(keep :+ col("pos").as("cell"): _*)
+      case KmeansIvf(_, cells) =>
         val wCell = Window.partitionBy(col("q_id"))
           .orderBy(col("cdist").desc, col("cell"))
-        assigned.filter(col("vec_id") < nQueries)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-          .crossJoin(broadcast(cells))
+        queries.crossJoin(broadcast(cells))
           .withColumn("cdist", cosine(col("q_vec"), col("centroid")))
           .withColumn("crn", row_number().over(wCell))
           .filter(col("crn") <= ivfNprobe)
-          .select(col("q_id"), col("q_vec"), col("cell"))
+          .select(keep :+ col("cell"): _*)
     }
+  }
+
+  def qIvfAnn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = ensureIvfIndex(s, d)
+    val probed = ivfProbe(index,
+      embeddings(s, d).filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+      extras = Nil)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id"))
     probed.join(index.assigned, Seq("cell"))
@@ -1068,6 +1131,8 @@ object SimilarityQueries {
     "sq8_error" -> qSq8Error,
     "cosine_topk_brute" -> qCosineTopkBrute,
     "hard_negatives" -> qHardNegatives,
+    "hard_negatives_ann" -> qHardNegativesAnn,
+    "hard_negatives_recall" -> qHardNegativesRecall,
     "embedding_drift" -> qEmbeddingDrift,
     "ann_lsh" -> qAnnLsh,
     "ivf_ann" -> qIvfAnn,
@@ -1206,6 +1271,53 @@ object SimilarityQueries {
        |  SELECT q_id, vec_id, score,
        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
        |  FROM iscored
+       |)""".stripMargin
+
+  /** Brute label-filtered ranking ending in `hranked` — the
+    * hard_negatives ground truth (also the recall oracle's truth side). */
+  private def hardNegBruteCtes: String =
+    s"""lab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), hpairs AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id, lc.label,
+       |    CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT) AS dot,
+       |    n.nv
+       |  FROM qe q JOIN qe c ON c.vec_id <> q.vec_id
+       |  JOIN nrm n ON n.vec_id = c.vec_id
+       |  JOIN lab lq ON lq.vec_id = q.vec_id
+       |  JOIN lab lc ON lc.vec_id = c.vec_id
+       |  WHERE q.vec_id < $nQueries AND lc.label <> lq.label
+       |), hscored AS (
+       |  SELECT q_id, vec_id, label, $scoreSqlDuck AS score FROM hpairs
+       |), hranked AS (
+       |  SELECT q_id, vec_id, label, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM hscored
+       |)""".stripMargin
+
+  /** IVF-candidate label-filtered ranking ending in `haranked`; rides
+    * on [[ivfCtes]]' iprobe/icellof. `alab` (not `lab`) so the recall
+    * oracle can hold both ranked sets in one WITH list. */
+  private def hardNegAnnCtes: String =
+    s"""alab AS (
+       |  SELECT vec_id, label FROM embeddings
+       |), hapairs AS (
+       |  SELECT p.q_id, a.vec_id, lc.label,
+       |    CAST(list_dot_product(CAST(qq.qv AS DOUBLE[]), CAST(cc.qv AS DOUBLE[])) AS BIGINT) AS dot,
+       |    n.nv
+       |  FROM iprobe p JOIN icellof a USING (cell)
+       |  JOIN qe qq ON qq.vec_id = p.q_id
+       |  JOIN qe cc ON cc.vec_id = a.vec_id
+       |  JOIN nrm n ON n.vec_id = a.vec_id
+       |  JOIN alab lq ON lq.vec_id = p.q_id
+       |  JOIN alab lc ON lc.vec_id = a.vec_id
+       |  WHERE a.vec_id <> p.q_id AND lc.label <> lq.label
+       |), hascored AS (
+       |  SELECT q_id, vec_id, label, $scoreSqlDuck AS score FROM hapairs
+       |), haranked AS (
+       |  SELECT q_id, vec_id, label, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+       |  FROM hascored
        |)""".stripMargin
 
   /** MMR oracle: candidate + pairwise CTEs, then the 8 greedy picks
@@ -1493,27 +1605,29 @@ object SimilarityQueries {
          |FROM wide GROUP BY label ORDER BY label""".stripMargin,
     // brute scorer + the label anti-predicate inside the pair CTE
     "hard_negatives" ->
-      s"""WITH $oracleBaseCtes, lab AS (
-         |  SELECT vec_id, label FROM embeddings
-         |), hpairs AS (
-         |  SELECT q.vec_id AS q_id, c.vec_id, lc.label,
-         |    CAST(list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(c.qv AS DOUBLE[])) AS BIGINT) AS dot,
-         |    n.nv
-         |  FROM qe q JOIN qe c ON c.vec_id <> q.vec_id
-         |  JOIN nrm n ON n.vec_id = c.vec_id
-         |  JOIN lab lq ON lq.vec_id = q.vec_id
-         |  JOIN lab lc ON lc.vec_id = c.vec_id
-         |  WHERE q.vec_id < $nQueries AND lc.label <> lq.label
-         |), hscored AS (
-         |  SELECT q_id, vec_id, label, $scoreSqlDuck AS score FROM hpairs
-         |), hranked AS (
-         |  SELECT q_id, vec_id, label, score,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
-         |  FROM hscored
-         |)
+      s"""WITH $oracleBaseCtes, $hardNegBruteCtes
          |SELECT q_id, vec_id, CAST(label AS BIGINT) AS label, score,
          |  CAST(rn AS BIGINT) AS rn
          |FROM hranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // the IVF swap-in: same probe/assignment CTEs as ivf_ann, the
+    // label anti-predicate on the candidate re-rank
+    "hard_negatives_ann" ->
+      s"""WITH $oracleBaseCtes, $ivfCtes, $hardNegAnnCtes
+         |SELECT q_id, vec_id, CAST(label AS BIGINT) AS label, score,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM haranked WHERE rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    "hard_negatives_recall" ->
+      s"""WITH $oracleBaseCtes, $hardNegBruteCtes, $ivfCtes, $hardNegAnnCtes,
+         |htruth AS (SELECT q_id, vec_id FROM hranked WHERE rn <= 3),
+         |happrox AS (SELECT q_id, vec_id FROM haranked WHERE rn <= 3),
+         |hhits AS (
+         |  SELECT t.q_id, count(a.vec_id) AS h
+         |  FROM htruth t LEFT JOIN happrox a
+         |    ON a.q_id = t.q_id AND a.vec_id = t.vec_id
+         |  GROUP BY t.q_id)
+         |SELECT 'hard_neg_ivf' AS method, q_id, CAST(h AS BIGINT) AS hits_at_3,
+         |  CAST(3 AS BIGINT) AS k
+         |FROM hhits ORDER BY q_id""".stripMargin,
     // sparse side re-derives through TextQueries' shared BM25 CTEs,
     // dense side through the same quantized-score SQL as the brute
     // ranking — neither scorer has a second definition anywhere
