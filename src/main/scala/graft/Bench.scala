@@ -94,9 +94,14 @@ object Bench {
     // loop (no other query's spill/GC in flight) the known swingers run
     // back-to-back and record a floor: a real plan regression moves
     // floor AND median together; contention moves only the median.
+    // round-15 additions: the slowest lake entries (lake_incr_mv,
+    // lake_changelog) plus round 14's two unexplained sub-second
+    // swingers (multimodal_png_codec, lake_sql_delete), so every
+    // round-over-round drift candidate carries a floor
     val floorNames = sys.env.getOrElse("SPARK_GRAFT_FLOOR_QUERIES",
       "graph_pagerank,perplexity_buckets,q_market_basket," +
-        "image_phash_clusters,q_ev_rfm")
+        "image_phash_clusters,q_ev_rfm,lake_incr_mv,lake_changelog," +
+        "multimodal_png_codec,lake_sql_delete")
       .split(',').map(_.trim).filter(names.contains).toSeq
     val floors = floorNames.map { name =>
       val fn = SparkEntry.queries(name)

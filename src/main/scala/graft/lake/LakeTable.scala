@@ -576,12 +576,18 @@ final class LakeTable private[lake] (
     * invariant), so the lookup is one codegen'd element_at per row: no
     * join, no per-row regex, no shuffle (the first cut joined a
     * broadcast frame on a regexp-normalized path and cost CoW scenario
-    * queries ~1.6-2× in the round-14 bench). A missing path NULLs the
-    * id — never drops the row — and readers refuse on it honestly.
-    * Callers gate on [[canCarryRowIds]] first. */
+    * queries ~1.6-2× in the round-14 bench). Unreachable while the
+    * [[LakeTable.readerPath]] invariant holds, a render mismatch would
+    * otherwise write a NULL id cell — indistinguishable from a
+    * merge-insert cell, so a later read would silently re-identify the
+    * row as firstRowId+pos of the rewritten file. The coalesce's third
+    * arm makes that case FAIL THE REWRITE instead (raise_error, only
+    * evaluated when both the materialized cell and the map lookup come
+    * back null). Callers gate on [[canCarryRowIds]] first. */
   private[lake] def readLiveWithRowIds(spark: SparkSession,
       files: Seq[DataFileEntry], snap: Option[Snapshot]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, element_at, typedLit}
+    import org.apache.spark.sql.functions.{coalesce, col, concat, element_at,
+      lit, raise_error, typedLit}
     val pos = snap.map(_.deleteFiles).getOrElse(Nil)
     val eqs = snap.map(_.eqDeleteFiles).getOrElse(Nil)
     val dvs = snap.map(_.dvFiles).getOrElse(Nil)
@@ -591,7 +597,10 @@ final class LakeTable private[lake] (
     base
       .withColumn(LakeTable.RowIdCol, coalesce(col(LakeTable.MatRidCol),
         element_at(typedLit(firsts), col(LakeTable.PosFileCol)) +
-          col(LakeTable.PosIdxCol)))
+          col(LakeTable.PosIdxCol),
+        raise_error(concat(
+          lit("row-lineage carry has no id base for reader path "),
+          col(LakeTable.PosFileCol))).cast("long")))
       .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)) :+
         col(LakeTable.RowIdCol): _*)
   }

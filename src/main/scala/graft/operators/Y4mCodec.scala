@@ -51,6 +51,15 @@ object Y4mCodec {
       }
     }
     require(w > 0 && h > 0, s"bad Y4M geometry in '$header'")
+    // validate in Long BEFORE the Int multiply: adversarial headers
+    // (W65536 H65536 → planeLen 0; larger → negative) would otherwise
+    // pass the truncation checks vacuously or throw raw copyOfRange
+    // errors. The bound is Int.MaxValue (not stream length — a
+    // zero-frame stream is legal and shorter than one plane); any
+    // genuine plane up to that is caught by the per-frame truncation
+    // check against the actual payload.
+    require(w.toLong * h <= Int.MaxValue,
+      s"Y4M geometry ${w}x$h overflows a plane")
     require(mono, "only Cmono (8-bit luma) streams supported")
     val planeLen = w * h
     val frames = scala.collection.mutable.Buffer.empty[Array[Byte]]

@@ -70,6 +70,28 @@ object BenchScaled {
     "q_trade_volume", "q_multi_supplier_orders", "split_contamination",
     "minhash_accuracy", "q_ev_bounce_rate")
 
+  /** Every [[graft.queries.Corpus.prepare]] artifact, the targets that
+    * read it (directly or through a wrapper query), and its builder —
+    * the ONE place subset prep derives from. The exact-jaccard pair
+    * artifact is quadratic-OUTPUT in the replica corpus by construction
+    * (every doc gains C−1 near-dup twins above the 0.5 threshold — at
+    * C=100 that is ~99 true pairs per doc, ~70 GB of verify-join
+    * spill), so the 100× probe must not pay for it when no target
+    * consumes it. */
+  private val PrepArtifacts: Seq[(String, Set[String],
+      (SparkSession, String) => Unit)] = Seq(
+    ("bucketed_tables", Set("q_bucketed_join"),
+      graft.queries.JoinExtraQueries.prepareBucketed),
+    ("ivf_index", Set("ivf_ann", "ivf_recall", "semdedup",
+      "cluster_cap_sample", "ctfidf_topics", "hard_negatives_ann",
+      "hard_negatives_recall"),
+      graft.queries.SimilarityQueries.prepareIvfIndex),
+    ("lsh_index", Set("ann_lsh", "ann_recall", "dedup_embedding"),
+      graft.queries.SimilarityQueries.prepareLshIndex),
+    ("jaccard_pairs", Set("dedup_ngram_jaccard", "dedup_clusters",
+      "dedup_retention", "minhash_accuracy"),
+      graft.queries.TextQueries.prepareJaccardPairs))
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/sf1"
     val reps = if (args.length > 1) args(1).toInt else 2
@@ -95,21 +117,16 @@ object BenchScaled {
     spark.conf.set("graft.simhashDedup.pairBudget", "0")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warmup
     val prep0 = System.nanoTime()
-    // Subset runs prepare ONLY the artifacts their targets read. The
-    // exact-jaccard pair artifact in particular is quadratic-OUTPUT in
-    // the replica corpus by construction (every doc gains C−1 near-dup
-    // twins above the 0.5 threshold — at C=100 that is ~99 true pairs
-    // per doc, ~70 GB of verify-join spill), so the 100× probe must
-    // not pay for it when no target consumes it.
-    val jaccardFamily = Set("dedup_ngram_jaccard", "dedup_clusters",
-      "dedup_retention", "minhash_accuracy")
+    // Subset runs prepare ONLY the artifacts their targets read,
+    // derived from the artifact→consumers map below (round-15 advice:
+    // no hand-listed family sets inside the branch) and LOG what was
+    // skipped — a future target reading an unlisted artifact still
+    // self-builds through SessionMemo inside its first rep, but the
+    // skip line makes that attribution explicit instead of silent.
     if (args.length <= 2) graft.queries.Corpus.prepare(spark, sfDir)
-    else {
-      graft.queries.JoinExtraQueries.prepareBucketed(spark, sfDir)
-      graft.queries.SimilarityQueries.prepareIvfIndex(spark, sfDir)
-      graft.queries.SimilarityQueries.prepareLshIndex(spark, sfDir)
-      if (targets.exists(jaccardFamily))
-        graft.queries.TextQueries.prepareJaccardPairs(spark, sfDir)
+    else PrepArtifacts.foreach { case (artifact, consumers, build) =>
+      if (targets.exists(consumers)) build(spark, sfDir)
+      else println(s"""{"prep_skipped":"$artifact"}""")
     }
     val prepSec = (System.nanoTime() - prep0) / 1e9
     val wall0 = System.nanoTime()

@@ -43,11 +43,22 @@ class Y4mCodecSpec extends AnyFunSuite {
       Y4mCodec.decode("YUV4MPEG2 W4 H4 C420jpeg\nFRAME\n0123456789abcdef".getBytes))
     intercept[IllegalArgumentException](
       Y4mCodec.decode(good.dropRight(1))) // truncated luma plane
+    // adversarial geometry: W*H overflows Int to 0 (65536²) or goes
+    // negative (46341²) — must refuse on the Long-checked bound, not
+    // loop over zero-length "frames" or throw raw copyOfRange errors
+    intercept[IllegalArgumentException](
+      Y4mCodec.decode("YUV4MPEG2 W65536 H65536 Cmono\nFRAME\nxx".getBytes))
+    intercept[IllegalArgumentException](
+      Y4mCodec.decode("YUV4MPEG2 W46341 H46341 Cmono\nFRAME\nxx".getBytes))
   }
 
   test("videoRoundTrip: frame count and stats reconstruct from the bytes") {
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[2]").config("spark.ui.enabled", false).getOrCreate()
+    // the SHARED test session, never a bare builder().getOrCreate():
+    // suites run in parallel, and if this suite won the session race
+    // its extension-less config poisoned every later lake SQL test —
+    // `_row_id` metadata reads need LakeSqlExtensions' substitution
+    // rule and failed with a spurious missing-column error (round 15)
+    val spark = graft.lake.LakeSuite.spark
     import spark.implicits._
     val blobs = Seq(
       0L -> Array.empty[Byte],                     // 1 zero frame
