@@ -140,6 +140,21 @@ object IncrementalAggView {
       _.join(_, keys, "full_outer")).persist()
     try {
       val deltaGroups = deltaAgg.count() // materializes the persist
+      if (deltaGroups == 0L) {
+        // empty delta window (compaction-only commits — no logical
+        // change): advance the watermark in a metadata-only CAS commit
+        // instead of rewriting identical view contents, which would
+        // cost a full |view| write per maintenance pass
+        v.transformProperties { props =>
+          val cur = props.get(WatermarkProp).map(_.toLong).getOrElse(0L)
+          if (cur != last)
+            throw new CommitConflictException(
+              s"view watermark moved $last -> $cur during refresh; " +
+                "a concurrent refresh won — re-run from the new watermark")
+          props + (WatermarkProp -> head.toString)
+        }
+        return RefreshReport(last, head, 0L, 0L, refreshed = true)
+      }
       // full-outer merge on the keys (using-columns join coalesces
       // them): distributive columns add, extrema take least/greatest
       // of (stored, inserted) — exact unless a delete ties the result
@@ -194,6 +209,34 @@ object IncrementalAggView {
       } finally rescanCache.foreach(_.unpersist())
     } finally deltaAgg.unpersist()
   }
+
+  /** Changelog-DRIVEN maintenance (round-15 stretch): a streaming query
+    * over the base's `.changes` CDC source whose every micro-batch
+    * triggers [[refresh]]. The feed is used as the change NOTIFICATION
+    * — the refresh re-reads its snapshot-exact delta from the stored
+    * watermark, so micro-batch boundaries need not align with snapshot
+    * ranges, a replayed batch is a no-op (watermark dedup), and a
+    * concurrent manual refresh just wins the same CAS. `baseSqlName` is
+    * the catalog-qualified SQL name of the base table (the `.changes`
+    * handle lives on the SQL surface); `base`/`view` are the engine
+    * handles the refresh maintains. Stop the returned query to stop
+    * auto-refreshing. MoR tombstone commits refuse through the stream
+    * exactly as they do for any `.changes` consumer — the batch
+    * changelog (and so a manual [[refresh]]) is the documented path. */
+  def autoRefresh(spark: SparkSession, baseSqlName: String,
+      base: LakeTable, view: LakeTable, keys: Seq[String],
+      sums: Seq[(String, Column)], mins: Seq[(String, Column)] = Nil,
+      maxs: Seq[(String, Column)] = Nil, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .option("stream-from", "beginning")
+      .table(s"$baseSqlName.changes")
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, base, view, keys, sums, mins, maxs); ()
+      }
+      .start()
 
   /** Group min/max columns sharing one value expression into one net
     * pass (keyed on the column's unresolved string form — a miss only

@@ -2054,6 +2054,14 @@ final class LakeTable private[lake] (
   def setProperty(key: String, value: String): LakeTable =
     metadataChange(l => l.copy(properties = l.properties + (key -> value)))
 
+  /** CAS-guarded property transform — a metadata-only commit (no
+    * snapshot). `f` re-runs against the winner's metadata on a lost
+    * race and may throw [[CommitConflictException]] to abort; the
+    * incremental view's empty-delta watermark advance rides here. */
+  private[lake] def transformProperties(
+      f: Map[String, String] => Map[String, String]): LakeTable =
+    metadataChange(l => l.copy(properties = f(l.properties)))
+
   def removeProperty(key: String): LakeTable =
     metadataChange(l => l.copy(properties = l.properties - key))
 

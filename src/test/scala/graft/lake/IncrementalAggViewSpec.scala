@@ -144,6 +144,53 @@ class IncrementalAggViewSpec extends LakeSuite {
     assert(viewRows(view) == direct(base))
   }
 
+  test("changelog-driven auto-refresh converges at each batch boundary") {
+    import org.apache.spark.sql.types._
+    val wh = freshWarehouse()
+    val cat = "mvstr"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.ns")
+      spark.sql(s"CREATE TABLE $cat.ns.b (${ordersDF.schema.toDDL})")
+      val lake = LakeCatalog.open(wh)
+      val base = lake.loadTable("ns", "b")
+      val view = lake.createTable("ns", "v", StructType(Seq(
+        StructField("o_orderpriority", StringType),
+        StructField("cnt", LongType), StructField("cents", LongType),
+        StructField("min_cents", LongType), StructField("max_cents", LongType))))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_mv_ck_").toString
+      val q = IncrementalAggView.autoRefresh(spark, s"$cat.ns.b",
+        base, view, keys, sums, mins, maxs, checkpoint = ckpt)
+      try {
+        base.refresh().appendData(ordersDF, numFiles = 2)
+        q.processAllAvailable()
+        assert(viewRows(view) == direct(base), "initial build diverged")
+        // CoW mutations arrive as micro-batches; the view must track
+        // the direct rollup at every drained boundary
+        base.refresh().deleteWhere(spark,
+          LakePredicate.Ge("o_totalprice", Double.box(420000.0)))
+        base.refresh().updateWhere(spark,
+          LakePredicate.Eq("o_orderstatus", "F"),
+          Map("o_orderpriority" -> lit("9-MOVED")))
+        q.processAllAvailable()
+        assert(viewRows(view) == direct(base), "mutation batches diverged")
+        // a compaction is no logical change: the stream skips it and
+        // the view must not move
+        val before = view.refresh().metadata.currentSnapshotId
+        base.refresh().compact(spark, targetFiles = 1)
+        q.processAllAvailable()
+        assert(view.refresh().metadata.currentSnapshotId == before,
+          "compaction must not produce a refresh commit")
+        assert(viewRows(view) == direct(base))
+      } finally q.stop()
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
   test("racing refreshes serialize through the view CAS") {
     val (base, view) = mkTables()
     base.refresh().appendData(ordersDF, numFiles = 2)
