@@ -116,4 +116,20 @@ class NewOpPlanShapeSpec extends LakeSuite {
     assert(!plan.contains("Join"),
       "the lineage read must not join for the id base:\n" + plan)
   }
+
+  test("ANN hard negatives: probed queries broadcast into the inverted file (round 15)") {
+    // the candidate join is (queries × nprobe) rows against the cell-
+    // partitioned inverted file: the tiny probed side must broadcast
+    // (a shuffle or cartesian here scans the corpus per query at 100×),
+    // and the inverted file must come from the ingest-time cache, not
+    // a fresh corpus scan per invocation
+    val plan = planOf(SimilarityQueries.qHardNegativesAnn(spark, d))
+    assert(!plan.contains("CartesianProduct"),
+      "ANN candidates degenerated to a cartesian product:\n" + plan)
+    assert(plan.contains("BroadcastHashJoin"),
+      "the probed-cells join must broadcast:\n" + plan)
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      "the inverted file must come from cache:\n" + plan)
+  }
 }
