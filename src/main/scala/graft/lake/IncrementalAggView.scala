@@ -107,11 +107,31 @@ object IncrementalAggView {
     if (head == last || head == -1L)
       return RefreshReport(last, head, 0L, 0L, refreshed = false)
 
-    val delta = b.changelog(spark, last, Some(head))
+    // the changelog feeds one pass per aggregate family below — cache
+    // the reconstructed delta rows so the parquet/tombstone read runs
+    // once, not once per family
+    val delta = b.changelog(spark, last, Some(head)).persist()
     val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    // one pass over the delta for the distributive columns...
-    val dAggs = sum(sgn).as("__d_cnt") +:
-      sums.map { case (n, c) => sum(sgn * c).as(s"__d_$n") }
+    // APPEND-ONLY window (driver-side metadata check): no commit in
+    // (last, head] can have emitted a delete row, so the extremum
+    // candidates collapse into the distributive pass — the initial
+    // build and every pure-ingest refresh pay ONE delta shuffle, not
+    // one per extremum expression. Any non-append op (or a branch/WAP
+    // snapshot sharing the id range) conservatively takes the net path.
+    val appendOnly = (mins.nonEmpty || maxs.nonEmpty) &&
+      b.metadata.snapshots.forall(s =>
+        s.id <= last || s.id > head || s.operation == "append")
+    // one pass over the delta for the distributive columns (plus the
+    // extremum candidates when the window is append-only: all rows are
+    // inserts, and the typed-null delete probes never fire)...
+    val dAggs = sum(sgn).as("__d_cnt") +: (
+      sums.map { case (n, c) => sum(sgn * c).as(s"__d_$n") } ++
+      (if (appendOnly)
+        mins.flatMap { case (n, c) => Seq(min(c).as(s"__inm_$n"),
+          min(when(lit(false), c)).as(s"__dlm_$n")) } ++
+        maxs.flatMap { case (n, c) => Seq(max(c).as(s"__inx_$n"),
+          max(when(lit(false), c)).as(s"__dlx_$n")) }
+      else Nil))
     val distAgg = delta.groupBy(keys.map(col): _*)
       .agg(dAggs.head, dAggs.tail: _*)
     // ...plus, per distinct extremum expression, a NET per-value pass:
@@ -120,20 +140,22 @@ object IncrementalAggView {
     // probe, else every rewrite falsely retracts its groups' extrema.
     // net > 0 → genuinely new occurrences (candidate side); net < 0 →
     // multiset truly shrank at that value (retraction side).
-    val extremaAggs = dedupeByExpr(mins.map((_, true)) ++
-      maxs.map((_, false))).map { case (c, uses) =>
-      val net = delta.groupBy(keys.map(col) :+ c.as("__v"): _*)
-        .agg(sum(sgn).as("__net"))
-      val cands = uses.map {
-        case (n, true) => // min column
-          Seq(min(when(col("__net") > 0L, col("__v"))).as(s"__inm_$n"),
-            min(when(col("__net") < 0L, col("__v"))).as(s"__dlm_$n"))
-        case (n, false) => // max column
-          Seq(max(when(col("__net") > 0L, col("__v"))).as(s"__inx_$n"),
-            max(when(col("__net") < 0L, col("__v"))).as(s"__dlx_$n"))
-      }.flatten
-      net.groupBy(keys.map(col): _*).agg(cands.head, cands.tail: _*)
-    }
+    val extremaAggs =
+      if (appendOnly) Nil
+      else dedupeByExpr(mins.map((_, true)) ++
+        maxs.map((_, false))).map { case (c, uses) =>
+        val net = delta.groupBy(keys.map(col) :+ c.as("__v"): _*)
+          .agg(sum(sgn).as("__net"))
+        val cands = uses.map {
+          case (n, true) => // min column
+            Seq(min(when(col("__net") > 0L, col("__v"))).as(s"__inm_$n"),
+              min(when(col("__net") < 0L, col("__v"))).as(s"__dlm_$n"))
+          case (n, false) => // max column
+            Seq(max(when(col("__net") > 0L, col("__v"))).as(s"__inx_$n"),
+              max(when(col("__net") < 0L, col("__v"))).as(s"__dlx_$n"))
+        }.flatten
+        net.groupBy(keys.map(col): _*).agg(cands.head, cands.tail: _*)
+      }
     // all sides group the SAME delta, so their key sets coincide up to
     // all-null-value groups — full_outer keeps the union exact
     val deltaAgg = extremaAggs.foldLeft(distAgg)(
@@ -182,16 +204,20 @@ object IncrementalAggView {
       val rescanFlag =
         if (rescanConds.isEmpty) lit(false)
         else coalesce(rescanConds.reduce(_ || _), lit(false))
-      val merged = joined.select(keys.map(col) ++ (newCnt +: newSums) ++
+      val merged0 = joined.select(keys.map(col) ++ (newCnt +: newSums) ++
         candMins.map { case (n, c) => c.as(n) } ++
         candMaxs.map { case (n, c) => c.as(n) } :+
         rescanFlag.as("__rescan"): _*)
         // a group whose every row died leaves a zero-count residue row —
         // it must VANISH, exactly as a full recompute would drop it
         .filter(col("cnt") =!= 0L)
+      // the extremum path reads `merged` three times (flagged count,
+      // key collect, final write) — cache the group-sized frame so the
+      // view-scan + delta join runs once, not per action
+      val merged = if (rescanConds.isEmpty) merged0 else merged0.persist()
 
-      val (finalDF, rescanned, rescanCache) =
-        if (rescanConds.isEmpty) (merged.drop("__rescan"), 0L, None)
+      val (finalDF, rescanned) =
+        if (rescanConds.isEmpty) (merged.drop("__rescan"), 0L)
         else resolveRescans(spark, b, head, merged, keys, sums, mins, maxs)
       try {
         val added = v.writeDataFiles(finalDF.select(outNames.map(col): _*))
@@ -206,8 +232,8 @@ object IncrementalAggView {
             m.copy(properties = m.properties + (WatermarkProp -> head.toString))
           })
         RefreshReport(last, head, deltaGroups, rescanned, refreshed = true)
-      } finally rescanCache.foreach(_.unpersist())
-    } finally deltaAgg.unpersist()
+      } finally if (rescanConds.nonEmpty) merged.unpersist()
+    } finally { deltaAgg.unpersist(); delta.unpersist() }
   }
 
   /** Changelog-DRIVEN maintenance (round-15 stretch): a streaming query
@@ -252,32 +278,36 @@ object IncrementalAggView {
     }
 
   /** Replace rescan-flagged groups with their exact re-aggregation
-    * from base at `head`. The affected-key set is group-sized; when it
-    * is small it is collected for an In-pushdown into planFiles (stats
-    * pruning skips untouched files) and broadcast into the semi-join;
-    * past [[RescanKeyPushdownCap]] the semi-join alone keeps the scan
-    * exact with no driver materialization. */
+    * from base at `head`. The affected-key set is group-sized (read
+    * off the caller-persisted `merged` cache); when it is small it is
+    * collected for an In-pushdown into planFiles (stats pruning skips
+    * untouched files) and broadcast into the semi-join; past
+    * [[RescanKeyPushdownCap]] the semi-join alone keeps the scan exact
+    * with no driver materialization. */
   private def resolveRescans(spark: SparkSession, b: LakeTable, head: Long,
       merged: DataFrame, keys: Seq[String], sums: Seq[(String, Column)],
       mins: Seq[(String, Column)],
-      maxs: Seq[(String, Column)]): (DataFrame, Long, Option[DataFrame]) = {
-    // stays cached until the view write lands (caller unpersists): the
-    // semi-join consumes it lazily inside the final plan
+      maxs: Seq[(String, Column)]): (DataFrame, Long) = {
     val flaggedKeys = merged.filter(col("__rescan"))
-      .select(keys.map(col): _*).persist()
-    val nFlagged = flaggedKeys.count()
-    if (nFlagged == 0L) {
-      flaggedKeys.unpersist()
-      return (merged.drop("__rescan"), 0L, None)
-    }
-    val small = nFlagged <= RescanKeyPushdownCap
-    val pred =
-      if (small) LakePredicate.In(keys.head,
-        flaggedKeys.select(col(keys.head)).distinct()
-          .collect().map(_.get(0)).toSeq)
-      else LakePredicate.AlwaysTrue
-    val affected =
-      if (small) broadcast(flaggedKeys) else flaggedKeys
+      .select(keys.map(col): _*)
+    // ONE action resolves count + keys together in the common case:
+    // collect up to cap+1 group rows (merged is group-keyed, so rows
+    // are already distinct) — fewer Spark jobs per refresh than a
+    // count() followed by a distinct().collect()
+    val collected = flaggedKeys.limit(RescanKeyPushdownCap + 1).collect()
+    if (collected.isEmpty) return (merged.drop("__rescan"), 0L)
+    val small = collected.length <= RescanKeyPushdownCap
+    val (pred, affected, nFlagged) =
+      if (small) (
+        LakePredicate.In(keys.head,
+          collected.map(_.get(0)).distinct.toSeq),
+        // a LOCAL relation of the collected groups: the semi-join build
+        // side never re-derives merged
+        broadcast(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            java.util.Arrays.asList(collected: _*)), flaggedKeys.schema)),
+        collected.length.toLong)
+      else (LakePredicate.AlwaysTrue, flaggedKeys, flaggedKeys.count())
     val baseRows = b.asOf(head, pred).toDF(spark)
       .join(affected, keys, "left_semi")
     val rAggs = count(lit(1)).as("cnt") +: (
@@ -287,6 +317,6 @@ object IncrementalAggView {
     val rescanAgg = baseRows.groupBy(keys.map(col): _*)
       .agg(rAggs.head, rAggs.tail: _*)
     (merged.filter(!col("__rescan")).drop("__rescan")
-      .unionByName(rescanAgg), nFlagged, Some(flaggedKeys))
+      .unionByName(rescanAgg), nFlagged)
   }
 }

@@ -1,0 +1,198 @@
+package graft.lake.sql
+
+import scala.util.Random
+import graft.lake.{LakeCatalog, LakeSuite}
+
+/** Randomized DIFFERENTIAL fuzz over SQL row-level WRITES — the
+  * companion of [[SqlFuzzSpec]] for the bug class the DuckDB oracle
+  * cannot see at all: UPDATE SET evaluation order, MoR tombstone
+  * application, MERGE clause precedence, maintenance no-ops. Seeded
+  * sequences of INSERT / DELETE WHERE / UPDATE SET WHERE / MERGE /
+  * rewrite_data_files / rewrite_position_deletes run against a lake
+  * table under each row-level write mode (copy-on-write, merge-on-read,
+  * deletion vectors), while a driver-side model applies the SAME
+  * semantics to a plain Map — after every op the table contents must
+  * equal the model exactly. The seed is in the failure message; freeze
+  * any mismatch as a named regression before fixing it.
+  *
+  * Model semantics mirrored deliberately:
+  *  - UPDATE assignments read the PRE-UPDATE row (SQL semantics: all
+  *    SET expressions evaluate against the old row).
+  *  - MERGE: a target row matches at most one source row (source ids
+  *    are unique by construction); matched-AND-condition clauses apply
+  *    in declaration order; NOT MATCHED inserts the source row.
+  *  - Maintenance procedures are logical no-ops. */
+class SqlWriteFuzzSpec extends LakeSuite {
+
+  private val Seed: Long =
+    sys.env.get("GRAFT_WRITE_FUZZ_SEED").map(_.toLong).getOrElse(20260816L)
+  private val OpsPerMode: Int =
+    sys.env.get("GRAFT_WRITE_FUZZ_N").map(_.toInt).getOrElse(14)
+
+  private val C = "wfuzz"
+
+  // the model: id -> (num, cat); id is the primary key
+  private type Model = scala.collection.mutable.LinkedHashMap[Long, (Long, String)]
+
+  private val cats = Vector("a", "b", "c", "d")
+
+  /** Typed predicate usable on both sides. */
+  private case class Pred(sql: String, f: (Long, Long, String) => Boolean)
+
+  private def genPred(rnd: Random, model: Model): Pred = {
+    def one(): Pred = rnd.nextInt(5) match {
+      case 0 =>
+        val ids = model.keys.toVector
+        val v = if (ids.isEmpty) 0L else ids(rnd.nextInt(ids.size))
+        Pred(s"id <= $v", (id, _, _) => id <= v)
+      case 1 =>
+        val nums = model.values.map(_._1).toVector
+        val v = if (nums.isEmpty) 0L else nums(rnd.nextInt(nums.size))
+        Pred(s"num >= $v", (_, n, _) => n >= v)
+      case 2 =>
+        val c = cats(rnd.nextInt(cats.size))
+        Pred(s"cat = '$c'", (_, _, s) => s == c)
+      case 3 =>
+        val c = cats(rnd.nextInt(cats.size))
+        Pred(s"cat <> '$c'", (_, _, s) => s != c)
+      case 4 =>
+        val m = 2 + rnd.nextInt(4)
+        val r = rnd.nextInt(m)
+        Pred(s"id % $m = $r", (id, _, _) => id % m == r)
+    }
+    val a = one()
+    if (rnd.nextBoolean()) a
+    else {
+      val b = one()
+      if (rnd.nextBoolean()) Pred(s"(${a.sql}) AND (${b.sql})",
+        (i, n, s) => a.f(i, n, s) && b.f(i, n, s))
+      else Pred(s"(${a.sql}) OR (${b.sql})",
+        (i, n, s) => a.f(i, n, s) || b.f(i, n, s))
+    }
+  }
+
+  private def tableRows(ref: String): Seq[(Long, Long, String)] =
+    spark.sql(s"SELECT id, num, cat FROM $ref").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+
+  private def modelRows(m: Model): Seq[(Long, Long, String)] =
+    m.map { case (id, (n, s)) => (id, n, s) }.toSeq.sortBy(_._1)
+
+  private var nextId = 1000L
+  private def freshIds(rnd: Random, k: Int): Seq[Long] = {
+    val ids = (0 until k).map(i => nextId + i)
+    nextId += k
+    ids
+  }
+
+  /** One mutation op applied to BOTH sides; returns its description. */
+  private def applyOp(rnd: Random, ref: String, tblName: String,
+      wh: String, model: Model): String = rnd.nextInt(10) match {
+    case 0 | 1 => // INSERT VALUES, 1-4 fresh rows
+      val rows = freshIds(rnd, 1 + rnd.nextInt(4)).map { id =>
+        (id, rnd.nextInt(1000).toLong, cats(rnd.nextInt(cats.size)))
+      }
+      spark.sql(s"INSERT INTO $ref VALUES " + rows.map { case (i, n, s) =>
+        s"($i, $n, '$s')" }.mkString(", "))
+      rows.foreach { case (i, n, s) => model(i) = (n, s) }
+      s"INSERT ${rows.size} rows"
+    case 2 | 3 => // DELETE WHERE
+      val p = genPred(rnd, model)
+      spark.sql(s"DELETE FROM $ref WHERE ${p.sql}")
+      model.filterInPlace { case (id, (n, s)) => !p.f(id, n, s) }
+      s"DELETE WHERE ${p.sql}"
+    case 4 | 5 => // UPDATE SET (both columns, reading the pre-update row)
+      val p = genPred(rnd, model)
+      val k = 1 + rnd.nextInt(7)
+      val c = cats(rnd.nextInt(cats.size))
+      // num references itself; cat set to a literal — assignments must
+      // see the PRE-update row
+      spark.sql(s"UPDATE $ref SET num = num + $k, cat = '$c' WHERE ${p.sql}")
+      model.mapValuesInPlace { case (id, (n, s)) =>
+        if (p.f(id, n, s)) (n + k, c) else (n, s)
+      }
+      s"UPDATE +$k/'$c' WHERE ${p.sql}"
+    case 6 | 7 => // MERGE: update-or-delete matched, insert unmatched
+      val existing = model.keys.toVector
+      val touched = rnd.shuffle(existing).take(math.min(3, existing.size))
+      val fresh = freshIds(rnd, 1 + rnd.nextInt(2))
+      val src = (touched ++ fresh).map { id =>
+        (id, rnd.nextInt(1000).toLong, cats(rnd.nextInt(cats.size)))
+      }
+      val del = cats(rnd.nextInt(cats.size))
+      spark.sql(
+        s"""MERGE INTO $ref t USING (SELECT * FROM VALUES ${src.map {
+             case (i, n, s) => s"($i, ${n}L, '$s')" }.mkString(", ")}
+           |  AS v(id, num, cat)) s ON t.id = s.id
+           |WHEN MATCHED AND s.cat = '$del' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET num = t.num + s.num, cat = s.cat
+           |WHEN NOT MATCHED THEN INSERT (id, num, cat)
+           |  VALUES (s.id, s.num, s.cat)""".stripMargin)
+      src.foreach { case (id, n, s) =>
+        model.get(id) match {
+          case Some((tn, _)) =>
+            if (s == del) model.remove(id) else model(id) = (tn + n, s)
+          case None => model(id) = (n, s)
+        }
+      }
+      s"MERGE ${src.size} source rows (delete-cat '$del')"
+    case 8 => // maintenance: compaction — no logical change
+      spark.sql(s"CALL $C.system.rewrite_data_files('ns.$tblName', 2)")
+      "CALL rewrite_data_files"
+    case 9 => // maintenance: materialize tombstones — no logical change
+      spark.sql(s"CALL $C.system.rewrite_position_deletes('ns.$tblName')")
+      "CALL rewrite_position_deletes"
+  }
+
+  test(s"$OpsPerMode seeded write ops x 3 write modes match the model (seed=$Seed)") {
+    val wh = freshWarehouse()
+    spark.conf.set(s"spark.sql.catalog.$C", classOf[LakeSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$C.warehouse", wh)
+    try {
+      spark.sql(s"CREATE NAMESPACE $C.ns")
+      val modes = Seq(
+        "cow" -> Map.empty[String, String],
+        "mor" -> Map("write.delete.mode" -> "merge-on-read",
+          "write.update.mode" -> "merge-on-read",
+          "write.merge.mode" -> "merge-on-read"),
+        "dv" -> Map("write.delete.vector.enabled" -> "true"))
+      modes.foreach { case (mode, props) =>
+        val rnd = new Random(Seed + mode.hashCode)
+        val tbl = s"t_$mode"
+        val ref = s"$C.ns.$tbl"
+        spark.sql(s"CREATE TABLE $ref (id BIGINT, num BIGINT, cat STRING)")
+        props.foreach { case (k, v) =>
+          spark.sql(s"ALTER TABLE $ref SET TBLPROPERTIES ('$k'='$v')") }
+        val model: Model = scala.collection.mutable.LinkedHashMap.empty
+        // seed rows in two commits so maintenance has files to chew
+        (0 until 2).foreach { c =>
+          val rows = freshIds(rnd, 6).map { id =>
+            (id, rnd.nextInt(1000).toLong, cats(rnd.nextInt(cats.size))) }
+          spark.sql(s"INSERT INTO $ref VALUES " + rows.map {
+            case (i, n, s) => s"($i, $n, '$s')" }.mkString(", "))
+          rows.foreach { case (i, n, s) => model(i) = (n, s) }
+        }
+        val log = scala.collection.mutable.ArrayBuffer.empty[String]
+        (0 until OpsPerMode).foreach { step =>
+          val desc = applyOp(rnd, ref, tbl, wh, model)
+          log += desc
+          val got = tableRows(ref)
+          val want = modelRows(model)
+          assert(got == want,
+            s"""mode=$mode seed=$Seed diverged after step $step ($desc)
+               |history: ${log.mkString("; ")}
+               |got:  $got
+               |want: $want""".stripMargin)
+        }
+        // final no-op check: a full compaction must not move contents
+        spark.sql(s"CALL $C.system.rewrite_data_files('ns.$tbl', 1)")
+        assert(tableRows(ref) == modelRows(model),
+          s"mode=$mode: final compaction changed contents")
+      }
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$C")
+      spark.conf.unset(s"spark.sql.catalog.$C.warehouse")
+    }
+  }
+}
