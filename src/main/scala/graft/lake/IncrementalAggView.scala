@@ -110,8 +110,6 @@ object IncrementalAggView {
     // the changelog feeds one pass per aggregate family below — cache
     // the reconstructed delta rows so the parquet/tombstone read runs
     // once, not once per family
-    val delta = b.changelog(spark, last, Some(head)).persist()
-    val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
     // APPEND-ONLY window (driver-side metadata check): no commit in
     // (last, head] can have emitted a delete row, so the extremum
     // candidates collapse into the distributive pass — the initial
@@ -121,39 +119,81 @@ object IncrementalAggView {
     val appendOnly = (mins.nonEmpty || maxs.nonEmpty) &&
       b.metadata.snapshots.forall(s =>
         s.id <= last || s.id > head || s.operation == "append")
-    // one pass over the delta for the distributive columns (plus the
-    // extremum candidates when the window is append-only: all rows are
-    // inserts, and the typed-null delete probes never fire)...
-    val dAggs = sum(sgn).as("__d_cnt") +: (
-      sums.map { case (n, c) => sum(sgn * c).as(s"__d_$n") } ++
-      (if (appendOnly)
-        mins.flatMap { case (n, c) => Seq(min(c).as(s"__inm_$n"),
-          min(when(lit(false), c)).as(s"__dlm_$n")) } ++
-        maxs.flatMap { case (n, c) => Seq(max(c).as(s"__inx_$n"),
-          max(when(lit(false), c)).as(s"__dlx_$n")) }
-      else Nil))
-    val distAgg = delta.groupBy(keys.map(col): _*)
-      .agg(dAggs.head, dAggs.tail: _*)
-    // ...plus, per distinct extremum expression, a NET per-value pass:
-    // a CoW rewrite's carried survivors arrive as delete+insert pairs
-    // of the same value and must annihilate before the retraction
-    // probe, else every rewrite falsely retracts its groups' extrema.
-    // net > 0 → genuinely new occurrences (candidate side); net < 0 →
-    // multiset truly shrank at that value (retraction side).
+    val extrema = dedupeByExpr(mins.map((_, true)) ++ maxs.map((_, false)))
+    // PROJECT EARLY: the CoW changelog is O(rewritten rows) of FULL
+    // base width (a 15M-row rewrite reconstructs ~28M wide pre-images
+    // at sf10) — evaluate every aggregate input once and keep only
+    // keys + sign + evaluated values, so the cache and every shuffle
+    // below move narrow longs, never the base's string columns.
+    val sgn0 = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta0 = b.changelog(spark, last, Some(head)).select(
+      keys.map(col) ++ Seq(sgn0.as("__sgn")) ++
+        sums.zipWithIndex.map { case ((_, c), i) => c.as(s"__sv_$i") } ++
+        extrema.zipWithIndex.map { case ((c, _), j) => c.as(s"__ev_$j") }: _*)
+    // cache only when a SECOND delta pass will read it: with one
+    // extremum expression (the common case — min+max of the same
+    // column dedupe to one) the distributive aggregates FOLD into its
+    // net pass, so the delta streams through exactly one shuffle and
+    // a persist would only add a delta-sized materialization
+    val needNet = extrema.nonEmpty && !appendOnly
+    val delta = if (needNet && extrema.size > 1) delta0.persist() else delta0
+    def candAggs(uses: Seq[(String, Boolean)], v: Column) = uses.flatMap {
+      case (n, true) => Seq(
+        min(when(col("__net") > 0L, v)).as(s"__inm_$n"),
+        min(when(col("__net") < 0L, v)).as(s"__dlm_$n"))
+      case (n, false) => Seq(
+        max(when(col("__net") > 0L, v)).as(s"__inx_$n"),
+        max(when(col("__net") < 0L, v)).as(s"__dlx_$n"))
+    }
+    // The NET per-value pass behind min/max deltas: a CoW rewrite's
+    // carried survivors arrive as delete+insert pairs of the same value
+    // and must annihilate before the retraction probe, else every
+    // rewrite falsely retracts its groups' extrema. net > 0 → genuinely
+    // new occurrences (candidate side); net < 0 → the multiset truly
+    // shrank at that value (retraction side). Stage 1 groups by
+    // (keys, value) carrying PARTIAL distributive sums; stage 2 rolls
+    // both up to the keys — so count/sums ride the same two shuffles
+    // and the delta itself is read once.
+    val distAgg =
+      if (!needNet) {
+        // single pass: distributive columns, plus (append-only) the
+        // extremum candidates — all rows are inserts, the typed-null
+        // delete probes never fire
+        val dAggs = sum(col("__sgn")).as("__d_cnt") +: (
+          sums.zipWithIndex.map { case ((n, _), i) =>
+            sum(col("__sgn") * col(s"__sv_$i")).as(s"__d_$n") } ++
+          (if (appendOnly)
+            extrema.zipWithIndex.flatMap { case ((_, uses), j) =>
+              uses.flatMap {
+                case (n, true) => Seq(min(col(s"__ev_$j")).as(s"__inm_$n"),
+                  min(when(lit(false), col(s"__ev_$j"))).as(s"__dlm_$n"))
+                case (n, false) => Seq(max(col(s"__ev_$j")).as(s"__inx_$n"),
+                  max(when(lit(false), col(s"__ev_$j"))).as(s"__dlx_$n"))
+              }
+            }
+          else Nil))
+        delta.groupBy(keys.map(col): _*).agg(dAggs.head, dAggs.tail: _*)
+      } else {
+        val (_, uses0) = extrema.head
+        val s1 = sum(col("__sgn")).as("__net") +:
+          sums.zipWithIndex.map { case ((n, _), i) =>
+            sum(col("__sgn") * col(s"__sv_$i")).as(s"__p_$n") }
+        val net0 = delta
+          .groupBy(keys.map(col) :+ col("__ev_0").as("__v"): _*)
+          .agg(s1.head, s1.tail: _*)
+        val s2 = sum(col("__net")).as("__d_cnt") +: (
+          sums.map { case (n, _) => sum(col(s"__p_$n")).as(s"__d_$n") } ++
+          candAggs(uses0, col("__v")))
+        net0.groupBy(keys.map(col): _*).agg(s2.head, s2.tail: _*)
+      }
+    // further extremum expressions (rare) take their own net passes
+    // over the cached delta
     val extremaAggs =
-      if (appendOnly) Nil
-      else dedupeByExpr(mins.map((_, true)) ++
-        maxs.map((_, false))).map { case (c, uses) =>
-        val net = delta.groupBy(keys.map(col) :+ c.as("__v"): _*)
-          .agg(sum(sgn).as("__net"))
-        val cands = uses.map {
-          case (n, true) => // min column
-            Seq(min(when(col("__net") > 0L, col("__v"))).as(s"__inm_$n"),
-              min(when(col("__net") < 0L, col("__v"))).as(s"__dlm_$n"))
-          case (n, false) => // max column
-            Seq(max(when(col("__net") > 0L, col("__v"))).as(s"__inx_$n"),
-              max(when(col("__net") < 0L, col("__v"))).as(s"__dlx_$n"))
-        }.flatten
+      if (!needNet) Nil
+      else extrema.zipWithIndex.tail.map { case ((_, uses), j) =>
+        val net = delta.groupBy(keys.map(col) :+ col(s"__ev_$j").as("__v"): _*)
+          .agg(sum(col("__sgn")).as("__net"))
+        val cands = candAggs(uses, col("__v"))
         net.groupBy(keys.map(col): _*).agg(cands.head, cands.tail: _*)
       }
     // all sides group the SAME delta, so their key sets coincide up to
@@ -233,7 +273,10 @@ object IncrementalAggView {
           })
         RefreshReport(last, head, deltaGroups, rescanned, refreshed = true)
       } finally if (rescanConds.nonEmpty) merged.unpersist()
-    } finally { deltaAgg.unpersist(); delta.unpersist() }
+    } finally {
+      deltaAgg.unpersist()
+      if (needNet && extrema.size > 1) delta.unpersist()
+    }
   }
 
   /** Changelog-DRIVEN maintenance (round-15 stretch): a streaming query

@@ -68,7 +68,10 @@ object BenchScaled {
     "multimodal_video_codec", "simhash_clusters", "hard_negatives",
     "ngram_diversity", "embedding_drift", "lake_incr_mv",
     "q_trade_volume", "q_multi_supplier_orders", "split_contamination",
-    "minhash_accuracy", "q_ev_bounce_rate")
+    "minhash_accuracy", "q_ev_bounce_rate",
+    // round-15: the ANN hard-negative swap-in (its whole point is the
+    // scale posture vs the brute twin) and its recall scorer
+    "hard_negatives_ann", "hard_negatives_recall", "ivf_ann")
 
   /** Every [[graft.queries.Corpus.prepare]] artifact, the targets that
     * read it (directly or through a wrapper query), and its builder —
