@@ -31,10 +31,19 @@ import org.apache.spark.sql.functions._
   * "NET" matters: a copy-on-write rewrite's changelog re-emits every
   * carried survivor as a delete+insert pair — including each group's
   * extremum rows — so the retraction probe first cancels per-value
-  * pairs (one extra delta-sized shuffle per distinct extremum
-  * expression) and only values whose multiset count truly decreased
-  * can force a rescan. Without it every CoW delete would rescan every
+  * pairs and only values whose multiset count truly decreased can
+  * force a rescan. Without it every CoW delete would rescan every
   * group it touched.
+  *
+  * Delta plumbing (sf10-tuned): the changelog is projected down to
+  * keys + sign + evaluated aggregate inputs BEFORE any shuffle (CoW
+  * windows reconstruct rewritten rows at full base width — tens of
+  * millions of wide rows at scale), the distributive sums ride the
+  * first extremum expression's net pass as stage-1 partials (two
+  * shuffles total for count+sums+min+max), append-only windows
+  * (checked from snapshot metadata) collapse everything into ONE pass,
+  * and the delta is cached only when a 2nd extremum expression needs a
+  * genuine 2nd read.
   *
   * One refresh = ONE atomic commit on the view table: the re-aggregated
   * contents replace the old files and the base-snapshot watermark
