@@ -34,6 +34,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The three allowlisted bounded unpartitioned windows (each over a
+    // provably tiny frame — see WindowGuardSpec) each emit a WindowExec
+    // "No Partition Defined" WARN per rep; ~200 lines of that competed
+    // with the driver's stdout-tail JSON parse (round-15 verdict ask).
+    // Drop that one logger to ERROR — every other WARN still surfaces.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
     // JVM/codegen/scheduler warmup so the first measured query doesn't
     // absorb Spark initialization cost
     spark.range(1000000L).selectExpr("sum(id)").collect()

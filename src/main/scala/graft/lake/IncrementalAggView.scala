@@ -105,6 +105,12 @@ object IncrementalAggView {
   private def refreshOnce(spark: SparkSession, base: LakeTable,
       view: LakeTable, keys: Seq[String], sums: Seq[(String, Column)],
       mins: Seq[(String, Column)], maxs: Seq[(String, Column)]): RefreshReport = {
+    // the merge below joins view-to-delta USING the key columns; with
+    // zero keys that join degenerates (cross join / analysis error), so
+    // the global-rollup spelling is a single-key constant column
+    require(keys.nonEmpty,
+      "incremental view needs >=1 group key; for a global rollup add a " +
+        "constant key column (e.g. lit(0).as(\"all\")) to base and view")
     val outNames = keys ++ ("cnt" +: (sums ++ mins ++ maxs).map(_._1))
     require(outNames.distinct.size == outNames.size,
       s"duplicate output column among $outNames")
@@ -250,9 +256,14 @@ object IncrementalAggView {
           col(s"__dlm_$n").isNotNull && col(s"__dlm_$n") <= cand } ++
         candMaxs.map { case (n, cand) =>
           col(s"__dlx_$n").isNotNull && col(s"__dlx_$n") >= cand }
+      // fail CLOSED: a null comparison here is unreachable under the
+      // del⊆(view ∪ inserts) invariant, but if the invariant is ever
+      // violated (e.g. an externally seeded view with null extremum
+      // cells) the conservative outcome is an extra rescan, never a
+      // silently stale extremum
       val rescanFlag =
         if (rescanConds.isEmpty) lit(false)
-        else coalesce(rescanConds.reduce(_ || _), lit(false))
+        else coalesce(rescanConds.reduce(_ || _), lit(true))
       val merged0 = joined.select(keys.map(col) ++ (newCnt +: newSums) ++
         candMins.map { case (n, c) => c.as(n) } ++
         candMaxs.map { case (n, c) => c.as(n) } :+

@@ -27,12 +27,12 @@ object MvProbe {
     val src = spark.read.parquet(s"$d/orders.parquet")
     val cat = graft.lake.LakeCatalog.open(
       java.nio.file.Files.createTempDirectory("mvprobe_").toString)
-    val sumsOnly0 = args.length > 1 && args(1) == "sums"
+    val sumsOnly = args.length > 1 && args(1) == "sums"
     val base = cat.createTable("p", "b", src.schema)
     val viewFields = Seq(
       StructField("o_orderpriority", StringType),
       StructField("cnt", LongType), StructField("cents", LongType)) ++
-      (if (sumsOnly0) Nil else Seq(
+      (if (sumsOnly) Nil else Seq(
         StructField("min_cents", LongType), StructField("max_cents", LongType)))
     val view = cat.createTable("p", "v", StructType(viewFields))
     val keys = Seq("o_orderpriority")
@@ -42,7 +42,6 @@ object MvProbe {
         Seq("cents" -> cents),
         mins = Seq("min_cents" -> cents), maxs = Seq("max_cents" -> cents))
     }
-    val sumsOnly = args.length > 1 && args(1) == "sums"
     def refreshAny(tag: String) =
       if (sumsOnly) t(s"refresh:$tag") {
         graft.lake.IncrementalAggView.refresh(spark, base, view, keys,

@@ -33,8 +33,9 @@ class AnnRecallSpec extends LakeSuite {
     // deterministic (medoid quantizer): measured 0.60 at sf0.01,
     // 0.67 at sf0.001, 0.73 at sf0.1 — the label filter shrinks each
     // cell's candidate pool, so the floor matches plain IVF's, not
-    // beats it
-    assert(recall >= 0.6, s"hard-negative recall@3 $recall < 0.6")
+    // beats it. Floor set BELOW the measured value (round-15 advice):
+    // 0.60 exactly left zero margin for benign tie-break drift
+    assert(recall >= 0.55, s"hard-negative recall@3 $recall < 0.55")
   }
 
   test("the trained-KMeans quantizer mode holds the same IVF floor") {
