@@ -68,6 +68,20 @@ object IncrementalAggView {
     * reflect. Advanced inside the refresh commit's CAS transform. */
   val WatermarkProp = "incr-view.base-snapshot-id"
 
+  /** View table property pinning the DIMENSION snapshot an enriched
+    * view's contents were joined against. A dim commit invalidates
+    * every historical enrichment, so refresh REFUSES on a mismatch
+    * (toward [[rebuild]]) instead of mixing join versions. */
+  val DimSnapshotProp = "incr-view.dim-snapshot-id"
+
+  /** Broadcast-dimension enrichment in the view definition (round-16):
+    * every aggregated row is `base ⋈ dim` on the shared `joinKeys`
+    * (inner, equi). The dim side is dimension-SIZED by assumption — it
+    * broadcasts into the delta join each refresh, so enrichment adds
+    * zero shuffles to the maintenance path. Group keys may come from
+    * either side. */
+  final case class DimJoin(table: LakeTable, joinKeys: Seq[String])
+
   /** Above this many affected groups the rescan stops collecting keys
     * for planFiles pruning and relies on the semi-join alone — the
     * driver never holds a data-proportional key list. */
@@ -90,11 +104,14 @@ object IncrementalAggView {
       keys: Seq[String], sums: Seq[(String, Column)],
       mins: Seq[(String, Column)] = Nil,
       maxs: Seq[(String, Column)] = Nil,
-      maxAttempts: Int = 5): RefreshReport = {
+      maxAttempts: Int = 5,
+      where: Option[Column] = None,
+      dim: Option[DimJoin] = None): RefreshReport = {
     var attempt = 0
     while (true) {
       attempt += 1
-      try return refreshOnce(spark, base, view, keys, sums, mins, maxs)
+      try return refreshOnce(spark, base, view, keys, sums, mins, maxs,
+        where, dim)
       catch {
         case _: CommitConflictException if attempt < maxAttempts => // re-read
       }
@@ -102,9 +119,60 @@ object IncrementalAggView {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Full recompute: base (⋈ dim, WHERE-filtered) re-aggregated from
+    * scratch, replacing the view contents and resetting the watermark
+    * (and dim pin) in one CAS commit — the documented escape when a
+    * dimension commit invalidates an enriched view's history, and the
+    * efficient initial build for a base with CoW history (an
+    * incremental build would replay every historical rewrite). */
+  def rebuild(spark: SparkSession, base: LakeTable, view: LakeTable,
+      keys: Seq[String], sums: Seq[(String, Column)],
+      mins: Seq[(String, Column)] = Nil,
+      maxs: Seq[(String, Column)] = Nil,
+      where: Option[Column] = None,
+      dim: Option[DimJoin] = None): RefreshReport = {
+    val b = base.refresh()
+    val head = b.metadata.currentSnapshotId
+    val dimHead = dim.map(_.table.refresh().metadata.currentSnapshotId)
+    val v = view.refresh()
+    val aggs = count(lit(1)).as("cnt") +: (
+      sums.map { case (n, c) => sum(c).as(n) } ++
+      mins.map { case (n, c) => min(c).as(n) } ++
+      maxs.map { case (n, c) => max(c).as(n) })
+    val rows = enrich(spark, b.newScan().toDF(spark), where, dim, dimHead)
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val outNames = keys ++ ("cnt" +: (sums ++ mins ++ maxs).map(_._1))
+    val added = v.writeDataFiles(rows.select(outNames.map(col): _*))
+    v.commitSnapshot("replace", added, v.metadata.currentFiles,
+      dropDeletes = true,
+      transformMeta = m => m.copy(properties =
+        m.properties + (WatermarkProp -> head.toString) ++
+          dimHead.map(DimSnapshotProp -> _.toString)))
+    // deltaGroups = -1: a rebuild has no changelog delta to size
+    RefreshReport(0L, head, -1L, 0L, refreshed = true)
+  }
+
+  /** The view definition's row source shaping: dim enrichment (inner
+    * broadcast equi-join pinned at `dimHead`) then the WHERE filter —
+    * applied identically to the changelog delta, the rescan's base
+    * re-aggregation, and [[rebuild]]'s full scan, so all three compute
+    * the same rows. */
+  private def enrich(spark: SparkSession, df: DataFrame,
+      where: Option[Column], dim: Option[DimJoin],
+      dimHead: Option[Long]): DataFrame = {
+    val joined = dim match {
+      case None => df
+      case Some(dj) =>
+        df.join(broadcast(dj.table.asOf(dimHead.get).toDF(spark)),
+          dj.joinKeys, "inner")
+    }
+    where.map(joined.filter).getOrElse(joined)
+  }
+
   private def refreshOnce(spark: SparkSession, base: LakeTable,
       view: LakeTable, keys: Seq[String], sums: Seq[(String, Column)],
-      mins: Seq[(String, Column)], maxs: Seq[(String, Column)]): RefreshReport = {
+      mins: Seq[(String, Column)], maxs: Seq[(String, Column)],
+      where: Option[Column], dim: Option[DimJoin]): RefreshReport = {
     // the merge below joins view-to-delta USING the key columns; with
     // zero keys that join degenerates (cross join / analysis error), so
     // the global-rollup spelling is a single-key constant column
@@ -121,6 +189,18 @@ object IncrementalAggView {
       .map(_.toLong).getOrElse(0L)
     if (head == last || head == -1L)
       return RefreshReport(last, head, 0L, 0L, refreshed = false)
+    // enriched views pin the dim snapshot their rows were joined
+    // against; a dim commit means every historical enrichment may be
+    // stale — refuse toward rebuild() rather than mix join versions
+    val dimHead = dim.map { dj =>
+      val cur = dj.table.refresh().metadata.currentSnapshotId
+      val stored = v.metadata.properties.get(DimSnapshotProp).map(_.toLong)
+      if (stored.exists(_ != cur)) throw new IllegalStateException(
+        s"dimension ${dj.table.name} moved (snapshot ${stored.get} -> " +
+          s"$cur) under enriched view ${v.name}: the view's historical " +
+          "rows joined the old dim — IncrementalAggView.rebuild() it")
+      cur
+    }
 
     // the changelog feeds one pass per aggregate family below — cache
     // the reconstructed delta rows so the parquet/tombstone read runs
@@ -141,7 +221,8 @@ object IncrementalAggView {
     // keys + sign + evaluated values, so the cache and every shuffle
     // below move narrow longs, never the base's string columns.
     val sgn0 = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    val delta0 = b.changelog(spark, last, Some(head)).select(
+    val delta0 = enrich(spark, b.changelog(spark, last, Some(head)),
+      where, dim, dimHead).select(
       keys.map(col) ++ Seq(sgn0.as("__sgn")) ++
         sums.zipWithIndex.map { case ((_, c), i) => c.as(s"__sv_$i") } ++
         extrema.zipWithIndex.map { case ((c, _), j) => c.as(s"__ev_$j") }: _*)
@@ -228,7 +309,8 @@ object IncrementalAggView {
             throw new CommitConflictException(
               s"view watermark moved $last -> $cur during refresh; " +
                 "a concurrent refresh won — re-run from the new watermark")
-          props + (WatermarkProp -> head.toString)
+          props + (WatermarkProp -> head.toString) ++
+            dimHead.map(DimSnapshotProp -> _.toString)
         }
         return RefreshReport(last, head, 0L, 0L, refreshed = true)
       }
@@ -278,7 +360,8 @@ object IncrementalAggView {
 
       val (finalDF, rescanned) =
         if (rescanConds.isEmpty) (merged.drop("__rescan"), 0L)
-        else resolveRescans(spark, b, head, merged, keys, sums, mins, maxs)
+        else resolveRescans(spark, b, head, merged, keys, sums, mins, maxs,
+          where, dim, dimHead)
       try {
         val added = v.writeDataFiles(finalDF.select(outNames.map(col): _*))
         v.commitSnapshot("replace", added, v.metadata.currentFiles,
@@ -289,7 +372,9 @@ object IncrementalAggView {
               throw new CommitConflictException(
                 s"view watermark moved $last -> $cur during refresh; " +
                   "a concurrent refresh won — re-run from the new watermark")
-            m.copy(properties = m.properties + (WatermarkProp -> head.toString))
+            m.copy(properties = m.properties +
+              (WatermarkProp -> head.toString) ++
+              dimHead.map(DimSnapshotProp -> _.toString))
           })
         RefreshReport(last, head, deltaGroups, rescanned, refreshed = true)
       } finally if (rescanConds.nonEmpty) merged.unpersist()
@@ -309,9 +394,12 @@ object IncrementalAggView {
     * the catalog-qualified SQL name of the base table (the `.changes`
     * handle lives on the SQL surface); `base`/`view` are the engine
     * handles the refresh maintains. Stop the returned query to stop
-    * auto-refreshing. MoR tombstone commits refuse through the stream
-    * exactly as they do for any `.changes` consumer — the batch
-    * changelog (and so a manual [[refresh]]) is the documented path. */
+    * auto-refreshing. MoR tombstone commits (positional, DV, equality
+    * — the mergeIntoMoR upsert shape) stream their deltas like any
+    * `.changes` consumer sees them (round 16), so views over
+    * MoR-churning bases maintain themselves; only an over-budget
+    * tombstone delta refuses toward the batch changelog / a manual
+    * [[refresh]]. */
   def autoRefresh(spark: SparkSession, baseSqlName: String,
       base: LakeTable, view: LakeTable, keys: Seq[String],
       sums: Seq[(String, Column)], mins: Seq[(String, Column)] = Nil,
@@ -349,8 +437,9 @@ object IncrementalAggView {
     * with no driver materialization. */
   private def resolveRescans(spark: SparkSession, b: LakeTable, head: Long,
       merged: DataFrame, keys: Seq[String], sums: Seq[(String, Column)],
-      mins: Seq[(String, Column)],
-      maxs: Seq[(String, Column)]): (DataFrame, Long) = {
+      mins: Seq[(String, Column)], maxs: Seq[(String, Column)],
+      where: Option[Column], dim: Option[DimJoin],
+      dimHead: Option[Long]): (DataFrame, Long) = {
     val flaggedKeys = merged.filter(col("__rescan"))
       .select(keys.map(col): _*)
     // ONE action resolves count + keys together in the common case:
@@ -360,10 +449,15 @@ object IncrementalAggView {
     val collected = flaggedKeys.limit(RescanKeyPushdownCap + 1).collect()
     if (collected.isEmpty) return (merged.drop("__rescan"), 0L)
     val small = collected.length <= RescanKeyPushdownCap
+    // planFiles pruning needs the lead key to be a BASE column — an
+    // enriched view's dim-side group key cannot prune base files (the
+    // semi-join below keeps the scan exact either way)
+    val leadKeyOnBase = b.schema.fieldNames.contains(keys.head)
     val (pred, affected, nFlagged) =
       if (small) (
-        LakePredicate.In(keys.head,
-          collected.map(_.get(0)).distinct.toSeq),
+        if (leadKeyOnBase) LakePredicate.In(keys.head,
+          collected.map(_.get(0)).distinct.toSeq)
+        else LakePredicate.AlwaysTrue,
         // a LOCAL relation of the collected groups: the semi-join build
         // side never re-derives merged
         broadcast(spark.createDataFrame(
@@ -371,7 +465,8 @@ object IncrementalAggView {
             java.util.Arrays.asList(collected: _*)), flaggedKeys.schema)),
         collected.length.toLong)
       else (LakePredicate.AlwaysTrue, flaggedKeys, flaggedKeys.count())
-    val baseRows = b.asOf(head, pred).toDF(spark)
+    val baseRows = enrich(spark, b.asOf(head, pred).toDF(spark),
+      where, dim, dimHead)
       .join(affected, keys, "left_semi")
     val rAggs = count(lit(1)).as("cnt") +: (
       sums.map { case (n, c) => sum(c).as(n) } ++

@@ -310,6 +310,34 @@ final class LakeTable private[lake] (
     } else parts.reduce(_.unionByName(_))
   }
 
+  /** Does this table's schema carry a VARIANT column anywhere? Gates
+    * the pushVariantIntoScan opt-out below. */
+  private lazy val hasVariantColumn: Boolean = {
+    def rec(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case org.apache.spark.sql.types.VariantType => true
+      case s: StructType => s.fields.exists(f => rec(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => rec(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        rec(m.keyType) || rec(m.valueType)
+      case _ => false
+    }
+    schema.fields.exists(f => rec(f.dataType))
+  }
+
+  /** Engine-side read confs. Variant tables additionally disable
+    * Spark's PushVariantIntoScan rewrite: a variant column
+    * reconstructed by that rule LOSES its alias-attached parquet field
+    * id at the next write (verified against Spark 4.1.2 — the fresh
+    * parse_json source keeps `= id`, the rewritten scan output drops
+    * it), so every CoW rewrite/compaction would emit field-id-less
+    * variant groups that the ID-matching read then resolves to NULL —
+    * silent data loss on the carried rows. Disabling the rule costs
+    * only the shredded-scan projection pushdown on lake variant reads. */
+  private def readConfs: Map[String, String] =
+    Map("spark.sql.parquet.fieldId.read.enabled" -> "true") ++
+      (if (hasVariantColumn)
+        Map("spark.sql.variant.pushVariantIntoScan" -> "false") else Map.empty)
+
   private def readIdFiles(spark: SparkSession, paths: Seq[String],
       withPos: Boolean, withRowId: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -326,7 +354,7 @@ final class LakeTable private[lake] (
     val ridCols = if (withRowId)
       Seq(col(LakeTable.RowIdCol).as(LakeTable.MatRidCol)) else Nil
     org.apache.spark.sql.graftbridge.SessionBridge
-      .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
+      .sessionWithConfs(spark, readConfs)
       .read.schema(reqSchema).parquet(paths: _*)
       // strip the injected metadata so scan outputs carry the user's schema
       .select(schema.fields.map(f => col(f.name).as(f.name, f.metadata)) ++
@@ -365,7 +393,8 @@ final class LakeTable private[lake] (
       .cast(org.apache.spark.sql.types.LongType)
       .as(LakeTable.MatRidCol)) else Nil
     org.apache.spark.sql.graftbridge.SessionBridge
-      .sessionWithConfs(spark, Map("spark.sql.parquet.fieldId.read.enabled" -> "false"))
+      .sessionWithConfs(spark,
+        readConfs + ("spark.sql.parquet.fieldId.read.enabled" -> "false"))
       .read.schema(reqSchema).parquet(paths: _*)
       .select(resolution.map {
         case (f, Some(imp)) => col(imp).as(f.name, f.metadata)
@@ -386,7 +415,7 @@ final class LakeTable private[lake] (
     * to a shuffle instead of OOMing driver/executors on a forced
     * multi-GB broadcast. The delete manifests record exact sizes, so
     * the gate costs no IO. */
-  private def deleteBroadcastBudget: Long =
+  private[lake] def deleteBroadcastBudget: Long =
     meta.properties.get("read.delete.broadcast-bytes").map(v =>
       try v.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(

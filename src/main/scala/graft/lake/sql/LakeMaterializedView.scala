@@ -1,0 +1,185 @@
+package graft.lake.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+import org.apache.spark.sql.connector.catalog.{CatalogNotFoundException, Identifier, TableCatalog}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+
+import graft.lake.{IncrementalAggView, LakeTable}
+
+/** `CREATE MATERIALIZED VIEW v AS SELECT keys…, count(*) AS cnt,
+  * sum(e)…, min(e)…, max(e)… FROM base [WHERE …] GROUP BY keys` —
+  * the SQL spelling of [[IncrementalAggView]] (round-16 verdict ask).
+  *
+  * The statement parses through the injected parser (the ADD PARTITION
+  * FIELD precedent), the defining query through Spark's own grammar;
+  * this command then walks the UNRESOLVED Aggregate to extract the
+  * spec: group keys (bare base columns), the count column (must be
+  * named `cnt` — the maintenance schema's fixed slot), and
+  * sum/min/max expressions with their aliases. The spec is STORED in
+  * the view's table properties (`incr-view.base/keys/aggs/where`), so
+  * `CALL system.refresh_agg_view('ns.v')` — one argument, no
+  * re-spelled spec — and DESCRIBE EXTENDED read it back; the view is
+  * populated on create via [[IncrementalAggView.rebuild]].
+  *
+  * Sum expressions must be INTEGER-typed (the floor-cents device):
+  * exact delta arithmetic is what makes the incremental refresh
+  * bit-equal to a full recompute, so a fractional sum refuses here,
+  * at create time, not as drift later. */
+final case class LakeCreateMaterializedViewCommand(
+    viewParts: Seq[String], querySql: String) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val plan = spark.sessionState.sqlParser.parseQuery(querySql)
+    val (groupExprs, aggExprs, whereSql, baseParts) = plan match {
+      case Aggregate(g, a, child, _) =>
+        child match {
+          case Filter(cond, r: UnresolvedRelation) =>
+            (g, a, Some(cond.sql), r.multipartIdentifier)
+          case r: UnresolvedRelation => (g, a, None, r.multipartIdentifier)
+          case other => malformed(s"FROM must be a bare lake table " +
+            s"(optionally WHERE-filtered), got ${other.nodeName}")
+        }
+      case other => malformed(
+        s"the defining query must be a GROUP BY aggregate, got ${other.nodeName}")
+    }
+    val keys = groupExprs.map {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case other => malformed(
+        s"group keys must be bare columns, got '${other.sql}'")
+    }
+
+    var cnt = false
+    val sums = scala.collection.mutable.Buffer.empty[(String, String)]
+    val mins = scala.collection.mutable.Buffer.empty[(String, String)]
+    val maxs = scala.collection.mutable.Buffer.empty[(String, String)]
+    def addAgg(fn: UnresolvedFunction, alias: Option[String]): Unit = {
+      require(!fn.isDistinct, malformedMsg(
+        "DISTINCT aggregates are not incrementally maintainable"))
+      def named: String = alias.getOrElse(malformed(
+        s"alias required: ${fn.nameParts.last}(${fn.arguments.map(_.sql).mkString(",")}) AS <column>"))
+      def argSql: String = fn.arguments match {
+        case Seq(one) => one.sql
+        case _ => malformed(s"${fn.nameParts.last} takes one expression")
+      }
+      fn.nameParts.last.toLowerCase match {
+        case "count" =>
+          require(alias.forall(_ == "cnt"), malformedMsg(
+            "the count column is the maintenance schema's fixed `cnt` " +
+              "slot — write count(*) AS cnt (or leave it unaliased)"))
+          cnt = true
+        case "sum" => sums += named -> argSql
+        case "min" => mins += named -> argSql
+        case "max" => maxs += named -> argSql
+        case other => malformed(s"unsupported aggregate '$other' " +
+          "(count/sum/min/max are incrementally maintainable)")
+      }
+    }
+    aggExprs.foreach {
+      case a: UnresolvedAttribute =>
+        require(keys.contains(a.nameParts.last), malformedMsg(
+          s"non-aggregate column '${a.nameParts.last}' is not a group key"))
+      case Alias(fn: UnresolvedFunction, name) => addAgg(fn, Some(name))
+      case UnresolvedAlias(fn: UnresolvedFunction, _) => addAgg(fn, None)
+      case other => malformed(s"unsupported select item '${other.sql}'")
+    }
+    require(cnt, malformedMsg("count(*) AS cnt is required — it drives " +
+      "group liveness in the incremental maintenance"))
+
+    // resolve base + view in the SAME lake catalog (the stored spec's
+    // `ns.table` ref is catalog-relative, like every CALL argument)
+    val (viewCatalog, viewIdent) = resolveCatalog(spark, viewParts)
+    val (baseCatalog, baseIdent) = resolveCatalog(spark, baseParts)
+    require(viewCatalog eq baseCatalog,
+      s"view ${viewParts.mkString(".")} and base ${baseParts.mkString(".")} " +
+        "must live in the same lake catalog")
+    val base = loadLake(baseCatalog, baseIdent, baseParts)
+
+    // type the view schema off an empty frame under the base schema
+    val emptyBase = spark.createDataFrame(
+      new java.util.ArrayList[Row](), base.schema)
+    def typeOf(sql: String): DataType =
+      emptyBase.select(expr(sql)).schema.head.dataType
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    sums.foreach { case (n, e) =>
+      require(integral(typeOf(e)),
+        s"sum column '$n' must be an INTEGER expression (e.g. " +
+          s"CAST(floor(x * 100) AS LONG) — the floor-cents device) for " +
+          s"exact incremental maintenance; got ${typeOf(e).sql} from '$e'")
+    }
+    val viewSchema = StructType(
+      keys.map(k => StructField(k, typeOf(k))) ++
+        (StructField("cnt", LongType) +:
+          (sums.map { case (n, _) => StructField(n, LongType) } ++
+            mins.map { case (n, e) => StructField(n, typeOf(e)) } ++
+            maxs.map { case (n, e) => StructField(n, typeOf(e)) })))
+
+    def aggSpec: String =
+      (sums.map { case (n, e) => s"$n:$e" } ++
+        mins.map { case (n, e) => s"$n:min:$e" } ++
+        maxs.map { case (n, e) => s"$n:max:$e" }).mkString(";")
+    val props = new java.util.HashMap[String, String]()
+    props.put(MatViewProps.Base,
+      s"${baseIdent.namespace.mkString(".")}.${baseIdent.name}")
+    props.put(MatViewProps.Keys, keys.mkString(","))
+    props.put(MatViewProps.Aggs, aggSpec)
+    whereSql.foreach(props.put(MatViewProps.Where, _))
+    viewCatalog.createTable(viewIdent, viewSchema,
+      Array.empty[org.apache.spark.sql.connector.expressions.Transform], props)
+    val view = loadLake(viewCatalog, viewIdent, viewParts)
+
+    // populate now: a just-created MV that reads empty until the first
+    // CALL would silently serve wrong results
+    IncrementalAggView.rebuild(spark, base, view, keys,
+      sums.toSeq.map { case (n, e) => n -> expr(e) },
+      mins.toSeq.map { case (n, e) => n -> expr(e) },
+      maxs.toSeq.map { case (n, e) => n -> expr(e) },
+      where = whereSql.map(expr))
+    Nil
+  }
+
+  private def malformedMsg(detail: String): String =
+    s"CREATE MATERIALIZED VIEW ${viewParts.mkString(".")}: $detail"
+  private def malformed(detail: String): Nothing =
+    throw new IllegalArgumentException(malformedMsg(detail))
+
+  private def resolveCatalog(spark: SparkSession,
+      parts: Seq[String]): (TableCatalog, Identifier) = {
+    val cm = spark.sessionState.catalogManager
+    val (cat, ident) = parts match {
+      case Seq(single) =>
+        (cm.currentCatalog, Identifier.of(cm.currentNamespace, single))
+      case _ =>
+        try (cm.catalog(parts.head),
+          Identifier.of(parts.tail.init.toArray, parts.last))
+        catch { case _: CatalogNotFoundException =>
+          (cm.currentCatalog, Identifier.of(parts.init.toArray, parts.last))
+        }
+    }
+    cat match {
+      case tc: TableCatalog => (tc, ident)
+      case other => malformed(s"catalog ${other.name()} is not a TableCatalog")
+    }
+  }
+
+  private def loadLake(tc: TableCatalog, ident: Identifier,
+      parts: Seq[String]): LakeTable =
+    tc.loadTable(ident) match {
+      case lt: LakeSqlTable => lt.lakeTable
+      case other => malformed(s"${parts.mkString(".")} is not a lake table " +
+        s"(got ${other.getClass.getSimpleName})")
+    }
+}
+
+/** The stored-spec property names `CREATE MATERIALIZED VIEW` writes and
+  * the 1-arg `CALL system.refresh_agg_view('ns.v')` reads back. */
+object MatViewProps {
+  val Base = "incr-view.base"
+  val Keys = "incr-view.keys"
+  val Aggs = "incr-view.aggs"
+  val Where = "incr-view.where"
+}

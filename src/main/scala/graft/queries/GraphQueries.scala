@@ -35,10 +35,20 @@ object GraphQueries {
     * the edge table would be bucketed by src so the per-iteration join
     * is shuffle-free on the edge side. No driver-side state: ranks
     * never leave the cluster. */
-  /** Cached (edge, degree) table + the uniform start vector. */
+  /** Cached (edge, degree) table + the uniform start vector. The cache
+    * is REPARTITIONED ON dst before persisting (round-16 scale fix):
+    * every [[pagerankStep]] ends in a dst-keyed rollup, so a dst-
+    * clustered cache satisfies the aggregation's distribution from the
+    * cache scan itself — each iteration becomes broadcast-join + local
+    * hash aggregate with ZERO exchanges, where the unpartitioned cache
+    * paid a full O(edges) partial-agg shuffle per iteration (the
+    * dominant sf10 stage: ~1.4 GB shuffled per step, 3×). One upfront
+    * shuffle amortizes over all iterations — the DataFrame spelling of
+    * GraphX's partitioned edge RDD. */
   private[queries] def edgeTable(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    // persisted: the union (both directions) and the degree rollup each
-    // reference it twice — 4 plan occurrences of the join+distinct
+    // persisted and MATERIALIZED here: edges and deg below each read it
+    // twice, and racing cache-miss scans inside one job re-derived the
+    // join+distinct up to 3× at sf10 before the eager count
     val pairs = QueryCaches.track(
       lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
@@ -46,12 +56,24 @@ object GraphQueries {
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
         .persist())
+    pairs.count()
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = QueryCaches.track(edges.join(deg, "src").persist())
-    (e, deg.select(col("src").as("node"), lit(1000000L).as("rank")))
+    // deg rides the O(nodes) BROADCAST side (joined onto the rank
+    // vector per step), NOT the edge cache: joining it onto edges cost
+    // a full O(edges) sort-merge join in the build (the second-largest
+    // sf10 stage) for a column the step can pick up for free
+    val deg = QueryCaches.track(edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg")).persist())
+    val e = QueryCaches.track(edges.repartition(col("dst")).persist())
+    (e, deg)
   }
+
+  /** The step input: the rank vector with each node's static degree
+    * attached — an O(nodes) broadcast join, never touching edges. */
+  private[queries] def withDeg(ranks: DataFrame, deg: DataFrame): DataFrame =
+    ranks.join(broadcast(deg), "node")
 
   /** One PageRank step. The rank vector is O(nodes) ≪ O(edges):
     * broadcast it so the cached edge table never shuffles — a map-side
@@ -66,8 +88,8 @@ object GraphQueries {
         expr("150000 + (850 * sc) div 1000").as("rank"))
 
   def qGraphPagerank(s: SparkSession, d: String): DataFrame = {
-    val (e, ranks0) = edgeTable(s, d)
-    var ranks = ranks0
+    val (e, deg) = edgeTable(s, d)
+    var ranks = deg.select(col("node"), lit(1000000L).as("rank"))
     for (_ <- 1 to 3) {
       // materialize each step's O(nodes) vector and CUT its lineage:
       // without this, step N+1 is a self-join against a plan containing
@@ -76,7 +98,7 @@ object GraphQueries {
       // SortMergeJoins in the final plan; with the cut: zero) — the
       // standard iterative-algorithm checkpoint, same role as GraphX's
       // per-iteration checkpointing
-      ranks = pagerankStep(e, ranks).localCheckpoint()
+      ranks = pagerankStep(e, withDeg(ranks, deg)).localCheckpoint()
     }
     ranks.select(
         when(col("node") % 2 === 0, lit("cust")).otherwise(lit("supp")).as("node_type"),
@@ -158,10 +180,15 @@ object GraphQueries {
     val pairs = wordPairs(s, d)
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = QueryCaches.track(edges.join(deg, "src").persist())
-    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("rank"))
-    for (_ <- 1 to 3) ranks = pagerankStep(e, ranks).localCheckpoint()
+    // dst-clustered edge cache + deg on the broadcast side, the same
+    // exchange-free iteration shape as the customer–supplier query
+    val deg = QueryCaches.track(edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg")).persist())
+    val e = QueryCaches.track(edges.repartition(col("dst")).persist())
+    var ranks = deg.select(col("node"), lit(1000000L).as("rank"))
+    for (_ <- 1 to 3)
+      ranks = pagerankStep(e, withDeg(ranks, deg)).localCheckpoint()
     ranks.select(col("node").as("word"), col("rank"))
       .orderBy(col("rank").desc, col("word"))
       .limit(25)

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.expressions.Aggregator
 
 /** Remaining join shapes + the UDF/UDAF surface (SURVEY.md §2.C).
   *
@@ -114,33 +114,43 @@ object JoinExtraQueries {
   /** Market-basket affinity — association-rule mining's core statistic:
     * for part pairs co-occurring in ≥ 2 orders (the threshold a random-basket corpus supports at every SF), exact integer lift in
     * permyriad, `(10000·N·n_ab) div (n_a·n_b)` (> 10000 ⇔ the pair
-    * attracts). The per-basket self-join is bounded by basket size
-    * (TPC-H orders hold ≤ 7 parts), so the pair stream is O(orders·k²)
-    * with one order-keyed shuffle. For unbounded baskets the standard
-    * per-basket cap applies BEFORE the join: `graft.marketBasket.capK`
-    * (default 64, far above TPC-H's max 7 so the oracle is unaffected)
-    * keeps each basket's K smallest part keys — a deterministic cut,
-    * so capped runs are reproducible — making the pair stream
-    * O(orders·K²) at ANY basket distribution. The cap mirrors the
-    * modal dedups' pair-budget gates: a bounded-resource conf with a
-    * spec driving the tiny-cap path (MarketBasketCapSpec).
+    * attracts). Baskets assemble in ONE order-keyed shuffle as sorted
+    * distinct-part arrays; pairs then generate basket-locally from the
+    * array (bounded by basket size — TPC-H orders hold ≤ 7 parts), so
+    * the pair stream is O(orders·k²) with no self-join. For unbounded
+    * baskets the standard per-basket cap applies BEFORE pair
+    * generation: `graft.marketBasket.capK` (default 64, far above
+    * TPC-H's max 7 so the oracle is unaffected) keeps each basket's K
+    * smallest part keys — a deterministic cut, so capped runs are
+    * reproducible — making the pair stream O(orders·K²) at ANY basket
+    * distribution. The cap mirrors the modal dedups' pair-budget
+    * gates: a bounded-resource conf with a spec driving the tiny-cap
+    * path (MarketBasketCapSpec).
     * Every term is a BIGINT count, so both engines agree bit-for-bit. */
   def qMarketBasket(s: SparkSession, d: String): DataFrame = {
     val capK = s.conf.getOption("graft.marketBasket.capK")
       .map(_.toInt).getOrElse(64)
-    val wB = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
-    val items = QueryCaches.track(lineitem(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .withColumn("rk", row_number().over(wB))
-      .filter(col("rk") <= capK).drop("rk")
+    // round-16 scale rewrite: ONE order-keyed shuffle builds each
+    // basket as a sorted distinct-part array capped at the K smallest
+    // keys (the same deterministic cut the old row_number window made,
+    // minus the window's global sort and the distinct's extra
+    // shuffle), and the O(orders·K²) pair stream generates
+    // BASKET-LOCALLY from the array — the self-join (1.2 GB reshuffle
+    // of the item table at sf10, the probe's dominant stage) is gone.
+    val baskets = QueryCaches.track(lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, capK)
+        .as("parts"))
       .persist())
-    val nOrders = items.select(col("l_orderkey")).distinct()
-      .agg(count(lit(1)).as("n_orders"))
-    val partCounts = items.groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("n_p"))
-    val pairs = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("pb")), "l_orderkey")
-      .filter(col("pa") < col("pb"))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    val partCounts = baskets.select(explode(col("parts")).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
+    // ascending distinct arrays make pa < pb by construction
+    val pairs = baskets.select(explode(expr(
+        "flatten(transform(parts, (pa, i) -> " +
+          "transform(slice(parts, i + 2, size(parts)), pb -> struct(pa, pb))))"))
+        .as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
     pairs

@@ -264,6 +264,72 @@ object LakeQueries {
     view.refresh().newScan().toDF(s).orderBy(col("o_orderpriority"))
   }
 
+  /** WHERE-filtered incremental view (round-16): the rollup maintains
+    * over only the rows passing the view predicate — the delta filters
+    * BEFORE the net pass (deltas of filtered-out rows cost nothing
+    * downstream), updates moving rows ACROSS the filter boundary
+    * add/remove them through the delete+insert pair's signs, and the
+    * extremum-retraction rescan re-aggregates the FILTERED base. */
+  def lakeIncrMvFiltered(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val src = orders(s, d)
+    val cat = freshCatalog()
+    val base = cat.createTable("lakeq", "orders_mvfb", src.schema)
+    val view = cat.createTable("lakeq", "orders_mvf", StructType(Seq(
+      StructField("o_orderpriority", org.apache.spark.sql.types.StringType),
+      StructField("cnt", LongType),
+      StructField("cents", LongType),
+      StructField("min_cents", LongType),
+      StructField("max_cents", LongType))))
+    val keys = Seq("o_orderpriority")
+    val cents = expr("CAST(floor(o_totalprice * 100) AS LONG)")
+    def refresh() = graft.lake.IncrementalAggView.refresh(
+      s, base, view, keys, Seq("cents" -> cents),
+      mins = Seq("min_cents" -> cents), maxs = Seq("max_cents" -> cents),
+      where = Some(col("o_orderstatus") === "F"))
+    base.refresh().appendData(src, numFiles = 4)
+    refresh() // filtered initial build
+    // the delete retracts filtered-group extrema (rescan re-aggregates
+    // ONLY status-F rows); the update moves low-price rows INTO the
+    // filter — their inserts count, their pre-images never did
+    base.refresh().deleteWhere(s,
+      LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+    base.refresh().updateWhere(s, LakePredicate.Le("o_totalprice",
+      Double.box(50000.0)), Map("o_orderstatus" -> lit("F")))
+    refresh()
+    view.refresh().newScan().toDF(s).orderBy(col("o_orderpriority"))
+  }
+
+  /** VARIANT-typed column through the full lake life cycle (round-16,
+    * Iceberg v3 / Spark 4 `VariantType`): `events.props` JSON parses
+    * into a variant column stored IN the lake schema (field-ID carried
+    * like any column; per-file stats = none — variants are opaque to
+    * min/max pruning), survives append + MoR delete (tombstones) + a
+    * copy-on-write update that REWRITES variant cells, and reads back
+    * through `variant_get` typed extraction. The oracle twin runs the
+    * same pipeline over the raw JSON strings in DuckDB — so the binary
+    * variant encoding is proven value-preserving end-to-end. */
+  def qEvVariant(s: SparkSession, d: String): DataFrame = {
+    val src = events(s, d).select(col("event_id"), col("event_type"),
+      expr("parse_json(props)").as("props"))
+    val cat = freshCatalog()
+    val t = cat.createTable("lakeq", "events_var", src.schema)
+    t.appendData(src, numFiles = 4)
+    // MoR delete: variant rows die by tombstone, files untouched
+    t.refresh().deleteWhereMoR(s, LakePredicate.Eq("event_type", "view"))
+    // CoW update: the rewrite reads live variant cells (applying the
+    // tombstones above) and writes NEW variant binaries
+    t.refresh().updateWhere(s, LakePredicate.Eq("event_type", "error"),
+      Map("props" -> expr("parse_json('{\"k\": -1}')")))
+    t.refresh().newScan().toDF(s)
+      .select(col("event_type"),
+        expr("variant_get(props, '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
   /** Tombstone-materializing maintenance: a clustered table takes a MoR
     * delete (tombstones land on the price-sorted tail files only), then
     * rewrite_position_deletes materializes ONLY the affected files and
@@ -1302,6 +1368,8 @@ object LakeQueries {
     "lake_delete_dv" -> lakeDeleteDv,
     "lake_row_lineage" -> lakeRowLineage,
     "lake_incr_mv" -> lakeIncrMv,
+    "lake_incr_mv_filtered" -> lakeIncrMvFiltered,
+    "q_ev_variant" -> qEvVariant,
     "lake_rewrite_deletes" -> lakeRewriteDeletes,
     "lake_add_files" -> lakeAddFiles,
     "lake_column_defaults" -> lakeColumnDefaults,
@@ -1363,6 +1431,43 @@ object LakeQueries {
         |    AS max_cents
         |FROM finalrows GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // the FILTERED view after: price-delete survivors, low-price rows
+    // moved INTO the status-F filter by the update, rolled up over
+    // status-F rows only
+    "lake_incr_mv_filtered" ->
+      """WITH finalrows AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    CASE WHEN o_totalprice <= 50000.0 THEN 'F'
+        |         ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders WHERE o_totalprice < 400000.0
+        |)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(min(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS min_cents,
+        |  CAST(max(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
+        |FROM finalrows WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the variant life cycle's surviving rows: MoR-deleted 'view' rows
+    // gone, 'error' rows' variant cells rewritten to {"k": -1} by the
+    // CoW update, everything else extracting the original props.k
+    "q_ev_variant" ->
+      """WITH rows0 AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'error' THEN CAST(-1 AS BIGINT)
+        |         ELSE CAST(json_extract_string(props, '$.k') AS BIGINT)
+        |    END AS k
+        |  FROM events WHERE event_type <> 'view'
+        |)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM rows0 GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // correlated scalar aggregates over the EVEN-key inner domain:
     // count()=1 → '8-SOLO' (absent key counts 0); then F-orders at
     // their customer's even-max price die (absent key → NULL → keep)

@@ -71,7 +71,11 @@ object BenchScaled {
     "minhash_accuracy", "q_ev_bounce_rate",
     // round-15: the ANN hard-negative swap-in (its whole point is the
     // scale posture vs the brute twin) and its recall scorer
-    "hard_negatives_ann", "hard_negatives_recall", "ivf_ann")
+    "hard_negatives_ann", "hard_negatives_recall", "ivf_ann",
+    // round-16: the filtered incremental view (delta filter + rescan
+    // must stay delta-proportional) and the variant life cycle (binary
+    // re-encode rides every rewrite)
+    "lake_incr_mv_filtered", "q_ev_variant")
 
   /** Every [[graft.queries.Corpus.prepare]] artifact, the targets that
     * read it (directly or through a wrapper query), and its builder —
@@ -94,6 +98,51 @@ object BenchScaled {
     ("jaccard_pairs", Set("dedup_ngram_jaccard", "dedup_clusters",
       "dedup_retention", "minhash_accuracy"),
       graft.queries.TextQueries.prepareJaccardPairs))
+
+  /** Fixed-work calibration (round-15 verdict ask): data-INDEPENDENT
+    * probes of the three machine dimensions the targets actually
+    * exercise — pure CPU (a hash loop over a constant range), one
+    * fixed-size shuffle (8M rows → 100k groups), and disk (write +
+    * read-back + delete of a constant ~150 MB incompressible parquet).
+    * Run before and after every probe so two probe runs (sf1 vs sf10,
+    * or r(N) vs r(N−1)) can be compared RAW and NORMALIZED: a target
+    * ratio that survives dividing by the matching calibration ratio is
+    * a real cost-curve bend; one that vanishes is machine drift — the
+    * distinction round 15 asserted but could not prove. */
+  def calibrate(spark: SparkSession): Map[String, Double] = {
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val cpu = time {
+      spark.range(0L, 256000000L, 1L, 32)
+        .selectExpr("sum(hash(id, id + 1, id + 2))").collect()
+    }
+    val shuffle = time {
+      spark.range(0L, 8000000L, 1L, 32).selectExpr("id % 100000 AS k")
+        .groupBy("k").count().selectExpr("sum(count)").collect()
+    }
+    // memory-BANDWIDTH probe: 64M rows hashed into 16M groups makes the
+    // aggregation hash tables outgrow cache, so this component degrades
+    // under host-level memory-bus contention that the cache-resident
+    // cpu loop cannot see — the signature suspected behind sf10-only
+    // regressions with flat sf0.1 floors
+    val mem = time {
+      spark.range(0L, 64000000L, 1L, 32)
+        .selectExpr("(id * 2654435761) % 16000000 AS k")
+        .groupBy("k").count().selectExpr("sum(count)").collect()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_calib_")
+    val disk = time {
+      // hash(id) twice → ~16 incompressible bytes/row × 10M rows
+      spark.range(0L, 10000000L, 1L, 32)
+        .selectExpr("hash(id) AS a", "hash(id + 7) AS b",
+          "hash(id + 13) AS c", "hash(id + 29) AS d")
+        .write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString).selectExpr("sum(a)").collect()
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    Map("cpu" -> cpu, "shuffle" -> shuffle, "mem" -> mem, "disk" -> disk)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/sf1"
@@ -132,33 +181,63 @@ object BenchScaled {
       else println(s"""{"prep_skipped":"$artifact"}""")
     }
     val prepSec = (System.nanoTime() - prep0) / 1e9
+    val calibBefore = calibrate(spark)
     val wall0 = System.nanoTime()
-    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    // per rep: (build_sec, query_sec). The lake SCENARIO queries do
+    // their catalog build + commits + mutations EAGERLY inside the
+    // queries() call and return a lazy scan, so the call itself is the
+    // build/ingest phase and the count() is the query phase (round-15
+    // verdict ask #4: lake_prune's 7.17× needed decomposing into
+    // ~linear ingest vs ~flat pruned scan). For pure analytics targets
+    // the call is lazy and build_sec ≈ 0.
+    val times = scala.collection.mutable.Map
+      .empty[String, Vector[(Double, Double)]]
       .withDefaultValue(Vector.empty)
     for (_ <- 0 until reps; name <- targets) {
       val fn = graft.SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+      val sample = try {
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.count()
+        val t2 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+      } catch { case _: Throwable => (-1.0, -1.0) }
         finally graft.queries.QueryCaches.clear()
-      times(name) = times(name) :+
-        (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      times(name) = times(name) :+ sample
     }
+    // min over reps of the TOTAL (comparable with every prior round);
+    // build/query report the phases of the rep that achieved it
     val mins = targets.map(n => n -> {
       val ts = times(n)
-      if (ts.exists(_ < 0)) -1.0 else ts.min
+      if (ts.exists(_._1 < 0)) (-1.0, -1.0, -1.0)
+      else {
+        val (b, q) = ts.minBy { case (b, q) => b + q }
+        (b + q, b, q)
+      }
     })
     val wall = (System.nanoTime() - wall0) / 1e9
+    val calibAfter = calibrate(spark)
     // Locale.ROOT: default-locale %.3f renders comma decimals on e.g.
     // de_DE JVMs — invalid JSON, the same artifact-parse failure class
     // as the round-9 sbt-prefix bug
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qjson = mins.map { case (n, v) => s""""$n":${f3(v)}""" }
+    def cjson(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${f3(v)}""" }
+        .mkString("{", ",", "}")
+    val qjson = mins.map { case (n, (t, _, _)) => s""""$n":${f3(t)}""" }
+      .mkString("{", ",", "}")
+    val bjson = mins.map { case (n, (_, b, _)) => s""""$n":${f3(b)}""" }
+      .mkString("{", ",", "}")
+    val sjson = mins.map { case (n, (_, _, q)) => s""""$n":${f3(q)}""" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"scaled_total","value":${f3(
-      mins.map(_._2).filter(_ >= 0).sum)},"unit":"sec",""" +
-      s""""queries":$qjson,"sf":"$sfDir","reps":$reps,""" +
+      mins.map(_._2._1).filter(_ >= 0).sum)},"unit":"sec",""" +
+      s""""queries":$qjson,"queries_build":$bjson,""" +
+      s""""queries_query":$sjson,"sf":"$sfDir","reps":$reps,""" +
+      s""""calib_before":${cjson(calibBefore)},""" +
+      s""""calib_after":${cjson(calibAfter)},""" +
       s""""prep":${f3(prepSec)},"wall":${f3(wall)}}""")
     spark.stop()
   }

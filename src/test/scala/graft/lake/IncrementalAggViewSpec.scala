@@ -191,6 +191,143 @@ class IncrementalAggViewSpec extends LakeSuite {
     }
   }
 
+  test("WHERE-filtered view tracks the filtered recompute through mutations") {
+    val (base, view) = mkTables()
+    val where = Some(col("o_orderstatus") === "F")
+    def refreshW() = IncrementalAggView.refresh(spark, base, view, keys,
+      sums, mins, maxs, where = where)
+    def directW(): Seq[(String, Long, Long, Long, Long)] =
+      base.refresh().newScan().toDF(spark).filter(where.get)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), sum(centsExpr).as("cents"),
+          min(centsExpr).as("min_cents"), max(centsExpr).as("max_cents"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(_._1).toSeq
+    base.refresh().appendData(ordersDF, numFiles = 2)
+    refreshW()
+    assert(viewRows(view) == directW(), "filtered initial build diverged")
+    // a delete retracting filtered-group extrema forces the rescan —
+    // which must re-aggregate FILTERED base rows, not the whole base
+    base.refresh().deleteWhere(spark,
+      LakePredicate.Ge("o_totalprice", Double.box(300000.0)))
+    // and an update moving rows ACROSS the filter boundary (status
+    // changes) must add/remove them from the view via the delta signs
+    base.refresh().updateWhere(spark,
+      LakePredicate.Le("o_totalprice", Double.box(50000.0)),
+      Map("o_orderstatus" -> lit("F")))
+    val r = refreshW()
+    assert(r.refreshed)
+    assert(viewRows(view) == directW(), "filtered maintenance diverged")
+  }
+
+  test("broadcast-dim enrichment: delta joins the dim; dim movement refuses toward rebuild") {
+    import org.apache.spark.sql.types._
+    val cat = LakeCatalog.open(freshWarehouse())
+    val base = cat.createTable("ns", "b", ordersDF.schema)
+    // dimension: priority -> class (URGENT-ish vs REST), group by the
+    // DIM-side attribute — keys live off-base, planFiles pushdown must
+    // fall back to the semi-join
+    val dimDF = ordersDF.select(col("o_orderpriority")).distinct()
+      .withColumn("prio_class",
+        when(col("o_orderpriority") < lit("3"), lit("HOT")).otherwise(lit("COLD")))
+    val dimT = cat.createTable("ns", "dim", dimDF.schema)
+    dimT.appendData(dimDF)
+    val view = cat.createTable("ns", "v", StructType(Seq(
+      StructField("prio_class", StringType),
+      StructField("cnt", LongType), StructField("cents", LongType),
+      StructField("max_cents", LongType))))
+    val dim = Some(IncrementalAggView.DimJoin(dimT, Seq("o_orderpriority")))
+    def refreshD() = IncrementalAggView.refresh(spark, base, view,
+      Seq("prio_class"), sums, maxs = maxs, dim = dim)
+    def directD(): Seq[(String, Long, Long, Long)] =
+      base.refresh().newScan().toDF(spark)
+        .join(dimT.refresh().newScan().toDF(spark), Seq("o_orderpriority"))
+        .groupBy(col("prio_class"))
+        .agg(count(lit(1)).as("cnt"), sum(centsExpr).as("cents"),
+          max(centsExpr).as("max_cents"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    def viewD(): Seq[(String, Long, Long, Long)] =
+      view.refresh().newScan().toDF(spark).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    base.refresh().appendData(ordersDF, numFiles = 2)
+    refreshD()
+    assert(viewD() == directD(), "enriched initial build diverged")
+    // base churn maintains through the dim join — including the
+    // extremum retraction rescan re-joining the dim
+    base.refresh().deleteWhere(spark,
+      LakePredicate.Ge("o_totalprice", Double.box(300000.0)))
+    refreshD()
+    assert(viewD() == directD(), "enriched maintenance diverged")
+    // dim movement: refresh must refuse toward rebuild, and rebuild
+    // must converge on the new dim
+    dimT.refresh().appendData(dimDF.limit(1)
+      .withColumn("o_orderpriority", lit("9-EXTRA"))
+      .withColumn("prio_class", lit("COLD")))
+    base.refresh().appendData(ordersDF.limit(100)
+      .withColumn("o_orderkey", col("o_orderkey") + 600000000L))
+    val e = intercept[IllegalStateException](refreshD())
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    IncrementalAggView.rebuild(spark, base, view, Seq("prio_class"),
+      sums, maxs = maxs, dim = dim)
+    assert(viewD() == directD(), "rebuild diverged from the new dim")
+    // and the pinned dim snapshot lets incremental refreshes resume
+    base.refresh().deleteWhere(spark,
+      LakePredicate.Le("o_totalprice", Double.box(10000.0)))
+    refreshD()
+    assert(viewD() == directD(), "post-rebuild incremental diverged")
+  }
+
+  test("auto-refresh tracks a merge-on-read upsert stream (round-16 verdict ask)") {
+    import org.apache.spark.sql.types._
+    val wh = freshWarehouse()
+    val cat = "mvmor"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.ns")
+      spark.sql(s"CREATE TABLE $cat.ns.b (${ordersDF.schema.toDDL})")
+      val lake = LakeCatalog.open(wh)
+      val base = lake.loadTable("ns", "b")
+      val view = lake.createTable("ns", "v", StructType(Seq(
+        StructField("o_orderpriority", StringType),
+        StructField("cnt", LongType), StructField("cents", LongType),
+        StructField("min_cents", LongType), StructField("max_cents", LongType))))
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_mv_ck_").toString
+      val q = IncrementalAggView.autoRefresh(spark, s"$cat.ns.b",
+        base, view, keys, sums, mins, maxs, checkpoint = ckpt)
+      try {
+        base.refresh().appendData(ordersDF, numFiles = 2)
+        q.processAllAvailable()
+        assert(viewRows(view) == direct(base), "initial build diverged")
+        // MoR churn, the CDC producer shape: an equality-keyed upsert
+        // (tombstones + replacement rows in one commit), then a
+        // positional MoR delete — both arrive through the changelog
+        // stream and the view must track the direct rollup, including
+        // the extremum retractions the tombstones force
+        base.refresh().mergeIntoMoR(spark,
+          ordersDF.filter(col("o_orderkey") % 4 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("o_orderpriority", lit("8-UPSERTED")),
+          Seq("o_orderkey"))
+        q.processAllAvailable()
+        assert(viewRows(view) == direct(base), "MoR upsert batch diverged")
+        base.refresh().deleteWhereMoR(spark,
+          LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+        q.processAllAvailable()
+        assert(viewRows(view) == direct(base), "MoR delete batch diverged")
+      } finally q.stop()
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+    }
+  }
+
   test("racing refreshes serialize through the view CAS") {
     val (base, view) = mkTables()
     base.refresh().appendData(ordersDF, numFiles = 2)

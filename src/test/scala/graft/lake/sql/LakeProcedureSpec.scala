@@ -349,7 +349,7 @@ class LakeProcedureSpec extends LakeSuite {
     spark.sql(s"CREATE TABLE $cat.ns.v (o_orderpriority STRING, " +
       "cnt BIGINT, cents BIGINT, max_cents BIGINT)")
     t.appendData(ordersDF, numFiles = 2)
-    val call = s"CALL $cat.system.refresh_agg_view('ns.t', 'ns.v', " +
+    val call = s"CALL $cat.system.refresh_agg_view('ns.v', 'ns.t', " +
       "'o_orderpriority', 'cents:CAST(floor(o_totalprice * 100) AS LONG);" +
       "max_cents:max:CAST(floor(o_totalprice * 100) AS LONG)')"
     val r1 = spark.sql(call).head

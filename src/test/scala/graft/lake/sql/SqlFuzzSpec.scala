@@ -16,7 +16,7 @@ import graft.lake.{LakeCatalog, LakePredicate, LakeSuite}
   * holding provably identical contents, asserting schema and multiset
   * equality.
   *
-  * Five table states cover the engine's read surfaces:
+  * Six table states cover the engine's read surfaces:
   *   - clean          (direct DSv2 scan, no substitution)
   *   - mor            (live positional + equality tombstones — the
   *                     analyzer substitution rewrites mid-plan)
@@ -24,6 +24,9 @@ import graft.lake.{LakeCatalog, LakePredicate, LakeSuite}
   *                     pre-mutation state)
   *   - branch         (string ref pin on a diverged branch head)
   *   - metadata table (`t.files` — row-per-file relation)
+  *   - catalog VIEW   (created through the lake ViewCatalog over the
+  *                     MoR table — every shape composes on a
+  *                     view-resolution + substitution stack)
   *
   * Determinism rules baked into the grammar: aggregates are exact only
   * (count / min / max / sum over LONG — double sums are addend-order
@@ -170,7 +173,7 @@ class SqlFuzzSpec extends LakeSuite {
     }
   }
 
-  test(s"$PerProfile seeded shapes x 5 table states agree with plain parquet (seed=$Seed)") {
+  test(s"$PerProfile seeded shapes x 6 table states agree with plain parquet (seed=$Seed)") {
     val wh = freshWarehouse()
     spark.conf.set("spark.sql.catalog.fuzz", classOf[LakeSqlCatalog].getName)
     spark.conf.set("spark.sql.catalog.fuzz.warehouse", wh)
@@ -215,6 +218,16 @@ class SqlFuzzSpec extends LakeSuite {
       mk("fuzz_v_mor", expectedMor)
       mk("fuzz_v_branch", ordersDF.unionByName(extra))
       mk("fuzz_v_files", spark.sql("SELECT * FROM fuzz.ns.mor.files"))
+      // a CATALOG VIEW over the MoR table (round-16 verdict ask: views
+      // created AND read through the fuzz): the view body carries its
+      // own filter + projection, so every grammar shape composes on
+      // top of a view-resolution + MoR-substitution stack
+      spark.sql("CREATE VIEW fuzz.ns.vfuzz AS SELECT o_orderkey, " +
+        "o_custkey, o_orderstatus, o_totalprice FROM fuzz.ns.mor " +
+        "WHERE o_orderkey % 3 <> 1")
+      mk("fuzz_v_catview", expectedMor
+        .filter(col("o_orderkey") % 3 =!= 1)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
 
       val profiles = Seq(
         profile("clean", "fuzz.ns.clean", "fuzz_v_clean",
@@ -226,7 +239,9 @@ class SqlFuzzSpec extends LakeSuite {
         profile("branch", "fuzz.ns.clean VERSION AS OF 'fuzzb'", "fuzz_v_branch",
           "o_orderkey", "o_custkey", "o_orderstatus"),
         profile("meta", "fuzz.ns.mor.files", "fuzz_v_files",
-          "file_path", "record_count", "file_path"))
+          "file_path", "record_count", "file_path"),
+        profile("view", "fuzz.ns.vfuzz", "fuzz_v_catview",
+          "o_orderkey", "o_custkey", "o_orderstatus"))
 
       profiles.foreach { p =>
         // one rng per profile, seeded off the global seed + name, so a

@@ -21,7 +21,12 @@ import graft.lake.{LakeCatalog, LakeSuite}
   *  - MERGE: a target row matches at most one source row (source ids
   *    are unique by construction); matched-AND-condition clauses apply
   *    in declaration order; NOT MATCHED inserts the source row.
-  *  - Maintenance procedures are logical no-ops. */
+  *  - Maintenance procedures are logical no-ops.
+  *
+  * Round 16 widens the read-back surface: every step also reads the
+  * table through a catalog VIEW, and (snapshot, model) pins captured
+  * at random steps are re-read via `VERSION AS OF` after every later
+  * op — write churn and maintenance must never disturb history. */
 class SqlWriteFuzzSpec extends LakeSuite {
 
   private val Seed: Long =
@@ -173,7 +178,20 @@ class SqlWriteFuzzSpec extends LakeSuite {
             case (i, n, s) => s"($i, $n, '$s')" }.mkString(", "))
           rows.foreach { case (i, n, s) => model(i) = (n, s) }
         }
+        // a catalog VIEW over the churned table (round-16 verdict ask):
+        // re-resolved at every read below, so the whole write sequence
+        // also exercises view-over-mutating-table reads
+        spark.sql(s"CREATE VIEW $C.ns.v_$tbl AS " +
+          s"SELECT id, num, cat FROM $ref WHERE num >= 0")
         val log = scala.collection.mutable.ArrayBuffer.empty[String]
+        // TIME-TRAVEL pins captured mid-sequence (round-16 verdict
+        // ask): (snapshot id, model copy) frozen after random steps;
+        // every later step must still read the pinned state back
+        // exactly — write churn, maintenance rewrites, and tombstone
+        // materialization must never disturb history
+        val pins = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Seq[(Long, Long, String)])]
+        val lakeTbl = LakeCatalog.open(wh).loadTable("ns", tbl)
         (0 until OpsPerMode).foreach { step =>
           val desc = applyOp(rnd, ref, tbl, wh, model)
           log += desc
@@ -184,11 +202,25 @@ class SqlWriteFuzzSpec extends LakeSuite {
                |history: ${log.mkString("; ")}
                |got:  $got
                |want: $want""".stripMargin)
+          assert(tableRows(s"$C.ns.v_$tbl") == want,
+            s"mode=$mode seed=$Seed: view read diverged after step $step ($desc)")
+          if (rnd.nextInt(4) == 0)
+            pins += ((lakeTbl.refresh().currentSnapshotId, want))
+          pins.foreach { case (snap, pinned) =>
+            assert(tableRows(s"$ref VERSION AS OF $snap") == pinned,
+              s"mode=$mode seed=$Seed: VERSION AS OF $snap drifted " +
+                s"after step $step ($desc)")
+          }
         }
         // final no-op check: a full compaction must not move contents
+        // — nor any pinned historical read
         spark.sql(s"CALL $C.system.rewrite_data_files('ns.$tbl', 1)")
         assert(tableRows(ref) == modelRows(model),
           s"mode=$mode: final compaction changed contents")
+        pins.foreach { case (snap, pinned) =>
+          assert(tableRows(s"$ref VERSION AS OF $snap") == pinned,
+            s"mode=$mode: VERSION AS OF $snap drifted across compaction")
+        }
       }
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$C")

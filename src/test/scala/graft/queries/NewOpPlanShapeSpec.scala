@@ -27,9 +27,12 @@ class NewOpPlanShapeSpec extends LakeSuite {
     // the full query's final plan is a checkpoint scan (the iterations
     // ran eagerly behind lineage cuts), so pin the shape of one STEP
     // against a materialized edge cache — the plan every iteration runs
-    val (e, ranks0) = GraphQueries.edgeTable(spark, d)
+    val (e, deg) = GraphQueries.edgeTable(spark, d)
     e.count() // populate the cache, as iteration 1 would
-    val plan = planOf(GraphQueries.pagerankStep(e, ranks0.localCheckpoint()))
+    val ranks0 = deg.select(org.apache.spark.sql.functions.col("node"),
+      org.apache.spark.sql.functions.lit(1000000L).as("rank"))
+    val plan = planOf(GraphQueries.pagerankStep(e,
+      GraphQueries.withDeg(ranks0.localCheckpoint(), deg)))
     // the cached-relation node dumps its own build plan (including the
     // discarded "Initial Plan" with pre-AQE join placeholders) — the
     // step's OWN operators are everything above it
@@ -39,6 +42,18 @@ class NewOpPlanShapeSpec extends LakeSuite {
       "the step degenerated to a sort-merge join:\n" + plan)
     assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
       "the edge table must come from cache:\n" + plan)
+    // round-16 scale fix: the cache is dst-clustered, so the step's own
+    // operators contain NO shuffle at all — the dst rollup aggregates
+    // in place off the cache scan (an Exchange here re-introduces the
+    // per-iteration O(edges) shuffle that dominated the sf10 probe).
+    // The broadcast exchange of the O(nodes) rank vector is the one
+    // allowed data movement.
+    val nonBroadcastExchanges = step.linesIterator.filter(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange")
+        && !l.contains("BroadcastQueryStage")).toSeq
+    assert(nonBroadcastExchanges.isEmpty,
+      s"iteration step must be exchange-free above the cache, found " +
+        s"$nonBroadcastExchanges in:\n" + plan)
   }
 
   test("bloom dedup incoming side joins nothing — membership is a local bit test") {
