@@ -29,7 +29,14 @@ class ConcurrencySpec extends LakeSuite {
         () => new HadoopFsCommitBackend: CommitBackend, () => freshWarehouse()),
       ("hadoop-fs over mem:// object store",
         () => null: CommitBackend, // open() routes the scheme itself
-        () => { memN += 1; s"mem://conc$memN/wh" }))) {
+        () => { memN += 1; s"mem://conc$memN/wh" }),
+      // the reference's ACTUAL commit mechanism (JdbcCatalog on an
+      // embedded database, LocalIcebergCatalog.java:133-135): the CAS
+      // is the row-insert's primary-key uniqueness
+      ("jdbc (Derby embedded) row-insert CAS",
+        () => new JdbcCommitBackend("jdbc:derby:" + java.nio.file.Files
+          .createTempDirectory("graft_jdbc_").resolve("db")): CommitBackend,
+        () => freshWarehouse()))) {
     test(s"8 concurrent append commits all land; no lost updates [$backendName]") {
       val metrics = new SimpleMetrics
       val cat = LakeCatalog.open(mkWh(), metrics, mkBackend())
