@@ -507,6 +507,48 @@ object LakeQueries {
       .orderBy(col("_commit_snapshot_id"), col("_change_type"), col("o_orderkey"))
   }
 
+  /** The STREAMING changelog under the hash oracle (round 16): the
+    * exact scenario of [[lakeChangelog]] — two appends, a DV-backed MoR
+    * delete, a MoR update — drained through the `.changes` streaming
+    * source (AvailableNow) into parquet and compared against the same
+    * DuckDB twin the batch feed matches. This is the MoR-tombstone-
+    * delta streaming path (positional/DV deltas as per-partition
+    * bitmap filters) proven VALUE-exact, not just spec-consistent;
+    * micro-batches write distributed, nothing materializes on the
+    * driver. */
+  def lakeChangelogStream(s: SparkSession, d: String): DataFrame = {
+    val src = orders(s, d)
+    val wh = Files.createTempDirectory("graft_clstream_").toString
+    val name = s"clstream_${java.lang.Long.toHexString(System.nanoTime())}"
+    s.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.lake.sql.LakeSqlCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    s.sql(s"CREATE NAMESPACE $name.q")
+    s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL}) " +
+      "TBLPROPERTIES ('write.delete.vector.enabled'='true')")
+    val t = LakeCatalog.open(wh).loadTable("q", "orders")
+    t.refresh().appendData(src.filter(col("o_orderkey") % 2 === 0), numFiles = 2)
+    t.refresh().appendData(src.filter(col("o_orderkey") % 2 === 1))
+    t.refresh().deleteWhereMoR(s, LakePredicate.Ge("o_totalprice",
+      Double.box(400000.0)))
+    t.refresh().updateWhereMoR(s, LakePredicate.Eq("o_orderstatus", "P"),
+      Map("o_orderpriority" -> lit("9-CL")))
+    val out = Files.createTempDirectory("graft_clstream_out_").toString
+    val q = s.readStream.option("stream-from", "beginning")
+      .table(s"$name.q.orders.changes")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_clstream_ck_").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.drop("_row_id").write.mode("append").parquet(out); ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .orderBy(col("_commit_snapshot_id"), col("_change_type"), col("o_orderkey"))
+  }
+
   /** Branch-scoped mutations (WAP for row-level ops): a CoW delete and
     * update stage on a branch — main untouched until fastForward
     * publishes the audited state. */
@@ -1377,6 +1419,7 @@ object LakeQueries {
     "lake_element_widen" -> lakeElementWiden,
     "lake_analyze" -> lakeAnalyze,
     "lake_changelog" -> lakeChangelog,
+    "lake_changelog_stream" -> lakeChangelogStream,
     "lake_replace_where" -> lakeReplaceWhere,
     "lake_agg_pushdown" -> lakeAggPushdown,
     "lake_branch_mutations" -> lakeBranchMutations,
@@ -1387,7 +1430,7 @@ object LakeQueries {
     "lake_merge_mor" -> lakeMergeMor,
   )
 
-  val oracles: Map[String, String] = Map(
+  private val oracles0: Map[String, String] = Map(
     // ids reconstruct from the data alone: batch 1 = even keys sorted
     // (ids 0..n_even−1), batch 2 = odd keys sorted (ids n_even..);
     // the DV delete filters rows but never moves an id, and neither do
@@ -1841,4 +1884,9 @@ object LakeQueries {
         |FROM orders WHERE o_orderkey % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
   )
+
+  // the stream drains the SAME scenario the batch feed runs — one
+  // DuckDB twin, two engine-side surfaces under it
+  val oracles: Map[String, String] =
+    oracles0 + ("lake_changelog_stream" -> oracles0("lake_changelog"))
 }

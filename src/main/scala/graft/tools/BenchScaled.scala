@@ -75,7 +75,7 @@ object BenchScaled {
     // round-16: the filtered incremental view (delta filter + rescan
     // must stay delta-proportional) and the variant life cycle (binary
     // re-encode rides every rewrite)
-    "lake_incr_mv_filtered", "q_ev_variant")
+    "lake_incr_mv_filtered", "q_ev_variant", "lake_changelog_stream")
 
   /** Every [[graft.queries.Corpus.prepare]] artifact, the targets that
     * read it (directly or through a wrapper query), and its builder —

@@ -123,6 +123,18 @@ class VariantLakeSpec extends LakeSuite {
       // full predicate on the extracted value stays exact
       assert(spark.sql("SELECT count(*) FROM varc.ns.t " +
         "WHERE variant_get(v, '$.k', 'long') = 99").head.getLong(0) == 1L)
+      // lake-to-lake copy: the DSv2 SCAN feeds the lake WRITER — the
+      // written files must keep their variant field ids (the same
+      // PushVariantIntoScan wart the CoW path hit), so the copy reads
+      // back values, never nulls
+      spark.sql("CREATE TABLE varc.ns.t2 (id BIGINT, v VARIANT)")
+      spark.sql("INSERT INTO varc.ns.t2 SELECT id, v FROM varc.ns.t")
+      assert(spark.sql("SELECT count(*) FROM varc.ns.t2 WHERE v IS NULL")
+        .head.getLong(0) == 0L, "lake-to-lake variant copy nulled cells")
+      assert(spark.sql("SELECT sum(variant_get(v, '$.k', 'long')) FROM varc.ns.t2")
+        .head.getLong(0) ==
+        spark.sql("SELECT sum(variant_get(v, '$.k', 'long')) FROM varc.ns.t")
+          .head.getLong(0))
     } finally {
       spark.conf.unset("spark.sql.catalog.varc")
       spark.conf.unset("spark.sql.catalog.varc.warehouse")
