@@ -39,6 +39,17 @@ final case class LakeCreateMaterializedViewCommand(
       case Aggregate(g, a, child, _) =>
         child match {
           case Filter(cond, r: UnresolvedRelation) =>
+            // incremental maintenance re-evaluates the predicate on
+            // DELTA rows at refresh time: a subquery's value (or a
+            // nondeterministic call) can differ between refreshes,
+            // silently diverging the view from its definition — refuse
+            // at create time
+            if (cond.exists(_.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+              malformed("the WHERE clause must be subquery-free — " +
+                "incremental maintenance re-evaluates it per refresh")
+            if (cond.exists(!_.deterministic))
+              malformed("the WHERE clause must be deterministic")
             (g, a, Some(cond.sql), r.multipartIdentifier)
           case r: UnresolvedRelation => (g, a, None, r.multipartIdentifier)
           case other => malformed(s"FROM must be a bare lake table " +
@@ -102,8 +113,23 @@ final case class LakeCreateMaterializedViewCommand(
     // type the view schema off an empty frame under the base schema
     val emptyBase = spark.createDataFrame(
       new java.util.ArrayList[Row](), base.schema)
-    def typeOf(sql: String): DataType =
-      emptyBase.select(expr(sql)).schema.head.dataType
+    def typeOf(sql: String): DataType = {
+      val analyzed = org.apache.spark.sql.graftbridge.PlanBridge
+        .analyzedPlan(emptyBase.select(expr(sql)))
+      // rand()-style calls resolve only here (UnresolvedFunction claims
+      // determinism): refuse once the real expression is known
+      require(analyzed.expressions.forall(_.deterministic), malformedMsg(
+        s"'$sql' is nondeterministic — incremental maintenance " +
+          "re-evaluates expressions per refresh"))
+      analyzed.schema.head.dataType
+    }
+    // the WHERE clause resolves against the base the same way
+    whereSql.foreach { w =>
+      val analyzed = org.apache.spark.sql.graftbridge.PlanBridge
+        .analyzedPlan(emptyBase.filter(expr(w)))
+      require(analyzed.expressions.forall(_.deterministic), malformedMsg(
+        "the WHERE clause must be deterministic"))
+    }
     val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
     sums.foreach { case (n, e) =>
       require(integral(typeOf(e)),

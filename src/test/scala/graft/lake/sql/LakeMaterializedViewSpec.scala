@@ -114,6 +114,22 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |SELECT o_orderpriority, count(*) AS cnt, avg(o_totalprice) AS a
          |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin))
     assert(e3.getMessage.contains("unsupported aggregate"), e3.getMessage)
+    // nondeterministic definitions refuse (unsound under delta
+    // re-evaluation); subqueried WHERE likewise
+    val e5 = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.bad5 AS
+         |SELECT o_orderpriority, count(*) AS cnt,
+         |  sum(CAST(floor(o_totalprice * rand()) AS LONG)) AS r
+         |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin))
+    assert(e5.getMessage.contains("nondeterministic"), e5.getMessage)
+    val e6 = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.bad6 AS
+         |SELECT o_orderpriority, count(*) AS cnt,
+         |  sum(CAST(floor(o_totalprice) AS LONG)) AS s
+         |FROM $cat.ns.t
+         |WHERE o_custkey IN (SELECT o_custkey FROM $cat.ns.t)
+         |GROUP BY o_orderpriority""".stripMargin))
+    assert(e6.getMessage.contains("subquery-free"), e6.getMessage)
     // a refresh of a table with no stored spec names the fix
     spark.sql(s"CREATE TABLE $cat.ns.plain (k STRING, cnt BIGINT)")
     val e4 = intercept[Exception](spark.sql(
