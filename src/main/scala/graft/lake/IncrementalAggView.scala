@@ -187,11 +187,13 @@ object IncrementalAggView {
     val v = view.refresh()
     val last = v.metadata.properties.get(WatermarkProp)
       .map(_.toLong).getOrElse(0L)
-    if (head == last || head == -1L)
-      return RefreshReport(last, head, 0L, 0L, refreshed = false)
     // enriched views pin the dim snapshot their rows were joined
     // against; a dim commit means every historical enrichment may be
-    // stale — refuse toward rebuild() rather than mix join versions
+    // stale — refuse toward rebuild() rather than mix join versions.
+    // Checked BEFORE the unchanged-base early return: a dim-ONLY
+    // commit (base watermark current) must also refuse, or the view
+    // silently keeps serving rows joined against the old dim snapshot
+    // (round-16 advisory)
     val dimHead = dim.map { dj =>
       val cur = dj.table.refresh().metadata.currentSnapshotId
       val stored = v.metadata.properties.get(DimSnapshotProp).map(_.toLong)
@@ -201,6 +203,8 @@ object IncrementalAggView {
           "rows joined the old dim — IncrementalAggView.rebuild() it")
       cur
     }
+    if (head == last || head == -1L)
+      return RefreshReport(last, head, 0L, 0L, refreshed = false)
 
     // the changelog feeds one pass per aggregate family below — cache
     // the reconstructed delta rows so the parquet/tombstone read runs

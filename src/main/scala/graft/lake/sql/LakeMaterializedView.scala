@@ -82,6 +82,20 @@ final case class LakeCreateMaterializedViewCommand(
           require(alias.forall(_ == "cnt"), malformedMsg(
             "the count column is the maintenance schema's fixed `cnt` " +
               "slot — write count(*) AS cnt (or leave it unaliased)"))
+          // the maintenance tracks ROW count (sum of changelog signs);
+          // count(col) skips NULLs — accepting it would silently store
+          // a different statistic than the definition asks for. The
+          // parser rewrites count(*) to count(1), so a literal (or a
+          // surviving star) is the row-count spelling; anything else
+          // refuses. (round-16 advisory)
+          fn.arguments match {
+            case Seq(_: org.apache.spark.sql.catalyst.expressions.Literal) =>
+            case Seq(_: org.apache.spark.sql.catalyst.analysis.UnresolvedStar) =>
+            case args => malformed(
+              s"count(${args.map(_.sql).mkString(",")}) is null-skipping; " +
+                "the incremental maintenance tracks row count — write " +
+                "count(*) AS cnt")
+          }
           cnt = true
         case "sum" => sums += named -> argSql
         case "min" => mins += named -> argSql
@@ -159,12 +173,21 @@ final case class LakeCreateMaterializedViewCommand(
     val view = loadLake(viewCatalog, viewIdent, viewParts)
 
     // populate now: a just-created MV that reads empty until the first
-    // CALL would silently serve wrong results
-    IncrementalAggView.rebuild(spark, base, view, keys,
+    // CALL would silently serve wrong results. If the populating
+    // rebuild fails at runtime (write error, data-dependent analysis
+    // failure), drop the just-created view — an orphaned empty table
+    // carrying the stored spec would serve wrong results AND block a
+    // re-issued CREATE (round-16 advisory)
+    try IncrementalAggView.rebuild(spark, base, view, keys,
       sums.toSeq.map { case (n, e) => n -> expr(e) },
       mins.toSeq.map { case (n, e) => n -> expr(e) },
       maxs.toSeq.map { case (n, e) => n -> expr(e) },
       where = whereSql.map(expr))
+    catch { case t: Throwable =>
+      try viewCatalog.dropTable(viewIdent)
+      catch { case s: Throwable => t.addSuppressed(s) }
+      throw t
+    }
     Nil
   }
 

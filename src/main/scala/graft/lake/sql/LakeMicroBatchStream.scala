@@ -485,6 +485,21 @@ private[sql] final class LakeMicroBatchStream(
           s"changelog stream of ${lt.name}: equality tombstones keyed on " +
             s"field id $id, whose column was since dropped — consume that " +
             "range through the batch changelog()")))
+      // nested key cells (array/map/struct) have no canonical
+      // value-equality in Catalyst internal form — refuse toward the
+      // batch changelog, whose === join compares them by value
+      names.foreach { nm =>
+        idSchema(idSchema.fieldIndex(nm)).dataType match {
+          case _: org.apache.spark.sql.types.ArrayType
+             | _: org.apache.spark.sql.types.MapType
+             | _: org.apache.spark.sql.types.StructType =>
+            throw new UnsupportedOperationException(
+              s"changelog stream of ${lt.name}: equality tombstones keyed " +
+                s"on nested column '$nm' — consume that range through the " +
+                "batch changelog()")
+          case _ =>
+        }
+      }
       val ordinals = names.map(idSchema.fieldIndex).toArray
       val reqSchema = org.apache.spark.sql.types.StructType(
         names.map(n => idSchema(idSchema.fieldIndex(n))))
@@ -497,7 +512,8 @@ private[sql] final class LakeMicroBatchStream(
           .createToCatalystConverter(f.dataType))
       val keys: Set[Seq[Any]] = rows.iterator.flatMap { r =>
         if (names.indices.exists(r.isNullAt)) None
-        else Some(names.indices.map(i => converters(i)(r.get(i))).toList: Seq[Any])
+        else Some(names.indices.map(i =>
+          EqKeySet.comparable(converters(i)(r.get(i)))).toList: Seq[Any])
       }.toSet
       EqKeySet(ordinals, keys, seq)
     }
@@ -585,6 +601,21 @@ private[sql] final class LakeChangesTable(lt: LakeTable)
 private[sql] final case class EqKeySet(ordinals: Array[Int],
     keys: Set[Seq[Any]], seq: Long)
 
+private[sql] object EqKeySet {
+  /** Catalyst internal values mostly carry value equality (UTF8String,
+    * Decimal, boxed primitives) — but BinaryType cells are raw
+    * `Array[Byte]`, which compares by REFERENCE, so a binary merge key
+    * would stream zero delete rows while the batch changelog's ===
+    * join matches by value (round-16 advisory). Normalize binary cells
+    * to an immutable ArraySeq (value equals/hashCode, and — unlike
+    * ByteBuffer — java-serializable, since key sets ship inside
+    * partitions) on BOTH the loaded tuples and the probed rows. */
+  def comparable(v: Any): Any = v match {
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case other => other
+  }
+}
+
 /** Per-row filter a changelog partition applies executor-side — the
   * merge-on-read delta semantics as partition payload instead of the
   * batch changelog's anti-joins. `dead`/`deadEq` SKIP rows the parent's
@@ -650,7 +681,7 @@ private[sql] object ChangeTaggedReaderFactory extends PartitionReaderFactory {
       while (i < ks.ordinals.length) {
         val o = ks.ordinals(i)
         if (row.isNullAt(o)) return false
-        tup(i) = row.get(o, types(o))
+        tup(i) = EqKeySet.comparable(row.get(o, types(o)))
         i += 1
       }
       ks.keys.contains(tup.toSeq)

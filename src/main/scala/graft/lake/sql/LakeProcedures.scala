@@ -287,6 +287,21 @@ private[sql] object LakeProcedures {
           }
         val session = SparkSession.active
         val base = tbl(baseRef)
+        // both leading params are strings, so a call written against
+        // the old (base, view, ...) argument order binds with no type
+        // error and only fails at write time — or succeeds wrongly if
+        // the schemas coincide. Validate the resolved VIEW before
+        // refreshing (round-16 advisory): an incremental agg view
+        // always carries the LongType `cnt` maintenance slot, and
+        // refreshing a table into itself is always an argument swap.
+        require(view.name != base.name,
+          s"refresh_agg_view: view and base are the same table " +
+            s"(${view.name}) — the signature is (view, base, keys, aggs)")
+        require(view.schema.fields.exists(f =>
+            f.name == "cnt" && f.dataType == LongType),
+          s"refresh_agg_view: ${view.name} has no LongType `cnt` column, " +
+            "so it is not an incremental agg view — were the view/base " +
+            "arguments swapped? the signature is (view, base, keys, aggs)")
         // Spark invokes BoundProcedure.call from INSIDE the analyzer
         // (the InvokeProcedures rule). The maintenance procedures above
         // only read/write files, but this one plans and runs nested

@@ -280,6 +280,15 @@ class IncrementalAggViewSpec extends LakeSuite {
       LakePredicate.Le("o_totalprice", Double.box(10000.0)))
     refreshD()
     assert(viewD() == directD(), "post-rebuild incremental diverged")
+    // dim-ONLY movement (base watermark current) must ALSO refuse: the
+    // staleness check runs before the unchanged-base early return, or
+    // the view silently keeps serving rows joined against the old dim
+    // (round-16 advisory)
+    dimT.refresh().appendData(dimDF.limit(1)
+      .withColumn("o_orderpriority", lit("9-DIMONLY"))
+      .withColumn("prio_class", lit("COLD")))
+    val e2 = intercept[IllegalStateException](refreshD())
+    assert(e2.getMessage.contains("rebuild"), e2.getMessage)
   }
 
   test("auto-refresh tracks a merge-on-read upsert stream (round-16 verdict ask)") {

@@ -220,6 +220,43 @@ class LakeChangelogStreamSpec extends LakeSuite {
     assert(ins.map(k).toSet == survivorKeys)
   }
 
+  test("binary merge keys stream eq-tombstone deletes by value (round-16 advisory)") {
+    // BinaryType cells are Array[Byte] in Catalyst internal form —
+    // reference equality. Before the EqKeySet.comparable normalization
+    // the stream silently matched ZERO pre-images for a binary merge
+    // key while the batch changelog's === join matched by value.
+    n += 1
+    val wh = freshWarehouse()
+    val cat = s"clstrb$n"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[sql.LakeSqlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.tb (k BINARY, v DOUBLE)")
+    val name = s"$cat.ns.tb"
+    val t = LakeCatalog.open(wh).loadTable("ns", "tb")
+    def asBin(df: org.apache.spark.sql.DataFrame) = df.select(
+      expr("CAST(CAST(o_orderkey AS STRING) AS BINARY)").as("k"),
+      col("o_totalprice").as("v"))
+    t.appendData(asBin(ordersDF.filter(col("o_orderkey") % 2 === 0)))
+    t.refresh().mergeIntoMoR(spark,
+      asBin(ordersDF.filter(col("o_orderkey") % 4 === 0))
+        .withColumn("v", col("v") + 1.0), Seq("k"))
+    val ckpt = Files.createTempDirectory("graft_cl_ck_").toString
+    val streamed = drain(name, ckpt)
+    val batch = t.refresh().changelog(spark, 0L).collect().toSeq
+    def bkey(r: Row) = (r.getLong(r.fieldIndex("_commit_snapshot_id")),
+      r.getString(r.fieldIndex("_change_type")),
+      new String(r.getAs[Array[Byte]](r.fieldIndex("k")),
+        java.nio.charset.StandardCharsets.UTF_8),
+      r.getDouble(r.fieldIndex("v")))
+    assert(streamed.map(bkey).sorted === batch.map(bkey).sorted,
+      s"stream (${streamed.size} rows) != batch changelog (${batch.size})")
+    val expectedDels = ordersDF.filter(col("o_orderkey") % 4 === 0).count()
+    assert(streamed.count(_.getString(
+      streamed.head.fieldIndex("_change_type")) == "delete") == expectedDels,
+      "every matched binary key's pre-image must stream as a delete")
+  }
+
   test("compaction inside the range streams no changelog rows") {
     val (name, t) = sqlTable()
     t.appendData(ordersDF.filter(col("o_orderkey") % 2 === 0), numFiles = 4)

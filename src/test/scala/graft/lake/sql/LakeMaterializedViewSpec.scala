@@ -130,6 +130,15 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |WHERE o_custkey IN (SELECT o_custkey FROM $cat.ns.t)
          |GROUP BY o_orderpriority""".stripMargin))
     assert(e6.getMessage.contains("subquery-free"), e6.getMessage)
+    // count(col) is null-skipping; the maintenance tracks row count —
+    // accepting it would silently store a different statistic
+    // (round-16 advisory)
+    val e7 = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.bad7 AS
+         |SELECT o_orderpriority, count(o_orderstatus) AS cnt,
+         |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents
+         |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin))
+    assert(e7.getMessage.contains("count(*)"), e7.getMessage)
     // a refresh of a table with no stored spec names the fix
     spark.sql(s"CREATE TABLE $cat.ns.plain (k STRING, cnt BIGINT)")
     val e4 = intercept[Exception](spark.sql(
@@ -137,5 +146,31 @@ class LakeMaterializedViewSpec extends LakeSuite {
     def msgs(t: Throwable): String =
       if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
     assert(msgs(e4).contains("CREATE MATERIALIZED VIEW"), msgs(e4))
+  }
+
+  test("a failed populating rebuild drops the just-created view (round-16 advisory)") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    t.appendData(ordersDF)
+    // analysis-clean but runtime-failing sum input: assert_true types
+    // as NULL (castable to LONG, deterministic) on the empty typing
+    // frame, then throws on the first real row during the rebuild
+    intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.vboom AS
+         |SELECT o_orderpriority, count(*) AS cnt,
+         |  sum(CAST(assert_true(o_totalprice < 0) AS LONG)) AS s
+         |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin))
+    // no orphaned empty view carrying the stored spec may remain —
+    // a re-issued (corrected) CREATE must succeed
+    assert(spark.sql(s"SHOW TABLES IN $cat.ns").collect()
+      .forall(_.getString(1) != "vboom"),
+      "failed CREATE left an orphaned view table behind")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.vboom AS
+         |SELECT o_orderpriority, count(*) AS cnt,
+         |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents
+         |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin)
+    assert(spark.sql(s"SELECT sum(cnt) FROM $cat.ns.vboom").head.getLong(0)
+      == ordersDF.count())
   }
 }

@@ -377,5 +377,20 @@ class LakeProcedureSpec extends LakeSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(got == want)
+    // both leading params are strings: a call written against a
+    // (base, view, ...) order binds with no type error — the resolved
+    // view is validated before any refresh (round-16 advisory)
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    val swapped = intercept[Exception](spark.sql(
+      s"CALL $cat.system.refresh_agg_view('ns.t', 'ns.v', " +
+        "'o_orderpriority', 'cents:CAST(floor(o_totalprice * 100) AS LONG)')")
+      .collect())
+    assert(msgs(swapped).contains("swapped") ||
+      msgs(swapped).contains("cnt"), msgs(swapped))
+    val selfRef = intercept[Exception](spark.sql(
+      s"CALL $cat.system.refresh_agg_view('ns.v', 'ns.v', " +
+        "'o_orderpriority', 'cents:cents')").collect())
+    assert(msgs(selfRef).contains("same table"), msgs(selfRef))
   }
 }
