@@ -146,19 +146,66 @@ final case class LakeCreateMaterializedViewCommand(
       require(analyzed.expressions.forall(_.deterministic), malformedMsg(
         "the WHERE clause must be deterministic"))
     }
+    // Lower sums and avgs onto exactly-maintainable LONG slots plus
+    // derived output columns (round-16 verdict ask): the maintenance
+    // arithmetic stays integer-exact, the user-facing value is
+    // RE-DERIVED from the slots at every refresh write.
+    //   sum(int)        -> maintained as-is
+    //   sum(decimal p,s), p<=18 -> slot sum((e)*10^s as long); output
+    //                      CAST(slot / 10^s AS DECIMAL(38,s)) — exact
+    //   avg(int)        -> slot sum(e); output slot/cnt double division
+    //   avg(decimal)    -> scaled slot; output (slot/10^s)/cnt doubles
+    //   sum/avg(double) -> refuse, teaching both exact rewrites
     val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
-    sums.foreach { case (n, e) =>
-      require(integral(typeOf(e)),
-        s"sum column '$n' must be an INTEGER expression (e.g. " +
-          s"CAST(floor(x * 100) AS LONG) — the floor-cents device) for " +
-          s"exact incremental maintenance; got ${typeOf(e).sql} from '$e'")
+    val sums = scala.collection.mutable.Buffer.empty[(String, String)]
+    val derived = scala.collection.mutable.Buffer.empty[(String, String, DataType)]
+    def pow10(s: Int): Long = { var v = 1L; (0 until s).foreach(_ => v *= 10); v }
+    def teachExact(agg: String, n: String, e: String, t: DataType): Nothing =
+      malformed(s"$agg column '$n' over ${t.sql} ('$e') is not exactly " +
+        "maintainable (float arithmetic drifts across incremental " +
+        "refreshes) — write the value in integer units, e.g. " +
+        s"$agg(CAST(floor(($e) * 100) AS LONG)) AS ${n}_cents, or CAST " +
+        s"the input to DECIMAL (e.g. $agg(CAST($e AS DECIMAL(18,2)))), " +
+        "which decomposes onto an exact integer slot automatically")
+    rawSums.foreach { case (n, e) =>
+      typeOf(e) match {
+        case t if integral(t) => sums += n -> e
+        case d: DecimalType if d.precision <= 18 =>
+          val (s, slot) = (d.scale, s"${n}__slot")
+          sums += slot -> s"CAST(($e) * ${pow10(s)} AS BIGINT)"
+          derived += ((n,
+            if (s == 0) s"CAST($slot AS DECIMAL(38,0))"
+            else s"CAST(CAST($slot AS DECIMAL(38,0)) / ${pow10(s)} AS DECIMAL(38,$s))",
+            DecimalType(38, s)))
+        case d: DecimalType => malformed(
+          s"sum column '$n': DECIMAL(${d.precision},_) exceeds the exact " +
+            "long-slot range (precision must be <= 18) — rescale the input")
+        case t => teachExact("sum", n, e, t)
+      }
+    }
+    rawAvgs.foreach { case (n, e) =>
+      val (slotExpr, scale) = typeOf(e) match {
+        case t if integral(t) => (s"CAST(($e) AS BIGINT)", 0)
+        case d: DecimalType if d.precision <= 18 =>
+          (s"CAST(($e) * ${pow10(d.scale)} AS BIGINT)", d.scale)
+        case d: DecimalType => malformed(
+          s"avg column '$n': DECIMAL(${d.precision},_) exceeds the exact " +
+            "long-slot range (precision must be <= 18) — rescale the input")
+        case t => teachExact("avg", n, e, t)
+      }
+      val slot = s"${n}__slot"
+      sums += slot -> slotExpr
+      val num = if (scale == 0) s"CAST($slot AS DOUBLE)"
+        else s"(CAST($slot AS DOUBLE) / ${pow10(scale)}.0)"
+      derived += ((n, s"$num / CAST(cnt AS DOUBLE)", DoubleType))
     }
     val viewSchema = StructType(
       keys.map(k => StructField(k, typeOf(k))) ++
         (StructField("cnt", LongType) +:
           (sums.map { case (n, _) => StructField(n, LongType) } ++
             mins.map { case (n, e) => StructField(n, typeOf(e)) } ++
-            maxs.map { case (n, e) => StructField(n, typeOf(e)) })))
+            maxs.map { case (n, e) => StructField(n, typeOf(e)) } ++
+            derived.map { case (n, _, t) => StructField(n, t) })))
 
     def aggSpec: String =
       (sums.map { case (n, e) => s"$n:$e" } ++
@@ -169,6 +216,8 @@ final case class LakeCreateMaterializedViewCommand(
       s"${baseIdent.namespace.mkString(".")}.${baseIdent.name}")
     props.put(MatViewProps.Keys, keys.mkString(","))
     props.put(MatViewProps.Aggs, aggSpec)
+    if (derived.nonEmpty) props.put(MatViewProps.Derived,
+      derived.map { case (n, e, _) => s"$n:$e" }.mkString(";"))
     whereSql.foreach(props.put(MatViewProps.Where, _))
     viewCatalog.createTable(viewIdent, viewSchema,
       Array.empty[org.apache.spark.sql.connector.expressions.Transform], props)
@@ -184,7 +233,8 @@ final case class LakeCreateMaterializedViewCommand(
       sums.toSeq.map { case (n, e) => n -> expr(e) },
       mins.toSeq.map { case (n, e) => n -> expr(e) },
       maxs.toSeq.map { case (n, e) => n -> expr(e) },
-      where = whereSql.map(expr))
+      where = whereSql.map(expr),
+      derived = derived.toSeq.map { case (n, e, _) => n -> expr(e) })
     catch { case t: Throwable =>
       try viewCatalog.dropTable(viewIdent)
       catch { case s: Throwable => t.addSuppressed(s) }
@@ -233,4 +283,8 @@ object MatViewProps {
   val Keys = "incr-view.keys"
   val Aggs = "incr-view.aggs"
   val Where = "incr-view.where"
+  /** `name:sql;…` — output columns derived from the maintained slots
+    * (avg / fractional-sum decomposition), recomputed at every refresh
+    * write. */
+  val Derived = "incr-view.derived"
 }

@@ -255,10 +255,11 @@ private[sql] object LakeProcedures {
         }
         val view = tbl(args.getUTF8String(0).toString)
         val explicitBase = args.getUTF8String(1).toString
-        val (baseRef, keysStr, aggsStr, whereStr) =
+        val (baseRef, keysStr, aggsStr, whereStr, derivedStr) =
           if (explicitBase.nonEmpty)
             (explicitBase, args.getUTF8String(2).toString,
-              args.getUTF8String(3).toString, args.getUTF8String(4).toString)
+              args.getUTF8String(3).toString, args.getUTF8String(4).toString,
+              "")
           else {
             // the 1-arg form: read the spec CREATE MATERIALIZED VIEW
             // stored — no re-spelling, no drift between create and
@@ -270,7 +271,8 @@ private[sql] object LakeProcedures {
                   "was not created by CREATE MATERIALIZED VIEW — pass " +
                   "base/keys/aggs explicitly"))
             (req(MatViewProps.Base), req(MatViewProps.Keys),
-              req(MatViewProps.Aggs), p.getOrElse(MatViewProps.Where, ""))
+              req(MatViewProps.Aggs), p.getOrElse(MatViewProps.Where, ""),
+              p.getOrElse(MatViewProps.Derived, ""))
           }
         val keys = keysStr.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         // (kind, name, expr) — view-schema order is keys ++ cnt ++
@@ -315,11 +317,21 @@ private[sql] object LakeProcedures {
             SparkSession.setActiveSession(session)
             def of(kind: String) = aggSpecs.collect { case (`kind`, n, e) =>
               n -> org.apache.spark.sql.functions.expr(e) }
+            // derived output columns (avg / fractional-sum
+            // decomposition): `name:sql` over the maintained slots
+            val derivedCols = derivedStr
+              .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+                val i = kv.indexOf(':')
+                require(i > 0, s"derived spec must be name:expr, got '$kv'")
+                kv.substring(0, i).trim ->
+                  org.apache.spark.sql.functions.expr(kv.substring(i + 1))
+              }
             out = graft.lake.IncrementalAggView.refresh(
               session, base, view, keys, of("sum"),
               mins = of("min"), maxs = of("max"),
               where = Some(whereStr).filter(_.nonEmpty)
-                .map(org.apache.spark.sql.functions.expr))
+                .map(org.apache.spark.sql.functions.expr),
+              derived = derivedCols)
           } catch { case t: Throwable => err = t }
         }, "graft-refresh-agg-view")
         th.start()

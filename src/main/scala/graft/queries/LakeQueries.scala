@@ -300,6 +300,58 @@ object LakeQueries {
     view.refresh().newScan().toDF(s).orderBy(col("o_orderpriority"))
   }
 
+  /** `CREATE MATERIALIZED VIEW` with AVG and a fractional (DECIMAL)
+    * SUM (round-17 — the round-16 verdict's "first wall a real MV user
+    * hits"): both decompose at CREATE time onto exact LONG slots (the
+    * scale-shifted integer sum, next to the mandatory `cnt`), with the
+    * user-facing value RE-DERIVED from the slots at every refresh
+    * write — `avg` as slot/cnt double division, `sum(decimal)` as
+    * slot/10^s re-cast to DECIMAL(38,s). Every float/decimal input is
+    * an exact integer, so the derivation is bit-deterministic across
+    * engines; the view maintains through a CoW delete + append via the
+    * 1-arg stored-spec `CALL refresh_agg_view`. The result projects
+    * the fractional sum back to exact cents (the corpus' house unit)
+    * and compares the avg doubles raw — both sides compute the same
+    * IEEE ops on the same integers. */
+  private val incrMvAvgCatalogs = new SessionMemo[String]()
+
+  def lakeIncrMvAvg(s: SparkSession, d: String): DataFrame = {
+    val catName = incrMvAvgCatalogs.getOrBuild(s, d) {
+      val src = orders(s, d)
+      val wh = Files.createTempDirectory("graft_lakemvavg_").toString
+      val name = s"lakemvavg_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      s.sql(s"CREATE TABLE $name.q.orders (o_orderkey BIGINT, " +
+        "o_orderstatus STRING, o_orderpriority STRING, price DECIMAL(18,2))")
+      val t = LakeCatalog.open(wh).loadTable("q", "orders")
+      // price = exact floor-cents rendered as DECIMAL(18,2) — no
+      // double-rounding ambiguity enters the decimal column
+      def rows(df: DataFrame) = df.select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        expr("CAST(CAST(CAST(floor(o_totalprice * 100) AS BIGINT) " +
+          "AS DECIMAL(20,0)) / 100 AS DECIMAL(18,2))").as("price"))
+      t.appendData(rows(src), numFiles = 4)
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW $name.q.mv AS
+           |SELECT o_orderpriority, count(*) AS cnt,
+           |  avg(price) AS avg_price, sum(price) AS total_price,
+           |  avg(o_orderkey) AS avg_key
+           |FROM $name.q.orders GROUP BY o_orderpriority""".stripMargin)
+      t.refresh().deleteWhere(s, LakePredicate.Eq("o_orderstatus", "F"))
+      t.refresh().appendData(rows(src.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 500000000L)))
+      s.sql(s"CALL $name.system.refresh_agg_view('q.mv')").collect()
+      name
+    }
+    s.sql(
+      s"""SELECT o_orderpriority, cnt, avg_price,
+         |  CAST(total_price * 100 AS BIGINT) AS total_cents, avg_key
+         |FROM $catName.q.mv ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** VARIANT-typed column through the full lake life cycle (round-16,
     * Iceberg v3 / Spark 4 `VariantType`): `events.props` JSON parses
     * into a variant column stored IN the lake schema (field-ID carried
@@ -1411,6 +1463,7 @@ object LakeQueries {
     "lake_row_lineage" -> lakeRowLineage,
     "lake_incr_mv" -> lakeIncrMv,
     "lake_incr_mv_filtered" -> lakeIncrMvFiltered,
+    "lake_incr_mv_avg" -> lakeIncrMvAvg,
     "q_ev_variant" -> qEvVariant,
     "lake_rewrite_deletes" -> lakeRewriteDeletes,
     "lake_add_files" -> lakeAddFiles,
@@ -1493,6 +1546,28 @@ object LakeQueries {
         |    AS max_cents
         |FROM finalrows WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the derived-output MV after: status-F delete survivors plus the
+    // appended %10=3 copies (appended AFTER the delete, so their F rows
+    // survive); avg doubles recomputed with the engine's exact spelling
+    // — every float input is the same exact integer on both sides
+    "lake_incr_mv_avg" ->
+      """WITH finalrows AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey + 500000000, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |  (CAST(sum(cents) AS DOUBLE) / 100.0)
+        |    / CAST(count(*) AS DOUBLE) AS avg_price,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(o_orderkey) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_key
+        |FROM finalrows GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     // the variant life cycle's surviving rows: MoR-deleted 'view' rows
     // gone, 'error' rows' variant cells rewritten to {"k": -1} by the

@@ -100,7 +100,8 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |SELECT o_orderpriority, count(*) AS cnt,
          |  sum(o_totalprice) AS total
          |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin))
-    assert(e1.getMessage.contains("INTEGER expression"), e1.getMessage)
+    assert(e1.getMessage.contains("integer units") &&
+      e1.getMessage.contains("DECIMAL"), e1.getMessage)
     // missing count
     val e2 = intercept[Exception](spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.ns.bad2 AS
@@ -111,9 +112,18 @@ class LakeMaterializedViewSpec extends LakeSuite {
     // unsupported aggregate
     val e3 = intercept[Exception](spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.ns.bad3 AS
+         |SELECT o_orderpriority, count(*) AS cnt,
+         |  count(DISTINCT o_custkey) AS d
+         |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin))
+    assert(e3.getMessage.contains("DISTINCT"), e3.getMessage)
+    // avg over DOUBLE refuses, teaching both exact rewrites (integer
+    // units or a DECIMAL cast, which decomposes automatically)
+    val e3b = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.bad3b AS
          |SELECT o_orderpriority, count(*) AS cnt, avg(o_totalprice) AS a
          |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin))
-    assert(e3.getMessage.contains("unsupported aggregate"), e3.getMessage)
+    assert(e3b.getMessage.contains("DECIMAL") &&
+      e3b.getMessage.contains("integer units"), e3b.getMessage)
     // nondeterministic definitions refuse (unsound under delta
     // re-evaluation); subqueried WHERE likewise
     val e5 = intercept[Exception](spark.sql(
@@ -146,6 +156,53 @@ class LakeMaterializedViewSpec extends LakeSuite {
     def msgs(t: Throwable): String =
       if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
     assert(msgs(e4).contains("CREATE MATERIALIZED VIEW"), msgs(e4))
+  }
+
+  test("avg and fractional sums decompose onto exact slots + derived outputs") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    t.appendData(ordersDF, numFiles = 2)
+    // avg(decimal), sum(decimal) — DECIMAL(18,2) built exactly from the
+    // double via the floor-cents device — and avg(bigint); the view
+    // stores LONG slots (cnt already required) and re-derives the
+    // outputs at every refresh write
+    val decPrice = "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) " +
+      "AS DECIMAL(18,2)) / 100"
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.va AS
+         |SELECT o_orderpriority, count(*) AS cnt,
+         |  avg(CAST($decPrice AS DECIMAL(18,2))) AS avg_price,
+         |  sum(CAST($decPrice AS DECIMAL(18,2))) AS total_price,
+         |  avg(o_orderkey) AS avg_key
+         |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin)
+    def expect(): Seq[org.apache.spark.sql.Row] = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS cnt,
+         |  (CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         |    / 100.0) / CAST(count(*) AS DOUBLE) AS avg_price,
+         |  CAST(CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+         |    AS DECIMAL(38,0)) / 100 AS DECIMAL(38,2)) AS total_price,
+         |  CAST(sum(o_orderkey) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS avg_key
+         |FROM $cat.ns.t GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin).collect().toSeq
+    def got(): Seq[org.apache.spark.sql.Row] = spark.sql(
+      s"""SELECT o_orderpriority, cnt, avg_price, total_price, avg_key
+         |FROM $cat.ns.va ORDER BY o_orderpriority""".stripMargin)
+      .collect().toSeq
+    assert(got() == expect(), "derived outputs diverged at create")
+    // the derived values RE-DERIVE through an incremental refresh
+    t.refresh().deleteWhere(spark,
+      LakePredicate.Ge("o_totalprice", Double.box(300000.0)))
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 9 === 0)
+      .filter(col("o_totalprice") < 300000.0)
+      .withColumn("o_orderkey", col("o_orderkey") + 700000000L))
+    val r = spark.sql(s"CALL $cat.system.refresh_agg_view('ns.va')").head
+    assert(r.getBoolean(4))
+    assert(got() == expect(), "derived outputs diverged after refresh")
+    // DESCRIBE surfaces the derived spec next to the slots
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $cat.ns.va")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("incr-view.derived"), desc)
   }
 
   test("a failed populating rebuild drops the just-created view (round-16 advisory)") {
