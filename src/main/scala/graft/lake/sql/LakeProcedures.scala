@@ -255,11 +255,11 @@ private[sql] object LakeProcedures {
         }
         val view = tbl(args.getUTF8String(0).toString)
         val explicitBase = args.getUTF8String(1).toString
-        val (baseRef, keysStr, aggsStr, whereStr, derivedStr) =
+        val (baseRef, keysStr, aggsStr, whereStr, derivedStr, dimSpec) =
           if (explicitBase.nonEmpty)
             (explicitBase, args.getUTF8String(2).toString,
               args.getUTF8String(3).toString, args.getUTF8String(4).toString,
-              "")
+              "", None)
           else {
             // the 1-arg form: read the spec CREATE MATERIALIZED VIEW
             // stored — no re-spelling, no drift between create and
@@ -272,7 +272,9 @@ private[sql] object LakeProcedures {
                   "base/keys/aggs explicitly"))
             (req(MatViewProps.Base), req(MatViewProps.Keys),
               req(MatViewProps.Aggs), p.getOrElse(MatViewProps.Where, ""),
-              p.getOrElse(MatViewProps.Derived, ""))
+              p.getOrElse(MatViewProps.Derived, ""),
+              p.get(MatViewProps.Dim).map(_ ->
+                p.getOrElse(MatViewProps.DimKeys, "")))
           }
         val keys = keysStr.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         // (kind, name, expr) — view-schema order is keys ++ cnt ++
@@ -326,11 +328,16 @@ private[sql] object LakeProcedures {
                 kv.substring(0, i).trim ->
                   org.apache.spark.sql.functions.expr(kv.substring(i + 1))
               }
+            val dim = dimSpec.map { case (ref, ks) =>
+              graft.lake.IncrementalAggView.DimJoin(tbl(ref),
+                ks.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            }
             out = graft.lake.IncrementalAggView.refresh(
               session, base, view, keys, of("sum"),
               mins = of("min"), maxs = of("max"),
               where = Some(whereStr).filter(_.nonEmpty)
                 .map(org.apache.spark.sql.functions.expr),
+              dim = dim,
               derived = derivedCols)
           } catch { case t: Throwable => err = t }
         }, "graft-refresh-agg-view")
@@ -340,6 +347,78 @@ private[sql] object LakeProcedures {
         new GenericInternalRow(Array[Any](
           out.fromSnapshotId, out.toSnapshotId, out.deltaGroups,
           out.rescannedGroups, out.refreshed))
+      }
+    },
+
+    // Full recompute of a stored-spec materialized view: the documented
+    // escape when a DIMENSION commit invalidates an enriched view's
+    // history (refresh_agg_view then refuses toward rebuild) — re-reads
+    // base ⋈ dim from scratch and RE-PINS the dim snapshot in the same
+    // CAS commit. Requires a CREATE MATERIALIZED VIEW stored spec.
+    "rebuild_agg_view" -> new LakeProcedure(lake, "rebuild_agg_view",
+      Seq("view" -> StringType),
+      StructType(Seq(
+        StructField("to_snapshot_id", LongType, nullable = false),
+        StructField("refreshed", BooleanType, nullable = false)))) {
+      override protected def run(args: InternalRow): InternalRow = {
+        def tbl(ref: String): LakeTable = {
+          val parts = ref.split('.')
+          require(parts.length == 2, s"table ref must be ns.table: '$ref'")
+          lake.loadTable(parts(0), parts(1))
+        }
+        val view = tbl(args.getUTF8String(0).toString)
+        val p = view.metadata.properties
+        def req(k: String): String = p.getOrElse(k,
+          throw new IllegalArgumentException(
+            s"view ${view.name} carries no stored spec ('$k'): it was " +
+              "not created by CREATE MATERIALIZED VIEW"))
+        val keys = req(MatViewProps.Keys)
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val aggSpecs = req(MatViewProps.Aggs)
+          .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+            val i = kv.indexOf(':')
+            require(i > 0, s"agg spec must be name[:min|:max]:expr, got '$kv'")
+            val name = kv.substring(0, i).trim
+            val rest = kv.substring(i + 1)
+            if (rest.startsWith("min:")) ("min", name, rest.substring(4))
+            else if (rest.startsWith("max:")) ("max", name, rest.substring(4))
+            else ("sum", name, rest)
+          }
+        val derivedCols = p.getOrElse(MatViewProps.Derived, "")
+          .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+            val i = kv.indexOf(':')
+            kv.substring(0, i).trim ->
+              org.apache.spark.sql.functions.expr(kv.substring(i + 1))
+          }
+        val session = SparkSession.active
+        val base = tbl(req(MatViewProps.Base))
+        // same clean-thread dance as refresh_agg_view: the rebuild
+        // plans nested aggregation queries mid-analysis
+        var out: graft.lake.IncrementalAggView.RefreshReport = null
+        var err: Throwable = null
+        val th = new Thread(() => {
+          try {
+            SparkSession.setActiveSession(session)
+            def of(kind: String) = aggSpecs.collect { case (`kind`, n, e) =>
+              n -> org.apache.spark.sql.functions.expr(e) }
+            val dim = p.get(MatViewProps.Dim).map { ref =>
+              graft.lake.IncrementalAggView.DimJoin(tbl(ref),
+                p.getOrElse(MatViewProps.DimKeys, "")
+                  .split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            }
+            out = graft.lake.IncrementalAggView.rebuild(
+              session, base, view, keys, of("sum"),
+              mins = of("min"), maxs = of("max"),
+              where = Some(p.getOrElse(MatViewProps.Where, ""))
+                .filter(_.nonEmpty)
+                .map(org.apache.spark.sql.functions.expr),
+              dim = dim, derived = derivedCols)
+          } catch { case t: Throwable => err = t }
+        }, "graft-rebuild-agg-view")
+        th.start()
+        th.join()
+        if (err != null) throw err
+        new GenericInternalRow(Array[Any](out.toSnapshotId, out.refreshed))
       }
     },
 

@@ -300,6 +300,71 @@ object LakeQueries {
     view.refresh().newScan().toDF(s).orderBy(col("o_orderpriority"))
   }
 
+  /** Broadcast-dim-ENRICHED materialized view through the SQL grammar
+    * (round-17 — the round-16 verdict's ask #3): `CREATE MATERIALIZED
+    * VIEW … FROM base JOIN dim ON base.k = dim.k GROUP BY dim_attr`
+    * maps onto [[graft.lake.IncrementalAggView.DimJoin]] — every
+    * maintained row is base ⋈ dim (inner broadcast equi-join, zero
+    * extra shuffles), the dim SNAPSHOT is pinned in the view
+    * properties, and the group key lives on the DIM side. The scenario
+    * exercises the full contract: a CoW delete (extremum-retraction
+    * rescan re-joins the pinned dim) and a group-moving update refresh
+    * through the 1-arg stored-spec CALL — the moved rows' new priority
+    * is NOT in the dim yet, so inner-join semantics drop them; then a
+    * dim append + `CALL rebuild_agg_view` re-pins the dim and the
+    * moved rows reappear under the new class. The oracle reconstructs
+    * the dim relationally (class = priority-prefix rule) and replays
+    * the same join. */
+  private val incrMvDimCatalogs = new SessionMemo[String]()
+
+  def lakeIncrMvDim(s: SparkSession, d: String): DataFrame = {
+    val catName = incrMvDimCatalogs.getOrBuild(s, d) {
+      val src = orders(s, d)
+      val wh = Files.createTempDirectory("graft_lakemvdim_").toString
+      val name = s"lakemvdim_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
+      s.sql(s"CREATE TABLE $name.q.prio_dim " +
+        "(o_orderpriority STRING, prio_class STRING)")
+      val lake = LakeCatalog.open(wh)
+      val base = lake.loadTable("q", "orders")
+      val dim = lake.loadTable("q", "prio_dim")
+      base.appendData(src, numFiles = 4)
+      val dimDF = src.select(col("o_orderpriority")).distinct()
+        .withColumn("prio_class", when(col("o_orderpriority") < lit("3"),
+          lit("HOT")).otherwise(lit("COLD")))
+      dim.appendData(dimDF)
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW $name.q.mv_dim AS
+           |SELECT prio_class, count(*) AS cnt,
+           |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
+           |  max(CAST(floor(o_totalprice * 100) AS LONG)) AS max_cents
+           |FROM $name.q.orders b JOIN $name.q.prio_dim p
+           |  ON b.o_orderpriority = p.o_orderpriority
+           |GROUP BY prio_class""".stripMargin)
+      // CoW delete retracts stored maxes (rescan re-joins the pinned
+      // dim); the update moves F-rows to a priority NOT in the dim —
+      // inner-join maintenance drops them
+      base.refresh().deleteWhere(s,
+        LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+      base.refresh().updateWhere(s, LakePredicate.Eq("o_orderstatus", "F"),
+        Map("o_orderpriority" -> lit("9-MOVED")))
+      s.sql(s"CALL $name.system.refresh_agg_view('q.mv_dim')").collect()
+      // dim movement: the new class arrives, refresh would refuse —
+      // the SQL rebuild re-pins and the moved rows reappear
+      dim.refresh().appendData(
+        s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row("9-MOVED", "COLD")), dimDF.schema))
+      s.sql(s"CALL $name.system.rebuild_agg_view('q.mv_dim')").collect()
+      name
+    }
+    s.sql(s"SELECT prio_class, cnt, cents, max_cents " +
+      s"FROM $catName.q.mv_dim ORDER BY prio_class")
+  }
+
   /** `CREATE MATERIALIZED VIEW` with AVG and a fractional (DECIMAL)
     * SUM (round-17 — the round-16 verdict's "first wall a real MV user
     * hits"): both decompose at CREATE time onto exact LONG slots (the
@@ -1464,6 +1529,7 @@ object LakeQueries {
     "lake_incr_mv" -> lakeIncrMv,
     "lake_incr_mv_filtered" -> lakeIncrMvFiltered,
     "lake_incr_mv_avg" -> lakeIncrMvAvg,
+    "lake_incr_mv_dim" -> lakeIncrMvDim,
     "q_ev_variant" -> qEvVariant,
     "lake_rewrite_deletes" -> lakeRewriteDeletes,
     "lake_add_files" -> lakeAddFiles,
@@ -1547,6 +1613,28 @@ object LakeQueries {
         |FROM finalrows WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // the dim-enriched MV after: >=400k delete survivors, F-rows moved
+    // to '9-MOVED' (absent from the dim at refresh, present after the
+    // dim append + rebuild), joined against the relationally-rebuilt
+    // dim and rolled up by the dim-side class
+    "lake_incr_mv_dim" ->
+      """WITH finalrows AS (
+        |  SELECT CASE WHEN o_orderstatus = 'F' THEN '9-MOVED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice < 400000.0
+        |), dim AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderpriority < '3' THEN 'HOT'
+        |         ELSE 'COLD' END AS prio_class
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders)
+        |  UNION ALL SELECT '9-MOVED', 'COLD'
+        |)
+        |SELECT prio_class, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM finalrows JOIN dim USING (o_orderpriority)
+        |GROUP BY prio_class ORDER BY prio_class""".stripMargin,
     // the derived-output MV after: status-F delete survivors plus the
     // appended %10=3 copies (appended AFTER the delete, so their F rows
     // survive); avg doubles recomputed with the engine's exact spelling

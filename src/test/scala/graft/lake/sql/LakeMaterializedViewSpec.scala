@@ -205,6 +205,59 @@ class LakeMaterializedViewSpec extends LakeSuite {
     assert(desc.contains("incr-view.derived"), desc)
   }
 
+  test("dim-enriched view through the SQL grammar: create, refresh, dim-move, rebuild") {
+    val (cat, wh) = sqlCat()
+    val lake = LakeCatalog.open(wh)
+    val t = lake.loadTable("ns", "t")
+    t.appendData(ordersDF, numFiles = 2)
+    spark.sql(s"CREATE TABLE $cat.ns.dim " +
+      "(o_orderpriority STRING, prio_class STRING)")
+    val dimT = lake.loadTable("ns", "dim")
+    val dimDF = ordersDF.select(col("o_orderpriority")).distinct()
+      .withColumn("prio_class", when(col("o_orderpriority") < lit("3"),
+        lit("HOT")).otherwise(lit("COLD")))
+    dimT.appendData(dimDF)
+    // ON-form equi condition over aliased sides maps onto DimJoin;
+    // the group key lives on the DIM side
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.vd AS
+         |SELECT prio_class, count(*) AS cnt,
+         |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents
+         |FROM $cat.ns.t b JOIN $cat.ns.dim d
+         |  ON b.o_orderpriority = d.o_orderpriority
+         |GROUP BY prio_class""".stripMargin)
+    def direct(): Seq[Row] = spark.sql(
+      s"""SELECT prio_class, count(*) AS cnt,
+         |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents
+         |FROM $cat.ns.t JOIN $cat.ns.dim USING (o_orderpriority)
+         |GROUP BY prio_class ORDER BY prio_class""".stripMargin)
+      .collect().toSeq
+    def got(): Seq[Row] = spark.sql(
+      s"SELECT * FROM $cat.ns.vd ORDER BY prio_class").collect().toSeq
+    assert(got() == direct(), "enriched create diverged")
+    // base churn maintains through the stored-spec 1-arg CALL
+    t.refresh().deleteWhere(spark,
+      LakePredicate.Ge("o_totalprice", Double.box(350000.0)))
+    assert(spark.sql(s"CALL $cat.system.refresh_agg_view('ns.vd')")
+      .head.getBoolean(4))
+    assert(got() == direct(), "enriched refresh diverged")
+    // a dim commit refuses the refresh toward rebuild; the SQL escape
+    // CALL rebuild_agg_view re-pins and converges on the new dim
+    dimT.refresh().appendData(dimDF.limit(1)
+      .withColumn("o_orderpriority", lit("9-EXTRA"))
+      .withColumn("prio_class", lit("COLD")))
+    t.refresh().appendData(ordersDF.limit(50)
+      .withColumn("o_orderkey", col("o_orderkey") + 880000000L)
+      .filter(col("o_totalprice") < 350000.0))
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+    val e = intercept[Exception](
+      spark.sql(s"CALL $cat.system.refresh_agg_view('ns.vd')").collect())
+    assert(msgs(e).contains("rebuild"), msgs(e))
+    spark.sql(s"CALL $cat.system.rebuild_agg_view('ns.vd')").collect()
+    assert(got() == direct(), "SQL rebuild diverged from the new dim")
+  }
+
   test("a failed populating rebuild drops the just-created view (round-16 advisory)") {
     val (cat, wh) = sqlCat()
     val t = LakeCatalog.open(wh).loadTable("ns", "t")
