@@ -129,8 +129,14 @@ final class LakeTable private[lake] (
       if (!carryRowIds) meta.schemaWithFieldIds
       else org.apache.spark.sql.types.StructType(
         meta.schemaWithFieldIds.fields :+ LakeTable.rowIdField)
+    // variant-bearing tables take the pinned-schema path too (round-17):
+    // a select-alias field id does NOT survive optimization — Spark
+    // 4.1.2's PushVariantIntoScan rebuilds the project list over the
+    // shredded scan and drops alias metadata — but a schema pinned over
+    // the executed child rows sits ABOVE the optimizer's reach, so the
+    // rule can stay enabled on the reads that feed rewrites
     val withIds =
-      if (meta.fieldIds.keysIterator.exists(_.contains('.')))
+      if (meta.fieldIds.keysIterator.exists(_.contains('.')) || hasVariantColumn)
         org.apache.spark.sql.graftbridge.SessionBridge.withSchema(
           clustered, LakeTable.writeSchema(clustered.schema, idSchema))
       else clustered.select(idSchema.fields.map(f =>
@@ -311,7 +317,7 @@ final class LakeTable private[lake] (
   }
 
   /** Does this table's schema carry a VARIANT column anywhere? Gates
-    * the pushVariantIntoScan opt-out below. */
+    * the schema-pinned write path below. */
   private lazy val hasVariantColumn: Boolean = {
     def rec(t: org.apache.spark.sql.types.DataType): Boolean = t match {
       case org.apache.spark.sql.types.VariantType => true
@@ -324,19 +330,19 @@ final class LakeTable private[lake] (
     schema.fields.exists(f => rec(f.dataType))
   }
 
-  /** Engine-side read confs. Variant tables additionally disable
-    * Spark's PushVariantIntoScan rewrite: a variant column
-    * reconstructed by that rule LOSES its alias-attached parquet field
-    * id at the next write (verified against Spark 4.1.2 — the fresh
-    * parse_json source keeps `= id`, the rewritten scan output drops
-    * it), so every CoW rewrite/compaction would emit field-id-less
-    * variant groups that the ID-matching read then resolves to NULL —
-    * silent data loss on the carried rows. Disabling the rule costs
-    * only the shredded-scan projection pushdown on lake variant reads. */
+  /** Engine-side read confs. Spark's PushVariantIntoScan rewrite stays
+    * ENABLED on lake variant reads (round-17 — the round-16 rounds
+    * disabled it here): the upstream Spark 4.1.2 wart it works around —
+    * a variant column reconstructed by the rule loses its
+    * alias-attached parquet field id at the next write, so CoW
+    * rewrites/compactions emitted field-id-less variant groups the
+    * ID-matching read resolved to NULL — is now closed on the WRITE
+    * side instead: [[writeDataFiles]] pins the full ID schema over the
+    * executed rows (the nested-struct device), which no optimizer
+    * rewrite of the child plan can drop. Lake variant reads keep the
+    * shredded-scan projection pushdown. */
   private def readConfs: Map[String, String] =
-    Map("spark.sql.parquet.fieldId.read.enabled" -> "true") ++
-      (if (hasVariantColumn)
-        Map("spark.sql.variant.pushVariantIntoScan" -> "false") else Map.empty)
+    Map("spark.sql.parquet.fieldId.read.enabled" -> "true")
 
   private def readIdFiles(spark: SparkSession, paths: Seq[String],
       withPos: Boolean, withRowId: Boolean = false): DataFrame = {
