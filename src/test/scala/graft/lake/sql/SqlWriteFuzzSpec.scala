@@ -26,7 +26,17 @@ import graft.lake.{LakeCatalog, LakeSuite}
   * Round 16 widens the read-back surface: every step also reads the
   * table through a catalog VIEW, and (snapshot, model) pins captured
   * at random steps are re-read via `VERSION AS OF` after every later
-  * op — write churn and maintenance must never disturb history. */
+  * op — write churn and maintenance must never disturb history.
+  *
+  * Round 17 puts the two newest subsystems under the same adversary:
+  * a `CREATE MATERIALIZED VIEW` rollup (count/sum/max by cat) rides
+  * every table, refreshed through the stored-spec CALL at random
+  * steps and after the final compaction — view contents must equal
+  * the model's direct rollup (the extremum-retraction rescan and the
+  * MoR tombstone-delta changelog both fuzz through here); and the
+  * `.changes` STREAMING source drains at random steps from one
+  * checkpoint, each drain compared row-for-row against the batch
+  * changelog over the same snapshot window. */
 class SqlWriteFuzzSpec extends LakeSuite {
 
   private val Seed: Long =
@@ -183,6 +193,52 @@ class SqlWriteFuzzSpec extends LakeSuite {
         // also exercises view-over-mutating-table reads
         spark.sql(s"CREATE VIEW $C.ns.v_$tbl AS " +
           s"SELECT id, num, cat FROM $ref WHERE num >= 0")
+        val lakeTbl = LakeCatalog.open(wh).loadTable("ns", tbl)
+        // round-17: a materialized view maintained alongside the model
+        spark.sql(s"CREATE MATERIALIZED VIEW $C.ns.mv_$tbl AS " +
+          s"SELECT cat, count(*) AS cnt, sum(num) AS total, " +
+          s"max(num) AS max_num FROM $ref GROUP BY cat")
+        def mvDirect(): Seq[(String, Long, Long, Long)] =
+          model.values.groupBy(_._2).map { case (c, vs) =>
+            (c, vs.size.toLong, vs.map(_._1).sum, vs.map(_._1).max)
+          }.toSeq.sortBy(_._1)
+        def mvRows(): Seq[(String, Long, Long, Long)] =
+          spark.sql(s"SELECT cat, cnt, total, max_num FROM $C.ns.mv_$tbl")
+            .collect().map(r => (r.getString(0), r.getLong(1),
+              r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+        assert(mvRows() == mvDirect(),
+          s"mode=$mode seed=$Seed: MV diverged at create")
+        // round-17: the `.changes` stream drains from ONE checkpoint;
+        // each drain must equal the batch changelog over its window
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft_wfuzz_ck_$mode").toString
+        var lastDrained = 0L
+        def drainAndCompare(step: Int, desc: String): Unit = {
+          val cur = lakeTbl.refresh().currentSnapshotId
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.Row]
+          val q = spark.readStream.option("stream-from", "beginning")
+            .table(s"$ref.changes").writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              buf ++= df.collect(); ()
+            }.start()
+          q.awaitTermination()
+          def key(r: org.apache.spark.sql.Row) =
+            (r.getLong(r.fieldIndex("_commit_snapshot_id")),
+              r.getString(r.fieldIndex("_change_type")),
+              r.getLong(r.fieldIndex("id")),
+              r.getLong(r.fieldIndex("num")),
+              r.getString(r.fieldIndex("cat")))
+          val batch = lakeTbl.refresh()
+            .changelog(spark, lastDrained, Some(cur)).collect().toSeq
+          assert(buf.toSeq.map(key).sorted == batch.map(key).sorted,
+            s"mode=$mode seed=$Seed: .changes stream (${buf.size} rows) " +
+              s"!= batch changelog (${batch.size}) over ($lastDrained, " +
+              s"$cur] after step $step ($desc)")
+          lastDrained = cur
+        }
         val log = scala.collection.mutable.ArrayBuffer.empty[String]
         // TIME-TRAVEL pins captured mid-sequence (round-16 verdict
         // ask): (snapshot id, model copy) frozen after random steps;
@@ -191,7 +247,6 @@ class SqlWriteFuzzSpec extends LakeSuite {
         // materialization must never disturb history
         val pins = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Seq[(Long, Long, String)])]
-        val lakeTbl = LakeCatalog.open(wh).loadTable("ns", tbl)
         (0 until OpsPerMode).foreach { step =>
           val desc = applyOp(rnd, ref, tbl, wh, model)
           log += desc
@@ -211,6 +266,15 @@ class SqlWriteFuzzSpec extends LakeSuite {
               s"mode=$mode seed=$Seed: VERSION AS OF $snap drifted " +
                 s"after step $step ($desc)")
           }
+          // MV refresh on ~half the steps (multi-commit deltas fuzz
+          // through the skipped ones); view ≡ the model's direct rollup
+          if (rnd.nextInt(2) == 0) {
+            spark.sql(s"CALL $C.system.refresh_agg_view('ns.mv_$tbl')")
+            assert(mvRows() == mvDirect(),
+              s"mode=$mode seed=$Seed: MV diverged after step $step ($desc)")
+          }
+          // .changes stream drain on ~a third of the steps
+          if (rnd.nextInt(3) == 0) drainAndCompare(step, desc)
         }
         // final no-op check: a full compaction must not move contents
         // — nor any pinned historical read
@@ -221,6 +285,13 @@ class SqlWriteFuzzSpec extends LakeSuite {
           assert(tableRows(s"$ref VERSION AS OF $snap") == pinned,
             s"mode=$mode: VERSION AS OF $snap drifted across compaction")
         }
+        // compaction is a logical no-op for BOTH subsystems: the MV
+        // refresh sees an empty delta (watermark-only commit), the
+        // stream emits nothing for the replace snapshot
+        spark.sql(s"CALL $C.system.refresh_agg_view('ns.mv_$tbl')")
+        assert(mvRows() == mvDirect(),
+          s"mode=$mode: MV diverged across the final compaction")
+        drainAndCompare(-1, "final compaction")
       }
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$C")
