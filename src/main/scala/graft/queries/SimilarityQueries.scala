@@ -263,15 +263,28 @@ object SimilarityQueries {
   /** Public setup hook for [[Corpus.prepare]]. */
   def prepareLshIndex(s: SparkSession, d: String): Unit = { ensureLshIndex(s, d); () }
 
+  private[queries] val lshBuilds = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Session-memoized + cross-session persisted (the IVF reattach
+    * contract — see [[ensureIvfIndex]]). */
   private def ensureLshIndex(s: SparkSession, d: String): DataFrame =
     lshIndexes.getOrBuild(s, d) {
-      val idx = embeddings(s, d)
-        .select(col("vec_id"), col("embedding"),
-          qdot(col("embedding"), col("embedding")).as("nv"),
-          array(bucketCols: _*).as("buckets"))
-        .persist()
-      idx.count() // materialize once at build
-      idx
+      IndexStore.load(s, d, "lsh", Seq("embeddings"), "lsh-v1",
+          Seq("index")) match {
+        case Some((loaded, _)) =>
+          val idx = loaded("index").persist(); idx.count(); idx
+        case None =>
+          lshBuilds.incrementAndGet()
+          val idx = embeddings(s, d)
+            .select(col("vec_id"), col("embedding"),
+              qdot(col("embedding"), col("embedding")).as("nv"),
+              array(bucketCols: _*).as("buckets"))
+            .persist()
+          idx.count() // materialize once at build
+          IndexStore.save(s, d, "lsh", Seq("embeddings"), "lsh-v1",
+            Map("index" -> idx))
+          idx
+      }
     }
 
   /** ANN via signature-bucket join + exact integer-score re-rank
@@ -335,10 +348,50 @@ object SimilarityQueries {
   private def ivfQuantizer(s: SparkSession): String =
     s.conf.get("graft.ivf.quantizer", "medoid")
 
+  /** Build counter — observable by the reattach spec: a cross-session
+    * prepare that finds a fresh descriptor must NOT bump it. */
+  private[queries] val ivfBuilds = new java.util.concurrent.atomic.AtomicInteger
+
+  private def encodeCentroids(cs: Seq[(Seq[Double], Long)]): String =
+    cs.map { case (e, nc) => e.mkString(",") + "#" + nc }.mkString(";")
+  private def decodeCentroids(s: String): Seq[(Seq[Double], Long)] =
+    s.split(';').toSeq.map { part =>
+      val Array(e, nc) = part.split('#')
+      (e.split(',').toSeq.map(_.toDouble), nc.toLong)
+    }
+
+  /** Session-memoized, and PERSISTED across sessions (round-17): a
+    * fresh driver reattaches the inverted file from the [[IndexStore]]
+    * descriptor (plain parquet read + the centroids from metadata —
+    * zero assignment jobs) instead of rebuilding; a corpus change
+    * (fingerprint) or algorithm change (kind tag) rebuilds. Doubles
+    * round-trip the descriptor exactly (toString/parseDouble identity),
+    * so the reattached probe uses bit-identical centroids. */
   private def ensureIvfIndex(s: SparkSession, d: String): IvfIndex = {
     val mode = ivfQuantizer(s)
+    val kind = s"ivf-$mode-v1"
+    val slots = if (mode == "kmeans") Seq("assigned", "cells") else Seq("assigned")
     ivfIndexes.getOrBuild(s, s"$d#$mode") {
-      if (mode == "kmeans") buildKmeansIvf(s, d) else buildMedoidIvf(s, d)
+      IndexStore.load(s, d, s"ivf_$mode", Seq("embeddings"), kind, slots) match {
+        case Some((loaded, meta)) if mode != "kmeans" =>
+          val a = loaded("assigned").persist(); a.count()
+          MedoidIvf(a, decodeCentroids(meta("centroids")))
+        case Some((loaded, _)) =>
+          val a = loaded("assigned").persist(); a.count()
+          val c = loaded("cells").persist(); c.count()
+          KmeansIvf(a, c)
+        case None =>
+          val built =
+            if (mode == "kmeans") buildKmeansIvf(s, d) else buildMedoidIvf(s, d)
+          built match {
+            case MedoidIvf(a, cents) => IndexStore.save(s, d, s"ivf_$mode",
+              Seq("embeddings"), kind, Map("assigned" -> a),
+              Map("centroids" -> encodeCentroids(cents)))
+            case KmeansIvf(a, c) => IndexStore.save(s, d, s"ivf_$mode",
+              Seq("embeddings"), kind, Map("assigned" -> a, "cells" -> c))
+          }
+          built
+      }
     }
   }
 
@@ -372,6 +425,7 @@ object SimilarityQueries {
     * sampled-quantizer quality trade is the standard IVF practice
     * (production systems train on samples, not the corpus). */
   private def buildMedoidIvf(s: SparkSession, d: String): MedoidIvf = {
+    ivfBuilds.incrementAndGet()
     val spark0 = s
     import spark0.implicits._
     val seedIds = embeddings(s, d).select(col("vec_id")).as[Long]
@@ -415,6 +469,7 @@ object SimilarityQueries {
     * oracle; AnnRecallSpec pins its recall floor alongside the medoid
     * default. */
   private def buildKmeansIvf(s: SparkSession, d: String): KmeansIvf = {
+    ivfBuilds.incrementAndGet()
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vector, Vectors}
     import s.implicits._

@@ -234,13 +234,30 @@ object TextQueries {
   /** Public setup hook for [[Corpus.prepare]]. */
   def prepareJaccardPairs(s: SparkSession, d: String): Unit = { jaccardPairs(s, d); () }
 
+  private[queries] val jaccardBuilds = new java.util.concurrent.atomic.AtomicInteger
+
+  /** Session-memoized + cross-session persisted (the IVF reattach
+    * contract — see SimilarityQueries.ensureIvfIndex): a fresh driver
+    * reattaches the pair artifact from its IndexStore descriptor
+    * instead of re-running the shingle/prefix-filter/verify pipeline. */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
     pairMemo.getOrBuild(s, d) {
-      val (pairs, intermediates) = buildJaccardPairs(s, d)
-      val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      p.count() // materialize before releasing the build-time caches
-      intermediates.foreach(_.unpersist(blocking = false))
-      p
+      IndexStore.load(s, d, "jaccard_pairs", Seq("documents"),
+          "jaccard-pairs-v1", Seq("pairs")) match {
+        case Some((loaded, _)) =>
+          val p = loaded("pairs")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count(); p
+        case None =>
+          jaccardBuilds.incrementAndGet()
+          val (pairs, intermediates) = buildJaccardPairs(s, d)
+          val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          p.count() // materialize before releasing the build-time caches
+          intermediates.foreach(_.unpersist(blocking = false))
+          IndexStore.save(s, d, "jaccard_pairs", Seq("documents"),
+            "jaccard-pairs-v1", Map("pairs" -> p))
+          p
+      }
     }
 
   private def buildJaccardPairs(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
