@@ -144,6 +144,51 @@ object BenchScaled {
     Map("cpu" -> cpu, "shuffle" -> shuffle, "mem" -> mem, "disk" -> disk)
   }
 
+  /** MoR read-cost attribution (round-16 verdict ask #5): the
+    * lake_merge_mor scenario's QUERY phase grows with ACCUMULATED
+    * tombstones — exactly the degradation maintenance cadence exists
+    * to bound. This probe makes the curve attributable: it rebuilds
+    * the scenario, reports the LIVE tombstone population (equality
+    * delete files + their key rows), times the MoR read before
+    * maintenance, runs `rewritePositionDeletes` (the cadence step),
+    * and times the read again — the claim under test is that the
+    * post-compaction read returns to the flat tombstone-free cost at
+    * every scale. */
+  private def morProbe(spark: SparkSession, sfDir: String)
+      : Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions.col
+    val src = graft.queries.Tables.orders(spark, sfDir)
+    val cat = graft.lake.LakeCatalog.open(
+      java.nio.file.Files.createTempDirectory("graft_morprobe_").toString)
+    val t = cat.createTable("probe", "orders_mor", src.schema)
+    t.appendData(src, numFiles = 4)
+    val tenth = src.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = tenth.withColumn("o_orderkey",
+      col("o_orderkey") + 100000000L)
+    t.refresh().mergeIntoMoR(spark, tenth.unionByName(inserts),
+      Seq("o_orderkey"))
+    val snap = t.refresh().metadata.currentSnapshot.get
+    def readSec(): Double = {
+      val t0 = System.nanoTime()
+      t.refresh().newScan().toDF(spark).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val pre = Seq(readSec(), readSec()).min
+    val m0 = System.nanoTime()
+    t.refresh().rewritePositionDeletes(spark)
+    val maint = (System.nanoTime() - m0) / 1e9
+    val post = Seq(readSec(), readSec()).min
+    Seq(
+      "eq_delete_files" -> snap.eqDeleteFiles.size.toDouble,
+      "tombstone_rows" -> snap.eqDeleteFiles.map(_.recordCount).sum.toDouble,
+      "pos_delete_files" -> snap.deleteFiles.size.toDouble,
+      "dv_files" -> snap.dvFiles.size.toDouble,
+      "query_pre_maintenance_sec" -> pre,
+      "rewrite_position_deletes_sec" -> maint,
+      "query_post_maintenance_sec" -> post)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/tmp/sf1"
     val reps = if (args.length > 1) args(1).toInt else 2
@@ -217,6 +262,8 @@ object BenchScaled {
       }
     })
     val wall = (System.nanoTime() - wall0) / 1e9
+    val mor = if (targets.contains("lake_merge_mor"))
+      Some(morProbe(spark, sfDir)) else None
     val calibAfter = calibrate(spark)
     // Locale.ROOT: default-locale %.3f renders comma decimals on e.g.
     // de_DE JVMs — invalid JSON, the same artifact-parse failure class
@@ -238,6 +285,8 @@ object BenchScaled {
       s""""queries_query":$sjson,"sf":"$sfDir","reps":$reps,""" +
       s""""calib_before":${cjson(calibBefore)},""" +
       s""""calib_after":${cjson(calibAfter)},""" +
+      mor.map(m => "\"mor_probe\":" + m.map { case (k, v) =>
+        s""""$k":${f3(v)}""" }.mkString("{", ",", "},")).getOrElse("") +
       s""""prep":${f3(prepSec)},"wall":${f3(wall)}}""")
     spark.stop()
   }

@@ -64,6 +64,12 @@ def main():
         "ratio_10x_norm": ratio_norm,
         "lake_phases_sf1": phases(sf1),
         "lake_phases_sf10": phases(sf10),
+        # round-17: MoR read-cost attribution — live tombstone counts,
+        # pre/post-maintenance query seconds, and the maintenance cost
+        # itself, per scale (the claim: post-compaction reads return to
+        # the flat tombstone-free cost)
+        "mor_probe_sf1": sf1.get("mor_probe"),
+        "mor_probe_sf10": sf10.get("mor_probe"),
     }
     json.dump(out, open(out_path, "w"), indent=1)
     worst = sorted(ratio_norm.items(), key=lambda kv: -kv[1])[:8]
