@@ -258,6 +258,42 @@ class LakeMaterializedViewSpec extends LakeSuite {
     assert(got() == direct(), "SQL rebuild diverged from the new dim")
   }
 
+  test("USING-form dim join + avg + WHERE compose in one definition") {
+    val (cat, wh) = sqlCat()
+    val lake = LakeCatalog.open(wh)
+    val t = lake.loadTable("ns", "t")
+    t.appendData(ordersDF, numFiles = 2)
+    spark.sql(s"CREATE TABLE $cat.ns.dim2 " +
+      "(o_orderpriority STRING, prio_class STRING)")
+    val dimT = lake.loadTable("ns", "dim2")
+    dimT.appendData(ordersDF.select(col("o_orderpriority")).distinct()
+      .withColumn("prio_class", when(col("o_orderpriority") < lit("3"),
+        lit("HOT")).otherwise(lit("COLD"))))
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.vu AS
+         |SELECT prio_class, count(*) AS cnt,
+         |  avg(CAST(floor(o_totalprice * 100) AS LONG)) AS avg_cents
+         |FROM $cat.ns.t JOIN $cat.ns.dim2 USING (o_orderpriority)
+         |WHERE o_orderstatus = 'F'
+         |GROUP BY prio_class""".stripMargin)
+    def direct(): Seq[Row] = spark.sql(
+      s"""SELECT prio_class, count(*) AS cnt,
+         |  CAST(sum(CAST(floor(o_totalprice * 100) AS LONG)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS avg_cents
+         |FROM $cat.ns.t JOIN $cat.ns.dim2 USING (o_orderpriority)
+         |WHERE o_orderstatus = 'F'
+         |GROUP BY prio_class ORDER BY prio_class""".stripMargin)
+      .collect().toSeq
+    def got(): Seq[Row] = spark.sql(
+      s"SELECT prio_class, cnt, avg_cents FROM $cat.ns.vu " +
+        "ORDER BY prio_class").collect().toSeq
+    assert(got() == direct(), "composed create diverged")
+    t.refresh().deleteWhere(spark,
+      LakePredicate.Ge("o_totalprice", Double.box(250000.0)))
+    spark.sql(s"CALL $cat.system.refresh_agg_view('ns.vu')")
+    assert(got() == direct(), "composed refresh diverged")
+  }
+
   test("a failed populating rebuild drops the just-created view (round-16 advisory)") {
     val (cat, wh) = sqlCat()
     val t = LakeCatalog.open(wh).loadTable("ns", "t")
