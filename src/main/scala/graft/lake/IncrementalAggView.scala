@@ -217,7 +217,11 @@ object IncrementalAggView {
       if (stored.exists(_ != cur)) throw new IllegalStateException(
         s"dimension ${dj.table.name} moved (snapshot ${stored.get} -> " +
           s"$cur) under enriched view ${v.name}: the view's historical " +
-          "rows joined the old dim — IncrementalAggView.rebuild() it")
+          "rows joined the old dim — rebuild the view " +
+          "(IncrementalAggView.rebuild / CALL rebuild_agg_view). If the " +
+          "moving side is actually your FACT table, the definition's " +
+          "FROM order was reversed: the LEFT side of the JOIN is the " +
+          "maintained base, the RIGHT the snapshot-pinned dimension")
       cur
     }
     if (head == last || head == -1L)

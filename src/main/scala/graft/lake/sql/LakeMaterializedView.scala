@@ -215,15 +215,34 @@ final case class LakeCreateMaterializedViewCommand(
     // arithmetic stays integer-exact, the user-facing value is
     // RE-DERIVED from the slots at every refresh write.
     //   sum(int)        -> maintained as-is
-    //   sum(decimal p,s), p<=18 -> slot sum((e)*10^s as long); output
-    //                      CAST(slot / 10^s AS DECIMAL(38,s)) — exact
-    //   avg(int)        -> slot sum(e); output slot/cnt double division
-    //   avg(decimal)    -> scaled slot; output (slot/10^s)/cnt doubles
+    //   sum(decimal p,s), p<=18 -> slot sum((e)*10^s as long) + a
+    //                      non-null-count slot; output
+    //                      CAST(slot / 10^s AS DECIMAL(38,s)), NULL
+    //                      when the group has no non-null input (SQL
+    //                      SUM semantics) — exact
+    //   avg(int/decimal) -> the same slot pair; output slot / NON-NULL
+    //                      count in double division (SQL AVG divides by
+    //                      the non-null count, NOT the row count — the
+    //                      same null-skipping divergence count(col) is
+    //                      refused for), NULL on an all-null group
     //   sum/avg(double) -> refuse, teaching both exact rewrites
+    // Both slots are plain integer sums, so the maintenance arithmetic
+    // stays the existing exact delta algebra; NULL inputs contribute
+    // nothing to either slot on every path (sum skips nulls in the
+    // delta pass exactly as SQL SUM does).
     val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
     val sums = scala.collection.mutable.Buffer.empty[(String, String)]
     val derived = scala.collection.mutable.Buffer.empty[(String, String, DataType)]
     def pow10(s: Int): Long = { var v = 1L; (0 until s).foreach(_ => v *= 10); v }
+    // the non-null-count slot: itself an exact integer sum, so it rides
+    // the same maintenance; shared between a sum and an avg of the same
+    // output name is impossible (names are unique), between different
+    // aggregates of the same EXPRESSION it is simply duplicated
+    def nnSlot(n: String, e: String): String = {
+      val slot = s"${n}__nn"
+      sums += slot -> s"CASE WHEN ($e) IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END"
+      slot
+    }
     def teachExact(agg: String, n: String, e: String, t: DataType): Nothing =
       malformed(s"$agg column '$n' over ${t.sql} ('$e') is not exactly " +
         "maintainable (float arithmetic drifts across incremental " +
@@ -237,9 +256,12 @@ final case class LakeCreateMaterializedViewCommand(
         case d: DecimalType if d.precision <= 18 =>
           val (s, slot) = (d.scale, s"${n}__slot")
           sums += slot -> s"CAST(($e) * ${pow10(s)} AS BIGINT)"
-          derived += ((n,
+          val nn = nnSlot(n, e)
+          val value =
             if (s == 0) s"CAST($slot AS DECIMAL(38,0))"
-            else s"CAST(CAST($slot AS DECIMAL(38,0)) / ${pow10(s)} AS DECIMAL(38,$s))",
+            else s"CAST(CAST($slot AS DECIMAL(38,0)) / ${pow10(s)} AS DECIMAL(38,$s))"
+          derived += ((n,
+            s"CASE WHEN $nn = 0 THEN CAST(NULL AS DECIMAL(38,$s)) ELSE $value END",
             DecimalType(38, s)))
         case d: DecimalType => malformed(
           s"sum column '$n': DECIMAL(${d.precision},_) exceeds the exact " +
@@ -259,9 +281,12 @@ final case class LakeCreateMaterializedViewCommand(
       }
       val slot = s"${n}__slot"
       sums += slot -> slotExpr
+      val nn = nnSlot(n, e)
       val num = if (scale == 0) s"CAST($slot AS DOUBLE)"
         else s"(CAST($slot AS DOUBLE) / ${pow10(scale)}.0)"
-      derived += ((n, s"$num / CAST(cnt AS DOUBLE)", DoubleType))
+      derived += ((n,
+        s"CASE WHEN $nn = 0 THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE $num / CAST($nn AS DOUBLE) END", DoubleType))
     }
     val viewSchema = StructType(
       keys.map(k => StructField(k, typeOf(k))) ++

@@ -81,6 +81,50 @@ private[sql] object LakeProcedures {
 
   private def utf8(s: String) = UTF8String.fromString(s)
 
+  /** `name[:min|:max]:expr` entries, semicolon-separated (expressions
+    * carry commas) → (kind, name, exprSql). Shared by the MV refresh
+    * and rebuild procedures. */
+  private def parseAggSpecs(aggsStr: String): Seq[(String, String, String)] =
+    aggsStr.split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+      val i = kv.indexOf(':')
+      require(i > 0, s"agg spec must be name[:min|:max]:expr, got '$kv'")
+      val name = kv.substring(0, i).trim
+      val rest = kv.substring(i + 1)
+      if (rest.startsWith("min:")) ("min", name, rest.substring(4))
+      else if (rest.startsWith("max:")) ("max", name, rest.substring(4))
+      else ("sum", name, rest)
+    }
+
+  /** `name:sql` derived-column entries (avg / fractional-sum
+    * decomposition slots → outputs). */
+  private def parseDerived(derivedStr: String)
+      : Seq[(String, org.apache.spark.sql.Column)] =
+    derivedStr.split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
+      val i = kv.indexOf(':')
+      require(i > 0, s"derived spec must be name:expr, got '$kv'")
+      kv.substring(0, i).trim ->
+        org.apache.spark.sql.functions.expr(kv.substring(i + 1))
+    }
+
+  /** Spark invokes BoundProcedure.call from INSIDE the analyzer (the
+    * InvokeProcedures rule); the MV refresh/rebuild plan and run nested
+    * AGGREGATION queries, which must not analyze under the outer
+    * analyzer's thread-local state — run on a clean thread and join. */
+  private def onCleanThread[T](session: SparkSession)(body: => T): T = {
+    var out: Option[T] = None
+    var err: Throwable = null
+    val th = new Thread(() => {
+      try {
+        SparkSession.setActiveSession(session)
+        out = Some(body)
+      } catch { case t: Throwable => err = t }
+    }, "graft-mv-procedure")
+    th.start()
+    th.join()
+    if (err != null) throw err
+    out.get
+  }
+
   def all(lake: LakeCatalog): Map[String, UnboundProcedure] = Map(
     "rollback_to_snapshot" -> new LakeProcedure(lake, "rollback_to_snapshot",
       Seq("table" -> StringType, "snapshot_id" -> LongType),
@@ -256,11 +300,21 @@ private[sql] object LakeProcedures {
         val view = tbl(args.getUTF8String(0).toString)
         val explicitBase = args.getUTF8String(1).toString
         val (baseRef, keysStr, aggsStr, whereStr, derivedStr, dimSpec) =
-          if (explicitBase.nonEmpty)
+          if (explicitBase.nonEmpty) {
+            // explicit args on a CREATE MATERIALIZED VIEW table would
+            // silently drop the stored dim join / derived columns and
+            // skip the dim-staleness check — the maintained delta then
+            // diverges from the definition AND the watermark advances,
+            // so the range is never reprocessed. Refuse loudly.
+            require(!view.metadata.properties.contains(MatViewProps.Base),
+              s"refresh_agg_view: ${view.name} carries a stored spec " +
+                "(created by CREATE MATERIALIZED VIEW) — use the 1-arg " +
+                s"form CALL refresh_agg_view('${args.getUTF8String(0)}') " +
+                "so the dim join / derived columns are not silently dropped")
             (explicitBase, args.getUTF8String(2).toString,
               args.getUTF8String(3).toString, args.getUTF8String(4).toString,
               "", None)
-          else {
+          } else {
             // the 1-arg form: read the spec CREATE MATERIALIZED VIEW
             // stored — no re-spelling, no drift between create and
             // refresh
@@ -279,16 +333,7 @@ private[sql] object LakeProcedures {
         val keys = keysStr.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         // (kind, name, expr) — view-schema order is keys ++ cnt ++
         // sums ++ mins ++ maxs regardless of spec order
-        val aggSpecs = aggsStr
-          .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
-            val i = kv.indexOf(':')
-            require(i > 0, s"agg spec must be name[:min|:max]:expr, got '$kv'")
-            val name = kv.substring(0, i).trim
-            val rest = kv.substring(i + 1)
-            if (rest.startsWith("min:")) ("min", name, rest.substring(4))
-            else if (rest.startsWith("max:")) ("max", name, rest.substring(4))
-            else ("sum", name, rest)
-          }
+        val aggSpecs = parseAggSpecs(aggsStr)
         val session = SparkSession.active
         val base = tbl(baseRef)
         // both leading params are strings, so a call written against
@@ -306,44 +351,21 @@ private[sql] object LakeProcedures {
           s"refresh_agg_view: ${view.name} has no LongType `cnt` column, " +
             "so it is not an incremental agg view — were the view/base " +
             "arguments swapped? the signature is (view, base, keys, aggs)")
-        // Spark invokes BoundProcedure.call from INSIDE the analyzer
-        // (the InvokeProcedures rule). The maintenance procedures above
-        // only read/write files, but this one plans and runs nested
-        // AGGREGATION queries, which must not analyze under the outer
-        // analyzer's thread-local state — run the refresh on a clean
-        // thread and join (thread-locals don't propagate).
-        var out: graft.lake.IncrementalAggView.RefreshReport = null
-        var err: Throwable = null
-        val th = new Thread(() => {
-          try {
-            SparkSession.setActiveSession(session)
-            def of(kind: String) = aggSpecs.collect { case (`kind`, n, e) =>
-              n -> org.apache.spark.sql.functions.expr(e) }
-            // derived output columns (avg / fractional-sum
-            // decomposition): `name:sql` over the maintained slots
-            val derivedCols = derivedStr
-              .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
-                val i = kv.indexOf(':')
-                require(i > 0, s"derived spec must be name:expr, got '$kv'")
-                kv.substring(0, i).trim ->
-                  org.apache.spark.sql.functions.expr(kv.substring(i + 1))
-              }
-            val dim = dimSpec.map { case (ref, ks) =>
-              graft.lake.IncrementalAggView.DimJoin(tbl(ref),
-                ks.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-            }
-            out = graft.lake.IncrementalAggView.refresh(
-              session, base, view, keys, of("sum"),
-              mins = of("min"), maxs = of("max"),
-              where = Some(whereStr).filter(_.nonEmpty)
-                .map(org.apache.spark.sql.functions.expr),
-              dim = dim,
-              derived = derivedCols)
-          } catch { case t: Throwable => err = t }
-        }, "graft-refresh-agg-view")
-        th.start()
-        th.join()
-        if (err != null) throw err
+        val out = onCleanThread(session) {
+          def of(kind: String) = aggSpecs.collect { case (`kind`, n, e) =>
+            n -> org.apache.spark.sql.functions.expr(e) }
+          val dim = dimSpec.map { case (ref, ks) =>
+            graft.lake.IncrementalAggView.DimJoin(tbl(ref),
+              ks.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          }
+          graft.lake.IncrementalAggView.refresh(
+            session, base, view, keys, of("sum"),
+            mins = of("min"), maxs = of("max"),
+            where = Some(whereStr).filter(_.nonEmpty)
+              .map(org.apache.spark.sql.functions.expr),
+            dim = dim,
+            derived = parseDerived(derivedStr))
+        }
         new GenericInternalRow(Array[Any](
           out.fromSnapshotId, out.toSnapshotId, out.deltaGroups,
           out.rescannedGroups, out.refreshed))
@@ -374,50 +396,26 @@ private[sql] object LakeProcedures {
               "not created by CREATE MATERIALIZED VIEW"))
         val keys = req(MatViewProps.Keys)
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
-        val aggSpecs = req(MatViewProps.Aggs)
-          .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
-            val i = kv.indexOf(':')
-            require(i > 0, s"agg spec must be name[:min|:max]:expr, got '$kv'")
-            val name = kv.substring(0, i).trim
-            val rest = kv.substring(i + 1)
-            if (rest.startsWith("min:")) ("min", name, rest.substring(4))
-            else if (rest.startsWith("max:")) ("max", name, rest.substring(4))
-            else ("sum", name, rest)
-          }
-        val derivedCols = p.getOrElse(MatViewProps.Derived, "")
-          .split(';').map(_.trim).filter(_.nonEmpty).toSeq.map { kv =>
-            val i = kv.indexOf(':')
-            kv.substring(0, i).trim ->
-              org.apache.spark.sql.functions.expr(kv.substring(i + 1))
-          }
+        val aggSpecs = parseAggSpecs(req(MatViewProps.Aggs))
         val session = SparkSession.active
         val base = tbl(req(MatViewProps.Base))
-        // same clean-thread dance as refresh_agg_view: the rebuild
-        // plans nested aggregation queries mid-analysis
-        var out: graft.lake.IncrementalAggView.RefreshReport = null
-        var err: Throwable = null
-        val th = new Thread(() => {
-          try {
-            SparkSession.setActiveSession(session)
-            def of(kind: String) = aggSpecs.collect { case (`kind`, n, e) =>
-              n -> org.apache.spark.sql.functions.expr(e) }
-            val dim = p.get(MatViewProps.Dim).map { ref =>
-              graft.lake.IncrementalAggView.DimJoin(tbl(ref),
-                p.getOrElse(MatViewProps.DimKeys, "")
-                  .split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-            }
-            out = graft.lake.IncrementalAggView.rebuild(
-              session, base, view, keys, of("sum"),
-              mins = of("min"), maxs = of("max"),
-              where = Some(p.getOrElse(MatViewProps.Where, ""))
-                .filter(_.nonEmpty)
-                .map(org.apache.spark.sql.functions.expr),
-              dim = dim, derived = derivedCols)
-          } catch { case t: Throwable => err = t }
-        }, "graft-rebuild-agg-view")
-        th.start()
-        th.join()
-        if (err != null) throw err
+        val out = onCleanThread(session) {
+          def of(kind: String) = aggSpecs.collect { case (`kind`, n, e) =>
+            n -> org.apache.spark.sql.functions.expr(e) }
+          val dim = p.get(MatViewProps.Dim).map { ref =>
+            graft.lake.IncrementalAggView.DimJoin(tbl(ref),
+              p.getOrElse(MatViewProps.DimKeys, "")
+                .split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          }
+          graft.lake.IncrementalAggView.rebuild(
+            session, base, view, keys, of("sum"),
+            mins = of("min"), maxs = of("max"),
+            where = Some(p.getOrElse(MatViewProps.Where, ""))
+              .filter(_.nonEmpty)
+              .map(org.apache.spark.sql.functions.expr),
+            dim = dim, derived = parseDerived(
+              p.getOrElse(MatViewProps.Derived, "")))
+        }
         new GenericInternalRow(Array[Any](out.toSnapshotId, out.refreshed))
       }
     },

@@ -124,9 +124,16 @@ object IndexStore {
     try props.store(out, s"graft index artifact $name") finally out.close()
     Files.move(tmp, dir.resolve("descriptor.properties"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // prune superseded data subdirs — but only STALE ones (> 1h old):
+    // a concurrent writer may be mid-stage in its own fresh subdir, and
+    // a concurrent reader that resolved the OLD descriptor may still be
+    // scanning; an age guard closes both races while still bounding the
+    // leak (staging is seconds-long, so hour-old siblings are debris)
+    val cutoff = System.currentTimeMillis() - 3600000L
     val st = Files.list(dir)
     try st.toArray.map(_.asInstanceOf[Path]).foreach { p =>
-      if (Files.isDirectory(p) && p.getFileName.toString != dataId)
+      if (Files.isDirectory(p) && p.getFileName.toString != dataId &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
         org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
     } finally st.close()
   }

@@ -258,6 +258,62 @@ class LakeMaterializedViewSpec extends LakeSuite {
     assert(got() == direct(), "SQL rebuild diverged from the new dim")
   }
 
+  test("avg/sum skip NULL inputs; all-null groups read NULL (SQL semantics)") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    t.appendData(ordersDF, numFiles = 2)
+    // nullable input: NULL for every 'P'-status row -> the P group is
+    // ALL-null (native avg/sum say NULL); other groups mix nulls in
+    // (avg must divide by the NON-null count, not cnt)
+    val arg = "CAST(CASE WHEN o_orderstatus = 'P' OR o_orderkey % 7 = 0 " +
+      "THEN NULL ELSE floor(o_totalprice * 100) END AS LONG)"
+    val decArg = s"CAST($arg AS DECIMAL(18,2))"
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.vn AS
+         |SELECT o_orderstatus, count(*) AS cnt,
+         |  avg($arg) AS a, sum($decArg) AS s
+         |FROM $cat.ns.t GROUP BY o_orderstatus""".stripMargin)
+    // native avg/sum are the ground truth here: at this scale the
+    // integer-valued double sums are exact, so bit-equality holds
+    def direct(): Seq[Row] = spark.sql(
+      s"""SELECT o_orderstatus, count(*) AS cnt, avg($arg) AS a,
+         |  sum($decArg) AS s
+         |FROM $cat.ns.t GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin).collect().toSeq
+    def got(): Seq[Row] = spark.sql(
+      s"SELECT o_orderstatus, cnt, a, s FROM $cat.ns.vn " +
+        "ORDER BY o_orderstatus").collect().toSeq
+    assert(got() == direct(), "null-skipping create diverged")
+    val allNull = got().find(_.getString(0) == "P")
+    assert(allNull.exists(r => r.isNullAt(2) && r.isNullAt(3)),
+      s"the all-null group must read NULL, got $allNull")
+    // and through an incremental refresh
+    t.refresh().deleteWhere(spark,
+      LakePredicate.Ge("o_totalprice", Double.box(300000.0)))
+    spark.sql(s"CALL $cat.system.refresh_agg_view('ns.vn')")
+    assert(got() == direct(), "null-skipping refresh diverged")
+  }
+
+  test("explicit-args refresh refuses on a stored-spec view") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    t.appendData(ordersDF)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.vs AS
+         |SELECT o_orderpriority, count(*) AS cnt,
+         |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents
+         |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin)
+    // passing explicit args would silently drop a stored dim join /
+    // derived columns — the call must refuse toward the 1-arg form
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.refresh_agg_view('ns.vs', 'ns.t', " +
+        "'o_orderpriority', 'cents:CAST(floor(o_totalprice * 100) AS LONG)')")
+      .collect())
+    assert(msgs(e).contains("1-arg"), msgs(e))
+  }
+
   test("USING-form dim join + avg + WHERE compose in one definition") {
     val (cat, wh) = sqlCat()
     val lake = LakeCatalog.open(wh)
