@@ -61,6 +61,22 @@ class IndexStoreSpec extends LakeSuite {
       "a stale fingerprint must REBUILD, never serve the old index")
   }
 
+  test("the trained-kmeans IVF mode reattaches its cells table too") {
+    val d = mkCorpus()
+    val b0 = SimilarityQueries.ivfBuilds.get()
+    val s1 = spark.newSession()
+    s1.conf.set("graft.ivf.quantizer", "kmeans")
+    SimilarityQueries.prepareIvfIndex(s1, d)
+    assert(SimilarityQueries.ivfBuilds.get() == b0 + 1)
+    val want = SimilarityQueries.qIvfAnn(s1, d).collect().toSeq
+    val s2 = spark.newSession()
+    s2.conf.set("graft.ivf.quantizer", "kmeans")
+    SimilarityQueries.prepareIvfIndex(s2, d)
+    assert(SimilarityQueries.ivfBuilds.get() == b0 + 1,
+      "fresh session must reattach the kmeans inverted file + cells")
+    assert(SimilarityQueries.qIvfAnn(s2, d).collect().toSeq == want)
+  }
+
   test("bucketed tables re-register over existing files; jaccard pairs reattach") {
     val d = mkCorpus()
     val (bb0, jb0) = (JoinExtraQueries.bucketedBuilds.get(),
