@@ -133,7 +133,10 @@ final case class LakeCreateMaterializedViewCommand(
           // surviving star) is the row-count spelling; anything else
           // refuses. (round-16 advisory)
           fn.arguments match {
-            case Seq(_: org.apache.spark.sql.catalyst.expressions.Literal) =>
+            // count(NULL) is 0 in SQL (null-skipping), NOT the row count
+            // — a null literal must refuse exactly like count(col)
+            case Seq(l: org.apache.spark.sql.catalyst.expressions.Literal)
+                if l.value != null =>
             case Seq(_: org.apache.spark.sql.catalyst.analysis.UnresolvedStar) =>
             case args => malformed(
               s"count(${args.map(_.sql).mkString(",")}) is null-skipping; " +
@@ -168,19 +171,27 @@ final case class LakeCreateMaterializedViewCommand(
       s"view ${viewParts.mkString(".")} and base ${baseParts.mkString(".")} " +
         "must live in the same lake catalog")
     val base = loadLake(baseCatalog, baseIdent, baseParts)
-    val dimTable = dimParts.map { dp =>
+    val dimResolved = dimParts.map { dp =>
       val (dimCatalog, dimIdent) = resolveCatalog(spark, dp)
       require(dimCatalog eq baseCatalog,
         s"dim ${dp.mkString(".")} and base ${baseParts.mkString(".")} " +
           "must live in the same lake catalog")
+      // the stored ref must round-trip through the procedures' strict
+      // `ns.table` parse — normalize through the RESOLVED identifier at
+      // CREATE (round-17 advisory: a 1-part ref only failed at the
+      // first CALL, not here where the user can fix the definition)
+      require(dimIdent.namespace.length == 1, malformedMsg(
+        s"dim ${dp.mkString(".")} must resolve to a 1-level namespace " +
+          s"(ns.table), got ${(dimIdent.namespace :+ dimIdent.name).mkString(".")}"))
       val dt = loadLake(dimCatalog, dimIdent, dp)
       dimKeys.foreach { k =>
         require(base.schema.fieldNames.contains(k) &&
             dt.schema.fieldNames.contains(k), malformedMsg(
           s"dim-join key '$k' must exist on both the base and the dim"))
       }
-      dt
+      (dt, s"${dimIdent.namespace.mkString(".")}.${dimIdent.name}")
     }
+    val dimTable = dimResolved.map(_._1)
 
     // type the view schema off an empty frame under the ENRICHED row
     // shape (base ++ dim's non-key columns — exactly what the
@@ -193,7 +204,7 @@ final case class LakeCreateMaterializedViewCommand(
     }
     val emptyBase = spark.createDataFrame(
       new java.util.ArrayList[Row](), typingSchema)
-    def typeOf(sql: String): DataType = {
+    def fieldOf(sql: String): StructField = {
       val analyzed = org.apache.spark.sql.graftbridge.PlanBridge
         .analyzedPlan(emptyBase.select(expr(sql)))
       // rand()-style calls resolve only here (UnresolvedFunction claims
@@ -201,8 +212,9 @@ final case class LakeCreateMaterializedViewCommand(
       require(analyzed.expressions.forall(_.deterministic), malformedMsg(
         s"'$sql' is nondeterministic — incremental maintenance " +
           "re-evaluates expressions per refresh"))
-      analyzed.schema.head.dataType
+      analyzed.schema.head
     }
+    def typeOf(sql: String): DataType = fieldOf(sql).dataType
     // the WHERE clause resolves against the base the same way
     whereSql.foreach { w =>
       val analyzed = org.apache.spark.sql.graftbridge.PlanBridge
@@ -231,7 +243,12 @@ final case class LakeCreateMaterializedViewCommand(
     // nothing to either slot on every path (sum skips nulls in the
     // delta pass exactly as SQL SUM does).
     val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
-    val sums = scala.collection.mutable.Buffer.empty[(String, String)]
+    // maintained slots carry their own type: BIGINT for integral inputs,
+    // DECIMAL(38,0) for scale-shifted decimal inputs — a LONG slot summed
+    // across a large group silently wraps past 2^63 in non-ANSI mode,
+    // whereas the DECIMAL(38,0) slot has 19 extra digits of headroom
+    // (and nulls, never wraps, past that — round-17 advisory)
+    val sums = scala.collection.mutable.Buffer.empty[(String, String, DataType)]
     val derived = scala.collection.mutable.Buffer.empty[(String, String, DataType)]
     def pow10(s: Int): Long = { var v = 1L; (0 until s).foreach(_ => v *= 10); v }
     // the non-null-count slot: itself an exact integer sum, so it rides
@@ -240,7 +257,9 @@ final case class LakeCreateMaterializedViewCommand(
     // aggregates of the same EXPRESSION it is simply duplicated
     def nnSlot(n: String, e: String): String = {
       val slot = s"${n}__nn"
-      sums += slot -> s"CASE WHEN ($e) IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END"
+      sums += ((slot,
+        s"CASE WHEN ($e) IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END",
+        LongType))
       slot
     }
     def teachExact(agg: String, n: String, e: String, t: DataType): Nothing =
@@ -251,11 +270,27 @@ final case class LakeCreateMaterializedViewCommand(
         s"the input to DECIMAL (e.g. $agg(CAST($e AS DECIMAL(18,2)))), " +
         "which decomposes onto an exact integer slot automatically")
     rawSums.foreach { case (n, e) =>
-      typeOf(e) match {
-        case t if integral(t) => sums += n -> e
-        case d: DecimalType if d.precision <= 18 =>
+      fieldOf(e) match {
+        // a NON-nullable integral sum maintains as-is: over a non-empty
+        // group the slot equals SQL SUM exactly. A NULLABLE integral
+        // input must decompose like the decimal path: the incremental
+        // merge coalesces stored/delta slots through 0, so an all-null
+        // group's SQL-NULL sum would flip to 0 on the first refresh and
+        // permanently diverge (round-17 advisory) — the __nn slot + a
+        // derived output keep the NULL semantics exact
+        case StructField(_, t, false, _) if integral(t) =>
+          sums += ((n, e, LongType))
+        case StructField(_, t, true, _) if integral(t) =>
+          val slot = s"${n}__slot"
+          sums += ((slot, s"CAST(($e) AS BIGINT)", LongType))
+          val nn = nnSlot(n, e)
+          derived += ((n,
+            s"CASE WHEN $nn = 0 THEN CAST(NULL AS BIGINT) ELSE $slot END",
+            LongType))
+        case StructField(_, d: DecimalType, _, _) if d.precision <= 18 =>
           val (s, slot) = (d.scale, s"${n}__slot")
-          sums += slot -> s"CAST(($e) * ${pow10(s)} AS BIGINT)"
+          sums += ((slot, s"CAST(($e) * ${pow10(s)} AS DECIMAL(38,0))",
+            DecimalType(38, 0)))
           val nn = nnSlot(n, e)
           val value =
             if (s == 0) s"CAST($slot AS DECIMAL(38,0))"
@@ -263,24 +298,26 @@ final case class LakeCreateMaterializedViewCommand(
           derived += ((n,
             s"CASE WHEN $nn = 0 THEN CAST(NULL AS DECIMAL(38,$s)) ELSE $value END",
             DecimalType(38, s)))
-        case d: DecimalType => malformed(
+        case StructField(_, d: DecimalType, _, _) => malformed(
           s"sum column '$n': DECIMAL(${d.precision},_) exceeds the exact " +
-            "long-slot range (precision must be <= 18) — rescale the input")
-        case t => teachExact("sum", n, e, t)
+            "slot range (precision must be <= 18) — rescale the input")
+        case StructField(_, t, _, _) => teachExact("sum", n, e, t)
       }
     }
     rawAvgs.foreach { case (n, e) =>
-      val (slotExpr, scale) = typeOf(e) match {
-        case t if integral(t) => (s"CAST(($e) AS BIGINT)", 0)
+      val (slotExpr, slotType, scale) = fieldOf(e).dataType match {
+        case t if integral(t) =>
+          (s"CAST(($e) AS BIGINT)", LongType: DataType, 0)
         case d: DecimalType if d.precision <= 18 =>
-          (s"CAST(($e) * ${pow10(d.scale)} AS BIGINT)", d.scale)
+          (s"CAST(($e) * ${pow10(d.scale)} AS DECIMAL(38,0))",
+            DecimalType(38, 0): DataType, d.scale)
         case d: DecimalType => malformed(
           s"avg column '$n': DECIMAL(${d.precision},_) exceeds the exact " +
-            "long-slot range (precision must be <= 18) — rescale the input")
+            "slot range (precision must be <= 18) — rescale the input")
         case t => teachExact("avg", n, e, t)
       }
       val slot = s"${n}__slot"
-      sums += slot -> slotExpr
+      sums += ((slot, slotExpr, slotType))
       val nn = nnSlot(n, e)
       val num = if (scale == 0) s"CAST($slot AS DOUBLE)"
         else s"(CAST($slot AS DOUBLE) / ${pow10(scale)}.0)"
@@ -291,13 +328,13 @@ final case class LakeCreateMaterializedViewCommand(
     val viewSchema = StructType(
       keys.map(k => StructField(k, typeOf(k))) ++
         (StructField("cnt", LongType) +:
-          (sums.map { case (n, _) => StructField(n, LongType) } ++
+          (sums.map { case (n, _, t) => StructField(n, t) } ++
             mins.map { case (n, e) => StructField(n, typeOf(e)) } ++
             maxs.map { case (n, e) => StructField(n, typeOf(e)) } ++
             derived.map { case (n, _, t) => StructField(n, t) })))
 
     def aggSpec: String =
-      (sums.map { case (n, e) => s"$n:$e" } ++
+      (sums.map { case (n, e, _) => s"$n:$e" } ++
         mins.map { case (n, e) => s"$n:min:$e" } ++
         maxs.map { case (n, e) => s"$n:max:$e" }).mkString(";")
     val props = new java.util.HashMap[String, String]()
@@ -307,8 +344,8 @@ final case class LakeCreateMaterializedViewCommand(
     props.put(MatViewProps.Aggs, aggSpec)
     if (derived.nonEmpty) props.put(MatViewProps.Derived,
       derived.map { case (n, e, _) => s"$n:$e" }.mkString(";"))
-    dimParts.foreach { dp =>
-      props.put(MatViewProps.Dim, dp.takeRight(2).mkString("."))
+    dimResolved.foreach { case (_, ref) =>
+      props.put(MatViewProps.Dim, ref)
       props.put(MatViewProps.DimKeys, dimKeys.mkString(","))
     }
     whereSql.foreach(props.put(MatViewProps.Where, _))
@@ -323,7 +360,7 @@ final case class LakeCreateMaterializedViewCommand(
     // carrying the stored spec would serve wrong results AND block a
     // re-issued CREATE (round-16 advisory)
     try IncrementalAggView.rebuild(spark, base, view, keys,
-      sums.toSeq.map { case (n, e) => n -> expr(e) },
+      sums.toSeq.map { case (n, e, _) => n -> expr(e) },
       mins.toSeq.map { case (n, e) => n -> expr(e) },
       maxs.toSeq.map { case (n, e) => n -> expr(e) },
       where = whereSql.map(expr),

@@ -42,8 +42,12 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
          |  max(CAST(floor(o_totalprice * 100) AS LONG)) AS max_cents
          |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin)
+    // sum over a NULLABLE input decomposes onto __slot/__nn columns
+    // (stored maintenance state) — the user-facing columns are selected
+    // by name, exactly as a reader of the definition would
     def viewRows: Seq[Row] = spark.sql(
-      s"SELECT * FROM $cat.ns.v ORDER BY o_orderpriority").collect().toSeq
+      s"SELECT o_orderpriority, cnt, cents, max_cents FROM $cat.ns.v " +
+        "ORDER BY o_orderpriority").collect().toSeq
     // populated at create
     assert(viewRows == direct(cat))
 
@@ -82,7 +86,8 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |FROM $cat.ns.t WHERE o_orderstatus = 'F'
          |GROUP BY o_orderpriority""".stripMargin)
     def viewRows: Seq[Row] = spark.sql(
-      s"SELECT * FROM $cat.ns.vf ORDER BY o_orderpriority").collect().toSeq
+      s"SELECT o_orderpriority, cnt, cents, max_cents FROM $cat.ns.vf " +
+        "ORDER BY o_orderpriority").collect().toSeq
     assert(viewRows == direct(cat, "o_orderstatus = 'F'"))
     // a mutation that TOUCHES filtered-out rows must not leak into the
     // view; one that touches 'F' rows must land
@@ -149,6 +154,14 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents
          |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin))
     assert(e7.getMessage.contains("count(*)"), e7.getMessage)
+    // count(NULL) is 0 in SQL, not the row count — the literal guard
+    // must refuse a null literal (round-17 advisory)
+    val e7b = intercept[Exception](spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.bad7b AS
+         |SELECT o_orderpriority, count(NULL) AS cnt,
+         |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents
+         |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin))
+    assert(e7b.getMessage.contains("count(*)"), e7b.getMessage)
     // a refresh of a table with no stored spec names the fix
     spark.sql(s"CREATE TABLE $cat.ns.plain (k STRING, cnt BIGINT)")
     val e4 = intercept[Exception](spark.sql(
@@ -233,7 +246,8 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |GROUP BY prio_class ORDER BY prio_class""".stripMargin)
       .collect().toSeq
     def got(): Seq[Row] = spark.sql(
-      s"SELECT * FROM $cat.ns.vd ORDER BY prio_class").collect().toSeq
+      s"SELECT prio_class, cnt, cents FROM $cat.ns.vd " +
+        "ORDER BY prio_class").collect().toSeq
     assert(got() == direct(), "enriched create diverged")
     // base churn maintains through the stored-spec 1-arg CALL
     t.refresh().deleteWhere(spark,
@@ -268,30 +282,38 @@ class LakeMaterializedViewSpec extends LakeSuite {
     val arg = "CAST(CASE WHEN o_orderstatus = 'P' OR o_orderkey % 7 = 0 " +
       "THEN NULL ELSE floor(o_totalprice * 100) END AS LONG)"
     val decArg = s"CAST($arg AS DECIMAL(18,2))"
+    // sl = sum over a NULLABLE integral input (round-17 advisory): it
+    // must decompose onto an __nn slot like the decimal path — a direct
+    // LONG slot would coalesce the all-null group's NULL to 0 on the
+    // first incremental refresh and permanently diverge from SQL SUM
     spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.ns.vn AS
          |SELECT o_orderstatus, count(*) AS cnt,
-         |  avg($arg) AS a, sum($decArg) AS s
+         |  avg($arg) AS a, sum($decArg) AS s, sum($arg) AS sl
          |FROM $cat.ns.t GROUP BY o_orderstatus""".stripMargin)
     // native avg/sum are the ground truth here: at this scale the
     // integer-valued double sums are exact, so bit-equality holds
     def direct(): Seq[Row] = spark.sql(
       s"""SELECT o_orderstatus, count(*) AS cnt, avg($arg) AS a,
-         |  sum($decArg) AS s
+         |  sum($decArg) AS s, sum($arg) AS sl
          |FROM $cat.ns.t GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin).collect().toSeq
     def got(): Seq[Row] = spark.sql(
-      s"SELECT o_orderstatus, cnt, a, s FROM $cat.ns.vn " +
+      s"SELECT o_orderstatus, cnt, a, s, sl FROM $cat.ns.vn " +
         "ORDER BY o_orderstatus").collect().toSeq
     assert(got() == direct(), "null-skipping create diverged")
     val allNull = got().find(_.getString(0) == "P")
-    assert(allNull.exists(r => r.isNullAt(2) && r.isNullAt(3)),
+    assert(allNull.exists(r => r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)),
       s"the all-null group must read NULL, got $allNull")
-    // and through an incremental refresh
+    // and through an incremental refresh (the refresh is where the
+    // NULL->0 flip lived: the merge coalesces slots through 0)
     t.refresh().deleteWhere(spark,
       LakePredicate.Ge("o_totalprice", Double.box(300000.0)))
     spark.sql(s"CALL $cat.system.refresh_agg_view('ns.vn')")
     assert(got() == direct(), "null-skipping refresh diverged")
+    val allNull2 = got().find(_.getString(0) == "P")
+    assert(allNull2.exists(r => r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4)),
+      s"the all-null group flipped NULL->0 through the refresh: $allNull2")
   }
 
   test("explicit-args refresh refuses on a stored-spec view") {
