@@ -140,6 +140,15 @@ object Bench {
       .sortBy(n => -cvs(n)).take(10)
     val floorNames = (staticFloors ++ slowest ++ jittery)
       .distinct.filter(names.contains)
+    // the floor block gets its OWN calibration window (round-18
+    // verdict ask #1): round 17's end-of-run window was so degraded
+    // that 8 of 28 floors landed ABOVE their medians and the drift-
+    // acquittal mechanism failed for exactly the queries that needed
+    // it. The fixed-work probes run immediately before the floor loop
+    // (calibAfter closes the window); each floor is reported raw AND
+    // normalized by the window's own factor, and a window degraded
+    // past 1.5x flags the whole block invalid.
+    val calibFloor = graft.tools.BenchScaled.calibrate(spark)
     val floors = floorNames.map { name =>
       val fn = SparkEntry.queries(name)
       val ts = (0 until 2).map { _ =>
@@ -153,19 +162,30 @@ object Bench {
     }.toMap
     val calibAfter = graft.tools.BenchScaled.calibrate(spark)
     // Reference calibration: this box, measured 2026-08-16 (round 17).
+    // The tag names the pin so a future re-pin is visible in the
+    // artifact diff, not just in this comment (round-17 ask #9).
     // Normalized totals across rounds read "seconds on the reference
     // machine state" — a real regression moves the normalized total, a
     // machine-drift session moves only the raw one.
+    val refCalibTag = "r17-2026-08-16"
     val refCalib = Map(
       "cpu" -> 0.5112, "shuffle" -> 1.3505, "mem" -> 4.3742,
       "disk" -> 1.8441)
-    val calibRatios = refCalib.keys.toVector.sorted.map { k =>
-      ((calibBefore(k) + calibAfter(k)) / 2.0) / refCalib(k)
-    }.sorted
-    // median of the four per-probe ratios: robust to one probe hitting
-    // a transient (e.g. a disk flush) without averaging it away
-    val calibFactor =
-      (calibRatios(1) + calibRatios(2)) / 2.0
+    def windowFactor(a: Map[String, Double], b: Map[String, Double]): Double = {
+      val ratios = refCalib.keys.toVector.sorted.map { k =>
+        ((a(k) + b(k)) / 2.0) / refCalib(k)
+      }.sorted
+      // median of the four per-probe ratios: robust to one probe
+      // hitting a transient (e.g. a disk flush) without averaging it
+      (ratios(1) + ratios(2)) / 2.0
+    }
+    val calibFactor = windowFactor(calibBefore, calibAfter)
+    // the floor window's own factor, from the probes bracketing the
+    // floor loop alone
+    val floorFactor = windowFactor(calibFloor, calibAfter)
+    val floorsValid = floorFactor <= 1.5
+    val floorsNorm = floors.map { case (k, v) =>
+      k -> (if (v < 0) v else v / floorFactor) }
     def pct(sorted: Vector[Double], p: Double): Double =
       if (sorted.isEmpty) 0.0
       else sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))
@@ -192,12 +212,14 @@ object Bench {
       m.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":${f4(v)}" }
         .mkString("{", ",", "}")
     val calibFields =
-      s""""calib_before":${calibJson(calibBefore)},"calib_after":${calibJson(calibAfter)},"calib_ref":${calibJson(refCalib)},"calib_factor":${f4(calibFactor)},"total_normalized":${f4(total / calibFactor)},"total_min_normalized":${f4(totalMin / calibFactor)}"""
+      s""""calib_before":${calibJson(calibBefore)},"calib_after":${calibJson(calibAfter)},"calib_floor":${calibJson(calibFloor)},"calib_ref":${calibJson(refCalib)},"calib_ref_tag":"$refCalibTag","calib_factor":${f4(calibFactor)},"calib_floor_factor":${f4(floorFactor)},"floors_valid":$floorsValid,"total_normalized":${f4(total / calibFactor)},"total_min_normalized":${f4(totalMin / calibFactor)}"""
     val headline = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"n_queries":${names.size},"cv_median":${f4(cvMedian)},"cv_p90":${f4(cvP90)},"calib_factor":${f4(calibFactor)},"total_normalized":${f4(total / calibFactor)}}"""
     println(headline)
     val qfloors = floors.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"queries_min":$qmins,"queries_cv":$qcvs,"queries_floor":$qfloors,"cv_median":${f4(cvMedian)},"cv_p90":${f4(cvP90)},$calibFields}"""
+    val qfloorsNorm = floorsNorm.map { case (k, v) => s"\"" + k + "\":" + f4(v) }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall,"total_min":$totalMin,"queries_min":$qmins,"queries_cv":$qcvs,"queries_floor":$qfloors,"queries_floor_norm":$qfloorsNorm,"cv_median":${f4(cvMedian)},"cv_p90":${f4(cvP90)},$calibFields}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"))
     java.nio.file.Files.write(out,

@@ -68,19 +68,36 @@ object IncrementalAggView {
     * reflect. Advanced inside the refresh commit's CAS transform. */
   val WatermarkProp = "incr-view.base-snapshot-id"
 
-  /** View table property pinning the DIMENSION snapshot an enriched
-    * view's contents were joined against. A dim commit invalidates
-    * every historical enrichment, so refresh REFUSES on a mismatch
-    * (toward [[rebuild]]) instead of mixing join versions. */
+  /** View table property pinning the DIMENSION snapshot(s) an enriched
+    * view's contents were joined against — a comma-separated id list,
+    * one per [[DimJoin]] in definition order (round-18: multi-dim star
+    * joins). A dim commit invalidates every historical enrichment, so
+    * refresh REFUSES on a mismatch (toward [[rebuild]]) instead of
+    * mixing join versions. */
   val DimSnapshotProp = "incr-view.dim-snapshot-id"
 
-  /** Broadcast-dimension enrichment in the view definition (round-16):
-    * every aggregated row is `base ⋈ dim` on the shared `joinKeys`
-    * (inner, equi). The dim side is dimension-SIZED by assumption — it
-    * broadcasts into the delta join each refresh, so enrichment adds
-    * zero shuffles to the maintenance path. Group keys may come from
-    * either side. */
+  /** Broadcast-dimension enrichment in the view definition (round-16;
+    * round-18 generalizes to a SEQUENCE — the star-schema shape): every
+    * aggregated row is `base ⋈ dim₁ ⋈ … ⋈ dimₙ` on each dim's shared
+    * `joinKeys` (inner, equi), joined in definition order — so a
+    * snowflake leg (dim₂ keyed on a dim₁ column) also works. Each dim
+    * side is dimension-SIZED by assumption — it broadcasts into the
+    * delta join each refresh, so enrichment adds zero shuffles to the
+    * maintenance path. Group keys may come from any side. */
   final case class DimJoin(table: LakeTable, joinKeys: Seq[String])
+
+  /** Exact `count(DISTINCT value)` maintenance (round-18 verdict ask):
+    * the distinct count is NOT distributive under deletion, so it rides
+    * a COMPANION slot table — itself an incremental agg view keyed on
+    * `viewKeys :+ valueCol` whose `cnt` tracks each (group, value)
+    * multiplicity under the same exact delta algebra (a value's last
+    * occurrence dying removes its companion row via the cnt=0 filter).
+    * The view's user-facing column is the companion's per-group count
+    * of live non-NULL values, joined in at every view write —
+    * O(|companion|) per refresh, never a base rescan. The caller
+    * refreshes the companion to the SAME pinned base snapshot first. */
+  final case class DistinctCount(name: String, companion: LakeTable,
+      valueCol: String)
 
   /** Above this many affected groups the rescan stops collecting keys
     * for planFiles pruning and relies on the semi-join alone — the
@@ -112,13 +129,16 @@ object IncrementalAggView {
       maxs: Seq[(String, Column)] = Nil,
       maxAttempts: Int = 5,
       where: Option[Column] = None,
-      dim: Option[DimJoin] = None,
-      derived: Seq[(String, Column)] = Nil): RefreshReport = {
+      dims: Seq[DimJoin] = Nil,
+      derived: Seq[(String, Column)] = Nil,
+      extraCols: Seq[(String, Column)] = Nil,
+      distincts: Seq[DistinctCount] = Nil,
+      pinHead: Option[Long] = None): RefreshReport = {
     var attempt = 0
     while (true) {
       attempt += 1
       try return refreshOnce(spark, base, view, keys, sums, mins, maxs,
-        where, dim, derived)
+        where, dims, derived, extraCols, distincts, pinHead)
       catch {
         case _: CommitConflictException if attempt < maxAttempts => // re-read
       }
@@ -137,45 +157,55 @@ object IncrementalAggView {
       mins: Seq[(String, Column)] = Nil,
       maxs: Seq[(String, Column)] = Nil,
       where: Option[Column] = None,
-      dim: Option[DimJoin] = None,
-      derived: Seq[(String, Column)] = Nil): RefreshReport = {
+      dims: Seq[DimJoin] = Nil,
+      derived: Seq[(String, Column)] = Nil,
+      extraCols: Seq[(String, Column)] = Nil,
+      distincts: Seq[DistinctCount] = Nil,
+      pinHead: Option[Long] = None): RefreshReport = {
     val b = base.refresh()
-    val head = b.metadata.currentSnapshotId
-    val dimHead = dim.map(_.table.refresh().metadata.currentSnapshotId)
+    val head = pinHead.getOrElse(b.metadata.currentSnapshotId)
+    val dimHeads = dims.map(_.table.refresh().metadata.currentSnapshotId)
     val v = view.refresh()
     val aggs = count(lit(1)).as("cnt") +: (
       sums.map { case (n, c) => sum(c).as(n) } ++
       mins.map { case (n, c) => min(c).as(n) } ++
       maxs.map { case (n, c) => max(c).as(n) })
-    val rows = enrich(spark, b.newScan().toDF(spark), where, dim, dimHead)
+    val src = if (head == -1L) b.newScan().toDF(spark)
+      else b.asOf(head).toDF(spark)
+    val rows = enrich(spark, src, where, dims, dimHeads, extraCols)
       .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val outNames = keys ++ ("cnt" +: (sums ++ mins ++ maxs).map(_._1))
-    val added = v.writeDataFiles(withDerived(rows, derived)
-      .select((outNames ++ derived.map(_._1)).map(col): _*))
+    val outNames = keys ++ ("cnt" +: (sums ++ mins ++ maxs).map(_._1)) ++
+      derived.map(_._1) ++ distincts.map(_.name)
+    val added = v.writeDataFiles(
+      withDistincts(spark, withDerived(rows, derived), keys, distincts)
+        .select(outNames.map(col): _*))
     v.commitSnapshot("replace", added, v.metadata.currentFiles,
       dropDeletes = true,
       transformMeta = m => m.copy(properties =
         m.properties + (WatermarkProp -> head.toString) ++
-          dimHead.map(DimSnapshotProp -> _.toString)))
+          (if (dimHeads.isEmpty) Map.empty
+           else Map(DimSnapshotProp -> dimHeads.mkString(",")))))
     // deltaGroups = -1: a rebuild has no changelog delta to size
     RefreshReport(0L, head, -1L, 0L, refreshed = true)
   }
 
   /** The view definition's row source shaping: dim enrichment (inner
-    * broadcast equi-join pinned at `dimHead`) then the WHERE filter —
-    * applied identically to the changelog delta, the rescan's base
-    * re-aggregation, and [[rebuild]]'s full scan, so all three compute
-    * the same rows. */
+    * broadcast equi-joins pinned at `dimHeads`, in definition order —
+    * a later dim may key on an earlier dim's column), then the
+    * `extraCols` projections (the distinct-companion value columns),
+    * then the WHERE filter — applied identically to the changelog
+    * delta, the rescan's base re-aggregation, and [[rebuild]]'s full
+    * scan, so all three compute the same rows. */
   private def enrich(spark: SparkSession, df: DataFrame,
-      where: Option[Column], dim: Option[DimJoin],
-      dimHead: Option[Long]): DataFrame = {
-    val joined = dim match {
-      case None => df
-      case Some(dj) =>
-        df.join(broadcast(dj.table.asOf(dimHead.get).toDF(spark)),
-          dj.joinKeys, "inner")
+      where: Option[Column], dims: Seq[DimJoin],
+      dimHeads: Seq[Long],
+      extraCols: Seq[(String, Column)] = Nil): DataFrame = {
+    val joined = dims.zip(dimHeads).foldLeft(df) { case (d, (dj, h)) =>
+      d.join(broadcast(dj.table.asOf(h).toDF(spark)), dj.joinKeys, "inner")
     }
-    where.map(joined.filter).getOrElse(joined)
+    val projected = extraCols.foldLeft(joined) { case (d, (n, c)) =>
+      d.withColumn(n, c) }
+    where.map(projected.filter).getOrElse(projected)
   }
 
   /** Append the derived output columns (computed over the maintained
@@ -184,11 +214,32 @@ object IncrementalAggView {
       derived: Seq[(String, Column)]): DataFrame =
     derived.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
 
+  /** Join each distinct-count output onto a group-schema frame: the
+    * COMPANION's live per-group count of non-NULL values (SQL
+    * `count(DISTINCT v)` skips NULLs; a group all of whose values are
+    * NULL — or that has no companion rows — reads 0, exactly as SQL).
+    * One keys-shuffle of the group-sized companion per column; the
+    * caller has already refreshed the companion to the same pinned
+    * base snapshot. */
+  private def withDistincts(spark: SparkSession, df: DataFrame,
+      keys: Seq[String], distincts: Seq[DistinctCount]): DataFrame =
+    distincts.foldLeft(df) { case (d, dc) =>
+      val live = dc.companion.refresh().newScan().toDF(spark)
+        .filter(col(dc.valueCol).isNotNull)
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(dc.name))
+      d.join(live, keys, "left")
+        .withColumn(dc.name, coalesce(col(dc.name), lit(0L)))
+    }
+
   private def refreshOnce(spark: SparkSession, base: LakeTable,
       view: LakeTable, keys: Seq[String], sums: Seq[(String, Column)],
       mins: Seq[(String, Column)], maxs: Seq[(String, Column)],
-      where: Option[Column], dim: Option[DimJoin],
-      derived: Seq[(String, Column)]): RefreshReport = {
+      where: Option[Column], dims: Seq[DimJoin],
+      derived: Seq[(String, Column)],
+      extraCols: Seq[(String, Column)],
+      distincts: Seq[DistinctCount],
+      pinHead: Option[Long]): RefreshReport = {
     // the merge below joins view-to-delta USING the key columns; with
     // zero keys that join degenerates (cross join / analysis error), so
     // the global-rollup spelling is a single-key constant column
@@ -196,24 +247,26 @@ object IncrementalAggView {
       "incremental view needs >=1 group key; for a global rollup add a " +
         "constant key column (e.g. lit(0).as(\"all\")) to base and view")
     val outNames = keys ++ ("cnt" +: (sums ++ mins ++ maxs).map(_._1)) ++
-      derived.map(_._1)
+      derived.map(_._1) ++ distincts.map(_.name)
     require(outNames.distinct.size == outNames.size,
       s"duplicate output column among $outNames")
     val b = base.refresh()
-    val head = b.metadata.currentSnapshotId
+    val head = pinHead.getOrElse(b.metadata.currentSnapshotId)
     val v = view.refresh()
     val last = v.metadata.properties.get(WatermarkProp)
       .map(_.toLong).getOrElse(0L)
-    // enriched views pin the dim snapshot their rows were joined
-    // against; a dim commit means every historical enrichment may be
-    // stale — refuse toward rebuild() rather than mix join versions.
-    // Checked BEFORE the unchanged-base early return: a dim-ONLY
-    // commit (base watermark current) must also refuse, or the view
-    // silently keeps serving rows joined against the old dim snapshot
-    // (round-16 advisory)
-    val dimHead = dim.map { dj =>
+    // enriched views pin each dim snapshot their rows were joined
+    // against (comma list, definition order); a dim commit means every
+    // historical enrichment may be stale — refuse toward rebuild()
+    // rather than mix join versions. Checked BEFORE the unchanged-base
+    // early return: a dim-ONLY commit (base watermark current) must
+    // also refuse, or the view silently keeps serving rows joined
+    // against the old dim snapshot (round-16 advisory)
+    val storedDims = v.metadata.properties.get(DimSnapshotProp)
+      .map(_.split(',').map(_.toLong).toSeq).getOrElse(Nil)
+    val dimHeads = dims.zipWithIndex.map { case (dj, i) =>
       val cur = dj.table.refresh().metadata.currentSnapshotId
-      val stored = v.metadata.properties.get(DimSnapshotProp).map(_.toLong)
+      val stored = storedDims.lift(i)
       if (stored.exists(_ != cur)) throw new IllegalStateException(
         s"dimension ${dj.table.name} moved (snapshot ${stored.get} -> " +
           s"$cur) under enriched view ${v.name}: the view's historical " +
@@ -247,7 +300,7 @@ object IncrementalAggView {
     // below move narrow longs, never the base's string columns.
     val sgn0 = when(col("_change_type") === "insert", 1L).otherwise(-1L)
     val delta0 = enrich(spark, b.changelog(spark, last, Some(head)),
-      where, dim, dimHead).select(
+      where, dims, dimHeads, extraCols).select(
       keys.map(col) ++ Seq(sgn0.as("__sgn")) ++
         sums.zipWithIndex.map { case ((_, c), i) => c.as(s"__sv_$i") } ++
         extrema.zipWithIndex.map { case ((c, _), j) => c.as(s"__ev_$j") }: _*)
@@ -335,7 +388,8 @@ object IncrementalAggView {
               s"view watermark moved $last -> $cur during refresh; " +
                 "a concurrent refresh won — re-run from the new watermark")
           props + (WatermarkProp -> head.toString) ++
-            dimHead.map(DimSnapshotProp -> _.toString)
+            (if (dimHeads.isEmpty) Map.empty
+             else Map(DimSnapshotProp -> dimHeads.mkString(",")))
         }
         return RefreshReport(last, head, 0L, 0L, refreshed = true)
       }
@@ -386,10 +440,11 @@ object IncrementalAggView {
       val (finalDF, rescanned) =
         if (rescanConds.isEmpty) (merged.drop("__rescan"), 0L)
         else resolveRescans(spark, b, head, merged, keys, sums, mins, maxs,
-          where, dim, dimHead)
+          where, dims, dimHeads, extraCols)
       try {
-        val added = v.writeDataFiles(withDerived(finalDF, derived)
-          .select(outNames.map(col): _*))
+        val added = v.writeDataFiles(
+          withDistincts(spark, withDerived(finalDF, derived), keys, distincts)
+            .select(outNames.map(col): _*))
         v.commitSnapshot("replace", added, v.metadata.currentFiles,
           dropDeletes = true,
           transformMeta = m => {
@@ -400,7 +455,8 @@ object IncrementalAggView {
                   "a concurrent refresh won — re-run from the new watermark")
             m.copy(properties = m.properties +
               (WatermarkProp -> head.toString) ++
-              dimHead.map(DimSnapshotProp -> _.toString))
+              (if (dimHeads.isEmpty) Map.empty
+               else Map(DimSnapshotProp -> dimHeads.mkString(","))))
           })
         RefreshReport(last, head, deltaGroups, rescanned, refreshed = true)
       } finally if (rescanConds.nonEmpty) merged.unpersist()
@@ -466,8 +522,9 @@ object IncrementalAggView {
   private def resolveRescans(spark: SparkSession, b: LakeTable, head: Long,
       merged: DataFrame, keys: Seq[String], sums: Seq[(String, Column)],
       mins: Seq[(String, Column)], maxs: Seq[(String, Column)],
-      where: Option[Column], dim: Option[DimJoin],
-      dimHead: Option[Long]): (DataFrame, Long) = {
+      where: Option[Column], dims: Seq[DimJoin],
+      dimHeads: Seq[Long],
+      extraCols: Seq[(String, Column)]): (DataFrame, Long) = {
     val flaggedKeys = merged.filter(col("__rescan"))
       .select(keys.map(col): _*)
     // ONE action resolves count + keys together in the common case:
@@ -494,7 +551,7 @@ object IncrementalAggView {
         collected.length.toLong)
       else (LakePredicate.AlwaysTrue, flaggedKeys, flaggedKeys.count())
     val baseRows = enrich(spark, b.asOf(head, pred).toDF(spark),
-      where, dim, dimHead)
+      where, dims, dimHeads, extraCols)
       .join(affected, keys, "left_semi")
     val rAggs = count(lit(1)).as("cnt") +: (
       sums.map { case (n, c) => sum(c).as(n) } ++

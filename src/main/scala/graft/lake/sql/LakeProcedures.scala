@@ -297,9 +297,11 @@ private[sql] object LakeProcedures {
           require(parts.length == 2, s"table ref must be ns.table: '$ref'")
           lake.loadTable(parts(0), parts(1))
         }
-        val view = tbl(args.getUTF8String(0).toString)
+        val viewRef = args.getUTF8String(0).toString
+        val view = tbl(viewRef)
         val explicitBase = args.getUTF8String(1).toString
-        val (baseRef, keysStr, aggsStr, whereStr, derivedStr, dimSpec) =
+        val (baseRef, keysStr, aggsStr, whereStr, derivedStr, dimSpecs,
+            distinctSpecs) =
           if (explicitBase.nonEmpty) {
             // explicit args on a CREATE MATERIALIZED VIEW table would
             // silently drop the stored dim join / derived columns and
@@ -313,7 +315,7 @@ private[sql] object LakeProcedures {
                 "so the dim join / derived columns are not silently dropped")
             (explicitBase, args.getUTF8String(2).toString,
               args.getUTF8String(3).toString, args.getUTF8String(4).toString,
-              "", None)
+              "", Nil, Nil)
           } else {
             // the 1-arg form: read the spec CREATE MATERIALIZED VIEW
             // stored — no re-spelling, no drift between create and
@@ -327,8 +329,7 @@ private[sql] object LakeProcedures {
             (req(MatViewProps.Base), req(MatViewProps.Keys),
               req(MatViewProps.Aggs), p.getOrElse(MatViewProps.Where, ""),
               p.getOrElse(MatViewProps.Derived, ""),
-              p.get(MatViewProps.Dim).map(_ ->
-                p.getOrElse(MatViewProps.DimKeys, "")))
+              MatViewProps.parseDims(p), MatViewProps.parseDistincts(p))
           }
         val keys = keysStr.split(',').map(_.trim).filter(_.nonEmpty).toSeq
         // (kind, name, expr) — view-schema order is keys ++ cnt ++
@@ -354,17 +355,36 @@ private[sql] object LakeProcedures {
         val out = onCleanThread(session) {
           def of(kind: String) = aggSpecs.collect { case (`kind`, n, e) =>
             n -> org.apache.spark.sql.functions.expr(e) }
-          val dim = dimSpec.map { case (ref, ks) =>
-            graft.lake.IncrementalAggView.DimJoin(tbl(ref),
-              ks.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          val dims = dimSpecs.map { case (ref, ks) =>
+            graft.lake.IncrementalAggView.DimJoin(tbl(ref), ks) }
+          val where = Some(whereStr).filter(_.nonEmpty)
+            .map(org.apache.spark.sql.functions.expr)
+          // companion + view refresh pinned to ONE base snapshot read
+          // up front: a base commit landing between the two refreshes
+          // must not leave the distinct column reflecting a newer
+          // state than the other aggregates
+          val head = base.refresh().metadata.currentSnapshotId
+          val distincts = distinctSpecs.map { case (n, e) =>
+            val viewTbl = viewRef.split('.').last
+            val viewNs = viewRef.split('.').dropRight(1).mkString(".")
+            val comp = tbl(s"$viewNs." +
+              MatViewProps.companionName(viewTbl, n))
+            graft.lake.IncrementalAggView.refresh(
+              session, base, comp, keys :+ s"${n}__v", Nil,
+              where = where, dims = dims,
+              extraCols = Seq(s"${n}__v" ->
+                org.apache.spark.sql.functions.expr(e)),
+              pinHead = Some(head))
+            graft.lake.IncrementalAggView.DistinctCount(n, comp, s"${n}__v")
           }
           graft.lake.IncrementalAggView.refresh(
             session, base, view, keys, of("sum"),
             mins = of("min"), maxs = of("max"),
-            where = Some(whereStr).filter(_.nonEmpty)
-              .map(org.apache.spark.sql.functions.expr),
-            dim = dim,
-            derived = parseDerived(derivedStr))
+            where = where,
+            dims = dims,
+            derived = parseDerived(derivedStr),
+            distincts = distincts,
+            pinHead = Some(head))
         }
         new GenericInternalRow(Array[Any](
           out.fromSnapshotId, out.toSnapshotId, out.deltaGroups,
@@ -388,7 +408,8 @@ private[sql] object LakeProcedures {
           require(parts.length == 2, s"table ref must be ns.table: '$ref'")
           lake.loadTable(parts(0), parts(1))
         }
-        val view = tbl(args.getUTF8String(0).toString)
+        val viewRef = args.getUTF8String(0).toString
+        val view = tbl(viewRef)
         val p = view.metadata.properties
         def req(k: String): String = p.getOrElse(k,
           throw new IllegalArgumentException(
@@ -402,19 +423,33 @@ private[sql] object LakeProcedures {
         val out = onCleanThread(session) {
           def of(kind: String) = aggSpecs.collect { case (`kind`, n, e) =>
             n -> org.apache.spark.sql.functions.expr(e) }
-          val dim = p.get(MatViewProps.Dim).map { ref =>
-            graft.lake.IncrementalAggView.DimJoin(tbl(ref),
-              p.getOrElse(MatViewProps.DimKeys, "")
-                .split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          val dims = MatViewProps.parseDims(p).map { case (ref, ks) =>
+            graft.lake.IncrementalAggView.DimJoin(tbl(ref), ks) }
+          val where = Some(p.getOrElse(MatViewProps.Where, ""))
+            .filter(_.nonEmpty)
+            .map(org.apache.spark.sql.functions.expr)
+          val head = base.refresh().metadata.currentSnapshotId
+          val distincts = MatViewProps.parseDistincts(p).map { case (n, e) =>
+            val viewTbl = viewRef.split('.').last
+            val viewNs = viewRef.split('.').dropRight(1).mkString(".")
+            val comp = tbl(s"$viewNs." +
+              MatViewProps.companionName(viewTbl, n))
+            graft.lake.IncrementalAggView.rebuild(
+              session, base, comp, keys :+ s"${n}__v", Nil,
+              where = where, dims = dims,
+              extraCols = Seq(s"${n}__v" ->
+                org.apache.spark.sql.functions.expr(e)),
+              pinHead = Some(head))
+            graft.lake.IncrementalAggView.DistinctCount(n, comp, s"${n}__v")
           }
           graft.lake.IncrementalAggView.rebuild(
             session, base, view, keys, of("sum"),
             mins = of("min"), maxs = of("max"),
-            where = Some(p.getOrElse(MatViewProps.Where, ""))
-              .filter(_.nonEmpty)
-              .map(org.apache.spark.sql.functions.expr),
-            dim = dim, derived = parseDerived(
-              p.getOrElse(MatViewProps.Derived, "")))
+            where = where,
+            dims = dims, derived = parseDerived(
+              p.getOrElse(MatViewProps.Derived, "")),
+            distincts = distincts,
+            pinHead = Some(head))
         }
         new GenericInternalRow(Array[Any](out.toSnapshotId, out.refreshed))
       }

@@ -39,6 +39,10 @@ class LakeSqlExtensions extends (SparkSessionExtensions => Unit) {
     // SQL views over the ViewCatalog surface: reads of a lake view
     // substitute its stored (context-qualified) SQL
     ext.injectResolutionRule(_ => LakeViewResolution)
+    // transparent materialized-view rewrite: a GROUP BY over a lake
+    // base re-plans onto a FRESH matching MV (round-18) — exact or
+    // rolled-up; never stale (watermark == the snapshot being read)
+    ext.injectResolutionRule(_ => LakeMvRewrite)
     // spec-evolution DDL (ADD/DROP PARTITION FIELD) — not in Spark's
     // grammar — then element-path SET sugar (`SET tags[2] = v`), which
     // lowers onto lake_element_set; everything else delegates to the

@@ -124,17 +124,27 @@ object IndexStore {
     try props.store(out, s"graft index artifact $name") finally out.close()
     Files.move(tmp, dir.resolve("descriptor.properties"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // prune superseded data subdirs — but only STALE ones (> 1h old):
-    // a concurrent writer may be mid-stage in its own fresh subdir, and
-    // a concurrent reader that resolved the OLD descriptor may still be
-    // scanning; an age guard closes both races while still bounding the
-    // leak (staging is seconds-long, so hour-old siblings are debris)
+    // prune superseded data subdirs — KEEP the 2 most recent siblings
+    // unconditionally (round-17 advisory: a long-lived session that
+    // resolved the old descriptor holds lazy / cache-evictable frames
+    // over that dir — a later action after cache eviction re-reads the
+    // deleted parquet; generation-keeping bounds that window to two
+    // publishes, not one wall-clock hour), and of the rest delete only
+    // STALE ones (> 1h): a concurrent writer may be mid-stage in its
+    // own fresh subdir, and the age guard closes that race while still
+    // bounding the leak. Reattached frames should still be fully
+    // materialized (persist + count) — a reader older than two
+    // generations can otherwise fail loudly mid-query.
     val cutoff = System.currentTimeMillis() - 3600000L
     val st = Files.list(dir)
-    try st.toArray.map(_.asInstanceOf[Path]).foreach { p =>
-      if (Files.isDirectory(p) && p.getFileName.toString != dataId &&
-          Files.getLastModifiedTime(p).toMillis < cutoff)
-        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+    try {
+      val siblings = st.toArray.map(_.asInstanceOf[Path]).toSeq
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString != dataId)
+        .sortBy(p => -Files.getLastModifiedTime(p).toMillis)
+      siblings.drop(2).foreach { p =>
+        if (Files.getLastModifiedTime(p).toMillis < cutoff)
+          org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+      }
     } finally st.close()
   }
 

@@ -417,6 +417,170 @@ object LakeQueries {
          |FROM $catName.q.mv ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Multi-dim STAR-join materialized view through the SQL grammar
+    * (round-18 verdict ask #5): `FROM base JOIN d1 … JOIN d2 …` maps
+    * onto a [[graft.lake.IncrementalAggView.DimJoin]] SEQUENCE with
+    * per-dim pinned snapshots — group keys drawn from BOTH dims, a CoW
+    * delete maintaining through the extremum-retraction rescan (which
+    * re-joins both pinned dims), and a second-dim append refusing the
+    * refresh toward `CALL rebuild_agg_view` (per-dim staleness). The
+    * oracle reconstructs both dims relationally and replays the star
+    * join. */
+  private val incrMvStarCatalogs = new SessionMemo[String]()
+
+  def lakeIncrMvStar(s: SparkSession, d: String): DataFrame = {
+    val catName = incrMvStarCatalogs.getOrBuild(s, d) {
+      val src = orders(s, d)
+      val wh = Files.createTempDirectory("graft_lakemvstar_").toString
+      val name = s"lakemvstar_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
+      s.sql(s"CREATE TABLE $name.q.prio_dim " +
+        "(o_orderpriority STRING, prio_class STRING)")
+      s.sql(s"CREATE TABLE $name.q.status_dim " +
+        "(o_orderstatus STRING, status_class STRING)")
+      val lake = LakeCatalog.open(wh)
+      val base = lake.loadTable("q", "orders")
+      val pdim = lake.loadTable("q", "prio_dim")
+      val sdim = lake.loadTable("q", "status_dim")
+      base.appendData(src, numFiles = 4)
+      pdim.appendData(src.select(col("o_orderpriority")).distinct()
+        .withColumn("prio_class", when(col("o_orderpriority") < lit("3"),
+          lit("HOT")).otherwise(lit("COLD"))))
+      val sdimDF = src.select(col("o_orderstatus")).distinct()
+        .withColumn("status_class", when(col("o_orderstatus") === lit("F"),
+          lit("DONE")).otherwise(lit("OPEN")))
+      sdim.appendData(sdimDF)
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW $name.q.mv_star AS
+           |SELECT prio_class, status_class, count(*) AS cnt,
+           |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
+           |  max(CAST(floor(o_totalprice * 100) AS LONG)) AS max_cents
+           |FROM $name.q.orders b
+           |  JOIN $name.q.prio_dim p ON b.o_orderpriority = p.o_orderpriority
+           |  JOIN $name.q.status_dim t ON b.o_orderstatus = t.o_orderstatus
+           |GROUP BY prio_class, status_class""".stripMargin)
+      // CoW delete retracts stored maxes — the rescan re-joins BOTH
+      // pinned dims; refresh through the 1-arg stored-spec CALL
+      base.refresh().deleteWhere(s,
+        LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+      s.sql(s"CALL $name.system.refresh_agg_view('q.mv_star')").collect()
+      // second-dim movement: per-dim staleness refuses the refresh;
+      // the SQL rebuild re-pins BOTH dims
+      sdim.refresh().appendData(
+        s.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row("Z-NEW", "OPEN")), sdimDF.schema))
+      s.sql(s"CALL $name.system.rebuild_agg_view('q.mv_star')").collect()
+      name
+    }
+    s.sql(s"SELECT prio_class, status_class, cnt, cents, max_cents " +
+      s"FROM $catName.q.mv_star ORDER BY prio_class, status_class")
+  }
+
+  /** `count(DISTINCT …)` in CREATE MATERIALIZED VIEW (round-18 verdict
+    * ask #4): the distinct count maintains EXACTLY via a companion
+    * slot table keyed on (group keys, value) — a value's last
+    * occurrence dying removes its companion row, repeats keep it —
+    * through an append (repeat custkeys), a CoW delete (some custkeys'
+    * last rows die, others survive via repeats), and a MoR upsert
+    * (equality tombstones moving rows' custkeys). The oracle replays
+    * the mutation sequence relationally and compares native
+    * count(DISTINCT). */
+  private val incrMvDistinctCatalogs = new SessionMemo[String]()
+
+  def lakeIncrMvDistinct(s: SparkSession, d: String): DataFrame = {
+    val catName = incrMvDistinctCatalogs.getOrBuild(s, d) {
+      val src = orders(s, d)
+      val wh = Files.createTempDirectory("graft_lakemvdc_").toString
+      val name = s"lakemvdc_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
+      val t = LakeCatalog.open(wh).loadTable("q", "orders")
+      t.appendData(src, numFiles = 4)
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW $name.q.mv_dc AS
+           |SELECT o_orderpriority, count(*) AS cnt,
+           |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
+           |  count(DISTINCT o_custkey) AS n_cust
+           |FROM $name.q.orders GROUP BY o_orderpriority""".stripMargin)
+      // append: every %10=3 order again under a fresh key — its
+      // custkey becomes a REPEAT (multiplicity 2)
+      t.refresh().appendData(src.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 500000000L))
+      // CoW delete: high-price rows die; a custkey leaves n_cust only
+      // when its LAST occurrence dies
+      t.refresh().deleteWhere(s,
+        LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+      s.sql(s"CALL $name.system.refresh_agg_view('q.mv_dc')").collect()
+      // MoR upsert (equality tombstones): %10=6 survivors move to a
+      // new priority AND a shifted custkey — mass moves between
+      // groups and between distinct values in one op
+      val moved = src.filter(col("o_orderkey") % 10 === 6)
+        .filter(col("o_totalprice") < 400000.0)
+        .withColumn("o_orderpriority", lit("9-UP"))
+        .withColumn("o_custkey", col("o_custkey") + 10000000L)
+      t.refresh().mergeIntoMoR(s, moved, Seq("o_orderkey"))
+      s.sql(s"CALL $name.system.refresh_agg_view('q.mv_dc')").collect()
+      name
+    }
+    s.sql(s"SELECT o_orderpriority, cnt, cents, n_cust " +
+      s"FROM $catName.q.mv_dc ORDER BY o_orderpriority")
+  }
+
+  /** Transparent MV rewrite end-to-end (round-18 verdict ask #3 —
+    * [[graft.lake.sql.LakeMvRewrite]]): the base churns (CoW delete),
+    * the view refreshes, and then TWO aggregates that never name the
+    * view run through plain `spark.sql` over the BASE — the exact
+    * group-by (re-planned to a view Project) and the global rollup
+    * (re-planned to a view re-aggregation: count→sum(cnt), sums add,
+    * max nests). Plan shape is pinned by LakeMvRewriteSpec; this
+    * corpus entry proves the SERVED VALUES equal the direct rollup
+    * under the DuckDB oracle at every SF. */
+  private val mvRewriteCatalogs = new SessionMemo[String]()
+
+  def lakeMvRewrite(s: SparkSession, d: String): DataFrame = {
+    val catName = mvRewriteCatalogs.getOrBuild(s, d) {
+      val src = orders(s, d)
+      val wh = Files.createTempDirectory("graft_lakemvrw_").toString
+      val name = s"lakemvrw_${java.lang.Long.toHexString(System.nanoTime())}"
+      s.conf.set(s"spark.sql.catalog.$name",
+        classOf[graft.lake.sql.LakeSqlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $name.q")
+      s.sql(s"CREATE TABLE $name.q.orders (${src.schema.toDDL})")
+      val t = LakeCatalog.open(wh).loadTable("q", "orders")
+      t.appendData(src, numFiles = 4)
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW $name.q.mv_rw AS
+           |SELECT o_orderpriority, count(*) AS cnt,
+           |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
+           |  max(CAST(floor(o_totalprice * 100) AS LONG)) AS max_cents
+           |FROM $name.q.orders GROUP BY o_orderpriority""".stripMargin)
+      t.refresh().deleteWhere(s,
+        LakePredicate.Ge("o_totalprice", Double.box(400000.0)))
+      s.sql(s"CALL $name.system.refresh_agg_view('q.mv_rw')").collect()
+      name
+    }
+    s.sql(
+      s"""SELECT 'by_prio' AS shape, o_orderpriority, count(*) AS cnt,
+         |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
+         |  max(CAST(floor(o_totalprice * 100) AS LONG)) AS max_cents
+         |FROM $catName.q.orders GROUP BY o_orderpriority
+         |UNION ALL
+         |SELECT 'total' AS shape, 'ALL' AS o_orderpriority,
+         |  count(*) AS cnt,
+         |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
+         |  max(CAST(floor(o_totalprice * 100) AS LONG)) AS max_cents
+         |FROM $catName.q.orders
+         |ORDER BY shape, o_orderpriority""".stripMargin)
+  }
+
   /** VARIANT-typed column through the full lake life cycle (round-16,
     * Iceberg v3 / Spark 4 `VariantType`): `events.props` JSON parses
     * into a variant column stored IN the lake schema (field-ID carried
@@ -1530,6 +1694,9 @@ object LakeQueries {
     "lake_incr_mv_filtered" -> lakeIncrMvFiltered,
     "lake_incr_mv_avg" -> lakeIncrMvAvg,
     "lake_incr_mv_dim" -> lakeIncrMvDim,
+    "lake_incr_mv_star" -> lakeIncrMvStar,
+    "lake_incr_mv_distinct" -> lakeIncrMvDistinct,
+    "lake_mv_rewrite" -> lakeMvRewrite,
     "q_ev_variant" -> qEvVariant,
     "lake_rewrite_deletes" -> lakeRewriteDeletes,
     "lake_add_files" -> lakeAddFiles,
@@ -1635,6 +1802,74 @@ object LakeQueries {
         |  CAST(max(cents) AS BIGINT) AS max_cents
         |FROM finalrows JOIN dim USING (o_orderpriority)
         |GROUP BY prio_class ORDER BY prio_class""".stripMargin,
+    // the star MV after: >=400k delete survivors joined against BOTH
+    // relationally-reconstructed dims (the Z-NEW status never matches
+    // a base row; the rebuild re-pins it without changing contents)
+    "lake_incr_mv_star" ->
+      """WITH finalrows AS (
+        |  SELECT o_orderpriority, o_orderstatus,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice < 400000.0
+        |), pdim AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderpriority < '3' THEN 'HOT'
+        |         ELSE 'COLD' END AS prio_class
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders)
+        |), sdim AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'DONE'
+        |         ELSE 'OPEN' END AS status_class
+        |  FROM (SELECT DISTINCT o_orderstatus FROM orders)
+        |)
+        |SELECT prio_class, status_class, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM finalrows JOIN pdim USING (o_orderpriority)
+        |  JOIN sdim USING (o_orderstatus)
+        |GROUP BY prio_class, status_class
+        |ORDER BY prio_class, status_class""".stripMargin,
+    // the distinct MV after the full mutation replay: append %10=3
+    // repeats, CoW-delete >=400k, then the MoR upsert moving %10=6
+    // sub-400k rows to priority 9-UP with shifted custkeys — native
+    // count(DISTINCT) over the reconstructed final rows
+    "lake_incr_mv_distinct" ->
+      """WITH finalrows AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 6 THEN '9-UP'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderkey % 10 = 6 THEN o_custkey + 10000000
+        |         ELSE o_custkey END AS o_custkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice < 400000.0
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_custkey,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE o_orderkey % 10 = 3 AND o_totalprice < 400000.0
+        |)
+        |SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM finalrows GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    // the transparently-rewritten aggregates: both shapes recompute
+    // over the delete survivors — the values the VIEW serves must be
+    // indistinguishable from the direct rollup
+    "lake_mv_rewrite" ->
+      """WITH finalrows AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE o_totalprice < 400000.0
+        |)
+        |SELECT 'by_prio' AS shape, o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM finalrows GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'total' AS shape, 'ALL' AS o_orderpriority,
+        |  count(*) AS cnt, CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM finalrows
+        |ORDER BY shape, o_orderpriority""".stripMargin,
     // the derived-output MV after: status-F delete survivors plus the
     // appended %10=3 copies (appended AFTER the delete, so their F rows
     // survive); avg doubles recomputed with the engine's exact spelling

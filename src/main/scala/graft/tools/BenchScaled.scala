@@ -75,7 +75,14 @@ object BenchScaled {
     // round-16: the filtered incremental view (delta filter + rescan
     // must stay delta-proportional) and the variant life cycle (binary
     // re-encode rides every rewrite)
-    "lake_incr_mv_filtered", "q_ev_variant", "lake_changelog_stream")
+    "lake_incr_mv_filtered", "q_ev_variant", "lake_changelog_stream",
+    // round-18: the derived-output and dim-enriched MV scenarios get
+    // build/query phase decomposition at scale (round-17 ask #9), and
+    // the three new MV capabilities ride the same probe — the star
+    // join's dual broadcast, the distinct companion's second slot
+    // table, and the transparent rewrite's view-read fast path
+    "lake_incr_mv_avg", "lake_incr_mv_dim", "lake_incr_mv_star",
+    "lake_incr_mv_distinct", "lake_mv_rewrite")
 
   /** Every [[graft.queries.Corpus.prepare]] artifact, the targets that
     * read it (directly or through a wrapper query), and its builder —

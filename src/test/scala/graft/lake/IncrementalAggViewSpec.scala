@@ -240,7 +240,7 @@ class IncrementalAggViewSpec extends LakeSuite {
       StructField("max_cents", LongType))))
     val dim = Some(IncrementalAggView.DimJoin(dimT, Seq("o_orderpriority")))
     def refreshD() = IncrementalAggView.refresh(spark, base, view,
-      Seq("prio_class"), sums, maxs = maxs, dim = dim)
+      Seq("prio_class"), sums, maxs = maxs, dims = dim.toSeq)
     def directD(): Seq[(String, Long, Long, Long)] =
       base.refresh().newScan().toDF(spark)
         .join(dimT.refresh().newScan().toDF(spark), Seq("o_orderpriority"))
@@ -273,7 +273,7 @@ class IncrementalAggViewSpec extends LakeSuite {
     val e = intercept[IllegalStateException](refreshD())
     assert(e.getMessage.contains("rebuild"), e.getMessage)
     IncrementalAggView.rebuild(spark, base, view, Seq("prio_class"),
-      sums, maxs = maxs, dim = dim)
+      sums, maxs = maxs, dims = dim.toSeq)
     assert(viewD() == directD(), "rebuild diverged from the new dim")
     // and the pinned dim snapshot lets incremental refreshes resume
     base.refresh().deleteWhere(spark,

@@ -114,11 +114,13 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents
          |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin))
     assert(e2.getMessage.contains("cnt"), e2.getMessage)
-    // unsupported aggregate
+    // unsupported DISTINCT aggregate: count(DISTINCT …) decomposes onto
+    // a companion table (round-18), but sum(DISTINCT …) has no exact
+    // companion form and must still refuse
     val e3 = intercept[Exception](spark.sql(
       s"""CREATE MATERIALIZED VIEW $cat.ns.bad3 AS
          |SELECT o_orderpriority, count(*) AS cnt,
-         |  count(DISTINCT o_custkey) AS d
+         |  sum(DISTINCT o_custkey) AS d
          |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin))
     assert(e3.getMessage.contains("DISTINCT"), e3.getMessage)
     // avg over DOUBLE refuses, teaching both exact rewrites (integer
@@ -370,6 +372,128 @@ class LakeMaterializedViewSpec extends LakeSuite {
       LakePredicate.Ge("o_totalprice", Double.box(250000.0)))
     spark.sql(s"CALL $cat.system.refresh_agg_view('ns.vu')")
     assert(got() == direct(), "composed refresh diverged")
+  }
+
+  test("multi-dim star join: per-dim pins, per-dim staleness refusal, rebuild") {
+    val (cat, wh) = sqlCat()
+    val lake = LakeCatalog.open(wh)
+    val t = lake.loadTable("ns", "t")
+    t.appendData(ordersDF, numFiles = 2)
+    spark.sql(s"CREATE TABLE $cat.ns.pdim " +
+      "(o_orderpriority STRING, prio_class STRING)")
+    spark.sql(s"CREATE TABLE $cat.ns.sdim " +
+      "(o_orderstatus STRING, status_class STRING)")
+    val pdim = lake.loadTable("ns", "pdim")
+    val sdim = lake.loadTable("ns", "sdim")
+    val pdimDF = ordersDF.select(col("o_orderpriority")).distinct()
+      .withColumn("prio_class", when(col("o_orderpriority") < lit("3"),
+        lit("HOT")).otherwise(lit("COLD")))
+    val sdimDF = ordersDF.select(col("o_orderstatus")).distinct()
+      .withColumn("status_class", when(col("o_orderstatus") === "F",
+        lit("DONE")).otherwise(lit("OPEN")))
+    pdim.appendData(pdimDF)
+    sdim.appendData(sdimDF)
+    // group keys drawn from BOTH dims (the round-18 verdict's ask)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.vstar AS
+         |SELECT prio_class, status_class, count(*) AS cnt,
+         |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
+         |  max(CAST(floor(o_totalprice * 100) AS LONG)) AS max_cents
+         |FROM $cat.ns.t b
+         |  JOIN $cat.ns.pdim p ON b.o_orderpriority = p.o_orderpriority
+         |  JOIN $cat.ns.sdim s ON b.o_orderstatus = s.o_orderstatus
+         |GROUP BY prio_class, status_class""".stripMargin)
+    def direct(): Seq[Row] = spark.sql(
+      s"""SELECT prio_class, status_class, count(*) AS cnt,
+         |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
+         |  max(CAST(floor(o_totalprice * 100) AS LONG)) AS max_cents
+         |FROM $cat.ns.t JOIN $cat.ns.pdim USING (o_orderpriority)
+         |  JOIN $cat.ns.sdim USING (o_orderstatus)
+         |GROUP BY prio_class, status_class
+         |ORDER BY prio_class, status_class""".stripMargin).collect().toSeq
+    def got(): Seq[Row] = spark.sql(
+      s"SELECT prio_class, status_class, cnt, cents, max_cents " +
+        s"FROM $cat.ns.vstar ORDER BY prio_class, status_class")
+      .collect().toSeq
+    assert(got() == direct(), "star create diverged")
+    // base churn refreshes through both pinned dims (the delete
+    // retracts stored maxes -> the rescan re-joins BOTH dims)
+    t.refresh().deleteWhere(spark,
+      LakePredicate.Ge("o_totalprice", Double.box(300000.0)))
+    assert(spark.sql(s"CALL $cat.system.refresh_agg_view('ns.vstar')")
+      .head.getBoolean(4))
+    assert(got() == direct(), "star refresh diverged")
+    // moving the SECOND dim must refuse naming that dim, toward rebuild
+    sdim.refresh().appendData(sdimDF.limit(1)
+      .withColumn("o_orderstatus", lit("Z"))
+      .withColumn("status_class", lit("OPEN")))
+    def msgs(x: Throwable): String =
+      if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+    val e = intercept[Exception](
+      spark.sql(s"CALL $cat.system.refresh_agg_view('ns.vstar')").collect())
+    assert(msgs(e).contains("rebuild") && msgs(e).contains("sdim"), msgs(e))
+    spark.sql(s"CALL $cat.system.rebuild_agg_view('ns.vstar')").collect()
+    assert(got() == direct(), "star rebuild diverged")
+    // and incremental refreshes resume against the re-pinned dims
+    t.refresh().deleteWhere(spark,
+      LakePredicate.Le("o_totalprice", Double.box(50000.0)))
+    assert(spark.sql(s"CALL $cat.system.refresh_agg_view('ns.vstar')")
+      .head.getBoolean(4))
+    assert(got() == direct(), "star post-rebuild refresh diverged")
+  }
+
+  test("count(DISTINCT) maintains exactly via the companion slot table") {
+    val (cat, wh) = sqlCat()
+    val t = LakeCatalog.open(wh).loadTable("ns", "t")
+    t.appendData(ordersDF, numFiles = 2)
+    // one bare-column distinct and one EXPRESSION distinct whose value
+    // is NULL for a slice (SQL count(DISTINCT) skips NULLs)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.ns.vdc AS
+         |SELECT o_orderpriority, count(*) AS cnt,
+         |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
+         |  count(DISTINCT o_custkey) AS n_cust,
+         |  count(DISTINCT CASE WHEN o_orderstatus = 'P' THEN NULL
+         |                      ELSE o_orderstatus END) AS n_status
+         |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin)
+    def direct(): Seq[Row] = spark.sql(
+      s"""SELECT o_orderpriority, count(*) AS cnt,
+         |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
+         |  count(DISTINCT o_custkey) AS n_cust,
+         |  count(DISTINCT CASE WHEN o_orderstatus = 'P' THEN NULL
+         |                      ELSE o_orderstatus END) AS n_status
+         |FROM $cat.ns.t GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin).collect().toSeq
+    def got(): Seq[Row] = spark.sql(
+      s"SELECT o_orderpriority, cnt, cents, n_cust, n_status " +
+        s"FROM $cat.ns.vdc ORDER BY o_orderpriority").collect().toSeq
+    assert(got() == direct(), "distinct create diverged")
+    // append (new values + repeats of existing values)
+    t.refresh().appendData(ordersDF.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 700000000L))
+    spark.sql(s"CALL $cat.system.refresh_agg_view('ns.vdc')")
+    assert(got() == direct(), "distinct append refresh diverged")
+    // CoW delete: values whose LAST occurrence dies must leave the
+    // count; values with surviving repeats must not
+    t.refresh().deleteWhere(spark,
+      LakePredicate.Ge("o_totalprice", Double.box(250000.0)))
+    spark.sql(s"CALL $cat.system.refresh_agg_view('ns.vdc')")
+    assert(got() == direct(), "distinct CoW-delete refresh diverged")
+    // MoR upsert (equality-delete tombstones): moved rows change both
+    // their group and their distinct value multiplicities
+    val upd = spark.sql(s"SELECT * FROM $cat.ns.t").limit(0) // schema
+    val moved = ordersDF.filter(col("o_orderkey") % 7 === 0)
+      .filter(col("o_totalprice") < 250000.0)
+      .withColumn("o_orderpriority", lit("9-MOVED"))
+      .select(upd.columns.map(col).toIndexedSeq: _*)
+    t.refresh().mergeIntoMoR(spark, moved, Seq("o_orderkey"))
+    spark.sql(s"CALL $cat.system.refresh_agg_view('ns.vdc')")
+    assert(got() == direct(), "distinct MoR-upsert refresh diverged")
+    // the companion is a real table next to the view
+    val desc = spark.sql(s"SHOW TABLES IN $cat.ns").collect()
+      .map(_.getString(1)).toSet
+    assert(desc.contains("vdc__dc_n_cust") && desc.contains("vdc__dc_n_status"),
+      s"companion tables missing: $desc")
   }
 
   test("a failed populating rebuild drops the just-created view (round-16 advisory)") {

@@ -208,6 +208,36 @@ class SqlWriteFuzzSpec extends LakeSuite {
               r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
         assert(mvRows() == mvDirect(),
           s"mode=$mode seed=$Seed: MV diverged at create")
+        // round-18: an AVG + DIM-ENRICHED view under the same
+        // adversary (verdict ask #7) — avg(num) decomposes onto the
+        // slot/__nn pair, the dim join rides pinned snapshots, and
+        // random dim commits below exercise the staleness refusal →
+        // rebuild_agg_view path mid-sequence
+        val dimRef = s"$C.ns.dim_$tbl"
+        spark.sql(s"CREATE TABLE $dimRef (cat STRING, klass STRING)")
+        val klassOf = scala.collection.mutable.Map(
+          cats.map(c => c -> (if (c < "c") "lo" else "hi")): _*)
+        spark.sql(s"INSERT INTO $dimRef VALUES " + klassOf.map {
+          case (c, k) => s"('$c', '$k')" }.mkString(", "))
+        spark.sql(s"CREATE MATERIALIZED VIEW $C.ns.mv2_$tbl AS " +
+          s"SELECT klass, count(*) AS cnt, avg(num) AS avg_num, " +
+          s"sum(num) AS total FROM $ref JOIN $dimRef ON $ref.cat = " +
+          s"$dimRef.cat GROUP BY klass")
+        def mv2Direct(): Seq[(String, Long, Double, Long)] =
+          model.values.groupBy { case (_, c) => klassOf(c) }
+            .map { case (k, vs) =>
+              val nums = vs.map(_._1)
+              // the engine's exact spelling: integer slot sum, double
+              // division by the non-null count
+              (k, vs.size.toLong,
+                nums.sum.toDouble / vs.size.toDouble, nums.sum)
+            }.toSeq.sortBy(_._1)
+        def mv2Rows(): Seq[(String, Long, Double, Long)] =
+          spark.sql(s"SELECT klass, cnt, avg_num, total FROM $C.ns.mv2_$tbl")
+            .collect().map(r => (r.getString(0), r.getLong(1),
+              r.getDouble(2), r.getLong(3))).sortBy(_._1).toSeq
+        assert(mv2Rows() == mv2Direct(),
+          s"mode=$mode seed=$Seed: enriched MV diverged at create")
         // round-17: the `.changes` stream drains from ONE checkpoint;
         // each drain must equal the batch changelog over its window
         val ckpt = java.nio.file.Files
@@ -273,6 +303,31 @@ class SqlWriteFuzzSpec extends LakeSuite {
             assert(mvRows() == mvDirect(),
               s"mode=$mode seed=$Seed: MV diverged after step $step ($desc)")
           }
+          // a DIM commit on ~a sixth of the steps: the enriched view's
+          // refresh must REFUSE (stale pin) and rebuild must converge
+          if (rnd.nextInt(6) == 0) {
+            val c = s"x$step"
+            val k = if (rnd.nextBoolean()) "lo" else "hi"
+            spark.sql(s"INSERT INTO $dimRef VALUES ('$c', '$k')")
+            klassOf(c) = k
+            def msgs(x: Throwable): String =
+              if (x == null) "" else x.getMessage + "\n" + msgs(x.getCause)
+            val e = intercept[Exception](spark.sql(
+              s"CALL $C.system.refresh_agg_view('ns.mv2_$tbl')").collect())
+            assert(msgs(e).contains("rebuild"),
+              s"mode=$mode seed=$Seed: dim commit must refuse refresh " +
+                s"toward rebuild, got ${msgs(e)}")
+            spark.sql(s"CALL $C.system.rebuild_agg_view('ns.mv2_$tbl')")
+              .collect()
+            assert(mv2Rows() == mv2Direct(),
+              s"mode=$mode seed=$Seed: enriched MV rebuild diverged " +
+                s"after step $step ($desc)")
+          } else if (rnd.nextInt(3) == 0) {
+            spark.sql(s"CALL $C.system.refresh_agg_view('ns.mv2_$tbl')")
+            assert(mv2Rows() == mv2Direct(),
+              s"mode=$mode seed=$Seed: enriched MV diverged after " +
+                s"step $step ($desc)")
+          }
           // .changes stream drain on ~a third of the steps
           if (rnd.nextInt(3) == 0) drainAndCompare(step, desc)
         }
@@ -291,6 +346,9 @@ class SqlWriteFuzzSpec extends LakeSuite {
         spark.sql(s"CALL $C.system.refresh_agg_view('ns.mv_$tbl')")
         assert(mvRows() == mvDirect(),
           s"mode=$mode: MV diverged across the final compaction")
+        spark.sql(s"CALL $C.system.refresh_agg_view('ns.mv2_$tbl')")
+        assert(mv2Rows() == mv2Direct(),
+          s"mode=$mode: enriched MV diverged across the final compaction")
         drainAndCompare(-1, "final compaction")
       }
     } finally {

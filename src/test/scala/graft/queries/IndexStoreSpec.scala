@@ -77,6 +77,75 @@ class IndexStoreSpec extends LakeSuite {
     assert(SimilarityQueries.qIvfAnn(s2, d).collect().toSeq == want)
   }
 
+  test("racing publishers + a concurrent reader: no half-written dir is ever resolved") {
+    // round-18 verdict ask #6: the atomic-swap + prune design was
+    // argued in comments but untested under contention. Two writer
+    // threads publish generations of the same artifact while a reader
+    // thread resolves + fully reads in a loop — the reader must NEVER
+    // observe a missing slot file or an unreadable parquet dir, and
+    // after the dust settles the current generation plus the 2 most
+    // recent superseded siblings survive the prune (fresh dirs are
+    // age-guarded).
+    val d = mkCorpus()
+    import org.apache.spark.sql.functions._
+    val tables = Seq("orders")
+    val kind = "race-v1"
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val gens = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def publishOnce(writerId: Int): Unit = {
+      val g = gens.incrementAndGet()
+      val df = spark.range(100L * g, 100L * g + 50L)
+        .select(col("id"), lit(writerId).as("w"), lit(g).as("gen"))
+      IndexStore.save(spark, d, "race_artifact", tables, kind,
+        Map("slot_a" -> df, "slot_b" -> df.select(col("id"))))
+    }
+    publishOnce(0) // seed so the reader always has a generation
+    val writers = (1 to 2).map { w =>
+      new Thread(() => {
+        try (0 until 4).foreach(_ => publishOnce(w))
+        catch { case t: Throwable => errors.add(t) }
+        finally stop.set(true)
+      })
+    }
+    val reader = new Thread(() => {
+      try while (!stop.get()) {
+        IndexStore.load(spark, d, "race_artifact", tables, kind,
+          Seq("slot_a", "slot_b")) match {
+          case Some((slots, _)) =>
+            // FULLY read both slots: a pruned-under-us or half-staged
+            // dir fails here, which is exactly the defect under test
+            val a = slots("slot_a").collect()
+            val b = slots("slot_b").collect()
+            assert(a.length == 50 && b.length == 50,
+              s"reader saw a partial generation: ${a.length}/${b.length}")
+            // rows of ONE generation — never a mix of two publishes
+            assert(a.map(_.getInt(2)).distinct.length == 1,
+              "reader saw rows of two different generations in one slot")
+          case None => fail("reader lost the descriptor mid-race")
+        }
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    reader.start(); writers.foreach(_.start())
+    writers.foreach(_.join(120000)); reader.join(120000)
+    assert(errors.isEmpty, s"race surfaced: ${errors.peek()}")
+    // the winner's generation resolves and reads clean
+    val (slots, _) = IndexStore.load(spark, d, "race_artifact", tables,
+      kind, Seq("slot_a", "slot_b")).get
+    assert(slots("slot_a").count() == 50)
+    // prune policy: current + at most 2 superseded survive ... plus
+    // any younger-than-1h stragglers (all of ours are seconds old, so
+    // nothing may have been deleted except beyond the keep-2 window
+    // AND older than the age guard — i.e. nothing here)
+    val artDir = Paths.get(
+      spark.conf.get("graft.index.root",
+        sys.props("java.io.tmpdir") + "/graft-index"),
+      d.replaceAll("[^A-Za-z0-9._-]", "_"), "race_artifact")
+    val dirs = Files.list(artDir).toArray.map(_.toString)
+      .count(p => Files.isDirectory(Paths.get(p)))
+    assert(dirs >= 1 && dirs <= 9, s"unexpected generation count: $dirs")
+  }
+
   test("bucketed tables re-register over existing files; jaccard pairs reattach") {
     val d = mkCorpus()
     val (bb0, jb0) = (JoinExtraQueries.bucketedBuilds.get(),
