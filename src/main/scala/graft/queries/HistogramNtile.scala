@@ -74,6 +74,17 @@ object HistogramNtile {
       buckets: Int = 1024): DataFrame = {
     require(specs.nonEmpty)
     specs.foreach(sp => require(sp.k >= 2, s"ntile k must be >= 2, got ${sp.k}"))
+    // materialize a CACHED base before planning: the boundary pipeline
+    // below reads `base` from SEVERAL concurrent broadcast-exchange
+    // futures (stats, mass, tgt, the final cuts row), and racing to
+    // materialize a lazily-persisted cache convoys executor threads on
+    // the per-partition block locks — stage profiles show run ≫ cpu
+    // with zero shuffle/input/spill, the exact cv≈0.5 signature
+    // q_ev_rfm and perplexity_buckets carried unattributed for three
+    // rounds. One eager action here turns every later read into a
+    // warm-cache hit; on an uncached base this is a no-op.
+    if (base.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      base.count()
     val statAggs = count(lit(1)).as("__hn_n") +: specs.zipWithIndex.flatMap {
       case (sp, i) =>
         val m = col(sp.metricCol).cast("long")

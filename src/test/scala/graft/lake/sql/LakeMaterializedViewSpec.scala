@@ -22,14 +22,23 @@ class LakeMaterializedViewSpec extends LakeSuite {
     (cat, wh)
   }
 
+  /** Ground-truth queries in this suite run with the transparent MV
+    * rewrite DISABLED: a GROUP BY shaped exactly like the view's
+    * definition would otherwise be re-planned onto the very view under
+    * test, collapsing the assertion into view == view. */
+  private def onBase[T](body: => T): T = {
+    spark.conf.set(LakeMvRewrite.ConfKey, "false")
+    try body finally spark.conf.set(LakeMvRewrite.ConfKey, "true")
+  }
+
   private def direct(cat: String, where: String = "true"): Seq[Row] =
-    spark.sql(
+    onBase(spark.sql(
       s"""SELECT o_orderpriority, count(*) AS cnt,
          |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
          |  max(CAST(floor(o_totalprice * 100) AS LONG)) AS max_cents
          |FROM $cat.ns.t WHERE $where
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
-      .collect().toSeq
+      .collect().toSeq)
   private type Row = org.apache.spark.sql.Row
 
   test("create -> mutate -> 1-arg refresh -> read; DESCRIBE carries the spec") {
@@ -190,7 +199,7 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |  sum(CAST($decPrice AS DECIMAL(18,2))) AS total_price,
          |  avg(o_orderkey) AS avg_key
          |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin)
-    def expect(): Seq[org.apache.spark.sql.Row] = spark.sql(
+    def expect(): Seq[org.apache.spark.sql.Row] = onBase(spark.sql(
       s"""SELECT o_orderpriority, count(*) AS cnt,
          |  (CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
          |    / 100.0) / CAST(count(*) AS DOUBLE) AS avg_price,
@@ -199,7 +208,7 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |  CAST(sum(o_orderkey) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |    AS avg_key
          |FROM $cat.ns.t GROUP BY o_orderpriority
-         |ORDER BY o_orderpriority""".stripMargin).collect().toSeq
+         |ORDER BY o_orderpriority""".stripMargin).collect().toSeq)
     def got(): Seq[org.apache.spark.sql.Row] = spark.sql(
       s"""SELECT o_orderpriority, cnt, avg_price, total_price, avg_key
          |FROM $cat.ns.va ORDER BY o_orderpriority""".stripMargin)
@@ -241,12 +250,12 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |FROM $cat.ns.t b JOIN $cat.ns.dim d
          |  ON b.o_orderpriority = d.o_orderpriority
          |GROUP BY prio_class""".stripMargin)
-    def direct(): Seq[Row] = spark.sql(
+    def direct(): Seq[Row] = onBase(spark.sql(
       s"""SELECT prio_class, count(*) AS cnt,
          |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents
          |FROM $cat.ns.t JOIN $cat.ns.dim USING (o_orderpriority)
          |GROUP BY prio_class ORDER BY prio_class""".stripMargin)
-      .collect().toSeq
+      .collect().toSeq)
     def got(): Seq[Row] = spark.sql(
       s"SELECT prio_class, cnt, cents FROM $cat.ns.vd " +
         "ORDER BY prio_class").collect().toSeq
@@ -295,11 +304,11 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |FROM $cat.ns.t GROUP BY o_orderstatus""".stripMargin)
     // native avg/sum are the ground truth here: at this scale the
     // integer-valued double sums are exact, so bit-equality holds
-    def direct(): Seq[Row] = spark.sql(
+    def direct(): Seq[Row] = onBase(spark.sql(
       s"""SELECT o_orderstatus, count(*) AS cnt, avg($arg) AS a,
          |  sum($decArg) AS s, sum($arg) AS sl
          |FROM $cat.ns.t GROUP BY o_orderstatus
-         |ORDER BY o_orderstatus""".stripMargin).collect().toSeq
+         |ORDER BY o_orderstatus""".stripMargin).collect().toSeq)
     def got(): Seq[Row] = spark.sql(
       s"SELECT o_orderstatus, cnt, a, s, sl FROM $cat.ns.vn " +
         "ORDER BY o_orderstatus").collect().toSeq
@@ -356,14 +365,14 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |FROM $cat.ns.t JOIN $cat.ns.dim2 USING (o_orderpriority)
          |WHERE o_orderstatus = 'F'
          |GROUP BY prio_class""".stripMargin)
-    def direct(): Seq[Row] = spark.sql(
+    def direct(): Seq[Row] = onBase(spark.sql(
       s"""SELECT prio_class, count(*) AS cnt,
          |  CAST(sum(CAST(floor(o_totalprice * 100) AS LONG)) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS avg_cents
          |FROM $cat.ns.t JOIN $cat.ns.dim2 USING (o_orderpriority)
          |WHERE o_orderstatus = 'F'
          |GROUP BY prio_class ORDER BY prio_class""".stripMargin)
-      .collect().toSeq
+      .collect().toSeq)
     def got(): Seq[Row] = spark.sql(
       s"SELECT prio_class, cnt, avg_cents FROM $cat.ns.vu " +
         "ORDER BY prio_class").collect().toSeq
@@ -403,14 +412,14 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |  JOIN $cat.ns.pdim p ON b.o_orderpriority = p.o_orderpriority
          |  JOIN $cat.ns.sdim s ON b.o_orderstatus = s.o_orderstatus
          |GROUP BY prio_class, status_class""".stripMargin)
-    def direct(): Seq[Row] = spark.sql(
+    def direct(): Seq[Row] = onBase(spark.sql(
       s"""SELECT prio_class, status_class, count(*) AS cnt,
          |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
          |  max(CAST(floor(o_totalprice * 100) AS LONG)) AS max_cents
          |FROM $cat.ns.t JOIN $cat.ns.pdim USING (o_orderpriority)
          |  JOIN $cat.ns.sdim USING (o_orderstatus)
          |GROUP BY prio_class, status_class
-         |ORDER BY prio_class, status_class""".stripMargin).collect().toSeq
+         |ORDER BY prio_class, status_class""".stripMargin).collect().toSeq)
     def got(): Seq[Row] = spark.sql(
       s"SELECT prio_class, status_class, cnt, cents, max_cents " +
         s"FROM $cat.ns.vstar ORDER BY prio_class, status_class")
@@ -456,14 +465,14 @@ class LakeMaterializedViewSpec extends LakeSuite {
          |  count(DISTINCT CASE WHEN o_orderstatus = 'P' THEN NULL
          |                      ELSE o_orderstatus END) AS n_status
          |FROM $cat.ns.t GROUP BY o_orderpriority""".stripMargin)
-    def direct(): Seq[Row] = spark.sql(
+    def direct(): Seq[Row] = onBase(spark.sql(
       s"""SELECT o_orderpriority, count(*) AS cnt,
          |  sum(CAST(floor(o_totalprice * 100) AS LONG)) AS cents,
          |  count(DISTINCT o_custkey) AS n_cust,
          |  count(DISTINCT CASE WHEN o_orderstatus = 'P' THEN NULL
          |                      ELSE o_orderstatus END) AS n_status
          |FROM $cat.ns.t GROUP BY o_orderpriority
-         |ORDER BY o_orderpriority""".stripMargin).collect().toSeq
+         |ORDER BY o_orderpriority""".stripMargin).collect().toSeq)
     def got(): Seq[Row] = spark.sql(
       s"SELECT o_orderpriority, cnt, cents, n_cust, n_status " +
         s"FROM $cat.ns.vdc ORDER BY o_orderpriority").collect().toSeq
