@@ -51,10 +51,17 @@ object MakeScaledData {
     val kVec = span("embeddings", "vec_id")
     val kEv = span("events", "event_id")
 
-    def scaled(df: DataFrame, shifts: Map[String, Long])(
+    // Repartition the SMALL input BEFORE the crossJoin explosion and
+    // write the exploded rows directly: the first cut repartitioned
+    // AFTER the C× blow-up, i.e. a full shuffle of C× the bytes purely
+    // to control file count — at C=1000 that is a ~60 GB lineitem
+    // shuffle that exhausted local disk. Shuffling the 17 MB input to
+    // `files` partitions gives the same file count and the same
+    // parallelism with the explosion running map-side only.
+    def scaled(df: DataFrame, shifts: Map[String, Long], files: Int)(
         extra: DataFrame => DataFrame): DataFrame = {
       val cols = df.columns
-      val withC = df.crossJoin(
+      val withC = df.repartition(files).crossJoin(
         broadcast(spark.range(copies.toLong).toDF("__c")))
       val shifted = shifts.foldLeft(withC) { case (d, (c, k)) =>
         d.withColumn(c, col(c) + col("__c") * k)
@@ -63,24 +70,24 @@ object MakeScaledData {
     }
 
     def write(name: String, df: DataFrame, files: Int): Unit =
-      df.repartition(files).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
 
     write("region", tbl("region"), 1)
     write("nation", tbl("nation"), 1)
-    write("customer", scaled(tbl("customer"), Map("c_custkey" -> kCust))(identity), 4)
-    write("supplier", scaled(tbl("supplier"), Map("s_suppkey" -> kSupp))(identity), 2)
-    write("part", scaled(tbl("part"), Map("p_partkey" -> kPart))(identity), 4)
+    write("customer", scaled(tbl("customer"), Map("c_custkey" -> kCust), 4)(identity), 4)
+    write("supplier", scaled(tbl("supplier"), Map("s_suppkey" -> kSupp), 2)(identity), 2)
+    write("part", scaled(tbl("part"), Map("p_partkey" -> kPart), 4)(identity), 4)
     write("orders", scaled(tbl("orders"),
-      Map("o_orderkey" -> kOrd, "o_custkey" -> kCust))(identity), 8)
+      Map("o_orderkey" -> kOrd, "o_custkey" -> kCust), 8)(identity), 8)
     write("lineitem", scaled(tbl("lineitem"),
-      Map("l_orderkey" -> kOrd, "l_partkey" -> kPart, "l_suppkey" -> kSupp))(
-      identity), 16)
-    write("events", scaled(tbl("events"), Map("event_id" -> kEv))(identity), 8)
-    write("documents", scaled(tbl("documents"), Map("doc_id" -> kDoc)) { d =>
+      Map("l_orderkey" -> kOrd, "l_partkey" -> kPart, "l_suppkey" -> kSupp),
+      16)(identity), 16)
+    write("events", scaled(tbl("events"), Map("event_id" -> kEv), 8)(identity), 8)
+    write("documents", scaled(tbl("documents"), Map("doc_id" -> kDoc), 8) { d =>
       d.withColumn("text", concat(col("text"), lit(" v"), col("__c")))
         .withColumn("n_chars", length(col("text")).cast("long"))
     }, 8)
-    write("embeddings", scaled(tbl("embeddings"), Map("vec_id" -> kVec))(
+    write("embeddings", scaled(tbl("embeddings"), Map("vec_id" -> kVec), 4)(
       identity), 4)
 
     println(s"SCALED src=$src dst=$dst copies=$copies")
