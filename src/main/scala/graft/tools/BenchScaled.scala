@@ -205,7 +205,7 @@ object BenchScaled {
       if (args.length > 2) { val w = args(2).split(',').map(_.trim).toSet
         Targets.filter(w) } else Targets
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SessionTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -9,7 +9,7 @@ object MvProbe {
   def main(args: Array[String]): Unit = {
     val d = if (args.length > 0) args(0) else "/tmp/sf1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SessionTuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
