@@ -187,18 +187,20 @@ object CoreQueries {
     * sliver marks multi-supplier orders and joins back broadcast, and
     * the supplier dim broadcasts onto the per-supplier rollup. */
   def qMultiSupplierOrders(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val multi = lineitem(s, d)
-      .groupBy(col("l_orderkey").as("mok"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
-      .filter(col("n_supp") >= 2)
-      .select(col("mok"))
-    val w = Window.partitionBy(col("l_orderkey"))
-      .orderBy(col("l_shipdate").desc, col("l_suppkey").desc)
+    // round-18 (guide §2.4): ONE order-keyed aggregation replaces the
+    // old three-pass shape (distinct-count rollup + semi-join back onto
+    // a second full lineitem scan + per-order row_number window — 12
+    // Exchanges). The closing line under ORDER BY (l_shipdate DESC,
+    // l_suppkey DESC) is exactly the lexicographic max of the
+    // (l_shipdate, l_suppkey) struct, so the window collapses into
+    // max(struct(..)) computed in the same pass as the distinct
+    // supplier count. Identical output by construction.
     lineitem(s, d)
-      .join(multi, col("l_orderkey") === col("mok"), "left_semi")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .groupBy(col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        max(struct(col("l_shipdate"), col("l_suppkey"))).as("closing"))
+      .filter(col("n_supp") >= 2)
+      .groupBy(col("closing.l_suppkey").as("l_suppkey"))
       .agg(count(lit(1)).as("n_closed"))
       .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("n_closed"))

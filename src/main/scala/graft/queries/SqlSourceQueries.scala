@@ -187,22 +187,30 @@ object SqlSourceQueries {
   def qSqlRecursive(s: SparkSession, d: String): DataFrame = {
     val (li, o, c, su) = (view(s, d, "lineitem"), view(s, d, "orders"),
       view(s, d, "customer"), view(s, d, "supplier"))
+    // MATERIALIZE the dimension-sized edge set (≤ 25² rows) before the
+    // recursion (round-18, guide §2.4/§3.3): UnionLoop re-executes its
+    // step subtree every iteration, and with `edges` as a plain CTE the
+    // step subtree embedded the corpus-sized 4-table join — the plan
+    // ran lineitem ⋈ orders ⋈ customer ⋈ supplier once per hop. A
+    // localCheckpoint truncates the lineage so each hop joins 25²
+    // materialized rows instead.
     s.sql(
-      s"""WITH edges AS (
-         |  SELECT DISTINCT su.s_nationkey AS src, c.c_nationkey AS dst
-         |  FROM $li l
-         |  JOIN $o o ON o.o_orderkey = l.l_orderkey
-         |  JOIN $c c ON c.c_custkey = o.o_custkey
-         |  JOIN $su su ON su.s_suppkey = l.l_suppkey
-         |  WHERE su.s_nationkey <> c.c_nationkey
-         |)
-         |SELECT nk, min(d) AS hops, count(*) AS n_paths
+      s"""SELECT DISTINCT su.s_nationkey AS src, c.c_nationkey AS dst
+         |FROM $li l
+         |JOIN $o o ON o.o_orderkey = l.l_orderkey
+         |JOIN $c c ON c.c_custkey = o.o_custkey
+         |JOIN $su su ON su.s_suppkey = l.l_suppkey
+         |WHERE su.s_nationkey <> c.c_nationkey""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("graft_sql_recursive_edges")
+    s.sql(
+      s"""SELECT nk, min(d) AS hops, count(*) AS n_paths
          |FROM (
          |  WITH RECURSIVE reach(nk, d) AS (
          |    SELECT CAST(0 AS BIGINT) AS nk, 0 AS d
          |    UNION ALL
          |    SELECT CAST(e.dst AS BIGINT), r.d + 1
-         |    FROM reach r JOIN edges e ON e.src = r.nk
+         |    FROM reach r JOIN graft_sql_recursive_edges e ON e.src = r.nk
          |    WHERE r.d < 3
          |  )
          |  SELECT nk, d FROM reach

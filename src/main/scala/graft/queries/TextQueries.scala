@@ -1513,6 +1513,11 @@ object TextQueries {
       split(col("text"), " ").as("ws"))
     // guard size>=2 BEFORE sequence(0, size-2): Spark's sequence(0,-1)
     // is a *descending* [0,-1], not empty
+    // The bigram stream stays UNCACHED deliberately: persisting it was
+    // measured (round-18) and lost — the explode fuses into each
+    // consumer's aggregation under codegen, while a cache forces full
+    // materialization of the exploded rows plus block-lock
+    // coordination between the model build and the scoring probe.
     val bg = docs.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))
@@ -1520,7 +1525,10 @@ object TextQueries {
     val vocab = docs.select(explode(col("ws")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    // c1 (bigrams per context word) derives from the VOCABULARY-sized
+    // c2 — c1(w1) = Σ_{w2} c2(w1,w2) by definition — so the second
+    // corpus-sized aggregation pass disappears outright (guide §2.4)
+    val c1 = c2.groupBy("w1").agg(sum(col("n2")).as("n1"))
     val model = c2.join(c1, Seq("w1")).crossJoin(vocab)
       .select(col("w1"), col("w2"),
         (length(bin(col("n1") + col("v"))) -
@@ -1749,12 +1757,18 @@ object TextQueries {
     * bounded at 5 rows, reused by the encoder. */
   private def bpeTrain(s: SparkSession,
       d: String): Seq[(Long, String, String, String, Long)] = {
+    // materialize the vocabulary ONCE before round 1 (guide §2.3):
+    // without the cut, round 1's argmax action computes the corpus
+    // pass and round 1's own localCheckpoint then recomputes it — the
+    // only two corpus-sized jobs in the whole loop, paid twice for one
+    // tokenization. Vocabulary-bounded from here on.
     var words = documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(expr("concat_ws(' ', transform(sequence(1, length(w)), " +
         "i -> substring(w, i, 1)))").as("sp"), col("freq"))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
     for (r <- 1 to 5) {
       val best = words.select(col("freq"), split(col("sp"), " ").as("syms"))
@@ -1786,9 +1800,14 @@ object TextQueries {
     * for the vocab, one for the rollup, at any corpus size. */
   def qBpeEncode(s: SparkSession, d: String): DataFrame = {
     val merges = bpeTrain(s, d)
-    var enc = documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 1).distinct()
+    // ONE persisted word stream serves both consumers (guide §2.3):
+    // the encoder's distinct vocabulary and the per-doc rollup probe
+    // used to each re-split + re-explode the corpus.
+    val wordStream = QueryCaches.track(documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 1)
+      .persist())
+    var enc = wordStream.select(col("w")).distinct()
       .withColumn("sp", expr("concat_ws(' ', transform(sequence(1, " +
         "length(w)), i -> substring(w, i, 1)))"))
     merges.foreach { case (_, a, b, _, _) =>
@@ -1796,9 +1815,7 @@ object TextQueries {
     }
     val wordTokens = enc.select(col("w"),
       size(split(col("sp"), " ")).cast("long").as("toks"))
-    documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 1)
+    wordStream
       .join(wordTokens, "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("toks")).as("n_tokens"))
