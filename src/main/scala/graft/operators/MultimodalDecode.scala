@@ -117,33 +117,53 @@ object MultimodalDecode {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val w = 16
-        val h = 16
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-        var i = 0
-        while (i < w * h) {
-          val v = if (i < bytes.length) bytes(i) & 0xFF else 0
-          img.getRaster.setSample(i % w, i / w, 0, v)
-          i += 1
+      .mapPartitions { it =>
+        // Per-TASK codec setup (round-18, guide §4.5 "initialise
+        // heavyweight state once per task"): ImageIO.write/read per row
+        // each re-scan the SYNCHRONIZED plugin registry (the same
+        // serialization that was the audio 10×-probe wall) and, with
+        // the default useCache=true, spool every encode/decode through
+        // a temp FILE on disk. One writer/reader pair per task plus
+        // memory-cached streams keeps the real codec end-to-end while
+        // removing per-row registry locks and disk round-trips.
+        javax.imageio.ImageIO.setUseCache(false)
+        val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("png").next()
+        val reader = javax.imageio.ImageIO
+          .getImageReadersByFormatName("png").next()
+        it.map { case (id, bytes) =>
+          val w = 16
+          val h = 16
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          // TYPE_BYTE_GRAY is one byte per pixel, row-major — fill the
+          // raster's backing array in one copy instead of 256 setSample
+          // calls (the canvas beyond the blob stays zero-initialized)
+          val pix = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          System.arraycopy(bytes, 0, pix, 0, math.min(bytes.length, w * h))
+          val out = new java.io.ByteArrayOutputStream()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+          writer.setOutput(ios)
+          writer.write(img)
+          ios.flush()
+          val png = out.toByteArray // the opaque binary a pipeline stores
+          // decode the png BYTES with the real codec and measure the raster
+          reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(png)))
+          val dec = reader.read(0)
+          var sum = 0L
+          var mx = 0L
+          var j = 0
+          while (j < dec.getWidth * dec.getHeight) {
+            val v = dec.getRaster.getSample(j % dec.getWidth, j / dec.getWidth, 0).toLong
+            sum += v
+            if (v > mx) mx = v
+            j += 1
+          }
+          PngMeta(id, dec.getWidth.toLong, dec.getHeight.toLong, sum, mx, png.length.toLong)
         }
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", out)
-        val png = out.toByteArray // the opaque binary a pipeline stores
-        // decode the png BYTES with the real codec and measure the raster
-        val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
-        var sum = 0L
-        var mx = 0L
-        var j = 0
-        while (j < dec.getWidth * dec.getHeight) {
-          val v = dec.getRaster.getSample(j % dec.getWidth, j / dec.getWidth, 0).toLong
-          sum += v
-          if (v > mx) mx = v
-          j += 1
-        }
-        PngMeta(id, dec.getWidth.toLong, dec.getHeight.toLong, sum, mx, png.length.toLong)
-      })
+      }
   }
 
   /** Corpus entry: PNG-codec round-trip over every document blob
@@ -266,17 +286,35 @@ object MultimodalDecode {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
+      .mapPartitions { it =>
         import javax.sound.sampled._
+        import scala.jdk.CollectionConverters._
+        // Per-TASK provider resolution through the PUBLIC SPI (guide
+        // §4.5): AudioSystem.write / getAudioInputStream walk the
+        // synchronized provider registry on every call — the exact
+        // serialization the audio-clusters 10× probe hit. The resolved
+        // providers ARE the real codec (the same classes AudioSystem
+        // would dispatch to); only the per-row registry walk is gone.
+        val writer = java.util.ServiceLoader
+          .load(classOf[spi.AudioFileWriter]).asScala
+          .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+          .getOrElse(throw new IllegalStateException("no WAV writer SPI"))
+        val readers = java.util.ServiceLoader
+          .load(classOf[spi.AudioFileReader]).asScala.toVector
+        it.map { case (id, bytes) =>
         val fmt = new AudioFormat(8000f, 8, 1, false, false) // u8 mono 8kHz
         val src = new AudioInputStream(
           new java.io.ByteArrayInputStream(bytes), fmt, bytes.length.toLong)
         val out = new java.io.ByteArrayOutputStream()
-        AudioSystem.write(src, AudioFileFormat.Type.WAVE, out)
+        writer.write(src, AudioFileFormat.Type.WAVE, out)
         val wav = out.toByteArray // the opaque binary a pipeline stores
         // decode the wav BYTES with the real codec and measure the PCM
-        val dec = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(wav))
+        val dec = readers.iterator.flatMap { r =>
+          try Iterator.single(r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(wav)))
+          catch { case _: UnsupportedAudioFileException => Iterator.empty }
+        }.nextOption().getOrElse(throw new UnsupportedAudioFileException(
+          "no SPI reader accepted the WAV bytes"))
         val f = dec.getFormat
         val samples = dec.readAllBytes()
         var sum = 0L
@@ -290,7 +328,8 @@ object MultimodalDecode {
         }
         WavMeta(id, f.getSampleRate.toLong, f.getChannels.toLong,
           samples.length.toLong, sum, mx)
-      })
+        }
+      }
   }
 
   /** Corpus entry: WAV-codec round-trip over every document blob. */
