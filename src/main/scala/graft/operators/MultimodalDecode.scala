@@ -116,7 +116,8 @@ object MultimodalDecode {
   def pngRoundTrip(df: DataFrame): Dataset[PngMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+    graft.queries.Tables.spread(df.select(col("doc_id"), col("blob")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // Per-TASK codec setup (round-18, guide §4.5 "initialise
         // heavyweight state once per task"): ImageIO.write/read per row
@@ -195,7 +196,8 @@ object MultimodalDecode {
   def videoRoundTrip(df: DataFrame): Dataset[VideoMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+    graft.queries.Tables.spread(df.select(col("doc_id"), col("blob")))
+      .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val w = 16
         val h = 16
@@ -285,7 +287,8 @@ object MultimodalDecode {
   def wavRoundTrip(df: DataFrame): Dataset[WavMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
+    graft.queries.Tables.spread(df.select(col("doc_id"), col("blob")))
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         import javax.sound.sampled._
         import scala.jdk.CollectionConverters._

@@ -123,7 +123,8 @@ object GraphQueries {
     * (a &lt; b), shared by TextRank and the triangle counter: one
     * bigram pass, `least/greatest`-normalized, cached. */
   private def wordPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(split(col("text"), " ").as("ws"))
+    val docs = Tables.spread(documents(s, d))
+      .select(split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
     val bg = docs.select(explode(expr(
         "transform(sequence(0, size(ws)-2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))")).as("b"))

@@ -28,6 +28,25 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
+  /** Fan an UNSPLITTABLE scan across the session's cores (guide §2.5
+    * "input skew: one huge unsplittable file — repartition immediately
+    * after the read"). The driver corpus ships each table as ONE
+    * single-row-group parquet file, so every scan plans exactly one
+    * task and CPU-heavy per-row map work (shingling, codecs, md5
+    * passes) runs single-threaded regardless of core count. Applied
+    * SELECTIVELY at the call sites whose downstream per-row work
+    * dwarfs the source bytes — never blanket (trivial consumers would
+    * pay a shuffle for nothing), and a no-op whenever the scan already
+    * carries enough splits (a production table of row-grouped files
+    * skips straight through, so this never costs a heavy corpus a
+    * shuffle at scale). Round-robin keeps no key skew; Spark's
+    * sort-before-repartition keeps the assignment deterministic under
+    * task retry. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     // Spark has no nanosecond TimestampType and by default refuses
     // TIMESTAMP(NANOS) parquet columns outright (PARQUET_TYPE_ILLEGAL);

@@ -45,7 +45,10 @@ object TextQueries {
   private[queries] def shingleRows(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+    // unsplittable one-task scan + CPU-heavy per-row shingling: spread
+    // across the cores first (guide §2.5; no-op on a well-split input)
+    Tables.spread(df.select(col("doc_id").cast("long"), col("text")))
+      .as[(Long, String)]
       .flatMap { case (id, text) =>
         // null text ≡ no shingles (the SQL split() formulation this
         // replaced propagated null and dropped the row at explode)
@@ -577,7 +580,8 @@ object TextQueries {
   private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val spark0 = s
     import spark0.implicits._
-    val sim = documents(s, d).select(col("doc_id").cast("long"), col("text"))
+    val sim = Tables.spread(documents(s, d)
+      .select(col("doc_id").cast("long"), col("text")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val memo = new Md5Memo()
@@ -1252,7 +1256,10 @@ object TextQueries {
     * worst). */
   def contaminationAgainst(s: SparkSession, corpus: DataFrame,
       bench: DataFrame): DataFrame = {
-    def shingles(df: DataFrame) = df.filter(length(col("text")) >= 20)
+    // the char-20-gram explode generates ~|text| strings per doc — the
+    // query's whole cost — off an unsplittable one-task scan; spread it
+    def shingles(df: DataFrame) = Tables.spread(
+      df.filter(length(col("text")) >= 20))
       .select(col("doc_id"),
         explode(expr("transform(sequence(1, length(text) - 19), " +
           "i -> substring(text, i, 20))")).as("sh"))
@@ -1509,7 +1516,7 @@ object TextQueries {
     * doc with ≥ 1 bigram — (doc_id, n_bigrams, total_bits,
     * mbits_per_bigram). */
   private def lmDocBits(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"),
+    val docs = Tables.spread(documents(s, d)).select(col("doc_id"),
       split(col("text"), " ").as("ws"))
     // guard size>=2 BEFORE sequence(0, size-2): Spark's sequence(0,-1)
     // is a *descending* [0,-1], not empty
@@ -1589,7 +1596,8 @@ object TextQueries {
     val B = 4096L
     val spark0 = s
     import spark0.implicits._
-    val toks = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val toks = Tables.spread(documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text")))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val memo = new Md5Memo()
@@ -1762,7 +1770,7 @@ object TextQueries {
     // pass and round 1's own localCheckpoint then recomputes it — the
     // only two corpus-sized jobs in the whole loop, paid twice for one
     // tokenization. Vocabulary-bounded from here on.
-    var words = documents(s, d)
+    var words = Tables.spread(documents(s, d))
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -1803,7 +1811,7 @@ object TextQueries {
     // ONE persisted word stream serves both consumers (guide §2.3):
     // the encoder's distinct vocabulary and the per-doc rollup probe
     // used to each re-split + re-explode the corpus.
-    val wordStream = QueryCaches.track(documents(s, d)
+    val wordStream = QueryCaches.track(Tables.spread(documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .persist())
@@ -1910,7 +1918,8 @@ object TextQueries {
     val B = 4096L
     val spark0 = s
     import spark0.implicits._
-    val toks = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val toks = Tables.spread(documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text")))
       .as[(Long, String, String)]
       .mapPartitions { it =>
         val memo = new Md5Memo()
