@@ -100,7 +100,10 @@ object SimilarityQueries {
     * rides in the same codegen stage as the cross dot. */
   def qCosineTopkBrute(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embeddings(s, d)
+    // the probe side is an unsplittable one-task scan doing the whole
+    // O(corpus x queries) integer-dot work — spread it (guide §2.5);
+    // qdot is per-pair exact, so partitioning cannot move a result
+    val emb = Tables.spread(embeddings(s, d))
       .select(col("vec_id"), col("embedding"),
         qdot(col("embedding"), col("embedding")).as("nv"))
     val queries = embeddings(s, d).filter(col("vec_id") < nQueries)
@@ -130,7 +133,7 @@ object SimilarityQueries {
     * contract are unchanged. */
   def qHardNegatives(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val emb = embeddings(s, d)
+    val emb = Tables.spread(embeddings(s, d))
       .select(col("vec_id"), col("embedding"), col("label"),
         qdot(col("embedding"), col("embedding")).as("nv"))
     val queries = embeddings(s, d).filter(col("vec_id") < nQueries)
@@ -576,7 +579,9 @@ object SimilarityQueries {
   def qDedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val t = 0.5
     if (corpusFitsBroadcast(s, d)) {
-      val a = embeddings(s, d).select(col("vec_id").as("va"), col("embedding").as("ea"))
+      // probe side spread: the n^2/2 cosine work all sits on the scan
+      val a = Tables.spread(embeddings(s, d))
+        .select(col("vec_id").as("va"), col("embedding").as("ea"))
       val b = embeddings(s, d).select(col("vec_id").as("vb"), col("embedding").as("eb"))
       a.join(broadcast(b), col("va") < col("vb"))
         .select(col("va"), col("vb"), cosine(col("ea"), col("eb")).as("sim"))
