@@ -111,10 +111,13 @@ object AggWindowQueries {
     * sum is exact. */
   def qWeightedMedian(s: SparkSession, d: String): DataFrame = {
     val B = 1024
-    val base = QueryCaches.track(lineitem(s, d)
+    // integer-exact metrics (qty sums, price min/max): spread the
+    // unsplittable one-task scan so the bucket pass and both windows
+    // read a parallel cache instead of one serial partition
+    val base = QueryCaches.track(Tables.spread(lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"),
         col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").cast("long").as("qty"))
+        col("l_quantity").cast("long").as("qty")))
       .persist())
     val stats = base.groupBy(col("l_returnflag"))
       .agg(min(col("l_extendedprice")).as("mn"),

@@ -195,7 +195,8 @@ object CoreQueries {
     // (l_shipdate, l_suppkey) struct, so the window collapses into
     // max(struct(..)) computed in the same pass as the distinct
     // supplier count. Identical output by construction.
-    lineitem(s, d)
+    Tables.spread(lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate")))
       .groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("n_supp"),
         max(struct(col("l_shipdate"), col("l_suppkey"))).as("closing"))

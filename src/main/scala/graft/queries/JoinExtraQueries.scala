@@ -162,7 +162,8 @@ object JoinExtraQueries {
     // shuffle), and the O(orders·K²) pair stream generates
     // BASKET-LOCALLY from the array — the self-join (1.2 GB reshuffle
     // of the item table at sf10, the probe's dominant stage) is gone.
-    val baskets = QueryCaches.track(lineitem(s, d)
+    val baskets = QueryCaches.track(Tables.spread(
+      lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
       .groupBy(col("l_orderkey"))
       .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, capK)
         .as("parts"))
