@@ -1764,17 +1764,31 @@ object TextQueries {
     * describes the device) returning the merge table — driver-side,
     * bounded at 5 rows, reused by the encoder. */
   private def bpeTrain(s: SparkSession,
-      d: String): Seq[(Long, String, String, String, Long)] = {
+      d: String): Seq[(Long, String, String, String, Long)] =
+    bpeTrainFull(s, d, None)._1
+
+  /** [[bpeTrain]] plus the trained VOCABULARY: the loop's final table —
+    * every distinct word with all 5 merges applied — which is exactly
+    * the encoding the per-word encoder would recompute. Returning it
+    * lets [[qBpeEncode]] skip a second corpus-wide distinct plus its
+    * own replace chain (round-18, guide §2.3 "don't compute things you
+    * throw away" in reverse: don't recompute things the loop already
+    * materialized). `wordsSrc` optionally supplies an already-derived
+    * (w) stream so the corpus is tokenized once across train + encode. */
+  private def bpeTrainFull(s: SparkSession, d: String,
+      wordsSrc: Option[DataFrame])
+      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
     // materialize the vocabulary ONCE before round 1 (guide §2.3):
     // without the cut, round 1's argmax action computes the corpus
     // pass and round 1's own localCheckpoint then recomputes it — the
     // only two corpus-sized jobs in the whole loop, paid twice for one
-    // tokenization. Vocabulary-bounded from here on.
-    var words = Tables.spread(documents(s, d))
-      .select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) >= 1)
+    // tokenization. Vocabulary-bounded from here on (`w` rides along
+    // untouched so the encoder can join the trained forms back).
+    var words = wordsSrc.getOrElse(Tables.spread(documents(s, d))
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 1))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .select(expr("concat_ws(' ', transform(sequence(1, length(w)), " +
+      .select(col("w"), expr("concat_ws(' ', transform(sequence(1, length(w)), " +
         "i -> substring(w, i, 1)))").as("sp"), col("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)]()
@@ -1791,10 +1805,10 @@ object TextQueries {
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       merges += ((r.toLong, a, b, a + b, cnt))
       // lineage cut per round, as in the PageRank loop
-      words = words.select(bpeMergeStep(col("sp"), a, b).as("sp"),
+      words = words.select(col("w"), bpeMergeStep(col("sp"), a, b).as("sp"),
         col("freq")).localCheckpoint()
     }
-    merges.toSeq
+    (merges.toSeq, words)
   }
 
   /** BPE ENCODING (round 13) — the tokenizer APPLIED: the 5 trained
@@ -1807,21 +1821,20 @@ object TextQueries {
     * token-count table (AQE broadcasts it when small). One corpus pass
     * for the vocab, one for the rollup, at any corpus size. */
   def qBpeEncode(s: SparkSession, d: String): DataFrame = {
-    val merges = bpeTrain(s, d)
-    // ONE persisted word stream serves both consumers (guide §2.3):
-    // the encoder's distinct vocabulary and the per-doc rollup probe
-    // used to each re-split + re-explode the corpus.
+    // ONE persisted word stream feeds the training loop's vocabulary
+    // AND the per-doc rollup probe — the corpus is tokenized once
+    // (guide §2.3). The trained table IS the encoded vocabulary (every
+    // word with all 5 merges applied), so the old second corpus-wide
+    // distinct and the encoder's own replace chain are gone outright.
     val wordStream = QueryCaches.track(Tables.spread(documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) >= 1)
       .persist())
-    var enc = wordStream.select(col("w")).distinct()
-      .withColumn("sp", expr("concat_ws(' ', transform(sequence(1, " +
-        "length(w)), i -> substring(w, i, 1)))"))
-    merges.foreach { case (_, a, b, _, _) =>
-      enc = enc.withColumn("sp", bpeMergeStep(col("sp"), a, b))
-    }
-    val wordTokens = enc.select(col("w"),
+    // materialize eagerly: the train loop and the probe otherwise race
+    // the cold cache (the block-lock convoy signature)
+    wordStream.count()
+    val (_, trained) = bpeTrainFull(s, d, Some(wordStream.select(col("w"))))
+    val wordTokens = trained.select(col("w"),
       size(split(col("sp"), " ")).cast("long").as("toks"))
     wordStream
       .join(wordTokens, "w")
