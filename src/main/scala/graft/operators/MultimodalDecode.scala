@@ -196,8 +196,10 @@ object MultimodalDecode {
   def videoRoundTrip(df: DataFrame): Dataset[VideoMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    graft.queries.Tables.spread(df.select(col("doc_id"), col("blob")))
-      .as[(Long, Array[Byte])]
+    // NOT spread: the Y4M mux/demux is pure array copies — measured
+    // (round-18 final bench) the repartition shuffle of the blobs cost
+    // more than the single-task decode it parallelized
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val w = 16
         val h = 16
@@ -287,8 +289,10 @@ object MultimodalDecode {
   def wavRoundTrip(df: DataFrame): Dataset[WavMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    graft.queries.Tables.spread(df.select(col("doc_id"), col("blob")))
-      .as[(Long, Array[Byte])]
+    // NOT spread: after the per-task SPI fix the WAV round trip is
+    // light enough that the blob shuffle outweighed it (measured
+    // 0.56 -> 0.82 in the round-18 final bench; reverted)
+    df.select(col("doc_id"), col("blob")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         import javax.sound.sampled._
         import scala.jdk.CollectionConverters._
