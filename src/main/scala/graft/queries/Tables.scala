@@ -26,16 +26,29 @@ object Tables {
   private val schemaCatalog =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  /** Resolved-relation memo, the second catalog layer: even with the
+    * schema known, each `spark.read.schema(s).parquet(path)` re-resolves
+    * the DataSource and re-lists the path (~14 ms — non-catalog reads
+    * get a NoopCache). Spark's own metastore path caches the resolved
+    * LogicalRelation for exactly this reason; these nine corpus paths
+    * are immutable, and the memo holds a LAZY plan — every action still
+    * computes from the parquet files. Session-keyed like every other
+    * session-bound artifact (a dead session's relation must not leak
+    * into a new one). */
+  private val frameMemo = new SessionMemo[DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val key = path + "#" +
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("")
-    val cached = schemaCatalog.get(key)
-    if (cached != null) spark.read.schema(cached).parquet(path)
-    else {
-      val df = spark.read.parquet(path)
-      schemaCatalog.put(key, df.schema)
-      df
+    frameMemo.getOrBuild(spark, path) {
+      val key = path + "#" +
+        spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").getOrElse("")
+      val cached = schemaCatalog.get(key)
+      if (cached != null) spark.read.schema(cached).parquet(path)
+      else {
+        val df = spark.read.parquet(path)
+        schemaCatalog.put(key, df.schema)
+        df
+      }
     }
   }
 
@@ -98,7 +111,10 @@ object Tables {
     }
   }
 
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    frameMemo.getOrBuild(s, s"$d/events.parquet#normalized") { eventsUncached(s, d) }
+
+  private def eventsUncached(s: SparkSession, d: String): DataFrame = {
     // Spark has no nanosecond TimestampType and by default refuses
     // TIMESTAMP(NANOS) parquet columns outright (PARQUET_TYPE_ILLEGAL);
     // read them as raw long nanos and convert below. Harness sessions
